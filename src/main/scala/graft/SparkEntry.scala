@@ -1,13 +1,40 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.joinStar(spark, "/root/testdata/sf0.001")
+
+  type Q = (SparkSession, String) => DataFrame
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, Q] = Map[String, Q](
+    "q1_agg" -> (Relational.q1Agg _),
+    "q_agg_stats" -> (Relational.aggStats _),
+    "q_agg_uniq" -> (Relational.aggUniq _),
+    "q_agg_histogram" -> (Relational.aggHistogram _),
+    "q_agg_highcard" -> (Relational.aggHighcard _),
+    "q_secondary_sort" -> (Relational.secondarySort _),
+    "q_sort_global" -> (Relational.sortGlobal _),
+    "q_total_order_bucket" -> (Relational.totalOrderBucket _),
+    "q_topk_per_group" -> (Relational.topkPerGroup _),
+    "q_join_star" -> (Relational.joinStar _),
+    "q_join_bigbig" -> (Relational.joinBigBig _),
+    "q_join_outer" -> (Relational.joinOuter _),
+    "q_join_override" -> (Relational.joinOverride _),
+    "q_join_bloom" -> (Relational.joinBloom _),
+    "q_field_selection" -> (Relational.fieldSelection _),
+    "q_chain" -> (Relational.chain _),
+    "q_multi_input_union" -> (Relational.multiInputUnion _),
+    "q_multi_output_assign" -> (Relational.multiOutputAssign _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Oracles.all
 }

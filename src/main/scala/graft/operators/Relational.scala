@@ -1,0 +1,294 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational core: the MapReduce programming model of the reference
+  * re-expressed as declarative DataFrame plans.
+  *
+  * Reference capabilities covered here (SURVEY.md §2.1/§2.2):
+  *  - group-aggregate with combiner (ref: src/mapred/org/apache/hadoop/
+  *    mapred/MapTask.java map-side combine; Catalyst emits partial_
+  *    aggregates automatically),
+  *  - the aggregate library (ref: src/mapred/org/apache/hadoop/mapred/
+  *    lib/aggregate/ValueAggregatorJob.java:1 — sum/max/min/uniq/
+  *    histogram),
+  *  - sorting: total-order sort (ref: mapred/lib/TotalOrderPartitioner
+  *    .java:1 + InputSampler.java:1; Spark's `orderBy` range-samples
+  *    bounds with the same sample-then-range-partition algorithm) and
+  *    secondary sort (ref: mapred/lib/KeyFieldBasedComparator.java:1,
+  *    examples/SecondarySort.java:1),
+  *  - joins: map-side merge joins (ref: mapred/join/
+  *    InnerJoinRecordReader.java, OuterJoinRecordReader.java,
+  *    OverrideRecordReader.java:1), reduce-side tagged join (ref:
+  *    contrib/data_join/.../DataJoinReducerBase.java:1), replicated
+  *    map-side join → `broadcast()`, bloom-filtered lookup (ref:
+  *    src/core/org/apache/hadoop/io/BloomMapFile.java:1),
+  *  - field selection / chained jobs / multiple inputs (ref: mapred/lib/
+  *    FieldSelectionMapReduce.java:1, Chain.java:1, MultipleInputs
+  *    .java:1).
+  *
+  * Correctness-portability rules (SURVEY.md §5): derived doubles are
+  * produced only by exact decimal/integer arithmetic followed by a
+  * single cast/division, so Spark and the DuckDB oracle agree bitwise.
+  */
+object Relational {
+
+  /** Exact-decimal sum of a double column: sum(cast(c as decimal)) as
+    * double. Associative and order-independent → identical across
+    * engines and across partitionings at any scale. */
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** revenue term: extendedprice * (1 - discount) in exact decimals. */
+  private val revenueTerm: Column =
+    sum(col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+      .cast("double")
+
+  /** TPC-H Q1-style scan+filter+group-aggregate. The filter is pushed
+    * to the parquet scan; the aggregation runs as partial (map-side
+    * combine) + final — the exact shape of the reference's
+    * Mapper/Combiner/Reducer pipeline. */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1999-06-30").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        revenueTerm.as("sum_disc_price"),
+        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+
+  /** Aggregate library over orders: Long/DoubleValueSum, LongValueMax/
+    * Min, StringValueMax/Min (ref: mapred/lib/aggregate package). */
+  def aggStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        max(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("max_price"),
+        min(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("min_price"),
+        dsum(col("o_totalprice")).as("sum_price"),
+        max("o_orderstatus").as("max_status"),
+        min("o_orderstatus").as("min_status"))
+
+  /** UniqValueCount (ref: mapred/lib/aggregate/UniqValueCount.java:1).
+    * Exact count-distinct for the oracle; at 100 TB the same query
+    * swaps to approx_count_distinct (HLL) — see Bench. */
+  def aggUniq(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        countDistinct(col("user_id")).as("uniq_users"),
+        count(lit(1)).as("n"))
+
+  /** ValueHistogram (ref: mapred/lib/aggregate/ValueHistogram.java:1):
+    * per key, the frequency distribution of values summarized as
+    * count/min/max/mean/median/stddev of the per-value counts.
+    * stddev is written as sqrt(E[x²]−E[x]²) over exact integer sums so
+    * both engines run the identical IEEE sequence. */
+  def aggHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val freq = Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag", "l_partkey").agg(count(lit(1)).as("cnt"))
+    freq.groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("nvals"),
+        min("cnt").as("cmin"),
+        max("cnt").as("cmax"),
+        (sum("cnt").cast("double") / count(lit(1))).as("cavg"),
+        median(col("cnt")).as("cmedian"),
+        sqrt(sum(col("cnt") * col("cnt")).cast("double") / count(lit(1)) -
+          (sum("cnt").cast("double") / count(lit(1))) *
+          (sum("cnt").cast("double") / count(lit(1)))).as("cstd"))
+  }
+
+  /** High-cardinality group-aggregate: exercises hash partitioning
+    * (ref: mapred/lib/HashPartitioner.java:1) + partial aggregation.
+    * ~1.5M groups at sf=0.1; shuffles once on the group key. */
+  def aggHighcard(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_lines"))
+
+  /** Secondary sort: per-customer orders sorted by (date desc, key) —
+    * the reference sorts reduce input by a composite key (ref:
+    * examples/SecondarySort.java:1). Window is partitioned by the
+    * group key so it scales out; no global ordering required. */
+  def secondarySort(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"))
+  }
+
+  /** Global total-order sort = TeraSort (ref: examples/terasort/
+    * TeraSort.java:1). `orderBy().limit(k)` compiles to
+    * TakeOrderedAndProject (per-partition top-k + merge — no global
+    * shuffle); the rank is re-derived on the k survivors only. */
+  def sortGlobal(spark: SparkSession, dir: String): DataFrame = {
+    val top = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+    val w = Window.orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    top.withColumn("rk", row_number().over(w))
+      .select("rk", "l_orderkey", "l_linenumber", "l_extendedprice")
+  }
+
+  /** Range-bucket assignment — the TotalOrderPartitioner contract
+    * (ref: mapred/lib/TotalOrderPartitioner.java:1): every row mapped
+    * to one of 32 contiguous key ranges of near-equal population.
+    * ntile gives the deterministic oracle-checkable form; the
+    * production operator is `df.repartitionByRange(32, keys)` (sampled
+    * bounds, no single-point window) — see rangePartition below. */
+  def totalOrderBucket(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("bucket", ntile(32).over(w))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("lo"),
+        max(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("hi"))
+  }
+
+  /** The scale-path total-order partitioner: sampled range bounds,
+    * identical algorithm to InputSampler+TotalOrderPartitioner. */
+  def rangePartition(df: DataFrame, n: Int, keys: Column*): DataFrame =
+    df.repartitionByRange(n, keys: _*)
+
+  /** Per-group top-k via rank window — the canonical "sorted reduce
+    * values, emit first k" reducer pattern. */
+  def topkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("p_brand")
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    Tables.part(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("p_brand", "rk", "p_partkey", "p_retailprice")
+  }
+
+  /** Star join: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region with the
+    * dimension side broadcast — the replicated map-side join the
+    * reference does by loading small inputs in the mapper. At 100 TB
+    * the dims stay ≤ GBs → still broadcast; lineitem⋈orders is the
+    * only shuffle. */
+  def joinStar(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(revenueTerm.as("revenue"), count(lit(1)).as("n"))
+  }
+
+  /** Big⋈big join on the fact keys: shuffle (sort-merge at scale; AQE
+    * may downgrade to broadcast at toy SF). The reference's reduce-side
+    * tagged join (ref: contrib/data_join/.../DataJoinReducerBase
+    * .java:1). */
+  def joinBigBig(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(revenueTerm.as("revenue"), count(lit(1)).as("n"))
+
+  /** Outer join (ref: mapred/join/OuterJoinRecordReader.java:1):
+    * customers retained with zero orders. */
+  def joinOuter(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"))
+
+  /** Override join (ref: mapred/join/OverrideRecordReader.java:1 —
+    * "prefer the rightmost source"): per-key coalesce of an override
+    * source onto a base source. */
+  def joinOverride(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(spark, dir)
+    val upd = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("k"))
+      .agg(dsum(col("o_totalprice")).as("v"))
+    base.join(upd, col("c_custkey") === col("k"), "left")
+      .select(col("c_custkey"),
+        coalesce(col("v"), col("c_acctbal")).as("bal"),
+        when(col("k").isNull, lit("base")).otherwise(lit("override")).as("src_tag"))
+  }
+
+  /** Bloom-filtered semi-join (ref: src/core/org/apache/hadoop/io/
+    * BloomMapFile.java:1): a bloom filter built on the dim keys prunes
+    * the probe side BEFORE the shuffle (false positives removed by the
+    * exact semi-join after). At 100 TB this is the difference between
+    * shuffling 100 TB and shuffling the matching ~10%. */
+  def joinBloom(spark: SparkSession, dir: String): DataFrame = {
+    val keysDf = Tables.part(spark, dir)
+      .filter(col("p_size") > 45).select("p_partkey")
+    val bloom = keysDf.stat.bloomFilter("p_partkey", 100000L, 0.01)
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((k: Long) => bloomBc.value.mightContain(k))
+    Tables.lineitem(spark, dir)
+      .filter(mightContain(col("l_partkey")))          // cheap pre-shuffle prune
+      .join(broadcast(keysDf), col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+  }
+
+  /** Field selection over delimited records (ref: mapred/lib/
+    * FieldSelectionMapReduce.java:1): serialize → split → select
+    * fields by position → aggregate. */
+  def fieldSelection(spark: SparkSession, dir: String): DataFrame = {
+    val line = concat_ws(",", col("l_orderkey"), col("l_linenumber"),
+      col("l_returnflag"), col("l_linestatus"))
+    Tables.lineitem(spark, dir)
+      .select(split(line, ",").as("f"))
+      .select(element_at(col("f"), 3).as("flag"), element_at(col("f"), 4).as("status"))
+      .groupBy("flag", "status")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Chained map→reduce→map (ref: mapred/lib/Chain.java:1): one fused
+    * whole-stage-codegen pipeline in Spark instead of three task
+    * waves. */
+  def chain(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") > 10)
+      .groupBy("l_suppkey")
+      .agg(dsum(col("l_quantity")).as("sum_qty"))
+      .withColumn("tier",
+        when(col("sum_qty") >= 8000, lit("high"))
+          .when(col("sum_qty") >= 6000, lit("mid"))
+          .otherwise(lit("low")))
+      .select("l_suppkey", "tier", "sum_qty")
+
+  /** MultipleInputs/DelegatingMapper (ref: mapred/lib/MultipleInputs
+    * .java:1): per-source transform, then union. */
+  def multiInputUnion(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(
+      lit("customer").as("src"), col("c_custkey").as("id"),
+      col("c_name").as("name"), col("c_acctbal").as("bal"))
+    val s = Tables.supplier(spark, dir).select(
+      lit("supplier").as("src"), col("s_suppkey").as("id"),
+      col("s_name").as("name"), col("s_acctbal").as("bal"))
+    c.unionByName(s)
+  }
+
+  /** MultipleOutputs partition assignment (ref: mapred/lib/
+    * MultipleOutputs.java:1). The writer itself is
+    * sources.PartitionedWriter (df.write.partitionBy). */
+  def multiOutputAssign(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("part_key"))
+      .agg(count(lit(1)).as("n"),
+        date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("first_date"))
+}
