@@ -131,5 +131,194 @@ object Oracles {
         |FROM orders GROUP BY 1""".stripMargin,
   )
 
-  def all: Map[String, String] = relational
+  /** DuckDB twin of TextOps.normExpr (regexp_replace needs the 'g'
+    * flag; Spark replaces all occurrences by default). */
+  private val norm =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
+  private val enStop = "'the', 'a', 'of', 'and', 'to', 'in', 'is'"
+
+  val text: Map[String, String] = Map(
+    "q_wordcount" ->
+      s"""SELECT word, count(*) AS cnt FROM (
+         |  SELECT unnest(string_split($norm, ' ')) AS word FROM documents) t
+         |WHERE word <> '' GROUP BY word""".stripMargin,
+
+    "q_grep" ->
+      """SELECT m, count(*) AS cnt FROM (
+        |  SELECT unnest(regexp_extract_all(text, 's[a-z]+')) AS m FROM documents) t
+        |GROUP BY m""".stripMargin,
+
+    "q_inverted_index" ->
+      s"""SELECT word, count(DISTINCT doc_id) AS ndocs, count(*) AS tf, min(doc_id) AS first_doc
+         |FROM (SELECT doc_id, unnest(string_split($norm, ' ')) AS word FROM documents) t
+         |WHERE word <> '' GROUP BY word""".stripMargin,
+
+    "q_text_langid" ->
+      s"""WITH t AS (SELECT doc_id, string_split($norm, ' ') toks FROM documents),
+         |h AS (SELECT doc_id,
+         |  len(list_filter(toks, t -> t IN ($enStop))) en_hits,
+         |  len(list_filter(toks, t -> t IN ('le', 'la', 'de', 'et', 'un', 'les', 'des'))) fr_hits,
+         |  len(list_filter(toks, t -> t IN ('el', 'la', 'de', 'y', 'un', 'los', 'en'))) es_hits,
+         |  len(list_filter(toks, t -> t IN ('der', 'die', 'das', 'und', 'ein', 'von', 'zu'))) de_hits
+         |FROM t)
+         |SELECT doc_id, en_hits, fr_hits, es_hits, de_hits,
+         |  CASE WHEN en_hits >= fr_hits AND en_hits >= es_hits AND en_hits >= de_hits THEN 'en'
+         |       WHEN fr_hits >= es_hits AND fr_hits >= de_hits THEN 'fr'
+         |       WHEN es_hits >= de_hits THEN 'es' ELSE 'de' END AS pred_lang
+         |FROM h""".stripMargin,
+
+    "q_text_quality" ->
+      s"""WITH b AS (SELECT doc_id, text, $norm nrm FROM documents),
+         |c AS (SELECT doc_id, text, nrm,
+         |  len(list_filter(string_split(nrm, ' '), x -> x <> '')) n_tokens,
+         |  len(list_filter(string_split(nrm, ' '), x -> x IN ($enStop))) en_hits FROM b),
+         |d AS (SELECT *, greatest(n_tokens, 1) nt1 FROM c)
+         |SELECT doc_id, n_tokens,
+         |  cast(length(nrm) - (n_tokens - 1) AS DOUBLE) / nt1 AS avg_tok_len,
+         |  cast(en_hits AS DOUBLE) / nt1 AS stop_ratio,
+         |  cast(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / greatest(length(text), 1) AS digit_ratio,
+         |  cast(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / greatest(length(text), 1) AS punct_ratio,
+         |  cast(en_hits AS DOUBLE) / nt1 * 0.5 + least(cast(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5 AS score
+         |FROM d""".stripMargin,
+
+    "q_text_tokens" ->
+      """SELECT doc_id,
+        |  len(list_filter(string_split(text, ' '), x -> x <> '')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_tokens
+        |FROM documents""".stripMargin,
+
+    "q_text_fingerprint" ->
+      s"""WITH nt AS (SELECT doc_id, $norm t FROM documents),
+         |pos AS (SELECT doc_id, t, unnest(generate_series(1, greatest(length(t) - 9, 1))) i FROM nt),
+         |kg AS (SELECT doc_id, i, md5(substring(t, i, 10)) h FROM pos),
+         |mw AS (SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) minh FROM kg)
+         |SELECT doc_id, count(DISTINCT minh) AS n_fp, min(minh) AS fp_min FROM mw GROUP BY doc_id""".stripMargin,
+  )
+
+  /** Shared CTE prefix: distinct 3-word shingles per doc. */
+  private val shingleCte =
+    s"""WITH nt AS (SELECT doc_id, string_split($norm, ' ') tk FROM documents),
+       |ix AS (SELECT doc_id, tk, unnest(generate_series(1, greatest(len(tk) - 2, 1))) i FROM nt),
+       |sh AS (SELECT DISTINCT doc_id, concat_ws(' ', tk[i], tk[i+1], tk[i+2]) s FROM ix)""".stripMargin
+
+  private val minhashCte =
+    s"""$shingleCte,
+       |ks AS (SELECT doc_id, s, unnest(generate_series(0, 11)) k FROM sh),
+       |mh AS (SELECT doc_id, k, min(md5(k || ':' || s)) mh FROM ks GROUP BY 1, 2),
+       |band AS (SELECT doc_id, k // 3 band, md5(string_agg(mh, '' ORDER BY k)) sig FROM mh GROUP BY 1, 2)""".stripMargin
+
+  private def simhashBitsSql(divOp: (Int) => String): String =
+    (0 until 32).map { j =>
+      val p = j / 4 + 1
+      val dv = 1 << (j % 4)
+      s"CASE WHEN sum((((instr('0123456789abcdef', substring(md5(tok), $p, 1)) - 1) ${divOp(dv)}) % 2) * 2 - 1) >= 0 THEN '1' ELSE '0' END"
+    }.mkString(", ")
+
+  val dedup: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      "SELECT md5(text) AS h, count(*) AS n_copies, min(doc_id) AS keep_id FROM documents GROUP BY 1",
+
+    "q_dedup_minhash" ->
+      s"$minhashCte\nSELECT doc_id, band, sig FROM band",
+
+    "q_dedup_minhash_pairs" ->
+      s"""$minhashCte
+         |SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+         |FROM band a JOIN band b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin,
+
+    "q_dedup_simhash" ->
+      s"""SELECT doc_id, concat(${simhashBitsSql(dv => s"// $dv")}) AS fp
+         |FROM (SELECT doc_id, unnest(string_split($norm, ' ')) tok FROM documents) t
+         |WHERE tok <> '' GROUP BY doc_id""".stripMargin,
+
+    "q_dedup_jaccard" ->
+      s"""$shingleCte,
+         |dfq AS (SELECT s FROM (SELECT s, count(DISTINCT doc_id) c FROM sh GROUP BY 1) t WHERE c <= 50),
+         |sh2 AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfq USING (s)),
+         |sz AS (SELECT doc_id, count(*) n FROM sh2 GROUP BY 1),
+         |inter AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) i
+         |          FROM sh2 a JOIN sh2 b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |sc AS (SELECT doc_a, doc_b, cast(i AS DOUBLE) / (x.n + y.n - i) jac
+         |       FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id)
+         |SELECT rk, doc_a, doc_b, jac FROM (
+         |  SELECT *, row_number() OVER (ORDER BY jac DESC, doc_a, doc_b) rk FROM sc) t
+         |WHERE rk <= 50""".stripMargin,
+  )
+
+  /** Shared CTE: quantized embeddings (exact integer components). */
+  private val quantCte =
+    """WITH q AS (SELECT vec_id, label,
+      |  list_transform(embedding, x -> cast(round(cast(x AS DOUBLE) * 1000, 0) AS BIGINT)) q
+      |FROM embeddings),
+      |n AS (SELECT vec_id, label, q,
+      |  list_dot_product(list_transform(q, x -> cast(x AS DOUBLE)), list_transform(q, x -> cast(x AS DOUBLE))) n2
+      |FROM q)""".stripMargin
+
+  private val dotSql =
+    "list_dot_product(list_transform(a.q, x -> cast(x AS DOUBLE)), list_transform(b.q, x -> cast(x AS DOUBLE)))"
+
+  val similarity: Map[String, String] = Map(
+    "q_dedup_embedding" ->
+      s"""$quantCte,
+         |p AS (SELECT a.vec_id vec_a, b.vec_id vec_b, $dotSql dot, a.n2 n2a, b.n2 n2b
+         |      FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+         |SELECT rk, vec_a, vec_b, cos FROM (
+         |  SELECT vec_a, vec_b, dot / (sqrt(n2a) * sqrt(n2b)) cos,
+         |    row_number() OVER (ORDER BY dot / (sqrt(n2a) * sqrt(n2b)) DESC, vec_a, vec_b) rk
+         |  FROM p) t WHERE rk <= 100""".stripMargin,
+
+    "q_ann_bruteforce" ->
+      s"""$quantCte,
+         |p AS (SELECT a.vec_id probe_id, b.vec_id nbr_id, $dotSql dot, a.n2 n2a, b.n2 n2b
+         |      FROM n a JOIN n b ON a.vec_id < 5 AND b.vec_id <> a.vec_id)
+         |SELECT probe_id, rk, nbr_id, cos FROM (
+         |  SELECT probe_id, nbr_id, dot / (sqrt(n2a) * sqrt(n2b)) cos,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY dot / (sqrt(n2a) * sqrt(n2b)) DESC, nbr_id) rk
+         |  FROM p) t WHERE rk <= 5""".stripMargin,
+
+    "q_ann_lsh" ->
+      s"""$quantCte,
+         |ex AS (SELECT vec_id, unnest(q) e, generate_subscripts(q, 1) i FROM q),
+         |sg AS (SELECT vec_id, p, sum(CASE WHEN (instr('0123456789abcdef', substring(md5(p || '_' || i), 1, 1)) - 1) % 2 = 0 THEN e ELSE -e END) d
+         |       FROM ex, (SELECT unnest(generate_series(0, 7)) p) ps GROUP BY 1, 2),
+         |bk AS (SELECT vec_id, string_agg(CASE WHEN d >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) bucket FROM sg GROUP BY 1),
+         |cand AS (SELECT pb.vec_id probe_id, cb.vec_id nbr_id
+         |         FROM bk pb JOIN bk cb ON pb.bucket = cb.bucket AND pb.vec_id < 5 AND cb.vec_id <> pb.vec_id),
+         |sc AS (SELECT c.probe_id, c.nbr_id, $dotSql dot, a.n2 n2a, b.n2 n2b
+         |       FROM cand c JOIN n a ON a.vec_id = c.probe_id JOIN n b ON b.vec_id = c.nbr_id)
+         |SELECT probe_id, rk, nbr_id, cos FROM (
+         |  SELECT probe_id, nbr_id, dot / (sqrt(n2a) * sqrt(n2b)) cos,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY dot / (sqrt(n2a) * sqrt(n2b)) DESC, nbr_id) rk
+         |  FROM sc) t WHERE rk <= 3""".stripMargin,
+  )
+
+  val streamingAndMisc: Map[String, String] = Map(
+    "q_window_agg" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS wstart, event_type,
+        |  count(*) AS n, cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) tsus FROM events),
+        |f AS (SELECT user_id, event_id, tsus,
+        |  CASE WHEN lag(tsus) OVER w IS NULL OR tsus - lag(tsus) OVER w > 1800000000 THEN 1 ELSE 0 END flag
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tsus, event_id)),
+        |s AS (SELECT user_id, tsus, sum(flag) OVER (PARTITION BY user_id ORDER BY tsus, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) sess FROM f)
+        |SELECT user_id, cast(sess AS BIGINT) AS sess, count(*) AS n_events,
+        |  strftime(make_timestamp(min(tsus)), '%Y-%m-%d %H:%M:%S') AS sstart,
+        |  strftime(make_timestamp(max(tsus)), '%Y-%m-%d %H:%M:%S') AS send
+        |FROM s GROUP BY 1, 2""".stripMargin,
+
+    "q_pipe_upper" ->
+      "SELECT doc_id, upper(substring(regexp_replace(text, '[^ -~]', '', 'g'), 1, 60)) AS up FROM documents",
+
+    "q_media_meta" ->
+      """SELECT doc_id, strlen(text) AS byte_len, substring(md5(text), 1, 8) AS sig,
+        |  (strlen(text) + 255) // 256 AS n_chunks
+        |FROM documents""".stripMargin,
+  )
+
+  def all: Map[String, String] =
+    relational ++ text ++ dedup ++ similarity ++ streamingAndMisc
 }

@@ -32,6 +32,29 @@ object SparkEntry {
     "q_chain" -> (Relational.chain _),
     "q_multi_input_union" -> (Relational.multiInputUnion _),
     "q_multi_output_assign" -> (Relational.multiOutputAssign _),
+    // text (§2.3, §2.6)
+    "q_wordcount" -> (TextOps.wordcount _),
+    "q_grep" -> (TextOps.grep _),
+    "q_inverted_index" -> (TextOps.invertedIndex _),
+    "q_text_langid" -> (TextOps.langid _),
+    "q_text_quality" -> (TextOps.quality _),
+    "q_text_tokens" -> (TextOps.tokenCounts _),
+    "q_text_fingerprint" -> (TextOps.fingerprint _),
+    // dedup (§2.6)
+    "q_dedup_exact" -> (Dedup.exact _),
+    "q_dedup_minhash" -> (Dedup.minhashBands _),
+    "q_dedup_minhash_pairs" -> (Dedup.minhashPairs _),
+    "q_dedup_simhash" -> (Dedup.simhash _),
+    "q_dedup_jaccard" -> (Dedup.ngramJaccard _),
+    // similarity / ANN (§2.6)
+    "q_dedup_embedding" -> (Similarity.embeddingNearDup _),
+    "q_ann_bruteforce" -> ((s: SparkSession, d: String) => Similarity.annBruteForce(s, d)),
+    "q_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
+    // streaming batch twins (§2.4) + external program + media
+    "q_window_agg" -> (graft.streaming.Windows.windowAgg _),
+    "q_sessionize" -> (graft.streaming.Windows.sessionize _),
+    "q_pipe_upper" -> (graft.sources.Pipe.pipeUpper _),
+    "q_media_meta" -> (Media.mediaMeta _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Embedding similarity: near-dup detection and approximate-nearest-
+  * neighbor search over `embeddings.embedding: Array[Float]`
+  * (SURVEY.md §2.6).
+  *
+  * All similarity math runs on per-dimension quantized integers
+  * (round(x·1000)): integer dot products are exact and associative, so
+  * results are bitwise identical across engines, partitionings and
+  * scale factors — no float-summation-order hazards. The derived
+  * cosine is a fixed sequence of IEEE ops on those exact integers.
+  *
+  * Scale: brute-force is the correctness baseline; the LSH variant
+  * (8 random-hyperplane signs → 256 buckets) is the 100 TB path — the
+  * probe side joins only its bucket, never the full corpus.
+  */
+object Similarity {
+
+  /** vec_id, label, q (quantized ints), n2 (exact squared norm). */
+  def quantized(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(round(cast(x as double) * 1000, 0) as bigint))").as("q"))
+      .withColumn("n2", expr("aggregate(q, 0L, (a, x) -> a + x * x)"))
+
+  private val cosExpr =
+    "cast(dot as double) / (sqrt(cast(n2a as double)) * sqrt(cast(n2b as double)))"
+
+  /** Embedding-cosine near-dup: pairs blocked by label (the natural
+    * cluster key; at 100 TB the block key is an LSH bucket), top-100
+    * by exact cosine. */
+  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val q = quantized(spark, dir)
+    val a = q.select(col("label"), col("vec_id").as("vec_a"), col("q").as("qa"), col("n2").as("n2a"))
+    val b = q.select(col("label"), col("vec_id").as("vec_b"), col("q").as("qb"), col("n2").as("n2b"))
+    val scored = a.join(b, Seq("label")).filter(col("vec_a") < col("vec_b"))
+      .withColumn("dot", expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (a, x) -> a + x)"))
+      .select(col("vec_a"), col("vec_b"), expr(cosExpr).as("cos"))
+    val w = Window.orderBy(col("cos").desc, col("vec_a"), col("vec_b"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 100)
+      .select("rk", "vec_a", "vec_b", "cos")
+  }
+
+  /** Brute-force cosine top-k: the exact baseline every ANN variant is
+    * judged against. Probes broadcast against the corpus; ranking by
+    * (cos desc, id) is fully deterministic. */
+  def annBruteForce(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val q = quantized(spark, dir)
+    val probes = q.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("q").as("qa"), col("n2").as("n2a"))
+    val corpus = q.select(col("vec_id").as("nbr_id"), col("q").as("qb"), col("n2").as("n2b"))
+    val scored = broadcast(probes).crossJoin(corpus)
+      .filter(col("probe_id") =!= col("nbr_id"))
+      .withColumn("dot", expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (a, x) -> a + x)"))
+      .select(col("probe_id"), col("nbr_id"), expr(cosExpr).as("cos"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("nbr_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select("probe_id", "rk", "nbr_id", "cos")
+  }
+
+  /** Random-hyperplane LSH bucket per vector: 8 deterministic pseudo-
+    * hyperplanes with ±1 components derived from md5 parity; the
+    * bucket is the 8-char sign string. Integer dot → exact sign. */
+  def hyperplaneBuckets(q: DataFrame): DataFrame = {
+    val ex = q.select(col("vec_id"), posexplode(col("q")).as(Seq("i0", "e")))
+      .select(col("vec_id"), (col("i0") + 1).as("i"), col("e"))
+      .select(col("vec_id"), col("i"), col("e"), explode(expr("sequence(0, 7)")).as("p"))
+    ex.groupBy("vec_id", "p")
+      .agg(sum(expr(
+        "CASE WHEN (instr('0123456789abcdef', substring(md5(cast(concat(cast(p as string), '_', cast(i as string)) as binary)), 1, 1)) - 1) % 2 = 0 THEN e ELSE -e END"))
+        .as("d"))
+      .groupBy("vec_id")
+      .agg(expr(
+        "array_join(transform(array_sort(collect_list(struct(p, CASE WHEN d >= 0 THEN '1' ELSE '0' END))), x -> x.col2), '')")
+        .as("bucket"))
+  }
+
+  /** ANN via LSH buckets: probes only score candidates in their own
+    * bucket (1/256 of the corpus in expectation). */
+  def annLsh(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val q = quantized(spark, dir)
+    val bk = hyperplaneBuckets(q)
+    val qb = q.join(bk, "vec_id")
+    val probes = qb.filter(col("vec_id") < 5)
+      .select(col("bucket"), col("vec_id").as("probe_id"), col("q").as("qa"), col("n2").as("n2a"))
+    val corpus = qb
+      .select(col("bucket"), col("vec_id").as("nbr_id"), col("q").as("qb"), col("n2").as("n2b"))
+    val scored = broadcast(probes).join(corpus, Seq("bucket"))
+      .filter(col("probe_id") =!= col("nbr_id"))
+      .withColumn("dot", expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (a, x) -> a + x)"))
+      .select(col("probe_id"), col("nbr_id"), expr(cosExpr).as("cos"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("nbr_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select("probe_id", "rk", "nbr_id", "cos")
+  }
+}

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text analysis over the `documents` corpus: the reference's text jobs
+  * (ref: src/examples/org/apache/hadoop/examples/WordCount.java:1,
+  * Grep.java:1, AggregateWordCount.java:1; src/mapred/org/apache/
+  * hadoop/mapred/lib/TokenCountMapper.java:1, RegexMapper.java:1;
+  * contrib/index distributed index build) plus the LLM-pipeline text
+  * operators (SURVEY.md §2.6): language ID, quality scoring, token
+  * counting, winnowing fingerprints.
+  *
+  * All tokenization flows through one normalization expression so every
+  * operator (and its DuckDB oracle) agrees byte-for-byte.
+  */
+object TextOps {
+
+  /** lower → strip non-alnum → collapse runs of spaces → trim.
+    * (DuckDB twin needs the 'g' flag on regexp_replace.) */
+  val normExpr: String =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' '), ' +', ' '))"
+
+  /** doc_id + deduplicated whitespace tokens of the normalized text. */
+  private def tokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(expr(normExpr), " ")).as("word"))
+      .filter(col("word") =!= "")
+
+  /** WordCount: flatMap tokens → count per word. Partial aggregation =
+    * the reference's combiner. */
+  def wordcount(spark: SparkSession, dir: String): DataFrame =
+    tokens(spark, dir).groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** Grep: count regex matches (ref: examples/Grep.java runs RegexMapper
+    * then aggregates counts). */
+  def grep(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(expr("regexp_extract_all(text, '(s[a-z]+)', 1)")).as("m"))
+      .groupBy("m").agg(count(lit(1)).as("cnt"))
+
+  /** Inverted index: word → posting stats (ref: contrib/index — the
+    * Lucene shard build; here the partition-friendly posting table). */
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame =
+    tokens(spark, dir)
+      .groupBy("word")
+      .agg(countDistinct(col("doc_id")).as("ndocs"),
+        count(lit(1)).as("tf"),
+        min(col("doc_id")).as("first_doc"))
+
+  private val stop = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "les", "des"),
+    "es" -> Seq("el", "la", "de", "y", "un", "los", "en"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "von", "zu"))
+
+  private def hitsExpr(lang: String): String = {
+    val set = stop(lang).map(w => s"'$w'").mkString(", ")
+    s"size(filter(toks, t -> t IN ($set)))"
+  }
+
+  /** Stopword-hit language ID: score each language's stopword list
+    * against the token bag, argmax with a fixed preference order. */
+  def langid(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", split(expr(normExpr), " "))
+      .select(col("doc_id"),
+        expr(hitsExpr("en")).as("en_hits"), expr(hitsExpr("fr")).as("fr_hits"),
+        expr(hitsExpr("es")).as("es_hits"), expr(hitsExpr("de")).as("de_hits"))
+      .withColumn("pred_lang",
+        expr("""CASE WHEN en_hits >= fr_hits AND en_hits >= es_hits AND en_hits >= de_hits THEN 'en'
+               |     WHEN fr_hits >= es_hits AND fr_hits >= de_hits THEN 'fr'
+               |     WHEN es_hits >= de_hits THEN 'es' ELSE 'de' END""".stripMargin))
+
+  /** Quality scoring: length/stopword/digit/punct ratios combined into
+    * a [0,1] score. Every ratio is exact-int / exact-int so the oracle
+    * agrees bitwise. */
+  def quality(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("nrm", expr(normExpr))
+      .withColumn("toks", expr("filter(split(nrm, ' '), x -> x <> '')"))
+      .withColumn("n_tokens", expr("size(toks)"))
+      .withColumn("nt1", expr("greatest(n_tokens, 1)"))
+      .withColumn("en_hits", expr(hitsExpr("en")))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("cast(length(nrm) - (n_tokens - 1) as double) / nt1").as("avg_tok_len"),
+        expr("cast(en_hits as double) / nt1").as("stop_ratio"),
+        expr("cast(length(text) - length(regexp_replace(text, '[0-9]', '')) as double) / greatest(length(text), 1)").as("digit_ratio"),
+        expr("cast(length(text) - length(regexp_replace(text, '[.,!?;:]', '')) as double) / greatest(length(text), 1)").as("punct_ratio"),
+        expr("cast(en_hits as double) / nt1 * 0.5 + least(cast(n_tokens as double) / 100.0, 1.0) * 0.5").as("score"))
+
+  /** Token counting: whitespace tokens + a BPE-ish regex segmentation
+    * (letters / digits / single punctuation marks). */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr("size(filter(split(text, ' '), x -> x <> ''))").as("ws_tokens"),
+        expr("size(regexp_extract_all(text, '([a-z]+|[0-9]+|[^a-z0-9 ])', 1))").as("bpe_tokens"))
+
+  /** Winnowing document fingerprint (rolling-hash): char 10-gram md5
+    * hashes, min over each 8-gram window, distinct survivors. The
+    * window is partitioned per doc so it scales out. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val kg = Tables.documents(spark, dir)
+      .select(col("doc_id"), expr(normExpr).as("t"))
+      .select(col("doc_id"),
+        explode(expr("sequence(1, greatest(length(t) - 9, 1))")).as("i"), col("t"))
+      .select(col("doc_id"), col("i"),
+        expr("md5(cast(substring(t, i, 10) as binary))").as("h"))
+    val w = Window.partitionBy("doc_id").orderBy("i")
+      .rowsBetween(Window.currentRow, 7)
+    kg.withColumn("minh", min("h").over(w))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("minh")).as("n_fp"), min("minh").as("fp_min"))
+  }
+}

@@ -1,0 +1,22 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SequenceFile source/sink (ref: src/core/org/apache/hadoop/io/
+  * SequenceFile.java:1) — the reference's workhorse container format.
+  * Spark's Hadoop-IO integration reads and writes it natively; the
+  * warehouse uses it for key-value intermediate data.
+  */
+object SeqFiles {
+
+  /** Write a (key,value) string pair DataFrame as a SequenceFile. */
+  def write(df: DataFrame, path: String): Unit =
+    df.rdd.map(r => (r.get(0).toString, r.get(1).toString))
+      .saveAsSequenceFile(path)
+
+  /** Read a string SequenceFile back as a (key, value) DataFrame. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext.sequenceFile[String, String](path).toDF("key", "value")
+  }
+}

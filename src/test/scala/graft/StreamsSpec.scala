@@ -1,0 +1,54 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.{Streams, Windows}
+
+class StreamsSpec extends SparkSpec {
+
+  test("streaming windowedCounts matches the batch windowAgg semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Streams.Event]
+    val events = Seq(
+      Streams.Event(1, Timestamp.valueOf("2024-01-01 00:10:00"), 1, "click", 1.0),
+      Streams.Event(2, Timestamp.valueOf("2024-01-01 00:50:00"), 1, "click", 2.0),
+      Streams.Event(3, Timestamp.valueOf("2024-01-01 01:10:00"), 2, "view", 3.0))
+    input.addData(events: _*)
+    val q = Streams.windowedCounts(input.toDF())
+      .writeStream.format("memory").queryName("wc").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("wc").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(out === Set(
+      ("2024-01-01 00:00:00.0", "click", 2L, 3.0),
+      ("2024-01-01 01:00:00.0", "view", 1L, 3.0)))
+  }
+
+  test("streaming sessionize emits a session once the 30-min gap passes") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Streams.Event]
+    input.addData(
+      Streams.Event(1, Timestamp.valueOf("2024-01-01 00:00:00"), 7, "click", 1.0),
+      Streams.Event(2, Timestamp.valueOf("2024-01-01 00:10:00"), 7, "click", 1.0),
+      Streams.Event(3, Timestamp.valueOf("2024-01-01 02:00:00"), 7, "click", 1.0))
+    val q = Streams.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("sess").as[Streams.SessionOut].collect()
+    assert(out.length === 1)
+    assert(out(0).user_id === 7 && out(0).n_events === 2)
+  }
+
+  test("batch sessionize splits on gaps > 30 min") {
+    val df = Windows.sessionize(spark, sfDir)
+    assert(df.count() > 0)
+    // every session's span must not contain an internal gap > 30 min:
+    // sessions are maximal, so session count == distinct (user, flagged starts)
+    val nUsers = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(df.select("user_id").distinct().count() === nUsers)
+  }
+}
