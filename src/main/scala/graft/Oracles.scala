@@ -234,7 +234,7 @@ object Oracles {
 
     "q_dedup_jaccard" ->
       s"""$shingleCte,
-         |dfq AS (SELECT s FROM (SELECT s, count(DISTINCT doc_id) c FROM sh GROUP BY 1) t WHERE c <= 50),
+         |dfq AS (SELECT s FROM (SELECT s, count(DISTINCT doc_id) c FROM sh GROUP BY 1) t WHERE c <= 20),
          |sh2 AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfq USING (s)),
          |sz AS (SELECT doc_id, count(*) n FROM sh2 GROUP BY 1),
          |inter AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) i

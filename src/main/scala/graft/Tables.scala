@@ -19,6 +19,21 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Text source with explicit split sizing — the NLineInputFormat /
+    * CombineFileInputFormat control surface (ref: src/mapred/org/
+    * apache/hadoop/mapred/lib/NLineInputFormat.java:1,
+    * CombineFileInputFormat.java:1): `maxPartitionBytes` bounds split
+    * size (combine small files up / split big files down);
+    * `minPartitionNum` forces enough splits for full parallelism. */
+  def readText(s: SparkSession, path: String,
+    maxPartitionBytes: Long = 128L * 1024 * 1024,
+    minPartitions: Int = 0): DataFrame = {
+    s.conf.set("spark.sql.files.maxPartitionBytes", maxPartitionBytes.toString)
+    if (minPartitions > 0)
+      s.conf.set("spark.sql.files.minPartitionNum", minPartitions.toString)
+    s.read.text(path)
+  }
+
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")

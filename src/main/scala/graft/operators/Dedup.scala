@@ -35,20 +35,33 @@ object Dedup {
 
   /** MinHash signatures: 12 permutations approximated by md5(seed:shingle),
     * banded 4×3. Returns (doc_id, band, sig) — the LSH bucket keys. */
-  def minhashBands(spark: SparkSession, dir: String): DataFrame =
-    shingles(spark, dir)
-      .select(col("doc_id"), col("s"), explode(expr("sequence(0, 11)")).as("k"))
-      .groupBy("doc_id", "k")
-      .agg(min(expr("md5(cast(concat(cast(k as string), ':', s) as binary))")).as("mh"))
-      .groupBy(col("doc_id"), expr("k div 3").as("band"))
-      .agg(expr(
-        "md5(cast(array_join(transform(array_sort(collect_list(struct(k, mh))), x -> x.mh), '') as binary))")
-        .as("sig"))
+  def minhashBands(spark: SparkSession, dir: String): DataFrame = {
+    // One shingle-row explode (codegen'd md5 ×12 per row — higher-order
+    // array lambdas would fall out of codegen), ONE shuffle: a single
+    // groupBy(doc) with 12 min() aggregates. Map-side partial agg
+    // collapses each partition to one row per doc before the exchange.
+    // min over duplicate shingles == min over the distinct set, so no
+    // distinct pass is needed.
+    val mhAggs = (0 until 12).map(k =>
+      min(expr(s"md5(cast(concat('$k', ':', s) as binary))")).as(s"mh$k"))
+    val bandStructs = (0 until 4).map(b =>
+      s"struct($b AS band, md5(cast(concat(mh${3 * b}, mh${3 * b + 1}, mh${3 * b + 2}) as binary)) AS sig)")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(expr(TextOps.normExpr), " ").as("tk"))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, greatest(size(tk) - 2, 1)),
+          |  i -> concat_ws(' ', try_element_at(tk, i), try_element_at(tk, i + 1), try_element_at(tk, i + 2)))""".stripMargin)).as("s"))
+      .groupBy("doc_id")
+      .agg(mhAggs.head, mhAggs.tail: _*)
+      .selectExpr("doc_id", s"explode(array(${bandStructs.mkString(", ")})) AS bs")
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
 
   /** Candidate near-dup pairs: docs sharing any LSH band bucket. The
     * self-join is on (band, sig) — bucket-local, never all-pairs. */
   def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val b = minhashBands(spark, dir)
+    // both join sides read the bands: materialize once, not twice
+    val b = minhashBands(spark, dir).persist()
     val a = b.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
     val c = b.select(col("band"), col("sig"), col("doc_id").as("doc_b"))
     a.join(c, Seq("band", "sig"))
@@ -61,27 +74,38 @@ object Dedup {
     * exact integer arithmetic (nibble value via instr on a hex
     * alphabet — no engine-specific hex casts). */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val bits = (0 until 32).map { j =>
+    // md5 computed once per token row (codegen + subexpression
+    // elimination), 32 per-bit ±1 terms as columns, one groupBy(doc)
+    // with 32 sums — partial aggregation keeps the shuffle at one row
+    // per doc per partition.
+    val terms = (0 until 32).map { j =>
       val p = j / 4 + 1   // md5 hex nibble position (1-based)
       val dv = 1 << (j % 4)
-      s"""CASE WHEN sum((((instr('0123456789abcdef', substring(md5(cast(tok as binary)), $p, 1)) - 1) div $dv) % 2) * 2 - 1) >= 0 THEN '1' ELSE '0' END"""
+      expr(s"(((instr('0123456789abcdef', substring(h, $p, 1)) - 1) div $dv) % 2) * 2 - 1")
+        .as(s"t$j")
     }
+    val bitSums = (0 until 32).map(j =>
+      s"CASE WHEN sum(t$j) >= 0 THEN '1' ELSE '0' END")
     Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(expr(TextOps.normExpr), " ")).as("tok"))
       .filter(col("tok") =!= "")
+      .select(Seq(col("doc_id"), expr("md5(cast(tok as binary))").as("h")): _*)
+      .select(col("doc_id") +: terms: _*)
       .groupBy("doc_id")
-      .agg(expr(s"concat(${bits.mkString(", ")})").as("fp"))
+      .agg(expr(s"concat(${bitSums.mkString(", ")})").as("fp"))
   }
 
   /** Exact n-gram Jaccard on candidate pairs found through the shingle
     * inverted index (pairs must share >= 1 shingle; shingles occurring
-    * in > 50 docs are dropped — the standard df-cut that bounds bucket
+    * in > 20 docs are dropped — the standard df-cut that bounds bucket
     * size under skew at 100 TB). Top-50 pairs by similarity. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir)
+    // the shingle set feeds the df-cut, both join sides and the size
+    // table — materialize once instead of recomputing the explode 4x
+    val sh = shingles(spark, dir).persist()
     val df = sh.groupBy("s").agg(countDistinct("doc_id").as("docfreq"))
-      .filter(col("docfreq") <= 50)
-    val sh2 = sh.join(df.select("s"), Seq("s"))
+      .filter(col("docfreq") <= 20)
+    val sh2 = sh.join(df.select("s"), Seq("s")).persist()
     val sz = sh2.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh2.select(col("s"), col("doc_id").as("doc_a"))
     val b = sh2.select(col("s"), col("doc_id").as("doc_b"))

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -102,17 +101,16 @@ object TextOps {
   /** Winnowing document fingerprint (rolling-hash): char 10-gram md5
     * hashes, min over each 8-gram window, distinct survivors. The
     * window is partitioned per doc so it scales out. */
-  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val kg = Tables.documents(spark, dir)
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    // pure array expressions: no explode, no window exchange — the whole
+    // winnow stays inside one whole-stage-codegen projection per doc.
+    // min-over-sliding-window == min(slice), and the distinct survivors
+    // match the windowed formulation the oracle uses.
+    Tables.documents(spark, dir)
       .select(col("doc_id"), expr(normExpr).as("t"))
+      .withColumn("hs", expr(
+        "transform(sequence(1, greatest(length(t) - 9, 1)), i -> md5(cast(substring(t, i, 10) as binary)))"))
       .select(col("doc_id"),
-        explode(expr("sequence(1, greatest(length(t) - 9, 1))")).as("i"), col("t"))
-      .select(col("doc_id"), col("i"),
-        expr("md5(cast(substring(t, i, 10) as binary))").as("h"))
-    val w = Window.partitionBy("doc_id").orderBy("i")
-      .rowsBetween(Window.currentRow, 7)
-    kg.withColumn("minh", min("h").over(w))
-      .groupBy("doc_id")
-      .agg(countDistinct(col("minh")).as("n_fp"), min("minh").as("fp_min"))
-  }
+        expr("size(array_distinct(transform(sequence(1, size(hs)), i -> array_min(slice(hs, i, least(8, size(hs) - i + 1))))))").as("n_fp"),
+        expr("array_min(hs)").as("fp_min"))
 }
