@@ -1,0 +1,29 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import graft.plans.ArrayDotLong
+
+/** Registration of graft's native Catalyst expressions.
+  *
+  * Two paths:
+  *  - session builder: `.withExtensions(new GraftExtensions)` (the
+  *    SparkSessionExtensions mechanism, also usable via the
+  *    `spark.sql.extensions` conf on a cluster);
+  *  - runtime: `GraftFunctions.register(spark)` for sessions the
+  *    caller doesn't construct — operators call this themselves, so
+  *    they work under any session.
+  */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "array_dot_long", ArrayDotLong.builder, "built-in")
+}
+
+/** `spark.sql.extensions`-compatible injector. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((FunctionIdentifier("array_dot_long"),
+      ArrayDotLong.info, ArrayDotLong.builder))
+}

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.GraftFunctions
 
 /** Embedding similarity: near-dup detection and approximate-nearest-
   * neighbor search over `embeddings.embedding: Array[Float]`
@@ -22,11 +23,13 @@ import graft.Tables
 object Similarity {
 
   /** vec_id, label, q (quantized ints), n2 (exact squared norm). */
-  def quantized(spark: SparkSession, dir: String): DataFrame =
+  def quantized(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)   // codegen array_dot_long (plans.ArrayDotLong)
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> cast(round(cast(x as double) * 1000, 0) as bigint))").as("q"))
-      .withColumn("n2", expr("aggregate(q, 0L, (a, x) -> a + x * x)"))
+      .withColumn("n2", expr("array_dot_long(q, q)"))
+  }
 
   private val cosExpr =
     "cast(dot as double) / (sqrt(cast(n2a as double)) * sqrt(cast(n2b as double)))"
@@ -39,7 +42,7 @@ object Similarity {
     val a = q.select(col("label"), col("vec_id").as("vec_a"), col("q").as("qa"), col("n2").as("n2a"))
     val b = q.select(col("label"), col("vec_id").as("vec_b"), col("q").as("qb"), col("n2").as("n2b"))
     val scored = a.join(b, Seq("label")).filter(col("vec_a") < col("vec_b"))
-      .withColumn("dot", expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (a, x) -> a + x)"))
+      .withColumn("dot", expr("array_dot_long(qa, qb)"))
       .select(col("vec_a"), col("vec_b"), expr(cosExpr).as("cos"))
     val w = Window.orderBy(col("cos").desc, col("vec_a"), col("vec_b"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 100)
@@ -56,7 +59,7 @@ object Similarity {
     val corpus = q.select(col("vec_id").as("nbr_id"), col("q").as("qb"), col("n2").as("n2b"))
     val scored = broadcast(probes).crossJoin(corpus)
       .filter(col("probe_id") =!= col("nbr_id"))
-      .withColumn("dot", expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (a, x) -> a + x)"))
+      .withColumn("dot", expr("array_dot_long(qa, qb)"))
       .select(col("probe_id"), col("nbr_id"), expr(cosExpr).as("cos"))
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("nbr_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
@@ -92,7 +95,7 @@ object Similarity {
       .select(col("bucket"), col("vec_id").as("nbr_id"), col("q").as("qb"), col("n2").as("n2b"))
     val scored = broadcast(probes).join(corpus, Seq("bucket"))
       .filter(col("probe_id") =!= col("nbr_id"))
-      .withColumn("dot", expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (a, x) -> a + x)"))
+      .withColumn("dot", expr("array_dot_long(qa, qb)"))
       .select(col("probe_id"), col("nbr_id"), expr(cosExpr).as("cos"))
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("nbr_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Skew
+
+/** Scale-design checks: plans must keep the shapes that survive
+  * 100 TB — bucketed co-located joins without exchanges, salted joins
+  * that match plain join results, pushdown reaching the scan.
+  */
+class ScaleSpec extends SparkSpec {
+
+  test("saltedJoin equals the plain join result") {
+    val l = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+    val plain = l.join(orders, "l_orderkey").count()
+    val salted = Skew.saltedJoin(l, orders, "l_orderkey", salt = 4).count()
+    assert(salted === plain)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Tables.lineitem(spark, sfDir).write.mode("overwrite")
+        .bucketBy(4, "l_orderkey").sortBy("l_orderkey").saveAsTable("li_b")
+      Tables.orders(spark, sfDir).write.mode("overwrite")
+        .bucketBy(4, "o_orderkey").sortBy("o_orderkey").saveAsTable("ord_b")
+      val j = spark.table("li_b")
+        .join(spark.table("ord_b"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+      val plan = j.queryExecution.executedPlan.toString
+      // co-located bucketed join: no exchange feeding the join
+      val joinIdx = plan.indexOf("Join")
+      assert(joinIdx >= 0, plan)
+      assert(!plan.substring(joinIdx).contains("Exchange hashpartitioning"),
+        s"bucketed join must not reshuffle its inputs:\n$plan")
+      assert(j.count() > 0)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS ord_b")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("filters and projections reach the parquet scan") {
+    val q = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= lit("1999-06-30").cast("timestamp"))
+      .select("l_returnflag", "l_quantity")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), scan)
+    assert(scan.contains("ReadSchema: struct<l_quantity:double,l_returnflag:string,l_shipdate:timestamp"), scan)
+  }
+
+  test("star join broadcasts every dimension") {
+    val plan = graft.operators.Relational.joinStar(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") ||
+      plan.indexOf("SortMergeJoin") == plan.lastIndexOf("SortMergeJoin"),
+      "only the fact-fact join may sort-merge")
+  }
+}
