@@ -319,6 +319,51 @@ object Oracles {
         |FROM documents""".stripMargin,
   )
 
+  val olap: Map[String, String] = Map(
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag, coalesce(l_linestatus, 'ALL') AS status,
+        |  cast(sum(cast(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  cast(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        |  cast(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        |  cast(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+        |  cast(sum(cast(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS rt
+        |FROM orders""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT o_orderpriority,
+        |  quantile_disc(o_totalprice, 0.5) AS p50,
+        |  quantile_disc(o_totalprice, 0.9) AS p90,
+        |  quantile_disc(o_totalprice, 0.99) AS p99
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_us(ts) tsus,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END is_click
+        |  FROM events WHERE event_type IN ('click', 'error')),
+        |m AS (SELECT event_id, user_id, tsus, is_click,
+        |  max(CASE WHEN is_click = 1 THEN tsus END) OVER (
+        |    PARTITION BY user_id ORDER BY tsus, is_click DESC, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) last_click
+        |FROM ev)
+        |SELECT event_id, user_id, tsus, coalesce(last_click, -1) AS last_click
+        |FROM m WHERE is_click = 0""".stripMargin,
+  )
+
   def all: Map[String, String] =
-    relational ++ text ++ dedup ++ similarity ++ streamingAndMisc
+    relational ++ text ++ dedup ++ similarity ++ streamingAndMisc ++ olap
 }

@@ -55,6 +55,13 @@ object SparkEntry {
     "q_sessionize" -> (graft.streaming.Windows.sessionize _),
     "q_pipe_upper" -> (graft.sources.Pipe.pipeUpper _),
     "q_media_meta" -> (Media.mediaMeta _),
+    // OLAP analytics (§2.1 extensions)
+    "q_rollup" -> (Olap.rollup _),
+    "q_pivot" -> (Olap.pivot _),
+    "q_running_total" -> (Olap.runningTotal _),
+    "q_percentiles" -> (Olap.percentiles _),
+    "q_join_anti" -> (Olap.antiJoin _),
+    "q_asof_join" -> (Olap.asofJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

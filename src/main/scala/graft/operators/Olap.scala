@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** OLAP analytics the warehouse's report jobs hand-roll as MapReduce
+  * chains (multi-level aggregation = one job per level in the
+  * reference; here one rollup/cube plan with partial aggregation):
+  * rollup subtotals, pivot, running totals, exact discrete
+  * percentiles, anti join, and as-of join (latest-event enrichment).
+  */
+object Olap {
+
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** ROLLUP subtotal hierarchy — (flag, status), (flag), (); NULL
+    * grouping slots made explicit so the oracle agrees. */
+  def rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("sum_qty"), col("n"))
+
+  /** Pivot order counts: status columns per priority row. */
+  def pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+
+  /** Per-customer running order total — exact decimal prefix sums. */
+  def runningTotal(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+          .cast("double").as("rt"))
+  }
+
+  /** Exact discrete percentiles (the element itself, no interpolation
+    * — portable across engines, unlike percentile_cont low bits). */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .agg(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").as("p50"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)").as("p90"),
+        expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY o_totalprice)").as("p99"))
+
+  /** Anti join: customers with no orders at all. */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+
+  /** As-of join: for every 'error' event, the user's most recent
+    * 'click' at or before it. Implemented as the union+running-max
+    * trick — one window over the merged stream, partitioned by user —
+    * instead of an inequality join (which Spark would execute as a
+    * broadcast-nested-loop at 100 TB). Ties at the same timestamp
+    * count the click first. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("tsus"))
+      .filter(col("event_type").isin("click", "error"))
+      .withColumn("is_click", when(col("event_type") === "click", 1).otherwise(0))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("tsus"), col("is_click").desc, col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("last_click",
+      max(when(col("is_click") === 1, col("tsus"))).over(w))
+      .filter(col("is_click") === 0)
+      .select(col("event_id"), col("user_id"), col("tsus"),
+        coalesce(col("last_click"), lit(-1L)).as("last_click"))
+  }
+}

@@ -31,6 +31,34 @@ object Streams {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .select(col("w.start").as("wstart"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Stream-stream interval join: errors enriched with the same
+    * user's clicks from the last 30 minutes. Watermarks on BOTH sides
+    * bound the join state — without them the runtime would buffer the
+    * full history of each stream. */
+  def enrichErrors(clicks: DataFrame, errors: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    errors.withWatermark("ts", "1 hour")
+      .join(c, expr(
+        "user_id = c_user AND click_ts >= ts - INTERVAL 30 MINUTES AND click_ts <= ts"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("click_ts"))
+  }
+
+  /** Streaming exact dedup — the continuous form of Dedup.exact: state
+    * holds only ids inside the watermark horizon, so unbounded streams
+    * dedup in bounded memory. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Micro-batch sink via foreachBatch: each batch lands as parquet
+    * with exactly-once-per-batch semantics — the continuous warehouse
+    * load of contrib/hive-streaming. */
+  def writeBatches(stream: DataFrame, path: String) =
+    stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      batch.write.mode("append").parquet(path)
+    }
+
   /** 30-minute-gap sessionization via typed state per user
     * (mapGroupsWithState): emits a session when the gap elapses.
     * The streaming analog of Windows.sessionize. */

@@ -43,6 +43,56 @@ class StreamsSpec extends SparkSpec {
     assert(out(0).user_id === 7 && out(0).n_events === 2)
   }
 
+  test("stream-stream interval join enriches errors with recent clicks") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[Streams.Event]
+    val errors = MemoryStream[Streams.Event]
+    clicks.addData(
+      Streams.Event(1, Timestamp.valueOf("2024-01-01 10:00:00"), 5, "click", 0),
+      Streams.Event(2, Timestamp.valueOf("2024-01-01 08:00:00"), 5, "click", 0))
+    errors.addData(
+      Streams.Event(9, Timestamp.valueOf("2024-01-01 10:10:00"), 5, "error", 0))
+    val q = Streams.enrichErrors(clicks.toDF(), errors.toDF())
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("enriched").collect()
+    // only the 10:00 click is within 30 min of the 10:10 error
+    assert(out.length === 1)
+    assert(out(0).getTimestamp(3) === Timestamp.valueOf("2024-01-01 10:00:00"))
+  }
+
+  test("dropDuplicatesWithinWatermark removes repeated event ids") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Streams.Event]
+    input.addData(
+      Streams.Event(1, Timestamp.valueOf("2024-01-01 00:00:00"), 1, "click", 0),
+      Streams.Event(1, Timestamp.valueOf("2024-01-01 00:00:01"), 1, "click", 0),
+      Streams.Event(2, Timestamp.valueOf("2024-01-01 00:00:02"), 1, "view", 0))
+    val q = Streams.dedupStream(input.toDF())
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("dedup").select("event_id").collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+  }
+
+  test("foreachBatch lands micro-batches as parquet") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = tmpDir() + "/sink"
+    val input = MemoryStream[Streams.Event]
+    input.addData(
+      Streams.Event(1, Timestamp.valueOf("2024-01-01 00:00:00"), 1, "click", 1.0),
+      Streams.Event(2, Timestamp.valueOf("2024-01-01 00:00:01"), 2, "view", 2.0))
+    val q = Streams.writeBatches(input.toDF(), dir).start()
+    q.processAllAvailable()
+    input.addData(
+      Streams.Event(3, Timestamp.valueOf("2024-01-01 00:00:02"), 3, "click", 3.0))
+    q.processAllAvailable(); q.stop()
+    assert(spark.read.parquet(dir).count() === 3)
+  }
+
   test("batch sessionize splits on gaps > 30 min") {
     val df = Windows.sessionize(spark, sfDir)
     assert(df.count() > 0)
