@@ -293,6 +293,27 @@ object Oracles {
          |  FROM sc) t WHERE rk <= 3""".stripMargin,
   )
 
+  val annIvf: Map[String, String] = Map(
+    "q_ann_ivf" ->
+      s"""$quantCte,
+         |cent AS (SELECT vec_id cid, q qc, n2 n2c FROM n WHERE vec_id < 16),
+         |ar AS (SELECT n.vec_id, cent.cid,
+         |    list_dot_product(list_transform(n.q, x -> cast(x AS DOUBLE)), list_transform(cent.qc, x -> cast(x AS DOUBLE)))
+         |      / (sqrt(n.n2) * sqrt(cent.n2c)) ccos
+         |  FROM n CROSS JOIN cent),
+         |rk AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) crn FROM ar),
+         |assign AS (SELECT vec_id, cid cell FROM rk WHERE crn = 1),
+         |pc AS (SELECT vec_id probe_id, cid cell FROM rk WHERE vec_id < 5 AND crn <= 2),
+         |cand AS (SELECT DISTINCT pc.probe_id, a.vec_id nbr_id
+         |  FROM pc JOIN assign a ON a.cell = pc.cell AND a.vec_id <> pc.probe_id),
+         |sc AS (SELECT c.probe_id, c.nbr_id, $dotSql dot, a.n2 n2a, b.n2 n2b
+         |  FROM cand c JOIN n a ON a.vec_id = c.probe_id JOIN n b ON b.vec_id = c.nbr_id)
+         |SELECT probe_id, rk, nbr_id, cos FROM (
+         |  SELECT probe_id, nbr_id, dot / (sqrt(n2a) * sqrt(n2b)) cos,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY dot / (sqrt(n2a) * sqrt(n2b)) DESC, nbr_id) rk
+         |  FROM sc) t WHERE rk <= 3""".stripMargin,
+  )
+
   val streamingAndMisc: Map[String, String] = Map(
     "q_window_agg" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS wstart, event_type,
@@ -365,5 +386,5 @@ object Oracles {
   )
 
   def all: Map[String, String] =
-    relational ++ text ++ dedup ++ similarity ++ streamingAndMisc ++ olap
+    relational ++ text ++ dedup ++ similarity ++ annIvf ++ streamingAndMisc ++ olap
 }

@@ -66,6 +66,41 @@ object Similarity {
       .select("probe_id", "rk", "nbr_id", "cos")
   }
 
+  /** IVF (inverted-file) ANN: a small codebook of centroids partitions
+    * the corpus into cells; a probe searches only its `nprobe` nearest
+    * cells. Here the codebook is the first 16 vectors (deterministic
+    * stand-in for a k-means training job — the assignment/search
+    * machinery is identical); all scoring is exact integer cosine.
+    * At 100 TB: centroids broadcast, assignment is one map-side pass,
+    * the cell table is the partition key for the candidate join. */
+  def annIvf(spark: SparkSession, dir: String, k: Int = 3, nprobe: Int = 2): DataFrame = {
+    val q = quantized(spark, dir)
+    val cent = q.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("q").as("qc"), col("n2").as("n2c"))
+    def cellRank(vecs: DataFrame, idCol: String) = {
+      val scored = vecs.crossJoin(broadcast(cent))
+        .withColumn("dot", expr(s"array_dot_long(q, qc)"))
+        .select(col(idCol), col("cid"),
+          expr("cast(dot as double) / (sqrt(cast(n2 as double)) * sqrt(cast(n2c as double)))").as("ccos"))
+      val w = Window.partitionBy(idCol).orderBy(col("ccos").desc, col("cid"))
+      scored.withColumn("crn", row_number().over(w))
+    }
+    val assign = cellRank(q, "vec_id").filter(col("crn") === 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+    val corpus = q.join(assign, "vec_id")
+      .select(col("cell"), col("vec_id").as("nbr_id"), col("q").as("qb"), col("n2").as("n2b"))
+    val probeCells = cellRank(q.filter(col("vec_id") < 5), "vec_id")
+      .filter(col("crn") <= nprobe).select(col("vec_id").as("probe_id"), col("cid").as("cell"))
+    val probes = q.select(col("vec_id").as("probe_id"), col("q").as("qa"), col("n2").as("n2a"))
+    val scored = broadcast(probeCells.join(probes, "probe_id")).join(corpus, Seq("cell"))
+      .filter(col("probe_id") =!= col("nbr_id"))
+      .withColumn("dot", expr("array_dot_long(qa, qb)"))
+      .select(col("probe_id"), col("nbr_id"), expr(cosExpr).as("cos")).distinct()
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("nbr_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select("probe_id", "rk", "nbr_id", "cos")
+  }
+
   /** Random-hyperplane LSH bucket per vector: 8 deterministic pseudo-
     * hyperplanes with ±1 components derived from md5 parity; the
     * bucket is the 8-char sign string. Integer dot → exact sign. */
