@@ -16,14 +16,24 @@ import graft.plans.ArrayDotLong
   *    they work under any session.
   */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "array_dot_long", ArrayDotLong.builder, "built-in")
+    // same rewrite GraftExtensions injects, via the runtime hook for
+    // sessions built without extensions
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.DotProductRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.DotProductRewrite
+  }
 }
 
-/** `spark.sql.extensions`-compatible injector. */
+/** `spark.sql.extensions`-compatible injector: the function plus the
+  * optimizer rewrite that upgrades interpreted lambda dot products to
+  * the codegen expression. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("array_dot_long"),
       ArrayDotLong.info, ArrayDotLong.builder))
+    ext.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
+  }
 }

@@ -163,6 +163,14 @@ object Relational {
   def rangePartition(df: DataFrame, n: Int, keys: Column*): DataFrame =
     df.repartitionByRange(n, keys: _*)
 
+  /** Seeded stratified sampling per key (ref: mapred/lib/InputSampler
+    * .java:1 — the sampler that feeds TotalOrderPartitioner; also the
+    * per-class downsampling step of a training-data pipeline). One
+    * map-side pass, deterministic under a fixed seed. */
+  def stratifiedSample(df: DataFrame, keyCol: String,
+    fractions: Map[String, Double], seed: Long = 42L): DataFrame =
+    df.stat.sampleBy(keyCol, fractions, seed)
+
   /** Per-group top-k via rank window — the canonical "sorted reduce
     * values, emit first k" reducer pattern. */
   def topkPerGroup(spark: SparkSession, dir: String): DataFrame = {

@@ -42,6 +42,19 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("stratified sampling is seeded-deterministic and proportional") {
+    val li = Tables.lineitem(spark, sfDir)
+    val fr = Map("A" -> 0.5, "N" -> 0.1, "R" -> 0.0)
+    val s1 = graft.operators.Relational.stratifiedSample(li, "l_returnflag", fr)
+    val s2 = graft.operators.Relational.stratifiedSample(li, "l_returnflag", fr)
+    assert(s1.count() === s2.count(), "same seed must give the same sample")
+    val counts = s1.groupBy("l_returnflag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!counts.contains("R"), "zero-fraction stratum must be empty")
+    val aTotal = li.filter(col("l_returnflag") === "A").count()
+    assert(math.abs(counts("A").toDouble / aTotal - 0.5) < 0.1)
+  }
+
   test("filters and projections reach the parquet scan") {
     val q = Tables.lineitem(spark, sfDir)
       .filter(col("l_shipdate") <= lit("1999-06-30").cast("timestamp"))
