@@ -62,11 +62,21 @@ class SourcesSpec extends SparkSpec {
   }
 
   test("observe() exposes counters like the reference's Counters API") {
+    val observation = new org.apache.spark.sql.Observation("metrics")
     val df = Tables.lineitem(spark, sfDir)
-      .observe("metrics", count(lit(1)).as("rows_seen"), sum("l_quantity").as("qty"))
+      .observe(observation, count(lit(1)).as("rows_seen"), sum("l_quantity").as("qty"))
     df.write.mode("overwrite").format("noop").save()
-    // observation is collected post-action via the listener bus; validate via collectResult
-    val row = df.filter(lit(true)).count()
-    assert(row > 0)
+    val m = observation.get
+    assert(m("rows_seen") === Tables.lineitem(spark, sfDir).count())
+    assert(m("qty").asInstanceOf[Double] > 0)
+  }
+
+  test("compressed text round-trips through the gzip codec") {
+    val dir = tmpDir() + "/gz"
+    val lines = Tables.nation(spark, sfDir).select(col("n_name"))
+    lines.write.option("compression", "gzip").text(dir)
+    assert(new java.io.File(dir).listFiles().exists(_.getName.endsWith(".gz")))
+    val back = Tables.readText(spark, dir)
+    assert(back.count() === 25)
   }
 }
