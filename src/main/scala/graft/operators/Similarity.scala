@@ -66,6 +66,45 @@ object Similarity {
       .select("probe_id", "rk", "nbr_id", "cos")
   }
 
+  /** Lloyd's k-means over the quantized vectors — the training job the
+    * IVF codebook stands in for. Each iteration is one broadcast
+    * nearest-centroid assignment (k×N integer dots, map-side only)
+    * plus one per-dimension mean aggregation; nothing ever collects to
+    * the driver, so the same plan trains on 10^11 vectors with k
+    * centroids broadcast. Centroids re-quantize to integers between
+    * iterations to stay deterministic. */
+  def trainCentroids(spark: SparkSession, dir: String,
+    k: Int = 16, iters: Int = 3): DataFrame = {
+    val q = quantized(spark, dir)
+    var cent = q.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("q").as("qc"))
+    for (_ <- 1 to iters) {
+      val centN = cent.withColumn("n2c", expr("array_dot_long(qc, qc)"))
+      val w = Window.partitionBy("vec_id").orderBy(col("dist2"), col("cid"))
+      val assigned = q.crossJoin(broadcast(centN))
+        .withColumn("dot", expr("array_dot_long(q, qc)"))
+        .withColumn("dist2", col("n2") + col("n2c") - lit(2) * col("dot"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      cent = assigned
+        .select(col("cid"), posexplode(col("q")).as(Seq("i", "e")))
+        .groupBy("cid", "i").agg(avg("e").as("m"))
+        .groupBy("cid")
+        .agg(expr("transform(array_sort(collect_list(struct(i, m))), x -> cast(round(x.m, 0) as bigint))").as("qc"))
+    }
+    cent
+  }
+
+  /** Mean within-cluster squared distance — the convergence metric. */
+  def inertia(q: DataFrame, cent: DataFrame): Double = {
+    val centN = cent.withColumn("n2c", expr("array_dot_long(qc, qc)"))
+    val w = Window.partitionBy("vec_id").orderBy(col("dist2"), col("cid"))
+    q.crossJoin(broadcast(centN))
+      .withColumn("dot", expr("array_dot_long(q, qc)"))
+      .withColumn("dist2", col("n2") + col("n2c") - lit(2) * col("dot"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .agg(avg(col("dist2").cast("double"))).collect()(0).getDouble(0)
+  }
+
   /** IVF (inverted-file) ANN: a small codebook of centroids partitions
     * the corpus into cells; a probe searches only its `nprobe` nearest
     * cells. Here the codebook is the first 16 vectors (deterministic

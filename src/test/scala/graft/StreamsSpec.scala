@@ -93,6 +93,23 @@ class StreamsSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() === 3)
   }
 
+  test("stream-static join enriches a stream against a dimension table") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dim = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("user_id"), col("c_name"))
+    val input = MemoryStream[Streams.Event]
+    input.addData(
+      Streams.Event(1, Timestamp.valueOf("2024-01-01 00:00:00"), 1, "click", 0),
+      Streams.Event(2, Timestamp.valueOf("2024-01-01 00:00:01"), 999999, "click", 0))
+    val q = input.toDF().join(dim, Seq("user_id"))
+      .writeStream.format("memory").queryName("enr_static").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("enr_static").collect()
+    assert(out.length === 1, "only the known user joins")
+    assert(out(0).getAs[Long]("user_id") === 1L)
+  }
+
   test("batch sessionize splits on gaps > 30 min") {
     val df = Windows.sessionize(spark, sfDir)
     assert(df.count() > 0)
