@@ -19,6 +19,15 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Register every table as a temp view so users can drive the whole
+    * engine through `spark.sql(...)` — the warehouse-SQL surface the
+    * reference's users reach through Hive. */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    all.foreach { n =>
+      val df = if (n == "events") events(spark, dir) else load(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
+
   /** Text source with explicit split sizing — the NLineInputFormat /
     * CombineFileInputFormat control surface (ref: src/mapred/org/
     * apache/hadoop/mapred/lib/NLineInputFormat.java:1,

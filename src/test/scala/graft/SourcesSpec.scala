@@ -71,6 +71,25 @@ class SourcesSpec extends SparkSpec {
     assert(m("qty").asInstanceOf[Double] > 0)
   }
 
+  test("JSON: embedded props parse with from_json and files round-trip") {
+    val parsed = Tables.events(spark, sfDir)
+      .select(from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")).as("p"))
+      .select(col("p.k"))
+    assert(parsed.filter(col("k").isNotNull).count() > 0)
+    val dir = tmpDir() + "/json"
+    Tables.nation(spark, sfDir).write.json(dir)
+    assert(spark.read.json(dir).count() === 25)
+  }
+
+  test("registered views expose the warehouse to spark.sql") {
+    Tables.registerViews(spark, sfDir)
+    val r = spark.sql(
+      """SELECT n_name, count(*) AS n FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name""".stripMargin)
+    assert(r.count() > 0)
+    assert(spark.sql("SELECT count(*) FROM events WHERE ts IS NOT NULL").collect()(0).getLong(0) > 0)
+  }
+
   test("compressed text round-trips through the gzip codec") {
     val dir = tmpDir() + "/gz"
     val lines = Tables.nation(spark, sfDir).select(col("n_name"))
