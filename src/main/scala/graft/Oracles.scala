@@ -331,6 +331,17 @@ object Oracles {
         |  strftime(make_timestamp(max(tsus)), '%Y-%m-%d %H:%M:%S') AS send
         |FROM s GROUP BY 1, 2""".stripMargin,
 
+    "q_session_window" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) tsus FROM events),
+        |f AS (SELECT user_id, event_id, tsus,
+        |  CASE WHEN lag(tsus) OVER w IS NULL OR tsus - lag(tsus) OVER w >= 1800000000 THEN 1 ELSE 0 END flag
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tsus, event_id)),
+        |s AS (SELECT user_id, tsus, sum(flag) OVER (PARTITION BY user_id ORDER BY tsus, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) sess FROM f)
+        |SELECT user_id, count(*) AS n_events,
+        |  strftime(make_timestamp(min(tsus)), '%Y-%m-%d %H:%M:%S') AS sstart,
+        |  strftime(make_timestamp(max(tsus)), '%Y-%m-%d %H:%M:%S') AS send
+        |FROM s GROUP BY user_id, sess""".stripMargin,
+
     "q_pipe_upper" ->
       "SELECT doc_id, upper(substring(regexp_replace(text, '[^ -~]', '', 'g'), 1, 60)) AS up FROM documents",
 

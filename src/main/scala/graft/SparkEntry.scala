@@ -54,6 +54,7 @@ object SparkEntry {
     // streaming batch twins (§2.4) + external program + media
     "q_window_agg" -> (graft.streaming.Windows.windowAgg _),
     "q_sessionize" -> (graft.streaming.Windows.sessionize _),
+    "q_session_window" -> (graft.streaming.Windows.sessionWindowAgg _),
     "q_pipe_upper" -> (graft.sources.Pipe.pipeUpper _),
     "q_media_meta" -> (Media.mediaMeta _),
     // OLAP analytics (§2.1 extensions)

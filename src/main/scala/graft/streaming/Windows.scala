@@ -23,6 +23,19 @@ object Windows {
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Native session windows (session_window, gap = 30 min): the
+    * built-in operator computing the same sessions as `sessionize`'s
+    * lag/cumsum formulation — works identically over readStream for
+    * the streaming path. Output start/end reconstructed to event
+    * times (window end = last event + gap). */
+  def sessionWindowAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("n_events"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("sstart"),
+        date_format(expr("w.end - INTERVAL 30 MINUTES"), "yyyy-MM-dd HH:mm:ss").as("send"))
+
   /** Sessionization with a 30-minute inactivity gap (batch form):
     * classic lag + cumulative-sum session numbering, all windows
     * partitioned by user so it scales out. The streaming twin is
