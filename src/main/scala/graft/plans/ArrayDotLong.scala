@@ -73,7 +73,8 @@ case class ArrayDotLong(left: Expression, right: Expression)
 object ArrayDotLong {
   val info: ExpressionInfo = new ExpressionInfo(
     classOf[ArrayDotLong].getName, null, "array_dot_long",
-    "_FUNC_(a, b) - exact dot product of two bigint arrays.", "")
+    "_FUNC_(a, b) - exact dot product of two bigint arrays.",
+    "", "", "", "math_funcs", "4.0.0", "", "built-in")
 
   val builder: Seq[Expression] => Expression = { children =>
     require(children.length == 2, "array_dot_long takes exactly 2 arguments")
