@@ -215,6 +215,11 @@ object Oracles {
       s"CASE WHEN sum((((instr('0123456789abcdef', substring(md5(tok), $p, 1)) - 1) ${divOp(dv)}) % 2) * 2 - 1) >= 0 THEN '1' ELSE '0' END"
     }.mkString(", ")
 
+  private lazy val simhashFpSql =
+    s"""SELECT doc_id, concat(${simhashBitsSql(dv => s"// $dv")}) AS fp
+       |FROM (SELECT doc_id, unnest(string_split($norm, ' ')) tok FROM documents) t
+       |WHERE tok <> '' GROUP BY doc_id""".stripMargin
+
   val dedup: Map[String, String] = Map(
     "q_dedup_exact" ->
       "SELECT md5(text) AS h, count(*) AS n_copies, min(doc_id) AS keep_id FROM documents GROUP BY 1",
@@ -227,10 +232,21 @@ object Oracles {
          |SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
          |FROM band a JOIN band b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin,
 
-    "q_dedup_simhash" ->
-      s"""SELECT doc_id, concat(${simhashBitsSql(dv => s"// $dv")}) AS fp
-         |FROM (SELECT doc_id, unnest(string_split($norm, ' ')) tok FROM documents) t
-         |WHERE tok <> '' GROUP BY doc_id""".stripMargin,
+    "q_dedup_simhash" -> simhashFpSql,
+
+    "q_dedup_simhash_pairs" -> {
+      val valExpr = (0 until 32).map(j =>
+        s"(CASE WHEN substring(fp, ${j + 1}, 1) = '1' THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+        .mkString(" + ")
+      s"""WITH sh AS ($simhashFpSql),
+         |v AS (SELECT doc_id, $valExpr AS v FROM sh),
+         |bl AS (SELECT doc_id, v, unnest(generate_series(0, 3)) k FROM v),
+         |b2 AS (SELECT doc_id, v, k, (v >> (k * 8)) % 256 blk FROM bl),
+         |cand AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b, a.v va, b.v vb
+         |  FROM b2 a JOIN b2 b ON a.k = b.k AND a.blk = b.blk AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, cast(bit_count(xor(va, vb)) AS INTEGER) AS hamming
+         |FROM cand WHERE bit_count(xor(va, vb)) <= 3""".stripMargin
+    },
 
     "q_dedup_jaccard" ->
       s"""$shingleCte,

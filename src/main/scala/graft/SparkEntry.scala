@@ -45,6 +45,7 @@ object SparkEntry {
     "q_dedup_minhash" -> (Dedup.minhashBands _),
     "q_dedup_minhash_pairs" -> (Dedup.minhashPairs _),
     "q_dedup_simhash" -> (Dedup.simhash _),
+    "q_dedup_simhash_pairs" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     "q_dedup_jaccard" -> (Dedup.ngramJaccard _),
     // similarity / ANN (§2.6)
     "q_dedup_embedding" -> (Similarity.embeddingNearDup _),

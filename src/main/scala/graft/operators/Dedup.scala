@@ -95,6 +95,26 @@ object Dedup {
       .agg(expr(s"concat(${bitSums.mkString(", ")})").as("fp"))
   }
 
+  /** SimHash near-dup pairs via the pigeonhole block method (Manku,
+    * Jarlin, Sarma, WWW 2007): hamming distance <= 3 guarantees at
+    * least one of four 8-bit blocks is identical, so candidates come
+    * from a block-equality self-join (bucket-local, never all-pairs)
+    * and the exact hamming check is one xor+popcount. */
+  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    val valExpr = (0 until 32).map(j =>
+      s"(CASE WHEN substring(fp, ${j + 1}, 1) = '1' THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    val v = simhash(spark, dir).selectExpr("doc_id", s"$valExpr AS v").persist()
+    val blocks = v.selectExpr("doc_id", "v", "explode(sequence(0, 3)) AS k")
+      .selectExpr("doc_id", "v", "k", "shiftright(v, k * 8) % 256 AS blk")
+    val a = blocks.select(col("k"), col("blk"), col("doc_id").as("doc_a"), col("v").as("va"))
+    val b = blocks.select(col("k"), col("blk"), col("doc_id").as("doc_b"), col("v").as("vb"))
+    a.join(b, Seq("k", "blk")).filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "va", "vb").distinct()
+      .selectExpr("doc_a", "doc_b", "cast(bit_count(va ^ vb) as int) AS hamming")
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Exact n-gram Jaccard on candidate pairs found through the shingle
     * inverted index (pairs must share >= 1 shingle; shingles occurring
     * in > 20 docs are dropped — the standard df-cut that bounds bucket
