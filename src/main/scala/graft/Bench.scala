@@ -31,22 +31,41 @@ object Bench {
     // (host CPU steal), so a query that looks slow is re-measured up to
     // twice and the min reported — the min is the stable estimate of
     // the plan's cost, and fast queries don't pay for retries.
-    def once(fn: SparkEntry.Q): Double = {
+    // A failed run reports -1 for the query (never a fast-looking
+    // elapsed time) and the error is listed in the JSON — a crashing
+    // query must not masquerade as a good number.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    def once(name: String, fn: SparkEntry.Q): Double = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          errors(name) = e.toString.replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+          -1.0
+      }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      var best = once(fn)
+      var best = once(name, fn)
       var tries = 1
-      while (best > 2.0 && tries < 3) { best = math.min(best, once(fn)); tries += 1 }
+      while (best > 2.0 && tries < 3) {
+        // operators that persist() intermediates would otherwise stack
+        // cache blocks across the up-to-3 re-runs (and across queries)
+        spark.catalog.clearCache()
+        val t = once(name, fn)
+        if (t >= 0) best = math.min(best, t)
+        tries += 1
+      }
+      spark.catalog.clearCache()
       name -> best
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -37,10 +37,15 @@ object Tables {
   def readText(s: SparkSession, path: String,
     maxPartitionBytes: Long = 128L * 1024 * 1024,
     minPartitions: Int = 0): DataFrame = {
-    s.conf.set("spark.sql.files.maxPartitionBytes", maxPartitionBytes.toString)
+    // Split-size confs are read from the session at PLAN time and have
+    // no per-read option, so scope them to a child session (shared
+    // SparkContext, independent SQLConf) instead of mutating the
+    // caller's session for all subsequent reads.
+    val scoped = s.newSession()
+    scoped.conf.set("spark.sql.files.maxPartitionBytes", maxPartitionBytes.toString)
     if (minPartitions > 0)
-      s.conf.set("spark.sql.files.minPartitionNum", minPartitions.toString)
-    s.read.text(path)
+      scoped.conf.set("spark.sql.files.minPartitionNum", minPartitions.toString)
+    scoped.read.text(path)
   }
 
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")

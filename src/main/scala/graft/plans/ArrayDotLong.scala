@@ -21,9 +21,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * associative and overflow-free (|q| <= ~10^4, 64 dims — far inside
   * Long range); results are bitwise identical to the lambda form and
   * to the DuckDB oracle.
+  *
+  * Null semantics mirror the lambda form exactly (so the
+  * DotProductRewrite substitution is sound on EVERY input, not just
+  * well-formed embeddings): `zip_with` pads the shorter array with
+  * nulls and `acc + null` is null, so unequal lengths or any null
+  * element yield NULL; two empty arrays yield the 0L seed.
   */
 case class ArrayDotLong(left: Expression, right: Expression)
   extends BinaryExpression {
+
+  // NULL on unequal lengths / null elements even when inputs are non-null.
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
@@ -43,10 +52,15 @@ case class ArrayDotLong(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0L
     var i = 0
-    while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
     s
   }
 
@@ -56,12 +70,17 @@ case class ArrayDotLong(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long $s = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getLong($i) * $b.getLong($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $s = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += $a.getLong($i) * $b.getLong($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $s; }
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

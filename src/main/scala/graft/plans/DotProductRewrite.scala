@@ -13,9 +13,10 @@ import org.apache.spark.sql.types.LongType
   * into the whole-stage-codegen `ArrayDotLong(a, b)` expression —
   * users writing plain declarative lambdas get the native loop for
   * free. Injected through `GraftExtensions.injectOptimizerRule`; the
-  * rewrite only fires when the pattern is the exact exact-integer dot
-  * product (bigint arrays, 0L seed, identity finish), so semantics are
-  * unchanged bit for bit.
+  * rewrite only fires on the exact integer dot-product pattern (bigint
+  * arrays, 0L seed, identity finish), and `ArrayDotLong` reproduces the
+  * lambda's null semantics (NULL on unequal lengths / null elements),
+  * so the substitution is bit-for-bit on every input.
   */
 object DotProductRewrite extends Rule[LogicalPlan] {
 

@@ -35,9 +35,9 @@ object Formats {
       .option("columnNameOfCorruptRecord", "_corrupt")
       .csv(path)
 
-  /** Parquet scan that skips unreadable files instead of aborting. */
-  def readParquetResilient(spark: SparkSession, path: String): DataFrame = {
-    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
-    spark.read.parquet(path)
-  }
+  /** Parquet scan that skips unreadable files instead of aborting.
+    * The option is scoped to THIS read — session conf stays untouched,
+    * so other reads in the same session still fail fast on corruption. */
+  def readParquetResilient(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("ignoreCorruptFiles", "true").parquet(path)
 }

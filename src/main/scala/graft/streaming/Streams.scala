@@ -8,9 +8,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** Structured Streaming twins of the batch event-time operators —
   * the continuous-ingest capability of the reference's
   * contrib/hive-streaming, expressed as readStream → event-time
-  * transforms → sink. State is bounded by watermarks (windowAgg) or
-  * explicit processing-time timeouts (sessionize), so the operators
-  * hold up on unbounded 100 TB/day streams.
+  * transforms → sink. State is bounded by watermarks (windowAgg) and
+  * event-time timeouts (sessionize), so the operators hold up on
+  * unbounded 100 TB/day streams.
   */
 object Streams {
 
@@ -60,30 +60,52 @@ object Streams {
     }
 
   /** 30-minute-gap sessionization via typed state per user
-    * (mapGroupsWithState): emits a session when the gap elapses.
-    * The streaming analog of Windows.sessionize. */
+    * (flatMapGroupsWithState): emits a session when the gap elapses.
+    * The streaming analog of Windows.sessionize.
+    *
+    * State is bounded: an event-time timeout fires once the watermark
+    * passes `last_event + gap`, flushing the user's open session and
+    * REMOVING the per-user state — so an idle user's final session is
+    * emitted and a 100 TB/day stream with an unbounded user universe
+    * keeps only in-horizon users in the state store. */
   def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapUs = 1800L * 1000 * 1000
+    val gapMs = gapUs / 1000
     events
+      .withWatermark("ts", "1 hour")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (user: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
-          // Events within a micro-batch arrive unordered: sort by event time.
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var st = state.getOption.getOrElse(SessionState(-1, -1, 0))
-          val out = Seq.newBuilder[SessionOut]
-          for (e <- sorted) {
-            val t = e.ts.getTime * 1000
-            if (st.n == 0) st = SessionState(t, t, 1)
-            else if (t - st.last > gapUs) {
-              out += SessionOut(user, st.n, st.start, st.last)
-              st = SessionState(t, t, 1)
-            } else st = SessionState(st.start, t, st.n + 1)
+          if (state.hasTimedOut) {
+            // Watermark passed last + gap with no new events: the open
+            // session is final. Emit it and evict the user's state.
+            val st = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, st.n, st.start, st.last))
+          } else {
+            // Events within a micro-batch arrive unordered: sort by event time.
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var st = state.getOption.getOrElse(SessionState(-1, -1, 0))
+            val out = Seq.newBuilder[SessionOut]
+            for (e <- sorted) {
+              val t = e.ts.getTime * 1000
+              if (st.n == 0) st = SessionState(t, t, 1)
+              else if (t - st.last > gapUs) {
+                out += SessionOut(user, st.n, st.start, st.last)
+                st = SessionState(t, t, 1)
+              } else st = SessionState(st.start, t, st.n + 1)
+            }
+            state.update(st)
+            // Flush once the watermark passes the gap after the newest
+            // event; clamp above the current watermark (a very late
+            // straggler could otherwise set a timeout in the past,
+            // which the state store rejects).
+            state.setTimeoutTimestamp(
+              math.max(st.last / 1000 + gapMs, state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
           }
-          state.update(st)
-          out.result().iterator
       }
   }
 }

@@ -34,7 +34,12 @@ class FormatsSpec extends SparkSpec {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(dir, "part-junk.parquet"), "this is not parquet")
     val n = Formats.readParquetResilient(spark, dir).count()
-    spark.conf.unset("spark.sql.files.ignoreCorruptFiles")
     assert(n === 25)
+    // the option is read-scoped: the session must still fail fast
+    assert(spark.conf.getOption("spark.sql.files.ignoreCorruptFiles").isEmpty
+      || spark.conf.get("spark.sql.files.ignoreCorruptFiles") == "false")
+    intercept[org.apache.spark.SparkException] {
+      spark.read.parquet(dir).count()
+    }
   }
 }

@@ -37,10 +37,20 @@ class StreamsSpec extends SparkSpec {
       Streams.Event(3, Timestamp.valueOf("2024-01-01 02:00:00"), 7, "click", 1.0))
     val q = Streams.sessionize(input.toDS())
       .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    q.processAllAvailable()
+    val first = spark.table("sess").as[Streams.SessionOut].collect()
+    assert(first.length === 1)
+    assert(first(0).user_id === 7 && first(0).n_events === 2)
+    // Advance the watermark (05:00 - 1h = 04:00) past user 7's open
+    // session timeout (02:00 + 30 min): the event-time timeout must
+    // flush the idle user's final session and evict the state.
+    input.addData(
+      Streams.Event(4, Timestamp.valueOf("2024-01-01 05:00:00"), 8, "click", 1.0))
     q.processAllAvailable(); q.stop()
     val out = spark.table("sess").as[Streams.SessionOut].collect()
-    assert(out.length === 1)
-    assert(out(0).user_id === 7 && out(0).n_events === 2)
+    assert(out.length === 2, out.mkString(", "))
+    val flushed = out.filter(_.n_events == 1)
+    assert(flushed.length === 1 && flushed(0).user_id === 7)
   }
 
   test("stream-stream interval join enriches errors with recent clicks") {
