@@ -60,8 +60,11 @@ object Dedup {
   /** Candidate near-dup pairs: docs sharing any LSH band bucket. The
     * self-join is on (band, sig) — bucket-local, never all-pairs. */
   def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    // both join sides read the bands: materialize once, not twice
-    val b = minhashBands(spark, dir).persist()
+    // Both join sides are the identical bands subplan: Spark's
+    // ReuseExchange dedups the shuffle, so the explode+md5 map side
+    // runs once — no persist (a persist here would leak cache blocks
+    // past the consuming action; see ReuseExchangeSpec).
+    val b = minhashBands(spark, dir)
     val a = b.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
     val c = b.select(col("band"), col("sig"), col("doc_id").as("doc_b"))
     a.join(c, Seq("band", "sig"))
@@ -104,7 +107,8 @@ object Dedup {
     val valExpr = (0 until 32).map(j =>
       s"(CASE WHEN substring(fp, ${j + 1}, 1) = '1' THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)")
       .mkString(" + ")
-    val v = simhash(spark, dir).selectExpr("doc_id", s"$valExpr AS v").persist()
+    // identical subplan on both join sides → one ReusedExchange, no persist
+    val v = simhash(spark, dir).selectExpr("doc_id", s"$valExpr AS v")
     val blocks = v.selectExpr("doc_id", "v", "explode(sequence(0, 3)) AS k")
       .selectExpr("doc_id", "v", "k", "shiftright(v, k * 8) % 256 AS blk")
     val a = blocks.select(col("k"), col("blk"), col("doc_id").as("doc_a"), col("v").as("va"))
@@ -120,12 +124,14 @@ object Dedup {
     * in > 20 docs are dropped — the standard df-cut that bounds bucket
     * size under skew at 100 TB). Top-50 pairs by similarity. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    // the shingle set feeds the df-cut, both join sides and the size
-    // table — materialize once instead of recomputing the explode 4x
-    val sh = shingles(spark, dir).persist()
+    // The shingle set feeds the df-cut, both join sides and the size
+    // table. All four consumers shuffle it on `s`, so ReuseExchange
+    // computes the explode once and shares the exchange — persist
+    // would pin cache blocks past the action instead.
+    val sh = shingles(spark, dir)
     val df = sh.groupBy("s").agg(countDistinct("doc_id").as("docfreq"))
       .filter(col("docfreq") <= 20)
-    val sh2 = sh.join(df.select("s"), Seq("s")).persist()
+    val sh2 = sh.join(df.select("s"), Seq("s"))
     val sz = sh2.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh2.select(col("s"), col("doc_id").as("doc_a"))
     val b = sh2.select(col("s"), col("doc_id").as("doc_b"))
@@ -136,8 +142,13 @@ object Dedup {
       .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         expr("cast(i as double) / (na + nb - i)").as("jac"))
+    // orderBy.limit → TakeOrderedAndProject (per-partition top-k +
+    // merge); rank re-derived over only the 50 survivors — no global
+    // window over the full candidate-pair set.
+    val top = scored
+      .orderBy(col("jac").desc, col("doc_a"), col("doc_b")).limit(50)
     val w = Window.orderBy(col("jac").desc, col("doc_a"), col("doc_b"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 50)
+    top.withColumn("rk", row_number().over(w))
       .select("rk", "doc_a", "doc_b", "jac")
   }
 }

@@ -142,16 +142,54 @@ object Relational {
       .select("rk", "l_orderkey", "l_linenumber", "l_extendedprice")
   }
 
+  /** Distributed global row_number over a total order — the TeraSort
+    * formulation (ref: examples/terasort/TeraSort.java:1): range-
+    * partition on the sort key (sampled bounds, the InputSampler
+    * algorithm), rank locally within each range, then add per-partition
+    * offsets. The offsets table is one row per partition (≤ thousands
+    * at any scale) so its prefix-sum window and broadcast are trivial —
+    * no operator ever sees all rows in one partition, unlike a naked
+    * `Window.orderBy(...)`.
+    *
+    * Requires `keys` to be a TOTAL order (include a unique tiebreaker):
+    * range partitioning guarantees every key in partition i sorts
+    * before every key in partition i+1 only when keys are distinct. */
+  def globalRank(df: DataFrame, numParts: Int, keys: Column*): DataFrame = {
+    val parted = df.repartitionByRange(numParts, keys: _*)
+      .withColumn("_pid", spark_partition_id())
+    val localW = Window.partitionBy("_pid").orderBy(keys: _*)
+    val local = parted.withColumn("_lrn", row_number().over(localW))
+    val offW = Window.orderBy("_pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy("_pid").agg(count(lit(1)).as("_cnt"))
+      .withColumn("_off", coalesce(sum("_cnt").over(offW), lit(0L)))
+      .select("_pid", "_off")
+    local.join(broadcast(offsets), "_pid")
+      .withColumn("rn", col("_lrn") + col("_off"))
+      .drop("_pid", "_lrn", "_off")
+  }
+
   /** Range-bucket assignment — the TotalOrderPartitioner contract
     * (ref: mapred/lib/TotalOrderPartitioner.java:1): every row mapped
     * to one of 32 contiguous key ranges of near-equal population.
-    * ntile gives the deterministic oracle-checkable form; the
-    * production operator is `df.repartitionByRange(32, keys)` (sampled
-    * bounds, no single-point window) — see rangePartition below. */
+    * Bucket = ntile(32) semantics (first N%32 buckets get one extra
+    * row), derived by exact integer arithmetic from the distributed
+    * `globalRank` — no single-partition window at any scale. The
+    * physical-partitioning twin is `rangePartition` below. */
   def totalOrderBucket(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-    Tables.orders(spark, dir)
-      .withColumn("bucket", ntile(32).over(w))
+    val ranked = globalRank(Tables.orders(spark, dir), 32,
+      col("o_totalprice"), col("o_orderkey"))
+    val total = ranked.agg(count(lit(1)).as("_n"))
+    // ntile semantics: q = N div k, r = N % k; bucket b ∈ [1,r] holds
+    // q+1 rows, the rest hold q. (When q = 0 every row lands in the
+    // first branch, so the `div q` is never reached.)
+    val bucketExpr = expr(
+      """CASE WHEN rn <= (_n % 32) * (_n div 32 + 1)
+        |     THEN (rn - 1) div (_n div 32 + 1) + 1
+        |     ELSE (_n % 32) + (rn - (_n % 32) * (_n div 32 + 1) - 1) div (_n div 32) + 1
+        |END""".stripMargin)
+    ranked.crossJoin(broadcast(total))
+      .withColumn("bucket", bucketExpr.cast("int"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"),
         min(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("lo"),

@@ -44,8 +44,13 @@ object Similarity {
     val scored = a.join(b, Seq("label")).filter(col("vec_a") < col("vec_b"))
       .withColumn("dot", expr("array_dot_long(qa, qb)"))
       .select(col("vec_a"), col("vec_b"), expr(cosExpr).as("cos"))
+    // orderBy.limit → TakeOrderedAndProject (per-partition top-k +
+    // merge); the rank window then runs over only the 100 survivors —
+    // never a global window over all pairs.
+    val top = scored
+      .orderBy(col("cos").desc, col("vec_a"), col("vec_b")).limit(100)
     val w = Window.orderBy(col("cos").desc, col("vec_a"), col("vec_b"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 100)
+    top.withColumn("rk", row_number().over(w))
       .select("rk", "vec_a", "vec_b", "cos")
   }
 
