@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import graft.plans.ArrayDotLong
+import graft.plans.{ArrayDotLong, MinHash12, SimHash32, TextHashExprs, WinnowFp}
 
 /** Registration of graft's native Catalyst expressions.
   *
@@ -17,8 +17,15 @@ import graft.plans.ArrayDotLong
   */
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
       "array_dot_long", ArrayDotLong.builder, "built-in")
+    reg.createOrReplaceTempFunction(
+      "simhash32", TextHashExprs.unary("simhash32", SimHash32), "built-in")
+    reg.createOrReplaceTempFunction(
+      "minhash12", TextHashExprs.unary("minhash12", MinHash12), "built-in")
+    reg.createOrReplaceTempFunction(
+      "winnow_fp", TextHashExprs.unary("winnow_fp", WinnowFp), "built-in")
     // same rewrite GraftExtensions injects, via the runtime hook for
     // sessions built without extensions
     if (!spark.experimental.extraOptimizations.contains(graft.plans.DotProductRewrite))
@@ -34,6 +41,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("array_dot_long"),
       ArrayDotLong.info, ArrayDotLong.builder))
+    ext.injectFunction((FunctionIdentifier("simhash32"),
+      TextHashExprs.simhashInfo, TextHashExprs.unary("simhash32", SimHash32)))
+    ext.injectFunction((FunctionIdentifier("minhash12"),
+      TextHashExprs.minhashInfo, TextHashExprs.unary("minhash12", MinHash12)))
+    ext.injectFunction((FunctionIdentifier("winnow_fp"),
+      TextHashExprs.winnowInfo, TextHashExprs.unary("winnow_fp", WinnowFp)))
     ext.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
   }
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.GraftFunctions
 
 /** Deduplication family for LLM training-data pipelines (SURVEY.md
   * §2.6): exact, MinHash+LSH, SimHash, n-gram Jaccard. The reference
@@ -36,23 +37,16 @@ object Dedup {
   /** MinHash signatures: 12 permutations approximated by md5(seed:shingle),
     * banded 4×3. Returns (doc_id, band, sig) — the LSH bucket keys. */
   def minhashBands(spark: SparkSession, dir: String): DataFrame = {
-    // One shingle-row explode (codegen'd md5 ×12 per row — higher-order
-    // array lambdas would fall out of codegen), ONE shuffle: a single
-    // groupBy(doc) with 12 min() aggregates. Map-side partial agg
-    // collapses each partition to one row per doc before the exchange.
-    // min over duplicate shingles == min over the distinct set, so no
-    // distinct pass is needed.
-    val mhAggs = (0 until 12).map(k =>
-      min(expr(s"md5(cast(concat('$k', ':', s) as binary))")).as(s"mh$k"))
+    // The whole signature pass is ONE map-side projection: the codegen
+    // `minhash12` kernel (plans.TextHashExprs) loops shingles×12 hashes
+    // per document in compiled code — no shingle explode, no 12-column
+    // aggregate, NO SHUFFLE. min over duplicate shingles == min over
+    // the distinct set, so the kernel skips the distinct pass too.
+    GraftFunctions.register(spark)
     val bandStructs = (0 until 4).map(b =>
-      s"struct($b AS band, md5(cast(concat(mh${3 * b}, mh${3 * b + 1}, mh${3 * b + 2}) as binary)) AS sig)")
+      s"struct($b AS band, md5(cast(concat(element_at(mh, ${3 * b + 1}), element_at(mh, ${3 * b + 2}), element_at(mh, ${3 * b + 3})) as binary)) AS sig)")
     Tables.documents(spark, dir)
-      .select(col("doc_id"), split(expr(TextOps.normExpr), " ").as("tk"))
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(1, greatest(size(tk) - 2, 1)),
-          |  i -> concat_ws(' ', try_element_at(tk, i), try_element_at(tk, i + 1), try_element_at(tk, i + 2)))""".stripMargin)).as("s"))
-      .groupBy("doc_id")
-      .agg(mhAggs.head, mhAggs.tail: _*)
+      .select(col("doc_id"), expr(s"minhash12(split(${TextOps.normExpr}, ' '))").as("mh"))
       .selectExpr("doc_id", s"explode(array(${bandStructs.mkString(", ")})) AS bs")
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
@@ -77,25 +71,15 @@ object Dedup {
     * exact integer arithmetic (nibble value via instr on a hex
     * alphabet — no engine-specific hex casts). */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    // md5 computed once per token row (codegen + subexpression
-    // elimination), 32 per-bit ±1 terms as columns, one groupBy(doc)
-    // with 32 sums — partial aggregation keeps the shuffle at one row
-    // per doc per partition.
-    val terms = (0 until 32).map { j =>
-      val p = j / 4 + 1   // md5 hex nibble position (1-based)
-      val dv = 1 << (j % 4)
-      expr(s"(((instr('0123456789abcdef', substring(h, $p, 1)) - 1) div $dv) % 2) * 2 - 1")
-        .as(s"t$j")
-    }
-    val bitSums = (0 until 32).map(j =>
-      s"CASE WHEN sum(t$j) >= 0 THEN '1' ELSE '0' END")
+    // One map-side projection: the codegen `simhash32` kernel
+    // (plans.TextHashExprs) does the md5-per-token bit-majority loop in
+    // compiled code — no token explode, no 32-aggregate groupBy, NO
+    // SHUFFLE. Docs with no non-empty token yield null (they vanish
+    // from the explode+groupBy formulation) and are filtered to match.
+    GraftFunctions.register(spark)
     Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(split(expr(TextOps.normExpr), " ")).as("tok"))
-      .filter(col("tok") =!= "")
-      .select(Seq(col("doc_id"), expr("md5(cast(tok as binary))").as("h")): _*)
-      .select(col("doc_id") +: terms: _*)
-      .groupBy("doc_id")
-      .agg(expr(s"concat(${bitSums.mkString(", ")})").as("fp"))
+      .select(col("doc_id"), expr(s"simhash32(split(${TextOps.normExpr}, ' '))").as("fp"))
+      .filter(col("fp").isNotNull)
   }
 
   /** SimHash near-dup pairs via the pigeonhole block method (Manku,

@@ -101,16 +101,15 @@ object TextOps {
   /** Winnowing document fingerprint (rolling-hash): char 10-gram md5
     * hashes, min over each 8-gram window, distinct survivors. The
     * window is partitioned per doc so it scales out. */
-  def fingerprint(spark: SparkSession, dir: String): DataFrame =
-    // pure array expressions: no explode, no window exchange — the whole
-    // winnow stays inside one whole-stage-codegen projection per doc.
-    // min-over-sliding-window == min(slice), and the distinct survivors
-    // match the windowed formulation the oracle uses.
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    // One map-side projection: the codegen `winnow_fp` kernel
+    // (plans.TextHashExprs) hashes every 10-gram once and slides the
+    // 8-window min with a monotonic deque — O(chars) compiled work per
+    // doc, vs the interpreted transform+slice lambdas (O(chars × 8)
+    // with per-step allocation) this replaces. No explode, no shuffle.
+    graft.functions.GraftFunctions.register(spark)
     Tables.documents(spark, dir)
-      .select(col("doc_id"), expr(normExpr).as("t"))
-      .withColumn("hs", expr(
-        "transform(sequence(1, greatest(length(t) - 9, 1)), i -> md5(cast(substring(t, i, 10) as binary)))"))
-      .select(col("doc_id"),
-        expr("size(array_distinct(transform(sequence(1, size(hs)), i -> array_min(slice(hs, i, least(8, size(hs) - i + 1))))))").as("n_fp"),
-        expr("array_min(hs)").as("fp_min"))
+      .select(col("doc_id"), expr(s"winnow_fp($normExpr)").as("w"))
+      .select(col("doc_id"), col("w.n_fp").as("n_fp"), col("w.fp_min").as("fp_min"))
+  }
 }
