@@ -309,6 +309,11 @@ object Oracles {
          |  FROM sc) t WHERE rk <= 3""".stripMargin,
   )
 
+  /** The custom-physical-operator path computes the same relation as
+    * q_ann_lsh, so it is checked against the identical oracle. */
+  val similarityNative: Map[String, String] = Map(
+    "q_ann_lsh_native" -> similarity("q_ann_lsh"))
+
   val annIvf: Map[String, String] = Map(
     "q_ann_ivf" ->
       s"""$quantCte,
@@ -413,5 +418,5 @@ object Oracles {
   )
 
   def all: Map[String, String] =
-    relational ++ text ++ dedup ++ similarity ++ annIvf ++ streamingAndMisc ++ olap
+    relational ++ text ++ dedup ++ similarity ++ similarityNative ++ annIvf ++ streamingAndMisc ++ olap
 }

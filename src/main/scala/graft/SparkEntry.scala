@@ -51,6 +51,7 @@ object SparkEntry {
     "q_dedup_embedding" -> (Similarity.embeddingNearDup _),
     "q_ann_bruteforce" -> ((s: SparkSession, d: String) => Similarity.annBruteForce(s, d)),
     "q_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
+    "q_ann_lsh_native" -> ((s: SparkSession, d: String) => Similarity.annLshNative(s, d)),
     "q_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
     // streaming batch twins (§2.4) + external program + media
     "q_window_agg" -> (graft.streaming.Windows.windowAgg _),

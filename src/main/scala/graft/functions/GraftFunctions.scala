@@ -31,6 +31,9 @@ object GraftFunctions {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.DotProductRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.DotProductRewrite
+    if (!spark.experimental.extraStrategies.contains(graft.plans.LshTopKJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.LshTopKJoinStrategy
   }
 }
 
@@ -48,5 +51,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("winnow_fp"),
       TextHashExprs.winnowInfo, TextHashExprs.unary("winnow_fp", WinnowFp)))
     ext.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
+    ext.injectPlannerStrategy(_ => graft.plans.LshTopKJoinStrategy)
   }
 }

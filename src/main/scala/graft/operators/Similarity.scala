@@ -180,4 +180,20 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select("probe_id", "rk", "nbr_id", "cos")
   }
+
+  /** annLsh through the custom whole-operator plan
+    * (plans.LshTopKJoin): identical semantics and oracle, but the
+    * bucket join, exact scoring and per-probe top-k selection are fused
+    * into one physical operator — the candidate-pair set never reaches
+    * a window's sort+shuffle. */
+  def annLshNative(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val q = quantized(spark, dir)
+    val bk = hyperplaneBuckets(q)
+    val qb = q.join(bk, "vec_id")
+    val probes = qb.filter(col("vec_id") < 5)
+      .select(col("bucket"), col("vec_id").as("probe_id"), col("q"), col("n2"))
+    val corpus = qb
+      .select(col("bucket"), col("vec_id").as("nbr_id"), col("q"), col("n2"))
+    graft.plans.LshTopKJoin(probes, corpus, k)
+  }
 }

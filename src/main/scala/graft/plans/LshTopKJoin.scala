@@ -1,0 +1,191 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.graftbridge.PlanBridge
+import org.apache.spark.sql.types._
+
+/** Whole-operator extension (SURVEY.md §2.7): the LSH bucketed top-k
+  * similarity join as a custom LogicalPlan + SparkStrategy + physical
+  * operator — rung (c) of the extension ladder, for semantics the
+  * declarative form can't fuse.
+  *
+  * The declarative `Similarity.annLsh` plans bucket-join → score →
+  * window rank → filter: every candidate pair is materialized into the
+  * window's sort+shuffle just to be discarded by `rk <= k`. This
+  * operator fuses scoring and per-probe top-k selection INTO the join:
+  * each co-partitioned bucket partition streams corpus rows into a
+  * bucket-keyed map, then for each probe keeps a bounded k-heap —
+  * per-pair memory never exceeds k rows per probe, and the
+  * candidate-pair set never hits a shuffle. At 100 TB the win is the
+  * eliminated exchange+sort of |candidates| rows (bucket-skew bounded:
+  * a hot bucket costs O(|bucket| log k) heap work, not a sort).
+  *
+  * Scheduling contract, expressed through the physical-planning API:
+  * `requiredChildDistribution = ClusteredDistribution(bucket)` on both
+  * children — EnsureRequirements inserts (or reuses) the exchanges and
+  * co-partitions the sides, exactly how ShuffledHashJoinExec declares
+  * itself.
+  *
+  * Scoring is the exact integer-cosine contract of Similarity.scala
+  * (identical IEEE op sequence), ranked by (cos desc, nbr_id) — so the
+  * operator is oracle-checked by the SAME DuckDB SQL as the
+  * declarative q_ann_lsh (`q_ann_lsh_native`).
+  *
+  * Child schema contract (validated at construction):
+  *   probes: bucket string, probe_id bigint, q array<bigint>, n2 bigint
+  *   corpus: bucket string, nbr_id  bigint, q array<bigint>, n2 bigint
+  */
+case class LshTopKJoinPlan(
+    probes: LogicalPlan,
+    corpus: LogicalPlan,
+    k: Int,
+    rkOut: AttributeReference,
+    cosOut: AttributeReference)
+  extends BinaryNode {
+
+  override def left: LogicalPlan = probes
+  override def right: LogicalPlan = corpus
+
+  private def attr(side: LogicalPlan, name: String): Attribute =
+    side.output.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"LshTopKJoin child is missing required column '$name' " +
+          s"(has: ${side.output.map(_.name).mkString(", ")})"))
+
+  override def output: Seq[Attribute] =
+    Seq(attr(probes, "probe_id"), rkOut, attr(corpus, "nbr_id"), cosOut)
+
+  // rk and cos are synthesized by the operator, not read from children
+  override def producedAttributes: AttributeSet = AttributeSet(Seq(rkOut, cosOut))
+
+  // the operator consumes bucket/q/n2 through its doExecute, invisibly
+  // to Catalyst — claim every child column so ColumnPruning keeps them
+  override def references: AttributeSet =
+    AttributeSet(probes.output ++ corpus.output)
+
+  override protected def withNewChildrenInternal(
+    newLeft: LogicalPlan, newRight: LogicalPlan): LshTopKJoinPlan =
+    copy(probes = newLeft, corpus = newRight)
+}
+
+/** Planner strategy: injected via GraftExtensions (or
+  * `spark.experimental.extraStrategies`). */
+object LshTopKJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case LshTopKJoinPlan(probes, corpus, k, rkOut, cosOut) =>
+      LshTopKJoinExec(planLater(probes), planLater(corpus), k, rkOut, cosOut) :: Nil
+    case _ => Nil
+  }
+}
+
+case class LshTopKJoinExec(
+    probes: SparkPlan,
+    corpus: SparkPlan,
+    k: Int,
+    rkOut: AttributeReference,
+    cosOut: AttributeReference)
+  extends BinaryExecNode {
+
+  override def left: SparkPlan = probes
+  override def right: SparkPlan = corpus
+
+  private def attr(side: SparkPlan, name: String): Attribute =
+    side.output.find(_.name == name).get
+  private def idx(side: SparkPlan, name: String): Int =
+    side.output.indexWhere(_.name == name)
+
+  override def output: Seq[Attribute] =
+    Seq(attr(probes, "probe_id"), rkOut, attr(corpus, "nbr_id"), cosOut)
+
+  override def producedAttributes: AttributeSet = AttributeSet(Seq(rkOut, cosOut))
+
+  /** Both sides clustered on their bucket column → EnsureRequirements
+    * co-partitions them (the ShuffledHashJoin contract). */
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(attr(probes, "bucket"))) ::
+      ClusteredDistribution(Seq(attr(corpus, "bucket"))) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val (pB, pId, pQ, pN2) = (idx(probes, "bucket"), idx(probes, "probe_id"),
+      idx(probes, "q"), idx(probes, "n2"))
+    val (cB, cId, cQ, cN2) = (idx(corpus, "bucket"), idx(corpus, "nbr_id"),
+      idx(corpus, "q"), idx(corpus, "n2"))
+    val kk = k
+    probes.execute().zipPartitions(corpus.execute()) { (pIter, cIter) =>
+      // bucket → corpus vectors of this partition (decoded to primitives)
+      val byBucket = new mutable.HashMap[String, mutable.ArrayBuffer[(Long, Array[Long], Long)]]()
+      cIter.foreach { row =>
+        val b = row.getUTF8String(cB).toString
+        byBucket.getOrElseUpdate(b, new mutable.ArrayBuffer())
+          .append((row.getLong(cId), row.getArray(cQ).toLongArray(), row.getLong(cN2)))
+      }
+      val proj = UnsafeProjection.create(
+        Array[DataType](LongType, IntegerType, LongType, DoubleType))
+      val outRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(4)
+      // heap root = current WORST survivor: min cos, then max nbr_id
+      val worstFirst: Ordering[(Double, Long)] = Ordering.by(t => (-t._1, t._2))
+      pIter.flatMap { row =>
+        val probeId = row.getLong(pId)
+        val qa = row.getArray(pQ).toLongArray()
+        val n2a = row.getLong(pN2)
+        val cands = byBucket.getOrElse(row.getUTF8String(pB).toString, mutable.ArrayBuffer.empty)
+        val heap = new mutable.PriorityQueue[(Double, Long)]()(worstFirst)
+        cands.foreach { case (nbrId, qb, n2b) =>
+          if (nbrId != probeId) {
+            var dot = 0L
+            var i = 0
+            val n = math.min(qa.length, qb.length)
+            while (i < n) { dot += qa(i) * qb(i); i += 1 }
+            val cos = dot.toDouble / (math.sqrt(n2a.toDouble) * math.sqrt(n2b.toDouble))
+            if (heap.size < kk) heap.enqueue((cos, nbrId))
+            else {
+              val (wc, wn) = heap.head
+              if (cos > wc || (cos == wc && nbrId < wn)) {
+                heap.dequeue(); heap.enqueue((cos, nbrId))
+              }
+            }
+          }
+        }
+        val bestFirst: Seq[(Double, Long)] = heap.dequeueAll.reverse
+        bestFirst.iterator.zipWithIndex.map { case ((cos, nbrId), r) =>
+          outRow.update(0, probeId)
+          outRow.update(1, r + 1)
+          outRow.update(2, nbrId)
+          outRow.update(3, cos)
+          proj(outRow)
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+    newLeft: SparkPlan, newRight: SparkPlan): LshTopKJoinExec =
+    copy(probes = newLeft, corpus = newRight)
+}
+
+object LshTopKJoin {
+  /** Build the operator over prepared probe/corpus frames (see schema
+    * contract above) and return it as a DataFrame. Registers the
+    * strategy on the session's runtime hook if absent. */
+  def apply(probesDf: DataFrame, corpusDf: DataFrame, k: Int): DataFrame = {
+    val spark = probesDf.sparkSession
+    if (!spark.experimental.extraStrategies.contains(LshTopKJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ LshTopKJoinStrategy
+    val plan = LshTopKJoinPlan(
+      probesDf.queryExecution.analyzed,
+      corpusDf.queryExecution.analyzed,
+      k,
+      AttributeReference("rk", IntegerType, nullable = false)(),
+      AttributeReference("cos", DoubleType, nullable = false)())
+    PlanBridge.ofRows(spark, plan)
+  }
+}

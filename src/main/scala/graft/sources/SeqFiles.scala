@@ -19,4 +19,10 @@ object SeqFiles {
     import spark.implicits._
     spark.sparkContext.sequenceFile[String, String](path).toDF("key", "value")
   }
+
+  /** Read through the DataSourceV2 provider (SeqFileSource): a real
+    * `spark.read.format(...)` table with schema and per-file input
+    * partitions, not an RDD wrapper. */
+  def readV2(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("graft-seqfile").load(path)
 }

@@ -16,6 +16,21 @@ class SourcesSpec extends SparkSpec {
     assert(m("0") === df.filter(col("n_nationkey") === 0).collect()(0).getString(1))
   }
 
+  test("DataSourceV2 SequenceFile reader matches the RDD reader") {
+    val dir = tmpDir() + "/seqv2"
+    val df = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").cast("string"), col("n_name"))
+    SeqFiles.write(df, dir)
+    val v2 = SeqFiles.readV2(spark, dir)
+    assert(v2.schema.fieldNames.toSeq === Seq("key", "value"))
+    assert(v2.count() === 25)
+    val rdd = SeqFiles.read(spark, dir)
+    assert(v2.join(rdd, Seq("key", "value")).count() === 25)
+    // DSv2 scan node, one partition per part-file
+    val plan = v2.queryExecution.executedPlan.toString
+    assert(plan.contains("BatchScan"), plan)
+  }
+
   test("PartitionedWriter writes hive-style partitions and prunes on read") {
     val dir = tmpDir() + "/part"
     PartitionedWriter.write(Tables.lineitem(spark, sfDir), dir, Seq("l_returnflag"))
