@@ -194,6 +194,15 @@ object Oracles {
          |kg AS (SELECT doc_id, i, md5(substring(t, i, 10)) h FROM pos),
          |mw AS (SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) minh FROM kg)
          |SELECT doc_id, count(DISTINCT minh) AS n_fp, min(minh) AS fp_min FROM mw GROUP BY doc_id""".stripMargin,
+
+    "q_tfidf" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split($norm, ' ')) word FROM documents),
+         |tf AS (SELECT doc_id, word, count(*) tf FROM t WHERE word <> '' GROUP BY 1, 2),
+         |df AS (SELECT word, count(*) df FROM tf GROUP BY 1),
+         |s AS (SELECT doc_id, word, tf * 1000000 // df score FROM tf JOIN df USING (word))
+         |SELECT doc_id, rk, word, score FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) rk FROM s) z
+         |WHERE rk <= 3""".stripMargin,
   )
 
   /** Shared CTE prefix: distinct 3-word shingles per doc. */
@@ -314,6 +323,27 @@ object Oracles {
   val similarityNative: Map[String, String] = Map(
     "q_ann_lsh_native" -> similarity("q_ann_lsh"))
 
+  /** KMV sketch oracle: the k-th smallest md5 hash is a data property,
+    * so the estimate is reproduced exactly by a rank window; uint32 of
+    * the hash prefix via portable nibble arithmetic (exact in BIGINT),
+    * numerator 255*2^32 is an exact double, one IEEE division. */
+  val sketches: Map[String, String] = {
+    val nib = (1 to 8).map { i =>
+      val mult = 1L << (4 * (8 - i))
+      s"cast(instr('0123456789abcdef', substring(kth, $i, 1)) - 1 AS BIGINT) * $mult"
+    }.mkString(" + ")
+    Map("q_sketch_kmv" ->
+      s"""WITH d AS (SELECT DISTINCT event_type, md5(cast(user_id AS VARCHAR)) h
+         |           FROM events WHERE user_id IS NOT NULL),
+         |r AS (SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) rn FROM d),
+         |s AS (SELECT event_type, count(*) n, max(CASE WHEN rn = 256 THEN h END) kth FROM r GROUP BY 1)
+         |SELECT event_type,
+         |  CASE WHEN n < 256 THEN cast(n AS DOUBLE)
+         |       ELSE (255.0 * 4294967296.0) / cast($nib AS DOUBLE) END AS est_uniq,
+         |  CASE WHEN n >= 256 THEN kth END AS kth_hash
+         |FROM s""".stripMargin)
+  }
+
   val annIvf: Map[String, String] = Map(
     "q_ann_ivf" ->
       s"""$quantCte,
@@ -334,6 +364,48 @@ object Oracles {
          |    row_number() OVER (PARTITION BY probe_id ORDER BY dot / (sqrt(n2a) * sqrt(n2b)) DESC, nbr_id) rk
          |  FROM sc) t WHERE rk <= 3""".stripMargin,
   )
+
+  /** Trained-codebook IVF: Lloyd's iterations are deterministic on the
+    * quantized integers (exact sums, one IEEE division per mean,
+    * half-away-from-zero rounding in both engines), so training is
+    * replayed as unrolled CTEs — assignment by euclidean argmin,
+    * centroid update by per-dimension rounded mean — and the search
+    * matches bitwise. */
+  val annIvfTrained: Map[String, String] = {
+    val iters = 2
+    def dotD(a: String, b: String) =
+      s"list_dot_product(list_transform($a, x -> cast(x AS DOUBLE)), list_transform($b, x -> cast(x AS DOUBLE)))"
+    val iterCtes = (1 to iters).map { i =>
+      val prev = s"cent${i - 1}"
+      s"""asg$i AS (SELECT vec_id, cid FROM (
+         |  SELECT n.vec_id, c.cid,
+         |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+         |      n.n2 + ${dotD("c.qc", "c.qc")} - 2 * ${dotD("n.q", "c.qc")}, c.cid) rn
+         |  FROM n CROSS JOIN $prev c) t WHERE rn = 1),
+         |up$i AS (SELECT cid, di, cast(round(avg(e), 0) AS BIGINT) m FROM (
+         |  SELECT a.cid, unnest(n.q) e, generate_subscripts(n.q, 1) di
+         |  FROM n JOIN asg$i a USING (vec_id)) t GROUP BY 1, 2),
+         |cent$i AS (SELECT cid, list(m ORDER BY di) qc FROM up$i GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    Map("q_ann_ivf_trained" ->
+      s"""$quantCte,
+         |cent0 AS (SELECT vec_id cid, q qc FROM n WHERE vec_id < 16),
+         |$iterCtes,
+         |centf AS (SELECT cid, qc, ${dotD("qc", "qc")} n2c FROM cent$iters),
+         |ar AS (SELECT n.vec_id, c.cid, n.n2 + c.n2c - 2 * ${dotD("n.q", "c.qc")} dist2
+         |       FROM n CROSS JOIN centf c),
+         |rk AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) crn FROM ar),
+         |assign AS (SELECT vec_id, cid cell FROM rk WHERE crn = 1),
+         |pc AS (SELECT vec_id probe_id, cid cell FROM rk WHERE vec_id < 5 AND crn <= 2),
+         |cand AS (SELECT DISTINCT pc.probe_id, a.vec_id nbr_id
+         |  FROM pc JOIN assign a ON a.cell = pc.cell AND a.vec_id <> pc.probe_id),
+         |sc AS (SELECT c.probe_id, c.nbr_id, $dotSql dot, a.n2 n2a, b.n2 n2b
+         |  FROM cand c JOIN n a ON a.vec_id = c.probe_id JOIN n b ON b.vec_id = c.nbr_id)
+         |SELECT probe_id, rk, nbr_id, cos FROM (
+         |  SELECT probe_id, nbr_id, dot / (sqrt(n2a) * sqrt(n2b)) cos,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY dot / (sqrt(n2a) * sqrt(n2b)) DESC, nbr_id) rk
+         |  FROM sc) t WHERE rk <= 3""".stripMargin)
+  }
 
   val streamingAndMisc: Map[String, String] = Map(
     "q_window_agg" ->
@@ -378,6 +450,35 @@ object Oracles {
         |  cast(sum(cast(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
 
+    "q_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag, coalesce(l_linestatus, 'ALL') AS status,
+        |  cast(sum(cast(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_window_funcs" ->
+      """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS odate,
+        |  coalesce(lag(o_orderkey, 1) OVER w, -1) AS prev_key,
+        |  coalesce(lead(o_orderkey, 1) OVER w, -1) AS next_key,
+        |  first_value(o_orderkey) OVER w AS first_key,
+        |  row_number() OVER w AS seq
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+
+    "q_corr_stats" ->
+      """WITH b AS (SELECT l_returnflag,
+        |    cast(cast(l_quantity AS DECIMAL(18,2)) AS BIGINT) x,
+        |    cast(cast(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) y
+        |  FROM lineitem),
+        |s AS (SELECT l_returnflag, count(*) n,
+        |    cast(sum(x) AS DOUBLE) sx, cast(sum(y) AS DOUBLE) sy,
+        |    cast(sum(x * y) AS DOUBLE) sxy,
+        |    cast(sum(x * x) AS DOUBLE) sxx, cast(sum(y * y) AS DOUBLE) syy
+        |  FROM b GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  sxy / n - (sx / n) * (sy / n) AS covar_pop,
+        |  (sxy / n - (sx / n) * (sy / n)) /
+        |    (sqrt(sxx / n - (sx / n) * (sx / n)) * sqrt(syy / n - (sy / n) * (sy / n))) AS corr
+        |FROM s""".stripMargin,
+
     "q_pivot" ->
       """SELECT o_orderpriority,
         |  cast(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
@@ -418,5 +519,6 @@ object Oracles {
   )
 
   def all: Map[String, String] =
-    relational ++ text ++ dedup ++ similarity ++ similarityNative ++ annIvf ++ streamingAndMisc ++ olap
+    relational ++ text ++ dedup ++ similarity ++ similarityNative ++ sketches ++
+      annIvf ++ annIvfTrained ++ streamingAndMisc ++ olap
 }

@@ -17,6 +17,7 @@ object SparkEntry {
     "q1_agg" -> (Relational.q1Agg _),
     "q_agg_stats" -> (Relational.aggStats _),
     "q_agg_uniq" -> (Relational.aggUniq _),
+    "q_sketch_kmv" -> ((s: SparkSession, d: String) => Sketches.kmvUniq(s, d)),
     "q_agg_histogram" -> (Relational.aggHistogram _),
     "q_agg_highcard" -> (Relational.aggHighcard _),
     "q_secondary_sort" -> (Relational.secondarySort _),
@@ -40,6 +41,7 @@ object SparkEntry {
     "q_text_quality" -> (TextOps.quality _),
     "q_text_tokens" -> (TextOps.tokenCounts _),
     "q_text_fingerprint" -> (TextOps.fingerprint _),
+    "q_tfidf" -> (TextOps.tfidf _),
     // dedup (§2.6)
     "q_dedup_exact" -> (Dedup.exact _),
     "q_dedup_minhash" -> (Dedup.minhashBands _),
@@ -53,6 +55,7 @@ object SparkEntry {
     "q_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
     "q_ann_lsh_native" -> ((s: SparkSession, d: String) => Similarity.annLshNative(s, d)),
     "q_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
+    "q_ann_ivf_trained" -> ((s: SparkSession, d: String) => Similarity.annIvfTrained(s, d)),
     // streaming batch twins (§2.4) + external program + media
     "q_window_agg" -> (graft.streaming.Windows.windowAgg _),
     "q_sessionize" -> (graft.streaming.Windows.sessionize _),
@@ -61,6 +64,9 @@ object SparkEntry {
     "q_media_meta" -> (Media.mediaMeta _),
     // OLAP analytics (§2.1 extensions)
     "q_rollup" -> (Olap.rollup _),
+    "q_cube" -> (Olap.cube _),
+    "q_window_funcs" -> (Olap.windowFuncs _),
+    "q_corr_stats" -> (Olap.corrStats _),
     "q_pivot" -> (Olap.pivot _),
     "q_running_total" -> (Olap.runningTotal _),
     "q_percentiles" -> (Olap.percentiles _),

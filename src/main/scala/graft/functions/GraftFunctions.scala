@@ -26,6 +26,8 @@ object GraftFunctions {
       "minhash12", TextHashExprs.unary("minhash12", MinHash12), "built-in")
     reg.createOrReplaceTempFunction(
       "winnow_fp", TextHashExprs.unary("winnow_fp", WinnowFp), "built-in")
+    reg.createOrReplaceTempFunction(
+      "kmv_uniq", graft.plans.KmvUniq.builder, "built-in")
     // same rewrite GraftExtensions injects, via the runtime hook for
     // sessions built without extensions
     if (!spark.experimental.extraOptimizations.contains(graft.plans.DotProductRewrite))

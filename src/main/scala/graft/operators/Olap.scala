@@ -27,6 +27,58 @@ object Olap {
         coalesce(col("l_linestatus"), lit("ALL")).as("status"),
         col("sum_qty"), col("n"))
 
+  /** CUBE: all 2^2 grouping combinations in one pass (the reference
+    * would run one MapReduce job per combination). */
+  def cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("sum_qty"), col("n"))
+
+  /** The navigation-window family — lag/lead/first/last over the
+    * per-customer order timeline (the reference's sorted-reduce-values
+    * iteration). Key-partitioned window, integer/date outputs only. */
+  def windowFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"),
+        coalesce(lag("o_orderkey", 1).over(w), lit(-1L)).as("prev_key"),
+        coalesce(lead("o_orderkey", 1).over(w), lit(-1L)).as("next_key"),
+        first("o_orderkey").over(w).as("first_key"),
+        row_number().over(w).as("seq"))
+  }
+
+  /** Correlation/covariance per group — EXACT integer/decimal sums
+    * (quantity in units, price in cents; decimal(38,0) so no overflow
+    * at any scale) feeding the mean-centered formulas in one fixed
+    * IEEE sequence, identical in both engines. The engine-native
+    * corr()/covar_pop() accumulate doubles in partition order and are
+    * not bitwise portable. */
+  def corrStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("decimal(18,2)").cast("bigint").as("x"),
+        col("l_extendedprice").cast("decimal(18,2)").multiply(100).cast("bigint").as("y"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,0)")).cast("double").as("sx"),
+        sum(col("y").cast("decimal(38,0)")).cast("double").as("sy"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).cast("double").as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).cast("double").as("sxx"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).cast("double").as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        (col("sxy") / col("n") - (col("sx") / col("n")) * (col("sy") / col("n")))
+          .as("covar_pop"),
+        ((col("sxy") / col("n") - (col("sx") / col("n")) * (col("sy") / col("n"))) /
+          (sqrt(col("sxx") / col("n") - (col("sx") / col("n")) * (col("sx") / col("n"))) *
+            sqrt(col("syy") / col("n") - (col("sy") / col("n")) * (col("sy") / col("n")))))
+          .as("corr"))
+
   /** Pivot order counts: status columns per priority row. */
   def pivot(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)

@@ -145,6 +145,43 @@ object Similarity {
       .select("probe_id", "rk", "nbr_id", "cos")
   }
 
+  /** IVF search over a TRAINED codebook: `trainCentroids`' Lloyd
+    * iterations feed the cell structure instead of the first-16
+    * stand-in. Cell assignment is euclidean argmin — consistent with
+    * the training objective — while candidate scoring stays exact
+    * integer cosine. Training is deterministic (exact integer sums,
+    * one IEEE division per mean, half-away-from-zero re-quantization),
+    * so the DuckDB oracle replays the same iterations as unrolled CTEs
+    * and the whole pipeline hash-matches (q_ann_ivf_trained). */
+  def annIvfTrained(spark: SparkSession, dir: String,
+    k: Int = 3, nprobe: Int = 2, iters: Int = 2): DataFrame = {
+    val q = quantized(spark, dir)
+    val cent = trainCentroids(spark, dir, 16, iters)
+      .withColumn("n2c", expr("array_dot_long(qc, qc)"))
+    def cellRank(vecs: DataFrame, idCol: String) = {
+      val scored = vecs.crossJoin(broadcast(cent))
+        .withColumn("dot", expr("array_dot_long(q, qc)"))
+        .withColumn("dist2", col("n2") + col("n2c") - lit(2) * col("dot"))
+        .select(col(idCol), col("cid"), col("dist2"))
+      val w = Window.partitionBy(idCol).orderBy(col("dist2"), col("cid"))
+      scored.withColumn("crn", row_number().over(w))
+    }
+    val assign = cellRank(q, "vec_id").filter(col("crn") === 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+    val corpus = q.join(assign, "vec_id")
+      .select(col("cell"), col("vec_id").as("nbr_id"), col("q").as("qb"), col("n2").as("n2b"))
+    val probeCells = cellRank(q.filter(col("vec_id") < 5), "vec_id")
+      .filter(col("crn") <= nprobe).select(col("vec_id").as("probe_id"), col("cid").as("cell"))
+    val probes = q.select(col("vec_id").as("probe_id"), col("q").as("qa"), col("n2").as("n2a"))
+    val scored = broadcast(probeCells.join(probes, "probe_id")).join(corpus, Seq("cell"))
+      .filter(col("probe_id") =!= col("nbr_id"))
+      .withColumn("dot", expr("array_dot_long(qa, qb)"))
+      .select(col("probe_id"), col("nbr_id"), expr(cosExpr).as("cos")).distinct()
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("nbr_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select("probe_id", "rk", "nbr_id", "cos")
+  }
+
   /** Random-hyperplane LSH bucket per vector: 8 deterministic pseudo-
     * hyperplanes with ±1 components derived from md5 parity; the
     * bucket is the 8-char sign string. Integer dot → exact sign. */

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -97,6 +98,22 @@ object TextOps {
       .select(col("doc_id"),
         expr("size(filter(split(text, ' '), x -> x <> ''))").as("ws_tokens"),
         expr("size(regexp_extract_all(text, '([a-z]+|[0-9]+|[^a-z0-9 ])', 1))").as("bpe_tokens"))
+
+  /** TF-IDF-style top terms per document. Scoring is the integer
+    * rarity-weighted frequency `tf * 10^6 div df` — monotone in tf/df
+    * like tf-idf but exact-arithmetic, so ranks are engine-portable
+    * (a log-based idf would hinge on libm rounding). Two shuffles
+    * total: (doc,word) tf and word df; the df side re-joins on word. */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val tf = tokens(spark, dir)
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "word")
+      .withColumn("score", expr("tf * 1000000 div df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("word"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select("doc_id", "rk", "word", "score")
+  }
 
   /** Winnowing document fingerprint (rolling-hash): char 10-gram md5
     * hashes, min over each 8-gram window, distinct survivors. The

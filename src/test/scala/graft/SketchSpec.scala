@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+import graft.operators.Sketches
+
+class SketchSpec extends SparkSpec {
+
+  test("kmv_uniq estimates within 15% of exact; exact below k") {
+    val est = Sketches.kmvUniq(spark, sfDir, k = 256).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = Tables.events(spark, sfDir)
+      .groupBy("event_type").agg(countDistinct("user_id").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    assert(est.keySet === exact.keySet)
+    exact.foreach { case (t, n) =>
+      if (n < 256) assert(est(t) === n, s"below k must be exact for $t")
+      else assert(math.abs(est(t) - n) / n < 0.15, s"$t: est=${est(t)} exact=$n")
+    }
+  }
+
+  test("kmv_uniq is insensitive to partitioning (merge is correct)") {
+    GraftFunctions.register(spark)
+    val base = Tables.events(spark, sfDir)
+      .selectExpr("event_type", "md5(cast(user_id as string)) AS h")
+    def run(parts: Int) = base.repartition(parts)
+      .groupBy("event_type").agg(expr("kmv_uniq(h, 64)").as("s"))
+      .selectExpr("event_type", "s.est", "s.kth").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getString(2))).toSet
+    assert(run(1) === run(13))
+  }
+
+  test("kmv_uniq state is bounded: k entries regardless of input size") {
+    GraftFunctions.register(spark)
+    // 100k distinct values, k=16 → the partial buffers can only ever
+    // hold 16 hashes; correctness of the result implies the trim ran
+    val df = spark.range(100000)
+      .selectExpr("md5(cast(id as string)) AS h")
+      .agg(expr("kmv_uniq(h, 16)").as("s"))
+      .selectExpr("s.est")
+    val est = df.collect()(0).getDouble(0)
+    assert(est > 100000 * 0.4 && est < 100000 * 2.5, s"est=$est")
+  }
+
+  test("hll sketches: accuracy and lossless partial merge") {
+    val direct = Sketches.hllUniq(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rolled = Sketches.hllRollup(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, sfDir)
+      .groupBy("event_type").agg(countDistinct("user_id").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (t, n) =>
+      assert(math.abs(direct(t).toDouble - n) / n < 0.05, s"$t direct")
+      // merging per-day partials must give the same estimate as one pass
+      assert(direct(t) === rolled(t), s"$t rollup != direct")
+    }
+  }
+}

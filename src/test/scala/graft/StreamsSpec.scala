@@ -128,4 +128,30 @@ class StreamsSpec extends SparkSpec {
     val nUsers = Tables.events(spark, sfDir).select("user_id").distinct().count()
     assert(df.select("user_id").distinct().count() === nUsers)
   }
+
+  test("kmv_uniq sketch aggregates over a stream with bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val input = MemoryStream[Streams.Event]
+    input.addData((1 to 40).map(i =>
+      Streams.Event(i.toLong, Timestamp.valueOf("2024-01-01 00:10:00"), (i % 20).toLong, "click", 1.0)): _*)
+    val agg = input.toDF()
+      .selectExpr("event_type", "md5(cast(user_id as string)) AS h")
+      .groupBy("event_type")
+      .agg(expr("kmv_uniq(h, 8)").as("s"))
+      .selectExpr("event_type", "s.est AS est")
+    val q = agg.writeStream.format("memory").queryName("kmv")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    // 20 distinct users, k=8 → sketch path (not exact); estimate sane
+    val est1 = spark.table("kmv").collect()(0).getDouble(1)
+    assert(est1 > 5.0 && est1 < 80.0, s"est=$est1")
+    // incremental batch must merge into the same bounded state
+    input.addData((41 to 80).map(i =>
+      Streams.Event(i.toLong, Timestamp.valueOf("2024-01-01 00:20:00"), (i % 40).toLong, "click", 1.0)): _*)
+    q.processAllAvailable(); q.stop()
+    val est2 = spark.table("kmv").collect()(0).getDouble(1)
+    assert(est2 >= est1 * 0.8, s"est should not collapse: $est1 -> $est2")
+  }
 }
