@@ -7,9 +7,10 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.Path
 import org.apache.hadoop.io.{SequenceFile, Text}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -53,15 +54,71 @@ object SeqFileSource {
     StructField("value", StringType, nullable = false)))
 }
 
-class SeqFileTable(path: String) extends Table with SupportsRead {
+class SeqFileTable(path: String) extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-seqfile($path)"
   override def schema(): StructType = SeqFileSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new SeqFileScan(path)
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val in = info.schema()
+    require(in.length == 2 && in.forall(_.dataType == StringType),
+      s"graft-seqfile writes (key string, value string), got ${in.simpleString}")
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new SeqFileBatchWrite(path,
+          new SerializableConfiguration(
+            SparkSession.active.sessionState.newHadoopConf()))
+      }
+    }
+  }
+}
+
+/** Append-mode batch write: each task streams its partition into
+  * `part-<partition>-<task>` (task-attempt-unique names make
+  * speculative duplicates distinguishable; abort deletes the file). */
+class SeqFileBatchWrite(path: String, conf: SerializableConfiguration)
+  extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new SeqFileWriterFactory(path, conf)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+class SeqFileWriterFactory(path: String, conf: SerializableConfiguration)
+  extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val file = new Path(path, f"part-$partitionId%05d-$taskId")
+      private val writer = SequenceFile.createWriter(conf.value,
+        SequenceFile.Writer.file(file),
+        SequenceFile.Writer.keyClass(classOf[Text]),
+        SequenceFile.Writer.valueClass(classOf[Text]))
+      private val key = new Text()
+      private val value = new Text()
+
+      override def write(row: InternalRow): Unit = {
+        key.set(row.getUTF8String(0).getBytes)
+        value.set(row.getUTF8String(1).getBytes)
+        writer.append(key, value)
+      }
+
+      override def commit(): WriterCommitMessage = {
+        writer.close()
+        new WriterCommitMessage {}
+      }
+
+      override def abort(): Unit = {
+        writer.close()
+        file.getFileSystem(conf.value).delete(file, false)
+      }
+
+      override def close(): Unit = ()
     }
 }
 

@@ -25,4 +25,9 @@ object SeqFiles {
     * partitions, not an RDD wrapper. */
   def readV2(spark: SparkSession, path: String): DataFrame =
     spark.read.format("graft-seqfile").load(path)
+
+  /** Write through the DSv2 provider (append mode; executor tasks
+    * stream part files directly). */
+  def writeV2(df: DataFrame, path: String): Unit =
+    df.write.format("graft-seqfile").mode("append").save(path)
 }

@@ -72,4 +72,32 @@ class ScaleSpec extends SparkSpec {
       plan.indexOf("SortMergeJoin") == plan.lastIndexOf("SortMergeJoin"),
       "only the fact-fact join may sort-merge")
   }
+
+  test("runtime bloom-filter pruning injects on a selective shuffle join") {
+    // Catalyst's runtime row-level filtering is the optimizer-rule form
+    // of the BloomMapFile lookup (ref: src/core/org/apache/hadoop/io/
+    // BloomMapFile.java:1): a bloom filter built from the selective dim
+    // side prunes the fact side BEFORE its shuffle. At 100 TB this is
+    // on by default; thresholds here are lowered to demonstrate on toy
+    // data that our join shapes are eligible for the injection.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val dim = Tables.part(spark, sfDir).filter(col("p_size") > 45)
+      val q = Tables.lineitem(spark, sfDir)
+        .join(dim, col("l_partkey") === col("p_partkey"))
+        .groupBy("l_returnflag").count()
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.contains("bloom_filter_agg") || plan.contains("BloomFilterMightContain"),
+        plan)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

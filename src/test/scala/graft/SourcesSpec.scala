@@ -31,6 +31,17 @@ class SourcesSpec extends SparkSpec {
     assert(plan.contains("BatchScan"), plan)
   }
 
+  test("DataSourceV2 SequenceFile write round-trips through Hadoop's reader") {
+    val dir = tmpDir() + "/seqv2w"
+    val df = Tables.region(spark, sfDir)
+      .select(col("r_regionkey").cast("string").as("key"), col("r_name").as("value"))
+    SeqFiles.writeV2(df, dir)
+    // read back through the classic Hadoop path: proves real SequenceFiles
+    val back = SeqFiles.read(spark, dir)
+    assert(back.count() === 5)
+    assert(SeqFiles.readV2(spark, dir).join(back, Seq("key", "value")).count() === 5)
+  }
+
   test("PartitionedWriter writes hive-style partitions and prunes on read") {
     val dir = tmpDir() + "/part"
     PartitionedWriter.write(Tables.lineitem(spark, sfDir), dir, Seq("l_returnflag"))
