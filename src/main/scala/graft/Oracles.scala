@@ -341,7 +341,34 @@ object Oracles {
          |  CASE WHEN n < 256 THEN cast(n AS DOUBLE)
          |       ELSE (255.0 * 4294967296.0) / cast($nib AS DOUBLE) END AS est_uniq,
          |  CASE WHEN n >= 256 THEN kth END AS kth_hash
-         |FROM s""".stripMargin)
+         |FROM s""".stripMargin,
+
+      // Sketch set algebra: union/intersection estimates. The oracle
+      // computes the same k-min sketches from raw data — valid because
+      // KMV truncation commutes with union and membership below the
+      // union's k-th hash implies membership in the side sketches.
+      "q_sketch_ops" -> {
+        val nibU = (1 to 8).map { i =>
+          val mult = 1L << (4 * (8 - i))
+          s"cast(instr('0123456789abcdef', substring(kth_u, $i, 1)) - 1 AS BIGINT) * $mult"
+        }.mkString(" + ")
+        s"""WITH d AS (SELECT DISTINCT event_type, md5(cast(user_id AS VARCHAR)) h FROM events
+           |           WHERE user_id IS NOT NULL AND event_type IN ('click', 'view')),
+           |ka AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) rn FROM d WHERE event_type = 'click') t WHERE rn <= 256),
+           |kb AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) rn FROM d WHERE event_type = 'view') t WHERE rn <= 256),
+           |u AS (SELECT DISTINCT h FROM (SELECT h FROM ka UNION ALL SELECT h FROM kb) t),
+           |ku AS (SELECT h, rn FROM (SELECT h, row_number() OVER (ORDER BY h) rn FROM u) t WHERE rn <= 256),
+           |st AS (SELECT count(*) nu, max(CASE WHEN rn = 256 THEN h END) kth_u FROM ku),
+           |ic AS (SELECT count(*) inter_cnt FROM ku
+           |       WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)),
+           |fin AS (SELECT nu, inter_cnt,
+           |    CASE WHEN nu < 256 THEN cast(nu AS DOUBLE)
+           |         ELSE (255.0 * 4294967296.0) / cast($nibU AS DOUBLE) END est_union
+           |  FROM st, ic)
+           |SELECT cast(nu AS BIGINT) AS nu, cast(inter_cnt AS BIGINT) AS inter_cnt, est_union,
+           |  (cast(inter_cnt AS DOUBLE) / least(256, nu)) * est_union AS est_inter
+           |FROM fin""".stripMargin
+      })
   }
 
   val annIvf: Map[String, String] = Map(

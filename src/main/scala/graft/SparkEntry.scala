@@ -18,6 +18,7 @@ object SparkEntry {
     "q_agg_stats" -> (Relational.aggStats _),
     "q_agg_uniq" -> (Relational.aggUniq _),
     "q_sketch_kmv" -> ((s: SparkSession, d: String) => Sketches.kmvUniq(s, d)),
+    "q_sketch_ops" -> ((s: SparkSession, d: String) => Sketches.kmvSetOps(s, d)),
     "q_agg_histogram" -> (Relational.aggHistogram _),
     "q_agg_highcard" -> (Relational.aggHighcard _),
     "q_secondary_sort" -> (Relational.secondarySort _),

@@ -28,6 +28,8 @@ object GraftFunctions {
       "winnow_fp", TextHashExprs.unary("winnow_fp", WinnowFp), "built-in")
     reg.createOrReplaceTempFunction(
       "kmv_uniq", graft.plans.KmvUniq.builder, "built-in")
+    reg.createOrReplaceTempFunction(
+      "kmv_set", graft.plans.KmvUniq.setBuilder, "built-in")
     // same rewrite GraftExtensions injects, via the runtime hook for
     // sessions built without extensions
     if (!spark.experimental.extraOptimizations.contains(graft.plans.DotProductRewrite))

@@ -28,6 +28,40 @@ object Sketches {
       .select(col("event_type"), col("s.est").as("est_uniq"), col("s.kth").as("kth_hash"))
   }
 
+  /** KMV sketch SET ALGEBRA: union and intersection distinct-count
+    * estimates for click vs view users computed purely from the two
+    * stored sketches — never re-reading raw data (the warehouse shape:
+    * daily per-segment sketches combined ad hoc). KMV truncation
+    * commutes with union (k-min(k-min A ∪ k-min B) = k-min(A∪B)) and
+    * any union-sketch member below a side's k-th hash is IN that
+    * side's sketch, so both estimates are deterministic and
+    * oracle-hashed (q_sketch_ops). */
+  def kmvSetOps(spark: SparkSession, dir: String, k: Int = 256): DataFrame = {
+    GraftFunctions.register(spark)
+    val nib = (1 to 8).map { i =>
+      val mult = 1L << (4 * (8 - i))
+      s"cast(instr('0123456789abcdef', substring(kth_u, $i, 1)) - 1 AS BIGINT) * ${mult}L"
+    }.mkString(" + ")
+    val sk = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .selectExpr("event_type", "md5(cast(user_id as string)) AS h")
+      .groupBy("event_type")
+      .agg(expr(s"kmv_set(h, $k)").as("s"))
+    val a = sk.filter(col("event_type") === "click").select(col("s.hs").as("ha"))
+    val b = sk.filter(col("event_type") === "view").select(col("s.hs").as("hb"))
+    a.crossJoin(b)
+      .withColumn("hu", expr(s"slice(array_sort(array_distinct(concat(ha, hb))), 1, $k)"))
+      .withColumn("nu", expr("cast(size(hu) AS BIGINT)"))
+      .withColumn("kth_u", expr(s"try_element_at(hu, $k)"))
+      .withColumn("inter_cnt", expr(
+        "cast(size(filter(hu, x -> array_contains(ha, x) AND array_contains(hb, x))) AS BIGINT)"))
+      .withColumn("est_union", expr(
+        s"CASE WHEN nu < $k THEN cast(nu AS DOUBLE) ELSE (${k - 1}D * 4294967296.0D) / cast($nib AS DOUBLE) END"))
+      .withColumn("est_inter", expr(
+        s"(cast(inter_cnt AS DOUBLE) / least($k, nu)) * est_union"))
+      .select("nu", "inter_cnt", "est_union", "est_inter")
+  }
+
   /** Apache DataSketches HLL (Spark-native hll_sketch_agg): the
     * industry-standard mergeable sketch — smaller state than KMV at
     * the same error, but implementation-defined estimates, so it is

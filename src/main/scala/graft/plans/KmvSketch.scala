@@ -32,6 +32,7 @@ import org.apache.spark.unsafe.types.UTF8String
 case class KmvUniq(
     child: Expression,
     k: Int,
+    emitSet: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[java.util.TreeSet[String]] {
@@ -40,10 +41,15 @@ case class KmvUniq(
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
-  override def dataType: DataType = StructType(Seq(
-    StructField("est", DoubleType, nullable = false),
-    StructField("kth", StringType, nullable = true)))
-  override def prettyName: String = "kmv_uniq"
+  override def dataType: DataType =
+    if (emitSet) StructType(Seq(
+      StructField("est", DoubleType, nullable = false),
+      StructField("kth", StringType, nullable = true),
+      StructField("hs", ArrayType(StringType, containsNull = false), nullable = false)))
+    else StructType(Seq(
+      StructField("est", DoubleType, nullable = false),
+      StructField("kth", StringType, nullable = true)))
+  override def prettyName: String = if (emitSet) "kmv_set" else "kmv_uniq"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -82,21 +88,29 @@ case class KmvUniq(
   }
 
   override def eval(buffer: java.util.TreeSet[String]): Any = {
-    if (buffer.size < k) {
-      new GenericInternalRow(Array[Any](buffer.size.toDouble, null))
-    } else {
-      val kth = buffer.last()
-      // uint32 of the first 8 hex chars; integers < 2^32 are exact in
-      // double, so the single division below is the only inexact op —
-      // the oracle runs the identical sequence
-      var v = 0L
-      var i = 0
-      while (i < 8) {
-        v = (v << 4) | Character.digit(kth.charAt(i), 16).toLong
-        i += 1
+    val (est, kth): (Double, UTF8String) =
+      if (buffer.size < k) (buffer.size.toDouble, null)
+      else {
+        val kh = buffer.last()
+        // uint32 of the first 8 hex chars; integers < 2^32 are exact in
+        // double, so the single division below is the only inexact op —
+        // the oracle runs the identical sequence
+        var v = 0L
+        var i = 0
+        while (i < 8) {
+          v = (v << 4) | Character.digit(kh.charAt(i), 16).toLong
+          i += 1
+        }
+        (((k - 1).toDouble * 4294967296.0) / v.toDouble, UTF8String.fromString(kh))
       }
-      val est = ((k - 1).toDouble * 4294967296.0) / v.toDouble
-      new GenericInternalRow(Array[Any](est, UTF8String.fromString(kth)))
+    if (!emitSet) new GenericInternalRow(Array[Any](est, kth))
+    else {
+      val hs = new Array[Any](buffer.size)
+      val it = buffer.iterator()
+      var i = 0
+      while (it.hasNext) { hs(i) = UTF8String.fromString(it.next()); i += 1 }
+      new GenericInternalRow(Array[Any](est, kth,
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(hs)))
     }
   }
 
@@ -128,14 +142,21 @@ case class KmvUniq(
 }
 
 object KmvUniq {
-  /** `kmv_uniq(hex_hash_col, k)` — k must be a foldable int literal. */
-  val builder: Seq[Expression] => Expression = { children =>
-    require(children.length == 2, "kmv_uniq takes (hash_column, k)")
-    val k = children(1) match {
-      case Literal(v: Int, IntegerType) => v
-      case other => throw new IllegalArgumentException(
-        s"kmv_uniq k must be an int literal, got $other")
-    }
-    KmvUniq(children.head, k).toAggregateExpression()
+  private def mk(name: String, emitSet: Boolean): Seq[Expression] => Expression = {
+    children =>
+      require(children.length == 2, s"$name takes (hash_column, k)")
+      val k = children(1) match {
+        case Literal(v: Int, IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"$name k must be an int literal, got $other")
+      }
+      KmvUniq(children.head, k, emitSet).toAggregateExpression()
   }
+
+  /** `kmv_uniq(hex_hash_col, k)` — k must be a foldable int literal. */
+  val builder: Seq[Expression] => Expression = mk("kmv_uniq", emitSet = false)
+
+  /** `kmv_set(hex_hash_col, k)` — also emits the hash set, enabling
+    * sketch set algebra (union/intersection) downstream. */
+  val setBuilder: Seq[Expression] => Expression = mk("kmv_set", emitSet = true)
 }

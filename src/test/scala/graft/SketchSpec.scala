@@ -42,6 +42,20 @@ class SketchSpec extends SparkSpec {
     assert(est > 100000 * 0.4 && est < 100000 * 2.5, s"est=$est")
   }
 
+  test("kmv set algebra approximates exact union/intersection") {
+    val r = Sketches.kmvSetOps(spark, sfDir).collect()(0)
+    val (estU, estI) = (r.getDouble(2), r.getDouble(3))
+    val ev = Tables.events(spark, sfDir)
+    def users(t: String) = ev.filter(col("event_type") === t)
+      .select("user_id").distinct()
+    val exactU = users("click").union(users("view")).distinct().count()
+    val exactI = users("click").intersect(users("view")).count()
+    assert(math.abs(estU - exactU) / exactU < 0.15, s"union est=$estU exact=$exactU")
+    assert(exactI === 0 || math.abs(estI - exactI) / exactI < 0.35,
+      s"inter est=$estI exact=$exactI")
+    assert(estI <= estU)
+  }
+
   test("hll sketches: accuracy and lossless partial merge") {
     val direct = Sketches.hllUniq(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
