@@ -43,6 +43,10 @@ object SparkEntry {
     "q_text_tokens" -> (TextOps.tokenCounts _),
     "q_text_fingerprint" -> (TextOps.fingerprint _),
     "q_tfidf" -> (TextOps.tfidf _),
+    // no oracleSql entry: BM25's ln() is libm-dependent in the last
+    // bits, so the driver records the weaker rows-only check and the
+    // ranking semantics are asserted in TfIdfSpec instead
+    "q_bm25" -> ((s: SparkSession, d: String) => TextOps.bm25(s, d)),
     // dedup (§2.6)
     "q_dedup_exact" -> (Dedup.exact _),
     "q_dedup_minhash" -> (Dedup.minhashBands _),

@@ -115,6 +115,36 @@ object TextOps {
       .select("doc_id", "rk", "word", "score")
   }
 
+  /** BM25 ranked retrieval (Robertson–Spärck Jones): score the corpus
+    * against a bag-of-words query with the standard k1/b saturation and
+    * length normalization. Distributed shape: tf table ⋈ broadcast
+    * per-term idf ⋈ broadcast (avgdl scalar), one groupBy(doc) — no
+    * driver-side scoring. idf uses ln, whose last bits are libm-
+    * dependent, so ranks are ScalaTest-verified (TfIdfSpec) and the
+    * driver records a rows-only check rather than a hash. */
+  def bm25(spark: SparkSession, dir: String,
+    query: Seq[String] = Seq("spark", "data", "system"),
+    k1: Double = 1.2, b: Double = 0.75, topN: Int = 20): DataFrame = {
+    val toks = tokens(spark, dir)
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // corpus scalars stay in the plan as broadcast 1-row frames — no
+    // driver-side collect, one lazy DAG end to end
+    val stats = dl.agg(avg(col("dl").cast("double")).as("avgdl"))
+      .crossJoin(Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs")))
+    val tf = toks.filter(col("word").isin(query: _*))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("word").agg(countDistinct("doc_id").as("df"))
+    val scored = tf.join(broadcast(df), "word").join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("term_score",
+        col("idf") * (col("tf") * (lit(k1) + 1)) /
+          (col("tf") + lit(k1) * (lit(1) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(sum("term_score").as("score"), count(lit(1)).as("n_terms"))
+    scored.orderBy(col("score").desc, col("doc_id")).limit(topN)
+  }
+
   /** Winnowing document fingerprint (rolling-hash): char 10-gram md5
     * hashes, min over each 8-gram window, distinct survivors. The
     * window is partitioned per doc so it scales out. */
