@@ -361,12 +361,16 @@ object Oracles {
            |st AS (SELECT count(*) nu, max(CASE WHEN rn = 256 THEN h END) kth_u FROM ku),
            |ic AS (SELECT count(*) inter_cnt FROM ku
            |       WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)),
-           |fin AS (SELECT nu, inter_cnt,
+           |ao AS (SELECT count(*) aonly_cnt FROM ku
+           |       WHERE h IN (SELECT h FROM ka) AND h NOT IN (SELECT h FROM kb)),
+           |fin AS (SELECT nu, inter_cnt, aonly_cnt,
            |    CASE WHEN nu < 256 THEN cast(nu AS DOUBLE)
            |         ELSE (255.0 * 4294967296.0) / cast($nibU AS DOUBLE) END est_union
-           |  FROM st, ic)
-           |SELECT cast(nu AS BIGINT) AS nu, cast(inter_cnt AS BIGINT) AS inter_cnt, est_union,
-           |  (cast(inter_cnt AS DOUBLE) / least(256, nu)) * est_union AS est_inter
+           |  FROM st, ic, ao)
+           |SELECT cast(nu AS BIGINT) AS nu, cast(inter_cnt AS BIGINT) AS inter_cnt,
+           |  cast(aonly_cnt AS BIGINT) AS aonly_cnt, est_union,
+           |  (cast(inter_cnt AS DOUBLE) / least(256, nu)) * est_union AS est_inter,
+           |  (cast(aonly_cnt AS DOUBLE) / least(256, nu)) * est_union AS est_diff
            |FROM fin""".stripMargin
       })
   }
@@ -476,6 +480,13 @@ object Oracles {
       """SELECT coalesce(l_returnflag, 'ALL') AS flag, coalesce(l_linestatus, 'ALL') AS status,
         |  cast(sum(cast(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag, coalesce(l_linestatus, 'ALL') AS status,
+        |  cast(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+        |  cast(sum(cast(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin,
 
     "q_cube" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS flag, coalesce(l_linestatus, 'ALL') AS status,

@@ -70,6 +70,7 @@ object SparkEntry {
     // OLAP analytics (§2.1 extensions)
     "q_rollup" -> (Olap.rollup _),
     "q_cube" -> (Olap.cube _),
+    "q_grouping_sets" -> (Olap.groupingSets _),
     "q_window_funcs" -> (Olap.windowFuncs _),
     "q_corr_stats" -> (Olap.corrStats _),
     "q_pivot" -> (Olap.pivot _),

@@ -38,6 +38,23 @@ object Olap {
         coalesce(col("l_linestatus"), lit("ALL")).as("status"),
         col("sum_qty"), col("n"))
 
+  /** GROUPING SETS with explicit grouping_id — the general form rollup
+    * and cube specialize; the id makes each subtotal level
+    * self-describing (the reference emits one labeled output per
+    * aggregation job). */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(spark, dir)
+    spark.sql(
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |  coalesce(l_linestatus, 'ALL') AS status,
+        |  cast(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  cast(sum(cast(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |""".stripMargin)
+  }
+
   /** The navigation-window family — lag/lead/first/last over the
     * per-customer order timeline (the reference's sorted-reduce-values
     * iteration). Key-partitioned window, integer/date outputs only. */

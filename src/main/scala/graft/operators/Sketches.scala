@@ -59,7 +59,12 @@ object Sketches {
         s"CASE WHEN nu < $k THEN cast(nu AS DOUBLE) ELSE (${k - 1}D * 4294967296.0D) / cast($nib AS DOUBLE) END"))
       .withColumn("est_inter", expr(
         s"(cast(inter_cnt AS DOUBLE) / least($k, nu)) * est_union"))
-      .select("nu", "inter_cnt", "est_union", "est_inter")
+      // difference A∖B by the same membership argument
+      .withColumn("aonly_cnt", expr(
+        "cast(size(filter(hu, x -> array_contains(ha, x) AND NOT array_contains(hb, x))) AS BIGINT)"))
+      .withColumn("est_diff", expr(
+        s"(cast(aonly_cnt AS DOUBLE) / least($k, nu)) * est_union"))
+      .select("nu", "inter_cnt", "aonly_cnt", "est_union", "est_inter", "est_diff")
   }
 
   /** Apache DataSketches HLL (Spark-native hll_sketch_agg): the
