@@ -63,6 +63,42 @@ object Media {
         .as(Seq("frame_no", "frame")))
       .filter(col("frame_no") % stride === 0)
 
+  /** Resize stub: decimate the payload by `factor` (keep every
+    * factor-th byte) — the downsample shape of an image resize, run
+    * per-partition like the decoder. Output stays a binary column. */
+  def resize(spark: SparkSession, media: DataFrame, factor: Int = 4): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val out = new Array[Byte]((payload.length + factor - 1) / factor)
+          var i = 0
+          while (i < out.length) { out(i) = payload(i * factor); i += 1 }
+          (id, out)
+        }
+      }.toDF("doc_id", "resized")
+  }
+
+  /** Feature-extraction stub: decoded payload → L2-normalized 16-dim
+    * embedding (nibble-bucket frequencies). The output column has the
+    * exact shape the Similarity operators consume (`Array[Float]`), so
+    * the media pipeline composes with ANN search end-to-end — a real
+    * model swap changes only the function body. */
+  def extractEmbedding(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // model/codec load would happen once per partition here
+        rows.map { case (id, payload) =>
+          val decoded = decodeStub(payload)
+          val hist = new Array[Float](16)
+          decoded.foreach(b => hist(b & 0xf) += 1f)
+          val n = math.sqrt(hist.map(x => x.toDouble * x).sum).toFloat max 1e-9f
+          (id, hist.map(_ / n))
+        }
+      }.toDF("vec_id", "embedding")
+  }
+
   /** Oracle-checkable metadata projection (q_media_meta). */
   def mediaMeta(spark: SparkSession, dir: String): DataFrame =
     mediaTable(spark, dir).select(

@@ -43,4 +43,41 @@ class MediaSpec extends SparkSpec {
     assert(Media.decodeStub(in).toSeq === Media.decodeStub(in).toSeq)
     assert(Media.decodeStub(in).length === 4)
   }
+
+  test("resize decimates payloads by the factor") {
+    val m = Media.mediaTable(spark, sfDir).limit(10)
+    val r = Media.resize(spark, m, factor = 4)
+    val lens = m.select("doc_id", "meta.byte_len").collect()
+      .map(x => x.getLong(0) -> x.getInt(1)).toMap
+    r.select(col("doc_id"), length(col("resized"))).collect().foreach { row =>
+      assert(row.getInt(1) === (lens(row.getLong(0)) + 3) / 4)
+    }
+  }
+
+  test("extracted embeddings are unit-norm and feed the ANN operators") {
+    val m = Media.mediaTable(spark, sfDir).limit(50)
+    val emb = Media.extractEmbedding(spark, m)
+    // unit norm (within float tolerance)
+    emb.collect().foreach { r =>
+      val v = r.getAs[scala.collection.Seq[Float]](1)
+      assert(v.length === 16)
+      val n2 = v.map(x => x.toDouble * x).sum
+      assert(math.abs(n2 - 1.0) < 1e-3, s"norm^2=$n2")
+    }
+    // composes with the similarity machinery end-to-end: quantize and
+    // score media-derived embeddings exactly like corpus embeddings
+    graft.functions.GraftFunctions.register(spark)
+    val q = emb
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(round(cast(x as double) * 1000, 0) as bigint))").as("q"))
+      .withColumn("n2", expr("array_dot_long(q, q)"))
+    val probes = q.limit(2).select(col("vec_id").as("probe_id"),
+      col("q").as("qa"), col("n2").as("n2a"))
+    val top = broadcast(probes).crossJoin(
+      q.select(col("vec_id").as("nbr_id"), col("q").as("qb"), col("n2").as("n2b")))
+      .filter(col("probe_id") =!= col("nbr_id"))
+      .withColumn("dot", expr("array_dot_long(qa, qb)"))
+      .count()
+    assert(top > 0)
+  }
 }
