@@ -129,6 +129,28 @@ class StreamsSpec extends SparkSpec {
     assert(df.select("user_id").distinct().count() === nUsers)
   }
 
+  test("streaming near-dup dedup on the simhash32 kernel fingerprint") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    input.addData(
+      (1L, t0, "the quick brown fox jumps over the lazy dog"),
+      (2L, t0, "the quick brown fox jumps over the lazy dog"), // exact dup
+      (3L, t0, "a completely different document about spark engines"))
+    val deduped = input.toDF().toDF("doc_id", "ts", "text")
+      .withColumn("fp", expr("simhash32(split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' '), ' +', ' ')), ' '))"))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("fp")
+    val q = deduped.writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("sdedup").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.size === 2, s"dup fingerprint must be dropped: $out")
+    assert(out.contains(3L))
+  }
+
   test("kmv_uniq sketch aggregates over a stream with bounded state") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
