@@ -44,7 +44,9 @@ class SketchSpec extends SparkSpec {
 
   test("kmv set algebra approximates exact union/intersection") {
     val r = Sketches.kmvSetOps(spark, sfDir).collect()(0)
-    val (estU, estI) = (r.getDouble(2), r.getDouble(3))
+    val estU = r.getAs[Double]("est_union")
+    val estI = r.getAs[Double]("est_inter")
+    val estD = r.getAs[Double]("est_diff")
     val ev = Tables.events(spark, sfDir)
     def users(t: String) = ev.filter(col("event_type") === t)
       .select("user_id").distinct()
@@ -54,6 +56,9 @@ class SketchSpec extends SparkSpec {
     assert(exactI === 0 || math.abs(estI - exactI) / exactI < 0.35,
       s"inter est=$estI exact=$exactI")
     assert(estI <= estU)
+    val exactD = users("click").except(users("view")).count()
+    assert(exactD === 0 || math.abs(estD - exactD) / exactD < 0.35,
+      s"diff est=$estD exact=$exactD")
   }
 
   test("hll sketches: accuracy and lossless partial merge") {
