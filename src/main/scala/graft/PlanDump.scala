@@ -12,7 +12,8 @@ object PlanDump {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q1_agg", "q_join_star", "q_join_bigbig", "q_dedup_minhash",
-        "q_ann_lsh", "q_wordcount")
+        "q_dedup_simhash", "q_ann_lsh", "q_ann_lsh_native", "q_sketch_kmv",
+        "q_total_order_bucket", "q_wordcount")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
