@@ -195,6 +195,38 @@ object Oracles {
          |mw AS (SELECT doc_id, min(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) minh FROM kg)
          |SELECT doc_id, count(DISTINCT minh) AS n_fp, min(minh) AS fp_min FROM mw GROUP BY doc_id""".stripMargin,
 
+    "q_text_redact" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+')) AS n_emails,
+        |  len(regexp_extract_all(text, '[0-9]{7,}')) AS n_longnums,
+        |  len(regexp_extract_all(text, 'https?://[^ ]+')) AS n_urls,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', '<EMAIL>', 'g'),
+        |    'https?://[^ ]+', '<URL>', 'g'),
+        |    '[0-9]{7,}', '<NUM>', 'g') AS clean
+        |FROM documents""".stripMargin,
+
+    "q_text_chunks" ->
+      s"""WITH nt AS (SELECT doc_id, list_filter(string_split($norm, ' '), x -> x <> '') tk FROM documents),
+         |nz AS (SELECT doc_id, tk FROM nt WHERE len(tk) > 0),
+         |wi AS (SELECT doc_id, tk,
+         |    unnest(generate_series(0, cast(greatest(ceil((len(tk) - 64) / 48.0), 0) AS INTEGER))) w
+         |  FROM nz)
+         |SELECT doc_id, cast(w AS INTEGER) AS chunk_no,
+         |  cast(len(tk[w * 48 + 1 : w * 48 + 64]) AS INTEGER) AS n_tokens,
+         |  substring(md5(array_to_string(tk[w * 48 + 1 : w * 48 + 64], ' ')), 1, 16) AS chunk_sig
+         |FROM wi""".stripMargin,
+
+    "q_text_repetition" ->
+      s"""WITH nt AS (SELECT doc_id, string_split($norm, ' ') tk FROM documents),
+         |ix AS (SELECT doc_id, tk, unnest(generate_series(1, greatest(len(tk) - 2, 1))) i FROM nt),
+         |gr AS (SELECT doc_id, concat_ws(' ', tk[i], tk[i+1], tk[i+2]) g FROM ix),
+         |c AS (SELECT doc_id, g, count(*) c FROM gr GROUP BY 1, 2),
+         |a AS (SELECT doc_id, max(c) top_cnt, cast(sum(c) AS BIGINT) n_grams FROM c GROUP BY 1)
+         |SELECT doc_id, top_cnt, n_grams,
+         |  cast(top_cnt * 1000000 // n_grams AS BIGINT) AS rep_ppm
+         |FROM a""".stripMargin,
+
     "q_tfidf" ->
       s"""WITH t AS (SELECT doc_id, unnest(string_split($norm, ' ')) word FROM documents),
          |tf AS (SELECT doc_id, word, count(*) tf FROM t WHERE word <> '' GROUP BY 1, 2),

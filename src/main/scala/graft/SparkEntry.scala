@@ -43,6 +43,9 @@ object SparkEntry {
     "q_text_tokens" -> (TextOps.tokenCounts _),
     "q_text_fingerprint" -> (TextOps.fingerprint _),
     "q_tfidf" -> (TextOps.tfidf _),
+    "q_text_redact" -> (TextOps.redact _),
+    "q_text_chunks" -> ((s: SparkSession, d: String) => TextOps.chunk(s, d)),
+    "q_text_repetition" -> (TextOps.repetition _),
     // no oracleSql entry: BM25's ln() is libm-dependent in the last
     // bits, so the driver records the weaker rows-only check and the
     // ranking semantics are asserted in TfIdfSpec instead

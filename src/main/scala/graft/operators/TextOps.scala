@@ -115,6 +115,55 @@ object TextOps {
       .select("doc_id", "rk", "word", "score")
   }
 
+  /** PII scrubbing — the redaction pass every training-data pipeline
+    * runs before anything else: emails, long digit runs (phone/account
+    * numbers) and URLs replaced with typed placeholder tokens. Pure
+    * regexp_replace chain → codegen'd, map-side, pushdown-friendly.
+    * Counts are emitted per doc so the scrub is auditable. */
+  def redact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr("size(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', 0))").as("n_emails"),
+        expr("size(regexp_extract_all(text, '[0-9]{7,}', 0))").as("n_longnums"),
+        expr("size(regexp_extract_all(text, 'https?://[^ ]+', 0))").as("n_urls"),
+        expr("""regexp_replace(regexp_replace(regexp_replace(text,
+               |  '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', '<EMAIL>'),
+               |  'https?://[^ ]+', '<URL>'),
+               |  '[0-9]{7,}', '<NUM>')""".stripMargin).as("clean"))
+
+  /** Context-window chunking: split each document's token stream into
+    * fixed-size windows with overlap — the training-example shaping
+    * step. One explode per doc (rows = ceil(tokens/stride)), window
+    * text rebuilt by slice+join so chunk boundaries are exact. */
+  def chunk(spark: SparkSession, dir: String,
+    window: Int = 64, stride: Int = 48): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), expr(s"filter(split($normExpr, ' '), x -> x <> '')").as("tk"))
+      .filter(expr("size(tk) > 0"))
+      .select(col("doc_id"), col("tk"),
+        explode(expr(
+          s"sequence(0, cast(greatest(ceil((size(tk) - $window) / $stride.0), 0) as int))")).as("w"))
+      .select(col("doc_id"), col("w").as("chunk_no"),
+        expr(s"size(slice(tk, w * $stride + 1, $window))").as("n_tokens"),
+        expr(s"substring(md5(cast(array_join(slice(tk, w * $stride + 1, $window), ' ') as binary)), 1, 16)").as("chunk_sig"))
+
+  /** Repetition detection (the Gopher/RefinedWeb quality rule): the
+    * fraction of the document covered by its most frequent 3-gram.
+    * Exact integer ratio — top3_cnt * 10^6 div n_grams — so the score
+    * is engine-portable; high values flag boilerplate/spam. */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(expr(normExpr), " ").as("tk"))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, greatest(size(tk) - 2, 1)),
+          |  i -> concat_ws(' ', try_element_at(tk, i), try_element_at(tk, i + 1), try_element_at(tk, i + 2)))""".stripMargin)).as("g"))
+    grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max("c").as("top_cnt"), sum("c").as("n_grams"))
+      .select(col("doc_id"), col("top_cnt"), col("n_grams"),
+        expr("top_cnt * 1000000 div n_grams").as("rep_ppm"))
+  }
+
   /** BM25 ranked retrieval (Robertson–Spärck Jones): score the corpus
     * against a bag-of-words query with the standard k1/b saturation and
     * length normalization. Distributed shape: tf table ⋈ broadcast
