@@ -289,6 +289,15 @@ object Oracles {
          |FROM cand WHERE bit_count(xor(va, vb)) <= 3""".stripMargin
     },
 
+    "q_dedup_clusters" ->
+      s"""${minhashCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |pairs AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+         |  FROM band a JOIN band b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |e AS (SELECT doc_a a, doc_b b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+         |r AS (SELECT a, b FROM e UNION SELECT r.a, e2.b FROM r JOIN e e2 ON r.b = e2.a),
+         |roots AS (SELECT a AS doc_id, least(a, min(b)) AS cluster FROM r GROUP BY a)
+         |SELECT doc_id, cluster, doc_id = cluster AS keep FROM roots""".stripMargin,
+
     "q_dedup_jaccard" ->
       s"""$shingleCte,
          |dfq AS (SELECT s FROM (SELECT s, count(DISTINCT doc_id) c FROM sh GROUP BY 1) t WHERE c <= 20),

@@ -103,6 +103,49 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** The dedup DECISION step: candidate near-dup pairs → connected
+    * components → one canonical doc per cluster (min doc_id). Min-label
+    * propagation to the fixpoint: each iteration joins labels across
+    * edges and keeps the minimum — deterministic (the fixpoint is the
+    * per-component minimum regardless of iteration order), bounded by
+    * component diameter. The driver loop only checks a converged
+    * count per round; all data work is joins/aggregations. At 100 TB
+    * components are near-diameter-2 after LSH blocking (dups cluster
+    * tightly); for adversarial graphs swap in the large-star/small-star
+    * alternation (Kiveris et al. 2014) — same join primitives. */
+  def dedupClusters(spark: SparkSession, dir: String, maxIters: Int = 10): DataFrame = {
+    val pairs = minhashPairs(spark, dir).select("doc_a", "doc_b")
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist()
+    var labels = edges.select(col("doc_a").as("doc_id"))
+      .distinct()
+      .withColumn("cluster", col("doc_id"))
+      .persist()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val viaEdges = edges
+        .join(labels, edges("doc_b") === labels("doc_id"))
+        .select(edges("doc_a").as("doc_id"), col("cluster"))
+      val next = labels.select(col("doc_id"), col("cluster"))
+        .union(viaEdges)
+        .groupBy("doc_id").agg(min("cluster").as("cluster"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("cluster", "old"), "doc_id")
+        .filter(col("cluster") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    edges.unpersist()
+    // the converged labels stay cached for the caller's action; Bench
+    // clears the cache between queries
+    labels.select(col("doc_id"), col("cluster"),
+      (col("doc_id") === col("cluster")).as("keep"))
+  }
+
   /** Exact n-gram Jaccard on candidate pairs found through the shingle
     * inverted index (pairs must share >= 1 shingle; shingles occurring
     * in > 20 docs are dropped — the standard df-cut that bounds bucket

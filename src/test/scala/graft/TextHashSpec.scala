@@ -87,6 +87,22 @@ class TextHashSpec extends SparkSpec {
       relational.count())
   }
 
+  test("dedupClusters: every candidate pair lands in one cluster, roots are minima") {
+    import graft.operators.Dedup
+    val labels = Dedup.dedupClusters(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Dedup.minhashPairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "corpus should contain near-dup candidates")
+    pairs.foreach { case (a, b) =>
+      assert(labels(a) === labels(b), s"pair ($a,$b) must share a cluster")
+    }
+    // each cluster's label is its minimum member
+    labels.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.keys.min === c, s"cluster $c should be its min member")
+    }
+  }
+
   test("kernels keep the projection inside whole-stage codegen and plan no exchange") {
     val d = Tables.documents(spark, sfDir)
     GraftFunctions.register(spark)
