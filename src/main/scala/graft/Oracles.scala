@@ -583,6 +583,13 @@ object Oracles {
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
 
+    "q_range_join" ->
+      """WITH e AS (SELECT event_id eid, epoch_us(ts) te FROM events WHERE event_type = 'error'),
+        |c AS (SELECT epoch_us(ts) tc FROM events WHERE event_type = 'click')
+        |SELECT eid, count(tc) AS n_nearby
+        |FROM e LEFT JOIN c ON abs(te - tc) <= 300000000
+        |GROUP BY eid""".stripMargin,
+
     "q_asof_join" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, epoch_us(ts) tsus,

@@ -82,6 +82,7 @@ object SparkEntry {
     "q_percentiles" -> (Olap.percentiles _),
     "q_join_anti" -> (Olap.antiJoin _),
     "q_asof_join" -> (Olap.asofJoin _),
+    "q_range_join" -> ((s: SparkSession, d: String) => Olap.rangeJoinBinned(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

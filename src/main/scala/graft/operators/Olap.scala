@@ -135,6 +135,30 @@ object Olap {
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
 
+  /** Interval/range join, binned: for every error event, how many
+    * clicks (any user) happened within ±5 minutes. A naive inequality
+    * join is a broadcast-nested-loop at scale; binning time into
+    * window-sized buckets and replicating one side to bin±1 turns it
+    * into an equi-join on the bin + a residual filter — each candidate
+    * pair meets in exactly one bin (the probe's own), so no dedup pass
+    * is needed. */
+  def rangeJoinBinned(spark: SparkSession, dir: String,
+    windowUs: Long = 300000000L): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), expr("unix_micros(ts)").as("t"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("eid"), col("t").as("te"),
+        expr(s"t div ${windowUs}L").as("bin"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("t").as("tc"),
+        explode(expr(s"array(t div ${windowUs}L - 1, t div ${windowUs}L, t div ${windowUs}L + 1)")).as("bin"))
+    val matches = errors.join(clicks, "bin")
+      .filter(abs(col("te") - col("tc")) <= windowUs)
+      .groupBy("eid").agg(count(lit(1)).as("n"))
+    errors.select("eid").join(matches, Seq("eid"), "left")
+      .select(col("eid"), coalesce(col("n"), lit(0L)).as("n_nearby"))
+  }
+
   /** As-of join: for every 'error' event, the user's most recent
     * 'click' at or before it. Implemented as the union+running-max
     * trick — one window over the merged stream, partitioned by user —
