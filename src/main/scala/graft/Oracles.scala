@@ -583,6 +583,11 @@ object Oracles {
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
 
+    "q_join_salted" ->
+      s"""SELECT strftime(o_orderdate, '%Y-%m') AS month, $rev AS revenue, count(*) AS n
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY strftime(o_orderdate, '%Y-%m')""".stripMargin,
+
     "q_range_join" ->
       """WITH e AS (SELECT event_id eid, epoch_us(ts) te FROM events WHERE event_type = 'error'),
         |c AS (SELECT epoch_us(ts) tc FROM events WHERE event_type = 'click')

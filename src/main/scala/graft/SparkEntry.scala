@@ -83,6 +83,7 @@ object SparkEntry {
     "q_join_anti" -> (Olap.antiJoin _),
     "q_asof_join" -> (Olap.asofJoin _),
     "q_range_join" -> ((s: SparkSession, d: String) => Olap.rangeJoinBinned(s, d)),
+    "q_join_salted" -> (Olap.joinSalted _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -135,6 +135,26 @@ object Olap {
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
 
+  /** The salted big-big join under the correctness gate: lineitem ⋈
+    * orders through `Skew.saltedJoin` (hot side spread over 8 salt
+    * buckets, other side replicated ×8) aggregated to monthly revenue —
+    * the oracle is the PLAIN join, proving salting is
+    * result-transparent. */
+  def joinSalted(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderdate"))
+    val joined = graft.operators.Skew.saltedJoin(li, ord, "l_orderkey")
+    joined
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
   /** Interval/range join, binned: for every error event, how many
     * clicks (any user) happened within ±5 minutes. A naive inequality
     * join is a broadcast-nested-loop at scale; binning time into

@@ -73,6 +73,13 @@ class ScaleSpec extends SparkSpec {
       "only the fact-fact join may sort-merge")
   }
 
+  test("binned range join plans as an equi-join, never a nested loop") {
+    val plan = graft.operators.Olap.rangeJoinBinned(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"the bin trick must keep the inequality out of the join condition:\n$plan")
+  }
+
   test("runtime bloom-filter pruning injects on a selective shuffle join") {
     // Catalyst's runtime row-level filtering is the optimizer-rule form
     // of the BloomMapFile lookup (ref: src/core/org/apache/hadoop/io/
