@@ -54,6 +54,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       TextHashExprs.minhashInfo, TextHashExprs.unary("minhash12", MinHash12)))
     ext.injectFunction((FunctionIdentifier("winnow_fp"),
       TextHashExprs.winnowInfo, TextHashExprs.unary("winnow_fp", WinnowFp)))
+    ext.injectFunction((FunctionIdentifier("kmv_uniq"),
+      graft.plans.KmvUniq.uniqInfo, graft.plans.KmvUniq.builder))
+    ext.injectFunction((FunctionIdentifier("kmv_set"),
+      graft.plans.KmvUniq.setInfo, graft.plans.KmvUniq.setBuilder))
     ext.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.LshTopKJoinStrategy)
   }

@@ -142,6 +142,17 @@ case class KmvUniq(
 }
 
 object KmvUniq {
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  val uniqInfo: ExpressionInfo = new ExpressionInfo(
+    classOf[KmvUniq].getName, null, "kmv_uniq",
+    "_FUNC_(hex_hash, k) - KMV distinct-count sketch: struct(est, kth).",
+    "", "", "", "agg_funcs", "4.0.0", "", "built-in")
+  val setInfo: ExpressionInfo = new ExpressionInfo(
+    classOf[KmvUniq].getName, null, "kmv_set",
+    "_FUNC_(hex_hash, k) - KMV sketch with hash set: struct(est, kth, hs).",
+    "", "", "", "agg_funcs", "4.0.0", "", "built-in")
+
   private def mk(name: String, emitSet: Boolean): Seq[Expression] => Expression = {
     children =>
       require(children.length == 2, s"$name takes (hash_column, k)")
