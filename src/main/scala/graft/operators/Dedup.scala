@@ -113,7 +113,7 @@ object Dedup {
     * components are near-diameter-2 after LSH blocking (dups cluster
     * tightly); for adversarial graphs swap in the large-star/small-star
     * alternation (Kiveris et al. 2014) — same join primitives. */
-  def dedupClusters(spark: SparkSession, dir: String, maxIters: Int = 10): DataFrame = {
+  def dedupClusters(spark: SparkSession, dir: String, maxIters: Int = 25): DataFrame = {
     val pairs = minhashPairs(spark, dir).select("doc_a", "doc_b")
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))

@@ -123,16 +123,21 @@ case class LshTopKJoinExec(
       // bucket → corpus vectors of this partition (decoded to primitives)
       val byBucket = new mutable.HashMap[String, mutable.ArrayBuffer[(Long, Array[Long], Long)]]()
       cIter.foreach { row =>
-        val b = row.getUTF8String(cB).toString
-        byBucket.getOrElseUpdate(b, new mutable.ArrayBuffer())
-          .append((row.getLong(cId), row.getArray(cQ).toLongArray(), row.getLong(cN2)))
+        // SQL join semantics: null keys/payloads never match — skip them
+        if (!row.isNullAt(cB) && !row.isNullAt(cId) && !row.isNullAt(cQ) && !row.isNullAt(cN2)) {
+          val b = row.getUTF8String(cB).toString
+          byBucket.getOrElseUpdate(b, new mutable.ArrayBuffer())
+            .append((row.getLong(cId), row.getArray(cQ).toLongArray(), row.getLong(cN2)))
+        }
       }
       val proj = UnsafeProjection.create(
         Array[DataType](LongType, IntegerType, LongType, DoubleType))
       val outRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(4)
       // heap root = current WORST survivor: min cos, then max nbr_id
       val worstFirst: Ordering[(Double, Long)] = Ordering.by(t => (-t._1, t._2))
-      pIter.flatMap { row =>
+      pIter.filter(row =>
+        !row.isNullAt(pB) && !row.isNullAt(pId) && !row.isNullAt(pQ) && !row.isNullAt(pN2)
+      ).flatMap { row =>
         val probeId = row.getLong(pId)
         val qa = row.getArray(pQ).toLongArray()
         val n2a = row.getLong(pN2)
