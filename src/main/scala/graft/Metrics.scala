@@ -41,7 +41,12 @@ object Metrics {
 
     private def collectMetrics(qe: QueryExecution): Map[String, Long] = {
       val acc = mutable.Map[String, Long]().withDefaultValue(0L)
-      def walk(p: SparkPlan): Unit = {
+      // ReusedExchangeExec points at an exchange instance that is also
+      // reachable through its original subtree — an identity set keeps
+      // each node's (shared) metric accumulators counted exactly once
+      val seen = java.util.Collections.newSetFromMap(
+        new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
+      def walk(p: SparkPlan): Unit = if (seen.add(p)) {
         p.metrics.foreach { case (_, m) =>
           if (m.value > 0) acc(m.name.getOrElse("metric")) += m.value
         }

@@ -140,6 +140,11 @@ object Dedup {
       it += 1
     }
     edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"dedupClusters did not converge within $maxIters iterations — " +
+          "a component's diameter exceeds the cap; raise maxIters or switch " +
+          "to the large-star/small-star alternation for chain-shaped graphs")
     // the converged labels stay cached for the caller's action; Bench
     // clears the cache between queries
     labels.select(col("doc_id"), col("cluster"),
@@ -152,9 +157,12 @@ object Dedup {
     * size under skew at 100 TB). Top-50 pairs by similarity. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     // The shingle set feeds the df-cut, both join sides and the size
-    // table. All four consumers shuffle it on `s`, so ReuseExchange
-    // computes the explode once and shares the exchange — persist
-    // would pin cache blocks past the action instead.
+    // table. The join sides share one exchange via ReuseExchange; the
+    // df-cut aggregate and the sz aggregation have different subplans,
+    // so the explode recomputes a bounded number of times (map-side
+    // only — cheap relative to the joins). A persist here would trade
+    // that for cache blocks leaking past the action (round-1 ADVICE);
+    // callers that prefer caching can persist the input themselves.
     val sh = shingles(spark, dir)
     val df = sh.groupBy("s").agg(countDistinct("doc_id").as("docfreq"))
       .filter(col("docfreq") <= 20)

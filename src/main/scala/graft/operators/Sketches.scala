@@ -22,6 +22,9 @@ object Sketches {
   def kmvUniq(spark: SparkSession, dir: String, k: Int = 256): DataFrame = {
     GraftFunctions.register(spark)
     Tables.events(spark, dir)
+      // drop null users BEFORE grouping so a group with only-null users
+      // vanishes here exactly as it does in the oracle's filtered CTE
+      .filter(col("user_id").isNotNull)
       .selectExpr("event_type", "md5(cast(user_id as string)) AS h")
       .groupBy("event_type")
       .agg(expr(s"kmv_uniq(h, $k)").as("s"))
@@ -42,14 +45,18 @@ object Sketches {
       val mult = 1L << (4 * (8 - i))
       s"cast(instr('0123456789abcdef', substring(kth_u, $i, 1)) - 1 AS BIGINT) * ${mult}L"
     }.mkString(" + ")
+    // ONE ungrouped aggregate with conditional inputs (aggregates skip
+    // nulls): always exactly one output row — even when a side has no
+    // events its sketch is just empty, matching the oracle's ungrouped
+    // CTEs — and one shuffle instead of groupBy + two filters + join.
     val sk = Tables.events(spark, dir)
-      .filter(col("event_type").isin("click", "view"))
+      .filter(col("event_type").isin("click", "view") && col("user_id").isNotNull)
       .selectExpr("event_type", "md5(cast(user_id as string)) AS h")
-      .groupBy("event_type")
-      .agg(expr(s"kmv_set(h, $k)").as("s"))
-    val a = sk.filter(col("event_type") === "click").select(col("s.hs").as("ha"))
-    val b = sk.filter(col("event_type") === "view").select(col("s.hs").as("hb"))
-    a.crossJoin(b)
+      .groupBy()
+      .agg(
+        expr(s"kmv_set(CASE WHEN event_type = 'click' THEN h END, $k)").as("sa"),
+        expr(s"kmv_set(CASE WHEN event_type = 'view' THEN h END, $k)").as("sb"))
+    sk.select(col("sa.hs").as("ha"), col("sb.hs").as("hb"))
       .withColumn("hu", expr(s"slice(array_sort(array_distinct(concat(ha, hb))), 1, $k)"))
       .withColumn("nu", expr("cast(size(hu) AS BIGINT)"))
       .withColumn("kth_u", expr(s"try_element_at(hu, $k)"))

@@ -65,6 +65,12 @@ case class KmvUniq(
     val v = child.eval(input)
     if (v != null) {
       val h = v.asInstanceOf[UTF8String].toString
+      // the serialized buffer is fixed-stride 32-byte entries; reject
+      // anything that is not an md5 hex string rather than silently
+      // re-chunking garbage after a shuffle
+      if (h.length != 32)
+        throw new IllegalArgumentException(
+          s"$prettyName expects 32-char md5 hex strings (use md5(col)); got ${h.length} chars")
       // only insert if it could be among the k smallest
       if (buffer.size < k || h < buffer.last()) {
         buffer.add(h)

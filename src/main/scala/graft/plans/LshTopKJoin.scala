@@ -133,8 +133,15 @@ case class LshTopKJoinExec(
       val proj = UnsafeProjection.create(
         Array[DataType](LongType, IntegerType, LongType, DoubleType))
       val outRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(4)
-      // heap root = current WORST survivor: min cos, then max nbr_id
-      val worstFirst: Ordering[(Double, Long)] = Ordering.by(t => (-t._1, t._2))
+      // Heap root = current WORST survivor: min cos, then max nbr_id.
+      // Double.compare gives the same TOTAL order the window sort and
+      // the oracle use (NaN greatest — a zero-norm vector's 0/0 cosine
+      // ranks FIRST under cos DESC), where naive <,> comparisons would
+      // instead strand NaN at the bottom of the heap.
+      val worstFirst: Ordering[(Double, Long)] = (a, b) => {
+        val c = java.lang.Double.compare(a._1, b._1)
+        if (c != 0) -c else java.lang.Long.compare(a._2, b._2)
+      }
       pIter.filter(row =>
         !row.isNullAt(pB) && !row.isNullAt(pId) && !row.isNullAt(pQ) && !row.isNullAt(pN2)
       ).flatMap { row =>
@@ -153,7 +160,8 @@ case class LshTopKJoinExec(
             if (heap.size < kk) heap.enqueue((cos, nbrId))
             else {
               val (wc, wn) = heap.head
-              if (cos > wc || (cos == wc && nbrId < wn)) {
+              val c = java.lang.Double.compare(cos, wc)
+              if (c > 0 || (c == 0 && nbrId < wn)) {
                 heap.dequeue(); heap.enqueue((cos, nbrId))
               }
             }

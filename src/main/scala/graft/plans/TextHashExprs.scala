@@ -3,6 +3,8 @@ package graft.plans
 import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -158,14 +160,35 @@ object TextHash {
     * Sliding min runs on a monotonic deque: O(ng) total. */
   def winnowFp(text: UTF8String): InternalRow = {
     val digest = md5.get()
-    val bytes = text.getBytes // normalized text is ASCII: chars == bytes
-    val len = bytes.length
+    val bytes = text.getBytes
+    // gram boundaries follow substring (CODE POINT) semantics, so the
+    // function matches the relational formulation on any input, not
+    // just post-normalization ASCII. starts(c) = byte offset of code
+    // point c; for pure ASCII this is the identity.
+    var ascii = true
+    var bi = 0
+    while (ascii && bi < bytes.length) { if ((bytes(bi) & 0x80) != 0) ascii = false; bi += 1 }
+    val starts: Array[Int] =
+      if (ascii) null
+      else {
+        val b = new mutable.ArrayBuffer[Int]()
+        var o = 0
+        while (o < bytes.length) { if ((bytes(o) & 0xc0) != 0x80) b.append(o); o += 1 }
+        b.toArray
+      }
+    val len = if (ascii) bytes.length else starts.length
+    @inline def gramStart(c: Int): Int = if (ascii) c else starts(c)
+    @inline def gramEnd(c: Int): Int =
+      if (ascii) math.min(c, bytes.length)
+      else if (c >= starts.length) bytes.length else starts(c)
     val ng = math.max(len - 9, 1)
     val hs = new Array[Array[Byte]](ng)
     var i = 0
     while (i < ng) {
+      val s = gramStart(i)
+      val e = gramEnd(i + 10)
       digest.reset()
-      digest.update(bytes, i, math.min(10, len - i))
+      digest.update(bytes, s, e - s)
       hs(i) = digest.digest()
       i += 1
     }

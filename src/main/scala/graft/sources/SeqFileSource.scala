@@ -43,9 +43,17 @@ class SeqFileSource extends TableProvider with DataSourceRegister {
   override def getTable(
     schema: StructType, partitioning: Array[Transform],
     properties: util.Map[String, String]): Table =
-    new SeqFileTable(properties.asScala.get("path").orElse(
-      Option(properties.get("paths"))).getOrElse(
-      throw new IllegalArgumentException("graft-seqfile requires a path")))
+    properties.asScala.get("path") match {
+      case Some(p) => new SeqFileTable(p)
+      case None if properties.containsKey("paths") =>
+        // "paths" arrives as a JSON-encoded array — reject cleanly
+        // rather than treating the JSON text as a filesystem path
+        throw new IllegalArgumentException(
+          "graft-seqfile supports a single load path; pass one directory " +
+            "(multi-path load is not implemented)")
+      case None =>
+        throw new IllegalArgumentException("graft-seqfile requires a path")
+    }
 }
 
 object SeqFileSource {
@@ -69,9 +77,10 @@ class SeqFileTable(path: String) extends Table with SupportsRead with SupportsWr
     val in = info.schema()
     require(in.length == 2 && in.forall(_.dataType == StringType),
       s"graft-seqfile writes (key string, value string), got ${in.simpleString}")
+    val queryId = info.queryId()
     new WriteBuilder {
       override def build(): Write = new Write {
-        override def toBatch: BatchWrite = new SeqFileBatchWrite(path,
+        override def toBatch: BatchWrite = new SeqFileBatchWrite(path, queryId,
           new SerializableConfiguration(
             SparkSession.active.sessionState.newHadoopConf()))
       }
@@ -79,22 +88,47 @@ class SeqFileTable(path: String) extends Table with SupportsRead with SupportsWr
   }
 }
 
-/** Append-mode batch write: each task streams its partition into
-  * `part-<partition>-<task>` (task-attempt-unique names make
-  * speculative duplicates distinguishable; abort deletes the file). */
-class SeqFileBatchWrite(path: String, conf: SerializableConfiguration)
+case class SeqFileCommit(file: String) extends WriterCommitMessage
+
+/** Two-phase batch write: tasks stream into a hidden staging directory
+  * (`.graft-staging-<queryId>`), the driver's job commit renames the
+  * committed files into the destination and removes the staging dir,
+  * and job abort deletes the staging dir — so a failed or retried job
+  * never leaves partial output, and only one speculative attempt per
+  * partition lands (Spark commits exactly one DataWriter per
+  * partition). */
+class SeqFileBatchWrite(path: String, queryId: String, conf: SerializableConfiguration)
   extends BatchWrite {
+  private def stagingDir = new Path(path, s".graft-staging-$queryId")
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new SeqFileWriterFactory(path, conf)
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+    new SeqFileWriterFactory(stagingDir.toString, conf)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dest = new Path(path)
+    val fs = dest.getFileSystem(conf.value)
+    fs.mkdirs(dest)
+    messages.foreach {
+      case SeqFileCommit(f) =>
+        val src = new Path(f)
+        if (!fs.rename(src, new Path(dest, src.getName)))
+          throw new java.io.IOException(s"graft-seqfile commit failed to move $src")
+      case _ =>
+    }
+    fs.delete(stagingDir, true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = stagingDir.getFileSystem(conf.value)
+    fs.delete(stagingDir, true)
+  }
 }
 
-class SeqFileWriterFactory(path: String, conf: SerializableConfiguration)
+class SeqFileWriterFactory(stagingDir: String, conf: SerializableConfiguration)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
-      private val file = new Path(path, f"part-$partitionId%05d-$taskId")
+      private val file = new Path(stagingDir, f"part-$partitionId%05d-$taskId")
       private val writer = SequenceFile.createWriter(conf.value,
         SequenceFile.Writer.file(file),
         SequenceFile.Writer.keyClass(classOf[Text]),
@@ -110,7 +144,7 @@ class SeqFileWriterFactory(path: String, conf: SerializableConfiguration)
 
       override def commit(): WriterCommitMessage = {
         writer.close()
-        new WriterCommitMessage {}
+        SeqFileCommit(file.toString)
       }
 
       override def abort(): Unit = {
@@ -133,7 +167,8 @@ class SeqFileScan(path: String) extends Scan with Batch {
     val fs = p.getFileSystem(conf)
     val files =
       if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+        fs.listStatus(p).filter(s => s.isFile &&
+          !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
           .map(_.getPath.toString)
       else Array(path)
     files.sorted.map(f => SeqFilePartition(f): InputPartition)

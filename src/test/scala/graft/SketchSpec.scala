@@ -61,6 +61,24 @@ class SketchSpec extends SparkSpec {
       s"diff est=$estD exact=$exactD")
   }
 
+  test("kmv set algebra still emits one row when a side is empty") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // corpus with clicks only — the view sketch must be empty, not absent.
+    // Copy the RAW parquet (nanos-long ts) so Tables.events' timestamp
+    // rebuild still applies to the filtered copy.
+    val tmp = tmpDir() + "/skempty"
+    Tables.events(spark, sfDir) // ensures the nanosAsLong conf is set
+    spark.read.parquet(sfDir + "/events.parquet")
+      .filter(col("event_type") === "click")
+      .write.parquet(tmp + "/events.parquet")
+    val r = Sketches.kmvSetOps(spark, tmp).collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[Long]("inter_cnt") === 0L)
+    assert(r(0).getAs[Double]("est_inter") === 0.0)
+    assert(r(0).getAs[Double]("est_union") > 0.0)
+  }
+
   test("hll sketches: accuracy and lossless partial merge") {
     val direct = Sketches.hllUniq(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -40,6 +40,11 @@ class SourcesSpec extends SparkSpec {
     val back = SeqFiles.read(spark, dir)
     assert(back.count() === 5)
     assert(SeqFiles.readV2(spark, dir).join(back, Seq("key", "value")).count() === 5)
+    // job commit must have cleaned its staging directory
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+    assert(!files.exists(_.startsWith(".graft-staging")), files.toSeq)
+    // only committed part files (plus local-FS .crc sidecars) remain
+    assert(files.filterNot(_.startsWith(".")).forall(_.startsWith("part-")), files.toSeq)
   }
 
   test("PartitionedWriter writes hive-style partitions and prunes on read") {

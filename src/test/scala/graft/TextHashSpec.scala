@@ -87,6 +87,25 @@ class TextHashSpec extends SparkSpec {
       relational.count())
   }
 
+  test("winnow_fp follows substring (code point) semantics on non-ASCII text") {
+    GraftFunctions.register(spark)
+    val d = spark.createDataFrame(Seq(
+      (1L, "héllo wörld das ist ein längerer text für die prüfung"),
+      (2L, "日本語のテキストです これはテストのための文章です"),
+      (3L, "mixed ascii and ünïcödé characters across the window boundary")))
+      .toDF("doc_id", "t")
+    val relational = d
+      .withColumn("hs", expr(
+        "transform(sequence(1, greatest(length(t) - 9, 1)), i -> md5(cast(substring(t, i, 10) as binary)))"))
+      .select(col("doc_id"),
+        expr("size(array_distinct(transform(sequence(1, size(hs)), i -> array_min(slice(hs, i, least(8, size(hs) - i + 1))))))").as("n_fp"),
+        expr("array_min(hs)").as("fp_min"))
+    val kernel = d
+      .select(col("doc_id"), expr("winnow_fp(t)").as("w"))
+      .select(col("doc_id"), col("w.n_fp").as("n_fp"), col("w.fp_min").as("fp_min"))
+    assert(kernel.join(relational, Seq("doc_id", "n_fp", "fp_min")).count() === 3)
+  }
+
   test("dedupClusters: every candidate pair lands in one cluster, roots are minima") {
     import graft.operators.Dedup
     val labels = Dedup.dedupClusters(spark, sfDir).collect()
