@@ -140,11 +140,13 @@ object Dedup {
       it += 1
     }
     edges.unpersist()
-    if (!converged)
+    if (!converged) {
+      labels.unpersist() // don't leak cache blocks on the error path
       throw new IllegalStateException(
         s"dedupClusters did not converge within $maxIters iterations — " +
           "a component's diameter exceeds the cap; raise maxIters or switch " +
           "to the large-star/small-star alternation for chain-shaped graphs")
+    }
     // the converged labels stay cached for the caller's action; Bench
     // clears the cache between queries
     labels.select(col("doc_id"), col("cluster"),

@@ -3,8 +3,6 @@ package graft.plans
 import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
-import scala.collection.mutable
-
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -171,15 +169,26 @@ object TextHash {
     val starts: Array[Int] =
       if (ascii) null
       else {
-        val b = new mutable.ArrayBuffer[Int]()
+        // two-pass primitive fill — this is a per-row hot kernel, no boxing
+        var n = 0
         var o = 0
-        while (o < bytes.length) { if ((bytes(o) & 0xc0) != 0x80) b.append(o); o += 1 }
-        b.toArray
+        while (o < bytes.length) { if ((bytes(o) & 0xc0) != 0x80) n += 1; o += 1 }
+        val a = new Array[Int](n)
+        var j = 0
+        o = 0
+        while (o < bytes.length) {
+          if ((bytes(o) & 0xc0) != 0x80) { a(j) = o; j += 1 }
+          o += 1
+        }
+        a
       }
-    val len = if (ascii) bytes.length else starts.length
-    @inline def gramStart(c: Int): Int = if (ascii) c else starts(c)
+    // malformed UTF-8 (all continuation bytes) has no code-point starts:
+    // fall back to byte grams rather than crash — one gram of raw bytes
+    val byteMode = ascii || starts.length == 0
+    val len = if (byteMode) bytes.length else starts.length
+    @inline def gramStart(c: Int): Int = if (byteMode) c else starts(c)
     @inline def gramEnd(c: Int): Int =
-      if (ascii) math.min(c, bytes.length)
+      if (byteMode) math.min(c, bytes.length)
       else if (c >= starts.length) bytes.length else starts(c)
     val ng = math.max(len - 9, 1)
     val hs = new Array[Array[Byte]](ng)

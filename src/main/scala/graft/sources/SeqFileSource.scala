@@ -102,7 +102,7 @@ class SeqFileBatchWrite(path: String, queryId: String, conf: SerializableConfigu
   private def stagingDir = new Path(path, s".graft-staging-$queryId")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new SeqFileWriterFactory(stagingDir.toString, conf)
+    new SeqFileWriterFactory(stagingDir.toString, queryId, conf)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dest = new Path(path)
@@ -113,7 +113,10 @@ class SeqFileBatchWrite(path: String, queryId: String, conf: SerializableConfigu
         val src = new Path(f)
         if (!fs.rename(src, new Path(dest, src.getName)))
           throw new java.io.IOException(s"graft-seqfile commit failed to move $src")
-      case _ =>
+      case other =>
+        // a dropped partition must fail the job, not vanish silently
+        throw new java.io.IOException(
+          s"graft-seqfile commit received an unexpected message: $other")
     }
     fs.delete(stagingDir, true)
   }
@@ -124,11 +127,14 @@ class SeqFileBatchWrite(path: String, queryId: String, conf: SerializableConfigu
   }
 }
 
-class SeqFileWriterFactory(stagingDir: String, conf: SerializableConfiguration)
-  extends DataWriterFactory {
+class SeqFileWriterFactory(stagingDir: String, queryId: String,
+  conf: SerializableConfiguration) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
-      private val file = new Path(stagingDir, f"part-$partitionId%05d-$taskId")
+      // queryId makes names globally unique: task-id counters restart
+      // per application, and append-mode destinations accumulate files
+      // from many jobs
+      private val file = new Path(stagingDir, f"part-$partitionId%05d-$taskId-$queryId")
       private val writer = SequenceFile.createWriter(conf.value,
         SequenceFile.Writer.file(file),
         SequenceFile.Writer.keyClass(classOf[Text]),
