@@ -125,6 +125,17 @@ object Oracles {
         |UNION ALL
         |SELECT 'supplier' AS src, s_suppkey AS id, s_name AS name, s_acctbal AS bal FROM supplier""".stripMargin,
 
+    "q_zorder" -> {
+      val z = (0 until 21).map(i =>
+        s"(((l_partkey >> $i) % 2) << ${2 * i}) + (((l_suppkey >> $i) % 2) << ${2 * i + 1})")
+        .mkString(" + ")
+      s"""WITH zt AS (SELECT l_partkey, l_suppkey, $z AS z FROM lineitem)
+         |SELECT z // 65536 AS zbucket, count(*) AS n,
+         |  min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+         |  min(l_suppkey) AS smin, max(l_suppkey) AS smax
+         |FROM zt GROUP BY 1""".stripMargin
+    },
+
     "q_multi_output_assign" ->
       """SELECT o_orderpriority AS part_key, count(*) AS n,
         |  strftime(min(o_orderdate), '%Y-%m-%d') AS first_date

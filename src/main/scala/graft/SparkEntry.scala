@@ -24,6 +24,7 @@ object SparkEntry {
     "q_secondary_sort" -> (Relational.secondarySort _),
     "q_sort_global" -> (Relational.sortGlobal _),
     "q_total_order_bucket" -> (Relational.totalOrderBucket _),
+    "q_zorder" -> (Relational.zOrderStats _),
     "q_topk_per_group" -> (Relational.topkPerGroup _),
     "q_join_star" -> (Relational.joinStar _),
     "q_join_bigbig" -> (Relational.joinBigBig _),

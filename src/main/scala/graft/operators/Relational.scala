@@ -201,6 +201,41 @@ object Relational {
   def rangePartition(df: DataFrame, n: Int, keys: Column*): DataFrame =
     df.repartitionByRange(n, keys: _*)
 
+  /** Z-order (Morton) value of two non-negative bigint keys: bit
+    * interleave of the low 21 bits each. Sorting/range-partitioning by
+    * z clusters data so BOTH dimensions have tight per-file min/max
+    * ranges — parquet row-group and file skipping then prunes on
+    * either predicate, where a lexicographic sort only serves its
+    * leading column. Exact integer arithmetic → oracle-portable. */
+  def zValueExpr(x: String, y: String): String =
+    (0 until 21).map(i =>
+      s"(shiftleft(shiftright($x, $i) % 2, ${2 * i}) + shiftleft(shiftright($y, $i) % 2, ${2 * i + 1}))")
+      .mkString(" + ")
+
+  /** Write `df` clustered by the z-order of (xCol, yCol): range
+    * partition on z (balanced output files), sort within partitions,
+    * drop the helper column. The layout quality is measured in
+    * ZOrderSpec: per-file bounding boxes shrink in both dimensions. */
+  def zOrderWrite(df: DataFrame, path: String, xCol: String, yCol: String,
+    numFiles: Int = 8): Unit =
+    df.withColumn("_z", expr(zValueExpr(xCol, yCol)))
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+
+  /** The oracle-checked face of z-ordering: per z-range bucket, row
+    * counts and the bounding box of both dimensions — the quantity
+    * file-skipping statistics are built from. */
+  def zOrderStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .withColumn("z", expr(zValueExpr("l_partkey", "l_suppkey")))
+      .groupBy(expr("z div 65536").as("zbucket"))
+      .agg(count(lit(1)).as("n"),
+        min("l_partkey").as("pmin"), max("l_partkey").as("pmax"),
+        min("l_suppkey").as("smin"), max("l_suppkey").as("smax"))
+
   /** Seeded stratified sampling per key (ref: mapred/lib/InputSampler
     * .java:1 — the sampler that feeds TotalOrderPartitioner; also the
     * per-class downsampling step of a training-data pipeline). One

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.Relational
+
+class ZOrderSpec extends SparkSpec {
+
+  /** Files whose [min,max] y-range intersects the predicate range —
+    * the file-skipping decision parquet stats drive. */
+  private def filesMatchingY(path: String, lo: Int, hi: Int): Long = {
+    spark.read.parquet(path)
+      .withColumn("f", input_file_name())
+      .groupBy("f").agg(min("y").as("ymin"), max("y").as("ymax"))
+      .filter(col("ymax") >= lo && col("ymin") <= hi)
+      .count()
+  }
+
+  test("z-order layout lets the NON-leading dimension skip files") {
+    import spark.implicits._
+    // a full 64x64 grid: both dims comparable, no skew artifacts
+    val df = spark.range(4096)
+      .select((col("id") % 64).as("x"), (col("id") / 64).cast("long").as("y"))
+    val byZ = tmpDir() + "/byz"
+    val byX = tmpDir() + "/byx"
+    Relational.zOrderWrite(df, byZ, "x", "y", numFiles = 8)
+    df.repartitionByRange(8, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(byX)
+    // a selective predicate on y: the lexicographic (x-led) layout has
+    // every file spanning the full y range, so nothing skips; z-order
+    // files bound BOTH dims, so most files fall outside [0, 7]
+    val zMatch = filesMatchingY(byZ, 0, 7)
+    val xMatch = filesMatchingY(byX, 0, 7)
+    assert(xMatch === 8L, s"x-sorted layout should match all files, got $xMatch")
+    assert(zMatch <= 4L, s"z-order should skip most files, matched $zMatch")
+    assert(spark.read.parquet(byZ).count() === 4096L)
+  }
+
+  test("zValueExpr interleaves bits exactly") {
+    val r = spark.sql(
+      s"SELECT ${Relational.zValueExpr("5L", "3L")} AS z").collect()(0).getLong(0)
+    // x=5 (101), y=3 (011): bits x0=1,y0=1,x1=0,y1=1,x2=1,y2=0
+    // z = 1*1 + 1*2 + 0*4 + 1*8 + 1*16 + 0*32 = 27
+    assert(r === 27L)
+  }
+}
