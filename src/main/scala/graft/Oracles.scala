@@ -599,6 +599,32 @@ object Oracles {
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY strftime(o_orderdate, '%Y-%m')""".stripMargin,
 
+    "q_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) t FROM events WHERE user_id IS NOT NULL),
+        |s1 AS (SELECT user_id, min(t) t1 FROM ev WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT ev.user_id, min(t) t2 FROM ev JOIN s1 USING (user_id)
+        |       WHERE event_type = 'view' AND t > t1 AND t <= t1 + 86400000000 GROUP BY 1),
+        |s3 AS (SELECT ev.user_id, min(t) t3 FROM ev JOIN s2 USING (user_id)
+        |       WHERE event_type = 'click' AND t > t2 AND t <= t2 + 86400000000 GROUP BY 1),
+        |s4 AS (SELECT ev.user_id, min(t) t4 FROM ev JOIN s3 USING (user_id)
+        |       WHERE event_type = 'purchase' AND t > t3 AND t <= t3 + 86400000000 GROUP BY 1)
+        |SELECT stage, count(*) AS n_users FROM (
+        |  SELECT CASE WHEN t4 IS NOT NULL THEN 4 WHEN t3 IS NOT NULL THEN 3
+        |              WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS stage
+        |  FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        |       LEFT JOIN s4 USING (user_id)) t
+        |GROUP BY stage""".stripMargin,
+
+    "q_retention" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) // 86400000000 AS day
+        |            FROM events WHERE user_id IS NOT NULL),
+        |cohort AS (SELECT user_id, min(day) cohort_day FROM ev WHERE event_type = 'signup' GROUP BY 1),
+        |active AS (SELECT DISTINCT user_id, day FROM ev)
+        |SELECT cohort_day, day - cohort_day AS day_offset, count(DISTINCT user_id) AS n_users
+        |FROM active JOIN cohort USING (user_id)
+        |WHERE day >= cohort_day
+        |GROUP BY 1, 2""".stripMargin,
+
     "q_range_join" ->
       """WITH e AS (SELECT event_id eid, epoch_us(ts) te FROM events WHERE event_type = 'error'),
         |c AS (SELECT epoch_us(ts) tc FROM events WHERE event_type = 'click')

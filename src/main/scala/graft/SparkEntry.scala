@@ -85,6 +85,8 @@ object SparkEntry {
     "q_asof_join" -> (Olap.asofJoin _),
     "q_range_join" -> ((s: SparkSession, d: String) => Olap.rangeJoinBinned(s, d)),
     "q_join_salted" -> (Olap.joinSalted _),
+    "q_funnel" -> ((s: SparkSession, d: String) => Olap.funnel(s, d)),
+    "q_retention" -> (Olap.retention _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

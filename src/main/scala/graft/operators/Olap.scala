@@ -135,6 +135,53 @@ object Olap {
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
 
+  /** Funnel analysis — the staple warehouse report: how far does each
+    * user progress through signup → view → click → purchase, where
+    * each stage must happen strictly after the previous one AND within
+    * a 24 h conversion window. Each stage is one filtered aggregate
+    * joined forward; no window over the raw stream, so stages scale as
+    * ordinary shuffles. */
+  def funnel(spark: SparkSession, dir: String,
+    convWindowUs: Long = 86400000000L): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type"), expr("unix_micros(ts)").as("t"))
+    def stage(evType: String, prev: DataFrame, prevCol: String, outCol: String) =
+      ev.filter(col("event_type") === evType)
+        .join(prev, "user_id")
+        .filter(col("t") > col(prevCol) && col("t") <= col(prevCol) + convWindowUs)
+        .groupBy("user_id").agg(min("t").as(outCol))
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("t").as("t1"))
+    val s2 = stage("view", s1, "t1", "t2")
+    val s3 = stage("click", s2, "t2", "t3")
+    val s4 = stage("purchase", s3, "t3", "t4")
+    s1.join(s2, Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
+      .join(s4, Seq("user_id"), "left")
+      .select(expr(
+        """CASE WHEN t4 IS NOT NULL THEN 4 WHEN t3 IS NOT NULL THEN 3
+          |     WHEN t2 IS NOT NULL THEN 2 ELSE 1 END""".stripMargin).as("stage"))
+      .groupBy("stage").agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Cohort retention: users grouped by first-signup day, counted on
+    * each later active day (any event type). Day arithmetic on integer
+    * epoch-days keeps both engines exact. */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+    val cohort = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("day").as("cohort_day"))
+    val active = ev.select("user_id", "day").distinct()
+    active.join(cohort, "user_id")
+      .filter(col("day") >= col("cohort_day"))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct("user_id").as("n_users"))
+  }
+
   /** The salted big-big join under the correctness gate: lineitem ⋈
     * orders through `Skew.saltedJoin` (hot side spread over 8 salt
     * buckets, other side replicated ×8) aggregated to monthly revenue —
