@@ -35,6 +35,9 @@ object GraftFunctions {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.DotProductRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.DotProductRewrite
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.RangeBinJoinRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RangeBinJoinRewrite
     if (!spark.experimental.extraStrategies.contains(graft.plans.LshTopKJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.LshTopKJoinStrategy
@@ -59,6 +62,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("kmv_set"),
       graft.plans.KmvUniq.setInfo, graft.plans.KmvUniq.setBuilder))
     ext.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.RangeBinJoinRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.LshTopKJoinStrategy)
   }
 }
