@@ -118,9 +118,13 @@ object Dedup {
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist()
-    var labels = edges.select(col("doc_a").as("doc_id"))
+    // re-base each round's labels on their computed RDD so the
+    // iterative plan's lineage stays flat (see connectedComponentsStar)
+    def rebase(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema)
+    var labels = rebase(edges.select(col("doc_a").as("doc_id"))
       .distinct()
-      .withColumn("cluster", col("doc_id"))
+      .withColumn("cluster", col("doc_id")))
       .persist()
     var converged = false
     var it = 0
@@ -128,9 +132,9 @@ object Dedup {
       val viaEdges = edges
         .join(labels, edges("doc_b") === labels("doc_id"))
         .select(edges("doc_a").as("doc_id"), col("cluster"))
-      val next = labels.select(col("doc_id"), col("cluster"))
+      val next = rebase(labels.select(col("doc_id"), col("cluster"))
         .union(viaEdges)
-        .groupBy("doc_id").agg(min("cluster").as("cluster"))
+        .groupBy("doc_id").agg(min("cluster").as("cluster")))
         .persist()
       val changed = next.join(labels.withColumnRenamed("cluster", "old"), "doc_id")
         .filter(col("cluster") =!= col("old")).count()
@@ -151,6 +155,75 @@ object Dedup {
     // clears the cache between queries
     labels.select(col("doc_id"), col("cluster"),
       (col("doc_id") === col("cluster")).as("keep"))
+  }
+
+  /** Connected components by large-star/small-star alternation
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014): converges in O(log² n) rounds regardless of component
+    * diameter — the swap-in for adversarial chain-shaped graphs where
+    * min-label propagation needs diameter rounds. Each round is two
+    * groupBy+join passes over the edge list; state is only the edges.
+    *
+    * large-star: every neighbor v > u links to min(N(u) ∪ {u});
+    * small-star: every neighbor v ≤ u links to that minimum. The fixed
+    * point is a star per component centered at its minimum node.
+    *
+    * Input: undirected edges (a, b). Output: (doc_id, cluster) for
+    * every node, cluster = component minimum. */
+  def connectedComponentsStar(edges: DataFrame, maxIters: Int = 30): DataFrame = {
+    import org.apache.spark.sql.functions.{greatest, least}
+    val spark = edges.sparkSession
+    // Iterative plans must not accumulate lineage: each round re-bases
+    // the edge set on its computed RDD (a leaf scan to Catalyst), or
+    // the optimizer re-plans a tree that doubles every round and
+    // eventually overflows the stack. The RDD is persisted per round
+    // and the previous round's freed.
+    def rebase(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema)
+    var e = rebase(edges.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
+      .distinct()).persist()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      // large-star over the bidirected neighborhood
+      val bi = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      val mins = bi.groupBy("a").agg(min("b").as("mn"))
+        .select(col("a").as("u"), least(col("u"), col("mn")).as("m"))
+      val ls = bi.join(mins, bi("a") === mins("u"))
+        .filter(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+      // small-star over the (a > b)-oriented edges
+      val lsOriented = ls
+        .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
+      val mins2 = lsOriented.groupBy("a").agg(min("b").as("mn"))
+        .select(col("a").as("u"), col("mn").as("m"))
+      val joined = lsOriented.join(mins2, lsOriented("a") === mins2("u"))
+      val ss = rebase(joined.filter(col("b") =!= col("m"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .unionByName(joined.select(col("u").as("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b")).distinct()
+        .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
+        .distinct()).persist()
+      val changed = ss.unionByName(e).distinct().count() != e.count() ||
+        ss.count() != e.count()
+      e.unpersist()
+      e = ss
+      converged = !changed
+      it += 1
+    }
+    if (!converged) {
+      e.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxIters rounds")
+    }
+    // fixed point: stars (v, root) — every non-root appears on the left
+    val out = e.select(col("a").as("doc_id"), col("b").as("cluster"))
+      .unionByName(e.select(col("b").as("doc_id"), col("b").as("cluster")))
+      .distinct()
+    out
   }
 
   /** Exact n-gram Jaccard on candidate pairs found through the shingle

@@ -122,6 +122,33 @@ class TextHashSpec extends SparkSpec {
     }
   }
 
+  test("large-star/small-star components handle chain graphs past the propagation cap") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // a 60-hop chain (diameter 59), a triangle, and a singleton pair:
+    // min-label propagation at default caps would need 59 rounds
+    val chain = (0L until 60L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val extra = Seq((100L, 101L), (101L, 102L), (100L, 102L), (200L, 201L))
+    val edges = (chain ++ extra).toDF("a", "b")
+    val labels = Dedup.connectedComponentsStar(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 60L).foreach(n => assert(labels(n) === 0L, s"chain node $n"))
+    Seq(100L, 101L, 102L).foreach(n => assert(labels(n) === 100L))
+    assert(labels(200L) === 200L && labels(201L) === 200L)
+    assert(labels.size === 60 + 3 + 2)
+  }
+
+  test("star components agree with min-label propagation on the real candidate graph") {
+    import graft.operators.Dedup
+    val pairs = Dedup.minhashPairs(spark, sfDir)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val star = Dedup.connectedComponentsStar(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prop = Dedup.dedupClusters(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star === prop)
+  }
+
   test("kernels keep the projection inside whole-stage codegen and plan no exchange") {
     val d = Tables.documents(spark, sfDir)
     GraftFunctions.register(spark)
