@@ -41,6 +41,15 @@ class ExtensionsSpec extends SparkSpec {
         .selectExpr("aggregate(zip_with(a, a, (x, y) -> x * y), 0L, (acc, x) -> acc + x) AS d")
       assert(df.queryExecution.optimizedPlan.toString.contains("array_dot_long"),
         df.queryExecution.optimizedPlan.toString)
+      // the band-join rewrite fires on user SQL through the extension
+      import s2.implicits._
+      val a = Seq(1L, 15L).toDF("ta")
+      val b = Seq(2L, 40L).toDF("tb")
+      val band = a.join(b, org.apache.spark.sql.functions.expr("abs(ta - tb) <= 10L"))
+      assert(band.queryExecution.optimizedPlan.toString.contains("_range_bin"),
+        band.queryExecution.optimizedPlan.toString)
+      assert(band.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+        Set((1L, 2L)))
       // the planner strategy is present
       assert(s2.sessionState.planner.strategies.exists(
         _.getClass.getName.contains("LshTopKJoinStrategy")))
