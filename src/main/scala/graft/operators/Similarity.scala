@@ -182,29 +182,38 @@ object Similarity {
       .select("probe_id", "rk", "nbr_id", "cos")
   }
 
+  /** ±1 component of hyperplane `p` at (1-based) dimension `i`: parity
+    * of the first hex digit of md5("p_i"). Computed ONCE on the driver
+    * at plan-build time — the DuckDB oracle replays the identical
+    * derivation in SQL, so buckets hash-match. */
+  private def hyperplaneSign(p: Int, i: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${p}_${i}".getBytes("UTF-8"))
+    if (((d(0) >> 4) & 0xf) % 2 == 0) 1L else -1L
+  }
+
   /** Random-hyperplane LSH bucket per vector: 8 deterministic pseudo-
     * hyperplanes with ±1 components derived from md5 parity; the
-    * bucket is the 8-char sign string. Integer dot → exact sign. */
-  def hyperplaneBuckets(q: DataFrame): DataFrame = {
-    val ex = q.select(col("vec_id"), posexplode(col("q")).as(Seq("i0", "e")))
-      .select(col("vec_id"), (col("i0") + 1).as("i"), col("e"))
-      .select(col("vec_id"), col("i"), col("e"), explode(expr("sequence(0, 7)")).as("p"))
-    ex.groupBy("vec_id", "p")
-      .agg(sum(expr(
-        "CASE WHEN (instr('0123456789abcdef', substring(md5(cast(concat(cast(p as string), '_', cast(i as string)) as binary)), 1, 1)) - 1) % 2 = 0 THEN e ELSE -e END"))
-        .as("d"))
-      .groupBy("vec_id")
-      .agg(expr(
-        "array_join(transform(array_sort(collect_list(struct(p, CASE WHEN d >= 0 THEN '1' ELSE '0' END))), x -> x.col2), '')")
-        .as("bucket"))
+    * bucket is the 8-char sign string. Integer dot → exact sign.
+    *
+    * The 8 hyperplanes are emitted as literal bigint arrays and each
+    * sign is one codegen `array_dot_long` — the whole signature pass is
+    * a single map-side projection (no explode, no shuffle; previously
+    * this was a 512-rows-per-vector posexplode plus TWO groupBy
+    * shuffles). Returns the input with a `bucket` column appended, so
+    * callers need no join back onto `q`. */
+  def hyperplaneBuckets(q: DataFrame, dim: Int = 64): DataFrame = {
+    val sig = concat((0 until 8).map { p =>
+      val h = (1 to dim).map(i => s"${hyperplaneSign(p, i)}L").mkString(",")
+      expr(s"CASE WHEN array_dot_long(q, array($h)) >= 0 THEN '1' ELSE '0' END")
+    }: _*)
+    q.withColumn("bucket", sig)
   }
 
   /** ANN via LSH buckets: probes only score candidates in their own
     * bucket (1/256 of the corpus in expectation). */
   def annLsh(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val q = quantized(spark, dir)
-    val bk = hyperplaneBuckets(q)
-    val qb = q.join(bk, "vec_id")
+    val qb = hyperplaneBuckets(quantized(spark, dir))
     val probes = qb.filter(col("vec_id") < 5)
       .select(col("bucket"), col("vec_id").as("probe_id"), col("q").as("qa"), col("n2").as("n2a"))
     val corpus = qb
@@ -224,9 +233,7 @@ object Similarity {
     * into one physical operator — the candidate-pair set never reaches
     * a window's sort+shuffle. */
   def annLshNative(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val q = quantized(spark, dir)
-    val bk = hyperplaneBuckets(q)
-    val qb = q.join(bk, "vec_id")
+    val qb = hyperplaneBuckets(quantized(spark, dir))
     val probes = qb.filter(col("vec_id") < 5)
       .select(col("bucket"), col("vec_id").as("probe_id"), col("q"), col("n2"))
     val corpus = qb

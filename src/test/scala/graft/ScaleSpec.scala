@@ -55,6 +55,17 @@ class ScaleSpec extends SparkSpec {
     assert(math.abs(counts("A").toDouble / aTotal - 0.5) < 0.1)
   }
 
+  test("hyperplane LSH signature pass is one shuffle-free projection") {
+    val bk = graft.operators.Similarity.hyperplaneBuckets(
+      graft.operators.Similarity.quantized(spark, sfDir))
+    val plan = bk.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"signature pass must be map-side only:\n$plan")
+    assert(plan.contains("array_dot_long"), plan)
+    val buckets = bk.select("bucket").distinct().count()
+    assert(buckets > 1 && buckets <= 256)
+  }
+
   test("filters and projections reach the parquet scan") {
     val q = Tables.lineitem(spark, sfDir)
       .filter(col("l_shipdate") <= lit("1999-06-30").cast("timestamp"))
