@@ -238,6 +238,29 @@ object Oracles {
          |  cast(top_cnt * 1000000 // n_grams AS BIGINT) AS rep_ppm
          |FROM a""".stripMargin,
 
+    // BM25: the libm-dependent ln() score orders but is never emitted —
+    // the hashed columns are the rank plus exact integers (tf_sum,
+    // n_terms, dl). Rank can only diverge across engines on an exact
+    // score tie, which the doc_id tiebreaker resolves identically.
+    "q_bm25" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split($norm, ' ')) word FROM documents),
+         |tk AS (SELECT doc_id, word FROM t WHERE word <> ''),
+         |dl AS (SELECT doc_id, count(*) dl FROM tk GROUP BY 1),
+         |st AS (SELECT avg(cast(dl AS DOUBLE)) avgdl FROM dl),
+         |nd AS (SELECT count(*) n_docs FROM documents),
+         |tf AS (SELECT doc_id, word, count(*) tf FROM tk
+         |       WHERE word IN ('spark', 'data', 'system') GROUP BY 1, 2),
+         |df AS (SELECT word, count(DISTINCT doc_id) df FROM tf GROUP BY 1),
+         |sc AS (SELECT t.doc_id,
+         |    sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+         |        * (tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl))) score,
+         |    cast(sum(tf) AS BIGINT) tf_sum, count(*) n_terms, max(dl.dl) dl
+         |  FROM tf t JOIN df USING (word) JOIN dl ON t.doc_id = dl.doc_id, st, nd
+         |  GROUP BY t.doc_id)
+         |SELECT rk, doc_id, tf_sum, n_terms, dl FROM (
+         |  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) rk FROM sc) z
+         |WHERE rk <= 20""".stripMargin,
+
     "q_tfidf" ->
       s"""WITH t AS (SELECT doc_id, unnest(string_split($norm, ' ')) word FROM documents),
          |tf AS (SELECT doc_id, word, count(*) tf FROM t WHERE word <> '' GROUP BY 1, 2),

@@ -47,9 +47,8 @@ object SparkEntry {
     "q_text_redact" -> (TextOps.redact _),
     "q_text_chunks" -> ((s: SparkSession, d: String) => TextOps.chunk(s, d)),
     "q_text_repetition" -> (TextOps.repetition _),
-    // no oracleSql entry: BM25's ln() is libm-dependent in the last
-    // bits, so the driver records the weaker rows-only check and the
-    // ranking semantics are asserted in TfIdfSpec instead
+    // oracle-gated via rank + integer surrogates (the ln() score
+    // orders but is never hashed); ranking semantics also in TfIdfSpec
     "q_bm25" -> ((s: SparkSession, d: String) => TextOps.bm25(s, d)),
     // dedup (§2.6)
     "q_dedup_exact" -> (Dedup.exact _),

@@ -168,9 +168,15 @@ object TextOps {
     * against a bag-of-words query with the standard k1/b saturation and
     * length normalization. Distributed shape: tf table ⋈ broadcast
     * per-term idf ⋈ broadcast (avgdl scalar), one groupBy(doc) — no
-    * driver-side scoring. idf uses ln, whose last bits are libm-
-    * dependent, so ranks are ScalaTest-verified (TfIdfSpec) and the
-    * driver records a rows-only check rather than a hash. */
+    * driver-side scoring.
+    *
+    * Oracle-portability: idf uses ln, whose last bits are libm-
+    * dependent, so the float score itself is NOT emitted. The output is
+    * the RANK plus exact-integer surrogates (tf_sum, n_terms, dl) —
+    * rank order only flips between engines when two docs' scores tie
+    * exactly (identical tf vector and dl), and then the doc_id
+    * tiebreaker resolves both engines the same way. Same trick as
+    * `tfidf`'s integer score; makes q_bm25 hash-checkable. */
   def bm25(spark: SparkSession, dir: String,
     query: Seq[String] = Seq("spark", "data", "system"),
     k1: Double = 1.2, b: Double = 0.75, topN: Int = 20): DataFrame = {
@@ -190,8 +196,14 @@ object TextOps {
         col("idf") * (col("tf") * (lit(k1) + 1)) /
           (col("tf") + lit(k1) * (lit(1) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
       .groupBy("doc_id")
-      .agg(sum("term_score").as("score"), count(lit(1)).as("n_terms"))
-    scored.orderBy(col("score").desc, col("doc_id")).limit(topN)
+      .agg(sum("term_score").as("score"), sum("tf").as("tf_sum"),
+        count(lit(1)).as("n_terms"), max("dl").as("dl"))
+    // TakeOrderedAndProject keeps the top-N merge distributed; the rank
+    // window then runs over only topN survivors.
+    val top = scored.orderBy(col("score").desc, col("doc_id")).limit(topN)
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    top.withColumn("rk", row_number().over(w))
+      .select("rk", "doc_id", "tf_sum", "n_terms", "dl")
   }
 
   /** Winnowing document fingerprint (rolling-hash): char 10-gram md5

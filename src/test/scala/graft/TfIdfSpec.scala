@@ -18,17 +18,19 @@ class TfIdfSpec extends SparkSpec {
     }
   }
 
-  test("bm25 scores are positive, bounded-n_terms, deterministically ordered") {
+  test("bm25 ranks are dense, surrogates exact, deterministically ordered") {
     val r = TextOps.bm25(spark, sfDir, query = Seq("the", "data"))
-    val rows = r.collect()
+    val rows = r.collect()   // (rk, doc_id, tf_sum, n_terms, dl)
     assert(rows.nonEmpty)
+    assert(rows.map(_.getInt(0)).sorted.toSeq === (1 to rows.length))
     rows.foreach { row =>
-      assert(row.getDouble(1) > 0.0)
-      assert(row.getLong(2) >= 1L && row.getLong(2) <= 2L)
+      assert(row.getLong(2) >= 1L)                          // tf_sum
+      assert(row.getLong(3) >= 1L && row.getLong(3) <= 2L)  // n_terms
+      assert(row.getLong(4) >= row.getLong(2))              // dl >= tf_sum
     }
     // deterministic: same plan twice → identical ranking
     val again = TextOps.bm25(spark, sfDir, query = Seq("the", "data")).collect()
-    assert(rows.map(_.getLong(0)).toSeq === again.map(_.getLong(0)).toSeq)
+    assert(rows.map(_.getLong(1)).toSeq === again.map(_.getLong(1)).toSeq)
   }
 
   test("bm25 length normalization: shorter doc outranks longer at equal tf") {
@@ -40,6 +42,6 @@ class TfIdfSpec extends SparkSpec {
     val tmp = tmpDir() + "/bm25"
     docs.write.parquet(tmp + "/documents.parquet")
     val r = TextOps.bm25(spark, tmp, query = Seq("alpha")).collect()
-    assert(r.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(r.map(_.getLong(1)).toSeq === Seq(1L, 2L))
   }
 }
