@@ -544,6 +544,12 @@ object Oracles {
     "q_pipe_upper" ->
       "SELECT doc_id, upper(substring(regexp_replace(text, '[^ -~]', '', 'g'), 1, 60)) AS up FROM documents",
 
+    // the awk reducer sums bigint-cast quantities over the key-grouped
+    // stream — equivalent to a plain SQL group-sum
+    "q_pipe_reduce" ->
+      """SELECT l_returnflag, cast(sum(cast(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
     "q_media_meta" ->
       """SELECT doc_id, strlen(text) AS byte_len, substring(md5(text), 1, 8) AS sig,
         |  (strlen(text) + 255) // 256 AS n_chunks

@@ -70,6 +70,7 @@ object SparkEntry {
     "q_sessionize" -> (graft.streaming.Windows.sessionize _),
     "q_session_window" -> (graft.streaming.Windows.sessionWindowAgg _),
     "q_pipe_upper" -> (graft.sources.Pipe.pipeUpper _),
+    "q_pipe_reduce" -> (graft.sources.Pipe.pipeReduceSum _),
     "q_media_meta" -> (Media.mediaMeta _),
     // OLAP analytics (§2.1 extensions)
     "q_rollup" -> (Olap.rollup _),

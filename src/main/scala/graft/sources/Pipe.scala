@@ -20,6 +20,45 @@ object Pipe {
     spark.createDataset(piped).toDF("line")
   }
 
+  /** Reduce-side pipe (ref: src/contrib/streaming/src/java/org/apache/
+    * hadoop/streaming/PipeReducer.java:38): the reference feeds a
+    * reducer script the SORTED, KEY-GROUPED record stream on stdin —
+    * all values of one key arrive consecutively. Re-expressed: shuffle
+    * on the key (every key lands wholly in one partition), sort within
+    * partitions (key first, then the remaining columns for a
+    * deterministic value order), render `key<TAB>fields` lines and run
+    * one external process per partition. A streaming user's reducer
+    * scripts (awk/python aggregators that break on key change) run
+    * unmodified; results are independent of the partition count because
+    * keys never straddle partitions. */
+  def pipeReduce(spark: SparkSession, kv: DataFrame, keyCol: String,
+    cmd: Seq[String], partitions: Int = 32): DataFrame = {
+    import spark.implicits._
+    val fields = keyCol +: kv.columns.filterNot(_ == keyCol).toSeq
+    val grouped = kv.repartition(partitions, col(keyCol))
+      .sortWithinPartitions(fields.map(col): _*)
+    val piped = grouped
+      .select(concat_ws("\t", fields.map(c => col(c).cast("string")): _*).as("line"))
+      .as[String].rdd.pipe(cmd)
+    spark.createDataset(piped).toDF("line")
+  }
+
+  /** Demo/oracle query: per-flag quantity totals computed by an
+    * EXTERNAL awk reducer that relies on the key-grouped stream —
+    * quantities pre-cast to bigint so the awk sum stays exact-integer
+    * and engine-portable. */
+  def pipeReduceSum(spark: SparkSession, dir: String): DataFrame = {
+    val kv = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("k"),
+        col("l_quantity").cast("bigint").as("v"))
+    val prog =
+      "BEGIN{FS=OFS=\"\\t\"} k!=$1&&NR>1{print k,s;s=0} {k=$1;s+=$2} END{if(NR>0)print k,s}"
+    pipeReduce(spark, kv, "k", Seq("awk", prog))
+      .select(split(col("line"), "\t").as("f"))
+      .select(expr("f[0]").as("l_returnflag"),
+        expr("cast(f[1] as bigint)").as("sum_qty"))
+  }
+
   /** Demo/oracle query: uppercase documents through `tr` and parse the
     * TSV back. The text is pre-cleaned to printable ASCII so the
     * external tool and the SQL oracle (upper()) agree exactly. */

@@ -68,6 +68,19 @@ class SourcesSpec extends SparkSpec {
       lines.collect().map(_.getString(0)).sorted)
   }
 
+  test("pipeReduce groups keys wholly per partition — results partition-count-invariant") {
+    import spark.implicits._
+    val kv = (1 to 200).map(i => (s"k${i % 7}", i.toLong)).toDF("k", "v")
+    def run(parts: Int) = Pipe.pipeReduce(spark, kv, "k",
+      Seq("awk", "BEGIN{FS=OFS=\"\\t\"} k!=$1&&NR>1{print k,s;s=0} {k=$1;s+=$2} END{if(NR>0)print k,s}"),
+      partitions = parts)
+      .collect().map(_.getString(0)).sorted.toSeq
+    val expected = kv.groupBy("k").agg(sum("v").as("s"))
+      .collect().map(r => s"${r.getString(0)}\t${r.getLong(1)}").sorted.toSeq
+    assert(run(2) === expected)
+    assert(run(32) === expected)
+  }
+
   test("DataGen.text is deterministic and distributed") {
     val a = DataGen.text(spark, 100).collect().sortBy(_.getLong(0))
     val b = DataGen.text(spark, 100).collect().sortBy(_.getLong(0))
