@@ -6,6 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.Path
 import org.apache.hadoop.io.{SequenceFile, Text}
+import org.apache.hadoop.io.compress.{BZip2Codec, CompressionCodec, DefaultCodec, GzipCodec, SnappyCodec}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -18,17 +19,28 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.SerializableConfiguration
 
-/** DataSourceV2 SequenceFile reader (ref: src/core/org/apache/hadoop/
-  * io/SequenceFile.java:1): `spark.read.format("graft-seqfile")
-  * .load(path)` → (key string, value string) rows.
+/** DataSourceV2 SequenceFile reader/writer (ref: src/core/org/apache/
+  * hadoop/io/SequenceFile.java:1): `spark.read.format("graft-seqfile")
+  * .load(paths*)` → (key string, value string) rows.
   *
-  * The V2 surface is what makes the format a first-class citizen of
-  * the engine: schema inference, one InputPartition per file (a
-  * SequenceFile's block-compressed records are addressable from sync
-  * markers, so finer splits would follow the same pattern Hadoop's
-  * SequenceFileInputFormat uses — per-file is the right granularity
-  * for the warehouse's many-files layout), and executor-side readers
-  * that stream records without materializing the file.
+  * The V2 surface makes the format a first-class citizen of the
+  * engine: schema inference, multi-path loads, and executor-side
+  * readers that stream records without materializing the file.
+  *
+  * Split granularity follows the reference's SequenceFileInputFormat:
+  * a file larger than the target split size is divided at BYTE OFFSETS
+  * and each reader re-aligns to the next sync marker
+  * (`SequenceFile.Reader.sync`, ref src/core/org/apache/hadoop/io/
+  * SequenceFile.java reader sync(position)), reading until the first
+  * sync past its end offset — so a few-large-files layout still fans
+  * out across the cluster, every record is read exactly once, and no
+  * coordination between readers is needed. Target split size comes
+  * from the `split.size` option, else
+  * `spark.sql.files.maxPartitionBytes`.
+  *
+  * Writes support optional block compression (`compression` option:
+  * none | deflate | gzip | bzip2 | snappy); compressed files keep
+  * their sync markers, so compressed reads split identically.
   *
   * Text keys/values (the SeqFiles.write contract). The Hadoop
   * Configuration travels to executors via SerializableConfiguration,
@@ -42,45 +54,66 @@ class SeqFileSource extends TableProvider with DataSourceRegister {
 
   override def getTable(
     schema: StructType, partitioning: Array[Transform],
-    properties: util.Map[String, String]): Table =
-    properties.asScala.get("path") match {
-      case Some(p) => new SeqFileTable(p)
-      case None if properties.containsKey("paths") =>
-        // "paths" arrives as a JSON-encoded array — reject cleanly
-        // rather than treating the JSON text as a filesystem path
-        throw new IllegalArgumentException(
-          "graft-seqfile supports a single load path; pass one directory " +
-            "(multi-path load is not implemented)")
-      case None =>
-        throw new IllegalArgumentException("graft-seqfile requires a path")
+    properties: util.Map[String, String]): Table = {
+    val props = properties.asScala
+    val paths = props.get("path") match {
+      case Some(p) => Seq(p)
+      case None => props.get("paths") match {
+        // "paths" arrives as a JSON-encoded array of strings
+        case Some(json) =>
+          new com.fasterxml.jackson.databind.ObjectMapper()
+            .readValue(json, classOf[Array[String]]).toSeq
+        case None =>
+          throw new IllegalArgumentException("graft-seqfile requires a path")
+      }
     }
+    new SeqFileTable(paths)
+  }
 }
 
 object SeqFileSource {
   val schema: StructType = StructType(Seq(
     StructField("key", StringType, nullable = false),
     StructField("value", StringType, nullable = false)))
+
+  def codecFor(name: String): Option[CompressionCodec] =
+    name.toLowerCase match {
+      case "none" => None
+      case "deflate" => Some(new DefaultCodec)
+      case "gzip" => Some(new GzipCodec)
+      case "bzip2" => Some(new BZip2Codec)
+      case "snappy" => Some(new SnappyCodec)
+      case other => throw new IllegalArgumentException(
+        s"graft-seqfile: unknown compression '$other' " +
+          "(none | deflate | gzip | bzip2 | snappy)")
+    }
 }
 
-class SeqFileTable(path: String) extends Table with SupportsRead with SupportsWrite {
-  override def name(): String = s"graft-seqfile($path)"
+class SeqFileTable(paths: Seq[String]) extends Table with SupportsRead with SupportsWrite {
+  override def name(): String = s"graft-seqfile(${paths.mkString(",")})"
   override def schema(): StructType = SeqFileSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
-      override def build(): Scan = new SeqFileScan(path)
+      override def build(): Scan =
+        new SeqFileScan(paths, Option(options.get("split.size")).map(_.toLong))
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(paths.length == 1,
+      "graft-seqfile writes to exactly one destination directory")
     val in = info.schema()
     require(in.length == 2 && in.forall(_.dataType == StringType),
       s"graft-seqfile writes (key string, value string), got ${in.simpleString}")
     val queryId = info.queryId()
+    val compression = Option(info.options().get("compression")).getOrElse("none")
+    SeqFileSource.codecFor(compression) // validate on the driver, fail fast
     new WriteBuilder {
       override def build(): Write = new Write {
-        override def toBatch: BatchWrite = new SeqFileBatchWrite(path, queryId,
+        override def toBatch: BatchWrite = new SeqFileBatchWrite(
+          paths.head, queryId, compression,
           new SerializableConfiguration(
             SparkSession.active.sessionState.newHadoopConf()))
       }
@@ -97,12 +130,12 @@ case class SeqFileCommit(file: String) extends WriterCommitMessage
   * never leaves partial output, and only one speculative attempt per
   * partition lands (Spark commits exactly one DataWriter per
   * partition). */
-class SeqFileBatchWrite(path: String, queryId: String, conf: SerializableConfiguration)
-  extends BatchWrite {
+class SeqFileBatchWrite(path: String, queryId: String, compression: String,
+  conf: SerializableConfiguration) extends BatchWrite {
   private def stagingDir = new Path(path, s".graft-staging-$queryId")
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new SeqFileWriterFactory(stagingDir.toString, queryId, conf)
+    new SeqFileWriterFactory(stagingDir.toString, queryId, compression, conf)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dest = new Path(path)
@@ -128,24 +161,41 @@ class SeqFileBatchWrite(path: String, queryId: String, conf: SerializableConfigu
 }
 
 class SeqFileWriterFactory(stagingDir: String, queryId: String,
-  conf: SerializableConfiguration) extends DataWriterFactory {
+  compression: String, conf: SerializableConfiguration) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       // queryId makes names globally unique: task-id counters restart
       // per application, and append-mode destinations accumulate files
       // from many jobs
       private val file = new Path(stagingDir, f"part-$partitionId%05d-$taskId-$queryId")
-      private val writer = SequenceFile.createWriter(conf.value,
-        SequenceFile.Writer.file(file),
-        SequenceFile.Writer.keyClass(classOf[Text]),
-        SequenceFile.Writer.valueClass(classOf[Text]))
+      private val writer = {
+        val base = Seq(
+          SequenceFile.Writer.file(file),
+          SequenceFile.Writer.keyClass(classOf[Text]),
+          SequenceFile.Writer.valueClass(classOf[Text]))
+        val opts = SeqFileSource.codecFor(compression) match {
+          case Some(codec) => base :+ SequenceFile.Writer.compression(
+            SequenceFile.CompressionType.BLOCK, codec)
+          case None => base
+        }
+        SequenceFile.createWriter(conf.value, opts: _*)
+      }
       private val key = new Text()
       private val value = new Text()
+      private var rowNum = 0L
 
       override def write(row: InternalRow): Unit = {
+        // schema validation only checks types, so nullable string
+        // columns reach this point — fail with context, not a bare NPE
+        if (row.isNullAt(0) || row.isNullAt(1))
+          throw new IllegalArgumentException(
+            s"graft-seqfile: null ${if (row.isNullAt(0)) "key" else "value"} " +
+              s"at row $rowNum of partition $partitionId (keys and values " +
+              "must be non-null strings)")
         key.set(row.getUTF8String(0).getBytes)
         value.set(row.getUTF8String(1).getBytes)
         writer.append(key, value)
+        rowNum += 1
       }
 
       override def commit(): WriterCommitMessage = {
@@ -162,22 +212,33 @@ class SeqFileWriterFactory(stagingDir: String, queryId: String,
     }
 }
 
-class SeqFileScan(path: String) extends Scan with Batch {
+class SeqFileScan(paths: Seq[String], splitSize: Option[Long]) extends Scan with Batch {
   override def readSchema(): StructType = SeqFileSource.schema
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
     val conf = spark.sessionState.newHadoopConf()
-    val p = new Path(path)
-    val fs = p.getFileSystem(conf)
-    val files =
+    // clamp well above the seqfile header size so the first split
+    // always contains the header and re-sync never lands before it
+    val target = splitSize.getOrElse(
+      spark.sessionState.conf.filesMaxPartitionBytes).max(1024L)
+    val files = paths.flatMap { path =>
+      val p = new Path(path)
+      val fs = p.getFileSystem(conf)
       if (fs.getFileStatus(p).isDirectory)
         fs.listStatus(p).filter(s => s.isFile &&
           !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
-          .map(_.getPath.toString)
-      else Array(path)
-    files.sorted.map(f => SeqFilePartition(f): InputPartition)
+          .map(s => (s.getPath.toString, s.getLen)).toSeq
+      else Seq((path, fs.getFileStatus(p).getLen))
+    }
+    // one partition per split-size byte range; readers re-align to the
+    // next sync marker, so ranges need not fall on record boundaries
+    files.sortBy(_._1).flatMap { case (f, len) =>
+      val n = ((len + target - 1) / target).max(1L)
+      (0L until n).map(i =>
+        SeqFilePartition(f, i * target, ((i + 1) * target).min(len)): InputPartition)
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -187,20 +248,34 @@ class SeqFileScan(path: String) extends Scan with Batch {
   }
 }
 
-case class SeqFilePartition(file: String) extends InputPartition
+case class SeqFilePartition(file: String, start: Long, end: Long) extends InputPartition
 
 class SeqFileReaderFactory(conf: SerializableConfiguration)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val file = partition.asInstanceOf[SeqFilePartition].file
+    val part = partition.asInstanceOf[SeqFilePartition]
     new PartitionReader[InternalRow] {
       private val reader = new SequenceFile.Reader(conf.value,
-        SequenceFile.Reader.file(new Path(file)))
+        SequenceFile.Reader.file(new Path(part.file)))
+      // the reference's SequenceFileRecordReader contract: start
+      // reading at the first sync PAST start (the previous split owns
+      // everything before it), stop at the first record that begins at
+      // or after end with a sync seen — exactly-once over all splits
+      if (part.start > reader.getPosition) reader.sync(part.start)
+      // a range containing no sync marker yields an empty split (its
+      // records belong to the preceding split)
+      private var more = reader.getPosition < part.end
       private val key = new Text()
       private val value = new Text()
       private val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
 
-      override def next(): Boolean = reader.next(key, value)
+      override def next(): Boolean = {
+        if (!more) return false
+        val pos = reader.getPosition
+        more = reader.next(key, value)
+        if (more && pos >= part.end && reader.syncSeen()) more = false
+        more
+      }
 
       override def get(): InternalRow = {
         row.update(0, UTF8String.fromBytes(key.copyBytes()))

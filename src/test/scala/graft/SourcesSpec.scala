@@ -47,6 +47,74 @@ class SourcesSpec extends SparkSpec {
     assert(files.filterNot(_.startsWith(".")).forall(_.startsWith("part-")), files.toSeq)
   }
 
+  test("one large SequenceFile splits at sync markers into many partitions, exactly once") {
+    import spark.implicits._
+    val dir = tmpDir() + "/seqbig"
+    // one big file: single partition, ~3000 records with fat values so
+    // the file spans many sync intervals (sync every ~2000 bytes)
+    val df = (0 until 3000)
+      .map(i => (f"k$i%05d", "v" * 200 + i)).toDF("key", "value").coalesce(1)
+    SeqFiles.writeV2(df, dir)
+    val whole = spark.read.format("graft-seqfile").load(dir)
+    val split = spark.read.format("graft-seqfile")
+      .option("split.size", 16 * 1024).load(dir)
+    assert(split.rdd.getNumPartitions > 4,
+      s"expected sync-marker splits, got ${split.rdd.getNumPartitions} partition(s)")
+    assert(whole.rdd.getNumPartitions === 1)
+    assert(split.count() === 3000)
+    // identical multiset of rows: every record exactly once
+    assert(split.exceptAll(whole).count() === 0)
+    assert(whole.exceptAll(split).count() === 0)
+  }
+
+  test("multi-path SequenceFile load unions all paths") {
+    val d1 = tmpDir() + "/seqm1"
+    val d2 = tmpDir() + "/seqm2"
+    val df = Tables.region(spark, sfDir)
+      .select(col("r_regionkey").cast("string").as("key"), col("r_name").as("value"))
+    SeqFiles.writeV2(df, d1)
+    SeqFiles.writeV2(df, d2)
+    val both = spark.read.format("graft-seqfile").load(d1, d2)
+    assert(both.count() === 10)
+  }
+
+  test("compressed DSv2 SequenceFile write round-trips and still splits") {
+    import spark.implicits._
+    val dir = tmpDir() + "/seqgz"
+    val df = (0 until 2000)
+      .map(i => (f"k$i%05d", "value " * 40 + i)).toDF("key", "value").coalesce(1)
+    df.write.format("graft-seqfile").mode("append")
+      .option("compression", "deflate").save(dir)
+    // block-compressed files are smaller than the raw data
+    val bytes = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.length).sum
+    assert(bytes < 100 * 1024, s"expected compression, got $bytes bytes")
+    // classic Hadoop reader proves it's a real compressed SequenceFile
+    assert(SeqFiles.read(spark, dir).count() === 2000)
+    val split = spark.read.format("graft-seqfile")
+      .option("split.size", 4 * 1024).load(dir)
+    assert(split.count() === 2000)
+    assert(split.rdd.getNumPartitions > 1)
+  }
+
+  test("DSv2 SequenceFile write rejects null keys/values with context") {
+    import spark.implicits._
+    val dir = tmpDir() + "/seqnull"
+    val bad = Seq(("a", "1"), (null, "2")).toDF("key", "value")
+    val e = intercept[Exception] {
+      bad.write.format("graft-seqfile").mode("append").save(dir)
+    }
+    // Spark's non-nullable sink schema asserts first
+    // (NOT_NULL_ASSERT_VIOLATION); the writer's own guard is the
+    // defense-in-depth behind it. Either way: descriptive, not a bare NPE.
+    def all(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: all(x.getCause))
+    assert(all(e).exists(t => t.getMessage != null &&
+      (t.getMessage.contains("null key") || t.getMessage.contains("NULL value"))),
+      e.toString)
+    assert(!all(e).exists(_.isInstanceOf[NullPointerException]), e.toString)
+  }
+
   test("PartitionedWriter writes hive-style partitions and prunes on read") {
     val dir = tmpDir() + "/part"
     PartitionedWriter.write(Tables.lineitem(spark, sfDir), dir, Seq("l_returnflag"))
