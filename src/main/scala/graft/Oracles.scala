@@ -295,6 +295,18 @@ object Oracles {
        |FROM (SELECT doc_id, unnest(string_split($norm, ' ')) tok FROM documents) t
        |WHERE tok <> '' GROUP BY doc_id""".stripMargin
 
+  /** Transitive-closure components over the minhash-band candidate
+    * pairs — shared by the label-propagation and star-alternation
+    * variants, which compute the identical relation. */
+  private lazy val clustersSql =
+    s"""${minhashCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |pairs AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+       |  FROM band a JOIN band b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |e AS (SELECT doc_a a, doc_b b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+       |r AS (SELECT a, b FROM e UNION SELECT r.a, e2.b FROM r JOIN e e2 ON r.b = e2.a),
+       |roots AS (SELECT a AS doc_id, least(a, min(b)) AS cluster FROM r GROUP BY a)
+       |SELECT doc_id, cluster, doc_id = cluster AS keep FROM roots""".stripMargin
+
   val dedup: Map[String, String] = Map(
     "q_dedup_exact" ->
       "SELECT md5(text) AS h, count(*) AS n_copies, min(doc_id) AS keep_id FROM documents GROUP BY 1",
@@ -323,14 +335,11 @@ object Oracles {
          |FROM cand WHERE bit_count(xor(va, vb)) <= 3""".stripMargin
     },
 
-    "q_dedup_clusters" ->
-      s"""${minhashCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |pairs AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
-         |  FROM band a JOIN band b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-         |e AS (SELECT doc_a a, doc_b b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
-         |r AS (SELECT a, b FROM e UNION SELECT r.a, e2.b FROM r JOIN e e2 ON r.b = e2.a),
-         |roots AS (SELECT a AS doc_id, least(a, min(b)) AS cluster FROM r GROUP BY a)
-         |SELECT doc_id, cluster, doc_id = cluster AS keep FROM roots""".stripMargin,
+    "q_dedup_clusters" -> clustersSql,
+
+    // the star-alternation variant computes the identical relation, so
+    // it is checked against the identical transitive-closure oracle
+    "q_dedup_clusters_star" -> clustersSql,
 
     "q_dedup_jaccard" ->
       s"""$shingleCte,

@@ -128,6 +128,16 @@ object Dedup {
       .persist()
     var converged = false
     var it = 0
+    // Min-label propagation is monotone: every node's label only ever
+    // decreases, and the label set is fixed. So the loop has converged
+    // exactly when sum(cluster) stops decreasing — ONE scalar action
+    // per round on the cached frame (which also materializes it), no
+    // convergence join. decimal(38,0) keeps the sum exact at any node
+    // count (10^11 ids overflow a bigint sum).
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster").cast("decimal(38,0)")))
+        .collect()(0).getDecimal(0)
+    var prevSum = labelSum(labels)
     while (!converged && it < maxIters) {
       val viaEdges = edges
         .join(labels, edges("doc_b") === labels("doc_id"))
@@ -136,11 +146,11 @@ object Dedup {
         .union(viaEdges)
         .groupBy("doc_id").agg(min("cluster").as("cluster")))
         .persist()
-      val changed = next.join(labels.withColumnRenamed("cluster", "old"), "doc_id")
-        .filter(col("cluster") =!= col("old")).count()
+      val nextSum = labelSum(next)
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       it += 1
     }
     edges.unpersist()
@@ -207,8 +217,12 @@ object Dedup {
         .filter(col("a") =!= col("b")).distinct()
         .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
         .distinct()).persist()
-      val changed = ss.unionByName(e).distinct().count() != e.count() ||
-        ss.count() != e.count()
+      // exact set-equality probe in ONE action (was three): a full
+      // outer join on the edge key leaves a null side exactly where the
+      // sets differ; the count also materializes ss into its cache
+      val changed = e.withColumn("l", lit(1))
+        .join(ss.withColumn("r", lit(1)), Seq("a", "b"), "full_outer")
+        .filter(col("l").isNull || col("r").isNull).count() > 0
       e.unpersist()
       e = ss
       converged = !changed
@@ -225,6 +239,15 @@ object Dedup {
       .distinct()
     out
   }
+
+  /** The dedup decision through the star alternation: identical
+    * relation (and oracle) as dedupClusters, but diameter-independent —
+    * the variant to reach for when near-dup chains are long. */
+  def dedupClustersStar(spark: SparkSession, dir: String): DataFrame =
+    connectedComponentsStar(
+      minhashPairs(spark, dir).select(col("doc_a").as("a"), col("doc_b").as("b")))
+      .select(col("doc_id"), col("cluster"),
+        (col("doc_id") === col("cluster")).as("keep"))
 
   /** Exact n-gram Jaccard on candidate pairs found through the shingle
     * inverted index (pairs must share >= 1 shingle; shingles occurring
