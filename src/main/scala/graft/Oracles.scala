@@ -63,6 +63,22 @@ object Oracles {
         |    row_number() OVER (ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rk
         |  FROM lineitem) t WHERE rk <= 100""".stripMargin,
 
+    // TeraValidate: violations must be zero on correctly sorted
+    // output; total_rows and the order-independent decimal checksum
+    // are partition-independent, so the oracle reproduces them without
+    // knowing the range bounds.
+    "q_sort_validate" -> {
+      val nib = (1 to 8).map { i =>
+        val mult = 1L << (4 * (8 - i))
+        s"cast(instr('0123456789abcdef', substring(md5(rec), $i, 1)) - 1 AS BIGINT) * $mult"
+      }.mkString(" + ")
+      s"""WITH r AS (SELECT concat_ws('|', l_orderkey, l_linenumber,
+         |    cast(round(l_extendedprice * 100, 0) AS BIGINT)) rec FROM lineitem)
+         |SELECT count(*) AS total_rows, cast(0 AS BIGINT) AS order_violations,
+         |  cast(sum(cast($nib AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS checksum
+         |FROM r""".stripMargin
+    },
+
     "q_total_order_bucket" ->
       """SELECT bucket, count(*) AS n,
         |  cast(min(cast(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS lo,
@@ -456,7 +472,26 @@ object Oracles {
            |  (cast(inter_cnt AS DOUBLE) / least(256, nu)) * est_union AS est_inter,
            |  (cast(aonly_cnt AS DOUBLE) / least(256, nu)) * est_union AS est_diff
            |FROM fin""".stripMargin
-      })
+      },
+
+      // Fixed-boundary histogram quantiles: the oracle rebuilds the
+      // identical integer-cent histogram with a grouped count (empty
+      // buckets change nothing — the first bucket reaching rank r is
+      // always non-empty) and derives the same boundary estimates.
+      "q_sketch_percentiles" ->
+        """WITH v AS (SELECT l_returnflag,
+          |    cast(round(l_extendedprice * 100, 0) AS BIGINT) cents FROM lineitem),
+          |bk AS (SELECT l_returnflag, least(cents // 262144, 63) b FROM v),
+          |h AS (SELECT l_returnflag, b, count(*) c FROM bk GROUP BY 1, 2),
+          |cu AS (SELECT l_returnflag, b,
+          |    sum(c) OVER (PARTITION BY l_returnflag ORDER BY b) cum,
+          |    sum(c) OVER (PARTITION BY l_returnflag) n FROM h)
+          |SELECT l_returnflag, cast(n AS BIGINT) AS n,
+          |  cast(min(CASE WHEN cum >= (n * 25 + 99) // 100 THEN (b + 1) * 262144 END) AS BIGINT) AS p25,
+          |  cast(min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN (b + 1) * 262144 END) AS BIGINT) AS p50,
+          |  cast(min(CASE WHEN cum >= (n * 75 + 99) // 100 THEN (b + 1) * 262144 END) AS BIGINT) AS p75,
+          |  cast(min(CASE WHEN cum >= (n * 95 + 99) // 100 THEN (b + 1) * 262144 END) AS BIGINT) AS p95
+          |FROM cu GROUP BY 1, 2""".stripMargin)
   }
 
   val annIvf: Map[String, String] = Map(

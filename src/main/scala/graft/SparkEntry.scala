@@ -19,10 +19,12 @@ object SparkEntry {
     "q_agg_uniq" -> (Relational.aggUniq _),
     "q_sketch_kmv" -> ((s: SparkSession, d: String) => Sketches.kmvUniq(s, d)),
     "q_sketch_ops" -> ((s: SparkSession, d: String) => Sketches.kmvSetOps(s, d)),
+    "q_sketch_percentiles" -> (Sketches.histPercentiles _),
     "q_agg_histogram" -> (Relational.aggHistogram _),
     "q_agg_highcard" -> (Relational.aggHighcard _),
     "q_secondary_sort" -> (Relational.secondarySort _),
     "q_sort_global" -> (Relational.sortGlobal _),
+    "q_sort_validate" -> (Relational.sortValidate _),
     "q_total_order_bucket" -> (Relational.totalOrderBucket _),
     "q_zorder" -> (Relational.zOrderStats _),
     "q_topk_per_group" -> (Relational.topkPerGroup _),

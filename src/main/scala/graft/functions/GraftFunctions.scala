@@ -30,6 +30,8 @@ object GraftFunctions {
       "kmv_uniq", graft.plans.KmvUniq.builder, "built-in")
     reg.createOrReplaceTempFunction(
       "kmv_set", graft.plans.KmvUniq.setBuilder, "built-in")
+    reg.createOrReplaceTempFunction(
+      "hist_sketch", graft.plans.HistSketch.builder, "built-in")
     // same rewrite GraftExtensions injects, via the runtime hook for
     // sessions built without extensions
     if (!spark.experimental.extraOptimizations.contains(graft.plans.DotProductRewrite))
@@ -61,6 +63,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.plans.KmvUniq.uniqInfo, graft.plans.KmvUniq.builder))
     ext.injectFunction((FunctionIdentifier("kmv_set"),
       graft.plans.KmvUniq.setInfo, graft.plans.KmvUniq.setBuilder))
+    ext.injectFunction((FunctionIdentifier("hist_sketch"),
+      graft.plans.HistSketch.info, graft.plans.HistSketch.builder))
     ext.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
     ext.injectOptimizerRule(_ => graft.plans.RangeBinJoinRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.LshTopKJoinStrategy)

@@ -201,6 +201,46 @@ object Relational {
   def rangePartition(df: DataFrame, n: Int, keys: Column*): DataFrame =
     df.repartitionByRange(n, keys: _*)
 
+  /** TeraValidate analog (ref: examples/terasort/TeraValidate.java:1):
+    * validate a total-order-partitioned layout the way the reference
+    * validates TeraSort output — per partition take (first key, last
+    * key, row count, checksum), then check every partition's last key
+    * sorts before its successor's first key and roll the checksums up.
+    *
+    * Scale shape: the per-partition pass is one map-side aggregate (no
+    * extra shuffle — data is already range-partitioned); the boundary
+    * check runs over ONE ROW PER PARTITION (≤ thousands at any scale).
+    * The checksum is the reference's sum-of-record-checksums idea made
+    * engine-portable: sum of uint32(md5 prefix) per record in exact
+    * decimal(38,0) (order-independent, overflow-free at 10^12 rows), so
+    * the DuckDB oracle reproduces total_rows/checksum and the expected
+    * zero violations without knowing the partition boundaries. */
+  def sortValidate(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        expr("cast(round(l_extendedprice * 100, 0) as bigint)").as("cents"))
+      .withColumn("rec",
+        concat_ws("|", col("l_orderkey"), col("l_linenumber"), col("cents")))
+    val parted = rangePartition(keyed, 32, col("l_orderkey"), col("l_linenumber"))
+      .sortWithinPartitions("l_orderkey", "l_linenumber")
+    val nib = (1 to 8).map { i =>
+      val mult = 1L << (4 * (8 - i))
+      s"cast(instr('0123456789abcdef', substring(md5(cast(rec as binary)), $i, 1)) - 1 as bigint) * ${mult}L"
+    }.mkString(" + ")
+    val stats = parted.withColumn("_pid", spark_partition_id())
+      .groupBy("_pid")
+      .agg(count(lit(1)).as("n"),
+        min(struct(col("l_orderkey"), col("l_linenumber"))).as("first_key"),
+        max(struct(col("l_orderkey"), col("l_linenumber"))).as("last_key"),
+        sum(expr(nib).cast("decimal(38,0)")).as("ck"))
+    val w = Window.orderBy("_pid")
+    stats.withColumn("prev_last", lag("last_key", 1).over(w))
+      .withColumn("viol",
+        when(col("prev_last") > col("first_key"), 1L).otherwise(0L))
+      .agg(sum("n").as("total_rows"), sum("viol").as("order_violations"),
+        sum("ck").cast("decimal(38,0)").as("checksum"))
+  }
+
   /** Z-order (Morton) value of two non-negative bigint keys: bit
     * interleave of the low 21 bits each. Sorting/range-partitioning by
     * z clusters data so BOTH dimensions have tight per-file min/max

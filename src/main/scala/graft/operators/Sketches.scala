@@ -74,6 +74,35 @@ object Sketches {
       .select("nu", "inter_cnt", "aonly_cnt", "est_union", "est_inter", "est_diff")
   }
 
+  /** Mergeable percentile sketch (custom TypedImperativeAggregate,
+    * plans.HistSketch) — the bounded-state scale path q_percentiles'
+    * exact percentile_disc lacks: per-group state is 64 longs, partials
+    * merge by addition, so daily histograms roll up without re-reading
+    * raw data. Prices are bucketed in exact integer cents (width 2^18 ≈
+    * $2,621); each percentile estimate is the upper boundary of the
+    * first bucket whose cumulative count reaches ceil(p·n) — all
+    * integer arithmetic, so the DuckDB oracle reproduces it bitwise
+    * (q_sketch_percentiles). The rank pass explodes only 64 rows per
+    * group (the sketch), never the data. */
+  def histPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val width = 262144L // 2^18 cents; 64 buckets cover $0..$167,772
+    val h = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        expr("cast(round(l_extendedprice * 100, 0) as bigint)").as("cents"))
+      .groupBy("l_returnflag")
+      .agg(expr(s"hist_sketch(cents, ${width}L, 64)").as("hist"))
+    val ex = h.select(col("l_returnflag"), posexplode(col("hist")).as(Seq("b", "c")))
+    val byFlag = org.apache.spark.sql.expressions.Window.partitionBy("l_returnflag")
+    val cum = ex
+      .withColumn("cum", sum("c").over(byFlag.orderBy("b")))
+      .withColumn("n", sum("c").over(byFlag))
+    def est(p: Int) = min(when(col("cum") >= expr(s"(n * $p + 99) div 100"),
+      (col("b") + 1).cast("long") * lit(width))).as(s"p$p")
+    cum.groupBy("l_returnflag", "n")
+      .agg(est(25), est(50), est(75), est(95))
+  }
+
   /** Apache DataSketches HLL (Spark-native hll_sketch_agg): the
     * industry-standard mergeable sketch — smaller state than KMV at
     * the same error, but implementation-defined estimates, so it is

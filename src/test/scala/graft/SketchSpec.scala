@@ -93,4 +93,34 @@ class SketchSpec extends SparkSpec {
       assert(direct(t) === rolled(t), s"$t rollup != direct")
     }
   }
+
+  test("hist_sketch is merge/partition insensitive, exact-count, clamped") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val vals = (1 to 1000).map(i => ((i % 7).toLong * 100 + i % 13) - 50).toDF("v")
+    def hist(df: org.apache.spark.sql.DataFrame) =
+      df.agg(expr("hist_sketch(v, 50L, 16)").as("h"))
+        .collect()(0).getSeq[Long](0)
+    val one = hist(vals.coalesce(1))
+    val many = hist(vals.repartition(32))
+    assert(one === many, "32-way partial merge must equal the single pass")
+    assert(one.sum === 1000L, "every value lands in exactly one bucket")
+    // negatives clamp into bucket 0, overflow into the last bucket
+    val edges = hist(Seq(-5L, -1L, 10_000L).toDF("v"))
+    assert(edges.head === 2L && edges.last === 1L)
+  }
+
+  test("hist_sketch percentile estimates are within one bucket width of exact") {
+    val r = graft.operators.Sketches.histPercentiles(spark, sfDir)
+    val exact = Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").as("m"))
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    r.collect().foreach { row =>
+      val (flag, p50) = (row.getString(0), row.getLong(3))
+      val exactCents = exact(flag) * 100
+      assert(p50 >= exactCents && p50 - 262144 <= exactCents,
+        s"$flag: p50 boundary $p50 not within one width above exact $exactCents")
+    }
+  }
 }
