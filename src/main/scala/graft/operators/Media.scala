@@ -6,11 +6,13 @@ import graft.Tables
 
 /** Multimodal columns (SURVEY.md §2.6): image/audio/video payloads
   * travel as opaque `binary` columns with a typed metadata struct.
-  * The Spark-side plumbing — schema, per-partition batch processing,
-  * chunking for frame-sampling — is real and tested; the actual codec
-  * work is STUBBED deterministically (no image/audio libraries in this
-  * container): `decodeStub` is a byte-level transform standing in for
-  * a real decoder with the same signature and batch shape.
+  *
+  * Image decode is REAL for the formats the JDK ships codecs for
+  * (PNG/BMP/GIF/JPEG via `javax.imageio` — zero extra dependencies):
+  * `decode` tries ImageIO first and yields raw RGB; payloads no JDK
+  * codec understands (video/audio/exotic formats) fall back to the
+  * deterministic byte-level `decodeStub`, preserving the batch shape
+  * so a real codec swap changes only that body.
   *
   * At scale the pattern is: binary payloads stay columnar in parquet,
   * decode runs in `mapPartitions` (one codec context per partition,
@@ -18,6 +20,9 @@ import graft.Tables
   * Catalyst can prune/push down.
   */
 object Media {
+
+  /** Decoded raster: dimensions + packed RGB bytes (3 per pixel). */
+  case class DecodedImage(width: Int, height: Int, rgb: Array[Byte])
 
   /** Build the media table: payload as binary + typed metadata. */
   def mediaTable(spark: SparkSession, dir: String): DataFrame =
@@ -29,11 +34,103 @@ object Media {
         lit("text/plain").as("mime"),
         expr("substring(md5(cast(text as binary)), 1, 8)").as("sig")).as("meta"))
 
-  /** STUB decoder: stands in for image/audio decode. Deterministic
-    * byte map so tests are stable. A real deployment swaps the body
-    * for the codec call; everything around it is unchanged. */
+  /** STUB decoder for payloads no JDK codec reads (video/audio):
+    * deterministic byte map so tests are stable. A real deployment
+    * swaps the body for the codec call; everything around it is
+    * unchanged. */
   def decodeStub(payload: Array[Byte]): Array[Byte] =
     payload.map(b => (b ^ 0x5a).toByte)
+
+  /** REAL image decode via javax.imageio (PNG/BMP/GIF/JPEG ship with
+    * the JDK). Returns None when no installed codec recognizes the
+    * bytes. Pixels are read through getRGB, so the output is the
+    * same packed sRGB regardless of the file's internal layout. */
+  def decodeImage(payload: Array[Byte]): Option[DecodedImage] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    Option(img).map { im =>
+      val (w, h) = (im.getWidth, im.getHeight)
+      val out = new Array[Byte](w * h * 3)
+      var i = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = im.getRGB(x, y)
+          out(i) = (rgb >> 16).toByte
+          out(i + 1) = (rgb >> 8).toByte
+          out(i + 2) = rgb.toByte
+          i += 3; x += 1
+        }
+        y += 1
+      }
+      DecodedImage(w, h, out)
+    }
+  }
+
+  /** The decode step every feature extractor runs: real ImageIO decode
+    * when a JDK codec matches, deterministic stub otherwise. */
+  def decode(payload: Array[Byte]): Array[Byte] =
+    decodeImage(payload).map(_.rgb).getOrElse(decodeStub(payload))
+
+  /** Image metadata + channel means over the REAL decoded pixels —
+    * (doc_id, width, height, mean_r, mean_g, mean_b); undecodable
+    * payloads yield nulls, keeping the pipeline total. Exact integer
+    * sums + one division per channel. */
+  def imageFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          decodeImage(payload) match {
+            case Some(im) =>
+              val sums = new Array[Long](3)
+              var i = 0
+              while (i < im.rgb.length) {
+                sums(i % 3) += im.rgb(i) & 0xff
+                i += 1
+              }
+              val n = (im.width.toLong * im.height).max(1L)
+              (id, Some(im.width), Some(im.height),
+                Some(sums(0).toDouble / n), Some(sums(1).toDouble / n),
+                Some(sums(2).toDouble / n))
+            case None => (id, None, None, None, None, None)
+          }
+        }
+      }.toDF("doc_id", "width", "height", "mean_r", "mean_g", "mean_b")
+  }
+
+  /** REAL image resize: deterministic nearest-neighbor down/upsample
+    * of the decoded raster to (tw × th) — no AWT rendering involved,
+    * so results are bit-stable across JVMs. Output is the raw RGB
+    * raster (binary column), the shape a feature model consumes. */
+  def imageResize(spark: SparkSession, media: DataFrame,
+    tw: Int = 8, th: Int = 8): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          decodeImage(payload).map { im =>
+            val out = new Array[Byte](tw * th * 3)
+            var j = 0
+            var y = 0
+            while (y < th) {
+              val sy = y * im.height / th
+              var x = 0
+              while (x < tw) {
+                val sx = x * im.width / tw
+                val src = (sy * im.width + sx) * 3
+                out(j) = im.rgb(src); out(j + 1) = im.rgb(src + 1); out(j + 2) = im.rgb(src + 2)
+                j += 3; x += 1
+              }
+              y += 1
+            }
+            (id, tw, th, out)
+          }
+        }
+      }.toDF("doc_id", "width", "height", "pixels")
+  }
 
   /** Per-partition feature extraction: one "codec context" per
     * partition, batched over rows — the mapPartitions shape a real
@@ -44,7 +141,7 @@ object Media {
       .mapPartitions { rows =>
         // expensive init (codec/model load) would happen once here
         rows.map { case (id, payload) =>
-          val decoded = decodeStub(payload)
+          val decoded = decode(payload)
           val hist = new Array[Long](256)
           decoded.foreach(b => hist(b & 0xff) += 1)
           (id, hist)
@@ -90,7 +187,7 @@ object Media {
       .mapPartitions { rows =>
         // model/codec load would happen once per partition here
         rows.map { case (id, payload) =>
-          val decoded = decodeStub(payload)
+          val decoded = decode(payload)
           val hist = new Array[Float](16)
           decoded.foreach(b => hist(b & 0xf) += 1f)
           val n = math.sqrt(hist.map(x => x.toDouble * x).sum).toFloat max 1e-9f

@@ -54,6 +54,54 @@ class MediaSpec extends SparkSpec {
     }
   }
 
+  /** A real PNG rendered in-memory: 4-wide gradient stripes. */
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 255 / math.max(w - 1, 1)) << 16) | ((y * 255 / math.max(h - 1, 1)) << 8) | 0x40)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("decodeImage reads a real PNG: exact dimensions and pixels") {
+    val bytes = pngBytes(16, 9)
+    val im = Media.decodeImage(bytes).get
+    assert(im.width === 16 && im.height === 9)
+    assert(im.rgb.length === 16 * 9 * 3)
+    // corner pixels follow the gradient exactly
+    assert((im.rgb(0) & 0xff) === 0)                       // top-left R
+    assert((im.rgb(2) & 0xff) === 0x40)                    // top-left B
+    assert((im.rgb((16 * 9 - 1) * 3) & 0xff) === 255)      // bottom-right R
+    // non-image bytes fall back to the stub path, never crash
+    assert(Media.decodeImage("not an image".getBytes).isEmpty)
+    assert(Media.decode("not an image".getBytes).length === 12)
+  }
+
+  test("imageFeatures and imageResize run the real decode distributed") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, pngBytes(16, 16)),
+      (2L, pngBytes(32, 8)),
+      (3L, "definitely not an image".getBytes)).toDF("doc_id", "payload")
+    val feats = Media.imageFeatures(spark, media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(feats(1L).getInt(1) === 16 && feats(1L).getInt(2) === 16)
+    assert(feats(2L).getInt(1) === 32 && feats(2L).getInt(2) === 8)
+    assert(feats(3L).isNullAt(1), "undecodable payload yields null dims")
+    // blue channel is constant 0x40 in the gradient
+    assert(math.abs(feats(1L).getDouble(5) - 0x40) < 1e-9)
+    val rs = Media.imageResize(spark, media, tw = 8, th = 8).collect()
+    assert(rs.length === 2, "only decodable images resize")
+    rs.foreach { r =>
+      assert(r.getAs[Array[Byte]](3).length === 8 * 8 * 3)
+      // every sampled pixel keeps the constant blue channel
+      val px = r.getAs[Array[Byte]](3)
+      (2 until px.length by 3).foreach(i => assert((px(i) & 0xff) === 0x40))
+    }
+  }
+
   test("extracted embeddings are unit-norm and feed the ANN operators") {
     val m = Media.mediaTable(spark, sfDir).limit(50)
     val emb = Media.extractEmbedding(spark, m)
