@@ -149,6 +149,34 @@ class SourcesSpec extends SparkSpec {
     assert(run(32) === expected)
   }
 
+  test("Compaction bin-packs small files into <= ceil(bytes/target) archives, content intact") {
+    val srcDir = new java.io.File(tmpDir() + "/har-src"); srcDir.mkdirs()
+    val rnd = new scala.util.Random(7)
+    val contents = (0 until 40).map { i =>
+      val bytes = new Array[Byte](200 + rnd.nextInt(800))
+      rnd.nextBytes(bytes)
+      val name = f"small-$i%03d.dat"
+      java.nio.file.Files.write(new java.io.File(srcDir, name).toPath, bytes)
+      name -> bytes
+    }.toMap
+    val dst = tmpDir() + "/har-out"
+    val target = 4096L
+    val manifest = Compaction.compact(spark, srcDir.getAbsolutePath, dst, target)
+    val totalBytes = contents.values.map(_.length.toLong).sum
+    val archives = new java.io.File(dst).listFiles()
+      .filter(_.getName.startsWith("archive-"))
+    assert(archives.length <= math.ceil(totalBytes.toDouble / target).toLong,
+      s"${archives.length} archives for $totalBytes bytes at target $target")
+    assert(archives.length > 1, "test should exercise multiple bins")
+    // archives hold exactly the packed bytes
+    assert(archives.map(_.length).sum === totalBytes)
+    assert(manifest.count() === 40)
+    // every file fetches back byte-identical via the manifest point lookup
+    contents.foreach { case (name, bytes) =>
+      assert(Compaction.fetch(spark, dst, name).toSeq === bytes.toSeq, name)
+    }
+  }
+
   test("DataGen.text is deterministic and distributed") {
     val a = DataGen.text(spark, 100).collect().sortBy(_.getLong(0))
     val b = DataGen.text(spark, 100).collect().sortBy(_.getLong(0))
