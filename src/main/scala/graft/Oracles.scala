@@ -439,7 +439,7 @@ object Oracles {
          |s AS (SELECT event_type, count(*) n, max(CASE WHEN rn = 256 THEN h END) kth FROM r GROUP BY 1)
          |SELECT event_type,
          |  CASE WHEN n < 256 THEN cast(n AS DOUBLE)
-         |       ELSE (255.0 * 4294967296.0) / cast($nib AS DOUBLE) END AS est_uniq,
+         |       ELSE (255.0 * 4294967296.0) / cast(greatest(1, $nib) AS DOUBLE) END AS est_uniq,
          |  CASE WHEN n >= 256 THEN kth END AS kth_hash
          |FROM s""".stripMargin,
 
@@ -465,7 +465,7 @@ object Oracles {
            |       WHERE h IN (SELECT h FROM ka) AND h NOT IN (SELECT h FROM kb)),
            |fin AS (SELECT nu, inter_cnt, aonly_cnt,
            |    CASE WHEN nu < 256 THEN cast(nu AS DOUBLE)
-           |         ELSE (255.0 * 4294967296.0) / cast($nibU AS DOUBLE) END est_union
+           |         ELSE (255.0 * 4294967296.0) / cast(greatest(1, $nibU) AS DOUBLE) END est_union
            |  FROM st, ic, ao)
            |SELECT cast(nu AS BIGINT) AS nu, cast(inter_cnt AS BIGINT) AS inter_cnt,
            |  cast(aonly_cnt AS BIGINT) AS aonly_cnt, est_union,

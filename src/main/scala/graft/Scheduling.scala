@@ -19,8 +19,14 @@ import org.apache.spark.sql.SparkSession
   */
 object Scheduling {
 
-  /** Pool spec: name, weight (relative share), minShare (cores). */
-  case class Pool(name: String, weight: Int, minShare: Int)
+  /** Pool spec: name, weight (relative share), minShare (cores).
+    * Names are restricted to [A-Za-z0-9_-]+ at construction so they
+    * can never produce malformed XML in the allocation file (quotes,
+    * '<' or '&' would otherwise fail at session start). */
+  case class Pool(name: String, weight: Int, minShare: Int) {
+    require(name.matches("[A-Za-z0-9_-]+"),
+      s"pool name must match [A-Za-z0-9_-]+, got '$name'")
+  }
 
   /** Write a Spark fairscheduler.xml; pass the returned path as
     * `spark.scheduler.allocation.file`. */

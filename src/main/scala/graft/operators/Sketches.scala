@@ -62,8 +62,9 @@ object Sketches {
       .withColumn("kth_u", expr(s"try_element_at(hu, $k)"))
       .withColumn("inter_cnt", expr(
         "cast(size(filter(hu, x -> array_contains(ha, x) AND array_contains(hb, x))) AS BIGINT)"))
+      // greatest(1, ...) mirrors KmvUniq.eval's zero-prefix clamp
       .withColumn("est_union", expr(
-        s"CASE WHEN nu < $k THEN cast(nu AS DOUBLE) ELSE (${k - 1}D * 4294967296.0D) / cast($nib AS DOUBLE) END"))
+        s"CASE WHEN nu < $k THEN cast(nu AS DOUBLE) ELSE (${k - 1}D * 4294967296.0D) / cast(greatest(1, $nib) AS DOUBLE) END"))
       .withColumn("est_inter", expr(
         s"(cast(inter_cnt AS DOUBLE) / least($k, nu)) * est_union"))
       // difference A∖B by the same membership argument

@@ -107,7 +107,12 @@ case class KmvUniq(
           v = (v << 4) | Character.digit(kh.charAt(i), 16).toLong
           i += 1
         }
-        (((k - 1).toDouble * 4294967296.0) / v.toDouble, UTF8String.fromString(kh))
+        // an all-zero prefix (probability 2^-32 per group) would divide
+        // by zero; clamp to 1 — the same greatest(1, v) convention the
+        // SQL set-algebra path and the DuckDB oracles use, so all three
+        // stay bitwise consistent even on that input
+        (((k - 1).toDouble * 4294967296.0) / math.max(v, 1L).toDouble,
+          UTF8String.fromString(kh))
       }
     if (!emitSet) new GenericInternalRow(Array[Any](est, kth))
     else {

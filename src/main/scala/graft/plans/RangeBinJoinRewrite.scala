@@ -62,10 +62,18 @@ object RangeBinJoinRewrite extends Rule[LogicalPlan] {
     val newLeft = Project(left.output :+ binL, left)
     val rDiv = IntegralDivide(rKey, cLit)
     val binR = AttributeReference("_range_bin_r", LongType, nullable = true)()
+    // rDiv±1 can only overflow when C = 1 and the key sits exactly at a
+    // Long extreme (for C > 1, |rDiv| <= 2^63/C keeps ±1 in range) —
+    // which would throw under ANSI or fabricate a wrapped bin without.
+    // Guard the two exact extremes with a null bin: a null never equals
+    // binL, and the bin it replaces cannot exist, so no pair is lost.
+    def guarded(base: Expression, bound: Long, next: Expression): Expression =
+      If(EqualTo(base, Literal(bound, LongType)),
+        Literal(null, LongType), next)
     val gen = Explode(CreateArray(Seq(
-      Subtract(rDiv, Literal(1L, LongType)),
+      guarded(rDiv, Long.MinValue, Subtract(rDiv, Literal(1L, LongType))),
       rDiv,
-      Add(rDiv, Literal(1L, LongType)))))
+      guarded(rDiv, Long.MaxValue, Add(rDiv, Literal(1L, LongType))))))
     val newRight = Generate(gen, unrequiredChildIndex = Nil, outer = false,
       qualifier = None, generatorOutput = Seq(binR), child = right)
     val joined = Join(newLeft, newRight, Inner,

@@ -12,17 +12,26 @@ import org.apache.spark.sql.SparkSession
 object DistCopy {
 
   def copy(spark: SparkSession, src: String, dst: String): Long = {
-    val files = spark.read.format("binaryFile").load(src)
-      .select("path", "content")
+    // metadata-only scan (column pruning keeps content unread); each
+    // task then STREAMS its file through a bounded buffer like the
+    // reference — a file larger than executor memory copies fine
+    val files = spark.read.format("binaryFile").load(src).select("path")
     val confBc = spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(
         spark.sparkContext.hadoopConfiguration))
     files.rdd.map { r =>
-      val name = new Path(r.getString(0)).getName
-      val out = new Path(dst, name)
-      val fs = out.getFileSystem(confBc.value.value)
-      val os = fs.create(out, true)
-      try os.write(r.getAs[Array[Byte]](1)) finally os.close()
+      val from = new Path(r.getString(0))
+      val out = new Path(dst, from.getName)
+      val is = from.getFileSystem(confBc.value.value).open(from)
+      val os = out.getFileSystem(confBc.value.value).create(out, true)
+      try {
+        val buf = new Array[Byte](1 << 16)
+        var n = is.read(buf)
+        while (n >= 0) {
+          if (n > 0) os.write(buf, 0, n)
+          n = is.read(buf)
+        }
+      } finally { is.close(); os.close() }
       1L
     }.sum().toLong
   }

@@ -67,6 +67,26 @@ class RangeBinJoinRewriteSpec extends SparkSpec {
     assert(q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet === expected)
   }
 
+  test("keys at the exact Long extremes neither throw under ANSI nor drop pairs") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // C = 1 is the only case where rDiv±1 can overflow; keys cluster at
+    // each extreme so the naive abs() never overflows and ground truth
+    // is well-defined
+    val a = Seq(Long.MaxValue, Long.MaxValue - 2, Long.MinValue, Long.MinValue + 2).toDF("ta")
+    val b = Seq(Long.MaxValue - 1, Long.MaxValue - 3, Long.MinValue + 1, Long.MinValue + 3).toDF("tb")
+    val joined = a.join(b, expr("abs(ta - tb) <= 1L"))
+    assert(joined.queryExecution.optimizedPlan.toString.contains("_range_bin"))
+    val got = joined.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (for {
+      x <- Seq(Long.MaxValue, Long.MaxValue - 2, Long.MinValue, Long.MinValue + 2)
+      y <- Seq(Long.MaxValue - 1, Long.MaxValue - 3, Long.MinValue + 1, Long.MinValue + 3)
+      if (x > 0) == (y > 0) && math.abs(x - y) <= 1
+    } yield (x, y)).toSet
+    assert(got === expected)
+    assert(joined.count() === expected.size.toLong)
+  }
+
   test("events band join through the rule matches rangeJoinBinned") {
     GraftFunctions.register(spark)
     val ev = Tables.events(spark, sfDir)
