@@ -277,6 +277,32 @@ object Oracles {
          |  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) rk FROM sc) z
          |WHERE rk <= 20""".stripMargin,
 
+    // decontamination: LEFT join of training shingles vs the distinct
+    // eval-set shingles; count(hit) counts non-null = shared shingles
+    "q_decontaminate" ->
+      s"""WITH nt AS (SELECT doc_id, string_split($norm, ' ') tk FROM documents),
+         |ix AS (SELECT doc_id, tk, unnest(generate_series(1, greatest(len(tk) - 2, 1))) i FROM nt),
+         |sh AS (SELECT DISTINCT doc_id, concat_ws(' ', tk[i], tk[i+1], tk[i+2]) s FROM ix),
+         |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id < 25),
+         |tr AS (SELECT doc_id, sh.s, CASE WHEN ev.s IS NOT NULL THEN 1 END hit
+         |       FROM sh LEFT JOIN ev ON sh.s = ev.s WHERE doc_id >= 25)
+         |SELECT doc_id, cast(count(hit) AS BIGINT) AS n_shared,
+         |  count(hit) > 0 AS contaminated
+         |FROM tr GROUP BY 1""".stripMargin,
+
+    // sequence packing: first-fit by doc_id, seq = tokens_before div
+    // budget — the oracle's single window replays the distributed
+    // range-partition + offsets prefix sum exactly
+    "q_pack_sequences" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    cast(len(list_filter(string_split($norm, ' '), x -> x <> '')) AS BIGINT) n
+         |  FROM documents),
+         |c AS (SELECT doc_id, n, sum(n) OVER (ORDER BY doc_id) cum FROM d)
+         |SELECT cast((cum - n) // 2048 AS BIGINT) AS seq_id, count(*) AS n_docs,
+         |  cast(sum(n) AS BIGINT) AS seq_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM c GROUP BY 1""".stripMargin,
+
     "q_tfidf" ->
       s"""WITH t AS (SELECT doc_id, unnest(string_split($norm, ' ')) word FROM documents),
          |tf AS (SELECT doc_id, word, count(*) tf FROM t WHERE word <> '' GROUP BY 1, 2),
@@ -491,7 +517,31 @@ object Oracles {
           |  cast(min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN (b + 1) * 262144 END) AS BIGINT) AS p50,
           |  cast(min(CASE WHEN cum >= (n * 75 + 99) // 100 THEN (b + 1) * 262144 END) AS BIGINT) AS p75,
           |  cast(min(CASE WHEN cum >= (n * 95 + 99) // 100 THEN (b + 1) * 262144 END) AS BIGINT) AS p95
-          |FROM cu GROUP BY 1, 2""".stripMargin)
+          |FROM cu GROUP BY 1, 2""".stripMargin,
+
+      // Count-min sketch: the oracle rebuilds the identical 4×1024
+      // md5-cell counter table with a grouped count and reads the same
+      // probe cells; min over rows = the point estimate.
+      "q_sketch_cms" -> {
+        val nibH = (1 to 8).map { i =>
+          val mult = 1L << (4 * (8 - i))
+          s"cast(instr('0123456789abcdef', substring(h, $i, 1)) - 1 AS BIGINT) * $mult"
+        }.mkString(" + ")
+        s"""WITH t AS (SELECT unnest(string_split($norm, ' ')) word FROM documents),
+           |tk AS (SELECT word FROM t WHERE word <> ''),
+           |rs AS (SELECT unnest(generate_series(0, 3)) r),
+           |tc AS (SELECT r, md5(r || ':' || word) h FROM tk, rs),
+           |cells AS (SELECT r, ($nibH) % 1024 cell, count(*) c FROM tc GROUP BY 1, 2),
+           |pr AS (SELECT unnest(['the', 'data', 'spark', 'xylophone']) word),
+           |ph AS (SELECT word, r, md5(r || ':' || word) h FROM pr, rs),
+           |pc AS (SELECT word, r, ($nibH) % 1024 cell FROM ph),
+           |est AS (SELECT word, cast(min(coalesce(c, 0)) AS BIGINT) est
+           |        FROM pc LEFT JOIN cells USING (r, cell) GROUP BY 1),
+           |ex AS (SELECT word, count(*) exact FROM tk
+           |       WHERE word IN ('the', 'data', 'spark', 'xylophone') GROUP BY 1)
+           |SELECT word, est, cast(coalesce(exact, 0) AS BIGINT) AS exact
+           |FROM est LEFT JOIN ex USING (word)""".stripMargin
+      })
   }
 
   val annIvf: Map[String, String] = Map(
@@ -558,6 +608,28 @@ object Oracles {
   }
 
   val streamingAndMisc: Map[String, String] = Map(
+    // sliding-window KMV: duration = 2×slide → every event is in
+    // exactly two windows (off ∈ {0,1}); per window the same rank-
+    // window k-th-hash replay as q_sketch_kmv, k=64
+    "q_sketch_window" -> {
+      val nibW = (1 to 8).map { i =>
+        val mult = 1L << (4 * (8 - i))
+        s"cast(instr('0123456789abcdef', substring(kth, $i, 1)) - 1 AS BIGINT) * $mult"
+      }.mkString(" + ")
+      s"""WITH ev AS (SELECT epoch_us(ts) t, md5(cast(user_id AS VARCHAR)) h
+         |            FROM events WHERE user_id IS NOT NULL),
+         |w AS (SELECT (t // 300000000 - ofs) * 300000000 ws, h
+         |      FROM ev, (SELECT unnest(generate_series(0, 1)) ofs) o),
+         |d AS (SELECT DISTINCT ws, h FROM w),
+         |r AS (SELECT ws, h, row_number() OVER (PARTITION BY ws ORDER BY h) rn FROM d),
+         |s AS (SELECT ws, count(*) n, max(CASE WHEN rn = 64 THEN h END) kth FROM r GROUP BY 1)
+         |SELECT strftime(make_timestamp(cast(ws AS BIGINT)), '%Y-%m-%d %H:%M:%S') AS wstart,
+         |  CASE WHEN n < 64 THEN cast(n AS DOUBLE)
+         |       ELSE (63.0 * 4294967296.0) / cast(greatest(1, $nibW) AS DOUBLE) END AS est_uniq,
+         |  CASE WHEN n >= 64 THEN kth END AS kth_hash
+         |FROM s""".stripMargin
+    },
+
     "q_window_agg" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS wstart, event_type,
         |  count(*) AS n, cast(sum(cast(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

@@ -20,6 +20,9 @@ object SparkEntry {
     "q_sketch_kmv" -> ((s: SparkSession, d: String) => Sketches.kmvUniq(s, d)),
     "q_sketch_ops" -> ((s: SparkSession, d: String) => Sketches.kmvSetOps(s, d)),
     "q_sketch_percentiles" -> (Sketches.histPercentiles _),
+    "q_sketch_cms" -> ((s: SparkSession, d: String) => Sketches.cmsWordFreq(s, d)),
+    "q_sketch_window" -> ((s: SparkSession, d: String) =>
+      graft.streaming.Windows.kmvSlidingWindows(s, d)),
     "q_agg_histogram" -> (Relational.aggHistogram _),
     "q_agg_highcard" -> (Relational.aggHighcard _),
     "q_secondary_sort" -> (Relational.secondarySort _),
@@ -49,6 +52,8 @@ object SparkEntry {
     "q_text_redact" -> (TextOps.redact _),
     "q_text_chunks" -> ((s: SparkSession, d: String) => TextOps.chunk(s, d)),
     "q_text_repetition" -> (TextOps.repetition _),
+    "q_decontaminate" -> ((s: SparkSession, d: String) => TextOps.decontaminate(s, d)),
+    "q_pack_sequences" -> ((s: SparkSession, d: String) => TextOps.packSequences(s, d)),
     // oracle-gated via rank + integer surrogates (the ln() score
     // orders but is never hashed); ranking semantics also in TfIdfSpec
     "q_bm25" -> ((s: SparkSession, d: String) => TextOps.bm25(s, d)),

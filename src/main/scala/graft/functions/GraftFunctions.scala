@@ -32,6 +32,8 @@ object GraftFunctions {
       "kmv_set", graft.plans.KmvUniq.setBuilder, "built-in")
     reg.createOrReplaceTempFunction(
       "hist_sketch", graft.plans.HistSketch.builder, "built-in")
+    reg.createOrReplaceTempFunction(
+      "cms_sketch", graft.plans.CmsSketch.builder, "built-in")
     // same rewrite GraftExtensions injects, via the runtime hook for
     // sessions built without extensions
     if (!spark.experimental.extraOptimizations.contains(graft.plans.DotProductRewrite))
@@ -65,6 +67,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.plans.KmvUniq.setInfo, graft.plans.KmvUniq.setBuilder))
     ext.injectFunction((FunctionIdentifier("hist_sketch"),
       graft.plans.HistSketch.info, graft.plans.HistSketch.builder))
+    ext.injectFunction((FunctionIdentifier("cms_sketch"),
+      graft.plans.CmsSketch.info, graft.plans.CmsSketch.builder))
     ext.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
     ext.injectOptimizerRule(_ => graft.plans.RangeBinJoinRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.LshTopKJoinStrategy)

@@ -211,10 +211,12 @@ object Dedup {
       val mins2 = lsOriented.groupBy("a").agg(min("b").as("mn"))
         .select(col("a").as("u"), col("mn").as("m"))
       val joined = lsOriented.join(mins2, lsOriented("a") === mins2("u"))
+      // one distinct AFTER orientation normalization — a pre-normalize
+      // distinct would be subsumed by this one (an extra shuffle/round)
       val ss = rebase(joined.filter(col("b") =!= col("m"))
         .select(col("b").as("a"), col("m").as("b"))
         .unionByName(joined.select(col("u").as("a"), col("m").as("b")))
-        .filter(col("a") =!= col("b")).distinct()
+        .filter(col("a") =!= col("b"))
         .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
         .distinct()).persist()
       // exact set-equality probe in ONE action (was three): a full

@@ -104,6 +104,36 @@ object Sketches {
       .agg(est(25), est(50), est(75), est(95))
   }
 
+  /** Count-min frequency probe over document words (custom
+    * TypedImperativeAggregate, plans.CmsSketch): one bounded-state
+    * sketch (4×1024 longs) replaces the unbounded word-count table;
+    * probe estimates are `min` over the probe's 4 cells. Probe cells
+    * are computed at PLAN-BUILD time (same md5 derivation as the
+    * aggregate), so the readout is a constant-index projection over
+    * the sketch array. est >= exact always; the DuckDB oracle rebuilds
+    * the identical counter table and reads the same cells
+    * (q_sketch_cms). */
+  def cmsWordFreq(spark: SparkSession, dir: String,
+    probes: Seq[String] = Seq("the", "data", "spark", "xylophone"),
+    depth: Int = 4, width: Int = 1024): DataFrame = {
+    GraftFunctions.register(spark)
+    val toks = Tables.documents(spark, dir)
+      .select(explode(split(expr(TextOps.normExpr), " ")).as("word"))
+      .filter(col("word") =!= "")
+    val sk = toks.agg(expr(s"cms_sketch(word, $depth, $width)").as("cms"))
+    val exact = toks.filter(col("word").isin(probes: _*))
+      .groupBy("word").agg(count(lit(1)).as("exact"))
+    val probeStructs = probes.map { w =>
+      val cells = (0 until depth).map(r =>
+        s"element_at(cms, ${r * width + graft.plans.CmsSketch.cell(r, w, width) + 1})")
+      s"struct('$w' AS word, least(${cells.mkString(", ")}) AS est)"
+    }
+    sk.selectExpr(s"explode(array(${probeStructs.mkString(", ")})) AS p")
+      .select(col("p.word").as("word"), col("p.est").as("est"))
+      .join(broadcast(exact), Seq("word"), "left")
+      .withColumn("exact", coalesce(col("exact"), lit(0L)))
+  }
+
   /** Apache DataSketches HLL (Spark-native hll_sketch_agg): the
     * industry-standard mergeable sketch — smaller state than KMV at
     * the same error, but implementation-defined estimates, so it is

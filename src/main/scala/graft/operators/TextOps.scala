@@ -206,6 +206,51 @@ object TextOps {
       .select("rk", "doc_id", "tf_sum", "n_terms", "dl")
   }
 
+  /** Benchmark decontamination — the pipeline step every LLM training
+    * run needs: flag training documents that share any n-gram with the
+    * evaluation set, so test data never leaks into training data. The
+    * eval set here is the first `evalMax` doc_ids (stand-in for a
+    * benchmark suite); shared-shingle counts come from a LEFT join of
+    * training shingles against the BROADCAST eval shingle set — eval
+    * suites are MBs, so at 100 TB this stays one map-side pass over
+    * the corpus with no shuffle of training data. */
+  def decontaminate(spark: SparkSession, dir: String, evalMax: Long = 25): DataFrame = {
+    val sh = Dedup.shingles(spark, dir) // distinct (doc_id, shingle)
+    val evalSh = sh.filter(col("doc_id") < evalMax)
+      .select("s").distinct().withColumn("hit", lit(1))
+    sh.filter(col("doc_id") >= evalMax)
+      .join(broadcast(evalSh), Seq("s"), "left")
+      .groupBy("doc_id")
+      .agg(count(col("hit")).as("n_shared"))
+      .withColumn("contaminated", col("n_shared") > 0)
+  }
+
+  /** Sequence packing — shaping documents into fixed-token-budget
+    * training sequences: deterministic first-fit in doc_id order,
+    * sequence = floor(tokens_before / budget). The prefix sum is
+    * DISTRIBUTED (range partition → local cumsum → broadcast
+    * per-partition offsets, one row per partition — the globalRank
+    * pattern), so no single-partition window touches the corpus at
+    * any scale. Output: per sequence, the doc span and token count. */
+  def packSequences(spark: SparkSession, dir: String, budget: Int = 2048): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr(s"cast(size(filter(split($normExpr, ' '), x -> x <> '')) as bigint)").as("n"))
+    val parted = docs.repartitionByRange(32, col("doc_id"))
+      .withColumn("_pid", spark_partition_id())
+    val localW = Window.partitionBy("_pid").orderBy("doc_id")
+    val local = parted.withColumn("_lcum", sum("n").over(localW))
+    val offW = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy("_pid").agg(sum("n").as("_cnt"))
+      .withColumn("_off", coalesce(sum("_cnt").over(offW), lit(0L)))
+      .select("_pid", "_off")
+    local.join(broadcast(offsets), "_pid")
+      .withColumn("seq_id", expr(s"(_lcum + _off - n) div ${budget}L"))
+      .groupBy("seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n").as("seq_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+  }
+
   /** Winnowing document fingerprint (rolling-hash): char 10-gram md5
     * hashes, min over each 8-gram window, distinct survivors. The
     * window is partitioned per doc so it scales out. */

@@ -13,6 +13,26 @@ import graft.Tables
   */
 object Windows {
 
+  /** Sliding-window distinct-user sketch: the KMV θ-sketch
+    * (plans.KmvUniq) per 10-minute window sliding every 5 — duration =
+    * 2×slide, so every event lands in exactly two windows and the
+    * DuckDB oracle replays the window assignment with a 2-way unnest
+    * (q_sketch_window). The sketch keeps per-window state at k hashes
+    * no matter how many events a window sees, and the identical plan
+    * runs over readStream (watermark + update mode) — the
+    * theta-sketch-over-sliding-windows shape [t: StreamsSpec]. */
+  def kmvSlidingWindows(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(window(col("ts"), "10 minutes", "5 minutes").as("w"),
+        expr("md5(cast(user_id as string))").as("h"))
+      .groupBy("w")
+      .agg(expr(s"kmv_uniq(h, $k)").as("s"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+        col("s.est").as("est_uniq"), col("s.kth").as("kth_hash"))
+  }
+
   /** Tumbling 1-hour window aggregation (batch form). The streaming
     * twin is Streams.windowedCounts with a 2h watermark. */
   def windowAgg(spark: SparkSession, dir: String): DataFrame =

@@ -110,6 +110,26 @@ class SketchSpec extends SparkSpec {
     assert(edges.head === 2L && edges.last === 1L)
   }
 
+  test("cms_sketch: merge-insensitive, never underestimates, conserves mass") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val words = (1 to 500).map(i => s"w${i % 37}").toDF("word")
+    def cms(df: org.apache.spark.sql.DataFrame) =
+      df.agg(expr("cms_sketch(word, 4, 64)").as("c")).collect()(0).getSeq[Long](0)
+    val one = cms(words.coalesce(1))
+    val many = cms(words.repartition(32))
+    assert(one === many, "32-way partial merge must equal the single pass")
+    // each of the 4 rows counts every value once
+    assert(one.sum === 4L * 500)
+    // point estimates never underestimate the true count
+    val exact = (1 to 500).groupBy(i => s"w${i % 37}").view.mapValues(_.size.toLong)
+    exact.foreach { case (w, n) =>
+      val est = (0 until 4).map(r =>
+        one(r * 64 + graft.plans.CmsSketch.cell(r, w, 64))).min
+      assert(est >= n, s"$w: est $est < exact $n")
+    }
+  }
+
   test("hist_sketch percentile estimates are within one bucket width of exact") {
     val r = graft.operators.Sketches.histPercentiles(spark, sfDir)
     val exact = Tables.lineitem(spark, sfDir)

@@ -151,6 +151,35 @@ class StreamsSpec extends SparkSpec {
     assert(out.contains(3L))
   }
 
+  test("sliding-window KMV sketch: streaming twin matches the batch windows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val events = (1 to 120).map(i => Streams.Event(
+      i.toLong, Timestamp.valueOf(f"2024-01-01 00:${i % 28}%02d:30"),
+      (i % 50).toLong, "click", 1.0))
+    val input = MemoryStream[Streams.Event]
+    input.addData(events: _*)
+    val agg = input.toDF()
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"))
+      .agg(expr("kmv_uniq(md5(cast(user_id as string)), 16)").as("s"))
+      .selectExpr("date_format(w.start, 'yyyy-MM-dd HH:mm:ss') AS wstart", "s.est AS est")
+    val q = agg.writeStream.format("memory").queryName("kmvwin")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("kmvwin").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val batch = events.toDF()
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"))
+      .agg(expr("kmv_uniq(md5(cast(user_id as string)), 16)").as("s"))
+      .selectExpr("date_format(w.start, 'yyyy-MM-dd HH:mm:ss') AS wstart", "s.est AS est")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(streamed === batch,
+      "streaming sliding-window sketches must equal the batch computation")
+    assert(batch.size > 2, "events should span several sliding windows")
+  }
+
   test("kmv_uniq sketch aggregates over a stream with bounded state") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
