@@ -277,6 +277,19 @@ object Oracles {
          |  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) rk FROM sc) z
          |WHERE rk <= 20""".stripMargin,
 
+    // bigram rarity: per-occurrence 10^6 // corpus_count, summed and
+    // averaged per doc — all exact integers
+    "q_text_bigram_rarity" ->
+      s"""WITH nt AS (SELECT doc_id, string_split($norm, ' ') tk FROM documents),
+         |ix AS (SELECT doc_id, tk, unnest(generate_series(1, greatest(len(tk) - 1, 1))) i FROM nt),
+         |gr AS (SELECT doc_id, concat_ws(' ', tk[i], tk[i+1]) g FROM ix),
+         |c AS (SELECT g, count(*) c FROM gr GROUP BY 1),
+         |j AS (SELECT doc_id, 1000000 // c.c r FROM gr JOIN c USING (g)),
+         |a AS (SELECT doc_id, count(*) n_bigrams, cast(sum(r) AS BIGINT) rarity_sum FROM j GROUP BY 1)
+         |SELECT doc_id, n_bigrams, rarity_sum,
+         |  cast(rarity_sum // n_bigrams AS BIGINT) AS rarity_avg
+         |FROM a""".stripMargin,
+
     // decontamination: LEFT join of training shingles vs the distinct
     // eval-set shingles; count(hit) counts non-null = shared shingles
     "q_decontaminate" ->
@@ -382,6 +395,19 @@ object Oracles {
     // the star-alternation variant computes the identical relation, so
     // it is checked against the identical transitive-closure oracle
     "q_dedup_clusters_star" -> clustersSql,
+
+    "q_dedup_containment" ->
+      s"""$shingleCte,
+         |dfq AS (SELECT s FROM (SELECT s, count(DISTINCT doc_id) c FROM sh GROUP BY 1) t WHERE c <= 20),
+         |sh2 AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfq USING (s)),
+         |sz AS (SELECT doc_id, count(*) n FROM sh2 GROUP BY 1),
+         |inter AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) i
+         |          FROM sh2 a JOIN sh2 b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |sc AS (SELECT doc_a, doc_b, cast(i * 1000000 // least(x.n, y.n) AS BIGINT) cont_ppm
+         |       FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id)
+         |SELECT rk, doc_a, doc_b, cont_ppm FROM (
+         |  SELECT *, row_number() OVER (ORDER BY cont_ppm DESC, doc_a, doc_b) rk FROM sc) t
+         |WHERE rk <= 50""".stripMargin,
 
     "q_dedup_jaccard" ->
       s"""$shingleCte,

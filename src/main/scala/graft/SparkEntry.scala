@@ -53,6 +53,8 @@ object SparkEntry {
     "q_text_chunks" -> ((s: SparkSession, d: String) => TextOps.chunk(s, d)),
     "q_text_repetition" -> (TextOps.repetition _),
     "q_decontaminate" -> ((s: SparkSession, d: String) => TextOps.decontaminate(s, d)),
+    "q_text_bigram_rarity" -> (TextOps.bigramRarity _),
+    "q_dedup_containment" -> (Dedup.containment _),
     "q_pack_sequences" -> ((s: SparkSession, d: String) => TextOps.packSequences(s, d)),
     // oracle-gated via rank + integer surrogates (the ln() score
     // orders but is never hashed); ranking semantics also in TfIdfSpec

@@ -251,6 +251,34 @@ object Dedup {
       .select(col("doc_id"), col("cluster"),
         (col("doc_id") === col("cluster")).as("keep"))
 
+  /** Max-containment near-dup pairs: |A∩B| / min(|A|,|B|) over the
+    * same df-cut shingle index as `ngramJaccard`. Containment catches
+    * SUBSET duplication (a doc quoted or embedded inside a larger one)
+    * that Jaccard dilutes — the RefinedWeb/Dolma companion metric to
+    * symmetric similarity. Scored in exact integer ppm, so the rank
+    * and score are engine-portable with no float hazards. Top-50. */
+  def containment(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir)
+    val dfq = sh.groupBy("s").agg(countDistinct("doc_id").as("docfreq"))
+      .filter(col("docfreq") <= 20)
+    val sh2 = sh.join(dfq.select("s"), Seq("s"))
+    val sz = sh2.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh2.select(col("s"), col("doc_id").as("doc_a"))
+    val b = sh2.select(col("s"), col("doc_id").as("doc_b"))
+    val inter = a.join(b, Seq("s")).filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+    val scored = inter
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("i * 1000000 div least(na, nb)").as("cont_ppm"))
+    val top = scored
+      .orderBy(col("cont_ppm").desc, col("doc_a"), col("doc_b")).limit(50)
+    val w = Window.orderBy(col("cont_ppm").desc, col("doc_a"), col("doc_b"))
+    top.withColumn("rk", row_number().over(w))
+      .select("rk", "doc_a", "doc_b", "cont_ppm")
+  }
+
   /** Exact n-gram Jaccard on candidate pairs found through the shingle
     * inverted index (pairs must share >= 1 shingle; shingles occurring
     * in > 20 docs are dropped — the standard df-cut that bounds bucket

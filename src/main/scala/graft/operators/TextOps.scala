@@ -206,6 +206,29 @@ object TextOps {
       .select("rk", "doc_id", "tf_sum", "n_terms", "dl")
   }
 
+  /** Bigram-rarity scoring — the integer-surrogate form of the CCNet
+    * perplexity filter: a document whose bigrams are rare corpus-wide
+    * is "surprising" (gibberish or novel); one whose bigrams are all
+    * common is fluent/boilerplate. Rarity of one occurrence is
+    * 10^6 div corpus_count (exact integer, monotone in -log p like
+    * tf-idf's surrogate), summed and averaged per doc. Two shuffles:
+    * corpus bigram counts, per-doc roll-up; the count table join is
+    * the only wide op. */
+  def bigramRarity(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(expr(normExpr), " ").as("tk"))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, greatest(size(tk) - 1, 1)),
+          |  i -> concat_ws(' ', try_element_at(tk, i), try_element_at(tk, i + 1)))""".stripMargin)).as("g"))
+    val cnt = grams.groupBy("g").agg(count(lit(1)).as("c"))
+    grams.join(cnt, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(expr("1000000 div c")).as("rarity_sum"))
+      .select(col("doc_id"), col("n_bigrams"), col("rarity_sum"),
+        expr("rarity_sum div n_bigrams").as("rarity_avg"))
+  }
+
   /** Benchmark decontamination — the pipeline step every LLM training
     * run needs: flag training documents that share any n-gram with the
     * evaluation set, so test data never leaks into training data. The

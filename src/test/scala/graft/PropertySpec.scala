@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Randomized equivalence properties for the custom kernels, sketches
+  * and optimizer rewrites: scalacheck generators (fixed seed —
+  * reproducible failures) produce a few hundred adversarial inputs,
+  * and each property is ONE Spark comparison of the custom path
+  * against a declarative/exact reference over all of them at once.
+  */
+class PropertySpec extends SparkSpec {
+
+  private def draw[A](g: Gen[A], n: Int, seed: Long): Seq[A] =
+    Iterator.iterate((Seed(seed), Option.empty[A])) { case (s, _) =>
+      val r = g.doPureApply(Gen.Parameters.default, s)
+      (r.seed, Some(r.retrieve.get))
+    }.drop(1).take(n).flatMap(_._2).toSeq
+
+  test("array_dot_long equals the interpreted lambda on random arrays (nulls, length skews)") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val arr = Gen.chooseNum(0, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.frequency(
+        9 -> Gen.chooseNum(-10000L, 10000L).map(Option(_)),
+        1 -> Gen.const(Option.empty[Long]))))
+    val pairs = draw(Gen.zip(arr, arr), 300, 1L)
+    val df = pairs.map { case (a, b) => (a.toArray, b.toArray) }.toDF("a", "b")
+      .withColumn("native", expr("array_dot_long(a, b)"))
+      .withColumn("lambda", expr(
+        "CASE WHEN size(a) = size(b) THEN aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, v) -> acc + v) END"))
+    val bad = df.filter(
+      (col("native").isNull =!= col("lambda").isNull) ||
+        (col("native").isNotNull && col("native") =!= col("lambda"))).count()
+    assert(bad === 0L, "codegen dot product must match the lambda on every input")
+  }
+
+  test("band-join rewrite returns exactly the naive pairs on random keys and widths") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    // keys bounded so the naive abs() itself cannot overflow
+    val keys = draw(Gen.chooseNum(-1000000L, 1000000L), 150, 2L)
+    val cs = Seq(1L, 7L, 1000L)
+    val a = keys.toDF("ta")
+    val b = keys.map(k => k + 3).toDF("tb")
+    cs.foreach { c =>
+      val got = a.join(b, expr(s"abs(ta - tb) <= ${c}L")).count()
+      val expected = (for { x <- keys; y <- keys.map(_ + 3) if math.abs(x - y) <= c } yield 1).size.toLong
+      assert(got === expected, s"C=$c")
+    }
+  }
+
+  test("hist_sketch equals the exact bucketed histogram on random values") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val vals = draw(Gen.chooseNum(-500L, 5000L), 400, 3L)
+    val df = vals.toDF("v")
+    val sketch = df.agg(expr("hist_sketch(v, 100L, 16)")).collect()(0).getSeq[Long](0)
+    val exact = df.selectExpr("least(15L, greatest(0L, v div 100)) AS b")
+      .groupBy("b").count().collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    (0 until 16).foreach(i =>
+      assert(sketch(i) === exact.getOrElse(i, 0L), s"bucket $i"))
+  }
+
+  test("cms_sketch never underestimates any value's true count") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val vals = draw(Gen.oneOf(Gen.alphaStr.map(_.take(6)), Gen.chooseNum(0, 30).map("v" + _)), 500, 4L)
+      .filter(_.nonEmpty)
+    val cms = vals.toDF("w").agg(expr("cms_sketch(w, 4, 32)")).collect()(0).getSeq[Long](0)
+    vals.groupBy(identity).view.mapValues(_.size.toLong).foreach { case (w, n) =>
+      val est = (0 until 4).map(r => cms(r * 32 + graft.plans.CmsSketch.cell(r, w, 32))).min
+      assert(est >= n, s"'$w': est $est < exact $n")
+    }
+  }
+
+  test("kmv_uniq estimate is exact below k and partition-invariant above it") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val vals = draw(Gen.chooseNum(0, 400), 600, 5L).map(i => s"u$i")
+    val df = vals.toDF("u").selectExpr("md5(u) AS h")
+    val est1 = df.coalesce(1).agg(expr("kmv_uniq(h, 64)").as("s"))
+      .selectExpr("s.est").collect()(0).getDouble(0)
+    val est32 = df.repartition(32).agg(expr("kmv_uniq(h, 64)").as("s"))
+      .selectExpr("s.est").collect()(0).getDouble(0)
+    assert(est1 === est32, "KMV must be insensitive to partitioning")
+    val exact = vals.distinct.size
+    assert(math.abs(est1 - exact) / exact < 0.5, s"est $est1 vs exact $exact")
+    // below k: exact
+    val small = vals.take(20).distinct
+    val estSmall = small.toDF("u").selectExpr("md5(u) AS h")
+      .agg(expr("kmv_uniq(h, 64)").as("s")).selectExpr("s.est").collect()(0).getDouble(0)
+    assert(estSmall === small.size.toDouble)
+  }
+}
