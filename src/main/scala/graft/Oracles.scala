@@ -68,10 +68,7 @@ object Oracles {
     // are partition-independent, so the oracle reproduces them without
     // knowing the range bounds.
     "q_sort_validate" -> {
-      val nib = (1 to 8).map { i =>
-        val mult = 1L << (4 * (8 - i))
-        s"cast(instr('0123456789abcdef', substring(md5(rec), $i, 1)) - 1 AS BIGINT) * $mult"
-      }.mkString(" + ")
+      val nib = Portable.uint32Sql("md5(rec)")
       s"""WITH r AS (SELECT concat_ws('|', l_orderkey, l_linenumber,
          |    cast(round(l_extendedprice * 100, 0) AS BIGINT)) rec FROM lineitem)
          |SELECT count(*) AS total_rows, cast(0 AS BIGINT) AS order_violations,
@@ -256,8 +253,10 @@ object Oracles {
 
     // BM25: the libm-dependent ln() score orders but is never emitted —
     // the hashed columns are the rank plus exact integers (tf_sum,
-    // n_terms, dl). Rank can only diverge across engines on an exact
-    // score tie, which the doc_id tiebreaker resolves identically.
+    // n_terms, dl). Exact ties resolve via doc_id identically in both
+    // engines; distinct scores within ln's few-ulp cross-libm slack
+    // could in principle flip, a vanishingly-rare residual accepted
+    // for a hash-checkable BM25 (see TextOps.bm25).
     "q_bm25" ->
       s"""WITH t AS (SELECT doc_id, unnest(string_split($norm, ' ')) word FROM documents),
          |tk AS (SELECT doc_id, word FROM t WHERE word <> ''),
@@ -480,10 +479,7 @@ object Oracles {
     * the hash prefix via portable nibble arithmetic (exact in BIGINT),
     * numerator 255*2^32 is an exact double, one IEEE division. */
   val sketches: Map[String, String] = {
-    val nib = (1 to 8).map { i =>
-      val mult = 1L << (4 * (8 - i))
-      s"cast(instr('0123456789abcdef', substring(kth, $i, 1)) - 1 AS BIGINT) * $mult"
-    }.mkString(" + ")
+    val nib = Portable.uint32Sql("kth")
     Map("q_sketch_kmv" ->
       s"""WITH d AS (SELECT DISTINCT event_type, md5(cast(user_id AS VARCHAR)) h
          |           FROM events WHERE user_id IS NOT NULL),
@@ -500,10 +496,7 @@ object Oracles {
       // KMV truncation commutes with union and membership below the
       // union's k-th hash implies membership in the side sketches.
       "q_sketch_ops" -> {
-        val nibU = (1 to 8).map { i =>
-          val mult = 1L << (4 * (8 - i))
-          s"cast(instr('0123456789abcdef', substring(kth_u, $i, 1)) - 1 AS BIGINT) * $mult"
-        }.mkString(" + ")
+        val nibU = Portable.uint32Sql("kth_u")
         s"""WITH d AS (SELECT DISTINCT event_type, md5(cast(user_id AS VARCHAR)) h FROM events
            |           WHERE user_id IS NOT NULL AND event_type IN ('click', 'view')),
            |ka AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) rn FROM d WHERE event_type = 'click') t WHERE rn <= 256),
@@ -533,7 +526,7 @@ object Oracles {
       "q_sketch_percentiles" ->
         """WITH v AS (SELECT l_returnflag,
           |    cast(round(l_extendedprice * 100, 0) AS BIGINT) cents FROM lineitem),
-          |bk AS (SELECT l_returnflag, least(cents // 262144, 63) b FROM v),
+          |bk AS (SELECT l_returnflag, least(greatest(cents // 262144, 0), 63) b FROM v),
           |h AS (SELECT l_returnflag, b, count(*) c FROM bk GROUP BY 1, 2),
           |cu AS (SELECT l_returnflag, b,
           |    sum(c) OVER (PARTITION BY l_returnflag ORDER BY b) cum,
@@ -549,10 +542,7 @@ object Oracles {
       // md5-cell counter table with a grouped count and reads the same
       // probe cells; min over rows = the point estimate.
       "q_sketch_cms" -> {
-        val nibH = (1 to 8).map { i =>
-          val mult = 1L << (4 * (8 - i))
-          s"cast(instr('0123456789abcdef', substring(h, $i, 1)) - 1 AS BIGINT) * $mult"
-        }.mkString(" + ")
+        val nibH = Portable.uint32Sql("h")
         s"""WITH t AS (SELECT unnest(string_split($norm, ' ')) word FROM documents),
            |tk AS (SELECT word FROM t WHERE word <> ''),
            |rs AS (SELECT unnest(generate_series(0, 3)) r),
@@ -638,10 +628,7 @@ object Oracles {
     // exactly two windows (off ∈ {0,1}); per window the same rank-
     // window k-th-hash replay as q_sketch_kmv, k=64
     "q_sketch_window" -> {
-      val nibW = (1 to 8).map { i =>
-        val mult = 1L << (4 * (8 - i))
-        s"cast(instr('0123456789abcdef', substring(kth, $i, 1)) - 1 AS BIGINT) * $mult"
-      }.mkString(" + ")
+      val nibW = Portable.uint32Sql("kth")
       s"""WITH ev AS (SELECT epoch_us(ts) t, md5(cast(user_id AS VARCHAR)) h
          |            FROM events WHERE user_id IS NOT NULL),
          |w AS (SELECT (t // 300000000 - ofs) * 300000000 ws, h

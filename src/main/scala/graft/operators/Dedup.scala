@@ -29,9 +29,7 @@ object Dedup {
   def shingles(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), split(expr(TextOps.normExpr), " ").as("tk"))
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(1, greatest(size(tk) - 2, 1)),
-          |  i -> concat_ws(' ', try_element_at(tk, i), try_element_at(tk, i + 1), try_element_at(tk, i + 2)))""".stripMargin)).as("s"))
+      .select(col("doc_id"), explode(expr(TextOps.ngramExpr(3))).as("s"))
       .distinct()
 
   /** MinHash signatures: 12 permutations approximated by md5(seed:shingle),
@@ -134,9 +132,14 @@ object Dedup {
     // per round on the cached frame (which also materializes it), no
     // convergence join. decimal(38,0) keeps the sum exact at any node
     // count (10^11 ids overflow a bigint sum).
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("cluster").cast("decimal(38,0)")))
+    // empty label set (no candidate pairs at all) sums to null —
+    // normalize to 0 so the empty graph converges on round one
+    // instead of NPEing in compareTo
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val s = df.agg(sum(col("cluster").cast("decimal(38,0)")))
         .collect()(0).getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s
+    }
     var prevSum = labelSum(labels)
     while (!converged && it < maxIters) {
       val viaEdges = edges

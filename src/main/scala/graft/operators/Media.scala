@@ -46,9 +46,13 @@ object Media {
     * bytes. Pixels are read through getRGB, so the output is the
     * same packed sRGB regardless of the file's internal layout. */
   def decodeImage(payload: Array[Byte]): Option[DecodedImage] = {
+    // JDK codecs throw more than IOException on malformed input
+    // (CMMException for corrupt ICC profiles, IllegalArgument/
+    // ArrayIndexOutOfBounds from truncated GIF/BMP) — any of them
+    // means "not decodable", never a failed task
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     Option(img).map { im =>
       val (w, h) = (im.getWidth, im.getHeight)
       val out = new Array[Byte](w * h * 3)

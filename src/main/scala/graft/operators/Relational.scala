@@ -223,10 +223,7 @@ object Relational {
         concat_ws("|", col("l_orderkey"), col("l_linenumber"), col("cents")))
     val parted = rangePartition(keyed, 32, col("l_orderkey"), col("l_linenumber"))
       .sortWithinPartitions("l_orderkey", "l_linenumber")
-    val nib = (1 to 8).map { i =>
-      val mult = 1L << (4 * (8 - i))
-      s"cast(instr('0123456789abcdef', substring(md5(cast(rec as binary)), $i, 1)) - 1 as bigint) * ${mult}L"
-    }.mkString(" + ")
+    val nib = graft.Portable.uint32Sql("md5(cast(rec as binary))")
     val stats = parted.withColumn("_pid", spark_partition_id())
       .groupBy("_pid")
       .agg(count(lit(1)).as("n"),

@@ -207,7 +207,15 @@ object Similarity {
       val h = (1 to dim).map(i => s"${hyperplaneSign(p, i)}L").mkString(",")
       expr(s"CASE WHEN array_dot_long(q, array($h)) >= 0 THEN '1' ELSE '0' END")
     }: _*)
-    q.withColumn("bucket", sig)
+    // the hyperplanes are dim-length literals and array_dot_long is
+    // NULL on length mismatch, which the sign CASE would silently read
+    // as '0' — collapsing every wrong-dimension vector into one bucket.
+    // Fail loudly instead: a caller with 16-dim media embeddings must
+    // pass dim = 16.
+    val guarded = when(size(col("q")) === dim, sig).otherwise(
+      raise_error(concat(lit(s"hyperplaneBuckets: expected $dim-dim vectors, got "),
+        size(col("q")).cast("string"))))
+    q.withColumn("bucket", guarded)
   }
 
   /** ANN via LSH buckets: probes only score candidates in their own

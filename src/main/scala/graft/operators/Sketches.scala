@@ -41,10 +41,7 @@ object Sketches {
     * oracle-hashed (q_sketch_ops). */
   def kmvSetOps(spark: SparkSession, dir: String, k: Int = 256): DataFrame = {
     GraftFunctions.register(spark)
-    val nib = (1 to 8).map { i =>
-      val mult = 1L << (4 * (8 - i))
-      s"cast(instr('0123456789abcdef', substring(kth_u, $i, 1)) - 1 AS BIGINT) * ${mult}L"
-    }.mkString(" + ")
+    val nib = graft.Portable.uint32Sql("kth_u")
     // ONE ungrouped aggregate with conditional inputs (aggregates skip
     // nulls): always exactly one output row — even when a side has no
     // events its sketch is just empty, matching the oracle's ungrouped

@@ -23,6 +23,16 @@ object TextOps {
   val normExpr: String =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' '), ' +', ' '))"
 
+  /** SQL expr: word n-grams of a token-array column `tk`. Documents
+    * shorter than n yield ONE possibly-padded gram (concat_ws skips
+    * the null tails) — the `greatest(..., 1)` fallback every DuckDB
+    * oracle mirrors; shared by shingles (n=3), repetition (n=3) and
+    * bigramRarity (n=2) so the short-doc semantics cannot drift. */
+  def ngramExpr(n: Int): String = {
+    val parts = (0 until n).map(j => s"try_element_at(tk, i + $j)").mkString(", ")
+    s"transform(sequence(1, greatest(size(tk) - ${n - 1}, 1)), i -> concat_ws(' ', $parts))"
+  }
+
   /** doc_id + deduplicated whitespace tokens of the normalized text. */
   private def tokens(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -154,9 +164,7 @@ object TextOps {
   def repetition(spark: SparkSession, dir: String): DataFrame = {
     val grams = Tables.documents(spark, dir)
       .select(col("doc_id"), split(expr(normExpr), " ").as("tk"))
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(1, greatest(size(tk) - 2, 1)),
-          |  i -> concat_ws(' ', try_element_at(tk, i), try_element_at(tk, i + 1), try_element_at(tk, i + 2)))""".stripMargin)).as("g"))
+      .select(col("doc_id"), explode(expr(ngramExpr(3))).as("g"))
     grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
       .agg(max("c").as("top_cnt"), sum("c").as("n_grams"))
@@ -172,11 +180,14 @@ object TextOps {
     *
     * Oracle-portability: idf uses ln, whose last bits are libm-
     * dependent, so the float score itself is NOT emitted. The output is
-    * the RANK plus exact-integer surrogates (tf_sum, n_terms, dl) —
-    * rank order only flips between engines when two docs' scores tie
-    * exactly (identical tf vector and dl), and then the doc_id
-    * tiebreaker resolves both engines the same way. Same trick as
-    * `tfidf`'s integer score; makes q_bm25 hash-checkable. */
+    * the RANK plus exact-integer surrogates (tf_sum, n_terms, dl).
+    * Exact score ties (identical tf vector and dl) resolve identically
+    * in both engines via the doc_id tiebreaker; distinct scores could
+    * in principle flip only if they sit within the few-ulp cross-libm
+    * slack of ln, which for real tf/dl distributions is vanishingly
+    * rare (scores differ at the 1e-2 scale vs 1e-16 noise) — the
+    * residual risk accepted for a hash-checkable BM25. Same trick as
+    * `tfidf`'s integer score. */
   def bm25(spark: SparkSession, dir: String,
     query: Seq[String] = Seq("spark", "data", "system"),
     k1: Double = 1.2, b: Double = 0.75, topN: Int = 20): DataFrame = {
@@ -217,9 +228,7 @@ object TextOps {
   def bigramRarity(spark: SparkSession, dir: String): DataFrame = {
     val grams = Tables.documents(spark, dir)
       .select(col("doc_id"), split(expr(normExpr), " ").as("tk"))
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(1, greatest(size(tk) - 1, 1)),
-          |  i -> concat_ws(' ', try_element_at(tk, i), try_element_at(tk, i + 1)))""".stripMargin)).as("g"))
+      .select(col("doc_id"), explode(expr(ngramExpr(2))).as("g"))
     val cnt = grams.groupBy("g").agg(count(lit(1)).as("c"))
     grams.join(cnt, "g")
       .groupBy("doc_id")

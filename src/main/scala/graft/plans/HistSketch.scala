@@ -23,6 +23,11 @@ import org.apache.spark.sql.types._
   * partial aggregation and shuffle combine like any algebraic
   * aggregate — a 1000-executor roll-up ships KBs, not values.
   *
+  * The zero clamp makes truncating (JVM `/`) and flooring (SQL `//`)
+  * division agree for every input: they differ only on negative
+  * values, where both results are <= 0 and clamp to bucket 0 — the
+  * SQL replay must clamp with greatest(0, ...) the same way.
+  *
   * Everything is exact integer arithmetic on fixed boundaries, so
   * unlike t-digest/KLL the sketch is DETERMINISTIC given the data —
   * insertion and merge order cannot change the result — and any

@@ -37,6 +37,9 @@ object Compaction {
         expr("reverse(split(path, '/'))[0]").as("name"))
     val gw = Window.orderBy("name")
     val binW = Window.partitionBy("bin").orderBy("name")
+    // the listing + prefix-sum lineage feeds three consumers (manifest
+    // write, bin count, content join) — cache it so the source tree is
+    // listed once and all three see the same snapshot
     val assigned = meta
       .withColumn("cum", sum("length").over(gw))
       .withColumn("bin", expr(s"(cum - length) div ${targetBytes}L"))
@@ -44,38 +47,44 @@ object Compaction {
         sum("length").over(binW.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("archive", format_string("archive-%05d.bin", col("bin")))
       .select("path", "name", "bin", "archive", "offset", "length")
-    val manifest = assigned.select("archive", "name", "offset", "length")
-    manifest.write.mode("overwrite").parquet(s"$dst/_manifest")
-    val nBins = (assigned.agg(max("bin")).collect()(0).getLong(0) + 1).toInt
+      .persist()
+    try {
+      val manifest = assigned.select("archive", "name", "offset", "length")
+      manifest.write.mode("overwrite").parquet(s"$dst/_manifest")
+      // empty source: max(bin) is null — a valid empty layout, not an NPE
+      val maxBin = assigned.agg(max("bin")).collect()(0)
+      val nBins = if (maxBin.isNullAt(0)) 0 else (maxBin.getLong(0) + 1).toInt
+      if (nBins == 0) return spark.read.parquet(s"$dst/_manifest")
 
-    val confBc = new SerializableConfiguration(
-      spark.sparkContext.hadoopConfiguration)
-    val dstStr = dst
-    // content pass: a bin never splits across tasks (hash on bin), and
-    // within a task files arrive archive-ordered, so each archive is
-    // written in one sequential stream
-    spark.read.format("binaryFile").load(src).select("path", "content")
-      .join(assigned.select("path", "name", "archive"), "path")
-      .repartition(nBins.max(1), col("archive"))
-      .sortWithinPartitions("archive", "name")
-      .select("archive", "content")
-      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
-        var current: String = null
-        var out: org.apache.hadoop.fs.FSDataOutputStream = null
-        try {
-          rows.foreach { r =>
-            val archive = r.getString(0)
-            if (archive != current) {
-              if (out != null) out.close()
-              val p = new Path(dstStr, archive)
-              out = p.getFileSystem(confBc.value).create(p, true)
-              current = archive
+      val confBc = new SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration)
+      val dstStr = dst
+      // content pass: a bin never splits across tasks (hash on bin), and
+      // within a task files arrive archive-ordered, so each archive is
+      // written in one sequential stream
+      spark.read.format("binaryFile").load(src).select("path", "content")
+        .join(assigned.select("path", "name", "archive"), "path")
+        .repartition(nBins, col("archive"))
+        .sortWithinPartitions("archive", "name")
+        .select("archive", "content")
+        .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+          var current: String = null
+          var out: org.apache.hadoop.fs.FSDataOutputStream = null
+          try {
+            rows.foreach { r =>
+              val archive = r.getString(0)
+              if (archive != current) {
+                if (out != null) out.close()
+                val p = new Path(dstStr, archive)
+                out = p.getFileSystem(confBc.value).create(p, true)
+                current = archive
+              }
+              out.write(r.getAs[Array[Byte]](1))
             }
-            out.write(r.getAs[Array[Byte]](1))
-          }
-        } finally if (out != null) out.close()
-      }
-    spark.read.parquet(s"$dst/_manifest")
+          } finally if (out != null) out.close()
+        }
+      spark.read.parquet(s"$dst/_manifest")
+    } finally assigned.unpersist()
   }
 
   /** Point lookup into a compacted layout: manifest filter (parquet

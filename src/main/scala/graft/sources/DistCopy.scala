@@ -31,7 +31,11 @@ object DistCopy {
           if (n > 0) os.write(buf, 0, n)
           n = is.read(buf)
         }
-      } finally { is.close(); os.close() }
+      } finally {
+        // close the output even when the input's close throws — a
+        // leaked FSDataOutputStream never completes its final block
+        try is.close() finally os.close()
+      }
       1L
     }.sum().toLong
   }
