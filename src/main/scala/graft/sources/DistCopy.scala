@@ -3,13 +3,30 @@ package graft.sources
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 
-/** Distributed file copy (ref: src/tools/org/apache/hadoop/tools/
-  * DistCp.java:1): the file list is read as a binaryFile DataFrame and
-  * each task writes its files through the Hadoop FileSystem API — the
-  * same executor-parallel copy DistCp runs as a map-only job. Works
-  * against any Hadoop-supported filesystem (HDFS, S3A, local).
+/** Distributed file copy and metadata change (ref: src/tools/org/
+  * apache/hadoop/tools/DistCp.java:1, DistCh.java:1): the file list
+  * is read as a binaryFile DataFrame and each task works through the
+  * Hadoop FileSystem API — the same executor-parallel map-only jobs
+  * the reference tools run. Works against any Hadoop-supported
+  * filesystem (HDFS, S3A, local).
   */
 object DistCopy {
+
+  /** DistCh analog: apply a permission change to every file under
+    * `dir`, executor-parallel over the listing (metadata-only scan —
+    * content is never read). Returns the number of files changed. */
+  def distCh(spark: SparkSession, dir: String, octalPerm: String): Long = {
+    val perm = new org.apache.hadoop.fs.permission.FsPermission(
+      Integer.parseInt(octalPerm, 8).toShort)
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    spark.read.format("binaryFile").load(dir).select("path").rdd.map { r =>
+      val p = new Path(r.getString(0))
+      p.getFileSystem(confBc.value.value).setPermission(p, perm)
+      1L
+    }.sum().toLong
+  }
 
   def copy(spark: SparkSession, src: String, dst: String): Long = {
     // metadata-only scan (column pruning keeps content unread); each

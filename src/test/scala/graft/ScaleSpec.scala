@@ -91,6 +91,23 @@ class ScaleSpec extends SparkSpec {
       s"the bin trick must keep the inequality out of the join condition:\n$plan")
   }
 
+  test("autoBroadcast picks the strategy from plan statistics, not session config") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = Tables.lineitem(spark, sfDir)
+      // small dim under the cap → broadcast hint wins despite the -1 config
+      val dimSmall = Tuning.autoBroadcast(Tables.nation(spark, sfDir))
+      val pSmall = li.join(dimSmall, col("l_suppkey") % 25 === col("n_nationkey"))
+        .queryExecution.executedPlan.toString
+      assert(pSmall.contains("BroadcastHashJoin"), pSmall)
+      // a "dim" bigger than the cap → untouched, stays sort-merge
+      val dimBig = Tuning.autoBroadcast(Tables.orders(spark, sfDir), thresholdBytes = 1024)
+      val pBig = li.join(dimBig, col("l_orderkey") === col("o_orderkey"))
+        .queryExecution.executedPlan.toString
+      assert(!pBig.contains("BroadcastHashJoin") && pBig.contains("SortMergeJoin"), pBig)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("runtime bloom-filter pruning injects on a selective shuffle join") {
     // Catalyst's runtime row-level filtering is the optimizer-rule form
     // of the BloomMapFile lookup (ref: src/core/org/apache/hadoop/io/

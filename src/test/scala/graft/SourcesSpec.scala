@@ -149,6 +149,19 @@ class SourcesSpec extends SparkSpec {
     assert(run(32) === expected)
   }
 
+  test("distCh applies permissions executor-parallel over the listing") {
+    val dir = new java.io.File(tmpDir() + "/distch"); dir.mkdirs()
+    (1 to 5).foreach(i => java.nio.file.Files.write(
+      new java.io.File(dir, s"f$i.txt").toPath, s"data$i".getBytes))
+    val n = DistCopy.distCh(spark, dir.getAbsolutePath, "600")
+    assert(n === 5)
+    (1 to 5).foreach { i =>
+      val p = new org.apache.hadoop.fs.Path(s"${dir.getAbsolutePath}/f$i.txt")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.getFileStatus(p).getPermission.toString === "rw-------")
+    }
+  }
+
   test("Compaction bin-packs small files into <= ceil(bytes/target) archives, content intact") {
     val srcDir = new java.io.File(tmpDir() + "/har-src"); srcDir.mkdirs()
     val rnd = new scala.util.Random(7)
