@@ -686,6 +686,28 @@ object Oracles {
   )
 
   val olap: Map[String, String] = Map(
+    "q_cdc_merge" ->
+      """WITH base AS (SELECT c_custkey k, cast(c_acctbal AS DECIMAL(18,2)) bal FROM customer),
+        |agg AS (SELECT o_custkey, sum(cast(o_totalprice AS DECIMAL(18,2))) v FROM orders GROUP BY 1),
+        |ch AS (SELECT CASE WHEN o_custkey % 13 = 0 THEN o_custkey + 10000000 ELSE o_custkey END k,
+        |    CASE WHEN cast(v * 100 AS BIGINT) % 7 = 0 THEN 'D'
+        |         WHEN o_custkey % 13 = 0 THEN 'I' ELSE 'U' END op, v
+        |  FROM agg)
+        |SELECT coalesce(b.k, c.k) AS c_custkey,
+        |  cast(coalesce(c.v, b.bal) AS DOUBLE) AS bal,
+        |  coalesce(c.op, 'keep') AS src_op
+        |FROM base b FULL OUTER JOIN ch c ON b.k = c.k
+        |WHERE c.op IS NULL OR c.op <> 'D'""".stripMargin,
+
+    "q_scd2" ->
+      """WITH v AS (SELECT o_custkey, o_orderpriority, o_orderdate,
+        |    row_number() OVER w AS "version", lead(o_orderdate) OVER w nxt
+        |  FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+        |SELECT o_custkey, "version", o_orderpriority,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+        |  coalesce(strftime(nxt, '%Y-%m-%d'), 'current') AS valid_to
+        |FROM v""".stripMargin,
+
     "q_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS flag, coalesce(l_linestatus, 'ALL') AS status,
         |  cast(sum(cast(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, count(*) AS n

@@ -93,6 +93,8 @@ object SparkEntry {
     "q_percentiles" -> (Olap.percentiles _),
     "q_join_anti" -> (Olap.antiJoin _),
     "q_asof_join" -> (Olap.asofJoin _),
+    "q_cdc_merge" -> (Olap.cdcMerge _),
+    "q_scd2" -> (Olap.scd2 _),
     "q_range_join" -> ((s: SparkSession, d: String) => Olap.rangeJoinBinned(s, d)),
     "q_join_salted" -> (Olap.joinSalted _),
     "q_funnel" -> ((s: SparkSession, d: String) => Olap.funnel(s, d)),

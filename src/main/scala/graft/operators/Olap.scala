@@ -247,4 +247,49 @@ object Olap {
       .select(col("event_id"), col("user_id"), col("tsus"),
         coalesce(col("last_click"), lit(-1L)).as("last_click"))
   }
+
+  /** CDC merge — applying a change stream (I/U/D) onto a base table,
+    * the nightly upsert every warehouse runs (the reference's
+    * override-join generalized with deletes and inserts). One full
+    * outer join on the key: delete rows vanish, updates/inserts take
+    * the change's value, untouched base rows pass through. Change set
+    * here is derived deterministically from orders (op = D for sum
+    * divisible by 7; synthetic new keys for inserts). */
+  def cdcMerge(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("k"), col("c_acctbal").cast("decimal(18,2)").as("bal"))
+    val agg = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("v"))
+    val changes = agg.select(
+      when(col("o_custkey") % 13 === 0, col("o_custkey") + 10000000L)
+        .otherwise(col("o_custkey")).as("k"),
+      when(expr("cast(v * 100 as bigint) % 7 = 0"), lit("D")).otherwise(
+        when(col("o_custkey") % 13 === 0, lit("I")).otherwise(lit("U"))).as("op"),
+      col("v"))
+    base.join(changes, Seq("k"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(col("k").as("c_custkey"),
+        coalesce(col("v"), col("bal")).cast("double").as("bal"),
+        coalesce(col("op"), lit("keep")).as("src_op"))
+  }
+
+  /** SCD Type-2 history build — each customer's order-priority
+    * timeline versioned with [valid_from, valid_to) ranges: the
+    * window-lead formulation of the slowly-changing-dimension job
+    * (one shuffle on the key; each partition's timeline is local).
+    * valid_to is 'current' for the open version. */
+  def scd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderpriority"),
+        col("o_orderdate"))
+      .withColumn("valid_from", date_format(col("o_orderdate"), "yyyy-MM-dd"))
+      .withColumn("valid_to",
+        coalesce(date_format(lead(col("o_orderdate"), 1).over(w), "yyyy-MM-dd"),
+          lit("current")))
+      .withColumn("version", row_number().over(w))
+      .select(col("o_custkey"), col("version"), col("o_orderpriority"),
+        col("valid_from"), col("valid_to"))
+  }
 }
