@@ -59,6 +59,36 @@ object Streams {
       batch.write.mode("append").parquet(path)
     }
 
+  /** Streaming CDC upsert via foreachBatch — the continuous form of
+    * Olap.cdcMerge: each micro-batch of (k, op, v, seq) changes merges
+    * into the keyed parquet table at `path`. Within a batch the
+    * highest-seq change per key wins; 'D' deletes the key, 'U'/'I'
+    * set the value. The merged result is materialized (localCheckpoint)
+    * before overwriting so the read and the write of the same location
+    * never overlap. At warehouse scale the same merge lands on a
+    * transactional table format; the merge plan itself — one
+    * full-outer join per batch — is unchanged. */
+  def upsertBatches(changes: DataFrame, path: String) =
+    changes.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val spark = batch.sparkSession
+      import org.apache.spark.sql.expressions.Window
+      val base =
+        if (new java.io.File(path).exists)
+          spark.read.parquet(path).select(col("k"), col("v").as("base_v"))
+        else batch.sparkSession.emptyDataFrame
+          .withColumn("k", lit(0L)).withColumn("base_v", lit(0.0))
+          .select("k", "base_v")
+      val w = Window.partitionBy("k").orderBy(col("seq").desc)
+      val latest = batch.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select("k", "op", "v")
+      val merged = base.join(latest, Seq("k"), "full_outer")
+        .filter(col("op").isNull || col("op") =!= "D")
+        .select(col("k"), coalesce(col("v"), col("base_v")).as("v"))
+        .localCheckpoint(true)
+      merged.write.mode("overwrite").parquet(path)
+      ()
+    }
+
   /** 30-minute-gap sessionization via typed state per user
     * (flatMapGroupsWithState): emits a session when the gap elapses.
     * The streaming analog of Windows.sessionize.

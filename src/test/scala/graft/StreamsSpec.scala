@@ -151,6 +151,25 @@ class StreamsSpec extends SparkSpec {
     assert(out.contains(3L))
   }
 
+  test("streaming CDC upsert maintains the keyed table across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = tmpDir() + "/upsert"
+    val input = MemoryStream[(Long, String, Double, Long)]
+    val changes = input.toDF().toDF("k", "op", "v", "seq")
+    val q = Streams.upsertBatches(changes, dir).start()
+    // batch 1: three inserts, with an in-batch overwrite of k=2
+    input.addData((1L, "I", 10.0, 1L), (2L, "I", 20.0, 2L), (2L, "U", 25.0, 3L))
+    q.processAllAvailable()
+    val t1 = spark.read.parquet(dir).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(t1 === Map(1L -> 10.0, 2L -> 25.0))
+    // batch 2: update k=1, delete k=2, insert k=3
+    input.addData((1L, "U", 11.0, 4L), (2L, "D", 0.0, 5L), (3L, "I", 30.0, 6L))
+    q.processAllAvailable(); q.stop()
+    val t2 = spark.read.parquet(dir).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(t2 === Map(1L -> 11.0, 3L -> 30.0))
+  }
+
   test("sliding-window KMV sketch: streaming twin matches the batch windows") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
