@@ -76,6 +76,12 @@ object Oracles {
          |FROM r""".stripMargin
     },
 
+    "q_sample_interval" ->
+      """SELECT rn, o_orderkey, o_custkey, o_totalprice FROM (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |    row_number() OVER (ORDER BY o_orderkey) AS rn FROM orders) t
+        |WHERE rn % 100 = 1""".stripMargin,
+
     "q_total_order_bucket" ->
       """SELECT bucket, count(*) AS n,
         |  cast(min(cast(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS lo,

@@ -155,8 +155,15 @@ object Relational {
     * range partitioning guarantees every key in partition i sorts
     * before every key in partition i+1 only when keys are distinct. */
   def globalRank(df: DataFrame, numParts: Int, keys: Column*): DataFrame = {
-    val parted = df.repartitionByRange(numParts, keys: _*)
+    // Rebase on the computed RDD: the ranked rows AND the offsets table
+    // below both consume `parted`, and two independent evaluations of a
+    // SAMPLED range exchange can disagree on partition boundaries
+    // (sampling + AQE re-planning), which would pair local ranks with
+    // offsets from a different partitioning — duplicated and missing
+    // global ranks. One RDD = one shuffle = one set of boundaries.
+    val parted0 = df.repartitionByRange(numParts, keys: _*)
       .withColumn("_pid", spark_partition_id())
+    val parted = df.sparkSession.createDataFrame(parted0.rdd, parted0.schema)
     val localW = Window.partitionBy("_pid").orderBy(keys: _*)
     val local = parted.withColumn("_lrn", row_number().over(localW))
     val offW = Window.orderBy("_pid")
@@ -280,6 +287,19 @@ object Relational {
   def stratifiedSample(df: DataFrame, keyCol: String,
     fractions: Map[String, Double], seed: Long = 42L): DataFrame =
     df.stat.sampleBy(keyCol, fractions, seed)
+
+  /** IntervalSampler (ref: mapred/lib/InputSampler.java:1, the third
+    * sampler variant): every step-th record of the key order — fully
+    * DETERMINISTIC, so unlike the seeded random samplers it is
+    * oracle-hashable. The rank comes from the distributed globalRank
+    * (no single-partition window); emitted with the rank so the
+    * sample is reproducible downstream. */
+  def intervalSample(spark: SparkSession, dir: String, step: Int = 100): DataFrame =
+    globalRank(Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice"), 32,
+      col("o_orderkey"))
+      .filter(col("rn") % step === 1)
+      .select(col("rn"), col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
 
   /** Per-group top-k via rank window — the canonical "sorted reduce
     * values, emit first k" reducer pattern. */

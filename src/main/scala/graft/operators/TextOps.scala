@@ -268,8 +268,12 @@ object TextOps {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"),
         expr(s"cast(size(filter(split($normExpr, ' '), x -> x <> '')) as bigint)").as("n"))
-    val parted = docs.repartitionByRange(32, col("doc_id"))
+    // rebase on the computed RDD — the offsets table and the final join
+    // both consume this frame, and two evaluations of a sampled range
+    // exchange can disagree on boundaries (see Relational.globalRank)
+    val parted0 = docs.repartitionByRange(32, col("doc_id"))
       .withColumn("_pid", spark_partition_id())
+    val parted = spark.createDataFrame(parted0.rdd, parted0.schema)
     val localW = Window.partitionBy("_pid").orderBy("doc_id")
     val local = parted.withColumn("_lcum", sum("n").over(localW))
     val offW = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
