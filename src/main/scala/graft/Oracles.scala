@@ -72,7 +72,7 @@ object Oracles {
       s"""WITH r AS (SELECT concat_ws('|', l_orderkey, l_linenumber,
          |    cast(round(l_extendedprice * 100, 0) AS BIGINT)) rec FROM lineitem)
          |SELECT count(*) AS total_rows, cast(0 AS BIGINT) AS order_violations,
-         |  cast(sum(cast($nib AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS checksum
+         |  cast(cast(sum(cast($nib AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS checksum
          |FROM r""".stripMargin
     },
 

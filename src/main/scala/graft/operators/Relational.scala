@@ -242,7 +242,9 @@ object Relational {
       .withColumn("viol",
         when(col("prev_last") > col("first_key"), 1L).otherwise(0L))
       .agg(sum("n").as("total_rows"), sum("viol").as("order_violations"),
-        sum("ck").cast("decimal(38,0)").as("checksum"))
+        // VARCHAR keeps the 38-digit sum exact AND inside the gate's
+        // type convention (DOUBLE would lose bits past 2^53 at real scale)
+        sum("ck").cast("decimal(38,0)").cast("string").as("checksum"))
   }
 
   /** Z-order (Morton) value of two non-negative bigint keys: bit

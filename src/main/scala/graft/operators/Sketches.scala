@@ -123,7 +123,10 @@ object Sketches {
     val probeStructs = probes.map { w =>
       val cells = (0 until depth).map(r =>
         s"element_at(cms, ${r * width + graft.plans.CmsSketch.cell(r, w, width) + 1})")
-      s"struct('$w' AS word, least(${cells.mkString(", ")}) AS est)"
+      // probes are caller input — escape quotes so a word like "it's"
+      // can't break (or reshape) the generated SQL
+      val lw = w.replace("\\", "\\\\").replace("'", "\\'")
+      s"struct('$lw' AS word, least(${cells.mkString(", ")}) AS est)"
     }
     sk.selectExpr(s"explode(array(${probeStructs.mkString(", ")})) AS p")
       .select(col("p.word").as("word"), col("p.est").as("est"))

@@ -20,26 +20,40 @@ import org.apache.spark.util.SerializableConfiguration
   * lookup + a ranged read — the MapFile.get analog (ref: src/core/org/
   * apache/hadoop/io/MapFile.java:1): bounded-latency key fetch with no
   * full scan.
+  *
+  * Commit protocol: tasks write task-attempt-unique staging files (so
+  * a speculative or retried attempt can never interleave with another
+  * attempt's stream); after the job succeeds the driver renames one
+  * attempt per archive into place and writes the manifest LAST — a
+  * reader that finds a manifest is guaranteed the archives it points
+  * at are complete. Every row is length-checked against the listing
+  * snapshot, so a source tree that changes mid-job fails loudly
+  * instead of producing offsets that silently disagree with bytes.
   */
 object Compaction {
 
   /** Bin-pack every file under `src` into ~targetBytes archives under
     * `dst` (archive-NNNNN.bin + _manifest parquet). Deterministic
-    * first-fit in name order: bin = floor(prefix_sum_before / target),
-    * so bin count never exceeds ceil(total_bytes / target). Returns
-    * the manifest (archive, name, offset, length). */
+    * first-fit in full-path order (paths are unique where basenames
+    * need not be), bin = floor(prefix_sum_before / target), so bin
+    * count never exceeds ceil(total_bytes / target). Returns the
+    * manifest (archive, path, name, offset, length). */
   def compact(spark: SparkSession, src: String, dst: String,
     targetBytes: Long = 64L * 1024 * 1024): DataFrame = {
     require(targetBytes >= 1, s"targetBytes must be >= 1, got $targetBytes")
     // metadata pass: column pruning keeps binaryFile from reading content
-    val meta = spark.read.format("binaryFile").load(src)
+    val meta = spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true").load(src)
       .select(col("path"), col("length"),
         expr("reverse(split(path, '/'))[0]").as("name"))
-    val gw = Window.orderBy("name")
-    val binW = Window.partitionBy("bin").orderBy("name")
-    // the listing + prefix-sum lineage feeds three consumers (manifest
-    // write, bin count, content join) — cache it so the source tree is
-    // listed once and all three see the same snapshot
+    // full path is the unique key: ordering, offsets and the content
+    // join all use it, so duplicate basenames in different subdirs get
+    // distinct manifest rows with deterministic offsets
+    val gw = Window.orderBy("path")
+    val binW = Window.partitionBy("bin").orderBy("path")
+    // the listing + prefix-sum lineage feeds several consumers (bin
+    // count, content join, manifest write) — cache it so the source
+    // tree is listed once and all consumers see ONE snapshot
     val assigned = meta
       .withColumn("cum", sum("length").over(gw))
       .withColumn("bin", expr(s"(cum - length) div ${targetBytes}L"))
@@ -49,51 +63,118 @@ object Compaction {
       .select("path", "name", "bin", "archive", "offset", "length")
       .persist()
     try {
-      val manifest = assigned.select("archive", "name", "offset", "length")
-      manifest.write.mode("overwrite").parquet(s"$dst/_manifest")
+      val manifest = assigned.select("archive", "path", "name", "offset", "length")
       // empty source: max(bin) is null — a valid empty layout, not an NPE
       val maxBin = assigned.agg(max("bin")).collect()(0)
       val nBins = if (maxBin.isNullAt(0)) 0 else (maxBin.getLong(0) + 1).toInt
-      if (nBins == 0) return spark.read.parquet(s"$dst/_manifest")
+      if (nBins == 0) {
+        manifest.write.mode("overwrite").parquet(s"$dst/_manifest")
+        return spark.read.parquet(s"$dst/_manifest")
+      }
 
-      val confBc = new SerializableConfiguration(
-        spark.sparkContext.hadoopConfiguration)
-      val dstStr = dst
+      val hadoopConf = spark.sparkContext.hadoopConfiguration
+      val confBc = new SerializableConfiguration(hadoopConf)
+      val staging = new Path(dst, "_staging")
+      val fs = staging.getFileSystem(hadoopConf)
+      fs.delete(staging, true)
+      fs.mkdirs(staging)
+      val stagingStr = staging.toString
       // content pass: a bin never splits across tasks (hash on bin), and
-      // within a task files arrive archive-ordered, so each archive is
-      // written in one sequential stream
-      spark.read.format("binaryFile").load(src).select("path", "content")
-        .join(assigned.select("path", "name", "archive"), "path")
+      // within a task files arrive archive+path-ordered, so each archive
+      // is one sequential stream with offsets matching the manifest.
+      // Joining content onto the CACHED assignment (not a fresh listing)
+      // keeps both passes on the same snapshot; the length check catches
+      // files that changed size between listing and read.
+      spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true").load(src)
+        .select("path", "content")
+        .join(assigned.select("path", "archive", "length"), "path")
         .repartition(nBins, col("archive"))
-        .sortWithinPartitions("archive", "name")
-        .select("archive", "content")
+        .sortWithinPartitions("archive", "path")
+        .select("archive", "path", "length", "content")
         .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+          val attempt = org.apache.spark.TaskContext.get().taskAttemptId()
           var current: String = null
           var out: org.apache.hadoop.fs.FSDataOutputStream = null
           try {
             rows.foreach { r =>
               val archive = r.getString(0)
+              val path = r.getString(1)
+              val expected = r.getLong(2)
+              val content = r.getAs[Array[Byte]](3)
+              if (content.length != expected) throw new IllegalStateException(
+                s"compaction: '$path' is ${content.length} bytes but the " +
+                  s"listing snapshot said $expected — source changed mid-job")
               if (archive != current) {
                 if (out != null) out.close()
-                val p = new Path(dstStr, archive)
+                val p = new Path(stagingStr, s"$archive.$attempt")
                 out = p.getFileSystem(confBc.value).create(p, true)
                 current = archive
               }
-              out.write(r.getAs[Array[Byte]](1))
+              out.write(content)
             }
           } finally if (out != null) out.close()
         }
+      // commit: one winning attempt per archive renamed into place.
+      // Failed/killed attempts can leave PARTIAL staging files, so the
+      // winner is the attempt whose size equals the bin's expected byte
+      // total — never just the first name found.
+      val expectedBytes = assigned.groupBy("archive")
+        .agg(sum("length").as("bytes")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val byArchive = fs.listStatus(staging).map(_.getPath)
+        .flatMap { p =>
+          val n = p.getName
+          val dot = n.lastIndexOf('.')
+          if (dot > 0 && n.substring(dot + 1).forall(_.isDigit))
+            Some(n.substring(0, dot) -> p)
+          else None
+        }
+        .groupBy(_._1)
+      (0 until nBins).foreach { b =>
+        val archive = f"archive-$b%05d.bin"
+        val candidates = byArchive.getOrElse(archive, Array.empty)
+        val winner = candidates.map(_._2)
+          .find(p => fs.getFileStatus(p).getLen == expectedBytes(archive))
+        require(winner.isDefined,
+          s"compaction: no complete attempt produced $archive " +
+            s"(${candidates.length} staging files, expected ${expectedBytes(archive)} bytes)")
+        val target = new Path(dst, archive)
+        fs.delete(target, false)
+        require(fs.rename(winner.get, target),
+          s"compaction: rename ${winner.get} -> $target failed")
+      }
+      fs.delete(staging, true)
+      // manifest LAST: its existence implies the archives are committed
+      manifest.write.mode("overwrite").parquet(s"$dst/_manifest")
       spark.read.parquet(s"$dst/_manifest")
     } finally assigned.unpersist()
   }
 
-  /** Point lookup into a compacted layout: manifest filter (parquet
-    * pushdown) → one ranged read of one archive. No archive scan. */
+  /** Point lookup by basename: manifest filter (parquet pushdown) →
+    * one ranged read of one archive. No archive scan. Fails fast if
+    * the basename is ambiguous — use `fetchPath` with the full path. */
   def fetch(spark: SparkSession, dst: String, name: String): Array[Byte] = {
     val hit = spark.read.parquet(s"$dst/_manifest")
       .filter(col("name") === name).collect()
     require(hit.nonEmpty, s"compaction fetch: '$name' not in manifest")
-    val r = hit(0)
+    require(hit.length == 1,
+      s"compaction fetch: basename '$name' matches ${hit.length} files — " +
+        s"use fetchPath with one of: ${hit.map(_.getAs[String]("path")).mkString(", ")}")
+    readRange(spark, dst, hit(0))
+  }
+
+  /** Point lookup by full source path — unambiguous under duplicate
+    * basenames. */
+  def fetchPath(spark: SparkSession, dst: String, path: String): Array[Byte] = {
+    val hit = spark.read.parquet(s"$dst/_manifest")
+      .filter(col("path") === path).collect()
+    require(hit.nonEmpty, s"compaction fetch: path '$path' not in manifest")
+    readRange(spark, dst, hit(0))
+  }
+
+  private def readRange(spark: SparkSession, dst: String,
+    r: org.apache.spark.sql.Row): Array[Byte] = {
     val p = new Path(dst, r.getAs[String]("archive"))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(p)

@@ -72,8 +72,13 @@ object Streams {
     changes.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       val spark = batch.sparkSession
       import org.apache.spark.sql.expressions.Window
+      // existence through the Hadoop FileSystem API — java.io.File is
+      // local-only and would silently report "absent" on HDFS/S3,
+      // making every batch overwrite the table with just its own keys
+      val basePath = new org.apache.hadoop.fs.Path(path)
+      val fs = basePath.getFileSystem(spark.sessionState.newHadoopConf())
       val base =
-        if (new java.io.File(path).exists)
+        if (fs.exists(basePath))
           spark.read.parquet(path).select(col("k"), col("v").as("base_v"))
         else batch.sparkSession.emptyDataFrame
           .withColumn("k", lit(0L)).withColumn("base_v", lit(0.0))

@@ -190,6 +190,28 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("Compaction keys on full path: duplicate basenames fetch unambiguously") {
+    val srcDir = new java.io.File(tmpDir() + "/har-dup"); srcDir.mkdirs()
+    val a = new java.io.File(srcDir, "a"); a.mkdirs()
+    val b = new java.io.File(srcDir, "b"); b.mkdirs()
+    val bytesA = "alpha-content".getBytes("UTF-8")
+    val bytesB = "beta-content-longer".getBytes("UTF-8")
+    java.nio.file.Files.write(new java.io.File(a, "x.dat").toPath, bytesA)
+    java.nio.file.Files.write(new java.io.File(b, "x.dat").toPath, bytesB)
+    val dst = tmpDir() + "/har-dup-out"
+    val manifest = Compaction.compact(spark, srcDir.getAbsolutePath, dst, 1024L)
+    assert(manifest.count() === 2)
+    // ambiguous basename fails fast instead of returning an arbitrary file
+    val ex = intercept[IllegalArgumentException] {
+      Compaction.fetch(spark, dst, "x.dat")
+    }
+    assert(ex.getMessage.contains("fetchPath"))
+    // full-path fetch returns the right bytes for each
+    val paths = manifest.select("path").collect().map(_.getString(0)).sorted
+    assert(Compaction.fetchPath(spark, dst, paths(0)).toSeq === bytesA.toSeq)
+    assert(Compaction.fetchPath(spark, dst, paths(1)).toSeq === bytesB.toSeq)
+  }
+
   test("DataGen.text is deterministic and distributed") {
     val a = DataGen.text(spark, 100).collect().sortBy(_.getLong(0))
     val b = DataGen.text(spark, 100).collect().sortBy(_.getLong(0))
