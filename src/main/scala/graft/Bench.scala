@@ -37,7 +37,13 @@ object Bench {
     // failure was transient; a query that succeeded at least once is
     // never listed as errored, whatever later retries do.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated query filter for local iteration — the
+    // driver sets no filter and measures everything
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).toSet).filter(_.nonEmpty)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       var best = -1.0
       var lastErr: String = null
       var tries = 0

@@ -254,6 +254,35 @@ object Dedup {
       .select(col("doc_id"), col("cluster"),
         (col("doc_id") === col("cluster")).as("keep"))
 
+  /** Candidate-pair intersection counts + per-doc post-cut set sizes
+    * over the df-cut shingle inverted index — the shared core of
+    * `ngramJaccard` and `containment`.
+    *
+    * Order of operations is the 100 TB design: the df-cut runs FIRST
+    * as a plain count aggregate (bounded state even when one hot
+    * shingle appears in 100 M docs — `shingles` is distinct, so
+    * count == distinct doc count); only SURVIVING postings are grouped
+    * into lists (≤ 20 entries by construction, so the collect buffer
+    * is bounded) and pairs expand MAP-SIDE from each list
+    * (≤ C(20,2) = 190 rows per shingle) — no shingle self-join. The
+    * groupBy(s) sits on the s-keyed join output, so it adds no
+    * exchange. */
+  private def pairCounts(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val sh = shingles(spark, dir)
+    val dfq = sh.groupBy("s").agg(count(lit(1)).as("docfreq"))
+      .filter(col("docfreq") <= 20)
+    val idx = sh.join(dfq.select("s"), Seq("s"))
+      .groupBy("s").agg(collect_list("doc_id").as("docs"))
+    val sz = idx.select(explode(col("docs")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = idx
+      .select(explode(col("docs")).as("doc_a"), col("docs"))
+      .select(col("doc_a"), explode(col("docs")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+    (inter, sz)
+  }
+
   /** Max-containment near-dup pairs: |A∩B| / min(|A|,|B|) over the
     * same df-cut shingle index as `ngramJaccard`. Containment catches
     * SUBSET duplication (a doc quoted or embedded inside a larger one)
@@ -261,15 +290,7 @@ object Dedup {
     * symmetric similarity. Scored in exact integer ppm, so the rank
     * and score are engine-portable with no float hazards. Top-50. */
   def containment(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir)
-    val dfq = sh.groupBy("s").agg(countDistinct("doc_id").as("docfreq"))
-      .filter(col("docfreq") <= 20)
-    val sh2 = sh.join(dfq.select("s"), Seq("s"))
-    val sz = sh2.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = sh2.select(col("s"), col("doc_id").as("doc_a"))
-    val b = sh2.select(col("s"), col("doc_id").as("doc_b"))
-    val inter = a.join(b, Seq("s")).filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+    val (inter, sz) = pairCounts(spark, dir)
     val scored = inter
       .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
       .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
@@ -287,22 +308,7 @@ object Dedup {
     * in > 20 docs are dropped — the standard df-cut that bounds bucket
     * size under skew at 100 TB). Top-50 pairs by similarity. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    // The shingle set feeds the df-cut, both join sides and the size
-    // table. The join sides share one exchange via ReuseExchange; the
-    // df-cut aggregate and the sz aggregation have different subplans,
-    // so the explode recomputes a bounded number of times (map-side
-    // only — cheap relative to the joins). A persist here would trade
-    // that for cache blocks leaking past the action (round-1 ADVICE);
-    // callers that prefer caching can persist the input themselves.
-    val sh = shingles(spark, dir)
-    val df = sh.groupBy("s").agg(countDistinct("doc_id").as("docfreq"))
-      .filter(col("docfreq") <= 20)
-    val sh2 = sh.join(df.select("s"), Seq("s"))
-    val sz = sh2.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = sh2.select(col("s"), col("doc_id").as("doc_a"))
-    val b = sh2.select(col("s"), col("doc_id").as("doc_b"))
-    val inter = a.join(b, Seq("s")).filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+    val (inter, sz) = pairCounts(spark, dir)
     val scored = inter
       .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
       .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
