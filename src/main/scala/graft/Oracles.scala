@@ -811,6 +811,67 @@ object Oracles {
         |WHERE day >= cohort_day
         |GROUP BY 1, 2""".stripMargin,
 
+    // spine per key via unnest(generate_series) (correlated lateral
+    // generate_series is unsupported in DuckDB 1.0 — SELECT-list unnest
+    // is the portable form); LOCF = last_value IGNORE NULLS.
+    "q_gapfill" ->
+      """WITH ev AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |              cast(round(value * 100, 0) AS BIGINT) AS cents FROM events),
+        |daily AS (SELECT event_type, day, count(*) AS n_events,
+        |            cast(sum(cents) AS BIGINT) AS cents FROM ev GROUP BY 1, 2),
+        |bounds AS (SELECT event_type, min(day) d0, max(day) d1 FROM daily GROUP BY 1),
+        |spine AS (SELECT event_type, unnest(generate_series(d0, d1)) AS day FROM bounds)
+        |SELECT event_type, day,
+        |  cast(coalesce(d.n_events, 0) AS BIGINT) AS n_events,
+        |  cast(CASE WHEN d.n_events IS NULL THEN 1 ELSE 0 END AS BIGINT) AS was_gap,
+        |  last_value(d.cents IGNORE NULLS)
+        |    OVER (PARTITION BY event_type ORDER BY day) AS cents_locf
+        |FROM spine s LEFT JOIN daily d USING (event_type, day)""".stripMargin,
+
+    "q_moving_avg" ->
+      """WITH ev AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |              cast(round(value * 100, 0) AS BIGINT) AS cents FROM events),
+        |daily AS (SELECT event_type, day, cast(sum(cents) AS BIGINT) AS cents,
+        |            count(*) AS n_events FROM ev GROUP BY 1, 2)
+        |SELECT event_type, day, cents,
+        |  cast(sum(cents) OVER w AS BIGINT) AS cents_7d,
+        |  cast(sum(cents) OVER w AS DOUBLE) / cast(sum(n_events) OVER w AS DOUBLE)
+        |    AS avg_event_cents_7d
+        |FROM daily
+        |WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // full recompute — proves the Spark side's partial-merge
+    // (base + delta) equals aggregation from scratch
+    "q_incr_agg" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  cast(cast(sum(cast(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total,
+        |  cast(cast(sum(cast(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)
+        |    / cast(count(*) AS DOUBLE) AS avg_price
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q_event_paths" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+        |            FROM events WHERE user_id IS NOT NULL),
+        |r AS (SELECT user_id, event_type,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn FROM ev),
+        |p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        |      FROM r WHERE rn <= 8 GROUP BY 1),
+        |c AS (SELECT path, count(*) AS n_users FROM p GROUP BY 1)
+        |SELECT rk, path, n_users FROM (
+        |  SELECT *, row_number() OVER (ORDER BY n_users DESC, path) rk FROM c) t
+        |WHERE rk <= 20""".stripMargin,
+
+    // the naive O(n^2) cross join the Spark side's FastSS deletion-
+    // neighborhood blocking avoids
+    "q_fuzzy_names" ->
+      """WITH v AS (SELECT DISTINCT c_name AS name FROM customer),
+        |p AS (SELECT a.name AS name_a, b.name AS name_b FROM v a JOIN v b
+        |      ON a.name < b.name AND levenshtein(a.name, b.name) = 1)
+        |SELECT rk, name_a, name_b FROM (
+        |  SELECT *, row_number() OVER (ORDER BY name_a, name_b) rk FROM p) t
+        |WHERE rk <= 50""".stripMargin,
+
     "q_range_join" ->
       """WITH e AS (SELECT event_id eid, epoch_us(ts) te FROM events WHERE event_type = 'error'),
         |c AS (SELECT epoch_us(ts) tc FROM events WHERE event_type = 'click')

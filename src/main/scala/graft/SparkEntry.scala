@@ -100,6 +100,11 @@ object SparkEntry {
     "q_join_salted" -> (Olap.joinSalted _),
     "q_funnel" -> ((s: SparkSession, d: String) => Olap.funnel(s, d)),
     "q_retention" -> (Olap.retention _),
+    "q_gapfill" -> (Olap.gapfill _),
+    "q_moving_avg" -> (Olap.movingAvg _),
+    "q_incr_agg" -> ((s: SparkSession, d: String) => Olap.incrementalAgg(s, d)),
+    "q_event_paths" -> ((s: SparkSession, d: String) => Olap.eventPaths(s, d)),
+    "q_fuzzy_names" -> ((s: SparkSession, d: String) => Dedup.fuzzyNamePairs(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

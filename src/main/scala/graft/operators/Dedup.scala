@@ -254,6 +254,44 @@ object Dedup {
       .select(col("doc_id"), col("cluster"),
         (col("doc_id") === col("cluster")).as("keep"))
 
+  /** Fuzzy entity matching (edit-distance ≤ 1 name pairs) via FastSS
+    * deletion neighborhoods (Bocek et al. 2007) — the
+    * master-data-management dedup: near-identical customer names that
+    * differ by one typo/digit. Candidate generation is BLOCKED, never
+    * all-pairs: each name emits itself plus its |name| single-character
+    * deletions as join keys; two names within edit distance 1 MUST
+    * share a key (substitution → delete the differing position from
+    * both; insertion → the deletion of the inserted char equals the
+    * shorter name). The equi-join on variants replaces the O(n²)
+    * levenshtein cross join — at 100 TB the bucket per variant key is
+    * the handful of entities sharing a 17-char substring, and the
+    * exact `levenshtein == 1` check runs only on candidates. Top-50
+    * pairs in name order. */
+  def fuzzyNamePairs(spark: SparkSession, dir: String, topK: Int = 50): DataFrame = {
+    val names = Tables.customer(spark, dir)
+      .select(col("c_name").as("name")).distinct()
+    // i = 0 keeps the name itself; i in 1..len deletes position i.
+    // distinct: deleting either of two equal adjacent chars gives the
+    // same variant — one key per (name, variant) is enough.
+    val variants = names
+      .select(col("name"), explode(expr("sequence(0, length(name))")).as("i"))
+      .select(col("name"),
+        when(col("i") === 0, col("name"))
+          .otherwise(expr("concat(substring(name, 1, i - 1), substring(name, i + 1))"))
+          .as("v"))
+      .distinct()
+    val a = variants.select(col("v"), col("name").as("name_a"))
+    val b = variants.select(col("v"), col("name").as("name_b"))
+    val pairs = a.join(b, Seq("v"))
+      .filter(col("name_a") < col("name_b"))
+      .select("name_a", "name_b").distinct()
+      .filter(levenshtein(col("name_a"), col("name_b")) === 1)
+    val top = pairs.orderBy("name_a", "name_b").limit(topK)
+    val w = Window.orderBy("name_a", "name_b")
+    top.withColumn("rk", row_number().over(w))
+      .select("rk", "name_a", "name_b")
+  }
+
   /** Candidate-pair intersection counts + per-doc post-cut set sizes
     * over the df-cut shingle inverted index — the shared core of
     * `ngramJaccard` and `containment`.

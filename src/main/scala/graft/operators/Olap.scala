@@ -279,6 +279,107 @@ object Olap {
     * window-lead formulation of the slowly-changing-dimension job
     * (one shuffle on the key; each partition's timeline is local).
     * valid_to is 'current' for the open version. */
+  /** Time-series gap filling with last-observation-carried-forward —
+    * the report-job step between raw event aggregation and charting:
+    * per event_type, a complete daily spine from first to last active
+    * day (missing days appear with n_events = 0 and the previous day's
+    * revenue carried forward). The spine is generated per key from its
+    * own [min, max] day bounds (sequence + explode — map-side, no
+    * driver loop); LOCF is one `last(_, ignoreNulls)` window per key.
+    * Exact integer cents throughout — no float hazards. */
+  def gapfill(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        expr("cast(round(value * 100, 0) as bigint)").as("cents"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n_events"), sum("cents").as("cents"))
+    val spine = daily.groupBy("event_type")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("event_type"), explode(expr("sequence(d0, d1)")).as("day"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    spine.join(daily, Seq("event_type", "day"), "left")
+      .withColumn("was_gap", when(col("n_events").isNull, 1L).otherwise(0L))
+      .select(col("event_type"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("was_gap"),
+        last("cents", ignoreNulls = true).over(w).as("cents_locf"))
+  }
+
+  /** Trailing 7-day moving aggregate via a RANGE frame on the integer
+    * day key — the sliding-report pattern. The frame is value-based
+    * (RANGE BETWEEN 6 PRECEDING AND CURRENT ROW over epoch-day), so
+    * days missing from the data genuinely shrink the window rather
+    * than silently widening it the way a ROWS frame would. The average
+    * is derived from exact integer sums by ONE IEEE division —
+    * engine-portable. */
+  def movingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        expr("cast(round(value * 100, 0) as bigint)").as("cents"))
+      .groupBy("event_type", "day")
+      .agg(sum("cents").as("cents"), count(lit(1)).as("n_events"))
+    val w = Window.partitionBy("event_type").orderBy("day").rangeBetween(-6, 0)
+    daily.select(col("event_type"), col("day"), col("cents"),
+      sum("cents").over(w).as("cents_7d"),
+      (sum("cents").over(w).cast("double") /
+        sum("n_events").over(w).cast("double")).as("avg_event_cents_7d"))
+  }
+
+  /** Incremental aggregate maintenance — the materialized-view delta
+    * pattern every nightly warehouse load runs: yesterday's per-key
+    * partials (count, sum) are NOT recomputed; today's delta is
+    * aggregated alone and merged by summing partials. Sum and count
+    * are self-mergeable; avg is re-derived from the merged partials
+    * (never averaged across partials). The oracle recomputes from
+    * scratch, proving merge == recompute. */
+  def incrementalAgg(spark: SparkSession, dir: String,
+    splitDate: String = "1998-01-01"): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+    def partial(df: DataFrame) = df.groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"), sum("price").as("total"))
+    val base = partial(orders.filter(col("o_orderdate") < lit(splitDate).cast("timestamp")))
+    val delta = partial(orders.filter(col("o_orderdate") >= lit(splitDate).cast("timestamp")))
+    base.unionByName(delta)
+      .groupBy("o_custkey")
+      .agg(sum("n_orders").as("n_orders"),
+        sum("total").cast("decimal(18,2)").as("total_dec"))
+      .select(col("o_custkey"), col("n_orders"),
+        col("total_dec").cast("double").as("total"),
+        (col("total_dec").cast("double") / col("n_orders").cast("double"))
+          .as("avg_price"))
+  }
+
+  /** Event-path (clickstream sequence) analysis: each user's first 8
+    * events in time order joined into a path string, then path
+    * frequencies — the funnel-discovery companion to `funnel`'s fixed
+    * stage list. Per-user ordering is a keyed window (rank by
+    * microsecond + event_id tiebreak); the path string is assembled
+    * from a rank-sorted in-group array, so no single-partition
+    * operation anywhere. Top-20 paths. */
+  def eventPaths(spark: SparkSession, dir: String, maxLen: Int = 8,
+    topK: Int = 20): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"), col("event_id"))
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val paths = ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxLen)
+      .groupBy("user_id")
+      .agg(array_join(
+        expr("transform(array_sort(collect_list(struct(rn, event_type))), x -> x.event_type)"),
+        ">").as("path"))
+    val top = paths.groupBy("path").agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path")).limit(topK)
+    val rw = Window.orderBy(col("n_users").desc, col("path"))
+    top.withColumn("rk", row_number().over(rw))
+      .select("rk", "path", "n_users")
+  }
+
   def scd2(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
     Tables.orders(spark, dir)
