@@ -1,0 +1,186 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Snapshot-versioned transactional table — the warehouse's
+  * atomically-loadable table (the role a transactional table format
+  * plays under a continuous load; ref analog: the reference warehouse
+  * loads partitions atomically by renaming completed directories into
+  * the table location, src/tools/org/apache/hadoop/tools/
+  * HadoopArchives.java-era hygiene generalized).
+  *
+  * Layout under `root`:
+  *   data/<op>-<uuid>/    immutable parquet directories (never edited)
+  *   _commits/v00000001   one file per snapshot, listing its data dirs
+  *
+  * Invariants that make it transactional on any Hadoop filesystem:
+  *  - data directories are written FIRST and are immutable; a commit
+  *    file only ever points at fully-written data;
+  *  - a commit is ONE `fs.create(path, overwrite = false)` — an atomic
+  *    claim of version N+1. Losing a race throws, and the writer
+  *    retries against the NEW snapshot (optimistic concurrency);
+  *  - readers resolve a version's file list once, then read immutable
+  *    dirs — a concurrent commit can never tear a read (snapshot
+  *    isolation); old versions stay readable (time travel) until
+  *    `vacuum`.
+  */
+object TxTable {
+
+  private def fsFor(spark: SparkSession, root: String): (FileSystem, Path) = {
+    val p = new Path(root)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  private def commitDir(root: Path) = new Path(root, "_commits")
+  private def commitPath(root: Path, v: Int) =
+    new Path(commitDir(root), f"v$v%08d")
+
+  /** Highest committed version, or 0 if the table is empty/absent. */
+  def latestVersion(spark: SparkSession, root: String): Int = {
+    val (fs, rp) = fsFor(spark, root)
+    val cd = commitDir(rp)
+    if (!fs.exists(cd)) 0
+    else fs.listStatus(cd).map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
+      .map(_.drop(1).toInt).foldLeft(0)(math.max)
+  }
+
+  private def readFileUtf8(fs: FileSystem, p: Path): String = {
+    val len = fs.getFileStatus(p).getLen.toInt
+    val buf = new Array[Byte](len)
+    val in = fs.open(p)
+    try { in.readFully(buf); new String(buf, "UTF-8") } finally in.close()
+  }
+
+  /** The data directories of snapshot `v` (relative names). */
+  private def snapshotDirs(fs: FileSystem, root: Path, v: Int): Seq[String] = {
+    if (v == 0) Seq.empty
+    else readFileUtf8(fs, commitPath(root, v))
+      .split("\n").toSeq.filter(_.startsWith("dir:")).map(_.drop(4))
+  }
+
+  /** Read snapshot `version` (default: latest). Empty table → empty
+    * DataFrame with no rows and no schema requirement from us: callers
+    * that need a typed empty frame should bootstrap with a commit. */
+  def read(spark: SparkSession, root: String, version: Int = -1): DataFrame = {
+    val (fs, rp) = fsFor(spark, root)
+    val v = if (version >= 0) version else latestVersion(spark, root)
+    require(v > 0, s"txtable: no committed snapshot at $root")
+    val dirs = snapshotDirs(fs, rp, v)
+    require(dirs.nonEmpty, s"txtable: snapshot v$v of $root is empty")
+    spark.read.parquet(dirs.map(d => new Path(rp, d).toString): _*)
+  }
+
+  /** True once the table has at least one committed snapshot. */
+  def exists(spark: SparkSession, root: String): Boolean =
+    latestVersion(spark, root) > 0
+
+  /** Commit history: version, operation, data-dir count. */
+  def history(spark: SparkSession, root: String): Seq[(Int, String, Int)] = {
+    val (fs, rp) = fsFor(spark, root)
+    (1 to latestVersion(spark, root)).map { v =>
+      val txt = readFileUtf8(fs, commitPath(rp, v))
+      val op = txt.split("\n").find(_.startsWith("op:")).map(_.drop(3))
+        .getOrElse("?")
+      val n = txt.split("\n").count(_.startsWith("dir:"))
+      (v, op, n)
+    }
+  }
+
+  /** Write `df` as a new immutable data dir and commit `dirs(prev) ++
+    * [it]` (op = append) or `[it]` (op = overwrite) as the next
+    * version. Retries the atomic claim on conflict. */
+  private def writeAndCommit(df: DataFrame, root: String, op: String,
+    keepPrev: Boolean): Int = {
+    val spark = df.sparkSession
+    val (fs, rp) = fsFor(spark, root)
+    val dirName = s"data/$op-${java.util.UUID.randomUUID()}"
+    df.write.mode("overwrite").parquet(new Path(rp, dirName).toString)
+    commitRetry(spark, root) { prevV =>
+      val prev = if (keepPrev) snapshotDirs(fs, rp, prevV) else Seq.empty
+      (op, prev :+ dirName)
+    }
+  }
+
+  /** The optimistic-concurrency loop: build the commit content against
+    * the current snapshot, claim version+1 atomically, retry from the
+    * NEW snapshot if another writer claimed it first. */
+  private def commitRetry(spark: SparkSession, root: String,
+    maxRetries: Int = 10)(
+    content: Int => (String, Seq[String])): Int = {
+    val (fs, rp) = fsFor(spark, root)
+    fs.mkdirs(commitDir(rp))
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val prevV = latestVersion(spark, root)
+      val (op, dirs) = content(prevV)
+      val body = (s"op:$op" +: dirs.map("dir:" + _)).mkString("\n")
+      try {
+        // overwrite = false: the atomic claim of version prevV+1
+        val out = fs.create(commitPath(rp, prevV + 1), false)
+        try out.write(body.getBytes("UTF-8")) finally out.close()
+        return prevV + 1
+      } catch {
+        case _: java.io.IOException => attempt += 1 // lost the race — retry
+      }
+    }
+    throw new IllegalStateException(
+      s"txtable: commit to $root failed after $maxRetries conflicts")
+  }
+
+  /** Append `df` as a new snapshot (previous data retained). */
+  def append(df: DataFrame, root: String): Int =
+    writeAndCommit(df, root, "append", keepPrev = true)
+
+  /** Replace the table contents with `df` atomically. */
+  def overwrite(df: DataFrame, root: String): Int =
+    writeAndCommit(df, root, "overwrite", keepPrev = false)
+
+  /** Copy-on-write CDC merge — the transactional target of the
+    * streaming upsert: `changes` rows (k, op, v, seq) fold into the
+    * keyed snapshot exactly like Olap.cdcMerge (highest seq per key
+    * wins; 'D' deletes, 'I'/'U' set). The merged result is written as
+    * a full new snapshot and committed atomically; a reader either
+    * sees the whole batch applied or none of it. On a commit conflict
+    * the merge RECOMPUTES against the winner's snapshot, so
+    * concurrent mergers serialize instead of losing updates. */
+  def merge(spark: SparkSession, root: String, changes: DataFrame): Int = {
+    val w = Window.partitionBy("k").orderBy(col("seq").desc)
+    val latest = changes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select("k", "op", "v")
+    val (fs, rp) = fsFor(spark, root)
+    commitRetry(spark, root) { prevV =>
+      val base =
+        if (prevV > 0) read(spark, root, prevV).select(col("k"), col("v").as("base_v"))
+        else spark.range(0).select(col("id").as("k"),
+          lit(null).cast("double").as("base_v"))
+      val merged = base.join(latest, Seq("k"), "full_outer")
+        .filter(col("op").isNull || col("op") =!= "D")
+        .select(col("k"), coalesce(col("v"), col("base_v")).as("v"))
+      val dirName = s"data/merge-${java.util.UUID.randomUUID()}"
+      merged.write.mode("overwrite").parquet(new Path(rp, dirName).toString)
+      ("merge", Seq(dirName))
+    }
+  }
+
+  /** Drop data directories not referenced by the latest `retainLast`
+    * snapshots, then drop the commit files older than that horizon.
+    * Time travel remains valid inside the horizon. */
+  def vacuum(spark: SparkSession, root: String, retainLast: Int = 1): Unit = {
+    require(retainLast >= 1, "vacuum must retain at least the latest snapshot")
+    val (fs, rp) = fsFor(spark, root)
+    val v = latestVersion(spark, root)
+    if (v == 0) return
+    val keepVs = (math.max(1, v - retainLast + 1)) to v
+    val keep = keepVs.flatMap(snapshotDirs(fs, rp, _)).toSet
+    val dataDir = new Path(rp, "data")
+    if (fs.exists(dataDir))
+      fs.listStatus(dataDir).map(_.getPath)
+        .filterNot(p => keep.contains("data/" + p.getName))
+        .foreach(fs.delete(_, true))
+    (1 until keepVs.head).foreach(old => fs.delete(commitPath(rp, old), false))
+  }
+}

@@ -94,6 +94,19 @@ object Streams {
       ()
     }
 
+  /** Streaming CDC upsert into a TRANSACTIONAL snapshot table
+    * (sources.TxTable) — the production form of `upsertBatches`: each
+    * micro-batch merges copy-on-write into a new atomically-committed
+    * snapshot. Readers see whole batches or nothing (no
+    * read-your-own-overwrite hazard, so no localCheckpoint needed),
+    * failed batches leave the table at the previous version, and
+    * time travel across batch boundaries comes free. */
+  def upsertTxBatches(changes: DataFrame, root: String) =
+    changes.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      graft.sources.TxTable.merge(batch.sparkSession, root, batch)
+      ()
+    }
+
   /** 30-minute-gap sessionization via typed state per user
     * (flatMapGroupsWithState): emits a session when the gap elapses.
     * The streaming analog of Windows.sessionize.

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.sources.TxTable
+import graft.streaming.Streams
+
+class TxTableSpec extends SparkSpec {
+
+  test("append commits are snapshots: latest reads the union, time travel reads history") {
+    import spark.implicits._
+    val root = tmpDir() + "/tx-append"
+    val v1 = TxTable.append(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"), root)
+    val v2 = TxTable.append(Seq((3L, 30.0)).toDF("k", "v"), root)
+    assert((v1, v2) === (1, 2))
+    assert(TxTable.read(spark, root).count() === 3)
+    assert(TxTable.read(spark, root, version = 1).count() === 2)
+    assert(TxTable.history(spark, root).map(h => (h._1, h._2)) ===
+      Seq((1, "append"), (2, "append")))
+  }
+
+  test("overwrite replaces contents atomically; the old version stays readable") {
+    import spark.implicits._
+    val root = tmpDir() + "/tx-ow"
+    TxTable.append(Seq((1L, 1.0)).toDF("k", "v"), root)
+    TxTable.overwrite(Seq((9L, 9.0), (8L, 8.0)).toDF("k", "v"), root)
+    val now = TxTable.read(spark, root).collect().map(_.getLong(0)).toSet
+    assert(now === Set(9L, 8L))
+    assert(TxTable.read(spark, root, version = 1).collect()
+      .map(_.getLong(0)).toSet === Set(1L))
+  }
+
+  test("merge applies CDC semantics copy-on-write") {
+    import spark.implicits._
+    val root = tmpDir() + "/tx-merge"
+    TxTable.merge(spark, root,
+      Seq((1L, "I", 10.0, 1L), (2L, "I", 20.0, 2L), (2L, "U", 25.0, 3L))
+        .toDF("k", "op", "v", "seq"))
+    TxTable.merge(spark, root,
+      Seq((1L, "U", 11.0, 4L), (2L, "D", 0.0, 5L), (3L, "I", 30.0, 6L))
+        .toDF("k", "op", "v", "seq"))
+    val t = TxTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(t === Map(1L -> 11.0, 3L -> 30.0))
+    // every batch is a committed version: pre-merge state is re-readable
+    val t1 = TxTable.read(spark, root, version = 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(t1 === Map(1L -> 10.0, 2L -> 25.0))
+  }
+
+  test("commit conflict retries against the winner's snapshot") {
+    import spark.implicits._
+    val root = tmpDir() + "/tx-race"
+    TxTable.append(Seq((1L, 1.0)).toDF("k", "v"), root)
+    // simulate a concurrent writer claiming v2 between our read and commit:
+    // pre-create the v2 commit file the way a racing append would
+    val rp = new org.apache.hadoop.fs.Path(root)
+    val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v1Path = new org.apache.hadoop.fs.Path(root + "/_commits", "v00000001")
+    val v1Len = fs.getFileStatus(v1Path).getLen.toInt
+    val v1Buf = new Array[Byte](v1Len)
+    val in = fs.open(v1Path)
+    try in.readFully(v1Buf) finally in.close()
+    val racer = new org.apache.hadoop.fs.Path(root + "/_commits", "v00000002")
+    val out = fs.create(racer, false)
+    out.write((new String(v1Buf, "UTF-8") + "\ndir:data/append-racer")
+      .getBytes("UTF-8")); out.close()
+    // our append must detect the conflict and land at v3, keeping v2's dirs
+    val v = TxTable.append(Seq((2L, 2.0)).toDF("k", "v"), root)
+    assert(v === 3)
+    val dirs = TxTable.history(spark, root)
+    assert(dirs.map(_._1) === Seq(1, 2, 3))
+    assert(dirs.last._3 === 3, "v3 must reference v2's dirs plus its own")
+  }
+
+  test("vacuum drops data outside the retention horizon, keeps the latest") {
+    import spark.implicits._
+    val root = tmpDir() + "/tx-vac"
+    TxTable.append(Seq((1L, 1.0)).toDF("k", "v"), root)
+    TxTable.overwrite(Seq((2L, 2.0)).toDF("k", "v"), root)
+    TxTable.vacuum(spark, root, retainLast = 1)
+    // latest still reads; v1's orphaned dir is gone
+    assert(TxTable.read(spark, root).collect().map(_.getLong(0)).toSet === Set(2L))
+    val dataDir = new java.io.File(root, "data")
+    assert(dataDir.listFiles().length === 1, "only the live snapshot's dir survives")
+  }
+
+  test("streaming upsert into the transactional table equals the plain-parquet upsert") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val root = tmpDir() + "/tx-stream"
+    val input = MemoryStream[(Long, String, Double, Long)]
+    val changes = input.toDF().toDF("k", "op", "v", "seq")
+    val q = Streams.upsertTxBatches(changes, root).start()
+    input.addData((1L, "I", 10.0, 1L), (2L, "I", 20.0, 2L), (2L, "U", 25.0, 3L))
+    q.processAllAvailable()
+    input.addData((1L, "U", 11.0, 4L), (2L, "D", 0.0, 5L), (3L, "I", 30.0, 6L))
+    q.processAllAvailable(); q.stop()
+    val t = TxTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(t === Map(1L -> 11.0, 3L -> 30.0))
+    // one committed version per micro-batch — batch-boundary time travel
+    assert(TxTable.latestVersion(spark, root) === 2)
+  }
+}
