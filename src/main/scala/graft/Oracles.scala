@@ -872,6 +872,59 @@ object Oracles {
         |  SELECT *, row_number() OVER (ORDER BY name_a, name_b) rk FROM p) t
         |WHERE rk <= 50""".stripMargin,
 
+    // one UNION ALL branch per column, mirroring the one-pass wide
+    // aggregate; min/max normalized identically (decimal for doubles,
+    // formatted timestamps)
+    "q_profile" ->
+      """SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
+        |  count(*) - count(o_orderkey) AS n_null, count(DISTINCT o_orderkey) AS n_distinct,
+        |  cast(min(o_orderkey) AS VARCHAR) AS min_value, cast(max(o_orderkey) AS VARCHAR) AS max_value
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_custkey', count(*), count(*) - count(o_custkey), count(DISTINCT o_custkey),
+        |  cast(min(o_custkey) AS VARCHAR), cast(max(o_custkey) AS VARCHAR) FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus), count(DISTINCT o_orderstatus),
+        |  min(o_orderstatus), max(o_orderstatus) FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice), count(DISTINCT o_totalprice),
+        |  cast(cast(min(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+        |  cast(cast(max(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) FROM orders
+        |UNION ALL
+        |SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate), count(DISTINCT o_orderdate),
+        |  strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+        |  strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority), count(DISTINCT o_orderpriority),
+        |  min(o_orderpriority), max(o_orderpriority) FROM orders""".stripMargin,
+
+    "q_dq_checks" ->
+      """SELECT 'orders_pk_duplicates' AS check_name,
+        |  cast(coalesce(sum(c - 1), 0) AS BIGINT) AS violations
+        |FROM (SELECT o_orderkey, count(*) c FROM orders GROUP BY 1 HAVING count(*) > 1) t
+        |UNION ALL
+        |SELECT 'orders_orphan_custkey', count(*) FROM orders o
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |UNION ALL
+        |SELECT 'lineitem_orphan_orderkey', count(*) FROM lineitem l
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |UNION ALL
+        |SELECT 'orders_null_custkey', count(*) FROM orders WHERE o_custkey IS NULL
+        |UNION ALL
+        |SELECT 'orders_nonpositive_price', count(*) FROM orders WHERE o_totalprice <= 0
+        |UNION ALL
+        |SELECT 'lineitem_shipdate_before_epoch', count(*) FROM lineitem
+        |  WHERE l_shipdate IS NOT NULL AND l_shipdate < TIMESTAMP '1990-01-01'""".stripMargin,
+
+    "q_sample_hash" -> {
+      val bucket = Portable.uint32Sql("md5(cast(o_orderkey AS VARCHAR))")
+      s"""WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice,
+         |             $bucket % 100 AS bucket FROM orders)
+         |SELECT o_orderkey, o_custkey, bucket,
+         |  cast(cast(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+         |FROM o WHERE bucket < 5""".stripMargin
+    },
+
     "q_range_join" ->
       """WITH e AS (SELECT event_id eid, epoch_us(ts) te FROM events WHERE event_type = 'error'),
         |c AS (SELECT epoch_us(ts) tc FROM events WHERE event_type = 'click')

@@ -105,6 +105,10 @@ object SparkEntry {
     "q_incr_agg" -> ((s: SparkSession, d: String) => Olap.incrementalAgg(s, d)),
     "q_event_paths" -> ((s: SparkSession, d: String) => Olap.eventPaths(s, d)),
     "q_fuzzy_names" -> ((s: SparkSession, d: String) => Dedup.fuzzyNamePairs(s, d)),
+    // data profiling / quality / reproducible sampling
+    "q_profile" -> (DataQuality.profile _),
+    "q_dq_checks" -> (DataQuality.dqChecks _),
+    "q_sample_hash" -> ((s: SparkSession, d: String) => DataQuality.hashSample(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

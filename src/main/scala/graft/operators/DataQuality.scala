@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Table profiling and data-quality auditing — the ANALYZE TABLE /
+  * consistency-check primitives a warehouse runs nightly (the data-
+  * layer analog of the reference's filesystem audits; per-column
+  * statistics are what its query planner and Hive layer keep per
+  * table).
+  *
+  * Everything is ONE pass where possible: `profile` computes all
+  * columns' statistics in a single aggregate (no per-column scan), and
+  * `dqChecks` is a union of independent aggregates Catalyst scans
+  * share. Min/max render through type-aware normalization so the
+  * output is engine-portable (decimals and formatted timestamps, never
+  * raw double strings).
+  */
+object DataQuality {
+
+  /** Type-aware portable string rendering of a min/max value. */
+  private def renderStat(c: Column, dt: DataType): Column = dt match {
+    case DoubleType | FloatType =>
+      c.cast("decimal(18,2)").cast("string")
+    case TimestampType | TimestampNTZType =>
+      date_format(c, "yyyy-MM-dd HH:mm:ss")
+    case _ => c.cast("string")
+  }
+
+  /** Per-column statistics of `orders` in one aggregate pass: row
+    * count, null count, distinct count, min and max. The single wide
+    * aggregate row is exploded to one row per column — the stats table
+    * shape ANALYZE produces. At scale the pass is one shuffle-light
+    * aggregation; countDistinct expands per column but stays one job
+    * (Catalyst plans multi-distinct via expand), and the sketch path
+    * (kmv_uniq / approx_count_distinct) swaps in where exactness is
+    * not required. */
+  def profile(spark: SparkSession, dir: String): DataFrame = {
+    val df = Tables.orders(spark, dir)
+    val fields = df.schema.fields.toSeq
+    val aggs = count(lit(1)).as("__n") +: fields.flatMap { f =>
+      Seq(
+        count(col(f.name)).as(s"${f.name}__nn"),
+        countDistinct(col(f.name)).as(s"${f.name}__nd"),
+        renderStat(min(col(f.name)), f.dataType).as(s"${f.name}__min"),
+        renderStat(max(col(f.name)), f.dataType).as(s"${f.name}__max"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val structs = fields.map { f =>
+      struct(
+        lit(f.name).as("column_name"),
+        col("__n").as("n_rows"),
+        (col("__n") - col(s"${f.name}__nn")).as("n_null"),
+        col(s"${f.name}__nd").as("n_distinct"),
+        col(s"${f.name}__min").as("min_value"),
+        col(s"${f.name}__max").as("max_value"))
+    }
+    wide.select(explode(array(structs: _*)).as("s")).select("s.*")
+  }
+
+  /** Referential-integrity and constraint audit over the star schema:
+    * duplicate primary keys, orphaned foreign keys (anti joins — at
+    * scale these broadcast the bloom of the dimension side), domain
+    * violations. One row per check with its violation count — the
+    * nightly gate a load pipeline alerts on. */
+  def dqChecks(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val customer = Tables.customer(spark, dir)
+    val lineitem = Tables.lineitem(spark, dir)
+    // each check reduces to a single bigint; union of 1-row frames
+    val dupPk = orders.groupBy("o_orderkey").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .agg(coalesce(sum(col("c") - 1), lit(0L)).as("violations"))
+      .select(lit("orders_pk_duplicates").as("check_name"), col("violations"))
+    val orphanCust = orders.join(customer,
+        orders("o_custkey") === customer("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .select(lit("orders_orphan_custkey").as("check_name"), col("violations"))
+    val orphanLine = lineitem.join(orders,
+        lineitem("l_orderkey") === orders("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .select(lit("lineitem_orphan_orderkey").as("check_name"), col("violations"))
+    val nullCust = orders.filter(col("o_custkey").isNull)
+      .agg(count(lit(1)).as("violations"))
+      .select(lit("orders_null_custkey").as("check_name"), col("violations"))
+    val negPrice = orders.filter(col("o_totalprice") <= 0)
+      .agg(count(lit(1)).as("violations"))
+      .select(lit("orders_nonpositive_price").as("check_name"), col("violations"))
+    val badDates = lineitem.filter(col("l_shipdate").isNotNull &&
+        col("l_shipdate") < lit("1990-01-01").cast("timestamp"))
+      .agg(count(lit(1)).as("violations"))
+      .select(lit("lineitem_shipdate_before_epoch").as("check_name"), col("violations"))
+    dupPk.unionByName(orphanCust).unionByName(orphanLine)
+      .unionByName(nullCust).unionByName(negPrice).unionByName(badDates)
+  }
+
+  /** Deterministic hash-bucket sampling: keep keys whose
+    * uint32(md5(key)) lands in the first `pct` of 100 buckets. The
+    * 100 TB-sane sampler — no seed coordination across executors, no
+    * sampling drift between runs, the SAME rows come back every time
+    * and on every engine, and the predicate is a map-side filter that
+    * composes with pushdown. (The seeded samplers in `Relational`
+    * cover the statistical variants; this is the reproducible-subset
+    * variant exact-match pipelines use.) */
+  def hashSample(spark: SparkSession, dir: String, pct: Int = 5): DataFrame = {
+    require(pct >= 0 && pct <= 100, s"pct must be in [0,100], got $pct")
+    val bucket = graft.Portable.uint32Sql(
+      "md5(cast(cast(o_orderkey as string) as binary))")
+    Tables.orders(spark, dir)
+      .withColumn("bucket", expr(s"$bucket % 100"))
+      .filter(col("bucket") < pct)
+      .select(col("o_orderkey"), col("o_custkey"), col("bucket"),
+        col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"))
+  }
+}
