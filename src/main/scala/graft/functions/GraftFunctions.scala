@@ -34,6 +34,8 @@ object GraftFunctions {
       "hist_sketch", graft.plans.HistSketch.builder, "built-in")
     reg.createOrReplaceTempFunction(
       "cms_sketch", graft.plans.CmsSketch.builder, "built-in")
+    reg.createOrReplaceTempFunction(
+      "mg_topk", graft.plans.MgTopK.builder, "built-in")
     // same rewrite GraftExtensions injects, via the runtime hook for
     // sessions built without extensions
     if (!spark.experimental.extraOptimizations.contains(graft.plans.DotProductRewrite))
@@ -69,6 +71,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.plans.HistSketch.info, graft.plans.HistSketch.builder))
     ext.injectFunction((FunctionIdentifier("cms_sketch"),
       graft.plans.CmsSketch.info, graft.plans.CmsSketch.builder))
+    ext.injectFunction((FunctionIdentifier("mg_topk"),
+      graft.plans.MgTopK.info, graft.plans.MgTopK.builder))
     ext.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
     ext.injectOptimizerRule(_ => graft.plans.RangeBinJoinRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.LshTopKJoinStrategy)

@@ -134,6 +134,22 @@ object Sketches {
       .withColumn("exact", coalesce(col("exact"), lit(0L)))
   }
 
+  /** Heavy-hitter words via the Misra-Gries mergeable summary
+    * (plans.MgTopK): ≤ k (item, est) pairs per aggregation buffer
+    * regardless of vocabulary size — the bounded-state replacement
+    * for an exact word-count table when only the heavy tail matters.
+    * Estimates are arrival-order-dependent (guarantee-tested in
+    * SketchSpec, not oracle-hashed): est ≤ freq ≤ est + n/(k+1). */
+  def mgHeavyHitters(spark: SparkSession, dir: String, k: Int = 32): DataFrame = {
+    GraftFunctions.register(spark)
+    Tables.documents(spark, dir)
+      .select(explode(split(expr(TextOps.normExpr), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .agg(expr(s"mg_topk(word, $k)").as("mg"))
+      .select(explode(col("mg")).as("e"))
+      .select(col("e.item").as("word"), col("e.est").as("est"))
+  }
+
   /** Apache DataSketches HLL (Spark-native hll_sketch_agg): the
     * industry-standard mergeable sketch — smaller state than KMV at
     * the same error, but implementation-defined estimates, so it is

@@ -130,6 +130,47 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("mg_topk: Misra-Gries guarantees hold under any partitioning") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    // zipf-ish: item i appears ~ 1000/i times — clear heavy tail
+    val rows = (1 to 40).flatMap(i => Seq.fill(1000 / i)(s"item$i"))
+    val n = rows.size.toLong
+    val k = 8
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for (parts <- Seq(1, 13)) {
+      val out = rows.toDF("w").repartition(parts)
+        .agg(expr(s"mg_topk(w, $k)").as("mg"))
+        .select(explode(col("mg")).as("e"))
+        .select(col("e.item"), col("e.est")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(out.size <= k, s"summary must hold <= $k items, got ${out.size}")
+      // est <= freq <= est + n/(k+1)
+      out.foreach { case (item, est) =>
+        val freq = exact(item)
+        assert(est <= freq, s"$item: est $est > freq $freq (parts=$parts)")
+        assert(freq - est <= n / (k + 1),
+          s"$item: error ${freq - est} > ${n / (k + 1)} (parts=$parts)")
+      }
+      // every true heavy hitter (freq > n/(k+1)) is present
+      exact.filter(_._2 > n / (k + 1)).keys.foreach { hh =>
+        assert(out.contains(hh), s"heavy hitter $hh missing (parts=$parts)")
+      }
+    }
+  }
+
+  test("mg_topk heavy hitters over documents words contain the exact top words") {
+    val mg = graft.operators.Sketches.mgHeavyHitters(spark, sfDir, k = 16)
+      .collect().map(_.getString(0)).toSet
+    val toks = Tables.documents(spark, sfDir)
+      .select(explode(split(expr(graft.operators.TextOps.normExpr), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val n = toks.count()
+    val top = toks.groupBy("w").count().filter(col("count") > n / 17)
+      .collect().map(_.getString(0))
+    top.foreach(w => assert(mg.contains(w), s"true heavy word $w missing"))
+  }
+
   test("hist_sketch percentile estimates are within one bucket width of exact") {
     val r = graft.operators.Sketches.histPercentiles(spark, sfDir)
     val exact = Tables.lineitem(spark, sfDir)
