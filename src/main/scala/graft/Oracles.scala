@@ -497,6 +497,36 @@ object Oracles {
          |  CASE WHEN n >= 256 THEN kth END AS kth_hash
          |FROM s""".stripMargin,
 
+      // KMV per CUBE cell: one replay per grouping level (a row feeds
+      // all four levels, so each level re-derives its own distinct
+      // hash set and k-th order statistic), unioned with the same
+      // ALL/-1 subtotal markers the Spark cube emits.
+      "q_sketch_cube" ->
+        s"""WITH d AS (SELECT DISTINCT event_type, epoch_us(ts) // 86400000000 % 7 AS dow,
+           |             md5(cast(user_id AS VARCHAR)) h
+           |           FROM events WHERE user_id IS NOT NULL),
+           |r1 AS (SELECT event_type, dow, h, row_number() OVER (PARTITION BY event_type, dow ORDER BY h) rn FROM d),
+           |s1 AS (SELECT event_type, dow, count(*) n, max(CASE WHEN rn = 256 THEN h END) kth FROM r1 GROUP BY 1, 2),
+           |d2 AS (SELECT DISTINCT event_type, h FROM d),
+           |r2 AS (SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) rn FROM d2),
+           |s2 AS (SELECT event_type, count(*) n, max(CASE WHEN rn = 256 THEN h END) kth FROM r2 GROUP BY 1),
+           |d3 AS (SELECT DISTINCT dow, h FROM d),
+           |r3 AS (SELECT dow, h, row_number() OVER (PARTITION BY dow ORDER BY h) rn FROM d3),
+           |s3 AS (SELECT dow, count(*) n, max(CASE WHEN rn = 256 THEN h END) kth FROM r3 GROUP BY 1),
+           |d4 AS (SELECT DISTINCT h FROM d),
+           |r4 AS (SELECT h, row_number() OVER (ORDER BY h) rn FROM d4),
+           |s4 AS (SELECT count(*) n, max(CASE WHEN rn = 256 THEN h END) kth FROM r4),
+           |u AS (
+           |  SELECT event_type AS etype, cast(dow AS BIGINT) AS dow, n, kth FROM s1
+           |  UNION ALL SELECT event_type, cast(-1 AS BIGINT), n, kth FROM s2
+           |  UNION ALL SELECT 'ALL', cast(dow AS BIGINT), n, kth FROM s3
+           |  UNION ALL SELECT 'ALL', cast(-1 AS BIGINT), n, kth FROM s4)
+           |SELECT etype, dow,
+           |  CASE WHEN n < 256 THEN cast(n AS DOUBLE)
+           |       ELSE (255.0 * 4294967296.0) / cast(greatest(1, $nib) AS DOUBLE) END AS est_uniq,
+           |  CASE WHEN n >= 256 THEN kth END AS kth_hash
+           |FROM u""".stripMargin,
+
       // Sketch set algebra: union/intersection estimates. The oracle
       // computes the same k-min sketches from raw data — valid because
       // KMV truncation commutes with union and membership below the

@@ -23,6 +23,7 @@ object SparkEntry {
     "q_sketch_cms" -> ((s: SparkSession, d: String) => Sketches.cmsWordFreq(s, d)),
     "q_sketch_window" -> ((s: SparkSession, d: String) =>
       graft.streaming.Windows.kmvSlidingWindows(s, d)),
+    "q_sketch_cube" -> ((s: SparkSession, d: String) => Sketches.kmvCube(s, d)),
     "q_agg_histogram" -> (Relational.aggHistogram _),
     "q_agg_highcard" -> (Relational.aggHighcard _),
     "q_secondary_sort" -> (Relational.secondarySort _),

@@ -134,6 +134,28 @@ object Sketches {
       .withColumn("exact", coalesce(col("exact"), lit(0L)))
   }
 
+  /** KMV sketches composed with multi-level OLAP: distinct-user
+    * estimates for every CUBE cell of (event_type, day-of-week) in ONE
+    * pass — the roll-up report a warehouse runs as one MapReduce job
+    * per grouping level, here a single cube aggregate whose per-cell
+    * state is a bounded k-hash sketch (partial agg ships sketches, not
+    * users, through the shuffle). Deterministic (pure md5 order
+    * statistics), so every cell including subtotals hash-matches the
+    * DuckDB replay. */
+  def kmvCube(spark: SparkSession, dir: String, k: Int = 256): DataFrame = {
+    GraftFunctions.register(spark)
+    Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .selectExpr("event_type",
+        "unix_micros(ts) div 86400000000 % 7 AS dow",
+        "md5(cast(user_id as string)) AS h")
+      .cube(col("event_type"), col("dow"))
+      .agg(expr(s"kmv_uniq(h, $k)").as("s"))
+      .select(coalesce(col("event_type"), lit("ALL")).as("etype"),
+        coalesce(col("dow"), lit(-1L)).as("dow"),
+        col("s.est").as("est_uniq"), col("s.kth").as("kth_hash"))
+  }
+
   /** Heavy-hitter words via the Misra-Gries mergeable summary
     * (plans.MgTopK): ≤ k (item, est) pairs per aggregation buffer
     * regardless of vocabulary size — the bounded-state replacement

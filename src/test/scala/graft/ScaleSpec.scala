@@ -108,6 +108,28 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("dynamic partition pruning fires on a partitioned layout") {
+    // The 100 TB fact table is stored partitioned (PartitionedWriter);
+    // joining it to a filtered dim must prune partitions AT RUNTIME
+    // from the dim's build side — the MultipleOutputs layout paying
+    // off at read time. Asserted on the physical plan so a regression
+    // in our join/layout shapes fails CI, not the cluster.
+    val dir = tmpDir() + "/dpp-fact"
+    Tables.orders(spark, sfDir)
+      .write.partitionBy("o_orderpriority").mode("overwrite").parquet(dir)
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    val fact = spark.read.parquet(dir)
+    val dim = Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority").as("p"), col("o_orderkey"))
+      .filter(col("o_orderkey") < 10).distinct()
+    val q = fact.join(broadcast(dim), col("o_orderpriority") === col("p"))
+      .groupBy("p").count()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") || plan.contains("DynamicPruning") ||
+      plan.contains("SubqueryAdaptiveBroadcast") || plan.contains("SubqueryBroadcast"),
+      s"expected a dynamic-pruning subquery on the partitioned scan:\n$plan")
+  }
+
   test("runtime bloom-filter pruning injects on a selective shuffle join") {
     // Catalyst's runtime row-level filtering is the optimizer-rule form
     // of the BloomMapFile lookup (ref: src/core/org/apache/hadoop/io/
