@@ -29,25 +29,30 @@ object DataQuality {
     case _ => c.cast("string")
   }
 
-  /** Per-column statistics of `orders` in one aggregate pass: row
-    * count, null count, distinct count, min and max. The single wide
-    * aggregate row is exploded to one row per column — the stats table
-    * shape ANALYZE produces. At scale the pass is one shuffle-light
-    * aggregation; countDistinct expands per column but stays one job
-    * (Catalyst plans multi-distinct via expand), and the sketch path
-    * (kmv_uniq / approx_count_distinct) swaps in where exactness is
-    * not required. */
+  /** Per-column statistics of `orders`: row count, null count,
+    * distinct count, min and max, exploded to one row per column — the
+    * stats table shape ANALYZE produces. The non-distinct stats are
+    * ONE narrow aggregate pass. The distinct counts deliberately run
+    * as one single-distinct aggregate per column cross-joined in
+    * (independent subplans Spark schedules concurrently, each
+    * shuffling only its own column's values) instead of a combined
+    * multi-distinct aggregate — the latter Expands every row N_cols
+    * times carrying all columns, an N× shuffle of wide rows. At 100 TB
+    * exactness gives way to the sketch path (kmv_uniq /
+    * approx_count_distinct) with the same output shape. */
   def profile(spark: SparkSession, dir: String): DataFrame = {
     val df = Tables.orders(spark, dir)
     val fields = df.schema.fields.toSeq
     val aggs = count(lit(1)).as("__n") +: fields.flatMap { f =>
       Seq(
         count(col(f.name)).as(s"${f.name}__nn"),
-        countDistinct(col(f.name)).as(s"${f.name}__nd"),
         renderStat(min(col(f.name)), f.dataType).as(s"${f.name}__min"),
         renderStat(max(col(f.name)), f.dataType).as(s"${f.name}__max"))
     }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val wide = fields.foldLeft(df.agg(aggs.head, aggs.tail: _*)) { (acc, f) =>
+      acc.crossJoin(
+        df.select(col(f.name)).agg(countDistinct(col(f.name)).as(s"${f.name}__nd")))
+    }
     val structs = fields.map { f =>
       struct(
         lit(f.name).as("column_name"),

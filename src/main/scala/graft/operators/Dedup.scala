@@ -271,21 +271,26 @@ object Dedup {
     val names = Tables.customer(spark, dir)
       .select(col("c_name").as("name")).distinct()
     // i = 0 keeps the name itself; i in 1..len deletes position i.
-    // distinct: deleting either of two equal adjacent chars gives the
-    // same variant — one key per (name, variant) is enough.
+    // Run-duplicates (deleting any char of an equal-char run gives the
+    // same variant) are dropped MAP-SIDE by keeping only the FIRST
+    // deletion of each run — a codegen predicate, where the obvious
+    // `array_distinct(transform(...))` is an interpreted lambda that
+    // dominated this query's runtime, and a shuffle-based distinct
+    // would move the whole variant set. The levenshtein residual runs
+    // BEFORE the pair distinct so that shuffle carries only matches.
     val variants = names
       .select(col("name"), explode(expr("sequence(0, length(name))")).as("i"))
+      .filter(expr("i <= 1 OR substring(name, i, 1) != substring(name, i - 1, 1)"))
       .select(col("name"),
         when(col("i") === 0, col("name"))
           .otherwise(expr("concat(substring(name, 1, i - 1), substring(name, i + 1))"))
           .as("v"))
-      .distinct()
     val a = variants.select(col("v"), col("name").as("name_a"))
     val b = variants.select(col("v"), col("name").as("name_b"))
     val pairs = a.join(b, Seq("v"))
-      .filter(col("name_a") < col("name_b"))
+      .filter(col("name_a") < col("name_b") &&
+        levenshtein(col("name_a"), col("name_b")) === 1)
       .select("name_a", "name_b").distinct()
-      .filter(levenshtein(col("name_a"), col("name_b")) === 1)
     val top = pairs.orderBy("name_a", "name_b").limit(topK)
     val w = Window.orderBy("name_a", "name_b")
     top.withColumn("rk", row_number().over(w))
