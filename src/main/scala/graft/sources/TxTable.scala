@@ -55,23 +55,52 @@ object TxTable {
     try { in.readFully(buf); new String(buf, "UTF-8") } finally in.close()
   }
 
-  /** The data directories of snapshot `v` (relative names). */
-  private def snapshotDirs(fs: FileSystem, root: Path, v: Int): Seq[String] = {
+  /** Entries of snapshot `v` in commit order: (isDelta, dirName).
+    * `dir:` entries hold full rows; `delta:` entries hold keyed
+    * (k, op, v) changes to resolve at read time (merge-on-read). */
+  private def snapshotEntries(fs: FileSystem, root: Path,
+    v: Int): Seq[(Boolean, String)] = {
     if (v == 0) Seq.empty
-    else readFileUtf8(fs, commitPath(root, v))
-      .split("\n").toSeq.filter(_.startsWith("dir:")).map(_.drop(4))
+    else readFileUtf8(fs, commitPath(root, v)).split("\n").toSeq.flatMap {
+      case l if l.startsWith("dir:") => Some((false, l.drop(4)))
+      case l if l.startsWith("delta:") => Some((true, l.drop(6)))
+      case _ => None
+    }
   }
 
-  /** Read snapshot `version` (default: latest). Empty table → empty
-    * DataFrame with no rows and no schema requirement from us: callers
-    * that need a typed empty frame should bootstrap with a commit. */
+  private def snapshotDirs(fs: FileSystem, root: Path, v: Int): Seq[String] =
+    snapshotEntries(fs, root, v).map(_._2)
+
+  /** Read snapshot `version` (default: latest). A snapshot with no
+    * delta entries reads as the plain union of its data dirs (append
+    * semantics untouched); one with deltas resolves merge-on-read:
+    * later entries override earlier ones per key, deletes drop. */
   def read(spark: SparkSession, root: String, version: Int = -1): DataFrame = {
     val (fs, rp) = fsFor(spark, root)
     val v = if (version >= 0) version else latestVersion(spark, root)
     require(v > 0, s"txtable: no committed snapshot at $root")
-    val dirs = snapshotDirs(fs, rp, v)
-    require(dirs.nonEmpty, s"txtable: snapshot v$v of $root is empty")
-    spark.read.parquet(dirs.map(d => new Path(rp, d).toString): _*)
+    val entries = snapshotEntries(fs, rp, v)
+    require(entries.nonEmpty, s"txtable: snapshot v$v of $root is empty")
+    if (!entries.exists(_._1))
+      spark.read.parquet(entries.map(e => new Path(rp, e._2).toString): _*)
+    else {
+      // merge-on-read: tag every entry with its commit-order index;
+      // full-row entries act as upserts at their position. One keyed
+      // window resolves the winner — the read-side cost that lets the
+      // WRITE side ship only the batch (copy-on-write would rewrite
+      // the whole table per micro-batch; at warehouse scale that is
+      // the difference between O(batch) and O(table) per commit).
+      val parts = entries.zipWithIndex.map { case ((isDelta, d), i) =>
+        val df = spark.read.parquet(new Path(rp, d).toString)
+        val keyed = if (isDelta) df else df.withColumn("op", lit("U"))
+        keyed.select(col("k"), col("op"), col("v"), lit(i.toLong).as("_cv"))
+      }
+      val w = Window.partitionBy("k").orderBy(col("_cv").desc)
+      parts.reduce(_.unionByName(_))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1 && col("op") =!= "D")
+        .select("k", "v")
+    }
   }
 
   /** True once the table has at least one committed snapshot. */
@@ -85,7 +114,8 @@ object TxTable {
       val txt = readFileUtf8(fs, commitPath(rp, v))
       val op = txt.split("\n").find(_.startsWith("op:")).map(_.drop(3))
         .getOrElse("?")
-      val n = txt.split("\n").count(_.startsWith("dir:"))
+      val n = txt.split("\n")
+        .count(l => l.startsWith("dir:") || l.startsWith("delta:"))
       (v, op, n)
     }
   }
@@ -100,10 +130,16 @@ object TxTable {
     val dirName = s"data/$op-${java.util.UUID.randomUUID()}"
     df.write.mode("overwrite").parquet(new Path(rp, dirName).toString)
     commitRetry(spark, root) { prevV =>
-      val prev = if (keepPrev) snapshotDirs(fs, rp, prevV) else Seq.empty
-      (op, prev :+ dirName)
+      val prev = if (keepPrev) snapshotLines(fs, rp, prevV) else Seq.empty
+      (op, prev :+ s"dir:$dirName")
     }
   }
+
+  /** Raw entry lines of a snapshot, preserving dir/delta kinds. */
+  private def snapshotLines(fs: FileSystem, rp: Path, v: Int): Seq[String] =
+    snapshotEntries(fs, rp, v).map { case (isDelta, d) =>
+      if (isDelta) s"delta:$d" else s"dir:$d"
+    }
 
   /** The optimistic-concurrency loop: build the commit content against
     * the current snapshot, claim version+1 atomically, retry from the
@@ -116,8 +152,8 @@ object TxTable {
     var attempt = 0
     while (attempt <= maxRetries) {
       val prevV = latestVersion(spark, root)
-      val (op, dirs) = content(prevV)
-      val body = (s"op:$op" +: dirs.map("dir:" + _)).mkString("\n")
+      val (op, lines) = content(prevV)
+      val body = (s"op:$op" +: lines).mkString("\n")
       try {
         // overwrite = false: the atomic claim of version prevV+1
         val out = fs.create(commitPath(rp, prevV + 1), false)
@@ -162,7 +198,41 @@ object TxTable {
         .select(col("k"), coalesce(col("v"), col("base_v")).as("v"))
       val dirName = s"data/merge-${java.util.UUID.randomUUID()}"
       merged.write.mode("overwrite").parquet(new Path(rp, dirName).toString)
-      ("merge", Seq(dirName))
+      ("merge", Seq(s"dir:$dirName"))
+    }
+  }
+
+  /** Merge-on-READ CDC: write ONLY the batch's resolved changes as a
+    * delta entry — O(batch) per commit instead of merge's O(table)
+    * copy-on-write, the shape that survives a continuous load into a
+    * 100 TB table. Readers resolve deltas (read() window); call
+    * `compactSnapshot` periodically to fold them back so read cost
+    * stays bounded. The delta dir is written once; only the cheap
+    * commit claim retries under contention. */
+  def mergeDelta(spark: SparkSession, root: String, changes: DataFrame): Int = {
+    val w = Window.partitionBy("k").orderBy(col("seq").desc)
+    val latest = changes.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).select("k", "op", "v")
+    val (fs, rp) = fsFor(spark, root)
+    val dirName = s"data/delta-${java.util.UUID.randomUUID()}"
+    latest.write.mode("overwrite").parquet(new Path(rp, dirName).toString)
+    commitRetry(spark, root) { prevV =>
+      ("delta", snapshotLines(fs, rp, prevV) :+ s"delta:$dirName")
+    }
+  }
+
+  /** Fold all deltas of the current snapshot into one materialized
+    * data dir (the compaction job that bounds merge-on-read cost).
+    * Readers of the new version pay zero resolution; old versions
+    * remain time-travelable until vacuum. */
+  def compactSnapshot(spark: SparkSession, root: String): Int = {
+    val (fs, rp) = fsFor(spark, root)
+    commitRetry(spark, root) { prevV =>
+      require(prevV > 0, s"txtable: nothing to compact at $root")
+      val resolved = read(spark, root, prevV)
+      val dirName = s"data/compact-${java.util.UUID.randomUUID()}"
+      resolved.write.mode("overwrite").parquet(new Path(rp, dirName).toString)
+      ("compact", Seq(s"dir:$dirName"))
     }
   }
 

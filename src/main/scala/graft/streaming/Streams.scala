@@ -107,6 +107,20 @@ object Streams {
       ()
     }
 
+  /** The merge-on-READ form: each micro-batch commits only its own
+    * delta (O(batch), not O(table)) — the ONLY upsert shape that
+    * survives a continuous load into a 100 TB table — with a
+    * compaction every `compactEvery` batches to fold deltas and keep
+    * read-side resolution bounded. */
+  def upsertTxDeltaBatches(changes: DataFrame, root: String,
+    compactEvery: Int = 10) =
+    changes.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      graft.sources.TxTable.mergeDelta(batch.sparkSession, root, batch)
+      if (compactEvery > 0 && (id + 1) % compactEvery == 0)
+        graft.sources.TxTable.compactSnapshot(batch.sparkSession, root)
+      ()
+    }
+
   /** 30-minute-gap sessionization via typed state per user
     * (flatMapGroupsWithState): emits a session when the gap elapses.
     * The streaming analog of Windows.sessionize.

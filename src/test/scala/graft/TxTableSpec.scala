@@ -85,6 +85,51 @@ class TxTableSpec extends SparkSpec {
     assert(dataDir.listFiles().length === 1, "only the live snapshot's dir survives")
   }
 
+  test("delta merges resolve merge-on-read and compact back to one dir") {
+    import spark.implicits._
+    val root = tmpDir() + "/tx-mor"
+    TxTable.mergeDelta(spark, root,
+      Seq((1L, "I", 10.0, 1L), (2L, "I", 20.0, 2L), (2L, "U", 25.0, 3L))
+        .toDF("k", "op", "v", "seq"))
+    TxTable.mergeDelta(spark, root,
+      Seq((1L, "U", 11.0, 4L), (2L, "D", 0.0, 5L), (3L, "I", 30.0, 6L))
+        .toDF("k", "op", "v", "seq"))
+    // merge-on-read resolution == the copy-on-write result
+    val t = TxTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(t === Map(1L -> 11.0, 3L -> 30.0))
+    // pre-delta versions time-travel with resolution applied
+    val t1 = TxTable.read(spark, root, version = 1).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(t1 === Map(1L -> 10.0, 2L -> 25.0))
+    // compaction folds the deltas into ONE materialized dir
+    val v3 = TxTable.compactSnapshot(spark, root)
+    assert(v3 === 3)
+    assert(TxTable.history(spark, root).last === ((3, "compact", 1)))
+    val tc = TxTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(tc === t)
+  }
+
+  test("streaming delta upsert: O(batch) commits, compaction folds on schedule") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val root = tmpDir() + "/tx-mor-stream"
+    val input = MemoryStream[(Long, String, Double, Long)]
+    val changes = input.toDF().toDF("k", "op", "v", "seq")
+    val q = Streams.upsertTxDeltaBatches(changes, root, compactEvery = 2).start()
+    input.addData((1L, "I", 10.0, 1L), (2L, "I", 20.0, 2L))
+    q.processAllAvailable()
+    input.addData((1L, "U", 11.0, 3L), (2L, "D", 0.0, 4L), (3L, "I", 30.0, 5L))
+    q.processAllAvailable(); q.stop()
+    val t = TxTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(t === Map(1L -> 11.0, 3L -> 30.0))
+    // batch 0 = delta, batch 1 = delta then compact
+    assert(TxTable.history(spark, root).map(_._2) ===
+      Seq("delta", "delta", "compact"))
+  }
+
   test("streaming upsert into the transactional table equals the plain-parquet upsert") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
