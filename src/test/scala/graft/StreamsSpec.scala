@@ -170,6 +170,36 @@ class StreamsSpec extends SparkSpec {
     assert(t2 === Map(1L -> 11.0, 3L -> 30.0))
   }
 
+  test("mg_topk trends items over a stream in bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // item i arrives ~ 300/i times across two micro-batches
+    val all = (1 to 30).flatMap(i => Seq.fill(300 / i)(s"tag$i"))
+    val (b1, b2) = all.splitAt(all.size / 2)
+    val input = MemoryStream[String]
+    val agg = input.toDF().toDF("w")
+      .agg(expr("mg_topk(w, 6)").as("mg"))
+      .select(explode(col("mg")).as("e"))
+      .select(col("e.item"), col("e.est"))
+    val q = agg.writeStream.format("memory").queryName("mgtrend")
+      .outputMode("complete").start()
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable(); q.stop()
+    val out = spark.table("mgtrend").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.size <= 6)
+    val exact = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = all.size.toLong
+    out.foreach { case (item, est) =>
+      assert(est <= exact(item) && exact(item) - est <= n / 7,
+        s"$item: est $est vs freq ${exact(item)}")
+    }
+    // the dominant tags survive the stream's state bound
+    exact.filter(_._2 > n / 7).keys.foreach(hh =>
+      assert(out.contains(hh), s"trending item $hh missing"))
+  }
+
   test("sliding-window KMV sketch: streaming twin matches the batch windows") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
