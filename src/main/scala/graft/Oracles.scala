@@ -841,6 +841,24 @@ object Oracles {
         |WHERE day >= cohort_day
         |GROUP BY 1, 2""".stripMargin,
 
+    "q_json_extract" ->
+      """WITH e AS (SELECT event_type,
+        |             cast(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |SELECT event_type, count(*) AS n, count(DISTINCT k) AS n_distinct_k,
+        |  cast(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k
+        |FROM e GROUP BY 1""".stripMargin,
+
+    "q_set_ops" ->
+      """WITH a AS (SELECT DISTINCT o_custkey FROM orders
+        |           WHERE strftime(o_orderdate, '%Y-%m') = '1995-01'),
+        |b AS (SELECT DISTINCT o_custkey FROM orders
+        |      WHERE strftime(o_orderdate, '%Y-%m') = '1995-02')
+        |SELECT 'intersect' AS op, count(*) AS n FROM (SELECT * FROM a INTERSECT SELECT * FROM b) t
+        |UNION ALL
+        |SELECT 'except', count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b) t
+        |UNION ALL
+        |SELECT 'union', count(*) FROM (SELECT * FROM a UNION SELECT * FROM b) t""".stripMargin,
+
     // spine per key via unnest(generate_series) (correlated lateral
     // generate_series is unsupported in DuckDB 1.0 — SELECT-list unnest
     // is the portable form); LOCF = last_value IGNORE NULLS.

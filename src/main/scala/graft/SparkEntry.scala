@@ -42,6 +42,8 @@ object SparkEntry {
     "q_chain" -> (Relational.chain _),
     "q_multi_input_union" -> (Relational.multiInputUnion _),
     "q_multi_output_assign" -> (Relational.multiOutputAssign _),
+    "q_json_extract" -> (Relational.jsonExtract _),
+    "q_set_ops" -> (Relational.setOps _),
     // text (§2.3, §2.6)
     "q_wordcount" -> (TextOps.wordcount _),
     "q_grep" -> (TextOps.grep _),

@@ -282,6 +282,36 @@ object Relational {
         min("l_partkey").as("pmin"), max("l_partkey").as("pmax"),
         min("l_suppkey").as("smin"), max("l_suppkey").as("smax"))
 
+  /** Semi-structured field extraction — the JSON-SerDe path of the
+    * warehouse (log records carry a JSON payload column; queries
+    * project typed fields out of it): `get_json_object` is codegen'd
+    * and map-side, so extraction composes with pushdown and partial
+    * aggregation exactly like a real column. Per-type stats over the
+    * extracted integer field. */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("cast(get_json_object(props, '$.k') as bigint)").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), countDistinct("k").as("n_distinct_k"),
+        sum("k").as("sum_k"), min("k").as("min_k"), max("k").as("max_k"))
+
+  /** Relational set operators (INTERSECT / EXCEPT / UNION DISTINCT)
+    * over the month-over-month customer sets — each plans as a
+    * distinct aggregate over the union/semi shape, one shuffle each,
+    * scheduled as independent subplans. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), date_format(col("o_orderdate"), "yyyy-MM").as("m"))
+    val a = o.filter(col("m") === "1995-01").select("o_custkey").distinct()
+    val b = o.filter(col("m") === "1995-02").select("o_custkey").distinct()
+    def row(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n")).select(lit(name).as("op"), col("n"))
+    row("intersect", a.intersect(b))
+      .unionByName(row("except", a.except(b)))
+      .unionByName(row("union", a.union(b).distinct()))
+  }
+
   /** Seeded stratified sampling per key (ref: mapred/lib/InputSampler
     * .java:1 — the sampler that feeds TotalOrderPartitioner; also the
     * per-class downsampling step of a training-data pipeline). One
