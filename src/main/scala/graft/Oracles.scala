@@ -169,6 +169,35 @@ object Oracles {
   private val enStop = "'the', 'a', 'of', 'and', 'to', 'in', 'is'"
 
   val text: Map[String, String] = Map(
+    // duplicated token-span (8-gram) detection: the corpus-wide span
+    // fingerprint count joined back per doc; ppm is exact integer //
+    "q_dedup_spans" ->
+      s"""WITH nt AS (SELECT doc_id, string_split($norm, ' ') tk FROM documents),
+         |ix AS (SELECT doc_id, tk, unnest(generate_series(1, greatest(len(tk) - 7, 1))) i FROM nt),
+         |gr AS (SELECT doc_id, substring(md5(concat_ws(' ', tk[i], tk[i+1], tk[i+2], tk[i+3],
+         |         tk[i+4], tk[i+5], tk[i+6], tk[i+7])), 1, 16) h FROM ix),
+         |c AS (SELECT h, count(*) c FROM gr GROUP BY 1),
+         |j AS (SELECT doc_id, c.c FROM gr JOIN c USING (h)),
+         |a AS (SELECT doc_id, count(*) n_spans,
+         |        cast(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) dup_spans
+         |      FROM j GROUP BY 1)
+         |SELECT doc_id, n_spans, dup_spans,
+         |  cast(dup_spans * 1000000 // n_spans AS BIGINT) AS dup_ppm
+         |FROM a""".stripMargin,
+
+    // BPE merge candidates: char-pair frequencies weighted by word
+    // counts over the vocabulary table, deterministic (freq, pair) rank
+    "q_bpe_merges" ->
+      s"""WITH t AS (SELECT unnest(string_split($norm, ' ')) word FROM documents),
+         |w AS (SELECT word, count(*) wc FROM t WHERE word <> '' GROUP BY 1),
+         |ix AS (SELECT word, wc, unnest(generate_series(1, greatest(length(word) - 1, 1))) i FROM w),
+         |p AS (SELECT substring(word, i, 2) pair, wc FROM ix),
+         |f AS (SELECT pair, cast(sum(wc) AS BIGINT) freq FROM p
+         |      WHERE length(pair) = 2 GROUP BY 1)
+         |SELECT rk, pair, freq FROM (
+         |  SELECT *, row_number() OVER (ORDER BY freq DESC, pair) rk FROM f) z
+         |WHERE rk <= 30""".stripMargin,
+
     "q_wordcount" ->
       s"""SELECT word, count(*) AS cnt FROM (
          |  SELECT unnest(string_split($norm, ' ')) AS word FROM documents) t
@@ -497,6 +526,20 @@ object Oracles {
          |  CASE WHEN n >= 256 THEN kth END AS kth_hash
          |FROM s""".stripMargin,
 
+      // the ApproxDistinctRewrite output: the same k-th-order-statistic
+      // replay, floored to BIGINT (floor, never a double→int cast —
+      // the engines' casts round differently, floor is exact)
+      "q_approx_distinct" ->
+        s"""WITH d AS (SELECT DISTINCT event_type, md5(cast(user_id AS VARCHAR)) h
+           |           FROM events WHERE user_id IS NOT NULL),
+           |r AS (SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) rn FROM d),
+           |s AS (SELECT event_type, count(*) n, max(CASE WHEN rn = 256 THEN h END) kth FROM r GROUP BY 1)
+           |SELECT event_type,
+           |  cast(floor(CASE WHEN n < 256 THEN cast(n AS DOUBLE)
+           |       ELSE (255.0 * 4294967296.0) / cast(greatest(1, $nib) AS DOUBLE) END) AS BIGINT)
+           |    AS uniq_users_est
+           |FROM s""".stripMargin,
+
       // KMV per CUBE cell: one replay per grouping level (a row feeds
       // all four levels, so each level re-derives its own distinct
       // hash set and k-th order statistic), unioned with the same
@@ -722,6 +765,16 @@ object Oracles {
   )
 
   val olap: Map[String, String] = Map(
+    // frequent item pairs: A-priori item prune (support >= 30), basket
+    // self-join, pair support >= 3 — the oracle runs the identical SQL
+    "q_itemsets" ->
+      """WITH li AS (SELECT l_orderkey ok, l_partkey pk FROM lineitem),
+        |f AS (SELECT pk FROM li GROUP BY pk HAVING count(*) >= 30),
+        |fl AS (SELECT ok, pk FROM li WHERE pk IN (SELECT pk FROM f))
+        |SELECT a.pk AS pa, b.pk AS pb, count(*) AS support
+        |FROM fl a JOIN fl b ON a.ok = b.ok AND a.pk < b.pk
+        |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
+
     "q_cdc_merge" ->
       """WITH base AS (SELECT c_custkey k, cast(c_acctbal AS DECIMAL(18,2)) bal FROM customer),
         |agg AS (SELECT o_custkey, sum(cast(o_totalprice AS DECIMAL(18,2))) v FROM orders GROUP BY 1),

@@ -24,6 +24,7 @@ object SparkEntry {
     "q_sketch_window" -> ((s: SparkSession, d: String) =>
       graft.streaming.Windows.kmvSlidingWindows(s, d)),
     "q_sketch_cube" -> ((s: SparkSession, d: String) => Sketches.kmvCube(s, d)),
+    "q_approx_distinct" -> ((s: SparkSession, d: String) => Sketches.approxDistinct(s, d)),
     "q_agg_histogram" -> (Relational.aggHistogram _),
     "q_agg_highcard" -> (Relational.aggHighcard _),
     "q_secondary_sort" -> (Relational.secondarySort _),
@@ -58,6 +59,8 @@ object SparkEntry {
     "q_text_repetition" -> (TextOps.repetition _),
     "q_decontaminate" -> ((s: SparkSession, d: String) => TextOps.decontaminate(s, d)),
     "q_text_bigram_rarity" -> (TextOps.bigramRarity _),
+    "q_dedup_spans" -> ((s: SparkSession, d: String) => TextOps.dupSpans(s, d)),
+    "q_bpe_merges" -> ((s: SparkSession, d: String) => TextOps.bpeMerges(s, d)),
     "q_dedup_containment" -> (Dedup.containment _),
     "q_pack_sequences" -> ((s: SparkSession, d: String) => TextOps.packSequences(s, d)),
     // oracle-gated via rank + integer surrogates (the ln() score
@@ -102,6 +105,7 @@ object SparkEntry {
     "q_range_join" -> ((s: SparkSession, d: String) => Olap.rangeJoinBinned(s, d)),
     "q_join_salted" -> (Olap.joinSalted _),
     "q_funnel" -> ((s: SparkSession, d: String) => Olap.funnel(s, d)),
+    "q_itemsets" -> ((s: SparkSession, d: String) => Olap.itemsets(s, d)),
     "q_retention" -> (Olap.retention _),
     "q_gapfill" -> (Olap.gapfill _),
     "q_moving_avg" -> (Olap.movingAvg _),

@@ -44,6 +44,9 @@ object GraftFunctions {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.RangeBinJoinRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.RangeBinJoinRewrite
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.ApproxDistinctRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.ApproxDistinctRewrite
     if (!spark.experimental.extraStrategies.contains(graft.plans.LshTopKJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.LshTopKJoinStrategy
@@ -75,6 +78,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.plans.MgTopK.info, graft.plans.MgTopK.builder))
     ext.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
     ext.injectOptimizerRule(_ => graft.plans.RangeBinJoinRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.LshTopKJoinStrategy)
   }
 }

@@ -16,6 +16,33 @@ object Olap {
   private def dsum(c: org.apache.spark.sql.Column) =
     sum(c.cast("decimal(18,2)")).cast("double")
 
+  /** Frequent item-pair mining (market-basket analysis) — the classic
+    * warehouse A-priori job (Agrawal & Srikant 1994), run as a
+    * multi-pass MapReduce chain in the reference era; here one plan:
+    * pass 1 prunes to frequent items (the A-priori property: a pair
+    * can only be frequent if both items are), pass 2 counts pairs from
+    * a basket self-join restricted to frequent items.
+    *
+    * Scale shape: the item-frequency prune is one combiner-backed
+    * aggregate; the pair generation is a self-join on the basket key
+    * (orderkey) — both sides share ONE exchange (ReuseExchange), the
+    * fan-out per basket is bounded by basket size (TPC-H ≤ 7 lines),
+    * and the frequent-item semi-join shrinks the join input before the
+    * shuffle. Never an item×item cross join. */
+  def itemsets(spark: SparkSession, dir: String,
+    itemSup: Int = 30, pairSup: Int = 3): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val freq = li.groupBy("pk").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= itemSup).select("pk")
+    val fli = li.join(freq, Seq("pk"), "semi")
+    val a = fli.select(col("ok"), col("pk").as("pa"))
+    val b = fli.select(col("ok"), col("pk").as("pb"))
+    a.join(b, Seq("ok")).filter(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("support"))
+      .filter(col("support") >= pairSup)
+  }
+
   /** ROLLUP subtotal hierarchy — (flag, status), (flag), (); NULL
     * grouping slots made explicit so the oracle agrees. */
   def rollup(spark: SparkSession, dir: String): DataFrame =

@@ -183,6 +183,24 @@ object Sketches {
       .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))").as("est_uniq"),
         count(lit(1)).as("n"))
 
+  /** The optimizer-driven sketch substitution under the oracle gate:
+    * a plain exact `count(DISTINCT cast(user_id as string))` query,
+    * rewritten by `plans.ApproxDistinctRewrite` into the KMV estimate.
+    * The rewrite is applied eagerly here (per-plan opt-in) so the
+    * gated result is the REWRITTEN plan's output — the oracle replays
+    * the k-th-order-statistic estimate, proving the substituted plan
+    * computes exactly the documented sketch semantics. Sessions opt in
+    * globally with `spark.graft.approxDistinct=true` instead. */
+  def approxDistinct(spark: SparkSession, dir: String, k: Int = 256): DataFrame = {
+    val exact = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id").cast("string")).as("uniq_users_est"))
+    val rewritten = graft.plans.ApproxDistinctRewrite.rewrite(
+      exact.queryExecution.analyzed, k)
+    org.apache.spark.sql.graftbridge.PlanBridge.ofRows(spark, rewritten)
+  }
+
   /** Partial-sketch roll-up: per (event_type, day) HLL partials merged
     * to per-type totals with hll_union_agg — the incremental-load
     * shape: yesterday's partials are never recomputed. */

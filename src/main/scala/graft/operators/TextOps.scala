@@ -287,6 +287,59 @@ object TextOps {
         min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
   }
 
+  /** Exact duplicated-span detection — the substring-level dedup pass
+    * of Lee et al. 2021 ("Deduplicating Training Data Makes Language
+    * Models Better"), re-expressed relationally: every token n-gram
+    * (n=8) is a span; a span whose fingerprint occurs more than once
+    * corpus-wide is duplicated text. Output per doc: span count,
+    * duplicated-span count and the exact duplicated-token ppm — the
+    * score pipelines drop or trim documents by.
+    *
+    * Scale shape: the span fingerprint (16-char md5 prefix — constant
+    * width however long the span) is a map-side projection; the only
+    * wide ops are the corpus fingerprint count and the count⋈spans
+    * re-join on the fingerprint — bounded-state aggregations, never a
+    * doc-to-doc join. Same two-shuffle skeleton as `bigramRarity`. */
+  def dupSpans(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(expr(normExpr), " ").as("tk"))
+      .select(col("doc_id"), explode(expr(ngramExpr(n))).as("g"))
+      .select(col("doc_id"),
+        expr("substring(md5(cast(g as binary)), 1, 16)").as("h"))
+    val cnt = grams.groupBy("h").agg(count(lit(1)).as("c"))
+    grams.join(cnt, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(expr("case when c > 1 then 1 else 0 end")).as("dup_spans"))
+      .select(col("doc_id"), col("n_spans"), col("dup_spans"),
+        expr("dup_spans * 1000000 div n_spans").as("dup_ppm"))
+  }
+
+  /** BPE merge-step statistics — the first iteration of byte-pair-
+    * encoding vocabulary induction (Sennrich et al. 2016), the
+    * tokenizer-training job an LLM pipeline runs over its corpus:
+    * count adjacent character pairs weighted by word frequency and
+    * rank the top merge candidates. The full BPE loop re-runs this
+    * counting job after each merge; one iteration is the distributed
+    * kernel (word-frequency table stays fixed, pair counting is one
+    * aggregate over it — corpus text is NOT re-read per iteration).
+    *
+    * Scale shape: word counts are one shuffle over words (partial agg
+    * = combiner); the char-pair explode runs over the DISTINCT word
+    * table (vocabulary-sized, orders of magnitude below the corpus),
+    * and the final top-N is a TakeOrderedAndProject merge. */
+  def bpeMerges(spark: SparkSession, dir: String, topN: Int = 30): DataFrame = {
+    val words = tokens(spark, dir).groupBy("word").agg(count(lit(1)).as("wc"))
+    val pairs = words
+      .select(col("wc"), explode(expr(
+        "transform(sequence(1, greatest(length(word) - 1, 1)), i -> substring(word, i, 2))")).as("pair"))
+      .filter(length(col("pair")) === 2) // 1-char words carry no pair
+    val freq = pairs.groupBy("pair").agg(sum("wc").as("freq"))
+    val top = freq.orderBy(col("freq").desc, col("pair")).limit(topN)
+    val w = Window.orderBy(col("freq").desc, col("pair"))
+    top.withColumn("rk", row_number().over(w)).select("rk", "pair", "freq")
+  }
+
   /** Winnowing document fingerprint (rolling-hash): char 10-gram md5
     * hashes, min over each 8-gram window, distinct survivors. The
     * window is partitioned per doc so it scales out. */
