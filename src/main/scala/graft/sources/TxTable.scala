@@ -84,22 +84,52 @@ object TxTable {
     if (!entries.exists(_._1))
       spark.read.parquet(entries.map(e => new Path(rp, e._2).toString): _*)
     else {
-      // merge-on-read: tag every entry with its commit-order index;
-      // full-row entries act as upserts at their position. One keyed
-      // window resolves the winner — the read-side cost that lets the
-      // WRITE side ship only the batch (copy-on-write would rewrite
-      // the whole table per micro-batch; at warehouse scale that is
-      // the difference between O(batch) and O(table) per commit).
-      val parts = entries.zipWithIndex.map { case ((isDelta, d), i) =>
+      // Merge-on-read, scale-safe: the base (the dirs committed before
+      // any delta — after compaction, exactly one) is 100 TB-class and
+      // must never shuffle on `k` just because a small delta exists.
+      // Split the snapshot at the first delta entry:
+      //   base   = dir entries before it (full rows);
+      //   tail   = everything from it on — deltas, plus any full-row
+      //            dirs appended after a delta, which act as all-'U'
+      //            upsert batches at their commit position.
+      // The tail is batch-sized (compaction bounds it), so:
+      //   1. resolve the tail alone with one keyed window (small);
+      //   2. anti-join the base against the tail's key set — broadcast,
+      //      so the base is scanned once and never exchanged;
+      //   3. union the base survivors with the tail's live rows.
+      // Copy-on-write would instead rewrite the table per micro-batch;
+      // this keeps commits O(batch) AND reads O(scan).
+      val firstDelta = entries.indexWhere(_._1)
+      val (baseE, tailE) = entries.zipWithIndex.splitAt(firstDelta)
+      val baseParts = baseE.map { case ((_, d), _) =>
+        spark.read.parquet(new Path(rp, d).toString).select("k", "v")
+      }
+      // >1 base dir (appends never compacted) needs later-dir-wins
+      // resolution; the steady-state single compacted base skips it.
+      val base =
+        if (baseParts.isEmpty) spark.range(0)
+          .select(col("id").as("k"), lit(null).cast("double").as("v"))
+        else if (baseParts.size == 1) baseParts.head
+        else {
+          val wb = Window.partitionBy("k").orderBy(col("_cv").desc)
+          baseParts.zipWithIndex
+            .map { case (df, i) => df.withColumn("_cv", lit(i.toLong)) }
+            .reduce(_.unionByName(_))
+            .withColumn("_rn", row_number().over(wb))
+            .filter(col("_rn") === 1).select("k", "v")
+        }
+      val tailParts = tailE.map { case ((isDelta, d), i) =>
         val df = spark.read.parquet(new Path(rp, d).toString)
         val keyed = if (isDelta) df else df.withColumn("op", lit("U"))
         keyed.select(col("k"), col("op"), col("v"), lit(i.toLong).as("_cv"))
       }
-      val w = Window.partitionBy("k").orderBy(col("_cv").desc)
-      parts.reduce(_.unionByName(_))
-        .withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") === 1 && col("op") =!= "D")
-        .select("k", "v")
+      val wt = Window.partitionBy("k").orderBy(col("_cv").desc)
+      val tail = tailParts.reduce(_.unionByName(_))
+        .withColumn("_rn", row_number().over(wt))
+        .filter(col("_rn") === 1)
+        .select("k", "op", "v")
+      val survivors = base.join(broadcast(tail.select("k")), Seq("k"), "left_anti")
+      survivors.unionByName(tail.filter(col("op") =!= "D").select("k", "v"))
     }
   }
 
@@ -154,13 +184,23 @@ object TxTable {
       val prevV = latestVersion(spark, root)
       val (op, lines) = content(prevV)
       val body = (s"op:$op" +: lines).mkString("\n")
+      val claim = commitPath(rp, prevV + 1)
       try {
         // overwrite = false: the atomic claim of version prevV+1
-        val out = fs.create(commitPath(rp, prevV + 1), false)
+        val out = fs.create(claim, false)
         try out.write(body.getBytes("UTF-8")) finally out.close()
         return prevV + 1
       } catch {
-        case _: java.io.IOException => attempt += 1 // lost the race — retry
+        // Only a lost race is retryable: the claimed version already
+        // exists. Some filesystems signal that as a generic IOException,
+        // so probe for the file. Anything else (permissions, quota, a
+        // dead filesystem) is a real failure — rethrow instead of
+        // re-running the content builder (for merge, a full O(table)
+        // recompute) nine more times and misreporting it as contention.
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          attempt += 1
+        case e: java.io.IOException =>
+          if (fs.exists(claim)) attempt += 1 else throw e
       }
     }
     throw new IllegalStateException(

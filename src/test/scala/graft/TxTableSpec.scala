@@ -111,6 +111,58 @@ class TxTableSpec extends SparkSpec {
     assert(tc === t)
   }
 
+  test("merge-on-read never shuffles the base: broadcast anti-join on delta keys") {
+    import spark.implicits._
+    val root = tmpDir() + "/tx-mor-plan"
+    TxTable.mergeDelta(spark, root,
+      Seq((1L, "I", 10.0, 1L), (2L, "I", 20.0, 2L)).toDF("k", "op", "v", "seq"))
+    TxTable.compactSnapshot(spark, root) // one materialized base dir
+    TxTable.mergeDelta(spark, root,
+      Seq((1L, "U", 11.0, 3L), (3L, "I", 30.0, 4L)).toDF("k", "op", "v", "seq"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = TxTable.read(spark, root)
+      assert(df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap ===
+        Map(1L -> 11.0, 2L -> 20.0, 3L -> 30.0))
+      val plan = df.queryExecution.executedPlan
+      val baseScans = plan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("compact-")) => f
+      }
+      assert(baseScans.nonEmpty, "sanity: the compacted base must be scanned")
+      // the 100 TB property: no shuffle exchange anywhere above the base scan
+      val shuffledScans = plan.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          s.collectLeaves().collect {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+          }
+      }.flatten
+      assert(!shuffledScans.exists(
+        _.relation.location.rootPaths.exists(_.toString.contains("compact-"))),
+        "the base dir must never sit under a shuffle exchange")
+      assert(plan.toString.contains("BroadcastHashJoin") &&
+        plan.toString.contains("LeftAnti"),
+        "delta keys must broadcast into an anti join against the base")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("a non-conflict IOException surfaces after one attempt, not 10 recomputes") {
+    import spark.implicits._
+    val root = tmpDir() + "/tx-ioerr"
+    TxTable.append(Seq((1L, 1.0)).toDF("k", "v"), root)
+    // plant a trap: the next claim path is a symlink into a missing dir,
+    // so create() fails with a genuine I/O error and exists() stays false
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(root, "_commits", "v00000002"),
+      java.nio.file.Paths.get(root, "missing-dir", "x"))
+    val changes = Seq((2L, "I", 2.0, 1L)).toDF("k", "op", "v", "seq")
+    intercept[java.io.IOException] { TxTable.merge(spark, root, changes) }
+    // exactly ONE content attempt: one merge data dir, not ten
+    val merges = new java.io.File(root, "data").listFiles()
+      .count(_.getName.startsWith("merge-"))
+    assert(merges === 1, "the O(table) merge recompute must not be retried")
+  }
+
   test("streaming delta upsert: O(batch) commits, compaction folds on schedule") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
