@@ -758,6 +758,11 @@ object Oracles {
       """SELECT l_returnflag, cast(sum(cast(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM lineitem GROUP BY 1""".stripMargin,
 
+    // binary-framed pipe is an identity transport (cat): hashing the
+    // payloads back must equal hashing the table's own UTF-8 bytes
+    "q_pipe_binary" ->
+      "SELECT md5(text) AS h, count(*) AS n FROM documents GROUP BY 1",
+
     "q_media_meta" ->
       """SELECT doc_id, strlen(text) AS byte_len, substring(md5(text), 1, 8) AS sig,
         |  (strlen(text) + 255) // 256 AS n_chunks

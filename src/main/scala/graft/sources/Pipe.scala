@@ -43,6 +43,85 @@ object Pipe {
     spark.createDataset(piped).toDF("line")
   }
 
+  /** Binary record framing for external pipes (ref: src/contrib/
+    * streaming/src/java/org/apache/hadoop/typedbytes/TypedBytesInput
+    * .java:1, TypedBytesOutput.java:1 — the streaming contrib's binary
+    * protocol that lets non-Java programs process non-textual records).
+    * Frame = 1-byte type code 0 (BYTES, matching typed-bytes) +
+    * 4-byte big-endian length + payload. Line-oriented `RDD.pipe`
+    * corrupts payloads containing \n or \0; this path is 8-bit clean.
+    *
+    * One process per partition, stdin fed from a daemon thread while
+    * the task thread consumes framed stdout — the same two-thread
+    * shape as the reference's PipeMapper, so a slow consumer never
+    * deadlocks against a full stdin buffer. A non-zero exit fails the
+    * task (and Spark's retry re-runs the whole partition, which is
+    * safe because the process is stateless per partition).
+    */
+  def pipeBinary(spark: SparkSession, bin: DataFrame, cmd: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val piped = bin.select(col(bin.columns.head)).as[Array[Byte]]
+      .mapPartitions { it =>
+        if (it.isEmpty) Iterator.empty
+        else {
+          import java.io._
+          val proc = new ProcessBuilder(cmd: _*)
+            .redirectError(ProcessBuilder.Redirect.INHERIT).start()
+          val stdin = new DataOutputStream(
+            new BufferedOutputStream(proc.getOutputStream, 64 * 1024))
+          val writer = new Thread(() => {
+            try {
+              it.foreach { b =>
+                stdin.writeByte(0); stdin.writeInt(b.length); stdin.write(b)
+              }
+              stdin.close()
+            } catch { case _: IOException => () } // consumer died; exit code tells
+          }, "graft-pipe-stdin")
+          writer.setDaemon(true)
+          writer.start()
+          val stdout = new DataInputStream(
+            new BufferedInputStream(proc.getInputStream, 64 * 1024))
+          new Iterator[Array[Byte]] {
+            private var nextRec: Array[Byte] = fetch()
+            private def fetch(): Array[Byte] = {
+              val code = stdout.read()
+              if (code < 0) {
+                writer.join()
+                val rc = proc.waitFor()
+                if (rc != 0) throw new IOException(
+                  s"pipeBinary: ${cmd.head} exited with $rc")
+                null
+              } else {
+                require(code == 0, s"pipeBinary: unknown type code $code")
+                val len = stdout.readInt()
+                require(len >= 0, s"pipeBinary: negative frame length $len")
+                val buf = new Array[Byte](len)
+                stdout.readFully(buf)
+                buf
+              }
+            }
+            def hasNext: Boolean = nextRec != null
+            def next(): Array[Byte] = {
+              val r = nextRec; nextRec = fetch(); r
+            }
+          }
+        }
+      }
+    piped.toDF("payload")
+  }
+
+  /** Demo/oracle query: document texts as raw UTF-8 payloads through a
+    * binary-clean identity pipe (`cat`), content-hashed back — proves
+    * the framing is 8-bit transparent end-to-end under the gate (the
+    * oracle hashes the same bytes straight off the table). */
+  def pipeBinaryHash(spark: SparkSession, dir: String): DataFrame = {
+    val payloads = Tables.documents(spark, dir)
+      .select(col("text").cast("binary").as("payload"))
+    pipeBinary(spark, payloads, Seq("cat"))
+      .select(md5(col("payload")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("n"))
+  }
+
   /** Demo/oracle query: per-flag quantity totals computed by an
     * EXTERNAL awk reducer that relies on the key-grouped stream —
     * quantities pre-cast to bigint so the awk sum stays exact-integer

@@ -136,6 +136,56 @@ class SourcesSpec extends SparkSpec {
       lines.collect().map(_.getString(0)).sorted)
   }
 
+  test("pipeBinary: framed records are 8-bit clean through an identity pipe") {
+    import spark.implicits._
+    // payloads that break line-oriented pipes: NULs, newlines, CRs,
+    // 0xFF runs, empty, and every byte value once
+    val payloads: Seq[Array[Byte]] = Seq(
+      Array[Byte](0, 10, 13, 0, 10),
+      Array.fill[Byte](300)(0xFF.toByte),
+      Array.empty[Byte],
+      (0 to 255).map(_.toByte).toArray,
+      "plain text survives too".getBytes("UTF-8"))
+    val df = spark.createDataset(payloads).toDF("payload").repartition(2)
+    val back = Pipe.pipeBinary(spark, df, Seq("cat"))
+      .collect().map(_.getAs[Array[Byte]](0))
+    assert(back.map(_.toSeq).sorted(Ordering.Implicits.seqOrdering[Seq, Byte])
+      === payloads.map(_.toSeq).sorted(Ordering.Implicits.seqOrdering[Seq, Byte]))
+  }
+
+  test("pipeBinary: an external transformer sees exact frames (python reverser)") {
+    import spark.implicits._
+    val prog =
+      """import sys,struct
+        |r,w=sys.stdin.buffer,sys.stdout.buffer
+        |while True:
+        |    c=r.read(1)
+        |    if not c: break
+        |    assert c==b'\x00'
+        |    n=struct.unpack('>i',r.read(4))[0]
+        |    b=r.read(n)
+        |    w.write(b'\x00'+struct.pack('>i',n)+b[::-1])
+        |w.flush()
+        |""".stripMargin
+    val payloads = Seq(Array[Byte](1, 2, 3, 0, 10), Array[Byte](9, 8))
+    val df = spark.createDataset(payloads).toDF("payload").coalesce(1)
+    val back = Pipe.pipeBinary(spark, df, Seq("python3", "-c", prog))
+      .collect().map(_.getAs[Array[Byte]](0).toSeq).sorted(
+        Ordering.Implicits.seqOrdering[Seq, Byte])
+    assert(back === payloads.map(_.reverse.toSeq).sorted(
+      Ordering.Implicits.seqOrdering[Seq, Byte]))
+  }
+
+  test("pipeBinary: non-zero exit fails the task instead of truncating silently") {
+    import spark.implicits._
+    val df = spark.createDataset(Seq(Array[Byte](1))).toDF("payload").coalesce(1)
+    val ex = intercept[org.apache.spark.SparkException] {
+      Pipe.pipeBinary(spark, df, Seq("false")).collect()
+    }
+    assert(ex.getMessage.contains("exited with") ||
+      Option(ex.getCause).exists(_.getMessage.contains("exited with")))
+  }
+
   test("pipeReduce groups keys wholly per partition — results partition-count-invariant") {
     import spark.implicits._
     val kv = (1 to 200).map(i => (s"k${i % 7}", i.toLong)).toDF("k", "v")
