@@ -28,7 +28,22 @@ object DistCopy {
     }.sum().toLong
   }
 
-  def copy(spark: SparkSession, src: String, dst: String): Long = {
+  /** Copy every file under `src` into `dst`, executor-parallel.
+    * Returns the number of files actually copied.
+    *
+    * `update = true` is the reference's `-update` incremental sync
+    * (ref: src/tools/org/apache/hadoop/tools/DistCp.java:1, the
+    * -update flag): a file is SKIPPED when the destination already
+    * holds one of the same length whose checksum matches. The skip
+    * decision is metadata-only — on filesystems with native file
+    * checksums (HDFS-style) the checksums compare directly; where a
+    * side has none (raw local, most object stores) it falls back to
+    * the rsync-style quick check (same length and the source is not
+    * newer). That is the difference between a nightly sync of a
+    * 100 TB tree re-shipping 100 TB and shipping only the ~1% churn.
+    */
+  def copy(spark: SparkSession, src: String, dst: String,
+    update: Boolean = false): Long = {
     // metadata-only scan (column pruning keeps content unread); each
     // task then STREAMS its file through a bounded buffer like the
     // reference — a file larger than executor memory copies fine
@@ -39,21 +54,36 @@ object DistCopy {
     files.rdd.map { r =>
       val from = new Path(r.getString(0))
       val out = new Path(dst, from.getName)
-      val is = from.getFileSystem(confBc.value.value).open(from)
-      val os = out.getFileSystem(confBc.value.value).create(out, true)
-      try {
-        val buf = new Array[Byte](1 << 16)
-        var n = is.read(buf)
-        while (n >= 0) {
-          if (n > 0) os.write(buf, 0, n)
-          n = is.read(buf)
+      val srcFs = from.getFileSystem(confBc.value.value)
+      val dstFs = out.getFileSystem(confBc.value.value)
+      val skip = update && dstFs.exists(out) && {
+        val s = srcFs.getFileStatus(from)
+        val d = dstFs.getFileStatus(out)
+        s.getLen == d.getLen && {
+          val sc = srcFs.getFileChecksum(from)
+          val dc = dstFs.getFileChecksum(out)
+          if (sc != null && dc != null) sc == dc
+          else s.getModificationTime <= d.getModificationTime
         }
-      } finally {
-        // close the output even when the input's close throws — a
-        // leaked FSDataOutputStream never completes its final block
-        try is.close() finally os.close()
       }
-      1L
+      if (skip) 0L
+      else {
+        val is = srcFs.open(from)
+        val os = dstFs.create(out, true)
+        try {
+          val buf = new Array[Byte](1 << 16)
+          var n = is.read(buf)
+          while (n >= 0) {
+            if (n > 0) os.write(buf, 0, n)
+            n = is.read(buf)
+          }
+        } finally {
+          // close the output even when the input's close throws — a
+          // leaked FSDataOutputStream never completes its final block
+          try is.close() finally os.close()
+        }
+        1L
+      }
     }.sum().toLong
   }
 }

@@ -286,6 +286,24 @@ class SourcesSpec extends SparkSpec {
     assert(java.nio.file.Files.readString(java.nio.file.Paths.get(dst, "f2.txt")) === "content2")
   }
 
+  test("DistCopy -update: unchanged files skip, a changed file re-ships") {
+    import java.nio.file.{Files, Paths}
+    val src = tmpDir()
+    val dst = tmpDir() + "/out"
+    for (i <- 1 to 4)
+      Files.writeString(Paths.get(src, s"f$i.txt"), s"content$i")
+    assert(DistCopy.copy(spark, src, dst, update = true) === 4)
+    // second run of an unchanged tree copies nothing
+    assert(DistCopy.copy(spark, src, dst, update = true) === 0)
+    // a same-length content change with a newer mtime re-ships exactly it
+    Thread.sleep(20)
+    Files.writeString(Paths.get(src, "f2.txt"), "CONTENT2")
+    assert(DistCopy.copy(spark, src, dst, update = true) === 1)
+    assert(Files.readString(Paths.get(dst, "f2.txt")) === "CONTENT2")
+    // update=false still force-copies everything (the non-incremental mode)
+    assert(DistCopy.copy(spark, src, dst) === 4)
+  }
+
   test("observe() exposes counters like the reference's Counters API") {
     val observation = new org.apache.spark.sql.Observation("metrics")
     val df = Tables.lineitem(spark, sfDir)
