@@ -297,17 +297,19 @@ object TextOps {
     *
     * Scale shape: the span fingerprint (16-char md5 prefix — constant
     * width however long the span) is a map-side projection; the only
-    * wide ops are the corpus fingerprint count and the count⋈spans
-    * re-join on the fingerprint — bounded-state aggregations, never a
-    * doc-to-doc join. Same two-shuffle skeleton as `bigramRarity`. */
+    * wide op over the gram table is ONE `count(*) over (partition by
+    * h)` window — the fingerprint count lands on each span in the
+    * same exchange that groups the fingerprints, where an agg+re-join
+    * formulation would shuffle the biggest intermediate twice. Never
+    * a doc-to-doc join. */
   def dupSpans(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
     val grams = Tables.documents(spark, dir)
       .select(col("doc_id"), split(expr(normExpr), " ").as("tk"))
       .select(col("doc_id"), explode(expr(ngramExpr(n))).as("g"))
       .select(col("doc_id"),
         expr("substring(md5(cast(g as binary)), 1, 16)").as("h"))
-    val cnt = grams.groupBy("h").agg(count(lit(1)).as("c"))
-    grams.join(cnt, "h")
+    grams
+      .withColumn("c", count(lit(1)).over(Window.partitionBy("h")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"),
         sum(expr("case when c > 1 then 1 else 0 end")).as("dup_spans"))
