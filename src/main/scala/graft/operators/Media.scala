@@ -8,11 +8,13 @@ import graft.Tables
   * travel as opaque `binary` columns with a typed metadata struct.
   *
   * Image decode is REAL for the formats the JDK ships codecs for
-  * (PNG/BMP/GIF/JPEG via `javax.imageio` — zero extra dependencies):
-  * `decode` tries ImageIO first and yields raw RGB; payloads no JDK
-  * codec understands (video/audio/exotic formats) fall back to the
-  * deterministic byte-level `decodeStub`, preserving the batch shape
-  * so a real codec swap changes only that body.
+  * (PNG/BMP/GIF/JPEG via `javax.imageio`), and audio decode is REAL
+  * for WAV/AIFF/AU (PCM via `javax.sound.sampled`) — zero extra
+  * dependencies. `decode` tries ImageIO, then the audio reader, and
+  * only payloads no JDK codec understands (video/exotic formats) fall
+  * back to the deterministic byte-level `decodeStub`, preserving the
+  * batch shape so a real codec swap changes only that body. Video is
+  * the one remaining stub: the JDK ships no video codec.
   *
   * At scale the pattern is: binary payloads stay columnar in parquet,
   * decode runs in `mapPartitions` (one codec context per partition,
@@ -34,10 +36,10 @@ object Media {
         lit("text/plain").as("mime"),
         expr("substring(md5(cast(text as binary)), 1, 8)").as("sig")).as("meta"))
 
-  /** STUB decoder for payloads no JDK codec reads (video/audio):
-    * deterministic byte map so tests are stable. A real deployment
-    * swaps the body for the codec call; everything around it is
-    * unchanged. */
+  /** STUB decoder for payloads no JDK codec reads (video — images and
+    * PCM audio decode for real above): deterministic byte map so tests
+    * are stable. A real deployment swaps the body for the codec call;
+    * everything around it is unchanged. */
   def decodeStub(payload: Array[Byte]): Array[Byte] =
     payload.map(b => (b ^ 0x5a).toByte)
 
@@ -73,10 +75,89 @@ object Media {
     }
   }
 
+  /** Decoded audio: format metadata + raw PCM bytes as stored. */
+  case class DecodedAudio(sampleRate: Float, channels: Int, bits: Int,
+    frames: Long, bigEndian: Boolean, unsigned: Boolean, pcm: Array[Byte])
+
+  /** REAL audio decode via javax.sound.sampled (WAV/AIFF/AU/SND ship
+    * with the JDK). Returns None when no installed reader recognizes
+    * the bytes. The stream is drained through a bounded buffer —
+    * payloads are row-sized by construction (they arrived as one
+    * binary cell), so materializing the PCM mirrors what the image
+    * path does with its raster. */
+  def decodeAudio(payload: Array[Byte]): Option[DecodedAudio] = {
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](1 << 14)
+        var n = ais.read(buf)
+        while (n >= 0) {
+          if (n > 0) out.write(buf, 0, n)
+          n = ais.read(buf)
+        }
+        Some(DecodedAudio(fmt.getSampleRate, fmt.getChannels,
+          fmt.getSampleSizeInBits, ais.getFrameLength, fmt.isBigEndian,
+          fmt.getEncoding ==
+            javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+          out.toByteArray))
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** The decode step every feature extractor runs: real ImageIO decode
-    * when a JDK codec matches, deterministic stub otherwise. */
+    * when a JDK image codec matches, real PCM decode when an audio
+    * reader matches, deterministic stub otherwise (video — the JDK
+    * ships no codec). */
   def decode(payload: Array[Byte]): Array[Byte] =
-    decodeImage(payload).map(_.rgb).getOrElse(decodeStub(payload))
+    decodeImage(payload).map(_.rgb)
+      .orElse(decodeAudio(payload).map(_.pcm))
+      .getOrElse(decodeStub(payload))
+
+  /** Audio metadata + signal features over the REAL decoded PCM —
+    * (doc_id, sample_rate, channels, bits, n_frames, duration_ms,
+    * rms, peak); payloads no audio reader accepts yield nulls,
+    * keeping the pipeline total. Samples are normalized to [-1, 1]
+    * from the container's own width/endianness/signedness, so the
+    * features are container-independent. */
+  def audioFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          decodeAudio(payload) match {
+            case Some(a) if a.bits == 8 || a.bits == 16 =>
+              val bytesPer = a.bits / 8
+              val nSamples = a.pcm.length / bytesPer
+              var i = 0
+              var sumSq = 0.0
+              var peak = 0.0
+              while (i < nSamples) {
+                val raw =
+                  if (bytesPer == 1)
+                    (if (a.unsigned) (a.pcm(i) & 0xff) - 128
+                     else a.pcm(i).toInt).toDouble / 128.0
+                  else {
+                    val (b0, b1) = (a.pcm(i * 2) & 0xff, a.pcm(i * 2 + 1) & 0xff)
+                    val v = if (a.bigEndian) (b0 << 8) | b1 else (b1 << 8) | b0
+                    (if (v >= 32768) v - 65536 else v).toDouble / 32768.0
+                  }
+                sumSq += raw * raw
+                if (math.abs(raw) > peak) peak = math.abs(raw)
+                i += 1
+              }
+              val durMs = a.frames * 1000.0 / a.sampleRate
+              (id, Some(a.sampleRate.toDouble), Some(a.channels), Some(a.bits),
+                Some(a.frames), Some(durMs),
+                Some(math.sqrt(sumSq / math.max(nSamples, 1))), Some(peak))
+            case _ => (id, None, None, None, None, None, None, None)
+          }
+        }
+      }.toDF("doc_id", "sample_rate", "channels", "bits", "n_frames",
+        "duration_ms", "rms", "peak")
+  }
 
   /** Image metadata + channel means over the REAL decoded pixels —
     * (doc_id, width, height, mean_r, mean_g, mean_b); undecodable

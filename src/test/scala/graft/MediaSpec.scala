@@ -102,6 +102,53 @@ class MediaSpec extends SparkSpec {
     }
   }
 
+  /** A real WAV container rendered in-memory: 16-bit mono PCM sine. */
+  private def wavBytes(hz: Double, rate: Float, nFrames: Int,
+    amp: Double = 0.5): Array[Byte] = {
+    import javax.sound.sampled._
+    val pcm = new Array[Byte](nFrames * 2)
+    for (i <- 0 until nFrames) {
+      val s = (math.sin(2 * math.Pi * hz * i / rate) * amp * 32767).toInt
+      pcm(i * 2) = s.toByte          // little-endian
+      pcm(i * 2 + 1) = (s >> 8).toByte
+    }
+    val fmt = new AudioFormat(rate, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("decodeAudio reads a real WAV: exact format, frames, and PCM") {
+    val bytes = wavBytes(440.0, 8000f, 1600)
+    val a = Media.decodeAudio(bytes).get
+    assert(a.sampleRate === 8000f && a.channels === 1 && a.bits === 16)
+    assert(a.frames === 1600 && a.pcm.length === 3200)
+    // non-audio bytes are rejected, never crash
+    assert(Media.decodeAudio("not audio".getBytes).isEmpty)
+    // decode() routes audio through the real PCM path (not the stub)
+    assert(Media.decode(bytes).toSeq === a.pcm.toSeq)
+  }
+
+  test("audioFeatures extracts signal stats distributed; non-audio yields nulls") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, wavBytes(440.0, 8000f, 8000, amp = 0.5)),
+      (2L, wavBytes(100.0, 16000f, 1600, amp = 0.25)),
+      (3L, "definitely not audio".getBytes)).toDF("doc_id", "payload")
+    val f = Media.audioFeatures(spark, media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(f(1L).getDouble(1) === 8000.0 && f(1L).getInt(2) === 1 &&
+      f(1L).getInt(3) === 16 && f(1L).getLong(4) === 8000)
+    assert(math.abs(f(1L).getDouble(5) - 1000.0) < 1e-9, "1s at 8 kHz")
+    // a 0.5-amplitude sine has RMS ~0.5/sqrt(2) and peak ~0.5
+    assert(math.abs(f(1L).getDouble(6) - 0.5 / math.sqrt(2)) < 0.01)
+    assert(math.abs(f(1L).getDouble(7) - 0.5) < 0.01)
+    assert(math.abs(f(2L).getDouble(6) - 0.25 / math.sqrt(2)) < 0.01)
+    assert(f(3L).isNullAt(1), "undecodable payload yields nulls")
+  }
+
   test("extracted embeddings are unit-norm and feed the ANN operators") {
     val m = Media.mediaTable(spark, sfDir).limit(50)
     val emb = Media.extractEmbedding(spark, m)
