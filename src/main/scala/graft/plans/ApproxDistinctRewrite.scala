@@ -30,7 +30,12 @@ import org.apache.spark.sql.types._
   * Injected via `GraftExtensions.injectOptimizerRule` and the
   * `experimental.extraOptimizations` runtime hook — both gated by the
   * conf flag; `rewrite(plan)` applies unconditionally for callers that
-  * opt in per-plan rather than per-session.
+  * opt in per-plan rather than per-session. The two hooks differ on
+  * MULTI-distinct aggregates: the extensions point runs inside the
+  * operator-optimization batch, before RewriteDistinctAggregates, so
+  * it rewrites all of them (and the plan loses its N× Expand
+  * replication); the runtime hook runs after that expansion and
+  * correctly no-ops there, leaving the exact path.
   */
 object ApproxDistinctRewrite extends Rule[LogicalPlan] {
 
@@ -53,18 +58,35 @@ object ApproxDistinctRewrite extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  /** Unconditional rewrite (per-plan opt-in). */
+  /** Unconditional rewrite (per-plan opt-in).
+    *
+    * Breadth notes: by optimizer time ROLLUP/CUBE/GROUPING SETS are
+    * already `Aggregate` over `Expand`, so the match fires inside
+    * them unchanged — every cube cell gets the bounded-state estimate
+    * (the KMV-per-cube-cell shape of `Sketches.kmvCube`, chosen by
+    * the optimizer instead of by hand). Multiple count-distincts in
+    * ONE aggregate all rewrite, which removes every distinct
+    * aggregate from the plan — the exact path would Expand the input
+    * N× (one replica per distinct column); the rewritten plan is a
+    * single ordinary pass. Repeated count-distincts of the SAME child
+    * share one sketch: the cache below reuses the identical
+    * AggregateExpression (same resultId), so physical planning
+    * deduplicates it into a single buffer instead of sketching the
+    * column once per output column. */
   def rewrite(plan: LogicalPlan, k: Int = 256): LogicalPlan =
     plan.transformUp {
       case agg: Aggregate if agg.resolved =>
+        val shared = scala.collection.mutable.Map.empty[Expression, Expression]
         val next = agg.aggregateExpressions.map { ne =>
           ne.transformUp {
             case AggregateExpression(Count(Seq(c)), _, true, None, _)
               if scalarHashable(c.dataType) =>
-              val hashed = Md5(Cast(Cast(c, StringType,
-                Some(SQLConf.get.sessionLocalTimeZone)), BinaryType))
-              val est = GetStructField(
-                KmvUniq(hashed, k).toAggregateExpression(), 0, Some("est"))
+              val est = shared.getOrElseUpdate(c.canonicalized, {
+                val hashed = Md5(Cast(Cast(c, StringType,
+                  Some(SQLConf.get.sessionLocalTimeZone)), BinaryType))
+                GetStructField(
+                  KmvUniq(hashed, k).toAggregateExpression(), 0, Some("est"))
+              })
               Cast(Floor(est), LongType)
           }.asInstanceOf[NamedExpression]
         }

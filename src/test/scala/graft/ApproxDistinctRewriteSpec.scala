@@ -55,6 +55,99 @@ class ApproxDistinctRewriteSpec extends SparkSpec {
     }
   }
 
+  test("fires inside CUBE: every grouping-set cell gets the sketch estimate") {
+    GraftFunctions.register(spark)
+    spark.conf.set(ApproxDistinctRewrite.flagKey, "true")
+    try {
+      val ev = Tables.events(spark, sfDir)
+        .filter(col("user_id").isNotNull)
+        .withColumn("device", pmod(col("event_id"), lit(5)).cast("string"))
+      val df = ev.cube("event_type", "device")
+        .agg(countDistinct(col("user_id").cast("string")).as("u"))
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(opt.contains("kmv_uniq"), opt)
+      assert(opt.contains("Expand"), "cube's own Expand survives the rewrite")
+      val got = df.collect().map(r =>
+        (Option(r.getString(0)), Option(r.getString(1))) -> r.getLong(2)).toMap
+      spark.conf.unset(ApproxDistinctRewrite.flagKey)
+      val exact = ev.cube("event_type", "device")
+        .agg(countDistinct(col("user_id").cast("string")).as("u"))
+        .collect().map(r =>
+          (Option(r.getString(0)), Option(r.getString(1))) -> r.getLong(2)).toMap
+      assert(got.keySet === exact.keySet)
+      // cells under k estimate exactly; the rest within KMV tolerance
+      exact.foreach { case (cell, n) =>
+        if (n < 256) assert(got(cell) === n, s"cell $cell below k must be exact")
+        else assert(math.abs(got(cell) - n).toDouble / n < 0.25, s"cell $cell")
+      }
+    } finally spark.conf.unset(ApproxDistinctRewrite.flagKey)
+  }
+
+  test("two count-distincts in one aggregate: both rewrite, no Expand remains") {
+    // Only the extensions injection point (the cluster deployment path)
+    // sees multi-distinct aggregates intact: the runtime
+    // extraOptimizations hook runs after RewriteDistinctAggregates has
+    // already expanded them, where the rule correctly no-ops.
+    import org.apache.spark.sql.SparkSession
+    val base = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    s2.conf.set(ApproxDistinctRewrite.flagKey, "true")
+    try {
+      val ev = Tables.events(s2, sfDir)
+        .filter(col("user_id").isNotNull)
+        .withColumn("device", pmod(col("event_id"), lit(5)).cast("string"))
+      val df = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id").cast("string")).as("u"),
+          countDistinct(col("device")).as("d"))
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(opt.contains("kmv_uniq"), opt)
+      assert(!opt.contains("count(distinct"), opt)
+      // the exact 2-distinct plan replicates the input via Expand; the
+      // sketch plan is one ordinary aggregation pass
+      assert(!df.queryExecution.executedPlan.toString.contains("Expand"),
+        "no distinct aggregates left, so no Expand replication")
+      val got = df.collect().map(r =>
+        r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      s2.conf.unset(ApproxDistinctRewrite.flagKey)
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id").cast("string")).as("u"),
+          countDistinct(col("device")).as("d"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      exact.foreach { case (k, (u, d)) =>
+        if (u < 256) assert(got(k)._1 === u)
+        if (d < 256) assert(got(k)._2 === d)
+      }
+    } finally {
+      s2.conf.unset(ApproxDistinctRewrite.flagKey)
+      SparkSession.setActiveSession(base)
+      SparkSession.setDefaultSession(base)
+    }
+  }
+
+  test("repeated count-distinct of one column shares a single sketch buffer") {
+    GraftFunctions.register(spark)
+    val df = Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("u1"),
+        (countDistinct(col("user_id")) * 2).as("u2"))
+    val rewritten = ApproxDistinctRewrite.rewrite(df.queryExecution.analyzed)
+    val aggs = rewritten.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+        a.aggregateExpressions.flatMap(_.collect {
+          case ae: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression => ae
+        })
+    }.flatten
+    assert(aggs.size === 2, "both output columns carry the aggregate")
+    assert(aggs.map(_.resultId).distinct.size === 1,
+      "one shared sketch, not one per output column")
+  }
+
   test("filtered and multi-arg count(distinct) are left to the exact path") {
     GraftFunctions.register(spark)
     val multi = Tables.events(spark, sfDir)
