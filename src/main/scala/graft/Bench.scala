@@ -72,7 +72,16 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    println(line)
+    // the driver captures a truncated stdout tail; persist the full
+    // per-query map so every round's history survives in the repo
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")),
+      line + "\n")
+    catch { case scala.util.control.NonFatal(_) => () } // stdout already has it
     spark.stop()
   }
 }
