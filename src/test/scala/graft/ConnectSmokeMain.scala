@@ -1,0 +1,43 @@
+package graft
+
+/** Client-JVM entry point for the Spark Connect smoke test
+  * (ConnectSmokeSpec): runs in a separate process whose classpath has
+  * ONLY the connect client jar + scala-library + graft classes — no
+  * classic Spark — so every API the queries touch is proven to resolve
+  * against the Connect implementation of the unified Spark 4 surface.
+  *
+  * Prints one `CONNECT_OK <name> <rows>` line per query; any
+  * incompatibility (API absent client-side, server rejection) prints
+  * `CONNECT_FAIL <name> <error>` and exits non-zero at the end.
+  */
+object ConnectSmokeMain {
+  def main(args: Array[String]): Unit = {
+    val url = args(0)
+    val sfDir = args(1)
+    val names = args(2).split(",").toSeq
+    // Build the Connect session via its own companion, reflectively:
+    // the client class is absent from the library's compile classpath
+    // (it lives in the client-only JVM this main runs in), and the
+    // unified org.apache.spark.sql.SparkSession builder dispatches to
+    // classic unless a full classic Spark is present.
+    val companion = Class.forName("org.apache.spark.sql.connect.SparkSession$")
+      .getField("MODULE$").get(null)
+    val b = companion.getClass.getMethod("builder").invoke(companion)
+    val b2 = b.getClass.getMethod("remote", classOf[String]).invoke(b, url)
+    val spark = b2.getClass.getMethod("getOrCreate").invoke(b2)
+      .asInstanceOf[org.apache.spark.sql.SparkSession]
+    var failed = false
+    names.foreach { n =>
+      try {
+        val rows = SparkEntry.queries(n)(spark, sfDir).collect().length
+        println(s"CONNECT_OK $n $rows")
+      } catch {
+        case e: Throwable =>
+          failed = true
+          println(s"CONNECT_FAIL $n ${e.toString.replaceAll("[\n\r]", " ").take(300)}")
+      }
+    }
+    spark.stop()
+    if (failed) sys.exit(1)
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+/** Spark Connect smoke surface (SURVEY §7.15): the library's query API
+  * is Spark-4-unified (abstract SparkSession/Dataset/Column), so a
+  * Connect client should be able to drive it against a Connect server
+  * with no code changes. This suite starts the in-process gRPC service
+  * on the shared test context, then launches a REAL client JVM whose
+  * classpath contains only the connect client jar, scala-library, and
+  * the graft classes — classic Spark is absent, so nothing can
+  * accidentally fall back to the local path.
+  *
+  * Known incompatibilities (documented, not smoke-tested): operators
+  * that drop to RDDs (Pipe, connected components' rebase, SeqFile RDD
+  * reader, DistCopy) and the PlanBridge-backed native LshTopKJoin need
+  * the classic session; graft kernel functions (kmv_uniq, simhash32,
+  * …) resolve over Connect only when the SERVER was launched with
+  * spark.sql.extensions=graft.functions.GraftExtensions, since a
+  * Connect session is fresh server-side and runtime registration
+  * can't reach it.
+  */
+class ConnectSmokeSpec extends SparkSpec {
+
+  // standard-function queries: aggregation, star join, window family,
+  // rollup, text explode — no graft kernels, no RDDs
+  private val representative =
+    Seq("q1_agg", "q_join_star", "q_window_funcs", "q_rollup", "q_wordcount")
+
+  test("representative queries run unmodified through a Connect client JVM") {
+    import org.apache.spark.sql.connect.service.SparkConnectService
+    SparkConnectService.start(spark.sparkContext)
+    try {
+      val port = spark.sparkContext.getConf
+        .getInt("spark.connect.grpc.binding.port", 15002)
+
+      val sparkJars = new java.io.File("/opt/spark/jars").listFiles()
+      def jar(prefix: String): String = sparkJars
+        .map(_.getPath).filter(_.matches(s".*/$prefix[-_0-9.]*\\.jar"))
+        .sorted.headOption.getOrElse(fail(s"no $prefix jar in /opt/spark/jars"))
+      val clientCp = Seq(
+        "target/scala-2.13/test-classes",
+        "target/scala-2.13/classes",
+        "/opt/spark/jars/connect-repl/spark-connect-client-jvm_2.13-4.1.2.jar",
+        jar("scala-library"), jar("scala-reflect"), jar("slf4j-api"),
+        jar("spark-common-utils"), jar("spark-common-utils-java"),
+        jar("log4j-api"), jar("log4j-core"),
+        jar("log4j-slf4j2-impl"), jar("spark-tags"),
+        // spark-core only satisfies reflective signature scans (e.g.
+        // Builder methods typed over SparkConf); it contains no sql
+        // classes, so the client's own sql/catalyst subset stays active
+        jar("spark-core"),
+        jar("json4s-ast"), jar("json4s-core"), jar("json4s-jackson"),
+        jar("json4s-jackson-core"), jar("json4s-scalap"),
+        jar("jackson-core"), jar("jackson-databind"),
+        jar("jackson-annotations"), jar("jackson-module-scala"),
+        // sql-api (abstract types the library compiles against) comes
+        // AFTER the client jar so the client's bundled copies win ties
+        jar("spark-sql-api"), jar("spark-unsafe"), jar("antlr4-runtime"),
+        jar("icu4j"), jar("kryo-shaded"))
+        .mkString(":")
+
+      val javaBin = System.getProperty("java.home") + "/bin/java"
+      // the client's shaded Arrow allocator needs the same JDK-17
+      // module opens spark-submit injects
+      val addOpens = Seq("java.base/java.nio", "java.base/java.lang",
+        "java.base/java.util", "java.base/sun.nio.ch")
+        .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+      val cmd = Seq(javaBin) ++ addOpens ++ Seq(
+        "-Dio.netty.tryReflectionSetAccessible=true",
+        "-cp", clientCp, "-Xmx2g", "graft.ConnectSmokeMain",
+        s"sc://localhost:$port", sfDir, representative.mkString(","))
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectErrorStream(true)
+      val proc = pb.start()
+      val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+      val rc = proc.waitFor()
+      assert(rc === 0, s"client JVM failed:\n$out")
+      representative.foreach { n =>
+        assert(out.contains(s"CONNECT_OK $n"), s"$n missing from:\n$out")
+      }
+      // row counts over Connect equal the classic session's
+      representative.foreach { n =>
+        val classic = SparkEntry.queries(n)(spark, sfDir).count()
+        val connectRows = out.linesIterator
+          .find(_.startsWith(s"CONNECT_OK $n "))
+          .map(_.split(" ")(2).toLong).get
+        assert(connectRows === classic, s"$n row count differs over Connect")
+      }
+    } finally {
+      org.apache.spark.sql.connect.service.SparkConnectService.stop(
+        scala.None, scala.None)
+    }
+  }
+}
