@@ -91,4 +91,72 @@ object Metrics {
     l.stats.map(s => (s.name, s.durationMs, s.failed, s.rows, s.shuffleBytes))
       .toDF("query", "duration_ms", "failed", "rows", "shuffle_bytes")
   }
+
+  /** Persist a job trace for later analysis — the job-history-log
+    * role rumen parses (ref: src/tools/org/apache/hadoop/tools/rumen/
+    * TraceBuilder.java:1). Parquet, so a month of traces analyzes
+    * distributed like any other table. */
+  def writeTrace(trace: DataFrame, path: String): Unit =
+    trace.write.mode("append").parquet(path)
+
+  def loadTrace(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Rumen's workload model (ref: .../rumen/ZombieJob.java:1, the
+    * statistical job model gridmix replays): per query class, the
+    * observed mix share and the duration/IO distributions — quartile
+    * + tail CDF points via the mergeable approx-percentile aggregate,
+    * so the model computes in one distributed pass over any amount of
+    * trace. */
+  def workloadModel(trace: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val total = trace.filter(!col("failed")).count().toDouble
+    trace.filter(!col("failed"))
+      .groupBy("query")
+      .agg(
+        count(lit(1)).as("runs"),
+        (count(lit(1)) / lit(math.max(total, 1.0))).as("mix_share"),
+        expr("percentile_approx(duration_ms, array(0.25, 0.5, 0.75, 0.95))")
+          .as("duration_cdf_ms"),
+        avg("duration_ms").as("mean_ms"),
+        max("duration_ms").as("max_ms"),
+        avg("rows").as("mean_rows"),
+        avg("shuffle_bytes").as("mean_shuffle_bytes"))
+  }
+
+  /** Gridmix's replay schedule (ref: src/contrib/gridmix): a
+    * deterministic synthetic workload of `n` slots whose query mix
+    * matches the trace — largest-remainder apportionment, then a
+    * round-robin interleave so load spreads instead of running each
+    * class as a block. Returns (slot, query, expected_ms); a harness
+    * submits SparkEntry.queries(query) per slot to replay production
+    * shape against a new cluster/config. */
+  def replaySchedule(spark: SparkSession, model: DataFrame, n: Int): DataFrame = {
+    import spark.implicits._
+    val classes = model.select("query", "mix_share", "mean_ms")
+      .collect() // model is one row per query CLASS — inherently tiny
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    require(classes.nonEmpty || n == 0, "replaySchedule: empty workload model")
+    val exact = classes.map { case (q, share, ms) => (q, share * n, ms) }
+    val floors = exact.map { case (q, e, ms) => (q, e.toInt, e - e.toInt, ms) }
+    val remainder = n - floors.map(_._2).sum
+    val bumped = floors.sortBy { case (q, _, frac, _) => (-frac, q) }
+      .zipWithIndex
+      .map { case ((q, fl, _, ms), i) => (q, fl + (if (i < remainder) 1 else 0), ms) }
+    // round-robin interleave: emit one slot per class per pass
+    val queues = mutable.Map(bumped.map { case (q, c, ms) => q -> (c, ms) }.toSeq: _*)
+    val order = bumped.map(_._1)
+    val slots = mutable.ArrayBuffer[(Int, String, Double)]()
+    while (slots.size < n) {
+      order.foreach { q =>
+        val (left, ms) = queues(q)
+        if (left > 0 && slots.size < n) {
+          slots += ((slots.size, q, ms))
+          queues(q) = (left - 1, ms)
+        }
+      }
+    }
+    slots.toSeq.toDF("slot", "query", "expected_ms")
+  }
 }

@@ -25,6 +25,36 @@ class MetricsSpec extends SparkSpec {
     } finally Metrics.detach(spark, l)
   }
 
+  test("trace -> workload model -> replay schedule (rumen/gridmix analog)") {
+    import spark.implicits._
+    // a synthetic month of traces: two query classes, 3:1 mix
+    val trace = (Seq.tabulate(30)(i => ("q_big", 1000L + i * 10, false,
+      1000L, 1L << 20)) ++
+      Seq.tabulate(10)(i => ("q_small", 100L + i, false, 10L, 1024L)) ++
+      Seq(("q_big", 0L, true, 0L, 0L))) // failures are excluded
+      .toDF("query", "duration_ms", "failed", "rows", "shuffle_bytes")
+    val dir = tmpDir() + "/trace"
+    Metrics.writeTrace(trace, dir)
+    Metrics.writeTrace(trace, dir) // append mode accumulates runs
+    val model = Metrics.workloadModel(Metrics.loadTrace(spark, dir))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(model("q_big").getLong(1) === 60 && model("q_small").getLong(1) === 20)
+    assert(math.abs(model("q_big").getDouble(2) - 0.75) < 1e-9, "mix share")
+    val cdf = model("q_big").getSeq[Long](3)
+    assert(cdf.length === 4 && cdf.head >= 1000L && cdf.last <= 1290L &&
+      cdf === cdf.sorted, "quartile+tail CDF inside observed range, monotone")
+    // replay: 8 slots apportion 6:2 and interleave, never a block
+    val sched = Metrics.replaySchedule(spark,
+      Metrics.workloadModel(Metrics.loadTrace(spark, dir)), 8).collect()
+    assert(sched.length === 8)
+    val mix = sched.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(mix === Map("q_big" -> 6, "q_small" -> 2))
+    assert(sched.map(_.getInt(0)).toSeq === (0 until 8), "slots are dense")
+    val firstPass = sched.take(2).map(_.getString(1)).toSet
+    assert(firstPass === Set("q_big", "q_small"),
+      "round-robin interleave spreads classes across the schedule")
+  }
+
   test("history() exposes the job-history table") {
     val l = Metrics.attach(spark)
     try {
