@@ -763,6 +763,18 @@ object Oracles {
     "q_pipe_binary" ->
       "SELECT md5(text) AS h, count(*) AS n FROM documents GROUP BY 1",
 
+    // the TxTable merge-on-read pipeline (two delta commits split on a
+    // seq boundary + broadcast-anti-join read resolution) must equal a
+    // plain global latest-per-key window over the same change stream
+    "q_txtable_mor" ->
+      """WITH c AS (SELECT o_custkey AS k,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN 'D'
+        |       WHEN o_orderkey % 3 = 0 THEN 'U' ELSE 'I' END AS op,
+        |  o_totalprice AS v, o_orderkey AS seq FROM orders),
+        |w AS (SELECT k, op, v,
+        |  row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn FROM c)
+        |SELECT k, v FROM w WHERE rn = 1 AND op <> 'D'""".stripMargin,
+
     "q_media_meta" ->
       """SELECT doc_id, strlen(text) AS byte_len, substring(md5(text), 1, 8) AS sig,
         |  (strlen(text) + 255) // 256 AS n_chunks

@@ -276,6 +276,31 @@ object TxTable {
     }
   }
 
+  /** Oracle-gated end-to-end CDC exercise (q_txtable_mor): derive a
+    * deterministic change stream from `orders` (key = custkey, op
+    * from orderkey residues, seq = orderkey), commit it as TWO
+    * merge-on-read delta batches split on a seq boundary (so commit
+    * order agrees with seq order and the resolved table equals one
+    * global latest-per-key window), then `read` back through the
+    * broadcast-anti-join resolution path. The DuckDB oracle replays
+    * the same stream as a plain window — hash equality proves the
+    * whole write→commit→resolve pipeline, not just unit behavior. */
+  def cdcGateQuery(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-txgate").toString
+    val changes = graft.Tables.orders(spark, dir).select(
+      col("o_custkey").as("k"),
+      expr("CASE WHEN o_orderkey % 10 = 0 THEN 'D' " +
+        "WHEN o_orderkey % 3 = 0 THEN 'U' ELSE 'I' END").as("op"),
+      col("o_totalprice").as("v"),
+      col("o_orderkey").as("seq"))
+    // 1-row readback to pick the batch boundary (metadata-scale)
+    val mid = changes.agg(max("seq")).collect()(0).getLong(0) / 2
+    mergeDelta(spark, root, changes.filter(col("seq") <= mid))
+    mergeDelta(spark, root, changes.filter(col("seq") > mid))
+    read(spark, root)
+  }
+
   /** Drop data directories not referenced by the latest `retainLast`
     * snapshots, then drop the commit files older than that horizon.
     * Time travel remains valid inside the horizon. */
