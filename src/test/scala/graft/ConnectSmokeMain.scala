@@ -29,7 +29,15 @@ object ConnectSmokeMain {
     var failed = false
     names.foreach { n =>
       try {
-        val rows = SparkEntry.queries(n)(spark, sfDir).collect().length
+        // "typed:media" exercises the typed Dataset path (encoders +
+        // mapPartitions lambda shipped to the server) instead of a
+        // SparkEntry query
+        val rows =
+          if (n == "typed:media")
+            graft.operators.Media.byteHistogram(spark,
+              graft.operators.Media.mediaTable(spark, sfDir).limit(20))
+              .collect().length
+          else SparkEntry.queries(n)(spark, sfDir).collect().length
         println(s"CONNECT_OK $n $rows")
       } catch {
         case e: Throwable =>

@@ -9,6 +9,9 @@ package graft
   * the graft classes — classic Spark is absent, so nothing can
   * accidentally fall back to the local path.
   *
+  * The typed Dataset path (encoders + a mapPartitions lambda shipped
+  * to the server) is exercised too, via Media.byteHistogram.
+  *
   * Known incompatibilities (documented, not smoke-tested): operators
   * that drop to RDDs (Pipe, connected components' rebase, SeqFile RDD
   * reader, DistCopy) and the PlanBridge-backed native LshTopKJoin need
@@ -23,7 +26,8 @@ class ConnectSmokeSpec extends SparkSpec {
   // standard-function queries: aggregation, star join, window family,
   // rollup, text explode — no graft kernels, no RDDs
   private val representative =
-    Seq("q1_agg", "q_join_star", "q_window_funcs", "q_rollup", "q_wordcount")
+    Seq("q1_agg", "q_join_star", "q_window_funcs", "q_rollup", "q_wordcount",
+      "typed:media") // typed Dataset path: encoders + mapPartitions lambda
 
   test("representative queries run unmodified through a Connect client JVM") {
     import org.apache.spark.sql.connect.service.SparkConnectService
@@ -55,7 +59,8 @@ class ConnectSmokeSpec extends SparkSpec {
         // sql-api (abstract types the library compiles against) comes
         // AFTER the client jar so the client's bundled copies win ties
         jar("spark-sql-api"), jar("spark-unsafe"), jar("antlr4-runtime"),
-        jar("icu4j"), jar("kryo-shaded"))
+        jar("icu4j"), jar("kryo-shaded"),
+        jar("xbean-asm9-shaded")) // client-side closure cleaner for typed ops
         .mkString(":")
 
       val javaBin = System.getProperty("java.home") + "/bin/java"
@@ -78,7 +83,7 @@ class ConnectSmokeSpec extends SparkSpec {
         assert(out.contains(s"CONNECT_OK $n"), s"$n missing from:\n$out")
       }
       // row counts over Connect equal the classic session's
-      representative.foreach { n =>
+      representative.filterNot(_.startsWith("typed:")).foreach { n =>
         val classic = SparkEntry.queries(n)(spark, sfDir).count()
         val connectRows = out.linesIterator
           .find(_.startsWith(s"CONNECT_OK $n "))
