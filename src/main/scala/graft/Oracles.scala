@@ -1043,6 +1043,27 @@ object Oracles {
          |FROM o WHERE bucket < 5""".stripMargin
     },
 
+    // deterministic stratified split audit: assignment is a pure
+    // function of doc_id, so both engines reproduce it exactly
+    "q_split_assign" -> {
+      val bucket = Portable.uint32Sql("md5(cast(doc_id AS VARCHAR))")
+      s"""WITH d AS (SELECT lang, n_chars, $bucket % 100 AS bucket
+         |           FROM documents)
+         |SELECT lang,
+         |  CASE WHEN bucket < 80 THEN 'train'
+         |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+         |  count(*) AS n_docs, cast(sum(n_chars) AS BIGINT) AS chars
+         |FROM d GROUP BY 1, 2""".stripMargin
+    },
+
+    // power-of-2 length histogram; floor(log2) as exact integer
+    // bit-length on both engines (IEEE ln() is not portable)
+    "q_length_buckets" ->
+      """SELECT cast(length(bin(greatest(n_chars, 1))) - 1 AS BIGINT) AS len_bucket,
+        |  count(*) AS n_docs, cast(sum(n_chars) AS BIGINT) AS chars,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY 1""".stripMargin,
+
     "q_range_join" ->
       """WITH e AS (SELECT event_id eid, epoch_us(ts) te FROM events WHERE event_type = 'error'),
         |c AS (SELECT epoch_us(ts) tc FROM events WHERE event_type = 'click')

@@ -118,6 +118,8 @@ object SparkEntry {
     "q_profile" -> (DataQuality.profile _),
     "q_dq_checks" -> (DataQuality.dqChecks _),
     "q_sample_hash" -> ((s: SparkSession, d: String) => DataQuality.hashSample(s, d)),
+    "q_split_assign" -> ((s: SparkSession, d: String) => DataQuality.trainValTestSplit(s, d)),
+    "q_length_buckets" -> (DataQuality.lengthBuckets _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -119,4 +119,43 @@ object DataQuality {
       .select(col("o_orderkey"), col("o_custkey"), col("bucket"),
         col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"))
   }
+
+  /** Deterministic stratified train/val/test assignment — the split
+    * every training pipeline runs before anything else. Assignment is
+    * a pure function of the document id (hash bucket mod 100:
+    * [0,trainPct) train, [trainPct,trainPct+valPct) val, rest test),
+    * so it is reproducible across runs/engines, stable under corpus
+    * growth (old docs never migrate splits when new docs arrive), and
+    * a map-side projection at any scale. Emitted per (lang, split)
+    * with doc and char counts — the audit a leakage review reads. */
+  def trainValTestSplit(spark: SparkSession, dir: String,
+    trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct + valPct <= 100 && trainPct >= 0 && valPct >= 0,
+      s"invalid split ($trainPct, $valPct)")
+    val bucket = graft.Portable.uint32Sql(
+      "md5(cast(cast(doc_id as string) as binary))")
+    Tables.documents(spark, dir)
+      .withColumn("bucket", expr(s"$bucket % 100"))
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"))
+  }
+
+  /** Length-bucketed batch shaping — documents grouped into power-of-2
+    * length buckets (the curriculum/batching histogram a sequence-
+    * packing scheduler consumes: one bucket ≈ one padding regime).
+    * Map-side bucket id + one aggregation; no sort, no window. */
+  def lengthBuckets(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      // floor(log2) as exact integer bit-length (length(bin(n)) - 1):
+      // IEEE ln() rounding at power-of-2 boundaries is not portable
+      // across engines; the binary-string length is
+      .withColumn("len_bucket",
+        expr("cast(length(bin(greatest(n_chars, 1))) - 1 as bigint)"))
+      .groupBy("len_bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"),
+        min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
 }
