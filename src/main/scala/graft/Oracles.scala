@@ -82,6 +82,17 @@ object Oracles {
         |    row_number() OVER (ORDER BY o_orderkey) AS rn FROM orders) t
         |WHERE rn % 100 = 1""".stripMargin,
 
+    // deterministic per-group reservoir: hash order is a pure function
+    // of doc_id, so both engines keep the identical k rows per lang
+    "q_reservoir_group" -> {
+      val hash = Portable.uint32Sql("md5(cast(doc_id AS VARCHAR))")
+      s"""SELECT lang, doc_id, n_chars, rk FROM (
+         |  SELECT lang, doc_id, n_chars,
+         |    row_number() OVER (PARTITION BY lang ORDER BY $hash, doc_id) AS rk
+         |  FROM documents) t
+         |WHERE rk <= 3""".stripMargin
+    },
+
     "q_total_order_bucket" ->
       """SELECT bucket, count(*) AS n,
         |  cast(min(cast(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS lo,

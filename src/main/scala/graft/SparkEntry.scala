@@ -31,6 +31,7 @@ object SparkEntry {
     "q_sort_global" -> (Relational.sortGlobal _),
     "q_sort_validate" -> (Relational.sortValidate _),
     "q_sample_interval" -> ((s: SparkSession, d: String) => Relational.intervalSample(s, d)),
+    "q_reservoir_group" -> ((s: SparkSession, d: String) => Relational.reservoirPerGroup(s, d)),
     "q_total_order_bucket" -> (Relational.totalOrderBucket _),
     "q_zorder" -> (Relational.zOrderStats _),
     "q_topk_per_group" -> (Relational.topkPerGroup _),

@@ -333,6 +333,25 @@ object Relational {
       .filter(col("rn") % step === 1)
       .select(col("rn"), col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
 
+  /** Deterministic per-group reservoir (the "k random survivors per
+    * stratum" role of reservoir sampling, made reproducible): rank
+    * within each group by the hash of the row key and keep the first
+    * k. The hash order is uniform-pseudorandom but a pure function of
+    * the key, so the same k rows survive on every run and engine —
+    * the property an exact-match training pipeline needs from its
+    * per-class downsampler. A per-group window, so it scales with
+    * groups × k, never a global sort. */
+  def reservoirPerGroup(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val hash = graft.Portable.uint32Sql(
+      "md5(cast(cast(doc_id as string) as binary))")
+    val w = Window.partitionBy("lang")
+      .orderBy(expr(hash), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
   /** Per-group top-k via rank window — the canonical "sorted reduce
     * values, emit first k" reducer pattern. */
   def topkPerGroup(spark: SparkSession, dir: String): DataFrame = {

@@ -93,4 +93,19 @@ class PropertySpec extends SparkSpec {
       .agg(expr("kmv_uniq(h, 64)").as("s")).selectExpr("s.est").collect()(0).getDouble(0)
     assert(estSmall === small.size.toDouble)
   }
+
+  test("pipeBinary framing round-trips arbitrary byte payloads through cat") {
+    import spark.implicits._
+    // adversarial payloads: arbitrary bytes incl. NUL/LF/CR, sizes
+    // from empty to multi-KB — one pipe run over the whole batch
+    val payload = Gen.chooseNum(0, 4096).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(Byte.MinValue, Byte.MaxValue)))
+    val payloads = draw(payload, 60, 7L).map(_.toArray)
+    val df = spark.createDataset(payloads).toDF("payload").repartition(3)
+    val back = graft.sources.Pipe.pipeBinary(spark, df, Seq("cat"))
+      .collect().map(_.getAs[Array[Byte]](0).toSeq)
+    val ord = Ordering.Implicits.seqOrdering[Seq, Byte]
+    assert(back.sorted(ord) === payloads.map(_.toSeq).sorted(ord),
+      "every frame must survive the external pipe bit-exactly")
+  }
 }
