@@ -411,6 +411,17 @@ object Oracles {
     "q_dedup_exact" ->
       "SELECT md5(text) AS h, count(*) AS n_copies, min(doc_id) AS keep_id FROM documents GROUP BY 1",
 
+    // incremental ingest dedup: novel batch content = batch-unique
+    // hashes with no exact match in the corpus (bloom prefilter on the
+    // Spark side is result-transparent, so the oracle is a plain anti)
+    "q_dedup_incremental" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |corpus AS (SELECT h FROM d WHERE doc_id % 10 <> 0),
+        |batch AS (SELECT h, min(doc_id) AS doc_id FROM d
+        |          WHERE doc_id % 10 = 0 GROUP BY h)
+        |SELECT doc_id, h FROM batch
+        |WHERE h NOT IN (SELECT h FROM corpus)""".stripMargin,
+
     "q_dedup_minhash" ->
       s"$minhashCte\nSELECT doc_id, band, sig FROM band",
 

@@ -69,6 +69,7 @@ object SparkEntry {
     "q_bm25" -> ((s: SparkSession, d: String) => TextOps.bm25(s, d)),
     // dedup (§2.6)
     "q_dedup_exact" -> (Dedup.exact _),
+    "q_dedup_incremental" -> (Dedup.incremental _),
     "q_dedup_minhash" -> (Dedup.minhashBands _),
     "q_dedup_minhash_pairs" -> (Dedup.minhashPairs _),
     "q_dedup_simhash" -> (Dedup.simhash _),

@@ -25,6 +25,32 @@ object Dedup {
       .groupBy(expr("md5(cast(text as binary))").as("h"))
       .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keep_id"))
 
+  /** Incremental dedup — the daily-ingest shape: drop arriving
+    * documents whose content already exists in the corpus, without
+    * ever re-deduplicating (or shuffling) the corpus itself. The
+    * batch's content hashes build a bloom filter; the corpus is
+    * scanned ONCE with the bloom as a map-side filter, leaving only
+    * the ~|batch| corpus rows that might collide, which then
+    * broadcast into an exact anti join (bloom false positives can't
+    * leak: the anti join re-tests exact hash equality). Corpus-side
+    * cost is a read — no shuffle, no join build over 100 TB.
+    * Batch-internal duplicates collapse first (keep the smallest id),
+    * so the output is exactly the novel content. Split here is
+    * deterministic (doc_id residue stands in for old/new). */
+  def incremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), expr("md5(cast(text as binary))").as("h"))
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val batchUnique = batch.groupBy("h").agg(min("doc_id").as("doc_id"))
+    val bloom = batchUnique.stat.bloomFilter("h", 1000000L, 0.01)
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val mightCollide = udf((h: String) => bloomBc.value.mightContainString(h))
+    val corpusHits = corpus.select("h").filter(mightCollide(col("h")))
+    batchUnique.join(broadcast(corpusHits), Seq("h"), "left_anti")
+      .select(col("doc_id"), col("h"))
+  }
+
   /** doc_id → distinct 3-word shingles of the normalized text. */
   def shingles(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
