@@ -529,7 +529,36 @@ object Oracles {
   /** The custom-physical-operator path computes the same relation as
     * q_ann_lsh, so it is checked against the identical oracle. */
   val similarityNative: Map[String, String] = Map(
-    "q_ann_lsh_native" -> similarity("q_ann_lsh"))
+    "q_ann_lsh_native" -> similarity("q_ann_lsh"),
+
+    // recall@3 of LSH vs brute force: both sides replayed from the
+    // same verified CTE fragments, joined per probe
+    "q_ann_recall" ->
+      s"""$quantCte,
+         |bp AS (SELECT a.vec_id probe_id, b.vec_id nbr_id, $dotSql dot, a.n2 n2a, b.n2 n2b
+         |       FROM n a JOIN n b ON a.vec_id < 5 AND b.vec_id <> a.vec_id),
+         |brute AS (SELECT probe_id, nbr_id FROM (
+         |  SELECT probe_id, nbr_id,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY dot / (sqrt(n2a) * sqrt(n2b)) DESC, nbr_id) rk
+         |  FROM bp) t WHERE rk <= 3),
+         |ex AS (SELECT vec_id, unnest(q) e, generate_subscripts(q, 1) i FROM q),
+         |sg AS (SELECT vec_id, p, sum(CASE WHEN (instr('0123456789abcdef', substring(md5(p || '_' || i), 1, 1)) - 1) % 2 = 0 THEN e ELSE -e END) d
+         |       FROM ex, (SELECT unnest(generate_series(0, 7)) p) ps GROUP BY 1, 2),
+         |bk AS (SELECT vec_id, string_agg(CASE WHEN d >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) bucket FROM sg GROUP BY 1),
+         |cand AS (SELECT pb.vec_id probe_id, cb.vec_id nbr_id
+         |         FROM bk pb JOIN bk cb ON pb.bucket = cb.bucket AND pb.vec_id < 5 AND cb.vec_id <> pb.vec_id),
+         |sc AS (SELECT c.probe_id, c.nbr_id, $dotSql dot, a.n2 n2a, b.n2 n2b
+         |       FROM cand c JOIN n a ON a.vec_id = c.probe_id JOIN n b ON b.vec_id = c.nbr_id),
+         |lsh AS (SELECT probe_id, nbr_id FROM (
+         |  SELECT probe_id, nbr_id,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY dot / (sqrt(n2a) * sqrt(n2b)) DESC, nbr_id) rk
+         |  FROM sc) t WHERE rk <= 3)
+         |SELECT b.probe_id, count(*) AS k,
+         |  cast(sum(CASE WHEN l.nbr_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+         |  cast(sum(CASE WHEN l.nbr_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 100 // count(*) AS recall_pct
+         |FROM brute b LEFT JOIN lsh l
+         |  ON b.probe_id = l.probe_id AND b.nbr_id = l.nbr_id
+         |GROUP BY 1""".stripMargin)
 
   /** KMV sketch oracle: the k-th smallest md5 hash is a data property,
     * so the estimate is reproduced exactly by a rank window; uint32 of

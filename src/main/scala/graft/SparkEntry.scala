@@ -82,6 +82,7 @@ object SparkEntry {
     "q_ann_bruteforce" -> ((s: SparkSession, d: String) => Similarity.annBruteForce(s, d)),
     "q_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
     "q_ann_lsh_native" -> ((s: SparkSession, d: String) => Similarity.annLshNative(s, d)),
+    "q_ann_recall" -> ((s: SparkSession, d: String) => Similarity.annRecall(s, d)),
     "q_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
     "q_ann_ivf_trained" -> ((s: SparkSession, d: String) => Similarity.annIvfTrained(s, d)),
     // streaming batch twins (§2.4) + external program + media

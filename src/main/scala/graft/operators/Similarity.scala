@@ -235,6 +235,24 @@ object Similarity {
       .select("probe_id", "rk", "nbr_id", "cos")
   }
 
+  /** ANN quality measurement — recall@k of the LSH index against the
+    * exact brute-force baseline, per probe. THE tuning loop for any
+    * approximate index (bands/hyperplanes/nprobe are chosen by
+    * measured recall, not hope); both sides are deterministic here so
+    * the measurement itself sits under the oracle gate. Integer
+    * percent via exact division keeps it engine-portable. */
+  def annRecall(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val exact = annBruteForce(spark, dir, k).select("probe_id", "nbr_id")
+    val approx = annLsh(spark, dir, k)
+      .select(col("probe_id"), col("nbr_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("probe_id", "nbr_id"), "left")
+      .groupBy("probe_id")
+      .agg(count(lit(1)).as("k"),
+        sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .select(col("probe_id"), col("k"), col("hits"),
+        expr("hits * 100 div k").as("recall_pct"))
+  }
+
   /** annLsh through the custom whole-operator plan
     * (plans.LshTopKJoin): identical semantics and oracle, but the
     * bucket join, exact scoring and per-probe top-k selection are fused
