@@ -66,6 +66,29 @@ class ScaleSpec extends SparkSpec {
     assert(buckets > 1 && buckets <= 256)
   }
 
+  test("incremental dedup: batch survivors broadcast; the corpus side never shuffles") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = graft.operators.Dedup.incremental(spark, sfDir)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = graft.operators.Dedup.incremental(spark, sfDir)
+        .queryExecution.executedPlan
+      assert(plan.toString.contains("BroadcastHashJoin") &&
+        plan.toString.contains("LeftAnti"),
+        s"bloom survivors must broadcast into the anti join:\n$plan")
+      // the documents scan feeding the anti join's streamed (batch)
+      // side shuffles for its groupBy; the corpus branch must reach
+      // the join through the broadcast only — no corpus-side
+      // hashpartitioning on h
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.size <= 1,
+        s"only the batch-unique groupBy may shuffle:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(df.count() > 0)
+  }
+
   test("filters and projections reach the parquet scan") {
     val q = Tables.lineitem(spark, sfDir)
       .filter(col("l_shipdate") <= lit("1999-06-30").cast("timestamp"))
