@@ -146,6 +146,25 @@ class TxTableSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("a full-row append after deltas upserts at its commit position") {
+    import spark.implicits._
+    val root = tmpDir() + "/tx-mor-append"
+    TxTable.mergeDelta(spark, root,
+      Seq((1L, "I", 10.0, 1L), (2L, "I", 20.0, 2L)).toDF("k", "op", "v", "seq"))
+    // an append lands AFTER the delta: its rows override earlier
+    // entries per key (k=1), and keys it doesn't carry survive (k=2)
+    TxTable.append(Seq((1L, 99.0), (3L, 30.0)).toDF("k", "v"), root)
+    val t = TxTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(t === Map(1L -> 99.0, 2L -> 20.0, 3L -> 30.0))
+    // a later delta still overrides the appended rows
+    TxTable.mergeDelta(spark, root,
+      Seq((3L, "D", 0.0, 9L)).toDF("k", "op", "v", "seq"))
+    val t2 = TxTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(t2 === Map(1L -> 99.0, 2L -> 20.0))
+  }
+
   test("a non-conflict IOException surfaces after one attempt, not 10 recomputes") {
     import spark.implicits._
     val root = tmpDir() + "/tx-ioerr"
