@@ -3,6 +3,8 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, BloomFilterMightContain}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import graft.plans.{ArrayDotLong, MinHash12, SimHash32, TextHashExprs, WinnowFp}
 
 /** Registration of graft's native Catalyst expressions.
@@ -16,6 +18,30 @@ import graft.plans.{ArrayDotLong, MinHash12, SimHash32, TextHashExprs, WinnowFp}
   *    they work under any session.
   */
 object GraftFunctions {
+  // Spark ships native bloom-filter expressions (BloomFilterAggregate /
+  // BloomFilterMightContain — the ones its own runtime row-filtering
+  // injects) but does not expose them in the function registry; graft
+  // surfaces them so operators like Dedup.incremental can keep a
+  // full-corpus membership probe inside whole-stage codegen instead of
+  // a per-row Scala UDF. The probe side requires the filter argument
+  // to be a constant or scalar subquery (Dataset.scalar()).
+  private[graft] val bloomAggBuilder: Seq[Expression] => Expression = {
+    case Seq(c)       => new BloomFilterAggregate(c)
+    case Seq(c, n)    => new BloomFilterAggregate(c, n)
+    case Seq(c, n, b) => new BloomFilterAggregate(c, n, b)
+    case other => throw new IllegalArgumentException(
+      s"bloom_filter_agg expects 1-3 args, got ${other.size}")
+  }
+  private[graft] val mightContainBuilder: Seq[Expression] => Expression = {
+    case Seq(bf, v) => BloomFilterMightContain(bf, v)
+    case other => throw new IllegalArgumentException(
+      s"might_contain expects 2 args, got ${other.size}")
+  }
+  private[graft] val bloomAggInfo = new ExpressionInfo(
+    classOf[BloomFilterAggregate].getName, "bloom_filter_agg")
+  private[graft] val mightContainInfo = new ExpressionInfo(
+    classOf[BloomFilterMightContain].getName, "might_contain")
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
@@ -36,6 +62,10 @@ object GraftFunctions {
       "cms_sketch", graft.plans.CmsSketch.builder, "built-in")
     reg.createOrReplaceTempFunction(
       "mg_topk", graft.plans.MgTopK.builder, "built-in")
+    reg.createOrReplaceTempFunction(
+      "bloom_filter_agg", bloomAggBuilder, "built-in")
+    reg.createOrReplaceTempFunction(
+      "might_contain", mightContainBuilder, "built-in")
     // same rewrite GraftExtensions injects, via the runtime hook for
     // sessions built without extensions
     if (!spark.experimental.extraOptimizations.contains(graft.plans.DotProductRewrite))
@@ -76,6 +106,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.plans.CmsSketch.info, graft.plans.CmsSketch.builder))
     ext.injectFunction((FunctionIdentifier("mg_topk"),
       graft.plans.MgTopK.info, graft.plans.MgTopK.builder))
+    ext.injectFunction((FunctionIdentifier("bloom_filter_agg"),
+      GraftFunctions.bloomAggInfo, GraftFunctions.bloomAggBuilder))
+    ext.injectFunction((FunctionIdentifier("might_contain"),
+      GraftFunctions.mightContainInfo, GraftFunctions.mightContainBuilder))
     ext.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
     ext.injectOptimizerRule(_ => graft.plans.RangeBinJoinRewrite)
     ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)

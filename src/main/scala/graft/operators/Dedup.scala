@@ -28,25 +28,31 @@ object Dedup {
   /** Incremental dedup — the daily-ingest shape: drop arriving
     * documents whose content already exists in the corpus, without
     * ever re-deduplicating (or shuffling) the corpus itself. The
-    * batch's content hashes build a bloom filter; the corpus is
-    * scanned ONCE with the bloom as a map-side filter, leaving only
-    * the ~|batch| corpus rows that might collide, which then
-    * broadcast into an exact anti join (bloom false positives can't
-    * leak: the anti join re-tests exact hash equality). Corpus-side
-    * cost is a read — no shuffle, no join build over 100 TB.
-    * Batch-internal duplicates collapse first (keep the smallest id),
-    * so the output is exactly the novel content. Split here is
-    * deterministic (doc_id residue stands in for old/new). */
+    * batch's content hashes build a bloom filter (Spark's native
+    * `bloom_filter_agg`, a 1-row aggregate — no separate driver-side
+    * `stat.bloomFilter` job); the corpus is scanned ONCE with the
+    * bloom probe (`might_contain` over a scalar subquery — the same
+    * expression pair Spark's runtime row-filtering injects, fully
+    * codegen'd: no per-row Scala UDF on the one full-corpus pass),
+    * leaving only the ~|batch| corpus rows that might collide, which
+    * then broadcast into an exact anti join (bloom false positives
+    * can't leak: the anti join re-tests exact hash equality).
+    * Corpus-side cost is a read — no shuffle, no join build over
+    * 100 TB. Batch-internal duplicates collapse first (keep the
+    * smallest id), so the output is exactly the novel content. Split
+    * here is deterministic (doc_id residue stands in for old/new). */
   def incremental(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), expr("md5(cast(text as binary))").as("h"))
     val corpus = docs.filter(col("doc_id") % 10 =!= 0)
     val batch = docs.filter(col("doc_id") % 10 === 0)
     val batchUnique = batch.groupBy("h").agg(min("doc_id").as("doc_id"))
-    val bloom = batchUnique.stat.bloomFilter("h", 1000000L, 0.01)
-    val bloomBc = spark.sparkContext.broadcast(bloom)
-    val mightCollide = udf((h: String) => bloomBc.value.mightContainString(h))
-    val corpusHits = corpus.select("h").filter(mightCollide(col("h")))
+    val bloom = batchUnique
+      .agg(expr("bloom_filter_agg(xxhash64(h), 1000000L)").as("bf"))
+      .scalar()
+    val corpusHits = corpus.select("h")
+      .filter(call_function("might_contain", bloom, xxhash64(col("h"))))
     batchUnique.join(broadcast(corpusHits), Seq("h"), "left_anti")
       .select(col("doc_id"), col("h"))
   }

@@ -76,6 +76,13 @@ class ScaleSpec extends SparkSpec {
       assert(plan.toString.contains("BroadcastHashJoin") &&
         plan.toString.contains("LeftAnti"),
         s"bloom survivors must broadcast into the anti join:\n$plan")
+      // the corpus probe is the native might_contain expression — a
+      // Scala UDF here would break whole-stage codegen on the one
+      // full-corpus pass of the operator
+      assert(!plan.toString.contains("ScalaUDF"),
+        s"bloom probe must be the native codegen expression:\n$plan")
+      assert(plan.toString.contains("might_contain"),
+        s"expected the native bloom probe in the corpus scan:\n$plan")
       // the documents scan feeding the anti join's streamed (batch)
       // side shuffles for its groupBy; the corpus branch must reach
       // the join through the broadcast only — no corpus-side
