@@ -138,7 +138,15 @@ object Metrics {
       .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
       .sortBy(_._1)
     require(classes.nonEmpty || n == 0, "replaySchedule: empty workload model")
-    val exact = classes.map { case (q, share, ms) => (q, share * n, ms) }
+    // a filtered/partial model's shares need not sum to 1 — renormalize
+    // so apportionment always hands out exactly n slots (shares summing
+    // to 0.5 would otherwise leave half the slots unassigned and the
+    // interleave below spinning forever)
+    val shareSum = classes.map(_._2).sum
+    val normed =
+      if (shareSum > 0) classes.map { case (q, s, ms) => (q, s / shareSum, ms) }
+      else classes.map { case (q, _, ms) => (q, 1.0 / classes.length, ms) }
+    val exact = normed.map { case (q, share, ms) => (q, share * n, ms) }
     val floors = exact.map { case (q, e, ms) => (q, e.toInt, e - e.toInt, ms) }
     val remainder = n - floors.map(_._2).sum
     val bumped = floors.sortBy { case (q, _, frac, _) => (-frac, q) }
@@ -148,7 +156,11 @@ object Metrics {
     val queues = mutable.Map(bumped.map { case (q, c, ms) => q -> (c, ms) }.toSeq: _*)
     val order = bumped.map(_._1)
     val slots = mutable.ArrayBuffer[(Int, String, Double)]()
-    while (slots.size < n) {
+    var progressed = true
+    while (slots.size < n && progressed) {
+      // progress check: a pass that adds nothing means the queues are
+      // drained — never spin (belt-and-braces under renormalization)
+      val before = slots.size
       order.foreach { q =>
         val (left, ms) = queues(q)
         if (left > 0 && slots.size < n) {
@@ -156,7 +168,65 @@ object Metrics {
           queues(q) = (left - 1, ms)
         }
       }
+      progressed = slots.size > before
     }
     slots.toSeq.toDF("slot", "query", "expected_ms")
+  }
+
+  /** GridMixRunner analog (ref: src/contrib/gridmix/src/java/org/
+    * apache/hadoop/mapred/GridMixRunner.java:1): EXECUTE a replay
+    * schedule — the piece that turns the model into measured numbers.
+    * Each slot becomes a deterministic synthetic aggregate whose input
+    * row count scales with the slot's expected duration (the reference
+    * sizes its synthetic jobs from the trace's byte/record counts the
+    * same way); `poolFor` routes each query class to a FAIR scheduler
+    * pool, and `parallelism` submitter threads keep the pools
+    * contended the way gridmix's concurrent submission does. The
+    * result is the replay's own job history — (query, duration_ms,
+    * failed, rows, shuffle_bytes) plus slot and pool — so it feeds
+    * straight back into `workloadModel` to compare replayed mix
+    * against the model (the gridmix verification loop).
+    *
+    * The schedule is n slots — driver-side submission by design, like
+    * the reference's runner; the WORK is distributed. */
+  def replayRun(spark: SparkSession, schedule: DataFrame,
+    poolFor: String => String = _ => "default",
+    parallelism: Int = 4,
+    rowsPerMs: Long = 50000L): DataFrame = {
+    import spark.implicits._
+    val slots = schedule.select("slot", "query", "expected_ms").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Int, String, String, Long, Boolean, Long, Long)]()
+    val exec = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, parallelism))
+    try {
+      slots.foreach { case (slot, q, expMs) =>
+        exec.submit(new Runnable { def run(): Unit = {
+          val p = poolFor(q)
+          val rows = math.max(1L, (expMs * rowsPerMs).toLong)
+          val t0 = System.nanoTime()
+          try {
+            val got = Scheduling.runInPool(spark, p) {
+              spark.range(rows)
+                .selectExpr("count(id) AS c", "sum(id * id) AS s")
+                .collect()(0).getLong(0)
+            }
+            results.add((slot, q, p, (System.nanoTime() - t0) / 1000000L,
+              false, got, 0L))
+          } catch { case scala.util.control.NonFatal(_) =>
+            results.add((slot, q, p, 0L, true, 0L, 0L))
+          }
+        }})
+      }
+    } finally {
+      exec.shutdown()
+      exec.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+    }
+    import scala.jdk.CollectionConverters._
+    results.asScala.toSeq.sortBy(_._1)
+      .toDF("slot", "query", "pool", "duration_ms", "failed", "rows",
+        "shuffle_bytes")
   }
 }

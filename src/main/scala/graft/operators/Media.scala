@@ -13,8 +13,10 @@ import graft.Tables
   * dependencies. `decode` tries ImageIO, then the audio reader, and
   * only payloads no JDK codec understands (video/exotic formats) fall
   * back to the deterministic byte-level `decodeStub`, preserving the
-  * batch shape so a real codec swap changes only that body. Video is
-  * the one remaining stub: the JDK ships no video codec.
+  * batch shape so a real codec swap changes only that body. Frame
+  * sampling decodes REAL frames for multi-frame containers the JDK
+  * reads (animated GIF, via `decodeFrames`); only codec-less video
+  * containers (MP4 etc.) remain on the byte-chunk stub.
   *
   * At scale the pattern is: binary payloads stay columnar in parquet,
   * decode runs in `mapPartitions` (one codec context per partition,
@@ -43,10 +45,31 @@ object Media {
   def decodeStub(payload: Array[Byte]): Array[Byte] =
     payload.map(b => (b ^ 0x5a).toByte)
 
+  /** Packed sRGB bytes of a decoded raster — read through getRGB, so
+    * the output layout is identical whatever the file's internal
+    * color model (palette GIF, gray PNG, ...). */
+  private def rasterRgb(im: java.awt.image.BufferedImage): Array[Byte] = {
+    val (w, h) = (im.getWidth, im.getHeight)
+    val out = new Array[Byte](w * h * 3)
+    var i = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = im.getRGB(x, y)
+        out(i) = (rgb >> 16).toByte
+        out(i + 1) = (rgb >> 8).toByte
+        out(i + 2) = rgb.toByte
+        i += 3; x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** REAL image decode via javax.imageio (PNG/BMP/GIF/JPEG ship with
     * the JDK). Returns None when no installed codec recognizes the
-    * bytes. Pixels are read through getRGB, so the output is the
-    * same packed sRGB regardless of the file's internal layout. */
+    * bytes. */
   def decodeImage(payload: Array[Byte]): Option[DecodedImage] = {
     // JDK codecs throw more than IOException on malformed input
     // (CMMException for corrupt ICC profiles, IllegalArgument/
@@ -55,24 +78,48 @@ object Media {
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       catch { case scala.util.control.NonFatal(_) => null }
-    Option(img).map { im =>
-      val (w, h) = (im.getWidth, im.getHeight)
-      val out = new Array[Byte](w * h * 3)
-      var i = 0
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val rgb = im.getRGB(x, y)
-          out(i) = (rgb >> 16).toByte
-          out(i + 1) = (rgb >> 8).toByte
-          out(i + 2) = rgb.toByte
-          i += 3; x += 1
+    Option(img).map(im => DecodedImage(im.getWidth, im.getHeight, rasterRgb(im)))
+  }
+
+  /** One decoded frame of a multi-frame container. */
+  case class DecodedFrame(frameNo: Int, width: Int, height: Int,
+    rgb: Array[Byte])
+
+  /** REAL multi-frame decode via javax.imageio's sequence API
+    * (ImageReader.getNumImages/read(i)): the JDK GIF codec reads every
+    * frame of an animated GIF, so frame sampling operates on real
+    * frames for that container. Frames come back as raw per-frame
+    * rasters — an optimized GIF's later frames may be smaller than the
+    * logical screen (deterministic and exactly what the file stores);
+    * disposal-method compositing is a presentation concern, not an
+    * analytics one. Nil when no installed reader recognizes the bytes.
+    * Payloads in genuinely codec-less containers (MP4 etc.) keep the
+    * byte-chunk stub in frameSample. */
+  def decodeFrames(payload: Array[Byte]): Seq[DecodedFrame] = {
+    val iis =
+      try javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (iis == null) return Nil
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return Nil
+      val reader = readers.next()
+      try {
+        // seekForwardOnly = false: getNumImages(allowSearch) walks the
+        // whole stream to count frames
+        reader.setInput(iis, false, true)
+        val n =
+          try reader.getNumImages(true)
+          catch { case scala.util.control.NonFatal(_) => -1 }
+        (0 until math.max(n, 0)).flatMap { i =>
+          try {
+            val im = reader.read(i)
+            Some(DecodedFrame(i, im.getWidth, im.getHeight, rasterRgb(im)))
+          } catch { case scala.util.control.NonFatal(_) => None }
         }
-        y += 1
-      }
-      DecodedImage(w, h, out)
-    }
+      } finally reader.dispose()
+    } finally iis.close()
   }
 
   /** Decoded audio: format metadata + raw PCM bytes as stored. */
@@ -234,16 +281,28 @@ object Media {
       }.toDF("doc_id", "hist")
   }
 
-  /** Frame-sampling stub: split the payload into fixed-size chunks
-    * ("frames") and keep every `stride`-th — the partition-preserving
-    * explode a video pipeline uses. */
+  /** Frame sampling: REAL frames when a JDK multi-frame codec reads
+    * the payload (animated GIF via decodeFrames — each kept frame is
+    * its raw RGB raster), byte-chunk "frames" otherwise (the one
+    * remaining stub: containers the JDK has no codec for). Keeps every
+    * `stride`-th frame; partition-preserving explode either way, the
+    * shape a video pipeline's sampler has at scale. */
   def frameSample(spark: SparkSession, media: DataFrame,
-    chunk: Int = 256, stride: Int = 2): DataFrame =
-    media.select(col("doc_id"),
-      posexplode(expr(
-        s"transform(sequence(0, greatest(cast(ceil(octet_length(payload) / $chunk.0) as int) - 1, 0)), i -> substring(payload, i * $chunk + 1, $chunk))"))
-        .as(Seq("frame_no", "frame")))
-      .filter(col("frame_no") % stride === 0)
+    chunk: Int = 256, stride: Int = 2): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          val real = decodeFrames(payload)
+          val frames: Iterator[(Int, Array[Byte])] =
+            if (real.nonEmpty) real.iterator.map(f => (f.frameNo, f.rgb))
+            else if (payload.isEmpty) Iterator((0, Array.empty[Byte]))
+            else payload.grouped(chunk).zipWithIndex.map(_.swap)
+          frames.filter(_._1 % stride == 0)
+            .map { case (i, f) => (id, i, f) }
+        }
+      }.toDF("doc_id", "frame_no", "frame")
+  }
 
   /** Resize stub: decimate the payload by `factor` (keep every
     * factor-th byte) — the downsample shape of an image resize, run

@@ -28,6 +28,21 @@ object DistCopy {
     }.sum().toLong
   }
 
+  /** Streaming MD5 of one file — bounded buffer, any file size. */
+  private def md5Of(fs: FileSystem, p: Path): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val in = fs.open(p)
+    try {
+      val buf = new Array[Byte](1 << 16)
+      var n = in.read(buf)
+      while (n >= 0) {
+        if (n > 0) md.update(buf, 0, n)
+        n = in.read(buf)
+      }
+    } finally in.close()
+    md.digest()
+  }
+
   /** Copy every file under `src` into `dst`, executor-parallel.
     * Returns the number of files actually copied.
     *
@@ -41,9 +56,16 @@ object DistCopy {
     * the rsync-style quick check (same length and the source is not
     * newer). That is the difference between a nightly sync of a
     * 100 TB tree re-shipping 100 TB and shipping only the ~1% churn.
+    *
+    * The quick check inherits rsync's documented blind spot: a
+    * same-length edit whose mtime was preserved/backdated (rsync -a,
+    * tar extraction, clock skew) looks unchanged. `contentHash = true`
+    * opts into comparing an MD5 of both sides when neither filesystem
+    * offers native checksums — it reads both files once (still no
+    * copy when they match), trading IO for rsync -c-style certainty.
     */
   def copy(spark: SparkSession, src: String, dst: String,
-    update: Boolean = false): Long = {
+    update: Boolean = false, contentHash: Boolean = false): Long = {
     // metadata-only scan (column pruning keeps content unread); each
     // task then STREAMS its file through a bounded buffer like the
     // reference — a file larger than executor memory copies fine
@@ -63,6 +85,7 @@ object DistCopy {
           val sc = srcFs.getFileChecksum(from)
           val dc = dstFs.getFileChecksum(out)
           if (sc != null && dc != null) sc == dc
+          else if (contentHash) md5Of(srcFs, from).sameElements(md5Of(dstFs, out))
           else s.getModificationTime <= d.getModificationTime
         }
       }

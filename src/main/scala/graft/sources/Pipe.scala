@@ -67,6 +67,17 @@ object Pipe {
           import java.io._
           val proc = new ProcessBuilder(cmd: _*)
             .redirectError(ProcessBuilder.Redirect.INHERIT).start()
+          // The task, not the iterator, owns the process lifetime: a
+          // malformed frame throws out of fetch(), and a `limit` can
+          // abandon the iterator half-consumed — either way the task
+          // completes and this reaps the child (Spark's own PipedRDD
+          // registers the same hook). Normal EOF has already waitFor'd;
+          // destroying an exited process is a no-op.
+          Option(org.apache.spark.TaskContext.get()).foreach(
+            _.addTaskCompletionListener[Unit] { _ =>
+              if (proc.isAlive) proc.destroyForcibly()
+              ()
+            })
           val stdin = new DataOutputStream(
             new BufferedOutputStream(proc.getOutputStream, 64 * 1024))
           val writer = new Thread(() => {

@@ -29,6 +29,11 @@ import org.apache.spark.sql.functions._
   */
 object TxTable {
 
+  /** Scratch roots with a registered exit-time cleanup (one hook per
+    * path however many times the gate query runs in a session). */
+  private val cleanupRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private def fsFor(spark: SparkSession, root: String): (FileSystem, Path) = {
     val p = new Path(root)
     (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
@@ -55,39 +60,110 @@ object TxTable {
     try { in.readFully(buf); new String(buf, "UTF-8") } finally in.close()
   }
 
-  /** Entries of snapshot `v` in commit order: (isDelta, dirName).
-    * `dir:` entries hold full rows; `delta:` entries hold keyed
-    * (k, op, v) changes to resolve at read time (merge-on-read). */
-  private def snapshotEntries(fs: FileSystem, root: Path,
-    v: Int): Seq[(Boolean, String)] = {
-    if (v == 0) Seq.empty
-    else readFileUtf8(fs, commitPath(root, v)).split("\n").toSeq.flatMap {
-      case l if l.startsWith("dir:") => Some((false, l.drop(4)))
-      case l if l.startsWith("delta:") => Some((true, l.drop(6)))
-      case _ => None
+  /** One data-dir entry of a snapshot. `dir` entries hold full rows;
+    * `delta` entries hold keyed (key..., op, value...) changes to
+    * resolve at read time (merge-on-read). `stats` is the min/max of
+    * the table's first key column over the dir — recorded at write
+    * time when that column is integral, and used by `read` to prune
+    * directories that cannot contain a requested key range (the
+    * partition-pruning analog for a key-addressed table). */
+  private case class Entry(isDelta: Boolean, dir: String,
+    stats: Option[(Long, Long)]) {
+    def line: String = {
+      val kind = if (isDelta) "delta:" else "dir:"
+      kind + dir + stats.map { case (lo, hi) => s"|$lo|$hi" }.getOrElse("")
     }
   }
 
+  private def parseEntry(l: String): Option[Entry] = {
+    val (isDelta, rest) =
+      if (l.startsWith("dir:")) (false, l.drop(4))
+      else if (l.startsWith("delta:")) (true, l.drop(6))
+      else return None
+    rest.split('|') match {
+      case Array(d, lo, hi) => Some(Entry(isDelta, d,
+        scala.util.Try((lo.toLong, hi.toLong)).toOption))
+      case _ => Some(Entry(isDelta, rest.takeWhile(_ != '|'), None))
+    }
+  }
+
+  /** Entries of snapshot `v` in commit order. */
+  private def snapshotEntries(fs: FileSystem, root: Path,
+    v: Int): Seq[Entry] = {
+    if (v == 0) Seq.empty
+    else readFileUtf8(fs, commitPath(root, v)).split("\n").toSeq
+      .flatMap(parseEntry)
+  }
+
+  /** The table's declared key columns (recorded by the first keyed
+    * commit as a `key:` header line and carried forward by every
+    * later commit). Absent for plain append/overwrite tables; the
+    * legacy default for delta snapshots without one is Seq("k"). */
+  private def snapshotKeys(fs: FileSystem, root: Path,
+    v: Int): Option[Seq[String]] =
+    if (v == 0) None
+    else readFileUtf8(fs, commitPath(root, v)).split("\n")
+      .find(_.startsWith("key:")).map(_.drop(4).split(",").toSeq)
+
+  /** The column per-dir stats refer to, for plain (un-keyed) tables
+    * that opted into stats via `append(statsCol = ...)`. Keyed tables
+    * stat their first key column and don't need this header. */
+  private def snapshotStatsCol(fs: FileSystem, root: Path,
+    v: Int): Option[String] =
+    if (v == 0) None
+    else readFileUtf8(fs, commitPath(root, v)).split("\n")
+      .find(_.startsWith("statscol:")).map(_.drop(9))
+
   private def snapshotDirs(fs: FileSystem, root: Path, v: Int): Seq[String] =
-    snapshotEntries(fs, root, v).map(_._2)
+    snapshotEntries(fs, root, v).map(_.dir)
 
   /** Read snapshot `version` (default: latest). A snapshot with no
     * delta entries reads as the plain union of its data dirs (append
     * semantics untouched); one with deltas resolves merge-on-read:
-    * later entries override earlier ones per key, deletes drop. */
-  def read(spark: SparkSession, root: String, version: Int = -1): DataFrame = {
+    * later entries override earlier ones per key, deletes drop. The
+    * key columns come from the snapshot's own `key:` header — readers
+    * never need to know how the table was written.
+    *
+    * `keyRange = Some((lo, hi))` is the point/range-lookup fast path:
+    * data dirs whose recorded min/max key stats cannot intersect
+    * [lo, hi] are pruned from the file listing entirely (never opened
+    * — the partition-pruning analog), and the resolved rows are
+    * filtered to the range. Pruning a delta dir is safe for the same
+    * reason: a change batch whose stats exclude the range cannot
+    * affect any row in it. Dirs without stats are never pruned. */
+  def read(spark: SparkSession, root: String, version: Int = -1,
+    keyRange: Option[(Long, Long)] = None): DataFrame = {
     val (fs, rp) = fsFor(spark, root)
     val v = if (version >= 0) version else latestVersion(spark, root)
     require(v > 0, s"txtable: no committed snapshot at $root")
-    val entries = snapshotEntries(fs, rp, v)
-    require(entries.nonEmpty, s"txtable: snapshot v$v of $root is empty")
-    if (!entries.exists(_._1))
-      spark.read.parquet(entries.map(e => new Path(rp, e._2).toString): _*)
+    val allEntries = snapshotEntries(fs, rp, v)
+    require(allEntries.nonEmpty, s"txtable: snapshot v$v of $root is empty")
+    val keyCols = snapshotKeys(fs, rp, v)
+      .getOrElse(if (allEntries.exists(_.isDelta)) Seq("k") else Seq.empty)
+    val entries = keyRange match {
+      case Some((lo, hi)) => allEntries.filter(_.stats
+        .forall { case (mn, mx) => mx >= lo && mn <= hi })
+      case None => allEntries
+    }
+    val rangeCol = keyCols.headOption.orElse(snapshotStatsCol(fs, rp, v))
+    def rangeFilter(df: DataFrame): DataFrame = (keyRange, rangeCol) match {
+      case (Some((lo, hi)), Some(c)) => df.filter(col(c).between(lo, hi))
+      case _ => df
+    }
+    if (entries.isEmpty) {
+      // every dir pruned: empty frame with the table's schema
+      val schemaDf = spark.read
+        .parquet(new Path(rp, allEntries.head.dir).toString)
+      return schemaDf.filter(lit(false)).drop("op")
+    }
+    if (!entries.exists(_.isDelta))
+      rangeFilter(spark.read.parquet(
+        entries.map(e => new Path(rp, e.dir).toString): _*))
     else {
       // Merge-on-read, scale-safe: the base (the dirs committed before
       // any delta — after compaction, exactly one) is 100 TB-class and
-      // must never shuffle on `k` just because a small delta exists.
-      // Split the snapshot at the first delta entry:
+      // must never shuffle on the key just because a small delta
+      // exists. Split the snapshot at the first delta entry:
       //   base   = dir entries before it (full rows);
       //   tail   = everything from it on — deltas, plus any full-row
       //            dirs appended after a delta, which act as all-'U'
@@ -99,37 +175,44 @@ object TxTable {
       //   3. union the base survivors with the tail's live rows.
       // Copy-on-write would instead rewrite the table per micro-batch;
       // this keeps commits O(batch) AND reads O(scan).
-      val firstDelta = entries.indexWhere(_._1)
+      val firstDelta = entries.indexWhere(_.isDelta)
       val (baseE, tailE) = entries.zipWithIndex.splitAt(firstDelta)
-      val baseParts = baseE.map { case ((_, d), _) =>
-        spark.read.parquet(new Path(rp, d).toString).select("k", "v")
+      val tailParts = tailE.map { case (e, i) =>
+        val df = rangeFilter(spark.read.parquet(new Path(rp, e.dir).toString))
+        val keyed = if (e.isDelta) df else df.withColumn("op", lit("U"))
+        keyed.withColumn("_cv", lit(i.toLong))
+      }
+      // the table's row schema, in delta-commit order (key..., value...)
+      val dataCols = tailParts.head.columns
+        .filterNot(c => c == "op" || c == "_cv").toSeq
+      val keyExprs = keyCols.map(col)
+      val baseParts = baseE.map { case (e, _) =>
+        rangeFilter(spark.read.parquet(new Path(rp, e.dir).toString))
+          .select(dataCols.map(col): _*)
       }
       // >1 base dir (appends never compacted) needs later-dir-wins
       // resolution; the steady-state single compacted base skips it.
       val base =
-        if (baseParts.isEmpty) spark.range(0)
-          .select(col("id").as("k"), lit(null).cast("double").as("v"))
+        if (baseParts.isEmpty)
+          tailParts.head.select(dataCols.map(col): _*).filter(lit(false))
         else if (baseParts.size == 1) baseParts.head
         else {
-          val wb = Window.partitionBy("k").orderBy(col("_cv").desc)
+          val wb = Window.partitionBy(keyExprs: _*).orderBy(col("_cv").desc)
           baseParts.zipWithIndex
             .map { case (df, i) => df.withColumn("_cv", lit(i.toLong)) }
             .reduce(_.unionByName(_))
             .withColumn("_rn", row_number().over(wb))
-            .filter(col("_rn") === 1).select("k", "v")
+            .filter(col("_rn") === 1).select(dataCols.map(col): _*)
         }
-      val tailParts = tailE.map { case ((isDelta, d), i) =>
-        val df = spark.read.parquet(new Path(rp, d).toString)
-        val keyed = if (isDelta) df else df.withColumn("op", lit("U"))
-        keyed.select(col("k"), col("op"), col("v"), lit(i.toLong).as("_cv"))
-      }
-      val wt = Window.partitionBy("k").orderBy(col("_cv").desc)
+      val wt = Window.partitionBy(keyExprs: _*).orderBy(col("_cv").desc)
       val tail = tailParts.reduce(_.unionByName(_))
         .withColumn("_rn", row_number().over(wt))
         .filter(col("_rn") === 1)
-        .select("k", "op", "v")
-      val survivors = base.join(broadcast(tail.select("k")), Seq("k"), "left_anti")
-      survivors.unionByName(tail.filter(col("op") =!= "D").select("k", "v"))
+        .select((col("op") +: dataCols.map(col)): _*)
+      val survivors = base.join(
+        broadcast(tail.select(keyExprs: _*)), keyCols, "left_anti")
+      survivors.unionByName(
+        tail.filter(col("op") =!= "D").select(dataCols.map(col): _*))
     }
   }
 
@@ -150,26 +233,57 @@ object TxTable {
     }
   }
 
+  /** Min/max of `statsCol` over the just-written dir, for the commit
+    * line. A 1-row aggregate over one immutable dir — with parquet
+    * aggregate pushdown this is a footer read, not a data scan. Only
+    * integral columns are recorded (the stats grammar is two longs);
+    * anything else yields no stats, which just disables pruning. */
+  private def dirStats(spark: SparkSession, rp: Path, dirName: String,
+    statsCol: Option[String]): Option[(Long, Long)] =
+    statsCol.flatMap { c =>
+      val df = spark.read.parquet(new Path(rp, dirName).toString)
+      df.schema.find(_.name == c).map(_.dataType) match {
+        case Some(t) if t == org.apache.spark.sql.types.LongType ||
+          t == org.apache.spark.sql.types.IntegerType ||
+          t == org.apache.spark.sql.types.ShortType =>
+          val r = df.agg(min(col(c)).cast("long"), max(col(c)).cast("long"))
+            .collect()(0)
+          if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))
+        case _ => None
+      }
+    }
+
   /** Write `df` as a new immutable data dir and commit `dirs(prev) ++
     * [it]` (op = append) or `[it]` (op = overwrite) as the next
-    * version. Retries the atomic claim on conflict. */
+    * version. Retries the atomic claim on conflict. `statsCol` opts an
+    * integral column into per-dir min/max stats for read-side dir
+    * pruning. */
   private def writeAndCommit(df: DataFrame, root: String, op: String,
-    keepPrev: Boolean): Int = {
+    keepPrev: Boolean, statsCol: Option[String] = None): Int = {
     val spark = df.sparkSession
     val (fs, rp) = fsFor(spark, root)
     val dirName = s"data/$op-${java.util.UUID.randomUUID()}"
     df.write.mode("overwrite").parquet(new Path(rp, dirName).toString)
+    val entry = Entry(isDelta = false, dirName,
+      dirStats(spark, rp, dirName, statsCol))
     commitRetry(spark, root) { prevV =>
       val prev = if (keepPrev) snapshotLines(fs, rp, prevV) else Seq.empty
-      (op, prev :+ s"dir:$dirName")
+      // record which column the stats describe (carry-forward wins so
+      // one table never mixes stats columns)
+      val statsHdr =
+        if (prev.exists(_.startsWith("statscol:"))) None
+        else statsCol.map(c => s"statscol:$c")
+      (op, statsHdr.toSeq ++ prev :+ entry.line)
     }
   }
 
-  /** Raw entry lines of a snapshot, preserving dir/delta kinds. */
+  /** Raw entry + header lines of a snapshot (key declaration first,
+    * then dir/delta entries with their stats), carried forward by
+    * appending commits. */
   private def snapshotLines(fs: FileSystem, rp: Path, v: Int): Seq[String] =
-    snapshotEntries(fs, rp, v).map { case (isDelta, d) =>
-      if (isDelta) s"delta:$d" else s"dir:$d"
-    }
+    snapshotKeys(fs, rp, v).map(ks => s"key:${ks.mkString(",")}").toSeq ++
+      snapshotStatsCol(fs, rp, v).map(c => s"statscol:$c").toSeq ++
+      snapshotEntries(fs, rp, v).map(_.line)
 
   /** The optimistic-concurrency loop: build the commit content against
     * the current snapshot, claim version+1 atomically, retry from the
@@ -207,13 +321,17 @@ object TxTable {
       s"txtable: commit to $root failed after $maxRetries conflicts")
   }
 
-  /** Append `df` as a new snapshot (previous data retained). */
-  def append(df: DataFrame, root: String): Int =
-    writeAndCommit(df, root, "append", keepPrev = true)
+  /** Append `df` as a new snapshot (previous data retained).
+    * `statsCol` opts an integral column into per-dir min/max stats so
+    * later `read(keyRange = ...)` lookups can prune the dir. */
+  def append(df: DataFrame, root: String,
+    statsCol: Option[String] = None): Int =
+    writeAndCommit(df, root, "append", keepPrev = true, statsCol)
 
   /** Replace the table contents with `df` atomically. */
-  def overwrite(df: DataFrame, root: String): Int =
-    writeAndCommit(df, root, "overwrite", keepPrev = false)
+  def overwrite(df: DataFrame, root: String,
+    statsCol: Option[String] = None): Int =
+    writeAndCommit(df, root, "overwrite", keepPrev = false, statsCol)
 
   /** Copy-on-write CDC merge — the transactional target of the
     * streaming upsert: `changes` rows (k, op, v, seq) fold into the
@@ -223,23 +341,43 @@ object TxTable {
     * sees the whole batch applied or none of it. On a commit conflict
     * the merge RECOMPUTES against the winner's snapshot, so
     * concurrent mergers serialize instead of losing updates. */
-  def merge(spark: SparkSession, root: String, changes: DataFrame): Int = {
-    val w = Window.partitionBy("k").orderBy(col("seq").desc)
-    val latest = changes.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).select("k", "op", "v")
+  def merge(spark: SparkSession, root: String, changes: DataFrame,
+    keyCols: Seq[String] = Seq("k")): Int = {
+    val (latest, valueCols) = resolveLatest(changes, keyCols)
     val (fs, rp) = fsFor(spark, root)
     commitRetry(spark, root) { prevV =>
       val base =
-        if (prevV > 0) read(spark, root, prevV).select(col("k"), col("v").as("base_v"))
-        else spark.range(0).select(col("id").as("k"),
-          lit(null).cast("double").as("base_v"))
-      val merged = base.join(latest, Seq("k"), "full_outer")
+        if (prevV > 0) read(spark, root, prevV)
+          .select((keyCols.map(col) ++
+            valueCols.map(c => col(c).as(s"_base_$c"))): _*)
+        else latest
+          .select((keyCols.map(col) ++
+            valueCols.map(c => col(c).as(s"_base_$c"))): _*)
+          .filter(lit(false))
+      val merged = base.join(latest, keyCols, "full_outer")
         .filter(col("op").isNull || col("op") =!= "D")
-        .select(col("k"), coalesce(col("v"), col("base_v")).as("v"))
+        .select((keyCols.map(col) ++ valueCols.map(c =>
+          coalesce(col(c), col(s"_base_$c")).as(c))): _*)
       val dirName = s"data/merge-${java.util.UUID.randomUUID()}"
       merged.write.mode("overwrite").parquet(new Path(rp, dirName).toString)
-      ("merge", Seq(s"dir:$dirName"))
+      ("merge", Seq(s"key:${keyCols.mkString(",")}",
+        Entry(isDelta = false, dirName,
+          dirStats(spark, rp, dirName, keyCols.headOption)).line))
     }
+  }
+
+  /** Latest change per key (highest seq wins) and the value-column
+    * list — everything in `changes` that isn't a key, `op`, or `seq`,
+    * in schema order. */
+  private def resolveLatest(changes: DataFrame,
+    keyCols: Seq[String]): (DataFrame, Seq[String]) = {
+    val valueCols = changes.columns
+      .filterNot(c => keyCols.contains(c) || c == "op" || c == "seq").toSeq
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("seq").desc)
+    val latest = changes.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select((keyCols.map(col) :+ col("op")) ++ valueCols.map(col): _*)
+    (latest, valueCols)
   }
 
   /** Merge-on-READ CDC: write ONLY the batch's resolved changes as a
@@ -249,15 +387,22 @@ object TxTable {
     * `compactSnapshot` periodically to fold them back so read cost
     * stays bounded. The delta dir is written once; only the cheap
     * commit claim retries under contention. */
-  def mergeDelta(spark: SparkSession, root: String, changes: DataFrame): Int = {
-    val w = Window.partitionBy("k").orderBy(col("seq").desc)
-    val latest = changes.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1).select("k", "op", "v")
+  def mergeDelta(spark: SparkSession, root: String, changes: DataFrame,
+    keyCols: Seq[String] = Seq("k")): Int = {
+    val (latest, _) = resolveLatest(changes, keyCols)
     val (fs, rp) = fsFor(spark, root)
     val dirName = s"data/delta-${java.util.UUID.randomUUID()}"
     latest.write.mode("overwrite").parquet(new Path(rp, dirName).toString)
+    val entry = Entry(isDelta = true, dirName,
+      dirStats(spark, rp, dirName, keyCols.headOption))
     commitRetry(spark, root) { prevV =>
-      ("delta", snapshotLines(fs, rp, prevV) :+ s"delta:$dirName")
+      val recorded = snapshotKeys(fs, rp, prevV)
+      require(recorded.forall(_ == keyCols),
+        s"txtable: $root is keyed on ${recorded.get.mkString(",")}, " +
+          s"got ${keyCols.mkString(",")}")
+      val prev = snapshotEntries(fs, rp, prevV).map(_.line)
+      ("delta",
+        (s"key:${keyCols.mkString(",")}" +: prev) :+ entry.line)
     }
   }
 
@@ -272,7 +417,11 @@ object TxTable {
       val resolved = read(spark, root, prevV)
       val dirName = s"data/compact-${java.util.UUID.randomUUID()}"
       resolved.write.mode("overwrite").parquet(new Path(rp, dirName).toString)
-      ("compact", Seq(s"dir:$dirName"))
+      val keys = snapshotKeys(fs, rp, prevV)
+      val entry = Entry(isDelta = false, dirName,
+        dirStats(spark, rp, dirName, keys.flatMap(_.headOption)))
+      ("compact",
+        keys.map(ks => s"key:${ks.mkString(",")}").toSeq :+ entry.line)
     }
   }
 
@@ -286,16 +435,32 @@ object TxTable {
     * the same stream as a plain window — hash equality proves the
     * whole write→commit→resolve pipeline, not just unit behavior. */
   def cdcGateQuery(spark: SparkSession, dir: String): DataFrame = {
-    val root = java.nio.file.Files
-      .createTempDirectory("graft-txgate").toString
+    // fixed per-input path, recreated per invocation: repeated gate and
+    // bench runs reuse (not accumulate) scratch space, and the JVM
+    // cleans up the last instance on exit
+    val root = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      s"graft-txgate-${math.abs(dir.hashCode)}").toString
+    val rootFile = new java.io.File(root)
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmTree))
+      f.delete(); ()
+    }
+    rmTree(rootFile)
+    if (cleanupRegistered.add(root)) sys.addShutdownHook(rmTree(rootFile))
     val changes = graft.Tables.orders(spark, dir).select(
       col("o_custkey").as("k"),
       expr("CASE WHEN o_orderkey % 10 = 0 THEN 'D' " +
         "WHEN o_orderkey % 3 = 0 THEN 'U' ELSE 'I' END").as("op"),
       col("o_totalprice").as("v"),
       col("o_orderkey").as("seq"))
-    // 1-row readback to pick the batch boundary (metadata-scale)
-    val mid = changes.agg(max("seq")).collect()(0).getLong(0) / 2
+    // 1-row readback to pick the batch boundary (metadata-scale);
+    // null-safe so an empty orders table yields an empty result, not
+    // an NPE mid-gate
+    val midRow = changes.agg(max("seq")).collect()(0)
+    if (midRow.isNullAt(0))
+      return changes.select("k", "v").filter(lit(false))
+    val mid = midRow.getLong(0) / 2
     mergeDelta(spark, root, changes.filter(col("seq") <= mid))
     mergeDelta(spark, root, changes.filter(col("seq") > mid))
     read(spark, root)

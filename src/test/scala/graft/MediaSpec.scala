@@ -38,6 +38,54 @@ class MediaSpec extends SparkSpec {
     }
   }
 
+  /** A real animated GIF rendered in-memory: solid full-size frames in
+    * the given colors (palette-exact in GIF). */
+  private def gifBytes(w: Int, h: Int, colors: Seq[Int]): Array[Byte] = {
+    import javax.imageio._
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    colors.foreach { c =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, c)
+      writer.writeToSequence(new IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    bos.toByteArray
+  }
+
+  test("decodeFrames reads every frame of a real 3-frame GIF; frameSample strides real frames") {
+    import spark.implicits._
+    val bytes = gifBytes(8, 6, Seq(0xff0000, 0x00ff00, 0x0000ff))
+    val frames = Media.decodeFrames(bytes)
+    assert(frames.length === 3, "all three frames decode")
+    assert(frames.map(_.frameNo) === Seq(0, 1, 2))
+    frames.foreach(f => assert(f.width === 8 && f.height === 6 &&
+      f.rgb.length === 8 * 6 * 3))
+    // frame colors are palette-exact: R, then G, then B
+    assert((frames(0).rgb(0) & 0xff) === 255 && (frames(0).rgb(1) & 0xff) === 0)
+    assert((frames(1).rgb(1) & 0xff) === 255 && (frames(1).rgb(0) & 0xff) === 0)
+    assert((frames(2).rgb(2) & 0xff) === 255 && (frames(2).rgb(0) & 0xff) === 0)
+    // a single-frame PNG is one real frame; junk bytes are none
+    assert(Media.decodeFrames(pngBytes(4, 4)).length === 1)
+    assert(Media.decodeFrames("not a container".getBytes).isEmpty)
+    // frameSample: stride 2 over the animation keeps frames 0 and 2 —
+    // REAL rasters, not byte chunks
+    val media = Seq((7L, bytes)).toDF("doc_id", "payload")
+    val sampled = Media.frameSample(spark, media, stride = 2).collect()
+      .sortBy(_.getInt(1))
+    assert(sampled.map(_.getInt(1)).toSeq === Seq(0, 2))
+    sampled.foreach(r =>
+      assert(r.getAs[Array[Byte]](2).length === 8 * 6 * 3))
+    assert((sampled(0).getAs[Array[Byte]](2)(0) & 0xff) === 255, "frame 0 is red")
+    assert((sampled(1).getAs[Array[Byte]](2)(2) & 0xff) === 255, "frame 2 is blue")
+  }
+
   test("decodeStub is deterministic and length-preserving") {
     val in = Array[Byte](1, 2, 3, -5)
     assert(Media.decodeStub(in).toSeq === Media.decodeStub(in).toSeq)

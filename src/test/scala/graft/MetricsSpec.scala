@@ -55,6 +55,62 @@ class MetricsSpec extends SparkSpec {
       "round-robin interleave spreads classes across the schedule")
   }
 
+  test("replaySchedule terminates and renormalizes a partial model (shares << 1)") {
+    import spark.implicits._
+    // a filtered model: one class kept out of many, share 0.2 — the
+    // apportionment must renormalize instead of spinning forever
+    val partial = Seq(("q_kept", 100L, 0.2,
+      Seq(10L, 20L, 30L, 40L), 25.0, 40L, 10.0, 0.0))
+      .toDF("query", "runs", "mix_share", "duration_cdf_ms", "mean_ms",
+        "max_ms", "mean_rows", "mean_shuffle_bytes")
+    val sched = Metrics.replaySchedule(spark, partial, 5).collect()
+    assert(sched.length === 5)
+    assert(sched.forall(_.getString(1) === "q_kept"))
+    // shares summing over 1 renormalize the same way
+    val over = Seq(
+      ("a", 1L, 0.9, Seq(1L), 1.0, 1L, 1.0, 0.0),
+      ("b", 1L, 0.9, Seq(1L), 1.0, 1L, 1.0, 0.0))
+      .toDF("query", "runs", "mix_share", "duration_cdf_ms", "mean_ms",
+        "max_ms", "mean_rows", "mean_shuffle_bytes")
+    val s2 = Metrics.replaySchedule(spark, over, 4).collect()
+    assert(s2.length === 4)
+    assert(s2.groupBy(_.getString(1)).view.mapValues(_.length).toMap ===
+      Map("a" -> 2, "b" -> 2))
+  }
+
+  test("gridmix loop closes: trace -> model -> replayRun through FAIR pools -> measured mix") {
+    import spark.implicits._
+    val trace = (Seq.tabulate(30)(i => ("q_big", 40L + i, false, 1000L, 1L << 20)) ++
+      Seq.tabulate(10)(i => ("q_small", 4L + i, false, 10L, 1024L)))
+      .toDF("query", "duration_ms", "failed", "rows", "shuffle_bytes")
+    val model = Metrics.workloadModel(trace)
+    val sched = Metrics.replaySchedule(spark, model, 8)
+    // route classes to distinct pools and actually RUN the slots
+    val measured = Metrics.replayRun(spark, sched,
+      poolFor = q => if (q == "q_big") "etl" else "adhoc",
+      parallelism = 2, rowsPerMs = 2000L)
+    val rows = measured.collect()
+    assert(rows.length === 8, "every slot must run exactly once")
+    assert(rows.forall(!_.getBoolean(4)), "no synthetic job may fail")
+    assert(rows.map(_.getInt(0)).sorted.toSeq === (0 until 8), "slots dense")
+    // pool routing held per class
+    assert(rows.filter(_.getString(1) == "q_big").forall(_.getString(2) == "etl"))
+    assert(rows.filter(_.getString(1) == "q_small").forall(_.getString(2) == "adhoc"))
+    // the measured history feeds the SAME model builder: replayed mix
+    // equals the model's shares (6:2 over 8 slots = 0.75/0.25 exactly,
+    // count-apportioned so zero tolerance needed)
+    val remodel = Metrics.workloadModel(
+      measured.select("query", "duration_ms", "failed", "rows", "shuffle_bytes"))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(math.abs(remodel("q_big") - 0.75) < 1e-9)
+    assert(math.abs(remodel("q_small") - 0.25) < 1e-9)
+    // sized-from-the-model: the big class got proportionally more input
+    val meanRows = rows.groupBy(_.getString(1)).view
+      .mapValues(g => g.map(_.getLong(5)).sum / g.length).toMap
+    assert(meanRows("q_big") > meanRows("q_small") * 5,
+      s"synthetic sizing must track expected_ms: $meanRows")
+  }
+
   test("history() exposes the job-history table") {
     val l = Metrics.attach(spark)
     try {

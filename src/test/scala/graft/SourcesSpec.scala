@@ -304,6 +304,27 @@ class SourcesSpec extends SparkSpec {
     assert(DistCopy.copy(spark, src, dst) === 4)
   }
 
+  test("DistCopy -update contentHash: catches a same-length backdated edit the quick check misses") {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val src = tmpDir()
+    val dst = tmpDir() + "/out"
+    Files.writeString(Paths.get(src, "f.txt"), "aaaa")
+    assert(DistCopy.copy(spark, src, dst, update = true) === 1)
+    // same-length edit with the mtime backdated BEFORE the copy time —
+    // the rsync-style quick check (len + src-not-newer) can't see it
+    Files.writeString(Paths.get(src, "f.txt"), "bbbb")
+    Files.setLastModifiedTime(Paths.get(src, "f.txt"),
+      FileTime.fromMillis(System.currentTimeMillis() - 3600 * 1000))
+    assert(DistCopy.copy(spark, src, dst, update = true) === 0,
+      "documented quick-check blind spot: backdated same-length edit skips")
+    assert(DistCopy.copy(spark, src, dst, update = true, contentHash = true) === 1,
+      "contentHash mode must ship the changed bytes")
+    assert(Files.readString(Paths.get(dst, "f.txt")) === "bbbb")
+    // and a matching tree still copies nothing under contentHash
+    assert(DistCopy.copy(spark, src, dst, update = true, contentHash = true) === 0)
+  }
+
   test("observe() exposes counters like the reference's Counters API") {
     val observation = new org.apache.spark.sql.Observation("metrics")
     val df = Tables.lineitem(spark, sfDir)

@@ -201,6 +201,105 @@ class TxTableSpec extends SparkSpec {
       Seq("delta", "delta", "compact"))
   }
 
+  test("merge-on-read generalizes past (k, v): wide schema, non-k key, multi value columns") {
+    import spark.implicits._
+    val root = tmpDir() + "/tx-mor-wide"
+    // 5-column change stream keyed on `id`: two value columns survive
+    // resolution; the key declaration is recorded in the commit and
+    // read back without the reader naming it
+    TxTable.mergeDelta(spark, root,
+      Seq((10L, "I", "alice", 1.0, 1L), (20L, "I", "bob", 2.0, 2L),
+        (20L, "U", "bob2", 2.5, 3L))
+        .toDF("id", "op", "name", "score", "seq"), keyCols = Seq("id"))
+    TxTable.mergeDelta(spark, root,
+      Seq((10L, "U", "alice2", 1.5, 4L), (20L, "D", "", 0.0, 5L),
+        (30L, "I", "carol", 3.0, 6L))
+        .toDF("id", "op", "name", "score", "seq"), keyCols = Seq("id"))
+    val t = TxTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    assert(t === Map(10L -> (("alice2", 1.5)), 30L -> (("carol", 3.0))))
+    // compaction carries the key declaration and the same schema
+    TxTable.compactSnapshot(spark, root)
+    val tc = TxTable.read(spark, root)
+    assert(tc.columns.toSeq === Seq("id", "name", "score"))
+    assert(tc.collect().map(r => r.getLong(0) ->
+      ((r.getString(1), r.getDouble(2)))).toMap === t)
+    // a later delta over the compacted base still resolves (and the
+    // wrong key declaration is rejected instead of corrupting)
+    TxTable.mergeDelta(spark, root,
+      Seq((30L, "U", "carol2", 3.5, 7L)).toDF("id", "op", "name", "score", "seq"),
+      keyCols = Seq("id"))
+    assert(TxTable.read(spark, root).filter(col("id") === 30L)
+      .collect()(0).getString(1) === "carol2")
+    intercept[IllegalArgumentException] {
+      TxTable.mergeDelta(spark, root,
+        Seq((1L, "I", "x", 0.0, 8L)).toDF("k", "op", "name", "score", "seq"),
+        keyCols = Seq("k"))
+    }
+  }
+
+  test("copy-on-write merge generalizes: multi value columns keyed on id") {
+    import spark.implicits._
+    val root = tmpDir() + "/tx-cow-wide"
+    TxTable.merge(spark, root,
+      Seq((1L, "I", "a", 10.0, 1L), (2L, "I", "b", 20.0, 2L))
+        .toDF("id", "op", "name", "score", "seq"), keyCols = Seq("id"))
+    TxTable.merge(spark, root,
+      Seq((1L, "U", "a2", 11.0, 3L), (2L, "D", "", 0.0, 4L),
+        (3L, "I", "c", 30.0, 5L))
+        .toDF("id", "op", "name", "score", "seq"), keyCols = Seq("id"))
+    val t = TxTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    assert(t === Map(1L -> (("a2", 11.0)), 3L -> (("c", 30.0))))
+  }
+
+  test("data skipping: a point lookup opens 1 of N data dirs") {
+    import spark.implicits._
+    val root = tmpDir() + "/tx-skip"
+    // three appended dirs with disjoint key ranges, stats recorded
+    TxTable.append((1L to 100L).map(k => (k, k * 1.0)).toDF("k", "v"),
+      root, statsCol = Some("k"))
+    TxTable.append((101L to 200L).map(k => (k, k * 1.0)).toDF("k", "v"),
+      root, statsCol = Some("k"))
+    TxTable.append((201L to 300L).map(k => (k, k * 1.0)).toDF("k", "v"),
+      root, statsCol = Some("k"))
+    val hit = TxTable.read(spark, root, keyRange = Some((150L, 150L)))
+    // pruning is visible in the file listing itself: only the middle
+    // dir's files are inputs
+    assert(hit.inputFiles.nonEmpty)
+    val allDirs = new java.io.File(root, "data").listFiles().map(_.getName).toSet
+    val hitDirs = hit.inputFiles.map(f =>
+      new java.io.File(new java.net.URI(f)).getParentFile.getName).toSet
+    assert(allDirs.size === 3)
+    assert(hitDirs.size === 1, s"expected 1 pruned-to dir, got $hitDirs")
+    assert(hit.collect().map(_.getLong(0)).toSeq === Seq(150L))
+    // an un-statted table never prunes (and still answers)
+    val full = TxTable.read(spark, root, keyRange = Some((999L, 999L)))
+    assert(full.count() === 0)
+  }
+
+  test("data skipping composes with merge-on-read: out-of-range deltas are pruned") {
+    import spark.implicits._
+    val root = tmpDir() + "/tx-skip-mor"
+    TxTable.mergeDelta(spark, root,
+      (1L to 100L).map(k => (k, "I", k * 1.0, k)).toDF("k", "op", "v", "seq"))
+    TxTable.compactSnapshot(spark, root)
+    // a delta over high keys only: stats exclude the probed low key
+    TxTable.mergeDelta(spark, root,
+      Seq((90L, "U", 999.0, 200L)).toDF("k", "op", "v", "seq"))
+    val probe = TxTable.read(spark, root, keyRange = Some((5L, 5L)))
+    val probedDirs = probe.inputFiles.map(f =>
+      new java.io.File(new java.net.URI(f)).getParentFile.getName).toSet
+    assert(probedDirs.forall(_.startsWith("compact-")),
+      s"the low-key probe must not open the high-key delta: $probedDirs")
+    assert(probe.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+      Seq((5L, 5.0)))
+    // the delta still applies where it IS in range
+    val hi = TxTable.read(spark, root, keyRange = Some((90L, 90L)))
+    assert(hi.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+      Seq((90L, 999.0)))
+  }
+
   test("streaming upsert into the transactional table equals the plain-parquet upsert") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
