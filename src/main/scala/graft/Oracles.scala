@@ -425,6 +425,18 @@ object Oracles {
     "q_dedup_minhash" ->
       s"$minhashCte\nSELECT doc_id, band, sig FROM band",
 
+    // replays incrementalNear: batch docs (doc_id % 10 = 0) sharing NO
+    // band bucket with the corpus — novel means EVERY band misses, so
+    // the hit set is computed per doc (EXCEPT), not per band row
+    "q_dedup_incremental_near" ->
+      s"""$minhashCte,
+         |cb AS (SELECT DISTINCT band, sig FROM band WHERE doc_id % 10 <> 0),
+         |bb AS (SELECT doc_id, band, sig FROM band WHERE doc_id % 10 = 0)
+         |SELECT DISTINCT doc_id FROM bb
+         |EXCEPT
+         |SELECT DISTINCT b.doc_id FROM bb b
+         |JOIN cb ON cb.band = b.band AND cb.sig = b.sig""".stripMargin,
+
     "q_dedup_minhash_pairs" ->
       s"""$minhashCte
          |SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
@@ -919,6 +931,27 @@ object Oracles {
         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS rt
         |FROM orders""".stripMargin,
+
+    // Replays ApproxPercentileRewrite's estimate exactly: the same
+    // integer histogram (width 2^21 = 2097152 cents, 64 buckets, zero
+    // clamp) and the same ceil(p*n) rank walk, reading the first
+    // bucket's upper boundary. ceil over binary64 products matches
+    // Spark's math.ceil bitwise.
+    "q_approx_percentile" ->
+      """WITH v AS (SELECT o_orderpriority,
+        |    cast(round(o_totalprice * 100, 0) AS BIGINT) cents FROM orders),
+        |bk AS (SELECT o_orderpriority,
+        |    least(greatest(cents // 2097152, 0), 63) b FROM v),
+        |h AS (SELECT o_orderpriority, b, count(*) c FROM bk GROUP BY 1, 2),
+        |cu AS (SELECT o_orderpriority, b,
+        |    sum(c) OVER (PARTITION BY o_orderpriority ORDER BY b) cum,
+        |    sum(c) OVER (PARTITION BY o_orderpriority) n FROM h)
+        |SELECT o_orderpriority,
+        |  cast(min(CASE WHEN cum >= ceiling(0.5 * n) THEN (b + 1) * 2097152 END) AS BIGINT) AS p50,
+        |  cast(min(CASE WHEN cum >= ceiling(0.9 * n) THEN (b + 1) * 2097152 END) AS BIGINT) AS p90,
+        |  cast(min(CASE WHEN cum >= ceiling(0.99 * n) THEN (b + 1) * 2097152 END) AS BIGINT) AS p99,
+        |  cast(max(n) AS BIGINT) AS n
+        |FROM cu GROUP BY o_orderpriority""".stripMargin,
 
     "q_percentiles" ->
       """SELECT o_orderpriority,

@@ -20,6 +20,7 @@ object SparkEntry {
     "q_sketch_kmv" -> ((s: SparkSession, d: String) => Sketches.kmvUniq(s, d)),
     "q_sketch_ops" -> ((s: SparkSession, d: String) => Sketches.kmvSetOps(s, d)),
     "q_sketch_percentiles" -> (Sketches.histPercentiles _),
+    "q_approx_percentile" -> (Sketches.approxPercentile _),
     "q_sketch_cms" -> ((s: SparkSession, d: String) => Sketches.cmsWordFreq(s, d)),
     "q_sketch_window" -> ((s: SparkSession, d: String) =>
       graft.streaming.Windows.kmvSlidingWindows(s, d)),
@@ -70,6 +71,7 @@ object SparkEntry {
     // dedup (§2.6)
     "q_dedup_exact" -> (Dedup.exact _),
     "q_dedup_incremental" -> (Dedup.incremental _),
+    "q_dedup_incremental_near" -> (Dedup.incrementalNear _),
     "q_dedup_minhash" -> (Dedup.minhashBands _),
     "q_dedup_minhash_pairs" -> (Dedup.minhashPairs _),
     "q_dedup_simhash" -> (Dedup.simhash _),

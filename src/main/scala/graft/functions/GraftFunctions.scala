@@ -77,6 +77,9 @@ object GraftFunctions {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.ApproxDistinctRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.ApproxDistinctRewrite
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.ApproxPercentileRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.ApproxPercentileRewrite
     if (!spark.experimental.extraStrategies.contains(graft.plans.LshTopKJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.LshTopKJoinStrategy
@@ -113,6 +116,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
     ext.injectOptimizerRule(_ => graft.plans.RangeBinJoinRewrite)
     ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.ApproxPercentileRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.LshTopKJoinStrategy)
   }
 }

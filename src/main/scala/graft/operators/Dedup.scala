@@ -57,6 +57,35 @@ object Dedup {
       .select(col("doc_id"), col("h"))
   }
 
+  /** Incremental NEAR-dup ingest — the minhash twin of `incremental`:
+    * drop arriving documents that are near-duplicates (share any LSH
+    * band bucket) of corpus content, without ever shuffling the
+    * corpus. Both sides compute band signatures in the map-side
+    * codegen `minhash12` kernel; the batch's distinct bucket keys
+    * broadcast into a semi join that filters the corpus scan (the
+    * corpus reaches its only join through a broadcast — no exchange
+    * carries corpus-scale data), leaving ~|batch| bucket survivors
+    * whose keys then broadcast back to tag the colliding batch docs.
+    * A batch doc is novel only when NONE of its bands hits the
+    * corpus. Corpus-side cost is one scan per ingest; every shuffle
+    * in the plan carries batch-scale rows (ScaleSpec-guarded).
+    * Batch-internal near-dups are the existing minhashPairs /
+    * clusters path and intentionally not re-resolved here. */
+  def incrementalNear(spark: SparkSession, dir: String): DataFrame = {
+    val bands = minhashBands(spark, dir)
+    val corpusBands = bands.filter(col("doc_id") % 10 =!= 0)
+    val batchBands = bands.filter(col("doc_id") % 10 === 0)
+    val batchKeys = batchBands.select("band", "sig").distinct()
+    val corpusHits = corpusBands
+      .join(broadcast(batchKeys), Seq("band", "sig"), "left_semi")
+      .select("band", "sig").distinct()
+    val hitDocs = batchBands
+      .join(broadcast(corpusHits), Seq("band", "sig"), "left_semi")
+      .select("doc_id").distinct()
+    batchBands.select("doc_id").distinct()
+      .join(broadcast(hitDocs), Seq("doc_id"), "left_anti")
+  }
+
   /** doc_id → distinct 3-word shingles of the normalized text. */
   def shingles(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

@@ -201,6 +201,39 @@ object Sketches {
     org.apache.spark.sql.graftbridge.PlanBridge.ofRows(spark, rewritten)
   }
 
+  /** The optimizer-driven PERCENTILE sketch substitution under the
+    * oracle gate (q_approx_percentile) — the quantile twin of
+    * `approxDistinct`: a plain exact `percentile_disc(p) WITHIN GROUP`
+    * query over integer cents, rewritten by
+    * `plans.ApproxPercentileRewrite` into the hist_sketch
+    * boundary-quantile estimate. Applied eagerly here (per-plan
+    * opt-in) so the gated result is the REWRITTEN plan's output; the
+    * oracle replays the identical integer histogram + ceil(p·n) rank
+    * walk, proving the substituted plan computes exactly the
+    * documented estimate. Width 2^21 cents (~$21k) × 64 buckets covers
+    * order totals to $1.3M with bounded-error quantiles; per-group
+    * state is 64 longs instead of percentile_disc's
+    * every-distinct-value buffer. Sessions opt in globally with
+    * `spark.graft.approxPercentile=true` instead. */
+  def approxPercentile(spark: SparkSession, dir: String): DataFrame = {
+    val width = 1L << 21
+    val exact = Tables.orders(spark, dir)
+      .select(col("o_orderpriority"),
+        expr("cast(round(o_totalprice * 100, 0) as bigint)").as("cents"))
+      .groupBy("o_orderpriority")
+      .agg(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)").as("p50"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY cents)").as("p90"),
+        expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY cents)").as("p99"),
+        count(lit(1)).as("n"))
+    val rewritten = graft.plans.ApproxPercentileRewrite.rewrite(
+      exact.queryExecution.analyzed, width, 64)
+    org.apache.spark.sql.graftbridge.PlanBridge.ofRows(spark, rewritten)
+      .select(col("o_orderpriority"), col("p50").cast("long").as("p50"),
+        col("p90").cast("long").as("p90"), col("p99").cast("long").as("p99"),
+        col("n"))
+  }
+
   /** Partial-sketch roll-up: per (event_type, day) HLL partials merged
     * to per-type totals with hll_union_agg — the incremental-load
     * shape: yesterday's partials are never recomputed. */

@@ -1,0 +1,123 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, PercentileDisc}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types._
+
+/** Boundary-quantile readout over a `hist_sketch` counts array: the
+  * upper boundary `(j + 1) * width` of the first bucket whose
+  * cumulative count reaches `ceil(p * n)` — the same integer estimate
+  * `Sketches.histPercentiles` computes with a window, folded into one
+  * scalar expression so the optimizer can emit it per output column.
+  * Null on an empty histogram (the all-null group percentile_disc
+  * would also return null). Evaluates once per GROUP (post-agg), so
+  * interpreted eval costs nothing measurable against the scan.
+  */
+case class HistQuantile(hist: Expression, percentage: Double, width: Long)
+  extends UnaryExpression with CodegenFallback {
+  override def child: Expression = hist
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "hist_quantile"
+
+  override protected def nullSafeEval(h: Any): Any = {
+    val arr = h.asInstanceOf[ArrayData].toLongArray()
+    var n = 0L
+    var i = 0
+    while (i < arr.length) { n += arr(i); i += 1 }
+    if (n == 0L) null
+    else {
+      // ceil over IEEE doubles: both Spark and the SQL oracle replay
+      // the identical binary64 product, so the target rank matches
+      // bitwise across engines
+      val target = math.max(1L, math.ceil(percentage * n).toLong)
+      var cum = 0L
+      i = 0
+      while (i < arr.length) {
+        cum += arr(i)
+        if (cum >= target) return (i + 1L) * width
+        i += 1
+      }
+      null
+    }
+  }
+
+  override protected def withNewChildInternal(
+    newChild: Expression): HistQuantile = copy(hist = newChild)
+}
+
+/** Optimizer rule: under `spark.graft.approxPercentile=true`, rewrite
+  * exact `percentile_disc(p) WITHIN GROUP (ORDER BY v)` aggregates
+  * over integral columns into the bounded-state `hist_sketch`
+  * boundary-quantile estimate — the percentile twin of
+  * ApproxDistinctRewrite. Exact percentile_disc materializes every
+  * group's values in the aggregation buffer (OpenHashMap state
+  * proportional to the group's distinct values); the rewritten plan
+  * carries exactly `nbuckets` longs per group through partial
+  * aggregation and the shuffle, the only shape that survives
+  * percentiles over 100 TB group-bys. The estimate carries bounded
+  * error `width` (the fixed-histogram trade-off), is deterministic
+  * given the data, and replays bitwise in any engine — so the
+  * substituted plan stays oracle-hashable (q_approx_percentile).
+  *
+  * Fires only on unfiltered, non-distinct, ascending percentile_disc
+  * with a foldable double percentage over an integral child; anything
+  * else (double children, reverse ordering, percentile_cont) keeps
+  * the exact path. Width/bucket-count come from confs; repeated
+  * percentiles of the SAME child share one sketch buffer via the
+  * resultId-preserving cache, exactly like ApproxDistinctRewrite.
+  * Injected via `GraftExtensions.injectOptimizerRule` and the
+  * `experimental.extraOptimizations` runtime hook; `rewrite(plan)`
+  * applies unconditionally for per-plan opt-in.
+  */
+object ApproxPercentileRewrite extends Rule[LogicalPlan] {
+
+  val flagKey = "spark.graft.approxPercentile"
+  val widthKey = "spark.graft.approxPercentile.width"
+  val bucketsKey = "spark.graft.approxPercentile.buckets"
+
+  private def enabled: Boolean =
+    SQLConf.get.getConfString(flagKey, "false").toBoolean
+  private def configuredWidth: Long =
+    SQLConf.get.getConfString(widthKey, "262144").toLong
+  private def configuredBuckets: Int =
+    SQLConf.get.getConfString(bucketsKey, "64").toInt
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!enabled) plan else rewrite(plan, configuredWidth, configuredBuckets)
+
+  private def integral(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType => true
+    case _ => false
+  }
+
+  /** Unconditional rewrite (per-plan opt-in). */
+  def rewrite(plan: LogicalPlan, width: Long = 262144L,
+    buckets: Int = 64): LogicalPlan =
+    plan.transformUp {
+      case agg: Aggregate if agg.resolved =>
+        val shared = scala.collection.mutable.Map.empty[Expression, Expression]
+        val next = agg.aggregateExpressions.map { ne =>
+          ne.transformUp {
+            // the percentage is foldable-double, not Literal(Double):
+            // a SQL `0.5` arrives as a decimal literal under an
+            // analyzer-inserted cast to double
+            case AggregateExpression(
+              pd @ PercentileDisc(c, pe, false, _, _, _), _, false, None, _)
+              if integral(c.dataType) && pe.foldable &&
+                pe.dataType == DoubleType && pe.eval() != null =>
+              val p = pe.eval().asInstanceOf[Double]
+              val sketch = shared.getOrElseUpdate(c.canonicalized,
+                HistSketch(Cast(c, LongType), width, buckets)
+                  .toAggregateExpression())
+              Cast(HistQuantile(sketch, p, width), pd.dataType)
+          }.asInstanceOf[NamedExpression]
+        }
+        agg.copy(aggregateExpressions = next)
+    }
+}

@@ -32,13 +32,33 @@ object ConnectSmokeMain {
         // "typed:media" exercises the typed Dataset path (encoders +
         // mapPartitions lambda shipped to the server) instead of a
         // SparkEntry query
-        val rows =
-          if (n == "typed:media")
-            graft.operators.Media.byteHistogram(spark,
-              graft.operators.Media.mediaTable(spark, sfDir).limit(20))
-              .collect().length
-          else SparkEntry.queries(n)(spark, sfDir).collect().length
-        println(s"CONNECT_OK $n $rows")
+        // "kernel:*" queries exercise graft's native Catalyst
+        // expressions server-side — they resolve only when the server
+        // session was built with
+        // spark.sql.extensions=graft.functions.GraftExtensions; the
+        // deterministic checksum after the row count lets the spec
+        // assert value equality against the classic session
+        if (n == "kernel:simhash") {
+          val r = spark.read.parquet(s"$sfDir/documents.parquet")
+            .selectExpr(
+              "sum(cast(conv(simhash32(split(lower(text), ' ')), 2, 10) as bigint)) AS s",
+              "count(*) AS n").collect()(0)
+          println(s"CONNECT_OK $n 1 ${r.getLong(0)}:${r.getLong(1)}")
+        } else if (n == "kernel:kmv") {
+          val r = spark.read.parquet(s"$sfDir/documents.parquet")
+            .selectExpr(
+              "cast(floor(kmv_uniq(md5(cast(text as binary)), 256).est) as bigint) AS u")
+            .collect()(0)
+          println(s"CONNECT_OK $n 1 ${r.getLong(0)}")
+        } else {
+          val rows =
+            if (n == "typed:media")
+              graft.operators.Media.byteHistogram(spark,
+                graft.operators.Media.mediaTable(spark, sfDir).limit(20))
+                .collect().length
+            else SparkEntry.queries(n)(spark, sfDir).collect().length
+          println(s"CONNECT_OK $n $rows")
+        }
       } catch {
         case e: Throwable =>
           failed = true

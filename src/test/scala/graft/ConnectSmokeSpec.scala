@@ -12,22 +12,28 @@ package graft
   * The typed Dataset path (encoders + a mapPartitions lambda shipped
   * to the server) is exercised too, via Media.byteHistogram.
   *
+  * Graft kernel functions (kmv_uniq, simhash32, …) resolve over
+  * Connect because the test context carries
+  * spark.sql.extensions=graft.functions.GraftExtensions in its
+  * SparkConf (SparkSpec) — a Connect session is fresh server-side, so
+  * the extensions conf at SERVER launch is the only registration that
+  * reaches it; the kernel:* queries below prove it with value-level
+  * checks against the classic session.
+  *
   * Known incompatibilities (documented, not smoke-tested): operators
   * that drop to RDDs (Pipe, connected components' rebase, SeqFile RDD
   * reader, DistCopy) and the PlanBridge-backed native LshTopKJoin need
-  * the classic session; graft kernel functions (kmv_uniq, simhash32,
-  * …) resolve over Connect only when the SERVER was launched with
-  * spark.sql.extensions=graft.functions.GraftExtensions, since a
-  * Connect session is fresh server-side and runtime registration
-  * can't reach it.
+  * the classic session.
   */
 class ConnectSmokeSpec extends SparkSpec {
 
   // standard-function queries: aggregation, star join, window family,
-  // rollup, text explode — no graft kernels, no RDDs
+  // rollup, text explode — plus the graft kernel expressions, which
+  // exercise the server-side extensions injection
   private val representative =
     Seq("q1_agg", "q_join_star", "q_window_funcs", "q_rollup", "q_wordcount",
-      "typed:media") // typed Dataset path: encoders + mapPartitions lambda
+      "typed:media", // typed Dataset path: encoders + mapPartitions lambda
+      "kernel:simhash", "kernel:kmv") // native kernels via server extensions
 
   test("representative queries run unmodified through a Connect client JVM") {
     import org.apache.spark.sql.connect.service.SparkConnectService
@@ -56,6 +62,7 @@ class ConnectSmokeSpec extends SparkSpec {
         jar("json4s-jackson-core"), jar("json4s-scalap"),
         jar("jackson-core"), jar("jackson-databind"),
         jar("jackson-annotations"), jar("jackson-module-scala"),
+        jar("paranamer"), // jackson-module-scala ctor-name reflection
         // sql-api (abstract types the library compiles against) comes
         // AFTER the client jar so the client's bundled copies win ties
         jar("spark-sql-api"), jar("spark-unsafe"), jar("antlr4-runtime"),
@@ -83,13 +90,31 @@ class ConnectSmokeSpec extends SparkSpec {
         assert(out.contains(s"CONNECT_OK $n"), s"$n missing from:\n$out")
       }
       // row counts over Connect equal the classic session's
-      representative.filterNot(_.startsWith("typed:")).foreach { n =>
+      representative.filterNot(n =>
+        n.startsWith("typed:") || n.startsWith("kernel:")).foreach { n =>
         val classic = SparkEntry.queries(n)(spark, sfDir).count()
         val connectRows = out.linesIterator
           .find(_.startsWith(s"CONNECT_OK $n "))
           .map(_.split(" ")(2).toLong).get
         assert(connectRows === classic, s"$n row count differs over Connect")
       }
+      // kernel results over Connect equal the classic session's, value
+      // for value (both deterministic expressions)
+      def connectExtra(n: String): String = out.linesIterator
+        .find(_.startsWith(s"CONNECT_OK $n "))
+        .map(_.split(" ")(3)).get
+      graft.functions.GraftFunctions.register(spark)
+      val classicSim = Tables.documents(spark, sfDir)
+        .selectExpr("sum(cast(conv(simhash32(split(lower(text), ' ')), 2, 10) as bigint)) AS s",
+          "count(*) AS n").collect()(0)
+      assert(connectExtra("kernel:simhash") ===
+        s"${classicSim.getLong(0)}:${classicSim.getLong(1)}",
+        "simhash32 over Connect must match classic bit-for-bit")
+      val classicKmv = Tables.documents(spark, sfDir)
+        .selectExpr("cast(floor(kmv_uniq(md5(cast(text as binary)), 256).est) as bigint) AS u")
+        .collect()(0).getLong(0)
+      assert(connectExtra("kernel:kmv") === classicKmv.toString,
+        "kmv_uniq over Connect must match classic bit-for-bit")
     } finally {
       org.apache.spark.sql.connect.service.SparkConnectService.stop(
         scala.None, scala.None)

@@ -96,6 +96,42 @@ class ScaleSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("incremental NEAR-dup: the corpus reaches its only join through a broadcast") {
+    graft.functions.GraftFunctions.register(spark)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = graft.operators.Dedup.incrementalNear(spark, sfDir)
+        .queryExecution.executedPlan
+      val planStr = plan.toString
+      // no sort-merge join anywhere: a corpus-keyed reshuffle would
+      // surface as SMJ on (band, sig) at scale
+      assert(!planStr.contains("SortMergeJoin"),
+        s"the corpus must never reshuffle on LSH keys:\n$planStr")
+      // every join is broadcast; the anti join yields the novel docs
+      assert(planStr.contains("BroadcastHashJoin") &&
+        planStr.contains("LeftSemi") && planStr.contains("LeftAnti"), planStr)
+      // all shuffles carry batch-scale data: each exchange subtree's
+      // scan is the %10=0 batch filter or sits above the semi-filtered
+      // corpus survivors (post-broadcast-join), never a bare corpus scan
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      exchanges.foreach { e =>
+        // plan strings carry expression IDs (doc_id#123L), so match the
+        // ID-free tail of the batch filter
+        val bare = e.collectFirst {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if !e.toString.contains("BroadcastHashJoin") &&
+              !e.toString.contains("% 10) = 0") => f
+        }
+        assert(bare.isEmpty,
+          s"an exchange carries an unfiltered corpus scan:\n$e")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val novel = graft.operators.Dedup.incrementalNear(spark, sfDir)
+    assert(novel.count() > 0, "some batch docs must be novel")
+  }
+
   test("filters and projections reach the parquet scan") {
     val q = Tables.lineitem(spark, sfDir)
       .filter(col("l_shipdate") <= lit("1999-06-30").cast("timestamp"))

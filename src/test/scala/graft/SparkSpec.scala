@@ -13,6 +13,12 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.warehouse.dir",
       java.nio.file.Files.createTempDirectory("graft-wh").toString)
     .config("spark.ui.enabled", "false")
+    // the cluster deployment path: extensions land in the SparkConf, so
+    // EVERY session derived from this context (including the Connect
+    // service's per-client server-side sessions) gets graft's kernel
+    // functions and flag-gated rules — ConnectSmokeSpec proves kernels
+    // resolve over Connect only because of this line
+    .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     .getOrCreate()
 
   val sfDir = "/root/testdata/sf0.001"
