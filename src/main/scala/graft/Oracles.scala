@@ -842,6 +842,24 @@ object Oracles {
       """SELECT doc_id, strlen(text) AS byte_len, substring(md5(text), 1, 8) AS sig,
         |  (strlen(text) + 255) // 256 AS n_chunks
         |FROM documents""".stripMargin,
+
+    // the TxTable change feed: two delta commits (split on the seq
+    // midpoint) replay verbatim with their version tags; the trailing
+    // compaction is content-preserving and contributes NO rows
+    "q_txtable_changes" ->
+      """WITH c AS (SELECT o_custkey AS k,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN 'D'
+        |       WHEN o_orderkey % 3 = 0 THEN 'U' ELSE 'I' END AS op,
+        |  o_totalprice AS v, o_orderkey AS seq FROM orders),
+        |m AS (SELECT max(seq) // 2 AS mid FROM c),
+        |u AS (SELECT k, op, v, seq,
+        |    CASE WHEN seq <= (SELECT mid FROM m) THEN 1 ELSE 2 END AS ver
+        |  FROM c),
+        |w AS (SELECT ver, k, op, v,
+        |  row_number() OVER (PARTITION BY ver, k ORDER BY seq DESC) AS rn
+        |  FROM u)
+        |SELECT k, op, v, cast(ver AS BIGINT) AS commit_version
+        |FROM w WHERE rn = 1""".stripMargin,
   )
 
   val olap: Map[String, String] = Map(

@@ -466,6 +466,120 @@ object TxTable {
     read(spark, root)
   }
 
+  /** Change-data-feed reader: every row-level change committed in
+    * versions (fromV, toV], tagged with `commit_version` and `op`
+    * ('I'/'U'/'D') — the table-format change feed a downstream
+    * incremental consumer tails instead of re-scanning snapshots.
+    *
+    * Cost is the point: commits whose change set was RECORDED replay
+    * at O(changed rows) — a `delta` commit's dir IS its change set
+    * (read verbatim), an `append` commit's new dirs are all-'I', and a
+    * `compact` commit is content-preserving (emits nothing) — so
+    * tailing a continuously-loaded 100 TB table costs the deltas, not
+    * the table. Only commits that REPLACED content without recording
+    * what changed (`merge`/`overwrite` on a keyed table) fall back to
+    * a keyed full-outer snapshot diff — inherently O(table), kept off
+    * the steady-state mergeDelta path and impossible for un-keyed
+    * overwrites (no row identity to diff on ⇒ IllegalArgumentException
+    * rather than a made-up feed). */
+  def changes(spark: SparkSession, root: String, fromV: Int = 0,
+    toV: Int = -1): DataFrame = {
+    val (fs, rp) = fsFor(spark, root)
+    val hi = if (toV >= 0) toV else latestVersion(spark, root)
+    require(fromV >= 0 && hi >= fromV,
+      s"txtable: bad change range ($fromV, $hi]")
+    val frames = ((fromV + 1) to hi).flatMap { v =>
+      val op = readFileUtf8(fs, commitPath(rp, v)).split("\n")
+        .find(_.startsWith("op:")).map(_.drop(3)).getOrElse("?")
+      val prevDirs = snapshotDirs(fs, rp, v - 1).toSet
+      val newEntries = snapshotEntries(fs, rp, v)
+        .filterNot(e => prevDirs(e.dir))
+      def dirDf(e: Entry) = spark.read.parquet(new Path(rp, e.dir).toString)
+      val batch: Seq[DataFrame] = op match {
+        case "compact" => Seq.empty // same content, new layout
+        case "delta" => newEntries.map(dirDf) // (key..., op, value...)
+        case "append" => newEntries.map(e => dirDf(e).withColumn("op", lit("I")))
+        case "merge" | "overwrite" =>
+          val keys = snapshotKeys(fs, rp, v).getOrElse(
+            throw new IllegalArgumentException(
+              s"txtable: v$v of $root replaced content without a key " +
+                "declaration - no row identity to derive a change feed from"))
+          val cur = read(spark, root, v)
+          val prev =
+            if (v - 1 > 0) read(spark, root, v - 1)
+            else cur.filter(lit(false))
+          Seq(snapshotDiff(prev, cur, keys))
+        case other =>
+          throw new IllegalStateException(s"txtable: unknown op '$other'")
+      }
+      batch.map(_.withColumn("commit_version", lit(v.toLong)))
+    }
+    if (frames.isEmpty) {
+      // empty range over a live table: empty frame in the feed's schema
+      val schemaDf = read(spark, root, hi)
+      return schemaDf.withColumn("op", lit("I"))
+        .withColumn("commit_version", lit(0L)).filter(lit(false))
+    }
+    frames.reduce(_.unionByName(_, allowMissingColumns = false))
+  }
+
+  /** I/U/D rows turning `prev` into `cur`, by key: keys only in `cur`
+    * are inserts, only in `prev` deletes (values as last seen), in
+    * both with any value change updates. The unavoidable O(table)
+    * shape behind `changes` for replace-style commits. */
+  private def snapshotDiff(prev: DataFrame, cur: DataFrame,
+    keyCols: Seq[String]): DataFrame = {
+    val valueCols = cur.columns.filterNot(keyCols.contains).toSeq
+    val p = prev.select(keyCols.map(col) ++
+      valueCols.map(c => col(c).as(s"_p_$c")) :+ lit(true).as("_in_p"): _*)
+    val c = cur.select(keyCols.map(col) ++
+      valueCols.map(col) :+ lit(true).as("_in_c"): _*)
+    c.join(p, keyCols, "full_outer")
+      .withColumn("op",
+        when(col("_in_p").isNull, lit("I"))
+          .when(col("_in_c").isNull, lit("D"))
+          .when(valueCols.map(v => !(col(v) <=> col(s"_p_$v")))
+            .reduceOption(_ || _).getOrElse(lit(false)), lit("U")))
+      .filter(col("op").isNotNull)
+      .select(keyCols.map(col) ++ Seq(col("op")) ++
+        valueCols.map(v => coalesce(col(v), col(s"_p_$v")).as(v)): _*)
+  }
+
+  /** Oracle-gated change-feed exercise (q_txtable_changes): the same
+    * deterministic orders-derived stream as `cdcGateQuery`, committed
+    * as two merge-on-read delta batches plus a compaction, then read
+    * back through `changes(0)` — proving the feed replays exactly the
+    * recorded per-batch resolved change sets (compaction contributes
+    * nothing). The DuckDB oracle recomputes both batches'
+    * latest-per-key windows with their version tags. */
+  def changesGateQuery(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      s"graft-txfeed-${math.abs(dir.hashCode)}").toString
+    val rootFile = new java.io.File(root)
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmTree))
+      f.delete(); ()
+    }
+    rmTree(rootFile)
+    if (cleanupRegistered.add(root)) sys.addShutdownHook(rmTree(rootFile))
+    val changeRows = graft.Tables.orders(spark, dir).select(
+      col("o_custkey").as("k"),
+      expr("CASE WHEN o_orderkey % 10 = 0 THEN 'D' " +
+        "WHEN o_orderkey % 3 = 0 THEN 'U' ELSE 'I' END").as("op"),
+      col("o_totalprice").as("v"),
+      col("o_orderkey").as("seq"))
+    val midRow = changeRows.agg(max("seq")).collect()(0)
+    if (midRow.isNullAt(0))
+      return changeRows.select("k", "op", "v")
+        .withColumn("commit_version", lit(0L)).filter(lit(false))
+    val mid = midRow.getLong(0) / 2
+    mergeDelta(spark, root, changeRows.filter(col("seq") <= mid))
+    mergeDelta(spark, root, changeRows.filter(col("seq") > mid))
+    compactSnapshot(spark, root)
+    changes(spark, root)
+  }
+
   /** Drop data directories not referenced by the latest `retainLast`
     * snapshots, then drop the commit files older than that horizon.
     * Time travel remains valid inside the horizon. */

@@ -300,6 +300,52 @@ class TxTableSpec extends SparkSpec {
       Seq((90L, 999.0)))
   }
 
+  test("change feed: recorded commits replay O(batch); compaction emits nothing") {
+    import spark.implicits._
+    val root = tmpDir() + "/tx-feed"
+    TxTable.append(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"), root) // v1
+    TxTable.mergeDelta(spark, root, Seq((2L, "U", 25.0, 1L), (3L, "I", 30.0, 2L))
+      .toDF("k", "op", "v", "seq"))                                  // v2
+    TxTable.compactSnapshot(spark, root)                             // v3
+    val feed = TxTable.changes(spark, root)
+      .select("commit_version", "op", "k", "v").as[(Long, String, Long, Double)]
+      .collect().toSet
+    assert(feed === Set(
+      (1L, "I", 1L, 10.0), (1L, "I", 2L, 20.0),  // append => inserts
+      (2L, "U", 2L, 25.0), (2L, "I", 3L, 30.0))) // delta replayed verbatim
+    // tail from a checkpoint: only the delta batch
+    assert(TxTable.changes(spark, root, fromV = 1, toV = 2)
+      .select("k").as[Long].collect().toSet === Set(2L, 3L))
+    // empty range over a live table: empty frame, feed schema intact
+    val empty = TxTable.changes(spark, root, fromV = 3)
+    assert(empty.columns.contains("commit_version") && empty.count() === 0)
+  }
+
+  test("change feed: replace-style commits fall back to a keyed snapshot diff") {
+    import spark.implicits._
+    val root = tmpDir() + "/tx-feed-diff"
+    TxTable.merge(spark, root,
+      Seq((1L, "I", 10.0, 1L), (2L, "I", 20.0, 2L)).toDF("k", "op", "v", "seq")) // v1
+    TxTable.merge(spark, root,
+      Seq((1L, "U", 11.0, 3L), (2L, "D", 0.0, 4L), (3L, "I", 30.0, 5L))
+        .toDF("k", "op", "v", "seq"))                                            // v2
+    val feed = TxTable.changes(spark, root)
+      .select("commit_version", "op", "k", "v").as[(Long, String, Long, Double)]
+      .collect().toSet
+    // v1 diffs against empty => all inserts; v2's diff recovers U/D/I
+    // (the 'D' carries the last-seen value)
+    assert(feed === Set(
+      (1L, "I", 1L, 10.0), (1L, "I", 2L, 20.0),
+      (2L, "U", 1L, 11.0), (2L, "D", 2L, 20.0), (2L, "I", 3L, 30.0)))
+    // an un-keyed overwrite has no row identity to diff on
+    val root2 = tmpDir() + "/tx-feed-unkeyed"
+    TxTable.append(Seq((1L, 1.0)).toDF("k", "v"), root2)
+    TxTable.overwrite(Seq((9L, 9.0)).toDF("k", "v"), root2)
+    intercept[IllegalArgumentException] {
+      TxTable.changes(spark, root2).collect()
+    }
+  }
+
   test("streaming upsert into the transactional table equals the plain-parquet upsert") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
