@@ -522,6 +522,29 @@ object Oracles {
          |    row_number() OVER (PARTITION BY probe_id ORDER BY dot / (sqrt(n2a) * sqrt(n2b)) DESC, nbr_id) rk
          |  FROM p) t WHERE rk <= 5""".stripMargin,
 
+    // int8 symmetric quantization: per-vector scale max|x|/127 cancels
+    // in cosine, so ranking is pure integer dots over the 1-byte codes
+    "q_ann_int8" ->
+      """WITH mx AS (SELECT vec_id,
+        |  list_max(list_transform(embedding, x -> abs(cast(x AS DOUBLE)))) mx,
+        |  embedding FROM embeddings),
+        |c AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CASE WHEN mx = 0 THEN 0
+        |    ELSE cast(round(cast(x AS DOUBLE) * 127.0 / mx, 0) AS BIGINT) END) q
+        |  FROM mx),
+        |n AS (SELECT vec_id, q,
+        |  list_dot_product(list_transform(q, x -> cast(x AS DOUBLE)),
+        |                   list_transform(q, x -> cast(x AS DOUBLE))) n2 FROM c),
+        |p AS (SELECT a.vec_id probe_id, b.vec_id nbr_id,
+        |      list_dot_product(list_transform(a.q, x -> cast(x AS DOUBLE)),
+        |                       list_transform(b.q, x -> cast(x AS DOUBLE))) dot,
+        |      a.n2 n2a, b.n2 n2b
+        |      FROM n a JOIN n b ON a.vec_id < 5 AND b.vec_id <> a.vec_id)
+        |SELECT probe_id, rk, nbr_id, cos FROM (
+        |  SELECT probe_id, nbr_id, dot / (sqrt(n2a) * sqrt(n2b)) cos,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY dot / (sqrt(n2a) * sqrt(n2b)) DESC, nbr_id) rk
+        |  FROM p) t WHERE rk <= 5""".stripMargin,
+
     "q_ann_lsh" ->
       s"""$quantCte,
          |ex AS (SELECT vec_id, unnest(q) e, generate_subscripts(q, 1) i FROM q),

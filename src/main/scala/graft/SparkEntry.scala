@@ -82,6 +82,7 @@ object SparkEntry {
     // similarity / ANN (§2.6)
     "q_dedup_embedding" -> (Similarity.embeddingNearDup _),
     "q_ann_bruteforce" -> ((s: SparkSession, d: String) => Similarity.annBruteForce(s, d)),
+    "q_ann_int8" -> ((s: SparkSession, d: String) => Similarity.annInt8(s, d)),
     "q_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
     "q_ann_lsh_native" -> ((s: SparkSession, d: String) => Similarity.annLshNative(s, d)),
     "q_ann_recall" -> ((s: SparkSession, d: String) => Similarity.annRecall(s, d)),

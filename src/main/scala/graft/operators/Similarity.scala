@@ -71,6 +71,46 @@ object Similarity {
       .select("probe_id", "rk", "nbr_id", "cos")
   }
 
+  /** Per-vector symmetric int8 quantization: scale = max|x|/127,
+    * code_j = round(x_j/scale) ∈ [-127, 127] — the 4× memory cut
+    * (float32 → 1 byte/dim at rest) that makes a 10^11-vector corpus
+    * fit a fleet's RAM. Codes are carried as longs here purely to feed
+    * the codegen `array_dot_long` kernel; their VALUES are int8. The
+    * per-vector scale cancels in cosine (dot·sa·sb over norms·sa·sb),
+    * so int8 search needs no scale column at all and stays exactly as
+    * deterministic as the full-precision path: pure integer dots.
+    * Zero vectors code to all-zero (no divide-by-null). */
+  def int8Codes(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        expr("aggregate(embedding, cast(0.0 as double), " +
+          "(m, x) -> greatest(m, abs(cast(x as double))))").as("mx"))
+      .withColumn("q", expr("transform(embedding, x -> cast(" +
+        "CASE WHEN mx = 0.0 THEN 0 " +
+        "ELSE round(cast(x as double) * 127.0 / mx, 0) END as bigint))"))
+      .withColumn("n2", expr("array_dot_long(q, q)"))
+      .select("vec_id", "label", "q", "n2")
+  }
+
+  /** Brute-force top-k over int8 codes — the quantized twin of
+    * `annBruteForce`, same broadcast-probe shape, scoring on 1-byte
+    * codes. AnnSpec holds its recall@k against the full-precision
+    * ranking; the oracle replays the identical quantize + rank. */
+  def annInt8(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val q = int8Codes(spark, dir)
+    val probes = q.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("q").as("qa"), col("n2").as("n2a"))
+    val corpus = q.select(col("vec_id").as("nbr_id"), col("q").as("qb"), col("n2").as("n2b"))
+    val scored = broadcast(probes).crossJoin(corpus)
+      .filter(col("probe_id") =!= col("nbr_id"))
+      .withColumn("dot", expr("array_dot_long(qa, qb)"))
+      .select(col("probe_id"), col("nbr_id"), expr(cosExpr).as("cos"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("nbr_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select("probe_id", "rk", "nbr_id", "cos")
+  }
+
   /** Lloyd's k-means over the quantized vectors — the training job the
     * IVF codebook stands in for. Each iteration is one broadcast
     * nearest-centroid assignment (k×N integer dots, map-side only)
