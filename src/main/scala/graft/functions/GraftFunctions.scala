@@ -59,6 +59,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "hist_sketch", graft.plans.HistSketch.builder, "built-in")
     reg.createOrReplaceTempFunction(
+      "hist_quantile", graft.plans.HistQuantile.builder, "built-in")
+    reg.createOrReplaceTempFunction(
       "cms_sketch", graft.plans.CmsSketch.builder, "built-in")
     reg.createOrReplaceTempFunction(
       "mg_topk", graft.plans.MgTopK.builder, "built-in")
@@ -105,6 +107,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.plans.KmvUniq.setInfo, graft.plans.KmvUniq.setBuilder))
     ext.injectFunction((FunctionIdentifier("hist_sketch"),
       graft.plans.HistSketch.info, graft.plans.HistSketch.builder))
+    ext.injectFunction((FunctionIdentifier("hist_quantile"),
+      graft.plans.HistQuantile.info, graft.plans.HistQuantile.builder))
     ext.injectFunction((FunctionIdentifier("cms_sketch"),
       graft.plans.CmsSketch.info, graft.plans.CmsSketch.builder))
     ext.injectFunction((FunctionIdentifier("mg_topk"),

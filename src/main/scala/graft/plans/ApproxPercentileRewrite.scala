@@ -51,6 +51,38 @@ case class HistQuantile(hist: Expression, percentage: Double, width: Long)
     newChild: Expression): HistQuantile = copy(hist = newChild)
 }
 
+/** SQL surface for the readout: `hist_quantile(hist, p, width)` over a
+  * stored/streamed `hist_sketch` array — the roll-up path where
+  * per-partition sketch partials persist and percentile estimates are
+  * read out later (or continuously, from a streaming windowed agg)
+  * without touching raw data again. */
+object HistQuantile {
+  val info = new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+    classOf[HistQuantile].getName, "hist_quantile")
+  private def asDouble(e: Expression): Double = e.eval() match {
+    case d: Double => d
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
+    case f: Float => f.toDouble
+    case n: Number => n.doubleValue()
+    case other => throw new IllegalArgumentException(
+      s"hist_quantile: non-numeric percentage $other")
+  }
+  private def asLong(e: Expression): Long = e.eval() match {
+    case l: Long => l
+    case i: Int => i.toLong
+    case d: org.apache.spark.sql.types.Decimal => d.toLong
+    case other => throw new IllegalArgumentException(
+      s"hist_quantile: non-integral width $other")
+  }
+  val builder: Seq[Expression] => Expression = {
+    case Seq(h, p, w) if p.foldable && w.foldable =>
+      HistQuantile(h, asDouble(p), asLong(w))
+    case other => throw new IllegalArgumentException(
+      "hist_quantile expects (hist, foldable percentage, foldable width), " +
+        s"got ${other.size} args")
+  }
+}
+
 /** Optimizer rule: under `spark.graft.approxPercentile=true`, rewrite
   * exact `percentile_disc(p) WITHIN GROUP (ORDER BY v)` aggregates
   * over integral columns into the bounded-state `hist_sketch`

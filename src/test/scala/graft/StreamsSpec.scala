@@ -254,4 +254,36 @@ class StreamsSpec extends SparkSpec {
     val est2 = spark.table("kmv").collect()(0).getDouble(1)
     assert(est2 >= est1 * 0.8, s"est should not collapse: $est1 -> $est2")
   }
+
+  test("windowed percentile sketch streams: hist_sketch + hist_quantile readout match batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // cents in [100, 12000): several 4096-wide buckets per window
+    val events = (1 to 200).map(i => Streams.Event(
+      i.toLong, Timestamp.valueOf(f"2024-01-01 00:${i % 30}%02d:00"),
+      i.toLong, "buy", (i * 60 % 12000 + 100).toDouble))
+    val input = MemoryStream[Streams.Event]
+    input.addData(events: _*)
+    def sketchAgg(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("cents", expr("cast(round(value, 0) as bigint)"))
+      .groupBy(window(col("ts"), "10 minutes").as("w"))
+      .agg(expr("hist_sketch(cents, 4096L, 8)").as("hist"))
+      .selectExpr("date_format(w.start, 'yyyy-MM-dd HH:mm:ss') AS wstart",
+        "hist_quantile(hist, 0.5, 4096L) AS p50",
+        "hist_quantile(hist, 0.9, 4096L) AS p90")
+    val q = sketchAgg(input.toDF().withWatermark("ts", "1 hour"))
+      .writeStream.format("memory").queryName("histwin")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("histwin").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val batch = sketchAgg(events.toDF()).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(streamed === batch,
+      "streaming windowed percentile sketches must equal the batch computation")
+    assert(batch.size >= 3, "events should span several windows")
+    assert(batch.values.forall { case (p50, p90) => p50 <= p90 },
+      "quantile readouts must be monotone in p")
+  }
 }
