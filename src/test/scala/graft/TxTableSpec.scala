@@ -363,4 +363,25 @@ class TxTableSpec extends SparkSpec {
     // one committed version per micro-batch — batch-boundary time travel
     assert(TxTable.latestVersion(spark, root) === 2)
   }
+
+  test("a continuously-loaded table is tailable: streaming delta commits replay as the change feed") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val root = tmpDir() + "/tx-stream-feed"
+    val input = MemoryStream[(Long, String, Double, Long)]
+    val changes = input.toDF().toDF("k", "op", "v", "seq")
+    val q = Streams.upsertTxDeltaBatches(changes, root, compactEvery = 0).start()
+    input.addData((1L, "I", 10.0, 1L), (2L, "I", 20.0, 2L))
+    q.processAllAvailable()
+    // a downstream consumer checkpoints at the current version...
+    val checkpoint = TxTable.latestVersion(spark, root)
+    input.addData((1L, "U", 11.0, 3L), (3L, "I", 30.0, 4L))
+    q.processAllAvailable(); q.stop()
+    // ...and tails exactly the micro-batches committed since
+    val tail = TxTable.changes(spark, root, fromV = checkpoint)
+      .select("op", "k", "v").as[(String, Long, Double)].collect().toSet
+    assert(tail === Set(("U", 1L, 11.0), ("I", 3L, 30.0)))
+    // the full feed replays the whole load, version-tagged per batch
+    assert(TxTable.changes(spark, root).count() === 4)
+  }
 }
