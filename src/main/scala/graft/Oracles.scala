@@ -561,6 +561,32 @@ object Oracles {
          |  FROM sc) t WHERE rk <= 3""".stripMargin,
   )
 
+  /** Multi-probe: probe buckets = exact + 8 single-bit flips; the
+    * corpus keeps one bucket per vector so candidates stay unique. */
+  val annMultiProbe: Map[String, String] = Map(
+    "q_ann_multiprobe" ->
+      s"""$quantCte,
+         |ex AS (SELECT vec_id, unnest(q) e, generate_subscripts(q, 1) i FROM q),
+         |sg AS (SELECT vec_id, p, sum(CASE WHEN (instr('0123456789abcdef', substring(md5(p || '_' || i), 1, 1)) - 1) % 2 = 0 THEN e ELSE -e END) d
+         |       FROM ex, (SELECT unnest(generate_series(0, 7)) p) ps GROUP BY 1, 2),
+         |bk AS (SELECT vec_id, string_agg(CASE WHEN d >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) bucket FROM sg GROUP BY 1),
+         |pbk AS (SELECT vec_id, bucket FROM bk WHERE vec_id < 5
+         |        UNION ALL
+         |        SELECT vec_id, substring(bucket, 1, i - 1)
+         |          || CASE WHEN substring(bucket, i, 1) = '1' THEN '0' ELSE '1' END
+         |          || substring(bucket, i + 1)
+         |        FROM bk, (SELECT unnest(generate_series(1, 8)) i) fs
+         |        WHERE vec_id < 5),
+         |cand AS (SELECT pb.vec_id probe_id, cb.vec_id nbr_id
+         |         FROM pbk pb JOIN bk cb ON pb.bucket = cb.bucket AND cb.vec_id <> pb.vec_id),
+         |sc AS (SELECT c.probe_id, c.nbr_id, $dotSql dot, a.n2 n2a, b.n2 n2b
+         |       FROM cand c JOIN n a ON a.vec_id = c.probe_id JOIN n b ON b.vec_id = c.nbr_id)
+         |SELECT probe_id, rk, nbr_id, cos FROM (
+         |  SELECT probe_id, nbr_id, dot / (sqrt(n2a) * sqrt(n2b)) cos,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY dot / (sqrt(n2a) * sqrt(n2b)) DESC, nbr_id) rk
+         |  FROM sc) t WHERE rk <= 3""".stripMargin,
+  )
+
   /** The custom-physical-operator path computes the same relation as
     * q_ann_lsh, so it is checked against the identical oracle. */
   val similarityNative: Map[String, String] = Map(
@@ -1211,6 +1237,7 @@ object Oracles {
   )
 
   def all: Map[String, String] =
-    relational ++ text ++ dedup ++ similarity ++ similarityNative ++ sketches ++
+    relational ++ text ++ dedup ++ similarity ++ annMultiProbe ++
+      similarityNative ++ sketches ++
       annIvf ++ annIvfTrained ++ streamingAndMisc ++ olap
 }

@@ -84,6 +84,7 @@ object SparkEntry {
     "q_ann_bruteforce" -> ((s: SparkSession, d: String) => Similarity.annBruteForce(s, d)),
     "q_ann_int8" -> ((s: SparkSession, d: String) => Similarity.annInt8(s, d)),
     "q_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
+    "q_ann_multiprobe" -> ((s: SparkSession, d: String) => Similarity.annLshMultiProbe(s, d)),
     "q_ann_lsh_native" -> ((s: SparkSession, d: String) => Similarity.annLshNative(s, d)),
     "q_ann_recall" -> ((s: SparkSession, d: String) => Similarity.annRecall(s, d)),
     "q_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),

@@ -275,6 +275,36 @@ object Similarity {
       .select("probe_id", "rk", "nbr_id", "cos")
   }
 
+  /** Multi-probe LSH (Lv et al. 2007): each probe searches its exact
+    * bucket PLUS the 8 single-bit-flip neighbors — the buckets a
+    * near-neighbor most likely fell into when one hyperplane sign
+    * disagreed. Recall rises toward brute force WITHOUT growing the
+    * corpus index (the classic multi-probe trade: more probe lookups
+    * instead of more hash tables). The 9× fan-out is probe-side only —
+    * probes stay broadcast, the corpus still keeps one bucket per
+    * vector and matches each probe through at most one bucket, so
+    * candidates stay duplicate-free with no distinct. */
+  def annLshMultiProbe(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val qb = hyperplaneBuckets(quantized(spark, dir))
+    val probes = qb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("q").as("qa"),
+        col("n2").as("n2a"),
+        explode(expr(
+          "concat(array(bucket), transform(sequence(1, 8), i -> " +
+            "concat(substring(bucket, 1, i - 1), " +
+            "CASE WHEN substring(bucket, i, 1) = '1' THEN '0' ELSE '1' END, " +
+            "substring(bucket, i + 1))))")).as("bucket"))
+    val corpus = qb
+      .select(col("bucket"), col("vec_id").as("nbr_id"), col("q").as("qb"), col("n2").as("n2b"))
+    val scored = broadcast(probes).join(corpus, Seq("bucket"))
+      .filter(col("probe_id") =!= col("nbr_id"))
+      .withColumn("dot", expr("array_dot_long(qa, qb)"))
+      .select(col("probe_id"), col("nbr_id"), expr(cosExpr).as("cos"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("nbr_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select("probe_id", "rk", "nbr_id", "cos")
+  }
+
   /** ANN quality measurement — recall@k of the LSH index against the
     * exact brute-force baseline, per probe. THE tuning loop for any
     * approximate index (bands/hyperplanes/nprobe are chosen by

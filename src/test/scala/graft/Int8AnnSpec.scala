@@ -21,6 +21,21 @@ class Int8AnnSpec extends SparkSpec {
     assert(under === 0L, "symmetric scaling must hit 127 on the max dim")
   }
 
+  test("multi-probe LSH recall dominates single-bucket LSH recall") {
+    def recallOf(approx: org.apache.spark.sql.DataFrame): Double = {
+      val exact = Similarity.annBruteForce(spark, sfDir, k = 3)
+        .select(col("probe_id"), col("nbr_id"))
+      val hits = exact.join(approx.select("probe_id", "nbr_id"),
+        Seq("probe_id", "nbr_id"), "left_semi").count()
+      hits.toDouble / exact.count()
+    }
+    val single = recallOf(Similarity.annLsh(spark, sfDir, k = 3))
+    val multi = recallOf(Similarity.annLshMultiProbe(spark, sfDir, k = 3))
+    // bit-flip probing can only widen each probe's candidate set
+    assert(multi >= single, s"multi-probe $multi < single-bucket $single")
+    assert(multi > 0.0, "multi-probe must find some true neighbors")
+  }
+
   test("int8 recall@5 against full-precision brute force is high") {
     val exact = Similarity.annBruteForce(spark, sfDir, k = 5)
       .select(col("probe_id"), col("nbr_id"))
