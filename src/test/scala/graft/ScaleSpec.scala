@@ -132,6 +132,24 @@ class ScaleSpec extends SparkSpec {
     assert(novel.count() > 0, "some batch docs must be novel")
   }
 
+  test("ANN corpus side never sort-merge-joins: probes broadcast in every variant") {
+    graft.functions.GraftFunctions.register(spark)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      Seq(
+        "int8" -> graft.operators.Similarity.annInt8(spark, sfDir),
+        "multiprobe" -> graft.operators.Similarity.annLshMultiProbe(spark, sfDir)
+      ).foreach { case (name, df) =>
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("SortMergeJoin"),
+          s"$name: the corpus must never reshuffle for the probe join:\n$plan")
+        assert(plan.contains("BroadcastHashJoin") ||
+          plan.contains("BroadcastNestedLoopJoin"),
+          s"$name: probes must broadcast:\n$plan")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("filters and projections reach the parquet scan") {
     val q = Tables.lineitem(spark, sfDir)
       .filter(col("l_shipdate") <= lit("1999-06-30").cast("timestamp"))
