@@ -437,6 +437,17 @@ object Oracles {
          |SELECT DISTINCT b.doc_id FROM bb b
          |JOIN cb ON cb.band = b.band AND cb.sig = b.sig""".stripMargin,
 
+    // the persisted-band-index ingest path must compute the identical
+    // novelty set as the recompute path
+    "q_dedup_incremental_indexed" ->
+      s"""$minhashCte,
+         |cb AS (SELECT DISTINCT band, sig FROM band WHERE doc_id % 10 <> 0),
+         |bb AS (SELECT doc_id, band, sig FROM band WHERE doc_id % 10 = 0)
+         |SELECT DISTINCT doc_id FROM bb
+         |EXCEPT
+         |SELECT DISTINCT b.doc_id FROM bb b
+         |JOIN cb ON cb.band = b.band AND cb.sig = b.sig""".stripMargin,
+
     "q_dedup_minhash_pairs" ->
       s"""$minhashCte
          |SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b

@@ -72,6 +72,7 @@ object SparkEntry {
     "q_dedup_exact" -> (Dedup.exact _),
     "q_dedup_incremental" -> (Dedup.incremental _),
     "q_dedup_incremental_near" -> (Dedup.incrementalNear _),
+    "q_dedup_incremental_indexed" -> (Dedup.incrementalNearIndexed _),
     "q_dedup_minhash" -> (Dedup.minhashBands _),
     "q_dedup_minhash_pairs" -> (Dedup.minhashPairs _),
     "q_dedup_simhash" -> (Dedup.simhash _),

