@@ -156,9 +156,20 @@ object TxTable {
         .parquet(new Path(rp, allEntries.head.dir).toString)
       return schemaDf.filter(lit(false)).drop("op")
     }
-    if (!entries.exists(_.isDelta))
-      rangeFilter(spark.read.parquet(
-        entries.map(e => new Path(rp, e.dir).toString): _*))
+    if (!entries.exists(_.isDelta)) {
+      // Schema evolution: dirs appended with a widened schema resolve
+      // by name, missing columns null-filled. The common case (all
+      // dirs share one schema) keeps the single multi-path scan — one
+      // FileSourceScan over every dir, no per-dir union overhead; the
+      // schema probe reads footers only (driver-side metadata).
+      val paths = entries.map(e => new Path(rp, e.dir).toString)
+      val schemas = paths.map(p => spark.read.parquet(p).schema)
+      if (schemas.distinct.size == 1)
+        rangeFilter(spark.read.parquet(paths: _*))
+      else
+        rangeFilter(paths.map(spark.read.parquet(_))
+          .reduce(_.unionByName(_, allowMissingColumns = true)))
+    }
     else {
       // Merge-on-read, scale-safe: the base (the dirs committed before
       // any delta — after compaction, exactly one) is 100 TB-class and

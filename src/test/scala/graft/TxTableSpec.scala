@@ -364,6 +364,28 @@ class TxTableSpec extends SparkSpec {
     assert(TxTable.latestVersion(spark, root) === 2)
   }
 
+  test("schema evolution: a widened append reads back by name, old rows null-filled") {
+    import spark.implicits._
+    val root = tmpDir() + "/tx-evolve"
+    TxTable.append(Seq((1L, 10.0)).toDF("k", "v"), root)
+    TxTable.append(Seq((2L, 20.0, "eu")).toDF("k", "v", "region"), root)
+    val now = TxTable.read(spark, root)
+    assert(now.columns.toSet === Set("k", "v", "region"))
+    val rows = now.collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[String]("region"))).toMap
+    assert(rows === Map(1L -> None, 2L -> Some("eu")))
+    // time travel predates the widening: original schema untouched
+    assert(TxTable.read(spark, root, version = 1).columns.toSet === Set("k", "v"))
+    // same-schema tables keep the single multi-path scan (no union in
+    // the plan — one scan node reads both dirs)
+    val root2 = tmpDir() + "/tx-flat"
+    TxTable.append(Seq((1L, 1.0)).toDF("k", "v"), root2)
+    TxTable.append(Seq((2L, 2.0)).toDF("k", "v"), root2)
+    val flat = TxTable.read(spark, root2)
+    assert(!flat.queryExecution.executedPlan.toString.contains("Union"))
+    assert(flat.count() === 2)
+  }
+
   test("a continuously-loaded table is tailable: streaming delta commits replay as the change feed") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
