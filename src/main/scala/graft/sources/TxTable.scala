@@ -231,6 +231,23 @@ object TxTable {
   def exists(spark: SparkSession, root: String): Boolean =
     latestVersion(spark, root) > 0
 
+  /** Timestamp time travel: the snapshot as of wall-clock `tsMillis` —
+    * the highest version whose commit file was CREATED at or before
+    * it. Commit files are written exactly once (the atomic claim), so
+    * their modification time IS the commit time; an as-of read costs
+    * one directory listing, no data I/O beyond the chosen snapshot. */
+  def readAsOf(spark: SparkSession, root: String, tsMillis: Long,
+    keyRange: Option[(Long, Long)] = None): DataFrame = {
+    val (fs, rp) = fsFor(spark, root)
+    val v = (1 to latestVersion(spark, root))
+      .filter(vv => fs.getFileStatus(commitPath(rp, vv))
+        .getModificationTime <= tsMillis)
+      .foldLeft(0)(math.max)
+    require(v > 0,
+      s"txtable: no snapshot of $root existed at epoch-millis $tsMillis")
+    read(spark, root, version = v, keyRange = keyRange)
+  }
+
   /** Commit history: version, operation, data-dir count. */
   def history(spark: SparkSession, root: String): Seq[(Int, String, Int)] = {
     val (fs, rp) = fsFor(spark, root)

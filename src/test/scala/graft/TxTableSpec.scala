@@ -364,6 +364,20 @@ class TxTableSpec extends SparkSpec {
     assert(TxTable.latestVersion(spark, root) === 2)
   }
 
+  test("timestamp time travel: readAsOf picks the last commit at or before the instant") {
+    import spark.implicits._
+    val root = tmpDir() + "/tx-asof"
+    TxTable.append(Seq((1L, 1.0)).toDF("k", "v"), root)
+    val afterV1 = System.currentTimeMillis()
+    Thread.sleep(1100) // commit mtimes are second-granular on some filesystems
+    TxTable.append(Seq((2L, 2.0)).toDF("k", "v"), root)
+    assert(TxTable.readAsOf(spark, root, afterV1).count() === 1)
+    assert(TxTable.readAsOf(spark, root, System.currentTimeMillis()).count() === 2)
+    intercept[IllegalArgumentException] {
+      TxTable.readAsOf(spark, root, afterV1 - 3600000L)
+    }
+  }
+
   test("schema evolution: a widened append reads back by name, old rows null-filled") {
     import spark.implicits._
     val root = tmpDir() + "/tx-evolve"
