@@ -416,21 +416,37 @@ object TxTable {
     * stays bounded. The delta dir is written once; only the cheap
     * commit claim retries under contention. */
   def mergeDelta(spark: SparkSession, root: String, changes: DataFrame,
-    keyCols: Seq[String] = Seq("k")): Int = {
-    val (latest, _) = resolveLatest(changes, keyCols)
+    keyCols: Seq[String] = Seq("k"), batchId: Option[Long] = None): Int = {
     val (fs, rp) = fsFor(spark, root)
+    // Exactly-once under micro-batch REPLAY: a restarted stream re-runs
+    // its last uncommitted-downstream batch, so a sink that blindly
+    // committed would double-apply it. With `batchId`, a commit whose
+    // latest version already records this id is recognized and skipped
+    // BEFORE writing data — the replayed batch becomes a no-op and the
+    // at-least-once source composes to exactly-once table state.
+    def alreadyApplied(v: Int): Boolean = batchId.exists { id =>
+      v > 0 && readFileUtf8(fs, commitPath(rp, v)).split("\n")
+        .exists(_ == s"batch:$id")
+    }
+    if (alreadyApplied(latestVersion(spark, root)))
+      return latestVersion(spark, root)
+    val (latest, _) = resolveLatest(changes, keyCols)
     val dirName = s"data/delta-${java.util.UUID.randomUUID()}"
     latest.write.mode("overwrite").parquet(new Path(rp, dirName).toString)
     val entry = Entry(isDelta = true, dirName,
       dirStats(spark, rp, dirName, keyCols.headOption))
     commitRetry(spark, root) { prevV =>
+      // a concurrent writer may have landed the same batch between the
+      // pre-check and the claim: re-check against the claim's parent
+      if (alreadyApplied(prevV)) return prevV
       val recorded = snapshotKeys(fs, rp, prevV)
       require(recorded.forall(_ == keyCols),
         s"txtable: $root is keyed on ${recorded.get.mkString(",")}, " +
           s"got ${keyCols.mkString(",")}")
       val prev = snapshotEntries(fs, rp, prevV).map(_.line)
       ("delta",
-        (s"key:${keyCols.mkString(",")}" +: prev) :+ entry.line)
+        (batchId.map(id => s"batch:$id").toSeq ++
+          (s"key:${keyCols.mkString(",")}" +: prev)) :+ entry.line)
     }
   }
 

@@ -111,11 +111,15 @@ object Streams {
     * delta (O(batch), not O(table)) — the ONLY upsert shape that
     * survives a continuous load into a 100 TB table — with a
     * compaction every `compactEvery` batches to fold deltas and keep
-    * read-side resolution bounded. */
+    * read-side resolution bounded. EXACTLY-ONCE: the micro-batch id is
+    * recorded in the commit header, so a replayed batch (restart after
+    * a sink-side failure — foreachBatch is at-least-once) is
+    * recognized and skipped instead of double-applied. */
   def upsertTxDeltaBatches(changes: DataFrame, root: String,
     compactEvery: Int = 10) =
     changes.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
-      graft.sources.TxTable.mergeDelta(batch.sparkSession, root, batch)
+      graft.sources.TxTable.mergeDelta(batch.sparkSession, root, batch,
+        batchId = Some(id))
       if (compactEvery > 0 && (id + 1) % compactEvery == 0)
         graft.sources.TxTable.compactSnapshot(batch.sparkSession, root)
       ()

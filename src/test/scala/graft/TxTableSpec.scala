@@ -364,6 +364,27 @@ class TxTableSpec extends SparkSpec {
     assert(TxTable.latestVersion(spark, root) === 2)
   }
 
+  test("exactly-once: a replayed micro-batch id is skipped, not double-applied") {
+    import spark.implicits._
+    val root = tmpDir() + "/tx-once"
+    val batch = Seq((1L, "I", 10.0, 1L)).toDF("k", "op", "v", "seq")
+    val v1 = TxTable.mergeDelta(spark, root, batch, batchId = Some(7L))
+    // the at-least-once replay: same batch id arrives again
+    val v2 = TxTable.mergeDelta(spark, root, batch, batchId = Some(7L))
+    assert(v1 === 1 && v2 === 1, "replay must return the existing version")
+    assert(TxTable.latestVersion(spark, root) === 1)
+    assert(TxTable.read(spark, root).count() === 1)
+    // the NEXT batch id commits normally
+    val v3 = TxTable.mergeDelta(spark, root,
+      Seq((2L, "I", 20.0, 2L)).toDF("k", "op", "v", "seq"), batchId = Some(8L))
+    assert(v3 === 2 && TxTable.read(spark, root).count() === 2)
+    // batch ids are per-commit, not inherited: replaying id 7 AFTER id
+    // 8 re-applies (only the latest commit guards the replay window,
+    // matching foreachBatch's restart semantics of re-running only the
+    // last uncommitted batch)
+    assert(TxTable.changes(spark, root).count() === 2)
+  }
+
   test("timestamp time travel: readAsOf picks the last commit at or before the instant") {
     import spark.implicits._
     val root = tmpDir() + "/tx-asof"
