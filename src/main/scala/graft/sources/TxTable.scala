@@ -62,29 +62,34 @@ object TxTable {
 
   /** One data-dir entry of a snapshot. `dir` entries hold full rows;
     * `delta` entries hold keyed (key..., op, value...) changes to
-    * resolve at read time (merge-on-read). `stats` is the min/max of
-    * the table's first key column over the dir — recorded at write
-    * time when that column is integral, and used by `read` to prune
-    * directories that cannot contain a requested key range (the
-    * partition-pruning analog for a key-addressed table). */
+    * resolve at read time (merge-on-read). `stats` holds per-column
+    * min/max over the dir (`col=lo:hi` segments) — recorded at write
+    * time for each requested integral column, and used by `read` to
+    * prune directories that cannot intersect a requested range box
+    * (the partition-pruning / file-skipping analog for a
+    * key-addressed table, generalized to any stats column set). */
   private case class Entry(isDelta: Boolean, dir: String,
-    stats: Option[(Long, Long)]) {
+    stats: Map[String, (Long, Long)]) {
     def line: String = {
       val kind = if (isDelta) "delta:" else "dir:"
-      kind + dir + stats.map { case (lo, hi) => s"|$lo|$hi" }.getOrElse("")
+      kind + dir + stats.toSeq.sortBy(_._1)
+        .map { case (c, (lo, hi)) => s"|$c=$lo:$hi" }.mkString
     }
   }
 
+  private val statSeg = """([^=|]+)=(-?\d+):(-?\d+)""".r
   private def parseEntry(l: String): Option[Entry] = {
     val (isDelta, rest) =
       if (l.startsWith("dir:")) (false, l.drop(4))
       else if (l.startsWith("delta:")) (true, l.drop(6))
       else return None
-    rest.split('|') match {
-      case Array(d, lo, hi) => Some(Entry(isDelta, d,
-        scala.util.Try((lo.toLong, hi.toLong)).toOption))
-      case _ => Some(Entry(isDelta, rest.takeWhile(_ != '|'), None))
-    }
+    val parts = rest.split('|')
+    val stats = parts.drop(1).flatMap {
+      case statSeg(c, lo, hi) =>
+        scala.util.Try(c -> (lo.toLong, hi.toLong)).toOption
+      case _ => None
+    }.toMap
+    Some(Entry(isDelta, parts.head, stats))
   }
 
   /** Entries of snapshot `v` in commit order. */
@@ -105,14 +110,17 @@ object TxTable {
     else readFileUtf8(fs, commitPath(root, v)).split("\n")
       .find(_.startsWith("key:")).map(_.drop(4).split(",").toSeq)
 
-  /** The column per-dir stats refer to, for plain (un-keyed) tables
-    * that opted into stats via `append(statsCol = ...)`. Keyed tables
-    * stat their first key column and don't need this header. */
-  private def snapshotStatsCol(fs: FileSystem, root: Path,
-    v: Int): Option[String] =
-    if (v == 0) None
+  /** The columns per-dir stats refer to (comma list; the FIRST is the
+    * default range column `read(keyRange)` addresses), for plain
+    * (un-keyed) tables that opted into stats via
+    * `append(statsCols = ...)`. Keyed tables stat their key columns
+    * and don't need this header. */
+  private def snapshotStatsCols(fs: FileSystem, root: Path,
+    v: Int): Seq[String] =
+    if (v == 0) Seq.empty
     else readFileUtf8(fs, commitPath(root, v)).split("\n")
-      .find(_.startsWith("statscol:")).map(_.drop(9))
+      .find(_.startsWith("statscol:")).map(_.drop(9).split(",").toSeq)
+      .getOrElse(Seq.empty)
 
   private def snapshotDirs(fs: FileSystem, root: Path, v: Int): Seq[String] =
     snapshotEntries(fs, root, v).map(_.dir)
@@ -132,7 +140,8 @@ object TxTable {
     * reason: a change batch whose stats exclude the range cannot
     * affect any row in it. Dirs without stats are never pruned. */
   def read(spark: SparkSession, root: String, version: Int = -1,
-    keyRange: Option[(Long, Long)] = None): DataFrame = {
+    keyRange: Option[(Long, Long)] = None,
+    colRanges: Map[String, (Long, Long)] = Map.empty): DataFrame = {
     val (fs, rp) = fsFor(spark, root)
     val v = if (version >= 0) version else latestVersion(spark, root)
     require(v > 0, s"txtable: no committed snapshot at $root")
@@ -140,16 +149,23 @@ object TxTable {
     require(allEntries.nonEmpty, s"txtable: snapshot v$v of $root is empty")
     val keyCols = snapshotKeys(fs, rp, v)
       .getOrElse(if (allEntries.exists(_.isDelta)) Seq("k") else Seq.empty)
-    val entries = keyRange match {
-      case Some((lo, hi)) => allEntries.filter(_.stats
-        .forall { case (mn, mx) => mx >= lo && mn <= hi })
-      case None => allEntries
-    }
-    val rangeCol = keyCols.headOption.orElse(snapshotStatsCol(fs, rp, v))
-    def rangeFilter(df: DataFrame): DataFrame = (keyRange, rangeCol) match {
-      case (Some((lo, hi)), Some(c)) => df.filter(col(c).between(lo, hi))
-      case _ => df
-    }
+    // the un-named keyRange addresses the table's default range column:
+    // first key col, else the first declared stats col
+    val rangeCol = keyCols.headOption
+      .orElse(snapshotStatsCols(fs, rp, v).headOption)
+    val ranges: Map[String, (Long, Long)] = colRanges ++
+      keyRange.flatMap(r => rangeCol.map(_ -> r))
+    // a dir survives when EVERY named range intersects its recorded
+    // stats for that column (no stats for a column ⇒ can't prune on it)
+    val entries =
+      if (ranges.isEmpty) allEntries
+      else allEntries.filter(e => ranges.forall { case (c, (lo, hi)) =>
+        e.stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
+      })
+    def rangeFilter(df: DataFrame): DataFrame =
+      ranges.foldLeft(df) { case (d, (c, (lo, hi))) =>
+        if (d.columns.contains(c)) d.filter(col(c).between(lo, hi)) else d
+      }
     if (entries.isEmpty) {
       // every dir pruned: empty frame with the table's schema
       val schemaDf = spark.read
@@ -261,46 +277,55 @@ object TxTable {
     }
   }
 
-  /** Min/max of `statsCol` over the just-written dir, for the commit
-    * line. A 1-row aggregate over one immutable dir — with parquet
-    * aggregate pushdown this is a footer read, not a data scan. Only
-    * integral columns are recorded (the stats grammar is two longs);
-    * anything else yields no stats, which just disables pruning. */
+  /** Per-column min/max over the just-written dir, for the commit
+    * line. ONE 1-row aggregate covers every requested column — with
+    * parquet aggregate pushdown this is a footer read, not a data
+    * scan. Only integral columns are recorded (the stats grammar is
+    * two longs per column); anything else yields no stats for that
+    * column, which just disables pruning on it. */
   private def dirStats(spark: SparkSession, rp: Path, dirName: String,
-    statsCol: Option[String]): Option[(Long, Long)] =
-    statsCol.flatMap { c =>
-      val df = spark.read.parquet(new Path(rp, dirName).toString)
-      df.schema.find(_.name == c).map(_.dataType) match {
-        case Some(t) if t == org.apache.spark.sql.types.LongType ||
-          t == org.apache.spark.sql.types.IntegerType ||
-          t == org.apache.spark.sql.types.ShortType =>
-          val r = df.agg(min(col(c)).cast("long"), max(col(c)).cast("long"))
-            .collect()(0)
-          if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))
-        case _ => None
+    statsCols: Seq[String]): Map[String, (Long, Long)] = {
+    if (statsCols.isEmpty) return Map.empty
+    val df = spark.read.parquet(new Path(rp, dirName).toString)
+    val integral = statsCols.distinct.filter { c =>
+      df.schema.find(_.name == c).map(_.dataType).exists {
+        case org.apache.spark.sql.types.LongType |
+          org.apache.spark.sql.types.IntegerType |
+          org.apache.spark.sql.types.ShortType => true
+        case _ => false
       }
     }
+    if (integral.isEmpty) return Map.empty
+    val aggs = integral.flatMap(c =>
+      Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+    val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    integral.zipWithIndex.flatMap { case (c, i) =>
+      if (r.isNullAt(2 * i)) None
+      else Some(c -> (r.getLong(2 * i), r.getLong(2 * i + 1)))
+    }.toMap
+  }
 
   /** Write `df` as a new immutable data dir and commit `dirs(prev) ++
     * [it]` (op = append) or `[it]` (op = overwrite) as the next
-    * version. Retries the atomic claim on conflict. `statsCol` opts an
-    * integral column into per-dir min/max stats for read-side dir
-    * pruning. */
+    * version. Retries the atomic claim on conflict. `statsCols` opts
+    * integral columns into per-dir min/max stats for read-side dir
+    * pruning (the first is `read(keyRange)`'s default range column;
+    * all of them serve `read(colRanges)` box pruning). */
   private def writeAndCommit(df: DataFrame, root: String, op: String,
-    keepPrev: Boolean, statsCol: Option[String] = None): Int = {
+    keepPrev: Boolean, statsCols: Seq[String] = Seq.empty): Int = {
     val spark = df.sparkSession
     val (fs, rp) = fsFor(spark, root)
     val dirName = s"data/$op-${java.util.UUID.randomUUID()}"
     df.write.mode("overwrite").parquet(new Path(rp, dirName).toString)
     val entry = Entry(isDelta = false, dirName,
-      dirStats(spark, rp, dirName, statsCol))
+      dirStats(spark, rp, dirName, statsCols))
     commitRetry(spark, root) { prevV =>
       val prev = if (keepPrev) snapshotLines(fs, rp, prevV) else Seq.empty
-      // record which column the stats describe (carry-forward wins so
-      // one table never mixes stats columns)
+      // record which columns the stats describe (carry-forward wins so
+      // one table never mixes stats declarations)
       val statsHdr =
-        if (prev.exists(_.startsWith("statscol:"))) None
-        else statsCol.map(c => s"statscol:$c")
+        if (prev.exists(_.startsWith("statscol:")) || statsCols.isEmpty) None
+        else Some(s"statscol:${statsCols.mkString(",")}")
       (op, statsHdr.toSeq ++ prev :+ entry.line)
     }
   }
@@ -310,7 +335,10 @@ object TxTable {
     * appending commits. */
   private def snapshotLines(fs: FileSystem, rp: Path, v: Int): Seq[String] =
     snapshotKeys(fs, rp, v).map(ks => s"key:${ks.mkString(",")}").toSeq ++
-      snapshotStatsCol(fs, rp, v).map(c => s"statscol:$c").toSeq ++
+      (snapshotStatsCols(fs, rp, v) match {
+        case Seq() => Seq.empty
+        case cs => Seq(s"statscol:${cs.mkString(",")}")
+      }) ++
       snapshotEntries(fs, rp, v).map(_.line)
 
   /** The optimistic-concurrency loop: build the commit content against
@@ -350,16 +378,17 @@ object TxTable {
   }
 
   /** Append `df` as a new snapshot (previous data retained).
-    * `statsCol` opts an integral column into per-dir min/max stats so
-    * later `read(keyRange = ...)` lookups can prune the dir. */
+    * `statsCols` opts integral columns into per-dir min/max stats so
+    * later `read(keyRange/colRanges = ...)` lookups can prune the
+    * dir (the first column is keyRange's default target). */
   def append(df: DataFrame, root: String,
-    statsCol: Option[String] = None): Int =
-    writeAndCommit(df, root, "append", keepPrev = true, statsCol)
+    statsCols: Seq[String] = Seq.empty): Int =
+    writeAndCommit(df, root, "append", keepPrev = true, statsCols)
 
   /** Replace the table contents with `df` atomically. */
   def overwrite(df: DataFrame, root: String,
-    statsCol: Option[String] = None): Int =
-    writeAndCommit(df, root, "overwrite", keepPrev = false, statsCol)
+    statsCols: Seq[String] = Seq.empty): Int =
+    writeAndCommit(df, root, "overwrite", keepPrev = false, statsCols)
 
   /** Copy-on-write CDC merge — the transactional target of the
     * streaming upsert: `changes` rows (k, op, v, seq) fold into the
@@ -390,7 +419,7 @@ object TxTable {
       merged.write.mode("overwrite").parquet(new Path(rp, dirName).toString)
       ("merge", Seq(s"key:${keyCols.mkString(",")}",
         Entry(isDelta = false, dirName,
-          dirStats(spark, rp, dirName, keyCols.headOption)).line))
+          dirStats(spark, rp, dirName, keyCols)).line))
     }
   }
 
@@ -434,7 +463,7 @@ object TxTable {
     val dirName = s"data/delta-${java.util.UUID.randomUUID()}"
     latest.write.mode("overwrite").parquet(new Path(rp, dirName).toString)
     val entry = Entry(isDelta = true, dirName,
-      dirStats(spark, rp, dirName, keyCols.headOption))
+      dirStats(spark, rp, dirName, keyCols))
     commitRetry(spark, root) { prevV =>
       // a concurrent writer may have landed the same batch between the
       // pre-check and the claim: re-check against the claim's parent
@@ -463,7 +492,7 @@ object TxTable {
       resolved.write.mode("overwrite").parquet(new Path(rp, dirName).toString)
       val keys = snapshotKeys(fs, rp, prevV)
       val entry = Entry(isDelta = false, dirName,
-        dirStats(spark, rp, dirName, keys.flatMap(_.headOption)))
+        dirStats(spark, rp, dirName, keys.getOrElse(Seq.empty)))
       ("compact",
         keys.map(ks => s"key:${ks.mkString(",")}").toSeq :+ entry.line)
     }

@@ -258,11 +258,11 @@ class TxTableSpec extends SparkSpec {
     val root = tmpDir() + "/tx-skip"
     // three appended dirs with disjoint key ranges, stats recorded
     TxTable.append((1L to 100L).map(k => (k, k * 1.0)).toDF("k", "v"),
-      root, statsCol = Some("k"))
+      root, statsCols = Seq("k"))
     TxTable.append((101L to 200L).map(k => (k, k * 1.0)).toDF("k", "v"),
-      root, statsCol = Some("k"))
+      root, statsCols = Seq("k"))
     TxTable.append((201L to 300L).map(k => (k, k * 1.0)).toDF("k", "v"),
-      root, statsCol = Some("k"))
+      root, statsCols = Seq("k"))
     val hit = TxTable.read(spark, root, keyRange = Some((150L, 150L)))
     // pruning is visible in the file listing itself: only the middle
     // dir's files are inputs
@@ -276,6 +276,32 @@ class TxTableSpec extends SparkSpec {
     // an un-statted table never prunes (and still answers)
     val full = TxTable.read(spark, root, keyRange = Some((999L, 999L)))
     assert(full.count() === 0)
+  }
+
+  test("multi-column data skipping: a range box prunes on every statted column") {
+    import spark.implicits._
+    val root = tmpDir() + "/tx-skip-multi"
+    // four dirs tiling a 2-d (k, t) grid; stats recorded for BOTH axes
+    for {
+      (kLo, tLo) <- Seq((0L, 0L), (0L, 100L), (100L, 0L), (100L, 100L))
+    } TxTable.append(
+      (0L until 50L).map(i => (kLo + i, tLo + i, i * 1.0)).toDF("k", "t", "v"),
+      root, statsCols = Seq("k", "t"))
+    // a box touching one tile opens exactly one dir
+    val box = TxTable.read(spark, root,
+      colRanges = Map("k" -> (120L, 130L), "t" -> (120L, 130L)))
+    val dirs = box.inputFiles.map(f =>
+      new java.io.File(new java.net.URI(f)).getParentFile.getName).toSet
+    assert(dirs.size === 1, s"2-d box must prune to one tile, got $dirs")
+    assert(box.collect().map(_.getLong(0)).sorted ===
+      (120L to 130L).toArray)
+    // a one-axis range prunes to that axis's stripe (two tiles)
+    val stripe = TxTable.read(spark, root, colRanges = Map("t" -> (0L, 49L)))
+    val stripeDirs = stripe.inputFiles.map(f =>
+      new java.io.File(new java.net.URI(f)).getParentFile.getName).toSet
+    assert(stripeDirs.size === 2, s"stripe must open two tiles, got $stripeDirs")
+    // keyRange still addresses the FIRST statted column
+    assert(TxTable.read(spark, root, keyRange = Some((10L, 10L))).count() === 2)
   }
 
   test("data skipping composes with merge-on-read: out-of-range deltas are pruned") {
