@@ -304,6 +304,28 @@ class TxTableSpec extends SparkSpec {
     assert(TxTable.read(spark, root, keyRange = Some((10L, 10L))).count() === 2)
   }
 
+  test("z-order layout composes with multi-column skipping: box reads prune most tiles") {
+    import spark.implicits._
+    val root = tmpDir() + "/tx-skip-z"
+    def z(x: Long, y: Long): Long = (0 until 21).map(i =>
+      (((x >> i) % 2) << (2 * i)) + (((y >> i) % 2) << (2 * i + 1))).sum
+    // a 32x32 grid committed as 8 chunks in z-order: every chunk's
+    // bounding box is tight in BOTH axes (a row-major layout would
+    // stripe one axis across every chunk)
+    val pts = (for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y))
+      .sortBy { case (x, y) => z(x, y) }
+    pts.grouped(128).foreach { chunk =>
+      TxTable.append(chunk.toDF("x", "y"), root, statsCols = Seq("x", "y"))
+    }
+    val box = TxTable.read(spark, root,
+      colRanges = Map("x" -> (0L, 7L), "y" -> (0L, 7L)))
+    val dirs = box.inputFiles.map(f =>
+      new java.io.File(new java.net.URI(f)).getParentFile.getName).toSet
+    assert(dirs.size <= 2,
+      s"an 8x8 box over a z-ordered 32x32 grid must prune to <=2 of 8 tiles, got ${dirs.size}")
+    assert(box.count() === 64)
+  }
+
   test("data skipping composes with merge-on-read: out-of-range deltas are pruned") {
     import spark.implicits._
     val root = tmpDir() + "/tx-skip-mor"
