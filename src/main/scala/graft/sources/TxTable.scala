@@ -491,10 +491,15 @@ object TxTable {
       val dirName = s"data/compact-${java.util.UUID.randomUUID()}"
       resolved.write.mode("overwrite").parquet(new Path(rp, dirName).toString)
       val keys = snapshotKeys(fs, rp, prevV)
+      // stats survive compaction: keyed tables stat their keys, plain
+      // tables keep their declared stats columns (and the header)
+      val statsCols = snapshotStatsCols(fs, rp, prevV)
       val entry = Entry(isDelta = false, dirName,
-        dirStats(spark, rp, dirName, keys.getOrElse(Seq.empty)))
+        dirStats(spark, rp, dirName, keys.getOrElse(Seq.empty) ++ statsCols))
       ("compact",
-        keys.map(ks => s"key:${ks.mkString(",")}").toSeq :+ entry.line)
+        keys.map(ks => s"key:${ks.mkString(",")}").toSeq ++
+          (if (statsCols.nonEmpty) Seq(s"statscol:${statsCols.mkString(",")}")
+           else Seq.empty) :+ entry.line)
     }
   }
 

@@ -304,6 +304,25 @@ class TxTableSpec extends SparkSpec {
     assert(TxTable.read(spark, root, keyRange = Some((10L, 10L))).count() === 2)
   }
 
+  test("stats declarations survive compaction of a plain statted table") {
+    import spark.implicits._
+    val root = tmpDir() + "/tx-compact-stats"
+    TxTable.append((1L to 50L).map(k => (k, k * 1.0)).toDF("k", "v"),
+      root, statsCols = Seq("k"))
+    TxTable.append((51L to 100L).map(k => (k, k * 1.0)).toDF("k", "v"),
+      root, statsCols = Seq("k"))
+    TxTable.compactSnapshot(spark, root)
+    // post-compaction appends still prune against the compacted dir
+    TxTable.append((101L to 150L).map(k => (k, k * 1.0)).toDF("k", "v"),
+      root, statsCols = Seq("k"))
+    val probe = TxTable.read(spark, root, keyRange = Some((120L, 120L)))
+    val dirs = probe.inputFiles.map(f =>
+      new java.io.File(new java.net.URI(f)).getParentFile.getName).toSet
+    assert(dirs.forall(_.startsWith("append-")),
+      s"the high-key probe must skip the compacted low-key dir: $dirs")
+    assert(probe.count() === 1)
+  }
+
   test("z-order layout composes with multi-column skipping: box reads prune most tiles") {
     import spark.implicits._
     val root = tmpDir() + "/tx-skip-z"
