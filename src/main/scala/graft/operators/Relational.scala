@@ -352,6 +352,31 @@ object Relational {
       .filter(col("rk") <= k)
   }
 
+  /** WEIGHTED per-group reservoir (Efraimidis–Spirakis A-ES): keep the
+    * k rows with the largest u^(1/w), where u is an md5-derived
+    * uniform in (0,1) — inclusion probability rises with weight w, the
+    * quality-weighted corpus subsampler (sample by quality score,
+    * dedup multiplicity, or importance weight). Deterministic GIVEN
+    * the data: u is a pure function of the row id, so the same rows
+    * survive on every run and partitioning. Spark-side only (the
+    * u^(1/w) key is a libm pow whose last-ulp behavior is not
+    * portable across engines, so this one is spec-tested rather than
+    * oracle-hashed — the UNWEIGHTED reservoir q_reservoir_group
+    * remains the cross-engine-gated variant). Per-group window ⇒
+    * groups × k state, never a global sort. */
+  def weightedReservoirPerGroup(df: DataFrame, groupCol: String,
+    idCol: String, weightCol: String, k: Int): DataFrame = {
+    val hash = graft.Portable.uint32Sql(
+      s"md5(cast(cast($idCol as string) as binary))")
+    // +0.5 keeps u strictly inside (0, 1): u = 0 would tie every
+    // zero-key row, u = 1 would ignore the weight
+    val key = s"power((($hash) + 0.5) / 4294967296.0, " +
+      s"1.0 / cast($weightCol as double))"
+    val w = Window.partitionBy(groupCol)
+      .orderBy(expr(key).desc, col(idCol))
+    df.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
   /** Per-group top-k via rank window — the canonical "sorted reduce
     * values, emit first k" reducer pattern. */
   def topkPerGroup(spark: SparkSession, dir: String): DataFrame = {

@@ -18,6 +18,32 @@ class PropertySpec extends SparkSpec {
       (r.seed, Some(r.retrieve.get))
     }.drop(1).take(n).flatMap(_._2).toSeq
 
+  test("weighted reservoir: deterministic, k-bounded, and weight-respecting") {
+    import spark.implicits._
+    // two groups x 500 docs; in group "a" the first 50 ids carry weight
+    // 50, the rest weight 1 — heavy rows should dominate the sample
+    val rows = (0 until 1000).map { i =>
+      val g = if (i < 500) "a" else "b"
+      val w = if (i % 500 < 50) 50.0 else 1.0
+      (g, i.toLong, w)
+    }
+    val df = rows.toDF("g", "id", "w")
+    def sample() = graft.operators.Relational
+      .weightedReservoirPerGroup(df, "g", "id", "w", k = 25)
+      .select("g", "id").as[(String, Long)].collect().toSet
+    val s1 = sample()
+    // determinism across runs and partitionings
+    val s2 = graft.operators.Relational
+      .weightedReservoirPerGroup(df.repartition(13), "g", "id", "w", k = 25)
+      .select("g", "id").as[(String, Long)].collect().toSet
+    assert(s1 === s2, "the same rows must survive under any partitioning")
+    assert(s1.count(_._1 == "a") === 25 && s1.count(_._1 == "b") === 25)
+    // weight 50 vs 1 at 50-vs-450 population: heavy rows (expected
+    // inclusion ~0.85 each under A-ES) must dominate the 25 survivors
+    val heavy = s1.filter { case (_, id) => id % 500 < 50 }.size
+    assert(heavy >= 30, s"heavy rows must dominate both samples, got $heavy/50")
+  }
+
   test("array_dot_long equals the interpreted lambda on random arrays (nulls, length skews)") {
     graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
