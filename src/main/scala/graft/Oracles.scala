@@ -448,6 +448,35 @@ object Oracles {
          |SELECT DISTINCT b.doc_id FROM bb b
          |JOIN cb ON cb.band = b.band AND cb.sig = b.sig""".stripMargin,
 
+    // the staged cascade: each stage sees only the previous stage's
+    // survivors, so every doc is charged to the cheapest catching stage
+    "q_dedup_cascade" ->
+      s"""$minhashCte,
+         |hx AS (SELECT doc_id, md5(text) h FROM documents),
+         |km AS (SELECT h, min(doc_id) keep_id FROM hx GROUP BY h),
+         |exd AS (SELECT doc_id FROM hx JOIN km USING (h) WHERE doc_id > keep_id),
+         |s1 AS (SELECT doc_id FROM hx JOIN km USING (h) WHERE doc_id = keep_id),
+         |b1 AS (SELECT b.doc_id, b.band, b.sig FROM band b JOIN s1 USING (doc_id)),
+         |nr AS (SELECT DISTINCT a.doc_id FROM b1 a JOIN b1 b
+         |  ON a.band = b.band AND a.sig = b.sig AND b.doc_id < a.doc_id),
+         |s2 AS (SELECT doc_id FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM nr)),
+         |qv AS (SELECT vec_id, label,
+         |  list_transform(embedding, x -> cast(round(cast(x AS DOUBLE) * 1000, 0) AS BIGINT)) q
+         |  FROM embeddings JOIN s2 ON vec_id = doc_id),
+         |nv AS (SELECT vec_id, label, q,
+         |  list_dot_product(list_transform(q, x -> cast(x AS DOUBLE)),
+         |                   list_transform(q, x -> cast(x AS DOUBLE))) n2 FROM qv),
+         |sem AS (SELECT DISTINCT a.vec_id AS doc_id FROM nv a JOIN nv b
+         |  ON a.label = b.label AND b.vec_id < a.vec_id
+         |  WHERE list_dot_product(list_transform(a.q, x -> cast(x AS DOUBLE)),
+         |          list_transform(b.q, x -> cast(x AS DOUBLE)))
+         |        / (sqrt(a.n2) * sqrt(b.n2)) >= 0.35)
+         |SELECT doc_id, 'exact' AS stage FROM exd
+         |UNION ALL SELECT doc_id, 'near' FROM nr
+         |UNION ALL SELECT doc_id, 'semantic' FROM sem
+         |UNION ALL SELECT doc_id, 'keep' FROM s2
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM sem)""".stripMargin,
+
     "q_dedup_minhash_pairs" ->
       s"""$minhashCte
          |SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b

@@ -70,6 +70,7 @@ object SparkEntry {
     "q_bm25" -> ((s: SparkSession, d: String) => TextOps.bm25(s, d)),
     // dedup (§2.6)
     "q_dedup_exact" -> (Dedup.exact _),
+    "q_dedup_cascade" -> ((s: SparkSession, d: String) => Dedup.cascade(s, d)),
     "q_dedup_incremental" -> (Dedup.incremental _),
     "q_dedup_incremental_near" -> (Dedup.incrementalNear _),
     "q_dedup_incremental_indexed" -> (Dedup.incrementalNearIndexed _),

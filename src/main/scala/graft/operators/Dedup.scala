@@ -133,6 +133,54 @@ object Dedup {
   private val indexCleanup =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** The full dedup CASCADE — every production corpus-cleaning
+    * pipeline's shape, as ONE verdict per document: exact content dups
+    * go first (md5 groups, smallest doc_id survives), NEAR-dups are
+    * judged among exact-survivors only (any shared LSH band bucket
+    * with a smaller survivor), then SEMANTIC dups among what remains
+    * (label-blocked integer-cosine ≥ τ against a smaller remaining
+    * doc); everything else is 'keep'. Staging matters: each stage sees
+    * only the previous stage's survivors, so a doc is charged to the
+    * CHEAPEST stage that catches it — exactly how a 100 TB pipeline
+    * orders its passes (hash ≪ minhash ≪ embedding cost). Every stage
+    * is bucket-local or label-blocked (no all-pairs anywhere); all
+    * thresholds integer-deterministic, so the whole cascade is
+    * oracle-gated end-to-end (q_dedup_cascade). */
+  def cascade(spark: SparkSession, dir: String,
+    cosTau: Double = 0.35): DataFrame = {
+    GraftFunctions.register(spark)
+    val hx = Tables.documents(spark, dir)
+      .select(col("doc_id"), expr("md5(cast(text as binary))").as("h"))
+    val keepPerHash = hx.groupBy("h").agg(min("doc_id").as("keep_id"))
+    val tagged = hx.join(keepPerHash, Seq("h"))
+    val exactRemoved = tagged.filter(col("doc_id") > col("keep_id"))
+      .select(col("doc_id"), lit("exact").as("stage"))
+    val s1 = tagged.filter(col("doc_id") === col("keep_id")).select("doc_id")
+    val bands = minhashBands(spark, dir).join(s1, Seq("doc_id"), "left_semi")
+    val nearRemoved = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("b.doc_id") < col("a.doc_id"))
+      .select(col("a.doc_id").as("doc_id")).distinct()
+      .select(col("doc_id"), lit("near").as("stage"))
+    val s2 = s1.join(nearRemoved, Seq("doc_id"), "left_anti")
+    val q = Similarity.quantized(spark, dir)
+      .join(s2, col("vec_id") === col("doc_id"), "left_semi")
+    val semRemoved = q.as("a")
+      .join(q.as("b"),
+        col("a.label") === col("b.label") &&
+          col("b.vec_id") < col("a.vec_id"))
+      .withColumn("dot", expr("array_dot_long(a.q, b.q)"))
+      .filter(expr("cast(dot as double) / " +
+        s"(sqrt(cast(a.n2 as double)) * sqrt(cast(b.n2 as double))) >= $cosTau"))
+      .select(col("a.vec_id").as("doc_id")).distinct()
+      .select(col("doc_id"), lit("semantic").as("stage"))
+    val kept = s2.join(semRemoved, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit("keep").as("stage"))
+    exactRemoved.unionByName(nearRemoved).unionByName(semRemoved)
+      .unionByName(kept)
+  }
+
   /** doc_id → distinct 3-word shingles of the normalized text. */
   def shingles(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
