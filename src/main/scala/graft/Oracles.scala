@@ -812,6 +812,11 @@ object Oracles {
          |  FROM sc) t WHERE rk <= 3""".stripMargin,
   )
 
+  /** The persisted-cell-index search computes the identical relation
+    * as the recompute path, so it shares q_ann_ivf's oracle. */
+  lazy val annIvfIndexed: Map[String, String] =
+    Map("q_ann_ivf_indexed" -> annIvf("q_ann_ivf"))
+
   /** Trained-codebook IVF: Lloyd's iterations are deterministic on the
     * quantized integers (exact sums, one IEEE division per mean,
     * half-away-from-zero rounding in both engines), so training is
@@ -1279,5 +1284,5 @@ object Oracles {
   def all: Map[String, String] =
     relational ++ text ++ dedup ++ similarity ++ annMultiProbe ++
       similarityNative ++ sketches ++
-      annIvf ++ annIvfTrained ++ streamingAndMisc ++ olap
+      annIvf ++ annIvfIndexed ++ annIvfTrained ++ streamingAndMisc ++ olap
 }

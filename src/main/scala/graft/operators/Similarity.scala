@@ -185,6 +185,60 @@ object Similarity {
       .select("probe_id", "rk", "nbr_id", "cos")
   }
 
+  /** IVF with the cell index PERSISTED in the transactional table —
+    * the ANN twin of `Dedup.incrementalNearIndexed`: at 100 TB the
+    * per-vector cell assignment (a k×N dot-product pass over the whole
+    * corpus) is computed once at index-build time and every search
+    * reads the (vec_id, cell) table instead of recomputing it; index
+    * updates ride the same atomic-commit protocol (a new batch's
+    * assignments append; readers never see a torn index). Probe-side
+    * cell ranking is per-query work and stays fresh. Same relation as
+    * `annIvf` — q_ann_ivf_indexed shares its oracle. */
+  def annIvfIndexed(spark: SparkSession, dir: String,
+    k: Int = 3, nprobe: Int = 2): DataFrame = {
+    val root = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      s"graft-ivfindex-${math.abs(dir.hashCode)}").toString
+    val rootFile = new java.io.File(root)
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmTree))
+      f.delete(); ()
+    }
+    rmTree(rootFile)
+    if (ivfCleanup.add(root)) sys.addShutdownHook(rmTree(rootFile))
+    val q = quantized(spark, dir)
+    val cent = q.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("q").as("qc"), col("n2").as("n2c"))
+    def cellRank(vecs: DataFrame, idCol: String) = {
+      val scored = vecs.crossJoin(broadcast(cent))
+        .withColumn("dot", expr(s"array_dot_long(q, qc)"))
+        .select(col(idCol), col("cid"),
+          expr("cast(dot as double) / (sqrt(cast(n2 as double)) * sqrt(cast(n2c as double)))").as("ccos"))
+      val w = Window.partitionBy(idCol).orderBy(col("ccos").desc, col("cid"))
+      scored.withColumn("crn", row_number().over(w))
+    }
+    // index build (in production: once per corpus backfill/batch)
+    graft.sources.TxTable.append(
+      cellRank(q, "vec_id").filter(col("crn") === 1)
+        .select(col("vec_id"), col("cid").as("cell")),
+      root, statsCols = Seq("vec_id"))
+    val assign = graft.sources.TxTable.read(spark, root)
+    val corpus = q.join(assign, "vec_id")
+      .select(col("cell"), col("vec_id").as("nbr_id"), col("q").as("qb"), col("n2").as("n2b"))
+    val probeCells = cellRank(q.filter(col("vec_id") < 5), "vec_id")
+      .filter(col("crn") <= nprobe).select(col("vec_id").as("probe_id"), col("cid").as("cell"))
+    val probes = q.select(col("vec_id").as("probe_id"), col("q").as("qa"), col("n2").as("n2a"))
+    val scored = broadcast(probeCells.join(probes, "probe_id")).join(corpus, Seq("cell"))
+      .filter(col("probe_id") =!= col("nbr_id"))
+      .withColumn("dot", expr("array_dot_long(qa, qb)"))
+      .select(col("probe_id"), col("nbr_id"), expr(cosExpr).as("cos")).distinct()
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("nbr_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select("probe_id", "rk", "nbr_id", "cos")
+  }
+  private val ivfCleanup =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** IVF search over a TRAINED codebook: `trainCentroids`' Lloyd
     * iterations feed the cell structure instead of the first-16
     * stand-in. Cell assignment is euclidean argmin — consistent with
