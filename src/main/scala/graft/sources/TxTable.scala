@@ -209,19 +209,26 @@ object TxTable {
         val keyed = if (e.isDelta) df else df.withColumn("op", lit("U"))
         keyed.withColumn("_cv", lit(i.toLong))
       }
-      // the table's row schema, in delta-commit order (key..., value...)
-      val dataCols = tailParts.head.columns
-        .filterNot(c => c == "op" || c == "_cv").toSeq
-      val keyExprs = keyCols.map(col)
-      val baseParts = baseE.map { case (e, _) =>
+      // the table's row schema: every column any part carries, in
+      // first-seen commit order — a WIDENED delta evolves the schema
+      // by name, and parts predating a column read it as null
+      val basePartsRaw = baseE.map { case (e, _) =>
         rangeFilter(spark.read.parquet(new Path(rp, e.dir).toString))
-          .select(dataCols.map(col): _*)
       }
+      val dataCols = (basePartsRaw ++ tailParts).map(_.columns.toSeq)
+        .reduce((a, b) => a ++ b.filterNot(a.contains))
+        .filterNot(c => c == "op" || c == "_cv")
+      def conform(df: DataFrame, cols: Seq[String]): DataFrame =
+        df.select(cols.map(c =>
+          if (df.columns.contains(c)) col(c)
+          else lit(null).as(c)): _*)
+      val keyExprs = keyCols.map(col)
+      val baseParts = basePartsRaw.map(conform(_, dataCols))
       // >1 base dir (appends never compacted) needs later-dir-wins
       // resolution; the steady-state single compacted base skips it.
       val base =
         if (baseParts.isEmpty)
-          tailParts.head.select(dataCols.map(col): _*).filter(lit(false))
+          conform(tailParts.head, dataCols).filter(lit(false))
         else if (baseParts.size == 1) baseParts.head
         else {
           val wb = Window.partitionBy(keyExprs: _*).orderBy(col("_cv").desc)
@@ -232,7 +239,8 @@ object TxTable {
             .filter(col("_rn") === 1).select(dataCols.map(col): _*)
         }
       val wt = Window.partitionBy(keyExprs: _*).orderBy(col("_cv").desc)
-      val tail = tailParts.reduce(_.unionByName(_))
+      val tail = tailParts.map(conform(_, Seq("op") ++ dataCols ++ Seq("_cv")))
+        .reduce(_.unionByName(_))
         .withColumn("_rn", row_number().over(wt))
         .filter(col("_rn") === 1)
         .select((col("op") +: dataCols.map(col)): _*)

@@ -431,6 +431,29 @@ class TxTableSpec extends SparkSpec {
     assert(TxTable.latestVersion(spark, root) === 2)
   }
 
+  test("MoR schema evolution: a widened delta batch resolves, old rows null-filled") {
+    import spark.implicits._
+    val root = tmpDir() + "/tx-mor-evolve"
+    TxTable.mergeDelta(spark, root,
+      Seq((1L, "I", 10.0, 1L), (2L, "I", 20.0, 2L)).toDF("k", "op", "v", "seq"))
+    // the widened batch adds a `w` column
+    TxTable.mergeDelta(spark, root,
+      Seq((2L, "U", 25.0, "x", 3L), (3L, "I", 30.0, "y", 4L))
+        .toDF("k", "op", "v", "w", "seq"))
+    val t = TxTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), Option(r.getAs[String]("w")))))
+      .toMap
+    assert(t === Map(
+      1L -> ((10.0, None)),         // pre-widening row: w is null
+      2L -> ((25.0, Some("x"))),    // overridden by the widened batch
+      3L -> ((30.0, Some("y")))))
+    // compaction materializes the evolved schema; later reads are flat
+    TxTable.compactSnapshot(spark, root)
+    val tc = TxTable.read(spark, root)
+    assert(tc.columns.toSet === Set("k", "v", "w"))
+    assert(tc.count() === 3)
+  }
+
   test("exactly-once: a replayed micro-batch id is skipped, not double-applied") {
     import spark.implicits._
     val root = tmpDir() + "/tx-once"
