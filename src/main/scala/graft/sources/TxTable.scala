@@ -574,6 +574,13 @@ object TxTable {
     val hi = if (toV >= 0) toV else latestVersion(spark, root)
     require(fromV >= 0 && hi >= fromV,
       s"txtable: bad change range ($fromV, $hi]")
+    // a vacuumed horizon cannot be replayed — fail with the cause, not
+    // a FileNotFoundException three calls deep (v0 needs no file)
+    (math.max(1, fromV) to hi).foreach { v =>
+      require(fs.exists(commitPath(rp, v)),
+        s"txtable: v$v of $root was vacuumed; change replay must start " +
+          "at or after the oldest retained snapshot")
+    }
     val frames = ((fromV + 1) to hi).flatMap { v =>
       val op = readFileUtf8(fs, commitPath(rp, v)).split("\n")
         .find(_.startsWith("op:")).map(_.drop(3)).getOrElse("?")
