@@ -673,6 +673,15 @@ object TxTable {
     changes(spark, root)
   }
 
+  /** SQL face: register the table's CURRENT snapshot (or a pinned
+    * `version`) as a temp view. The view holds the resolved snapshot —
+    * Spark SQL's own snapshot-isolation semantics: queries against it
+    * never see later commits until re-registered, exactly the
+    * repeatable-read behavior a BI session wants. */
+  def registerView(spark: SparkSession, name: String, root: String,
+    version: Int = -1): Unit =
+    read(spark, root, version).createOrReplaceTempView(name)
+
   /** Drop data directories not referenced by the latest `retainLast`
     * snapshots, then drop the commit files older than that horizon.
     * Time travel remains valid inside the horizon. */

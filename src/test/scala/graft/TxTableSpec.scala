@@ -431,6 +431,20 @@ class TxTableSpec extends SparkSpec {
     assert(TxTable.latestVersion(spark, root) === 2)
   }
 
+  test("registerView: SQL queries see the registered snapshot, not later commits") {
+    import spark.implicits._
+    val root = tmpDir() + "/tx-view"
+    TxTable.append(Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"), root)
+    TxTable.registerView(spark, "tx_view_t", root)
+    assert(spark.sql("SELECT sum(k) FROM tx_view_t").collect()(0).getLong(0) === 3L)
+    // a later commit is invisible until re-registration (snapshot read)
+    TxTable.append(Seq((10L, 10.0)).toDF("k", "v"), root)
+    assert(spark.sql("SELECT count(*) FROM tx_view_t").collect()(0).getLong(0) === 2L)
+    TxTable.registerView(spark, "tx_view_t", root)
+    assert(spark.sql("SELECT count(*) FROM tx_view_t").collect()(0).getLong(0) === 3L)
+    spark.catalog.dropTempView("tx_view_t")
+  }
+
   test("MoR schema evolution: a widened delta batch resolves, old rows null-filled") {
     import spark.implicits._
     val root = tmpDir() + "/tx-mor-evolve"
