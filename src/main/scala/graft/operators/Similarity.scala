@@ -185,6 +185,60 @@ object Similarity {
       .select("probe_id", "rk", "nbr_id", "cos")
   }
 
+  /** Product quantization with asymmetric distance (Jégou et al.
+    * 2011): the 64-dim space splits into m=4 16-dim subspaces, each
+    * with its own 16-centroid sub-codebook (deterministic stand-in:
+    * the first 16 vectors' subvectors); every corpus vector encodes to
+    * 4 sub-codes (argmin exact integer euclidean, cid tie-break) —
+    * 4 bytes/vector at rest, the compression step BEYOND int8 that
+    * lets a 10^12-vector corpus keep its index in memory. Search is
+    * ADC: the probe computes one exact distance-squared table to all
+    * 64 sub-centroids (4×16 integer d², map-side vs the broadcast
+    * codebook), and every candidate's approximate distance is the SUM
+    * of 4 table lookups — never a full-vector dot against the corpus.
+    * All distances are EXACT integers over the quantized grid, so
+    * encode, tables, and ranking replay bitwise in any engine
+    * (q_ann_pq is oracle-gated end-to-end). */
+  def annPq(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val q = quantized(spark, dir)
+    val m = 4
+    val sub = 16
+    // (id, s, subvector, its squared norm) for any vector set
+    def subVecs(df: DataFrame, idCol: String): DataFrame = df
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(0, ${m - 1}), s -> " +
+          s"struct(s AS s, slice(q, s * $sub + 1, $sub) AS sv))")).as("x"))
+      .select(col(idCol), col("x.s").as("s"), col("x.sv").as("sv"))
+      .withColumn("n2s", expr("array_dot_long(sv, sv)"))
+    val cent = subVecs(q.filter(col("vec_id") < 16), "vec_id")
+      .select(col("vec_id").as("cid"), col("s"),
+        col("sv").as("cv"), col("n2s").as("n2c"))
+    // encode: per (vector, subspace) the nearest sub-centroid
+    val wEnc = Window.partitionBy("vec_id", "s")
+      .orderBy(col("d2"), col("cid"))
+    val codes = subVecs(q, "vec_id").join(broadcast(cent), Seq("s"))
+      .withColumn("d2",
+        col("n2s") + col("n2c") - lit(2L) * expr("array_dot_long(sv, cv)"))
+      .withColumn("rn", row_number().over(wEnc)).filter(col("rn") === 1)
+      .select(col("vec_id").as("nbr_id"), col("s"), col("cid").as("code"))
+    // ADC tables: probe × all sub-centroids, exact integer d² each
+    val table = subVecs(q.filter(col("vec_id") < 5), "vec_id")
+      .join(broadcast(cent), Seq("s"))
+      .select(col("vec_id").as("probe_id"), col("s"), col("cid"),
+        (col("n2s") + col("n2c") -
+          lit(2L) * expr("array_dot_long(sv, cv)")).as("pd2"))
+    // candidate distance = Σ_s table[s][code[s]] — 4 lookups, no dots
+    val scored = codes
+      .join(broadcast(table),
+        codes("s") === table("s") && codes("code") === table("cid"))
+      .filter(col("probe_id") =!= col("nbr_id"))
+      .groupBy("probe_id", "nbr_id").agg(sum("pd2").as("approx_d2"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("approx_d2"), col("nbr_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select("probe_id", "rk", "nbr_id", "approx_d2")
+  }
+
   /** IVF with the cell index PERSISTED in the transactional table —
     * the ANN twin of `Dedup.incrementalNearIndexed`: at 100 TB the
     * per-vector cell assignment (a k×N dot-product pass over the whole
