@@ -264,6 +264,74 @@ object Media {
       }.toDF("doc_id", "width", "height", "pixels")
   }
 
+  /** Perceptual image hash (aHash): decode → nearest-neighbor 8×8
+    * gray raster → threshold each cell against the mean → one 64-bit
+    * hash per image. Visually-identical content maps to identical or
+    * near-identical bits whatever the encoding (PNG vs GIF of the same
+    * scene, recompressions, small edits), so IMAGE near-dup reduces to
+    * hamming distance on longs — the content-addressed dedup step a
+    * multimodal corpus needs beyond byte-level md5. Integer-only
+    * arithmetic on the decoded raster ⇒ bit-stable across JVMs.
+    * Undecodable payloads yield null (never a fake hash). */
+  def perceptualHash(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val h = decodeImage(payload).map { im =>
+            val gray = new Array[Long](64)
+            var y = 0
+            while (y < 8) {
+              val sy = y * im.height / 8
+              var x = 0
+              while (x < 8) {
+                val sx = x * im.width / 8
+                val src = (sy * im.width + sx) * 3
+                gray(y * 8 + x) = ((im.rgb(src) & 0xff) +
+                  (im.rgb(src + 1) & 0xff) + (im.rgb(src + 2) & 0xff)) / 3L
+                x += 1
+              }
+              y += 1
+            }
+            val mean = gray.sum / 64L
+            var bits = 0L
+            var i = 0
+            while (i < 64) {
+              if (gray(i) > mean) bits |= (1L << i)
+              i += 1
+            }
+            bits
+          }
+          (id, h)
+        }
+      }.toDF("doc_id", "phash")
+  }
+
+  /** Image near-dup pairs by perceptual hash: pigeonhole-blocked — a
+    * pair within hamming distance ≤ 3 must agree on at least one of
+    * the four 16-bit hash blocks, so candidates come from four
+    * block-equality joins (bucket-local, never all-pairs; the same
+    * blocking the simhash text path uses), then the exact
+    * `bit_count(xor)` residual keeps true near-dups. */
+  def imageNearDupPairs(spark: SparkSession, media: DataFrame,
+    maxHamming: Int = 3): DataFrame = {
+    val hashed = perceptualHash(spark, media).filter(col("phash").isNotNull)
+    val blocked = hashed.select(col("doc_id"), col("phash"),
+      explode(expr("transform(sequence(0, 3), b -> " +
+        "struct(b AS b, shiftright(phash, b * 16) & 65535 AS blk))")).as("x"))
+      .select(col("doc_id"), col("phash"), col("x.b").as("b"), col("x.blk").as("blk"))
+    val a = blocked.select(col("b"), col("blk"),
+      col("doc_id").as("doc_a"), col("phash").as("ha"))
+    val bb = blocked.select(col("b"), col("blk"),
+      col("doc_id").as("doc_b"), col("phash").as("hb"))
+    a.join(bb, Seq("b", "blk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(expr(s"bit_count(ha ^ hb) <= $maxHamming"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(ha ^ hb)").as("hamming"))
+      .distinct()
+  }
+
   /** Per-partition feature extraction: one "codec context" per
     * partition, batched over rows — the mapPartitions shape a real
     * decoder needs. Emits a 256-bin byte histogram as the feature. */

@@ -223,4 +223,47 @@ class MediaSpec extends SparkSpec {
       .count()
     assert(top > 0)
   }
+
+  test("perceptual hash: re-encoded and slightly-edited images pair, distinct scenes don't") {
+    import spark.implicits._
+    // the same gradient scene three ways: original PNG, BMP re-encode
+    // (identical pixels, different container), and a one-corner edit;
+    // plus a visually different scene (inverted gradient)
+    val base = pngBytes(32, 32)
+    val im = Media.decodeImage(base).get
+    def encode(rgb: Array[Byte], w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val i = (y * w + x) * 3
+        img.setRGB(x, y, ((rgb(i) & 0xff) << 16) |
+          ((rgb(i + 1) & 0xff) << 8) | (rgb(i + 2) & 0xff))
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val bmp = encode(im.rgb, 32, 32, "bmp")
+    val edited = { val r = im.rgb.clone(); r(0) = 255.toByte; encode(r, 32, 32, "png") }
+    val inverted = { // reversed gradient: different bright/dark layout
+      val r = new Array[Byte](32 * 32 * 3)
+      for (i <- 0 until r.length) r(i) = (255 - (im.rgb(i) & 0xff)).toByte
+      encode(r, 32, 32, "png")
+    }
+    val media = Seq(
+      (1L, base), (2L, bmp), (3L, edited), (4L, inverted),
+      (5L, "not an image".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val hashes = Media.perceptualHash(spark, media).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(hashes(1L).isDefined && hashes(1L) === hashes(2L),
+      "container re-encode must hash identically")
+    assert(hashes(5L).isEmpty, "undecodable payloads must yield null")
+    val pairs = Media.imageNearDupPairs(spark, media).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "re-encode pairs with the original")
+    assert(pairs.contains((1L, 3L)), "a one-pixel edit stays within the hamming bound")
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L },
+      "a visually different scene must not pair")
+  }
 }
