@@ -206,6 +206,62 @@ object Media {
         "duration_ms", "rms", "peak")
   }
 
+  /** Audio fingerprint over the REAL decoded PCM: the signal splits
+    * into 64 equal windows, each window's energy is the EXACT integer
+    * sum of squared samples (16-bit samples: each square < 2^30, a
+    * window of a row-sized payload can't overflow a long), and bit i
+    * says "window i+1 is louder than window i" — the energy-envelope
+    * signature (a Shazam-style fingerprint reduced to its
+    * integer-exact core). Loudness scaling changes energies but not
+    * most comparisons; re-containering (WAV↔AIFF of the same PCM)
+    * changes neither, so audio near-dup is hamming distance on longs —
+    * completing the text/image/audio content-dedup trio. Pure integer
+    * arithmetic ⇒ bit-identical everywhere. Null for non-audio. */
+  def audioFingerprint(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val fp = decodeAudio(payload).collect {
+            case a if a.bits == 8 || a.bits == 16 =>
+              val bytesPer = a.bits / 8
+              val nSamples = a.pcm.length / bytesPer
+              if (nSamples < 65) None
+              else {
+                def sample(i: Int): Long =
+                  if (bytesPer == 1)
+                    (if (a.unsigned) (a.pcm(i) & 0xff) - 128
+                     else a.pcm(i).toInt).toLong
+                  else {
+                    val (b0, b1) = (a.pcm(i * 2) & 0xff, a.pcm(i * 2 + 1) & 0xff)
+                    val v = if (a.bigEndian) (b0 << 8) | b1 else (b1 << 8) | b0
+                    (if (v >= 32768) v - 65536 else v).toLong
+                  }
+                val energy = new Array[Long](65)
+                var w = 0
+                while (w < 65) {
+                  val from = w * nSamples / 65
+                  val until = (w + 1) * nSamples / 65
+                  var e = 0L
+                  var i = from
+                  while (i < until) { val s = sample(i); e += s * s; i += 1 }
+                  energy(w) = e
+                  w += 1
+                }
+                var bits = 0L
+                var i = 0
+                while (i < 64) {
+                  if (energy(i + 1) > energy(i)) bits |= (1L << i)
+                  i += 1
+                }
+                Some(bits)
+              }
+          }.flatten
+          (id, fp)
+        }
+      }.toDF("doc_id", "afp")
+  }
+
   /** Image metadata + channel means over the REAL decoded pixels —
     * (doc_id, width, height, mean_r, mean_g, mean_b); undecodable
     * payloads yield nulls, keeping the pipeline total. Exact integer

@@ -224,6 +224,46 @@ class MediaSpec extends SparkSpec {
     assert(top > 0)
   }
 
+  test("audio fingerprint: re-containered PCM matches; opposite envelopes diverge") {
+    import spark.implicits._
+    import javax.sound.sampled._
+    // amplitude-modulated sines: a rising envelope (energy grows per
+    // window -> bits ~all ones) and a falling one (the opposite)
+    def envWav(rising: Boolean, container: AudioFileFormat.Type): Array[Byte] = {
+      val n = 6500
+      val pcm = new Array[Byte](n * 2)
+      for (i <- 0 until n) {
+        val t = if (rising) i.toDouble / n else 1.0 - i.toDouble / n
+        val s = (math.sin(2 * math.Pi * 440.0 * i / 8000.0) * t * 20000).toInt
+        pcm(i * 2) = s.toByte
+        pcm(i * 2 + 1) = (s >> 8).toByte
+      }
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, container, bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      (1L, envWav(rising = true, AudioFileFormat.Type.WAVE)),
+      (2L, envWav(rising = true, AudioFileFormat.Type.AIFF)),
+      (3L, envWav(rising = false, AudioFileFormat.Type.WAVE)),
+      (4L, "not audio".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val fps = Media.audioFingerprint(spark, media).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(fps(1L).isDefined)
+    // same PCM, different container (WAV little-endian vs AIFF
+    // big-endian): identical fingerprint after sample normalization
+    assert(fps(1L) === fps(2L), "re-containering must not change the fingerprint")
+    assert(fps(4L).isEmpty)
+    val hamming = java.lang.Long.bitCount(fps(1L).get ^ fps(3L).get)
+    assert(hamming >= 48, s"opposite envelopes must diverge, hamming=$hamming")
+    assert(java.lang.Long.bitCount(fps(1L).get) >= 56,
+      "a rising envelope's windows are monotonically louder")
+  }
+
   test("perceptual hash: re-encoded and slightly-edited images pair, distinct scenes don't") {
     import spark.implicits._
     // the same gradient scene three ways: original PNG, BMP re-encode
