@@ -53,6 +53,35 @@ class StreamsSpec extends SparkSpec {
     assert(flushed.length === 1 && flushed(0).user_id === 7)
   }
 
+  test("late data past the watermark is dropped AND the drop is observable in progress metrics") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Streams.Event]
+    val agg = input.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("late")
+      .outputMode("update").start()
+    input.addData(Streams.Event(1, Timestamp.valueOf("2024-01-01 02:00:00"), 1, "click", 1.0))
+    q.processAllAvailable()
+    // 00:05 is far behind the 01:50 watermark: silently dropped from
+    // results, but COUNTED in numRowsDroppedByWatermark — the metric an
+    // operator ALERTS on (silent data loss must never be invisible)
+    input.addData(Streams.Event(2, Timestamp.valueOf("2024-01-01 00:05:00"), 1, "click", 1.0))
+    q.processAllAvailable()
+    val dropped = q.recentProgress
+      .flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq))
+      .map(_.numRowsDroppedByWatermark).sum
+    q.stop()
+    assert(dropped === 1L,
+      s"the late row must be counted as watermark-dropped, got $dropped")
+    val windows = spark.table("late").collect()
+      .map(_.getStruct(0).getTimestamp(0).toString).toSet
+    assert(!windows.exists(_.contains("00:00:00")),
+      "the late row must not create its pre-watermark window")
+  }
+
   test("stream-stream interval join enriches errors with recent clicks") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
