@@ -1102,6 +1102,43 @@ object Oracles {
         |  cast(max(n) AS BIGINT) AS n
         |FROM cu GROUP BY o_orderpriority""".stripMargin,
 
+    // the interpolating twin: pos = p*(n-1) in binary64, linear
+    // interpolation between the boundary values at ranks floor(pos)+1
+    // and floor(pos)+2 -- identical IEEE ops in both engines
+    "q_approx_percentile_cont" ->
+      """WITH v AS (SELECT o_orderpriority,
+        |    cast(round(o_totalprice * 100, 0) AS BIGINT) cents FROM orders),
+        |bk AS (SELECT o_orderpriority,
+        |    least(greatest(cents // 2097152, 0), 63) b FROM v),
+        |h AS (SELECT o_orderpriority, b, count(*) c FROM bk GROUP BY 1, 2),
+        |cu AS (SELECT o_orderpriority, b,
+        |    sum(c) OVER (PARTITION BY o_orderpriority ORDER BY b) cum,
+        |    sum(c) OVER (PARTITION BY o_orderpriority) n FROM h),
+        |est AS (SELECT o_orderpriority, n,
+        |  cast(floor(cast(0.5 AS DOUBLE) * cast(n - 1 AS DOUBLE)) AS BIGINT) + 1 r50,
+        |  cast(0.5 AS DOUBLE) * cast(n - 1 AS DOUBLE)
+        |    - floor(cast(0.5 AS DOUBLE) * cast(n - 1 AS DOUBLE)) f50,
+        |  cast(floor(cast(0.9 AS DOUBLE) * cast(n - 1 AS DOUBLE)) AS BIGINT) + 1 r90,
+        |  cast(0.9 AS DOUBLE) * cast(n - 1 AS DOUBLE)
+        |    - floor(cast(0.9 AS DOUBLE) * cast(n - 1 AS DOUBLE)) f90
+        |  FROM (SELECT DISTINCT o_orderpriority, n FROM cu) t),
+        |bnd AS (SELECT e.o_orderpriority, e.n, e.f50, e.f90,
+        |  min(CASE WHEN cum >= r50 THEN (b + 1) * 2097152 END) v50lo,
+        |  min(CASE WHEN cum >= least(r50 + 1, e.n) THEN (b + 1) * 2097152 END) v50hi,
+        |  min(CASE WHEN cum >= r90 THEN (b + 1) * 2097152 END) v90lo,
+        |  min(CASE WHEN cum >= least(r90 + 1, e.n) THEN (b + 1) * 2097152 END) v90hi
+        |  FROM est e JOIN cu USING (o_orderpriority)
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT o_orderpriority,
+        |  CASE WHEN f50 = 0 THEN cast(v50lo AS DOUBLE)
+        |    ELSE cast(v50lo AS DOUBLE)
+        |      + f50 * (cast(v50hi AS DOUBLE) - cast(v50lo AS DOUBLE)) END AS p50,
+        |  CASE WHEN f90 = 0 THEN cast(v90lo AS DOUBLE)
+        |    ELSE cast(v90lo AS DOUBLE)
+        |      + f90 * (cast(v90hi AS DOUBLE) - cast(v90lo AS DOUBLE)) END AS p90,
+        |  cast(n AS BIGINT) AS n
+        |FROM bnd""".stripMargin,
+
     "q_percentiles" ->
       """SELECT o_orderpriority,
         |  quantile_disc(o_totalprice, 0.5) AS p50,

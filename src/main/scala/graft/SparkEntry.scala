@@ -21,6 +21,7 @@ object SparkEntry {
     "q_sketch_ops" -> ((s: SparkSession, d: String) => Sketches.kmvSetOps(s, d)),
     "q_sketch_percentiles" -> (Sketches.histPercentiles _),
     "q_approx_percentile" -> (Sketches.approxPercentile _),
+    "q_approx_percentile_cont" -> (Sketches.approxPercentileCont _),
     "q_sketch_cms" -> ((s: SparkSession, d: String) => Sketches.cmsWordFreq(s, d)),
     "q_sketch_window" -> ((s: SparkSession, d: String) =>
       graft.streaming.Windows.kmvSlidingWindows(s, d)),

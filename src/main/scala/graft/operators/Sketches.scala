@@ -234,6 +234,30 @@ object Sketches {
         col("n"))
   }
 
+  /** The CONTINUOUS (interpolating) twin of `approxPercentile`:
+    * exact `percentile(cents, p)` rewritten into the hist_sketch
+    * linear-interpolation readout (plans.HistQuantileCont) — rank
+    * pos = p·(n−1), estimate interpolates between the bucket upper
+    * boundaries at ⌊pos⌋+1 and ⌊pos⌋+2. The whole estimate is fixed
+    * IEEE arithmetic over exact integers, so the DuckDB oracle
+    * replays it bitwise (q_approx_percentile_cont). */
+  def approxPercentileCont(spark: SparkSession, dir: String): DataFrame = {
+    val width = 1L << 21
+    val exact = Tables.orders(spark, dir)
+      .select(col("o_orderpriority"),
+        expr("cast(round(o_totalprice * 100, 0) as bigint)").as("cents"))
+      .groupBy("o_orderpriority")
+      .agg(
+        expr("percentile(cents, 0.5D)").as("p50"),
+        expr("percentile(cents, 0.9D)").as("p90"),
+        count(lit(1)).as("n"))
+    val rewritten = graft.plans.ApproxPercentileRewrite.rewrite(
+      exact.queryExecution.analyzed, width, 64)
+    org.apache.spark.sql.graftbridge.PlanBridge.ofRows(spark, rewritten)
+      .select(col("o_orderpriority"), col("p50").cast("double").as("p50"),
+        col("p90").cast("double").as("p90"), col("n"))
+  }
+
   /** Partial-sketch roll-up: per (event_type, day) HLL partials merged
     * to per-type totals with hll_union_agg — the incremental-load
     * shape: yesterday's partials are never recomputed. */

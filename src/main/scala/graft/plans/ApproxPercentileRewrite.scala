@@ -51,6 +51,54 @@ case class HistQuantile(hist: Expression, percentage: Double, width: Long)
     newChild: Expression): HistQuantile = copy(hist = newChild)
 }
 
+/** Interpolating (percentile_cont) readout over a `hist_sketch`
+  * counts array: continuous rank pos = p·(n−1); the estimate linearly
+  * interpolates between the bucket upper boundaries at ranks
+  * ⌊pos⌋+1 and ⌊pos⌋+2 — the same fixed IEEE arithmetic on exact
+  * integers in every engine, so the estimate stays oracle-hashable.
+  * Returns double (cont semantics interpolate). */
+case class HistQuantileCont(hist: Expression, percentage: Double,
+  width: Long) extends UnaryExpression with CodegenFallback {
+  override def child: Expression = hist
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "hist_quantile_cont"
+
+  private def boundaryAt(arr: Array[Long], rank: Long): Long = {
+    var cum = 0L
+    var i = 0
+    while (i < arr.length) {
+      cum += arr(i)
+      if (cum >= rank) return (i + 1L) * width
+      i += 1
+    }
+    arr.length.toLong * width
+  }
+
+  override protected def nullSafeEval(h: Any): Any = {
+    val arr = h.asInstanceOf[ArrayData].toLongArray()
+    var n = 0L
+    var i = 0
+    while (i < arr.length) { n += arr(i); i += 1 }
+    if (n == 0L) null
+    else {
+      val pos = percentage * (n - 1).toDouble
+      val floorPos = math.floor(pos)
+      val frac = pos - floorPos
+      val rLo = floorPos.toLong + 1L
+      val vLo = boundaryAt(arr, rLo).toDouble
+      if (frac == 0.0) vLo
+      else {
+        val vHi = boundaryAt(arr, math.min(rLo + 1L, n)).toDouble
+        vLo + frac * (vHi - vLo)
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(
+    newChild: Expression): HistQuantileCont = copy(hist = newChild)
+}
+
 /** SQL surface for the readout: `hist_quantile(hist, p, width)` over a
   * stored/streamed `hist_sketch` array — the roll-up path where
   * per-partition sketch partials persist and percentile estimates are
@@ -148,6 +196,20 @@ object ApproxPercentileRewrite extends Rule[LogicalPlan] {
                 HistSketch(Cast(c, LongType), width, buckets)
                   .toAggregateExpression())
               Cast(HistQuantile(sketch, p, width), pd.dataType)
+            // percentile_cont arrives post-analysis as Percentile
+            // (interpolating); substitute the interpolating readout.
+            // Only the unit-frequency, ascending, scalar-percentage
+            // form — anything else keeps the exact path.
+            case AggregateExpression(
+              pc @ aggregate.Percentile(c, pe, Literal(1L, _), _, _, false),
+              _, false, None, _)
+              if integral(c.dataType) && pe.foldable &&
+                pe.dataType == DoubleType && pe.eval() != null =>
+              val p = pe.eval().asInstanceOf[Double]
+              val sketch = shared.getOrElseUpdate(c.canonicalized,
+                HistSketch(Cast(c, LongType), width, buckets)
+                  .toAggregateExpression())
+              Cast(HistQuantileCont(sketch, p, width), pc.dataType)
           }.asInstanceOf[NamedExpression]
         }
         agg.copy(aggregateExpressions = next)

@@ -74,7 +74,7 @@ class ApproxPercentileRewriteSpec extends SparkSpec {
       "one shared histogram, not one per percentile")
   }
 
-  test("no-fire guards: DESC, percentile_cont, and double children keep the exact path") {
+  test("no-fire guards: DESC and double children keep the exact path") {
     GraftFunctions.register(spark)
     def rewriteOf(aggExpr: String): String =
       ApproxPercentileRewrite.rewrite(
@@ -83,13 +83,43 @@ class ApproxPercentileRewriteSpec extends SparkSpec {
     assert(!rewriteOf(
       "percentile_disc(0.5) WITHIN GROUP (ORDER BY cents DESC)")
       .contains("hist_sketch"), "reverse ordering must stay exact")
-    assert(!rewriteOf(
-      "percentile_cont(0.5) WITHIN GROUP (ORDER BY cents)")
-      .contains("hist_sketch"), "continuous percentile must stay exact")
     val dbl = Tables.orders(spark, sfDir)
       .groupBy("o_orderpriority")
       .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").as("x"))
     assert(!ApproxPercentileRewrite.rewrite(dbl.queryExecution.analyzed)
       .toString.contains("hist_sketch"), "double child must stay exact")
+  }
+
+  test("percentile_cont substitutes the INTERPOLATING readout under the flag") {
+    GraftFunctions.register(spark)
+    spark.conf.set(ApproxPercentileRewrite.flagKey, "true")
+    spark.conf.set(ApproxPercentileRewrite.widthKey, (1L << 21).toString)
+    try {
+      val df = cents.groupBy("o_orderpriority")
+        .agg(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY cents)").as("p50"))
+      // percentile_cont reaches the optimizer as Percentile (after
+      // ReplaceExpressions), where the rule substitutes the cont readout
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(opt.contains("hist_quantile_cont"), opt)
+      assert(!opt.contains("percentile"), opt)
+      // the estimate interpolates inside [exact bucket's boundaries]:
+      // strictly above exact - width, at most exact + width
+      spark.conf.unset(ApproxPercentileRewrite.flagKey)
+      val exact = cents.groupBy("o_orderpriority")
+        .agg(expr("percentile(cents, 0.5D)").as("p50")).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      spark.conf.set(ApproxPercentileRewrite.flagKey, "true")
+      val est = df.collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val w = (1L << 21).toDouble
+      assert(est.keySet === exact.keySet)
+      exact.foreach { case (g, e) =>
+        assert(est(g) > e - w && est(g) <= e + w,
+          s"$g: cont estimate ${est(g)} vs exact $e")
+      }
+    } finally {
+      spark.conf.unset(ApproxPercentileRewrite.flagKey)
+      spark.conf.unset(ApproxPercentileRewrite.widthKey)
+    }
   }
 }
