@@ -673,6 +673,51 @@ object TxTable {
     changes(spark, root)
   }
 
+  /** Selective small-dir compaction for plain APPEND tables — the
+    * OPTIMIZE-style answer to the small-file problem: when the
+    * snapshot holds more than `maxDirs` data dirs, fold the SMALLEST
+    * ones together until `maxDirs` remain, leaving big dirs untouched
+    * (a continuously-appended table re-binpacks its drizzle of small
+    * commits without ever rewriting the large base — compaction cost
+    * tracks the small tail, not the table). Append-only by design:
+    * union order is irrelevant there, so regrouping dirs is safe;
+    * keyed/delta snapshots (where commit ORDER resolves conflicts)
+    * refuse and use `compactSnapshot`. Stats re-recorded on the
+    * folded dir; atomic commit as always. */
+  def compactDirs(spark: SparkSession, root: String, maxDirs: Int = 8): Int = {
+    require(maxDirs >= 1, "compactDirs must keep at least one dir")
+    val (fs, rp) = fsFor(spark, root)
+    commitRetry(spark, root) { prevV =>
+      require(prevV > 0, s"txtable: nothing to compact at $root")
+      val entries = snapshotEntries(fs, rp, prevV)
+      require(!entries.exists(_.isDelta) && snapshotKeys(fs, rp, prevV).isEmpty,
+        "txtable: compactDirs serves plain append tables; keyed/delta " +
+          "snapshots resolve by commit order - use compactSnapshot")
+      if (entries.size <= maxDirs) return prevV
+      val sized = entries.map(e =>
+        e -> fs.getContentSummary(new Path(rp, e.dir)).getLength)
+      // fold the smallest (n - maxDirs + 1) dirs into one
+      val (fold, keep) = sized.sortBy(_._2)
+        .splitAt(entries.size - maxDirs + 1)
+      val foldPaths = fold.map { case (e, _) => new Path(rp, e.dir).toString }
+      // schema-evolved dirs fold by name (null-fill), same as read
+      val foldSchemas = foldPaths.map(p => spark.read.parquet(p).schema)
+      val folded =
+        if (foldSchemas.distinct.size == 1) spark.read.parquet(foldPaths: _*)
+        else foldPaths.map(spark.read.parquet(_))
+          .reduce(_.unionByName(_, allowMissingColumns = true))
+      val dirName = s"data/compact-${java.util.UUID.randomUUID()}"
+      folded.write.mode("overwrite").parquet(new Path(rp, dirName).toString)
+      val statsCols = snapshotStatsCols(fs, rp, prevV)
+      val entry = Entry(isDelta = false, dirName,
+        dirStats(spark, rp, dirName, statsCols))
+      ("compact",
+        (if (statsCols.nonEmpty) Seq(s"statscol:${statsCols.mkString(",")}")
+         else Seq.empty) ++
+          keep.map(_._1.line) :+ entry.line)
+    }
+  }
+
   /** SQL face: register the table's CURRENT snapshot (or a pinned
     * `version`) as a temp view. The view holds the resolved snapshot —
     * Spark SQL's own snapshot-isolation semantics: queries against it

@@ -431,6 +431,44 @@ class TxTableSpec extends SparkSpec {
     assert(TxTable.latestVersion(spark, root) === 2)
   }
 
+  test("compactDirs folds only the smallest dirs; the big base is never rewritten") {
+    import spark.implicits._
+    val root = tmpDir() + "/tx-optimize"
+    TxTable.append((1L to 5000L).map(k => (k, k * 1.0)).toDF("k", "v"),
+      root, statsCols = Seq("k"))        // the big base
+    (1 to 5).foreach(i => TxTable.append(
+      Seq((10000L + i, i * 1.0)).toDF("k", "v"), root, statsCols = Seq("k")))
+    val bigDir = {
+      val (fs, rp) = (new org.apache.hadoop.fs.Path(root), ())
+      new java.io.File(root, "data").listFiles()
+        .maxBy(d => d.listFiles().map(_.length()).sum).getName
+    }
+    TxTable.compactDirs(spark, root, maxDirs = 3)
+    // content intact, dir count bounded, base untouched
+    assert(TxTable.read(spark, root).count() === 5005)
+    val dirs = TxTable.history(spark, root).last._3
+    assert(dirs === 3, s"expected 3 dirs after compaction, got $dirs")
+    val liveDirs = {
+      val v = TxTable.latestVersion(spark, root)
+      TxTable.read(spark, root).inputFiles.map(f =>
+        new java.io.File(new java.net.URI(f)).getParentFile.getName).toSet
+    }
+    assert(liveDirs.contains(bigDir), "the big dir must survive by reference")
+    // stats survive: a point probe into the base prunes the folded dir
+    val probe = TxTable.read(spark, root, keyRange = Some((42L, 42L)))
+    assert(probe.inputFiles.forall(_.contains(bigDir)))
+    // idempotent below the threshold
+    val v = TxTable.latestVersion(spark, root)
+    assert(TxTable.compactDirs(spark, root, maxDirs = 3) === v)
+    // keyed tables refuse
+    val root2 = tmpDir() + "/tx-optimize-keyed"
+    TxTable.mergeDelta(spark, root2,
+      Seq((1L, "I", 1.0, 1L)).toDF("k", "op", "v", "seq"))
+    intercept[IllegalArgumentException] {
+      TxTable.compactDirs(spark, root2, maxDirs = 1)
+    }
+  }
+
   test("registerView: SQL queries see the registered snapshot, not later commits") {
     import spark.implicits._
     val root = tmpDir() + "/tx-view"
