@@ -162,6 +162,22 @@ class ScaleSpec extends SparkSpec {
       .count() > 0, "novel batch bands must be appended to the index")
   }
 
+  test("dedup cascade: no cartesian product anywhere; every stage joins on a key") {
+    graft.functions.GraftFunctions.register(spark)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = graft.operators.Dedup.cascade(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"a cascade stage degraded to all-pairs:\n$plan")
+      // the semantic stage is label-blocked, the near stage
+      // bucket-keyed, the exact stage hash-grouped: every join carries
+      // an equality key (hash or sort-merge), never a nested loop over
+      // corpus-scale sides
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("ANN corpus side never sort-merge-joins: probes broadcast in every variant") {
     graft.functions.GraftFunctions.register(spark)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
