@@ -673,6 +673,51 @@ object TxTable {
     changes(spark, root)
   }
 
+  /** Write-time constraints — the warehouse's data-quality gate AT THE
+    * COMMIT BOUNDARY: validate `df` (NOT NULL columns, unique keys —
+    * uniqueness checked across the batch AND against the existing
+    * snapshot's key set) with ONE aggregate job, and only a batch that
+    * passes reaches `append`. A failing batch aborts BEFORE any data
+    * dir is written, so the table can never hold a violating snapshot
+    * — readers are spared the downstream audit entirely. The existing-
+    * table uniqueness probe joins the batch's keys (batch-scale,
+    * broadcast) against the snapshot — the table side never shuffles. */
+  def appendChecked(df: DataFrame, root: String,
+    notNull: Seq[String] = Seq.empty,
+    uniqueKey: Seq[String] = Seq.empty,
+    statsCols: Seq[String] = Seq.empty): Int = {
+    val spark = df.sparkSession
+    val nullChecks = notNull.map(c =>
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_nulls_$c"))
+    val dupCheck =
+      if (uniqueKey.isEmpty) Seq.empty
+      else Seq((count(lit(1)) -
+        count_distinct(struct(uniqueKey.map(col): _*))).as("_dupes"))
+    if (nullChecks.nonEmpty || dupCheck.nonEmpty) {
+      val aggs = nullChecks ++ dupCheck
+      val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+      notNull.zipWithIndex.foreach { case (c, i) =>
+        require(r.getLong(i) == 0L,
+          s"txtable: constraint violation - ${r.getLong(i)} null values " +
+            s"in NOT NULL column '$c'; batch rejected, table unchanged")
+      }
+      if (dupCheck.nonEmpty)
+        require(r.getLong(notNull.size) == 0L,
+          s"txtable: constraint violation - ${r.getLong(notNull.size)} " +
+            s"duplicate (${uniqueKey.mkString(",")}) keys inside the " +
+            "batch; batch rejected, table unchanged")
+    }
+    if (uniqueKey.nonEmpty && exists(spark, root)) {
+      val clash = read(spark, root)
+        .join(broadcast(df.select(uniqueKey.map(col): _*).distinct()),
+          uniqueKey, "left_semi").count()
+      require(clash == 0L,
+        s"txtable: constraint violation - $clash existing rows share the " +
+          s"batch's (${uniqueKey.mkString(",")}) keys; batch rejected")
+    }
+    append(df, root, statsCols)
+  }
+
   /** Selective small-dir compaction for plain APPEND tables — the
     * OPTIMIZE-style answer to the small-file problem: when the
     * snapshot holds more than `maxDirs` data dirs, fold the SMALLEST

@@ -431,6 +431,38 @@ class TxTableSpec extends SparkSpec {
     assert(TxTable.latestVersion(spark, root) === 2)
   }
 
+  test("appendChecked: constraint violations abort before any data is written") {
+    import spark.implicits._
+    val root = tmpDir() + "/tx-constraints"
+    TxTable.appendChecked(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"),
+      root, notNull = Seq("k", "v"), uniqueKey = Seq("k"))
+    // a null value in a NOT NULL column rejects the whole batch
+    intercept[IllegalArgumentException] {
+      TxTable.appendChecked(
+        Seq((Some(3L), Some(30.0)), (Some(4L), None)).toDF("k", "v"),
+        root, notNull = Seq("k", "v"), uniqueKey = Seq("k"))
+    }
+    // an in-batch duplicate key rejects
+    intercept[IllegalArgumentException] {
+      TxTable.appendChecked(Seq((5L, 1.0), (5L, 2.0)).toDF("k", "v"),
+        root, uniqueKey = Seq("k"))
+    }
+    // a key clashing with the EXISTING snapshot rejects
+    intercept[IllegalArgumentException] {
+      TxTable.appendChecked(Seq((1L, 99.0)).toDF("k", "v"),
+        root, uniqueKey = Seq("k"))
+    }
+    // nothing was committed or written by the failed batches
+    assert(TxTable.latestVersion(spark, root) === 1)
+    assert(TxTable.read(spark, root).count() === 2)
+    assert(new java.io.File(root, "data").listFiles().length === 1,
+      "rejected batches must leave no data dirs behind")
+    // a clean batch proceeds
+    TxTable.appendChecked(Seq((3L, 30.0)).toDF("k", "v"),
+      root, notNull = Seq("k"), uniqueKey = Seq("k"))
+    assert(TxTable.read(spark, root).count() === 3)
+  }
+
   test("compactDirs folds only the smallest dirs; the big base is never rewritten") {
     import spark.implicits._
     val root = tmpDir() + "/tx-optimize"
