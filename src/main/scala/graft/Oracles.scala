@@ -817,11 +817,60 @@ object Oracles {
   lazy val annIvfIndexed: Map[String, String] =
     Map("q_ann_ivf_indexed" -> annIvf("q_ann_ivf"))
 
+  /** PQ sub-CTEs shared by the search and its recall measurement. */
+  private val pqCte =
+    s"""ss AS (SELECT unnest(generate_series(0, 3)) s),
+       |sv AS (SELECT vec_id, s,
+       |  q[(s * 16 + 1):(s * 16 + 16)] sv FROM q, ss),
+       |svn AS (SELECT vec_id, s, sv,
+       |  list_dot_product(list_transform(sv, x -> cast(x AS DOUBLE)),
+       |                   list_transform(sv, x -> cast(x AS DOUBLE))) n2s
+       |  FROM sv),
+       |cent AS (SELECT vec_id cid, s, sv cv, n2s n2c FROM svn WHERE vec_id < 16),
+       |enc AS (SELECT vec_id nbr_id, s, cid code FROM (
+       |  SELECT v.vec_id, v.s, c.cid,
+       |    row_number() OVER (PARTITION BY v.vec_id, v.s ORDER BY
+       |      (v.n2s + c.n2c - 2 * list_dot_product(
+       |        list_transform(v.sv, x -> cast(x AS DOUBLE)),
+       |        list_transform(c.cv, x -> cast(x AS DOUBLE)))), c.cid) rn
+       |  FROM svn v JOIN cent c ON v.s = c.s) t WHERE rn = 1),
+       |tab AS (SELECT p.vec_id probe_id, p.s, c.cid,
+       |    (p.n2s + c.n2c - 2 * list_dot_product(
+       |      list_transform(p.sv, x -> cast(x AS DOUBLE)),
+       |      list_transform(c.cv, x -> cast(x AS DOUBLE)))) pd2
+       |  FROM svn p JOIN cent c ON p.s = c.s WHERE p.vec_id < 5),
+       |sc AS (SELECT t.probe_id, e.nbr_id, sum(t.pd2) approx_d2
+       |  FROM enc e JOIN tab t ON t.s = e.s AND t.cid = e.code
+       |    AND t.probe_id <> e.nbr_id
+       |  GROUP BY 1, 2),
+       |pq AS (SELECT probe_id, rk, nbr_id, approx_d2 FROM (
+       |  SELECT probe_id, nbr_id, cast(approx_d2 AS BIGINT) approx_d2,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY approx_d2, nbr_id) rk
+       |  FROM sc) t WHERE rk <= 5)""".stripMargin
+
   /** Product quantization + ADC: 4 subspaces × 16 sub-centroids (the
     * first 16 vectors' subvectors); encode by exact integer argmin,
     * score candidates as the sum of 4 distance-table lookups. Every
     * distance is an exact integer over the quantized grid. */
   val annPq: Map[String, String] = Map(
+    "q_ann_pq_recall" ->
+      s"""$quantCte,
+         |$pqCte,
+         |ex AS (SELECT probe_id, nbr_id FROM (
+         |  SELECT a.vec_id probe_id, b.vec_id nbr_id,
+         |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+         |      (a.n2 + b.n2 - 2 * $dotSql), b.vec_id) rk
+         |  FROM n a JOIN n b ON a.vec_id < 5 AND b.vec_id <> a.vec_id) t
+         |  WHERE rk <= 5)
+         |SELECT cast(e.probe_id AS BIGINT) AS probe_id,
+         |  cast(count(*) AS BIGINT) AS k,
+         |  cast(sum(CASE WHEN p.nbr_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS hits,
+         |  cast(sum(CASE WHEN p.nbr_id IS NULL THEN 0 ELSE 1 END) * 100
+         |    // count(*) AS BIGINT) AS recall_pct
+         |FROM ex e LEFT JOIN pq p
+         |  ON p.probe_id = e.probe_id AND p.nbr_id = e.nbr_id
+         |GROUP BY e.probe_id""".stripMargin,
+
     "q_ann_pq" ->
       s"""$quantCte,
          |ss AS (SELECT unnest(generate_series(0, 3)) s),

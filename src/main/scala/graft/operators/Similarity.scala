@@ -239,6 +239,39 @@ object Similarity {
       .select("probe_id", "rk", "nbr_id", "approx_d2")
   }
 
+  /** Exact L2 brute-force top-k (integer d² = n2a + n2b − 2·dot) —
+    * the baseline PQ recall is measured against. */
+  def annBruteForceL2(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val q = quantized(spark, dir)
+    val probes = q.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("q").as("qa"), col("n2").as("n2a"))
+    val corpus = q.select(col("vec_id").as("nbr_id"), col("q").as("qb"), col("n2").as("n2b"))
+    val scored = broadcast(probes).crossJoin(corpus)
+      .filter(col("probe_id") =!= col("nbr_id"))
+      .withColumn("d2",
+        col("n2a") + col("n2b") - lit(2L) * expr("array_dot_long(qa, qb)"))
+      .select(col("probe_id"), col("nbr_id"), col("d2"))
+    val w = Window.partitionBy("probe_id").orderBy(col("d2"), col("nbr_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select("probe_id", "rk", "nbr_id", "d2")
+  }
+
+  /** Recall@k of the PQ/ADC index vs the exact-L2 baseline — the
+    * tuning loop for the compressed index (subspace count and
+    * codebook size are chosen by measured recall); both sides are
+    * integer-deterministic, so the measurement is oracle-gated. */
+  def annPqRecall(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val exact = annBruteForceL2(spark, dir, k).select("probe_id", "nbr_id")
+    val approx = annPq(spark, dir, k)
+      .select(col("probe_id"), col("nbr_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("probe_id", "nbr_id"), "left")
+      .groupBy("probe_id")
+      .agg(count(lit(1)).as("k"),
+        sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .select(col("probe_id"), col("k"), col("hits"),
+        expr("hits * 100 div k").as("recall_pct"))
+  }
+
   /** IVF with the cell index PERSISTED in the transactional table —
     * the ANN twin of `Dedup.incrementalNearIndexed`: at 100 TB the
     * per-vector cell assignment (a k×N dot-product pass over the whole
