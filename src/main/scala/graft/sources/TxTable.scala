@@ -293,7 +293,6 @@ object TxTable {
     * column, which just disables pruning on it. */
   private def dirStats(spark: SparkSession, rp: Path, dirName: String,
     statsCols: Seq[String]): Map[String, (Long, Long)] = {
-    if (statsCols.isEmpty) return Map.empty
     val df = spark.read.parquet(new Path(rp, dirName).toString)
     val integral = statsCols.distinct.filter { c =>
       df.schema.find(_.name == c).map(_.dataType).exists {
@@ -303,14 +302,16 @@ object TxTable {
         case _ => false
       }
     }
-    if (integral.isEmpty) return Map.empty
-    val aggs = integral.flatMap(c =>
+    // the row count rides the same 1-row aggregate as pseudo-column
+    // `_rows` (metadata-only COUNT(*) reads it back from the commit)
+    val aggs = count(lit(1)) +: integral.flatMap(c =>
       Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
     val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-    integral.zipWithIndex.flatMap { case (c, i) =>
-      if (r.isNullAt(2 * i)) None
-      else Some(c -> (r.getLong(2 * i), r.getLong(2 * i + 1)))
-    }.toMap
+    Map(rowsKey -> (r.getLong(0), r.getLong(0))) ++
+      integral.zipWithIndex.flatMap { case (c, i) =>
+        if (r.isNullAt(2 * i + 1)) None
+        else Some(c -> (r.getLong(2 * i + 1), r.getLong(2 * i + 2)))
+      }
   }
 
   /** Write `df` as a new immutable data dir and commit `dirs(prev) ++
@@ -672,6 +673,25 @@ object TxTable {
     compactSnapshot(spark, root)
     changes(spark, root)
   }
+
+  /** Metadata-only COUNT(*): per-dir row counts ride the stats grammar
+    * (pseudo-column `_rows`, recorded by every writer since this
+    * version), so the table's cardinality answers from the commit file
+    * alone — zero data I/O, the table-format trick behind instant
+    * `SELECT count(*)`. None when any dir predates row counting or
+    * deltas are pending (a delta's net effect on cardinality needs
+    * resolution — never guess). */
+  def rowCount(spark: SparkSession, root: String,
+    version: Int = -1): Option[Long] = {
+    val (fs, rp) = fsFor(spark, root)
+    val v = if (version >= 0) version else latestVersion(spark, root)
+    if (v == 0) return None
+    val entries = snapshotEntries(fs, rp, v)
+    if (entries.isEmpty || entries.exists(_.isDelta)) return None
+    val counts = entries.map(_.stats.get(rowsKey).map(_._1))
+    if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
+  }
+  private val rowsKey = "_rows"
 
   /** Write-time constraints — the warehouse's data-quality gate AT THE
     * COMMIT BOUNDARY: validate `df` (NOT NULL columns, unique keys —

@@ -431,6 +431,26 @@ class TxTableSpec extends SparkSpec {
     assert(TxTable.latestVersion(spark, root) === 2)
   }
 
+  test("rowCount answers COUNT(*) from commit metadata; deltas force a real read") {
+    import spark.implicits._
+    val root = tmpDir() + "/tx-rowcount"
+    TxTable.append((1L to 100L).map(k => (k, k * 1.0)).toDF("k", "v"), root)
+    TxTable.append((101L to 150L).map(k => (k, k * 1.0)).toDF("k", "v"), root)
+    assert(TxTable.rowCount(spark, root) === Some(150L))
+    assert(TxTable.rowCount(spark, root, version = 1) === Some(100L))
+    assert(TxTable.rowCount(spark, root).get ===
+      TxTable.read(spark, root).count())
+    // a pending delta's net cardinality needs resolution: no guess
+    val root2 = tmpDir() + "/tx-rowcount-mor"
+    TxTable.mergeDelta(spark, root2,
+      Seq((1L, "I", 1.0, 1L), (1L, "D", 0.0, 2L)).toDF("k", "op", "v", "seq"))
+    assert(TxTable.rowCount(spark, root2).isEmpty)
+    // compaction materializes: metadata answers again
+    TxTable.compactSnapshot(spark, root2)
+    assert(TxTable.rowCount(spark, root2) ===
+      Some(TxTable.read(spark, root2).count()))
+  }
+
   test("appendChecked: constraint violations abort before any data is written") {
     import spark.implicits._
     val root = tmpDir() + "/tx-constraints"
