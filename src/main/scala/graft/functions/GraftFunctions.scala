@@ -61,6 +61,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "hist_quantile", graft.plans.HistQuantile.builder, "built-in")
     reg.createOrReplaceTempFunction(
+      "hist_quantile_cont", graft.plans.HistQuantileCont.builder, "built-in")
+    reg.createOrReplaceTempFunction(
       "cms_sketch", graft.plans.CmsSketch.builder, "built-in")
     reg.createOrReplaceTempFunction(
       "mg_topk", graft.plans.MgTopK.builder, "built-in")
@@ -109,6 +111,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.plans.HistSketch.info, graft.plans.HistSketch.builder))
     ext.injectFunction((FunctionIdentifier("hist_quantile"),
       graft.plans.HistQuantile.info, graft.plans.HistQuantile.builder))
+    ext.injectFunction((FunctionIdentifier("hist_quantile_cont"),
+      graft.plans.HistQuantileCont.info, graft.plans.HistQuantileCont.builder))
     ext.injectFunction((FunctionIdentifier("cms_sketch"),
       graft.plans.CmsSketch.info, graft.plans.CmsSketch.builder))
     ext.injectFunction((FunctionIdentifier("mg_topk"),

@@ -99,6 +99,18 @@ case class HistQuantileCont(hist: Expression, percentage: Double,
     newChild: Expression): HistQuantileCont = copy(hist = newChild)
 }
 
+object HistQuantileCont {
+  val info = new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+    classOf[HistQuantileCont].getName, "hist_quantile_cont")
+  val builder: Seq[Expression] => Expression = {
+    case Seq(h, p, w) if p.foldable && w.foldable =>
+      HistQuantileCont(h, HistQuantile.asDouble(p), HistQuantile.asLong(w))
+    case other => throw new IllegalArgumentException(
+      "hist_quantile_cont expects (hist, foldable percentage, foldable " +
+        s"width), got ${other.size} args")
+  }
+}
+
 /** SQL surface for the readout: `hist_quantile(hist, p, width)` over a
   * stored/streamed `hist_sketch` array — the roll-up path where
   * per-partition sketch partials persist and percentile estimates are
@@ -107,7 +119,7 @@ case class HistQuantileCont(hist: Expression, percentage: Double,
 object HistQuantile {
   val info = new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
     classOf[HistQuantile].getName, "hist_quantile")
-  private def asDouble(e: Expression): Double = e.eval() match {
+  private[plans] def asDouble(e: Expression): Double = e.eval() match {
     case d: Double => d
     case d: org.apache.spark.sql.types.Decimal => d.toDouble
     case f: Float => f.toDouble
@@ -115,7 +127,7 @@ object HistQuantile {
     case other => throw new IllegalArgumentException(
       s"hist_quantile: non-numeric percentage $other")
   }
-  private def asLong(e: Expression): Long = e.eval() match {
+  private[plans] def asLong(e: Expression): Long = e.eval() match {
     case l: Long => l
     case i: Int => i.toLong
     case d: org.apache.spark.sql.types.Decimal => d.toLong

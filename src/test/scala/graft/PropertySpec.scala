@@ -18,6 +18,65 @@ class PropertySpec extends SparkSpec {
       (r.seed, Some(r.retrieve.get))
     }.drop(1).take(n).flatMap(_._2).toSeq
 
+  test("hist_quantile / hist_quantile_cont bracket the exact percentile on random data") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val width = 16L
+    val vals = draw(Gen.chooseNum(0L, 16L * 64 - 1), 500, 7L)
+    val df = vals.toDF("v")
+    val est = df.agg(
+      expr(s"hist_sketch(v, ${width}L, 64)").as("h"))
+      .selectExpr(
+        "hist_quantile(h, 0.5, 16L) AS d50",
+        "hist_quantile_cont(h, 0.5, 16L) AS c50",
+        "hist_quantile(h, 0.95, 16L) AS d95",
+        "hist_quantile_cont(h, 0.95, 16L) AS c95").collect()(0)
+    val sorted = vals.sorted
+    def exactDisc(p: Double): Long = {
+      val target = math.max(1L, math.ceil(p * sorted.size).toLong)
+      sorted(target.toInt - 1)
+    }
+    // disc readout = upper boundary of the exact value's bucket
+    Seq(0.5 -> est.getLong(0), 0.95 -> est.getLong(2)).foreach {
+      case (p, e) =>
+        val x = exactDisc(p)
+        assert(e > x && e - x <= width, s"p=$p: boundary $e vs exact $x")
+        assert(e % width === 0)
+    }
+    // cont readout stays inside the interpolation's bracket
+    Seq(est.getDouble(1), est.getDouble(3)).foreach { c =>
+      assert(c > 0 && c <= 16.0 * 64, s"cont estimate $c out of range")
+    }
+    assert(est.getDouble(1) <= est.getDouble(3),
+      "cont quantiles must be monotone in p")
+  }
+
+  test("snapshot-diff round-trip: applying changes() to the old snapshot yields the new one") {
+    import spark.implicits._
+    import graft.sources.TxTable
+    // random keyed states for two merge commits
+    val kv = Gen.listOfN(40, Gen.zip(Gen.chooseNum(1L, 25L), Gen.chooseNum(0, 999)))
+    val (s1, s2) = (draw(kv, 1, 11L).head, draw(kv, 1, 13L).head)
+    def asChanges(rows: Seq[(Long, Int)]) = rows.zipWithIndex
+      .map { case ((k, v), i) => (k, "I", v.toDouble, i.toLong) }
+      .toDF("k", "op", "v", "seq")
+    val root = tmpDir() + "/tx-diff-prop"
+    TxTable.merge(spark, root, asChanges(s1))
+    TxTable.merge(spark, root, asChanges(s2))
+    val prev = TxTable.read(spark, root, version = 1).as[(Long, Double)]
+      .collect().toMap
+    val cur = TxTable.read(spark, root, version = 2).as[(Long, Double)]
+      .collect().toMap
+    val feed = TxTable.changes(spark, root, fromV = 1, toV = 2)
+      .select("op", "k", "v").as[(String, Long, Double)].collect()
+    // replay the diff over prev: I/U set, D drops
+    val replayed = feed.foldLeft(prev) { case (m, (op, k, v)) =>
+      if (op == "D") m - k else m + (k -> v)
+    }
+    assert(replayed === cur,
+      "the change feed must transform the old snapshot into the new one")
+  }
+
   test("weighted reservoir: deterministic, k-bounded, and weight-respecting") {
     import spark.implicits._
     // two groups x 500 docs; in group "a" the first 50 ids carry weight
