@@ -134,6 +134,50 @@ object Streams {
     * REMOVING the per-user state — so an idle user's final session is
     * emitted and a 100 TB/day stream with an unbounded user universe
     * keeps only in-horizon users in the state store. */
+  /** Per-user funnel progress over a stream — the streaming twin of
+    * `Olap.funnel`'s greedy semantics: the FIRST event (in event-time
+    * order) of the next stage inside the conversion window advances
+    * the user; emitted rows carry the user's CURRENT stage (update
+    * semantics — downstream keeps the latest per user). With in-order
+    * delivery the reached stages equal the batch computation, because
+    * greedy stage times are prefix-monotone: a later event can never
+    * retro-fill an earlier stage. State is 4 longs per user. */
+  case class FunnelState(t1: Long, t2: Long, t3: Long, t4: Long)
+  def funnelStages(events: Dataset[Event],
+    convWindowUs: Long = 86400000000L): Dataset[(Long, Int)] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, (Long, Int)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
+          var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L, -1L))
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val t = e.ts.getTime * 1000
+            e.event_type match {
+              case "signup" if s.t1 < 0 =>
+                s = s.copy(t1 = t)
+              case "view" if s.t1 >= 0 && s.t2 < 0 &&
+                t > s.t1 && t <= s.t1 + convWindowUs =>
+                s = s.copy(t2 = t)
+              case "click" if s.t2 >= 0 && s.t3 < 0 &&
+                t > s.t2 && t <= s.t2 + convWindowUs =>
+                s = s.copy(t3 = t)
+              case "purchase" if s.t3 >= 0 && s.t4 < 0 &&
+                t > s.t3 && t <= s.t3 + convWindowUs =>
+                s = s.copy(t4 = t)
+              case _ =>
+            }
+          }
+          state.update(s)
+          val stage =
+            if (s.t4 >= 0) 4 else if (s.t3 >= 0) 3
+            else if (s.t2 >= 0) 2 else if (s.t1 >= 0) 1 else 0
+          if (stage == 0) Iterator.empty else Iterator.single((user, stage))
+      }
+  }
+
   def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapUs = 1800L * 1000 * 1000

@@ -53,6 +53,37 @@ class StreamsSpec extends SparkSpec {
     assert(flushed.length === 1 && flushed(0).user_id === 7)
   }
 
+  test("streaming funnel advances users greedily; stages survive across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ev(id: Long, t: String, uid: Long, typ: String) =
+      Streams.Event(id, Timestamp.valueOf(t), uid, typ, 1.0)
+    val input = MemoryStream[Streams.Event]
+    val q = Streams.funnelStages(input.toDS())
+      .toDF("user_id", "stage")
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode("update").start()
+    // batch 1: user 1 signs up and views; user 2 only signs up; user 3
+    // views WITHOUT a signup (never enters the funnel)
+    input.addData(
+      ev(1, "2024-01-01 00:00:00", 1, "signup"),
+      ev(2, "2024-01-01 00:05:00", 1, "view"),
+      ev(3, "2024-01-01 00:00:00", 2, "signup"),
+      ev(4, "2024-01-01 00:00:00", 3, "view"))
+    q.processAllAvailable()
+    // batch 2: user 1 clicks then purchases (state carried over);
+    // user 2's out-of-window view (25h later) must NOT advance
+    input.addData(
+      ev(5, "2024-01-01 00:10:00", 1, "click"),
+      ev(6, "2024-01-01 00:15:00", 1, "purchase"),
+      ev(7, "2024-01-02 01:00:00", 2, "view"))
+    q.processAllAvailable(); q.stop()
+    val latest = spark.table("funnel").collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+      .groupBy(_._1).map { case (u, rows) => u -> rows.map(_._2).max }
+    assert(latest === Map(1L -> 4, 2L -> 1), s"got $latest")
+  }
+
   test("late data past the watermark is dropped AND the drop is observable in progress metrics") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
