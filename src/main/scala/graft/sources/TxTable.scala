@@ -365,9 +365,30 @@ object TxTable {
       val body = (s"op:$op" +: lines).mkString("\n")
       val claim = commitPath(rp, prevV + 1)
       try {
-        // overwrite = false: the atomic claim of version prevV+1
-        val out = fs.create(claim, false)
-        try out.write(body.getBytes("UTF-8")) finally out.close()
+        if (fs.getScheme == "file") {
+          // LOCAL filesystems: Hadoop's create(overwrite = false) is
+          // check-then-act there (RawLocalFileSystem probes existence
+          // before opening), so two racers can both pass the check and
+          // the later close silently overwrites the earlier claim —
+          // a LOST COMMIT (caught by the OCC stress test). Claim via
+          // link(2) instead: write the body to a temp file fully, then
+          // hard-link it into place — atomic in the kernel, fails with
+          // EEXIST if the version was claimed, and the commit is never
+          // visible partially written.
+          val dst = java.nio.file.Paths.get(claim.toUri.getPath)
+          java.nio.file.Files.createDirectories(dst.getParent)
+          val tmp = java.nio.file.Files.createTempFile(
+            dst.getParent, ".commit-", ".tmp")
+          try {
+            java.nio.file.Files.write(tmp, body.getBytes("UTF-8"))
+            java.nio.file.Files.createLink(dst, tmp)
+          } finally java.nio.file.Files.deleteIfExists(tmp)
+        } else {
+          // HDFS-class filesystems: create(overwrite = false) IS the
+          // atomic namenode claim
+          val out = fs.create(claim, false)
+          try out.write(body.getBytes("UTF-8")) finally out.close()
+        }
         return prevV + 1
       } catch {
         // Only a lost race is retryable: the claimed version already

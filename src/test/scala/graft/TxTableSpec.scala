@@ -431,6 +431,48 @@ class TxTableSpec extends SparkSpec {
     assert(TxTable.latestVersion(spark, root) === 2)
   }
 
+  test("OCC stress: 8 concurrent writers, every commit lands exactly once") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val root = tmpDir() + "/tx-occ-stress"
+    TxTable.append(Seq((0L, 0.0)).toDF("k", "v"), root)
+    // 8 threads x 3 appends, all racing the same version counter
+    val futures = (1 to 8).map { w =>
+      Future {
+        (1 to 3).foreach { i =>
+          TxTable.append(Seq((w * 100L + i, w * 1.0)).toDF("k", "v"), root)
+        }
+      }
+    }
+    Await.result(Future.sequence(futures), 120.seconds)
+    // every commit claimed a distinct version; nothing lost or doubled
+    assert(TxTable.latestVersion(spark, root) === 25)
+    assert(TxTable.read(spark, root).count() === 25)
+    assert(TxTable.rowCount(spark, root) === Some(25L))
+    val keys = TxTable.read(spark, root).select("k").as[Long].collect().toSet
+    assert(keys.size === 25, "all 25 distinct keys must survive the races")
+    // the history is a gap-free chain of appends
+    assert(TxTable.history(spark, root).map(_._1) === (1 to 25))
+    // and the change feed replays the whole racing load coherently
+    assert(TxTable.changes(spark, root).count() === 25)
+  }
+
+  test("vacuum truncates the change-replay horizon with a clear error") {
+    import spark.implicits._
+    val root = tmpDir() + "/tx-vac-feed"
+    TxTable.append(Seq((1L, 1.0)).toDF("k", "v"), root)
+    TxTable.append(Seq((2L, 2.0)).toDF("k", "v"), root)
+    TxTable.append(Seq((3L, 3.0)).toDF("k", "v"), root)
+    TxTable.vacuum(spark, root, retainLast = 1)
+    val e = intercept[IllegalArgumentException] {
+      TxTable.changes(spark, root, fromV = 0)
+    }
+    assert(e.getMessage.contains("vacuum"),
+      s"the error must name the cause, got: ${e.getMessage}")
+  }
+
   test("rowCount answers COUNT(*) from commit metadata; deltas force a real read") {
     import spark.implicits._
     val root = tmpDir() + "/tx-rowcount"
