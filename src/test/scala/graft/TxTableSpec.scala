@@ -459,6 +459,36 @@ class TxTableSpec extends SparkSpec {
     assert(TxTable.changes(spark, root).count() === 25)
   }
 
+  test("OCC stress, keyed path: racing deltas and a compaction all serialize losslessly") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val root = tmpDir() + "/tx-occ-keyed"
+    TxTable.mergeDelta(spark, root,
+      Seq((0L, "I", 0.0, 0L)).toDF("k", "op", "v", "seq"))
+    // 4 writers race distinct-key delta batches; a 5th races compactions
+    val writers = (1 to 4).map { w =>
+      Future {
+        (1 to 3).foreach { i =>
+          TxTable.mergeDelta(spark, root,
+            Seq((w * 100L + i, "I", w * 1.0, (w * 10 + i).toLong))
+              .toDF("k", "op", "v", "seq"))
+        }
+      }
+    }
+    val compactor = Future {
+      (1 to 2).foreach { _ => TxTable.compactSnapshot(spark, root) }
+    }
+    Await.result(Future.sequence(writers :+ compactor), 180.seconds)
+    // 1 seed + 12 deltas + 2 compactions = 15 gap-free versions
+    assert(TxTable.latestVersion(spark, root) === 15)
+    assert(TxTable.history(spark, root).map(_._1) === (1 to 15))
+    // whatever interleaving won each claim, no delta was lost
+    val keys = TxTable.read(spark, root).select("k").as[Long].collect().toSet
+    assert(keys.size === 13, s"all 13 keys must survive, got ${keys.size}")
+  }
+
   test("vacuum truncates the change-replay horizon with a clear error") {
     import spark.implicits._
     val root = tmpDir() + "/tx-vac-feed"
