@@ -84,6 +84,50 @@ class StreamsSpec extends SparkSpec {
     assert(latest === Map(1L -> 4, 2L -> 1), s"got $latest")
   }
 
+  test("streaming funnel equals the batch greedy funnel on the real events table") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // real events, truncated to millis so both sides see identical times
+    val events = graft.Tables.events(spark, sfDir)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Streams.Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val input = MemoryStream[Streams.Event]
+    input.addData(events: _*)
+    val q = Streams.funnelStages(input.toDS())
+      .toDF("user_id", "stage")
+      .writeStream.format("memory").queryName("funnel_eq")
+      .outputMode("update").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("funnel_eq").collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+      .groupBy(_._1).map { case (u, rs) => u -> rs.map(_._2).max }
+    // batch greedy over the SAME millis-truncated rows (the Olap.funnel
+    // formulation, parameterized by this data)
+    events.toSeq.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .createOrReplaceTempView("fev")
+    val w = 86400000000L
+    val batch = spark.sql(
+      s"""WITH ev AS (SELECT user_id, event_type, unix_micros(ts) t FROM fev),
+         |s1 AS (SELECT user_id, min(t) t1 FROM ev WHERE event_type = 'signup' GROUP BY 1),
+         |s2 AS (SELECT e.user_id, min(t) t2 FROM ev e JOIN s1 USING (user_id)
+         |       WHERE event_type = 'view' AND t > t1 AND t <= t1 + $w GROUP BY 1),
+         |s3 AS (SELECT e.user_id, min(t) t3 FROM ev e JOIN s2 USING (user_id)
+         |       WHERE event_type = 'click' AND t > t2 AND t <= t2 + $w GROUP BY 1),
+         |s4 AS (SELECT e.user_id, min(t) t4 FROM ev e JOIN s3 USING (user_id)
+         |       WHERE event_type = 'purchase' AND t > t3 AND t <= t3 + $w GROUP BY 1)
+         |SELECT s1.user_id,
+         |  CASE WHEN t4 IS NOT NULL THEN 4 WHEN t3 IS NOT NULL THEN 3
+         |       WHEN t2 IS NOT NULL THEN 2 ELSE 1 END stage
+         |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+         |LEFT JOIN s4 USING (user_id)""".stripMargin).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(streamed === batch,
+      "streaming greedy funnel must equal the batch formulation per user")
+    assert(batch.values.exists(_ >= 3), "some users should reach deep stages")
+  }
+
   test("late data past the watermark is dropped AND the drop is observable in progress metrics") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
