@@ -53,6 +53,20 @@ class ExtensionsSpec extends SparkSpec {
       // the planner strategy is present
       assert(s2.sessionState.planner.strategies.exists(
         _.getClass.getName.contains("LshTopKJoinStrategy")))
+      // the percentile substitution arrives via the extension too:
+      // disc AND cont forms fire under the flag, sketch readouts
+      // resolve as SQL functions
+      s2.conf.set("spark.graft.approxPercentile", "true")
+      try {
+        val pd = Seq(1L, 2L, 3L, 100L).toDF("v")
+          .selectExpr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v) AS p",
+            "percentile_cont(0.5) WITHIN GROUP (ORDER BY v) AS c")
+        val opt = pd.queryExecution.optimizedPlan.toString
+        assert(opt.contains("hist_quantile") &&
+          opt.contains("hist_quantile_cont"), opt)
+        assert(s2.sql("SELECT hist_quantile(hist_sketch(v, 10L, 8), 0.5, 10L) q " +
+          "FROM VALUES (5L), (7L) AS t(v)").collect()(0).getLong(0) === 10L)
+      } finally s2.conf.unset("spark.graft.approxPercentile")
     } finally {
       SparkSession.setActiveSession(base)
       SparkSession.setDefaultSession(base)
