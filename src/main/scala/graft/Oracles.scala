@@ -853,6 +853,33 @@ object Oracles {
     * score candidates as the sum of 4 distance-table lookups. Every
     * distance is an exact integer over the quantized grid. */
   val annPq: Map[String, String] = Map(
+    // IVF-PQ composition: coarse cells restrict candidates, ADC scores
+    // them — the same cell SQL as q_ann_ivf and the same enc/tab CTEs
+    // as q_ann_pq
+    "q_ann_ivfpq" ->
+      s"""$quantCte,
+         |ccent AS (SELECT vec_id cid, q qc, n2 n2c FROM n WHERE vec_id < 16),
+         |ar AS (SELECT n.vec_id, ccent.cid,
+         |    list_dot_product(list_transform(n.q, x -> cast(x AS DOUBLE)), list_transform(ccent.qc, x -> cast(x AS DOUBLE)))
+         |      / (sqrt(n.n2) * sqrt(ccent.n2c)) ccos
+         |  FROM n CROSS JOIN ccent),
+         |crk AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) crn FROM ar),
+         |assign AS (SELECT vec_id, cid cell FROM crk WHERE crn = 1),
+         |pcells AS (SELECT vec_id probe_id, cid cell FROM crk WHERE vec_id < 5 AND crn <= 2),
+         |cand AS (SELECT DISTINCT pcells.probe_id, a.vec_id nbr_id
+         |  FROM pcells JOIN assign a ON a.cell = pcells.cell
+         |    AND a.vec_id <> pcells.probe_id),
+         |$pqCte,
+         |sc2 AS (SELECT c.probe_id, c.nbr_id, sum(t.pd2) approx_d2
+         |  FROM cand c
+         |  JOIN enc e ON e.nbr_id = c.nbr_id
+         |  JOIN tab t ON t.probe_id = c.probe_id AND t.s = e.s AND t.cid = e.code
+         |  GROUP BY 1, 2)
+         |SELECT probe_id, rk, nbr_id, approx_d2 FROM (
+         |  SELECT probe_id, nbr_id, cast(approx_d2 AS BIGINT) approx_d2,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY approx_d2, nbr_id) rk
+         |  FROM sc2) t WHERE rk <= 5""".stripMargin,
+
     "q_ann_pq_recall" ->
       s"""$quantCte,
          |$pqCte,

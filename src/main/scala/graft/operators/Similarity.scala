@@ -239,6 +239,72 @@ object Similarity {
       .select("probe_id", "rk", "nbr_id", "approx_d2")
   }
 
+  /** IVF-PQ — the canonical billion-scale composition (FAISS's
+    * workhorse index): the COARSE quantizer (IVF cells) restricts each
+    * probe to its nprobe nearest cells' members, and the FINE
+    * quantizer (PQ codes + ADC tables) scores those candidates with 4
+    * integer table lookups each — so a search touches neither the
+    * full corpus NOR any full-width vector. Memory per vector: one
+    * cell id + 4 sub-codes. Both quantizers are the deterministic
+    * stand-ins used by their standalone operators, every distance is
+    * an exact integer, and the composition is oracle-gated end-to-end
+    * (q_ann_ivfpq). */
+  def annIvfPq(spark: SparkSession, dir: String, k: Int = 5,
+    nprobe: Int = 2): DataFrame = {
+    val q = quantized(spark, dir)
+    // coarse: cosine cell assignment against the first-16 codebook
+    val coarse = q.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("q").as("qc"), col("n2").as("n2c"))
+    def cellRank(vecs: DataFrame, idCol: String) = {
+      val scored = vecs.crossJoin(broadcast(coarse))
+        .withColumn("dot", expr("array_dot_long(q, qc)"))
+        .select(col(idCol), col("cid"),
+          expr("cast(dot as double) / (sqrt(cast(n2 as double)) * sqrt(cast(n2c as double)))").as("ccos"))
+      val w = Window.partitionBy(idCol).orderBy(col("ccos").desc, col("cid"))
+      scored.withColumn("crn", row_number().over(w))
+    }
+    val assign = cellRank(q, "vec_id").filter(col("crn") === 1)
+      .select(col("vec_id").as("nbr_id"), col("cid").as("cell"))
+    val probeCells = cellRank(q.filter(col("vec_id") < 5), "vec_id")
+      .filter(col("crn") <= nprobe)
+      .select(col("vec_id").as("probe_id"), col("cid").as("cell"))
+    val cand = broadcast(probeCells).join(assign, Seq("cell"))
+      .filter(col("probe_id") =!= col("nbr_id"))
+      .select("probe_id", "nbr_id").distinct()
+    // fine: PQ sub-codes for the corpus, ADC tables for the probes
+    val m = 4
+    val sub = 16
+    def subVecs(df: DataFrame, idCol: String): DataFrame = df
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(0, ${m - 1}), s -> " +
+          s"struct(s AS s, slice(q, s * $sub + 1, $sub) AS sv))")).as("x"))
+      .select(col(idCol), col("x.s").as("s"), col("x.sv").as("sv"))
+      .withColumn("n2s", expr("array_dot_long(sv, sv)"))
+    val cent = subVecs(q.filter(col("vec_id") < 16), "vec_id")
+      .select(col("vec_id").as("cid"), col("s"),
+        col("sv").as("cv"), col("n2s").as("n2c"))
+    val wEnc = Window.partitionBy("vec_id", "s").orderBy(col("d2"), col("cid"))
+    val codes = subVecs(q, "vec_id").join(broadcast(cent), Seq("s"))
+      .withColumn("d2",
+        col("n2s") + col("n2c") - lit(2L) * expr("array_dot_long(sv, cv)"))
+      .withColumn("rn", row_number().over(wEnc)).filter(col("rn") === 1)
+      .select(col("vec_id").as("nbr_id"), col("s"), col("cid").as("code"))
+    val table = subVecs(q.filter(col("vec_id") < 5), "vec_id")
+      .join(broadcast(cent), Seq("s"))
+      .select(col("vec_id").as("probe_id"), col("s"), col("cid"),
+        (col("n2s") + col("n2c") -
+          lit(2L) * expr("array_dot_long(sv, cv)")).as("pd2"))
+    // ADC over the candidate set only
+    val scored = cand.join(codes, Seq("nbr_id"))
+      .join(broadcast(table),
+        Seq("probe_id", "s")).filter(col("cid") === col("code"))
+      .groupBy("probe_id", "nbr_id").agg(sum("pd2").as("approx_d2"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("approx_d2"), col("nbr_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select("probe_id", "rk", "nbr_id", "approx_d2")
+  }
+
   /** Exact L2 brute-force top-k (integer d² = n2a + n2b − 2·dot) —
     * the baseline PQ recall is measured against. */
   def annBruteForceL2(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
