@@ -613,7 +613,10 @@ object TxTable {
       val batch: Seq[DataFrame] = op match {
         case "compact" => Seq.empty // same content, new layout
         case "delta" => newEntries.map(dirDf) // (key..., op, value...)
-        case "append" => newEntries.map(e => dirDf(e).withColumn("op", lit("I")))
+        // a clone's borrowed dirs are its initial content — inserts,
+        // exactly like an append-created table's first commit
+        case "append" | "clone" =>
+          newEntries.map(e => dirDf(e).withColumn("op", lit("I")))
         case "merge" | "overwrite" =>
           val keys = snapshotKeys(fs, rp, v).getOrElse(
             throw new IllegalArgumentException(
@@ -693,6 +696,40 @@ object TxTable {
     mergeDelta(spark, root, changeRows.filter(col("seq") > mid))
     compactSnapshot(spark, root)
     changes(spark, root)
+  }
+
+  /** ZERO-COPY shallow clone: branch `srcRoot`'s snapshot (current or
+    * pinned version) into a new table by writing ONE commit file whose
+    * entries reference the source's immutable data dirs by absolute
+    * path — no data moves, clone cost is metadata-only whatever the
+    * table size. The clone then evolves independently (its appends/
+    * deltas/compactions land under its own root; the source never sees
+    * them) — the dev/test-branch workflow over a production table.
+    * Like every shallow clone, it borrows the source's files: vacuuming
+    * the SOURCE below the cloned version invalidates the clone
+    * (compact the clone first to materialize it). */
+  def cloneAt(spark: SparkSession, srcRoot: String, dstRoot: String,
+    version: Int = -1): Int = {
+    val (fs, srp) = fsFor(spark, srcRoot)
+    val v = if (version >= 0) version else latestVersion(spark, srcRoot)
+    require(v > 0, s"txtable: nothing to clone at $srcRoot")
+    require(latestVersion(spark, dstRoot) == 0,
+      s"txtable: clone target $dstRoot already exists")
+    val absolute = snapshotEntries(fs, srp, v).map { e =>
+      val abs = new Path(srp, e.dir)
+        .makeQualified(fs.getUri, fs.getWorkingDirectory)
+      e.copy(dir = abs.toUri.getPath)
+    }
+    val headers =
+      snapshotKeys(fs, srp, v).map(ks => s"key:${ks.mkString(",")}").toSeq ++
+        (snapshotStatsCols(fs, srp, v) match {
+          case Seq() => Seq.empty
+          case cs => Seq(s"statscol:${cs.mkString(",")}")
+        })
+    commitRetry(spark, dstRoot) { prevV =>
+      require(prevV == 0, s"txtable: clone target $dstRoot gained commits")
+      ("clone", headers ++ absolute.map(_.line))
+    }
   }
 
   /** Metadata-only COUNT(*): per-dir row counts ride the stats grammar

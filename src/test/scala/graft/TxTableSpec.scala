@@ -431,6 +431,40 @@ class TxTableSpec extends SparkSpec {
     assert(TxTable.latestVersion(spark, root) === 2)
   }
 
+  test("shallow clone: zero-copy branch, independent evolution") {
+    import spark.implicits._
+    val src = tmpDir() + "/tx-clone-src"
+    val dst = tmpDir() + "/tx-clone-dst"
+    TxTable.append((1L to 1000L).map(k => (k, k * 1.0)).toDF("k", "v"),
+      src, statsCols = Seq("k"))
+    TxTable.append(Seq((2000L, 0.0)).toDF("k", "v"), src)
+    // clone v1 (before the second append): pinned-version branch
+    TxTable.cloneAt(spark, src, dst, version = 1)
+    assert(TxTable.read(spark, dst).count() === 1000)
+    // METADATA-ONLY: the clone owns no data files at all
+    assert(!new java.io.File(dst, "data").exists,
+      "a shallow clone must not copy any data")
+    // stats traveled: pruning works against the borrowed dirs
+    assert(TxTable.rowCount(spark, dst) === Some(1000L))
+    // independent evolution in BOTH directions
+    TxTable.append(Seq((5000L, 5.0)).toDF("k", "v"), dst)
+    assert(TxTable.read(spark, dst).count() === 1001)
+    assert(TxTable.read(spark, src).count() === 1001, // 1000 + 2000L row
+      "the source must never see the clone's writes")
+    // the clone's feed replays its borrowed content as inserts
+    assert(TxTable.changes(spark, dst).count() === 1001)
+    // compaction materializes the clone: no borrowed dirs remain
+    TxTable.compactSnapshot(spark, dst)
+    assert(TxTable.read(spark, dst).inputFiles.forall(_.contains("tx-clone-dst")),
+      "compaction must move the clone onto its own files")
+    assert(TxTable.read(spark, dst).count() === 1001)
+    // a cloned-then-compacted table survives source vacuum
+    TxTable.overwrite(Seq((1L, 1.0)).toDF("k", "v"), src)
+    TxTable.vacuum(spark, src, retainLast = 1)
+    assert(TxTable.read(spark, dst).count() === 1001,
+      "a materialized clone must survive source vacuum")
+  }
+
   test("OCC stress: 8 concurrent writers, every commit lands exactly once") {
     import spark.implicits._
     import scala.concurrent.{Await, Future}
