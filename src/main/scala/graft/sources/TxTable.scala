@@ -617,7 +617,7 @@ object TxTable {
         // exactly like an append-created table's first commit
         case "append" | "clone" =>
           newEntries.map(e => dirDf(e).withColumn("op", lit("I")))
-        case "merge" | "overwrite" =>
+        case "merge" | "overwrite" | "restore" =>
           val keys = snapshotKeys(fs, rp, v).getOrElse(
             throw new IllegalArgumentException(
               s"txtable: v$v of $root replaced content without a key " +
@@ -696,6 +696,23 @@ object TxTable {
     mergeDelta(spark, root, changeRows.filter(col("seq") > mid))
     compactSnapshot(spark, root)
     changes(spark, root)
+  }
+
+  /** Durable rollback: commit version `toVersion`'s exact entry list
+    * as the NEW latest snapshot (op:restore) — time travel makes old
+    * versions readable, restore makes one of them the table's forward
+    * state, undoing a bad load in one metadata commit while the
+    * mistake stays in history for audit. Zero-copy: the restored dirs
+    * are the old immutable dirs. Keep vacuum's horizon wide enough to
+    * cover restore targets. */
+  def restore(spark: SparkSession, root: String, toVersion: Int): Int = {
+    val (fs, rp) = fsFor(spark, root)
+    require(toVersion >= 1 && toVersion <= latestVersion(spark, root),
+      s"txtable: cannot restore $root to v$toVersion")
+    require(fs.exists(commitPath(rp, toVersion)),
+      s"txtable: v$toVersion of $root was vacuumed - nothing to restore")
+    val lines = snapshotLines(fs, rp, toVersion)
+    commitRetry(spark, root) { _ => ("restore", lines) }
   }
 
   /** ZERO-COPY shallow clone: branch `srcRoot`'s snapshot (current or

@@ -431,6 +431,24 @@ class TxTableSpec extends SparkSpec {
     assert(TxTable.latestVersion(spark, root) === 2)
   }
 
+  test("restore makes an old version the forward state; the mistake stays in history") {
+    import spark.implicits._
+    val root = tmpDir() + "/tx-restore"
+    TxTable.append(Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"), root)   // v1 good
+    TxTable.overwrite(Seq((666L, 0.0)).toDF("k", "v"), root)         // v2 bad load
+    val v3 = TxTable.restore(spark, root, toVersion = 1)
+    assert(v3 === 3)
+    assert(TxTable.read(spark, root).collect().map(_.getLong(0)).toSet ===
+      Set(1L, 2L))
+    // the bad version remains auditable
+    assert(TxTable.read(spark, root, version = 2).collect()
+      .map(_.getLong(0)).toSet === Set(666L))
+    assert(TxTable.history(spark, root).map(_._2) ===
+      Seq("append", "overwrite", "restore"))
+    // and the metadata row count follows the restore
+    assert(TxTable.rowCount(spark, root) === Some(2L))
+  }
+
   test("shallow clone: zero-copy branch, independent evolution") {
     import spark.implicits._
     val src = tmpDir() + "/tx-clone-src"
