@@ -209,6 +209,39 @@ object Oracles {
          |  SELECT *, row_number() OVER (ORDER BY freq DESC, pair) rk FROM f) z
          |WHERE rk <= 30""".stripMargin,
 
+    // the full BPE training loop, unrolled: 3 rounds of
+    // count-pairs → adopt best (freq desc, lexicographic) → rewrite
+    // tokenization with the non-overlapping (l ≠ r) set-based merge
+    "q_bpe_train" -> {
+      def round(k: Int): String =
+        s"""n$k AS (SELECT word, wc, i, tok,
+           |  lead(tok) OVER (PARTITION BY word ORDER BY i) nxt FROM t${k - 1}),
+           |b$k AS (SELECT l, r, freq FROM (
+           |  SELECT tok l, nxt r, cast(sum(wc) AS BIGINT) freq FROM n$k
+           |  WHERE nxt IS NOT NULL AND tok <> nxt GROUP BY 1, 2
+           |  ORDER BY freq DESC, l, r LIMIT 1) z$k),
+           |m$k AS (SELECT word, wc, i, tok, b.l, b.r,
+           |  (tok = b.l AND nxt = b.r) m_here FROM n$k CROSS JOIN b$k b),
+           |g$k AS (SELECT word, wc, i, tok, l, r, m_here,
+           |  coalesce(lag(m_here) OVER (PARTITION BY word ORDER BY i), false) m_prev
+           |  FROM m$k),
+           |a$k AS (SELECT word, wc, i,
+           |  CASE WHEN m_here THEN l || r ELSE tok END tok
+           |  FROM g$k WHERE NOT m_prev),
+           |t$k AS (SELECT word, wc,
+           |  row_number() OVER (PARTITION BY word ORDER BY i) i, tok FROM a$k)""".stripMargin
+      s"""WITH tk AS (SELECT unnest(string_split($norm, ' ')) word FROM documents),
+         |w AS (SELECT word, count(*) wc FROM tk WHERE word <> '' GROUP BY 1),
+         |ix AS (SELECT word, wc, unnest(generate_series(1, length(word))) i FROM w),
+         |t0 AS (SELECT word, wc, i, substring(word, i, 1) tok FROM ix),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT 1 AS iter, l, r, freq FROM b1
+         |UNION ALL SELECT 2, l, r, freq FROM b2
+         |UNION ALL SELECT 3, l, r, freq FROM b3""".stripMargin
+    },
+
     "q_wordcount" ->
       s"""SELECT word, count(*) AS cnt FROM (
          |  SELECT unnest(string_split($norm, ' ')) AS word FROM documents) t

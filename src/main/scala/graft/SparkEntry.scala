@@ -50,6 +50,7 @@ object SparkEntry {
     "q_set_ops" -> (Relational.setOps _),
     // text (§2.3, §2.6)
     "q_wordcount" -> (TextOps.wordcount _),
+    "q_bpe_train" -> ((s: SparkSession, d: String) => TextOps.bpeTrain(s, d)),
     "q_grep" -> (TextOps.grep _),
     "q_inverted_index" -> (TextOps.invertedIndex _),
     "q_text_langid" -> (TextOps.langid _),

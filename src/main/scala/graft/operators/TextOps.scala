@@ -342,6 +342,54 @@ object TextOps {
     top.withColumn("rk", row_number().over(w)).select("rk", "pair", "freq")
   }
 
+  /** BPE TRAINING LOOP — not just pair statistics (`bpeMerges`) but
+    * the iterative trainer: each round counts adjacent-token pairs
+    * over the word-frequency table, adopts the most frequent pair
+    * (freq desc, then lexicographic — fully deterministic) as a new
+    * merged token, and REWRITES the corpus tokenization before the
+    * next round. Merges are restricted to pairs with left ≠ right,
+    * which makes applications provably NON-OVERLAPPING (a chain
+    * t[i]=l, t[i+1]=r, t[i+1]=l needs l = r), so the rewrite is pure
+    * set-based window arithmetic — no sequential fold, identical
+    * semantics in any engine, and the whole training run is
+    * oracle-gated (q_bpe_train). Pair counting explodes the
+    * VOCABULARY (distinct words × their lengths), never the corpus;
+    * the 1-row best-merge broadcast keeps every step distributed. */
+  def bpeTrain(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    val words = tokens(spark, dir).groupBy("word").agg(count(lit(1)).as("wc"))
+    val wOrd = Window.partitionBy("word").orderBy("i")
+    var toks: DataFrame = words.select(col("word"), col("wc"),
+      posexplode(expr(
+        "transform(sequence(1, length(word)), j -> substring(word, j, 1))"))
+        .as(Seq("p", "tok")))
+      .select(col("word"), col("wc"), (col("p") + 1).as("i"), col("tok"))
+    var merges: DataFrame = null
+    for (it <- 1 to iters) {
+      val withNext = toks.withColumn("nxt", lead("tok", 1).over(wOrd))
+      val best = withNext
+        .filter(col("nxt").isNotNull && col("tok") =!= col("nxt"))
+        .groupBy(col("tok").as("l"), col("nxt").as("r"))
+        .agg(sum("wc").as("freq"))
+        .orderBy(col("freq").desc, col("l"), col("r")).limit(1)
+        .select(lit(it).as("iter"), col("l"), col("r"), col("freq"))
+      merges = if (merges == null) best else merges.unionByName(best)
+      val applied = withNext
+        .crossJoin(broadcast(best.select("l", "r")))
+        .withColumn("m_here", col("tok") === col("l") && col("nxt") === col("r"))
+        .withColumn("m_prev",
+          coalesce(lag("m_here", 1).over(wOrd), lit(false)))
+        .filter(!col("m_prev"))
+        .select(col("word"), col("wc"), col("i"),
+          when(col("m_here"), concat(col("l"), col("r")))
+            .otherwise(col("tok")).as("tok"))
+      toks = applied
+        .withColumn("i2", row_number().over(
+          Window.partitionBy("word").orderBy("i")))
+        .select(col("word"), col("wc"), col("i2").as("i"), col("tok"))
+    }
+    merges
+  }
+
   /** Winnowing document fingerprint (rolling-hash): char 10-gram md5
     * hashes, min over each 8-gram window, distinct survivors. The
     * window is partitioned per doc so it scales out. */
