@@ -77,6 +77,19 @@ class PropertySpec extends SparkSpec {
       "the change feed must transform the old snapshot into the new one")
   }
 
+  test("dedup cascade partitions the corpus: every doc gets exactly one verdict") {
+    graft.functions.GraftFunctions.register(spark)
+    val verdicts = graft.operators.Dedup.cascade(spark, sfDir)
+    val total = graft.Tables.documents(spark, sfDir).count()
+    assert(verdicts.count() === total, "one verdict per document")
+    assert(verdicts.select("doc_id").distinct().count() === total,
+      "no document may appear under two stages")
+    val stages = verdicts.groupBy("stage").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stages.keySet.subsetOf(Set("exact", "near", "semantic", "keep")))
+    assert(stages.getOrElse("keep", 0L) > 0, "some documents must survive")
+  }
+
   test("weighted reservoir: deterministic, k-bounded, and weight-respecting") {
     import spark.implicits._
     // two groups x 500 docs; in group "a" the first 50 ids carry weight
