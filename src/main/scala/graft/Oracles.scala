@@ -913,6 +913,46 @@ object Oracles {
          |    row_number() OVER (PARTITION BY probe_id ORDER BY approx_d2, nbr_id) rk
          |  FROM sc2) t WHERE rk <= 5""".stripMargin,
 
+    // residual IVF-PQ: PQ over v − centroid(cell(v)); every distance
+    // decomposes to element-level integer arithmetic, so no list ops —
+    // subvector d² is a GROUP BY over (i-1)//16
+    "q_ann_ivfpq_res" ->
+      s"""$quantCte,
+         |ccent AS (SELECT vec_id cid, q qc, n2 n2c FROM n WHERE vec_id < 16),
+         |ar AS (SELECT n.vec_id, ccent.cid,
+         |    list_dot_product(list_transform(n.q, x -> cast(x AS DOUBLE)), list_transform(ccent.qc, x -> cast(x AS DOUBLE)))
+         |      / (sqrt(n.n2) * sqrt(ccent.n2c)) ccos
+         |  FROM n CROSS JOIN ccent),
+         |crk AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) crn FROM ar),
+         |assign AS (SELECT vec_id, cid cell FROM crk WHERE crn = 1),
+         |pcells AS (SELECT vec_id probe_id, cid cell FROM crk WHERE vec_id < 5 AND crn <= 2),
+         |qe AS (SELECT vec_id, generate_subscripts(q, 1) i, unnest(q) e FROM q),
+         |rese AS (SELECT v.vec_id, a.cell, v.i, v.e - c.e re
+         |  FROM qe v JOIN assign a USING (vec_id)
+         |  JOIN qe c ON c.vec_id = a.cell AND c.i = v.i),
+         |fce AS (SELECT vec_id - 16 fcid, i, re FROM rese
+         |  WHERE vec_id >= 16 AND vec_id < 32),
+         |encd AS (SELECT r.vec_id, r.cell, (r.i - 1) // 16 s, f.fcid,
+         |    sum((r.re - f.re) * (r.re - f.re)) d2
+         |  FROM rese r JOIN fce f ON f.i = r.i GROUP BY 1, 2, 3, 4),
+         |encr AS (SELECT vec_id nbr_id, cell, s, fcid code FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, fcid) rn
+         |  FROM encd) z WHERE rn = 1),
+         |prese AS (SELECT p.probe_id, p.cell, v.i, v.e - c.e re
+         |  FROM pcells p JOIN qe v ON v.vec_id = p.probe_id
+         |  JOIN qe c ON c.vec_id = p.cell AND c.i = v.i),
+         |tabr AS (SELECT pr.probe_id, pr.cell, (pr.i - 1) // 16 s, f.fcid,
+         |    sum((pr.re - f.re) * (pr.re - f.re)) pd2
+         |  FROM prese pr JOIN fce f ON f.i = pr.i GROUP BY 1, 2, 3, 4),
+         |scr AS (SELECT t.probe_id, e.nbr_id, sum(t.pd2) approx_d2
+         |  FROM encr e JOIN tabr t ON t.cell = e.cell AND t.s = e.s
+         |    AND t.fcid = e.code
+         |  WHERE t.probe_id <> e.nbr_id GROUP BY 1, 2)
+         |SELECT probe_id, rk, nbr_id, approx_d2 FROM (
+         |  SELECT probe_id, nbr_id, cast(approx_d2 AS BIGINT) approx_d2,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY approx_d2, nbr_id) rk
+         |  FROM scr) t WHERE rk <= 5""".stripMargin,
+
     "q_ann_pq_recall" ->
       s"""$quantCte,
          |$pqCte,

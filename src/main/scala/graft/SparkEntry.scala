@@ -96,6 +96,7 @@ object SparkEntry {
     "q_ann_pq" -> ((s: SparkSession, d: String) => Similarity.annPq(s, d)),
     "q_ann_pq_recall" -> ((s: SparkSession, d: String) => Similarity.annPqRecall(s, d)),
     "q_ann_ivfpq" -> ((s: SparkSession, d: String) => Similarity.annIvfPq(s, d)),
+    "q_ann_ivfpq_res" -> ((s: SparkSession, d: String) => Similarity.annIvfPqResidual(s, d)),
     "q_ann_ivf_trained" -> ((s: SparkSession, d: String) => Similarity.annIvfTrained(s, d)),
     // streaming batch twins (§2.4) + external program + media
     "q_window_agg" -> (graft.streaming.Windows.windowAgg _),

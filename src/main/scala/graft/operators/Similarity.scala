@@ -305,6 +305,85 @@ object Similarity {
       .select("probe_id", "rk", "nbr_id", "approx_d2")
   }
 
+  /** RESIDUAL IVF-PQ — what production IVF-PQ actually encodes: PQ
+    * codes of the residual v − centroid(cell(v)), not of v itself.
+    * Residuals concentrate near the origin, so a fixed sub-codebook
+    * quantizes them with far less error than raw vectors — the recall
+    * refinement on top of `annIvfPq`. Residuals are element-wise
+    * integer subtractions over the quantized grid, so every distance
+    * stays an exact integer and the full pipeline (assign → residual →
+    * encode → per-probed-cell ADC tables → candidate scoring) replays
+    * bitwise in the oracle (q_ann_ivfpq_res). The probe builds one ADC
+    * table PER PROBED CELL (its residual differs per cell) — nprobe ×
+    * m × 16 integer d² entries, still map-side against the broadcast
+    * codebooks. Residual sub-codebook: the residual subvectors of
+    * vectors 16..31 w.r.t. their own cells (deterministic stand-in for
+    * the trained fine codebook). */
+  def annIvfPqResidual(spark: SparkSession, dir: String, k: Int = 5,
+    nprobe: Int = 2): DataFrame = {
+    val q = quantized(spark, dir)
+    val coarse = q.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("q").as("qc"), col("n2").as("n2c"))
+    def cellRank(vecs: DataFrame, idCol: String) = {
+      val scored = vecs.crossJoin(broadcast(coarse))
+        .withColumn("dot", expr("array_dot_long(q, qc)"))
+        .select(col(idCol), col("cid"), col("q"),
+          expr("cast(dot as double) / (sqrt(cast(n2 as double)) * sqrt(cast(n2c as double)))").as("ccos"))
+      val w = Window.partitionBy(idCol).orderBy(col("ccos").desc, col("cid"))
+      scored.withColumn("crn", row_number().over(w))
+    }
+    // residual of each vector w.r.t. a cell's centroid
+    def withResidual(df: DataFrame): DataFrame = df
+      .join(broadcast(coarse.select(col("cid"), col("qc"))), Seq("cid"))
+      .withColumn("res", expr("zip_with(q, qc, (x, y) -> x - y)"))
+    val assign = cellRank(q, "vec_id").filter(col("crn") === 1)
+      .select(col("vec_id"), col("cid"), col("q"))
+    // residual sub-codebook from vectors 16..31 (their own cells)
+    val m = 4
+    val sub = 16
+    def subSplit(df: DataFrame, cols: Seq[String]): DataFrame = df
+      .select(cols.map(col) :+ explode(expr(
+        s"transform(sequence(0, ${m - 1}), s -> " +
+          s"struct(s AS s, slice(res, s * $sub + 1, $sub) AS sv))")).as("x"): _*)
+      .select(cols.map(col) :+ col("x.s").as("s") :+ col("x.sv").as("sv"): _*)
+      .withColumn("n2s", expr("array_dot_long(sv, sv)"))
+    val fineCent = subSplit(
+      withResidual(assign.filter(col("vec_id") >= 16 && col("vec_id") < 32)),
+      Seq("vec_id"))
+      .select((col("vec_id") - 16).as("fcid"), col("s"),
+        col("sv").as("cv"), col("n2s").as("n2c"))
+    // encode every corpus vector's own-cell residual
+    val wEnc = Window.partitionBy("vec_id", "s").orderBy(col("d2"), col("fcid"))
+    val codes = subSplit(withResidual(assign), Seq("vec_id", "cid"))
+      .join(broadcast(fineCent), Seq("s"))
+      .withColumn("d2",
+        col("n2s") + col("n2c") - lit(2L) * expr("array_dot_long(sv, cv)"))
+      .withColumn("rn", row_number().over(wEnc)).filter(col("rn") === 1)
+      .select(col("vec_id").as("nbr_id"), col("cid").as("cell"),
+        col("s"), col("fcid").as("code"))
+    // probe: residual PER PROBED CELL → one ADC table per (probe, cell)
+    val probeCells = cellRank(q.filter(col("vec_id") < 5), "vec_id")
+      .filter(col("crn") <= nprobe)
+      .select(col("vec_id").as("probe_id"), col("cid"), col("q"))
+    val table = subSplit(withResidual(probeCells), Seq("probe_id", "cid"))
+      .join(broadcast(fineCent), Seq("s"))
+      .select(col("probe_id"), col("cid").as("cell"), col("s"), col("fcid"),
+        (col("n2s") + col("n2c") -
+          lit(2L) * expr("array_dot_long(sv, cv)")).as("pd2"))
+    // candidates = members of the probe's probed cells; score = Σ_s
+    // table[probe, cell(nbr), s, code(nbr, s)]
+    val scored = codes
+      .join(broadcast(table),
+        codes("cell") === table("cell") && codes("s") === table("s") &&
+          codes("code") === table("fcid"))
+      .filter(col("probe_id") =!= col("nbr_id"))
+      .groupBy("probe_id", "nbr_id").agg(sum("pd2").as("approx_d2"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("approx_d2"), col("nbr_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select("probe_id", "rk", "nbr_id", "approx_d2")
+  }
+
   /** Exact L2 brute-force top-k (integer d² = n2a + n2b − 2·dot) —
     * the baseline PQ recall is measured against. */
   def annBruteForceL2(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
