@@ -12,6 +12,21 @@ import org.apache.spark.sql.SparkSession
   * query.
   */
 object Bench {
+  /** Pulls the flat `"name": seconds` pairs out of a bench JSON file.
+    * Tolerates whitespace after the colon — bench_ref.json may be
+    * pretty-printed by an external tool (round 6 shipped a version
+    * whose `"q1_agg": 0.81` spacing silently defeated the old
+    * no-space regex, killing the outlier-escalation retries).
+    * Non-query keys ("value", "sf", ...) are harmless: they are never
+    * looked up by query name.
+    */
+  def parsePrevRef(txt: String): Map[String, Double] = {
+    val pair = """"([A-Za-z0-9_]+)"\s*:\s*(-?[0-9][0-9.eE+\-]*)""".r
+    pair.findAllMatchIn(txt)
+      .map(m => m.group(1) -> m.group(2).toDouble)
+      .filter(_._2 > 0).toMap
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -59,12 +74,12 @@ object Bench {
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
-        val pair = """"([A-Za-z0-9_]+)":(-?[0-9][0-9.eE+\-]*)""".r
-        pair.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble)
-          .filter(_._2 > 0).toMap
+        parsePrevRef(txt)
       } catch { case scala.util.control.NonFatal(_) => Map.empty }
     }
+    // stderr so the one-JSON-line stdout contract holds; an empty load
+    // (dead escalation) must be visible in the artifact's log tail
+    System.err.println(s"[bench] prevRef: ${prevRef.size} queries loaded")
     // optional comma-separated query filter for local iteration — the
     // driver sets no filter and measures everything
     val only = sys.env.get("SPARK_GRAFT_QUERIES")
@@ -112,7 +127,11 @@ object Bench {
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val triesJson = allTries.map { case (k, v) =>
-      "\"" + k + "\":[" + v.map(t => f"$t%.3f").mkString(",") + "]"
+      // explicit Locale.ROOT: the f-interpolator honors the default
+      // locale, and a comma decimal separator would corrupt the JSON
+      "\"" + k + "\":[" + v.map(t =>
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(t)))
+        .mkString(",") + "]"
     }.mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"tries":$triesJson,"errors":$errJson,"sf":"$sfDir"}"""

@@ -240,8 +240,10 @@ object Media {
                 val energy = new Array[Long](65)
                 var w = 0
                 while (w < 65) {
-                  val from = w * nSamples / 65
-                  val until = (w + 1) * nSamples / 65
+                  // Long arithmetic: w*nSamples overflows Int at ~33M
+                  // samples (~67 MB of 16-bit PCM)
+                  val from = (w.toLong * nSamples / 65).toInt
+                  val until = ((w + 1).toLong * nSamples / 65).toInt
                   var e = 0L
                   var i = from
                   while (i < until) { val s = sample(i); e += s * s; i += 1 }

@@ -446,13 +446,19 @@ object Relational {
     * exact semi-join after). At 100 TB this is the difference between
     * shuffling 100 TB and shuffling the matching ~10%. */
   def joinBloom(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val keysDf = Tables.part(spark, dir)
       .filter(col("p_size") > 45).select("p_partkey")
-    val bloom = keysDf.stat.bloomFilter("p_partkey", 100000L, 0.01)
-    val bloomBc = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((k: Long) => bloomBc.value.mightContain(k))
+    // Native Catalyst bloom (the pair Spark's own runtime row-filtering
+    // injects): the filter is a 1-row aggregate consumed as a scalar
+    // subquery, and the probe stays inside whole-stage codegen on the
+    // 100-TB scan — no driver-side stat.bloomFilter job, no per-row
+    // Scala UDF boxing.
+    val bloom = keysDf
+      .agg(expr("bloom_filter_agg(xxhash64(p_partkey), 100000L)").as("bf"))
+      .scalar()
     Tables.lineitem(spark, dir)
-      .filter(mightContain(col("l_partkey")))          // cheap pre-shuffle prune
+      .filter(call_function("might_contain", bloom, xxhash64(col("l_partkey"))))
       .join(broadcast(keysDf), col("l_partkey") === col("p_partkey"), "left_semi")
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))

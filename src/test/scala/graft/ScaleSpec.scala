@@ -96,6 +96,20 @@ class ScaleSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("joinBloom probes with the native bloom expression, not a Scala UDF") {
+    graft.functions.GraftFunctions.register(spark)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = graft.operators.Relational.joinBloom(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("ScalaUDF"),
+        s"bloom probe must stay inside whole-stage codegen:\n$plan")
+      assert(plan.contains("might_contain"),
+        s"expected the native bloom probe on the lineitem scan:\n$plan")
+      assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("incremental NEAR-dup: the corpus reaches its only join through a broadcast") {
     graft.functions.GraftFunctions.register(spark)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
