@@ -155,17 +155,31 @@ object TxTable {
       .orElse(snapshotStatsCols(fs, rp, v).headOption)
     val ranges: Map[String, (Long, Long)] = colRanges ++
       keyRange.flatMap(r => rangeCol.map(_ -> r))
+    // Merge-on-read safety: a range on a VALUE column must wait for
+    // resolution — pre-filtering the tail would drop a 'U' row whose
+    // NEW value left the range (its stale base row would survive the
+    // anti-join) and a 'D' row whose carried value is out of range
+    // (the deleted base row would resurface). Key columns never change
+    // across versions of a row, so key ranges prune dirs and filter
+    // rows safely anywhere; on keyed/delta snapshots every other range
+    // applies to the RESOLVED rows only. Plain append tables have no
+    // resolution step, so all ranges stay pre-scan there.
+    val hasDelta = allEntries.exists(_.isDelta)
+    val (preRanges, postRanges) =
+      if (!hasDelta) (ranges, Map.empty[String, (Long, Long)])
+      else ranges.partition { case (c, _) => keyCols.contains(c) }
     // a dir survives when EVERY named range intersects its recorded
     // stats for that column (no stats for a column ⇒ can't prune on it)
     val entries =
-      if (ranges.isEmpty) allEntries
-      else allEntries.filter(e => ranges.forall { case (c, (lo, hi)) =>
+      if (preRanges.isEmpty) allEntries
+      else allEntries.filter(e => preRanges.forall { case (c, (lo, hi)) =>
         e.stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
       })
-    def rangeFilter(df: DataFrame): DataFrame =
-      ranges.foldLeft(df) { case (d, (c, (lo, hi))) =>
+    def applyRanges(df: DataFrame, rs: Map[String, (Long, Long)]): DataFrame =
+      rs.foldLeft(df) { case (d, (c, (lo, hi))) =>
         if (d.columns.contains(c)) d.filter(col(c).between(lo, hi)) else d
       }
+    def rangeFilter(df: DataFrame): DataFrame = applyRanges(df, preRanges)
     if (entries.isEmpty) {
       // every dir pruned: empty frame with the table's schema
       val schemaDf = spark.read
@@ -246,8 +260,9 @@ object TxTable {
         .select((col("op") +: dataCols.map(col)): _*)
       val survivors = base.join(
         broadcast(tail.select(keyExprs: _*)), keyCols, "left_anti")
-      survivors.unionByName(
-        tail.filter(col("op") =!= "D").select(dataCols.map(col): _*))
+      applyRanges(survivors.unionByName(
+        tail.filter(col("op") =!= "D").select(dataCols.map(col): _*)),
+        postRanges)
     }
   }
 
@@ -263,12 +278,19 @@ object TxTable {
   def readAsOf(spark: SparkSession, root: String, tsMillis: Long,
     keyRange: Option[(Long, Long)] = None): DataFrame = {
     val (fs, rp) = fsFor(spark, root)
+    // vacuum() drops commit files below the retention horizon, so a
+    // version's file may be gone — skip it (only retained versions are
+    // as-of candidates) instead of throwing FileNotFoundException for
+    // timestamps that are perfectly servable from the retained window
     val v = (1 to latestVersion(spark, root))
-      .filter(vv => fs.getFileStatus(commitPath(rp, vv))
-        .getModificationTime <= tsMillis)
+      .filter { vv =>
+        val p = commitPath(rp, vv)
+        fs.exists(p) && fs.getFileStatus(p).getModificationTime <= tsMillis
+      }
       .foldLeft(0)(math.max)
     require(v > 0,
-      s"txtable: no snapshot of $root existed at epoch-millis $tsMillis")
+      s"txtable: no retained snapshot of $root existed at epoch-millis " +
+        s"$tsMillis (older versions may have been vacuumed)")
     read(spark, root, version = v, keyRange = keyRange)
   }
 
@@ -321,7 +343,8 @@ object TxTable {
     * pruning (the first is `read(keyRange)`'s default range column;
     * all of them serve `read(colRanges)` box pruning). */
   private def writeAndCommit(df: DataFrame, root: String, op: String,
-    keepPrev: Boolean, statsCols: Seq[String] = Seq.empty): Int = {
+    keepPrev: Boolean, statsCols: Seq[String] = Seq.empty,
+    preCommitCheck: Int => Unit = _ => ()): Int = {
     val spark = df.sparkSession
     val (fs, rp) = fsFor(spark, root)
     val dirName = s"data/$op-${java.util.UUID.randomUUID()}"
@@ -329,6 +352,10 @@ object TxTable {
     val entry = Entry(isDelta = false, dirName,
       dirStats(spark, rp, dirName, statsCols))
     commitRetry(spark, root) { prevV =>
+      // constraint probes (appendChecked) re-validate against the
+      // claim's parent, so a concurrent commit that landed between
+      // validation and the claim can't smuggle in a violating snapshot
+      preCommitCheck(prevV)
       val prev = if (keepPrev) snapshotLines(fs, rp, prevV) else Seq.empty
       // record which columns the stats describe (carry-forward wins so
       // one table never mixes stats declarations)
@@ -802,15 +829,30 @@ object TxTable {
             s"duplicate (${uniqueKey.mkString(",")}) keys inside the " +
             "batch; batch rejected, table unchanged")
     }
-    if (uniqueKey.nonEmpty && exists(spark, root)) {
-      val clash = read(spark, root)
-        .join(broadcast(df.select(uniqueKey.map(col): _*).distinct()),
-          uniqueKey, "left_semi").count()
+    // Existing-table uniqueness, in two layers:
+    //  1. pre-write, against the current snapshot — a violating batch
+    //     fails fast, before any data dir hits the filesystem;
+    //  2. INSIDE the commit retry, pinned to the claim's parent, and
+    //     only when that parent differs from the pre-validated version:
+    //     two concurrent appendChecked writers with overlapping keys
+    //     used to both validate against the same old snapshot and both
+    //     commit — the loser must re-probe the winner's snapshot and
+    //     fail instead. The batch-key side is batch-scale and
+    //     broadcast; the table side never shuffles.
+    val batchKeys =
+      if (uniqueKey.isEmpty) null
+      else df.select(uniqueKey.map(col): _*).distinct()
+    def probe(v: Int): Unit = if (uniqueKey.nonEmpty && v > 0) {
+      val clash = read(spark, root, version = v)
+        .join(broadcast(batchKeys), uniqueKey, "left_semi").count()
       require(clash == 0L,
-        s"txtable: constraint violation - $clash existing rows share the " +
-          s"batch's (${uniqueKey.mkString(",")}) keys; batch rejected")
+        s"txtable: constraint violation - $clash existing rows share " +
+          s"the batch's (${uniqueKey.mkString(",")}) keys; batch rejected")
     }
-    append(df, root, statsCols)
+    val preValidatedV = latestVersion(spark, root)
+    probe(preValidatedV)
+    writeAndCommit(df, root, "append", keepPrev = true, statsCols,
+      preCommitCheck = v => if (v != preValidatedV) probe(v))
   }
 
   /** Selective small-dir compaction for plain APPEND tables — the

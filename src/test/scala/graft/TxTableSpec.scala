@@ -607,6 +607,80 @@ class TxTableSpec extends SparkSpec {
     assert(TxTable.read(spark, root).count() === 3)
   }
 
+  test("appendChecked: concurrent overlapping-key writers cannot both commit") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val root = tmpDir() + "/tx-constraints-race"
+    TxTable.appendChecked(Seq((0L, 0.0)).toDF("k", "v"),
+      root, uniqueKey = Seq("k"))
+    // 6 writers race the SAME key: the old code validated each against
+    // the pre-race snapshot and let every one commit; the in-retry
+    // re-probe must let exactly one through, whatever the interleaving
+    val results = Await.result(Future.sequence((1 to 6).map { w =>
+      Future {
+        scala.util.Try(TxTable.appendChecked(
+          Seq((42L, w * 1.0)).toDF("k", "v"), root, uniqueKey = Seq("k")))
+      }
+    }), 120.seconds)
+    assert(results.count(_.isSuccess) === 1,
+      s"exactly one writer of key 42 may commit, got ${results.count(_.isSuccess)}")
+    val t = TxTable.read(spark, root)
+    assert(t.filter(col("k") === 42L).count() === 1,
+      "the committed snapshot must hold exactly one row for the raced key")
+    // the unique-key invariant holds over the whole table
+    assert(t.count() === t.select("k").distinct().count())
+  }
+
+  test("readAsOf serves retained versions after vacuum instead of throwing") {
+    import spark.implicits._
+    val root = tmpDir() + "/tx-vac-asof"
+    TxTable.append(Seq((1L, 1.0)).toDF("k", "v"), root)
+    Thread.sleep(20)
+    TxTable.append(Seq((2L, 2.0)).toDF("k", "v"), root)
+    Thread.sleep(20)
+    TxTable.append(Seq((3L, 3.0)).toDF("k", "v"), root)
+    TxTable.vacuum(spark, root, retainLast = 2)   // v1's commit file is gone
+    // a timestamp in the retained window resolves to the newest retained
+    // version at-or-before it — the vacuumed v1 must be skipped, not FNF
+    val now = System.currentTimeMillis() + 1000
+    assert(TxTable.readAsOf(spark, root, now).count() === 3)
+    // a timestamp older than the horizon errors clearly
+    val e = intercept[IllegalArgumentException] {
+      TxTable.readAsOf(spark, root, 1000L)
+    }
+    assert(e.getMessage.contains("vacuum"))
+  }
+
+  test("colRanges on a VALUE column applies after merge-on-read resolution") {
+    import spark.implicits._
+    val root = tmpDir() + "/tx-mor-valrange"
+    TxTable.mergeDelta(spark, root,
+      Seq((1L, "I", 10L, 1L), (2L, "I", 20L, 2L), (3L, "I", 30L, 3L))
+        .toDF("k", "op", "v", "seq"))
+    // v of key 1 leaves [0,15]; key 2 is deleted carrying v=0; key 3 enters it
+    TxTable.mergeDelta(spark, root,
+      Seq((1L, "U", 100L, 4L), (2L, "D", 0L, 5L), (3L, "U", 12L, 6L))
+        .toDF("k", "op", "v", "seq"))
+    val got = TxTable.read(spark, root, colRanges = Map("v" -> (0L, 15L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the old code pre-filtered the tail on v: key 1's U row (v=100) was
+    // dropped so its STALE base row (v=10) survived, and key 2's D row
+    // (carried v=0... in range, but a D carrying an out-of-range value
+    // resurfaces the same way) — resolved-then-filtered is the contract
+    assert(got === Map(3L -> 12L),
+      s"only key 3's RESOLVED value is in range, got $got")
+    // sanity: the unfiltered resolution agrees
+    val full = TxTable.read(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full === Map(1L -> 100L, 3L -> 12L))
+    // and key ranges (safe pre-resolution) still prune + filter correctly
+    val byKey = TxTable.read(spark, root, keyRange = Some((3L, 9L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byKey === Map(3L -> 12L))
+  }
+
   test("compactDirs folds only the smallest dirs; the big base is never rewritten") {
     import spark.implicits._
     val root = tmpDir() + "/tx-optimize"
