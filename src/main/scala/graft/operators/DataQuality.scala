@@ -31,28 +31,28 @@ object DataQuality {
 
   /** Per-column statistics of `orders`: row count, null count,
     * distinct count, min and max, exploded to one row per column — the
-    * stats table shape ANALYZE produces. The non-distinct stats are
-    * ONE narrow aggregate pass. The distinct counts deliberately run
-    * as one single-distinct aggregate per column cross-joined in
-    * (independent subplans Spark schedules concurrently, each
-    * shuffling only its own column's values) instead of a combined
-    * multi-distinct aggregate — the latter Expands every row N_cols
-    * times carrying all columns, an N× shuffle of wide rows. At 100 TB
-    * exactness gives way to the sketch path (kmv_uniq /
-    * approx_count_distinct) with the same output shape. */
+    * stats table shape ANALYZE produces. EVERYTHING rides one
+    * aggregate over one table scan: Catalyst's
+    * RewriteDistinctAggregates plans the N distinct columns as a
+    * single Expand (each row fans out once per distinct group, null
+    * everywhere but its own column, so the shuffle carries narrow
+    * rows) — at 100 TB that is one pass over the data, where a
+    * scan-per-column ANALYZE would be |columns|+1 passes. When even
+    * the Expand shuffle is too much, the repo's ApproxDistinctRewrite
+    * (spark.graft.approxDistinct=true) swaps these countDistincts
+    * for mergeable KMV sketches with the same output shape — the
+    * documented 100 TB variant. */
   def profile(spark: SparkSession, dir: String): DataFrame = {
     val df = Tables.orders(spark, dir)
     val fields = df.schema.fields.toSeq
     val aggs = count(lit(1)).as("__n") +: fields.flatMap { f =>
       Seq(
         count(col(f.name)).as(s"${f.name}__nn"),
+        countDistinct(col(f.name)).as(s"${f.name}__nd"),
         renderStat(min(col(f.name)), f.dataType).as(s"${f.name}__min"),
         renderStat(max(col(f.name)), f.dataType).as(s"${f.name}__max"))
     }
-    val wide = fields.foldLeft(df.agg(aggs.head, aggs.tail: _*)) { (acc, f) =>
-      acc.crossJoin(
-        df.select(col(f.name)).agg(countDistinct(col(f.name)).as(s"${f.name}__nd")))
-    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
     val structs = fields.map { f =>
       struct(
         lit(f.name).as("column_name"),

@@ -96,6 +96,21 @@ class ScaleSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("profile is ONE table scan: multi-distinct plans as a single Expand") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = graft.operators.DataQuality.profile(spark, sfDir)
+        .queryExecution.executedPlan
+      val scans = plan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.size === 1,
+        s"ANALYZE must read the table once, found ${scans.size} scans:\n$plan")
+      assert(plan.toString.contains("Expand"),
+        s"expected the multi-distinct Expand:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("joinBloom probes with the native bloom expression, not a Scala UDF") {
     graft.functions.GraftFunctions.register(spark)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
