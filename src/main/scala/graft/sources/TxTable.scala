@@ -125,23 +125,18 @@ object TxTable {
   private def snapshotDirs(fs: FileSystem, root: Path, v: Int): Seq[String] =
     snapshotEntries(fs, root, v).map(_.dir)
 
-  /** Read snapshot `version` (default: latest). A snapshot with no
-    * delta entries reads as the plain union of its data dirs (append
-    * semantics untouched); one with deltas resolves merge-on-read:
-    * later entries override earlier ones per key, deletes drop. The
-    * key columns come from the snapshot's own `key:` header — readers
-    * never need to know how the table was written.
-    *
-    * `keyRange = Some((lo, hi))` is the point/range-lookup fast path:
-    * data dirs whose recorded min/max key stats cannot intersect
-    * [lo, hi] are pruned from the file listing entirely (never opened
-    * — the partition-pruning analog), and the resolved rows are
-    * filtered to the range. Pruning a delta dir is safe for the same
-    * reason: a change batch whose stats exclude the range cannot
-    * affect any row in it. Dirs without stats are never pruned. */
-  def read(spark: SparkSession, root: String, version: Int = -1,
-    keyRange: Option[(Long, Long)] = None,
-    colRanges: Map[String, (Long, Long)] = Map.empty): DataFrame = {
+  /** The resolved scan plan of one snapshot: which data dirs survive
+    * range pruning, and which ranges apply where. Shared by `read`
+    * (the DataFrame assembly) and the format face's `inputFiles`
+    * (the pruning proof surface) so the two can never disagree. */
+  private case class SnapshotPlan(version: Int, keyCols: Seq[String],
+    allEntries: Seq[Entry], entries: Seq[Entry],
+    preRanges: Map[String, (Long, Long)],
+    postRanges: Map[String, (Long, Long)])
+
+  private def planSnapshot(spark: SparkSession, root: String, version: Int,
+    keyRange: Option[(Long, Long)],
+    colRanges: Map[String, (Long, Long)]): SnapshotPlan = {
     val (fs, rp) = fsFor(spark, root)
     val v = if (version >= 0) version else latestVersion(spark, root)
     require(v > 0, s"txtable: no committed snapshot at $root")
@@ -175,6 +170,51 @@ object TxTable {
       else allEntries.filter(e => preRanges.forall { case (c, (lo, hi)) =>
         e.stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
       })
+    SnapshotPlan(v, keyCols, allEntries, entries, preRanges, postRanges)
+  }
+
+  /** Data FILES of the snapshot that survive dir pruning under the
+    * given ranges — what the `graft-tx` relation reports as
+    * `Dataset.inputFiles`, so option-driven skipping is observable
+    * from the standard API. */
+  private[sources] def dataFiles(spark: SparkSession, root: String,
+    version: Int = -1, keyRange: Option[(Long, Long)] = None,
+    colRanges: Map[String, (Long, Long)] = Map.empty): Array[String] = {
+    val (fs, rp) = fsFor(spark, root)
+    planSnapshot(spark, root, version, keyRange, colRanges).entries.toArray
+      .flatMap { e =>
+        fs.listStatus(new Path(rp, e.dir)).filter(s => s.isFile &&
+          !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith("."))
+          .map(_.getPath.toString)
+      }
+  }
+
+  /** Read snapshot `version` (default: latest). A snapshot with no
+    * delta entries reads as the plain union of its data dirs (append
+    * semantics untouched); one with deltas resolves merge-on-read:
+    * later entries override earlier ones per key, deletes drop. The
+    * key columns come from the snapshot's own `key:` header — readers
+    * never need to know how the table was written.
+    *
+    * `keyRange = Some((lo, hi))` is the point/range-lookup fast path:
+    * data dirs whose recorded min/max key stats cannot intersect
+    * [lo, hi] are pruned from the file listing entirely (never opened
+    * — the partition-pruning analog), and the resolved rows are
+    * filtered to the range. Pruning a delta dir is safe for the same
+    * reason: a change batch whose stats exclude the range cannot
+    * affect any row in it. Dirs without stats are never pruned. */
+  def read(spark: SparkSession, root: String, version: Int = -1,
+    keyRange: Option[(Long, Long)] = None,
+    colRanges: Map[String, (Long, Long)] = Map.empty): DataFrame = {
+    val (fs, rp) = fsFor(spark, root)
+    val plan = planSnapshot(spark, root, version, keyRange, colRanges)
+    val v = plan.version
+    val allEntries = plan.allEntries
+    val keyCols = plan.keyCols
+    val preRanges = plan.preRanges
+    val postRanges = plan.postRanges
+    val entries = plan.entries
     def applyRanges(df: DataFrame, rs: Map[String, (Long, Long)]): DataFrame =
       rs.foldLeft(df) { case (d, (c, (lo, hi))) =>
         if (d.columns.contains(c)) d.filter(col(c).between(lo, hi)) else d
@@ -276,12 +316,18 @@ object TxTable {
     * their modification time IS the commit time; an as-of read costs
     * one directory listing, no data I/O beyond the chosen snapshot. */
   def readAsOf(spark: SparkSession, root: String, tsMillis: Long,
-    keyRange: Option[(Long, Long)] = None): DataFrame = {
+    keyRange: Option[(Long, Long)] = None): DataFrame =
+    read(spark, root, version = versionAt(spark, root, tsMillis),
+      keyRange = keyRange)
+
+  /** The snapshot version live at wall-clock `tsMillis`. vacuum()
+    * drops commit files below the retention horizon, so a version's
+    * file may be gone — skip it (only retained versions are as-of
+    * candidates) instead of throwing FileNotFoundException for
+    * timestamps that are perfectly servable from the retained window. */
+  private[sources] def versionAt(spark: SparkSession, root: String,
+    tsMillis: Long): Int = {
     val (fs, rp) = fsFor(spark, root)
-    // vacuum() drops commit files below the retention horizon, so a
-    // version's file may be gone — skip it (only retained versions are
-    // as-of candidates) instead of throwing FileNotFoundException for
-    // timestamps that are perfectly servable from the retained window
     val v = (1 to latestVersion(spark, root))
       .filter { vv =>
         val p = commitPath(rp, vv)
@@ -291,7 +337,7 @@ object TxTable {
     require(v > 0,
       s"txtable: no retained snapshot of $root existed at epoch-millis " +
         s"$tsMillis (older versions may have been vacuumed)")
-    read(spark, root, version = v, keyRange = keyRange)
+    v
   }
 
   /** Commit history: version, operation, data-dir count. */
@@ -901,13 +947,17 @@ object TxTable {
   }
 
   /** SQL face: register the table's CURRENT snapshot (or a pinned
-    * `version`) as a temp view. The view holds the resolved snapshot —
-    * Spark SQL's own snapshot-isolation semantics: queries against it
-    * never see later commits until re-registered, exactly the
+    * `version`) as a temp view, through the `graft-tx` format face
+    * (TxTableSource) — one read path for API, format, and SQL users.
+    * The version is pinned at registration, so queries against the
+    * view never see later commits until re-registered — exactly the
     * repeatable-read behavior a BI session wants. */
   def registerView(spark: SparkSession, name: String, root: String,
-    version: Int = -1): Unit =
-    read(spark, root, version).createOrReplaceTempView(name)
+    version: Int = -1): Unit = {
+    val pinned = if (version >= 0) version else latestVersion(spark, root)
+    spark.read.format("graft-tx").option("versionAsOf", pinned).load(root)
+      .createOrReplaceTempView(name)
+  }
 
   /** Drop data directories not referenced by the latest `retainLast`
     * snapshots, then drop the commit files older than that horizon.

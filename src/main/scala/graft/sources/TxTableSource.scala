@@ -1,0 +1,233 @@
+package graft.sources
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession, SQLContext}
+import org.apache.spark.sql.execution.FileRelation
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+
+/** The standard read/write face of [[TxTable]] — `graft-tx` as a
+  * registered data source (ref analog: the reference warehouse's
+  * tables are named, engine-addressable load targets,
+  * src/contrib/hive-streaming/build.xml:1; here the transactional
+  * table becomes addressable through the engine's own format API):
+  *
+  * {{{
+  *   spark.read.format("graft-tx")
+  *     .option("versionAsOf", 3)            // or timestampAsOf
+  *     .option("colRange.k", "100,200")     // stats-based dir skipping
+  *     .load(root)
+  *   df.write.format("graft-tx").mode("append")
+  *     .option("statsCols", "k").save(root)
+  *   spark.sql(s"CREATE TABLE t USING `graft-tx` OPTIONS (path '$root')")
+  * }}}
+  *
+  * Architecture: a relation wrapping the snapshot-resolved plan — the
+  * shape Delta Lake's own batch DataSource uses — rather than a
+  * DataSourceV2 record reader, because a merge-on-read snapshot IS a
+  * multi-operator Spark plan (window resolution + broadcast anti-join
+  * over vectorized parquet scans), not a per-partition record stream;
+  * re-implementing it under PartitionReader would forfeit exactly the
+  * codegen/pushdown machinery `TxTable.read` already composes.
+  * Pushdown still flows BOTH ways:
+  *  - options → snapshot pinning (versionAsOf / timestampAsOf) and
+  *    range-box dir pruning before a single footer is opened;
+  *  - Catalyst's pushed filters → integral-column ranges intersected
+  *    into the same dir pruning, plus predicate/projection pushdown
+  *    into the inner parquet scans (`buildScan`'s required columns and
+  *    filters reach the resolved plan, and Spark re-checks every
+  *    filter above, so over-pruning is impossible and under-pruning
+  *    only costs I/O).
+  * `Dataset.inputFiles` reports the surviving data files (the relation
+  * implements FileRelation), so dir skipping is observable — and
+  * testable — from the standard API.
+  */
+class TxTableSource extends RelationProvider
+  with CreatableRelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-tx"
+
+  override def createRelation(sqlContext: SQLContext,
+    parameters: Map[String, String]): BaseRelation =
+    TxRelation(sqlContext.sparkSession, TxTableSource.rootOf(parameters),
+      parameters)
+
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+    parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val root = TxTableSource.rootOf(parameters)
+    val statsCols = parameters.get("statsCols").orElse(parameters.get("statscols"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    mode match {
+      case SaveMode.Append => TxTable.append(data, root, statsCols)
+      case SaveMode.Overwrite => TxTable.overwrite(data, root, statsCols)
+      case SaveMode.ErrorIfExists =>
+        if (TxTable.exists(spark, root))
+          throw new IllegalStateException(
+            s"graft-tx: table at $root already exists (mode=ErrorIfExists)")
+        TxTable.append(data, root, statsCols)
+      case SaveMode.Ignore =>
+        if (!TxTable.exists(spark, root)) TxTable.append(data, root, statsCols)
+    }
+    createRelation(sqlContext, parameters)
+  }
+}
+
+object TxTableSource {
+  private def rootOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-tx requires a path (load(root) or OPTIONS (path '...'))"))
+
+  /** timestampAsOf accepts epoch millis, an ISO-8601 instant, or a
+    * local `yyyy-MM-dd HH:mm:ss` timestamp (session-zone-free: local
+    * timestamps resolve in the JVM default zone, matching what a user
+    * reading the commit file's mtime on this machine sees). */
+  private[graft] def parseTs(s: String): Long =
+    s.toLongOption.getOrElse {
+      scala.util.Try(java.time.Instant.parse(s).toEpochMilli).getOrElse(
+        java.sql.Timestamp.valueOf(s).getTime)
+    }
+
+  /** `colRange.<name> = "lo,hi"` options (plus bare `keyRange`),
+    * collected case-preservingly for the column part. */
+  private[graft] def optionRanges(
+    parameters: Map[String, String]): Map[String, (Long, Long)] =
+    parameters.flatMap { case (k, v) =>
+      if (k.toLowerCase(java.util.Locale.ROOT)
+        .startsWith("colrange.") && k.length > 9)
+        Some(k.substring(9) -> parseRange(k, v))
+      else None
+    }
+
+  private[graft] def parseRange(key: String, v: String): (Long, Long) =
+    v.split(",").map(_.trim) match {
+      case Array(lo, hi) => (lo.toLong, hi.toLong)
+      case _ => throw new IllegalArgumentException(
+        s"graft-tx: option $key must be 'lo,hi', got '$v'")
+    }
+
+  /** Integral bounds implied by Catalyst's pushed filters, for dir
+    * pruning. Conservative by construction: only shapes that imply a
+    * contiguous [lo, hi] on one column contribute; everything else is
+    * ignored (Spark re-applies all filters above the scan anyway). */
+  private[graft] def rangesFromFilters(
+    filters: Array[Filter]): Map[String, (Long, Long)] = {
+    def longOf(v: Any): Option[Long] = v match {
+      case l: Long => Some(l)
+      case i: Int => Some(i.toLong)
+      case s: Short => Some(s.toLong)
+      case b: Byte => Some(b.toLong)
+      case i: java.lang.Integer => Some(i.toLong)
+      case l: java.lang.Long => Some(l.longValue)
+      case _ => None
+    }
+    def boundsOf(f: Filter): Seq[(String, (Long, Long))] = f match {
+      case EqualTo(a, v) => longOf(v).map(x => a -> (x, x)).toSeq
+      case GreaterThan(a, v) => longOf(v).filter(_ < Long.MaxValue)
+        .map(x => a -> (x + 1, Long.MaxValue)).toSeq
+      case GreaterThanOrEqual(a, v) =>
+        longOf(v).map(x => a -> (x, Long.MaxValue)).toSeq
+      case LessThan(a, v) => longOf(v).filter(_ > Long.MinValue)
+        .map(x => a -> (Long.MinValue, x - 1)).toSeq
+      case LessThanOrEqual(a, v) =>
+        longOf(v).map(x => a -> (Long.MinValue, x)).toSeq
+      case In(a, vs) if vs.nonEmpty =>
+        val ls = vs.toSeq.map(longOf)
+        if (ls.forall(_.isDefined)) {
+          val xs = ls.flatten
+          Seq(a -> (xs.min, xs.max))
+        } else Seq.empty
+      case And(l, r) => boundsOf(l) ++ boundsOf(r)
+      case _ => Seq.empty
+    }
+    filters.toSeq.flatMap(boundsOf)
+      .groupMapReduce(_._1)(_._2)(intersect)
+  }
+
+  private[graft] def intersect(a: (Long, Long),
+    b: (Long, Long)): (Long, Long) =
+    (math.max(a._1, b._1), math.min(a._2, b._2))
+
+  /** Pushed filters as Column predicates over the RESOLVED snapshot —
+    * gets predicate pushdown into the inner parquet scans for plain
+    * tables and early row pruning for merge-on-read ones. Untranslated
+    * filters are simply skipped (Spark re-checks everything above). */
+  private[graft] def toPredicate(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, p) => Some(col(a).startsWith(p))
+    case StringEndsWith(a, p) => Some(col(a).endsWith(p))
+    case StringContains(a, p) => Some(col(a).contains(p))
+    case Not(c) => toPredicate(c).map(!_)
+    case And(l, r) => for { a <- toPredicate(l); b <- toPredicate(r) }
+      yield a && b
+    case Or(l, r) => for { a <- toPredicate(l); b <- toPredicate(r) }
+      yield a || b
+    case _ => None
+  }
+}
+
+/** One `graft-tx` read: snapshot selection from options, scan-time
+  * range pruning from options ∩ pushed filters. The version is
+  * re-resolved per scan (not pinned at relation construction), so a
+  * catalog table over a continuously-loaded root follows the table —
+  * Spark's own per-query plan gives each query snapshot isolation. */
+case class TxRelation(spark: SparkSession, root: String,
+  parameters: Map[String, String])
+  extends BaseRelation with PrunedFilteredScan with FileRelation {
+
+  private val versionOpt = parameters.get("versionAsOf")
+    .orElse(parameters.get("versionasof")).map(_.toInt)
+  private val tsOpt = parameters.get("timestampAsOf")
+    .orElse(parameters.get("timestampasof")).map(TxTableSource.parseTs)
+  require(versionOpt.isEmpty || tsOpt.isEmpty,
+    "graft-tx: versionAsOf and timestampAsOf are mutually exclusive")
+  private val optRanges = TxTableSource.optionRanges(parameters) ++
+    parameters.get("keyRange").orElse(parameters.get("keyrange"))
+      .map(v => "__keyRange__" -> TxTableSource.parseRange("keyRange", v))
+
+  private def keyRangeOpt: Option[(Long, Long)] = optRanges.get("__keyRange__")
+  private def colRangesOf(extra: Map[String, (Long, Long)]) = {
+    val base = optRanges - "__keyRange__"
+    base ++ extra.map { case (c, r) =>
+      c -> base.get(c).map(TxTableSource.intersect(_, r)).getOrElse(r)
+    }
+  }
+
+  private def resolvedVersion: Int = tsOpt match {
+    case Some(ts) => TxTable.versionAt(spark, root, ts)
+    case None => versionOpt.getOrElse(-1)
+  }
+
+  override def sqlContext: SQLContext = spark.sqlContext
+
+  override val schema: StructType =
+    TxTable.read(spark, root, version = resolvedVersion,
+      keyRange = keyRangeOpt, colRanges = colRangesOf(Map.empty)).schema
+
+  override def buildScan(requiredColumns: Array[String],
+    filters: Array[Filter]): RDD[Row] = {
+    val df = TxTable.read(spark, root, version = resolvedVersion,
+      keyRange = keyRangeOpt,
+      colRanges = colRangesOf(TxTableSource.rangesFromFilters(filters)))
+    val filtered = filters.flatMap(TxTableSource.toPredicate)
+      .foldLeft(df)(_ filter _)
+    val projected =
+      if (requiredColumns.isEmpty) filtered
+      else filtered.select(requiredColumns.map(col).toIndexedSeq: _*)
+    projected.rdd
+  }
+
+  override def inputFiles: Array[String] =
+    TxTable.dataFiles(spark, root, version = resolvedVersion,
+      keyRange = keyRangeOpt, colRanges = colRangesOf(Map.empty))
+}

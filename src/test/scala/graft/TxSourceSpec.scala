@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{And, EqualTo, GreaterThan, GreaterThanOrEqual, In, LessThanOrEqual, StringStartsWith}
+import graft.sources.{TxTable, TxTableSource}
+
+/** The `graft-tx` format face: spark.read.format / df.write.format /
+  * SQL `USING` over TxTable, matching the Scala API bit-for-bit. */
+class TxSourceSpec extends SparkSpec {
+
+  private def face(root: String) = spark.read.format("graft-tx").load(root)
+
+  test("format reads match API reads bit-for-bit, including time travel") {
+    import spark.implicits._
+    val root = tmpDir() + "/txsrc-basic"
+    TxTable.append(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"), root)
+    Thread.sleep(20)
+    val tsBetween = System.currentTimeMillis()
+    Thread.sleep(20)
+    TxTable.append(Seq((3L, 30.0)).toDF("k", "v"), root)
+    // latest
+    assert(face(root).collect().toSet ===
+      TxTable.read(spark, root).collect().toSet)
+    assert(face(root).schema === TxTable.read(spark, root).schema)
+    // versionAsOf
+    val v1 = spark.read.format("graft-tx").option("versionAsOf", 1).load(root)
+    assert(v1.collect().toSet ===
+      TxTable.read(spark, root, version = 1).collect().toSet)
+    // timestampAsOf (epoch millis) resolves to v1
+    val byTs = spark.read.format("graft-tx")
+      .option("timestampAsOf", tsBetween).load(root)
+    assert(byTs.collect().toSet === v1.collect().toSet)
+    // both options together is an error
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-tx").option("versionAsOf", 1)
+        .option("timestampAsOf", tsBetween).load(root).collect()
+    }
+  }
+
+  test("format reads resolve merge-on-read exactly like the API") {
+    import spark.implicits._
+    val root = tmpDir() + "/txsrc-mor"
+    TxTable.mergeDelta(spark, root,
+      Seq((1L, "I", 10.0, 1L), (2L, "I", 20.0, 2L)).toDF("k", "op", "v", "seq"))
+    TxTable.mergeDelta(spark, root,
+      Seq((1L, "U", 11.0, 3L), (2L, "D", 0.0, 4L), (3L, "I", 30.0, 5L))
+        .toDF("k", "op", "v", "seq"))
+    val got = face(root).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got === Map(1L -> 11.0, 3L -> 30.0))
+    assert(face(root).collect().toSet === TxTable.read(spark, root).collect().toSet)
+    // filters pushed through the face respect resolution (value column)
+    assert(face(root).filter(col("v") <= 15.0).collect()
+      .map(_.getLong(0)).toSet === Set(1L))
+  }
+
+  test("colRange options prune dirs, observable via Dataset.inputFiles") {
+    import spark.implicits._
+    val root = tmpDir() + "/txsrc-prune"
+    (0 until 4).foreach { i =>
+      TxTable.append(
+        (i * 100L until i * 100L + 100L).map(k => (k, k * 2.0)).toDF("k", "v"),
+        root, statsCols = Seq("k"))
+    }
+    val all = face(root)
+    val pruned = spark.read.format("graft-tx")
+      .option("colRange.k", "150,160").load(root)
+    assert(all.inputFiles.length > pruned.inputFiles.length,
+      s"expected pruning: all=${all.inputFiles.length} pruned=${pruned.inputFiles.length}")
+    // only dir #1 (keys 100-199) can intersect [150,160]
+    val allDirs = all.inputFiles.map(f => f.split("/data/")(1).split("/")(0)).distinct
+    val prunedDirs = pruned.inputFiles.map(f => f.split("/data/")(1).split("/")(0)).distinct
+    assert(allDirs.length === 4 && prunedDirs.length === 1, s"$prunedDirs")
+    assert(pruned.collect().map(_.getLong(0)).toSet === (150L to 160L).toSet)
+    // keyRange option addresses the default range column the same way
+    val byKeyRange = spark.read.format("graft-tx")
+      .option("keyRange", "150,160").load(root)
+    assert(byKeyRange.collect().toSet === pruned.collect().toSet)
+  }
+
+  test("pushed filters intersect into dir pruning and stay correct") {
+    import spark.implicits._
+    val root = tmpDir() + "/txsrc-filters"
+    (0 until 4).foreach { i =>
+      TxTable.append(
+        (i * 100L until i * 100L + 100L).map(k => (k, s"s$k")).toDF("k", "s"),
+        root, statsCols = Seq("k"))
+    }
+    val q = face(root).filter(col("k") >= 150L && col("k") <= 160L)
+    assert(q.collect().map(_.getLong(0)).toSet === (150L to 160L).toSet)
+    val eq = face(root).filter(col("k") === 250L)
+    assert(eq.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((250L, "s250")))
+    // string pushdown translates without affecting results
+    assert(face(root).filter(col("s").startsWith("s25")).count() === 11) // 250..259 + 25
+  }
+
+  test("rangesFromFilters translates only contiguous integral shapes") {
+    val rs = TxTableSource.rangesFromFilters(Array(
+      GreaterThanOrEqual("k", 10L), LessThanOrEqual("k", 20L),
+      EqualTo("j", 5), GreaterThan("m", 7L),
+      In("n", Array[Any](3L, 9L, 6L)),
+      And(GreaterThanOrEqual("a", 1L), LessThanOrEqual("a", 2L)),
+      StringStartsWith("s", "x"), EqualTo("t", "str")))
+    assert(rs("k") === (10L, 20L))
+    assert(rs("j") === (5L, 5L))
+    assert(rs("m") === (8L, Long.MaxValue))
+    assert(rs("n") === (3L, 9L))
+    assert(rs("a") === (1L, 2L))
+    assert(!rs.contains("s") && !rs.contains("t"))
+  }
+
+  test("writes through the format face: append, overwrite, modes") {
+    import spark.implicits._
+    val root = tmpDir() + "/txsrc-write"
+    Seq((1L, 1.0)).toDF("k", "v").write.format("graft-tx")
+      .mode("append").option("statsCols", "k").save(root)
+    Seq((2L, 2.0)).toDF("k", "v").write.format("graft-tx")
+      .mode("append").option("statsCols", "k").save(root)
+    assert(TxTable.read(spark, root).count() === 2)
+    assert(TxTable.latestVersion(spark, root) === 2)
+    // the statsCols option recorded stats: a point read prunes
+    assert(spark.read.format("graft-tx").option("colRange.k", "1,1")
+      .load(root).inputFiles.length <
+      spark.read.format("graft-tx").load(root).inputFiles.length)
+    Seq((9L, 9.0)).toDF("k", "v").write.format("graft-tx")
+      .mode("overwrite").save(root)
+    assert(face(root).collect().map(_.getLong(0)).toSet === Set(9L))
+    intercept[IllegalStateException] {
+      Seq((1L, 1.0)).toDF("k", "v").write.format("graft-tx")
+        .mode("errorifexists").save(root)
+    }
+    Seq((8L, 8.0)).toDF("k", "v").write.format("graft-tx")
+      .mode("ignore").save(root)   // table exists: no-op
+    assert(face(root).collect().map(_.getLong(0)).toSet === Set(9L))
+  }
+
+  test("SQL face: CREATE TABLE USING graft-tx; registerView delegates") {
+    import spark.implicits._
+    val root = tmpDir() + "/txsrc-sql"
+    TxTable.append(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"), root)
+    spark.sql("DROP TABLE IF EXISTS tx_face")
+    spark.sql(s"CREATE TABLE tx_face USING `graft-tx` OPTIONS (path '$root')")
+    try {
+      assert(spark.sql("SELECT sum(k) FROM tx_face").collect()(0).getLong(0) === 3L)
+      // a catalog table follows the table across commits
+      TxTable.append(Seq((4L, 40.0)).toDF("k", "v"), root)
+      spark.sql("REFRESH TABLE tx_face")
+      assert(spark.sql("SELECT count(*) FROM tx_face").collect()(0).getLong(0) === 3L)
+    } finally spark.sql("DROP TABLE IF EXISTS tx_face")
+    // registerView pins the CURRENT version through the format face
+    TxTable.registerView(spark, "tx_view", root)
+    TxTable.append(Seq((5L, 50.0)).toDF("k", "v"), root)
+    assert(spark.sql("SELECT count(*) FROM tx_view").collect()(0).getLong(0) === 3L,
+      "a registered view must pin its version (repeatable read)")
+    TxTable.registerView(spark, "tx_view", root)
+    assert(spark.sql("SELECT count(*) FROM tx_view").collect()(0).getLong(0) === 4L)
+  }
+
+  test("timestampAsOf accepts ISO-8601 and local timestamps") {
+    assert(TxTableSource.parseTs("1700000000000") === 1700000000000L)
+    assert(TxTableSource.parseTs("2023-11-14T22:13:20Z") === 1700000000000L)
+    val local = TxTableSource.parseTs("2023-11-14 22:13:20")
+    assert(local === java.sql.Timestamp.valueOf("2023-11-14 22:13:20").getTime)
+  }
+}
