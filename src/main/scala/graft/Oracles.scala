@@ -1045,6 +1045,81 @@ object Oracles {
          |  FROM sc) t WHERE rk <= 3""".stripMargin)
   }
 
+  /** Fully trained residual IVF-PQ: coarse Lloyd (the q_ann_ivf_trained
+    * CTEs), residuals vs the TRAINED centroids, then per-subspace
+    * Lloyd over residual subvectors — all element-wise integer
+    * arithmetic plus the same deterministic rounded-mean updates, so
+    * both training loops unroll as CTEs and the search replays
+    * bitwise. */
+  val annPqTrained: Map[String, String] = {
+    val iters = 2
+    def dotD(a: String, b: String) =
+      s"list_dot_product(list_transform($a, x -> cast(x AS DOUBLE)), list_transform($b, x -> cast(x AS DOUBLE)))"
+    val coarseCtes = (1 to iters).map { i =>
+      val prev = s"cent${i - 1}"
+      s"""asg$i AS (SELECT vec_id, cid FROM (
+         |  SELECT n.vec_id, c.cid,
+         |    row_number() OVER (PARTITION BY n.vec_id ORDER BY
+         |      n.n2 + ${dotD("c.qc", "c.qc")} - 2 * ${dotD("n.q", "c.qc")}, c.cid) rn
+         |  FROM n CROSS JOIN $prev c) t WHERE rn = 1),
+         |up$i AS (SELECT cid, di, cast(round(avg(e), 0) AS BIGINT) m FROM (
+         |  SELECT a.cid, unnest(n.q) e, generate_subscripts(n.q, 1) di
+         |  FROM n JOIN asg$i a USING (vec_id)) t GROUP BY 1, 2),
+         |cent$i AS (SELECT cid, list(m ORDER BY di) qc FROM up$i GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    val fineCtes = (1 to iters).map { i =>
+      val prev = s"fce${i - 1}"
+      s"""fd$i AS (SELECT r.vec_id, f.s, f.fcid,
+         |    sum((r.re - f.ce) * (r.re - f.ce)) d2
+         |  FROM rese r JOIN $prev f ON f.i = r.i GROUP BY 1, 2, 3),
+         |fa$i AS (SELECT vec_id, s, fcid FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, fcid) rn
+         |  FROM fd$i) z WHERE rn = 1),
+         |fce$i AS (SELECT a.fcid, a.s, r.i, cast(round(avg(r.re), 0) AS BIGINT) ce
+         |  FROM rese r JOIN fa$i a ON a.vec_id = r.vec_id
+         |    AND a.s = (r.i - 1) // 16
+         |  GROUP BY 1, 2, 3)""".stripMargin
+    }.mkString(",\n")
+    Map("q_ann_pq_trained" ->
+      s"""$quantCte,
+         |cent0 AS (SELECT vec_id cid, q qc FROM n WHERE vec_id < 16),
+         |$coarseCtes,
+         |centf AS (SELECT cid, qc, ${dotD("qc", "qc")} n2c FROM cent$iters),
+         |ar AS (SELECT n.vec_id, c.cid, n.n2 + c.n2c - 2 * ${dotD("n.q", "c.qc")} dist2
+         |       FROM n CROSS JOIN centf c),
+         |rk AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) crn FROM ar),
+         |assign AS (SELECT vec_id, cid cell FROM rk WHERE crn = 1),
+         |pcells AS (SELECT vec_id probe_id, cid cell FROM rk WHERE vec_id < 5 AND crn <= 2),
+         |ce AS (SELECT cid, generate_subscripts(qc, 1) i, unnest(qc) e FROM cent$iters),
+         |qe AS (SELECT vec_id, generate_subscripts(q, 1) i, unnest(q) e FROM q),
+         |rese AS (SELECT v.vec_id, a.cell, v.i, v.e - c.e re
+         |  FROM qe v JOIN assign a USING (vec_id)
+         |  JOIN ce c ON c.cid = a.cell AND c.i = v.i),
+         |fce0 AS (SELECT vec_id - 16 fcid, (i - 1) // 16 s, i, re ce FROM rese
+         |  WHERE vec_id >= 16 AND vec_id < 32),
+         |$fineCtes,
+         |encd AS (SELECT r.vec_id, r.cell, f.s, f.fcid,
+         |    sum((r.re - f.ce) * (r.re - f.ce)) d2
+         |  FROM rese r JOIN fce$iters f ON f.i = r.i GROUP BY 1, 2, 3, 4),
+         |encr AS (SELECT vec_id nbr_id, cell, s, fcid code FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, fcid) rn
+         |  FROM encd) z WHERE rn = 1),
+         |prese AS (SELECT p.probe_id, p.cell, v.i, v.e - c.e re
+         |  FROM pcells p JOIN qe v ON v.vec_id = p.probe_id
+         |  JOIN ce c ON c.cid = p.cell AND c.i = v.i),
+         |tabr AS (SELECT pr.probe_id, pr.cell, f.s, f.fcid,
+         |    sum((pr.re - f.ce) * (pr.re - f.ce)) pd2
+         |  FROM prese pr JOIN fce$iters f ON f.i = pr.i GROUP BY 1, 2, 3, 4),
+         |scr AS (SELECT t.probe_id, e.nbr_id, sum(t.pd2) approx_d2
+         |  FROM encr e JOIN tabr t ON t.cell = e.cell AND t.s = e.s
+         |    AND t.fcid = e.code
+         |  WHERE t.probe_id <> e.nbr_id GROUP BY 1, 2)
+         |SELECT probe_id, rk, nbr_id, approx_d2 FROM (
+         |  SELECT probe_id, nbr_id, cast(approx_d2 AS BIGINT) approx_d2,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY approx_d2, nbr_id) rk
+         |  FROM scr) t WHERE rk <= 5""".stripMargin)
+  }
+
   val streamingAndMisc: Map[String, String] = Map(
     // sliding-window KMV: duration = 2×slide → every event is in
     // exactly two windows (off ∈ {0,1}); per window the same rank-
@@ -1507,6 +1582,6 @@ object Oracles {
   def all: Map[String, String] =
     relational ++ text ++ dedup ++ similarity ++ annMultiProbe ++
       similarityNative ++ sketches ++
-      annIvf ++ annIvfIndexed ++ annPq ++ annIvfTrained ++
+      annIvf ++ annIvfIndexed ++ annPq ++ annIvfTrained ++ annPqTrained ++
       streamingAndMisc ++ olap
 }

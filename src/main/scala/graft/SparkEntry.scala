@@ -98,6 +98,7 @@ object SparkEntry {
     "q_ann_ivfpq" -> ((s: SparkSession, d: String) => Similarity.annIvfPq(s, d)),
     "q_ann_ivfpq_res" -> ((s: SparkSession, d: String) => Similarity.annIvfPqResidual(s, d)),
     "q_ann_ivf_trained" -> ((s: SparkSession, d: String) => Similarity.annIvfTrained(s, d)),
+    "q_ann_pq_trained" -> ((s: SparkSession, d: String) => Similarity.annPqTrained(s, d)),
     // streaming batch twins (§2.4) + external program + media
     "q_window_agg" -> (graft.streaming.Windows.windowAgg _),
     "q_sessionize" -> (graft.streaming.Windows.sessionize _),

@@ -384,6 +384,114 @@ object Similarity {
       .select("probe_id", "rk", "nbr_id", "approx_d2")
   }
 
+  /** FULLY TRAINED residual IVF-PQ — the production index build,
+    * end-to-end: the coarse codebook comes from Lloyd iterations
+    * (`trainCentroids`, euclidean objective), vectors residual-encode
+    * against their TRAINED cell centroid, and each of the m=4
+    * subspaces trains its OWN 16-entry sub-codebook by per-subspace
+    * Lloyd over the residual subvectors (seeded with vectors 16..31's
+    * residuals, the same seed the untrained stand-in uses — so the
+    * recall delta measures exactly what training buys). Both training
+    * loops are deterministic on the quantized integers (exact integer
+    * sums/dots, one IEEE division per mean, half-away-from-zero
+    * re-quantization), so the ENTIRE build — coarse Lloyd → assign →
+    * residual → fine Lloyd per subspace → encode → per-probed-cell ADC
+    * → candidate ranking — replays bitwise as unrolled CTEs in the
+    * oracle (q_ann_pq_trained). At 100 TB: training runs on a sample
+    * or the corpus itself with k centroids broadcast per iteration,
+    * encode is one map-side pass, and search touches only probed
+    * cells' 4-byte codes. */
+  def annPqTrained(spark: SparkSession, dir: String, k: Int = 5,
+    nprobe: Int = 2, iters: Int = 2): DataFrame = {
+    val q = quantized(spark, dir)
+    val coarse = trainCentroids(spark, dir, 16, iters)
+      .withColumn("n2c", expr("array_dot_long(qc, qc)"))
+    // euclidean cell ranking — consistent with the training objective
+    def cellRank(vecs: DataFrame, idCol: String) = {
+      val scored = vecs.crossJoin(broadcast(coarse))
+        .withColumn("dot", expr("array_dot_long(q, qc)"))
+        .withColumn("dist2", col("n2") + col("n2c") - lit(2L) * col("dot"))
+        .select(col(idCol), col("cid"), col("q"), col("dist2"))
+      val w = Window.partitionBy(idCol).orderBy(col("dist2"), col("cid"))
+      scored.withColumn("crn", row_number().over(w))
+    }
+    def withResidual(df: DataFrame): DataFrame = df
+      .join(broadcast(coarse.select(col("cid"), col("qc"))), Seq("cid"))
+      .withColumn("res", expr("zip_with(q, qc, (x, y) -> x - y)"))
+    val assign = cellRank(q, "vec_id").filter(col("crn") === 1)
+      .select(col("vec_id"), col("cid"), col("q"))
+    val m = 4
+    val sub = 16
+    def subSplit(df: DataFrame, cols: Seq[String]): DataFrame = df
+      .select(cols.map(col) :+ explode(expr(
+        s"transform(sequence(0, ${m - 1}), s -> " +
+          s"struct(s AS s, slice(res, s * $sub + 1, $sub) AS sv))")).as("x"): _*)
+      .select(cols.map(col) :+ col("x.s").as("s") :+ col("x.sv").as("sv"): _*)
+      .withColumn("n2s", expr("array_dot_long(sv, sv)"))
+    // per-subspace fine training: each s runs its own Lloyd loop over
+    // the residual subvectors (ONE plan covers all 4 subspaces — s is
+    // just a grouping column, so "4 independent trainings" cost one
+    // broadcast-assign + one mean-agg per iteration)
+    val resSub = subSplit(withResidual(assign), Seq("vec_id"))
+    var fine = resSub.filter(col("vec_id") >= 16 && col("vec_id") < 32)
+      .select((col("vec_id") - 16).as("fcid"), col("s"), col("sv").as("cv"))
+    for (_ <- 1 to iters) {
+      val fn = fine.withColumn("n2c", expr("array_dot_long(cv, cv)"))
+      val wf = Window.partitionBy("vec_id", "s").orderBy(col("d2"), col("fcid"))
+      val assigned = resSub.join(broadcast(fn), Seq("s"))
+        .withColumn("d2",
+          col("n2s") + col("n2c") - lit(2L) * expr("array_dot_long(sv, cv)"))
+        .withColumn("rn", row_number().over(wf)).filter(col("rn") === 1)
+      fine = assigned
+        .select(col("fcid"), col("s"), posexplode(col("sv")).as(Seq("i", "e")))
+        .groupBy("fcid", "s", "i").agg(avg("e").as("mm"))
+        .groupBy("fcid", "s")
+        .agg(expr("transform(array_sort(collect_list(struct(i, mm))), " +
+          "x -> cast(round(x.mm, 0) as bigint))").as("cv"))
+    }
+    val fineCent = fine
+      .select(col("fcid"), col("s"), col("cv"),
+        expr("array_dot_long(cv, cv)").as("n2c"))
+    // encode every corpus vector's own-cell residual w/ the trained books
+    val wEnc = Window.partitionBy("vec_id", "s").orderBy(col("d2"), col("fcid"))
+    val codes = subSplit(withResidual(assign), Seq("vec_id", "cid"))
+      .join(broadcast(fineCent), Seq("s"))
+      .withColumn("d2",
+        col("n2s") + col("n2c") - lit(2L) * expr("array_dot_long(sv, cv)"))
+      .withColumn("rn", row_number().over(wEnc)).filter(col("rn") === 1)
+      .select(col("vec_id").as("nbr_id"), col("cid").as("cell"),
+        col("s"), col("fcid").as("code"))
+    // probe: residual PER PROBED CELL → one ADC table per (probe, cell)
+    val probeCells = cellRank(q.filter(col("vec_id") < 5), "vec_id")
+      .filter(col("crn") <= nprobe)
+      .select(col("vec_id").as("probe_id"), col("cid"), col("q"))
+    val table = subSplit(withResidual(probeCells), Seq("probe_id", "cid"))
+      .join(broadcast(fineCent), Seq("s"))
+      .select(col("probe_id"), col("cid").as("cell"), col("s"), col("fcid"),
+        (col("n2s") + col("n2c") -
+          lit(2L) * expr("array_dot_long(sv, cv)")).as("pd2"))
+    val scored = codes
+      .join(broadcast(table),
+        codes("cell") === table("cell") && codes("s") === table("s") &&
+          codes("code") === table("fcid"))
+      .filter(col("probe_id") =!= col("nbr_id"))
+      .groupBy("probe_id", "nbr_id").agg(sum("pd2").as("approx_d2"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("approx_d2"), col("nbr_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select("probe_id", "rk", "nbr_id", "approx_d2")
+  }
+
+  /** Recall@k vs the exact-L2 baseline of an arbitrary approximate
+    * result (probe_id, nbr_id rows) — the shared measurement loop. */
+  def recallVsExact(spark: SparkSession, dir: String,
+    approx: DataFrame, k: Int = 5): Double = {
+    val exact = annBruteForceL2(spark, dir, k).select("probe_id", "nbr_id")
+    val hits = exact.join(approx.select("probe_id", "nbr_id"),
+      Seq("probe_id", "nbr_id"), "left_semi").count()
+    hits.toDouble / exact.count()
+  }
+
   /** Exact L2 brute-force top-k (integer d² = n2a + n2b − 2·dot) —
     * the baseline PQ recall is measured against. */
   def annBruteForceL2(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {

@@ -36,6 +36,19 @@ class Int8AnnSpec extends SparkSpec {
     assert(multi > 0.0, "multi-probe must find some true neighbors")
   }
 
+  test("trained codebooks beat the deterministic stand-ins on recall@5") {
+    // same structure (residual IVF-PQ, same seeds, same nprobe), the
+    // only delta is Lloyd training of both quantizers — recall must
+    // not get WORSE for the training cost
+    val trained = Similarity.recallVsExact(spark, sfDir,
+      Similarity.annPqTrained(spark, sfDir, k = 5), k = 5)
+    val untrained = Similarity.recallVsExact(spark, sfDir,
+      Similarity.annIvfPqResidual(spark, sfDir, k = 5), k = 5)
+    assert(trained >= untrained,
+      s"trained recall $trained < untrained $untrained")
+    assert(trained > 0.0, "trained index must find some true neighbors")
+  }
+
   test("int8 recall@5 against full-precision brute force is high") {
     val exact = Similarity.annBruteForce(spark, sfDir, k = 5)
       .select(col("probe_id"), col("nbr_id"))
