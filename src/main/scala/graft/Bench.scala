@@ -115,7 +115,14 @@ object Bench {
       def outlier: Boolean =
         best > 0 && prevRef.get(name).exists(p => best > 3.0 * p)
       run()
-      while (tries < 3 && (if (best < 0) tries < 2 else best > 0.8)) run()
+      // SPARK_GRAFT_RETRY_FLOOR raises the slower-than threshold below
+      // which a query is re-measured (default 0.8 s); the sf1 rung sets
+      // it very high for a single-pass run whose per-query times are
+      // compared as RATIOS against the sf0.1 record, where best-of-N
+      // would only burn wall-clock
+      val retryFloor = sys.env.get("SPARK_GRAFT_RETRY_FLOOR")
+        .map(_.toDouble).getOrElse(0.8)
+      while (tries < 3 && (if (best < 0) tries < 2 else best > retryFloor)) run()
       while (tries < 6 && outlier) run()
       if (best < 0 && lastErr != null) errors(name) = lastErr
       allTries(name) = seen.toSeq
