@@ -14,7 +14,12 @@ out_dir, sf_dir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    # testdata ships single-file tables; scaled rungs (DataGen.scaleUp)
+    # write Spark-style directories of part files
+    path = f"{sf_dir}/{t}.parquet"
+    if os.path.isdir(path):
+        path += "/*.parquet"
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
 oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
 ok = fail = 0

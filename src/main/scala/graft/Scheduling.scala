@@ -105,9 +105,18 @@ object Scheduling {
       lock.synchronized {
         val w = waiting.getOrElseUpdate(pool, scala.collection.mutable.Map())
         w(user) = w.getOrElse(user, 0) + 1
-        while (!admissible(cp, user)) lock.wait()
-        w(user) -= 1
-        if (w(user) == 0) w.remove(user)
+        // an interrupt while blocked must not leak the waiting entry —
+        // a ghost waiter would inflate activeUsers (and so depress
+        // every user's cap) for the scheduler's lifetime
+        try {
+          while (!admissible(cp, user)) lock.wait()
+        } finally {
+          w(user) -= 1
+          if (w(user) == 0) w.remove(user)
+          // a departing waiter shrinks activeUsers ⇒ caps rise;
+          // wake the others to re-check (no-op on normal admission)
+          lock.notifyAll()
+        }
         val r = running.getOrElseUpdate(pool, scala.collection.mutable.Map())
         r(user) = r.getOrElse(user, 0) + 1
       }

@@ -58,8 +58,11 @@ object DataGen {
       "supp" -> maxOf("supplier", "s_suppkey"),
       "ev" -> maxOf("events", "event_id"),
       "user" -> maxOf("events", "user_id"),
-      "doc" -> maxOf("documents", "doc_id"),
-      "vec" -> maxOf("embeddings", "vec_id")
+      // documents and embeddings share ONE id space (vec_id joins
+      // doc_id — e.g. the dedup cascade's semantic stage), so both
+      // shift by the same offset or replicas cross-wire
+      "doc" -> math.max(maxOf("documents", "doc_id"),
+        maxOf("embeddings", "vec_id"))
     ).map { case (k, v) => k -> (v + 1L) }
     val plan: Seq[(String, Seq[(String, String)])] = Seq(
       "region" -> Seq.empty,
@@ -72,7 +75,7 @@ object DataGen {
         "l_suppkey" -> "supp"),
       "events" -> Seq("event_id" -> "ev", "user_id" -> "user"),
       "documents" -> Seq("doc_id" -> "doc"),
-      "embeddings" -> Seq("vec_id" -> "vec"))
+      "embeddings" -> Seq("vec_id" -> "doc"))
     plan.foreach { case (t, shifts) =>
       val df = spark.read.parquet(s"$srcDir/$t.parquet")
       val out =

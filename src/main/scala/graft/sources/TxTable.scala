@@ -226,7 +226,13 @@ object TxTable {
         .parquet(new Path(rp, allEntries.head.dir).toString)
       return schemaDf.filter(lit(false)).drop("op")
     }
-    if (!entries.exists(_.isDelta)) {
+    // The branch is chosen from the SNAPSHOT's shape (allEntries), not
+    // the pruned survivors: in a keyed snapshot a full-row dir after a
+    // delta upserts earlier dirs' keys, so even when pruning removed
+    // every delta entry the surviving dirs still need later-wins
+    // resolution (a plain union would return stale duplicates), and
+    // postRanges must still apply to the resolved rows.
+    if (!allEntries.exists(_.isDelta)) {
       // Schema evolution: dirs appended with a widened schema resolve
       // by name, missing columns null-filled. The common case (all
       // dirs share one schema) keeps the single multi-path scan — one
@@ -256,8 +262,15 @@ object TxTable {
       //   3. union the base survivors with the tail's live rows.
       // Copy-on-write would instead rewrite the table per micro-batch;
       // this keeps commits O(batch) AND reads O(scan).
-      val firstDelta = entries.indexWhere(_.isDelta)
-      val (baseE, tailE) = entries.zipWithIndex.splitAt(firstDelta)
+      // Split at the SNAPSHOT's first delta position: if that delta
+      // itself was pruned, the surviving post-delta dirs still belong
+      // to the tail (they upsert at their commit position). Pruning
+      // preserves commit order, so pruned-relative indices keep the
+      // later-wins ordering intact.
+      val firstDeltaPos = allEntries.indexWhere(_.isDelta)
+      val origPos = allEntries.zipWithIndex.map { case (e, i) => e.dir -> i }.toMap
+      val (baseE, tailE) = entries.zipWithIndex
+        .partition { case (e, _) => origPos(e.dir) < firstDeltaPos }
       val tailParts = tailE.map { case (e, i) =>
         val df = rangeFilter(spark.read.parquet(new Path(rp, e.dir).toString))
         val keyed = if (e.isDelta) df else df.withColumn("op", lit("U"))
@@ -292,6 +305,9 @@ object TxTable {
             .withColumn("_rn", row_number().over(wb))
             .filter(col("_rn") === 1).select(dataCols.map(col): _*)
         }
+      // every tail entry pruned (e.g. a key range excluding all delta
+      // batches): the resolved base IS the snapshot's answer
+      if (tailE.isEmpty) return applyRanges(base, postRanges)
       val wt = Window.partitionBy(keyExprs: _*).orderBy(col("_cv").desc)
       val tail = tailParts.map(conform(_, Seq("op") ++ dataCols ++ Seq("_cv")))
         .reduce(_.unionByName(_))

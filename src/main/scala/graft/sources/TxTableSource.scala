@@ -219,12 +219,22 @@ case class TxRelation(spark: SparkSession, root: String,
     val df = TxTable.read(spark, root, version = resolvedVersion,
       keyRange = keyRangeOpt,
       colRanges = colRangesOf(TxTableSource.rangesFromFilters(filters)))
+    // Un-pinned relations re-resolve the version per scan (a catalog
+    // table follows a continuously-loaded root), so a commit may have
+    // landed since load(). TxTable evolution only WIDENS by name, so
+    // the relation's declared columns stay valid — but an overwrite
+    // can drop them; fail with intent instead of a confusing
+    // downstream AnalysisException.
+    val missing = schema.fieldNames.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"graft-tx: column(s) ${missing.mkString(",")} vanished from $root " +
+        "since this relation was created (overwrite with a narrower " +
+        "schema?) - re-load or REFRESH TABLE")
     val filtered = filters.flatMap(TxTableSource.toPredicate)
       .foldLeft(df)(_ filter _)
-    val projected =
-      if (requiredColumns.isEmpty) filtered
-      else filtered.select(requiredColumns.map(col).toIndexedSeq: _*)
-    projected.rdd
+    // empty requiredColumns (SELECT count(*)) legitimately projects to
+    // zero-field rows — never ship full-width rows Spark will discard
+    filtered.select(requiredColumns.map(col).toIndexedSeq: _*).rdd
   }
 
   override def inputFiles: Array[String] =

@@ -681,6 +681,33 @@ class TxTableSpec extends SparkSpec {
     assert(byKey === Map(3L -> 12L))
   }
 
+  test("pruning away every delta keeps resolution semantics and value ranges") {
+    import spark.implicits._
+    val root = tmpDir() + "/tx-prune-all-deltas"
+    // base keys 1-10 (two get out-of-range v), then a delta far away
+    // in key space, then a full-row append that upserts key 2
+    TxTable.mergeDelta(spark, root,
+      (1L to 10L).map(k => (k, "I", k * 10L, k)).toDF("k", "op", "v", "seq"))
+    TxTable.compactSnapshot(spark, root)
+    TxTable.mergeDelta(spark, root,
+      Seq((100L, "I", 1L, 11L)).toDF("k", "op", "v", "seq"))
+    TxTable.append(Seq((2L, 999L)).toDF("k", "v"), root)
+    // keyRange (1,10) prunes the delta dir (keys 100+); the surviving
+    // base + post-delta append must STILL resolve later-wins (key 2 ->
+    // 999, not both rows) and the value range must STILL apply
+    val got = TxTable.read(spark, root, keyRange = Some((1L, 10L)),
+      colRanges = Map("v" -> (0L, 100L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // k=2 resolved to 999 (out of v-range, dropped); k=1..10 except 2
+    val expect = (1L to 10L).filter(_ != 2L).map(k => k -> k * 10L).toMap
+    assert(got === expect, s"got $got")
+    // and with ONLY the key range: k=2 must appear exactly once, as 999
+    val byKey = TxTable.read(spark, root, keyRange = Some((1L, 10L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(byKey.length === 10, s"later-wins must dedup: ${byKey.toSeq.sorted}")
+    assert(byKey.toMap.apply(2L) === 999L)
+  }
+
   test("compactDirs folds only the smallest dirs; the big base is never rewritten") {
     import spark.implicits._
     val root = tmpDir() + "/tx-optimize"
