@@ -179,6 +179,38 @@ object Oracles {
 
   private val enStop = "'the', 'a', 'of', 'and', 'to', 'in', 'is'"
 
+  /** The full 3-round BPE training loop as CTEs: count pairs → adopt
+    * best (freq desc, lexicographic) → non-overlapping (l ≠ r)
+    * set-based rewrite. Exposes b1..b3 (adopted merges) and t3 (the
+    * final per-word tokenization) — shared by the train and encode
+    * oracles so the replayed trainer cannot drift between them. */
+  private val bpeTrainedCte: String = {
+    def round(k: Int): String =
+      s"""n$k AS (SELECT word, wc, i, tok,
+         |  lead(tok) OVER (PARTITION BY word ORDER BY i) nxt FROM t${k - 1}),
+         |b$k AS (SELECT l, r, freq FROM (
+         |  SELECT tok l, nxt r, cast(sum(wc) AS BIGINT) freq FROM n$k
+         |  WHERE nxt IS NOT NULL AND tok <> nxt GROUP BY 1, 2
+         |  ORDER BY freq DESC, l, r LIMIT 1) z$k),
+         |m$k AS (SELECT word, wc, i, tok, b.l, b.r,
+         |  (tok = b.l AND nxt = b.r) m_here FROM n$k CROSS JOIN b$k b),
+         |g$k AS (SELECT word, wc, i, tok, l, r, m_here,
+         |  coalesce(lag(m_here) OVER (PARTITION BY word ORDER BY i), false) m_prev
+         |  FROM m$k),
+         |a$k AS (SELECT word, wc, i,
+         |  CASE WHEN m_here THEN l || r ELSE tok END tok
+         |  FROM g$k WHERE NOT m_prev),
+         |t$k AS (SELECT word, wc,
+         |  row_number() OVER (PARTITION BY word ORDER BY i) i, tok FROM a$k)""".stripMargin
+    s"""WITH tk AS (SELECT unnest(string_split($norm, ' ')) word FROM documents),
+       |w AS (SELECT word, count(*) wc FROM tk WHERE word <> '' GROUP BY 1),
+       |ix AS (SELECT word, wc, unnest(generate_series(1, length(word))) i FROM w),
+       |t0 AS (SELECT word, wc, i, substring(word, i, 1) tok FROM ix),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}""".stripMargin
+  }
+
   val text: Map[String, String] = Map(
     // duplicated token-span (8-gram) detection: the corpus-wide span
     // fingerprint count joined back per doc; ppm is exact integer //
@@ -212,35 +244,22 @@ object Oracles {
     // the full BPE training loop, unrolled: 3 rounds of
     // count-pairs → adopt best (freq desc, lexicographic) → rewrite
     // tokenization with the non-overlapping (l ≠ r) set-based merge
-    "q_bpe_train" -> {
-      def round(k: Int): String =
-        s"""n$k AS (SELECT word, wc, i, tok,
-           |  lead(tok) OVER (PARTITION BY word ORDER BY i) nxt FROM t${k - 1}),
-           |b$k AS (SELECT l, r, freq FROM (
-           |  SELECT tok l, nxt r, cast(sum(wc) AS BIGINT) freq FROM n$k
-           |  WHERE nxt IS NOT NULL AND tok <> nxt GROUP BY 1, 2
-           |  ORDER BY freq DESC, l, r LIMIT 1) z$k),
-           |m$k AS (SELECT word, wc, i, tok, b.l, b.r,
-           |  (tok = b.l AND nxt = b.r) m_here FROM n$k CROSS JOIN b$k b),
-           |g$k AS (SELECT word, wc, i, tok, l, r, m_here,
-           |  coalesce(lag(m_here) OVER (PARTITION BY word ORDER BY i), false) m_prev
-           |  FROM m$k),
-           |a$k AS (SELECT word, wc, i,
-           |  CASE WHEN m_here THEN l || r ELSE tok END tok
-           |  FROM g$k WHERE NOT m_prev),
-           |t$k AS (SELECT word, wc,
-           |  row_number() OVER (PARTITION BY word ORDER BY i) i, tok FROM a$k)""".stripMargin
-      s"""WITH tk AS (SELECT unnest(string_split($norm, ' ')) word FROM documents),
-         |w AS (SELECT word, count(*) wc FROM tk WHERE word <> '' GROUP BY 1),
-         |ix AS (SELECT word, wc, unnest(generate_series(1, length(word))) i FROM w),
-         |t0 AS (SELECT word, wc, i, substring(word, i, 1) tok FROM ix),
-         |${round(1)},
-         |${round(2)},
-         |${round(3)}
+    "q_bpe_train" ->
+      s"""$bpeTrainedCte
          |SELECT 1 AS iter, l, r, freq FROM b1
          |UNION ALL SELECT 2, l, r, freq FROM b2
-         |UNION ALL SELECT 3, l, r, freq FROM b3""".stripMargin
-    },
+         |UNION ALL SELECT 3, l, r, freq FROM b3""".stripMargin,
+
+    // encode under the trained vocab: per-word token counts from the
+    // round-3 tokenization state, summed per document through the
+    // corpus word list — the exact replay of TextOps.bpeEncode
+    "q_bpe_encode" ->
+      s"""$bpeTrainedCte,
+         |vt AS (SELECT word, cast(count(*) AS BIGINT) n_tok FROM t3 GROUP BY word),
+         |dw AS (SELECT doc_id, unnest(string_split($norm, ' ')) word FROM documents)
+         |SELECT doc_id, cast(count(*) AS BIGINT) n_words,
+         |  cast(sum(v.n_tok) AS BIGINT) n_tok
+         |FROM dw JOIN vt v USING (word) WHERE word <> '' GROUP BY doc_id""".stripMargin,
 
     "q_wordcount" ->
       s"""SELECT word, count(*) AS cnt FROM (
@@ -617,6 +636,26 @@ object Oracles {
         |  SELECT probe_id, nbr_id, dot / (sqrt(n2a) * sqrt(n2b)) cos,
         |    row_number() OVER (PARTITION BY probe_id ORDER BY dot / (sqrt(n2a) * sqrt(n2b)) DESC, nbr_id) rk
         |  FROM p) t WHERE rk <= 5""".stripMargin,
+
+    // binary (sign-bit) quantization: hamming distance = number of
+    // dimensions whose signs differ — the oracle counts it
+    // semantically (list compare) while the engine computes the same
+    // number via packed XOR+popcount, proving the bit kernel right
+    "q_ann_binary" ->
+      s"""$quantCte,
+         |hm AS (SELECT a.vec_id probe_id, b.vec_id nbr_id,
+         |       len(list_filter(list_zip(a.q, b.q), p -> (p[1] > 0) <> (p[2] > 0))) ham
+         |       FROM q a JOIN q b ON a.vec_id < 5 AND b.vec_id <> a.vec_id),
+         |cand AS (SELECT probe_id, nbr_id, ham FROM (
+         |  SELECT probe_id, nbr_id, ham,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY ham, nbr_id) cr
+         |  FROM hm) z WHERE cr <= 50),
+         |sc AS (SELECT c.probe_id, c.nbr_id, c.ham, $dotSql dot, a.n2 n2a, b.n2 n2b
+         |       FROM cand c JOIN n a ON a.vec_id = c.probe_id JOIN n b ON b.vec_id = c.nbr_id)
+         |SELECT probe_id, rk, nbr_id, ham, cos FROM (
+         |  SELECT probe_id, nbr_id, ham, dot / (sqrt(n2a) * sqrt(n2b)) cos,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY dot / (sqrt(n2a) * sqrt(n2b)) DESC, nbr_id) rk
+         |  FROM sc) t WHERE rk <= 5""".stripMargin,
 
     "q_ann_lsh" ->
       s"""$quantCte,
@@ -1535,6 +1574,19 @@ object Oracles {
          |SELECT o_orderkey, o_custkey, bucket,
          |  cast(cast(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
          |FROM o WHERE bucket < 5""".stripMargin
+    },
+
+    // domain-balanced mixing: integer-ppm per-source keep rates +
+    // the portable md5 bucket — both engines derive identical rates
+    // and identical membership
+    "q_mix_sample" -> {
+      val bucket = Portable.uint32Sql("md5(cast(doc_id AS VARCHAR))")
+      s"""WITH r AS (SELECT source,
+         |  least(1000000, 15 * 1000000 // count(*)) rate_ppm
+         |  FROM documents GROUP BY 1),
+         |d AS (SELECT doc_id, source, $bucket % 1000000 b FROM documents)
+         |SELECT doc_id, d.source, cast(rate_ppm AS BIGINT) rate_ppm
+         |FROM d JOIN r USING (source) WHERE b < rate_ppm""".stripMargin
     },
 
     // deterministic stratified split audit: assignment is a pure

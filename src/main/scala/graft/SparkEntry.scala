@@ -51,6 +51,7 @@ object SparkEntry {
     // text (§2.3, §2.6)
     "q_wordcount" -> (TextOps.wordcount _),
     "q_bpe_train" -> ((s: SparkSession, d: String) => TextOps.bpeTrain(s, d)),
+    "q_bpe_encode" -> ((s: SparkSession, d: String) => TextOps.bpeEncode(s, d)),
     "q_grep" -> (TextOps.grep _),
     "q_inverted_index" -> (TextOps.invertedIndex _),
     "q_text_langid" -> (TextOps.langid _),
@@ -87,6 +88,7 @@ object SparkEntry {
     "q_dedup_embedding" -> (Similarity.embeddingNearDup _),
     "q_ann_bruteforce" -> ((s: SparkSession, d: String) => Similarity.annBruteForce(s, d)),
     "q_ann_int8" -> ((s: SparkSession, d: String) => Similarity.annInt8(s, d)),
+    "q_ann_binary" -> ((s: SparkSession, d: String) => Similarity.annBinary(s, d)),
     "q_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
     "q_ann_multiprobe" -> ((s: SparkSession, d: String) => Similarity.annLshMultiProbe(s, d)),
     "q_ann_lsh_native" -> ((s: SparkSession, d: String) => Similarity.annLshNative(s, d)),
@@ -137,6 +139,7 @@ object SparkEntry {
     "q_dq_checks" -> (DataQuality.dqChecks _),
     "q_sample_hash" -> ((s: SparkSession, d: String) => DataQuality.hashSample(s, d)),
     "q_split_assign" -> ((s: SparkSession, d: String) => DataQuality.trainValTestSplit(s, d)),
+    "q_mix_sample" -> ((s: SparkSession, d: String) => DataQuality.mixSample(s, d)),
     "q_length_buckets" -> (DataQuality.lengthBuckets _),
   )
 

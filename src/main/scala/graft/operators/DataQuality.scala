@@ -120,6 +120,32 @@ object DataQuality {
         col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"))
   }
 
+  /** Domain-balanced mixture sampling — the data-mixing step of a
+    * training pipeline: each source (domain) is down-sampled toward a
+    * per-source document budget, so no domain dominates the mixture.
+    * Per-source keep-rates are integer ppm (min(1e6, budget·1e6 ÷
+    * count) — no floats, so every engine derives the identical rate),
+    * and membership is the same engine-portable md5 bucket used by
+    * `hashSample`: reproducible across runs, engines, and corpus
+    * repartitionings, and stable under growth (a doc's bucket never
+    * changes; only the rate moves as its domain grows). Plan shape:
+    * one tiny per-source aggregate broadcast back against the corpus
+    * scan — the corpus itself never shuffles, at any scale. */
+  def mixSample(spark: SparkSession, dir: String,
+    perSource: Int = 15): DataFrame = {
+    require(perSource > 0, s"perSource must be positive, got $perSource")
+    val docs = Tables.documents(spark, dir)
+    val rates = docs.groupBy("source").agg(count(lit(1)).as("c"))
+      .select(col("source"),
+        least(lit(1000000L), expr(s"$perSource * 1000000 div c")).as("rate_ppm"))
+    val bucket = graft.Portable.uint32Sql(
+      "md5(cast(cast(doc_id as string) as binary))")
+    docs.join(broadcast(rates), Seq("source"))
+      .withColumn("b", expr(s"$bucket % 1000000"))
+      .filter(col("b") < col("rate_ppm"))
+      .select("doc_id", "source", "rate_ppm")
+  }
+
   /** Deterministic stratified train/val/test assignment — the split
     * every training pipeline runs before anything else. Assignment is
     * a pure function of the document id (hash bucket mod 100:

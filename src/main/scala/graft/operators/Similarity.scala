@@ -717,6 +717,50 @@ object Similarity {
         expr("hits * 100 div k").as("recall_pct"))
   }
 
+  /** Binary (1-bit) quantization ANN: every vector compresses to its
+    * per-dimension SIGN BITS packed into ceil(d/64) longs — 64 dims
+    * fit ONE 8-byte word, a 32× memory cut vs float32, the form that
+    * lets a 10^12-vector corpus sit in a fleet's RAM. Candidate
+    * generation scans signatures by Hamming distance (XOR + popcount:
+    * one fused ALU op per 64 dims, vs 64 multiplies for a dot), keeps
+    * the `cand` hamming-closest per probe, then re-ranks only those by
+    * exact integer cosine — the standard binary-quantize-then-rescore
+    * retrieval shape. Probes broadcast; the corpus is scanned once,
+    * map-side, and only `cand` rows per probe reach the rerank.
+    * Deterministic ties: (hamming, nbr_id) then (cos desc, nbr_id).
+    * ref: src/contrib/index build pipeline motivates sub-byte postings
+    * (hadoop-20-warehouse contrib/index). */
+  def annBinary(spark: SparkSession, dir: String, k: Int = 5,
+    cand: Int = 50): DataFrame = {
+    val q = quantized(spark, dir)
+    // bit j of word w is set iff component (w*64 + j) > 0; slice past
+    // the array end zip_withs to null ⇒ bit 0, so any d works
+    val packed = q.withColumn("sig", expr(
+      "transform(sequence(0, (size(q) - 1) div 64), w -> " +
+        "aggregate(zip_with(slice(q, w * 64 + 1, 64), sequence(0, 63), " +
+        "(v, j) -> IF(v is not null and v > 0, " +
+        "shiftleft(cast(1 as bigint), cast(j as int)), cast(0 as bigint))), " +
+        "cast(0 as bigint), (acc, x) -> acc | x))"))
+    val probes = packed.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("sig").as("sa"),
+        col("q").as("qa"), col("n2").as("n2a"))
+    val corpus = packed.select(col("vec_id").as("nbr_id"),
+      col("sig").as("sb"), col("q").as("qb"), col("n2").as("n2b"))
+    val ham = broadcast(probes).crossJoin(corpus)
+      .filter(col("probe_id") =!= col("nbr_id"))
+      .withColumn("ham", expr(
+        "aggregate(zip_with(sa, sb, (x, y) -> bit_count(x ^ y)), 0, (a, b) -> a + b)"))
+    val wc = Window.partitionBy("probe_id").orderBy(col("ham"), col("nbr_id"))
+    val kept = ham.withColumn("cr", row_number().over(wc))
+      .filter(col("cr") <= cand)
+      .withColumn("dot", expr("array_dot_long(qa, qb)"))
+      .select(col("probe_id"), col("nbr_id"), col("ham"),
+        expr(cosExpr).as("cos"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("nbr_id"))
+    kept.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select("probe_id", "rk", "nbr_id", "ham", "cos")
+  }
+
   /** annLsh through the custom whole-operator plan
     * (plans.LshTopKJoin): identical semantics and oracle, but the
     * bucket join, exact scoring and per-probe top-k selection are fused

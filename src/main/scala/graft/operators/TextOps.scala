@@ -355,7 +355,14 @@ object TextOps {
     * oracle-gated (q_bpe_train). Pair counting explodes the
     * VOCABULARY (distinct words × their lengths), never the corpus;
     * the 1-row best-merge broadcast keeps every step distributed. */
-  def bpeTrain(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+  def bpeTrain(spark: SparkSession, dir: String, iters: Int = 3): DataFrame =
+    bpeState(spark, dir, iters)._1
+
+  /** (merge table, final per-word tokenization) after `iters` rounds —
+    * the trainer's loop state, shared by `bpeTrain` (returns the
+    * merges) and `bpeEncode` (applies the final vocab tokenization). */
+  private def bpeState(spark: SparkSession, dir: String,
+    iters: Int): (DataFrame, DataFrame) = {
     val words = tokens(spark, dir).groupBy("word").agg(count(lit(1)).as("wc"))
     val wOrd = Window.partitionBy("word").orderBy("i")
     var toks: DataFrame = words.select(col("word"), col("wc"),
@@ -387,7 +394,25 @@ object TextOps {
           Window.partitionBy("word").orderBy("i")))
         .select(col("word"), col("wc"), col("i2").as("i"), col("tok"))
     }
-    merges
+    (merges, toks)
+  }
+
+  /** BPE ENCODE — the other half of the tokenizer loop: apply the
+    * trained merges to the corpus and report each document's token
+    * count under the trained vocabulary (plus its whitespace word
+    * count — the compression the merges bought). The heavy work runs
+    * over the VOCABULARY (distinct words), exactly like training; the
+    * corpus is touched once to map words → per-word token counts
+    * through a broadcast-size vocab join. At 100 TB that vocab table
+    * is millions of rows against trillions of corpus words — the join
+    * stays a broadcast and the corpus pass stays map-side. */
+  def bpeEncode(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    val toks = bpeState(spark, dir, iters)._2
+    val vocab = toks.groupBy("word").agg(count(lit(1)).as("n_tok"))
+    tokens(spark, dir)
+      .join(broadcast(vocab), Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_tok").as("n_tok"))
   }
 
   /** Winnowing document fingerprint (rolling-hash): char 10-gram md5

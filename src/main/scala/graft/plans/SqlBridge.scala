@@ -14,4 +14,16 @@ import org.apache.spark.sql.classic
 object PlanBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Re-tag a batch DataFrame as a streaming one — the call every V1
+    * streaming `Source.getBatch` needs (MicroBatchExecution asserts
+    * `isStreaming=true` on the returned frame) and that, like
+    * `ofRows`, has no public equivalent. Same approach as the
+    * well-known open lakehouse connectors: evaluate the batch plan to
+    * its InternalRow RDD and wrap it in a streaming-tagged LogicalRDD. */
+  def streamingFromBatch(df: DataFrame): DataFrame = {
+    val cs = df.sparkSession.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
 }

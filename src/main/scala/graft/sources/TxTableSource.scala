@@ -3,6 +3,7 @@ package graft.sources
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession, SQLContext}
 import org.apache.spark.sql.execution.FileRelation
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
@@ -21,6 +22,7 @@ import org.apache.spark.sql.types.StructType
   *   df.write.format("graft-tx").mode("append")
   *     .option("statsCols", "k").save(root)
   *   spark.sql(s"CREATE TABLE t USING `graft-tx` OPTIONS (path '$root')")
+  *   spark.readStream.format("graft-tx").load(root)   // tail the feed
   * }}}
   *
   * Architecture: a relation wrapping the snapshot-resolved plan — the
@@ -44,9 +46,32 @@ import org.apache.spark.sql.types.StructType
   * testable — from the standard API.
   */
 class TxTableSource extends RelationProvider
-  with CreatableRelationProvider with DataSourceRegister {
+  with CreatableRelationProvider with DataSourceRegister
+  with StreamSourceProvider {
 
   override def shortName(): String = "graft-tx"
+
+  // ---- streaming face: the change feed as a micro-batch source ----
+  // `spark.readStream.format("graft-tx").load(root)` tails the commit
+  // log: each micro-batch is the change rows (data..., op,
+  // commit_version) of the commit versions that arrived since the
+  // last processed offset — the table is a streaming SOURCE exactly
+  // as it is already an exactly-once streaming sink. Offsets are
+  // commit versions, so checkpoint recovery replays a half-processed
+  // batch identically (commits are immutable) and never re-delivers
+  // a completed one.
+
+  override def sourceSchema(sqlContext: SQLContext,
+    schema: Option[StructType], providerName: String,
+    parameters: Map[String, String]): (String, StructType) =
+    (shortName(), TxStreamSource.feedSchema(
+      sqlContext.sparkSession, TxTableSource.rootOf(parameters)))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+    schema: Option[StructType], providerName: String,
+    parameters: Map[String, String]): Source =
+    new TxStreamSource(sqlContext.sparkSession,
+      TxTableSource.rootOf(parameters))
 
   override def createRelation(sqlContext: SQLContext,
     parameters: Map[String, String]): BaseRelation =
@@ -240,4 +265,61 @@ case class TxRelation(spark: SparkSession, root: String,
   override def inputFiles: Array[String] =
     TxTable.dataFiles(spark, root, version = resolvedVersion,
       keyRange = keyRangeOpt, colRanges = colRangesOf(Map.empty))
+}
+
+/** Offset = commit version. Immutable commits make version ranges a
+  * perfect streaming offset: replayable, ordered, exactly-once. */
+case class TxVersionOffset(v: Int) extends Offset {
+  override def json(): String = v.toString
+}
+
+/** V1 micro-batch source over the [[TxTable]] change feed. Each batch
+  * evaluates `TxTable.changes(root, lo, hi)` — the same oracle-gated
+  * relation the batch API serves — and re-tags it streaming through
+  * the audited bridge (the one `private[sql]` call a V1 source needs;
+  * see plans.SqlBridge). The source never caches table state: offsets
+  * come from the commit log on every poll, so concurrent writers
+  * (OCC) surface naturally as new batches. */
+class TxStreamSource(spark: SparkSession, root: String) extends Source {
+
+  override val schema: StructType = TxStreamSource.feedSchema(spark, root)
+
+  override def getOffset: Option[Offset] = {
+    val v = TxTable.latestVersion(spark, root)
+    if (v <= 0) None else Some(TxVersionOffset(v))
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val lo = start.map(TxStreamSource.versionOf).getOrElse(0)
+    val hi = TxStreamSource.versionOf(end)
+    // conform to the declared schema: V1 splices batch columns into
+    // the plan BY POSITION, and a delta commit's change frame orders
+    // them (keys, op, values) while the snapshot-derived source
+    // schema orders (data, op) — a positional mismatch would silently
+    // mis-bind columns (or crash the sink's encoder)
+    val batch = TxTable.changes(spark, root, lo, hi)
+      .select(schema.fieldNames.toIndexedSeq.map(col): _*)
+    org.apache.spark.sql.graftbridge.PlanBridge.streamingFromBatch(batch)
+  }
+
+  override def stop(): Unit = ()
+}
+
+object TxStreamSource {
+  /** Change-feed schema (data columns..., op, commit_version), frozen
+    * from the table's latest snapshot. Streaming requires a table with
+    * at least one commit — there is no schema to tail before that. */
+  private[sources] def feedSchema(spark: SparkSession,
+    root: String): StructType = {
+    val hi = TxTable.latestVersion(spark, root)
+    require(hi >= 1, s"graft-tx streaming: table at $root has no " +
+      "commits yet - create it (one append) before tailing its feed")
+    TxTable.changes(spark, root, hi, hi).schema
+  }
+
+  /** Offsets round-trip through checkpoint JSON as SerializedOffset. */
+  private[sources] def versionOf(o: Offset): Int = o match {
+    case TxVersionOffset(v) => v
+    case other => other.json().trim.stripPrefix("\"").stripSuffix("\"").toInt
+  }
 }

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{DataQuality, Similarity, TextOps}
+
+/** Round-7 training-pipeline additions: binary (sign-bit) ANN,
+  * BPE encode under the trained vocab, domain-balanced mixing. */
+class PipelineOpsSpec extends SparkSpec {
+
+  test("binary signature packs 64 dims into one word and popcount matches sign count") {
+    val q = Similarity.quantized(spark, sfDir)
+    // recompute the packed signature exactly as annBinary does
+    val packed = q.withColumn("sig", expr(
+      "transform(sequence(0, (size(q) - 1) div 64), w -> " +
+        "aggregate(zip_with(slice(q, w * 64 + 1, 64), sequence(0, 63), " +
+        "(v, j) -> IF(v is not null and v > 0, " +
+        "shiftleft(cast(1 as bigint), cast(j as int)), cast(0 as bigint))), " +
+        "cast(0 as bigint), (acc, x) -> acc | x))"))
+    val badWidth = packed.filter(size(col("sig")) =!= 1).count()
+    assert(badWidth === 0L, "64-dim vectors must pack to exactly one word")
+    // the packed popcount must equal the semantic positive-dim count —
+    // the same cross-check the oracle performs across engines
+    val mismatch = packed
+      .withColumn("pc", expr("aggregate(sig, 0, (a, x) -> a + bit_count(x))"))
+      .withColumn("pos", expr("size(filter(q, v -> v > 0))"))
+      .filter(col("pc") =!= col("pos")).count()
+    assert(mismatch === 0L, "popcount(sig) must equal #positive components")
+  }
+
+  test("binary hamming candidates + exact rerank keep recall@5 high") {
+    val exact = Similarity.annBruteForce(spark, sfDir, k = 5)
+      .select(col("probe_id"), col("nbr_id"))
+    val bin = Similarity.annBinary(spark, sfDir, k = 5)
+      .select(col("probe_id"), col("nbr_id"))
+    val total = exact.count()
+    assert(total > 0)
+    val hits = exact.join(bin, Seq("probe_id", "nbr_id"), "left_semi").count()
+    val recall = hits.toDouble / total
+    assert(recall >= 0.8, s"binary-rescore recall@5 = $recall")
+  }
+
+  test("bpe encode: token counts sit between word and char counts and merges compress") {
+    val enc = TextOps.bpeEncode(spark, sfDir).cache()
+    val chars = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), expr(
+        s"length(replace(${TextOps.normExpr}, ' ', ''))").as("n_alnum"))
+    val joined = enc.join(chars, "doc_id")
+    // every word is at least one token; merges only shrink, so
+    // n_words <= n_tok <= alnum char count
+    assert(joined.filter(col("n_tok") < col("n_words")).count() === 0L)
+    assert(joined.filter(col("n_tok") > col("n_alnum")).count() === 0L)
+    // three adopted merges must actually compress somewhere
+    assert(joined.filter(col("n_tok") < col("n_alnum")).count() > 0L)
+  }
+
+  test("mix sample: membership honors rates, is deterministic, and nests by budget") {
+    val m15 = DataQuality.mixSample(spark, sfDir, perSource = 15).cache()
+    // uniform 25-doc sources at this sf: rate must be 15e6/25 ppm
+    assert(m15.filter(col("rate_ppm") =!= 600000L).count() === 0L)
+    // identical set on a second run (pure function of doc_id)
+    val again = DataQuality.mixSample(spark, sfDir, perSource = 15)
+    assert(m15.select("doc_id").except(again.select("doc_id")).count() === 0L)
+    assert(again.select("doc_id").except(m15.select("doc_id")).count() === 0L)
+    // smaller budget selects a SUBSET: the bucket predicate is nested
+    val m5 = DataQuality.mixSample(spark, sfDir, perSource = 5)
+    assert(m5.select("doc_id").except(m15.select("doc_id")).count() === 0L)
+    assert(m5.count() < m15.count())
+  }
+}

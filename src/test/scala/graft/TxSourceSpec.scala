@@ -162,4 +162,83 @@ class TxSourceSpec extends SparkSpec {
     val local = TxTableSource.parseTs("2023-11-14 22:13:20")
     assert(local === java.sql.Timestamp.valueOf("2023-11-14 22:13:20").getTime)
   }
+
+  test("streaming face tails the change feed incrementally, exactly once") {
+    import spark.implicits._
+    val root = tmpDir() + "/txsrc-stream"
+    val ckpt = tmpDir() + "/txsrc-stream-ckpt"
+    TxTable.append(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"), root)
+    val q = spark.readStream.format("graft-tx").load(root)
+      .writeStream.format("memory").queryName("txfeed")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // batch 1 = the v1 inserts, tagged with op/commit_version
+      val first = spark.sql("SELECT k, op, commit_version FROM txfeed")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(first === Set((1L, "I", 1L), (2L, "I", 1L)))
+      // a new commit arrives while the stream runs → delivered once
+      TxTable.append(Seq((3L, 30.0)).toDF("k", "v"), root)
+      q.processAllAvailable()
+      val all = spark.sql("SELECT k, op, commit_version FROM txfeed")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      assert(all.toSet ===
+        Set((1L, "I", 1L), (2L, "I", 1L), (3L, "I", 2L)))
+      assert(all.length === 3, "append sink must not re-deliver old commits")
+    } finally q.stop()
+    // the feed through the streaming face equals the batch change feed
+    val batchFeed = TxTable.changes(spark, root)
+      .select("k", "op", "commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val streamed = spark.sql("SELECT k, op, commit_version FROM txfeed")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed === batchFeed)
+  }
+
+  test("streaming face resumes from its checkpoint across restarts") {
+    import spark.implicits._
+    val root = tmpDir() + "/txsrc-resume"
+    val ckpt = tmpDir() + "/txsrc-resume-ckpt"
+    val outDir = tmpDir() + "/txsrc-resume-out"
+    TxTable.append(Seq((1L, 1.0)).toDF("k", "v"), root)
+    // the file sink supports checkpoint recovery (memory does not)
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-tx").load(root)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    // two more commits while the stream is DOWN
+    TxTable.append(Seq((2L, 2.0)).toDF("k", "v"), root)
+    TxTable.append(Seq((3L, 3.0)).toDF("k", "v"), root)
+    run()
+    // exactly once across the restart: every version delivered, none
+    // twice (the restarted query starts from the checkpointed offset)
+    val all = spark.read.parquet(outDir).select("k", "commit_version")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(all.sorted === Seq((1L, 1L), (2L, 2L), (3L, 3L)))
+  }
+
+  test("streaming face requires an existing table and supports MoR delta feeds") {
+    import spark.implicits._
+    intercept[IllegalArgumentException] {
+      spark.readStream.format("graft-tx").load(tmpDir() + "/txsrc-missing")
+    }
+    // delta commits stream their recorded per-batch change rows
+    val root = tmpDir() + "/txsrc-stream-mor"
+    TxTable.mergeDelta(spark, root,
+      Seq((1L, "I", 10.0, 1L), (2L, "I", 20.0, 2L)).toDF("k", "op", "v", "seq"))
+    TxTable.mergeDelta(spark, root,
+      Seq((1L, "U", 11.0, 3L), (2L, "D", 0.0, 4L)).toDF("k", "op", "v", "seq"))
+    val q = spark.readStream.format("graft-tx").load(root)
+      .writeStream.format("memory").queryName("txmor")
+      .option("checkpointLocation", tmpDir() + "/txsrc-stream-mor-ckpt")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.sql("SELECT k, op, commit_version FROM txmor")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set((1L, "I", 1L), (2L, "I", 1L),
+      (1L, "U", 2L), (2L, "D", 2L)))
+  }
 }
