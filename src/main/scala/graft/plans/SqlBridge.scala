@@ -26,4 +26,14 @@ object PlanBridge {
     cs.internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
+
+  /** The inverse re-tag, for V1 streaming SINKS: `Sink.addBatch`
+    * receives a frame planned by the incremental execution, which a
+    * batch writer (DataFrameWriter) refuses; wrap its InternalRow RDD
+    * as a plain batch frame so the ordinary write path applies. */
+  def batchFromStreaming(df: DataFrame): DataFrame = {
+    val cs = df.sparkSession.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
 }

@@ -406,7 +406,9 @@ object TxTable {
     * all of them serve `read(colRanges)` box pruning). */
   private def writeAndCommit(df: DataFrame, root: String, op: String,
     keepPrev: Boolean, statsCols: Seq[String] = Seq.empty,
-    preCommitCheck: Int => Unit = _ => ()): Int = {
+    preCommitCheck: Int => Unit = _ => (),
+    batchTag: Option[Long] = None,
+    skipIf: Int => Boolean = _ => false): Int = {
     val spark = df.sparkSession
     val (fs, rp) = fsFor(spark, root)
     val dirName = s"data/$op-${java.util.UUID.randomUUID()}"
@@ -414,6 +416,9 @@ object TxTable {
     val entry = Entry(isDelta = false, dirName,
       dirStats(spark, rp, dirName, statsCols))
     commitRetry(spark, root) { prevV =>
+      // a concurrent writer may have landed this same micro-batch
+      // between the caller's pre-check and the claim (appendBatch)
+      if (skipIf(prevV)) return prevV
       // constraint probes (appendChecked) re-validate against the
       // claim's parent, so a concurrent commit that landed between
       // validation and the claim can't smuggle in a violating snapshot
@@ -424,7 +429,9 @@ object TxTable {
       val statsHdr =
         if (prev.exists(_.startsWith("statscol:")) || statsCols.isEmpty) None
         else Some(s"statscol:${statsCols.mkString(",")}")
-      (op, statsHdr.toSeq ++ prev :+ entry.line)
+      (op,
+        batchTag.map(id => s"batch:$id").toSeq ++
+          statsHdr.toSeq ++ prev :+ entry.line)
     }
   }
 
@@ -503,6 +510,25 @@ object TxTable {
   def append(df: DataFrame, root: String,
     statsCols: Seq[String] = Seq.empty): Int =
     writeAndCommit(df, root, "append", keepPrev = true, statsCols)
+
+  /** `append` with micro-batch idempotence — the same `batch:$id`
+    * commit tag and replay pre-check `mergeDelta` uses, for streaming
+    * sinks feeding an append-only table: a restarted stream re-runs
+    * its last batch, the tag recognizes it, and the replay commits
+    * nothing (at-least-once delivery → exactly-once table state). */
+  def appendBatch(df: DataFrame, root: String, batchId: Long,
+    statsCols: Seq[String] = Seq.empty): Int = {
+    val spark = df.sparkSession
+    val (fs, rp) = fsFor(spark, root)
+    def alreadyApplied(v: Int): Boolean =
+      v > 0 && readFileUtf8(fs, commitPath(rp, v)).split("\n")
+        .exists(_ == s"batch:$batchId")
+    if (alreadyApplied(latestVersion(spark, root)))
+      return latestVersion(spark, root)
+    writeAndCommit(df, root, "append", keepPrev = true, statsCols,
+      preCommitCheck = _ => (), batchTag = Some(batchId),
+      skipIf = alreadyApplied)
+  }
 
   /** Replace the table contents with `df` atomically. */
   def overwrite(df: DataFrame, root: String,

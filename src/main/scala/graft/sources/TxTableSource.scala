@@ -3,7 +3,8 @@ package graft.sources
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession, SQLContext}
 import org.apache.spark.sql.execution.FileRelation
-import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
@@ -23,6 +24,8 @@ import org.apache.spark.sql.types.StructType
   *     .option("statsCols", "k").save(root)
   *   spark.sql(s"CREATE TABLE t USING `graft-tx` OPTIONS (path '$root')")
   *   spark.readStream.format("graft-tx").load(root)   // tail the feed
+  *   df.writeStream.format("graft-tx")                 // exactly-once
+  *     .option("path", root).option("keys", "k").start()   //   load
   * }}}
   *
   * Architecture: a relation wrapping the snapshot-resolved plan — the
@@ -47,7 +50,7 @@ import org.apache.spark.sql.types.StructType
   */
 class TxTableSource extends RelationProvider
   with CreatableRelationProvider with DataSourceRegister
-  with StreamSourceProvider {
+  with StreamSourceProvider with StreamSinkProvider {
 
   override def shortName(): String = "graft-tx"
 
@@ -72,6 +75,30 @@ class TxTableSource extends RelationProvider
     parameters: Map[String, String]): Source =
     new TxStreamSource(sqlContext.sparkSession,
       TxTableSource.rootOf(parameters))
+
+  // ---- streaming sink: exactly-once micro-batch loads ----
+  // `df.writeStream.format("graft-tx").option("path", root)` commits
+  // each micro-batch transactionally, tagged with its batch id, so a
+  // replayed batch (restart after a sink-side crash) is recognized
+  // and skipped — at-least-once delivery composes to exactly-once
+  // table state. With option `keys`, batches are CDC rows
+  // (keys..., op, values...) applied as O(batch) merge-on-read
+  // deltas; without, plain appends. Complete mode overwrites.
+
+  override def createSink(sqlContext: SQLContext,
+    parameters: Map[String, String], partitionColumns: Seq[String],
+    outputMode: OutputMode): Sink = {
+    require(partitionColumns.isEmpty,
+      "graft-tx sink: partitionBy is not supported (dir layout is " +
+        "commit-managed; use statsCols for pruning)")
+    val keyCols = parameters.get("keys")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val statsCols = parameters.get("statsCols").orElse(parameters.get("statscols"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    new TxStreamSink(TxTableSource.rootOf(parameters), keyCols, statsCols,
+      complete = outputMode == OutputMode.Complete())
+  }
 
   override def createRelation(sqlContext: SQLContext,
     parameters: Map[String, String]): BaseRelation =
@@ -303,6 +330,33 @@ class TxStreamSource(spark: SparkSession, root: String) extends Source {
   }
 
   override def stop(): Unit = ()
+}
+
+/** V1 micro-batch sink into a [[TxTable]]. Each batch re-tags the
+  * incrementally-planned frame as a batch frame (the inverse bridge
+  * call of the source side) and commits it through the transactional
+  * write paths — `mergeDelta` (keyed CDC), `appendBatch` (plain), or
+  * `overwrite` (Complete mode) — all carrying the batch id where
+  * replay protection applies. */
+class TxStreamSink(root: String, keyCols: Option[Seq[String]],
+  statsCols: Seq[String], complete: Boolean) extends Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val batch =
+      org.apache.spark.sql.graftbridge.PlanBridge.batchFromStreaming(data)
+    if (complete) {
+      // Complete mode re-emits the whole result: idempotent by value,
+      // replays converge without a tag
+      TxTable.overwrite(batch, root, statsCols)
+    } else keyCols match {
+      case Some(ks) =>
+        TxTable.mergeDelta(batch.sparkSession, root, batch, ks,
+          batchId = Some(batchId))
+      case None =>
+        TxTable.appendBatch(batch, root, batchId, statsCols)
+    }
+    ()
+  }
 }
 
 object TxStreamSource {
