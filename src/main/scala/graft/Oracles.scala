@@ -637,6 +637,27 @@ object Oracles {
         |    row_number() OVER (PARTITION BY probe_id ORDER BY dot / (sqrt(n2a) * sqrt(n2b)) DESC, nbr_id) rk
         |  FROM p) t WHERE rk <= 5""".stripMargin,
 
+    // SemDeDup: cluster-blocked semantic dedup — cell assignment is
+    // the replayed IVF argmax, the verdict an earlier-similar count
+    "q_semdedup" ->
+      s"""$quantCte,
+         |cent AS (SELECT vec_id cid, q qc, n2 n2c FROM n WHERE vec_id < 16),
+         |ar AS (SELECT n.vec_id, cent.cid,
+         |    list_dot_product(list_transform(n.q, x -> cast(x AS DOUBLE)), list_transform(cent.qc, x -> cast(x AS DOUBLE)))
+         |      / (sqrt(n.n2) * sqrt(cent.n2c)) ccos
+         |  FROM n CROSS JOIN cent),
+         |rk AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) crn FROM ar),
+         |assign AS (SELECT vec_id, cid cell FROM rk WHERE crn = 1),
+         |sp AS (SELECT la.vec_id, cast(count(*) AS BIGINT) n_prev_sim
+         |  FROM assign la JOIN assign ea ON ea.cell = la.cell AND ea.vec_id < la.vec_id
+         |  JOIN n a ON a.vec_id = la.vec_id JOIN n b ON b.vec_id = ea.vec_id
+         |  WHERE $dotSql / (sqrt(a.n2) * sqrt(b.n2)) > 0.35
+         |  GROUP BY 1)
+         |SELECT a.vec_id, a.cell,
+         |  coalesce(sp.n_prev_sim, 0) n_prev_sim,
+         |  coalesce(sp.n_prev_sim, 0) > 0 is_dup
+         |FROM assign a LEFT JOIN sp ON sp.vec_id = a.vec_id""".stripMargin,
+
     // binary (sign-bit) quantization: hamming distance = number of
     // dimensions whose signs differ — the oracle counts it
     // semantically (list compare) while the engine computes the same

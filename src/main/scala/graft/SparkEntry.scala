@@ -86,6 +86,7 @@ object SparkEntry {
     "q_dedup_clusters_star" -> (Dedup.dedupClustersStar _),
     // similarity / ANN (§2.6)
     "q_dedup_embedding" -> (Similarity.embeddingNearDup _),
+    "q_semdedup" -> ((s: SparkSession, d: String) => Similarity.semDedup(s, d)),
     "q_ann_bruteforce" -> ((s: SparkSession, d: String) => Similarity.annBruteForce(s, d)),
     "q_ann_int8" -> ((s: SparkSession, d: String) => Similarity.annInt8(s, d)),
     "q_ann_binary" -> ((s: SparkSession, d: String) => Similarity.annBinary(s, d)),

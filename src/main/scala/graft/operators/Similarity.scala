@@ -761,6 +761,47 @@ object Similarity {
       .select("probe_id", "rk", "nbr_id", "ham", "cos")
   }
 
+  /** SemDeDup (Abbas et al. 2023) — semantic deduplication, the
+    * embedding-space stage of a training-data pipeline: cluster the
+    * corpus, then WITHIN each cluster drop every vector that scores
+    * cos > τ against an earlier-id vector, keeping one representative
+    * per semantic-duplicate group. The cluster blocking is the whole
+    * point at scale: pairs exist only inside a cell (SemDeDup's k-means
+    * blocks), never across the corpus — the all-pairs cost is bounded
+    * by the largest cell, and the verdict is a per-vector EXISTS.
+    * Deterministic first-16 codebook matches `annIvf` (swap in
+    * `trainCentroids` for the production build); verdict columns are
+    * integers (earlier-similar-neighbor count) so the whole relation
+    * hash-gates. */
+  def semDedup(spark: SparkSession, dir: String,
+    tau: Double = 0.35): DataFrame = {
+    val q = quantized(spark, dir)
+    val cent = q.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("q").as("qc"), col("n2").as("n2c"))
+    val scored = q.crossJoin(broadcast(cent))
+      .withColumn("dot", expr("array_dot_long(q, qc)"))
+      .select(col("vec_id"), col("cid"),
+        expr("cast(dot as double) / (sqrt(cast(n2 as double)) * sqrt(cast(n2c as double)))").as("ccos"))
+    val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
+    val assign = scored.withColumn("crn", row_number().over(w))
+      .filter(col("crn") === 1).select(col("vec_id"), col("cid").as("cell"))
+    val vecs = q.join(assign, "vec_id")
+    val late = vecs.select(col("cell"), col("vec_id"),
+      col("q").as("qa"), col("n2").as("n2a"))
+    val early = vecs.select(col("cell"), col("vec_id").as("prev_id"),
+      col("q").as("qb"), col("n2").as("n2b"))
+    val simPrev = late.join(early, Seq("cell"))
+      .filter(col("prev_id") < col("vec_id"))
+      .withColumn("dot", expr("array_dot_long(qa, qb)"))
+      .filter(expr("cast(dot as double) / (sqrt(cast(n2a as double)) * " +
+        s"sqrt(cast(n2b as double))) > $tau"))
+      .groupBy("vec_id").agg(count(lit(1)).as("n_prev_sim"))
+    assign.join(simPrev, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("n_prev_sim"), lit(0L)).as("n_prev_sim"),
+        (coalesce(col("n_prev_sim"), lit(0L)) > 0).as("is_dup"))
+  }
+
   /** annLsh through the custom whole-operator plan
     * (plans.LshTopKJoin): identical semantics and oracle, but the
     * bucket join, exact scoring and per-probe top-k selection are fused

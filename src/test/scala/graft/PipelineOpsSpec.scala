@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.{DataQuality, Similarity, TextOps}
 
@@ -51,6 +52,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(joined.filter(col("n_tok") > col("n_alnum")).count() === 0L)
     // three adopted merges must actually compress somewhere
     assert(joined.filter(col("n_tok") < col("n_alnum")).count() > 0L)
+  }
+
+  test("semdedup: survivors are pairwise non-similar, first of cell survives") {
+    val sd = Similarity.semDedup(spark, sfDir).cache()
+    assert(sd.filter(col("is_dup")).count() > 0, "threshold must bite")
+    // the earliest vector of every cell has no earlier neighbor
+    val firstDropped = sd.withColumn("rn",
+      row_number().over(Window.partitionBy("cell").orderBy("vec_id")))
+      .filter(col("rn") === 1 && col("is_dup")).count()
+    assert(firstDropped === 0L)
+    // greedy earlier-id rule ⇒ the kept set is an independent set:
+    // recompute pairwise cos among survivors, none may exceed τ
+    val q = Similarity.quantized(spark, sfDir)
+    val sv = sd.filter(!col("is_dup")).join(q, "vec_id")
+    val a = sv.select(col("cell"), col("vec_id"),
+      col("q").as("qa"), col("n2").as("n2a"))
+    val b = sv.select(col("cell"), col("vec_id").as("vb"),
+      col("q").as("qb"), col("n2").as("n2b"))
+    val bad = a.join(b, Seq("cell")).filter(col("vec_id") < col("vb"))
+      .withColumn("dot", expr("array_dot_long(qa, qb)"))
+      .filter(expr("cast(dot as double) / (sqrt(cast(n2a as double)) * " +
+        "sqrt(cast(n2b as double))) > 0.35")).count()
+    assert(bad === 0L, "two surviving vectors in one cell are near-dups")
   }
 
   test("mix sample: membership honors rates, is deterministic, and nests by budget") {
