@@ -624,6 +624,54 @@ object TxTable {
     }
   }
 
+  /** OPTIMIZE … ZORDER BY (x, y): rewrite the current snapshot into
+    * up to `nDirs` dirs CLUSTERED by the Morton interleave of the two
+    * dimensions, each dir carrying min/max stats on BOTH — one atomic
+    * commit (op = compact: content-identical, so the change feed
+    * correctly emits nothing and time travel keeps the old layout).
+    * After it, `read(colRanges)` dir-pruning bites on EITHER
+    * dimension, where a lexicographic sort serves only its leading
+    * column — the layout job a 100 TB table runs periodically so
+    * point/range lookups touch O(matching dirs), not O(table).
+    * Keyed snapshots are resolved first (optimize ⊇ compaction);
+    * the stats declaration moves to the z dimensions. */
+  def optimizeZOrder(spark: SparkSession, root: String, xCol: String,
+    yCol: String, nDirs: Int = 8): Int = {
+    require(nDirs >= 1, "optimizeZOrder needs at least one output dir")
+    val (fs, rp) = fsFor(spark, root)
+    commitRetry(spark, root) { prevV =>
+      require(prevV > 0, s"txtable: nothing to optimize at $root")
+      val resolved = read(spark, root, prevV)
+      val parent = s"data/zopt-${java.util.UUID.randomUUID()}"
+      // range-partition on z, one output dir per partition (written as
+      // one partitionBy level so a single job stages every dir), sort
+      // within so row groups inside a dir cluster too
+      resolved
+        .withColumn("_z", expr(
+          graft.operators.Relational.zValueExpr(xCol, yCol)))
+        .repartitionByRange(nDirs, col("_z"))
+        .sortWithinPartitions("_z")
+        .withColumn("_b", org.apache.spark.sql.functions.spark_partition_id())
+        .drop("_z")
+        .write.partitionBy("_b").mode("overwrite")
+        .parquet(new Path(rp, parent).toString)
+      val keys = snapshotKeys(fs, rp, prevV)
+      val statsCols = Seq(xCol, yCol)
+      val buckets = fs.listStatus(new Path(rp, parent)).toSeq
+        .map(_.getPath.getName).filter(_.startsWith("_b="))
+        .sortBy(n => n.stripPrefix("_b=").toInt)
+      val entries = buckets.map { b =>
+        val d = s"$parent/$b"
+        Entry(isDelta = false, d,
+          dirStats(spark, rp, d, keys.getOrElse(Seq.empty) ++ statsCols))
+      }
+      ("compact",
+        keys.map(ks => s"key:${ks.mkString(",")}").toSeq ++
+          Seq(s"statscol:${statsCols.mkString(",")}") ++
+          entries.map(_.line))
+    }
+  }
+
   /** Fold all deltas of the current snapshot into one materialized
     * data dir (the compaction job that bounds merge-on-read cost).
     * Readers of the new version pay zero resolution; old versions

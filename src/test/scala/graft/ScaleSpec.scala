@@ -213,7 +213,8 @@ class ScaleSpec extends SparkSpec {
     try {
       Seq(
         "int8" -> graft.operators.Similarity.annInt8(spark, sfDir),
-        "multiprobe" -> graft.operators.Similarity.annLshMultiProbe(spark, sfDir)
+        "multiprobe" -> graft.operators.Similarity.annLshMultiProbe(spark, sfDir),
+        "binary" -> graft.operators.Similarity.annBinary(spark, sfDir)
       ).foreach { case (name, df) =>
         val plan = df.queryExecution.executedPlan.toString
         assert(!plan.contains("SortMergeJoin"),
@@ -222,6 +223,14 @@ class ScaleSpec extends SparkSpec {
           plan.contains("BroadcastNestedLoopJoin"),
           s"$name: probes must broadcast:\n$plan")
       }
+      // mixture sampling: the per-source rate table broadcasts back
+      // against the corpus scan — the corpus itself must not shuffle
+      // to learn its keep rate
+      val mix = graft.operators.DataQuality.mixSample(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(mix.contains("BroadcastHashJoin"), mix)
+      assert(!mix.contains("SortMergeJoin"),
+        s"mixSample: corpus reshuffled for a 20-row rate table:\n$mix")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 

@@ -860,4 +860,57 @@ class TxTableSpec extends SparkSpec {
     // the full feed replays the whole load, version-tagged per batch
     assert(TxTable.changes(spark, root).count() === 4)
   }
+
+  test("optimizeZOrder: both dimensions prune after the rewrite, content identical") {
+    import spark.implicits._
+    val root = tmpDir() + "/tx-zopt"
+    // row-major arrival: the worst layout for the y dimension — and
+    // only x declared for stats, so y can't prune at all pre-optimize
+    val pts = for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y)
+    pts.grouped(128).foreach { chunk =>
+      TxTable.append(chunk.toDF("x", "y"), root, statsCols = Seq("x"))
+    }
+    val before = TxTable.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val feedBefore = TxTable.changes(spark, root).count()
+    def dirsOf(ranges: Map[String, (Long, Long)]): Int =
+      TxTable.read(spark, root, colRanges = ranges).inputFiles.map(f =>
+        new java.io.File(new java.net.URI(f)).getParentFile.getName).toSet.size
+    assert(dirsOf(Map("y" -> (0L, 7L))) === 8,
+      "pre-optimize, a y range must scan every dir")
+    TxTable.optimizeZOrder(spark, root, "x", "y", nDirs = 8)
+    // content-identical rewrite…
+    assert(TxTable.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet === before)
+    // …that the change feed correctly ignores (op = compact)
+    assert(TxTable.changes(spark, root).count() === feedBefore)
+    // y<8 zeroes the two top y bits ⇒ 4 of 8 Morton eighths survive
+    val yDirs = dirsOf(Map("y" -> (0L, 7L)))
+    assert(yDirs <= 4, s"y range must prune the z layout, scanned $yDirs")
+    // and a box on both dims prunes harder than either alone
+    val boxDirs = dirsOf(Map("x" -> (0L, 7L), "y" -> (0L, 7L)))
+    assert(boxDirs <= 2, s"an 8x8 box must touch <=2 of 8 tiles, got $boxDirs")
+    // time travel still reads the pre-optimize layout
+    assert(TxTable.read(spark, root, version = 8).count() === 1024L)
+  }
+
+  test("optimizeZOrder resolves keyed snapshots and stays writable") {
+    import spark.implicits._
+    val root = tmpDir() + "/tx-zopt-keyed"
+    // bigint value column: the resolved snapshot exposes (k, v) only
+    // (seq is resolution bookkeeping), and z dims must be integral
+    TxTable.mergeDelta(spark, root,
+      Seq((1L, "I", 10L, 1L), (2L, "I", 20L, 2L)).toDF("k", "op", "v", "seq"))
+    TxTable.mergeDelta(spark, root,
+      Seq((1L, "U", 11L, 3L)).toDF("k", "op", "v", "seq"))
+    TxTable.optimizeZOrder(spark, root, "k", "v", nDirs = 2)
+    def state(): Map[Long, Long] = TxTable.read(spark, root).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("v"))).toMap
+    assert(state() === Map(1L -> 11L, 2L -> 20L),
+      "optimize must resolve merge-on-read before rewriting")
+    // the optimized table keeps its key declaration: deltas still apply
+    TxTable.mergeDelta(spark, root,
+      Seq((2L, "D", 0L, 4L)).toDF("k", "op", "v", "seq"))
+    assert(state() === Map(1L -> 11L))
+  }
 }
