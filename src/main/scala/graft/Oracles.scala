@@ -1253,6 +1253,15 @@ object Oracles {
         |  row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn FROM c)
         |SELECT k, v FROM w WHERE rn = 1 AND op <> 'D'""".stripMargin,
 
+    // the z-optimized table's pruned box read must equal the plain
+    // filter — pruning may skip dirs, never rows
+    "q_txtable_zopt" ->
+      """WITH b AS (SELECT max(o_orderkey) mo, max(o_custkey) mc FROM orders)
+        |SELECT o_orderkey, o_custkey,
+        |  cast(cast(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        |FROM orders, b
+        |WHERE o_custkey <= mc // 4 AND o_orderkey <= mo // 4""".stripMargin,
+
     "q_media_meta" ->
       """SELECT doc_id, strlen(text) AS byte_len, substring(md5(text), 1, 8) AS sig,
         |  (strlen(text) + 255) // 256 AS n_chunks

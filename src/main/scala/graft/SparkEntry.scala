@@ -110,6 +110,7 @@ object SparkEntry {
     "q_pipe_reduce" -> (graft.sources.Pipe.pipeReduceSum _),
     "q_pipe_binary" -> (graft.sources.Pipe.pipeBinaryHash _),
     "q_txtable_mor" -> (graft.sources.TxTable.cdcGateQuery _),
+    "q_txtable_zopt" -> (graft.sources.TxTable.zoptGateQuery _),
     "q_txtable_changes" -> (graft.sources.TxTable.changesGateQuery _),
     "q_media_meta" -> (Media.mediaMeta _),
     // OLAP analytics (§2.1 extensions)

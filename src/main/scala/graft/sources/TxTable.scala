@@ -737,6 +737,40 @@ object TxTable {
     read(spark, root)
   }
 
+  /** ORACLE-GATED OPTIMIZE-ZORDER exercise (q_txtable_zopt): load
+    * orders as four hash-split appends (a layout that serves neither
+    * dimension), OPTIMIZE ZORDER BY (o_custkey, o_orderkey), then
+    * read a two-dimensional box back through colRanges dir pruning.
+    * The DuckDB oracle is the plain filter over orders — hash
+    * equality proves the clustered rewrite preserved content AND the
+    * stats-pruned read returns exactly the box (pruning may skip
+    * dirs, never rows). */
+  def zoptGateQuery(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      s"graft-zoptgate-${math.abs(dir.hashCode)}").toString
+    val rootFile = new java.io.File(root)
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmTree))
+      f.delete(); ()
+    }
+    rmTree(rootFile)
+    if (cleanupRegistered.add(root)) sys.addShutdownHook(rmTree(rootFile))
+    val o = graft.Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"))
+    // 1-row readback for the box bounds (metadata-scale); null-safe
+    val bounds = o.agg(max("o_orderkey"), max("o_custkey")).collect()(0)
+    if (bounds.isNullAt(0)) return o.filter(lit(false))
+    val (maxO, maxC) = (bounds.getLong(0), bounds.getLong(1))
+    (0L to 3L).foreach { i =>
+      append(o.filter(col("o_orderkey") % 4 === i), root)
+    }
+    optimizeZOrder(spark, root, "o_custkey", "o_orderkey", nDirs = 8)
+    read(spark, root, colRanges = Map(
+      "o_custkey" -> (0L, maxC / 4), "o_orderkey" -> (0L, maxO / 4)))
+  }
+
   /** Change-data-feed reader: every row-level change committed in
     * versions (fromV, toV], tagged with `commit_version` and `op`
     * ('I'/'U'/'D') — the table-format change feed a downstream
