@@ -74,7 +74,12 @@ class TxTableSource extends RelationProvider
     schema: Option[StructType], providerName: String,
     parameters: Map[String, String]): Source =
     new TxStreamSource(sqlContext.sparkSession,
-      TxTableSource.rootOf(parameters))
+      TxTableSource.rootOf(parameters),
+      // first commit version INCLUDED in the feed (default 1 = full
+      // history); lets a consumer start from "now-ish" instead of
+      // replaying a vacuum-bounded backlog
+      startingVersion = parameters.get("startingVersion")
+        .orElse(parameters.get("startingversion")).map(_.toInt).getOrElse(1))
 
   // ---- streaming sink: exactly-once micro-batch loads ----
   // `df.writeStream.format("graft-tx").option("path", root)` commits
@@ -307,17 +312,22 @@ case class TxVersionOffset(v: Int) extends Offset {
   * see plans.SqlBridge). The source never caches table state: offsets
   * come from the commit log on every poll, so concurrent writers
   * (OCC) surface naturally as new batches. */
-class TxStreamSource(spark: SparkSession, root: String) extends Source {
+class TxStreamSource(spark: SparkSession, root: String,
+  startingVersion: Int = 1) extends Source {
+  require(startingVersion >= 1,
+    s"graft-tx streaming: startingVersion must be >= 1, got $startingVersion")
 
   override val schema: StructType = TxStreamSource.feedSchema(spark, root)
 
   override def getOffset: Option[Offset] = {
     val v = TxTable.latestVersion(spark, root)
-    if (v <= 0) None else Some(TxVersionOffset(v))
+    // nothing to emit until the starting version exists
+    if (v < startingVersion) None else Some(TxVersionOffset(v))
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val lo = start.map(TxStreamSource.versionOf).getOrElse(0)
+    val lo = start.map(TxStreamSource.versionOf)
+      .getOrElse(startingVersion - 1)
     val hi = TxStreamSource.versionOf(end)
     // conform to the declared schema: V1 splices batch columns into
     // the plan BY POSITION, and a delta commit's change frame orders

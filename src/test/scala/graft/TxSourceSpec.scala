@@ -220,6 +220,24 @@ class TxSourceSpec extends SparkSpec {
     assert(all.sorted === Seq((1L, 1L), (2L, 2L), (3L, 3L)))
   }
 
+  test("streaming face honors startingVersion") {
+    import spark.implicits._
+    val root = tmpDir() + "/txsrc-startv"
+    TxTable.append(Seq((1L, 1.0)).toDF("k", "v"), root)
+    TxTable.append(Seq((2L, 2.0)).toDF("k", "v"), root)
+    TxTable.append(Seq((3L, 3.0)).toDF("k", "v"), root)
+    val q = spark.readStream.format("graft-tx")
+      .option("startingVersion", 3).load(root)
+      .writeStream.format("memory").queryName("txstartv")
+      .option("checkpointLocation", tmpDir() + "/txsrc-startv-ckpt")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.sql("SELECT k, commit_version FROM txstartv")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((3L, 3L)),
+      "startingVersion must skip the earlier history")
+  }
+
   test("streaming sink appends micro-batches exactly once") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
