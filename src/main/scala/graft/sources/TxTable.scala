@@ -221,10 +221,17 @@ object TxTable {
       }
     def rangeFilter(df: DataFrame): DataFrame = applyRanges(df, preRanges)
     if (entries.isEmpty) {
-      // every dir pruned: empty frame with the table's schema
-      val schemaDf = spark.read
-        .parquet(new Path(rp, allEntries.head.dir).toString)
-      return schemaDf.filter(lit(false)).drop("op")
+      // every dir pruned: empty frame in the table's FULL schema —
+      // union the per-dir schemas by name (footer-only probes) so
+      // columns added by widened commits survive even though no dir
+      // is scanned; delta bookkeeping columns (op, seq) are dropped
+      // exactly as resolution would
+      val merged = allEntries
+        .map(e => spark.read.parquet(new Path(rp, e.dir).toString)
+          .filter(lit(false)))
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+      return if (allEntries.exists(_.isDelta)) merged.drop("op", "seq")
+      else merged
     }
     // The branch is chosen from the SNAPSHOT's shape (allEntries), not
     // the pruned survivors: in a keyed snapshot a full-row dir after a
@@ -407,7 +414,7 @@ object TxTable {
   private def writeAndCommit(df: DataFrame, root: String, op: String,
     keepPrev: Boolean, statsCols: Seq[String] = Seq.empty,
     preCommitCheck: Int => Unit = _ => (),
-    batchTag: Option[Long] = None,
+    batchTag: Option[String] = None,
     skipIf: Int => Boolean = _ => false): Int = {
     val spark = df.sparkSession
     val (fs, rp) = fsFor(spark, root)
@@ -417,8 +424,12 @@ object TxTable {
       dirStats(spark, rp, dirName, statsCols))
     commitRetry(spark, root) { prevV =>
       // a concurrent writer may have landed this same micro-batch
-      // between the caller's pre-check and the claim (appendBatch)
-      if (skipIf(prevV)) return prevV
+      // between the caller's pre-check and the claim (appendBatch);
+      // drop the staged dir rather than leaking it until vacuum
+      if (skipIf(prevV)) {
+        fs.delete(new Path(rp, dirName), true)
+        return prevV
+      }
       // constraint probes (appendChecked) re-validate against the
       // claim's parent, so a concurrent commit that landed between
       // validation and the claim can't smuggle in a violating snapshot
@@ -430,7 +441,7 @@ object TxTable {
         if (prev.exists(_.startsWith("statscol:")) || statsCols.isEmpty) None
         else Some(s"statscol:${statsCols.mkString(",")}")
       (op,
-        batchTag.map(id => s"batch:$id").toSeq ++
+        batchTag.map(t => s"batch:$t").toSeq ++
           statsHdr.toSeq ++ prev :+ entry.line)
     }
   }
@@ -446,6 +457,19 @@ object TxTable {
       }) ++
       snapshotEntries(fs, rp, v).map(_.line)
 
+  /** `batch:<stream>:<id>` replay-protection tag lines of commit `v`
+    * (legacy bare `batch:<id>` lines parse as stream ""). */
+  private def batchTagLines(fs: FileSystem, rp: Path, v: Int): Seq[String] =
+    if (v <= 0) Seq.empty
+    else readFileUtf8(fs, commitPath(rp, v)).split("\n").toSeq
+      .filter(_.startsWith("batch:"))
+
+  private def tagStream(line: String): String = {
+    val rest = line.stripPrefix("batch:")
+    val i = rest.lastIndexOf(':')
+    if (i < 0) "" else rest.substring(0, i)
+  }
+
   /** The optimistic-concurrency loop: build the commit content against
     * the current snapshot, claim version+1 atomically, retry from the
     * NEW snapshot if another writer claimed it first. */
@@ -458,7 +482,15 @@ object TxTable {
     while (attempt <= maxRetries) {
       val prevV = latestVersion(spark, root)
       val (op, lines) = content(prevV)
-      val body = (s"op:$op" +: lines).mkString("\n")
+      // replay tags survive EVERY commit: carry the parent's newest
+      // per-stream batch tags forward (minus streams this commit
+      // re-tags), so an interleaved append/compaction/optimize can
+      // never reopen a streaming sink's exactly-once replay window
+      val ownStreams = lines.filter(_.startsWith("batch:"))
+        .map(tagStream).toSet
+      val carried = batchTagLines(fs, rp, prevV)
+        .filterNot(t => ownStreams.contains(tagStream(t)))
+      val body = (s"op:$op" +: (lines ++ carried)).mkString("\n")
       val claim = commitPath(rp, prevV + 1)
       try {
         if (fs.getScheme == "file") {
@@ -517,17 +549,35 @@ object TxTable {
     * its last batch, the tag recognizes it, and the replay commits
     * nothing (at-least-once delivery → exactly-once table state). */
   def appendBatch(df: DataFrame, root: String, batchId: Long,
-    statsCols: Seq[String] = Seq.empty): Int = {
+    statsCols: Seq[String] = Seq.empty,
+    streamId: String = "default"): Int = {
     val spark = df.sparkSession
     val (fs, rp) = fsFor(spark, root)
+    val sid = sanitizeStreamId(streamId)
     def alreadyApplied(v: Int): Boolean =
-      v > 0 && readFileUtf8(fs, commitPath(rp, v)).split("\n")
-        .exists(_ == s"batch:$batchId")
+      appliedBatchId(fs, rp, v, sid).exists(_ >= batchId)
     if (alreadyApplied(latestVersion(spark, root)))
       return latestVersion(spark, root)
     writeAndCommit(df, root, "append", keepPrev = true, statsCols,
-      preCommitCheck = _ => (), batchTag = Some(batchId),
+      preCommitCheck = _ => (), batchTag = Some(s"$sid:$batchId"),
       skipIf = alreadyApplied)
+  }
+
+  /** Newest applied batch id for `streamId` as of commit `v` (tags are
+    * carried forward by every commit, so the latest commit file is
+    * authoritative). */
+  private def appliedBatchId(fs: FileSystem, rp: Path, v: Int,
+    streamId: String): Option[Long] =
+    batchTagLines(fs, rp, v)
+      .filter(t => tagStream(t) == streamId)
+      .flatMap(t => t.substring(t.lastIndexOf(':') + 1).toLongOption)
+      .maxOption
+
+  /** Stream identities embed in commit tag lines: strip the two
+    * structural characters. */
+  private def sanitizeStreamId(s: String): String = {
+    val c = s.replace(":", "_").replace("\n", "_")
+    if (c.isEmpty) "default" else c
   }
 
   /** Replace the table contents with `df` atomically. */
@@ -590,17 +640,22 @@ object TxTable {
     * stays bounded. The delta dir is written once; only the cheap
     * commit claim retries under contention. */
   def mergeDelta(spark: SparkSession, root: String, changes: DataFrame,
-    keyCols: Seq[String] = Seq("k"), batchId: Option[Long] = None): Int = {
+    keyCols: Seq[String] = Seq("k"), batchId: Option[Long] = None,
+    streamId: String = "default"): Int = {
     val (fs, rp) = fsFor(spark, root)
+    val sid = sanitizeStreamId(streamId)
     // Exactly-once under micro-batch REPLAY: a restarted stream re-runs
     // its last uncommitted-downstream batch, so a sink that blindly
     // committed would double-apply it. With `batchId`, a commit whose
-    // latest version already records this id is recognized and skipped
-    // BEFORE writing data — the replayed batch becomes a no-op and the
-    // at-least-once source composes to exactly-once table state.
+    // snapshot already records this stream's id at or past it is
+    // recognized and skipped BEFORE writing data — the replayed batch
+    // becomes a no-op and the at-least-once source composes to
+    // exactly-once table state. Tags are per-STREAM (`sid:id`) and
+    // carried forward by every commit (commitRetry), so neither an
+    // interleaved compaction nor a second stream writing the same
+    // table can confuse the check.
     def alreadyApplied(v: Int): Boolean = batchId.exists { id =>
-      v > 0 && readFileUtf8(fs, commitPath(rp, v)).split("\n")
-        .exists(_ == s"batch:$id")
+      appliedBatchId(fs, rp, v, sid).exists(_ >= id)
     }
     if (alreadyApplied(latestVersion(spark, root)))
       return latestVersion(spark, root)
@@ -612,14 +667,18 @@ object TxTable {
     commitRetry(spark, root) { prevV =>
       // a concurrent writer may have landed the same batch between the
       // pre-check and the claim: re-check against the claim's parent
-      if (alreadyApplied(prevV)) return prevV
+      // (and drop the staged delta dir rather than leak it)
+      if (alreadyApplied(prevV)) {
+        fs.delete(new Path(rp, dirName), true)
+        return prevV
+      }
       val recorded = snapshotKeys(fs, rp, prevV)
       require(recorded.forall(_ == keyCols),
         s"txtable: $root is keyed on ${recorded.get.mkString(",")}, " +
           s"got ${keyCols.mkString(",")}")
       val prev = snapshotEntries(fs, rp, prevV).map(_.line)
       ("delta",
-        (batchId.map(id => s"batch:$id").toSeq ++
+        (batchId.map(id => s"batch:$sid:$id").toSeq ++
           (s"key:${keyCols.mkString(",")}" +: prev)) :+ entry.line)
     }
   }
@@ -639,9 +698,17 @@ object TxTable {
     yCol: String, nDirs: Int = 8): Int = {
     require(nDirs >= 1, "optimizeZOrder needs at least one output dir")
     val (fs, rp) = fsFor(spark, root)
-    commitRetry(spark, root) { prevV =>
-      require(prevV > 0, s"txtable: nothing to optimize at $root")
-      val resolved = read(spark, root, prevV)
+    // The O(table) rewrite stages OUTSIDE the claim loop, pinned to the
+    // snapshot it read: a commit that lands in between makes the staged
+    // copy stale (committing it would drop the interleaved rows), so
+    // the claim aborts, the stage is deleted, and the whole rewrite
+    // re-runs against the new snapshot — bounded times, not the claim
+    // loop's ten (each retry here is a full-table rewrite).
+    var attempt = 0
+    while (attempt < 3) {
+      val base = latestVersion(spark, root)
+      require(base > 0, s"txtable: nothing to optimize at $root")
+      val resolved = read(spark, root, base)
       val parent = s"data/zopt-${java.util.UUID.randomUUID()}"
       // range-partition on z, one output dir per partition (written as
       // one partitionBy level so a single job stages every dir), sort
@@ -655,7 +722,7 @@ object TxTable {
         .drop("_z")
         .write.partitionBy("_b").mode("overwrite")
         .parquet(new Path(rp, parent).toString)
-      val keys = snapshotKeys(fs, rp, prevV)
+      val keys = snapshotKeys(fs, rp, base)
       val statsCols = Seq(xCol, yCol)
       val buckets = fs.listStatus(new Path(rp, parent)).toSeq
         .map(_.getPath.getName).filter(_.startsWith("_b="))
@@ -665,12 +732,28 @@ object TxTable {
         Entry(isDelta = false, d,
           dirStats(spark, rp, d, keys.getOrElse(Seq.empty) ++ statsCols))
       }
-      ("compact",
-        keys.map(ks => s"key:${ks.mkString(",")}").toSeq ++
-          Seq(s"statscol:${statsCols.mkString(",")}") ++
-          entries.map(_.line))
+      try {
+        return commitRetry(spark, root) { prevV =>
+          if (prevV != base) throw new StaleOptimize
+          ("compact",
+            keys.map(ks => s"key:${ks.mkString(",")}").toSeq ++
+              Seq(s"statscol:${statsCols.mkString(",")}") ++
+              entries.map(_.line))
+        }
+      } catch {
+        case _: StaleOptimize =>
+          fs.delete(new Path(rp, parent), true)
+          attempt += 1
+      }
     }
+    throw new IllegalStateException(
+      s"txtable: optimize of $root lost the commit race 3 times; " +
+        "rerun when concurrent writes quiesce")
   }
+
+  /** Control-flow marker: a concurrent commit invalidated a staged
+    * optimize rewrite. */
+  private final class StaleOptimize extends RuntimeException
 
   /** Fold all deltas of the current snapshot into one materialized
     * data dir (the compaction job that bounds merge-on-read cost).
@@ -706,19 +789,7 @@ object TxTable {
     * the same stream as a plain window — hash equality proves the
     * whole write→commit→resolve pipeline, not just unit behavior. */
   def cdcGateQuery(spark: SparkSession, dir: String): DataFrame = {
-    // fixed per-input path, recreated per invocation: repeated gate and
-    // bench runs reuse (not accumulate) scratch space, and the JVM
-    // cleans up the last instance on exit
-    val root = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"),
-      s"graft-txgate-${math.abs(dir.hashCode)}").toString
-    val rootFile = new java.io.File(root)
-    def rmTree(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rmTree))
-      f.delete(); ()
-    }
-    rmTree(rootFile)
-    if (cleanupRegistered.add(root)) sys.addShutdownHook(rmTree(rootFile))
+    val root = scratchRoot("graft-txgate", dir)
     val changes = graft.Tables.orders(spark, dir).select(
       col("o_custkey").as("k"),
       expr("CASE WHEN o_orderkey % 10 = 0 THEN 'D' " +
@@ -745,17 +816,26 @@ object TxTable {
     * equality proves the clustered rewrite preserved content AND the
     * stats-pruned read returns exactly the box (pruning may skip
     * dirs, never rows). */
-  def zoptGateQuery(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-input scratch table root under java.io.tmpdir, recreated per
+    * invocation: repeated gate and bench runs reuse (not accumulate)
+    * scratch space, and the JVM removes the last instance on exit.
+    * Shared by every gate query that materializes a table. */
+  private def scratchRoot(prefix: String, dir: String): String = {
     val root = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"),
-      s"graft-zoptgate-${math.abs(dir.hashCode)}").toString
-    val rootFile = new java.io.File(root)
+      s"$prefix-${math.abs(dir.hashCode)}").toString
     def rmTree(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rmTree))
       f.delete(); ()
     }
-    rmTree(rootFile)
-    if (cleanupRegistered.add(root)) sys.addShutdownHook(rmTree(rootFile))
+    rmTree(new java.io.File(root))
+    if (cleanupRegistered.add(root))
+      sys.addShutdownHook(rmTree(new java.io.File(root)))
+    root
+  }
+
+  def zoptGateQuery(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratchRoot("graft-zoptgate", dir)
     val o = graft.Tables.orders(spark, dir).select(
       col("o_orderkey"), col("o_custkey"),
       col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"))
@@ -868,16 +948,7 @@ object TxTable {
     * nothing). The DuckDB oracle recomputes both batches'
     * latest-per-key windows with their version tags. */
   def changesGateQuery(spark: SparkSession, dir: String): DataFrame = {
-    val root = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"),
-      s"graft-txfeed-${math.abs(dir.hashCode)}").toString
-    val rootFile = new java.io.File(root)
-    def rmTree(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rmTree))
-      f.delete(); ()
-    }
-    rmTree(rootFile)
-    if (cleanupRegistered.add(root)) sys.addShutdownHook(rmTree(rootFile))
+    val root = scratchRoot("graft-txfeed", dir)
     val changeRows = graft.Tables.orders(spark, dir).select(
       col("o_custkey").as("k"),
       expr("CASE WHEN o_orderkey % 10 = 0 THEN 'D' " +

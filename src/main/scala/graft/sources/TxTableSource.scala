@@ -87,7 +87,7 @@ class TxTableSource extends RelationProvider
   // replayed batch (restart after a sink-side crash) is recognized
   // and skipped — at-least-once delivery composes to exactly-once
   // table state. With option `keys`, batches are CDC rows
-  // (keys..., op, values...) applied as O(batch) merge-on-read
+  // (keys..., op, values..., seq) applied as O(batch) merge-on-read
   // deltas; without, plain appends. Complete mode overwrites.
 
   override def createSink(sqlContext: SQLContext,
@@ -101,8 +101,19 @@ class TxTableSource extends RelationProvider
     val statsCols = parameters.get("statsCols").orElse(parameters.get("statscols"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
+    // replay-protection tags are scoped per STREAM, or two queries
+    // writing one table would collide on bare batch ids (both start
+    // at 0) and silently drop each other's batches. The checkpoint
+    // location IS the query's durable identity — the same checkpoint
+    // is the same logical stream across restarts.
+    val streamId = parameters.get("checkpointlocation")
+      .orElse(parameters.get("checkpointLocation"))
+      .orElse(parameters.get("queryname")).orElse(parameters.get("queryName"))
+      .map(s => java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(s).toLong & 0xffffffffL))
+      .getOrElse("default")
     new TxStreamSink(TxTableSource.rootOf(parameters), keyCols, statsCols,
-      complete = outputMode == OutputMode.Complete())
+      complete = outputMode == OutputMode.Complete(), streamId = streamId)
   }
 
   override def createRelation(sqlContext: SQLContext,
@@ -253,8 +264,17 @@ case class TxRelation(spark: SparkSession, root: String,
       .map(v => "__keyRange__" -> TxTableSource.parseRange("keyRange", v))
 
   private def keyRangeOpt: Option[(Long, Long)] = optRanges.get("__keyRange__")
+  // DataFrameReader options pass through a CaseInsensitiveMap whose
+  // iterator yields LOWERCASED keys, so `colRange.Price` arrives as
+  // `colrange.price` — resolve the column part against the real
+  // schema case-insensitively or mixed-case columns silently lose
+  // their range (no pruning AND no row filter)
+  private def resolveCol(c: String): String =
+    unprunedSchema.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(c)
   private def colRangesOf(extra: Map[String, (Long, Long)]) = {
-    val base = optRanges - "__keyRange__"
+    val base = (optRanges - "__keyRange__").map { case (c, r) =>
+      resolveCol(c) -> r
+    }
     base ++ extra.map { case (c, r) =>
       c -> base.get(c).map(TxTableSource.intersect(_, r)).getOrElse(r)
     }
@@ -267,9 +287,12 @@ case class TxRelation(spark: SparkSession, root: String,
 
   override def sqlContext: SQLContext = spark.sqlContext
 
-  override val schema: StructType =
-    TxTable.read(spark, root, version = resolvedVersion,
-      keyRange = keyRangeOpt, colRanges = colRangesOf(Map.empty)).schema
+  // ranges filter rows, never columns — the un-ranged probe also
+  // breaks the schema → resolveCol → colRangesOf → schema cycle
+  private lazy val unprunedSchema: StructType =
+    TxTable.read(spark, root, version = resolvedVersion).schema
+
+  override val schema: StructType = unprunedSchema
 
   override def buildScan(requiredColumns: Array[String],
     filters: Array[Filter]): RDD[Row] = {
@@ -349,7 +372,8 @@ class TxStreamSource(spark: SparkSession, root: String,
   * `overwrite` (Complete mode) — all carrying the batch id where
   * replay protection applies. */
 class TxStreamSink(root: String, keyCols: Option[Seq[String]],
-  statsCols: Seq[String], complete: Boolean) extends Sink {
+  statsCols: Seq[String], complete: Boolean,
+  streamId: String = "default") extends Sink {
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val batch =
@@ -360,10 +384,18 @@ class TxStreamSink(root: String, keyCols: Option[Seq[String]],
       TxTable.overwrite(batch, root, statsCols)
     } else keyCols match {
       case Some(ks) =>
+        // CDC shape: (keys..., op, values..., seq) — seq is the
+        // within-batch resolution order (highest wins per key). Fail
+        // the stream with the contract, not an opaque window error.
+        require(batch.columns.contains("op") && batch.columns.contains("seq"),
+          "graft-tx sink with keys expects CDC rows " +
+            "(keys..., op, values..., seq); got " +
+            batch.columns.mkString("(", ", ", ")"))
         TxTable.mergeDelta(batch.sparkSession, root, batch, ks,
-          batchId = Some(batchId))
+          batchId = Some(batchId), streamId = streamId)
       case None =>
-        TxTable.appendBatch(batch, root, batchId, statsCols)
+        TxTable.appendBatch(batch, root, batchId, statsCols,
+          streamId = streamId)
     }
     ()
   }

@@ -156,6 +156,20 @@ class TxSourceSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM tx_view").collect()(0).getLong(0) === 4L)
   }
 
+  test("colRange options resolve mixed-case columns") {
+    import spark.implicits._
+    val root = tmpDir() + "/txsrc-case"
+    // DataFrameReader lowercases option KEYS (CaseInsensitiveMap), so
+    // `colRange.Price` arrives as `colrange.price` — the relation must
+    // resolve it back to the real column or the range silently no-ops
+    TxTable.append(Seq((1L, 100L), (2L, 300L)).toDF("k", "Price"), root,
+      statsCols = Seq("Price"))
+    val got = spark.read.format("graft-tx")
+      .option("colRange.Price", "0,200").load(root)
+    assert(got.collect().map(_.getLong(0)).toSet === Set(1L),
+      "mixed-case colRange must filter, not silently return everything")
+  }
+
   test("timestampAsOf accepts ISO-8601 and local timestamps") {
     assert(TxTableSource.parseTs("1700000000000") === 1700000000000L)
     assert(TxTableSource.parseTs("2023-11-14T22:13:20Z") === 1700000000000L)
@@ -258,12 +272,21 @@ class TxSourceSpec extends SparkSpec {
       q.processAllAvailable()
       assert(TxTable.read(spark, root).count() === 3L)
     } finally q.stop()
-    // a replayed batch id must be a no-op (the restart path)
+    // a replayed batch id must be a no-op (the restart path) — the
+    // sink scopes its tags by the checkpoint-derived stream identity
+    val sid = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(ckpt).toLong & 0xffffffffL)
     val before = TxTable.latestVersion(spark, root)
-    TxTable.appendBatch(Seq((9L, 90.0)).toDF("k", "v"), root, batchId = 1L)
+    TxTable.appendBatch(Seq((9L, 90.0)).toDF("k", "v"), root,
+      batchId = 1L, streamId = sid)
     assert(TxTable.latestVersion(spark, root) === before,
       "replaying an already-committed batch id must not commit")
     assert(TxTable.read(spark, root).count() === 3L)
+    // …while ANOTHER stream's batch 1 is a different batch entirely
+    TxTable.appendBatch(Seq((9L, 90.0)).toDF("k", "v"), root,
+      batchId = 1L, streamId = "other-stream")
+    assert(TxTable.read(spark, root).count() === 4L,
+      "tags are per-stream: a second query's ids must not collide")
   }
 
   test("streaming sink with keys applies CDC batches as exactly-once deltas") {

@@ -861,6 +861,48 @@ class TxTableSpec extends SparkSpec {
     assert(TxTable.changes(spark, root).count() === 4)
   }
 
+  test("replay tags survive interleaved commits and compaction") {
+    import spark.implicits._
+    val root = tmpDir() + "/tx-replay-carry"
+    TxTable.mergeDelta(spark, root,
+      Seq((1L, "I", 10.0, 1L)).toDF("k", "op", "v", "seq"),
+      batchId = Some(7L), streamId = "s1")
+    // interleaved commits that do NOT carry their own batch id: a
+    // plain delta and a compaction — both used to erase the tag and
+    // reopen the replay window
+    TxTable.mergeDelta(spark, root,
+      Seq((2L, "I", 20.0, 2L)).toDF("k", "op", "v", "seq"))
+    TxTable.compactSnapshot(spark, root)
+    val v = TxTable.latestVersion(spark, root)
+    // the restarted stream replays batch 7 — must be a no-op
+    TxTable.mergeDelta(spark, root,
+      Seq((1L, "I", 10.0, 1L)).toDF("k", "op", "v", "seq"),
+      batchId = Some(7L), streamId = "s1")
+    assert(TxTable.latestVersion(spark, root) === v,
+      "a replayed batch after interleaved commits must not re-apply")
+    assert(TxTable.read(spark, root).count() === 2L)
+    // the stream's NEXT batch still commits
+    TxTable.mergeDelta(spark, root,
+      Seq((3L, "I", 30.0, 3L)).toDF("k", "op", "v", "seq"),
+      batchId = Some(8L), streamId = "s1")
+    assert(TxTable.read(spark, root).count() === 3L)
+  }
+
+  test("all-dirs-pruned reads keep the full evolved schema") {
+    import spark.implicits._
+    val root = tmpDir() + "/tx-prune-schema"
+    TxTable.append(Seq((1L, 10.0)).toDF("k", "v"), root,
+      statsCols = Seq("k"))
+    // widened commit adds v2
+    TxTable.append(Seq((2L, 20.0, "x")).toDF("k", "v", "v2"), root,
+      statsCols = Seq("k"))
+    val pruned = TxTable.read(spark, root,
+      colRanges = Map("k" -> (999999L, 1000000L)))
+    assert(pruned.count() === 0L)
+    assert(pruned.columns.toSet === Set("k", "v", "v2"),
+      "an empty pruned read must still expose columns from widened commits")
+  }
+
   test("optimizeZOrder: both dimensions prune after the rewrite, content identical") {
     import spark.implicits._
     val root = tmpDir() + "/tx-zopt"
