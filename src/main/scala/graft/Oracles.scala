@@ -1619,6 +1619,23 @@ object Oracles {
          |FROM d JOIN r USING (source) WHERE b < rate_ppm""".stripMargin
     },
 
+    // temperature mixing (alpha = 1/2): integer weights floor(sqrt(c))
+    // (IEEE sqrt is correctly rounded), integer weight sum (order-
+    // free), integer ppm allocation — engine-identical end to end
+    "q_mix_temperature" -> {
+      val bucket = Portable.uint32Sql("md5(cast(doc_id AS VARCHAR))")
+      s"""WITH w AS (SELECT source, count(*) c,
+         |  cast(floor(sqrt(cast(count(*) AS DOUBLE))) AS BIGINT) w
+         |  FROM documents GROUP BY 1),
+         |sw AS (SELECT sum(w) sw FROM w),
+         |r AS (SELECT source,
+         |  least(1000000, 200 * 1000000 * w // (sw * c)) rate_ppm
+         |  FROM w, sw),
+         |d AS (SELECT doc_id, source, $bucket % 1000000 b FROM documents)
+         |SELECT doc_id, d.source, cast(rate_ppm AS BIGINT) rate_ppm
+         |FROM d JOIN r USING (source) WHERE b < rate_ppm""".stripMargin
+    },
+
     // deterministic stratified split audit: assignment is a pure
     // function of doc_id, so both engines reproduce it exactly
     "q_split_assign" -> {

@@ -142,6 +142,7 @@ object SparkEntry {
     "q_sample_hash" -> ((s: SparkSession, d: String) => DataQuality.hashSample(s, d)),
     "q_split_assign" -> ((s: SparkSession, d: String) => DataQuality.trainValTestSplit(s, d)),
     "q_mix_sample" -> ((s: SparkSession, d: String) => DataQuality.mixSample(s, d)),
+    "q_mix_temperature" -> ((s: SparkSession, d: String) => DataQuality.mixTemperature(s, d)),
     "q_length_buckets" -> (DataQuality.lengthBuckets _),
   )
 

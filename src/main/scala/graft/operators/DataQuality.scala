@@ -146,6 +146,40 @@ object DataQuality {
       .select("doc_id", "source", "rate_ppm")
   }
 
+  /** Temperature-weighted mixture sampling (α = 1/2) — the other
+    * standard mixing rule: domain weights ∝ count^α flatten the
+    * natural distribution toward uniform, so small domains are
+    * up-weighted RELATIVE to large ones rather than each capped.
+    * Every quantity is an integer: w_s = ⌊√c_s⌋ (IEEE sqrt of an
+    * exact int is correctly rounded, so the floor is engine-
+    * identical), Σw is an integer sum (order-free, unlike a double
+    * sum — the reason α is a rational here), and
+    * rate_ppm = min(1e6, total·1e6·w_s ÷ (Σw·c_s)) allocates an
+    * expected `total` documents across domains ∝ w. Same portable
+    * md5-bucket membership as `mixSample`; same broadcast-back plan
+    * shape: the corpus never shuffles. */
+  def mixTemperature(spark: SparkSession, dir: String,
+    total: Int = 200): DataFrame = {
+    require(total > 0, s"total must be positive, got $total")
+    val docs = Tables.documents(spark, dir)
+    val weights = docs.groupBy("source").agg(count(lit(1)).as("c"))
+      .select(col("source"), col("c"),
+        // explicit floor: Spark's double→bigint cast truncates but
+        // DuckDB's ROUNDS — floor() is the portable spelling
+        expr("cast(floor(sqrt(cast(c as double))) as bigint)").as("w"))
+    val sumW = weights.agg(sum("w").as("sw"))
+    val rates = weights.crossJoin(broadcast(sumW))
+      .select(col("source"),
+        least(lit(1000000L),
+          expr(s"$total * 1000000 * w div (sw * c)")).as("rate_ppm"))
+    val bucket = graft.Portable.uint32Sql(
+      "md5(cast(cast(doc_id as string) as binary))")
+    docs.join(broadcast(rates), Seq("source"))
+      .withColumn("b", expr(s"$bucket % 1000000"))
+      .filter(col("b") < col("rate_ppm"))
+      .select("doc_id", "source", "rate_ppm")
+  }
+
   /** Deterministic stratified train/val/test assignment — the split
     * every training pipeline runs before anything else. Assignment is
     * a pure function of the document id (hash bucket mod 100:

@@ -54,6 +54,18 @@ class PipelineOpsSpec extends SparkSpec {
     assert(joined.filter(col("n_tok") < col("n_alnum")).count() > 0L)
   }
 
+  test("temperature mixing: integer sqrt-weight allocation, shared bucket nests") {
+    val mt = DataQuality.mixTemperature(spark, sfDir, total = 200).cache()
+    // uniform 25-doc sources here: w = 5 each, Σw = 100, so
+    // rate = 200e6·5/(100·25) = 400000 ppm for every source
+    assert(mt.filter(col("rate_ppm") =!= 400000L).count() === 0L)
+    assert(mt.count() > 0)
+    // both samplers share the md5 bucket, so the lower-rate
+    // temperature sample nests inside the 600000-ppm capped sample
+    val capped = DataQuality.mixSample(spark, sfDir, perSource = 15)
+    assert(mt.select("doc_id").except(capped.select("doc_id")).count() === 0L)
+  }
+
   test("semdedup: survivors are pairwise non-similar, first of cell survives") {
     val sd = Similarity.semDedup(spark, sfDir).cache()
     assert(sd.filter(col("is_dup")).count() > 0, "threshold must bite")
