@@ -250,6 +250,72 @@ object Oracles {
          |UNION ALL SELECT 2, l, r, freq FROM b2
          |UNION ALL SELECT 3, l, r, freq FROM b3""".stripMargin,
 
+    // trained Naive Bayes language classifier: Laplace-smoothed token
+    // counts over the md5 train split, every weight a fixed-point q10
+    // integer (exact bit-length log2 + linear interpolation), so the
+    // per-doc score sums are order-free BIGINTs — engine-exact argmax
+    "q_nb_langid" -> {
+      val bucket = Portable.uint32Sql("md5(cast(doc_id AS VARCHAR))")
+      def l2(x: String) = Portable.log2q10Sql(x, "//")
+      s"""WITH d AS (SELECT doc_id, lang, text, $bucket % 100 bk FROM documents),
+         |t AS (SELECT doc_id, lang, bk, unnest(string_split($norm, ' ')) word FROM d),
+         |tt AS (SELECT * FROM t WHERE word <> ''),
+         |tr AS (SELECT * FROM tt WHERE bk < 80),
+         |cls AS (SELECT lang, word, count(*) cnt FROM tr GROUP BY 1, 2),
+         |tot AS (SELECT lang, count(*) tot FROM tr GROUP BY 1),
+         |vo AS (SELECT DISTINCT word FROM tr),
+         |vs AS (SELECT count(*) v FROM vo),
+         |pr AS (SELECT lang, count(*) nd FROM d WHERE bk < 80 GROUP BY 1),
+         |nn AS (SELECT cast(sum(nd) AS BIGINT) n FROM pr),
+         |mo AS (SELECT lang cand, word, ${l2("cnt + 1")} w FROM cls),
+         |ba AS (SELECT tot.lang cand, ${l2("tot + v")} base,
+         |         ${l2("nd")} - ${l2("n")} AS prior
+         |       FROM tot JOIN pr ON pr.lang = tot.lang CROSS JOIN vs CROSS JOIN nn),
+         |iv AS (SELECT tt.doc_id, tt.word FROM tt JOIN vo ON tt.word = vo.word),
+         |nv AS (SELECT doc_id, count(*) n_iv FROM iv GROUP BY 1),
+         |su AS (SELECT doc_id, cand, cast(sum(w) AS BIGINT) sw
+         |       FROM iv JOIN mo USING (word) GROUP BY 1, 2),
+         |gr AS (SELECT dd.doc_id, dd.lang, ba.cand, ba.base, ba.prior
+         |       FROM documents dd CROSS JOIN ba),
+         |sc AS (SELECT g.doc_id, g.lang, g.cand,
+         |         coalesce(su.sw, 0) - coalesce(nv.n_iv, 0) * g.base + g.prior score_q10
+         |       FROM gr g LEFT JOIN nv ON nv.doc_id = g.doc_id
+         |         LEFT JOIN su ON su.doc_id = g.doc_id AND su.cand = g.cand)
+         |SELECT doc_id, lang, cand AS pred_lang, cast(score_q10 AS BIGINT) score_q10
+         |FROM (SELECT *, row_number() OVER (
+         |        PARTITION BY doc_id ORDER BY score_q10 DESC, cand) rk FROM sc) z
+         |WHERE rk = 1""".stripMargin
+    },
+
+    // bigram-LM perplexity bands: Laplace bigram LM on the English
+    // train slice, per-doc NLL in q10 integers, equal-width bands
+    // from the global min/max — no global sort, fully integer
+    "q_lm_perplexity" -> {
+      val bucket = Portable.uint32Sql("md5(cast(doc_id AS VARCHAR))")
+      def l2(x: String) = Portable.log2q10Sql(x, "//")
+      s"""WITH d AS (SELECT doc_id, lang, text, $bucket % 100 bk FROM documents),
+         |nt AS (SELECT doc_id, lang, bk,
+         |         list_filter(string_split($norm, ' '), x -> x <> '') tk FROM d),
+         |ix AS (SELECT doc_id, lang, bk, tk,
+         |         unnest(generate_series(1, greatest(len(tk) - 1, 1))) i FROM nt),
+         |gr AS (SELECT doc_id, lang, bk, tk[i] w1,
+         |         concat_ws(' ', tk[i], tk[i+1]) g FROM ix),
+         |tr AS (SELECT * FROM gr WHERE lang = 'en' AND bk < 80),
+         |bg AS (SELECT g, count(*) cb FROM tr GROUP BY 1),
+         |un AS (SELECT w1, count(*) cu FROM tr GROUP BY 1),
+         |vs AS (SELECT count(DISTINCT w1) v FROM tr),
+         |ll AS (SELECT gr.doc_id,
+         |         ${l2("coalesce(cb, 0) + 1")} - ${l2("coalesce(cu, 0) + v")} ll
+         |       FROM gr LEFT JOIN bg USING (g) LEFT JOIN un USING (w1) CROSS JOIN vs),
+         |a AS (SELECT doc_id, count(*) n_bigrams, cast(-sum(ll) AS BIGINT) nll_q10
+         |      FROM ll GROUP BY 1),
+         |b AS (SELECT *, nll_q10 // n_bigrams avg_q10 FROM a),
+         |mm AS (SELECT min(avg_q10) mn, max(avg_q10) mx FROM b)
+         |SELECT doc_id, n_bigrams, nll_q10, cast(avg_q10 AS BIGINT) avg_q10,
+         |  cast(1 + least(2, (avg_q10 - mn) * 3 // (mx - mn + 1)) AS BIGINT) band
+         |FROM b CROSS JOIN mm""".stripMargin
+    },
+
     // encode under the trained vocab: per-word token counts from the
     // round-3 tokenization state, summed per document through the
     // corpus word list — the exact replay of TextOps.bpeEncode
@@ -636,6 +702,40 @@ object Oracles {
         |  SELECT probe_id, nbr_id, dot / (sqrt(n2a) * sqrt(n2b)) cos,
         |    row_number() OVER (PARTITION BY probe_id ORDER BY dot / (sqrt(n2a) * sqrt(n2b)) DESC, nbr_id) rk
         |  FROM p) t WHERE rk <= 5""".stripMargin,
+
+    // KNN majority-vote classification over the replayed int8 codes:
+    // top-5 by int8 cosine (nbr_id tie-break), modal neighbor label
+    // (votes desc, label asc) — all-integer vote, engine-exact
+    "q_knn_classify" ->
+      """WITH mx AS (SELECT vec_id, label,
+        |  list_max(list_transform(embedding, x -> abs(cast(x AS DOUBLE)))) mx,
+        |  embedding FROM embeddings),
+        |c AS (SELECT vec_id, label,
+        |  list_transform(embedding, x -> CASE WHEN mx = 0 THEN 0
+        |    ELSE cast(round(cast(x AS DOUBLE) * 127.0 / mx, 0) AS BIGINT) END) q
+        |  FROM mx),
+        |n AS (SELECT vec_id, label, q,
+        |  list_dot_product(list_transform(q, x -> cast(x AS DOUBLE)),
+        |                   list_transform(q, x -> cast(x AS DOUBLE))) n2 FROM c),
+        |p AS (SELECT a.vec_id probe_id, a.label AS label, b.vec_id nbr_id,
+        |      b.label nbr_label,
+        |      list_dot_product(list_transform(a.q, x -> cast(x AS DOUBLE)),
+        |                       list_transform(b.q, x -> cast(x AS DOUBLE))) dot,
+        |      a.n2 n2a, b.n2 n2b
+        |      FROM n a JOIN n b ON a.vec_id < 25 AND b.vec_id <> a.vec_id),
+        |tk AS (SELECT probe_id, label, nbr_label FROM (
+        |  SELECT probe_id, label, nbr_label,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY dot / (sqrt(n2a) * sqrt(n2b)) DESC, nbr_id) rk
+        |  FROM p) t WHERE rk <= 5),
+        |v AS (SELECT probe_id, label, nbr_label, count(*) votes
+        |      FROM tk GROUP BY 1, 2, 3)
+        |SELECT probe_id AS vec_id, cast(label AS BIGINT) AS label,
+        |  cast(nbr_label AS BIGINT) AS pred_label,
+        |  cast(votes AS BIGINT) votes, nbr_label = label AS correct
+        |FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+        |        ORDER BY votes DESC, nbr_label) vr FROM v) z
+        |WHERE vr = 1""".stripMargin,
 
     // SemDeDup: cluster-blocked semantic dedup — cell assignment is
     // the replayed IVF argmax, the verdict an earlier-similar count

@@ -17,4 +17,26 @@ object Portable {
       val mult = 1L << (4 * (8 - i))
       s"cast(instr('0123456789abcdef', substring($hexExpr, $i, 1)) - 1 AS BIGINT) * $mult"
     }.mkString("(", " + ", ")")
+
+  /** Piecewise-linear fixed-point log2 of a positive integer
+    * expression, in units of 1/1024 ("q10"): `e*1024 + frac` where
+    * `e = length(bin(x)) - 1` is the EXACT integer floor(log2 x)
+    * (the bit-length trick `lengthBuckets` established — IEEE ln()
+    * rounding at octave boundaries is not portable across engines)
+    * and `frac = (x*1024) intdiv 2^e - 1024` linearly interpolates
+    * inside the octave. Every step is exact integer arithmetic; the
+    * one float op, `power(2, e)`, yields a representable power of two
+    * (IEEE pow is exact there in both engines). Max interpolation
+    * error is 0.0861 bits ≈ 88 q10 units — identical in both engines,
+    * which is all a portable classifier/LM score needs. Valid for
+    * 1 <= x < 2^52 (x*1024 must stay in BIGINT).
+    *
+    * `intdiv` is the one dialect split: Spark spells integer division
+    * `div`, DuckDB `//` — callers pass theirs. */
+  def log2q10Sql(xExpr: String, intDiv: String = "div"): String = {
+    val x = s"cast($xExpr AS BIGINT)"
+    val e = s"(length(bin($x)) - 1)"
+    val p = s"cast(power(cast(2 AS DOUBLE), $e) AS BIGINT)"
+    s"($e * 1024 + ($x * 1024) $intDiv $p - 1024)"
+  }
 }

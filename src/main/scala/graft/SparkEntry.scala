@@ -55,6 +55,8 @@ object SparkEntry {
     "q_grep" -> (TextOps.grep _),
     "q_inverted_index" -> (TextOps.invertedIndex _),
     "q_text_langid" -> (TextOps.langid _),
+    "q_nb_langid" -> (TextOps.nbLangid _),
+    "q_lm_perplexity" -> (TextOps.lmPerplexity _),
     "q_text_quality" -> (TextOps.quality _),
     "q_text_tokens" -> (TextOps.tokenCounts _),
     "q_text_fingerprint" -> (TextOps.fingerprint _),
@@ -89,6 +91,7 @@ object SparkEntry {
     "q_semdedup" -> ((s: SparkSession, d: String) => Similarity.semDedup(s, d)),
     "q_ann_bruteforce" -> ((s: SparkSession, d: String) => Similarity.annBruteForce(s, d)),
     "q_ann_int8" -> ((s: SparkSession, d: String) => Similarity.annInt8(s, d)),
+    "q_knn_classify" -> ((s: SparkSession, d: String) => Similarity.knnClassify(s, d)),
     "q_ann_binary" -> ((s: SparkSession, d: String) => Similarity.annBinary(s, d)),
     "q_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
     "q_ann_multiprobe" -> ((s: SparkSession, d: String) => Similarity.annLshMultiProbe(s, d)),

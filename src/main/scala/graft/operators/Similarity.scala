@@ -802,6 +802,42 @@ object Similarity {
         (coalesce(col("n_prev_sim"), lit(0L)) > 0).as("is_dup"))
   }
 
+  /** KNN majority-vote classification over the int8 codes — the
+    * label-propagation step embedding pipelines run (assign a weak
+    * label to new documents from their nearest labeled neighbors).
+    * Per probe: top-k neighbors by int8 cosine (pure integer dots via
+    * the codegen `array_dot_long` kernel, deterministic nbr_id
+    * tie-break), then the modal neighbor label (vote-count desc,
+    * label asc on ties) — an all-integer vote, so predictions are
+    * engine-exact. Same broadcast-probe shape as `annInt8`: the
+    * labeled corpus never shuffles; per-probe state is k rows.
+    * Composes with the IVF/PQ candidate generators for the 10^11-row
+    * corpus (swap the brute-force candidate set; the vote is
+    * unchanged). */
+  def knnClassify(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val q = int8Codes(spark, dir)
+    val probes = q.filter(col("vec_id") < 25)
+      .select(col("vec_id").as("probe_id"), col("label").as("label"),
+        col("q").as("qa"), col("n2").as("n2a"))
+    val corpus = q.select(col("vec_id").as("nbr_id"),
+      col("label").as("nbr_label"), col("q").as("qb"), col("n2").as("n2b"))
+    val scored = broadcast(probes).crossJoin(corpus)
+      .filter(col("probe_id") =!= col("nbr_id"))
+      .withColumn("dot", expr("array_dot_long(qa, qb)"))
+      .select(col("probe_id"), col("label"), col("nbr_id"),
+        col("nbr_label"), expr(cosExpr).as("cos"))
+    val wk = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("nbr_id"))
+    val top = scored.withColumn("rk", row_number().over(wk)).filter(col("rk") <= k)
+    val votes = top.groupBy("probe_id", "label", "nbr_label")
+      .agg(count(lit(1)).as("votes"))
+    val wv = Window.partitionBy("probe_id")
+      .orderBy(col("votes").desc, col("nbr_label"))
+    votes.withColumn("vr", row_number().over(wv)).filter(col("vr") === 1)
+      .select(col("probe_id").as("vec_id"), col("label").cast("long").as("label"),
+        col("nbr_label").cast("long").as("pred_label"), col("votes"),
+        (col("nbr_label") === col("label")).as("correct"))
+  }
+
   /** annLsh through the custom whole-operator plan
     * (plans.LshTopKJoin): identical semantics and oracle, but the
     * bucket join, exact scoring and per-probe top-k selection are fused

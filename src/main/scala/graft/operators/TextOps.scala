@@ -415,6 +415,140 @@ object TextOps {
       .agg(count(lit(1)).as("n_words"), sum("n_tok").as("n_tok"))
   }
 
+  /** TRAINED multinomial Naive Bayes language classifier — the
+    * counting-based cousin of the fastText language/quality filters
+    * every LLM data recipe runs (CCNet trains a classifier, then
+    * scores the crawl). `langid` above is a fixed stopword heuristic;
+    * this one LEARNS its weights from the corpus's own labels:
+    * token counts per (lang, word) over the deterministic train split
+    * (the same md5 doc-bucket < 80 `trainValTestSplit` uses), Laplace
+    * smoothing, and per-doc argmax of
+    * `sum_w log2(cnt_w+1) - n_tokens*log2(tot_lang+V) + log2 prior`.
+    * Every weight is a fixed-point q10 integer via
+    * [[graft.Portable.log2q10Sql]] (exact bit-length + linear
+    * interpolation — pure BIGINT arithmetic), so per-doc scores are
+    * order-free integer sums and BOTH engines produce bit-identical
+    * predictions — no libm, no float summation order.
+    *
+    * Scale shape: training is one (lang, word) shuffle with map-side
+    * combine; the model (V×L rows, vocabulary-bounded — production
+    * caps V at top-K by document frequency) broadcasts back against a
+    * single scoring pass; the doc×lang score grid is |langs|-wide,
+    * never corpus-joined-to-corpus. (ref: the reference ships no
+    * trained classifier — closest are the aggregate word-count jobs,
+    * src/examples/org/apache/hadoop/examples/AggregateWordCount.java:1;
+    * this is the Spark-native learning step layered on them.) */
+  def nbLangid(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = graft.Portable.uint32Sql(
+      "md5(cast(cast(doc_id as string) as binary))")
+    def l2(x: String) = graft.Portable.log2q10Sql(x)
+    val docs = Tables.documents(spark, dir)
+    val toks = docs
+      .select(col("doc_id"), col("lang"),
+        expr(s"$bucket % 100").as("bk"),
+        explode(split(expr(normExpr), " ")).as("word"))
+      .filter(col("word") =!= "")
+    // ONE tokenizing pass over the train slice; every other training
+    // aggregate (per-lang totals, vocabulary, V) derives from the
+    // vocabulary-scale (lang, word, cnt) table, not the corpus —
+    // persisted so its four consumers don't re-tokenize the corpus
+    // (vocabulary-bounded: V×L rows however big the corpus)
+    val cls = toks.filter(col("bk") < 80)
+      .groupBy("lang", "word").agg(count(lit(1)).as("cnt"))
+      .persist()
+    val tot = cls.groupBy("lang").agg(sum("cnt").as("tot"))
+    val vocab = cls.select("word").distinct()
+    val vsize = vocab.agg(count(lit(1)).as("v"))
+    val priors = docs.filter(expr(s"$bucket % 100 < 80"))
+      .groupBy("lang").agg(count(lit(1)).as("nd"))
+    val ntrain = priors.agg(sum("nd").as("n"))
+    val model = cls.select(col("lang").as("cand"), col("word"),
+      expr(l2("cnt + 1")).as("w"))
+    val base = tot.join(priors, "lang")
+      .crossJoin(broadcast(vsize)).crossJoin(broadcast(ntrain))
+      .select(col("lang").as("cand"),
+        expr(l2("tot + v")).as("base"),
+        expr(s"${l2("nd")} - ${l2("n")}").as("prior"))
+    // scoring pass: in-vocabulary tokens only (standard NB drops OOV)
+    val iv = toks.join(broadcast(vocab), Seq("word"))
+    val nv = iv.groupBy("doc_id").agg(count(lit(1)).as("n_iv"))
+    val sums = iv.join(broadcast(model), Seq("word"))
+      .groupBy("doc_id", "cand").agg(sum("w").as("sw"))
+    val grid = docs.select("doc_id", "lang").crossJoin(broadcast(base))
+    val scored = grid
+      .join(nv, Seq("doc_id"), "left")
+      .join(sums, Seq("doc_id", "cand"), "left")
+      .select(col("doc_id"), col("lang"), col("cand"),
+        (coalesce(col("sw"), lit(0L))
+          - coalesce(col("n_iv"), lit(0L)) * col("base")
+          + col("prior")).as("score_q10"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score_q10").desc, col("cand"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("doc_id"), col("lang"), col("cand").as("pred_lang"),
+        col("score_q10"))
+  }
+
+  /** Bigram-LM perplexity filter — the CCNet-style quality gate: a
+    * Laplace-smoothed bigram language model is trained on the
+    * reference slice (English train-split docs standing in for the
+    * "clean" corpus — CCNet uses Wikipedia), every document is scored
+    * by its negative log-likelihood per bigram, and docs fall into 3
+    * equal-WIDTH perplexity bands (band 1 = most reference-like).
+    * Scores are fixed-point q10 integers ([[graft.Portable.log2q10Sql]])
+    * so the per-doc sums are order-free and engine-exact; the band
+    * thresholds come from a broadcast 1-row min/max aggregate — a
+    * map-side banding that needs NO global sort, unlike an ntile
+    * spelling (equal-count terciles at 100 TB would be a total-order
+    * window over the corpus; the integer score histogram is the
+    * scalable route to those if ever needed).
+    *
+    * Scale shape: the LM (train-slice bigrams + unigrams, vocabulary-
+    * bounded) broadcasts; the corpus is scored in one tokenize +
+    * broadcast-join + per-doc integer sum pass. */
+  def lmPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = graft.Portable.uint32Sql(
+      "md5(cast(cast(doc_id as string) as binary))")
+    def l2(x: String) = graft.Portable.log2q10Sql(x)
+    val docs = Tables.documents(spark, dir)
+    // per-doc bigram starts: (w1, w2) with the shared short-doc pad
+    // (docs under 2 tokens yield ONE single-word gram, w2 = null)
+    val grams = docs
+      .select(col("doc_id"), col("lang"),
+        expr(s"$bucket % 100").as("bk"),
+        expr(s"filter(split($normExpr, ' '), x -> x <> '')").as("tk"))
+      .select(col("doc_id"), col("lang"), col("bk"), col("tk"),
+        explode(expr("sequence(1, greatest(size(tk) - 1, 1))")).as("i"))
+      .select(col("doc_id"), col("lang"), col("bk"),
+        expr("try_element_at(tk, i)").as("w1"),
+        expr("concat_ws(' ', try_element_at(tk, i), try_element_at(tk, i + 1))").as("g"))
+    // ONE tokenizing pass over the train slice: unigram counts and V
+    // derive from the vocabulary-scale bigram table (every gram row
+    // lands in exactly one bigram group; its w1 is the gram's first
+    // word, so summing cb per w1 replays the unigram count)
+    val big = grams.filter(col("lang") === "en" && col("bk") < 80)
+      .groupBy("w1", "g").agg(count(lit(1)).as("cb"))
+      .persist() // vocabulary-bounded; its three consumers share one pass
+    val uni = big.groupBy("w1").agg(sum("cb").as("cu"))
+    val vsize = big.select("w1").distinct().agg(count(lit(1)).as("v"))
+    val scored = grams
+      .join(broadcast(big.select("g", "cb")), Seq("g"), "left")
+      .join(broadcast(uni), Seq("w1"), "left")
+      .crossJoin(broadcast(vsize))
+      .select(col("doc_id"),
+        (expr(l2("coalesce(cb, 0) + 1"))
+          - expr(l2("coalesce(cu, 0) + v"))).as("ll"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), (-sum(col("ll"))).as("nll_q10"))
+      .withColumn("avg_q10", expr("nll_q10 div n_bigrams"))
+      .persist() // per-doc (5 narrow cols); banding re-reads it, not the corpus
+    val bounds = scored.agg(min("avg_q10").as("mn"), max("avg_q10").as("mx"))
+    scored.crossJoin(broadcast(bounds))
+      .withColumn("band",
+        expr("1 + least(2, (avg_q10 - mn) * 3 div (mx - mn + 1))"))
+      .select("doc_id", "n_bigrams", "nll_q10", "avg_q10", "band")
+  }
+
   /** Winnowing document fingerprint (rolling-hash): char 10-gram md5
     * hashes, min over each 8-gram window, distinct survivors. The
     * window is partitioned per doc so it scales out. */

@@ -102,4 +102,62 @@ class PipelineOpsSpec extends SparkSpec {
     assert(m5.select("doc_id").except(m15.select("doc_id")).count() === 0L)
     assert(m5.count() < m15.count())
   }
+
+  test("fixed-point log2: exact at powers of two, within 0.087 bits, monotone") {
+    import spark.implicits._
+    val q10 = graft.Portable.log2q10Sql("x")
+    val rows = spark.range(1, 200000).toDF("x")
+      .select(col("x"), expr(q10).as("l"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    rows.foreach { case (x, l) =>
+      val err = l / 1024.0 - math.log(x.toDouble) / math.log(2.0)
+      // chord-below-curve: the interpolation only ever UNDERSHOOTS,
+      // by <= 0.0861 bits (log2(1+f)-f maximum) + 1/1024 (the floor)
+      assert(err <= 1e-9 && err >= -0.0872, s"log2q10($x) = $l off by $err bits")
+      if ((x & (x - 1)) == 0L)
+        assert(l % 1024 == 0 && l / 1024 == java.lang.Long.numberOfTrailingZeros(x),
+          s"power of two $x must be exact")
+    }
+    rows.sliding(2).foreach { case Array((_, a), (_, b)) => assert(a <= b) }
+  }
+
+  test("nb classifier: one engine-exact prediction per doc, labels from the train set") {
+    val nb = TextOps.nbLangid(spark, sfDir).cache()
+    val docs = Tables.documents(spark, sfDir)
+    assert(nb.count() === docs.count(), "exactly one prediction per document")
+    assert(nb.select("doc_id").distinct().count() === docs.count())
+    val langs = docs.select("lang").distinct().collect().map(_.getString(0)).toSet
+    val preds = nb.select("pred_lang").distinct().collect().map(_.getString(0)).toSet
+    assert(preds.subsetOf(langs), s"predicted $preds outside label set $langs")
+    // determinism: the trained model is a pure function of the corpus
+    val again = TextOps.nbLangid(spark, sfDir)
+    assert(nb.except(again).count() === 0L && again.except(nb).count() === 0L)
+  }
+
+  test("lm perplexity: integer NLL, bands partition, English scores closest to its own LM") {
+    val lm = TextOps.lmPerplexity(spark, sfDir).cache()
+    val docs = Tables.documents(spark, sfDir)
+    assert(lm.count() === docs.count())
+    assert(lm.filter(col("nll_q10") < 0).count() === 0L,
+      "smoothed bigram probability can never exceed 1 => NLL >= 0")
+    assert(lm.filter(col("band") < 1 || col("band") > 3).count() === 0L)
+    assert(lm.filter(col("avg_q10") =!= expr("nll_q10 div n_bigrams")).count() === 0L)
+    // the LM is trained on English: en docs must average lower NLL
+    val m = lm.join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy(col("lang") === "en").agg(avg("avg_q10").as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(m(true) < m(false),
+      s"en mean ${m(true)} must undercut non-en ${m(false)}")
+  }
+
+  test("knn classify: one modal vote per probe, vote counts bounded by k") {
+    val kc = Similarity.knnClassify(spark, sfDir, k = 5).cache()
+    assert(kc.count() === 25L, "one row per probe")
+    assert(kc.filter(col("votes") < 1 || col("votes") > 5).count() === 0L)
+    assert(kc.filter(col("correct") =!= (col("label") === col("pred_label"))).count() === 0L)
+    // the modal label must be drawn from the label alphabet
+    val labels = Tables.embeddings(spark, sfDir)
+      .select(col("label").cast("long")).distinct()
+    assert(kc.join(labels, kc("pred_label") === labels("label"), "left_anti").count() === 0L)
+  }
 }
