@@ -250,6 +250,54 @@ object Oracles {
          |UNION ALL SELECT 2, l, r, freq FROM b2
          |UNION ALL SELECT 3, l, r, freq FROM b3""".stripMargin,
 
+    // Gopher-style structural quality rules: exact-integer stats
+    // (mean word length in centi-chars) => engine-identical verdicts
+    "q_gopher_rules" ->
+      s"""WITH t AS (SELECT doc_id, $norm nrm FROM documents),
+         |m AS (SELECT doc_id, nrm, string_split(nrm, ' ') tk FROM t),
+         |s AS (SELECT doc_id, len(tk) n_tokens,
+         |  (length(nrm) - (len(tk) - 1)) * 100 // len(tk) avg_len_c,
+         |  len(list_filter(tk, x -> x IN ($enStop))) stop_hits FROM m)
+         |SELECT doc_id, cast(n_tokens AS BIGINT) AS n_tokens,
+         |  cast(avg_len_c AS BIGINT) AS avg_len_c,
+         |  cast(stop_hits AS BIGINT) AS stop_hits,
+         |  n_tokens BETWEEN 20 AND 100000 AS r_len,
+         |  avg_len_c BETWEEN 390 AND 510 AS r_wordlen,
+         |  stop_hits >= 2 AS r_stop,
+         |  (n_tokens BETWEEN 20 AND 100000)
+         |    AND (avg_len_c BETWEEN 390 AND 510) AND stop_hits >= 2 AS keep
+         |FROM s""".stripMargin,
+
+    // integer PageRank over the source co-syndication graph: edges =
+    // shared distinct 8-gram span fingerprints, 5 unrolled iterations
+    // in fixed-point q40 — every step BIGINT, engine-exact
+    "q_pagerank" -> {
+      val S = "1099511627776"
+      def iter(i: Int): String =
+        s"""c$i AS (SELECT ed.v, cast(sum((p.pr * ed.w) // st.s) AS BIGINT) agg
+           |  FROM p${i - 1} p JOIN ed ON ed.u = p.v JOIN st ON st.u = ed.u
+           |  GROUP BY 1),
+           |p$i AS (SELECT no.v, bb.b + (85 * coalesce(c$i.agg, 0)) // 100 pr
+           |  FROM no CROSS JOIN bb LEFT JOIN c$i ON c$i.v = no.v)""".stripMargin
+      s"""WITH nt AS (SELECT source, string_split($norm, ' ') tk FROM documents),
+         |ix AS (SELECT source, tk,
+         |  unnest(generate_series(1, greatest(len(tk) - 7, 1))) i FROM nt),
+         |gr AS (SELECT DISTINCT source, substring(md5(concat_ws(' ', tk[i],
+         |  tk[i+1], tk[i+2], tk[i+3], tk[i+4], tk[i+5], tk[i+6], tk[i+7])),
+         |  1, 16) h FROM ix),
+         |und AS (SELECT a.source u, b.source v, count(*) w FROM gr a
+         |  JOIN gr b ON a.h = b.h AND a.source < b.source GROUP BY 1, 2),
+         |ed AS (SELECT u, v, w FROM und UNION ALL SELECT v, u, w FROM und),
+         |st AS (SELECT u, cast(sum(w) AS BIGINT) s FROM ed GROUP BY 1),
+         |no AS (SELECT DISTINCT source v FROM documents),
+         |nn AS (SELECT count(*) n FROM no),
+         |bb AS (SELECT (15 * $S) // (100 * n) b, $S // n pz FROM nn),
+         |p0 AS (SELECT v, bb.pz pr FROM no CROSS JOIN bb),
+         |${(1 to 5).map(iter).mkString(",\n")}
+         |SELECT v AS source, pr AS pr_q40,
+         |  row_number() OVER (ORDER BY pr DESC, v) rnk FROM p5""".stripMargin
+    },
+
     // trained Naive Bayes language classifier: Laplace-smoothed token
     // counts over the md5 train split, every weight a fixed-point q10
     // integer (exact bit-length log2 + linear interpolation), so the
@@ -1443,6 +1491,18 @@ object Oracles {
         |  first_value(o_orderkey) OVER w AS first_key,
         |  row_number() OVER w AS seq
         |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+
+    // the complete rank family: deterministic (price, key) tie-break;
+    // percent_rank/cume_dist are single IEEE divisions of exact ints
+    "q_window_ranks" ->
+      """WITH o AS (SELECT o_orderpriority, o_orderkey,
+        |  cast(o_totalprice AS DECIMAL(18,2)) p FROM orders),
+        |r AS (SELECT o_orderpriority, o_orderkey,
+        |  rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+        |  percent_rank() OVER w AS prnk, cume_dist() OVER w AS cd,
+        |  ntile(4) OVER w AS quartile
+        |FROM o WINDOW w AS (PARTITION BY o_orderpriority ORDER BY p DESC, o_orderkey))
+        |SELECT * FROM r WHERE rnk <= 40""".stripMargin,
 
     "q_corr_stats" ->
       """WITH b AS (SELECT l_returnflag,

@@ -58,6 +58,7 @@ object SparkEntry {
     "q_nb_langid" -> (TextOps.nbLangid _),
     "q_lm_perplexity" -> (TextOps.lmPerplexity _),
     "q_text_quality" -> (TextOps.quality _),
+    "q_gopher_rules" -> (TextOps.gopherRules _),
     "q_text_tokens" -> (TextOps.tokenCounts _),
     "q_text_fingerprint" -> (TextOps.fingerprint _),
     "q_tfidf" -> (TextOps.tfidf _),
@@ -67,6 +68,7 @@ object SparkEntry {
     "q_decontaminate" -> ((s: SparkSession, d: String) => TextOps.decontaminate(s, d)),
     "q_text_bigram_rarity" -> (TextOps.bigramRarity _),
     "q_dedup_spans" -> ((s: SparkSession, d: String) => TextOps.dupSpans(s, d)),
+    "q_pagerank" -> ((s: SparkSession, d: String) => Dedup.sourceRank(s, d)),
     "q_bpe_merges" -> ((s: SparkSession, d: String) => TextOps.bpeMerges(s, d)),
     "q_dedup_containment" -> (Dedup.containment _),
     "q_pack_sequences" -> ((s: SparkSession, d: String) => TextOps.packSequences(s, d)),
@@ -121,6 +123,7 @@ object SparkEntry {
     "q_cube" -> (Olap.cube _),
     "q_grouping_sets" -> (Olap.groupingSets _),
     "q_window_funcs" -> (Olap.windowFuncs _),
+    "q_window_ranks" -> (Olap.windowRanks _),
     "q_corr_stats" -> (Olap.corrStats _),
     "q_pivot" -> (Olap.pivot _),
     "q_running_total" -> (Olap.runningTotal _),

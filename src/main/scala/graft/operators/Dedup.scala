@@ -522,4 +522,59 @@ object Dedup {
     top.withColumn("rk", row_number().over(w))
       .select("rk", "doc_a", "doc_b", "jac")
   }
+
+  /** Integer PageRank over the source co-syndication graph — the
+    * domain-authority ranking a crawl-seeding pipeline runs (the
+    * Common-Crawl-style "which domains to prioritize" step). Nodes
+    * are sources; an edge links two sources that share a duplicated
+    * 8-gram span fingerprint (the `dupSpans` signal — syndicated
+    * content), weighted by the number of shared distinct fingerprints.
+    * PageRank (damping 85/100) runs `iters` fixed iterations in
+    * fixed-point q40 units with EVERY step integer arithmetic —
+    * per-edge contribution `pr*w div s(u)`, order-free BIGINT sums,
+    * `B + (85*agg) div 100` update — so the final ranks replay
+    * bit-for-bit as unrolled CTEs in any engine.
+    *
+    * Scale shape: the (source, fingerprint) table is DISTINCT before
+    * the self-join, so fan-out is bounded by sources-per-fingerprint,
+    * never doc pairs; the node/edge tables are domain-scale (millions
+    * at 100 TB — orders below the corpus), so the per-iteration join
+    * broadcasts and the corpus is read exactly once to build edges.
+    * The single driver action is a 1-row COUNT readback (same budget
+    * as the CC rounds). */
+  def sourceRank(spark: SparkSession, dir: String, iters: Int = 5): DataFrame = {
+    val S = 1099511627776L // 2^40
+    val grams = Tables.documents(spark, dir)
+      .select(col("source"), split(expr(TextOps.normExpr), " ").as("tk"))
+      .select(col("source"), explode(expr(TextOps.ngramExpr(8))).as("g"))
+      .select(col("source"),
+        expr("substring(md5(cast(g as binary)), 1, 16)").as("h"))
+      .distinct()
+    val a = grams.select(col("h"), col("source").as("u"))
+    val b = grams.select(col("h"), col("source").as("v"))
+    val und = a.join(b, "h").filter(col("u") < col("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("w"))
+    val edges = und
+      .unionByName(und.select(col("v").as("u"), col("u").as("v"), col("w")))
+    val strength = edges.groupBy("u").agg(sum("w").as("s"))
+    val ews = edges.join(strength, "u").persist()
+    val nodes = Tables.documents(spark, dir)
+      .select(col("source").as("v")).distinct().persist()
+    val n = nodes.count() // 1-row readback; node-scale, not corpus-scale
+    val base = 15L * S / (100L * n)
+    var pr = nodes.select(col("v"), lit(S / n).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = pr.select(col("v").as("u"), col("pr"))
+        .join(broadcast(ews), "u")
+        .select(col("v"), expr("(pr * w) div s").as("c"))
+        .groupBy("v").agg(sum("c").as("agg"))
+      pr = nodes.join(contrib, Seq("v"), "left")
+        .select(col("v"),
+          (lit(base) + expr("(85 * coalesce(agg, cast(0 as bigint))) div 100"))
+            .as("pr"))
+    }
+    pr.select(col("v").as("source"), col("pr").as("pr_q40"))
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("pr_q40").desc, col("source"))))
+  }
 }

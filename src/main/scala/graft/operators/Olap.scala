@@ -97,6 +97,29 @@ object Olap {
         row_number().over(w).as("seq"))
   }
 
+  /** The complete rank family over one partitioned window — rank,
+    * dense_rank, percent_rank, cume_dist, ntile — the remaining
+    * window functions `windowFuncs` doesn't cover. Ordering carries a
+    * deterministic (price DECIMAL desc, key) tie-break, so ranks are
+    * engine-identical; percent_rank/cume_dist are single IEEE
+    * divisions of exact integers (portable bitwise). The window is
+    * PARTITIONED (per order priority), so it scales out; the rank
+    * filter keeps the gated output bounded. */
+  def windowRanks(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("p").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        percent_rank().over(w).as("prnk"),
+        cume_dist().over(w).as("cd"),
+        ntile(4).over(w).as("quartile"))
+      .filter(col("rnk") <= 40)
+  }
+
   /** Correlation/covariance per group — EXACT integer/decimal sums
     * (quantity in units, price in cents; decimal(38,0) so no overflow
     * at any scale) feeding the mean-centered formulas in one fixed

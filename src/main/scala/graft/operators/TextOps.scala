@@ -415,6 +415,32 @@ object TextOps {
       .agg(count(lit(1)).as("n_words"), sum("n_tok").as("n_tok"))
   }
 
+  /** Gopher-style rule-based quality gate (Rae et al. 2021; the
+    * pre-classifier filter Dolma/FineWeb pipelines run first):
+    * per-document structural checks — token count bounds, mean word
+    * length band, minimum stopword hits — each an EXACT integer
+    * statistic (mean word length in char-centi units, total chars ×
+    * 100 div tokens), so verdicts are engine-identical. One map-side
+    * projection: no shuffle at all, composes with pushdown, and at
+    * 100 TB it is precisely the cheap first pass that shrinks the
+    * corpus before dedup/classifier stages. */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("nrm", expr(normExpr))
+      .withColumn("toks", expr("split(nrm, ' ')"))
+      .withColumn("n_tokens", expr("size(toks)"))
+      .withColumn("avg_len_c",
+        expr("(length(nrm) - (n_tokens - 1)) * 100 div n_tokens"))
+      .withColumn("stop_hits", expr(hitsExpr("en")))
+      .select(col("doc_id"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("avg_len_c").cast("long").as("avg_len_c"),
+        col("stop_hits").cast("long").as("stop_hits"),
+        expr("n_tokens BETWEEN 20 AND 100000").as("r_len"),
+        expr("avg_len_c BETWEEN 390 AND 510").as("r_wordlen"),
+        expr("stop_hits >= 2").as("r_stop"),
+        expr("n_tokens BETWEEN 20 AND 100000 AND avg_len_c BETWEEN 390 AND 510 AND stop_hits >= 2").as("keep"))
+
   /** TRAINED multinomial Naive Bayes language classifier — the
     * counting-based cousin of the fastText language/quality filters
     * every LLM data recipe runs (CCNet trains a classifier, then

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.{DataQuality, Similarity, TextOps}
+import graft.operators.{DataQuality, Dedup, Olap, Similarity, TextOps}
 
 /** Round-7 training-pipeline additions: binary (sign-bit) ANN,
   * BPE encode under the trained vocab, domain-balanced mixing. */
@@ -148,6 +148,50 @@ class PipelineOpsSpec extends SparkSpec {
       .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
     assert(m(true) < m(false),
       s"en mean ${m(true)} must undercut non-en ${m(false)}")
+  }
+
+  test("gopher rules: verdict is the rule conjunction, gate is map-side only") {
+    val g = TextOps.gopherRules(spark, sfDir).cache()
+    assert(g.count() === Tables.documents(spark, sfDir).count())
+    assert(g.filter(col("keep") =!= (col("r_len") && col("r_wordlen") && col("r_stop")))
+      .count() === 0L)
+    // the thresholds must actually split this corpus
+    assert(g.filter(col("keep")).count() > 0L)
+    assert(g.filter(!col("keep")).count() > 0L)
+    // a structural pre-filter must not shuffle: zero exchanges
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = TextOps.gopherRules(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"gopherRules must be map-side:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("pagerank: integer mass stays bounded, ranks are a permutation, deterministic") {
+    val pr = Dedup.sourceRank(spark, sfDir).cache()
+    val n = pr.count()
+    assert(n > 0)
+    // truncating integer arithmetic only ever LOSES mass vs the q40
+    // scale, and every node keeps at least the base term
+    val s = 1099511627776L
+    val total = pr.agg(sum("pr_q40")).collect()(0).getLong(0)
+    val base = 15L * s / (100L * n)
+    assert(total <= s, s"mass $total exceeds the q40 scale")
+    assert(pr.filter(col("pr_q40") < base).count() === 0L)
+    val ranks = pr.select("rnk").collect().map(_.getInt(0)).sorted
+    assert(ranks.toSeq === (1 to n.toInt), "rnk must be a permutation")
+    val again = Dedup.sourceRank(spark, sfDir)
+    assert(pr.except(again).count() === 0L && again.except(pr).count() === 0L)
+  }
+
+  test("window ranks: family invariants hold inside each partition") {
+    val r = Olap.windowRanks(spark, sfDir).cache()
+    assert(r.count() > 0)
+    assert(r.filter(col("drnk") > col("rnk")).count() === 0L,
+      "dense_rank can never exceed rank")
+    assert(r.filter(col("quartile") < 1 || col("quartile") > 4).count() === 0L)
+    assert(r.filter(col("prnk") < 0.0 || col("prnk") > 1.0).count() === 0L)
+    assert(r.filter(col("cd") <= 0.0 || col("cd") > 1.0).count() === 0L)
+    assert(r.filter(col("rnk") > 40).count() === 0L)
   }
 
   test("knn classify: one modal vote per probe, vote counts bounded by k") {
