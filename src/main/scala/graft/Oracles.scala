@@ -564,13 +564,16 @@ object Oracles {
   /** Transitive-closure components over the minhash-band candidate
     * pairs — shared by the label-propagation and star-alternation
     * variants, which compute the identical relation. */
-  private lazy val clustersSql =
+  private lazy val clusterRootsCte =
     s"""${minhashCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
        |pairs AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
        |  FROM band a JOIN band b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
        |e AS (SELECT doc_a a, doc_b b FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
        |r AS (SELECT a, b FROM e UNION SELECT r.a, e2.b FROM r JOIN e e2 ON r.b = e2.a),
-       |roots AS (SELECT a AS doc_id, least(a, min(b)) AS cluster FROM r GROUP BY a)
+       |roots AS (SELECT a AS doc_id, least(a, min(b)) AS cluster FROM r GROUP BY a)""".stripMargin
+
+  private lazy val clustersSql =
+    s"""$clusterRootsCte
        |SELECT doc_id, cluster, doc_id = cluster AS keep FROM roots""".stripMargin
 
   val dedup: Map[String, String] = Map(
@@ -665,6 +668,25 @@ object Oracles {
     },
 
     "q_dedup_clusters" -> clustersSql,
+
+    // cluster-canonical selection: per near-dup cluster keep the
+    // best member by the exact integer quality surrogate
+    // stopword_hits*10^6 + n_tokens (doc_id tie-break)
+    "q_dedup_canonical" ->
+      s"""$clusterRootsCte,
+         |qual AS (SELECT doc_id,
+         |    cast(len(list_filter(tk0, t -> t IN ($enStop))) AS BIGINT) * 1000000
+         |      + len(tk0) q
+         |  FROM (SELECT doc_id, string_split($norm, ' ') tk0 FROM documents) z),
+         |j AS (SELECT roots.doc_id, roots.cluster, qual.q
+         |      FROM roots JOIN qual ON qual.doc_id = roots.doc_id),
+         |canon AS (SELECT cluster, doc_id canonical_id FROM (
+         |    SELECT cluster, doc_id,
+         |      row_number() OVER (PARTITION BY cluster ORDER BY q DESC, doc_id) rn
+         |    FROM j) zz WHERE rn = 1)
+         |SELECT j.doc_id, j.cluster, canon.canonical_id,
+         |  j.doc_id = canon.canonical_id AS keep
+         |FROM j JOIN canon ON canon.cluster = j.cluster""".stripMargin,
 
     // the star-alternation variant computes the identical relation, so
     // it is checked against the identical transitive-closure oracle

@@ -87,6 +87,7 @@ object SparkEntry {
     "q_dedup_simhash_pairs" -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
     "q_dedup_jaccard" -> (Dedup.ngramJaccard _),
     "q_dedup_clusters" -> ((s: SparkSession, d: String) => Dedup.dedupClusters(s, d)),
+    "q_dedup_canonical" -> ((s: SparkSession, d: String) => Dedup.canonicalSelection(s, d)),
     "q_dedup_clusters_star" -> (Dedup.dedupClustersStar _),
     // similarity / ANN (§2.6)
     "q_dedup_embedding" -> (Similarity.embeddingNearDup _),

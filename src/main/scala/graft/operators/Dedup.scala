@@ -523,6 +523,32 @@ object Dedup {
       .select("rk", "doc_a", "doc_b", "jac")
   }
 
+  /** Cluster-canonical selection — the step after near-dup
+    * clustering: keep the BEST member of each cluster, not the
+    * lowest-id one (the FineWeb-style choice: among syndicated
+    * copies, retain the most reference-like). Quality is the exact
+    * integer surrogate `stopword_hits·10^6 + n_tokens` (doc_id
+    * breaks ties), so the per-cluster argmax is engine-identical.
+    * The argmax is ONE per-cluster aggregate (max of a (q, -doc_id)
+    * struct — no window, no sort) joined back cluster-keyed; the
+    * quality join is doc-keyed. Nothing here touches more than the
+    * clustered docs. */
+  def canonicalSelection(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = dedupClusters(spark, dir).select("doc_id", "cluster")
+    val qual = Tables.documents(spark, dir)
+      .withColumn("toks", split(expr(TextOps.normExpr), " "))
+      .select(col("doc_id"),
+        (expr(TextOps.hitsExpr("en")).cast("long") * 1000000L
+          + expr("size(toks)")).as("q"))
+    val j = clusters.join(qual, "doc_id")
+    val canon = j.groupBy("cluster")
+      .agg(max(struct(col("q"), (-col("doc_id")).as("nd"))).as("m"))
+      .select(col("cluster"), (-col("m.nd")).as("canonical_id"))
+    j.join(canon, "cluster")
+      .select(col("doc_id"), col("cluster"), col("canonical_id"),
+        (col("doc_id") === col("canonical_id")).as("keep"))
+  }
+
   /** Integer PageRank over the source co-syndication graph — the
     * domain-authority ranking a crawl-seeding pipeline runs (the
     * Common-Crawl-style "which domains to prioritize" step). Nodes

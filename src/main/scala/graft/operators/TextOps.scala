@@ -66,7 +66,7 @@ object TextOps {
     "es" -> Seq("el", "la", "de", "y", "un", "los", "en"),
     "de" -> Seq("der", "die", "das", "und", "ein", "von", "zu"))
 
-  private def hitsExpr(lang: String): String = {
+  private[operators] def hitsExpr(lang: String): String = {
     val set = stop(lang).map(w => s"'$w'").mkString(", ")
     s"size(filter(toks, t -> t IN ($set)))"
   }
@@ -464,22 +464,21 @@ object TextOps {
     * trained classifier — closest are the aggregate word-count jobs,
     * src/examples/org/apache/hadoop/examples/AggregateWordCount.java:1;
     * this is the Spark-native learning step layered on them.) */
-  def nbLangid(spark: SparkSession, dir: String): DataFrame = {
+  /** NB training half: returns (model, base, vocab) — all
+    * vocabulary-bounded frames a scorer broadcasts. ONE tokenizing
+    * pass over the train slice; every other training aggregate
+    * (per-lang totals, vocabulary, V) derives from the persisted
+    * vocabulary-scale (lang, word, cnt) table, not the corpus. */
+  def nbModel(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val bucket = graft.Portable.uint32Sql(
       "md5(cast(cast(doc_id as string) as binary))")
     def l2(x: String) = graft.Portable.log2q10Sql(x)
     val docs = Tables.documents(spark, dir)
-    val toks = docs
-      .select(col("doc_id"), col("lang"),
-        expr(s"$bucket % 100").as("bk"),
+    val cls = docs
+      .select(col("lang"), expr(s"$bucket % 100").as("bk"),
         explode(split(expr(normExpr), " ")).as("word"))
-      .filter(col("word") =!= "")
-    // ONE tokenizing pass over the train slice; every other training
-    // aggregate (per-lang totals, vocabulary, V) derives from the
-    // vocabulary-scale (lang, word, cnt) table, not the corpus —
-    // persisted so its four consumers don't re-tokenize the corpus
-    // (vocabulary-bounded: V×L rows however big the corpus)
-    val cls = toks.filter(col("bk") < 80)
+      .filter(col("word") =!= "" && col("bk") < 80)
       .groupBy("lang", "word").agg(count(lit(1)).as("cnt"))
       .persist()
     val tot = cls.groupBy("lang").agg(sum("cnt").as("tot"))
@@ -495,6 +494,17 @@ object TextOps {
       .select(col("lang").as("cand"),
         expr(l2("tot + v")).as("base"),
         expr(s"${l2("nd")} - ${l2("n")}").as("prior"))
+    (model, base, vocab)
+  }
+
+  /** NB scoring half over ANY (doc_id, lang, text) frame — the model
+    * frames broadcast, so this works unchanged inside a foreachBatch
+    * micro-batch (streaming inference) or over the full corpus. */
+  def nbScore(docs: DataFrame, model: DataFrame, base: DataFrame,
+      vocab: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(split(expr(normExpr), " ")).as("word"))
+      .filter(col("word") =!= "")
     // scoring pass: in-vocabulary tokens only (standard NB drops OOV)
     val iv = toks.join(broadcast(vocab), Seq("word"))
     val nv = iv.groupBy("doc_id").agg(count(lit(1)).as("n_iv"))
@@ -513,6 +523,11 @@ object TextOps {
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
       .select(col("doc_id"), col("lang"), col("cand").as("pred_lang"),
         col("score_q10"))
+  }
+
+  def nbLangid(spark: SparkSession, dir: String): DataFrame = {
+    val (model, base, vocab) = nbModel(spark, dir)
+    nbScore(Tables.documents(spark, dir), model, base, vocab)
   }
 
   /** Bigram-LM perplexity filter — the CCNet-style quality gate: a

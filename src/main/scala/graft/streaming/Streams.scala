@@ -59,6 +59,22 @@ object Streams {
       batch.write.mode("append").parquet(path)
     }
 
+  /** Streaming classifier inference via foreachBatch — the standard
+    * streaming-inference shape: the NB model is trained OFFLINE
+    * (vocabulary-bounded frames, broadcast), each micro-batch of
+    * documents is scored map-side by the batch scorer and appended to
+    * the sink. Running the scorer inside foreachBatch sidesteps the
+    * multiple-stateful-operator limits (the scorer's per-doc
+    * aggregations are per-batch, not cross-batch state) while keeping
+    * the EXACT batch semantics — the spec asserts micro-batched
+    * scoring reproduces the batch predictions row-for-row. */
+  def scoreNbBatches(docs: DataFrame, model: DataFrame, base: DataFrame,
+      vocab: DataFrame, path: String) =
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      graft.operators.TextOps.nbScore(batch, model, base, vocab)
+        .write.mode("append").parquet(path)
+    }
+
   /** Streaming CDC upsert via foreachBatch — the continuous form of
     * Olap.cdcMerge: each micro-batch of (k, op, v, seq) changes merges
     * into the keyed parquet table at `path`. Within a batch the

@@ -390,4 +390,30 @@ class StreamsSpec extends SparkSpec {
     assert(batch.values.forall { case (p50, p90) => p50 <= p90 },
       "quantile readouts must be monotone in p")
   }
+
+  test("streaming NB inference reproduces the batch classifier row-for-row") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val (model, base, vocab) = graft.operators.TextOps.nbModel(spark, sfDir)
+    val batchPreds = graft.operators.TextOps.nbLangid(spark, sfDir)
+    // stream the same corpus in two micro-batches
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "text").as[(Long, String, String)]
+      .collect()
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    val input = MemoryStream[(Long, String, String)]
+    val out = tmpDir()
+    val q = Streams.scoreNbBatches(
+      input.toDF().toDF("doc_id", "lang", "text"),
+      model, base, vocab, out).start()
+    input.addData(b1.toSeq: _*); q.processAllAvailable()
+    input.addData(b2.toSeq: _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(out)
+    assert(streamed.count() === batchPreds.count())
+    assert(streamed.except(batchPreds).count() === 0L
+      && batchPreds.except(streamed).count() === 0L,
+      "micro-batched scoring must equal the one-shot batch scoring")
+  }
 }
