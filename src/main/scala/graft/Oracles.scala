@@ -1860,9 +1860,135 @@ object Oracles {
         |FROM m WHERE is_click = 0""".stripMargin,
   )
 
+  /** Round-8 additions: moment statistics, integer anomaly flags,
+    * exact-count stratified sampling, fixed-point entropy/PMI text
+    * scores, degree-ordered triangle counting. */
+  val round8: Map[String, String] = Map(
+    "q_regression" ->
+      """WITH b AS (SELECT l_returnflag,
+        |    cast(cast(l_quantity AS DECIMAL(18,2)) AS BIGINT) x,
+        |    cast(cast(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) y
+        |  FROM lineitem),
+        |s AS (SELECT l_returnflag, count(*) n,
+        |    cast(sum(x) AS DOUBLE) sx, cast(sum(y) AS DOUBLE) sy,
+        |    cast(sum(x * y) AS DOUBLE) sxy,
+        |    cast(sum(x * x) AS DOUBLE) sxx, cast(sum(y * y) AS DOUBLE) syy
+        |  FROM b GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  (sxy / n - (sx / n) * (sy / n)) / (sxx / n - (sx / n) * (sx / n)) AS slope,
+        |  sy / n - ((sxy / n - (sx / n) * (sy / n)) /
+        |            (sxx / n - (sx / n) * (sx / n))) * (sx / n) AS intercept,
+        |  ((sxy / n - (sx / n) * (sy / n)) * (sxy / n - (sx / n) * (sy / n))) /
+        |    ((sxx / n - (sx / n) * (sx / n)) * (syy / n - (sy / n) * (sy / n))) AS r2
+        |FROM s""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')""".stripMargin,
+
+    // z² > 9 decided as (n·x − s)² > 9·(n·ss − s²) in exact 128-bit
+    // integers (HUGEINT here, decimal(38,0) on the Spark side)
+    "q_anomaly" ->
+      """WITH ev AS (SELECT event_id, event_type,
+        |    cast(cast(value AS DECIMAL(18,2)) * 100 AS BIGINT) v FROM events),
+        |st AS (SELECT event_type, cast(count(*) AS HUGEINT) n,
+        |    sum(cast(v AS HUGEINT)) s,
+        |    sum(cast(v AS HUGEINT) * cast(v AS HUGEINT)) ss
+        |  FROM ev GROUP BY 1)
+        |SELECT event_id, event_type, v AS val_cents
+        |FROM ev JOIN st USING (event_type)
+        |WHERE (n * v - s) * (n * v - s) > 9 * (n * ss - s * s)""".stripMargin,
+
+    "q_sample_stratified" -> {
+      val bucket = Portable.uint32Sql("md5(cast(doc_id AS VARCHAR))")
+      s"""WITH b AS (SELECT doc_id, lang, $bucket % 1000000 b FROM documents),
+         |c AS (SELECT lang, count(*) n_stratum FROM b GROUP BY 1),
+         |t AS (SELECT lang, (n_stratum * 5 + 99) // 100 target,
+         |    CASE WHEN n_stratum <= 10000 THEN 1000000 ELSE 100000 END thr FROM c),
+         |f AS (SELECT doc_id, lang, target,
+         |    row_number() OVER (PARTITION BY lang ORDER BY b, doc_id) rn
+         |  FROM b JOIN t USING (lang) WHERE b < thr)
+         |SELECT doc_id, lang, rn FROM f WHERE rn <= target""".stripMargin
+    },
+
+    "q_text_entropy" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split($norm, ' ')) word FROM documents),
+         |c AS (SELECT doc_id, word, count(*) c FROM tok WHERE word <> '' GROUP BY 1, 2),
+         |a AS (SELECT doc_id, cast(sum(c) AS BIGINT) n_tok,
+         |    cast(sum(c * ${Portable.log2q10Sql("c", "//")}) AS BIGINT) s_q10
+         |  FROM c GROUP BY 1)
+         |SELECT doc_id, n_tok,
+         |  ${Portable.log2q10Sql("n_tok", "//")} - s_q10 // n_tok AS ent_q10
+         |FROM a""".stripMargin,
+
+    "q_text_pmi" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split($norm, ' ')) word FROM documents),
+         |uni AS (SELECT word, count(*) cw FROM tok WHERE word <> '' GROUP BY 1),
+         |nt AS (SELECT doc_id, string_split($norm, ' ') tk FROM documents),
+         |ix AS (SELECT doc_id, tk, unnest(generate_series(1, greatest(len(tk) - 1, 1))) i FROM nt),
+         |gr AS (SELECT tk[i] w1, tk[i+1] w2 FROM ix
+         |  WHERE tk[i] IS NOT NULL AND tk[i] <> ''
+         |    AND tk[i+1] IS NOT NULL AND tk[i+1] <> ''),
+         |big AS (SELECT w1, w2, count(*) cxy FROM gr GROUP BY 1, 2 HAVING count(*) >= 5),
+         |tot AS (SELECT count(*) nn FROM gr)
+         |SELECT w1, w2, cxy,
+         |  ${Portable.log2q10Sql("cxy * nn", "//")} -
+         |    ${Portable.log2q10Sql("c1 * c2", "//")} AS pmi_q10
+         |FROM big
+         |JOIN (SELECT word w1, cw c1 FROM uni) u1 USING (w1)
+         |JOIN (SELECT word w2, cw c2 FROM uni) u2 USING (w2), tot""".stripMargin,
+
+    "q_moment_stats" ->
+      """WITH b AS (SELECT l_returnflag,
+        |    cast(cast(l_quantity AS DECIMAL(18,2)) AS BIGINT) x FROM lineitem),
+        |s AS (SELECT l_returnflag, count(*) n,
+        |    cast(sum(x) AS DOUBLE) s1, cast(sum(x * x) AS DOUBLE) s2,
+        |    cast(sum(x * x * x) AS DOUBLE) s3,
+        |    cast(sum(x * x * x * x) AS DOUBLE) s4
+        |  FROM b GROUP BY 1)
+        |SELECT l_returnflag, n, s1 / n AS mean,
+        |  s2 / n - (s1 / n) * (s1 / n) AS var_pop,
+        |  (s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n)) /
+        |  (sqrt(s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n))) AS skewness,
+        |  (s4 / n - 4 * (s1 / n) * (s3 / n) + 6 * (s1 / n) * (s1 / n) * (s2 / n) - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n)) /
+        |  ((s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n))) - 3 AS kurtosis
+        |FROM s""".stripMargin,
+
+    // χ² = Σ contrib_micro / 10⁶; each contribution is an exact
+    // 128-bit integer division, so the per-cell table hash-gates
+    "q_chi2" ->
+      """WITH cells AS (SELECT lang, source, count(*) o FROM documents GROUP BY 1, 2),
+        |r AS (SELECT lang, count(*) r FROM documents GROUP BY 1),
+        |c AS (SELECT source, count(*) c FROM documents GROUP BY 1),
+        |t AS (SELECT count(*) nn FROM documents)
+        |SELECT lang, source, o,
+        |  cast((cast(o AS HUGEINT) * nn - cast(r AS HUGEINT) * c)
+        |     * (cast(o AS HUGEINT) * nn - cast(r AS HUGEINT) * c)
+        |     * 1000000 // (cast(nn AS HUGEINT) * r * c) AS BIGINT) AS contrib_micro
+        |FROM cells JOIN r USING (lang) JOIN c USING (source), t""".stripMargin,
+
+    "q_triangles" ->
+      s"""$minhashCte,
+         |e AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+         |  FROM band a JOIN band b
+         |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |deg AS (SELECT id, count(*) deg FROM (
+         |    SELECT doc_a id FROM e UNION ALL SELECT doc_b id FROM e) u GROUP BY 1),
+         |o AS (SELECT CASE WHEN da.deg <= db.deg THEN doc_a ELSE doc_b END s,
+         |             CASE WHEN da.deg <= db.deg THEN doc_b ELSE doc_a END d
+         |  FROM e JOIN deg da ON e.doc_a = da.id JOIN deg db ON e.doc_b = db.id),
+         |wdg AS (SELECT o1.s, o1.d v, o2.d w FROM o o1 JOIN o o2
+         |  ON o1.s = o2.s AND o1.d < o2.d),
+         |tr AS (SELECT s a, v b, w c FROM wdg JOIN e
+         |  ON least(v, w) = e.doc_a AND greatest(v, w) = e.doc_b),
+         |n AS (SELECT a id FROM tr UNION ALL SELECT b FROM tr UNION ALL SELECT c FROM tr)
+         |SELECT id AS doc_id, count(*) n_tri FROM n GROUP BY 1""".stripMargin,
+  )
+
   def all: Map[String, String] =
     relational ++ text ++ dedup ++ similarity ++ annMultiProbe ++
       similarityNative ++ sketches ++
       annIvf ++ annIvfIndexed ++ annPq ++ annIvfTrained ++ annPqTrained ++
-      streamingAndMisc ++ olap
+      streamingAndMisc ++ olap ++ round8
 }

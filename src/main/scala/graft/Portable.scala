@@ -33,6 +33,14 @@ object Portable {
     *
     * `intdiv` is the one dialect split: Spark spells integer division
     * `div`, DuckDB `//` — callers pass theirs. */
+  /** JVM twin of `log2q10Sql` — the identical piecewise-linear
+    * fixed-point log2, for driver-side assertions and specs. */
+  def log2q10(x: Long): Long = {
+    require(x >= 1, s"log2q10 needs x >= 1, got $x")
+    val e = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    e * 1024L + (x * 1024L) / (1L << e) - 1024L
+  }
+
   def log2q10Sql(xExpr: String, intDiv: String = "div"): String = {
     val x = s"cast($xExpr AS BIGINT)"
     val e = s"(length(bin($x)) - 1)"

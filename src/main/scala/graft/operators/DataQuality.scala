@@ -204,6 +204,39 @@ object DataQuality {
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"))
   }
 
+  /** Proportional stratified sampling with EXACT per-stratum counts —
+    * unlike the rate-based samplers above (expected counts), each
+    * stratum (language) contributes exactly ⌈n_s·pct/100⌉ documents,
+    * selected in deterministic (md5-bucket, doc_id) order so the
+    * sample is reproducible across engines and runs. The exact-count
+    * guarantee needs a per-stratum rank, which would be a skewed
+    * window over full strata (few languages = few partitions); the
+    * scale move is a CANDIDATE PREFILTER: only docs whose bucket sits
+    * under 2× the target rate enter the window, so the ranked set is
+    * ~2× the sample size, not the corpus. For strata ≤ 10⁴ docs the
+    * prefilter opens to 100% (binomial tail at 2× rate is only thin
+    * for large n; at n > 10⁴ and pct ≥ 1, P(candidates < target) <
+    * e^{-n·pct/800} — vanishing). Both engines derive the same
+    * threshold from the same exact counts. */
+  def stratifiedSample(spark: SparkSession, dir: String, pct: Int = 5): DataFrame = {
+    require(pct >= 1 && pct <= 100, s"pct must be in [1,100], got $pct")
+    val bucket = graft.Portable.uint32Sql(
+      "md5(cast(cast(doc_id as string) as binary))")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), expr(s"$bucket % 1000000").as("b"))
+    val targets = docs.groupBy("lang").agg(count(lit(1)).as("n_stratum"))
+      .select(col("lang"),
+        expr(s"(n_stratum * $pct + 99) div 100").as("target"),
+        expr(s"IF(n_stratum <= 10000, 1000000, ${pct * 10000 * 2})").as("thr_ppm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("b"), col("doc_id"))
+    docs.join(broadcast(targets), "lang")
+      .filter(col("b") < col("thr_ppm"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("target"))
+      .select(col("doc_id"), col("lang"), col("rn"))
+  }
+
   /** Length-bucketed batch shaping — documents grouped into power-of-2
     * length buckets (the curriculum/batching histogram a sequence-
     * packing scheduler consumes: one bucket ≈ one padding regime).

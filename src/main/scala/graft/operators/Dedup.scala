@@ -568,6 +568,40 @@ object Dedup {
     * broadcasts and the corpus is read exactly once to build edges.
     * The single driver action is a 1-row COUNT readback (same budget
     * as the CC rounds). */
+  /** Triangle counting over the near-dup candidate graph — the graph-
+    * density diagnostic run next to connected components (a triangle-
+    * rich neighborhood = a tight dup cluster; triangle-free = chains
+    * of borderline matches worth re-checking). Uses the standard
+    * degree-ordered orientation (each edge points to its higher-
+    * (degree, id) endpoint) so every triangle is enumerated exactly
+    * once from its lowest vertex and wedge fan-out is bounded by
+    * out-degree ≤ O(√m) — the join never explodes on a hub node the
+    * way a naive undirected wedge join would at 100 TB. Three plain
+    * shuffled joins + one aggregate; no window, no iteration. Output:
+    * per-document triangle membership counts. */
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    val e = minhashPairs(spark, dir) // doc_a < doc_b, distinct
+    val deg = e.select(col("doc_a").as("id"))
+      .unionByName(e.select(col("doc_b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val ed = e
+      .join(deg.select(col("id").as("doc_a"), col("deg").as("da")), "doc_a")
+      .join(deg.select(col("id").as("doc_b"), col("deg").as("db")), "doc_b")
+    // doc_a < doc_b already, so the degree tie breaks toward doc_a
+    val oriented = ed.select(
+      when(col("da") <= col("db"), col("doc_a")).otherwise(col("doc_b")).as("s"),
+      when(col("da") <= col("db"), col("doc_b")).otherwise(col("doc_a")).as("d"))
+    val wedges = oriented.select(col("s"), col("d").as("v"))
+      .join(oriented.select(col("s"), col("d").as("w")), "s")
+      .filter(col("v") < col("w"))
+    val tri = wedges.join(e,
+      least(col("v"), col("w")) === col("doc_a") &&
+        greatest(col("v"), col("w")) === col("doc_b"))
+      .select(col("s").as("a"), col("v").as("b"), col("w").as("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_tri"))
+  }
+
   def sourceRank(spark: SparkSession, dir: String, iters: Int = 5): DataFrame = {
     val S = 1099511627776L // 2^40
     val grams = Tables.documents(spark, dir)

@@ -430,6 +430,135 @@ object Olap {
       .select("rk", "path", "n_users")
   }
 
+  /** Per-group least-squares regression (y = a + b·x, with r²) —
+    * price-vs-quantity per return flag. Same portability recipe as
+    * `corrStats`: the five moments are EXACT decimal(38,0) sums of
+    * integer surrogates (quantity in units, price in cents), and
+    * slope/intercept/r² are a FIXED IEEE sequence over those exact
+    * sums, so both engines produce bitwise-identical doubles. The
+    * engine-native regr_slope/regr_intercept accumulate doubles in
+    * partition order and are not portable. One combiner-backed
+    * aggregate → one tiny exchange — the 100 TB shape of any
+    * moment-based statistic. */
+  def regression(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("decimal(18,2)").cast("bigint").as("x"),
+        col("l_extendedprice").cast("decimal(18,2)").multiply(100).cast("bigint").as("y"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,0)")).cast("double").as("sx"),
+        sum(col("y").cast("decimal(38,0)")).cast("double").as("sy"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).cast("double").as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).cast("double").as("sxx"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).cast("double").as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        // covariance / variance ratios in the identical operation order
+        // as the oracle SQL — every subexpression is spelled out once
+        ((col("sxy") / col("n") - (col("sx") / col("n")) * (col("sy") / col("n"))) /
+          (col("sxx") / col("n") - (col("sx") / col("n")) * (col("sx") / col("n"))))
+          .as("slope"),
+        (col("sy") / col("n") -
+          ((col("sxy") / col("n") - (col("sx") / col("n")) * (col("sy") / col("n"))) /
+            (col("sxx") / col("n") - (col("sx") / col("n")) * (col("sx") / col("n")))) *
+          (col("sx") / col("n"))).as("intercept"),
+        (((col("sxy") / col("n") - (col("sx") / col("n")) * (col("sy") / col("n"))) *
+          (col("sxy") / col("n") - (col("sx") / col("n")) * (col("sy") / col("n")))) /
+          ((col("sxx") / col("n") - (col("sx") / col("n")) * (col("sx") / col("n"))) *
+            (col("syy") / col("n") - (col("sy") / col("n")) * (col("sy") / col("n")))))
+          .as("r2"))
+
+  /** Higher central moments per group — skewness and excess kurtosis
+    * from the first four raw power sums, same portability recipe as
+    * `corrStats`/`regression`: EXACT decimal(38,0) sums of integer
+    * quantity units, one FIXED IEEE sequence for the standardized
+    * moments (x^1.5 spelled sqrt(x)·x, a deterministic two-op chain
+    * both engines evaluate identically — pow(x, 1.5) low bits are
+    * not portable). The native skewness()/kurtosis() stream doubles
+    * in partition order; these don't. Single combiner-backed
+    * aggregate → one tiny exchange. */
+  def momentStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("decimal(18,2)").cast("bigint").as("x"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,0)")).cast("double").as("s1"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).cast("double").as("s2"),
+        sum((col("x") * col("x") * col("x")).cast("decimal(38,0)"))
+          .cast("double").as("s3"),
+        sum((col("x") * col("x") * col("x") * col("x")).cast("decimal(38,0)"))
+          .cast("double").as("s4"))
+      .select(col("l_returnflag"), col("n"),
+        expr("s1 / n").as("mean"),
+        expr("s2 / n - (s1 / n) * (s1 / n)").as("var_pop"),
+        expr("""(s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n)) /
+               |(sqrt(s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n)))"""
+          .stripMargin.replace("\n", " ")).as("skewness"),
+        expr("""(s4 / n - 4 * (s1 / n) * (s3 / n) + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+               | - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n)) /
+               |((s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n))) - 3"""
+          .stripMargin.replace("\n", " ")).as("kurtosis"))
+
+  /** χ² independence audit over the lang × source contingency table —
+    * the feature-vs-label dependence screen a classifier pipeline runs
+    * before trusting a signal. Per-cell contributions are kept EXACT:
+    * contrib_micro = (o·N − r·c)²·10⁶ intdiv (N·r·c) in decimal(38,0)
+    * (χ² = Σ contrib_micro / 10⁶ — an order-free INTEGER total, so
+    * the statistic is hash-gateable; float expected-count chains are
+    * not). Valid while (o·N)²·10⁶ < 10³⁸, i.e. corpora to ~10¹⁵ cell
+    * observations; beyond that divide all four counts by a common
+    * scale first. Plan: one cell aggregate + two margin aggregates
+    * (broadcast back) + a broadcast 1-row N — contingency-table-scale
+    * work regardless of corpus size. */
+  def chi2(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val cells = docs.groupBy("lang", "source").agg(count(lit(1)).as("o"))
+    val rows = docs.groupBy("lang").agg(count(lit(1)).as("r"))
+    val cols = docs.groupBy("source").agg(count(lit(1)).as("c"))
+    val tot = docs.groupBy().agg(count(lit(1)).as("nn"))
+    cells.join(broadcast(rows), "lang").join(broadcast(cols), "source")
+      .crossJoin(broadcast(tot))
+      .select(col("lang"), col("source"), col("o"),
+        expr("""cast((cast(o as decimal(38,0)) * nn - cast(r as decimal(38,0)) * c)
+               | * (cast(o as decimal(38,0)) * nn - cast(r as decimal(38,0)) * c)
+               | * 1000000 div (cast(nn as decimal(38,0)) * r * c) as bigint)"""
+          .stripMargin.replace("\n", " ")).as("contrib_micro"))
+  }
+
+  /** Left-semi join: customers holding at least one open order —
+    * the EXISTS-subquery shape. Spark plans the semi join without
+    * materializing order columns; at 100 TB the orders side reduces
+    * to its distinct custkeys before/inside the shuffle. */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).filter(col("o_orderstatus") === "O"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+
+  /** σ-threshold anomaly flags — events whose value sits more than
+    * 3 population standard deviations from their event_type's mean,
+    * decided ENTIRELY in integer arithmetic: with s = Σx, ss = Σx²
+    * over cents, z² > 9 ⟺ (n·x − s)² > 9·(n·ss − s²), so no engine
+    * ever computes a float mean or stddev and the flag set is exact.
+    * decimal(38,0) holds both sides even at n = 10¹² rows of 10⁶-cent
+    * values ((n·x)² ≈ 10³⁶ < 10³⁸). Plan: one tiny per-type aggregate
+    * broadcast back against the scan — the event stream itself never
+    * shuffles. */
+  def anomaly(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        col("value").cast("decimal(18,2)").multiply(100).cast("bigint").as("v"))
+    val stats = ev.groupBy("event_type")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("v").cast("decimal(38,0)")).as("s"),
+        sum((col("v") * col("v")).cast("decimal(38,0)")).as("ss"))
+    ev.join(broadcast(stats), "event_type")
+      .filter((col("n") * col("v") - col("s")) * (col("n") * col("v") - col("s")) >
+        (col("n") * col("ss") - col("s") * col("s")) * 9)
+      .select(col("event_id"), col("event_type"), col("v").as("val_cents"))
+  }
+
   def scd2(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
     Tables.orders(spark, dir)

@@ -238,6 +238,64 @@ object TextOps {
         expr("rarity_sum div n_bigrams").as("rarity_avg"))
   }
 
+  /** Per-document token (Shannon) entropy in q10 fixed point — the
+    * diversity/quality signal curation pipelines threshold on (low
+    * entropy = boilerplate/repetition). H = log2(n) − (Σ c·log2 c)/n
+    * over per-doc token counts c, every term through the portable
+    * piecewise-linear `log2q10` (graft.Portable), so the score is an
+    * order-free INTEGER sum both engines reproduce bit-for-bit —
+    * engine ln() low bits never enter. Two combiner-backed aggregates
+    * keyed by doc_id; no window, no global state — embarrassingly
+    * scalable. */
+  def tokenEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val log2c = graft.Portable.log2q10Sql("c")
+    val log2n = graft.Portable.log2q10Sql("n_tok")
+    tokens(spark, dir)
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tok"),
+        sum(expr(s"c * $log2c")).as("s_q10"))
+      .select(col("doc_id"), col("n_tok"),
+        (expr(log2n) - expr("s_q10 div n_tok")).as("ent_q10"))
+  }
+
+  /** PMI collocation mining — word pairs that co-occur as bigrams far
+    * more than their unigram frequencies predict (Church & Hanks
+    * 1990), the classic phrase-detection pass a tokenizer/phrase
+    * vocabulary build runs over the corpus. Convention: N = total
+    * bigram tokens, unigram counts are token counts;
+    * pmi_q10 = log2q10(c_xy·N) − log2q10(c_x·c_y) — exact integer
+    * products (valid while c·N < 2⁵²; at larger corpora shift both
+    * sides down by a common power of two) through the shared
+    * fixed-point log2, so scores hash-match across engines. Plan:
+    * bigram + unigram counts are combiner-backed aggregates; the
+    * count lookups are joins on the word keys (vocabulary-scale, far
+    * smaller than the corpus); N arrives via a broadcast 1-row
+    * aggregate. minCount prunes the pair table before both joins. */
+  def pmiCollocations(spark: SparkSession, dir: String,
+    minCount: Int = 5): DataFrame = {
+    val toks = tokens(spark, dir)
+    val uni = toks.groupBy("word").agg(count(lit(1)).as("cw"))
+    val grams = Tables.documents(spark, dir)
+      .select(split(expr(normExpr), " ").as("tk"))
+      .select(explode(expr(
+        """filter(transform(sequence(1, greatest(size(tk) - 1, 1)),
+          |  i -> struct(try_element_at(tk, i) as w1, try_element_at(tk, i + 1) as w2)),
+          |  p -> p.w1 is not null and p.w1 <> '' and p.w2 is not null and p.w2 <> '')"""
+          .stripMargin)).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val big = grams.groupBy("w1", "w2").agg(count(lit(1)).as("cxy"))
+      .filter(col("cxy") >= minCount)
+    val tot = grams.groupBy().agg(count(lit(1)).as("nn"))
+    big
+      .join(uni.select(col("word").as("w1"), col("cw").as("c1")), "w1")
+      .join(uni.select(col("word").as("w2"), col("cw").as("c2")), "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("cxy"),
+        (expr(graft.Portable.log2q10Sql("cxy * nn")) -
+          expr(graft.Portable.log2q10Sql("c1 * c2"))).as("pmi_q10"))
+  }
+
   /** Benchmark decontamination — the pipeline step every LLM training
     * run needs: flag training documents that share any n-gram with the
     * evaluation set, so test data never leaks into training data. The

@@ -194,6 +194,42 @@ object Streams {
       }
   }
 
+  /** Prequential σ-threshold anomaly flags — the streaming twin of
+    * `Olap.anomaly`. Each event is tested against the running
+    * per-type population moments INCLUDING itself (the prequential
+    * convention: no look-ahead, deterministic given arrival order),
+    * with the same all-integer decision the batch operator gates:
+    * (n·v − s)² > 9·(n·ss − s²), evaluated in BigInt so no overflow
+    * at any stream length. State per event_type is three numbers;
+    * cold-start types emit nothing until n ≥ `minN` (a z-score over
+    * 1-2 points is noise). */
+  case class MomentState(n: Long, s: BigInt, ss: BigInt)
+  def anomalyFlags(events: Dataset[Event],
+    minN: Long = 30): Dataset[(Long, String, Long)] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[MomentState, (Long, String, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (typ: String, rows: Iterator[Event], state: GroupState[MomentState]) =>
+          var st = state.getOption.getOrElse(MomentState(0L, BigInt(0), BigInt(0)))
+          val out = Seq.newBuilder[(Long, String, Long)]
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val v = (BigDecimal(e.value).setScale(2,
+              BigDecimal.RoundingMode.HALF_UP) * 100).toBigInt
+            st = MomentState(st.n + 1, st.s + v, st.ss + v * v)
+            val n = BigInt(st.n)
+            val lhs = (n * v - st.s).pow(2)
+            val rhs = (n * st.ss - st.s * st.s) * 9
+            if (st.n >= minN && lhs > rhs)
+              out += ((e.event_id, typ, v.toLong))
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapUs = 1800L * 1000 * 1000

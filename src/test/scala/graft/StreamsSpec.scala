@@ -416,4 +416,37 @@ class StreamsSpec extends SparkSpec {
       && batchPreds.except(streamed).count() === 0L,
       "micro-batched scoring must equal the one-shot batch scoring")
   }
+
+  test("streaming anomaly flags: prequential outlier caught, flags batch-split invariant") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ev(id: Long, sec: Int, v: Double) =
+      Streams.Event(id, Timestamp.valueOf(f"2024-01-01 00:00:$sec%02d"),
+        1L, "purchase", v)
+    // 40 in-band points around 100.0, then one 10-sigma spike
+    val base = (1 to 40).map(i => ev(i, i % 60, 100.0 + (i % 5) - 2))
+    val spike = ev(99, 59, 500.0)
+    val input = MemoryStream[Streams.Event]
+    val q = Streams.anomalyFlags(input.toDS(), minN = 30)
+      .toDF("event_id", "event_type", "val_cents")
+      .writeStream.format("memory").queryName("anom")
+      .outputMode("update").start()
+    input.addData(base: _*)
+    q.processAllAvailable()
+    input.addData(spike)
+    q.processAllAvailable(); q.stop()
+    val flagged = spark.table("anom").collect().map(_.getLong(0)).toSet
+    assert(flagged === Set(99L), s"got $flagged")
+    // state additivity: the same events in ONE batch flag the same set
+    // (per-type prequential order is event-time, not batch boundaries)
+    val input2 = MemoryStream[Streams.Event]
+    val q2 = Streams.anomalyFlags(input2.toDS(), minN = 30)
+      .toDF("event_id", "event_type", "val_cents")
+      .writeStream.format("memory").queryName("anom_one")
+      .outputMode("update").start()
+    input2.addData((base :+ spike): _*)
+    q2.processAllAvailable(); q2.stop()
+    val oneShot = spark.table("anom_one").collect().map(_.getLong(0)).toSet
+    assert(oneShot === flagged, s"one-shot $oneShot vs split $flagged")
+  }
 }
