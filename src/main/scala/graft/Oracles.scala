@@ -1968,6 +1968,25 @@ object Oracles {
         |     * 1000000 // (cast(nn AS HUGEINT) * r * c) AS BIGINT) AS contrib_micro
         |FROM cells JOIN r USING (lang) JOIN c USING (source), t""".stripMargin,
 
+    // the prefix-filtered join must equal the NAIVE all-pairs
+    // formulation — the oracle is the completeness proof, not a
+    // replay of the algorithm
+    "q_jaccard_prefix" ->
+      s"""$shingleCte,
+         |sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) i
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, cast(i AS DOUBLE) / (x.n + y.n - i) jac
+         |FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+         |WHERE i * 100 >= (x.n + y.n - i) * 60""".stripMargin,
+
+    "q_bitmap_overlap" ->
+      """WITH u AS (SELECT DISTINCT event_type, user_id FROM events
+        |           WHERE user_id IS NOT NULL)
+        |SELECT a.event_type type_a, b.event_type type_b, count(*) n_overlap
+        |FROM u a JOIN u b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |GROUP BY 1, 2""".stripMargin,
+
     "q_triangles" ->
       s"""$minhashCte,
          |e AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b

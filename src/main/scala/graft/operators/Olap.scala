@@ -526,6 +526,32 @@ object Olap {
           .stripMargin.replace("\n", " ")).as("contrib_micro"))
   }
 
+  /** Bitmap-index audience overlap — exact distinct-user intersection
+    * counts between every event-type pair, the segment-overlap report
+    * an OLAP bitmap index answers. Users are packed 64-per-word:
+    * block = id div 64, word = bit_or of (1 << id mod 64) per
+    * (type, block); the pairwise overlap is Σ_blocks
+    * popcount(wa & wb). The heavy input collapses to |types|·|blocks|
+    * words BEFORE any pairwise work (the bitmap compression that makes
+    * audience-overlap tractable at 10⁹ users), the pair join is
+    * block-co-partitioned, and every step is exact integer bit
+    * algebra — no approximate sketch, no distinct over pairs. */
+  def bitmapOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_type"), expr("user_id div 64").as("blk"),
+        expr("shiftleft(cast(1 as bigint), cast(pmod(user_id, 64) as int))").as("bit"))
+      .groupBy("event_type", "blk")
+      .agg(expr("bit_or(bit)").as("w"))
+    words.select(col("event_type").as("type_a"), col("blk"), col("w").as("wa"))
+      .join(words.select(col("event_type").as("type_b"), col("blk"), col("w").as("wb")),
+        "blk")
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(sum(expr("bit_count(wa & wb)")).as("n_overlap"))
+      .filter(col("n_overlap") > 0)
+  }
+
   /** Left-semi join: customers holding at least one open order —
     * the EXISTS-subquery shape. Spark plans the semi join without
     * materializing order columns; at 100 TB the orders side reduces

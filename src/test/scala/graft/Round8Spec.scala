@@ -152,6 +152,38 @@ class Round8Spec extends SparkSpec {
     assert(cells.map(_.getLong(2)).sum === nn.toLong)
   }
 
+  test("prefix-filtered jaccard equals the naive all-pairs join and prunes candidates") {
+    val sh = Dedup.shingles(spark, sfDir).cache()
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val naive = sh.select(col("doc_id").as("doc_a"), col("s"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("s")), "s")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .filter(col("i") * 100 >= (col("na") + col("nb") - col("i")) * 60)
+      .select("doc_a", "doc_b")
+    val pfx = Dedup.jaccardPrefix(spark, sfDir).select("doc_a", "doc_b")
+    assert(pfx.count() > 0)
+    assert(pfx.exceptAll(naive).count() === 0 && naive.exceptAll(pfx).count() === 0,
+      "prefix filtering must be lossless at the threshold")
+    sh.unpersist()
+  }
+
+  test("bitmap overlap equals distinct-user intersection counts") {
+    val got = Olap.bitmapOverlap(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val u = Tables.events(spark, sfDir)
+      .filter(col("user_id").isNotNull)
+      .select("event_type", "user_id").distinct()
+    val want = u.select(col("event_type").as("type_a"), col("user_id"))
+      .join(u.select(col("event_type").as("type_b"), col("user_id")), "user_id")
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === want && got.nonEmpty)
+  }
+
   test("triangles: counts match the brute-force 3-way edge join and sum % 3 == 0") {
     val e = Dedup.minhashPairs(spark, sfDir).cache()
     val tri = Dedup.triangles(spark, sfDir).collect()
