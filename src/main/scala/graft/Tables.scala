@@ -55,13 +55,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
-    * reader has no native type for — read nanos as long and rebuild a
-    * micros timestamp (identical truncation to what DuckDB does). */
+  /** events.parquet's `ts` physical type has varied across data drops:
+    * TIMESTAMP(NANOS) (no native Spark type — read nanos as long and
+    * rebuild a micros timestamp, the same truncation DuckDB applies),
+    * plain int64 nanos (the scaled-rung layout DataGen.scaleUp writes),
+    * and native TIMESTAMP(MICROS). Adapt on the schema actually read so
+    * every layout lands on session-zoned TimestampType. */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        // native micros (NTZ under the vectorized reader); session tz is
+        // UTC so the cast is value-identical to what DuckDB reads
+        df.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
