@@ -2003,6 +2003,117 @@ object Oracles {
          |  ON least(v, w) = e.doc_a AND greatest(v, w) = e.doc_b),
          |n AS (SELECT a id FROM tr UNION ALL SELECT b FROM tr UNION ALL SELECT c FROM tr)
          |SELECT id AS doc_id, count(*) n_tri FROM n GROUP BY 1""".stripMargin,
+
+    // first/last-touch attribution: running first/last over the
+    // strictly-preceding per-user frame; revenue in exact cents
+    "q_attribution" ->
+      """WITH ev AS (SELECT user_id, ts, event_id, event_type,
+        |    cast(cast(value AS DECIMAL(18,2)) * 100 AS BIGINT) cents,
+        |    CASE WHEN event_type IN ('click','view') THEN event_type END touch
+        |  FROM events),
+        |att AS (SELECT event_type, cents,
+        |    first_value(touch IGNORE NULLS) OVER w first_touch,
+        |    last_value(touch IGNORE NULLS) OVER w last_touch
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |p AS (SELECT * FROM att WHERE event_type = 'purchase'),
+        |u AS (SELECT 'first_touch' model, coalesce(first_touch, 'direct') channel,
+        |             cents FROM p
+        |      UNION ALL
+        |      SELECT 'last_touch', coalesce(last_touch, 'direct'), cents FROM p)
+        |SELECT model, channel, count(*) purchases,
+        |  cast(sum(cents) AS BIGINT) rev_cents
+        |FROM u GROUP BY 1, 2""".stripMargin,
+
+    // 2-D skyline collapsed to the per-size price frontier: a size
+    // survives iff its min price undercuts every strictly larger size's
+    "q_skyline" ->
+      """WITH cand AS (SELECT p_size,
+        |    min(cast(cast(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)) min_cents
+        |  FROM part GROUP BY 1)
+        |SELECT p_size, min_cents FROM (
+        |  SELECT p_size, min_cents,
+        |    min(min_cents) OVER (ORDER BY p_size DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) best_larger
+        |  FROM cand)
+        |WHERE best_larger IS NULL OR min_cents < best_larger""".stripMargin,
+
+    // directed association rules a→b over order×brand baskets;
+    // support/confidence/lift in integer ppm (lift via HUGEINT ≡
+    // Spark's decimal(38,0) path)
+    "q_assoc_rules" ->
+      """WITH baskets AS (SELECT DISTINCT l_orderkey ok, p_brand item
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |n AS (SELECT count(DISTINCT ok) n_baskets FROM baskets),
+        |ic AS (SELECT item, count(*) c FROM baskets GROUP BY 1),
+        |pr AS (SELECT a.item a, b.item b, count(*) cab
+        |  FROM baskets a JOIN baskets b ON a.ok = b.ok AND a.item <> b.item
+        |  GROUP BY 1, 2)
+        |SELECT a, b, cab,
+        |  (1000000 * cab) // n_baskets support_ppm,
+        |  (1000000 * cab) // ca.c conf_ppm,
+        |  cast((1000000 * cast(cab AS HUGEINT) * n_baskets)
+        |       // (cast(ca.c AS HUGEINT) * cb.c) AS BIGINT) lift_ppm
+        |FROM pr, n
+        |JOIN ic ca ON pr.a = ca.item
+        |JOIN ic cb ON pr.b = cb.item
+        |WHERE (1000000 * cab) // n_baskets >= 5000
+        |  AND (1000000 * cab) // ca.c >= 100000""".stripMargin,
+
+    // TextRank: q40 integer PageRank over adjacent-token co-occurrence
+    // (the word-graph twin of q_pagerank's source graph)
+    "q_textrank" -> {
+      val S = "1099511627776"
+      def iter(i: Int): String =
+        s"""c$i AS (SELECT ed.v, cast(sum((p.pr * ed.w) // st.s) AS BIGINT) agg
+           |  FROM p${i - 1} p JOIN ed ON ed.u = p.v JOIN st ON st.u = ed.u
+           |  GROUP BY 1),
+           |p$i AS (SELECT no.v, bb.b + (85 * coalesce(c$i.agg, 0)) // 100 pr
+           |  FROM no CROSS JOIN bb LEFT JOIN c$i ON c$i.v = no.v)""".stripMargin
+      s"""WITH nt AS (SELECT string_split($norm, ' ') tk FROM documents),
+         |pp AS (SELECT tk[i] x, tk[i+1] y FROM (
+         |    SELECT tk, unnest(generate_series(1, len(tk) - 1)) i
+         |    FROM nt WHERE len(tk) >= 2)),
+         |pf AS (SELECT least(x, y) u, greatest(x, y) v FROM pp
+         |  WHERE x <> '' AND y <> '' AND x <> y),
+         |und AS (SELECT u, v, count(*) w FROM pf GROUP BY 1, 2),
+         |ed AS (SELECT u, v, w FROM und UNION ALL SELECT v, u, w FROM und),
+         |st AS (SELECT u, cast(sum(w) AS BIGINT) s FROM ed GROUP BY 1),
+         |no AS (SELECT DISTINCT tok v FROM (
+         |    SELECT unnest(string_split($norm, ' ')) tok FROM documents)
+         |  WHERE tok <> ''),
+         |nn AS (SELECT count(*) n FROM no),
+         |bb AS (SELECT (15 * $S) // (100 * n) b, $S // n pz FROM nn),
+         |p0 AS (SELECT v, bb.pz pr FROM no CROSS JOIN bb),
+         |${(1 to 5).map(iter).mkString(",\n")}
+         |SELECT v AS word, pr AS pr_q40,
+         |  row_number() OVER (ORDER BY pr DESC, v) rnk FROM p5""".stripMargin
+    },
+
+    // k-core peeling, 4 unrolled rounds at k=2 over the minhash-band
+    // candidate graph; survivors + residual degree. Every e_i is
+    // MATERIALIZED: each round references its parent 4× (two degree
+    // legs + two semi filters), so default CTE inlining would blow up
+    // 4^rounds re-evaluations of the band join.
+    "q_kcore" -> {
+      def round(i: Int): String =
+        s"""d$i AS MATERIALIZED (SELECT id, count(*) deg FROM (
+           |    SELECT doc_a id FROM e${i - 1} UNION ALL SELECT doc_b FROM e${i - 1}) u
+           |  GROUP BY 1),
+           |k$i AS MATERIALIZED (SELECT id FROM d$i WHERE deg >= 2),
+           |e$i AS MATERIALIZED (SELECT doc_a, doc_b FROM e${i - 1}
+           |  WHERE doc_a IN (SELECT id FROM k$i)
+           |    AND doc_b IN (SELECT id FROM k$i))""".stripMargin
+      s"""$minhashCte,
+         |e0 AS MATERIALIZED (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
+         |  FROM band a JOIN band b
+         |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |${(1 to 4).map(round).mkString(",\n")}
+         |SELECT id AS doc_id, count(*) deg FROM (
+         |  SELECT doc_a id FROM e4 UNION ALL SELECT doc_b FROM e4) u
+         |GROUP BY 1""".stripMargin
+    },
   )
 
   def all: Map[String, String] =

@@ -676,4 +676,38 @@ object Dedup {
       .withColumn("rnk",
         row_number().over(Window.orderBy(col("pr_q40").desc, col("source"))))
   }
+
+  /** k-core peeling over the near-dup candidate graph — the density
+    * filter run before expensive cluster adjudication: nodes that
+    * survive `rounds` rounds of "drop everything with degree < k"
+    * sit in dense dup neighborhoods (worth canonical-selection); the
+    * peeled-away fringe is chains of borderline matches. Fixed round
+    * count (like the unrolled PageRank/BPE loops) so the oracle can
+    * replay it as CTEs; each round is one degree aggregate + two
+    * semi-joins, all keyed on doc ids — edge-scale shuffles, no
+    * cartesian anywhere, diameter-independent cost. Output: the
+    * surviving docs with their residual degree. */
+  def kcore(spark: SparkSession, dir: String, k: Int = 2,
+    rounds: Int = 4): DataFrame = {
+    var alive = minhashPairs(spark, dir).persist()
+    for (_ <- 1 to rounds) {
+      val deg = alive.select(col("doc_a").as("id"))
+        .unionByName(alive.select(col("doc_b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select("id")
+      val next = alive
+        .join(keep.select(col("id").as("doc_a")), Seq("doc_a"), "semi")
+        .join(keep.select(col("id").as("doc_b")), Seq("doc_b"), "semi")
+        .persist()
+      next.count() // materialize before unpersisting the parent lineage
+      alive.unpersist()
+      alive = next
+    }
+    // the final round's cache feeds the output aggregate; the caller's
+    // clearCache (Verify per-query, tests per-suite) reclaims it
+    alive.select(col("doc_a").as("id"))
+      .unionByName(alive.select(col("doc_b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+      .select(col("id").as("doc_id"), col("deg"))
+  }
 }

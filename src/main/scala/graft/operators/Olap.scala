@@ -598,4 +598,96 @@ object Olap {
       .select(col("o_custkey"), col("version"), col("o_orderpriority"),
         col("valid_from"), col("valid_to"))
   }
+
+  /** Marketing attribution — each purchase's revenue credited to the
+    * touch (click/view) that preceded it, under both classic models:
+    * FIRST touch (the acquisition channel) and LAST touch (the
+    * converting channel); purchases with no preceding touch are
+    * 'direct'. The report the reference era ran as a per-user
+    * secondary-sort reduce (ref: src/mapred/org/apache/hadoop/mapred/
+    * lib/KeyFieldBasedPartitioner.java:1 era jobs); here ONE window
+    * pass: per-user event stream ordered by (ts, event_id), running
+    * first/last of the touch type over the strictly-preceding frame,
+    * then a tiny per-channel aggregate. Revenue in exact integer
+    * cents so both engines' sums are order-free and bitwise equal.
+    * Scale: one shuffle on user_id (the window), purchases:users is
+    * bounded fan-in, final aggregate is channel-cardinality rows. */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        col("value").cast("decimal(18,2)").multiply(100).cast("bigint").as("cents"),
+        when(col("event_type").isin("click", "view"), col("event_type")).as("touch"))
+    val attributed = ev
+      .withColumn("first_touch", first(col("touch"), ignoreNulls = true).over(w))
+      .withColumn("last_touch", last(col("touch"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+    attributed
+      .select(lit("first_touch").as("model"),
+        coalesce(col("first_touch"), lit("direct")).as("channel"), col("cents"))
+      .unionByName(attributed
+        .select(lit("last_touch").as("model"),
+          coalesce(col("last_touch"), lit("direct")).as("channel"), col("cents")))
+      .groupBy("model", "channel")
+      .agg(count(lit(1)).as("purchases"), sum("cents").as("rev_cents"))
+  }
+
+  /** Skyline (Pareto frontier): the parts no other part beats on BOTH
+    * size (bigger is better) and price (cheaper is better). The naive
+    * formulation is an O(n²) self-anti-join; the scalable plan
+    * exploits that one dimension is low-cardinality: collapse to the
+    * per-size cheapest price (one combiner-backed aggregate — the map
+    * side does nearly all the work), then one window over the
+    * size-ordered frontier candidates (rows = |distinct sizes|, not
+    * |parts|) keeps a size exactly when its min price undercuts every
+    * strictly larger size's. Output is the frontier point set. */
+  def skyline(spark: SparkSession, dir: String): DataFrame = {
+    val cand = Tables.part(spark, dir)
+      .select(col("p_size"),
+        col("p_retailprice").cast("decimal(18,2)").multiply(100)
+          .cast("bigint").as("price_cents"))
+      .groupBy("p_size").agg(min("price_cents").as("min_cents"))
+    val w = Window.orderBy(col("p_size").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cand.withColumn("best_larger", min(col("min_cents")).over(w))
+      .filter(col("best_larger").isNull || col("min_cents") < col("best_larger"))
+      .select(col("p_size"), col("min_cents"))
+  }
+
+  /** Association rules over order baskets (Agrawal & Srikant 1994,
+    * the step after `itemsets`): directed rules a→b with support,
+    * confidence and lift, all in exact integer parts-per-million so
+    * the rule set hash-gates. Baskets are orders, items are brands
+    * (the dimension attribute — pair cardinality is bounded at
+    * brands², never parts²). Plan: distinct (order, brand) pairs
+    * share one exchange across both sides of the basket self-join
+    * (ReuseExchange), fan-out per basket ≤ basket size, and the
+    * 1-row basket count broadcasts into the final projection. */
+  def assocRules(spark: SparkSession, dir: String,
+    minSupportPpm: Long = 5000L, minConfPpm: Long = 100000L): DataFrame = {
+    val baskets = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey"))
+      .join(Tables.part(spark, dir)
+        .select(col("p_partkey").as("l_partkey"), col("p_brand")), "l_partkey")
+      .select(col("ok"), col("p_brand").as("item")).distinct()
+    val n = baskets.agg(countDistinct("ok").as("n_baskets"))
+    val itemCnt = baskets.groupBy("item").agg(count(lit(1)).as("c"))
+    val pairs = baskets.select(col("ok"), col("item").as("a"))
+      .join(baskets.select(col("ok"), col("item").as("b")), "ok")
+      .filter(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cab"))
+    pairs
+      .join(broadcast(itemCnt.select(col("item").as("a"), col("c").as("ca"))), "a")
+      .join(broadcast(itemCnt.select(col("item").as("b"), col("c").as("cb"))), "b")
+      .crossJoin(broadcast(n))
+      .select(col("a"), col("b"), col("cab"),
+        expr("(1000000 * cab) div n_baskets").as("support_ppm"),
+        expr("(1000000 * cab) div ca").as("conf_ppm"),
+        // lift's numerator is count³-scale — decimal(38,0) keeps it
+        // exact out to ~10¹² baskets, far past 100 TB row counts
+        expr("""cast((cast(1000000 as decimal(38,0)) * cab * n_baskets)
+                div (cast(ca as decimal(38,0)) * cb) as bigint)""").as("lift_ppm"))
+      .filter(col("support_ppm") >= minSupportPpm && col("conf_ppm") >= minConfPpm)
+  }
 }

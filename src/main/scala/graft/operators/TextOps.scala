@@ -662,4 +662,52 @@ object TextOps {
       .select(col("doc_id"), expr(s"winnow_fp($normExpr)").as("w"))
       .select(col("doc_id"), col("w.n_fp").as("n_fp"), col("w.fp_min").as("fp_min"))
   }
+
+  /** TextRank keyword scoring (Mihalcea & Tarau 2004): PageRank over
+    * the token-adjacency co-occurrence graph, in the same q40
+    * fixed-point integer scheme as the source-graph PageRank
+    * (Dedup.sourceRank) so both engines' iterates are bitwise equal.
+    * Edge building is map-side (explode of adjacent token pairs) +
+    * one count aggregate; each of the 5 unrolled iterations joins the
+    * vocabulary-scale rank vector against the BROADCAST edge list —
+    * at 100 TB the corpus is read once and everything iterative runs
+    * at vocabulary scale, never corpus scale. */
+  def textrank(spark: SparkSession, dir: String, iters: Int = 5): DataFrame = {
+    val S = 1099511627776L // 2^40
+    val toks = Tables.documents(spark, dir)
+      .select(split(expr(normExpr), " ").as("tk"))
+    val pairs = toks.filter(size(col("tk")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(tk) - 1),
+          |  i -> struct(try_element_at(tk, i) as x, try_element_at(tk, i + 1) as y))"""
+          .stripMargin)).as("p"))
+      .select(col("p.x"), col("p.y"))
+      .filter(col("x") =!= "" && col("y") =!= "" && col("x") =!= col("y"))
+    val und = pairs
+      .select(least(col("x"), col("y")).as("u"), greatest(col("x"), col("y")).as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("w"))
+    val edges = und
+      .unionByName(und.select(col("v").as("u"), col("u").as("v"), col("w")))
+    val strength = edges.groupBy("u").agg(sum("w").as("s"))
+    val ews = edges.join(strength, "u").persist()
+    val nodes = Tables.documents(spark, dir)
+      .select(explode(split(expr(normExpr), " ")).as("v"))
+      .filter(col("v") =!= "").distinct().persist()
+    val n = nodes.count() // vocabulary-scale 1-row readback
+    val base = 15L * S / (100L * n)
+    var pr = nodes.select(col("v"), lit(S / n).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = pr.select(col("v").as("u"), col("pr"))
+        .join(broadcast(ews), "u")
+        .select(col("v"), expr("(pr * w) div s").as("c"))
+        .groupBy("v").agg(sum("c").as("agg"))
+      pr = nodes.join(contrib, Seq("v"), "left")
+        .select(col("v"),
+          (lit(base) + expr("(85 * coalesce(agg, cast(0 as bigint))) div 100"))
+            .as("pr"))
+    }
+    pr.select(col("v").as("word"), col("pr").as("pr_q40"))
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("pr_q40").desc, col("word"))))
+  }
 }

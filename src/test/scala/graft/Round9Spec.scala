@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Olap, TextOps}
+
+/** Round-9 additions: attribution models, Pareto skyline, association
+  * rules, TextRank, and k-core peeling. */
+class Round9Spec extends SparkSpec {
+
+  test("attribution: both models credit every purchase exactly once") {
+    val att = Olap.attribution(spark, sfDir).collect()
+    val models = att.map(_.getString(0)).distinct.sorted
+    assert(models.sameElements(Array("first_touch", "last_touch")))
+    val purchases = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+    val nPurch = purchases.count()
+    val totCents = purchases
+      .select(col("value").cast("decimal(18,2)").multiply(100)
+        .cast("bigint").as("c"))
+      .agg(sum("c")).collect()(0).getLong(0)
+    Seq("first_touch", "last_touch").foreach { m =>
+      val rows = att.filter(_.getString(0) == m)
+      assert(rows.map(_.getLong(2)).sum === nPurch, s"$m purchase count")
+      assert(rows.map(_.getLong(3)).sum === totCents, s"$m revenue")
+      // channels are only ever touches or the direct bucket
+      assert(rows.map(_.getString(1)).forall(Set("click", "view", "direct")))
+    }
+  }
+
+  test("skyline: frontier points are exactly the non-dominated ones") {
+    val sky = Olap.skyline(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    // naive O(n^2) reference on the small SF: a (size, price) point
+    // survives iff no other part has size >= & price <= with one strict
+    val pts = Tables.part(spark, sfDir)
+      .select(col("p_size"),
+        col("p_retailprice").cast("decimal(18,2)").multiply(100)
+          .cast("bigint").as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val naive = pts.filter { case (s, p) =>
+      !pts.exists { case (s2, p2) =>
+        s2 >= s && p2 <= p && (s2 > s || p2 < p) }
+    }.toSet
+    assert(sky === naive)
+    // frontier is strictly monotone: bigger size => strictly higher price
+    val sorted = sky.toSeq.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Seq((s1, p1), (s2, p2)) => assert(s1 < s2 && p1 < p2)
+      case _ =>
+    }
+  }
+
+  test("assoc rules: ppm metrics are consistent and thresholds hold") {
+    val rules = Olap.assocRules(spark, sfDir).collect()
+    assert(rules.nonEmpty)
+    val n = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey").distinct().count()
+    rules.foreach { r =>
+      val (cab, sup, conf, lift) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(sup >= 5000L && conf >= 100000L)
+      assert(sup === 1000000L * cab / n)
+      assert(conf <= 1000000L) // confidence is a probability
+      assert(lift > 0L)
+    }
+    // rules are directed: a→b and b→a both appear with equal support
+    val bySup = rules.map(r => ((r.getString(0), r.getString(1)), r.getLong(3))).toMap
+    bySup.foreach { case ((a, b), s) =>
+      assert(bySup.get((b, a)).forall(_ === s))
+    }
+  }
+
+  test("textrank: ranks are a permutation and mass stays near 2^40") {
+    val tr = TextOps.textrank(spark, sfDir).collect()
+    val n = tr.length
+    assert(tr.map(_.getInt(2)).sorted.sameElements(1 to n))
+    // total q40 mass is conserved up to damping leakage + integer
+    // truncation: sum stays within [0.5, 1.0] of the 2^40 unit pool
+    val mass = tr.map(_.getLong(1)).sum.toDouble / (1L << 40).toDouble
+    assert(mass > 0.5 && mass <= 1.0 + 1e-9, s"mass=$mass")
+    // every ranked word is a corpus token
+    val vocab = Tables.documents(spark, sfDir)
+      .select(explode(split(expr(TextOps.normExpr), " ")).as("w"))
+      .filter(col("w") =!= "").distinct().collect().map(_.getString(0)).toSet
+    assert(tr.map(_.getString(0)).forall(vocab))
+  }
+
+  test("kcore: survivors come from the candidate graph and peeling only shrinks") {
+    val core = Dedup.kcore(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = Dedup.minhashPairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val deg0 = (edges.map(_._1) ++ edges.map(_._2))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    // survivors are graph nodes whose INITIAL degree was already >= k
+    core.keys.foreach { id => assert(deg0.getOrElse(id, 0L) >= 2L) }
+    // residual degree never exceeds the initial degree
+    core.foreach { case (id, d) => assert(d <= deg0(id) && d >= 1L) }
+  }
+}
