@@ -1432,6 +1432,17 @@ object Oracles {
         |FROM orders, b
         |WHERE o_custkey <= mc // 4 AND o_orderkey <= mo // 4""".stripMargin,
 
+    // CoW DELETE: the metadata-only quarter drop composed with the
+    // bounded mod-7 predicate — what survives both
+    "q_txtable_delete" ->
+      """WITH b AS (SELECT max(o_orderkey) m, max(o_orderkey) // 4 + 1 q
+        |           FROM orders)
+        |SELECT o_orderkey, o_custkey,
+        |  cast(cast(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        |FROM orders, b
+        |WHERE NOT (o_orderkey <= q - 1)
+        |  AND NOT (o_orderkey % 7 = 0 AND o_orderkey <= m // 2)""".stripMargin,
+
     "q_media_meta" ->
       """SELECT doc_id, strlen(text) AS byte_len, substring(md5(text), 1, 8) AS sig,
         |  (strlen(text) + 255) // 256 AS n_chunks

@@ -779,6 +779,99 @@ object TxTable {
     }
   }
 
+  /** Copy-on-write row-level DELETE (the `DELETE FROM t WHERE …` of a
+    * modern table format): rows matching `predSql` leave the snapshot;
+    * everything else is byte-identical and, crucially, mostly NOT
+    * rewritten. Per-dir triage against the commit's own stats:
+    *
+    *  - dirs whose stats box is DISJOINT from `pruneRanges` (the
+    *    predicate's bounding box on stats columns) carry over
+    *    untouched — never opened. At 100 TB with date/key-clustered
+    *    dirs (append order, z-order, compactDirs) this is almost all
+    *    of the table; a GDPR key-range delete costs the matching dirs.
+    *  - with `rangesExact = true` (caller asserts the predicate IS the
+    *    box), dirs fully CONTAINED in the box drop from the snapshot
+    *    as pure metadata — the whole-partition TRUNCATE fast path,
+    *    zero rows read or written.
+    *  - only straddling dirs are opened; those with no matches carry
+    *    over unrewritten (one count aggregate), the rest rewrite to a
+    *    new dir holding their surviving rows, stats recomputed.
+    *
+    * Old dirs stay referenced by older versions (time travel reads
+    * the pre-delete snapshot until `vacuum`). Requires a delta-free
+    * snapshot: MoR deltas are keyed CHANGES, and filtering them with a
+    * value predicate is the colRanges-on-values unsoundness all over
+    * again — run `compactSnapshot` first. Staged rewrites from a lost
+    * OCC race are re-staged against the new parent and the stale dirs
+    * deleted, so retries can't leak data dirs. */
+  def deleteWhere(spark: SparkSession, root: String, predSql: String,
+    pruneRanges: Map[String, (Long, Long)] = Map.empty,
+    rangesExact: Boolean = false): Int = {
+    val (fs, rp) = fsFor(spark, root)
+    var staged: Seq[String] = Seq.empty
+    commitRetry(spark, root) { prevV =>
+      staged.foreach(d => fs.delete(new Path(rp, d), true))
+      staged = Seq.empty
+      require(prevV > 0, s"txtable: nothing to delete from at $root")
+      val entries = snapshotEntries(fs, rp, prevV)
+      require(!entries.exists(_.isDelta),
+        s"txtable: deleteWhere needs a delta-free snapshot of $root — " +
+          "run compactSnapshot first")
+      val keys = snapshotKeys(fs, rp, prevV)
+      val statsCols = snapshotStatsCols(fs, rp, prevV)
+      def disjoint(e: Entry): Boolean = pruneRanges.exists {
+        case (c, (lo, hi)) => e.stats.get(c).exists {
+          case (elo, ehi) => ehi < lo || elo > hi } }
+      def contained(e: Entry): Boolean = rangesExact &&
+        pruneRanges.nonEmpty && pruneRanges.forall {
+          case (c, (lo, hi)) => e.stats.get(c).exists {
+            case (elo, ehi) => elo >= lo && ehi <= hi } }
+      val newLines = entries.flatMap { e =>
+        if (disjoint(e)) Some(e.line)
+        else if (contained(e)) None
+        else {
+          val df = spark.read.parquet(new Path(rp, e.dir).toString)
+          // one pass decides: total survivors vs dir row count
+          val survivors = df.filter(s"NOT ($predSql)")
+          val nKeep = survivors.count()
+          val nAll = e.stats.get(rowsKey).map(_._1)
+            .getOrElse(df.count())
+          if (nKeep == nAll) Some(e.line)       // no matches: carry over
+          else if (nKeep == 0L) None            // fully deleted
+          else {
+            val dirName = s"data/delete-${java.util.UUID.randomUUID()}"
+            survivors.write.mode("overwrite")
+              .parquet(new Path(rp, dirName).toString)
+            staged = staged :+ dirName
+            Some(Entry(isDelta = false, dirName,
+              dirStats(spark, rp, dirName,
+                keys.getOrElse(Seq.empty) ++ statsCols)).line)
+          }
+        }
+      }
+      // a delete-all must leave a READABLE empty table, and an empty
+      // snapshot has no schema to reconstruct — keep one zero-row dir
+      // (parquet footers carry the schema) instead of zero entries
+      val lines =
+        if (newLines.nonEmpty) newLines
+        else {
+          val schemaSrc = spark.read
+            .parquet(new Path(rp, entries.head.dir).toString)
+          val dirName = s"data/delete-${java.util.UUID.randomUUID()}"
+          schemaSrc.filter(lit(false)).write.mode("overwrite")
+            .parquet(new Path(rp, dirName).toString)
+          staged = staged :+ dirName
+          Seq(Entry(isDelta = false, dirName,
+            dirStats(spark, rp, dirName,
+              keys.getOrElse(Seq.empty) ++ statsCols)).line)
+        }
+      ("delete",
+        keys.map(ks => s"key:${ks.mkString(",")}").toSeq ++
+          (if (statsCols.nonEmpty) Seq(s"statscol:${statsCols.mkString(",")}")
+           else Seq.empty) ++ lines)
+    }
+  }
+
   /** Oracle-gated end-to-end CDC exercise (q_txtable_mor): derive a
     * deterministic change stream from `orders` (key = custkey, op
     * from orderkey residues, seq = orderkey), commit it as TWO
@@ -832,6 +925,35 @@ object TxTable {
     if (cleanupRegistered.add(root))
       sys.addShutdownHook(rmTree(new java.io.File(root)))
     root
+  }
+
+  /** Oracle-gated end-to-end DELETE exercise (q_txtable_delete):
+    * stage `orders` as four key-range dirs (each with o_orderkey
+    * stats), then run BOTH delete shapes — a whole-quarter range
+    * delete with `rangesExact` (must drop dir 0 as pure metadata) and
+    * a straddling mod-7 predicate bounded to the lower half (quarters
+    * 2/3 prune untouched, quarter 1 rewrites). The DuckDB oracle is
+    * the two NOT(...) filters composed — hash equality proves triage,
+    * rewrite and commit, not just the happy path. */
+  def deleteGateQuery(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratchRoot("graft-delgate", dir)
+    val o = graft.Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"))
+    val b = o.agg(max("o_orderkey")).collect()(0)
+    if (b.isNullAt(0)) return o.filter(lit(false))
+    val maxO = b.getLong(0)
+    val q = maxO / 4 + 1
+    (0L to 3L).foreach { i =>
+      append(o.filter(col("o_orderkey") >= i * q &&
+        col("o_orderkey") < (i + 1) * q), root, statsCols = Seq("o_orderkey"))
+    }
+    deleteWhere(spark, root, s"o_orderkey <= ${q - 1}",
+      Map("o_orderkey" -> (0L, q - 1)), rangesExact = true)
+    deleteWhere(spark, root,
+      s"o_orderkey % 7 = 0 AND o_orderkey <= ${maxO / 2}",
+      Map("o_orderkey" -> (0L, maxO / 2)))
+    read(spark, root)
   }
 
   def zoptGateQuery(spark: SparkSession, dir: String): DataFrame = {

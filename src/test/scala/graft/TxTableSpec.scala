@@ -955,4 +955,70 @@ class TxTableSpec extends SparkSpec {
       Seq((2L, "D", 0L, 4L)).toDF("k", "op", "v", "seq"))
     assert(state() === Map(1L -> 11L))
   }
+
+  private def commitText(root: String, v: Int): String = {
+    val p = java.nio.file.Paths.get(root, "_commits", f"v$v%08d")
+    new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+  }
+
+  test("deleteWhere triage: pruned dirs carry over by name, contained dirs drop as metadata") {
+    import spark.implicits._
+    val root = tmpDir() + "/tx-del"
+    // four key-range dirs with k stats: [0,9] [10,19] [20,29] [30,39]
+    (0 to 3).foreach { i =>
+      TxTable.append((i * 10 until i * 10 + 10).map(k => (k.toLong, k * 1.5))
+        .toDF("k", "v"), root, statsCols = Seq("k"))
+    }
+    val before = commitText(root, 4)
+    val dirOf = "dir:(data/[^|\n]+)".r.findAllMatchIn(before)
+      .map(_.group(1)).toSeq
+    assert(dirOf.length === 4)
+    // metadata-only: predicate IS the box covering dir 0
+    TxTable.deleteWhere(spark, root, "k <= 9",
+      Map("k" -> (0L, 9L)), rangesExact = true)
+    // straddling delete bounded to [10,19]: dir 1 rewrites, 2/3 prune
+    TxTable.deleteWhere(spark, root, "k % 2 = 0 AND k <= 19",
+      Map("k" -> (10L, 19L)))
+    val after = commitText(root, 6)
+    assert(!after.contains(dirOf(0)), "contained dir must drop")
+    assert(!after.contains(dirOf(1)), "straddling dir must be rewritten")
+    assert(after.contains(dirOf(2)) && after.contains(dirOf(3)),
+      "disjoint dirs must carry over untouched")
+    val got = TxTable.read(spark, root).collect().map(_.getLong(0)).toSet
+    assert(got === (10 to 39).filterNot(k => k % 2 == 0 && k <= 19)
+      .map(_.toLong).toSet)
+    // the pre-delete snapshot still time-travels
+    assert(TxTable.read(spark, root, version = 4).count() === 40)
+  }
+
+  test("deleteWhere: no-match dirs carry over; delete-all leaves a readable empty table") {
+    import spark.implicits._
+    val root = tmpDir() + "/tx-del-all"
+    TxTable.append(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), root,
+      statsCols = Seq("k"))
+    val v1 = commitText(root, 1)
+    // predicate matches nothing: the dir survives by name (no rewrite)
+    TxTable.deleteWhere(spark, root, "k > 100")
+    assert(commitText(root, 2).contains(
+      "dir:(data/[^|\n]+)".r.findFirstMatchIn(v1).get.group(1)))
+    TxTable.deleteWhere(spark, root, "k >= 0")
+    assert(TxTable.read(spark, root).count() === 0)
+    assert(TxTable.read(spark, root, version = 2).count() === 2)
+  }
+
+  test("deleteWhere refuses un-compacted MoR snapshots") {
+    import spark.implicits._
+    val root = tmpDir() + "/tx-del-mor"
+    TxTable.merge(spark, root, Seq((1L, "I", 5.0, 1L)).toDF("k", "op", "v", "seq"))
+    TxTable.mergeDelta(spark, root, Seq((2L, "I", 6.0, 2L)).toDF("k", "op", "v", "seq"))
+    val e = intercept[IllegalArgumentException] {
+      TxTable.deleteWhere(spark, root, "v > 0")
+    }
+    assert(e.getMessage.contains("compactSnapshot"))
+    // after compaction the same delete applies cleanly
+    TxTable.compactSnapshot(spark, root)
+    TxTable.deleteWhere(spark, root, "v > 5.5")
+    assert(TxTable.read(spark, root).select("k").collect()
+      .map(_.getLong(0)).toSet === Set(1L))
+  }
 }
