@@ -1443,6 +1443,16 @@ object Oracles {
         |WHERE NOT (o_orderkey <= q - 1)
         |  AND NOT (o_orderkey % 7 = 0 AND o_orderkey <= m // 2)""".stripMargin,
 
+    // CoW UPDATE: bounded SET price = price * 2 (IEEE-exact doubling)
+    "q_txtable_update" ->
+      """WITH b AS (SELECT max(o_orderkey) m FROM orders)
+        |SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 5 = 0 AND o_orderkey <= m // 2
+        |       THEN cast(cast(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) * 2
+        |       ELSE cast(cast(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+        |  END AS price
+        |FROM orders, b""".stripMargin,
+
     "q_media_meta" ->
       """SELECT doc_id, strlen(text) AS byte_len, substring(md5(text), 1, 8) AS sig,
         |  (strlen(text) + 255) // 256 AS n_chunks

@@ -174,6 +174,8 @@ object SparkEntry {
     "q_kcore" -> ((s: SparkSession, d: String) => Dedup.kcore(s, d)),
     "q_txtable_delete" -> ((s: SparkSession, d: String) =>
       graft.sources.TxTable.deleteGateQuery(s, d)),
+    "q_txtable_update" -> ((s: SparkSession, d: String) =>
+      graft.sources.TxTable.updateGateQuery(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -927,6 +927,71 @@ object TxTable {
     root
   }
 
+  /** Copy-on-write row-level UPDATE (`UPDATE t SET c = expr WHERE …`):
+    * the same stats triage as `deleteWhere` — disjoint dirs carry over
+    * by name unopened, no-match dirs carry over after one count, and
+    * only dirs actually holding matches rewrite (matched rows through
+    * the SET expressions, the rest verbatim). `sets` maps column name
+    * to a SQL expression over the row (self-references fine:
+    * `"v" -> "v * 2"`); unknown columns are rejected rather than
+    * silently widening the schema. Delta-free snapshots only, like
+    * deleteWhere and for the same reason. */
+  def updateWhere(spark: SparkSession, root: String, predSql: String,
+    sets: Map[String, String],
+    pruneRanges: Map[String, (Long, Long)] = Map.empty): Int = {
+    require(sets.nonEmpty, "txtable: updateWhere needs at least one SET")
+    val (fs, rp) = fsFor(spark, root)
+    var staged: Seq[String] = Seq.empty
+    commitRetry(spark, root) { prevV =>
+      staged.foreach(d => fs.delete(new Path(rp, d), true))
+      staged = Seq.empty
+      require(prevV > 0, s"txtable: nothing to update at $root")
+      val entries = snapshotEntries(fs, rp, prevV)
+      require(!entries.exists(_.isDelta),
+        s"txtable: updateWhere needs a delta-free snapshot of $root — " +
+          "run compactSnapshot first")
+      val keys = snapshotKeys(fs, rp, prevV)
+      val statsCols = snapshotStatsCols(fs, rp, prevV)
+      def disjoint(e: Entry): Boolean = pruneRanges.exists {
+        case (c, (lo, hi)) => e.stats.get(c).exists {
+          case (elo, ehi) => ehi < lo || elo > hi } }
+      val newLines = entries.map { e =>
+        if (disjoint(e)) e.line
+        else {
+          val df = spark.read.parquet(new Path(rp, e.dir).toString)
+          sets.keys.foreach { c =>
+            require(df.columns.contains(c),
+              s"txtable: SET of unknown column '$c'") }
+          if (df.filter(predSql).isEmpty) e.line
+          else {
+            // ONE select so every SET expression and the predicate see
+            // the OLD row (SQL UPDATE semantics) — chained withColumn
+            // would feed earlier SETs into later ones
+            val updated = df.select(df.columns.map { c =>
+              sets.get(c) match {
+                case Some(ex) =>
+                  when(expr(predSql), expr(ex).cast(df.schema(c).dataType))
+                    .otherwise(col(c)).as(c)
+                case None => col(c)
+              }
+            }.toIndexedSeq: _*)
+            val dirName = s"data/update-${java.util.UUID.randomUUID()}"
+            updated.write.mode("overwrite")
+              .parquet(new Path(rp, dirName).toString)
+            staged = staged :+ dirName
+            Entry(isDelta = false, dirName,
+              dirStats(spark, rp, dirName,
+                keys.getOrElse(Seq.empty) ++ statsCols)).line
+          }
+        }
+      }
+      ("update",
+        keys.map(ks => s"key:${ks.mkString(",")}").toSeq ++
+          (if (statsCols.nonEmpty) Seq(s"statscol:${statsCols.mkString(",")}")
+           else Seq.empty) ++ newLines)
+    }
+  }
+
   /** Oracle-gated end-to-end DELETE exercise (q_txtable_delete):
     * stage `orders` as four key-range dirs (each with o_orderkey
     * stats), then run BOTH delete shapes — a whole-quarter range
@@ -952,6 +1017,31 @@ object TxTable {
       Map("o_orderkey" -> (0L, q - 1)), rangesExact = true)
     deleteWhere(spark, root,
       s"o_orderkey % 7 = 0 AND o_orderkey <= ${maxO / 2}",
+      Map("o_orderkey" -> (0L, maxO / 2)))
+    read(spark, root)
+  }
+
+  /** Oracle-gated end-to-end UPDATE exercise (q_txtable_update): the
+    * same four-dir staging, then a bounded SET price = price * 2 (IEEE
+    * doubling is exact, so the oracle hashes bitwise) — lower-half
+    * dirs rewrite through the old-row semantics, upper-half dirs prune
+    * untouched. */
+  def updateGateQuery(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratchRoot("graft-updgate", dir)
+    val o = graft.Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"))
+    val b = o.agg(max("o_orderkey")).collect()(0)
+    if (b.isNullAt(0)) return o.filter(lit(false))
+    val maxO = b.getLong(0)
+    val q = maxO / 4 + 1
+    (0L to 3L).foreach { i =>
+      append(o.filter(col("o_orderkey") >= i * q &&
+        col("o_orderkey") < (i + 1) * q), root, statsCols = Seq("o_orderkey"))
+    }
+    updateWhere(spark, root,
+      s"o_orderkey % 5 = 0 AND o_orderkey <= ${maxO / 2}",
+      Map("price" -> "price * 2"),
       Map("o_orderkey" -> (0L, maxO / 2)))
     read(spark, root)
   }

@@ -1006,6 +1006,38 @@ class TxTableSpec extends SparkSpec {
     assert(TxTable.read(spark, root, version = 2).count() === 2)
   }
 
+  test("updateWhere: old-row semantics, triage, and swap-safe multi-SET") {
+    import spark.implicits._
+    val root = tmpDir() + "/tx-upd"
+    (0 to 1).foreach { i =>
+      TxTable.append((i * 10 until i * 10 + 10)
+        .map(k => (k.toLong, k.toDouble, k * 100.0)).toDF("k", "a", "b"),
+        root, statsCols = Seq("k"))
+    }
+    val before = commitText(root, 2)
+    val dirs = "dir:(data/[^|\n]+)".r.findAllMatchIn(before)
+      .map(_.group(1)).toSeq
+    // swap a and b where k is even, bounded to dir 0's box: every SET
+    // must read the OLD row or the swap degenerates to a copy
+    TxTable.updateWhere(spark, root, "k % 2 = 0",
+      Map("a" -> "b", "b" -> "a"), Map("k" -> (0L, 9L)))
+    val after = commitText(root, 3)
+    assert(!after.contains(dirs(0)) && after.contains(dirs(1)))
+    val rows = TxTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    (0 to 9).foreach { k =>
+      if (k % 2 == 0) assert(rows(k.toLong) === ((k * 100.0, k.toDouble)))
+      else assert(rows(k.toLong) === ((k.toDouble, k * 100.0)))
+    }
+    (10 to 19).foreach { k => assert(rows(k.toLong) === ((k.toDouble, k * 100.0))) }
+    // unknown SET column refuses; no-match predicate carries dirs over
+    intercept[IllegalArgumentException] {
+      TxTable.updateWhere(spark, root, "k >= 0", Map("nope" -> "1"))
+    }
+    TxTable.updateWhere(spark, root, "k > 100", Map("a" -> "a + 1"))
+    assert(commitText(root, 4).contains(dirs(1)))
+  }
+
   test("deleteWhere refuses un-compacted MoR snapshots") {
     import spark.implicits._
     val root = tmpDir() + "/tx-del-mor"
