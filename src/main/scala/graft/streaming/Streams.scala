@@ -194,6 +194,46 @@ object Streams {
       }
   }
 
+  /** Streaming first/last-touch attribution — the typed-state twin of
+    * `Olap.attribution`: per-user state carries the first and the
+    * latest preceding touch (two small strings); each purchase emits
+    * one final fact row (event_id, both channels, exact cents), so
+    * Append semantics downstream. With in-order delivery the emitted
+    * credit equals the batch window formulation: first/last over the
+    * strictly-preceding frame is prefix-computable, which is exactly
+    * what the state captures. */
+  case class TouchState(first: String, last: String)
+  def attributionFacts(events: Dataset[Event])
+    : Dataset[(Long, String, String, Long)] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TouchState, (Long, String, String, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[Event], state: GroupState[TouchState]) =>
+          var s = state.getOption.getOrElse(TouchState(null, null))
+          val out = Seq.newBuilder[(Long, String, String, Long)]
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            e.event_type match {
+              case "click" | "view" =>
+                s = TouchState(
+                  if (s.first == null) e.event_type else s.first,
+                  e.event_type)
+              case "purchase" =>
+                val cents = (BigDecimal(e.value).setScale(2,
+                  BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact
+                out += ((e.event_id,
+                  Option(s.first).getOrElse("direct"),
+                  Option(s.last).getOrElse("direct"), cents))
+              case _ =>
+            }
+          }
+          state.update(s)
+          out.result().iterator
+      }
+  }
+
   /** Prequential σ-threshold anomaly flags — the streaming twin of
     * `Olap.anomaly`. Each event is tested against the running
     * per-type population moments INCLUDING itself (the prequential

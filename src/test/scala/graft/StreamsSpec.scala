@@ -128,6 +128,48 @@ class StreamsSpec extends SparkSpec {
     assert(batch.values.exists(_ >= 3), "some users should reach deep stages")
   }
 
+  test("streaming attribution equals the batch window models on the real events table") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val events = graft.Tables.events(spark, sfDir)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Streams.Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val input = MemoryStream[Streams.Event]
+    input.addData(events: _*)
+    val q = Streams.attributionFacts(input.toDS())
+      .toDF("event_id", "first_ch", "last_ch", "cents")
+      .writeStream.format("memory").queryName("attr_eq")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val facts = spark.table("attr_eq").collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getString(2), r.getLong(3))))
+      .toMap
+    // batch twin over the SAME millis-truncated rows
+    events.toSeq.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .createOrReplaceTempView("aev")
+    val batch = spark.sql(
+      """WITH ev AS (SELECT event_id, ts, user_id, event_type,
+        |    cast(cast(value AS DECIMAL(18,2)) * 100 AS BIGINT) cents,
+        |    CASE WHEN event_type IN ('click','view') THEN event_type END touch
+        |  FROM aev),
+        |att AS (SELECT event_id, event_type, cents,
+        |    first(touch, true) OVER w first_touch,
+        |    last(touch, true) OVER w last_touch
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, coalesce(first_touch, 'direct') f,
+        |       coalesce(last_touch, 'direct') l, cents
+        |FROM att WHERE event_type = 'purchase'""".stripMargin).collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getString(2), r.getLong(3))))
+      .toMap
+    assert(facts === batch,
+      "per-purchase streamed credit must equal the batch window models")
+    assert(facts.nonEmpty && facts.values.exists(_._1 != "direct"))
+  }
+
   test("late data past the watermark is dropped AND the drop is observable in progress metrics") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
