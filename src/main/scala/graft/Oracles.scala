@@ -2082,6 +2082,24 @@ object Oracles {
         |WHERE (1000000 * cab) // n_baskets >= 5000
         |  AND (1000000 * cab) // ca.c >= 100000""".stripMargin,
 
+    // integer EWMA (α=1/4 dyadic): e1 = x1, e_i = (x_i + 3e) // 4 —
+    // replayed as a recursive CTE stepping the per-type day index
+    // (values are positive cents, so trunc-div ≡ floor-div)
+    "q_ewma" ->
+      """WITH RECURSIVE daily AS (SELECT event_type,
+        |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    cast(sum(cast(cast(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |         AS BIGINT) cents
+        |  FROM events GROUP BY 1, 2),
+        |ix AS (SELECT event_type, day, cents,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) i
+        |  FROM daily),
+        |ew AS (SELECT event_type, day, cents, i, cents AS e FROM ix WHERE i = 1
+        |  UNION ALL
+        |  SELECT ix.event_type, ix.day, ix.cents, ix.i, (ix.cents + 3 * ew.e) // 4
+        |  FROM ix JOIN ew ON ix.event_type = ew.event_type AND ix.i = ew.i + 1)
+        |SELECT event_type, day, cents, e AS ewma_cents FROM ew""".stripMargin,
+
     // TextRank: q40 integer PageRank over adjacent-token co-occurrence
     // (the word-graph twin of q_pagerank's source graph)
     "q_textrank" -> {

@@ -599,6 +599,36 @@ object Olap {
         col("valid_from"), col("valid_to"))
   }
 
+  /** Exponentially-weighted moving average of daily revenue per
+    * event type — the time-series smoothing report, in EXACT integer
+    * arithmetic so it hash-gates: e₁ = x₁, eᵢ = (xᵢ + 3·eᵢ₋₁) div 4
+    * (α = 1/4 as a dyadic rational; truncating integer recursion is
+    * deterministic where float pow(1-α, k) closed forms are not).
+    * The recursion is inherently ordered, so this is the reference's
+    * secondary-sort reduce shape done Spark-natively: one daily
+    * aggregate (combiner-backed), then a per-type sorted fold via
+    * typed groups. State per group is ONE long, and group size is
+    * calendar-bounded (days), not data-bounded — at 100 TB the fold
+    * input is |types|×|days| rows, trivially small next to the scan. */
+  def ewma(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("value").cast("decimal(18,2)").multiply(100).cast("bigint").as("c"))
+      .groupBy("event_type", "day").agg(sum("c").as("cents"))
+      .as[(String, String, Long)]
+    daily.groupByKey(_._1)
+      .flatMapGroups { (typ, rows) =>
+        var e = 0L
+        rows.toSeq.sortBy(_._2).zipWithIndex.map { case ((_, day, x), i) =>
+          e = if (i == 0) x else (x + 3 * e) / 4
+          (typ, day, x, e)
+        }.iterator
+      }
+      .toDF("event_type", "day", "cents", "ewma_cents")
+  }
+
   /** Marketing attribution — each purchase's revenue credited to the
     * touch (click/view) that preceded it, under both classic models:
     * FIRST touch (the acquisition channel) and LAST touch (the

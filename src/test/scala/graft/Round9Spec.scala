@@ -85,6 +85,23 @@ class Round9Spec extends SparkSpec {
     assert(tr.map(_.getString(0)).forall(vocab))
   }
 
+  test("ewma: first day passes through, later days stay inside the prefix envelope") {
+    val rows = Olap.ewma(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      val ordered = g.sortBy(_._2)
+      assert(ordered.head._4 === ordered.head._3, "e1 = x1")
+      ordered.inits.toSeq.reverse.drop(1).foreach { prefix =>
+        val e = prefix.last._4
+        val xs = prefix.map(_._3)
+        // integer truncation only ever loses < 1 cent per step
+        assert(e >= xs.min - prefix.length && e <= xs.max,
+          s"ewma $e outside [${xs.min}, ${xs.max}]")
+      }
+    }
+  }
+
   test("kcore: survivors come from the candidate graph and peeling only shrinks") {
     val core = Dedup.kcore(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
