@@ -85,6 +85,30 @@ class Round9Spec extends SparkSpec {
     assert(tr.map(_.getString(0)).forall(vocab))
   }
 
+  test("plan shapes: attribution shuffles once per side, assoc rules reuse the basket exchange, no cartesians") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // attribution: the event stream shuffles ONCE (user window);
+      // everything after runs on channel-cardinality rows
+      val att = Olap.attribution(spark, sfDir).queryExecution.executedPlan
+      assert(!att.toString.contains("CartesianProduct"), att.toString)
+      val attScans = att.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      assert(attScans.size <= 2, // union of two projections of ONE pass
+        s"attribution re-scans events:\n$att")
+      // assoc rules: both sides of the basket self-join are the same
+      // subplan — ReuseExchange must dedup the shuffle
+      val ar = Olap.assocRules(spark, sfDir).queryExecution.executedPlan
+      assert(!ar.toString.contains("CartesianProduct"), ar.toString)
+      assert(ar.toString.contains("ReusedExchange"),
+        s"basket self-join must reuse one exchange:\n$ar")
+      // skyline: no join at all — one aggregate + one tiny window
+      val sk = Olap.skyline(spark, sfDir).queryExecution.executedPlan
+      assert(!sk.toString.toLowerCase.contains("join"),
+        s"skyline must not join:\n$sk")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("ewma: first day passes through, later days stay inside the prefix envelope") {
     val rows = Olap.ewma(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
