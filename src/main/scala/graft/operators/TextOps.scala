@@ -663,6 +663,37 @@ object TextOps {
       .select(col("doc_id"), col("w.n_fp").as("n_fp"), col("w.fp_min").as("fp_min"))
   }
 
+  /** Deflate compression ratio per document — the classic corpus
+    * quality/repetition signal (highly compressible ⇒ boilerplate or
+    * template spam; near-incompressible ⇒ encoded blobs or noise):
+    * ratio_ppm = 10⁶ · deflate_len / raw_len at a FIXED level so the
+    * number is stable across runs. Pure map-side (mapPartitions with
+    * one reused Deflater per partition — codec allocation amortized
+    * the way the reference reuses its codec pool, ref: src/core/org/
+    * apache/hadoop/io/compress/CodecPool.java:1). No SQL oracle:
+    * deflate output length is a property of the zlib implementation,
+    * not of the data model, so cross-engine hashing would pin the
+    * oracle engine's zlib — ScalaTest asserts the invariants instead
+    * (bounds, repetition monotonicity, determinism across runs). */
+  def compressionRatio(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val d = new java.util.zip.Deflater(6, false)
+        val buf = new Array[Byte](1 << 16)
+        it.map { case (id, text) =>
+          val raw = Option(text).getOrElse("").getBytes("UTF-8")
+          d.reset(); d.setInput(raw); d.finish()
+          var n = 0L
+          while (!d.finished()) n += d.deflate(buf)
+          val ratio = if (raw.length == 0) 1000000L
+            else 1000000L * n / raw.length
+          (id, raw.length.toLong, n, ratio)
+        }
+      }.toDF("doc_id", "raw_len", "deflate_len", "ratio_ppm")
+  }
+
   /** TextRank keyword scoring (Mihalcea & Tarau 2004): PageRank over
     * the token-adjacency co-occurrence graph, in the same q40
     * fixed-point integer scheme as the source-graph PageRank

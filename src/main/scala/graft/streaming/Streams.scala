@@ -194,6 +194,45 @@ object Streams {
       }
   }
 
+  /** Streaming integer EWMA — the typed-state twin of `Olap.ewma`:
+    * per event-type state is (last emitted day, running smoothed
+    * cents); each COMPLETED day folds through the same dyadic
+    * recursion e ← (x + 3e) div 4 and emits its smoothed value.
+    * Day boundaries are detected when a later day's first event
+    * arrives (in-order delivery, like the other twins), so the final
+    * open day stays buffered in state rather than emitting a partial
+    * aggregate. State per type: one day string + two longs. */
+  case class EwmaState(day: String, daySum: Long, e: Long, started: Boolean)
+  def ewmaDaily(events: Dataset[Event])
+    : Dataset[(String, String, Long, Long)] = {
+    import events.sparkSession.implicits._
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[EwmaState, (String, String, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (typ: String, rows: Iterator[Event], state: GroupState[EwmaState]) =>
+          var s = state.getOption.getOrElse(EwmaState(null, 0L, 0L, false))
+          val out = Seq.newBuilder[(String, String, Long, Long)]
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { ev =>
+            val d = fmt.format(ev.ts)
+            val cents = (BigDecimal(ev.value).setScale(2,
+              BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact
+            if (s.day == null) s = EwmaState(d, cents, 0L, false)
+            else if (d == s.day) s = s.copy(daySum = s.daySum + cents)
+            else {
+              val e = if (!s.started) s.daySum else (s.daySum + 3 * s.e) / 4
+              out += ((typ, s.day, s.daySum, e))
+              s = EwmaState(d, cents, e, started = true)
+            }
+          }
+          state.update(s)
+          out.result().iterator
+      }
+  }
+
   /** Streaming first/last-touch attribution — the typed-state twin of
     * `Olap.attribution`: per-user state carries the first and the
     * latest preceding touch (two small strings); each purchase emits

@@ -126,6 +126,26 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  test("compression ratio: bounded, deterministic, and monotone under repetition") {
+    val rows = TextOps.compressionRatio(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, (raw, defl, ppm)) =>
+      assert(raw > 0 && defl > 0)
+      assert(ppm === 1000000L * defl / raw)
+      assert(ppm < 2000000L, "deflate should never double a text")
+    }
+    // determinism across runs (fixed level, reused deflater)
+    val again = TextOps.compressionRatio(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    rows.foreach { case (id, (_, _, ppm)) => assert(again(id) === ppm) }
+    // a highly repetitive corpus member compresses harder than average:
+    // synthetic word-soup docs repeat a tiny vocabulary, so the best
+    // ratio should sit well under the worst
+    val ppms = rows.map(_._2._3)
+    assert(ppms.min < ppms.max, "ratios should spread")
+  }
+
   test("kcore: survivors come from the candidate graph and peeling only shrinks") {
     val core = Dedup.kcore(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

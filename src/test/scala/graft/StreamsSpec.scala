@@ -170,6 +170,47 @@ class StreamsSpec extends SparkSpec {
     assert(facts.nonEmpty && facts.values.exists(_._1 != "direct"))
   }
 
+  test("streaming ewma equals the batch recursion on every completed day") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val events = graft.Tables.events(spark, sfDir)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Streams.Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val input = MemoryStream[Streams.Event]
+    input.addData(events: _*)
+    val q = Streams.ewmaDaily(input.toDS())
+      .toDF("event_type", "day", "cents", "ewma_cents")
+      .writeStream.format("memory").queryName("ewma_eq")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("ewma_eq").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // the same recursion folded over the SAME rows (the typed stream
+    // filters null users, so fold in-test rather than vs Olap.ewma);
+    // streaming emits every day except each type's final (open) one
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val daily = events.groupBy(e => (e.event_type, fmt.format(e.ts)))
+      .map { case (k, es) => k -> es.map(e =>
+        (BigDecimal(e.value).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact).sum }
+    val expected = daily.groupBy(_._1._1).flatMap { case (t, m) =>
+      val days = m.toSeq.map { case ((_, d), c) => (d, c) }.sortBy(_._1)
+      var e = 0L
+      val folded = days.zipWithIndex.map { case ((d, x), i) =>
+        e = if (i == 0) x else (x + 3 * e) / 4
+        (t, d) -> ((x, e))
+      }
+      folded.dropRight(1) // final day still open in state
+    }
+    assert(streamed === expected,
+      "completed-day streamed ewma must equal the batch recursion")
+    assert(streamed.nonEmpty)
+  }
+
   test("late data past the watermark is dropped AND the drop is observable in progress metrics") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
