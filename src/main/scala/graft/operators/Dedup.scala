@@ -689,17 +689,26 @@ object Dedup {
     * surviving docs with their residual degree. */
   def kcore(spark: SparkSession, dir: String, k: Int = 2,
     rounds: Int = 4): DataFrame = {
-    var alive = minhashPairs(spark, dir).persist()
+    // Re-base every round on its computed RDD (the dedupClusters /
+    // star-CC discipline): each round's plan references the survivor
+    // edge set several times (two degree legs + two semi filters), and
+    // without the flat lineage those references — especially the
+    // broadcast subplans of the semi joins — re-executed the whole
+    // band-join chain per round (bench: 125 s; rebased: seconds).
+    def rebase(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema)
+    var alive = rebase(minhashPairs(spark, dir)).persist()
+    alive.count() // one action per round, lineage never deepens
     for (_ <- 1 to rounds) {
       val deg = alive.select(col("doc_a").as("id"))
         .unionByName(alive.select(col("doc_b").as("id")))
         .groupBy("id").agg(count(lit(1)).as("deg"))
       val keep = deg.filter(col("deg") >= k).select("id")
-      val next = alive
+      val next = rebase(alive
         .join(keep.select(col("id").as("doc_a")), Seq("doc_a"), "semi")
-        .join(keep.select(col("id").as("doc_b")), Seq("doc_b"), "semi")
+        .join(keep.select(col("id").as("doc_b")), Seq("doc_b"), "semi"))
         .persist()
-      next.count() // materialize before unpersisting the parent lineage
+      next.count() // materialize before unpersisting the parent
       alive.unpersist()
       alive = next
     }
