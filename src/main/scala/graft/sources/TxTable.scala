@@ -927,6 +927,54 @@ object TxTable {
     root
   }
 
+  /** Partition-clustered append: hive-style `partitionBy` layout
+    * lifted into the snapshot — ONE commit entry per partition
+    * directory, each with exact single-value stats on the partition
+    * column (plus any extra `statsCols` computed per dir). This is
+    * the layout that makes the DML triage maximal: a partition-
+    * bounded `deleteWhere(rangesExact = true)` drops whole partitions
+    * as pure metadata, and partition-bounded reads prune to exactly
+    * the matching dirs — the classic date-partitioned warehouse
+    * table. The partition column must be integral (stats are integer
+    * ranges); values are read back from the directory names Spark
+    * writes, so the entry stats can never disagree with the data. */
+  def appendPartitioned(df: DataFrame, root: String, partCol: String,
+    statsCols: Seq[String] = Seq.empty): Int = {
+    val spark = df.sparkSession
+    val (fs, rp) = fsFor(spark, root)
+    require(df.schema.exists(f => f.name == partCol &&
+      (f.dataType == org.apache.spark.sql.types.LongType ||
+        f.dataType == org.apache.spark.sql.types.IntegerType ||
+        f.dataType == org.apache.spark.sql.types.ShortType)),
+      s"txtable: partition column '$partCol' must be an integral column")
+    val baseDir = s"data/append-${java.util.UUID.randomUUID()}"
+    // One self-contained dir per partition VALUE, written explicitly so
+    // the partition column stays IN the files (hive-style partitionBy
+    // strips it into the path, which would vanish under the snapshot
+    // reader's plain per-dir scans). The distinct-value readback is a
+    // partition-cardinality driver action — dates/buckets, not rows —
+    // the same bounded-metadata class as the compaction listings.
+    val values = df.select(col(partCol).cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    require(values.nonEmpty, "txtable: partitioned append of empty frame")
+    val cached = df.persist()
+    val entries = values.map { v =>
+      val dirName = s"$baseDir/$partCol=$v"
+      cached.filter(col(partCol) === v).write.mode("overwrite")
+        .parquet(new Path(rp, dirName).toString)
+      val extra = dirStats(spark, rp, dirName, statsCols)
+      Entry(isDelta = false, dirName, extra + (partCol -> (v, v)))
+    }.toSeq
+    cached.unpersist()
+    commitRetry(spark, root) { prevV =>
+      val prev = snapshotLines(fs, rp, prevV)
+      val statsHdr =
+        if (prev.exists(_.startsWith("statscol:"))) None
+        else Some(s"statscol:${(partCol +: statsCols).mkString(",")}")
+      ("append", statsHdr.toSeq ++ prev ++ entries.map(_.line))
+    }
+  }
+
   /** Copy-on-write row-level UPDATE (`UPDATE t SET c = expr WHERE …`):
     * the same stats triage as `deleteWhere` — disjoint dirs carry over
     * by name unopened, no-match dirs carry over after one count, and

@@ -1038,6 +1038,36 @@ class TxTableSpec extends SparkSpec {
     assert(commitText(root, 4).contains(dirs(1)))
   }
 
+  test("appendPartitioned: per-partition entries; a partition delete is pure metadata") {
+    import spark.implicits._
+    val root = tmpDir() + "/tx-part"
+    val df = (0 until 40).map(i => (i.toLong % 4, i.toLong, s"r$i"))
+      .toDF("p", "k", "s")
+    TxTable.appendPartitioned(df, root, "p")
+    val c1 = commitText(root, 1)
+    assert("dir:(data/[^|\n]+)".r.findAllMatchIn(c1).size === 4,
+      "one snapshot entry per partition value")
+    assert(TxTable.read(spark, root).count() === 40)
+    // the partition column survives in the files
+    assert(TxTable.read(spark, root).select("p").distinct().count() === 4)
+    // partition-bounded delete with exact ranges: the p=2 dir drops
+    // from the snapshot without any rewrite (no new data dir appears)
+    val dirsBefore = "dir:(data/[^|\n]+)".r.findAllMatchIn(c1)
+      .map(_.group(1)).toSet
+    TxTable.deleteWhere(spark, root, "p = 2",
+      Map("p" -> (2L, 2L)), rangesExact = true)
+    val c2 = commitText(root, 2)
+    val dirsAfter = "dir:(data/[^|\n]+)".r.findAllMatchIn(c2)
+      .map(_.group(1)).toSet
+    assert(dirsAfter === dirsBefore.filterNot(_.contains("p=2")),
+      "partition delete must drop exactly the covered dir, rewriting none")
+    assert(TxTable.read(spark, root).filter(col("p") === 2).count() === 0)
+    assert(TxTable.read(spark, root).count() === 30)
+    // bounded reads prune to the matching partition dirs
+    val pruned = TxTable.read(spark, root, colRanges = Map("p" -> (1L, 1L)))
+    assert(pruned.count() === 10)
+  }
+
   test("deleteWhere refuses un-compacted MoR snapshots") {
     import spark.implicits._
     val root = tmpDir() + "/tx-del-mor"
