@@ -2130,6 +2130,34 @@ object Oracles {
          |  row_number() OVER (ORDER BY pr DESC, v) rnk FROM p5""".stripMargin
     },
 
+    // HITS over the bipartite source↔fingerprint graph: q40 integer
+    // renormalized mutual recursion, 3 unrolled rounds (HUGEINT sums
+    // ≡ Spark's decimal(38,0))
+    "q_hits" -> {
+      val S = "1099511627776"
+      def round(i: Int): String =
+        s"""ar$i AS (SELECT g, sum(cast(h${i - 1}.hs AS HUGEINT)) araw
+           |  FROM gr JOIN h${i - 1} USING (source) GROUP BY 1),
+           |as$i AS (SELECT sum(araw) asum FROM ar$i),
+           |au$i AS (SELECT g, cast(($S * araw) // asum AS BIGINT) au
+           |  FROM ar$i, as$i),
+           |hr$i AS (SELECT source, sum(cast(au AS HUGEINT)) hraw
+           |  FROM gr JOIN au$i USING (g) GROUP BY 1),
+           |hs$i AS (SELECT sum(hraw) hsum FROM hr$i),
+           |h$i AS (SELECT source, cast(($S * hraw) // hsum AS BIGINT) hs
+           |  FROM hr$i, hs$i)""".stripMargin
+      s"""WITH nt AS (SELECT source, string_split($norm, ' ') tk FROM documents),
+         |ix AS (SELECT source, tk,
+         |  unnest(generate_series(1, greatest(len(tk) - 7, 1))) i FROM nt),
+         |gr AS (SELECT DISTINCT source, substring(md5(concat_ws(' ', tk[i],
+         |  tk[i+1], tk[i+2], tk[i+3], tk[i+4], tk[i+5], tk[i+6], tk[i+7])),
+         |  1, 16) g FROM ix),
+         |h0 AS (SELECT DISTINCT source, cast(1 AS BIGINT) hs FROM gr),
+         |${(1 to 3).map(round).mkString(",\n")}
+         |SELECT source, hs AS hub_q40,
+         |  row_number() OVER (ORDER BY hs DESC, source) rnk FROM h3""".stripMargin
+    },
+
     // k-core peeling, 4 unrolled rounds at k=2 over the minhash-band
     // candidate graph; survivors + residual degree. Every e_i is
     // MATERIALIZED: each round references its parent 4× (two degree

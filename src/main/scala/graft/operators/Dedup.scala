@@ -677,6 +677,50 @@ object Dedup {
         row_number().over(Window.orderBy(col("pr_q40").desc, col("source"))))
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999) over the BIPARTITE
+    * source ↔ span-fingerprint graph (the same edge base as the
+    * PageRank domain ranking, kept two-mode instead of projected):
+    * authoritative fingerprints are spans carried by strong sources,
+    * strong sources carry authoritative spans. The mutually-recursive
+    * iteration is exact in q40 fixed point: raw scores are BIGINT
+    * sums, each round renormalizes by the round's own total via
+    * integer division (decimal(38,0)/HUGEINT sums, so 10¹²-edge
+    * graphs can't overflow) — bitwise identical in both engines.
+    * Plan: the corpus is read once into the distinct edge table; each
+    * of the 3 unrolled rounds is two keyed joins + two node-scale
+    * aggregates + a 1-row broadcast total. Output: per-source hub
+    * scores with rank. */
+  def hits(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    val S = 1099511627776L // 2^40
+    val grams = Tables.documents(spark, dir)
+      .select(col("source"), split(expr(TextOps.normExpr), " ").as("tk"))
+      .select(col("source"), explode(expr(TextOps.ngramExpr(8))).as("g0"))
+      .select(col("source"),
+        expr("substring(md5(cast(g0 as binary)), 1, 16)").as("g"))
+      .distinct().persist()
+    var hub = grams.select(col("source")).distinct()
+      .withColumn("hs", lit(1L))
+    for (_ <- 1 to iters) {
+      val araw = grams.join(hub, "source")
+        .groupBy("g").agg(sum(col("hs").cast("decimal(38,0)")).as("araw"))
+      val asum = araw.agg(sum("araw").as("asum"))
+      val auth = araw.crossJoin(broadcast(asum))
+        .select(col("g"),
+          expr(s"cast((cast($S as decimal(38,0)) * araw) div asum as bigint)")
+            .as("au"))
+      val hraw = grams.join(auth, "g")
+        .groupBy("source").agg(sum(col("au").cast("decimal(38,0)")).as("hraw"))
+      val hsum = hraw.agg(sum("hraw").as("hsum"))
+      hub = hraw.crossJoin(broadcast(hsum))
+        .select(col("source"),
+          expr(s"cast((cast($S as decimal(38,0)) * hraw) div hsum as bigint)")
+            .as("hs"))
+    }
+    hub.select(col("source"), col("hs").as("hub_q40"))
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("hub_q40").desc, col("source"))))
+  }
+
   /** k-core peeling over the near-dup candidate graph — the density
     * filter run before expensive cluster adjudication: nodes that
     * survive `rounds` rounds of "drop everything with degree < k"

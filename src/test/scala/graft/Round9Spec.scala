@@ -126,6 +126,18 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  test("hits: normalized q40 mass, rank permutation, hubs subset of sources") {
+    val h = Dedup.hits(spark, sfDir).collect()
+    assert(h.nonEmpty)
+    assert(h.map(_.getInt(2)).sorted.sameElements(1 to h.length))
+    // renormalization caps total mass at S with only truncation loss
+    val mass = h.map(_.getLong(1)).sum.toDouble / (1L << 40).toDouble
+    assert(mass > 0.9 && mass <= 1.0 + 1e-9, s"mass=$mass")
+    val sources = Tables.documents(spark, sfDir)
+      .select("source").distinct().collect().map(_.getString(0)).toSet
+    assert(h.map(_.getString(0)).forall(sources))
+  }
+
   test("compression ratio: bounded, deterministic, and monotone under repetition") {
     val rows = TextOps.compressionRatio(spark, sfDir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
