@@ -698,23 +698,35 @@ object Dedup {
       .select(col("source"),
         expr("substring(md5(cast(g0 as binary)), 1, 16)").as("g"))
       .distinct().persist()
-    var hub = grams.select(col("source")).distinct()
-      .withColumn("hs", lit(1L))
+    // Rebase each round on its computed RDD (the kcore/CC discipline):
+    // the 1-row total broadcasts execute their subplan as separate
+    // jobs, so without flat lineage round i re-runs round i-1's whole
+    // chain twice — 2^iters blowup (measured 42 s at sf0.1; rebased:
+    // seconds).
+    def rebase(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema).persist()
+    var hub = rebase(grams.select(col("source")).distinct()
+      .withColumn("hs", lit(1L)))
+    hub.count()
     for (_ <- 1 to iters) {
       val araw = grams.join(hub, "source")
         .groupBy("g").agg(sum(col("hs").cast("decimal(38,0)")).as("araw"))
       val asum = araw.agg(sum("araw").as("asum"))
-      val auth = araw.crossJoin(broadcast(asum))
+      val auth = rebase(araw.crossJoin(broadcast(asum))
         .select(col("g"),
           expr(s"cast((cast($S as decimal(38,0)) * araw) div asum as bigint)")
-            .as("au"))
+            .as("au")))
+      auth.count()
       val hraw = grams.join(auth, "g")
         .groupBy("source").agg(sum(col("au").cast("decimal(38,0)")).as("hraw"))
       val hsum = hraw.agg(sum("hraw").as("hsum"))
-      hub = hraw.crossJoin(broadcast(hsum))
+      val prev = hub
+      hub = rebase(hraw.crossJoin(broadcast(hsum))
         .select(col("source"),
           expr(s"cast((cast($S as decimal(38,0)) * hraw) div hsum as bigint)")
-            .as("hs"))
+            .as("hs")))
+      hub.count()
+      prev.unpersist(); auth.unpersist()
     }
     hub.select(col("source"), col("hs").as("hub_q40"))
       .withColumn("rnk",
