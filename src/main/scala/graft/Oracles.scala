@@ -2082,6 +2082,23 @@ object Oracles {
         |WHERE (1000000 * cab) // n_baskets >= 5000
         |  AND (1000000 * cab) // ca.c >= 100000""".stripMargin,
 
+    // winsorized revenue: clamp to the exact discrete [p01, p99] band
+    "q_winsorize" ->
+      """WITH ev AS (SELECT event_type,
+        |    cast(cast(value AS DECIMAL(18,2)) * 100 AS BIGINT) cents FROM events),
+        |b AS (SELECT event_type, quantile_disc(cents, 0.01) lo,
+        |             quantile_disc(cents, 0.99) hi FROM ev GROUP BY 1)
+        |SELECT event_type, count(*) n, cast(sum(cents) AS BIGINT) raw_cents,
+        |  cast(sum(least(greatest(cents, lo), hi)) AS BIGINT) winsor_cents
+        |FROM ev JOIN b USING (event_type) GROUP BY 1""".stripMargin,
+
+    // per-group mode with lexicographic tiebreak
+    "q_mode" ->
+      """WITH c AS (SELECT p_brand, p_type, count(*) c FROM part GROUP BY 1, 2),
+        |r AS (SELECT p_brand, p_type, c, row_number()
+        |  OVER (PARTITION BY p_brand ORDER BY c DESC, p_type) rn FROM c)
+        |SELECT p_brand, p_type AS mode_type, c FROM r WHERE rn = 1""".stripMargin,
+
     // integer EWMA (α=1/4 dyadic): e1 = x1, e_i = (x_i + 3e) // 4 —
     // replayed as a recursive CTE stepping the per-type day index
     // (values are positive cents, so trunc-div ≡ floor-div)

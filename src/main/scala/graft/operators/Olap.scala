@@ -599,6 +599,49 @@ object Olap {
         col("valid_from"), col("valid_to"))
   }
 
+  /** Winsorized aggregates — the robust-stats report: per-type revenue
+    * with values clamped to the exact discrete [p01, p99] band, so a
+    * handful of outliers can't swamp a mean. Exact integer cents and
+    * `percentile_disc` thresholds (an actual data value, not an
+    * interpolation — bitwise portable, proven by q_percentiles), so
+    * raw and winsorized sums hash-gate. Plan: one tiny per-type
+    * threshold aggregate broadcast back against the scan — the event
+    * stream shuffles once for the final aggregate only. */
+  def winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"),
+        col("value").cast("decimal(18,2)").multiply(100).cast("bigint").as("cents"))
+    // percentile_disc picks an actual data value but types it double —
+    // cast straight back to the exact bigint it is
+    val bounds = ev.groupBy("event_type")
+      .agg(
+        expr("cast(percentile_disc(0.01) WITHIN GROUP (ORDER BY cents) as bigint)")
+          .as("lo"),
+        expr("cast(percentile_disc(0.99) WITHIN GROUP (ORDER BY cents) as bigint)")
+          .as("hi"))
+    ev.join(broadcast(bounds), "event_type")
+      .select(col("event_type"), col("cents"),
+        least(greatest(col("cents"), col("lo")), col("hi")).as("w"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("raw_cents"),
+        sum("w").as("winsor_cents"))
+  }
+
+  /** Per-group mode (most frequent value, deterministic tiebreak):
+    * the modal container per brand — the categorical summary next to
+    * the numeric percentiles. Two combiner-backed aggregates + one
+    * group-cardinality window; ties break to the lexicographically
+    * smallest value so both engines agree. */
+  def modePerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = Tables.part(spark, dir)
+      .groupBy("p_brand", "p_type").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("p_brand")
+      .orderBy(col("c").desc, col("p_type"))
+    cnt.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("p_brand"), col("p_type").as("mode_type"), col("c"))
+  }
+
   /** Exponentially-weighted moving average of daily revenue per
     * event type — the time-series smoothing report, in EXACT integer
     * arithmetic so it hash-gates: e₁ = x₁, eᵢ = (xᵢ + 3·eᵢ₋₁) div 4

@@ -126,6 +126,41 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  test("winsorize: clamped sum sits inside the [n*lo, n*hi] band and moves toward it") {
+    val rows = Olap.winsorize(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        col("value").cast("decimal(18,2)").multiply(100).cast("bigint").as("c"))
+    rows.foreach { r =>
+      val (t, n, raw, w) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val vals = ev.filter(col("event_type") === t).collect()
+        .map(_.getLong(1)).sorted
+      assert(n === vals.length && raw === vals.sum)
+      // winsorized values stay within the observed value range bounds
+      assert(w >= n * vals.min && w <= n * vals.max)
+      // clamping only moves mass inward: per-type winsorized mean is
+      // between the raw min and max
+      assert(w / n >= vals.min && w / n <= vals.max)
+    }
+  }
+
+  test("mode: one row per brand carrying that brand's true max count") {
+    val m = Olap.modePerGroup(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val brands = Tables.part(spark, sfDir).select("p_brand").distinct().count()
+    assert(m.length === brands)
+    val cnt = Tables.part(spark, sfDir)
+      .groupBy("p_brand", "p_type").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    m.foreach { case (b, t, c) =>
+      assert(cnt((b, t)) === c)
+      val maxC = cnt.filter(_._1._1 == b).values.max
+      assert(c === maxC, s"brand $b mode count $c != max $maxC")
+    }
+  }
+
   test("hits: normalized q40 mass, rank permutation, hubs subset of sources") {
     val h = Dedup.hits(spark, sfDir).collect()
     assert(h.nonEmpty)
