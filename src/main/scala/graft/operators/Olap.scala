@@ -645,8 +645,10 @@ object Olap {
   /** Exponentially-weighted moving average of daily revenue per
     * event type — the time-series smoothing report, in EXACT integer
     * arithmetic so it hash-gates: e₁ = x₁, eᵢ = (xᵢ + 3·eᵢ₋₁) div 4
-    * (α = 1/4 as a dyadic rational; truncating integer recursion is
-    * deterministic where float pow(1-α, k) closed forms are not).
+    * (α = 1/4 as a dyadic rational; integer recursion is deterministic
+    * where float pow(1-α, k) closed forms are not). div is FLOOR
+    * division (Math.floorDiv), matching DuckDB's `//` for negative
+    * (refund-heavy) daily sums too, not just the positive common case.
     * The recursion is inherently ordered, so this is the reference's
     * secondary-sort reduce shape done Spark-natively: one daily
     * aggregate (combiner-backed), then a per-type sorted fold via
@@ -665,7 +667,10 @@ object Olap {
       .flatMapGroups { (typ, rows) =>
         var e = 0L
         rows.toSeq.sortBy(_._2).zipWithIndex.map { case ((_, day, x), i) =>
-          e = if (i == 0) x else (x + 3 * e) / 4
+          // floorDiv, not /: DuckDB's // floors, Scala / truncates
+          // toward zero — they disagree on negative (refund-heavy)
+          // daily sums, and the recursion would diverge from the oracle
+          e = if (i == 0) x else Math.floorDiv(x + 3 * e, 4)
           (typ, day, x, e)
         }.iterator
       }

@@ -831,8 +831,12 @@ object TxTable {
         else if (contained(e)) None
         else {
           val df = spark.read.parquet(new Path(rp, e.dir).toString)
-          // one pass decides: total survivors vs dir row count
-          val survivors = df.filter(s"NOT ($predSql)")
+          // one pass decides: total survivors vs dir row count.
+          // SQL DELETE removes only rows where the predicate is TRUE —
+          // NULL-pred rows survive, so the keep filter is IS NOT TRUE
+          // (plain NOT would silently delete NULLs), matching
+          // updateWhere's when(pred).otherwise(keep) semantics
+          val survivors = df.filter(s"($predSql) IS NOT TRUE")
           val nKeep = survivors.count()
           val nAll = e.stats.get(rowsKey).map(_._1)
             .getOrElse(df.count())
@@ -954,8 +958,16 @@ object TxTable {
     // reader's plain per-dir scans). The distinct-value readback is a
     // partition-cardinality driver action — dates/buckets, not rows —
     // the same bounded-metadata class as the compaction listings.
-    val values = df.select(col(partCol).cast("long")).distinct()
-      .collect().map(_.getLong(0)).sorted
+    // NULLs can't address a `$partCol=v` dir and would never match the
+    // per-value equality filter below (silent row loss) — and getLong
+    // on a null Row field NPEs opaquely. Fail loudly instead.
+    val distinctVals = df.select(col(partCol).cast("long")).distinct()
+      .collect()
+    require(!distinctVals.exists(_.isNullAt(0)),
+      s"txtable: partition column '$partCol' contains NULLs — " +
+        "partitioned appends need a total partition assignment; " +
+        "coalesce NULLs to a sentinel value first")
+    val values = distinctVals.map(_.getLong(0)).sorted
     require(values.nonEmpty, "txtable: partitioned append of empty frame")
     val cached = df.persist()
     val entries = values.map { v =>

@@ -201,7 +201,7 @@ class StreamsSpec extends SparkSpec {
       val days = m.toSeq.map { case ((_, d), c) => (d, c) }.sortBy(_._1)
       var e = 0L
       val folded = days.zipWithIndex.map { case ((d, x), i) =>
-        e = if (i == 0) x else (x + 3 * e) / 4
+        e = if (i == 0) x else Math.floorDiv(x + 3 * e, 4)
         (t, d) -> ((x, e))
       }
       folded.dropRight(1) // final day still open in state
@@ -209,6 +209,26 @@ class StreamsSpec extends SparkSpec {
     assert(streamed === expected,
       "completed-day streamed ewma must equal the batch recursion")
     assert(streamed.nonEmpty)
+  }
+
+  test("ewma floors (not truncates) on negative daily sums, matching DuckDB //") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Streams.Event]
+    // day1 sums to -101 cents, day2 to 50; e2 = floorDiv(50 + 3*(-101), 4)
+    // = floorDiv(-253, 4) = -64 — truncation would emit -63
+    input.addData(
+      Streams.Event(1, Timestamp.valueOf("2024-01-01 01:00:00"), 1, "t", -1.01),
+      Streams.Event(2, Timestamp.valueOf("2024-01-02 01:00:00"), 1, "t", 0.50),
+      Streams.Event(3, Timestamp.valueOf("2024-01-03 01:00:00"), 1, "t", 9.99))
+    val q = Streams.ewmaDaily(input.toDS())
+      .toDF("event_type", "day", "cents", "ewma_cents")
+      .writeStream.format("memory").queryName("ewma_neg")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("ewma_neg").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out === Set(("2024-01-01", -101L, -101L), ("2024-01-02", 50L, -64L)))
   }
 
   test("late data past the watermark is dropped AND the drop is observable in progress metrics") {

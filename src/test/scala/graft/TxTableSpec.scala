@@ -1068,6 +1068,43 @@ class TxTableSpec extends SparkSpec {
     assert(pruned.count() === 10)
   }
 
+  test("deleteWhere keeps NULL-predicate rows (SQL DELETE semantics)") {
+    import spark.implicits._
+    val root = tmpDir() + "/tx-del-null"
+    // v is nullable: rows 1/3 have NULL v, rows 2/4 have values
+    TxTable.append(Seq(
+      (1L, Option.empty[Double]), (2L, Some(5.0)),
+      (3L, Option.empty[Double]), (4L, Some(50.0))).toDF("k", "v"), root)
+    // DELETE WHERE v > 10 removes only row 4 — the NULL-v rows must
+    // survive (pred evaluates NULL, not TRUE), matching DuckDB/ANSI
+    TxTable.deleteWhere(spark, root, "v > 10")
+    assert(TxTable.read(spark, root).collect().map(_.getLong(0)).toSet
+      === Set(1L, 2L, 3L))
+    // a dir whose rows ALL have NULL pred is a no-match carry-over:
+    // same dir name survives in the commit, no rewrite staged
+    val root2 = tmpDir() + "/tx-del-null2"
+    TxTable.append(Seq((1L, Option.empty[Double]),
+      (2L, Option.empty[Double])).toDF("k", "v"), root2)
+    val before = commitText(root2, 1)
+    TxTable.deleteWhere(spark, root2, "v > 10")
+    assert(commitText(root2, 2).contains(
+      "dir:(data/[^|\n]+)".r.findFirstMatchIn(before).get.group(1)),
+      "all-NULL-pred dir must carry over by name, not rewrite")
+    assert(TxTable.read(spark, root2).count() === 2)
+  }
+
+  test("appendPartitioned rejects NULL partition values loudly") {
+    import spark.implicits._
+    val root = tmpDir() + "/tx-part-null"
+    val df = Seq((Some(1L), 10L), (Option.empty[Long], 20L))
+      .toDF("p", "k")
+    val e = intercept[IllegalArgumentException] {
+      TxTable.appendPartitioned(df, root, "p")
+    }
+    assert(e.getMessage.contains("NULL"),
+      "error must name the NULL-partition cause")
+  }
+
   test("deleteWhere refuses un-compacted MoR snapshots") {
     import spark.implicits._
     val root = tmpDir() + "/tx-del-mor"
