@@ -705,25 +705,33 @@ object TextOps {
     * at vocabulary scale, never corpus scale. */
   def textrank(spark: SparkSession, dir: String, iters: Int = 5): DataFrame = {
     val S = 1099511627776L // 2^40
-    val toks = Tables.documents(spark, dir)
-      .select(split(expr(normExpr), " ").as("tk"))
-    val pairs = toks.filter(size(col("tk")) >= 2)
-      .select(explode(expr(
-        """transform(sequence(1, size(tk) - 1),
-          |  i -> struct(try_element_at(tk, i) as x, try_element_at(tk, i + 1) as y))"""
-          .stripMargin)).as("p"))
-      .select(col("p.x"), col("p.y"))
-      .filter(col("x") =!= "" && col("y") =!= "" && col("x") =!= col("y"))
-    val und = pairs
-      .select(least(col("x"), col("y")).as("u"), greatest(col("x"), col("y")).as("v"))
-      .groupBy("u", "v").agg(count(lit(1)).as("w"))
-    val edges = und
-      .unionByName(und.select(col("v").as("u"), col("u").as("v"), col("w")))
-    val strength = edges.groupBy("u").agg(sum("w").as("s"))
-    val ews = edges.join(strength, "u").persist()
-    val nodes = Tables.documents(spark, dir)
-      .select(explode(split(expr(normExpr), " ")).as("v"))
-      .filter(col("v") =!= "").distinct().persist()
+    // word-adjacency edge list + strength as a persisted artifact
+    // (the graph-family scratchRelation discipline): the corpus-scale
+    // explode runs once per input, iterations run against the artifact
+    val ews = Dedup.scratchRelation(spark, "wordedges", dir) {
+      val toks = Tables.documents(spark, dir)
+        .select(split(expr(normExpr), " ").as("tk"))
+      val pairs = toks.filter(size(col("tk")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(tk) - 1),
+            |  i -> struct(try_element_at(tk, i) as x, try_element_at(tk, i + 1) as y))"""
+            .stripMargin)).as("p"))
+        .select(col("p.x"), col("p.y"))
+        .filter(col("x") =!= "" && col("y") =!= "" && col("x") =!= col("y"))
+      val und = pairs
+        .select(least(col("x"), col("y")).as("u"),
+          greatest(col("x"), col("y")).as("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("w"))
+      val edges = und
+        .unionByName(und.select(col("v").as("u"), col("u").as("v"), col("w")))
+      val strength = edges.groupBy("u").agg(sum("w").as("s"))
+      edges.join(strength, "u")
+    }.persist()
+    val nodes = Dedup.scratchRelation(spark, "wordnodes", dir) {
+      Tables.documents(spark, dir)
+        .select(explode(split(expr(normExpr), " ")).as("v"))
+        .filter(col("v") =!= "").distinct()
+    }.persist()
     val n = nodes.count() // vocabulary-scale 1-row readback
     val base = 15L * S / (100L * n)
     var pr = nodes.select(col("v"), lit(S / n).as("pr"))
@@ -737,8 +745,11 @@ object TextOps {
           (lit(base) + expr("(85 * coalesce(agg, cast(0 as bigint))) div 100"))
             .as("pr"))
     }
-    pr.select(col("v").as("word"), col("pr").as("pr_q40"))
-      .withColumn("rnk",
-        row_number().over(Window.orderBy(col("pr_q40").desc, col("word"))))
+    // distributed final rank over the vocabulary: globalRank range-
+    // partitions instead of collapsing every word into one task
+    Relational.globalRank(
+      pr.select(col("v").as("word"), col("pr").as("pr_q40")),
+      32, col("pr_q40").desc, col("word"))
+      .withColumnRenamed("rn", "rnk")
   }
 }
