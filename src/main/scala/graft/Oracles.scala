@@ -549,6 +549,18 @@ object Oracles {
        |mh AS (SELECT doc_id, k, min(md5(k || ':' || s)) mh FROM ks GROUP BY 1, 2),
        |band AS (SELECT doc_id, k // 3 band, md5(string_agg(mh, '' ORDER BY k)) sig FROM mh GROUP BY 1, 2)""".stripMargin
 
+  /** Stage a replay: mark the named CTEs MATERIALIZED so DuckDB
+    * computes each once instead of re-inlining its whole upstream
+    * chain at every reference. The deep multi-stage oracles
+    * (dedup cascade, residual IVF-PQ) reference mid-stage CTEs 2-3
+    * times each; default inlining re-evaluates the full prefix per
+    * reference, which exhausted oracle RAM at the sf1 rung. Purely a
+    * replay-plan hint — results are identical. */
+  private def materialize(sql: String, ctes: String*): String =
+    ctes.foldLeft(sql) { (s, c) =>
+      s.replaceAll(s"\\b$c AS \\(", s"$c AS MATERIALIZED (")
+    }
+
   private def simhashBitsSql(divOp: (Int) => String): String =
     (0 until 32).map { j =>
       val p = j / 4 + 1
@@ -619,7 +631,7 @@ object Oracles {
 
     // the staged cascade: each stage sees only the previous stage's
     // survivors, so every doc is charged to the cheapest catching stage
-    "q_dedup_cascade" ->
+    "q_dedup_cascade" -> materialize(
       s"""$minhashCte,
          |hx AS (SELECT doc_id, md5(text) h FROM documents),
          |km AS (SELECT h, min(doc_id) keep_id FROM hx GROUP BY h),
@@ -645,6 +657,7 @@ object Oracles {
          |UNION ALL SELECT doc_id, 'semantic' FROM sem
          |UNION ALL SELECT doc_id, 'keep' FROM s2
          |  WHERE doc_id NOT IN (SELECT doc_id FROM sem)""".stripMargin,
+      "band", "hx", "km", "s1", "b1", "nr", "s2", "nv", "sem"),
 
     "q_dedup_minhash_pairs" ->
       s"""$minhashCte
@@ -1146,7 +1159,7 @@ object Oracles {
     // residual IVF-PQ: PQ over v − centroid(cell(v)); every distance
     // decomposes to element-level integer arithmetic, so no list ops —
     // subvector d² is a GROUP BY over (i-1)//16
-    "q_ann_ivfpq_res" ->
+    "q_ann_ivfpq_res" -> materialize(
       s"""$quantCte,
          |ccent AS (SELECT vec_id cid, q qc, n2 n2c FROM n WHERE vec_id < 16),
          |ar AS (SELECT n.vec_id, ccent.cid,
@@ -1182,6 +1195,7 @@ object Oracles {
          |  SELECT probe_id, nbr_id, cast(approx_d2 AS BIGINT) approx_d2,
          |    row_number() OVER (PARTITION BY probe_id ORDER BY approx_d2, nbr_id) rk
          |  FROM scr) t WHERE rk <= 5""".stripMargin,
+      "q", "n", "crk", "qe", "rese", "fce"),
 
     "q_ann_pq_recall" ->
       s"""$quantCte,
@@ -1758,29 +1772,15 @@ object Oracles {
 
     // one UNION ALL branch per column, mirroring the one-pass wide
     // aggregate; min/max normalized identically (decimal for doubles,
-    // formatted timestamps)
-    "q_profile" ->
-      """SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
-        |  count(*) - count(o_orderkey) AS n_null, count(DISTINCT o_orderkey) AS n_distinct,
-        |  cast(min(o_orderkey) AS VARCHAR) AS min_value, cast(max(o_orderkey) AS VARCHAR) AS max_value
-        |FROM orders
-        |UNION ALL
-        |SELECT 'o_custkey', count(*), count(*) - count(o_custkey), count(DISTINCT o_custkey),
-        |  cast(min(o_custkey) AS VARCHAR), cast(max(o_custkey) AS VARCHAR) FROM orders
-        |UNION ALL
-        |SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus), count(DISTINCT o_orderstatus),
-        |  min(o_orderstatus), max(o_orderstatus) FROM orders
-        |UNION ALL
-        |SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice), count(DISTINCT o_totalprice),
-        |  cast(cast(min(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
-        |  cast(cast(max(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) FROM orders
-        |UNION ALL
-        |SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate), count(DISTINCT o_orderdate),
-        |  strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S'),
-        |  strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') FROM orders
-        |UNION ALL
-        |SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority), count(DISTINCT o_orderpriority),
-        |  min(o_orderpriority), max(o_orderpriority) FROM orders""".stripMargin,
+    // formatted timestamps). n_distinct replays the KMV estimate the
+    // Spark side computes by default: distinct md5 of the PORTABLE
+    // rendering, 256th-smallest hash, (k-1)*2^32/uint32(kth) —
+    // identical double division in both engines.
+    "q_profile" -> profileSql(exact = false),
+
+    // the exact-multi-distinct variant (profile(exact = true)):
+    // plain count(DISTINCT) per column
+    "q_profile_exact" -> profileSql(exact = true),
 
     "q_dq_checks" ->
       """SELECT 'orders_pk_duplicates' AS check_name,
@@ -2199,6 +2199,46 @@ object Oracles {
          |GROUP BY 1""".stripMargin
     },
   )
+
+  /** q_profile / q_profile_exact oracle: one UNION ALL branch per
+    * orders column. `exact = false` replays the Spark side's default
+    * KMV distinct estimate — distinct md5 of the PORTABLE per-row
+    * rendering (decimal(18,2) for doubles, second-formatted
+    * timestamps, plain casts otherwise), 256th-smallest hash,
+    * (k-1)·2³² / uint32(kth prefix), identical IEEE division in both
+    * engines. `exact = true` is plain count(DISTINCT). */
+  private def profileSql(exact: Boolean): String = {
+    // (name, per-row render for hashing, min/max render template)
+    val cols = Seq(
+      ("o_orderkey", "cast(o_orderkey AS VARCHAR)",
+        (a: String) => s"cast($a AS VARCHAR)"),
+      ("o_custkey", "cast(o_custkey AS VARCHAR)",
+        (a: String) => s"cast($a AS VARCHAR)"),
+      ("o_orderstatus", "o_orderstatus", (a: String) => a),
+      ("o_totalprice", "cast(cast(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)",
+        (a: String) => s"cast(cast($a AS DECIMAL(18,2)) AS VARCHAR)"),
+      ("o_orderdate", "strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')",
+        (a: String) => s"strftime($a, '%Y-%m-%d %H:%M:%S')"),
+      ("o_orderpriority", "o_orderpriority", (a: String) => a))
+    val nib = Portable.uint32Sql("kth")
+    cols.map { case (name, render, mm) =>
+      val nd =
+        if (exact) s"count(DISTINCT $name)"
+        else
+          s"""(SELECT cast(floor(CASE WHEN n < 256 THEN cast(n AS DOUBLE)
+             |    ELSE (255.0 * 4294967296.0) / cast(greatest(1, $nib) AS DOUBLE) END) AS BIGINT)
+             |  FROM (SELECT count(*) n, max(CASE WHEN rn = 256 THEN h END) kth
+             |        FROM (SELECT h, row_number() OVER (ORDER BY h) rn
+             |              FROM (SELECT DISTINCT md5($render) h FROM orders
+             |                    WHERE $name IS NOT NULL) d) r) s)""".stripMargin
+      s"""SELECT '$name' AS column_name, count(*) AS n_rows,
+         |  count(*) - count($name) AS n_null,
+         |  $nd AS n_distinct,
+         |  ${mm(s"min($name)")} AS min_value,
+         |  ${mm(s"max($name)")} AS max_value
+         |FROM orders""".stripMargin
+    }.mkString("\nUNION ALL\n")
+  }
 
   def all: Map[String, String] =
     relational ++ text ++ dedup ++ similarity ++ annMultiProbe ++

@@ -29,26 +29,44 @@ object DataQuality {
     case _ => c.cast("string")
   }
 
+  /** Portable per-row string rendering as SQL text (the renderStat
+    * rules, usable inside a hash): what both engines agree on
+    * byte-for-byte, so md5-based sketches see identical inputs. */
+  private[graft] def renderSql(name: String, dt: DataType): String = dt match {
+    case DoubleType | FloatType =>
+      s"cast(cast($name as decimal(18,2)) as string)"
+    case TimestampType | TimestampNTZType =>
+      s"date_format($name, 'yyyy-MM-dd HH:mm:ss')"
+    case _ => s"cast($name as string)"
+  }
+
   /** Per-column statistics of `orders`: row count, null count,
     * distinct count, min and max, exploded to one row per column — the
     * stats table shape ANALYZE produces. EVERYTHING rides one
-    * aggregate over one table scan: Catalyst's
+    * aggregate over one table scan, and the distinct counts are KMV
+    * sketch ESTIMATES by default (`kmv_uniq` over the portable md5 of
+    * each column's rendered value): mergeable bounded state, one
+    * ordinary pass — the only plan shape that survives 100 TB.
+    * `exact = true` is the exact-multi-distinct variant: Catalyst's
     * RewriteDistinctAggregates plans the N distinct columns as a
-    * single Expand (each row fans out once per distinct group, null
-    * everywhere but its own column, so the shuffle carries narrow
-    * rows) — at 100 TB that is one pass over the data, where a
-    * scan-per-column ANALYZE would be |columns|+1 passes. When even
-    * the Expand shuffle is too much, the repo's ApproxDistinctRewrite
-    * (spark.graft.approxDistinct=true) swaps these countDistincts
-    * for mergeable KMV sketches with the same output shape — the
-    * documented 100 TB variant. */
-  def profile(spark: SparkSession, dir: String): DataFrame = {
+    * single Expand, which multiplies every row ×N through the
+    * shuffle — one scan instead of N+1, but an N× shuffle; measured
+    * 4.2× slower than the sketch path already at sf0.1, so it is the
+    * opt-in, not the default. Estimates are deterministic (k-th
+    * smallest md5) and replayed exactly by the DuckDB oracle. */
+  def profile(spark: SparkSession, dir: String,
+    exact: Boolean = false): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val df = Tables.orders(spark, dir)
     val fields = df.schema.fields.toSeq
     val aggs = count(lit(1)).as("__n") +: fields.flatMap { f =>
+      val nd =
+        if (exact) countDistinct(col(f.name))
+        else expr("cast(floor(kmv_uniq(md5(cast(" +
+          s"${renderSql(f.name, f.dataType)} as binary)), 256).est) as bigint)")
       Seq(
         count(col(f.name)).as(s"${f.name}__nn"),
-        countDistinct(col(f.name)).as(s"${f.name}__nd"),
+        nd.as(s"${f.name}__nd"),
         renderStat(min(col(f.name)), f.dataType).as(s"${f.name}__min"),
         renderStat(max(col(f.name)), f.dataType).as(s"${f.name}__max"))
     }

@@ -96,18 +96,30 @@ class ScaleSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
-  test("profile is ONE table scan: multi-distinct plans as a single Expand") {
+  test("profile is ONE table scan; default sketch path has NO Expand") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val plan = graft.operators.DataQuality.profile(spark, sfDir)
+      // default (KMV sketches): one scan, one ordinary aggregate —
+      // no Expand row multiplication through the shuffle
+      val sketchPlan = graft.operators.DataQuality.profile(spark, sfDir)
         .queryExecution.executedPlan
-      val scans = plan.collect {
+      val sketchScans = sketchPlan.collect {
         case f: org.apache.spark.sql.execution.FileSourceScanExec => f
       }
-      assert(scans.size === 1,
-        s"ANALYZE must read the table once, found ${scans.size} scans:\n$plan")
-      assert(plan.toString.contains("Expand"),
-        s"expected the multi-distinct Expand:\n$plan")
+      assert(sketchScans.size === 1,
+        s"ANALYZE must read the table once, found ${sketchScans.size} scans:\n$sketchPlan")
+      assert(!sketchPlan.toString.contains("Expand"),
+        s"sketch profile must not Expand (that's the exact variant):\n$sketchPlan")
+      // exact variant: still one scan, multi-distinct via a single Expand
+      val exactPlan = graft.operators.DataQuality
+        .profile(spark, sfDir, exact = true).queryExecution.executedPlan
+      val exactScans = exactPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(exactScans.size === 1,
+        s"exact ANALYZE must read the table once:\n$exactPlan")
+      assert(exactPlan.toString.contains("Expand"),
+        s"expected the multi-distinct Expand:\n$exactPlan")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
