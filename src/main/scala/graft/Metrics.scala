@@ -229,4 +229,181 @@ object Metrics {
       .toDF("slot", "query", "pool", "duration_ms", "failed", "rows",
         "shuffle_bytes")
   }
+
+  // --------------------------------------------------------------------
+  // Post-execution diagnosis — the vaidya analog (ref: src/contrib/
+  // vaidya/src/java/org/apache/hadoop/vaidya/postexdiagnosis/
+  // PostExPerformanceDiagnoser.java:1). The reference evaluates a set
+  // of DiagnosticTests over one job's counters/task statistics, each
+  // returning an impact in [0,1] judged against a threshold plus a
+  // prescription. Here the "job" is a Spark query, task statistics
+  // come from the public SparkListener API, and the rules are
+  // evaluated over the per-stage task table.
+  // --------------------------------------------------------------------
+
+  /** One task's footprint inside a stage. */
+  case class TaskStat(stageId: Int, job: String, durationMs: Long,
+    inputBytes: Long, shuffleReadBytes: Long, shuffleWriteBytes: Long,
+    spillBytes: Long, failed: Boolean)
+
+  /** Stage/task-level collector (the counter source vaidya's
+    * JobStatistics wraps): per finished task, duration and IO volumes,
+    * attributed to the submitting query via the job description the
+    * caller sets (`profiled` below). Pure listener — no hooks inside
+    * operators. */
+  class TaskProfiler extends org.apache.spark.scheduler.SparkListener {
+    private val stageJob = mutable.Map[Int, String]()
+    private val buf = mutable.ArrayBuffer[TaskStat]()
+
+    def tasks: Seq[TaskStat] = buf.synchronized(buf.toVector)
+    def clear(): Unit = buf.synchronized { buf.clear(); stageJob.clear() }
+
+    override def onStageSubmitted(
+      e: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+      buf.synchronized {
+        stageJob(e.stageInfo.stageId) = Option(e.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .getOrElse("")
+      }
+
+    override def onTaskEnd(
+      e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      val stat = TaskStat(
+        e.stageId,
+        buf.synchronized(stageJob.getOrElse(e.stageId, "")),
+        // duration throws on never-finished tasks (e.g. killed before
+        // launch completes) — record 0 rather than die in the listener
+        if (e.taskInfo.finishTime > 0) e.taskInfo.duration else 0L,
+        if (m == null) 0L else m.inputMetrics.bytesRead,
+        if (m == null) 0L else m.shuffleReadMetrics.totalBytesRead,
+        if (m == null) 0L else m.shuffleWriteMetrics.bytesWritten,
+        if (m == null) 0L
+        else m.memoryBytesSpilled + m.diskBytesSpilled,
+        !e.taskInfo.successful)
+      buf.synchronized { buf += stat }
+    }
+  }
+
+  def attachProfiler(spark: SparkSession): TaskProfiler = {
+    val p = new TaskProfiler
+    spark.sparkContext.addSparkListener(p)
+    p
+  }
+
+  def detachProfiler(spark: SparkSession, p: TaskProfiler): Unit =
+    spark.sparkContext.removeSparkListener(p)
+
+  /** Run `body` under a job description so the profiler attributes its
+    * stages to `name` (vaidya's per-job scoping). */
+  def profiled[T](spark: SparkSession, name: String)(body: => T): T = {
+    spark.sparkContext.setJobDescription(name)
+    try body finally spark.sparkContext.setJobDescription(null)
+  }
+
+  /** The per-stage task table the rules read: one row per stage with
+    * task-count, duration and IO distribution facts. Driver-side build
+    * over listener state — stage counts, not data rows. */
+  def stageTable(spark: SparkSession, p: TaskProfiler): DataFrame = {
+    import spark.implicits._
+    p.tasks.groupBy(t => (t.stageId, t.job)).toSeq.map {
+      case ((sid, job), ts) =>
+        val ok = ts.filterNot(_.failed)
+        val read = ok.map(t => t.inputBytes + t.shuffleReadBytes)
+        // busy tasks: fewest tasks covering >= 90% of the stage's read
+        // volume (BalancedReducePartitioning's busyReducers walk)
+        val totalRead = read.sum
+        val busy =
+          if (totalRead == 0) ok.size
+          else {
+            var acc = 0L
+            read.sortBy(-_).takeWhile { b =>
+              val need = acc < math.ceil(totalRead * 0.9).toLong
+              acc += b; need
+            }.size
+          }
+        (job, sid, ts.size.toLong, ts.count(_.failed).toLong, busy.toLong,
+          totalRead, ok.map(_.inputBytes).sum, ok.map(_.shuffleWriteBytes).sum,
+          ok.map(_.spillBytes).sum,
+          if (ok.isEmpty) 0L else ok.map(_.durationMs).max,
+          if (ok.isEmpty) 0L
+          else ok.map(_.durationMs).sorted.apply(ok.size / 2))
+    }.toDF("job", "stage_id", "n_tasks", "n_failed", "busy_tasks",
+      "read_bytes", "input_bytes", "shuffle_write_bytes", "spill_bytes",
+      "max_task_ms", "median_task_ms")
+  }
+
+  /** Evaluate the diagnostic rules over a stage table, one finding per
+    * (stage, rule) above threshold — impact in percent, with the
+    * evidence and the prescription (the DiagnosticTest contract).
+    * Rules (and their reference analogs):
+    *  - `skewed_partitioning`: 1 − busy/total read-heavy tasks
+    *    (BalancedReducePartitioning.java) — a few tasks hold ~all data.
+    *  - `disk_spill`: spill vs shuffle-write volume
+    *    (MapSideDiskSpill.java) — memory pressure in the sort path.
+    *  - `task_reexecution`: failed/total tasks
+    *    (MapsReExecutionImpact.java / ReducesReExecutionImpact.java).
+    *  - `shuffle_amplification`: shuffle written ≫ input read — the
+    *    shuffle-volume-vs-map-output signal.
+    *  - `tiny_partitions`: many tasks, trivial per-task volume —
+    *    scheduling overhead dominates.
+    * All expressed as one declarative query over the stage table, so
+    * diagnosis over a month of persisted traces distributes like any
+    * other analytics. */
+  def diagnose(stages: DataFrame, impactPctThreshold: Int = 50,
+    minTasks: Int = 8): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val s = stages
+    def finding(rule: String, impactPct: org.apache.spark.sql.Column,
+      evidence: org.apache.spark.sql.Column, advice: String) =
+      s.select(col("job"), col("stage_id"), lit(rule).as("rule"),
+        impactPct.cast("bigint").as("impact_pct"), evidence.as("evidence"),
+        lit(advice).as("advice"))
+    val skew = finding("skewed_partitioning",
+      when(col("n_tasks") >= minTasks && col("read_bytes") > 0,
+        lit(100) - col("busy_tasks") * 100 / col("n_tasks"))
+        .otherwise(lit(0)),
+      concat(col("busy_tasks"), lit(" of "), col("n_tasks"),
+        lit(" tasks hold 90% of "), col("read_bytes"), lit(" bytes")),
+      "repartition on a higher-cardinality key, salt the hot key, or " +
+        "enable AQE skew-join handling")
+    val spill = finding("disk_spill",
+      when(col("shuffle_write_bytes") + col("spill_bytes") > 0,
+        col("spill_bytes") * 100 /
+          (col("shuffle_write_bytes") + col("spill_bytes")))
+        .otherwise(lit(0)),
+      concat(col("spill_bytes"), lit(" bytes spilled vs "),
+        col("shuffle_write_bytes"), lit(" shuffled")),
+      "raise executor memory / spark.sql.shuffle.partitions so " +
+        "partitions fit, or pre-aggregate before the exchange")
+    val reexec = finding("task_reexecution",
+      when(col("n_tasks") > 0, col("n_failed") * 100 / col("n_tasks"))
+        .otherwise(lit(0)),
+      concat(col("n_failed"), lit(" of "), col("n_tasks"),
+        lit(" tasks failed and re-ran")),
+      "investigate task failures (OOM, bad node) — re-execution " +
+        "multiplies stage cost")
+    val amp = finding("shuffle_amplification",
+      when(col("input_bytes") > 0,
+        least(lit(100), (col("shuffle_write_bytes") - col("input_bytes"))
+          * 100 / col("input_bytes")))
+        .otherwise(lit(0)),
+      concat(col("shuffle_write_bytes"), lit(" bytes shuffled from "),
+        col("input_bytes"), lit(" bytes read")),
+      "aggregate or project before the shuffle (map-side combine), or " +
+        "broadcast the small side instead of exchanging the large one")
+    val tiny = finding("tiny_partitions",
+      when(col("n_tasks") >= minTasks &&
+        col("read_bytes") / col("n_tasks") < 1048576 &&
+        col("median_task_ms") < 50, lit(100).cast("bigint"))
+        .otherwise(lit(0)),
+      concat(col("n_tasks"), lit(" tasks over "), col("read_bytes"),
+        lit(" bytes — "), (col("read_bytes") / greatest(col("n_tasks"),
+          lit(1))), lit(" bytes/task")),
+      "coalesce to fewer partitions (or raise maxPartitionBytes) — " +
+        "per-task overhead dominates at this volume")
+    skew.unionByName(spill).unionByName(reexec).unionByName(amp)
+      .unionByName(tiny)
+      .filter(col("impact_pct") >= impactPctThreshold)
+  }
 }

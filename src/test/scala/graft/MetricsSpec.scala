@@ -122,4 +122,61 @@ class MetricsSpec extends SparkSpec {
       assert(h.count() >= 1)
     } finally Metrics.detach(spark, l)
   }
+
+  test("diagnose: an induced skewed shuffle trips the skew rule, a balanced one doesn't") {
+    import org.apache.spark.sql.functions._
+    val p = Metrics.attachProfiler(spark)
+    try {
+      // skewed: every row hashes to ONE of 32 shuffle partitions
+      Metrics.profiled(spark, "skewed_job") {
+        spark.range(200000).withColumn("k", lit(1L))
+          .repartition(32, col("k"))
+          .agg(sum("id")).collect()
+      }
+      // balanced control: uniform key, same shape
+      Metrics.profiled(spark, "balanced_job") {
+        spark.range(200000).withColumn("k", col("id") % 1024)
+          .repartition(32, col("k"))
+          .agg(sum("id")).collect()
+      }
+      // listener delivery is async — wait for both jobs' task events
+      assert(await(p.tasks.exists(t => t.job == "skewed_job" &&
+        t.shuffleReadBytes > 0) &&
+        p.tasks.exists(t => t.job == "balanced_job" && t.shuffleReadBytes > 0)))
+      val stages = Metrics.stageTable(spark, p)
+      val findings = Metrics.diagnose(stages).collect()
+      val skewHits = findings.filter(f =>
+        f.getString(2) == "skewed_partitioning")
+      assert(skewHits.exists(_.getString(0) == "skewed_job"),
+        s"skew rule must fire on the 1-hot-partition shuffle: " +
+          s"${findings.mkString("; ")}")
+      assert(!skewHits.exists(_.getString(0) == "balanced_job"),
+        s"skew rule must NOT fire on the uniform shuffle: " +
+          s"${skewHits.mkString("; ")}")
+      // each finding carries the DiagnosticTest contract: impact above
+      // threshold, evidence, and a prescription
+      val hit = skewHits.find(_.getString(0) == "skewed_job").get
+      assert(hit.getLong(3) >= 50 && hit.getString(4).nonEmpty &&
+        hit.getString(5).nonEmpty)
+    } finally Metrics.detachProfiler(spark, p)
+  }
+
+  test("diagnose: spill-free balanced work yields no findings at default thresholds") {
+    import org.apache.spark.sql.functions._
+    val p = Metrics.attachProfiler(spark)
+    try {
+      Metrics.profiled(spark, "clean_job") {
+        Tables.lineitem(spark, sfDir)
+          .groupBy("l_returnflag").agg(sum("l_quantity")).collect()
+      }
+      assert(await(p.tasks.exists(_.job == "clean_job")))
+      val findings = Metrics.diagnose(Metrics.stageTable(spark, p))
+        .filter(col("job") === "clean_job")
+        // tiny_partitions legitimately fires at sf0.001 volumes — the
+        // rule under test here is that skew/spill/reexec stay quiet
+        .filter(col("rule") =!= "tiny_partitions")
+        .collect()
+      assert(findings.isEmpty, findings.mkString("; "))
+    } finally Metrics.detachProfiler(spark, p)
+  }
 }
