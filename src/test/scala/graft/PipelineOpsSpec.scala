@@ -177,8 +177,8 @@ class PipelineOpsSpec extends SparkSpec {
     val base = 15L * s / (100L * n)
     assert(total <= s, s"mass $total exceeds the q40 scale")
     assert(pr.filter(col("pr_q40") < base).count() === 0L)
-    val ranks = pr.select("rnk").collect().map(_.getInt(0)).sorted
-    assert(ranks.toSeq === (1 to n.toInt), "rnk must be a permutation")
+    val ranks = pr.select("rnk").collect().map(_.getLong(0)).sorted
+    assert(ranks.toSeq === (1L to n), "rnk must be a permutation")
     val again = Dedup.sourceRank(spark, sfDir)
     assert(pr.except(again).count() === 0L && again.except(pr).count() === 0L)
   }

@@ -73,7 +73,7 @@ class Round9Spec extends SparkSpec {
   test("textrank: ranks are a permutation and mass stays near 2^40") {
     val tr = TextOps.textrank(spark, sfDir).collect()
     val n = tr.length
-    assert(tr.map(_.getInt(2)).sorted.sameElements(1 to n))
+    assert(tr.map(_.getLong(2)).sorted.sameElements(1L to n.toLong))
     // total q40 mass is conserved up to damping leakage + integer
     // truncation: sum stays within [0.5, 1.0] of the 2^40 unit pool
     val mass = tr.map(_.getLong(1)).sum.toDouble / (1L << 40).toDouble
@@ -164,7 +164,7 @@ class Round9Spec extends SparkSpec {
   test("hits: normalized q40 mass, rank permutation, hubs subset of sources") {
     val h = Dedup.hits(spark, sfDir).collect()
     assert(h.nonEmpty)
-    assert(h.map(_.getInt(2)).sorted.sameElements(1 to h.length))
+    assert(h.map(_.getLong(2)).sorted.sameElements(1L to h.length.toLong))
     // renormalization caps total mass at S with only truncation loss
     val mass = h.map(_.getLong(1)).sum.toDouble / (1L << 40).toDouble
     assert(mass > 0.9 && mass <= 1.0 + 1e-9, s"mass=$mass")
