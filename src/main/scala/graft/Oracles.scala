@@ -2240,9 +2240,119 @@ object Oracles {
     }.mkString("\nUNION ALL\n")
   }
 
+  val round9: Map[String, String] = Map(
+    // Holt's linear trend (double exponential smoothing), α = β = 1/2
+    // dyadic, floor division — the exact integer recursion twin of
+    // Olap.holt, replayed day-by-day via the recursive CTE
+    "q_holt" ->
+      """WITH RECURSIVE daily AS (SELECT event_type,
+        |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    cast(sum(cast(cast(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |         AS BIGINT) cents
+        |  FROM events GROUP BY 1, 2),
+        |ix AS (SELECT event_type, day, cents,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) i
+        |  FROM daily),
+        |h AS (SELECT event_type, day, cents, i, cents AS l,
+        |    cast(0 AS BIGINT) AS b FROM ix WHERE i = 1
+        |  UNION ALL
+        |  SELECT ix.event_type, ix.day, ix.cents, ix.i,
+        |    (ix.cents + h.l + h.b) // 2,
+        |    ((ix.cents + h.l + h.b) // 2 - h.l + h.b) // 2
+        |  FROM ix JOIN h ON ix.event_type = h.event_type AND ix.i = h.i + 1)
+        |SELECT event_type, day, cents, l AS level_cents, b AS trend_cents,
+        |  l + b AS forecast_cents FROM h""".stripMargin,
+
+    // robust outlier screen: exact integer median + MAD per priority
+    // (quantile_disc = percentile_disc element selection, proven
+    // portable by q_percentiles)
+    "q_mad" ->
+      """WITH o AS (SELECT o_orderpriority,
+        |    cast(cast(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) c
+        |  FROM orders),
+        |m AS (SELECT o_orderpriority, quantile_disc(c, 0.5) med_cents
+        |      FROM o GROUP BY 1),
+        |d AS (SELECT o.o_orderpriority, c, med_cents,
+        |        abs(c - med_cents) dev
+        |      FROM o JOIN m USING (o_orderpriority)),
+        |md AS (SELECT o_orderpriority, quantile_disc(dev, 0.5) mad_cents
+        |       FROM d GROUP BY 1)
+        |SELECT d.o_orderpriority, min(med_cents) AS med_cents,
+        |  min(mad_cents) AS mad_cents,
+        |  cast(sum(CASE WHEN dev > 3 * mad_cents THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_outliers,
+        |  count(*) AS n
+        |FROM d JOIN md USING (o_orderpriority) GROUP BY 1""".stripMargin,
+
+    // per-domain cap at the P90 of domain sizes, portable md5-rank
+    // survivor order
+    "q_domain_cap" -> {
+      val h = Portable.uint32Sql("md5(cast(doc_id AS VARCHAR))")
+      s"""WITH sz AS (SELECT source, count(*) n_src FROM documents GROUP BY 1),
+         |cap AS (SELECT quantile_disc(n_src, 0.9) cap FROM sz),
+         |d AS (SELECT doc_id, source, $h h FROM documents),
+         |r AS (SELECT doc_id, source,
+         |        row_number() OVER (PARTITION BY source ORDER BY h, doc_id) rk
+         |      FROM d)
+         |SELECT doc_id, source, cast(rk AS BIGINT) rk
+         |FROM r, cap WHERE rk <= cap""".stripMargin
+    },
+
+    // per-doc 8-gram novelty: spans whose corpus-wide first occurrence
+    // (min doc_id) is this doc, as ppm of the doc's spans
+    "q_ngram_novelty" ->
+      s"""WITH nt AS (SELECT doc_id, string_split($norm, ' ') tk FROM documents),
+         |ix AS (SELECT doc_id, tk,
+         |    unnest(generate_series(1, greatest(len(tk) - 7, 1))) i FROM nt),
+         |gr AS (SELECT doc_id, substring(md5(concat_ws(' ', tk[i], tk[i+1],
+         |         tk[i+2], tk[i+3], tk[i+4], tk[i+5], tk[i+6], tk[i+7])), 1, 16) h
+         |       FROM ix),
+         |f AS (SELECT h, min(doc_id) fd FROM gr GROUP BY 1),
+         |a AS (SELECT doc_id, count(*) n_grams,
+         |        cast(sum(CASE WHEN fd = doc_id THEN 1 ELSE 0 END) AS BIGINT) novel
+         |      FROM gr JOIN f USING (h) GROUP BY 1)
+         |SELECT doc_id, n_grams, novel,
+         |  cast(novel * 1000000 // n_grams AS BIGINT) AS novel_ppm
+         |FROM a""".stripMargin,
+
+    // dedup audit: near-dup component size histogram over the same
+    // transitive-closure roots as q_dedup_clusters
+    "q_dedup_cluster_sizes" ->
+      s"""$clusterRootsCte,
+         |sz AS (SELECT cluster, count(*) s FROM roots GROUP BY 1)
+         |SELECT s AS cluster_size, count(*) AS n_clusters,
+         |  cast(sum(s) AS BIGINT) AS n_docs
+         |FROM sz GROUP BY 1""".stripMargin,
+
+    // conditional MERGE INTO: update (tripled price via s_price <>
+    // price), delete (key ≡ 0 mod 9), insert (shifted keys gated by
+    // even custkey) — each branch replayed relationally
+    "q_txtable_merge" ->
+      """WITH t AS (SELECT o_orderkey, o_custkey,
+        |    cast(cast(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) price
+        |  FROM orders),
+        |mx AS (SELECT max(o_orderkey) m FROM t),
+        |s AS (SELECT o_orderkey, o_custkey, price * 3 AS price FROM t
+        |      WHERE o_orderkey % 3 = 0
+        |      UNION ALL
+        |      SELECT t.o_orderkey + mx.m, o_custkey, price FROM t, mx
+        |      WHERE o_orderkey % 10 = 0),
+        |upd AS (SELECT t.o_orderkey, t.o_custkey,
+        |          CASE WHEN s.price <> t.price THEN s.price ELSE t.price END
+        |            AS price
+        |        FROM t JOIN s USING (o_orderkey)
+        |        WHERE NOT (t.o_orderkey % 9 = 0)),
+        |tonly AS (SELECT t.* FROM t
+        |          WHERE o_orderkey NOT IN (SELECT o_orderkey FROM s)),
+        |ins AS (SELECT s.* FROM s
+        |        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM t)
+        |          AND o_custkey % 2 = 0)
+        |SELECT * FROM upd UNION ALL SELECT * FROM tonly
+        |UNION ALL SELECT * FROM ins""".stripMargin)
+
   def all: Map[String, String] =
     relational ++ text ++ dedup ++ similarity ++ annMultiProbe ++
       similarityNative ++ sketches ++
       annIvf ++ annIvfIndexed ++ annPq ++ annIvfTrained ++ annPqTrained ++
-      streamingAndMisc ++ olap ++ round8
+      streamingAndMisc ++ olap ++ round8 ++ round9
 }

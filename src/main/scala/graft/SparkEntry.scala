@@ -182,6 +182,16 @@ object SparkEntry {
     "q_hits" -> ((s: SparkSession, d: String) => Dedup.hits(s, d)),
     "q_winsorize" -> (Olap.winsorize _),
     "q_mode" -> (Olap.modePerGroup _),
+    // round-10 batch: Holt trend, robust MAD outliers, per-domain cap,
+    // n-gram novelty, dedup cluster-size audit, conditional MERGE INTO
+    "q_holt" -> (Olap.holt _),
+    "q_mad" -> (Olap.madOutliers _),
+    "q_domain_cap" -> (DataQuality.domainCap _),
+    "q_ngram_novelty" -> ((s: SparkSession, d: String) =>
+      TextOps.ngramNovelty(s, d)),
+    "q_dedup_cluster_sizes" -> (Dedup.clusterSizes _),
+    "q_txtable_merge" -> ((s: SparkSession, d: String) =>
+      graft.sources.TxTable.mergeIntoGateQuery(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

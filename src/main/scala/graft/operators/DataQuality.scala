@@ -269,4 +269,35 @@ object DataQuality {
       .groupBy("len_bucket")
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"),
         min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+
+  /** Per-domain document cap — the crawl-curation "no domain may
+    * dominate" rule: every source keeps at most the P90 of domain
+    * sizes (head domains are trimmed to what a typical domain
+    * contributes; the tail passes through untouched). Selection is the
+    * portable md5-rank order (deterministic on every engine/run), with
+    * doc_id as the total-order tiebreak.
+    *
+    * Distributed shape: domain sizes are one combiner-backed aggregate
+    * (domain-scale rows); the cap is ONE scalar computed from them
+    * (percentile_disc over |domains| rows) broadcast back; survivor
+    * selection is a per-domain window — partitioned by source, so the
+    * frame is one domain, never the corpus. At 100 TB a pathological
+    * mega-domain makes that one window partition big; cap survivors
+    * are ≤ cap anyway, so pre-filter with the bucket trick (mixSample)
+    * if a single domain exceeds task memory. */
+  def domainCap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sizes = docs.groupBy("source").agg(count(lit(1)).as("n_src"))
+    val cap = sizes.agg(
+      expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY n_src)").as("cap"))
+    val hash = graft.Portable.uint32Sql(
+      "md5(cast(cast(doc_id as string) as binary))")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(expr(hash), col("doc_id"))
+    docs.select(col("doc_id"), col("source"))
+      .withColumn("rk", row_number().over(w))
+      .crossJoin(broadcast(cap))
+      .filter(col("rk") <= col("cap"))
+      .select(col("doc_id"), col("source"), col("rk").cast("bigint").as("rk"))
+  }
 }

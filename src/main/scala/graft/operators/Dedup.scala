@@ -825,4 +825,18 @@ object Dedup {
       .groupBy("id").agg(count(lit(1)).as("deg"))
       .select(col("id").as("doc_id"), col("deg"))
   }
+
+  /** Dedup audit report: the cluster-size HISTOGRAM of the near-dup
+    * components — how many duplicate clusters of each size the corpus
+    * carries and how many documents sit in them. The one-page summary
+    * a curation run publishes next to its survivor set (and the input
+    * to "are we over-clustering?" threshold reviews). Two node-scale
+    * aggregates over the connected-components output — size-bounded
+    * rows from the first groupBy onward, trivial at any corpus size. */
+  def clusterSizes(spark: SparkSession, dir: String): DataFrame =
+    dedupClusters(spark, dir)
+      .groupBy("cluster").agg(count(lit(1)).as("sz"))
+      .groupBy("sz").agg(count(lit(1)).as("n_clusters"),
+        sum("sz").as("n_docs"))
+      .select(col("sz").as("cluster_size"), col("n_clusters"), col("n_docs"))
 }

@@ -646,9 +646,10 @@ object Olap {
     * event type — the time-series smoothing report, in EXACT integer
     * arithmetic so it hash-gates: e₁ = x₁, eᵢ = (xᵢ + 3·eᵢ₋₁) div 4
     * (α = 1/4 as a dyadic rational; integer recursion is deterministic
-    * where float pow(1-α, k) closed forms are not). div is FLOOR
-    * division (Math.floorDiv), matching DuckDB's `//` for negative
-    * (refund-heavy) daily sums too, not just the positive common case.
+    * where float pow(1-α, k) closed forms are not). div TRUNCATES
+    * toward zero — measured: DuckDB `-5 // 2 = -2`, same as Scala
+    * `/` and Spark SQL `div` — so negative (refund-heavy) daily sums
+    * replay identically too, not just the positive common case.
     * The recursion is inherently ordered, so this is the reference's
     * secondary-sort reduce shape done Spark-natively: one daily
     * aggregate (combiner-backed), then a per-type sorted fold via
@@ -667,10 +668,10 @@ object Olap {
       .flatMapGroups { (typ, rows) =>
         var e = 0L
         rows.toSeq.sortBy(_._2).zipWithIndex.map { case ((_, day, x), i) =>
-          // floorDiv, not /: DuckDB's // floors, Scala / truncates
-          // toward zero — they disagree on negative (refund-heavy)
-          // daily sums, and the recursion would diverge from the oracle
-          e = if (i == 0) x else Math.floorDiv(x + 3 * e, 4)
+          // Scala / truncates toward zero, exactly like DuckDB //
+          // (measured -5 // 2 = -2) and Spark SQL div — floorDiv would
+          // diverge by one on negative (refund-heavy) daily sums
+          e = if (i == 0) x else (x + 3 * e) / 4
           (typ, day, x, e)
         }.iterator
       }
@@ -767,5 +768,77 @@ object Olap {
         expr("""cast((cast(1000000 as decimal(38,0)) * cab * n_baskets)
                 div (cast(ca as decimal(38,0)) * cb) as bigint)""").as("lift_ppm"))
       .filter(col("support_ppm") >= minSupportPpm && col("conf_ppm") >= minConfPpm)
+  }
+
+  /** Holt's linear-trend smoothing (double exponential) of daily
+    * revenue per event type — EWMA's big sibling: a LEVEL and a TREND
+    * recursion, so the forecast follows a drifting series instead of
+    * lagging it. Exact integer arithmetic with dyadic α = β = 1/2:
+    *   l₁ = x₁, b₁ = 0
+    *   lᵢ = (xᵢ + lᵢ₋₁ + bᵢ₋₁) div 2      (α·x + (1-α)·(l+b))
+    *   bᵢ = ((lᵢ - lᵢ₋₁) + bᵢ₋₁) div 2    (β·Δl + (1-β)·b)
+    * div TRUNCATES toward zero (Scala `/` = DuckDB `//`, measured
+    * on negatives: -5 // 2 = -2) so refund-heavy days with negative
+    * trend replay identically too. Same distributed shape
+    * as `ewma`: one combiner-backed daily aggregate, then a per-type
+    * sorted fold whose input is |types|×|days| calendar-bounded rows
+    * — trivially small next to the scan at any corpus size. */
+  def holt(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("value").cast("decimal(18,2)").multiply(100).cast("bigint").as("c"))
+      .groupBy("event_type", "day").agg(sum("c").as("cents"))
+      .as[(String, String, Long)]
+    daily.groupByKey(_._1)
+      .flatMapGroups { (typ, rows) =>
+        var l = 0L; var b = 0L
+        rows.toSeq.sortBy(_._2).zipWithIndex.map { case ((_, day, x), i) =>
+          if (i == 0) { l = x; b = 0L }
+          else {
+            val l2 = (x + l + b) / 2
+            b = ((l2 - l) + b) / 2
+            l = l2
+          }
+          (typ, day, x, l, b, l + b)
+        }.iterator
+      }
+      .toDF("event_type", "day", "cents", "level_cents", "trend_cents",
+        "forecast_cents")
+  }
+
+  /** Robust outlier report: per-priority MEDIAN and MEDIAN ABSOLUTE
+    * DEVIATION of order totals in exact integer cents, plus the count
+    * of |x − med| > 3·MAD outliers — the robust-statistics screen a
+    * curation pipeline runs where mean/stddev would be dragged by the
+    * very outliers it hunts. percentile_disc picks an ELEMENT (the
+    * same cume_dist ≥ p definition as DuckDB quantile_disc, proven
+    * portable by q_percentiles), so every output is bitwise integer.
+    * Distributed shape: three combiner-backed aggregates over the
+    * scan with the 5-row med/MAD tables broadcast back between them —
+    * no per-group window ever holds a group's rows in one task. */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderpriority"),
+        col("o_totalprice").cast("decimal(18,2)").multiply(100)
+          .cast("bigint").as("c"))
+    // percentile_disc returns DOUBLE in Spark; the selected element is
+    // an exact integer cents value, so the cast back is lossless
+    val med = o.groupBy("o_orderpriority")
+      .agg(expr("cast(percentile_disc(0.5) WITHIN GROUP (ORDER BY c) as bigint)")
+        .as("med_cents"))
+    val dev = o.join(broadcast(med), "o_orderpriority")
+      .withColumn("dev", abs(col("c") - col("med_cents")))
+    val mad = dev.groupBy("o_orderpriority")
+      .agg(expr("cast(percentile_disc(0.5) WITHIN GROUP (ORDER BY dev) as bigint)")
+        .as("mad_cents"))
+    dev.join(broadcast(mad), "o_orderpriority")
+      .groupBy("o_orderpriority")
+      .agg(first("med_cents").as("med_cents"),
+        first("mad_cents").as("mad_cents"),
+        sum(when(col("dev") > lit(3) * col("mad_cents"), 1L).otherwise(0L))
+          .as("n_outliers"),
+        count(lit(1)).as("n"))
   }
 }

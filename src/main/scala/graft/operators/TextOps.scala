@@ -375,6 +375,31 @@ object TextOps {
         expr("dup_spans * 1000000 div n_spans").as("dup_ppm"))
   }
 
+  /** Per-document n-gram NOVELTY: the ppm fraction of a doc's 8-gram
+    * spans whose corpus-wide FIRST occurrence (min doc_id) is this
+    * doc — the "how much genuinely new text does this document add"
+    * signal curation pipelines rank crawl snapshots by (novelty ≈ 0
+    * means the doc is assembled entirely from already-seen spans).
+    * Distributed shape: one map-side shingle projection (16-byte
+    * hashes, never gram text), ONE combiner-backed min aggregate on
+    * the gram hash, one hash-join back, one per-doc aggregate — every
+    * exchange carries gram-hash or doc-scale rows, no windows. */
+  def ngramNovelty(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(expr(normExpr), " ").as("tk"))
+      .select(col("doc_id"), explode(expr(ngramExpr(n))).as("g"))
+      .select(col("doc_id"),
+        expr("substring(md5(cast(g as binary)), 1, 16)").as("h"))
+    val first = grams.groupBy("h").agg(min("doc_id").as("first_doc"))
+    grams.join(first, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("novel"))
+      .select(col("doc_id"), col("n_grams"), col("novel"),
+        expr("novel * 1000000 div n_grams").as("novel_ppm"))
+  }
+
   /** BPE merge-step statistics — the first iteration of byte-pair-
     * encoding vocabulary induction (Sennrich et al. 2016), the
     * tokenizer-training job an LLM pipeline runs over its corpus:

@@ -618,6 +618,79 @@ object TxTable {
     }
   }
 
+  /** Conditional MERGE INTO — the full SQL merge statement over a
+    * txtable target: WHEN MATCHED [AND cond] THEN DELETE, WHEN MATCHED
+    * [AND cond] THEN UPDATE SET ..., WHEN NOT MATCHED [AND cond] THEN
+    * INSERT. `merge` above is the latest-wins upsert fast path; this
+    * is the general statement (Delta/Iceberg MERGE semantics).
+    *
+    * Clause SQL sees the TARGET's columns by name and the source's
+    * value columns as `s_<name>`; update SET expressions may reference
+    * both (e.g. `"price + s_price"`). The not-matched (insert)
+    * condition must reference `s_` columns or keys — the row has no
+    * target side, so plain value-column references are NULL there and
+    * the clause would never fire. Clause precedence per row is
+    * ANSI order: matched-delete, then matched-update, else keep; a
+    * NULL-valued condition does NOT fire its clause (`IS TRUE`
+    * semantics — the deleteWhere NULL-predicate lesson). A source with
+    * duplicate keys is a cardinality violation and is rejected up
+    * front (ANSI: "MERGE cannot update the same row twice").
+    *
+    * Distributed shape: ONE full-outer sort-merge join on the keys +
+    * a projection — O(table + source) with no windows; the rewrite is
+    * copy-on-write (one new snapshot dir). For continuous small-batch
+    * upserts use `mergeDelta` (O(batch) merge-on-read) instead; this
+    * is the statement shape for the periodic reconciliation pass. */
+  def mergeInto(spark: SparkSession, root: String, source: DataFrame,
+    keyCols: Seq[String],
+    matchedUpdate: Map[String, String] = Map.empty,
+    matchedUpdateCond: Option[String] = None,
+    matchedDeleteCond: Option[String] = None,
+    insertNotMatched: Boolean = true,
+    notMatchedCond: Option[String] = None): Int = {
+    val (fs, rp) = fsFor(spark, root)
+    val valueCols = source.columns.filterNot(keyCols.contains).toSeq
+    // cardinality check: one aggregate over the source (source-scale,
+    // cheap next to the merge join itself), 0-or-1-row readback
+    val dup = source.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("_n")).filter(col("_n") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"txtable: mergeInto source has duplicate keys (${keyCols.mkString(",")})")
+    def isTrue(c: org.apache.spark.sql.Column) = coalesce(c, lit(false))
+    commitRetry(spark, root) { prevV =>
+      val base =
+        if (prevV > 0) read(spark, root, prevV)
+        else source.filter(lit(false))
+      require(base.columns.sorted.sameElements(source.columns.sorted),
+        s"txtable: mergeInto source schema ${source.columns.mkString(",")} " +
+          s"must match target ${base.columns.mkString(",")}")
+      val src = source.select(keyCols.map(col) ++
+        valueCols.map(c => col(c).as(s"s_$c")) :+ lit(true).as("_s"): _*)
+      val j = base.withColumn("_t", lit(true)).join(src, keyCols, "full_outer")
+      val matched = col("_t").isNotNull && col("_s").isNotNull
+      val delC = matchedDeleteCond.map(expr).getOrElse(lit(false))
+      val updC = matchedUpdateCond.map(expr).getOrElse(lit(true))
+      val insC = notMatchedCond.map(expr).getOrElse(lit(true))
+      val keep =
+        (col("_s").isNull) ||                       // target-only: untouched
+        (matched && !isTrue(delC)) ||               // matched, not deleted
+        (col("_t").isNull &&                        // source-only: insert?
+          lit(insertNotMatched) && isTrue(insC))
+      val out = j.filter(keep).select(
+        keyCols.map(col) ++ valueCols.map { c =>
+          val set = matchedUpdate.get(c).map(expr).getOrElse(col(c))
+          when(matched && isTrue(updC), set)
+            .when(col("_t").isNull, col(s"s_$c"))   // inserted row
+            .otherwise(col(c)).as(c)
+        }: _*)
+      val dirName = s"data/merge-${java.util.UUID.randomUUID()}"
+      out.write.mode("overwrite").parquet(new Path(rp, dirName).toString)
+      ("merge", Seq(s"key:${keyCols.mkString(",")}",
+        Entry(isDelta = false, dirName,
+          dirStats(spark, rp, dirName, keyCols)).line))
+    }
+  }
+
   /** Latest change per key (highest seq wins) and the value-column
     * list — everything in `changes` that isn't a key, `op`, or `seq`,
     * in schema order. */
@@ -1103,6 +1176,37 @@ object TxTable {
       s"o_orderkey % 5 = 0 AND o_orderkey <= ${maxO / 2}",
       Map("price" -> "price * 2"),
       Map("o_orderkey" -> (0L, maxO / 2)))
+    read(spark, root)
+  }
+
+  /** Oracle-gated end-to-end MERGE INTO exercise (q_txtable_merge):
+    * stage orders, then one conditional merge whose source carries
+    * both updates (every key ≡ 0 mod 3, price tripled — exercised
+    * through the update condition `s_price <> price`) and inserts
+    * (key-shifted copies of every key ≡ 0 mod 10, gated by the
+    * not-matched condition `o_custkey % 2 = 0`), with the matched-
+    * delete clause removing keys ≡ 0 mod 9. Every clause fires on a
+    * disjoint slice, so the oracle replays each branch exactly. */
+  def mergeIntoGateQuery(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratchRoot("graft-mergegate", dir)
+    val o = graft.Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"))
+    val b = o.agg(max("o_orderkey")).collect()(0)
+    if (b.isNullAt(0)) return o.filter(lit(false))
+    val maxO = b.getLong(0)
+    append(o, root, statsCols = Seq("o_orderkey"))
+    val src = o.filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("price") * 3).as("price"))
+      .unionByName(o.filter(col("o_orderkey") % 10 === 0)
+        .select((col("o_orderkey") + maxO).as("o_orderkey"),
+          col("o_custkey"), col("price")))
+    mergeInto(spark, root, src, Seq("o_orderkey"),
+      matchedUpdate = Map("price" -> "s_price"),
+      matchedUpdateCond = Some("s_price <> price"),
+      matchedDeleteCond = Some("o_orderkey % 9 = 0"),
+      notMatchedCond = Some("s_o_custkey % 2 = 0"))
     read(spark, root)
   }
 

@@ -223,10 +223,10 @@ object Streams {
             if (s.day == null) s = EwmaState(d, cents, 0L, false)
             else if (d == s.day) s = s.copy(daySum = s.daySum + cents)
             else {
-              // floorDiv to match DuckDB // (and Olap.ewma) on
+              // truncating / to match DuckDB // (and Olap.ewma) on
               // negative daily sums
               val e = if (!s.started) s.daySum
-                      else Math.floorDiv(s.daySum + 3 * s.e, 4)
+                      else (s.daySum + 3 * s.e) / 4
               out += ((typ, s.day, s.daySum, e))
               s = EwmaState(d, cents, e, started = true)
             }
