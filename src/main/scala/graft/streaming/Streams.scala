@@ -236,6 +236,51 @@ object Streams {
       }
   }
 
+  /** Streaming Holt linear trend — the typed-state twin of
+    * `Olap.holt`: per event-type state is (open day, day sum, level,
+    * trend); each COMPLETED day folds through the same truncating
+    * dyadic recursion (l ← (x+l+b) div 2, b ← (Δl+b) div 2) and
+    * emits (day, cents, level, trend, forecast). Same in-order day-
+    * boundary contract as `ewmaDaily`; state per type is one string +
+    * three longs. */
+  case class HoltState(day: String, daySum: Long, l: Long, b: Long,
+    started: Boolean)
+  def holtDaily(events: Dataset[Event])
+    : Dataset[(String, String, Long, Long, Long, Long)] = {
+    import events.sparkSession.implicits._
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[HoltState,
+        (String, String, Long, Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (typ: String, rows: Iterator[Event], state: GroupState[HoltState]) =>
+          var s = state.getOption.getOrElse(HoltState(null, 0L, 0L, 0L, false))
+          val out = Seq.newBuilder[(String, String, Long, Long, Long, Long)]
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { ev =>
+            val d = fmt.format(ev.ts)
+            val cents = (BigDecimal(ev.value).setScale(2,
+              BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact
+            if (s.day == null) s = HoltState(d, cents, 0L, 0L, false)
+            else if (d == s.day) s = s.copy(daySum = s.daySum + cents)
+            else {
+              val (l2, b2) =
+                if (!s.started) (s.daySum, 0L)
+                else {
+                  val nl = (s.daySum + s.l + s.b) / 2
+                  (nl, ((nl - s.l) + s.b) / 2)
+                }
+              out += ((typ, s.day, s.daySum, l2, b2, l2 + b2))
+              s = HoltState(d, cents, l2, b2, started = true)
+            }
+          }
+          state.update(s)
+          out.result().iterator
+      }
+  }
+
   /** Streaming first/last-touch attribution — the typed-state twin of
     * `Olap.attribution`: per-user state carries the first and the
     * latest preceding touch (two small strings); each purchase emits

@@ -201,7 +201,7 @@ class StreamsSpec extends SparkSpec {
       val days = m.toSeq.map { case ((_, d), c) => (d, c) }.sortBy(_._1)
       var e = 0L
       val folded = days.zipWithIndex.map { case ((d, x), i) =>
-        e = if (i == 0) x else Math.floorDiv(x + 3 * e, 4)
+        e = if (i == 0) x else (x + 3 * e) / 4
         (t, d) -> ((x, e))
       }
       folded.dropRight(1) // final day still open in state
@@ -211,12 +211,52 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
-  test("ewma floors (not truncates) on negative daily sums, matching DuckDB //") {
+  test("streaming holt equals the batch recursion on every completed day") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val events = graft.Tables.events(spark, sfDir)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Streams.Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val input = MemoryStream[Streams.Event]
+    input.addData(events: _*)
+    val q = Streams.holtDaily(input.toDS())
+      .toDF("event_type", "day", "cents", "level", "trend", "forecast")
+      .writeStream.format("memory").queryName("holt_eq")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("holt_eq").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val daily = events.groupBy(e => (e.event_type, fmt.format(e.ts)))
+      .map { case (k, es) => k -> es.map(e =>
+        (BigDecimal(e.value).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact).sum }
+    val expected = daily.groupBy(_._1._1).flatMap { case (t, m) =>
+      val days = m.toSeq.map { case ((_, d), c) => (d, c) }.sortBy(_._1)
+      var l = 0L; var b = 0L
+      val folded = days.zipWithIndex.map { case ((d, x), i) =>
+        if (i == 0) { l = x; b = 0L }
+        else { val l2 = (x + l + b) / 2; b = ((l2 - l) + b) / 2; l = l2 }
+        (t, d) -> ((x, l, b, l + b))
+      }
+      folded.dropRight(1) // final day still open in state
+    }
+    assert(streamed === expected,
+      "completed-day streamed holt must equal the batch recursion")
+    assert(streamed.nonEmpty)
+  }
+
+  test("ewma truncates (not floors) on negative daily sums, matching DuckDB //") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val input = MemoryStream[Streams.Event]
-    // day1 sums to -101 cents, day2 to 50; e2 = floorDiv(50 + 3*(-101), 4)
-    // = floorDiv(-253, 4) = -64 — truncation would emit -63
+    // day1 sums to -101 cents, day2 to 50; e2 = (50 + 3*(-101)) / 4
+    // = -253 / 4 = -63 under truncation — DuckDB's actual // semantics
+    // (measured: -5 // 2 = -2); floorDiv would emit -64 and diverge
     input.addData(
       Streams.Event(1, Timestamp.valueOf("2024-01-01 01:00:00"), 1, "t", -1.01),
       Streams.Event(2, Timestamp.valueOf("2024-01-02 01:00:00"), 1, "t", 0.50),
@@ -228,7 +268,7 @@ class StreamsSpec extends SparkSpec {
     q.processAllAvailable(); q.stop()
     val out = spark.table("ewma_neg").collect()
       .map(r => (r.getString(1), r.getLong(2), r.getLong(3))).toSet
-    assert(out === Set(("2024-01-01", -101L, -101L), ("2024-01-02", 50L, -64L)))
+    assert(out === Set(("2024-01-01", -101L, -101L), ("2024-01-02", 50L, -63L)))
   }
 
   test("late data past the watermark is dropped AND the drop is observable in progress metrics") {
