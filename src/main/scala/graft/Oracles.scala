@@ -2324,6 +2324,18 @@ object Oracles {
          |  cast(sum(s) AS BIGINT) AS n_docs
          |FROM sz GROUP BY 1""".stripMargin,
 
+    // bloom-index point lookup: the probe set replayed arithmetically
+    // (13 evenly spaced keys); the bloom only skips IO, so the result
+    // is the plain IN-filter
+    "q_txtable_bloom" ->
+      """WITH mx AS (SELECT greatest(max(o_orderkey) // 13, 1) step
+        |           FROM orders),
+        |p AS (SELECT i * step AS k
+        |      FROM generate_series(1, 13) t(i), mx)
+        |SELECT o_orderkey, o_custkey,
+        |  cast(cast(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) price
+        |FROM orders JOIN p ON o_orderkey = k""".stripMargin,
+
     // conditional MERGE INTO: update (tripled price via s_price <>
     // price), delete (key ≡ 0 mod 9), insert (shifted keys gated by
     // even custkey) — each branch replayed relationally

@@ -192,6 +192,8 @@ object SparkEntry {
     "q_dedup_cluster_sizes" -> (Dedup.clusterSizes _),
     "q_txtable_merge" -> ((s: SparkSession, d: String) =>
       graft.sources.TxTable.mergeIntoGateQuery(s, d)),
+    "q_txtable_bloom" -> ((s: SparkSession, d: String) =>
+      graft.sources.TxTable.bloomGateQuery(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

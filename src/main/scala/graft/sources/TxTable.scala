@@ -1179,6 +1179,121 @@ object TxTable {
     read(spark, root)
   }
 
+  private def bloomPath(rp: Path, dirName: String, colName: String): Path =
+    new Path(rp, s"_bloom/$colName/${dirName.replace('/', '_')}.bf")
+
+  /** Build a per-dir BLOOM INDEX on `colName` — file skipping for
+    * POINT lookups on a column the physical layout is NOT clustered
+    * by, where min/max range stats prune nothing (every dir spans the
+    * whole value domain). The lakehouse pattern: on a 100 TB table
+    * laid out by date, a needle lookup on order id touches only the
+    * dirs whose bloom admits it — O(matching dirs + fpp·dirs) instead
+    * of O(table).
+    *
+    * Blooms are keyed by DIR NAME, and data dirs are content-immutable
+    * once committed (every writer stages a fresh UUID dir), so a bloom
+    * can never go stale — the index is a pure cache: dirs indexed
+    * earlier are skipped on rebuild, dirs appended later simply read
+    * unpruned until the next build. One maintenance pass per new dir:
+    * a metadata-only row count (parquet footers) + one bloom
+    * aggregation scan. Returns the number of dirs newly indexed. */
+  def buildBloomIndex(spark: SparkSession, root: String, colName: String,
+    fpp: Double = 0.01): Int = {
+    val (fs, rp) = fsFor(spark, root)
+    val v = latestVersion(spark, root)
+    var built = 0
+    snapshotEntries(fs, rp, v).foreach { e =>
+      val out = bloomPath(rp, e.dir, colName)
+      if (!fs.exists(out)) {
+        val df = spark.read.parquet(new Path(rp, e.dir).toString)
+        if (df.columns.contains(colName)) {
+          val n = math.max(df.count(), 1L)
+          val bf = df.stat.bloomFilter(colName, n, fpp)
+          val os = fs.create(out, true)
+          try bf.writeTo(os) finally os.close()
+          built += 1
+        }
+      }
+    }
+    built
+  }
+
+  /** The dirs of the current snapshot a probe set cannot skip: a dir
+    * survives if it has no bloom for `colName` (never indexed — must
+    * read) or its bloom admits ANY probe. False positives only ever
+    * ADD dirs, so pruning is always sound on delta-free snapshots.
+    * Exposed for the spec's pruning proof. */
+  private[graft] def bloomSurvivingDirs(spark: SparkSession, root: String,
+    colName: String, probes: Seq[Any]): (Seq[String], Int) = {
+    val (fs, rp) = fsFor(spark, root)
+    val v = latestVersion(spark, root)
+    val entries = snapshotEntries(fs, rp, v)
+    val kept = entries.filter { e =>
+      val bp = bloomPath(rp, e.dir, colName)
+      if (!fs.exists(bp)) true
+      else {
+        val in = fs.open(bp)
+        val bf = try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+        finally in.close()
+        probes.exists(bf.mightContain)
+      }
+    }.map(_.dir)
+    (kept, entries.size)
+  }
+
+  /** Point-lookup read through the bloom index: prune dirs whose
+    * bloom proves no probe value is present, scan only the
+    * survivors, and filter rows to the probe set. Result-identical to
+    * `read(...).filter(col isin probes)` — the bloom only skips IO.
+    *
+    * Delta (merge-on-read) snapshots are REFUSED: a pruned delta
+    * could carry an update moving a row OUT of the probe set, and
+    * skipping it would resurrect the stale base row — the same value-
+    * predicate-over-unresolved-deltas unsoundness `deleteWhere`
+    * guards against. Run `compactSnapshot` first. */
+  def readBloomFiltered(spark: SparkSession, root: String, colName: String,
+    probes: Seq[Any]): DataFrame = {
+    val (fs, rp) = fsFor(spark, root)
+    val v = latestVersion(spark, root)
+    val entries = snapshotEntries(fs, rp, v)
+    require(!entries.exists(_.isDelta),
+      s"txtable: bloom-filtered reads need a delta-free snapshot " +
+        s"(value pruning over unresolved deltas is unsound); " +
+        s"run compactSnapshot($root) first")
+    val (kept, _) = bloomSurvivingDirs(spark, root, colName, probes)
+    val probeFilter = col(colName).isin(probes: _*)
+    if (kept.isEmpty) return read(spark, root, v).filter(probeFilter)
+      .filter(lit(false))
+    val paths = kept.map(d => new Path(rp, d).toString)
+    val schemas = paths.map(p => spark.read.parquet(p).schema)
+    val df =
+      if (schemas.distinct.size == 1) spark.read.parquet(paths: _*)
+      else paths.map(spark.read.parquet(_))
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+    df.filter(probeFilter)
+  }
+
+  /** Oracle-gated end-to-end bloom-index exercise (q_txtable_bloom):
+    * orders staged into 8 dirs CLUSTERED BY customer (so order keys
+    * scatter across every dir and range stats cannot prune), bloom
+    * index on o_orderkey, then a 13-probe point lookup at evenly
+    * spaced keys — the oracle replays the probe set arithmetically. */
+  def bloomGateQuery(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratchRoot("graft-bloomgate", dir)
+    val o = graft.Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"))
+    val b = o.agg(max("o_orderkey")).collect()(0)
+    if (b.isNullAt(0)) return o.filter(lit(false))
+    val step = math.max(b.getLong(0) / 13L, 1L)
+    (0L to 7L).foreach { i =>
+      append(o.filter(col("o_custkey") % 8 === i), root)
+    }
+    buildBloomIndex(spark, root, "o_orderkey")
+    val probes: Seq[Any] = (1L to 13L).map(_ * step)
+    readBloomFiltered(spark, root, "o_orderkey", probes)
+  }
+
   /** Oracle-gated end-to-end MERGE INTO exercise (q_txtable_merge):
     * stage orders, then one conditional merge whose source carries
     * both updates (every key ≡ 0 mod 3, price tripled — exercised

@@ -1120,4 +1120,42 @@ class TxTableSpec extends SparkSpec {
     assert(TxTable.read(spark, root).select("k").collect()
       .map(_.getLong(0)).toSet === Set(1L))
   }
+
+  test("bloom index prunes dirs a point lookup cannot touch, result-identical") {
+    import spark.implicits._
+    val root = tmpDir() + "/tx-bloom"
+    // 4 dirs with DISJOINT id populations but identical [0,399]-ish
+    // spreads per any range stat: ids interleave mod 4
+    (0L to 3L).foreach { i =>
+      TxTable.append((0L until 100L).map(j => (j * 4 + i, s"g$i"))
+        .toDF("id", "grp"), root)
+    }
+    assert(TxTable.buildBloomIndex(spark, root, "id") === 4)
+    // a rebuild is incremental: nothing new to index
+    assert(TxTable.buildBloomIndex(spark, root, "id") === 0)
+    // one probe lives in exactly one dir; fpp=1% over 4 dirs means
+    // pruning to 1 dir is the overwhelmingly likely outcome — accept
+    // <= 2 to keep the test fpp-robust
+    val (kept, total) = TxTable.bloomSurvivingDirs(spark, root, "id",
+      Seq(41L))
+    assert(total === 4 && kept.size <= 2, s"kept ${kept.size} of $total")
+    val got = TxTable.readBloomFiltered(spark, root, "id", Seq(41L, 86L))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set((41L, "g1"), (86L, "g2")))
+    // absent probes return empty, never error
+    assert(TxTable.readBloomFiltered(spark, root, "id", Seq(100000L))
+      .count() === 0L)
+    // un-indexed dirs always read: append a new dir, probe its rows
+    TxTable.append(Seq((100001L, "g4")).toDF("id", "grp"), root)
+    assert(TxTable.readBloomFiltered(spark, root, "id", Seq(100001L))
+      .count() === 1L)
+    // MoR snapshots are refused
+    val root2 = tmpDir() + "/tx-bloom-mor"
+    TxTable.merge(spark, root2, Seq((1L, "I", 5.0, 1L)).toDF("k", "op", "v", "seq"))
+    TxTable.mergeDelta(spark, root2, Seq((2L, "I", 6.0, 2L)).toDF("k", "op", "v", "seq"))
+    val e = intercept[IllegalArgumentException] {
+      TxTable.readBloomFiltered(spark, root2, "v", Seq(5.0))
+    }
+    assert(e.getMessage.contains("compactSnapshot"))
+  }
 }
