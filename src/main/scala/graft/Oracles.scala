@@ -2324,6 +2324,40 @@ object Oracles {
          |  cast(sum(s) AS BIGINT) AS n_docs
          |FROM sz GROUP BY 1""".stripMargin,
 
+    // tokenizer fertility: per-lang token/word/char ratios under the
+    // 3-round trained BPE vocabulary
+    "q_bpe_fertility" ->
+      s"""$bpeTrainedCte,
+         |vt AS (SELECT word, cast(count(*) AS BIGINT) n_tok FROM t3 GROUP BY word),
+         |dw AS (SELECT doc_id, unnest(string_split($norm, ' ')) word FROM documents),
+         |j AS (SELECT dw.doc_id, dw.word, v.n_tok
+         |      FROM dw JOIN vt v USING (word) WHERE word <> ''),
+         |l AS (SELECT doc_id, lang FROM documents)
+         |SELECT lang, cast(count(DISTINCT j.doc_id) AS BIGINT) n_docs,
+         |  count(*) words, cast(sum(n_tok) AS BIGINT) tokens,
+         |  cast(sum(length(word)) AS BIGINT) chars,
+         |  cast(sum(n_tok) * 1000000 // count(*) AS BIGINT) fertility_ppm,
+         |  cast(sum(length(word)) * 1000000 // sum(n_tok) AS BIGINT)
+         |    chars_per_token_ppm
+         |FROM j JOIN l USING (doc_id) GROUP BY lang""".stripMargin,
+
+    // forward as-of with tolerance: next click at-or-after each error,
+    // -1 past the hour window
+    "q_asof_forward" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_us(ts) tsus,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END is_click
+        |  FROM events WHERE event_type IN ('click', 'error')),
+        |m AS (SELECT event_id, user_id, tsus, is_click,
+        |  min(CASE WHEN is_click = 1 THEN tsus END) OVER (
+        |    PARTITION BY user_id ORDER BY tsus, is_click, event_id
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) nc
+        |FROM ev)
+        |SELECT event_id, user_id, tsus,
+        |  CASE WHEN nc IS NOT NULL AND nc - tsus <= 3600000000
+        |       THEN nc ELSE -1 END AS next_click
+        |FROM m WHERE is_click = 0""".stripMargin,
+
     // bloom-index point lookup: the probe set replayed arithmetically
     // (13 evenly spaced keys); the bloom only skips IO, so the result
     // is the plain IN-filter

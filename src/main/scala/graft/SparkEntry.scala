@@ -194,6 +194,10 @@ object SparkEntry {
       graft.sources.TxTable.mergeIntoGateQuery(s, d)),
     "q_txtable_bloom" -> ((s: SparkSession, d: String) =>
       graft.sources.TxTable.bloomGateQuery(s, d)),
+    "q_bpe_fertility" -> ((s: SparkSession, d: String) =>
+      TextOps.bpeFertility(s, d)),
+    "q_asof_forward" -> ((s: SparkSession, d: String) =>
+      Olap.asofForward(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

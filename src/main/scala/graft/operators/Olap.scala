@@ -298,6 +298,32 @@ object Olap {
         coalesce(col("last_click"), lit(-1L)).as("last_click"))
   }
 
+  /** FORWARD as-of join with tolerance — the complement of `asofJoin`
+    * (pandas merge_asof direction='forward'): for every 'error', the
+    * user's NEXT 'click' at or after it, kept only within the
+    * tolerance window (an hour), else -1. Same union+running-extreme
+    * shape — one partitioned window over the merged stream, never an
+    * inequality join (broadcast-nested-loop at 100 TB). Ties at the
+    * same timestamp count the click (errors sort before clicks in
+    * the frame, so a same-instant click is "at or after"). */
+  def asofForward(spark: SparkSession, dir: String,
+    tolUs: Long = 3600000000L): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("tsus"))
+      .filter(col("event_type").isin("click", "error"))
+      .withColumn("is_click", when(col("event_type") === "click", 1).otherwise(0))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("tsus"), col("is_click"), col("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    ev.withColumn("nc",
+      min(when(col("is_click") === 1, col("tsus"))).over(w))
+      .filter(col("is_click") === 0)
+      .select(col("event_id"), col("user_id"), col("tsus"),
+        when(col("nc").isNotNull && col("nc") - col("tsus") <= tolUs,
+          col("nc")).otherwise(lit(-1L)).as("next_click"))
+  }
+
   /** CDC merge — applying a change stream (I/U/D) onto a base table,
     * the nightly upsert every warehouse runs (the reference's
     * override-join generalized with deletes and inserts). One full

@@ -498,6 +498,34 @@ object TextOps {
       .agg(count(lit(1)).as("n_words"), sum("n_tok").as("n_tok"))
   }
 
+  /** Tokenizer FERTILITY report — per-language tokens-per-word and
+    * chars-per-token (ppm) under the trained BPE vocabulary: the
+    * "how efficiently does this tokenizer cover each language" audit
+    * every multilingual tokenizer training run publishes (a language
+    * with high fertility is under-served by the learned merges and
+    * over-pays sequence length at training time). Integer ppm ratios
+    * of exact token/word/char sums, so the report is engine-exact.
+    * Scale shape: the vocabulary (with per-word token counts under
+    * the merges) broadcasts against one corpus tokenizing pass; the
+    * doc→lang attachment is a doc-scale join; output is |langs| rows. */
+  def bpeFertility(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    val toks = bpeState(spark, dir, iters)._2
+    val vocab = toks.groupBy("word").agg(count(lit(1)).as("n_tok"))
+    val langs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    tokens(spark, dir)
+      .join(broadcast(vocab), Seq("word"))
+      .join(langs, "doc_id")
+      .groupBy("lang")
+      .agg(countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("words"),
+        sum("n_tok").as("tokens"),
+        sum(length(col("word"))).cast("bigint").as("chars"))
+      .select(col("lang"), col("n_docs"), col("words"), col("tokens"),
+        col("chars"),
+        expr("tokens * 1000000 div words").as("fertility_ppm"),
+        expr("chars * 1000000 div tokens").as("chars_per_token_ppm"))
+  }
+
   /** Gopher-style rule-based quality gate (Rae et al. 2021; the
     * pre-classifier filter Dolma/FineWeb pipelines run first):
     * per-document structural checks — token count bounds, mean word

@@ -100,6 +100,54 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("bpe fertility: sums tie out with per-doc encode, ratios bounded") {
+    val fert = TextOps.bpeFertility(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(fert.nonEmpty)
+    val enc = TextOps.bpeEncode(spark, sfDir)
+      .join(Tables.documents(spark, sfDir).select("doc_id", "lang"), "doc_id")
+      .groupBy("lang")
+      .agg(sum("n_words").as("w"), sum("n_tok").as("t"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    fert.foreach { case (lang, nDocs, words, tokens, chars, fppm, cppm) =>
+      assert(nDocs > 0 && words >= nDocs)
+      assert((words, tokens) === enc(lang), s"sums diverge for $lang")
+      // a word is at least one token; a token is at most the word
+      assert(tokens >= words)
+      assert(fppm === tokens * 1000000L / words)
+      assert(cppm === chars * 1000000L / tokens)
+      assert(cppm >= 1000000L, "a BPE token is at least one char")
+    }
+  }
+
+  test("asof forward: next click is the true successor within tolerance") {
+    val tol = 3600000000L
+    val got = Olap.asofForward(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    // naive per-user recompute
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "error"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("t"))
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1),
+        r.getString(2), r.getLong(3)))
+    val clicksByUser = ev.filter(_._3 == "click").groupBy(_._2)
+      .view.mapValues(_.map(_._4).sorted).toMap
+    val errors = ev.filter(_._3 == "error")
+    assert(got.length === errors.length)
+    val gotById = got.map(g => g._1 -> g._3).toMap
+    errors.foreach { case (eid, user, _, t) =>
+      val nxt = clicksByUser.getOrElse(user, Array.empty[Long])
+        .find(_ >= t).getOrElse(-1L)
+      val expect = if (nxt >= 0 && nxt - t <= tol) nxt else -1L
+      assert(gotById(eid) === expect, s"error $eid")
+    }
+  }
+
   test("mergeInto: each clause fires on exactly its slice") {
     val root = tmpDir() + "/merge-tbl"
     import spark.implicits._
