@@ -93,6 +93,19 @@ object Oracles {
          |WHERE rk <= 3""".stripMargin
     },
 
+    // weighted A-ES reservoir in integer log2q10 space: the identical
+    // BIGINT key Relational.weightedReservoirPerGroup sorts on
+    "q_reservoir_weighted" -> {
+      val hash = Portable.uint32Sql("md5(cast(doc_id AS VARCHAR))")
+      val lq = Portable.log2q10Sql(s"2 * ($hash) + 1", "//")
+      s"""SELECT lang, doc_id, n_chars, rk FROM (
+         |  SELECT lang, doc_id, n_chars,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY (($lq - 33792) * 1048576) // n_chars DESC, doc_id) AS rk
+         |  FROM documents) t
+         |WHERE rk <= 3""".stripMargin
+    },
+
     "q_total_order_bucket" ->
       """SELECT bucket, count(*) AS n,
         |  cast(min(cast(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS lo,
@@ -1445,6 +1458,18 @@ object Oracles {
         |  cast(cast(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
         |FROM orders, b
         |WHERE o_custkey <= mc // 4 AND o_orderkey <= mo // 4""".stripMargin,
+
+    // 3-dim z-order box read: the plain filter — hash equality proves
+    // the clustered rewrite preserved content and pruning never
+    // dropped rows
+    "q_txtable_zopt3" ->
+      """WITH b AS (SELECT max(l_orderkey) mo, max(l_partkey) mp,
+        |  max(l_suppkey) ms FROM lineitem)
+        |SELECT l_orderkey, l_partkey, l_suppkey,
+        |  cast(cast(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS qty
+        |FROM lineitem, b
+        |WHERE l_partkey <= mp // 2 AND l_suppkey <= ms // 2
+        |  AND l_orderkey <= mo // 2""".stripMargin,
 
     // CoW DELETE: the metadata-only quarter drop composed with the
     // bounded mod-7 predicate — what survives both

@@ -34,6 +34,7 @@ object SparkEntry {
     "q_sort_validate" -> (Relational.sortValidate _),
     "q_sample_interval" -> ((s: SparkSession, d: String) => Relational.intervalSample(s, d)),
     "q_reservoir_group" -> ((s: SparkSession, d: String) => Relational.reservoirPerGroup(s, d)),
+    "q_reservoir_weighted" -> (Relational.weightedReservoirGate _),
     "q_total_order_bucket" -> (Relational.totalOrderBucket _),
     "q_zorder" -> (Relational.zOrderStats _),
     "q_topk_per_group" -> (Relational.topkPerGroup _),
@@ -117,6 +118,7 @@ object SparkEntry {
     "q_pipe_binary" -> (graft.sources.Pipe.pipeBinaryHash _),
     "q_txtable_mor" -> (graft.sources.TxTable.cdcGateQuery _),
     "q_txtable_zopt" -> (graft.sources.TxTable.zoptGateQuery _),
+    "q_txtable_zopt3" -> (graft.sources.TxTable.zopt3GateQuery _),
     "q_txtable_changes" -> (graft.sources.TxTable.changesGateQuery _),
     "q_media_meta" -> (Media.mediaMeta _),
     // OLAP analytics (§2.1 extensions)

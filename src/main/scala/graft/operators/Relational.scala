@@ -247,16 +247,25 @@ object Relational {
         sum("ck").cast("decimal(38,0)").cast("string").as("checksum"))
   }
 
-  /** Z-order (Morton) value of two non-negative bigint keys: bit
-    * interleave of the low 21 bits each. Sorting/range-partitioning by
-    * z clusters data so BOTH dimensions have tight per-file min/max
-    * ranges — parquet row-group and file skipping then prunes on
-    * either predicate, where a lexicographic sort only serves its
-    * leading column. Exact integer arithmetic → oracle-portable. */
-  def zValueExpr(x: String, y: String): String =
-    (0 until 21).map(i =>
-      s"(shiftleft(shiftright($x, $i) % 2, ${2 * i}) + shiftleft(shiftright($y, $i) % 2, ${2 * i + 1}))")
+  /** Z-order (Morton) value of n non-negative bigint keys: bit i of
+    * dimension d lands at position i*n + d, so ALL dimensions get
+    * tight per-file min/max ranges under a z sort — parquet row-group
+    * / dir skipping then prunes on any predicate column, where a
+    * lexicographic sort only serves its leading column. Bits per
+    * dimension is 63 div n (21 at n=2 or 3 — the interleave stays a
+    * non-negative BIGINT). Exact integer arithmetic → oracle-portable
+    * and engine-independent. */
+  def zValueExprN(cols: Seq[String]): String = {
+    require(cols.size >= 2, s"z-order needs >= 2 dims, got ${cols.size}")
+    val n = cols.size
+    val bits = math.min(21, 63 / n)
+    (for (i <- 0 until bits; (c, d) <- cols.zipWithIndex) yield
+      s"(shiftleft(shiftright($c, $i) % 2, ${i * n + d}))")
       .mkString(" + ")
+  }
+
+  /** Two-dimensional face of [[zValueExprN]] (x at even bits, y odd). */
+  def zValueExpr(x: String, y: String): String = zValueExprN(Seq(x, y))
 
   /** Write `df` clustered by the z-order of (xCol, yCol): range
     * partition on z (balanced output files), sort within partitions,
@@ -358,24 +367,39 @@ object Relational {
     * quality-weighted corpus subsampler (sample by quality score,
     * dedup multiplicity, or importance weight). Deterministic GIVEN
     * the data: u is a pure function of the row id, so the same rows
-    * survive on every run and partitioning. Spark-side only (the
-    * u^(1/w) key is a libm pow whose last-ulp behavior is not
-    * portable across engines, so this one is spec-tested rather than
-    * oracle-hashed — the UNWEIGHTED reservoir q_reservoir_group
-    * remains the cross-engine-gated variant). Per-group window ⇒
-    * groups × k state, never a global sort. */
+    * survive on every run and partitioning.
+    *
+    * The sort key is derived in INTEGER space so it is bit-identical
+    * across engines (the naive u^(1/w) is a libm pow whose last-ulp
+    * behavior is not portable): maximizing u^(1/w) is maximizing
+    * log2(u)/w, and with u = (2h+1)/2^33 (h the uint32 of the id's
+    * md5, 2h+1 odd so u is strictly inside (0,1)) that is
+    * `(log2q10(2h+1) - 33*1024) * 2^20 intdiv w` — every step exact
+    * BIGINT arithmetic via [[graft.Portable.log2q10Sql]]. Sub-2^-20
+    * key collisions fall to the deterministic id tiebreak, identically
+    * in both engines, so the operator oracle-gates
+    * (q_reservoir_weighted). Weights must be integral >= 1. Per-group
+    * window ⇒ groups × k state, never a global sort. */
   def weightedReservoirPerGroup(df: DataFrame, groupCol: String,
     idCol: String, weightCol: String, k: Int): DataFrame = {
     val hash = graft.Portable.uint32Sql(
       s"md5(cast(cast($idCol as string) as binary))")
-    // +0.5 keeps u strictly inside (0, 1): u = 0 would tie every
-    // zero-key row, u = 1 would ignore the weight
-    val key = s"power((($hash) + 0.5) / 4294967296.0, " +
-      s"1.0 / cast($weightCol as double))"
+    val lq = graft.Portable.log2q10Sql(s"2 * ($hash) + 1")
+    val key = s"(($lq - 33792) * 1048576) div cast($weightCol as bigint)"
     val w = Window.partitionBy(groupCol)
       .orderBy(expr(key).desc, col(idCol))
     df.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
+
+  /** ORACLE-GATED weighted-reservoir exercise (q_reservoir_weighted):
+    * 3 survivors per language from `documents`, weighted by document
+    * length — long documents are proportionally likelier to survive,
+    * the "sample by importance weight" shape of a curation pipeline.
+    * The DuckDB oracle replays the identical integer A-ES key. */
+  def weightedReservoirGate(spark: SparkSession, dir: String): DataFrame =
+    weightedReservoirPerGroup(
+      Tables.documents(spark, dir).select("lang", "doc_id", "n_chars"),
+      "lang", "doc_id", "n_chars", k = 3)
 
   /** Per-group top-k via rank window — the canonical "sorted reduce
     * values, emit first k" reducer pattern. */

@@ -768,7 +768,14 @@ object TxTable {
     * Keyed snapshots are resolved first (optimize ⊇ compaction);
     * the stats declaration moves to the z dimensions. */
   def optimizeZOrder(spark: SparkSession, root: String, xCol: String,
-    yCol: String, nDirs: Int = 8): Int = {
+    yCol: String, nDirs: Int = 8): Int =
+    optimizeZOrderN(spark, root, Seq(xCol, yCol), nDirs)
+
+  /** n-dimensional OPTIMIZE … ZORDER BY (c1, …, cn) — same contract as
+    * the 2-dim face; every listed dimension gets dir stats, so
+    * `read(colRanges)` pruning bites on any of them. */
+  def optimizeZOrderN(spark: SparkSession, root: String,
+    zCols: Seq[String], nDirs: Int = 8): Int = {
     require(nDirs >= 1, "optimizeZOrder needs at least one output dir")
     val (fs, rp) = fsFor(spark, root)
     // The O(table) rewrite stages OUTSIDE the claim loop, pinned to the
@@ -783,23 +790,40 @@ object TxTable {
       require(base > 0, s"txtable: nothing to optimize at $root")
       val resolved = read(spark, root, base)
       val parent = s"data/zopt-${java.util.UUID.randomUUID()}"
-      // range-partition on z, one output dir per partition (written as
-      // one partitionBy level so a single job stages every dir), sort
-      // within so row groups inside a dir cluster too
-      resolved
-        .withColumn("_z", expr(
-          graft.operators.Relational.zValueExpr(xCol, yCol)))
-        .repartitionByRange(nDirs, col("_z"))
+      // Dirs are ALIGNED z-prefix blocks (bucket = z >> shift), not
+      // sampled quantile ranges: a quantile boundary that straddles a
+      // Morton cell widens that dir's min/max box in EVERY dimension
+      // and pruning degrades, whereas prefix blocks are axis-aligned
+      // boxes by construction — the tightest stats the interleave can
+      // give. The shift adapts to the data in one map-side HLL pass
+      // (smallest shift whose distinct block count fits nDirs), so
+      // clustered/skewed z distributions still land near nDirs
+      // non-empty dirs and empty blocks cost nothing.
+      val withZ = resolved.withColumn("_z", expr(
+        graft.operators.Relational.zValueExprN(zCols)))
+      val nBits = 63
+      val acds = withZ.agg(
+        max("_z").as("mz"),
+        (0 until nBits).map(s =>
+          approx_count_distinct(expr(s"shiftright(_z, $s)"), 0.02)
+            .as(s"s$s")): _*)
+        .collect()(0)
+      require(!acds.isNullAt(0), s"txtable: nothing to optimize at $root")
+      val shift = (0 until nBits)
+        .find(s => acds.getLong(s + 1) <= nDirs.toLong)
+        .getOrElse(nBits)
+      withZ
+        .withColumn("_b", expr(s"shiftright(_z, $shift)"))
+        .repartition(col("_b"))
         .sortWithinPartitions("_z")
-        .withColumn("_b", org.apache.spark.sql.functions.spark_partition_id())
         .drop("_z")
         .write.partitionBy("_b").mode("overwrite")
         .parquet(new Path(rp, parent).toString)
       val keys = snapshotKeys(fs, rp, base)
-      val statsCols = Seq(xCol, yCol)
+      val statsCols = zCols
       val buckets = fs.listStatus(new Path(rp, parent)).toSeq
         .map(_.getPath.getName).filter(_.startsWith("_b="))
-        .sortBy(n => n.stripPrefix("_b=").toInt)
+        .sortBy(n => n.stripPrefix("_b=").toLong)
       val entries = buckets.map { b =>
         val d = s"$parent/$b"
         Entry(isDelta = false, d,
@@ -1340,6 +1364,34 @@ object TxTable {
     optimizeZOrder(spark, root, "o_custkey", "o_orderkey", nDirs = 8)
     read(spark, root, colRanges = Map(
       "o_custkey" -> (0L, maxC / 4), "o_orderkey" -> (0L, maxO / 4)))
+  }
+
+  /** ORACLE-GATED 3-dim OPTIMIZE-ZORDER exercise (q_txtable_zopt3):
+    * lineitem loaded as four hash-split appends, OPTIMIZE ZORDER BY
+    * (l_partkey, l_suppkey, l_orderkey), then a THREE-dimensional box
+    * read back through colRanges dir pruning — the layout a 100 TB
+    * fact table needs when lookups come by any of part, supplier or
+    * order. Oracle = the plain filter; hash equality proves content
+    * preservation and that pruning skipped dirs, never rows. */
+  def zopt3GateQuery(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratchRoot("graft-zopt3gate", dir)
+    val l = graft.Tables.lineitem(spark, dir).select(
+      col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+      col("l_quantity").cast("decimal(18,2)").cast("double").as("qty"))
+    // 1-row readback for the box bounds (metadata-scale); null-safe
+    val bounds = l.agg(max("l_orderkey"), max("l_partkey"),
+      max("l_suppkey")).collect()(0)
+    if (bounds.isNullAt(0)) return l.filter(lit(false))
+    val (maxO, maxP, maxS) =
+      (bounds.getLong(0), bounds.getLong(1), bounds.getLong(2))
+    (0L to 3L).foreach { i =>
+      append(l.filter(col("l_orderkey") % 4 === i), root)
+    }
+    optimizeZOrderN(spark, root,
+      Seq("l_partkey", "l_suppkey", "l_orderkey"), nDirs = 8)
+    read(spark, root, colRanges = Map(
+      "l_partkey" -> (0L, maxP / 2), "l_suppkey" -> (0L, maxS / 2),
+      "l_orderkey" -> (0L, maxO / 2)))
   }
 
   /** Change-data-feed reader: every row-level change committed in

@@ -936,6 +936,34 @@ class TxTableSpec extends SparkSpec {
     assert(TxTable.read(spark, root, version = 8).count() === 1024L)
   }
 
+  test("optimizeZOrderN: a 3-dim box opens no more dirs than the 2-dim layout") {
+    import spark.implicits._
+    // identical content into two tables; one clustered on (x,y), the
+    // other on (x,y,z) — the 3-dim box lookup must be served at least
+    // as well by the 3-dim interleave (the third dim prunes too)
+    val pts = for (x <- 0L until 16L; y <- 0L until 16L; z <- 0L until 16L)
+      yield (x, y, z)
+    val df = pts.toDF("x", "y", "z")
+    val root2 = tmpDir() + "/tx-zopt3-2d"
+    val root3 = tmpDir() + "/tx-zopt3-3d"
+    TxTable.append(df, root2); TxTable.append(df, root3)
+    TxTable.optimizeZOrder(spark, root2, "x", "y", nDirs = 8)
+    TxTable.optimizeZOrderN(spark, root3, Seq("x", "y", "z"), nDirs = 8)
+    val box = Map("x" -> (0L, 7L), "y" -> (0L, 7L), "z" -> (0L, 7L))
+    def dirsOf(root: String): Int =
+      TxTable.read(spark, root, colRanges = box).inputFiles.map(f =>
+        new java.io.File(new java.net.URI(f)).getParentFile.getName)
+        .toSet.size
+    // content identical under both layouts
+    assert(TxTable.read(spark, root3, colRanges = box).count() === 512L)
+    assert(TxTable.read(spark, root2, colRanges = box).count() === 512L)
+    val (d2, d3) = (dirsOf(root2), dirsOf(root3))
+    assert(d3 <= d2, s"3-dim layout must serve the 3-dim box at least " +
+      s"as well as the 2-dim layout: $d3 vs $d2 dirs")
+    // the half-range box zeroes each dim's top bit ⇒ 1 of 8 octants
+    assert(d3 <= 2, s"a half-range 3-dim box must touch <=2 of 8 dirs, got $d3")
+  }
+
   test("optimizeZOrder resolves keyed snapshots and stays writable") {
     import spark.implicits._
     val root = tmpDir() + "/tx-zopt-keyed"
