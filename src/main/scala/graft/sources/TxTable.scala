@@ -1483,6 +1483,78 @@ object TxTable {
         valueCols.map(v => coalesce(col(v), col(s"_p_$v")).as(v)): _*)
   }
 
+  /** One micro-batch slice of the change feed, at FILE granularity:
+    * parquet files whose rows (plus the constant tags) ARE the change
+    * rows of `version`. `constOp = Some("I")` for append/clone slices
+    * (files hold plain data rows); `None` when the files carry their
+    * own `op` column (delta dirs, staged diffs). */
+  private[sources] case class ChangeSlice(files: Seq[String],
+    constOp: Option[String], version: Int)
+
+  /** The change feed of (fromV, toV] as file slices — the DataSourceV2
+    * `planInputPartitions` face of [[changes]]. Driver-side metadata
+    * work only, except the documented O(table) fallback: a
+    * `merge`/`overwrite`/`restore` commit's keyed snapshot diff is
+    * computed ONCE (full Catalyst plan, distributed) and staged to
+    * `_changes/v<N>` inside the table; replays and other streams
+    * re-serve the staged files. Commits are immutable so the staged
+    * content is deterministic; a concurrent staging race is settled by
+    * rename atomicity (loser deletes its temp). Every other commit
+    * kind serves the COMMITTED parquet files directly — tailing a
+    * continuously-loaded 100 TB table moves no data at plan time. */
+  private[sources] def changeFileSlices(spark: SparkSession, root: String,
+    fromV: Int, toV: Int): Seq[ChangeSlice] = {
+    val (fs, rp) = fsFor(spark, root)
+    require(fromV >= 0 && toV >= fromV,
+      s"txtable: bad change range ($fromV, $toV]")
+    (math.max(1, fromV) to toV).foreach { v =>
+      require(fs.exists(commitPath(rp, v)),
+        s"txtable: v$v of $root was vacuumed; change replay must start " +
+          "at or after the oldest retained snapshot")
+    }
+    def filesOf(dirs: Seq[String]): Seq[String] = dirs.flatMap { d =>
+      fs.listStatus(new Path(rp, d)).toSeq.filter(s => s.isFile &&
+        !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+        .map(_.getPath.toString)
+    }
+    ((fromV + 1) to toV).flatMap { v =>
+      val op = readFileUtf8(fs, commitPath(rp, v)).split("\n")
+        .find(_.startsWith("op:")).map(_.drop(3)).getOrElse("?")
+      val prevDirs = snapshotDirs(fs, rp, v - 1).toSet
+      val newDirs = snapshotEntries(fs, rp, v).map(_.dir)
+        .filterNot(prevDirs)
+      op match {
+        case "compact" => Seq.empty // same content, new layout
+        case "delta" => Seq(ChangeSlice(filesOf(newDirs), None, v))
+        case "append" | "clone" =>
+          Seq(ChangeSlice(filesOf(newDirs), Some("I"), v))
+        case "merge" | "overwrite" | "restore" =>
+          val stagedDir = f"_changes/v$v%08d"
+          val staged = new Path(rp, stagedDir)
+          if (!fs.exists(staged)) {
+            val keys = snapshotKeys(fs, rp, v).getOrElse(
+              throw new IllegalArgumentException(
+                s"txtable: v$v of $root replaced content without a key " +
+                  "declaration - no row identity to derive a change feed from"))
+            val cur = read(spark, root, v)
+            val prev =
+              if (v - 1 > 0) read(spark, root, v - 1)
+              else cur.filter(lit(false))
+            val tmp = new Path(rp,
+              s"_changes/.tmp-${java.util.UUID.randomUUID()}")
+            snapshotDiff(prev, cur, keys)
+              .write.mode("overwrite").parquet(tmp.toString)
+            fs.mkdirs(new Path(rp, "_changes"))
+            if (!fs.rename(tmp, staged)) fs.delete(tmp, true)
+          }
+          Seq(ChangeSlice(filesOf(Seq(stagedDir)), None, v))
+        case other =>
+          throw new IllegalStateException(s"txtable: unknown op '$other'")
+      }
+    }
+  }
+
   /** Oracle-gated change-feed exercise (q_txtable_changes): the same
     * deterministic orders-derived stream as `cdcGateQuery`, committed
     * as two merge-on-read delta batches plus a compaction, then read

@@ -2,12 +2,22 @@ package graft.sources
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession, SQLContext}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset => V2Offset}
+import org.apache.spark.sql.connector.write.{DataWriter, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.execution.FileRelation
-import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
-import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.execution.streaming.Source
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
 
 /** The standard read/write face of [[TxTable]] — `graft-tx` as a
   * registered data source (ref analog: the reference warehouse's
@@ -50,20 +60,66 @@ import org.apache.spark.sql.types.StructType
   */
 class TxTableSource extends RelationProvider
   with CreatableRelationProvider with DataSourceRegister
-  with StreamSourceProvider with StreamSinkProvider {
+  with StreamSourceProvider with TableProvider {
 
   override def shortName(): String = "graft-tx"
 
-  // ---- streaming face: the change feed as a micro-batch source ----
+  // ---- streaming faces: DataSourceV2 (connector API, no internals) --
   // `spark.readStream.format("graft-tx").load(root)` tails the commit
-  // log: each micro-batch is the change rows (data..., op,
-  // commit_version) of the commit versions that arrived since the
-  // last processed offset — the table is a streaming SOURCE exactly
-  // as it is already an exactly-once streaming sink. Offsets are
-  // commit versions, so checkpoint recovery replays a half-processed
-  // batch identically (commits are immutable) and never re-delivers
-  // a completed one.
+  // log through a MicroBatchStream: each micro-batch is the change
+  // rows (data..., op, commit_version) of the commit versions that
+  // arrived since the last processed offset. Offsets are commit
+  // versions, so checkpoint recovery replays a half-processed batch
+  // identically (commits are immutable) and never re-delivers a
+  // completed one. `df.writeStream.format("graft-tx")` commits each
+  // epoch transactionally through a StreamingWrite (executors stage
+  // rows, the driver commit applies them exactly once).
+  //
+  // The provider doubles as a V1 RelationProvider for BATCH reads and
+  // writes on purpose: a merge-on-read snapshot IS a multi-operator
+  // Spark plan (window resolution + broadcast anti-join), which the
+  // relation face reuses wholesale — the engine falls back to it
+  // because the Table below advertises no BATCH capabilities. The
+  // STREAMING faces are pure DSv2: they move rows through
+  // PartitionReader/DataWriter and need no `private[sql]` bridge, so
+  // they (unlike the V1 Source they replaced) run under Spark Connect.
 
+  // NOTE deliberately NOT overriding supportsExternalMetadata(): the
+  // schema is always derivable from the table itself, and `true` would
+  // make the session catalog trust its stored copy over the live one.
+
+  /** Two V2 contexts share this provider, told apart by the options:
+    * the SESSION CATALOG (CREATE TABLE ... USING graft-tx) injects a
+    * `provider` key that path-based reads/writes never carry, and its
+    * table must be the BATCH relation (data schema); everything else
+    * is the streaming face (change-feed schema when the table exists,
+    * empty for a sink about to create it — there the query's own
+    * schema is authoritative and the table's is unused). */
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val spark = SparkSession.active
+    val root = TxTableSource.rootOfV2(options)
+    if (!TxTable.exists(spark, root)) new StructType()
+    else if (TxTableSource.isCatalogContext(options))
+      TxRelation(spark, root, TxTableSource.paramsOf(options)).schema
+    else TxStreamSource.feedSchema(spark, root)
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+    properties: java.util.Map[String, String]): Table = {
+    val options = new CaseInsensitiveStringMap(properties)
+    val root = TxTableSource.rootOfV2(options)
+    if (TxTableSource.isCatalogContext(options))
+      new GraftTxCatalogTable(schema, root, options)
+    else new GraftTxTable(schema, root, options)
+  }
+
+  // V1 streaming SOURCE face, kept ONLY for its load()-time contract:
+  // DataStreamReader eagerly resolves the V1 fallback's schema, so a
+  // readStream.load on a missing table still fails fast here with the
+  // real cause. Execution always selects the DSv2 MicroBatchStream
+  // (the Table advertises MICRO_BATCH_READ); the V1 source itself is
+  // gone, so `spark.sql.streaming.disabledV2MicroBatchReaders` cannot
+  // re-select it.
   override def sourceSchema(sqlContext: SQLContext,
     schema: Option[StructType], providerName: String,
     parameters: Map[String, String]): (String, StructType) =
@@ -73,48 +129,10 @@ class TxTableSource extends RelationProvider
   override def createSource(sqlContext: SQLContext, metadataPath: String,
     schema: Option[StructType], providerName: String,
     parameters: Map[String, String]): Source =
-    new TxStreamSource(sqlContext.sparkSession,
-      TxTableSource.rootOf(parameters),
-      // first commit version INCLUDED in the feed (default 1 = full
-      // history); lets a consumer start from "now-ish" instead of
-      // replaying a vacuum-bounded backlog
-      startingVersion = parameters.get("startingVersion")
-        .orElse(parameters.get("startingversion")).map(_.toInt).getOrElse(1))
-
-  // ---- streaming sink: exactly-once micro-batch loads ----
-  // `df.writeStream.format("graft-tx").option("path", root)` commits
-  // each micro-batch transactionally, tagged with its batch id, so a
-  // replayed batch (restart after a sink-side crash) is recognized
-  // and skipped — at-least-once delivery composes to exactly-once
-  // table state. With option `keys`, batches are CDC rows
-  // (keys..., op, values..., seq) applied as O(batch) merge-on-read
-  // deltas; without, plain appends. Complete mode overwrites.
-
-  override def createSink(sqlContext: SQLContext,
-    parameters: Map[String, String], partitionColumns: Seq[String],
-    outputMode: OutputMode): Sink = {
-    require(partitionColumns.isEmpty,
-      "graft-tx sink: partitionBy is not supported (dir layout is " +
-        "commit-managed; use statsCols for pruning)")
-    val keyCols = parameters.get("keys")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-    val statsCols = parameters.get("statsCols").orElse(parameters.get("statscols"))
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-      .getOrElse(Seq.empty)
-    // replay-protection tags are scoped per STREAM, or two queries
-    // writing one table would collide on bare batch ids (both start
-    // at 0) and silently drop each other's batches. The checkpoint
-    // location IS the query's durable identity — the same checkpoint
-    // is the same logical stream across restarts.
-    val streamId = parameters.get("checkpointlocation")
-      .orElse(parameters.get("checkpointLocation"))
-      .orElse(parameters.get("queryname")).orElse(parameters.get("queryName"))
-      .map(s => java.lang.Long.toHexString(
-        scala.util.hashing.MurmurHash3.stringHash(s).toLong & 0xffffffffL))
-      .getOrElse("default")
-    new TxStreamSink(TxTableSource.rootOf(parameters), keyCols, statsCols,
-      complete = outputMode == OutputMode.Complete(), streamId = streamId)
-  }
+    throw new UnsupportedOperationException(
+      "graft-tx: the V1 streaming source was replaced by the " +
+        "DataSourceV2 micro-batch stream; unset " +
+        "spark.sql.streaming.disabledV2MicroBatchReaders for graft-tx")
 
   override def createRelation(sqlContext: SQLContext,
     parameters: Map[String, String]): BaseRelation =
@@ -147,6 +165,23 @@ object TxTableSource {
   private def rootOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-tx requires a path (load(root) or OPTIONS (path '...'))"))
+
+  private[sources] def rootOfV2(options: CaseInsensitiveStringMap): String =
+    Option(options.get("path")).getOrElse(throw new IllegalArgumentException(
+      "graft-tx requires a path (load(root) or OPTIONS (path '...'))"))
+
+  /** The session catalog's table loads inject `provider=graft-tx`
+    * (plus location/owner) into the options; path-based
+    * read/readStream/writeStream options never contain it. */
+  private[sources] def isCatalogContext(
+    options: CaseInsensitiveStringMap): Boolean =
+    "graft-tx".equalsIgnoreCase(options.get("provider"))
+
+  private[sources] def paramsOf(
+    options: CaseInsensitiveStringMap): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    options.asCaseSensitiveMap().asScala.toMap
+  }
 
   /** timestampAsOf accepts epoch millis, an ISO-8601 instant, or a
     * local `yyyy-MM-dd HH:mm:ss` timestamp (session-zone-free: local
@@ -324,60 +359,277 @@ case class TxRelation(spark: SparkSession, root: String,
 
 /** Offset = commit version. Immutable commits make version ranges a
   * perfect streaming offset: replayable, ordered, exactly-once. */
-case class TxVersionOffset(v: Int) extends Offset {
+case class TxVersionOffset(v: Int) extends V2Offset {
   override def json(): String = v.toString
 }
 
-/** V1 micro-batch source over the [[TxTable]] change feed. Each batch
-  * evaluates `TxTable.changes(root, lo, hi)` — the same oracle-gated
-  * relation the batch API serves — and re-tags it streaming through
-  * the audited bridge (the one `private[sql]` call a V1 source needs;
-  * see plans.SqlBridge). The source never caches table state: offsets
-  * come from the commit log on every poll, so concurrent writers
-  * (OCC) surface naturally as new batches. */
-class TxStreamSource(spark: SparkSession, root: String,
-  startingVersion: Int = 1) extends Source {
-  require(startingVersion >= 1,
-    s"graft-tx streaming: startingVersion must be >= 1, got $startingVersion")
+/** The DSv2 streaming face of one `graft-tx` root: a Table advertising
+  * ONLY the streaming capabilities, so batch reads/writes fall back to
+  * the V1 relation (which reuses the full snapshot-resolution plan)
+  * while streaming runs through the connector API — under Connect too.
+  * `schema` is the change-feed schema for an existing table, empty for
+  * a to-be-created sink target (the write path takes its schema from
+  * the query). */
+class GraftTxTable(tableSchema: StructType, root: String,
+  options: CaseInsensitiveStringMap)
+  extends Table with SupportsRead with SupportsWrite {
 
-  override val schema: StructType = TxStreamSource.feedSchema(spark, root)
+  override def name(): String = s"graft-tx $root"
+  override def schema(): StructType = tableSchema
 
-  override def getOffset: Option[Offset] = {
-    val v = TxTable.latestVersion(spark, root)
-    // nothing to emit until the starting version exists
-    if (v < startingVersion) None else Some(TxVersionOffset(v))
+  override def capabilities(): java.util.Set[TableCapability] = {
+    val caps = new java.util.HashSet[TableCapability]
+    caps.add(TableCapability.STREAMING_WRITE)
+    // no feed schema (missing table) ⇒ not readable as a stream yet
+    if (tableSchema.nonEmpty) caps.add(TableCapability.MICRO_BATCH_READ)
+    caps
   }
 
-  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val lo = start.map(TxStreamSource.versionOf)
-      .getOrElse(startingVersion - 1)
-    val hi = TxStreamSource.versionOf(end)
-    // conform to the declared schema: V1 splices batch columns into
-    // the plan BY POSITION, and a delta commit's change frame orders
-    // them (keys, op, values) while the snapshot-derived source
-    // schema orders (data, op) — a positional mismatch would silently
-    // mis-bind columns (or crash the sink's encoder)
-    val batch = TxTable.changes(spark, root, lo, hi)
-      .select(schema.fieldNames.toIndexedSeq.map(col): _*)
-    org.apache.spark.sql.graftbridge.PlanBridge.streamingFromBatch(batch)
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
+    // first commit version INCLUDED in the feed (default 1 = full
+    // history); lets a consumer start from "now-ish" instead of
+    // replaying a vacuum-bounded backlog
+    val startingVersion =
+      Option(opts.get("startingVersion")).map(_.toInt).getOrElse(1)
+    require(startingVersion >= 1,
+      s"graft-tx streaming: startingVersion must be >= 1, got $startingVersion")
+    () => new Scan {
+      override def readSchema(): StructType = tableSchema
+      override def description(): String =
+        s"graft-tx change feed of $root from v$startingVersion"
+      override def toMicroBatchStream(ckpt: String): MicroBatchStream =
+        new TxMicroBatchStream(root, tableSchema, startingVersion)
+    }
   }
 
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new TxWriteBuilder(root, info)
+}
+
+/** The session catalog's face of a `graft-tx` root (`CREATE TABLE t
+  * USING graft-tx OPTIONS (path ...)`): Spark 4 loads catalog tables
+  * of any TableProvider through DataSourceV2, so this Table advertises
+  * BATCH_READ — but its Scan implements the connector's `V1Scan`
+  * bridge, handing execution to the SAME [[TxRelation]] the path-based
+  * batch face uses. One snapshot-resolution implementation serves both
+  * faces; column pruning and filter→range pruning flow through the
+  * pushdown interfaces into `TxRelation.buildScan` exactly as on the
+  * path face. */
+class GraftTxCatalogTable(tableSchema: StructType, root: String,
+  options: CaseInsensitiveStringMap)
+  extends Table with SupportsRead {
+
+  override def name(): String = s"graft-tx $root"
+  override def schema(): StructType = tableSchema
+
+  override def capabilities(): java.util.Set[TableCapability] = {
+    val caps = new java.util.HashSet[TableCapability]
+    // an empty schema means the root had no commits at load time —
+    // nothing to scan yet (matching the V1 relation's require)
+    if (tableSchema.nonEmpty) caps.add(TableCapability.BATCH_READ)
+    caps
+  }
+
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new TxCatalogScanBuilder(root, tableSchema,
+      TxTableSource.paramsOf(options) ++ TxTableSource.paramsOf(opts))
+}
+
+class TxCatalogScanBuilder(root: String, fullSchema: StructType,
+  params: Map[String, String]) extends ScanBuilder
+  with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  // report every filter as unhandled so Spark re-evaluates all of
+  // them above the scan; the relation still USES them for dir
+  // pruning + inner-parquet pushdown (best-effort, never trusted)
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = Array.empty
+
+  override def build(): Scan = new V1Scan {
+    override def readSchema(): StructType = required
+    override def description(): String = s"graft-tx catalog scan of $root"
+    override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T = {
+      val cols = required.fieldNames
+      val fs = pushed
+      new BaseRelation with TableScan {
+        override def sqlContext: SQLContext = context
+        override val schema: StructType = required
+        override def buildScan(): RDD[Row] =
+          TxRelation(context.sparkSession, root, params).buildScan(cols, fs)
+      }.asInstanceOf[T]
+    }
+  }
+}
+
+/** Micro-batch change-feed stream. All methods run on the driver;
+  * rows move only in the PartitionReaders. `planInputPartitions` is
+  * file-granular — one partition per surviving parquet file — so a
+  * large commit fans out across the cluster exactly like a batch scan
+  * of the same files. */
+class TxMicroBatchStream(root: String, schema: StructType,
+  startingVersion: Int) extends MicroBatchStream {
+
+  private def spark = SparkSession.active
+
+  override def initialOffset(): V2Offset =
+    TxVersionOffset(startingVersion - 1)
+
+  override def latestOffset(): V2Offset =
+    TxVersionOffset(math.max(TxTable.latestVersion(spark, root),
+      startingVersion - 1))
+
+  override def deserializeOffset(json: String): V2Offset =
+    TxVersionOffset(json.trim.stripPrefix("\"").stripSuffix("\"").toInt)
+
+  private def versionOf(o: V2Offset): Int = o match {
+    case TxVersionOffset(v) => v
+    case other => other.json().trim.toInt
+  }
+
+  override def planInputPartitions(start: V2Offset,
+    end: V2Offset): Array[InputPartition] =
+    TxTable.changeFileSlices(spark, root, versionOf(start), versionOf(end))
+      .flatMap(s => s.files.map(f =>
+        TxInputPartition(f, s.constOp, s.version)))
+      .toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    TxReaderFactory(schema, new SerializableConfiguration(
+      spark.sessionState.newHadoopConf()))
+
+  override def commit(end: V2Offset): Unit = ()
   override def stop(): Unit = ()
 }
 
-/** V1 micro-batch sink into a [[TxTable]]. Each batch re-tags the
-  * incrementally-planned frame as a batch frame (the inverse bridge
-  * call of the source side) and commits it through the transactional
-  * write paths — `mergeDelta` (keyed CDC), `appendBatch` (plain), or
-  * `overwrite` (Complete mode) — all carrying the batch id where
-  * replay protection applies. */
-class TxStreamSink(root: String, keyCols: Option[Seq[String]],
-  statsCols: Seq[String], complete: Boolean,
-  streamId: String = "default") extends Sink {
+/** One parquet data file of one commit's change slice. `constOp` set
+  * means the file holds plain data rows tagged with that op (append);
+  * unset means the file carries its own `op` column (delta/diff). */
+case class TxInputPartition(file: String, constOp: Option[String],
+  version: Int) extends InputPartition
 
-  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+case class TxReaderFactory(schema: StructType,
+  conf: SerializableConfiguration) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new TxPartitionReader(p.asInstanceOf[TxInputPartition], schema, conf)
+}
+
+/** Reads one change-slice file through [[TxParquetIO]] and widens each
+  * row to the feed schema: file columns by name, `op` from the slice
+  * constant where the file has none, `commit_version` always constant.
+  * No Spark plan, no driver involvement — pure executor record IO. */
+class TxPartitionReader(part: TxInputPartition, schema: StructType,
+  conf: SerializableConfiguration) extends PartitionReader[InternalRow] {
+
+  // feed fields that must come FROM the file, in feed order
+  private val fileFields = StructType(schema.fields.filterNot(f =>
+    f.name == "commit_version" || (f.name == "op" && part.constOp.isDefined)))
+  private val fromFileIdx: Map[String, Int] =
+    fileFields.fieldNames.zipWithIndex.toMap
+  private val reader = TxParquetIO.reader(
+    new org.apache.hadoop.fs.Path(part.file), fileFields, conf.value)
+  private val opConst = part.constOp.map(UTF8String.fromString).orNull
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    val r = reader.read()
+    if (r == null) false
+    else {
+      val out = new Array[Any](schema.length)
+      schema.fields.zipWithIndex.foreach { case (f, i) =>
+        out(i) =
+          if (f.name == "commit_version") part.version.toLong
+          else if (f.name == "op" && opConst != null) opConst
+          else r.get(fromFileIdx(f.name), f.dataType)
+      }
+      current = new GenericInternalRow(out)
+      true
+    }
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = reader.close()
+}
+
+/** Streaming write builder: Append by default; Complete (truncate)
+  * maps to transactional overwrite, mirroring the V1 sink. */
+class TxWriteBuilder(root: String, info: LogicalWriteInfo)
+  extends WriteBuilder with SupportsTruncate {
+  private var complete = false
+  override def truncate(): WriteBuilder = { complete = true; this }
+  override def build(): Write = new Write {
+    override def toStreaming: StreamingWrite =
+      new TxStreamingWrite(root, info, complete)
+  }
+}
+
+case class TxCommitMessage(path: String, rows: Long)
+  extends WriterCommitMessage
+
+/** Exactly-once micro-batch loads, DSv2 shape: executors stage each
+  * epoch's rows as parquet files under `_staging/<stream>/epoch-<id>`
+  * ([[TxParquetIO]] writers — no Spark plan in the executor), and the
+  * driver-side `commit` applies the staged batch through the
+  * transactional write paths — `mergeDelta` (keyed CDC), `appendBatch`
+  * (plain), `overwrite` (Complete mode) — carrying the epoch id where
+  * replay protection applies. A replayed epoch re-stages its files and
+  * the batch tag recognizes it at commit: at-least-once delivery
+  * composes to exactly-once table state, same contract as the V1 sink
+  * this replaces (tags stay checkpoint-scoped and byte-compatible, so
+  * an upgraded pipeline resumes against its existing table). */
+class TxStreamingWrite(root: String, info: LogicalWriteInfo,
+  complete: Boolean) extends StreamingWrite {
+
+  private val schema = info.schema()
+  private val opts = info.options()
+  private val keyCols = Option(opts.get("keys"))
+    .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+  private val statsCols = Option(opts.get("statsCols"))
+    .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    .getOrElse(Seq.empty)
+  // replay-protection tags are scoped per STREAM, or two queries
+  // writing one table would collide on bare batch ids (both start at
+  // 0) and silently drop each other's batches. The checkpoint
+  // location IS the query's durable identity — the same checkpoint
+  // is the same logical stream across restarts (and across the
+  // V1-sink → DSv2 upgrade).
+  private val streamId = Option(opts.get("checkpointLocation"))
+    .orElse(Option(opts.get("queryName")))
+    .map(s => java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(s).toLong & 0xffffffffL))
+    .getOrElse(info.queryId())
+
+  private def stagingDir(epochId: Long) =
+    s"$root/_staging/$streamId/epoch-$epochId"
+
+  override def createStreamingWriterFactory(
+    pinfo: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    val conf = new SerializableConfiguration(
+      SparkSession.active.sessionState.newHadoopConf())
+    TxStreamingWriterFactory(root, streamId, schema, conf)
+  }
+
+  override def commit(epochId: Long,
+    messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val files = messages.collect {
+      case TxCommitMessage(p, n) if p != null && n > 0 => p
+    }
     val batch =
-      org.apache.spark.sql.graftbridge.PlanBridge.batchFromStreaming(data)
+      if (files.isEmpty)
+        spark.createDataFrame(
+          java.util.Collections.emptyList[Row](), schema)
+      else spark.read.parquet(files.toIndexedSeq: _*)
+        .select(schema.fieldNames.toIndexedSeq.map(col): _*)
     if (complete) {
       // Complete mode re-emits the whole result: idempotent by value,
       // replays converge without a tag
@@ -391,14 +643,64 @@ class TxStreamSink(root: String, keyCols: Option[Seq[String]],
           "graft-tx sink with keys expects CDC rows " +
             "(keys..., op, values..., seq); got " +
             batch.columns.mkString("(", ", ", ")"))
-        TxTable.mergeDelta(batch.sparkSession, root, batch, ks,
-          batchId = Some(batchId), streamId = streamId)
+        TxTable.mergeDelta(spark, root, batch, ks,
+          batchId = Some(epochId), streamId = streamId)
       case None =>
-        TxTable.appendBatch(batch, root, batchId, statsCols,
+        TxTable.appendBatch(batch, root, epochId, statsCols,
           streamId = streamId)
     }
+    cleanup(epochId)
+  }
+
+  override def abort(epochId: Long,
+    messages: Array[WriterCommitMessage]): Unit = cleanup(epochId)
+
+  private def cleanup(epochId: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(stagingDir(epochId))
+    val fs = p.getFileSystem(
+      SparkSession.active.sessionState.newHadoopConf())
+    fs.delete(p, true)
     ()
   }
+}
+
+case class TxStreamingWriterFactory(root: String, streamId: String,
+  schema: StructType, conf: SerializableConfiguration)
+  extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+    epochId: Long): DataWriter[InternalRow] =
+    new TxDataWriter(new org.apache.hadoop.fs.Path(
+      s"$root/_staging/$streamId/epoch-$epochId/" +
+        s"part-$partitionId-$taskId.parquet"), schema, conf)
+}
+
+/** Stages one task's rows to one parquet file; file creation is lazy
+  * so empty partitions stage nothing. Task retries write distinct
+  * file names (taskId) and only committed tasks' messages reach the
+  * driver, so a zombie task can't corrupt an epoch. */
+class TxDataWriter(path: org.apache.hadoop.fs.Path, schema: StructType,
+  conf: SerializableConfiguration) extends DataWriter[InternalRow] {
+  private var writer: org.apache.parquet.hadoop.ParquetWriter[InternalRow] = _
+  private var n = 0L
+
+  override def write(row: InternalRow): Unit = {
+    if (writer == null) writer = TxParquetIO.writer(path, schema, conf.value)
+    writer.write(row)
+    n += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (writer != null) writer.close()
+    TxCommitMessage(if (n > 0) path.toString else null, n)
+  }
+
+  override def abort(): Unit = {
+    if (writer != null) writer.close()
+    path.getFileSystem(conf.value).delete(path, false)
+    ()
+  }
+
+  override def close(): Unit = ()
 }
 
 object TxStreamSource {
@@ -411,11 +713,5 @@ object TxStreamSource {
     require(hi >= 1, s"graft-tx streaming: table at $root has no " +
       "commits yet - create it (one append) before tailing its feed")
     TxTable.changes(spark, root, hi, hi).schema
-  }
-
-  /** Offsets round-trip through checkpoint JSON as SerializedOffset. */
-  private[sources] def versionOf(o: Offset): Int = o match {
-    case TxVersionOffset(v) => v
-    case other => other.json().trim.stripPrefix("\"").stripSuffix("\"").toInt
   }
 }

@@ -340,6 +340,35 @@ class TxSourceSpec extends SparkSpec {
       "replica must converge to the source snapshot")
   }
 
+  test("streaming face serves replace-style commits via the staged diff") {
+    import spark.implicits._
+    // CoW merge commits record no per-batch change set — the feed
+    // falls back to the keyed snapshot diff, which the DSv2 source
+    // stages ONCE under _changes/ and serves as plain files (replays
+    // and late subscribers reuse the staged artifact)
+    val root = tmpDir() + "/txsrc-stream-cow"
+    TxTable.merge(spark, root,
+      Seq((1L, "I", 10.0, 1L), (2L, "I", 20.0, 2L)).toDF("k", "op", "v", "seq"))
+    TxTable.merge(spark, root,
+      Seq((1L, "U", 11.0, 3L), (2L, "D", 0.0, 4L)).toDF("k", "op", "v", "seq"))
+    val q = spark.readStream.format("graft-tx").load(root)
+      .writeStream.format("memory").queryName("txcow")
+      .option("checkpointLocation", tmpDir() + "/txsrc-stream-cow-ckpt")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    def keyed(df: org.apache.spark.sql.DataFrame) = df
+      .select("k", "op", "v", "commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(keyed(spark.sql("SELECT * FROM txcow")) ===
+      keyed(TxTable.changes(spark, root)),
+      "streamed diff feed must equal the batch change feed")
+    // the staged diff is a reusable artifact, one dir per diffed commit
+    val staged = new java.io.File(root.stripPrefix("file:"), "_changes")
+      .listFiles().map(_.getName).filterNot(_.startsWith(".")).sorted
+    assert(staged === Array("v00000001", "v00000002"))
+  }
+
   test("streaming face requires an existing table and supports MoR delta feeds") {
     import spark.implicits._
     intercept[IllegalArgumentException] {
