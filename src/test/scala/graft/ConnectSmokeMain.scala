@@ -50,6 +50,28 @@ object ConnectSmokeMain {
               "cast(floor(kmv_uniq(md5(cast(text as binary)), 256).est) as bigint) AS u")
             .collect()(0)
           println(s"CONNECT_OK $n 1 ${r.getLong(0)}")
+        } else if (n == "stream:txrepl") {
+          // end-to-end lakehouse loop from the Connect client: batch
+          // write creates a graft-tx table (server-side V1 relation),
+          // the DSv2 MicroBatchStream tails its change feed, the DSv2
+          // StreamingWrite applies it to a second table exactly-once,
+          // and a batch read verifies convergence. None of this is
+          // possible for a V1 Source/Sink under Connect — it is the
+          // round-8 migration's proof surface.
+          val base = s"${System.getProperty("java.io.tmpdir")}/" +
+            s"graft-connect-tx-${java.util.UUID.randomUUID()}"
+          val (src, dst, ckpt) = (s"$base/src", s"$base/dst", s"$base/ckpt")
+          spark.range(3).selectExpr("id AS k", "cast(id * 1.5 AS double) AS v")
+            .write.format("graft-tx").mode("append").save(src)
+          val q = spark.readStream.format("graft-tx").load(src)
+            .selectExpr("k", "op", "v", "commit_version AS seq")
+            .writeStream.format("graft-tx").option("path", dst)
+            .option("keys", "k").option("checkpointLocation", ckpt)
+            .outputMode("append").start()
+          try q.processAllAvailable() finally q.stop()
+          val r = spark.read.format("graft-tx").load(dst)
+            .selectExpr("count(*) AS n", "sum(k) AS s").collect()(0)
+          println(s"CONNECT_OK $n ${r.getLong(0)} ${r.getLong(1)}")
         } else {
           val rows =
             if (n == "typed:media")

@@ -33,7 +33,8 @@ class ConnectSmokeSpec extends SparkSpec {
   private val representative =
     Seq("q1_agg", "q_join_star", "q_window_funcs", "q_rollup", "q_wordcount",
       "typed:media", // typed Dataset path: encoders + mapPartitions lambda
-      "kernel:simhash", "kernel:kmv") // native kernels via server extensions
+      "kernel:simhash", "kernel:kmv", // native kernels via server extensions
+      "stream:txrepl") // DSv2 graft-tx source->sink CDC loop (r8)
 
   test("representative queries run unmodified through a Connect client JVM") {
     import org.apache.spark.sql.connect.service.SparkConnectService
@@ -90,8 +91,15 @@ class ConnectSmokeSpec extends SparkSpec {
         assert(out.contains(s"CONNECT_OK $n"), s"$n missing from:\n$out")
       }
       // row counts over Connect equal the classic session's
+      // the streaming loop reports (rows, sum) of the replicated
+      // table: 3 seed rows, sum(k) = 0+1+2
+      val repl = out.linesIterator
+        .find(_.startsWith("CONNECT_OK stream:txrepl ")).get.split(" ")
+      assert(repl(2) === "3" && repl(3) === "3",
+        "Connect-driven CDC replication must converge to the source")
       representative.filterNot(n =>
-        n.startsWith("typed:") || n.startsWith("kernel:")).foreach { n =>
+        n.startsWith("typed:") || n.startsWith("kernel:") ||
+          n.startsWith("stream:")).foreach { n =>
         val classic = SparkEntry.queries(n)(spark, sfDir).count()
         val connectRows = out.linesIterator
           .find(_.startsWith(s"CONNECT_OK $n "))
