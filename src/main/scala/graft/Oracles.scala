@@ -1450,6 +1450,22 @@ object Oracles {
         |  row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn FROM c)
         |SELECT k, v FROM w WHERE rn = 1 AND op <> 'D'""".stripMargin,
 
+    // the incrementally-maintained aggregate view must equal the full
+    // GROUP BY over the final resolved base — three rounds of delta
+    // maintenance converge to the recompute
+    "q_txtable_aggview" ->
+      """WITH c AS (SELECT o_custkey AS k,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN 'D'
+        |       WHEN o_orderkey % 3 = 0 THEN 'U' ELSE 'I' END AS op,
+        |  o_custkey % 50 AS g,
+        |  cast(round(o_totalprice * 100, 0) AS BIGINT) AS v,
+        |  o_orderkey AS seq FROM orders),
+        |w AS (SELECT k, op, g, v,
+        |  row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn FROM c),
+        |b AS (SELECT g, v FROM w WHERE rn = 1 AND op <> 'D')
+        |SELECT g, cast(sum(v) AS BIGINT) AS sum_v, count(*) AS n_rows
+        |FROM b GROUP BY g""".stripMargin,
+
     // the z-optimized table's pruned box read must equal the plain
     // filter — pruning may skip dirs, never rows
     "q_txtable_zopt" ->

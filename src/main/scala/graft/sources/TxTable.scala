@@ -573,6 +573,30 @@ object TxTable {
       .flatMap(t => t.substring(t.lastIndexOf(':') + 1).toLongOption)
       .maxOption
 
+  /** Newest batch id a stream has folded into `root` (None before the
+    * first tagged commit) — the crash-safe progress cursor incremental
+    * consumers (TxView) resume from: the cursor and the state it
+    * describes commit ATOMICALLY in one commit line, so a crash
+    * between "apply" and "record progress" cannot exist. */
+  private[sources] def lastAppliedBatchId(spark: SparkSession, root: String,
+    streamId: String): Option[Long] = {
+    if (!exists(spark, root)) return None
+    val (fs, rp) = fsFor(spark, root)
+    val v = latestVersion(spark, root)
+    if (v == 0) None else appliedBatchId(fs, rp, v, sanitizeStreamId(streamId))
+  }
+
+  /** The table's declared key columns, from its latest commit. */
+  private[sources] def tableKeys(spark: SparkSession,
+    root: String): Option[Seq[String]] = {
+    val (fs, rp) = fsFor(spark, root)
+    val v = latestVersion(spark, root)
+    if (v == 0) None
+    else snapshotKeys(fs, rp, v)
+      .orElse(if (snapshotEntries(fs, rp, v).exists(_.isDelta)) Some(Seq("k"))
+      else None)
+  }
+
   /** Stream identities embed in commit tag lines: strip the two
     * structural characters. */
   private def sanitizeStreamId(s: String): String = {
@@ -1014,7 +1038,7 @@ object TxTable {
     * invocation: repeated gate and bench runs reuse (not accumulate)
     * scratch space, and the JVM removes the last instance on exit.
     * Shared by every gate query that materializes a table. */
-  private def scratchRoot(prefix: String, dir: String): String = {
+  private[sources] def scratchRoot(prefix: String, dir: String): String = {
     val root = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"),
       s"$prefix-${math.abs(dir.hashCode)}").toString
