@@ -311,6 +311,35 @@ object Oracles {
          |  row_number() OVER (ORDER BY pr DESC, v) rnk FROM p5""".stripMargin
     },
 
+    // synchronous label propagation over the same projected source
+    // graph: 3 unrolled rounds, argmax neighbor-label weight with
+    // lexicographic tie-break — deterministic, engine-exact
+    "q_communities" -> {
+      def round(i: Int): String =
+        s"""s$i AS (SELECT ed.u, l.lab, cast(sum(ed.w) AS BIGINT) s
+           |  FROM ed JOIN l${i - 1} l ON ed.v = l.v GROUP BY 1, 2),
+           |b$i AS (SELECT u, lab FROM (SELECT u, lab,
+           |  row_number() OVER (PARTITION BY u ORDER BY s DESC, lab) rn
+           |  FROM s$i) t WHERE rn = 1),
+           |l$i AS (SELECT p.v, coalesce(b$i.lab, p.lab) lab
+           |  FROM l${i - 1} p LEFT JOIN b$i ON b$i.u = p.v)""".stripMargin
+      s"""WITH nt AS (SELECT source, string_split($norm, ' ') tk FROM documents),
+         |ix AS (SELECT source, tk,
+         |  unnest(generate_series(1, greatest(len(tk) - 7, 1))) i FROM nt),
+         |gr AS (SELECT DISTINCT source, substring(md5(concat_ws(' ', tk[i],
+         |  tk[i+1], tk[i+2], tk[i+3], tk[i+4], tk[i+5], tk[i+6], tk[i+7])),
+         |  1, 16) h FROM ix),
+         |und AS (SELECT a.source u, b.source v, count(*) w FROM gr a
+         |  JOIN gr b ON a.h = b.h AND a.source < b.source GROUP BY 1, 2),
+         |ed AS (SELECT u, v, w FROM und UNION ALL SELECT v, u, w FROM und),
+         |no AS (SELECT DISTINCT source v FROM documents),
+         |l0 AS (SELECT v, v lab FROM no),
+         |${(1 to 3).map(round).mkString(",\n")},
+         |sz AS (SELECT lab, count(*) csize FROM l3 GROUP BY 1)
+         |SELECT l3.v AS source, l3.lab AS community, sz.csize
+         |FROM l3 JOIN sz USING (lab)""".stripMargin
+    },
+
     // trained Naive Bayes language classifier: Laplace-smoothed token
     // counts over the md5 train split, every weight a fixed-point q10
     // integer (exact bit-length log2 + linear interpolation), so the

@@ -70,6 +70,7 @@ object SparkEntry {
     "q_text_bigram_rarity" -> (TextOps.bigramRarity _),
     "q_dedup_spans" -> ((s: SparkSession, d: String) => TextOps.dupSpans(s, d)),
     "q_pagerank" -> ((s: SparkSession, d: String) => Dedup.sourceRank(s, d)),
+    "q_communities" -> ((s: SparkSession, d: String) => Dedup.communities(s, d)),
     "q_bpe_merges" -> ((s: SparkSession, d: String) => TextOps.bpeMerges(s, d)),
     "q_dedup_containment" -> (Dedup.containment _),
     "q_pack_sequences" -> ((s: SparkSession, d: String) => TextOps.packSequences(s, d)),

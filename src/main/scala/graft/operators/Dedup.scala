@@ -679,12 +679,12 @@ object Dedup {
         .distinct()
     }
 
-  def sourceRank(spark: SparkSession, dir: String, iters: Int = 5): DataFrame = {
-    val S = 1099511627776L // 2^40
-    // the projected weighted edge list (+ per-node strength) is a
-    // persisted artifact: the fingerprint self-join builds it once per
-    // input, and the iterations (and retries) run against the artifact
-    val ews = scratchRelation(spark, "srcedges", dir) {
+  /** Projected weighted source↔source edge list (+ per-node strength)
+    * as a persisted artifact — the fingerprint self-join runs once per
+    * input; PageRank, LPA communities (and retries) iterate against
+    * the artifact. */
+  private def srcEdges(spark: SparkSession, dir: String): DataFrame =
+    scratchRelation(spark, "srcedges", dir) {
       val grams = spanGrams(spark, dir)
         .select(col("source"), col("g").as("h"))
       val a = grams.select(col("h"), col("source").as("u"))
@@ -695,10 +695,20 @@ object Dedup {
         .unionByName(und.select(col("v").as("u"), col("u").as("v"), col("w")))
       val strength = edges.groupBy("u").agg(sum("w").as("s"))
       edges.join(strength, "u")
-    }.persist()
-    val nodes = scratchRelation(spark, "srcnodes", dir) {
+    }
+
+  private def srcNodes(spark: SparkSession, dir: String): DataFrame =
+    scratchRelation(spark, "srcnodes", dir) {
       Tables.documents(spark, dir).select(col("source").as("v")).distinct()
-    }.persist()
+    }
+
+  def sourceRank(spark: SparkSession, dir: String, iters: Int = 5): DataFrame = {
+    val S = 1099511627776L // 2^40
+    // the projected weighted edge list (+ per-node strength) is a
+    // persisted artifact: the fingerprint self-join builds it once per
+    // input, and the iterations (and retries) run against the artifact
+    val ews = srcEdges(spark, dir).persist()
+    val nodes = srcNodes(spark, dir).persist()
     val n = nodes.count() // 1-row readback; node-scale, not corpus-scale
     val base = 15L * S / (100L * n)
     var pr = nodes.select(col("v"), lit(S / n).as("pr"))
@@ -719,6 +729,43 @@ object Dedup {
       pr.select(col("v").as("source"), col("pr").as("pr_q40")),
       32, col("pr_q40").desc, col("source"))
       .withColumnRenamed("rn", "rnk")
+  }
+
+  /** Label-propagation community detection (Raghavan et al. 2007,
+    * synchronous variant) over the projected source graph — the
+    * cheap "which sources form content cliques" pass a curation
+    * pipeline runs before per-community balancing: each round every
+    * node adopts the label with the highest incident edge weight
+    * among its neighbors (ties → lexicographically smallest label,
+    * isolated nodes keep their own), seeded with label = own name.
+    * Fixed synchronous rounds + total tie order ⇒ fully
+    * deterministic, so the DuckDB oracle replays it exactly.
+    *
+    * Scale shape: the edge list and every label table are
+    * NODE-scale (the corpus-scale fingerprint projection is the
+    * shared memoized `srcedges` artifact); rounds are one broadcast
+    * join + one grouped argmax each — no corpus re-read, no global
+    * windows ([[graft.operators.Relational.globalRank]] family). */
+  def communities(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    val ews = srcEdges(spark, dir).persist()
+    val nodes = srcNodes(spark, dir).persist()
+    var lab = nodes.select(col("v"), col("v").as("lab"))
+    for (_ <- 1 to iters) {
+      val scores = lab.select(col("v").as("nbr"), col("lab"))
+        .join(broadcast(ews.select(col("u"), col("v").as("nbr"), col("w"))),
+          "nbr")
+        .groupBy("u", "lab").agg(sum("w").as("s"))
+      val w = Window.partitionBy("u").orderBy(col("s").desc, col("lab"))
+      val best = scores.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col("u").as("v"), col("lab").as("_new"))
+      lab = lab.join(best, Seq("v"), "left")
+        .select(col("v"), coalesce(col("_new"), col("lab")).as("lab"))
+    }
+    val sizes = lab.groupBy("lab").agg(count(lit(1)).as("csize"))
+    lab.join(sizes, "lab")
+      .select(col("v").as("source"), col("lab").as("community"),
+        col("csize"))
   }
 
   /** HITS hubs & authorities (Kleinberg 1999) over the BIPARTITE

@@ -183,6 +183,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(pr.except(again).count() === 0L && again.except(pr).count() === 0L)
   }
 
+  test("communities: labels are members, sizes partition the nodes, deterministic") {
+    val cm = Dedup.communities(spark, sfDir).cache()
+    val n = cm.count()
+    assert(n > 0)
+    // every node appears exactly once
+    assert(cm.select("source").distinct().count() === n)
+    // a community's label is one of its members (LPA labels are node names)
+    val labels = cm.select("community").distinct().collect().map(_.getString(0)).toSet
+    val nodes = cm.select("source").collect().map(_.getString(0)).toSet
+    assert(labels.subsetOf(nodes), "labels must be node names")
+    // csize is consistent: sum over distinct communities = node count
+    val sz = cm.select("community", "csize").distinct()
+      .agg(sum("csize")).collect()(0).getLong(0)
+    assert(sz === n, "community sizes must partition the node set")
+    val again = Dedup.communities(spark, sfDir)
+    assert(cm.except(again).count() === 0L && again.except(cm).count() === 0L)
+  }
+
   test("window ranks: family invariants hold inside each partition") {
     val r = Olap.windowRanks(spark, sfDir).cache()
     assert(r.count() > 0)
