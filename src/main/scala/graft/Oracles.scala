@@ -2172,6 +2172,34 @@ object Oracles {
     // integer EWMA (α=1/4 dyadic): e1 = x1, e_i = (x_i + 3e) // 4 —
     // replayed as a recursive CTE stepping the per-type day index
     // (values are positive cents, so trunc-div ≡ floor-div)
+    // CUSUM via the parallel-prefix closed form replayed as plain
+    // windows: s = P - min(0, running-min P); threshold = 3x mean
+    // absolute deviation, all integer cents
+    "q_cusum" ->
+      """WITH daily AS (SELECT event_type,
+        |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    cast(sum(cast(cast(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |         AS BIGINT) cents
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, cast(sum(cents) // count(*) AS BIGINT) tgt,
+        |    count(*) n FROM daily GROUP BY 1),
+        |dd AS (SELECT d.event_type, d.day, d.cents, d.cents - t.tgt AS dv, t.n
+        |  FROM daily d JOIN t USING (event_type)),
+        |hh AS (SELECT event_type, cast((3 * sum(abs(dv))) // max(n) AS BIGINT) h
+        |  FROM dd GROUP BY 1),
+        |p1 AS (SELECT event_type, day, cents,
+        |    cast(sum(dv) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) p
+        |  FROM dd),
+        |p2 AS (SELECT event_type, day, cents, p,
+        |    cast(min(p) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) rm
+        |  FROM p1)
+        |SELECT p2.event_type, day, cents,
+        |  p - least(0, rm) AS cusum_cents,
+        |  (p - least(0, rm)) > hh.h AS alarm
+        |FROM p2 JOIN hh USING (event_type)""".stripMargin,
+
     "q_ewma" ->
       """WITH RECURSIVE daily AS (SELECT event_type,
         |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,

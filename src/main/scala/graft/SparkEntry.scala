@@ -182,6 +182,7 @@ object SparkEntry {
       graft.sources.TxTable.deleteGateQuery(s, d)),
     "q_txtable_update" -> ((s: SparkSession, d: String) =>
       graft.sources.TxTable.updateGateQuery(s, d)),
+    "q_cusum" -> (Olap.cusum _),
     "q_ewma" -> (Olap.ewma _),
     "q_hits" -> ((s: SparkSession, d: String) => Dedup.hits(s, d)),
     "q_winsorize" -> (Olap.winsorize _),

@@ -682,6 +682,40 @@ object Olap {
     * typed groups. State per group is ONE long, and group size is
     * calendar-bounded (days), not data-bounded — at 100 TB the fold
     * input is |types|×|days| rows, trivially small next to the scan. */
+  /** CUSUM drift/changepoint detection (Page 1954) over the per-type
+    * daily revenue series: the classic one-sided cumulative sum
+    * `s_i = max(0, s_{i-1} + (x_i - target))` with alarm when `s`
+    * exceeds 3× the mean absolute deviation. The recursion is NOT
+    * computed sequentially: `max(0, ·)` folds over (+) form a tropical
+    * prefix, and the closed form `s_i = P_i - min(0, min_{j<=i} P_j)`
+    * (P = running sum of deviations) turns the sequential scan into
+    * TWO ordinary window functions — the shape that parallelizes over
+    * a 100 TB event log where a per-partition iterator fold would
+    * serialize each series. Exact integer cents end to end (truncating
+    * div in both engines) ⇒ oracle-hashable. */
+  def cusum(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("value").cast("decimal(18,2)").multiply(100).cast("bigint").as("c"))
+      .groupBy("event_type", "day").agg(sum("c").as("cents"))
+    val tgt = daily.groupBy("event_type").agg(
+      expr("sum(cents) div count(1)").as("tgt"),
+      count(lit(1)).as("n"))
+    val dd = daily.join(broadcast(tgt), "event_type")
+      .withColumn("d", col("cents") - col("tgt"))
+    val thresh = dd.groupBy("event_type")
+      .agg(expr("(3 * sum(abs(d))) div max(n)").as("h"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dd.join(broadcast(thresh), "event_type")
+      .withColumn("p", sum("d").over(w))
+      .withColumn("rm", min("p").over(w))
+      .select(col("event_type"), col("day"), col("cents"),
+        (col("p") - least(lit(0L), col("rm"))).as("cusum_cents"),
+        ((col("p") - least(lit(0L), col("rm"))) > col("h")).as("alarm"))
+  }
+
   def ewma(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val daily = Tables.events(spark, dir)

@@ -819,23 +819,22 @@ object TxTable {
       // Morton cell widens that dir's min/max box in EVERY dimension
       // and pruning degrades, whereas prefix blocks are axis-aligned
       // boxes by construction — the tightest stats the interleave can
-      // give. The shift adapts to the data in one map-side HLL pass
-      // (smallest shift whose distinct block count fits nDirs), so
-      // clustered/skewed z distributions still land near nDirs
-      // non-empty dirs and empty blocks cost nothing.
+      // give. The shift derives from max(z) alone (one cheap 1-row
+      // aggregate): the smallest shift whose ALIGNED block count over
+      // [0, maxZ] fits nDirs. Heavily-clustered z distributions may
+      // leave some blocks empty (fewer, larger dirs) — that only
+      // costs layout granularity, never pruning correctness, and the
+      // alternative (estimating distinct blocks per candidate shift)
+      // measured 4x the whole rewrite's cost at sf0.1.
       val withZ = resolved.withColumn("_z", expr(
         graft.operators.Relational.zValueExprN(zCols)))
-      val nBits = 63
-      val acds = withZ.agg(
-        max("_z").as("mz"),
-        (0 until nBits).map(s =>
-          approx_count_distinct(expr(s"shiftright(_z, $s)"), 0.02)
-            .as(s"s$s")): _*)
-        .collect()(0)
-      require(!acds.isNullAt(0), s"txtable: nothing to optimize at $root")
-      val shift = (0 until nBits)
-        .find(s => acds.getLong(s + 1) <= nDirs.toLong)
-        .getOrElse(nBits)
+      val mzRow = withZ.agg(max("_z")).collect()(0)
+      require(!mzRow.isNullAt(0), s"txtable: nothing to optimize at $root")
+      val mz = mzRow.getLong(0)
+      val blockBits = 63 - java.lang.Long.numberOfLeadingZeros(
+        math.max(1L, nDirs.toLong)) // floor(log2(nDirs))
+      val zBits = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, mz))
+      val shift = math.max(0, zBits - blockBits)
       withZ
         .withColumn("_b", expr(s"shiftright(_z, $shift)"))
         .repartition(col("_b"))
