@@ -1,5 +1,7 @@
 package graft
 
+import scala.util.chaining._
+
 /** DuckDB oracle SQL, one entry per SparkEntry.queries key.
   *
   * Portability contract (SURVEY.md §5): every derived double is the
@@ -315,6 +317,9 @@ object Oracles {
     // graph: 3 unrolled rounds, argmax neighbor-label weight with
     // lexicographic tie-break — deterministic, engine-exact
     "q_communities" -> {
+      // each round references its predecessor 2-3 times; staged
+      // (MATERIALIZED) CTEs keep the 10x-rung replay in bounded RAM
+      // (default inlining re-evaluates the full prefix per reference)
       def round(i: Int): String =
         s"""s$i AS (SELECT ed.u, l.lab, cast(sum(ed.w) AS BIGINT) s
            |  FROM ed JOIN l${i - 1} l ON ed.v = l.v GROUP BY 1, 2),
@@ -338,7 +343,8 @@ object Oracles {
          |sz AS (SELECT lab, count(*) csize FROM l3 GROUP BY 1)
          |SELECT l3.v AS source, l3.lab AS community, sz.csize
          |FROM l3 JOIN sz USING (lab)""".stripMargin
-    },
+    }.pipe(sql => materialize(sql, "gr", "und", "ed", "l0", "s1", "b1",
+      "l1", "s2", "b2", "l2", "s3", "b3", "l3")),
 
     // trained Naive Bayes language classifier: Laplace-smoothed token
     // counts over the md5 train split, every weight a fixed-point q10

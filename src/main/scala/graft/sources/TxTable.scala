@@ -1460,7 +1460,10 @@ object TxTable {
         // exactly like an append-created table's first commit
         case "append" | "clone" =>
           newEntries.map(e => dirDf(e).withColumn("op", lit("I")))
-        case "merge" | "overwrite" | "restore" =>
+        case "merge" | "overwrite" | "restore" | "delete" | "update" =>
+          // every replace-style commit, including row-level CoW DML
+          // (a GDPR deleteWhere, an updateWhere backfill), feeds
+          // downstream consumers through the keyed snapshot diff
           val keys = snapshotKeys(fs, rp, v).getOrElse(
             throw new IllegalArgumentException(
               s"txtable: v$v of $root replaced content without a key " +
@@ -1552,7 +1555,7 @@ object TxTable {
         case "delta" => Seq(ChangeSlice(filesOf(newDirs), None, v))
         case "append" | "clone" =>
           Seq(ChangeSlice(filesOf(newDirs), Some("I"), v))
-        case "merge" | "overwrite" | "restore" =>
+        case "merge" | "overwrite" | "restore" | "delete" | "update" =>
           val stagedDir = f"_changes/v$v%08d"
           val staged = new Path(rp, stagedDir)
           if (!fs.exists(staged)) {

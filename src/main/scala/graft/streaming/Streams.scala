@@ -203,6 +203,52 @@ object Streams {
     * open day stays buffered in state rather than emitting a partial
     * aggregate. State per type: one day string + two longs. */
   case class EwmaState(day: String, daySum: Long, e: Long, started: Boolean)
+
+  case class CusumState(day: String, daySum: Long, s: Long)
+
+  /** Streaming CUSUM drift monitor — the live twin of `Olap.cusum`:
+    * per event type, each CLOSED day folds
+    * `s = max(0, s + (daySum - target))` and emits
+    * (type, day, cents, cusum, alarm = cusum > h). Unlike the batch
+    * form (which derives target and threshold from the whole series),
+    * the stream monitors against PRECOMPUTED per-type baselines
+    * `(target, h)` — the deployment shape: the batch pass profiles
+    * history, the stream watches new days against it. Same
+    * day-boundary contract as `ewmaDaily`: a day emits when its
+    * successor's first event arrives; state per type is one string +
+    * two longs. */
+  def cusumDaily(events: Dataset[Event],
+    baselines: Map[String, (Long, Long)])
+    : Dataset[(String, String, Long, Long, Boolean)] = {
+    import events.sparkSession.implicits._
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[CusumState,
+        (String, String, Long, Long, Boolean)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (typ: String, rows: Iterator[Event], state: GroupState[CusumState]) =>
+          val (tgt, h) = baselines.getOrElse(typ, (0L, Long.MaxValue))
+          var st = state.getOption.getOrElse(CusumState(null, 0L, 0L))
+          val out = Seq.newBuilder[(String, String, Long, Long, Boolean)]
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { ev =>
+            val d = fmt.format(ev.ts)
+            val cents = (BigDecimal(ev.value).setScale(2,
+              BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact
+            if (st.day == null) st = CusumState(d, cents, 0L)
+            else if (d == st.day) st = st.copy(daySum = st.daySum + cents)
+            else {
+              val s2 = math.max(0L, st.s + (st.daySum - tgt))
+              out += ((typ, st.day, st.daySum, s2, s2 > h))
+              st = CusumState(d, cents, s2)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
   def ewmaDaily(events: Dataset[Event])
     : Dataset[(String, String, Long, Long)] = {
     import events.sparkSession.implicits._

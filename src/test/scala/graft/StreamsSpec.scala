@@ -170,6 +170,49 @@ class StreamsSpec extends SparkSpec {
     assert(facts.nonEmpty && facts.values.exists(_._1 != "direct"))
   }
 
+  test("streaming cusum equals the batch recursion against fixed baselines") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val events = graft.Tables.events(spark, sfDir)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Streams.Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    // batch pass profiles the same series into per-type baselines
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val daily = events.groupBy(e => (e.event_type, fmt.format(e.ts)))
+      .map { case (k, es) => k -> es.map(e =>
+        (BigDecimal(e.value).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact).sum }
+    val baselines = daily.groupBy(_._1._1).map { case (t, m) =>
+      val xs = m.values.toSeq
+      val tgt = xs.sum / xs.length
+      t -> (tgt, 3L * xs.map(x => math.abs(x - tgt)).sum / xs.length)
+    }
+    val input = MemoryStream[Streams.Event]
+    input.addData(events: _*)
+    val q = Streams.cusumDaily(input.toDS(), baselines)
+      .toDF("event_type", "day", "cents", "cusum_cents", "alarm")
+      .writeStream.format("memory").queryName("cusum_eq")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("cusum_eq").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    val expected = daily.groupBy(_._1._1).flatMap { case (t, m) =>
+      val (tgt, h) = baselines(t)
+      val days = m.toSeq.map { case ((_, d), c) => (d, c) }.sortBy(_._1)
+      var sAcc = 0L
+      days.map { case (d, x) =>
+        sAcc = math.max(0L, sAcc + (x - tgt))
+        (t, d) -> ((x, sAcc, sAcc > h))
+      }.dropRight(1) // final day still open in state
+    }
+    assert(streamed === expected,
+      "completed-day streamed cusum must equal the batch recursion")
+  }
+
   test("streaming ewma equals the batch recursion on every completed day") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -87,6 +87,30 @@ class TxViewSpec extends SparkSpec {
       Map(0L -> (10L, 1L), 1L -> (20L, 1L)))
   }
 
+  test("row-level DML commits feed the change stream and the view") {
+    import spark.implicits._
+    val base = tmpDir() + "/txview-dml-base"
+    val view = tmpDir() + "/txview-dml-view"
+    TxTable.mergeDelta(spark, base, Seq(
+      (1L, "I", 0L, 10L, 1L), (2L, "I", 0L, 20L, 2L), (3L, "I", 1L, 30L, 3L))
+      .toDF("k", "op", "g", "v", "seq"))
+    TxView.refreshAggView(spark, base, view, "g", "v")
+    // CoW DML needs a delta-free snapshot first
+    TxTable.compactSnapshot(spark, base)
+    TxTable.deleteWhere(spark, base, "k = 2")
+    // the feed now carries a D row for the deleted key
+    val feed = TxTable.changes(spark, base,
+      TxTable.latestVersion(spark, base) - 1).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("op"))).toSet
+    assert(feed === Set((2L, "D")), s"got $feed")
+    TxView.refreshAggView(spark, base, view, "g", "v")
+    assert(viewOf(view) === Map(0L -> (10L, 1L), 1L -> (30L, 1L)))
+    TxTable.updateWhere(spark, base, "k = 1", Map("v" -> "v + 5"))
+    TxView.refreshAggView(spark, base, view, "g", "v")
+    assert(viewOf(view) === recompute(base))
+    assert(viewOf(view) === Map(0L -> (15L, 1L), 1L -> (30L, 1L)))
+  }
+
   test("gate query converges to the oracle shape at sf0.001") {
     val got: DataFrame = TxView.aggViewGateQuery(spark, sfDir)
     val byView = got.collect()
