@@ -2462,6 +2462,35 @@ object Oracles {
         |       THEN nc ELSE -1 END AS next_click
         |FROM m WHERE is_click = 0""".stripMargin,
 
+    // nearest (two-sided) as-of: the same window pair, closest side
+    // wins, ties backward; a same-microsecond click is a forward
+    // match by the is_click sort position
+    "q_asof_nearest" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_us(ts) tsus,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END is_click
+        |  FROM events WHERE event_type IN ('click', 'error')),
+        |m AS (SELECT event_id, user_id, tsus, is_click,
+        |  min(CASE WHEN is_click = 1 THEN tsus END) OVER (
+        |    PARTITION BY user_id ORDER BY tsus, is_click, event_id
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) nc,
+        |  max(CASE WHEN is_click = 1 THEN tsus END) OVER (
+        |    PARTITION BY user_id ORDER BY tsus, is_click, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) pc
+        |FROM ev),
+        |d AS (SELECT event_id, user_id, tsus,
+        |  CASE WHEN nc IS NOT NULL AND nc - tsus <= 3600000000
+        |       THEN nc - tsus END dn,
+        |  CASE WHEN pc IS NOT NULL AND tsus - pc <= 3600000000
+        |       THEN tsus - pc END dp, nc, pc
+        |FROM m WHERE is_click = 0)
+        |SELECT event_id, user_id, tsus,
+        |  CASE WHEN dp IS NOT NULL AND (dn IS NULL OR dp <= dn) THEN pc
+        |       WHEN dn IS NOT NULL THEN nc ELSE -1 END AS nearest_click,
+        |  CASE WHEN dp IS NOT NULL AND (dn IS NULL OR dp <= dn) THEN 'P'
+        |       WHEN dn IS NOT NULL THEN 'N' ELSE '-' END AS side
+        |FROM d""".stripMargin,
+
     // bloom-index point lookup: the probe set replayed arithmetically
     // (13 evenly spaced keys); the bloom only skips IO, so the result
     // is the plain IN-filter

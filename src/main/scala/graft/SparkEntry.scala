@@ -203,6 +203,8 @@ object SparkEntry {
       TextOps.bpeFertility(s, d)),
     "q_asof_forward" -> ((s: SparkSession, d: String) =>
       Olap.asofForward(s, d)),
+    "q_asof_nearest" -> ((s: SparkSession, d: String) =>
+      Olap.asofNearest(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

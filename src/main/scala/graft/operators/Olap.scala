@@ -324,6 +324,49 @@ object Olap {
           col("nc")).otherwise(lit(-1L)).as("next_click"))
   }
 
+  /** NEAREST as-of join — both directions at once: each error event
+    * pairs with its closest click (backward OR forward) within
+    * tolerance, ties to the backward side — the "closest reading"
+    * sensor-fusion shape that one-directional as-of joins cannot
+    * express. Same two-window plan as the one-sided forms (per-user
+    * running min/max — no join at all, no global sort); a click at
+    * the exact same microsecond as the error sorts after it
+    * (is_click tiebreak) and is therefore a FORWARD match,
+    * identically in both engines. Sentinel -1 / '-' when no click is
+    * inside the tolerance on either side. */
+  def asofNearest(spark: SparkSession, dir: String,
+    tolUs: Long = 3600000000L): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("tsus"))
+      .filter(col("event_type").isin("click", "error"))
+      .withColumn("is_click", when(col("event_type") === "click", 1).otherwise(0))
+    val wf = Window.partitionBy("user_id")
+      .orderBy(col("tsus"), col("is_click"), col("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wb = Window.partitionBy("user_id")
+      .orderBy(col("tsus"), col("is_click"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("nc",
+      min(when(col("is_click") === 1, col("tsus"))).over(wf))
+      .withColumn("pc",
+        max(when(col("is_click") === 1, col("tsus"))).over(wb))
+      .filter(col("is_click") === 0)
+      .withColumn("dn", when(col("nc").isNotNull &&
+        col("nc") - col("tsus") <= tolUs, col("nc") - col("tsus")))
+      .withColumn("dp", when(col("pc").isNotNull &&
+        col("tsus") - col("pc") <= tolUs, col("tsus") - col("pc")))
+      .select(col("event_id"), col("user_id"), col("tsus"),
+        when(col("dp").isNotNull && (col("dn").isNull || col("dp") <= col("dn")),
+          col("pc"))
+          .when(col("dn").isNotNull, col("nc"))
+          .otherwise(lit(-1L)).as("nearest_click"),
+        when(col("dp").isNotNull && (col("dn").isNull || col("dp") <= col("dn")),
+          lit("P"))
+          .when(col("dn").isNotNull, lit("N"))
+          .otherwise(lit("-")).as("side"))
+  }
+
   /** CDC merge — applying a change stream (I/U/D) onto a base table,
     * the nightly upsert every warehouse runs (the reference's
     * override-join generalized with deletes and inserts). One full
