@@ -1806,10 +1806,30 @@ object TxTable {
     val keepVs = (math.max(1, v - retainLast + 1)) to v
     val keep = keepVs.flatMap(snapshotDirs(fs, rp, _)).toSet
     val dataDir = new Path(rp, "data")
+    // nested-dir layouts (OPTIMIZE ZORDER buckets, partitioned
+    // appends) commit entries UNDER a shared top-level dir — that
+    // parent is live when any retained entry equals it or sits
+    // inside it
+    def live(topLevelName: String): Boolean = {
+      val self = s"data/$topLevelName"
+      keep.contains(self) || keep.exists(_.startsWith(self + "/"))
+    }
     if (fs.exists(dataDir))
       fs.listStatus(dataDir).map(_.getPath)
-        .filterNot(p => keep.contains("data/" + p.getName))
+        .filterNot(p => live(p.getName))
         .foreach(fs.delete(_, true))
     (1 until keepVs.head).foreach(old => fs.delete(commitPath(rp, old), false))
+    // staged change-feed diffs (_changes/v<N>) for versions below the
+    // replay horizon can never be served again (changes() refuses
+    // vacuumed ranges) — drop them with their commits
+    val chDir = new Path(rp, "_changes")
+    if (fs.exists(chDir))
+      fs.listStatus(chDir).map(_.getPath)
+        .filter { p =>
+          val n = p.getName
+          n.startsWith("v") && n.drop(1).forall(_.isDigit) &&
+            n.drop(1).toInt < keepVs.head
+        }
+        .foreach(fs.delete(_, true))
   }
 }

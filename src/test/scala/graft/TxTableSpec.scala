@@ -541,6 +541,29 @@ class TxTableSpec extends SparkSpec {
     assert(keys.size === 13, s"all 13 keys must survive, got ${keys.size}")
   }
 
+  test("vacuum keeps nested-dir layouts (zopt buckets, partitioned appends)") {
+    import spark.implicits._
+    // OPTIMIZE ZORDER and appendPartitioned commit NESTED dirs
+    // (data/zopt-x/_b=0, data/append-x/day=1); vacuum's liveness test
+    // must credit a top-level dir when any live entry sits UNDER it,
+    // or vacuum deletes the current snapshot's data
+    val root = tmpDir() + "/tx-vacuum-nested"
+    TxTable.append((0L until 256L).map(k => (k, k % 16, k / 16))
+      .toDF("k", "x", "y"), root)
+    TxTable.optimizeZOrder(spark, root, "x", "y", nDirs = 4)
+    TxTable.vacuum(spark, root, retainLast = 1)
+    assert(TxTable.read(spark, root).count() === 256L,
+      "vacuum must not delete the live z-ordered snapshot")
+    val root2 = tmpDir() + "/tx-vacuum-part"
+    TxTable.appendPartitioned((0L until 100L).map(k => (k, k % 5))
+      .toDF("k", "day"), root2, "day")
+    TxTable.appendPartitioned((100L until 120L).map(k => (k, k % 5))
+      .toDF("k", "day"), root2, "day")
+    TxTable.vacuum(spark, root2, retainLast = 1)
+    assert(TxTable.read(spark, root2).count() === 120L,
+      "vacuum must not delete live partitioned appends")
+  }
+
   test("vacuum truncates the change-replay horizon with a clear error") {
     import spark.implicits._
     val root = tmpDir() + "/tx-vac-feed"
