@@ -369,4 +369,34 @@ class ScaleSpec extends SparkSpec {
     assertRankDistributed("textrank",
       graft.operators.TextOps.textrank(spark, sfDir))
   }
+
+  test("r8 operators: every window is key-partitioned, edges broadcast") {
+    import org.apache.spark.sql.catalyst.plans.logical
+    // communities / cusum / asofNearest: per-key windows only — no
+    // operator may ever sort the whole domain in one task
+    def assertAllPartitioned(name: String,
+      df: org.apache.spark.sql.DataFrame): Unit = {
+      val naked = df.queryExecution.optimizedPlan.collect {
+        case w: logical.Window if w.partitionSpec.isEmpty => w
+      }
+      assert(naked.isEmpty,
+        s"$name: unpartitioned Window found:\n${naked.headOption
+          .map(_.treeString).getOrElse("")}")
+    }
+    assertAllPartitioned("communities",
+      graft.operators.Dedup.communities(spark, sfDir))
+    assertAllPartitioned("cusum", graft.operators.Olap.cusum(spark, sfDir))
+    assertAllPartitioned("asof_nearest",
+      graft.operators.Olap.asofNearest(spark, sfDir))
+    // the LPA rounds join each label vector against BROADCAST edges
+    // (label-vs-label joins legitimately sort-merge — they are
+    // node-scale state and must shuffle at 10^8 nodes); what the plan
+    // may never contain is a cartesian, and the edge side must appear
+    // as a broadcast at least once per round
+    val cmPlan = graft.operators.Dedup.communities(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!cmPlan.contains("CartesianProduct"), cmPlan)
+    assert("BroadcastHashJoin".r.findAllIn(cmPlan).size >= 3,
+      s"communities: expected one broadcast edge join per round:\n$cmPlan")
+  }
 }
