@@ -311,6 +311,10 @@ object Oracles {
          |${(1 to 5).map(iter).mkString(",\n")}
          |SELECT v AS source, pr AS pr_q40,
          |  row_number() OVER (ORDER BY pr DESC, v) rnk FROM p5""".stripMargin
+        // ed/st feed every round — staged CTEs stop per-round
+        // re-evaluation of the fingerprint self-join at scaled rungs
+        .pipe(sql => materialize(sql, Seq("gr", "und", "ed", "st", "no") ++
+          (0 to 5).map(i => s"p$i"): _*))
     },
 
     // synchronous label propagation over the same projected source
@@ -2084,7 +2088,9 @@ object Oracles {
         |FROM u a JOIN u b ON a.user_id = b.user_id AND a.event_type < b.event_type
         |GROUP BY 1, 2""".stripMargin,
 
-    "q_triangles" ->
+    // e/o are each referenced twice over the band self-join; staged
+    // (MATERIALIZED) CTEs keep the 10x-rung replay in bounded RAM
+    "q_triangles" -> materialize(
       s"""$minhashCte,
          |e AS (SELECT DISTINCT a.doc_id doc_a, b.doc_id doc_b
          |  FROM band a JOIN band b
@@ -2100,6 +2106,7 @@ object Oracles {
          |  ON least(v, w) = e.doc_a AND greatest(v, w) = e.doc_b),
          |n AS (SELECT a id FROM tr UNION ALL SELECT b FROM tr UNION ALL SELECT c FROM tr)
          |SELECT id AS doc_id, count(*) n_tri FROM n GROUP BY 1""".stripMargin,
+      "e", "deg", "o", "wdg", "tr"),
 
     // first/last-touch attribution: running first/last over the
     // strictly-preceding per-user frame; revenue in exact cents
@@ -2249,6 +2256,9 @@ object Oracles {
          |${(1 to 5).map(iter).mkString(",\n")}
          |SELECT v AS word, pr AS pr_q40,
          |  row_number() OVER (ORDER BY pr DESC, v) rnk FROM p5""".stripMargin
+        // same staging as q_pagerank, over the word graph
+        .pipe(sql => materialize(sql, Seq("und", "ed", "st", "no") ++
+          (0 to 5).map(i => s"p$i"): _*))
     },
 
     // HITS over the bipartite source↔fingerprint graph: q40 integer
@@ -2277,6 +2287,10 @@ object Oracles {
          |${(1 to 3).map(round).mkString(",\n")}
          |SELECT source, hs AS hub_q40,
          |  row_number() OVER (ORDER BY hs DESC, source) rnk FROM h3""".stripMargin
+        // gr feeds h0 plus two joins per round and every round's
+        // tables chain — staged CTEs keep the 10x replay in bounded RAM
+        .pipe(sql => materialize(sql, Seq("gr", "h0") ++
+          (1 to 3).flatMap(i => Seq(s"ar$i", s"au$i", s"hr$i", s"h$i")): _*))
     },
 
     // k-core peeling, 4 unrolled rounds at k=2 over the minhash-band
