@@ -587,6 +587,18 @@ object Oracles {
          |SELECT doc_id, rk, word, score FROM (
          |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) rk FROM s) z
          |WHERE rk <= 3""".stripMargin,
+
+    // signed feature hashing: slot = uint32(md5(tok)) mod 1024, sign
+    // from the next hash bit; exact integer weights, cancelled slots drop
+    "q_feature_hash" -> {
+      val h = Portable.uint32Sql("md5(tok)")
+      s"""WITH t AS (SELECT doc_id, unnest(string_split($norm, ' ')) tok FROM documents),
+         |f AS (SELECT doc_id, ($h) % 1024 AS slot,
+         |    CASE WHEN (($h) // 1024) % 2 = 0 THEN 1 ELSE -1 END sgn
+         |  FROM t WHERE tok <> '')
+         |SELECT doc_id, slot, cast(sum(sgn) AS BIGINT) AS w
+         |FROM f GROUP BY 1, 2 HAVING sum(sgn) <> 0""".stripMargin
+    },
   )
 
   /** Shared CTE prefix: distinct 3-word shingles per doc. */

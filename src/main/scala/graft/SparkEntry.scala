@@ -63,6 +63,8 @@ object SparkEntry {
     "q_text_tokens" -> (TextOps.tokenCounts _),
     "q_text_fingerprint" -> (TextOps.fingerprint _),
     "q_tfidf" -> (TextOps.tfidf _),
+    "q_feature_hash" -> ((s: SparkSession, d: String) =>
+      TextOps.featureHash(s, d)),
     "q_text_redact" -> (TextOps.redact _),
     "q_text_chunks" -> ((s: SparkSession, d: String) => TextOps.chunk(s, d)),
     "q_text_repetition" -> (TextOps.repetition _),

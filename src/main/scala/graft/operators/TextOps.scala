@@ -747,6 +747,30 @@ object TextOps {
       }.toDF("doc_id", "raw_len", "deflate_len", "ratio_ppm")
   }
 
+  /** Feature hashing (the "hashing trick", Weinberger et al. 2009):
+    * each document's tokens land in a FIXED-dimension sparse vector
+    * slot = h(token) mod dims, with a second hash bit supplying the
+    * unbiasing sign — the training-export featurizer whose
+    * dimensionality is independent of vocabulary size, so the 100 TB
+    * corpus needs no vocabulary build, no broadcast dictionary, and
+    * the map-side explode+aggregate is the whole plan (one shuffle on
+    * (doc_id, slot)). Exploded sparse rows (doc_id, slot, w); exact
+    * integer weights, md5-derived slots/signs ⇒ oracle-hashable.
+    * Sign-cancelled slots (w = 0) drop, identically in both engines. */
+  def featureHash(spark: SparkSession, dir: String,
+    dims: Int = 1024): DataFrame = {
+    val h = graft.Portable.uint32Sql("md5(cast(tok as binary))")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(expr(normExpr), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .withColumn("slot", expr(s"($h) % $dims"))
+      .withColumn("sgn", expr(s"CASE WHEN (($h) div $dims) % 2 = 0 " +
+        "THEN 1 ELSE -1 END"))
+      .groupBy("doc_id", "slot")
+      .agg(sum("sgn").cast("bigint").as("w"))
+      .filter(col("w") =!= 0)
+  }
+
   /** TextRank keyword scoring (Mihalcea & Tarau 2004): PageRank over
     * the token-adjacency co-occurrence graph, in the same q40
     * fixed-point integer scheme as the source-graph PageRank
