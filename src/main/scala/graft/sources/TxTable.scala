@@ -1788,6 +1788,33 @@ object TxTable {
     * The version is pinned at registration, so queries against the
     * view never see later commits until re-registered — exactly the
     * repeatable-read behavior a BI session wants. */
+  /** DESCRIBE HISTORY analog: one row per retained commit — version,
+    * operation, entry/delta counts, the declared keys and stats
+    * columns, and the stream batch tags — assembled from the commit
+    * files alone (metadata-scale; no data file is opened). Vacuumed
+    * versions are absent, exactly as time travel sees them. (The
+    * tuple-returning `history` predates this and stays for callers
+    * that want the raw triple.) */
+  def describeHistory(spark: SparkSession, root: String): DataFrame = {
+    val (fs, rp) = fsFor(spark, root)
+    val latest = latestVersion(spark, root)
+    val rows = (1 to latest).flatMap { v =>
+      if (!fs.exists(commitPath(rp, v))) None
+      else {
+        val lines = readFileUtf8(fs, commitPath(rp, v)).split("\n").toSeq
+        val op = lines.find(_.startsWith("op:")).map(_.drop(3)).getOrElse("?")
+        val entries = lines.flatMap(parseEntry)
+        Some((v, op, entries.size.toLong, entries.count(_.isDelta).toLong,
+          lines.find(_.startsWith("key:")).map(_.drop(4)).getOrElse(""),
+          lines.find(_.startsWith("statscol:")).map(_.drop(9)).getOrElse(""),
+          lines.filter(_.startsWith("batch:")).map(_.drop(6)).mkString(",")))
+      }
+    }
+    import spark.implicits._
+    rows.toDF("version", "op", "n_entries", "n_deltas", "keys",
+      "stats_cols", "batch_tags")
+  }
+
   def registerView(spark: SparkSession, name: String, root: String,
     version: Int = -1): Unit = {
     val pinned = if (version >= 0) version else latestVersion(spark, root)

@@ -541,6 +541,28 @@ class TxTableSpec extends SparkSpec {
     assert(keys.size === 13, s"all 13 keys must survive, got ${keys.size}")
   }
 
+  test("describeHistory: metadata-only, vacuumed-safe, carries tags and keys") {
+    import spark.implicits._
+    val root = tmpDir() + "/tx-desc-history"
+    TxTable.append(Seq((1L, 1.0)).toDF("k", "v"), root)
+    TxTable.mergeDelta(spark, root,
+      Seq((1L, "U", 2.0, 1L)).toDF("k", "op", "v", "seq"),
+      batchId = Some(7L), streamId = "s1")
+    TxTable.compactSnapshot(spark, root)
+    val h = TxTable.describeHistory(spark, root).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(6)))
+    assert(h.map(x => (x._1, x._2)).toSeq ===
+      Seq((1, "append"), (2, "delta"), (3, "compact")))
+    assert(h(1)._5 === "k", "delta commit records its key declaration")
+    assert(h(1)._6.contains("s1:7"), "stream batch tag surfaces")
+    assert(h(2)._4 === 0L, "compaction resolves deltas away")
+    // vacuumed versions drop from the history instead of throwing
+    TxTable.vacuum(spark, root, retainLast = 1)
+    assert(TxTable.describeHistory(spark, root).collect().map(_.getInt(0))
+      .toSeq === Seq(3))
+  }
+
   test("vacuum keeps nested-dir layouts (zopt buckets, partitioned appends)") {
     import spark.implicits._
     // OPTIMIZE ZORDER and appendPartitioned commit NESTED dirs
