@@ -437,6 +437,24 @@ object Oracles {
         |  SELECT unnest(regexp_extract_all(text, 's[a-z]+')) AS m FROM documents) t
         |GROUP BY m""".stripMargin,
 
+    // the FINAL document set after the deterministic 3-batch I/U/D
+    // history InvertedIndex.gateQuery replays (batch 2 deletes even
+    // doc_id%5=0 docs and appends a marker token to odd ones) — the
+    // oracle rebuilds from scratch what the engine maintained
+    // incrementally
+    "q_inverted_index_incremental" ->
+      s"""WITH final_docs AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 3 <> 2 AND doc_id % 5 = 0 AND doc_id % 2 = 1
+         |         THEN text || ' zzupdated' ELSE text END AS text
+         |  FROM documents
+         |  WHERE NOT (doc_id % 3 <> 2 AND doc_id % 5 = 0 AND doc_id % 2 = 0))
+         |SELECT word, count(DISTINCT doc_id) AS ndocs, count(*) AS tf,
+         |  min(doc_id) AS first_doc
+         |FROM (SELECT doc_id, unnest(string_split($norm, ' ')) AS word
+         |      FROM final_docs) t
+         |WHERE word <> '' GROUP BY word""".stripMargin,
+
     "q_inverted_index" ->
       s"""SELECT word, count(DISTINCT doc_id) AS ndocs, count(*) AS tf, min(doc_id) AS first_doc
          |FROM (SELECT doc_id, unnest(string_split($norm, ' ')) AS word FROM documents) t

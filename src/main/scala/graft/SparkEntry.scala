@@ -124,6 +124,8 @@ object SparkEntry {
     "q_txtable_zopt3" -> (graft.sources.TxTable.zopt3GateQuery _),
     "q_txtable_changes" -> (graft.sources.TxTable.changesGateQuery _),
     "q_txtable_aggview" -> (graft.sources.TxView.aggViewGateQuery _),
+    "q_inverted_index_incremental" ->
+      (graft.sources.InvertedIndex.gateQuery _),
     "q_media_meta" -> (Media.mediaMeta _),
     // OLAP analytics (§2.1 extensions)
     "q_rollup" -> (Olap.rollup _),

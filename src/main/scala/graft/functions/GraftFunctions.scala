@@ -70,6 +70,8 @@ object GraftFunctions {
       "bloom_filter_agg", bloomAggBuilder, "built-in")
     reg.createOrReplaceTempFunction(
       "might_contain", mightContainBuilder, "built-in")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      "graft_lsh_topk", graft.plans.LshTopKJoin.tvfBuilder, "built-in")
     // same rewrite GraftExtensions injects, via the runtime hook for
     // sessions built without extensions
     if (!spark.experimental.extraOptimizations.contains(graft.plans.DotProductRewrite))
@@ -121,6 +123,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GraftFunctions.bloomAggInfo, GraftFunctions.bloomAggBuilder))
     ext.injectFunction((FunctionIdentifier("might_contain"),
       GraftFunctions.mightContainInfo, GraftFunctions.mightContainBuilder))
+    ext.injectTableFunction((FunctionIdentifier("graft_lsh_topk"),
+      graft.plans.LshTopKJoin.tvfInfo, graft.plans.LshTopKJoin.tvfBuilder))
     ext.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
     ext.injectOptimizerRule(_ => graft.plans.RangeBinJoinRewrite)
     ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.Tables
+import graft.{Scratch, Tables}
 import graft.functions.GraftFunctions
 
 /** Deduplication family for LLM training-data pipelines (SURVEY.md
@@ -99,16 +99,9 @@ object Dedup {
     * Result = `q_dedup_incremental_near`'s oracle, proving the
     * persisted-index path computes the identical novelty set. */
   def incrementalNearIndexed(spark: SparkSession, dir: String): DataFrame = {
-    val root = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"),
-      s"graft-bandindex-${math.abs(dir.hashCode)}").toString
-    val rootFile = new java.io.File(root)
-    def rmTree(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rmTree))
-      f.delete(); ()
-    }
-    rmTree(rootFile)
-    if (indexCleanup.add(root)) sys.addShutdownHook(rmTree(rootFile))
+    // band index on the cluster's scratch FS (graft.Scratch) — a
+    // driver-local tmpdir table would be invisible to executors
+    val root = Scratch.freshRoot(spark, "graft-bandindex", dir)
     // one-time index build (in production: the initial corpus backfill)
     val bands = minhashBands(spark, dir)
     graft.sources.TxTable.append(
@@ -130,8 +123,6 @@ object Dedup {
       batchBands.join(novel, Seq("doc_id"), "left_semi"), root)
     novel
   }
-  private val indexCleanup =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** The full dedup CASCADE — every production corpus-cleaning
     * pipeline's shape, as ONE verdict per document: exact content dups
@@ -654,15 +645,43 @@ object Dedup {
     * deterministic, so memoization cannot change results. */
   private val scratchCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private[operators] def scratchRelation(spark: SparkSession, key: String,
+  private[graft] def scratchRelation(spark: SparkSession, key: String,
     dir: String)(build: => DataFrame): DataFrame = {
-    val path = scratchCache.computeIfAbsent(s"$key-${math.abs(dir.hashCode)}",
-      { k =>
-        val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-          s"graft-$k").toString
-        build.write.mode("overwrite").parquet(p)
-        p
-      })
+    // cluster-portable: artifacts live on the input's shared
+    // FileSystem (Scratch.base — HDFS/S3A on a cluster, file:/tmp
+    // locally), and the cache key carries a CONTENT version of the
+    // input dir, so rewriting the data under the same path within one
+    // long-lived session rebuilds the artifact instead of silently
+    // serving a stale one
+    val ver = Scratch.contentVersion(spark, dir)
+    val id = f"rel-$key-${dir.hashCode}%08x-$ver"
+    val basep = Scratch.base(spark)
+    // the base participates in the cache key: re-pointing
+    // spark.graft.scratchDir mid-session must not serve artifacts
+    // from the old base
+    val cacheKey = s"$basep/$id"
+    // double-checked rather than computeIfAbsent: builds NEST (srcEdges
+    // derives from spanGrams), and a nested mutation inside
+    // computeIfAbsent throws "Recursive update". A racing duplicate
+    // build is benign — content is deterministic and the write is an
+    // overwrite.
+    val path = Option(scratchCache.get(cacheKey)).getOrElse {
+      val p = new org.apache.hadoop.fs.Path(basep, id)
+      val fs = Scratch.fileSystem(spark, p)
+      // sweep superseded versions of the same artifact so a session
+      // that rewrites its input N times holds one copy, not N
+      if (fs.exists(basep))
+        fs.listStatus(basep)
+          .filter { s =>
+            val n = s.getPath.getName
+            n.startsWith(f"rel-$key-${dir.hashCode}%08x-") && n != id
+          }
+          .foreach(s => fs.delete(s.getPath, true))
+      build.write.mode("overwrite").parquet(p.toString)
+      Scratch.registerCleanup(spark, p)
+      scratchCache.putIfAbsent(cacheKey, p.toString)
+      p.toString
+    }
     spark.read.parquet(path)
   }
 

@@ -186,19 +186,26 @@ object Sketches {
   /** The optimizer-driven sketch substitution under the oracle gate:
     * a plain exact `count(DISTINCT cast(user_id as string))` query,
     * rewritten by `plans.ApproxDistinctRewrite` into the KMV estimate.
-    * The rewrite is applied eagerly here (per-plan opt-in) so the
-    * gated result is the REWRITTEN plan's output — the oracle replays
-    * the k-th-order-statistic estimate, proving the substituted plan
-    * computes exactly the documented sketch semantics. Sessions opt in
-    * globally with `spark.graft.approxDistinct=true` instead. */
+    * The opt-in is scoped to a CHILD session carrying the
+    * `spark.graft.approxDistinct` flag, so the gated result is the
+    * flag-gated optimizer rule's output — the oracle replays the
+    * k-th-order-statistic estimate, proving the substituted plan
+    * computes exactly the documented sketch semantics. Sessions opt
+    * in globally by setting the same flag on themselves. */
   def approxDistinct(spark: SparkSession, dir: String, k: Int = 256): DataFrame = {
-    val exact = Tables.events(spark, dir)
+    // Per-QUERY opt-in through the same flag the per-session opt-in
+    // uses: a child session (shared context, independent SQLConf)
+    // carries the flag, and the injected/runtime optimizer rule
+    // rewrites the exact plan when THIS DataFrame executes — no
+    // eagerly-rewritten plan, no private[sql] DataFrame constructor.
+    val scoped = spark.newSession()
+    GraftFunctions.register(scoped) // runtime hooks for extension-less parents
+    scoped.conf.set(graft.plans.ApproxDistinctRewrite.flagKey, "true")
+    scoped.conf.set(graft.plans.ApproxDistinctRewrite.kKey, k.toString)
+    Tables.events(scoped, dir)
       .filter(col("user_id").isNotNull)
       .groupBy("event_type")
       .agg(countDistinct(col("user_id").cast("string")).as("uniq_users_est"))
-    val rewritten = graft.plans.ApproxDistinctRewrite.rewrite(
-      exact.queryExecution.analyzed, k)
-    org.apache.spark.sql.graftbridge.PlanBridge.ofRows(spark, rewritten)
   }
 
   /** The optimizer-driven PERCENTILE sketch substitution under the
@@ -206,18 +213,18 @@ object Sketches {
     * `approxDistinct`: a plain exact `percentile_disc(p) WITHIN GROUP`
     * query over integer cents, rewritten by
     * `plans.ApproxPercentileRewrite` into the hist_sketch
-    * boundary-quantile estimate. Applied eagerly here (per-plan
-    * opt-in) so the gated result is the REWRITTEN plan's output; the
-    * oracle replays the identical integer histogram + ceil(p·n) rank
-    * walk, proving the substituted plan computes exactly the
-    * documented estimate. Width 2^21 cents (~$21k) × 64 buckets covers
-    * order totals to $1.3M with bounded-error quantiles; per-group
-    * state is 64 longs instead of percentile_disc's
-    * every-distinct-value buffer. Sessions opt in globally with
-    * `spark.graft.approxPercentile=true` instead. */
+    * boundary-quantile estimate, via the same child-session flag
+    * opt-in as `approxDistinct`, so the gated result is the flag-gated
+    * optimizer rule's output; the oracle replays the identical integer
+    * histogram + ceil(p·n) rank walk, proving the substituted plan
+    * computes exactly the documented estimate. Per-group state is 64
+    * longs instead of percentile_disc's every-distinct-value buffer.
+    * Sessions opt in globally by setting the flag on themselves. */
   def approxPercentile(spark: SparkSession, dir: String): DataFrame = {
-    val width = 1L << 21
-    val exact = Tables.orders(spark, dir)
+    // same child-session flag opt-in as approxDistinct (no eager
+    // rewrite, no private[sql] bridge)
+    val scoped = scopedPercentileSession(spark)
+    Tables.orders(scoped, dir)
       .select(col("o_orderpriority"),
         expr("cast(round(o_totalprice * 100, 0) as bigint)").as("cents"))
       .groupBy("o_orderpriority")
@@ -226,12 +233,22 @@ object Sketches {
         expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY cents)").as("p90"),
         expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY cents)").as("p99"),
         count(lit(1)).as("n"))
-    val rewritten = graft.plans.ApproxPercentileRewrite.rewrite(
-      exact.queryExecution.analyzed, width, 64)
-    org.apache.spark.sql.graftbridge.PlanBridge.ofRows(spark, rewritten)
       .select(col("o_orderpriority"), col("p50").cast("long").as("p50"),
         col("p90").cast("long").as("p90"), col("p99").cast("long").as("p99"),
         col("n"))
+  }
+
+  /** Child session with the ApproxPercentileRewrite flag set and the
+    * gate's histogram geometry: width 2^21 cents (~$21k) × 64 buckets
+    * covers order totals to $1.3M. */
+  private def scopedPercentileSession(spark: SparkSession): SparkSession = {
+    val scoped = spark.newSession()
+    GraftFunctions.register(scoped)
+    scoped.conf.set(graft.plans.ApproxPercentileRewrite.flagKey, "true")
+    scoped.conf.set(graft.plans.ApproxPercentileRewrite.widthKey,
+      (1L << 21).toString)
+    scoped.conf.set(graft.plans.ApproxPercentileRewrite.bucketsKey, "64")
+    scoped
   }
 
   /** The CONTINUOUS (interpolating) twin of `approxPercentile`:
@@ -242,8 +259,8 @@ object Sketches {
     * IEEE arithmetic over exact integers, so the DuckDB oracle
     * replays it bitwise (q_approx_percentile_cont). */
   def approxPercentileCont(spark: SparkSession, dir: String): DataFrame = {
-    val width = 1L << 21
-    val exact = Tables.orders(spark, dir)
+    val scoped = scopedPercentileSession(spark)
+    Tables.orders(scoped, dir)
       .select(col("o_orderpriority"),
         expr("cast(round(o_totalprice * 100, 0) as bigint)").as("cents"))
       .groupBy("o_orderpriority")
@@ -251,9 +268,6 @@ object Sketches {
         expr("percentile(cents, 0.5D)").as("p50"),
         expr("percentile(cents, 0.9D)").as("p90"),
         count(lit(1)).as("n"))
-    val rewritten = graft.plans.ApproxPercentileRewrite.rewrite(
-      exact.queryExecution.analyzed, width, 64)
-    org.apache.spark.sql.graftbridge.PlanBridge.ofRows(spark, rewritten)
       .select(col("o_orderpriority"), col("p50").cast("double").as("p50"),
         col("p90").cast("double").as("p90"), col("n"))
   }

@@ -5,11 +5,10 @@ import scala.collection.mutable
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, Expression, ExpressionInfo, Literal, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
-import org.apache.spark.sql.graftbridge.PlanBridge
 import org.apache.spark.sql.types._
 
 /** Whole-operator extension (SURVEY.md §2.7): the LSH bucketed top-k
@@ -185,20 +184,65 @@ case class LshTopKJoinExec(
 }
 
 object LshTopKJoin {
+
+  /** Table-valued-function face of the operator — the PUBLIC route
+    * from a custom LogicalPlan into a DataFrame: the analyzer's
+    * `ResolveTableValuedFunctions` calls this builder while resolving
+    * `SELECT * FROM graft_lsh_topk('<probes view>', '<corpus view>',
+    * k)`, and the plan it returns (children resolved through the
+    * session catalog) IS the query — no private[sql] constructor
+    * anywhere. Registered by `GraftExtensions.injectTableFunction`
+    * and, for extension-less sessions, at runtime through
+    * `sessionState.tableFunctionRegistry` in `apply`. */
+  val tvfBuilder: Seq[Expression] => LogicalPlan = { args =>
+    def strArg(e: Expression, what: String): String = e match {
+      case l: Literal if l.dataType == StringType && l.value != null =>
+        l.value.toString
+      case other => throw new IllegalArgumentException(
+        s"graft_lsh_topk: $what must be a string literal view name, got $other")
+    }
+    def intArg(e: Expression): Int = e match {
+      case l: Literal if l.dataType == IntegerType => l.value.asInstanceOf[Int]
+      case other => throw new IllegalArgumentException(
+        s"graft_lsh_topk: k must be an integer literal, got $other")
+    }
+    require(args.length == 3,
+      "graft_lsh_topk(probes_view, corpus_view, k) takes 3 arguments")
+    val spark = SparkSession.active
+    LshTopKJoinPlan(
+      spark.table(strArg(args(0), "probes_view")).queryExecution.analyzed,
+      spark.table(strArg(args(1), "corpus_view")).queryExecution.analyzed,
+      intArg(args(2)),
+      AttributeReference("rk", IntegerType, nullable = false)(),
+      AttributeReference("cos", DoubleType, nullable = false)())
+  }
+
+  val tvfInfo: ExpressionInfo = new ExpressionInfo(
+    LshTopKJoin.getClass.getCanonicalName, "graft_lsh_topk")
+
   /** Build the operator over prepared probe/corpus frames (see schema
     * contract above) and return it as a DataFrame. Registers the
-    * strategy on the session's runtime hook if absent. */
+    * strategy and the TVF on the session's runtime hooks if absent,
+    * then routes construction through the TVF SQL face — the analyzed
+    * Dataset holds the resolved plan, so the scaffolding views are
+    * dropped before returning. */
   def apply(probesDf: DataFrame, corpusDf: DataFrame, k: Int): DataFrame = {
     val spark = probesDf.sparkSession
     if (!spark.experimental.extraStrategies.contains(LshTopKJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ LshTopKJoinStrategy
-    val plan = LshTopKJoinPlan(
-      probesDf.queryExecution.analyzed,
-      corpusDf.queryExecution.analyzed,
-      k,
-      AttributeReference("rk", IntegerType, nullable = false)(),
-      AttributeReference("cos", DoubleType, nullable = false)())
-    PlanBridge.ofRows(spark, plan)
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      "graft_lsh_topk", tvfBuilder, "built-in")
+    val id = java.util.UUID.randomUUID().toString.replace("-", "")
+    val pv = s"graft_lsh_probes_$id"
+    val cv = s"graft_lsh_corpus_$id"
+    probesDf.createOrReplaceTempView(pv)
+    corpusDf.createOrReplaceTempView(cv)
+    try spark.sql(s"SELECT * FROM graft_lsh_topk('$pv', '$cv', $k)")
+    finally {
+      spark.catalog.dropTempView(pv)
+      spark.catalog.dropTempView(cv)
+      ()
+    }
   }
 }

@@ -29,11 +29,6 @@ import org.apache.spark.sql.functions._
   */
 object TxTable {
 
-  /** Scratch roots with a registered exit-time cleanup (one hook per
-    * path however many times the gate query runs in a session). */
-  private val cleanupRegistered =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
   private def fsFor(spark: SparkSession, root: String): (FileSystem, Path) = {
     val p = new Path(root)
     (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
@@ -1033,23 +1028,16 @@ object TxTable {
     * equality proves the clustered rewrite preserved content AND the
     * stats-pruned read returns exactly the box (pruning may skip
     * dirs, never rows). */
-  /** Per-input scratch table root under java.io.tmpdir, recreated per
-    * invocation: repeated gate and bench runs reuse (not accumulate)
-    * scratch space, and the JVM removes the last instance on exit.
-    * Shared by every gate query that materializes a table. */
-  private[sources] def scratchRoot(prefix: String, dir: String): String = {
-    val root = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"),
-      s"$prefix-${math.abs(dir.hashCode)}").toString
-    def rmTree(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rmTree))
-      f.delete(); ()
-    }
-    rmTree(new java.io.File(root))
-    if (cleanupRegistered.add(root))
-      sys.addShutdownHook(rmTree(new java.io.File(root)))
-    root
-  }
+  /** Per-input scratch table root on the cluster's scratch FileSystem
+    * (graft.Scratch — `spark.graft.scratchDir` or the default-FS
+    * `/tmp/graft-scratch-<user>`), recreated per invocation: repeated
+    * gate and bench runs reuse (not accumulate) scratch space, and a
+    * best-effort exit hook removes the last instance. Shared by every
+    * gate query that materializes a table; on a real cluster these
+    * tables land on HDFS/S3A like any dataset, never on driver-local
+    * disk. */
+  private[sources] def scratchRoot(prefix: String, dir: String): String =
+    graft.Scratch.freshRoot(SparkSession.active, prefix, dir)
 
   /** Partition-clustered append: hive-style `partitionBy` layout
     * lifted into the snapshot — ONE commit entry per partition
@@ -1572,7 +1560,19 @@ object TxTable {
             snapshotDiff(prev, cur, keys)
               .write.mode("overwrite").parquet(tmp.toString)
             fs.mkdirs(new Path(rp, "_changes"))
-            if (!fs.rename(tmp, staged)) fs.delete(tmp, true)
+            // HDFS-semantics rename(tmp, existing-dir) moves tmp
+            // INSIDE the dir and returns true — so "rename succeeded"
+            // does not mean "we won the stage race". The loser's temp
+            // must be removed wherever it landed: delete tmp if it
+            // still exists, and sweep any .tmp-* child a concurrent
+            // stager nested under the served slice (reads only list
+            // files, so a nested dir is dead weight, not corruption).
+            fs.rename(tmp, staged)
+            if (fs.exists(tmp)) fs.delete(tmp, true)
+            if (fs.exists(staged))
+              fs.listStatus(staged).filter(s => s.isDirectory &&
+                s.getPath.getName.startsWith(".tmp-"))
+                .foreach(s => fs.delete(s.getPath, true))
           }
           Seq(ChangeSlice(filesOf(Seq(stagedDir)), None, v))
         case other =>
@@ -1782,12 +1782,6 @@ object TxTable {
     }
   }
 
-  /** SQL face: register the table's CURRENT snapshot (or a pinned
-    * `version`) as a temp view, through the `graft-tx` format face
-    * (TxTableSource) — one read path for API, format, and SQL users.
-    * The version is pinned at registration, so queries against the
-    * view never see later commits until re-registered — exactly the
-    * repeatable-read behavior a BI session wants. */
   /** DESCRIBE HISTORY analog: one row per retained commit — version,
     * operation, entry/delta counts, the declared keys and stats
     * columns, and the stream batch tags — assembled from the commit
@@ -1815,6 +1809,12 @@ object TxTable {
       "stats_cols", "batch_tags")
   }
 
+  /** SQL face: register the table's CURRENT snapshot (or a pinned
+    * `version`) as a temp view, through the `graft-tx` format face
+    * (TxTableSource) — one read path for API, format, and SQL users.
+    * The version is pinned at registration, so queries against the
+    * view never see later commits until re-registered — exactly the
+    * repeatable-read behavior a BI session wants. */
   def registerView(spark: SparkSession, name: String, root: String,
     version: Int = -1): Unit = {
     val pinned = if (version >= 0) version else latestVersion(spark, root)
@@ -1858,5 +1858,24 @@ object TxTable {
             n.drop(1).toInt < keepVs.head
         }
         .foreach(fs.delete(_, true))
+    // orphaned scratch from crashed work: change-diff temps that lost
+    // (or abandoned) the staging race, and sink epoch dirs whose
+    // commit/abort cleanup never ran. Age-gated (1 h) so vacuum never
+    // races an in-flight stager or streaming epoch.
+    val horizon = System.currentTimeMillis() - 3600 * 1000L
+    if (fs.exists(chDir))
+      fs.listStatus(chDir)
+        .filter(s => s.getPath.getName.startsWith(".tmp-") &&
+          s.getModificationTime < horizon)
+        .foreach(s => fs.delete(s.getPath, true))
+    val stagingDir = new Path(rp, "_staging")
+    if (fs.exists(stagingDir))
+      fs.listStatus(stagingDir).foreach { stream =>
+        fs.listStatus(stream.getPath)
+          .filter(_.getModificationTime < horizon)
+          .foreach(s => fs.delete(s.getPath, true))
+        if (fs.listStatus(stream.getPath).isEmpty)
+          fs.delete(stream.getPath, false)
+      }
   }
 }

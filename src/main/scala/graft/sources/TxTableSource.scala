@@ -602,11 +602,15 @@ class TxStreamingWrite(root: String, info: LogicalWriteInfo,
   // location IS the query's durable identity — the same checkpoint
   // is the same logical stream across restarts (and across the
   // V1-sink → DSv2 upgrade).
+  // The final fallback is the V1 sink's "default" (NOT queryId): a
+  // pipeline that set neither option keeps its replay-protection
+  // lineage across the V1→DSv2 upgrade, so its last in-flight batch
+  // is still recognized instead of double-applying once.
   private val streamId = Option(opts.get("checkpointLocation"))
     .orElse(Option(opts.get("queryName")))
     .map(s => java.lang.Long.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(s).toLong & 0xffffffffL))
-    .getOrElse(info.queryId())
+    .getOrElse("default")
 
   private def stagingDir(epochId: Long) =
     s"$root/_staging/$streamId/epoch-$epochId"

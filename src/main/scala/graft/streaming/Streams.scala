@@ -238,6 +238,9 @@ object Streams {
             val cents = (BigDecimal(ev.value).setScale(2,
               BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact
             if (st.day == null) st = CusumState(d, cents, 0L)
+            else if (d < st.day) () // late event for an emitted day:
+            // drop it — reopening a closed day would double-emit it
+            // in Append mode. yyyy-MM-dd compares lexically.
             else if (d == st.day) st = st.copy(daySum = st.daySum + cents)
             else {
               val s2 = math.max(0L, st.s + (st.daySum - tgt))
@@ -267,6 +270,7 @@ object Streams {
             val cents = (BigDecimal(ev.value).setScale(2,
               BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact
             if (s.day == null) s = EwmaState(d, cents, 0L, false)
+            else if (d < s.day) () // drop late events for closed days
             else if (d == s.day) s = s.copy(daySum = s.daySum + cents)
             else {
               // truncating / to match DuckDB // (and Olap.ewma) on
@@ -310,6 +314,7 @@ object Streams {
             val cents = (BigDecimal(ev.value).setScale(2,
               BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact
             if (s.day == null) s = HoltState(d, cents, 0L, 0L, false)
+            else if (d < s.day) () // drop late events for closed days
             else if (d == s.day) s = s.copy(daySum = s.daySum + cents)
             else {
               val (l2, b2) =

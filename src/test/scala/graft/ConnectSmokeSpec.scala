@@ -22,8 +22,9 @@ package graft
   *
   * Known incompatibilities (documented, not smoke-tested): operators
   * that drop to RDDs (Pipe, connected components' rebase, SeqFile RDD
-  * reader, DistCopy) and the PlanBridge-backed native LshTopKJoin need
-  * the classic session.
+  * reader, DistCopy) and the native LshTopKJoin (its TVF face needs
+  * the server-side catalog views its `apply` registers) need the
+  * classic session.
   */
 class ConnectSmokeSpec extends SparkSpec {
 
