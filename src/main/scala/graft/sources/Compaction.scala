@@ -151,6 +151,51 @@ object Compaction {
     } finally assigned.unpersist()
   }
 
+  /** The whole archive set back as ONE DataFrame — the transparent
+    * read-back HarFileSystem gives the reference (ref: src/core/org/
+    * apache/hadoop/fs/HarFileSystem.java:48: archives mount as a
+    * filesystem and any job reads them unchanged): every archived
+    * file as (path, name, length, content), planned entirely from the
+    * manifest. Scale shape: the manifest (one row per file) is
+    * repartitioned by archive so each task streams ITS archives with
+    * offset-ordered forward seeks — executor-parallel across
+    * archives, zero driver-side fetch calls, no archive ever read
+    * twice. The 100 TB downstream pattern: `readAll(...).join(...)`
+    * replaces a per-file `fetch` loop. */
+  def readAll(spark: SparkSession, dst: String): DataFrame = {
+    import spark.implicits._
+    val man = spark.read.parquet(s"$dst/_manifest")
+    // archive-cardinality readback (bins, not files) sizes the scan
+    val nArch = man.select("archive").distinct().count().toInt
+    val confBc = new SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    man.repartition(math.max(nArch, 1), col("archive"))
+      .sortWithinPartitions("archive", "offset")
+      .select("archive", "path", "name", "offset", "length")
+      .mapPartitions { rows =>
+        var current: String = null
+        var in: org.apache.hadoop.fs.FSDataInputStream = null
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null)
+          tc.addTaskCompletionListener[Unit](_ =>
+            if (in != null) in.close())
+        rows.map { r =>
+          val archive = r.getString(0)
+          if (archive != current) {
+            if (in != null) in.close()
+            val p = new Path(dst, archive)
+            in = p.getFileSystem(confBc.value).open(p)
+            current = archive
+          }
+          in.seek(r.getLong(3))
+          val buf = new Array[Byte](r.getLong(4).toInt)
+          in.readFully(buf)
+          (r.getString(1), r.getString(2), r.getLong(4), buf)
+        }
+      }
+      .toDF("path", "name", "length", "content")
+  }
+
   /** Point lookup by basename: manifest filter (parquet pushdown) →
     * one ranged read of one archive. No archive scan. Fails fast if
     * the basename is ambiguous — use `fetchPath` with the full path. */

@@ -1060,32 +1060,71 @@ object TxTable {
         f.dataType == org.apache.spark.sql.types.ShortType)),
       s"txtable: partition column '$partCol' must be an integral column")
     val baseDir = s"data/append-${java.util.UUID.randomUUID()}"
-    // One self-contained dir per partition VALUE, written explicitly so
-    // the partition column stays IN the files (hive-style partitionBy
-    // strips it into the path, which would vanish under the snapshot
-    // reader's plain per-dir scans). The distinct-value readback is a
-    // partition-cardinality driver action — dates/buckets, not rows —
-    // the same bounded-metadata class as the compaction listings.
-    // NULLs can't address a `$partCol=v` dir and would never match the
-    // per-value equality filter below (silent row loss) — and getLong
-    // on a null Row field NPEs opaquely. Fail loudly instead.
-    val distinctVals = df.select(col(partCol).cast("long")).distinct()
-      .collect()
-    require(!distinctVals.exists(_.isNullAt(0)),
-      s"txtable: partition column '$partCol' contains NULLs — " +
-        "partitioned appends need a total partition assignment; " +
-        "coalesce NULLs to a sentinel value first")
-    val values = distinctVals.map(_.getLong(0)).sorted
-    require(values.nonEmpty, "txtable: partitioned append of empty frame")
-    val cached = df.persist()
+    val basePath = new Path(rp, baseDir).toString
+    // ONE pass over the data whatever the partition count (a daily-
+    // partitioned year must not become 365 serial jobs): hive-style
+    // dynamic `partitionBy` on a DUPLICATED helper column, so the real
+    // partition column stays IN the files (plain partitionBy strips it
+    // into the path, which would vanish under the snapshot reader's
+    // per-dir scans). The pre-shuffle on the helper clusters each
+    // value's rows into the task that writes its dir — one file per
+    // partition instead of tasks × dirs fragments.
+    df.withColumn("_graft_part", col(partCol).cast("long"))
+      .repartition(col("_graft_part"))
+      .write.partitionBy("_graft_part").mode("overwrite").parquet(basePath)
+    // NULLs can't address a `$partCol=v` dir (they land in the hive
+    // default-partition dir) — partitioned appends need a total
+    // partition assignment; fail loudly rather than lose rows.
+    val written = fs.listStatus(new Path(rp, baseDir))
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("_graft_part=")).toSeq
+    if (written.contains("_graft_part=__HIVE_DEFAULT_PARTITION__")) {
+      fs.delete(new Path(rp, baseDir), true)
+      throw new IllegalArgumentException(
+        s"txtable: partition column '$partCol' contains NULLs — " +
+          "partitioned appends need a total partition assignment; " +
+          "coalesce NULLs to a sentinel value first")
+    }
+    val values = written.map(_.stripPrefix("_graft_part=").toLong).sorted
+    if (values.isEmpty) {
+      fs.delete(new Path(rp, baseDir), true)
+      throw new IllegalArgumentException(
+        "txtable: partitioned append of empty frame")
+    }
+    // per-dir exact stats in ONE aggregate over the written layout
+    // (the hive partition column groups rows by dir), read back before
+    // the rename so the helper name can't collide with the data column
+    val integral = statsCols.distinct.filter { c =>
+      df.schema.find(_.name == c).map(_.dataType).exists {
+        case org.apache.spark.sql.types.LongType |
+          org.apache.spark.sql.types.IntegerType |
+          org.apache.spark.sql.types.ShortType => true
+        case _ => false
+      }
+    }
+    val aggs = count(lit(1)) +: integral.flatMap(c =>
+      Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+    val statRows = spark.read.parquet(basePath)
+      // partition-value inference may type small values INT — pin long
+      .groupBy(col("_graft_part").cast("long").as("_graft_part"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect() // partition-cardinality readback (dates/buckets)
+      .map { r =>
+        val v = r.getLong(0)
+        v -> (Map(rowsKey -> (r.getLong(1), r.getLong(1))) ++
+          integral.zipWithIndex.flatMap { case (c, i) =>
+            if (r.isNullAt(2 * i + 2)) None
+            else Some(c -> (r.getLong(2 * i + 2), r.getLong(2 * i + 3)))
+          })
+      }.toMap
+    // helper dirs → `$partCol=v` entry dirs: P metadata renames
     val entries = values.map { v =>
       val dirName = s"$baseDir/$partCol=$v"
-      cached.filter(col(partCol) === v).write.mode("overwrite")
-        .parquet(new Path(rp, dirName).toString)
-      val extra = dirStats(spark, rp, dirName, statsCols)
-      Entry(isDelta = false, dirName, extra + (partCol -> (v, v)))
-    }.toSeq
-    cached.unpersist()
+      fs.rename(new Path(rp, s"$baseDir/_graft_part=$v"),
+        new Path(rp, dirName))
+      Entry(isDelta = false, dirName,
+        statRows(v) + (partCol -> (v, v)))
+    }
     commitRetry(spark, root) { prevV =>
       val prev = snapshotLines(fs, rp, prevV)
       val statsHdr =

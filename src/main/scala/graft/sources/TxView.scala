@@ -113,6 +113,31 @@ object TxView {
     v
   }
 
+  /** Continuous maintenance: follow the base table's LIVE commits with
+    * a Structured Streaming loop — readStream over the `graft-tx` CDC
+    * source, one `refreshAggView` per micro-batch. Exactly-once comes
+    * from the VIEW's own commit tags, not the checkpoint: the stream
+    * is only the wake-up signal (its rows are not consumed — the
+    * refresh re-derives its window `(lo, hi]` from the view tag vs the
+    * base head), so a replayed micro-batch, a racing manual refresh,
+    * or a restart from an old checkpoint all land as recognized no-ops
+    * and can never double-count. Stop and restart with the same
+    * checkpoint to resume; commits made while offline are picked up on
+    * the first batch. */
+  def followAggView(spark: SparkSession, baseRoot: String,
+    viewRoot: String, grpCol: String, valCol: String,
+    checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.format("graft-tx").load(baseRoot)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch {
+        (_: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+          refreshAggView(spark, baseRoot, viewRoot, grpCol, valCol)
+          ()
+      }
+      .start()
+
   /** ORACLE-GATED incremental-view exercise (q_txtable_aggview): the
     * deterministic orders-derived CDC stream (the q_txtable_mor
     * shape, plus a customer-segment group column and cents-exact

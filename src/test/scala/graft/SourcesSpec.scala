@@ -240,6 +240,34 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("Compaction.readAll returns the whole archive set as one DataFrame") {
+    val srcDir = new java.io.File(tmpDir() + "/har-all"); srcDir.mkdirs()
+    val rnd = new scala.util.Random(7)
+    val contents = (0 until 25).map { i =>
+      val bytes = new Array[Byte](50 + rnd.nextInt(400))
+      rnd.nextBytes(bytes)
+      val f = new java.io.File(srcDir, f"f$i%03d.bin")
+      java.nio.file.Files.write(f.toPath, bytes)
+      f.getName -> bytes
+    }.toMap
+    val dst = tmpDir() + "/har-all-out"
+    Compaction.compact(spark, srcDir.getAbsolutePath, dst, 2048L)
+    val back = Compaction.readAll(spark, dst)
+      .select("name", "content").collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    // multiset equality with the pre-compaction tree: same names,
+    // byte-identical content, nothing dropped or duplicated
+    assert(back.keySet === contents.keySet)
+    contents.foreach { case (n, bytes) =>
+      assert(back(n) === bytes.toSeq, s"content mismatch for $n")
+    }
+    // planned from the manifest: the scan partitioning is by archive
+    val nArch = new java.io.File(dst).listFiles()
+      .count(_.getName.startsWith("archive-"))
+    assert(nArch > 1, "test should exercise multiple archives")
+    assert(Compaction.readAll(spark, dst).rdd.getNumPartitions === nArch)
+  }
+
   test("Compaction keys on full path: duplicate basenames fetch unambiguously") {
     val srcDir = new java.io.File(tmpDir() + "/har-dup"); srcDir.mkdirs()
     val a = new java.io.File(srcDir, "a"); a.mkdirs()

@@ -377,6 +377,47 @@ class StreamsSpec extends SparkSpec {
       .map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
   }
 
+  test("followAggView maintains the view exactly-once across a restart") {
+    import spark.implicits._
+    import graft.sources.{TxTable, TxView}
+    val base = tmpDir() + "/fav-base"
+    val view = tmpDir() + "/fav-view"
+    val ckpt = tmpDir() + "/fav-ckpt"
+    def commit(rows: Seq[(Long, String, Long, Long, Long)]): Unit = {
+      TxTable.mergeDelta(spark, base,
+        rows.toDF("k", "op", "g", "v", "seq"))
+      ()
+    }
+    commit(Seq((1L, "I", 1L, 10L, 1L), (2L, "I", 1L, 20L, 2L),
+      (3L, "I", 2L, 30L, 3L)))
+    def viewRows(): Set[(Long, Long, Long)] =
+      TxTable.read(spark, view).select("g", "sum_v", "n_rows").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val q1 = TxView.followAggView(spark, base, view, "g", "v", ckpt)
+    try {
+      q1.processAllAvailable()
+      assert(viewRows() === Set((1L, 30L, 2L), (2L, 30L, 1L)))
+      // a live commit while the stream runs is folded in
+      commit(Seq((4L, "I", 2L, 5L, 4L)))
+      q1.processAllAvailable()
+      assert(viewRows() === Set((1L, 30L, 2L), (2L, 35L, 2L)))
+    } finally q1.stop()
+    // commits while the follower is OFFLINE: an update that moves a
+    // row between groups and a delete that shrinks one
+    commit(Seq((2L, "U", 2L, 25L, 5L)))
+    commit(Seq((3L, "D", 2L, 0L, 6L)))
+    // restart from the same checkpoint — the offline window replays
+    // once and ONLY once (the view's own tags gate the fold)
+    val q2 = TxView.followAggView(spark, base, view, "g", "v", ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    val recompute = TxTable.read(spark, base).groupBy("g")
+      .agg(sum(col("v")).as("sum_v"), count(lit(1)).as("n_rows"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viewRows() === recompute,
+      "restarted follower must converge to the full recompute")
+    assert(viewRows() === Set((1L, 10L, 1L), (2L, 30L, 2L)))
+  }
+
   test("foreachBatch lands micro-batches as parquet") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -1166,6 +1166,36 @@ class TxTableSpec extends SparkSpec {
     assert(TxTable.read(spark, root2).count() === 2)
   }
 
+  test("appendPartitioned is one-pass: job count independent of partition count") {
+    import spark.implicits._
+    val root = tmpDir() + "/tx-part-onepass"
+    val df = (0L until 2000L).map(k => (k % 50, k)).toDF("p", "k")
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+        j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      TxTable.appendPartitioned(df, root, "p", statsCols = Seq("k"))
+      // the listener bus is async — wait until the count settles
+      var last = -1
+      while (jobs != last) { last = jobs; Thread.sleep(300) }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // one clustered write + one grouped stats pass (+ footer probes);
+    // the per-value loop this replaced ran 50+ jobs here
+    assert(jobs <= 6, s"appendPartitioned ran $jobs jobs for 50 partitions")
+    // layout and stats are unchanged by the one-pass path
+    assert("dir:(data/[^|\n]+)".r.findAllMatchIn(commitText(root, 1)).size
+      === 50)
+    assert(TxTable.read(spark, root).count() === 2000)
+    val pruned = TxTable.read(spark, root, colRanges = Map("p" -> (7L, 7L)))
+    assert(pruned.count() === 40)
+    assert(pruned.agg(min("k"), max("k")).collect()(0)
+      === org.apache.spark.sql.Row(7L, 1957L))
+  }
+
   test("appendPartitioned rejects NULL partition values loudly") {
     import spark.implicits._
     val root = tmpDir() + "/tx-part-null"
