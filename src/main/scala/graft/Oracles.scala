@@ -437,6 +437,19 @@ object Oracles {
         |  SELECT unnest(regexp_extract_all(text, 's[a-z]+')) AS m FROM documents) t
         |GROUP BY m""".stripMargin,
 
+    // the rename/drop evolution replay (TxTable.renameGateQuery):
+    // latest = all orders under the renamed column, left-joined with
+    // the even-key half (v1's content) under its historical name
+    "q_txtable_rename" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT b.k, b.cents AS amount, h.cents AS v_old
+        |FROM base b
+        |LEFT JOIN (SELECT k, cents FROM base WHERE k % 2 = 0) h
+        |  ON b.k = h.k""".stripMargin,
+
     // the FINAL document set after the deterministic 3-batch I/U/D
     // history InvertedIndex.gateQuery replays (batch 2 deletes even
     // doc_id%5=0 docs and appends a marker token to odd ones) — the
@@ -1579,7 +1592,9 @@ object Oracles {
 
     "q_media_meta" ->
       """SELECT doc_id, strlen(text) AS byte_len, substring(md5(text), 1, 8) AS sig,
-        |  (strlen(text) + 255) // 256 AS n_chunks
+        |  (strlen(text) + 255) // 256 AS n_chunks,
+        |  CASE WHEN substring(text, 5, 4) = 'ftyp' THEN 'mp4' ELSE 'raw' END
+        |    AS container
         |FROM documents""".stripMargin,
 
     // the TxTable change feed: two delta commits (split on the seq

@@ -126,6 +126,7 @@ object SparkEntry {
     "q_txtable_aggview" -> (graft.sources.TxView.aggViewGateQuery _),
     "q_inverted_index_incremental" ->
       (graft.sources.InvertedIndex.gateQuery _),
+    "q_txtable_rename" -> (graft.sources.TxTable.renameGateQuery _),
     "q_media_meta" -> (Media.mediaMeta _),
     // OLAP analytics (§2.1 extensions)
     "q_rollup" -> (Olap.rollup _),

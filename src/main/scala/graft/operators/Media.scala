@@ -466,11 +466,121 @@ object Media {
       }.toDF("vec_id", "embedding")
   }
 
-  /** Oracle-checkable metadata projection (q_media_meta). */
+  /** Parsed MP4 container facts (no decoding anywhere). */
+  case class Mp4Meta(brand: String, durationMs: Long, width: Int,
+    height: Int, nFrames: Long)
+
+  /** MP4 / ISO-BMFF container metadata by BOX-HEADER PARSING — never
+    * decoding (no codec in the loop, so it runs wherever the bytes
+    * do): walks the `[size][type]` box tree for
+    *   ftyp (major brand), moov/mvhd (timescale + duration →
+    *   duration_ms), the video trak's tkhd (width/height, 16.16
+    *   fixed), and its stbl/stsz (sample count = frame count).
+    * The video track is the trak whose mdia/hdlr handler is 'vide'.
+    * Returns None for anything that isn't structurally ISO-BMFF —
+    * detection is the ftyp box at offset 4, same rule the gated
+    * `container` column applies in SQL. This is the metadata a video
+    * curation pipeline filters on (duration/resolution/fps bands)
+    * before paying for a single decoded frame. */
+  def parseMp4(payload: Array[Byte]): Option[Mp4Meta] = {
+    def u32(o: Int): Long =
+      if (o + 4 > payload.length) -1L
+      else ((payload(o) & 0xffL) << 24) | ((payload(o + 1) & 0xffL) << 16) |
+        ((payload(o + 2) & 0xffL) << 8) | (payload(o + 3) & 0xffL)
+    def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
+    def typ(o: Int): String =
+      if (o + 4 > payload.length) ""
+      else new String(payload, o, 4, "ISO-8859-1")
+    // walk the child boxes of [from, to), calling f(boxType,
+    // payloadStart, payloadEnd); malformed sizes end the walk
+    def boxes(from: Int, to: Int)(f: (String, Int, Int) => Unit): Unit = {
+      var o = from
+      while (o + 8 <= to) {
+        val size0 = u32(o)
+        val t = typ(o + 4)
+        val (hdr, size) =
+          if (size0 == 1L) (16, u64(o + 8)) // 64-bit largesize
+          else if (size0 == 0L) (8, (to - o).toLong) // "to end of file"
+          else (8, size0)
+        if (size < hdr || o + size > to) return
+        f(t, o + hdr, o + size.toInt)
+        o += size.toInt
+      }
+    }
+    if (payload.length < 12 || typ(4) != "ftyp") return None
+    var brand = ""
+    var timescale = 0L
+    var duration = 0L
+    var width = 0
+    var height = 0
+    var nFrames = 0L
+    boxes(0, payload.length) { (t, s, e) =>
+      t match {
+        case "ftyp" => brand = typ(s)
+        case "moov" =>
+          boxes(s, e) { (t2, s2, e2) =>
+            t2 match {
+              case "mvhd" =>
+                val v = payload(s2) & 0xff
+                if (v == 1) { timescale = u32(s2 + 20); duration = u64(s2 + 24) }
+                else { timescale = u32(s2 + 12); duration = u32(s2 + 16) }
+              case "trak" =>
+                var w = 0; var h = 0; var frames = 0L; var isVideo = false
+                boxes(s2, e2) { (t3, s3, e3) =>
+                  t3 match {
+                    case "tkhd" =>
+                      val v = payload(s3) & 0xff
+                      val off = if (v == 1) s3 + 88 else s3 + 76
+                      w = (u32(off) >> 16).toInt      // 16.16 fixed
+                      h = (u32(off + 4) >> 16).toInt
+                    case "mdia" => boxes(s3, e3) { (t4, s4, e4) =>
+                      t4 match {
+                        case "hdlr" => isVideo = typ(s4 + 8) == "vide"
+                        case "minf" => boxes(s4, e4) { (t5, s5, e5) =>
+                          if (t5 == "stbl") boxes(s5, e5) { (t6, s6, _) =>
+                            if (t6 == "stsz") frames = u32(s6 + 8)
+                          }
+                        }
+                        case _ => ()
+                      }
+                    }
+                    case _ => ()
+                  }
+                }
+                if (isVideo) { width = w; height = h; nFrames = frames }
+              case _ => ()
+            }
+          }
+        case _ => ()
+      }
+    }
+    val durMs = if (timescale > 0) duration * 1000L / timescale else 0L
+    Some(Mp4Meta(brand, durMs, width, height, nFrames))
+  }
+
+  /** Video container metadata over a media frame — the distributed
+    * face of `parseMp4`: one map-side pass, rows that don't parse are
+    * dropped (they aren't videos). */
+  def videoMeta(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        parseMp4(payload).map(m =>
+          (id, m.brand, m.durationMs, m.width, m.height, m.nFrames))
+      }
+      .toDF("doc_id", "brand", "duration_ms", "width", "height", "n_frames")
+  }
+
+  /** Oracle-checkable metadata projection (q_media_meta). The
+    * `container` column is the same structural sniff `parseMp4`
+    * gates on (ftyp box at offset 4), expressed portably so the
+    * DuckDB oracle replays it. */
   def mediaMeta(spark: SparkSession, dir: String): DataFrame =
     mediaTable(spark, dir).select(
       col("doc_id"),
       col("meta.byte_len").as("byte_len"),
       col("meta.sig").as("sig"),
-      expr("(meta.byte_len + 255) div 256").as("n_chunks"))
+      expr("(meta.byte_len + 255) div 256").as("n_chunks"),
+      expr("CASE WHEN substring(cast(payload AS string), 5, 4) = 'ftyp' " +
+        "THEN 'mp4' ELSE 'raw' END").as("container"))
 }

@@ -120,6 +120,114 @@ object TxTable {
   private def snapshotDirs(fs: FileSystem, root: Path, v: Int): Seq[String] =
     snapshotEntries(fs, root, v).map(_.dir)
 
+  /** Column-mapping header (Delta/Iceberg-style name mapping): one
+    * `colmap:<logical>=<physical>,...` line declaring, IN ORDER, the
+    * snapshot's visible columns and the physical file-column each
+    * reads from. Physical names are immutable once written —
+    * `renameColumn` only rebinds the logical side, so a rename is one
+    * metadata commit and time travel serves every version under ITS
+    * OWN names. An entry with an EMPTY logical (`=physical`) is a
+    * DROP tombstone: the physical column stays in old files but no
+    * snapshot column binds to it, and the tombstone keeps the
+    * physical name reserved so a later added column of the same name
+    * cannot resurrect the dropped data. No header = identity mapping;
+    * a bare `colmap:` line explicitly RESETS to identity (written by
+    * rewrite ops — compactSnapshot/merge — whose new files are born
+    * under the logical names, materializing renames). */
+  private def snapshotColMap(fs: FileSystem, rp: Path,
+    v: Int): Option[Seq[(String, String)]] =
+    if (v == 0) None
+    else readFileUtf8(fs, commitPath(rp, v)).split("\n")
+      .find(_.startsWith("colmap:"))
+      .map(_.drop(7)).filter(_.nonEmpty)
+      .map(_.split(",").toSeq.map { p =>
+        val i = p.indexOf('=')
+        (p.substring(0, i), p.substring(i + 1))
+      })
+
+  private def colMapLine(m: Seq[(String, String)]): String =
+    "colmap:" + m.map { case (l, p) => s"$l=$p" }.mkString(",")
+
+  /** The live (non-tombstone) logical→physical pairs. */
+  private def liveMap(m: Seq[(String, String)]): Seq[(String, String)] =
+    m.filter(_._1.nonEmpty)
+
+  /** Map a logical column name to its physical file column (identity
+    * for unmapped tables). */
+  private def physName(m: Option[Seq[(String, String)]],
+    logical: String): String =
+    m.flatMap(liveMap(_).find(_._1 == logical).map(_._2)).getOrElse(logical)
+
+  /** Map a physical file column back to its logical name (identity
+    * when unmapped). */
+  private def logicalName(m: Option[Seq[(String, String)]],
+    phys: String): String =
+    m.flatMap(liveMap(_).find(_._2 == phys).map(_._1)).getOrElse(phys)
+
+  /** Translate user-facing logical range/prune maps to physical. */
+  private def physRanges(m: Option[Seq[(String, String)]],
+    rs: Map[String, (Long, Long)]): Map[String, (Long, Long)] =
+    if (m.isEmpty) rs else rs.map { case (c, r) => physName(m, c) -> r }
+
+  /** Present a PHYSICAL frame under the snapshot's logical names:
+    * exhaustive select of the live pairs (tombstoned physicals and
+    * stragglers are projected away), in mapping order. */
+  private def toLogical(df: DataFrame,
+    m: Option[Seq[(String, String)]]): DataFrame = m match {
+    case None => df
+    case Some(pairs) =>
+      val cols = liveMap(pairs).filter(p => df.columns.contains(p._2))
+      df.select(cols.map { case (l, p) => col(p).as(l) }: _*)
+  }
+
+  /** Translate an incoming LOGICAL frame to physical names for the
+    * write path, auto-extending the mapping for columns the map has
+    * never seen (schema widening after a rename). A new column whose
+    * name collides with a reserved physical (e.g. re-adding a dropped
+    * column's name) gets a fresh uuid-suffixed physical so old file
+    * data can never leak into it. Returns the translated frame and,
+    * when a mapping governs the table, the extended map to commit. */
+  private def toPhysicalFrame(df: DataFrame,
+    m: Option[Seq[(String, String)]],
+    exclude: Set[String] = Set.empty)
+    : (DataFrame, Option[Seq[(String, String)]]) = m match {
+    case None => (df, None)
+    case Some(pairs) =>
+      val logToPhys = liveMap(pairs).toMap
+      val reserved = scala.collection.mutable.Set(pairs.map(_._2): _*)
+      var extended = pairs
+      val out = df.columns.toSeq.map { c =>
+        if (exclude.contains(c)) col(c)
+        else logToPhys.get(c) match {
+          case Some(p) => col(c).as(p)
+          case None =>
+            val p =
+              if (!reserved.contains(c)) c
+              else s"${c}_${java.util.UUID.randomUUID().toString.take(8)}"
+            reserved += p
+            extended = extended :+ (c -> p)
+            col(c).as(p)
+        }
+      }
+      (df.select(out: _*), Some(extended))
+  }
+
+  /** DML predicate/SET evaluation on a PHYSICAL dir frame: expose the
+    * renamed logical names as extra columns so user SQL speaks the
+    * snapshot's names, without disturbing the physical columns the
+    * rewrite writes back. Returns (frame, names-to-drop-after). */
+  private def withLogicalAliases(df: DataFrame,
+    m: Option[Seq[(String, String)]]): (DataFrame, Seq[String]) = {
+    val pairs = m.toSeq.flatten
+    val renamed = liveMap(pairs)
+      .filter { case (l, p) => l != p && df.columns.contains(p) }
+    require(renamed.forall { case (l, _) => !df.columns.contains(l) },
+      "txtable: a renamed logical name collides with a physical file " +
+        "column — run compactSnapshot to materialize the renames first")
+    (renamed.foldLeft(df) { case (d, (l, p)) => d.withColumn(l, col(p)) },
+      renamed.map(_._1))
+  }
+
   /** The resolved scan plan of one snapshot: which data dirs survive
     * range pruning, and which ranges apply where. Shared by `read`
     * (the DataFrame assembly) and the format face's `inputFiles`
@@ -201,6 +309,22 @@ object TxTable {
     * affect any row in it. Dirs without stats are never pruned. */
   def read(spark: SparkSession, root: String, version: Int = -1,
     keyRange: Option[(Long, Long)] = None,
+    colRanges: Map[String, (Long, Long)] = Map.empty): DataFrame = {
+    val (fs0, rp0) = fsFor(spark, root)
+    val v0 = if (version >= 0) version else latestVersion(spark, root)
+    val mOpt = snapshotColMap(fs0, rp0, v0)
+    // callers address columns by the snapshot's LOGICAL names; the
+    // physical plumbing below (stats, files, resolution) speaks the
+    // immutable physical names
+    toLogical(
+      readResolved(spark, root, version, keyRange, physRanges(mOpt, colRanges)),
+      mOpt)
+  }
+
+  /** `read` in PHYSICAL column names (pre-mapping) — the internal
+    * face rewrite ops and the change-feed staging consume. */
+  private def readResolved(spark: SparkSession, root: String,
+    version: Int = -1, keyRange: Option[(Long, Long)] = None,
     colRanges: Map[String, (Long, Long)] = Map.empty): DataFrame = {
     val (fs, rp) = fsFor(spark, root)
     val plan = planSnapshot(spark, root, version, keyRange, colRanges)
@@ -413,10 +537,19 @@ object TxTable {
     skipIf: Int => Boolean = _ => false): Int = {
     val spark = df.sparkSession
     val (fs, rp) = fsFor(spark, root)
+    // appends translate logical→physical under a column mapping
+    // (widening extends the map); an overwrite replaces all content
+    // with the caller's logical frame, so its files are born logical
+    // and the mapping resets
+    val m0 = snapshotColMap(fs, rp, latestVersion(spark, root))
+    val (physDf, extMap) =
+      if (keepPrev) toPhysicalFrame(df, m0) else (df, None)
+    val physStats =
+      if (keepPrev) statsCols.map(physName(m0, _)) else statsCols
     val dirName = s"data/$op-${java.util.UUID.randomUUID()}"
-    df.write.mode("overwrite").parquet(new Path(rp, dirName).toString)
+    physDf.write.mode("overwrite").parquet(new Path(rp, dirName).toString)
     val entry = Entry(isDelta = false, dirName,
-      dirStats(spark, rp, dirName, statsCols))
+      dirStats(spark, rp, dirName, physStats))
     commitRetry(spark, root) { prevV =>
       // a concurrent writer may have landed this same micro-batch
       // between the caller's pre-check and the claim (appendBatch);
@@ -429,15 +562,21 @@ object TxTable {
       // claim's parent, so a concurrent commit that landed between
       // validation and the claim can't smuggle in a violating snapshot
       preCommitCheck(prevV)
-      val prev = if (keepPrev) snapshotLines(fs, rp, prevV) else Seq.empty
+      val prev0 = if (keepPrev) snapshotLines(fs, rp, prevV) else Seq.empty
+      val prev =
+        if (extMap.isDefined) prev0.filterNot(_.startsWith("colmap:"))
+        else prev0
+      val mapHdr =
+        if (!keepPrev) m0.map(_ => "colmap:").toSeq
+        else extMap.map(colMapLine).toSeq
       // record which columns the stats describe (carry-forward wins so
       // one table never mixes stats declarations)
       val statsHdr =
-        if (prev.exists(_.startsWith("statscol:")) || statsCols.isEmpty) None
-        else Some(s"statscol:${statsCols.mkString(",")}")
+        if (prev.exists(_.startsWith("statscol:")) || physStats.isEmpty) None
+        else Some(s"statscol:${physStats.mkString(",")}")
       (op,
         batchTag.map(t => s"batch:$t").toSeq ++
-          statsHdr.toSeq ++ prev :+ entry.line)
+          statsHdr.toSeq ++ mapHdr ++ prev :+ entry.line)
     }
   }
 
@@ -450,6 +589,7 @@ object TxTable {
         case Seq() => Seq.empty
         case cs => Seq(s"statscol:${cs.mkString(",")}")
       }) ++
+      snapshotColMap(fs, rp, v).map(colMapLine).toSeq ++
       snapshotEntries(fs, rp, v).map(_.line)
 
   /** `batch:<stream>:<id>` replay-protection tag lines of commit `v`
@@ -485,7 +625,15 @@ object TxTable {
         .map(tagStream).toSet
       val carried = batchTagLines(fs, rp, prevV)
         .filterNot(t => ownStreams.contains(tagStream(t)))
-      val body = (s"op:$op" +: (lines ++ carried)).mkString("\n")
+      // the column mapping is table-level metadata like the replay
+      // tags: carried by EVERY commit unless the commit declares its
+      // own (rename/drop set a new map; rewrite ops reset with a bare
+      // `colmap:` line; restore re-instates the target version's)
+      val mapCarried =
+        if (lines.exists(_.startsWith("colmap:"))) Seq.empty
+        else snapshotColMap(fs, rp, prevV).map(colMapLine).toSeq
+      val body =
+        (s"op:$op" +: (mapCarried ++ lines ++ carried)).mkString("\n")
       val claim = commitPath(rp, prevV + 1)
       try {
         if (fs.getScheme == "file") {
@@ -631,9 +779,13 @@ object TxTable {
           coalesce(col(c), col(s"_base_$c")).as(c))): _*)
       val dirName = s"data/merge-${java.util.UUID.randomUUID()}"
       merged.write.mode("overwrite").parquet(new Path(rp, dirName).toString)
-      ("merge", Seq(s"key:${keyCols.mkString(",")}",
-        Entry(isDelta = false, dirName,
-          dirStats(spark, rp, dirName, keyCols)).line))
+      // copy-on-write from logical frames: new files carry logical
+      // names, so the mapping (if any) resets — see compactSnapshot
+      ("merge",
+        Seq(s"key:${keyCols.mkString(",")}") ++
+          snapshotColMap(fs, rp, prevV).map(_ => "colmap:").toSeq :+
+          Entry(isDelta = false, dirName,
+            dirStats(spark, rp, dirName, keyCols)).line)
     }
   }
 
@@ -704,9 +856,13 @@ object TxTable {
         }: _*)
       val dirName = s"data/merge-${java.util.UUID.randomUUID()}"
       out.write.mode("overwrite").parquet(new Path(rp, dirName).toString)
-      ("merge", Seq(s"key:${keyCols.mkString(",")}",
-        Entry(isDelta = false, dirName,
-          dirStats(spark, rp, dirName, keyCols)).line))
+      // copy-on-write from logical frames: new files carry logical
+      // names, so the mapping (if any) resets — see compactSnapshot
+      ("merge",
+        Seq(s"key:${keyCols.mkString(",")}") ++
+          snapshotColMap(fs, rp, prevV).map(_ => "colmap:").toSeq :+
+          Entry(isDelta = false, dirName,
+            dirStats(spark, rp, dirName, keyCols)).line)
     }
   }
 
@@ -752,10 +908,18 @@ object TxTable {
     if (alreadyApplied(latestVersion(spark, root)))
       return latestVersion(spark, root)
     val (latest, _) = resolveLatest(changes, keyCols)
+    // callers speak the snapshot's LOGICAL names; delta FILES join
+    // the table's immutable physical columns (op/seq are bookkeeping,
+    // never mapped). Widening batches extend the mapping.
+    val m0 = snapshotColMap(fs, rp, latestVersion(spark, root))
+    val physKeys = keyCols.map(physName(m0, _))
+    val (latestPhys, extMap) =
+      toPhysicalFrame(latest, m0, exclude = Set("op", "seq"))
     val dirName = s"data/delta-${java.util.UUID.randomUUID()}"
-    latest.write.mode("overwrite").parquet(new Path(rp, dirName).toString)
+    latestPhys.write.mode("overwrite")
+      .parquet(new Path(rp, dirName).toString)
     val entry = Entry(isDelta = true, dirName,
-      dirStats(spark, rp, dirName, keyCols))
+      dirStats(spark, rp, dirName, physKeys))
     commitRetry(spark, root) { prevV =>
       // a concurrent writer may have landed the same batch between the
       // pre-check and the claim: re-check against the claim's parent
@@ -765,13 +929,14 @@ object TxTable {
         return prevV
       }
       val recorded = snapshotKeys(fs, rp, prevV)
-      require(recorded.forall(_ == keyCols),
+      require(recorded.forall(_ == physKeys),
         s"txtable: $root is keyed on ${recorded.get.mkString(",")}, " +
-          s"got ${keyCols.mkString(",")}")
+          s"got ${physKeys.mkString(",")}")
       val prev = snapshotEntries(fs, rp, prevV).map(_.line)
       ("delta",
         (batchId.map(id => s"batch:$sid:$id").toSeq ++
-          (s"key:${keyCols.mkString(",")}" +: prev)) :+ entry.line)
+          extMap.map(colMapLine).toSeq ++
+          (s"key:${physKeys.mkString(",")}" +: prev)) :+ entry.line)
     }
   }
 
@@ -837,7 +1002,10 @@ object TxTable {
         .drop("_z")
         .write.partitionBy("_b").mode("overwrite")
         .parquet(new Path(rp, parent).toString)
-      val keys = snapshotKeys(fs, rp, base)
+      val m = snapshotColMap(fs, rp, base)
+      // dirs rewritten from read()'s logical output: keys move to
+      // logical names and any mapping resets (see compactSnapshot)
+      val keys = snapshotKeys(fs, rp, base).map(_.map(logicalName(m, _)))
       val statsCols = zCols
       val buckets = fs.listStatus(new Path(rp, parent)).toSeq
         .map(_.getPath.getName).filter(_.startsWith("_b="))
@@ -853,6 +1021,7 @@ object TxTable {
           ("compact",
             keys.map(ks => s"key:${ks.mkString(",")}").toSeq ++
               Seq(s"statscol:${statsCols.mkString(",")}") ++
+              m.map(_ => "colmap:").toSeq ++
               entries.map(_.line))
         }
       } catch {
@@ -878,19 +1047,24 @@ object TxTable {
     val (fs, rp) = fsFor(spark, root)
     commitRetry(spark, root) { prevV =>
       require(prevV > 0, s"txtable: nothing to compact at $root")
+      val m = snapshotColMap(fs, rp, prevV)
       val resolved = read(spark, root, prevV)
       val dirName = s"data/compact-${java.util.UUID.randomUUID()}"
       resolved.write.mode("overwrite").parquet(new Path(rp, dirName).toString)
-      val keys = snapshotKeys(fs, rp, prevV)
-      // stats survive compaction: keyed tables stat their keys, plain
-      // tables keep their declared stats columns (and the header)
-      val statsCols = snapshotStatsCols(fs, rp, prevV)
+      // the new dir is born under the LOGICAL names (read's output),
+      // materializing any renames and shedding drop tombstones — so
+      // the key/stats headers move to logical and the mapping RESETS
+      // (bare colmap: line); time travel still serves old versions
+      // under their own maps
+      val keys = snapshotKeys(fs, rp, prevV).map(_.map(logicalName(m, _)))
+      val statsCols =
+        snapshotStatsCols(fs, rp, prevV).map(logicalName(m, _))
       val entry = Entry(isDelta = false, dirName,
         dirStats(spark, rp, dirName, keys.getOrElse(Seq.empty) ++ statsCols))
       ("compact",
         keys.map(ks => s"key:${ks.mkString(",")}").toSeq ++
           (if (statsCols.nonEmpty) Seq(s"statscol:${statsCols.mkString(",")}")
-           else Seq.empty) :+ entry.line)
+           else Seq.empty) ++ m.map(_ => "colmap:").toSeq :+ entry.line)
     }
   }
 
@@ -934,24 +1108,31 @@ object TxTable {
           "run compactSnapshot first")
       val keys = snapshotKeys(fs, rp, prevV)
       val statsCols = snapshotStatsCols(fs, rp, prevV)
-      def disjoint(e: Entry): Boolean = pruneRanges.exists {
+      // callers speak logical names: prune ranges translate to the
+      // physical stats, and the predicate evaluates over logical
+      // aliases laid over each physical dir frame
+      val m = snapshotColMap(fs, rp, prevV)
+      val pr = physRanges(m, pruneRanges)
+      def disjoint(e: Entry): Boolean = pr.exists {
         case (c, (lo, hi)) => e.stats.get(c).exists {
           case (elo, ehi) => ehi < lo || elo > hi } }
       def contained(e: Entry): Boolean = rangesExact &&
-        pruneRanges.nonEmpty && pruneRanges.forall {
+        pr.nonEmpty && pr.forall {
           case (c, (lo, hi)) => e.stats.get(c).exists {
             case (elo, ehi) => elo >= lo && ehi <= hi } }
       val newLines = entries.flatMap { e =>
         if (disjoint(e)) Some(e.line)
         else if (contained(e)) None
         else {
-          val df = spark.read.parquet(new Path(rp, e.dir).toString)
+          val (df, extras) = withLogicalAliases(
+            spark.read.parquet(new Path(rp, e.dir).toString), m)
           // one pass decides: total survivors vs dir row count.
           // SQL DELETE removes only rows where the predicate is TRUE —
           // NULL-pred rows survive, so the keep filter is IS NOT TRUE
           // (plain NOT would silently delete NULLs), matching
           // updateWhere's when(pred).otherwise(keep) semantics
           val survivors = df.filter(s"($predSql) IS NOT TRUE")
+            .drop(extras: _*)
           val nKeep = survivors.count()
           val nAll = e.stats.get(rowsKey).map(_._1)
             .getOrElse(df.count())
@@ -1059,6 +1240,12 @@ object TxTable {
         f.dataType == org.apache.spark.sql.types.IntegerType ||
         f.dataType == org.apache.spark.sql.types.ShortType)),
       s"txtable: partition column '$partCol' must be an integral column")
+    // logical→physical translation under a column mapping, exactly
+    // like plain append (widening extends the map)
+    val m0 = snapshotColMap(fs, rp, latestVersion(spark, root))
+    val (physDf0, extMap) = toPhysicalFrame(df, m0)
+    val effMap = extMap.orElse(m0)
+    val physPart = physName(effMap, partCol)
     val baseDir = s"data/append-${java.util.UUID.randomUUID()}"
     val basePath = new Path(rp, baseDir).toString
     // ONE pass over the data whatever the partition count (a daily-
@@ -1069,7 +1256,7 @@ object TxTable {
     // per-dir scans). The pre-shuffle on the helper clusters each
     // value's rows into the task that writes its dir — one file per
     // partition instead of tasks × dirs fragments.
-    df.withColumn("_graft_part", col(partCol).cast("long"))
+    physDf0.withColumn("_graft_part", col(physPart).cast("long"))
       .repartition(col("_graft_part"))
       .write.partitionBy("_graft_part").mode("overwrite").parquet(basePath)
     // NULLs can't address a `$partCol=v` dir (they land in the hive
@@ -1117,20 +1304,25 @@ object TxTable {
             else Some(c -> (r.getLong(2 * i + 2), r.getLong(2 * i + 3)))
           })
       }.toMap
-    // helper dirs → `$partCol=v` entry dirs: P metadata renames
+    // helper dirs → `$physPart=v` entry dirs: P metadata renames
     val entries = values.map { v =>
-      val dirName = s"$baseDir/$partCol=$v"
+      val dirName = s"$baseDir/$physPart=$v"
       fs.rename(new Path(rp, s"$baseDir/_graft_part=$v"),
         new Path(rp, dirName))
       Entry(isDelta = false, dirName,
-        statRows(v) + (partCol -> (v, v)))
+        statRows(v) + (physPart -> (v, v)))
     }
     commitRetry(spark, root) { prevV =>
-      val prev = snapshotLines(fs, rp, prevV)
+      val prev0 = snapshotLines(fs, rp, prevV)
+      val prev =
+        if (extMap.isDefined) prev0.filterNot(_.startsWith("colmap:"))
+        else prev0
       val statsHdr =
         if (prev.exists(_.startsWith("statscol:"))) None
-        else Some(s"statscol:${(partCol +: statsCols).mkString(",")}")
-      ("append", statsHdr.toSeq ++ prev ++ entries.map(_.line))
+        else Some(s"statscol:${
+          (physPart +: statsCols.map(physName(effMap, _))).mkString(",")}")
+      ("append", statsHdr.toSeq ++ extMap.map(colMapLine).toSeq ++
+        prev ++ entries.map(_.line))
     }
   }
 
@@ -1159,25 +1351,32 @@ object TxTable {
           "run compactSnapshot first")
       val keys = snapshotKeys(fs, rp, prevV)
       val statsCols = snapshotStatsCols(fs, rp, prevV)
-      def disjoint(e: Entry): Boolean = pruneRanges.exists {
+      val m = snapshotColMap(fs, rp, prevV)
+      val pr = physRanges(m, pruneRanges)
+      // SETs address the snapshot's LOGICAL columns; rewritten rows
+      // keep the dir's physical schema
+      val physSets = sets.map { case (c, ex) => physName(m, c) -> ex }
+      def disjoint(e: Entry): Boolean = pr.exists {
         case (c, (lo, hi)) => e.stats.get(c).exists {
           case (elo, ehi) => ehi < lo || elo > hi } }
       val newLines = entries.map { e =>
         if (disjoint(e)) e.line
         else {
-          val df = spark.read.parquet(new Path(rp, e.dir).toString)
-          sets.keys.foreach { c =>
-            require(df.columns.contains(c),
-              s"txtable: SET of unknown column '$c'") }
+          val raw = spark.read.parquet(new Path(rp, e.dir).toString)
+          val (df, extras) = withLogicalAliases(raw, m)
+          physSets.keys.foreach { c =>
+            require(raw.columns.contains(c),
+              s"txtable: SET of unknown column '${logicalName(m, c)}'") }
           if (df.filter(predSql).isEmpty) e.line
           else {
             // ONE select so every SET expression and the predicate see
             // the OLD row (SQL UPDATE semantics) — chained withColumn
-            // would feed earlier SETs into later ones
-            val updated = df.select(df.columns.map { c =>
-              sets.get(c) match {
+            // would feed earlier SETs into later ones; logical aliases
+            // are evaluation-only and dropped by the projection
+            val updated = df.select(raw.columns.map { c =>
+              physSets.get(c) match {
                 case Some(ex) =>
-                  when(expr(predSql), expr(ex).cast(df.schema(c).dataType))
+                  when(expr(predSql), expr(ex).cast(raw.schema(c).dataType))
                     .otherwise(col(c)).as(c)
                 case None => col(c)
               }
@@ -1481,7 +1680,8 @@ object TxTable {
         .filterNot(e => prevDirs(e.dir))
       def dirDf(e: Entry) = spark.read.parquet(new Path(rp, e.dir).toString)
       val batch: Seq[DataFrame] = op match {
-        case "compact" => Seq.empty // same content, new layout
+        case "compact" | "rename" | "dropcol" =>
+          Seq.empty // same content: new layout / new names only
         case "delta" => newEntries.map(dirDf) // (key..., op, value...)
         // a clone's borrowed dirs are its initial content — inserts,
         // exactly like an append-created table's first commit
@@ -1495,9 +1695,12 @@ object TxTable {
             throw new IllegalArgumentException(
               s"txtable: v$v of $root replaced content without a key " +
                 "declaration - no row identity to derive a change feed from"))
-          val cur = read(spark, root, v)
+          // the feed speaks the STABLE physical names (readResolved):
+          // a rename never changes feed columns, so downstream CDC
+          // consumers survive renames without redeploys
+          val cur = readResolved(spark, root, v)
           val prev =
-            if (v - 1 > 0) read(spark, root, v - 1)
+            if (v - 1 > 0) readResolved(spark, root, v - 1)
             else cur.filter(lit(false))
           Seq(snapshotDiff(prev, cur, keys))
         case other =>
@@ -1507,7 +1710,7 @@ object TxTable {
     }
     if (frames.isEmpty) {
       // empty range over a live table: empty frame in the feed's schema
-      val schemaDf = read(spark, root, hi)
+      val schemaDf = readResolved(spark, root, hi)
       return schemaDf.withColumn("op", lit("I"))
         .withColumn("commit_version", lit(0L)).filter(lit(false))
     }
@@ -1578,7 +1781,8 @@ object TxTable {
       val newDirs = snapshotEntries(fs, rp, v).map(_.dir)
         .filterNot(prevDirs)
       op match {
-        case "compact" => Seq.empty // same content, new layout
+        case "compact" | "rename" | "dropcol" =>
+          Seq.empty // same content: new layout / new names only
         case "delta" => Seq(ChangeSlice(filesOf(newDirs), None, v))
         case "append" | "clone" =>
           Seq(ChangeSlice(filesOf(newDirs), Some("I"), v))
@@ -1590,9 +1794,9 @@ object TxTable {
               throw new IllegalArgumentException(
                 s"txtable: v$v of $root replaced content without a key " +
                   "declaration - no row identity to derive a change feed from"))
-            val cur = read(spark, root, v)
+            val cur = readResolved(spark, root, v)
             val prev =
-              if (v - 1 > 0) read(spark, root, v - 1)
+              if (v - 1 > 0) readResolved(spark, root, v - 1)
               else cur.filter(lit(false))
             val tmp = new Path(rp,
               s"_changes/.tmp-${java.util.UUID.randomUUID()}")
@@ -1818,6 +2022,100 @@ object TxTable {
         (if (statsCols.nonEmpty) Seq(s"statscol:${statsCols.mkString(",")}")
          else Seq.empty) ++
           keep.map(_._1.line) :+ entry.line)
+    }
+  }
+
+  /** ORACLE-GATED rename/drop evolution exercise (q_txtable_rename):
+    * load the even-key half of orders as v1 (columns k, v, prio),
+    * RENAME v→amount and DROP prio as two metadata commits, then
+    * append the odd half under the NEW names. The result joins the
+    * latest snapshot (logical: k, amount) against the v1 time-travel
+    * frame STILL SERVED under its original name `v` — hash equality
+    * against a DuckDB replay proves the rename preserved every value,
+    * the drop narrowed the schema (schema_match would catch a
+    * resurrected prio), post-rename appends interoperate with
+    * pre-rename files, and time travel keeps each version's names. */
+  def renameGateQuery(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratchRoot("graft-rengate", dir)
+    val o = graft.Tables.orders(spark, dir).select(
+      col("o_orderkey").as("k"),
+      expr("cast(round(o_totalprice * 100, 0) as bigint)").as("v"),
+      col("o_orderpriority").as("prio"))
+    append(o.filter(col("k") % 2 === 0), root) // v1
+    renameColumn(spark, root, "v", "amount")   // v2 (metadata)
+    dropColumn(spark, root, "prio")            // v3 (metadata)
+    append(o.filter(col("k") % 2 === 1)
+      .select(col("k"), col("v").as("amount")), root) // v4, new names
+    val latest = read(spark, root)
+    val historical = read(spark, root, version = 1)
+      .select(col("k"), col("v").as("v_old"))
+    latest.join(historical, Seq("k"), "left")
+  }
+
+  private def validColName(c: String): Boolean =
+    c.nonEmpty && !c.exists(ch => ch == ',' || ch == '=' || ch == '\n' ||
+      ch == '\r' || ch == '|')
+
+  /** The snapshot's column mapping, materializing the identity map
+    * from the physical schema when no header exists yet (one
+    * footer-level probe; no data read). */
+  private def colMapOrIdentity(spark: SparkSession, root: String,
+    fs: FileSystem, rp: Path, v: Int): Seq[(String, String)] =
+    snapshotColMap(fs, rp, v).getOrElse(
+      readResolved(spark, root, v).columns.toSeq.map(c => (c, c)))
+
+  /** Rename a column in ONE metadata commit — no data rewrite, any
+    * table size (the Delta/Iceberg column-mapping move): the commit
+    * declares a new `colmap:` binding the new LOGICAL name to the
+    * column's immutable PHYSICAL file name. Readers of this and later
+    * versions see `to`; time travel before it still sees `from`;
+    * `restore` rolls names back with the data; the change feed is
+    * unaffected (it speaks physical names precisely so renames can't
+    * break CDC consumers). Appends/deltas after the rename keep
+    * writing the physical name under the hood. */
+  def renameColumn(spark: SparkSession, root: String, from: String,
+    to: String): Int = {
+    require(validColName(to),
+      s"txtable: invalid column name '$to' (empty or reserved character)")
+    val (fs, rp) = fsFor(spark, root)
+    commitRetry(spark, root) { prevV =>
+      require(prevV > 0, s"txtable: nothing to rename at $root")
+      val m = colMapOrIdentity(spark, root, fs, rp, prevV)
+      require(liveMap(m).exists(_._1 == from),
+        s"txtable: no column '$from' to rename at $root")
+      require(!liveMap(m).exists(_._1 == to),
+        s"txtable: column '$to' already exists at $root")
+      val next = m.map { case (l, p) => (if (l == from) to else l, p) }
+      ("rename", colMapLine(next) +:
+        snapshotLines(fs, rp, prevV).filterNot(_.startsWith("colmap:")))
+    }
+  }
+
+  /** Drop a column in ONE metadata commit — the physical data stays
+    * in existing files (time travel still serves it) but the mapping
+    * tombstones the physical name, so no current-version read sees it
+    * and a later re-added column of the same name gets a FRESH
+    * physical (old values can never resurrect). `compactSnapshot`
+    * materializes the drop physically. Key and stats columns refuse
+    * to drop — resolution and pruning depend on them. */
+  def dropColumn(spark: SparkSession, root: String, name: String): Int = {
+    val (fs, rp) = fsFor(spark, root)
+    commitRetry(spark, root) { prevV =>
+      require(prevV > 0, s"txtable: nothing to drop at $root")
+      val m = colMapOrIdentity(spark, root, fs, rp, prevV)
+      require(liveMap(m).exists(_._1 == name),
+        s"txtable: no column '$name' to drop at $root")
+      require(liveMap(m).size > 1,
+        s"txtable: cannot drop the last column of $root")
+      val phys = physName(Some(m), name)
+      require(!snapshotKeys(fs, rp, prevV).exists(_.contains(phys)),
+        s"txtable: cannot drop key column '$name'")
+      require(!snapshotStatsCols(fs, rp, prevV).contains(phys),
+        s"txtable: cannot drop stats column '$name' — " +
+          "range pruning depends on it")
+      val next = m.map { case (l, p) => (if (l == name) "" else l, p) }
+      ("dropcol", colMapLine(next) +:
+        snapshotLines(fs, rp, prevV).filterNot(_.startsWith("colmap:")))
     }
   }
 

@@ -306,4 +306,51 @@ class MediaSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 4L || b == 4L },
       "a visually different scene must not pair")
   }
+
+  test("parseMp4 reads duration/resolution/frame count from box headers, no codec") {
+    import java.nio.ByteBuffer
+    def u32(v: Long): Array[Byte] = ByteBuffer.allocate(4).putInt(v.toInt).array()
+    def box(t: String, payload: Array[Byte]): Array[Byte] =
+      u32(payload.length + 8L) ++ t.getBytes("ISO-8859-1") ++ payload
+    // a structurally valid ISO-BMFF tree: ftyp + moov(mvhd,
+    // trak(tkhd, mdia(hdlr, minf(stbl(stsz))))) + mdat
+    val ftyp = box("ftyp",
+      "isom".getBytes("ISO-8859-1") ++ u32(0x200) ++
+        "isomiso2".getBytes("ISO-8859-1"))
+    // mvhd v0: ver/flags, creation, modification, timescale=1000,
+    // duration=2500 ticks (= 2.5 s), padded to the spec's 100 bytes
+    val mvhd = box("mvhd",
+      u32(0) ++ u32(0) ++ u32(0) ++ u32(1000) ++ u32(2500) ++
+        new Array[Byte](80))
+    // tkhd v0: width/height are 16.16 fixed at offsets 76/80
+    val tkhd = box("tkhd",
+      new Array[Byte](76) ++ u32(640L << 16) ++ u32(360L << 16))
+    val hdlr = box("hdlr",
+      u32(0) ++ u32(0) ++ "vide".getBytes("ISO-8859-1") ++
+        new Array[Byte](12))
+    // stsz: uniform sample size 0 → per-sample table, 75 samples
+    val stsz = box("stsz", u32(0) ++ u32(0) ++ u32(75))
+    val mdia = box("mdia", hdlr ++ box("minf", box("stbl", stsz)))
+    val moov = box("moov", mvhd ++ box("trak", tkhd ++ mdia))
+    val mp4 = ftyp ++ moov ++ box("mdat", new Array[Byte](64))
+
+    val meta = Media.parseMp4(mp4)
+    assert(meta === Some(Media.Mp4Meta("isom", 2500L, 640, 360, 75L)))
+    // not ISO-BMFF -> None, never a garbage parse
+    assert(Media.parseMp4("plain text payload".getBytes("UTF-8")).isEmpty)
+    assert(Media.parseMp4(Array.empty[Byte]).isEmpty)
+    // truncated container: the walk stops at the malformed size
+    // instead of throwing
+    assert(Media.parseMp4(mp4.take(40)).map(_.brand) === Some("isom"))
+
+    // the distributed face keeps only parseable rows
+    import spark.implicits._
+    val media = Seq((1L, mp4), (2L, "not a video".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val rows = Media.videoMeta(spark, media).collect()
+    assert(rows.length === 1)
+    assert(rows(0).getLong(0) === 1L && rows(0).getLong(2) === 2500L &&
+      rows(0).getInt(3) === 640 && rows(0).getInt(4) === 360 &&
+      rows(0).getLong(5) === 75L)
+  }
 }

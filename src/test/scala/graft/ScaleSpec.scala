@@ -197,8 +197,8 @@ class ScaleSpec extends SparkSpec {
     // the accepted batch was appended: the index now covers it, so an
     // immediate replay of the same batch finds nothing novel
     val again = graft.sources.TxTable.read(spark,
-      java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        s"graft-bandindex-${math.abs(sfDir.hashCode)}").toString)
+      new org.apache.hadoop.fs.Path(Scratch.base(spark),
+        f"graft-bandindex-${sfDir.hashCode}%08x").toString)
     assert(again.filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 0)
       .count() > 0, "novel batch bands must be appended to the index")
   }

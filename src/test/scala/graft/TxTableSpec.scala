@@ -1029,6 +1029,93 @@ class TxTableSpec extends SparkSpec {
     assert(state() === Map(1L -> 11L))
   }
 
+  test("renameColumn is metadata-only; every version keeps its own names") {
+    import spark.implicits._
+    val root = tmpDir() + "/tx-ren"
+    TxTable.append(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), root) // v1
+    val dirsBefore = "dir:(data/[^|\n]+)".r
+      .findAllMatchIn(commitText(root, 1)).map(_.group(1)).toSet
+    assert(TxTable.renameColumn(spark, root, "v", "amount") === 2)
+    // metadata-only: the rename commit references exactly v1's dirs
+    assert("dir:(data/[^|\n]+)".r.findAllMatchIn(commitText(root, 2))
+      .map(_.group(1)).toSet === dirsBefore)
+    assert(TxTable.read(spark, root).columns.toSeq === Seq("k", "amount"))
+    assert(TxTable.read(spark, root, version = 1).columns.toSeq
+      === Seq("k", "v"), "time travel must serve v1 under its own names")
+    // appends after the rename speak the NEW name and interop with
+    // old files (which physically still carry 'v')
+    TxTable.append(Seq((3L, 30L)).toDF("k", "amount"), root) // v3
+    assert(TxTable.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+      === Set((1L, 10L), (2L, 20L), (3L, 30L)))
+    // DML speaks the new name too
+    TxTable.deleteWhere(spark, root, "amount >= 30")
+    TxTable.updateWhere(spark, root, "k = 1", Map("amount" -> "amount + 5"))
+    assert(TxTable.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+      === Set((1L, 15L), (2L, 20L)))
+    // compaction materializes the rename: files are born as 'amount'
+    // and the mapping resets
+    val vc = TxTable.compactSnapshot(spark, root)
+    assert(!commitText(root, vc).contains("colmap:") ||
+      commitText(root, vc).contains("\ncolmap:\n") ||
+      commitText(root, vc).endsWith("colmap:"),
+      "compaction must reset the mapping")
+    assert(TxTable.read(spark, root).columns.toSeq === Seq("k", "amount"))
+    // invalid / conflicting renames fail loudly
+    intercept[IllegalArgumentException] {
+      TxTable.renameColumn(spark, root, "missing", "x")
+    }
+    intercept[IllegalArgumentException] {
+      TxTable.renameColumn(spark, root, "k", "amount")
+    }
+  }
+
+  test("dropColumn tombstones the physical name — no data resurrection") {
+    import spark.implicits._
+    val root = tmpDir() + "/tx-drop"
+    TxTable.append(Seq((1L, 10L, "x"), (2L, 20L, "y"))
+      .toDF("k", "v", "tag"), root) // v1
+    TxTable.dropColumn(spark, root, "tag") // v2
+    assert(TxTable.read(spark, root).columns.toSeq === Seq("k", "v"))
+    assert(TxTable.read(spark, root, version = 1).columns.toSeq
+      === Seq("k", "v", "tag"), "time travel still serves the dropped column")
+    // re-adding 'tag' binds a FRESH physical: the dropped values of
+    // rows 1/2 must never leak back in
+    TxTable.append(Seq((3L, 30L, "z")).toDF("k", "v", "tag"), root) // v3
+    val rows = TxTable.read(spark, root).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) null else r.getString(2))).toMap
+    assert(rows === Map(1L -> null, 2L -> null, 3L -> "z"))
+    intercept[IllegalArgumentException] {
+      TxTable.dropColumn(spark, root, "nope")
+    }
+  }
+
+  test("rename on a keyed table: deltas keep resolving under the new name") {
+    import spark.implicits._
+    val root = tmpDir() + "/tx-ren-keyed"
+    TxTable.mergeDelta(spark, root,
+      Seq((1L, "I", 10.0, 1L), (2L, "I", 20.0, 2L))
+        .toDF("k", "op", "v", "seq")) // v1
+    TxTable.renameColumn(spark, root, "k", "id") // v2
+    // callers now address the key as 'id'; resolution still works
+    TxTable.mergeDelta(spark, root,
+      Seq((2L, "U", 25.0, 3L), (3L, "I", 30.0, 4L))
+        .toDF("id", "op", "v", "seq"), keyCols = Seq("id")) // v3
+    val got = TxTable.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(TxTable.read(spark, root).columns.toSeq === Seq("id", "v"))
+    assert(got === Set((1L, 10.0), (2L, 25.0), (3L, 30.0)))
+    // the change feed speaks the STABLE physical name: CDC consumers
+    // survive the rename without redeploys
+    assert(TxTable.changes(spark, root).columns.contains("k"))
+    // dropping a key column refuses
+    intercept[IllegalArgumentException] {
+      TxTable.dropColumn(spark, root, "id")
+    }
+  }
+
   private def commitText(root: String, v: Int): String = {
     val p = java.nio.file.Paths.get(root, "_commits", f"v$v%08d")
     new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
