@@ -437,6 +437,24 @@ object Oracles {
         |  SELECT unnest(regexp_extract_all(text, 's[a-z]+')) AS m FROM documents) t
         |GROUP BY m""".stripMargin,
 
+    // the whole-archive read-back (Compaction.harGateQuery): every
+    // document staged as one file, bin-packed, and recovered through
+    // readAll — the oracle recomputes the per-file facts directly
+    "q_har_readall" ->
+      """SELECT doc_id, strlen(text) AS byte_len, md5(text) AS h
+        |FROM documents""".stripMargin,
+
+    // the synthetic-MP4 header walk (Media.videoMetaGateQuery): the
+    // oracle recomputes the deterministic container facts the builder
+    // wrote into each box tree
+    "q_video_meta" ->
+      """SELECT doc_id, 'isom' AS brand,
+        |  (doc_id % 3600) + 1 AS duration_ms,
+        |  320 + (doc_id % 4) * 160 AS width,
+        |  180 + (doc_id % 4) * 90 AS height,
+        |  CAST(strlen(text) % 500 + 1 AS BIGINT) AS n_frames
+        |FROM documents""".stripMargin,
+
     // the rename/drop evolution replay (TxTable.renameGateQuery):
     // latest = all orders under the renamed column, left-joined with
     // the even-key half (v1's content) under its historical name

@@ -127,6 +127,8 @@ object SparkEntry {
     "q_inverted_index_incremental" ->
       (graft.sources.InvertedIndex.gateQuery _),
     "q_txtable_rename" -> (graft.sources.TxTable.renameGateQuery _),
+    "q_har_readall" -> (graft.sources.Compaction.harGateQuery _),
+    "q_video_meta" -> (Media.videoMetaGateQuery _),
     "q_media_meta" -> (Media.mediaMeta _),
     // OLAP analytics (§2.1 extensions)
     "q_rollup" -> (Olap.rollup _),

@@ -571,6 +571,60 @@ object Media {
       .toDF("doc_id", "brand", "duration_ms", "width", "height", "n_frames")
   }
 
+  /** Structurally valid minimal ISO-BMFF writer — the inverse of
+    * `parseMp4` for tests and the synthetic-video gate: ftyp +
+    * moov(mvhd, trak(tkhd, mdia(hdlr, minf(stbl(stsz))))) + mdat.
+    * Timescale 1000, so `durationTicks` is milliseconds. */
+  def buildMp4(durationTicks: Long, width: Int, height: Int,
+    nFrames: Long, mdat: Array[Byte]): Array[Byte] = {
+    def u32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def ascii(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
+    def box(t: String, payload: Array[Byte]): Array[Byte] =
+      u32(payload.length + 8L) ++ ascii(t) ++ payload
+    val ftyp = box("ftyp", ascii("isom") ++ u32(0x200) ++ ascii("isomiso2"))
+    val mvhd = box("mvhd",
+      u32(0) ++ u32(0) ++ u32(0) ++ u32(1000) ++ u32(durationTicks) ++
+        new Array[Byte](80))
+    val tkhd = box("tkhd",
+      new Array[Byte](76) ++ u32(width.toLong << 16) ++
+        u32(height.toLong << 16))
+    val hdlr = box("hdlr",
+      u32(0) ++ u32(0) ++ ascii("vide") ++ new Array[Byte](12))
+    val stsz = box("stsz", u32(0) ++ u32(0) ++ u32(nFrames))
+    val mdia = box("mdia", hdlr ++ box("minf", box("stbl", stsz)))
+    val moov = box("moov", mvhd ++ box("trak", tkhd ++ mdia))
+    ftyp ++ moov ++ box("mdat", mdat)
+  }
+
+  /** ORACLE-GATED container-parsing exercise (q_video_meta): wrap
+    * every document's bytes in a synthetic-but-structurally-real MP4
+    * whose header facts derive deterministically from the row
+    * (duration = doc_id-based ms, resolution banded by doc_id,
+    * frame count from the text length), then recover them with the
+    * box-header walk. The DuckDB oracle computes the same facts from
+    * the raw row — hash equality proves `parseMp4` reads exactly
+    * what the container declares, end-to-end and distributed, with
+    * no codec anywhere. */
+  def videoMetaGateQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val payloads = Tables.documents(spark, dir)
+      .select("doc_id", "text").as[(Long, String)]
+      .map { case (id, text) =>
+        val dur = (id % 3600) + 1
+        val band = (id % 4).toInt
+        val frames = text.getBytes("UTF-8").length % 500 + 1
+        (id, buildMp4(dur, 320 + band * 160, 180 + band * 90, frames,
+          text.getBytes("UTF-8")))
+      }
+      .toDF("doc_id", "payload")
+    videoMeta(spark, payloads)
+      .select(col("doc_id"), col("brand"), col("duration_ms"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"), col("n_frames"))
+  }
+
   /** Oracle-checkable metadata projection (q_media_meta). The
     * `container` column is the same structural sniff `parseMp4`
     * gates on (ftyp box at offset 4), expressed portably so the

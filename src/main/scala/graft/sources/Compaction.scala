@@ -196,6 +196,38 @@ object Compaction {
       .toDF("path", "name", "length", "content")
   }
 
+  /** ORACLE-GATED archive pipeline exercise (q_har_readall): stage
+    * every document as ONE tiny file (the namenode-killer shape the
+    * HAR job exists for), bin-pack into archives, read the WHOLE
+    * archive set back through `readAll`, and prove content integrity
+    * row-by-row — doc_id parsed from the archived name, byte length,
+    * md5 of the bytes. The DuckDB oracle computes the same facts
+    * straight from the documents table, so hash equality proves
+    * listing, packing, offsets, the ranged read-back, and that no
+    * file was lost, duplicated or torn. */
+  def harGateQuery(spark: SparkSession, dir: String): DataFrame = {
+    val stage = graft.Scratch.freshRoot(spark, "graft-harstage", dir)
+    val dst = graft.Scratch.freshRoot(spark, "graft-harout", dir)
+    val confBc = new SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    graft.Tables.documents(spark, dir).select("doc_id", "text")
+      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        val fs = new Path(stage).getFileSystem(confBc.value)
+        rows.foreach { r =>
+          val p = new Path(stage, f"doc-${r.getLong(0)}%09d.txt")
+          val out = fs.create(p, true)
+          try out.write(r.getString(1).getBytes("UTF-8"))
+          finally out.close()
+        }
+      }
+    compact(spark, stage, dst, targetBytes = 1L << 20)
+    readAll(spark, dst).select(
+      expr("cast(regexp_extract(name, 'doc-(\\\\d+)', 1) as bigint)")
+        .as("doc_id"),
+      col("length").as("byte_len"),
+      expr("md5(content)").as("h"))
+  }
+
   /** Point lookup by basename: manifest filter (parquet pushdown) →
     * one ranged read of one archive. No archive scan. Fails fast if
     * the basename is ambiguous — use `fetchPath` with the full path. */
