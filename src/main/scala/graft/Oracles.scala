@@ -442,7 +442,7 @@ object Oracles {
     // readAll — the oracle recomputes the per-file facts directly
     "q_har_readall" ->
       """SELECT doc_id, strlen(text) AS byte_len, md5(text) AS h
-        |FROM documents""".stripMargin,
+        |FROM documents WHERE doc_id % 10 = 0""".stripMargin,
 
     // the synthetic-MP4 header walk (Media.videoMetaGateQuery): the
     // oracle recomputes the deterministic container facts the builder

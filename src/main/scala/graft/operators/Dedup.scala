@@ -124,6 +124,62 @@ object Dedup {
     novel
   }
 
+  /** STREAMING novelty ingest — the live twin of
+    * `incrementalNearIndexed`: each micro-batch of documents
+    * (doc_id, text, ...) is banded map-side (`bandsOf`, the same
+    * kernel as every batch face), screened against the PERSISTED
+    * band-index TxTable with batch-side broadcast semi-joins (the
+    * index scans once, never shuffles; corpus text is never read),
+    * and `sink` receives the batch's NOVEL rows; the accepted bands
+    * then append to the index under the replay-protected
+    * `appendBatch` tag, so a replayed epoch re-screens against an
+    * index that already contains it, finds nothing novel, and
+    * commits nothing — the index is exactly-once however often the
+    * stream restarts. `sink` runs BEFORE the index append: a crash
+    * between the two replays the same novel set to an idempotent
+    * sink rather than silently dropping it. */
+  def followNovelty(stream: DataFrame, indexRoot: String,
+    checkpoint: String)(sink: (DataFrame, Long) => Unit)
+    : org.apache.spark.sql.streaming.StreamingQuery = {
+    val streamId = "novelty-" + java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(checkpoint).toLong
+        & 0xffffffffL)
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          epochId: Long) =>
+          val spark = batch.sparkSession
+          val batchBands = bandsOf(batch).persist()
+          try {
+            val novel =
+              if (graft.sources.TxTable.latestVersion(spark,
+                  indexRoot) == 0)
+                batchBands.select("doc_id").distinct()
+              else {
+                val corpus = graft.sources.TxTable.read(spark, indexRoot)
+                val batchKeys = batchBands.select("band", "sig").distinct()
+                val corpusHits = corpus
+                  .join(broadcast(batchKeys), Seq("band", "sig"),
+                    "left_semi")
+                  .select("band", "sig").distinct()
+                val hitDocs = batchBands
+                  .join(broadcast(corpusHits), Seq("band", "sig"),
+                    "left_semi")
+                  .select("doc_id").distinct()
+                batchBands.select("doc_id").distinct()
+                  .join(broadcast(hitDocs), Seq("doc_id"), "left_anti")
+              }
+            sink(batch.join(novel, Seq("doc_id"), "left_semi"), epochId)
+            graft.sources.TxTable.appendBatch(
+              batchBands.join(novel, Seq("doc_id"), "left_semi"),
+              indexRoot, epochId, streamId = streamId)
+            ()
+          } finally { batchBands.unpersist(); () }
+      }
+      .start()
+  }
+
   /** The full dedup CASCADE — every production corpus-cleaning
     * pipeline's shape, as ONE verdict per document: exact content dups
     * go first (md5 groups, smallest doc_id survives), NEAR-dups are
@@ -181,16 +237,23 @@ object Dedup {
 
   /** MinHash signatures: 12 permutations approximated by md5(seed:shingle),
     * banded 4×3. Returns (doc_id, band, sig) — the LSH bucket keys. */
-  def minhashBands(spark: SparkSession, dir: String): DataFrame = {
+  def minhashBands(spark: SparkSession, dir: String): DataFrame =
+    bandsOf(Tables.documents(spark, dir))
+
+  /** LSH band signatures of an arbitrary `(doc_id, text, ...)` frame
+    * — the map-side kernel shared by the batch ingest, the persisted
+    * index build, and the STREAMING novelty filter (`followNovelty`),
+    * so every face computes byte-identical bands. */
+  def bandsOf(docs: DataFrame): DataFrame = {
     // The whole signature pass is ONE map-side projection: the codegen
     // `minhash12` kernel (plans.TextHashExprs) loops shingles×12 hashes
     // per document in compiled code — no shingle explode, no 12-column
     // aggregate, NO SHUFFLE. min over duplicate shingles == min over
     // the distinct set, so the kernel skips the distinct pass too.
-    GraftFunctions.register(spark)
+    GraftFunctions.register(docs.sparkSession)
     val bandStructs = (0 until 4).map(b =>
       s"struct($b AS band, md5(cast(concat(element_at(mh, ${3 * b + 1}), element_at(mh, ${3 * b + 2}), element_at(mh, ${3 * b + 3})) as binary)) AS sig)")
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), expr(s"minhash12(split(${TextOps.normExpr}, ' '))").as("mh"))
       .selectExpr("doc_id", s"explode(array(${bandStructs.mkString(", ")})) AS bs")
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))

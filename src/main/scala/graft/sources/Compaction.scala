@@ -210,7 +210,11 @@ object Compaction {
     val dst = graft.Scratch.freshRoot(spark, "graft-harout", dir)
     val confBc = new SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
+    // the doc_id % 10 batch (the other gates' convention) bounds the
+    // per-file staging cost at bench scale while still exercising
+    // listing, packing, multi-archive layout and the ranged read-back
     graft.Tables.documents(spark, dir).select("doc_id", "text")
+      .filter(col("doc_id") % 10 === 0)
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         val fs = new Path(stage).getFileSystem(confBc.value)
         rows.foreach { r =>
@@ -220,7 +224,7 @@ object Compaction {
           finally out.close()
         }
       }
-    compact(spark, stage, dst, targetBytes = 1L << 20)
+    compact(spark, stage, dst, targetBytes = 64L << 10)
     readAll(spark, dst).select(
       expr("cast(regexp_extract(name, 'doc-(\\\\d+)', 1) as bigint)")
         .as("doc_id"),

@@ -1894,7 +1894,11 @@ object TxTable {
         (snapshotStatsCols(fs, srp, v) match {
           case Seq() => Seq.empty
           case cs => Seq(s"statscol:${cs.mkString(",")}")
-        })
+        }) ++
+        // the clone borrows the source's physical files, so it must
+        // borrow the cloned version's column mapping with them — a
+        // clone of a renamed table reads under the renamed names
+        snapshotColMap(fs, srp, v).map(colMapLine).toSeq
     commitRetry(spark, dstRoot) { prevV =>
       require(prevV == 0, s"txtable: clone target $dstRoot gained commits")
       ("clone", headers ++ absolute.map(_.line))

@@ -377,6 +377,54 @@ class StreamsSpec extends SparkSpec {
       .map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
   }
 
+  test("followNovelty emits only novel docs and maintains the band index") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val idx = tmpDir() + "/nov-idx"
+    val ckpt = tmpDir() + "/nov-ckpt"
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b = "totally different words are here right now yes indeed ok"
+    val d = "brand new content words appear completely fresh again here"
+    val input = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val q = graft.operators.Dedup.followNovelty(
+      input.toDF().toDF("doc_id", "text"), idx, ckpt) { (novel, epoch) =>
+      got ++= novel.select("doc_id").collect().map(r => epoch -> r.getLong(0))
+      ()
+    }
+    try {
+      input.addData((1L, a), (2L, b))
+      q.processAllAvailable()
+      assert(got.map(_._2).toSet === Set(1L, 2L),
+        "an empty index accepts the whole first batch")
+      // batch 2: doc 3 duplicates doc 1's text (shares every band),
+      // doc 4 is novel
+      input.addData((3L, a), (4L, d))
+      q.processAllAvailable()
+      assert(got.map(_._2).toSet === Set(1L, 2L, 4L),
+        "the index must reject the near-dup and pass the novel doc")
+      // the index covers exactly the accepted docs
+      val indexed = graft.sources.TxTable.read(spark, idx)
+        .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(indexed === Set(1L, 2L, 4L))
+    } finally q.stop()
+    // an immediate replay of the accepted docs finds nothing novel:
+    // the stream state is IN the table, not the checkpoint
+    val ckpt2 = tmpDir() + "/nov-ckpt2"
+    val input2 = MemoryStream[(Long, String)]
+    val got2 = scala.collection.mutable.ArrayBuffer[Long]()
+    val q2 = graft.operators.Dedup.followNovelty(
+      input2.toDF().toDF("doc_id", "text"), idx, ckpt2) { (novel, _) =>
+      got2 ++= novel.select("doc_id").collect().map(_.getLong(0))
+      ()
+    }
+    try {
+      input2.addData((5L, a), (6L, d))
+      q2.processAllAvailable()
+      assert(got2.isEmpty, "re-ingesting indexed content must emit nothing")
+    } finally q2.stop()
+  }
+
   test("followAggView maintains the view exactly-once across a restart") {
     import spark.implicits._
     import graft.sources.{TxTable, TxView}

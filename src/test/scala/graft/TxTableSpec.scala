@@ -1062,6 +1062,12 @@ class TxTableSpec extends SparkSpec {
       commitText(root, vc).endsWith("colmap:"),
       "compaction must reset the mapping")
     assert(TxTable.read(spark, root).columns.toSeq === Seq("k", "amount"))
+    // a zero-copy clone borrows the files AND the mapping: v3 is
+    // pre-compaction, so its files physically still carry 'v'
+    val cloneRoot = tmpDir() + "/tx-ren-clone"
+    TxTable.cloneAt(spark, root, cloneRoot, version = 3)
+    assert(TxTable.read(spark, cloneRoot).columns.toSeq
+      === Seq("k", "amount"))
     // invalid / conflicting renames fail loudly
     intercept[IllegalArgumentException] {
       TxTable.renameColumn(spark, root, "missing", "x")
