@@ -198,10 +198,10 @@ object Sketches {
     // carries the flag, and the injected/runtime optimizer rule
     // rewrites the exact plan when THIS DataFrame executes — no
     // eagerly-rewritten plan, no private[sql] DataFrame constructor.
-    val scoped = spark.newSession()
-    GraftFunctions.register(scoped) // runtime hooks for extension-less parents
-    scoped.conf.set(graft.plans.ApproxDistinctRewrite.flagKey, "true")
-    scoped.conf.set(graft.plans.ApproxDistinctRewrite.kKey, k.toString)
+    val scoped = scopedSession(spark, s"approx-distinct-$k") { s =>
+      s.conf.set(graft.plans.ApproxDistinctRewrite.flagKey, "true")
+      s.conf.set(graft.plans.ApproxDistinctRewrite.kKey, k.toString)
+    }
     Tables.events(scoped, dir)
       .filter(col("user_id").isNotNull)
       .groupBy("event_type")
@@ -241,15 +241,28 @@ object Sketches {
   /** Child session with the ApproxPercentileRewrite flag set and the
     * gate's histogram geometry: width 2^21 cents (~$21k) × 64 buckets
     * covers order totals to $1.3M. */
-  private def scopedPercentileSession(spark: SparkSession): SparkSession = {
-    val scoped = spark.newSession()
-    GraftFunctions.register(scoped)
-    scoped.conf.set(graft.plans.ApproxPercentileRewrite.flagKey, "true")
-    scoped.conf.set(graft.plans.ApproxPercentileRewrite.widthKey,
-      (1L << 21).toString)
-    scoped.conf.set(graft.plans.ApproxPercentileRewrite.bucketsKey, "64")
-    scoped
-  }
+  private def scopedPercentileSession(spark: SparkSession): SparkSession =
+    scopedSession(spark, "approx-percentile") { s =>
+      s.conf.set(graft.plans.ApproxPercentileRewrite.flagKey, "true")
+      s.conf.set(graft.plans.ApproxPercentileRewrite.widthKey,
+        (1L << 21).toString)
+      s.conf.set(graft.plans.ApproxPercentileRewrite.bucketsKey, "64")
+    }
+
+  /** One child session per (parent, opt-in key), cached: session
+    * construction (fresh SQLConf + lazily-built analyzer/optimizer)
+    * costs ~100 ms — real money on a sub-second query called in a
+    * loop, pure waste to repeat since the flags never change. */
+  private val scopedCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), SparkSession]()
+  private def scopedSession(spark: SparkSession, key: String)(
+    setup: SparkSession => Unit): SparkSession =
+    scopedCache.computeIfAbsent((spark, key), { _ =>
+      val s = spark.newSession()
+      GraftFunctions.register(s) // runtime hooks for extension-less parents
+      setup(s)
+      s
+    })
 
   /** The CONTINUOUS (interpolating) twin of `approxPercentile`:
     * exact `percentile(cents, p)` rewritten into the hist_sketch
