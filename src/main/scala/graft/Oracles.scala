@@ -473,6 +473,29 @@ object Oracles {
     // doc_id%5=0 docs and appends a marker token to odd ones) — the
     // oracle rebuilds from scratch what the engine maintained
     // incrementally
+    // conjunctive retrieval over the maintained index: docs holding
+    // BOTH of the two highest-tf terms of the final document set
+    // (tf desc, word asc — the engine derives the same pair from the
+    // index summary)
+    "q_inverted_index_lookup" ->
+      s"""WITH final_docs AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 3 <> 2 AND doc_id % 5 = 0 AND doc_id % 2 = 1
+         |         THEN text || ' zzupdated' ELSE text END AS text
+         |  FROM documents
+         |  WHERE NOT (doc_id % 3 <> 2 AND doc_id % 5 = 0 AND doc_id % 2 = 0)),
+         |toks AS (
+         |  SELECT doc_id, unnest(string_split($norm, ' ')) AS word
+         |  FROM final_docs),
+         |toks2 AS (SELECT doc_id, word FROM toks WHERE word <> ''),
+         |top2 AS (
+         |  SELECT word FROM toks2 GROUP BY word
+         |  ORDER BY count(*) DESC, word LIMIT 2)
+         |SELECT doc_id FROM toks2
+         |WHERE word IN (SELECT word FROM top2)
+         |GROUP BY doc_id
+         |HAVING count(DISTINCT word) = (SELECT count(*) FROM top2)""".stripMargin,
+
     "q_inverted_index_incremental" ->
       s"""WITH final_docs AS (
          |  SELECT doc_id,

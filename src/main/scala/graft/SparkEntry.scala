@@ -126,6 +126,8 @@ object SparkEntry {
     "q_txtable_aggview" -> (graft.sources.TxView.aggViewGateQuery _),
     "q_inverted_index_incremental" ->
       (graft.sources.InvertedIndex.gateQuery _),
+    "q_inverted_index_lookup" ->
+      (graft.sources.InvertedIndex.lookupGateQuery _),
     "q_txtable_rename" -> (graft.sources.TxTable.renameGateQuery _),
     "q_har_readall" -> (graft.sources.Compaction.harGateQuery _),
     "q_video_meta" -> (Media.videoMetaGateQuery _),

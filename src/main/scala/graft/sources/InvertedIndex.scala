@@ -77,6 +77,55 @@ object InvertedIndex {
       .agg(count(lit(1)).as("ndocs"), sum("tf").as("tf"),
         min("doc_id").as("first_doc"))
 
+  /** Conjunctive (AND) retrieval over the maintained index: doc_ids
+    * containing EVERY term in `terms`. One index scan however many
+    * terms: the term list broadcasts into a semi-join, and a doc
+    * qualifies when it holds |terms| DISTINCT matching words — the
+    * posting-list-intersection plan at table scale (no per-term scan,
+    * no corpus read; the reference re-runs this as a Lucene shard
+    * query, ref: src/contrib/index/src/java/org/apache/hadoop/contrib/
+    * index/lucene/ShardWriter.java:1). */
+  def lookupAll(spark: SparkSession, root: String,
+    terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "lookupAll needs at least one term")
+    import spark.implicits._
+    val t = terms.distinct.toDF("word")
+    TxTable.read(spark, root)
+      .join(broadcast(t), Seq("word"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("_hits")) // postings are unique per (word, doc)
+      .filter(col("_hits") === terms.distinct.size.toLong)
+      .select("doc_id")
+  }
+
+  /** ORACLE-GATED retrieval exercise (q_inverted_index_lookup): after
+    * the same 3-batch maintenance history as `gateQuery`, intersect
+    * the posting lists of the two highest-frequency terms (tf desc,
+    * word asc — a deterministic choice both engines derive). The
+    * DuckDB oracle recomputes terms AND intersection from the final
+    * document set — hash equality proves the maintained index answers
+    * retrieval exactly as a from-scratch scan would. */
+  def lookupGateQuery(spark: SparkSession, dir: String): DataFrame = {
+    val root = TxTable.scratchRoot("graft-invidx-q", dir)
+    val docs = graft.Tables.documents(spark, dir).select("doc_id", "text")
+    val d = col("doc_id")
+    applyBatch(spark, root,
+      docs.filter(d % 3 =!= 2).select(d, lit("I").as("op"), col("text")))
+    applyBatch(spark, root,
+      docs.filter(d % 3 =!= 2 && d % 5 === 0)
+        .select(d,
+          when(d % 2 === 0, lit("D")).otherwise(lit("U")).as("op"),
+          concat(col("text"), lit(" zzupdated")).as("text")))
+    applyBatch(spark, root,
+      docs.filter(d % 3 === 2).select(d, lit("I").as("op"), col("text")))
+    // 2-row readback: the query terms, picked deterministically from
+    // the index itself (metadata-scale next to the corpus)
+    val terms = summary(spark, root)
+      .orderBy(col("tf").desc, col("word"))
+      .limit(2).collect().map(_.getString(0)).toSeq
+    lookupAll(spark, root, terms)
+  }
+
   /** ORACLE-GATED incremental-maintenance exercise
     * (q_inverted_index_incremental): replay a deterministic 3-batch
     * document history against a fresh postings table —

@@ -49,6 +49,37 @@ class InvertedIndexSpec extends SparkSpec {
     }
   }
 
+  test("lookupAll intersects posting lists; index compaction changes nothing") {
+    val root = tmpDir() + "/idx3"
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha delta"),
+      (3L, "beta alpha zeta"), (4L, "gamma delta"))
+      .toDF("doc_id", "text")
+    InvertedIndex.applyBatch(spark, root,
+      docs.select(col("doc_id"), lit("I").as("op"), col("text")))
+    def ids(terms: String*): Set[Long] =
+      InvertedIndex.lookupAll(spark, root, terms)
+        .collect().map(_.getLong(0)).toSet
+    assert(ids("alpha") === Set(1L, 2L, 3L))
+    assert(ids("alpha", "beta") === Set(1L, 3L))
+    assert(ids("alpha", "beta", "gamma") === Set(1L))
+    assert(ids("missingword") === Set.empty[Long])
+    // deleting doc 3 removes it from every posting list
+    InvertedIndex.applyBatch(spark, root,
+      Seq((3L, "D", "")).toDF("doc_id", "op", "text"))
+    assert(ids("alpha", "beta") === Set(1L))
+    // compacting the postings table folds the deltas; retrieval and
+    // the summary are unchanged (the periodic maintenance op)
+    val sBefore = InvertedIndex.summary(spark, root).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    graft.sources.TxTable.compactSnapshot(spark, root)
+    assert(ids("alpha", "beta") === Set(1L))
+    assert(InvertedIndex.summary(spark, root).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      === sBefore)
+  }
+
   test("maintenance cost is O(batch): one commit per batch, corpus untouched") {
     val root = tmpDir() + "/idx2"
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
