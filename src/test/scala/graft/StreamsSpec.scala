@@ -170,6 +170,32 @@ class StreamsSpec extends SparkSpec {
     assert(facts.nonEmpty && facts.values.exists(_._1 != "direct"))
   }
 
+  test("daily twins drop late events for closed days instead of re-emitting them") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ev(id: Long, day: String, v: Double) =
+      Streams.Event(id, Timestamp.valueOf(s"$day 12:00:00"), 1, "t", v)
+    val input = MemoryStream[Streams.Event]
+    val q = Streams.cusumDaily(input.toDS(), Map("t" -> (0L, 1000000L)))
+      .writeStream.format("memory").queryName("lateout")
+      .outputMode("append").start()
+    try {
+      // day 1 and day 2 arrive; day 1 closes and emits
+      input.addData(ev(1, "2024-01-01", 10.0), ev(2, "2024-01-02", 20.0))
+      q.processAllAvailable()
+      // a LATE day-1 event in a later micro-batch: Append mode already
+      // emitted day 1 — reopening it would duplicate the day row
+      input.addData(ev(3, "2024-01-01", 99.0), ev(4, "2024-01-03", 30.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT _2, _3 FROM lateout").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      assert(rows.count(_._1 == "2024-01-01") === 1,
+        s"closed day re-emitted: ${rows.toSeq}")
+      assert(rows.toMap === Map("2024-01-01" -> 1000L, "2024-01-02" -> 2000L),
+        "the late event must not contaminate any day sum")
+    } finally q.stop()
+  }
+
   test("streaming cusum equals the batch recursion against fixed baselines") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -1029,6 +1029,34 @@ class TxTableSpec extends SparkSpec {
     assert(state() === Map(1L -> 11L))
   }
 
+  test("vacuum sweeps aged orphan scratch (_changes/.tmp-*, _staging epochs)") {
+    import spark.implicits._
+    val root = tmpDir() + "/tx-vac-orphan"
+    TxTable.append(Seq((1L, 1.0)).toDF("k", "v"), root)
+    TxTable.append(Seq((2L, 2.0)).toDF("k", "v"), root)
+    val old = System.currentTimeMillis() - 2 * 3600 * 1000L
+    def mk(rel: String, aged: Boolean): java.io.File = {
+      val f = new java.io.File(root, rel)
+      f.mkdirs()
+      val inner = new java.io.File(f, "part-x")
+      java.nio.file.Files.write(inner.toPath, Array[Byte](1))
+      if (aged) { inner.setLastModified(old); f.setLastModified(old) }
+      f
+    }
+    // a crashed change-diff staging (aged) vs one in flight (fresh);
+    // a crashed sink epoch (aged) vs a live one (fresh)
+    val agedTmp = mk("_changes/.tmp-dead", aged = true)
+    val freshTmp = mk("_changes/.tmp-live", aged = false)
+    val agedEpoch = mk("_staging/streamA/epoch-1", aged = true)
+    val freshEpoch = mk("_staging/streamA/epoch-2", aged = false)
+    TxTable.vacuum(spark, root, retainLast = 2)
+    assert(!agedTmp.exists, "aged .tmp-* diff must be swept")
+    assert(freshTmp.exists, "a fresh staging race must be left alone")
+    assert(!agedEpoch.exists, "aged sink epoch must be swept")
+    assert(freshEpoch.exists, "a live epoch must be left alone")
+    assert(TxTable.read(spark, root).count() === 2)
+  }
+
   test("renameColumn is metadata-only; every version keeps its own names") {
     import spark.implicits._
     val root = tmpDir() + "/tx-ren"
