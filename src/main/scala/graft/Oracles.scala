@@ -1227,7 +1227,11 @@ object Oracles {
   /** The persisted-cell-index search computes the identical relation
     * as the recompute path, so it shares q_ann_ivf's oracle. */
   lazy val annIvfIndexed: Map[String, String] =
-    Map("q_ann_ivf_indexed" -> annIvf("q_ann_ivf"))
+    Map("q_ann_ivf_indexed" -> annIvf("q_ann_ivf"),
+      // cell assignment depends only on the fixed centroids, so the
+      // incrementally-built (two-commit) index computes the identical
+      // relation as the one-shot build and the recompute
+      "q_ann_ivf_incremental" -> annIvf("q_ann_ivf"))
 
   /** PQ sub-CTEs shared by the search and its recall measurement. */
   private val pqCte =

@@ -106,6 +106,7 @@ object SparkEntry {
     "q_ann_recall" -> ((s: SparkSession, d: String) => Similarity.annRecall(s, d)),
     "q_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
     "q_ann_ivf_indexed" -> ((s: SparkSession, d: String) => Similarity.annIvfIndexed(s, d)),
+    "q_ann_ivf_incremental" -> ((s: SparkSession, d: String) => Similarity.annIvfIncremental(s, d)),
     "q_ann_pq" -> ((s: SparkSession, d: String) => Similarity.annPq(s, d)),
     "q_ann_pq_recall" -> ((s: SparkSession, d: String) => Similarity.annPqRecall(s, d)),
     "q_ann_ivfpq" -> ((s: SparkSession, d: String) => Similarity.annIvfPq(s, d)),

@@ -536,36 +536,70 @@ object Similarity {
     * `annIvf` — q_ann_ivf_indexed shares its oracle. */
   def annIvfIndexed(spark: SparkSession, dir: String,
     k: Int = 3, nprobe: Int = 2): DataFrame = {
-    val root = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"),
-      s"graft-ivfindex-${math.abs(dir.hashCode)}").toString
-    val rootFile = new java.io.File(root)
-    def rmTree(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rmTree))
-      f.delete(); ()
-    }
-    rmTree(rootFile)
-    if (ivfCleanup.add(root)) sys.addShutdownHook(rmTree(rootFile))
+    // index table on the cluster's scratch FS (graft.Scratch) — a
+    // driver-local tmpdir index would be invisible to executors
+    val root = graft.Scratch.freshRoot(spark, "graft-ivfindex", dir)
     val q = quantized(spark, dir)
-    val cent = q.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cid"), col("q").as("qc"), col("n2").as("n2c"))
-    def cellRank(vecs: DataFrame, idCol: String) = {
-      val scored = vecs.crossJoin(broadcast(cent))
-        .withColumn("dot", expr(s"array_dot_long(q, qc)"))
-        .select(col(idCol), col("cid"),
-          expr("cast(dot as double) / (sqrt(cast(n2 as double)) * sqrt(cast(n2c as double)))").as("ccos"))
-      val w = Window.partitionBy(idCol).orderBy(col("ccos").desc, col("cid"))
-      scored.withColumn("crn", row_number().over(w))
-    }
     // index build (in production: once per corpus backfill/batch)
     graft.sources.TxTable.append(
-      cellRank(q, "vec_id").filter(col("crn") === 1)
+      ivfCellRank(q, "vec_id", ivfCent(q)).filter(col("crn") === 1)
         .select(col("vec_id"), col("cid").as("cell")),
       root, statsCols = Seq("vec_id"))
+    ivfIndexSearch(spark, q, root, k, nprobe)
+  }
+
+  /** INCREMENTALLY MAINTAINED cell index (q_ann_ivf_incremental):
+    * the backfill assigns 9/10 of the corpus; the "nightly" batch
+    * assigns ONLY its own vectors (batch × broadcast-centroid — at
+    * 10^11 vectors the incremental cost is the batch, never the
+    * corpus) and lands as a second atomic append commit. Cell
+    * assignment depends only on the fixed centroids, so the
+    * two-commit index answers searches identically to the full
+    * rebuild — which is exactly what the shared q_ann_ivf oracle
+    * hash-checks. The band-index/aggview maintenance discipline
+    * applied to retrieval's vector face. */
+  def annIvfIncremental(spark: SparkSession, dir: String,
+    k: Int = 3, nprobe: Int = 2): DataFrame = {
+    val root = graft.Scratch.freshRoot(spark, "graft-ivfincr", dir)
+    val q = quantized(spark, dir)
+    val cent = ivfCent(q)
+    def assignOf(vecs: DataFrame): DataFrame =
+      ivfCellRank(vecs, "vec_id", cent).filter(col("crn") === 1)
+        .select(col("vec_id"), col("cid").as("cell"))
+    graft.sources.TxTable.append(
+      assignOf(q.filter(col("vec_id") % 10 =!= 0)),
+      root, statsCols = Seq("vec_id"))
+    graft.sources.TxTable.append(
+      assignOf(q.filter(col("vec_id") % 10 === 0)), root)
+    ivfIndexSearch(spark, q, root, k, nprobe)
+  }
+
+  /** First-16 stand-in centroids (the deterministic cell structure
+    * the indexed faces share). */
+  private def ivfCent(q: DataFrame): DataFrame =
+    q.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("q").as("qc"),
+        col("n2").as("n2c"))
+
+  private def ivfCellRank(vecs: DataFrame, idCol: String,
+    cent: DataFrame): DataFrame = {
+    val scored = vecs.crossJoin(broadcast(cent))
+      .withColumn("dot", expr(s"array_dot_long(q, qc)"))
+      .select(col(idCol), col("cid"),
+        expr("cast(dot as double) / (sqrt(cast(n2 as double)) * sqrt(cast(n2c as double)))").as("ccos"))
+    val w = Window.partitionBy(idCol).orderBy(col("ccos").desc, col("cid"))
+    scored.withColumn("crn", row_number().over(w))
+  }
+
+  /** nprobe-cell search over a PERSISTED assignment table — shared by
+    * the one-shot and incremental index faces. */
+  private def ivfIndexSearch(spark: SparkSession, q: DataFrame,
+    root: String, k: Int, nprobe: Int): DataFrame = {
+    val cent = ivfCent(q)
     val assign = graft.sources.TxTable.read(spark, root)
     val corpus = q.join(assign, "vec_id")
       .select(col("cell"), col("vec_id").as("nbr_id"), col("q").as("qb"), col("n2").as("n2b"))
-    val probeCells = cellRank(q.filter(col("vec_id") < 5), "vec_id")
+    val probeCells = ivfCellRank(q.filter(col("vec_id") < 5), "vec_id", cent)
       .filter(col("crn") <= nprobe).select(col("vec_id").as("probe_id"), col("cid").as("cell"))
     val probes = q.select(col("vec_id").as("probe_id"), col("q").as("qa"), col("n2").as("n2a"))
     val scored = broadcast(probeCells.join(probes, "probe_id")).join(corpus, Seq("cell"))
@@ -576,8 +610,6 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select("probe_id", "rk", "nbr_id", "cos")
   }
-  private val ivfCleanup =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** IVF search over a TRAINED codebook: `trainCentroids`' Lloyd
     * iterations feed the cell structure instead of the first-16
