@@ -2142,12 +2142,16 @@ object TxTable {
         Some((v, op, entries.size.toLong, entries.count(_.isDelta).toLong,
           lines.find(_.startsWith("key:")).map(_.drop(4)).getOrElse(""),
           lines.find(_.startsWith("statscol:")).map(_.drop(9)).getOrElse(""),
-          lines.filter(_.startsWith("batch:")).map(_.drop(6)).mkString(",")))
+          lines.filter(_.startsWith("batch:")).map(_.drop(6)).mkString(","),
+          // the version's VISIBLE columns in logical names — how a
+          // rename/drop shows up in the audit trail
+          snapshotColMap(fs, rp, v).map(liveMap(_).map(_._1))
+            .getOrElse(Seq.empty).mkString(",")))
       }
     }
     import spark.implicits._
     rows.toDF("version", "op", "n_entries", "n_deltas", "keys",
-      "stats_cols", "batch_tags")
+      "stats_cols", "batch_tags", "columns")
   }
 
   /** SQL face: register the table's CURRENT snapshot (or a pinned

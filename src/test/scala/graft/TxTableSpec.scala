@@ -557,10 +557,16 @@ class TxTableSpec extends SparkSpec {
     assert(h(1)._5 === "k", "delta commit records its key declaration")
     assert(h(1)._6.contains("s1:7"), "stream batch tag surfaces")
     assert(h(2)._4 === 0L, "compaction resolves deltas away")
+    // a rename surfaces in the audit trail's columns field
+    TxTable.renameColumn(spark, root, "v", "amount")
+    val h2 = TxTable.describeHistory(spark, root).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(7)))
+    assert(h2.last === ((4, "rename", "k,amount")))
+    assert(h2(2)._3 === "", "identity-mapped versions report no remap")
     // vacuumed versions drop from the history instead of throwing
     TxTable.vacuum(spark, root, retainLast = 1)
     assert(TxTable.describeHistory(spark, root).collect().map(_.getInt(0))
-      .toSeq === Seq(3))
+      .toSeq === Seq(4))
   }
 
   test("vacuum keeps nested-dir layouts (zopt buckets, partitioned appends)") {
