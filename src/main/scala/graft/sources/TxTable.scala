@@ -201,6 +201,15 @@ object TxTable {
         else logToPhys.get(c) match {
           case Some(p) => col(c).as(p)
           case None =>
+            // the auto-extended pair is written into the colmap header
+            // verbatim — a name holding ',' / '=' / newline would
+            // corrupt the header and break every later read of the
+            // table, so enforce renameColumn's name rule BEFORE any
+            // commit is staged (generated physicals only append a hex
+            // suffix, so validating the logical covers both sides)
+            require(validColName(c),
+              s"txtable: invalid column name '$c' for a column-mapped " +
+                "table (empty or reserved character)")
             val p =
               if (!reserved.contains(c)) c
               else s"${c}_${java.util.UUID.randomUUID().toString.take(8)}"
@@ -603,6 +612,18 @@ object TxTable {
     val rest = line.stripPrefix("batch:")
     val i = rest.lastIndexOf(':')
     if (i < 0) "" else rest.substring(0, i)
+  }
+
+  /** Whether stream `streamId`'s replay-protection lineage has ever
+    * committed a batch at `root`. Tags are carried forward by every
+    * commit, so the latest commit answers for the whole history —
+    * metadata-scale. The streaming sink's anonymous-lineage collision
+    * guard probes this before adopting the shared "default" lineage. */
+  private[sources] def hasStreamTag(spark: SparkSession, root: String,
+    streamId: String): Boolean = {
+    val (fs, rp) = fsFor(spark, root)
+    val v = latestVersion(spark, root)
+    v > 0 && batchTagLines(fs, rp, v).exists(t => tagStream(t) == streamId)
   }
 
   /** The optimistic-concurrency loop: build the commit content against
@@ -1280,7 +1301,10 @@ object TxTable {
     }
     // per-dir exact stats in ONE aggregate over the written layout
     // (the hive partition column groups rows by dir), read back before
-    // the rename so the helper name can't collide with the data column
+    // the rename so the helper name can't collide with the data column.
+    // The read-back scans the PHYSICAL files, and read-side prune
+    // lookups key entry stats by physical names — so the aggregate and
+    // the stats map must both speak physical, not the caller's logical
     val integral = statsCols.distinct.filter { c =>
       df.schema.find(_.name == c).map(_.dataType).exists {
         case org.apache.spark.sql.types.LongType |
@@ -1288,7 +1312,7 @@ object TxTable {
           org.apache.spark.sql.types.ShortType => true
         case _ => false
       }
-    }
+    }.map(physName(effMap, _))
     val aggs = count(lit(1)) +: integral.flatMap(c =>
       Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
     val statRows = spark.read.parquet(basePath)
@@ -1672,12 +1696,42 @@ object TxTable {
         s"txtable: v$v of $root was vacuumed; change replay must start " +
           "at or after the oldest retained snapshot")
     }
-    val frames = ((fromV + 1) to hi).flatMap { v =>
-      val op = readFileUtf8(fs, commitPath(rp, v)).split("\n")
+    val opOf: Map[Int, String] = ((fromV + 1) to hi).map { v =>
+      v -> readFileUtf8(fs, commitPath(rp, v)).split("\n")
         .find(_.startsWith("op:")).map(_.drop(3)).getOrElse("?")
+    }.toMap
+    // Column names drift across mapping-RESET rebirths (a merge/
+    // overwrite/compact after renames births its files under the
+    // then-LOGICAL names), so batch frames from the two sides of such
+    // a boundary disagree on names. Walk the range backwards composing
+    // per-version rename maps into the RANGE END's physical namespace
+    // so one multi-version feed range unions coherently; rename-only
+    // spans keep identical physicals (map stays empty) and a `restore`
+    // reset reinstates dirs under their own old physicals (no step).
+    val renameToHi: Map[Int, Map[String, String]] = {
+      var acc = Map.empty[String, String]
+      ((fromV + 1) to hi).reverse.map { v =>
+        val here = v -> acc
+        val mPrev = snapshotColMap(fs, rp, v - 1)
+        if (Set("merge", "overwrite", "compact").contains(opOf(v)) &&
+          snapshotColMap(fs, rp, v).isEmpty && mPrev.nonEmpty)
+          acc = acc ++ liveMap(mPrev.get).collect {
+            case (l, p) if p != l => p -> acc.getOrElse(l, l)
+          }
+        here
+      }.toMap
+    }
+    val frames = ((fromV + 1) to hi).flatMap { v =>
+      val op = opOf(v)
       val prevDirs = snapshotDirs(fs, rp, v - 1).toSet
       val newEntries = snapshotEntries(fs, rp, v)
         .filterNot(e => prevDirs(e.dir))
+      def toHiSpace(df: DataFrame): DataFrame = {
+        val ren = renameToHi(v)
+        if (!df.columns.exists(ren.contains)) df
+        else df.select(df.columns.toSeq
+          .map(c => col(c).as(ren.getOrElse(c, c))): _*)
+      }
       def dirDf(e: Entry) = spark.read.parquet(new Path(rp, e.dir).toString)
       val batch: Seq[DataFrame] = op match {
         case "compact" | "rename" | "dropcol" =>
@@ -1700,13 +1754,14 @@ object TxTable {
           // consumers survive renames without redeploys
           val cur = readResolved(spark, root, v)
           val prev =
-            if (v - 1 > 0) readResolved(spark, root, v - 1)
+            if (v - 1 > 0) alignedPrev(spark, root, fs, rp, v, cur)
             else cur.filter(lit(false))
           Seq(snapshotDiff(prev, cur, keys))
         case other =>
           throw new IllegalStateException(s"txtable: unknown op '$other'")
       }
-      batch.map(_.withColumn("commit_version", lit(v.toLong)))
+      batch.map(df =>
+        toHiSpace(df).withColumn("commit_version", lit(v.toLong)))
     }
     if (frames.isEmpty) {
       // empty range over a live table: empty frame in the feed's schema
@@ -1715,6 +1770,29 @@ object TxTable {
         .withColumn("commit_version", lit(0L)).filter(lit(false))
     }
     frames.reduce(_.unionByName(_, allowMissingColumns = false))
+  }
+
+  /** `readResolved(v-1)` carried into version v's PHYSICAL column
+    * space for the replace-commit snapshot diff. Within a reset-free
+    * span physical names are immutable, so the raw frame already
+    * resolves and is served as-is — which also covers a `restore`
+    * reset (restored dirs ARE old dirs; prev's physicals match).
+    * Only when v is a mapping-RESET rebirth (merge/overwrite/compact
+    * after renames: new files born under the LOGICAL names, so cur
+    * has columns prev's physical space lacks) does the frame route
+    * physical → logical under v-1's map, logical → physical under
+    * v's. At such a boundary the feed speaks the CURRENT version's
+    * physical names — the names every later commit keeps. */
+  private def alignedPrev(spark: SparkSession, root: String,
+    fs: FileSystem, rp: Path, v: Int, cur: DataFrame): DataFrame = {
+    val raw = readResolved(spark, root, v - 1)
+    if (cur.columns.forall(raw.columns.contains)) raw
+    else {
+      val logical = toLogical(raw, snapshotColMap(fs, rp, v - 1))
+      val mTo = snapshotColMap(fs, rp, v)
+      logical.select(logical.columns.toSeq
+        .map(c => col(c).as(physName(mTo, c))): _*)
+    }
   }
 
   /** I/U/D rows turning `prev` into `cur`, by key: keys only in `cur`
@@ -1796,7 +1874,7 @@ object TxTable {
                   "declaration - no row identity to derive a change feed from"))
             val cur = readResolved(spark, root, v)
             val prev =
-              if (v - 1 > 0) readResolved(spark, root, v - 1)
+              if (v - 1 > 0) alignedPrev(spark, root, fs, rp, v, cur)
               else cur.filter(lit(false))
             val tmp = new Path(rp,
               s"_changes/.tmp-${java.util.UUID.randomUUID()}")
@@ -1864,7 +1942,18 @@ object TxTable {
     require(fs.exists(commitPath(rp, toVersion)),
       s"txtable: v$toVersion of $root was vacuumed - nothing to restore")
     val lines = snapshotLines(fs, rp, toVersion)
-    commitRetry(spark, root) { _ => ("restore", lines) }
+    commitRetry(spark, root) { prevV =>
+      // restoring to a version that predates the column mapping must
+      // roll the NAMES back with the data: the target's lines carry no
+      // colmap, so without an explicit bare reset commitRetry would
+      // re-inject HEAD's mapping and the restore would keep HEAD's
+      // renames/drop tombstones over the restored content
+      val reset =
+        if (!lines.exists(_.startsWith("colmap:")) &&
+          snapshotColMap(fs, rp, prevV).isDefined) Seq("colmap:")
+        else Seq.empty
+      ("restore", reset ++ lines)
+    }
   }
 
   /** ZERO-COPY shallow clone: branch `srcRoot`'s snapshot (current or

@@ -606,17 +606,56 @@ class TxStreamingWrite(root: String, info: LogicalWriteInfo,
   // pipeline that set neither option keeps its replay-protection
   // lineage across the V1→DSv2 upgrade, so its last in-flight batch
   // is still recognized instead of double-applying once.
-  private val streamId = Option(opts.get("checkpointLocation"))
+  private val explicitId = Option(opts.get("checkpointLocation"))
     .orElse(Option(opts.get("queryName")))
     .map(s => java.lang.Long.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(s).toLong & 0xffffffffL))
-    .getOrElse("default")
+  private val streamId = explicitId.getOrElse("default")
+
+  // The shared "default" lineage is safe for ONE logical stream only:
+  // a second anonymous query (fresh epochs from 0) against a table the
+  // first already loaded would find its epoch ids <= the committed tag
+  // and be silently dropped — data loss, not idempotence. Detect the
+  // collision instead of guessing: an owner marker records which query
+  // currently holds the anonymous lineage, and a DIFFERENT query
+  // finding both the marker and a committed "default" tag fails loudly
+  // (set queryName or checkpointLocation to give each stream its own
+  // lineage). A marker-less table with committed tags stays writable —
+  // that is precisely the V1→DSv2 upgrade resuming its own lineage.
+  private lazy val defaultLineageGuard: Unit = if (explicitId.isEmpty) {
+    val spark = SparkSession.active
+    val qid = info.queryId()
+    val p = new org.apache.hadoop.fs.Path(
+      s"$root/_staging/_default_owner")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val owner =
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try Some(new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim)
+        finally in.close()
+      }
+    if (owner.exists(_ != qid) &&
+      TxTable.hasStreamTag(spark, root, "default"))
+      throw new IllegalStateException(
+        s"graft-tx sink: a different anonymous stream (query ${owner.get}) " +
+          s"already committed batches to $root under the shared 'default' " +
+          "replay lineage; this query's epochs would be silently dropped. " +
+          "Set .queryName(...) or .option(\"checkpointLocation\", ...) to " +
+          "give each stream its own replay-protection lineage")
+    if (!owner.contains(qid)) {
+      val out = fs.create(p, true)
+      try out.write(qid.getBytes("UTF-8")) finally out.close()
+    }
+  }
 
   private def stagingDir(epochId: Long) =
     s"$root/_staging/$streamId/epoch-$epochId"
 
   override def createStreamingWriterFactory(
     pinfo: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    defaultLineageGuard
     val conf = new SerializableConfiguration(
       SparkSession.active.sessionState.newHadoopConf())
     TxStreamingWriterFactory(root, streamId, schema, conf)
@@ -624,6 +663,7 @@ class TxStreamingWrite(root: String, info: LogicalWriteInfo,
 
   override def commit(epochId: Long,
     messages: Array[WriterCommitMessage]): Unit = {
+    defaultLineageGuard
     val spark = SparkSession.active
     val files = messages.collect {
       case TxCommitMessage(p, n) if p != null && n > 0 => p

@@ -390,4 +390,45 @@ class TxSourceSpec extends SparkSpec {
     assert(got === Set((1L, "I", 1L), (2L, "I", 1L),
       (1L, "U", 2L), (2L, "D", 2L)))
   }
+
+  test("anonymous sink streams: a second query fails loudly, never drops") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val root = tmpDir() + "/txsink-anon"
+    // neither queryName nor a checkpointLocation WRITER OPTION: the
+    // session-level checkpoint root is the real-world path onto the
+    // V1-compat shared "default" replay lineage
+    spark.conf.set("spark.sql.streaming.checkpointLocation",
+      tmpDir() + "/anon-ckpts")
+    try {
+      val in1 = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Double)]
+      val q1 = in1.toDF().toDF("k", "v")
+        .writeStream.format("graft-tx").option("path", root)
+        .outputMode("append").start()
+      try {
+        in1.addData((1L, 10.0)); q1.processAllAvailable()
+      } finally q1.stop()
+      assert(TxTable.read(spark, root).count() === 1L)
+      // a DIFFERENT anonymous query against the same table restarts
+      // its epochs at 0 — inside the first query's committed replay
+      // window, where every batch would be silently dropped. The owner
+      // marker detects the collision and fails the query loudly.
+      val in2 = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Double)]
+      val q2 = in2.toDF().toDF("k", "v")
+        .writeStream.format("graft-tx").option("path", root)
+        .outputMode("append").start()
+      val err = intercept[Exception] {
+        in2.addData((9L, 90.0)); q2.processAllAvailable()
+      }
+      q2.stop()
+      def messages(t: Throwable): String =
+        if (t == null) "" else t.getMessage + " | " + messages(t.getCause)
+      assert(messages(err).contains("replay-protection lineage"),
+        s"expected the lineage-collision error, got: ${messages(err)}")
+      assert(TxTable.read(spark, root).count() === 1L,
+        "the second query must neither drop silently nor double-apply")
+    } finally spark.conf.unset("spark.sql.streaming.checkpointLocation")
+  }
 }

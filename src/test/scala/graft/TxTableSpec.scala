@@ -1388,4 +1388,95 @@ class TxTableSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("compactSnapshot"))
   }
+
+  test("appendPartitioned on a renamed stats column keys stats physically") {
+    import spark.implicits._
+    val root = tmpDir() + "/tx-part-ren"
+    TxTable.append(Seq((0L, 0L, 9L)).toDF("k", "v", "p"), root,
+      statsCols = Seq("v"))                          // v1: physical 'v'
+    TxTable.renameColumn(spark, root, "v", "amount") // v2: metadata only
+    // partitioned append addressing the NEW logical name: the stats
+    // aggregate runs over the PHYSICAL read-back (files carry 'v'), so
+    // logically-addressed stats used to throw AnalysisException here —
+    // and, when they resolved, silently disabled pruning (entry stats
+    // keyed by logical names that prune lookups never match)
+    val df = (1L to 40L).map(k => (k, k * 10L, k / 10L))
+      .toDF("k", "amount", "p")
+    TxTable.appendPartitioned(df, root, "p", statsCols = Seq("amount"))
+    assert(TxTable.read(spark, root).count() === 41L)
+    val all = TxTable.read(spark, root).inputFiles.length
+    val pruned = TxTable.read(spark, root,
+      colRanges = Map("amount" -> (10L, 90L)))
+    assert(pruned.inputFiles.length < all,
+      "physically-keyed entry stats must let the logical range prune dirs")
+    assert(pruned.collect().map(_.getLong(0)).toSet === (1L to 9L).toSet)
+  }
+
+  test("restore to a pre-rename version rolls the names back") {
+    import spark.implicits._
+    val root = tmpDir() + "/tx-restore-names"
+    TxTable.append(Seq((1L, 10L)).toDF("k", "v"), root)        // v1
+    TxTable.renameColumn(spark, root, "v", "amount")           // v2
+    TxTable.append(Seq((2L, 20L)).toDF("k", "amount"), root)   // v3
+    TxTable.restore(spark, root, 1)                            // v4
+    // without an explicit colmap reset, commitRetry would re-inject
+    // HEAD's mapping and the restored snapshot would keep the rename
+    assert(TxTable.read(spark, root).columns.toSeq === Seq("k", "v"),
+      "restore must roll names back with the data")
+    assert(TxTable.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 10L)))
+    // the rename era stays time-travelable under ITS OWN names
+    assert(TxTable.read(spark, root, version = 3).columns.toSeq
+      === Seq("k", "amount"))
+    // appends after the rollback speak the rolled-back name
+    TxTable.append(Seq((3L, 30L)).toDF("k", "v"), root)        // v5
+    assert(TxTable.read(spark, root).collect()
+      .map(_.getLong(0)).toSet === Set(1L, 3L))
+  }
+
+  test("change feed crosses a mapping-reset rebirth coherently") {
+    import spark.implicits._
+    val root = tmpDir() + "/tx-feed-reset"
+    TxTable.merge(spark, root,
+      Seq((1L, "I", 10.0, 1L), (2L, "I", 20.0, 2L))
+        .toDF("k", "op", "v", "seq"))                // v1
+    TxTable.renameColumn(spark, root, "v", "amount") // v2 (metadata)
+    // the rebirth: a merge after the rename births files under
+    // 'amount' — the boundary diff used to select unresolved columns
+    TxTable.merge(spark, root,
+      Seq((1L, "U", 11.0, 3L), (3L, "I", 30.0, 4L))
+        .toDF("k", "op", "amount", "seq"))           // v3, colmap reset
+    val feed = TxTable.changes(spark, root)
+    // ONE coherent namespace across the boundary: the range end's
+    // physical names (pre-reset batches are renamed into it)
+    assert(feed.columns.toSet ===
+      Set("k", "op", "amount", "commit_version"))
+    val got = feed.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getDouble(2), r.getLong(3))).toSet
+    assert(got === Set((1L, "I", 10.0, 1L), (2L, "I", 20.0, 1L),
+      (1L, "U", 11.0, 3L), (3L, "I", 30.0, 3L)))
+    // the boundary slice alone (the streaming/staged-diff path);
+    // merge is an upsert, so key 2 carries over unchanged — no D row
+    val last = TxTable.changes(spark, root, fromV = 2)
+    assert(last.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      === Set((1L, "U"), (3L, "I")))
+  }
+
+  test("auto-extended colmap names are validated before any commit") {
+    import spark.implicits._
+    val root = tmpDir() + "/tx-colmap-valid"
+    TxTable.append(Seq((1L, 10L)).toDF("k", "v"), root)
+    TxTable.renameColumn(spark, root, "v", "amount") // table now mapped
+    val before = TxTable.latestVersion(spark, root)
+    // a widening append whose new column name would corrupt the
+    // header grammar (',' / '=') must fail loudly up front
+    val bad = Seq((2L, 20L, 5L)).toDF("k", "amount", "x=y,z")
+    val e = intercept[IllegalArgumentException] {
+      TxTable.append(bad, root)
+    }
+    assert(e.getMessage.contains("invalid column name"))
+    assert(TxTable.latestVersion(spark, root) === before,
+      "a rejected append must leave no commit behind")
+    assert(TxTable.read(spark, root).count() === 1L)
+  }
 }
