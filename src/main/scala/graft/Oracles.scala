@@ -455,6 +455,23 @@ object Oracles {
         |  CAST(strlen(text) % 500 + 1 AS BIGINT) AS n_frames
         |FROM documents""".stripMargin,
 
+    // bin-packed OPTIMIZE (TxTable.optimizeGateQuery): packing is
+    // content-preserving, so the oracle is the plain table
+    "q_txtable_optimize" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  cast(cast(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS qty
+        |FROM lineitem""".stripMargin,
+
+    // string-stats dir skipping (TxTable.stringPruneGateQuery): the
+    // engine reads a priority band through per-dir string min/max;
+    // the oracle is the plain filter — equality proves pruning
+    // skipped dirs, never rows
+    "q_txtable_string_prune" ->
+      """SELECT o_orderkey, o_orderpriority AS prio
+        |FROM orders
+        |WHERE o_orderpriority >= '1-URGENT'
+        |  AND o_orderpriority <= '2-HIGH'""".stripMargin,
+
     // the rename/drop evolution replay (TxTable.renameGateQuery):
     // latest = all orders under the renamed column, left-joined with
     // the even-key half (v1's content) under its historical name

@@ -124,6 +124,9 @@ object SparkEntry {
     "q_txtable_zopt" -> (graft.sources.TxTable.zoptGateQuery _),
     "q_txtable_zopt3" -> (graft.sources.TxTable.zopt3GateQuery _),
     "q_txtable_changes" -> (graft.sources.TxTable.changesGateQuery _),
+    "q_txtable_string_prune" ->
+      (graft.sources.TxTable.stringPruneGateQuery _),
+    "q_txtable_optimize" -> (graft.sources.TxTable.optimizeGateQuery _),
     "q_txtable_aggview" -> (graft.sources.TxView.aggViewGateQuery _),
     "q_inverted_index_incremental" ->
       (graft.sources.InvertedIndex.gateQuery _),

@@ -64,28 +64,79 @@ object TxTable {
     * (the partition-pruning / file-skipping analog for a
     * key-addressed table, generalized to any stats column set). */
   private case class Entry(isDelta: Boolean, dir: String,
-    stats: Map[String, (Long, Long)]) {
+    stats: Map[String, (Long, Long)],
+    sstats: Map[String, (String, String)] = Map.empty) {
     def line: String = {
       val kind = if (isDelta) "delta:" else "dir:"
       kind + dir + stats.toSeq.sortBy(_._1)
-        .map { case (c, (lo, hi)) => s"|$c=$lo:$hi" }.mkString
+        .map { case (c, (lo, hi)) => s"|$c=$lo:$hi" }.mkString +
+        sstats.toSeq.sortBy(_._1)
+          .map { case (c, (lo, hi)) => s"|str:$c=$lo:$hi" }.mkString
     }
   }
 
   private val statSeg = """([^=|]+)=(-?\d+):(-?\d+)""".r
+  private val strStatSeg = """str:([^=|]+)=([0-9a-f]*):([0-9a-f]*)""".r
   private def parseEntry(l: String): Option[Entry] = {
     val (isDelta, rest) =
       if (l.startsWith("dir:")) (false, l.drop(4))
       else if (l.startsWith("delta:")) (true, l.drop(6))
       else return None
     val parts = rest.split('|')
-    val stats = parts.drop(1).flatMap {
+    val segs = parts.drop(1)
+    val sstats = segs.collect {
+      case strStatSeg(c, lo, hi) => c -> (lo, hi)
+    }.toMap
+    val stats = segs.flatMap {
+      case strStatSeg(_, _, _) => None
       case statSeg(c, lo, hi) =>
         scala.util.Try(c -> (lo.toLong, hi.toLong)).toOption
       case _ => None
     }.toMap
-    Some(Entry(isDelta, parts.head, stats))
+    Some(Entry(isDelta, parts.head, stats, sstats))
   }
+
+  /** STRING min/max stats live in UTF-8 BYTE space, hex-encoded into
+    * the commit line (`|str:col=hexlo:hexhi`). Hex with a fixed two
+    * chars per byte preserves unsigned byte order under plain string
+    * comparison, and Spark's own string ordering IS unsigned UTF-8
+    * byte order (UTF8String.compareTo) — so write-side `min`/`max`
+    * aggregates, the stored bounds, and read-side pruning all agree
+    * on one ordering even for non-BMP text (where Java's UTF-16
+    * compareTo would disagree). Long values are truncated to
+    * [[strStatMaxBytes]]: a truncated MIN prefix is already a sound
+    * lower bound; a truncated MAX is made sound by incrementing the
+    * last non-0xFF byte (the prefix successor — strictly above every
+    * string sharing the prefix). An all-0xFF prefix has no finite
+    * successor → no stat recorded, the dir just never prunes on that
+    * column. The same move Delta/Iceberg make for string file stats. */
+  private val strStatMaxBytes = 48
+  private def hexEnc(b: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(b.length * 2)
+    b.foreach(x => sb.append(f"${x & 0xff}%02x"))
+    sb.toString
+  }
+  private[sources] def strStatBounds(mn: String,
+    mx: String): Option[(String, String)] = {
+    val lo = mn.getBytes("UTF-8")
+    val loHex = hexEnc(lo.take(strStatMaxBytes))
+    val hi = mx.getBytes("UTF-8")
+    if (hi.length <= strStatMaxBytes) Some((loHex, hexEnc(hi)))
+    else {
+      val p = hi.take(strStatMaxBytes)
+      var i = p.length - 1
+      while (i >= 0 && p(i) == 0xff.toByte) i -= 1
+      if (i < 0) None
+      else {
+        val succ = p.take(i + 1)
+        succ(i) = (succ(i) + 1).toByte
+        Some((loHex, hexEnc(succ)))
+      }
+    }
+  }
+  /** A query-side string bound in the stats' hex byte space (exact —
+    * only stored stats are ever truncated). */
+  private def hexOf(s: String): String = hexEnc(s.getBytes("UTF-8"))
 
   /** Entries of snapshot `v` in commit order. */
   private def snapshotEntries(fs: FileSystem, root: Path,
@@ -169,6 +220,10 @@ object TxTable {
     rs: Map[String, (Long, Long)]): Map[String, (Long, Long)] =
     if (m.isEmpty) rs else rs.map { case (c, r) => physName(m, c) -> r }
 
+  private def physStrRanges(m: Option[Seq[(String, String)]],
+    rs: Map[String, (String, String)]): Map[String, (String, String)] =
+    if (m.isEmpty) rs else rs.map { case (c, r) => physName(m, c) -> r }
+
   /** Present a PHYSICAL frame under the snapshot's logical names:
     * exhaustive select of the live pairs (tombstoned physicals and
     * stragglers are projected away), in mapping order. */
@@ -244,11 +299,14 @@ object TxTable {
   private case class SnapshotPlan(version: Int, keyCols: Seq[String],
     allEntries: Seq[Entry], entries: Seq[Entry],
     preRanges: Map[String, (Long, Long)],
-    postRanges: Map[String, (Long, Long)])
+    postRanges: Map[String, (Long, Long)],
+    preStrRanges: Map[String, (String, String)] = Map.empty,
+    postStrRanges: Map[String, (String, String)] = Map.empty)
 
   private def planSnapshot(spark: SparkSession, root: String, version: Int,
     keyRange: Option[(Long, Long)],
-    colRanges: Map[String, (Long, Long)]): SnapshotPlan = {
+    colRanges: Map[String, (Long, Long)],
+    strRanges: Map[String, (String, String)] = Map.empty): SnapshotPlan = {
     val (fs, rp) = fsFor(spark, root)
     val v = if (version >= 0) version else latestVersion(spark, root)
     require(v > 0, s"txtable: no committed snapshot at $root")
@@ -275,14 +333,30 @@ object TxTable {
     val (preRanges, postRanges) =
       if (!hasDelta) (ranges, Map.empty[String, (Long, Long)])
       else ranges.partition { case (c, _) => keyCols.contains(c) }
+    // string ranges follow the same MoR split; string columns are
+    // never key columns (keys are integral), so on a delta snapshot
+    // they are always post-resolution
+    val (preStr, postStr) =
+      if (!hasDelta) (strRanges, Map.empty[String, (String, String)])
+      else (Map.empty[String, (String, String)], strRanges)
     // a dir survives when EVERY named range intersects its recorded
-    // stats for that column (no stats for a column ⇒ can't prune on it)
+    // stats for that column (no stats for a column ⇒ can't prune on
+    // it). String bounds compare in the hex-encoded UTF-8 byte space
+    // the stats are stored in — the same total order Spark's own
+    // string comparisons use.
     val entries =
-      if (preRanges.isEmpty) allEntries
-      else allEntries.filter(e => preRanges.forall { case (c, (lo, hi)) =>
-        e.stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
-      })
-    SnapshotPlan(v, keyCols, allEntries, entries, preRanges, postRanges)
+      if (preRanges.isEmpty && preStr.isEmpty) allEntries
+      else allEntries.filter { e =>
+        preRanges.forall { case (c, (lo, hi)) =>
+          e.stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
+        } && preStr.forall { case (c, (lo, hi)) =>
+          e.sstats.get(c).forall { case (mn, mx) =>
+            mx >= hexOf(lo) && mn <= hexOf(hi)
+          }
+        }
+      }
+    SnapshotPlan(v, keyCols, allEntries, entries, preRanges, postRanges,
+      preStr, postStr)
   }
 
   /** Data FILES of the snapshot that survive dir pruning under the
@@ -291,9 +365,11 @@ object TxTable {
     * from the standard API. */
   private[sources] def dataFiles(spark: SparkSession, root: String,
     version: Int = -1, keyRange: Option[(Long, Long)] = None,
-    colRanges: Map[String, (Long, Long)] = Map.empty): Array[String] = {
+    colRanges: Map[String, (Long, Long)] = Map.empty,
+    strRanges: Map[String, (String, String)] = Map.empty): Array[String] = {
     val (fs, rp) = fsFor(spark, root)
-    planSnapshot(spark, root, version, keyRange, colRanges).entries.toArray
+    planSnapshot(spark, root, version, keyRange, colRanges, strRanges)
+      .entries.toArray
       .flatMap { e =>
         fs.listStatus(new Path(rp, e.dir)).filter(s => s.isFile &&
           !s.getPath.getName.startsWith("_") &&
@@ -318,7 +394,8 @@ object TxTable {
     * affect any row in it. Dirs without stats are never pruned. */
   def read(spark: SparkSession, root: String, version: Int = -1,
     keyRange: Option[(Long, Long)] = None,
-    colRanges: Map[String, (Long, Long)] = Map.empty): DataFrame = {
+    colRanges: Map[String, (Long, Long)] = Map.empty,
+    strRanges: Map[String, (String, String)] = Map.empty): DataFrame = {
     val (fs0, rp0) = fsFor(spark, root)
     val v0 = if (version >= 0) version else latestVersion(spark, root)
     val mOpt = snapshotColMap(fs0, rp0, v0)
@@ -326,7 +403,8 @@ object TxTable {
     // physical plumbing below (stats, files, resolution) speaks the
     // immutable physical names
     toLogical(
-      readResolved(spark, root, version, keyRange, physRanges(mOpt, colRanges)),
+      readResolved(spark, root, version, keyRange,
+        physRanges(mOpt, colRanges), physStrRanges(mOpt, strRanges)),
       mOpt)
   }
 
@@ -334,16 +412,22 @@ object TxTable {
     * face rewrite ops and the change-feed staging consume. */
   private def readResolved(spark: SparkSession, root: String,
     version: Int = -1, keyRange: Option[(Long, Long)] = None,
-    colRanges: Map[String, (Long, Long)] = Map.empty): DataFrame = {
+    colRanges: Map[String, (Long, Long)] = Map.empty,
+    strRanges: Map[String, (String, String)] = Map.empty): DataFrame = {
     val (fs, rp) = fsFor(spark, root)
-    val plan = planSnapshot(spark, root, version, keyRange, colRanges)
+    val plan = planSnapshot(spark, root, version, keyRange, colRanges,
+      strRanges)
     val v = plan.version
     val allEntries = plan.allEntries
     val keyCols = plan.keyCols
-    val preRanges = plan.preRanges
-    val postRanges = plan.postRanges
+    // integral and string ranges filter rows identically (between on
+    // the column's own type); only the stats space differs
+    val preRanges: Map[String, (Any, Any)] =
+      plan.preRanges ++ plan.preStrRanges
+    val postRanges: Map[String, (Any, Any)] =
+      plan.postRanges ++ plan.postStrRanges
     val entries = plan.entries
-    def applyRanges(df: DataFrame, rs: Map[String, (Long, Long)]): DataFrame =
+    def applyRanges(df: DataFrame, rs: Map[String, (Any, Any)]): DataFrame =
       rs.foldLeft(df) { case (d, (c, (lo, hi))) =>
         if (d.columns.contains(c)) d.filter(col(c).between(lo, hi)) else d
       }
@@ -507,30 +591,49 @@ object TxTable {
   /** Per-column min/max over the just-written dir, for the commit
     * line. ONE 1-row aggregate covers every requested column — with
     * parquet aggregate pushdown this is a footer read, not a data
-    * scan. Only integral columns are recorded (the stats grammar is
-    * two longs per column); anything else yields no stats for that
-    * column, which just disables pruning on it. */
+    * scan. Integral columns record exact long ranges; STRING columns
+    * record hex-encoded UTF-8 byte bounds (see [[strStatBounds]] for
+    * the truncation soundness); any other type yields no stats for
+    * that column, which just disables pruning on it. */
   private def dirStats(spark: SparkSession, rp: Path, dirName: String,
-    statsCols: Seq[String]): Map[String, (Long, Long)] = {
+    statsCols: Seq[String])
+    : (Map[String, (Long, Long)], Map[String, (String, String)]) = {
     val df = spark.read.parquet(new Path(rp, dirName).toString)
-    val integral = statsCols.distinct.filter { c =>
-      df.schema.find(_.name == c).map(_.dataType).exists {
-        case org.apache.spark.sql.types.LongType |
-          org.apache.spark.sql.types.IntegerType |
-          org.apache.spark.sql.types.ShortType => true
-        case _ => false
-      }
+    def typed(pred: org.apache.spark.sql.types.DataType => Boolean) =
+      statsCols.distinct.filter(c =>
+        df.schema.find(_.name == c).map(_.dataType).exists(pred))
+    val integral = typed {
+      case org.apache.spark.sql.types.LongType |
+        org.apache.spark.sql.types.IntegerType |
+        org.apache.spark.sql.types.ShortType => true
+      case _ => false
     }
+    val strings = typed(_ == org.apache.spark.sql.types.StringType)
     // the row count rides the same 1-row aggregate as pseudo-column
     // `_rows` (metadata-only COUNT(*) reads it back from the commit)
-    val aggs = count(lit(1)) +: integral.flatMap(c =>
-      Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+    val aggs = count(lit(1)) +:
+      (integral.flatMap(c =>
+        Seq(min(col(c)).cast("long"), max(col(c)).cast("long"))) ++
+        strings.flatMap(c => Seq(min(col(c)), max(col(c)))))
     val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-    Map(rowsKey -> (r.getLong(0), r.getLong(0))) ++
+    val nBase = 1 + 2 * integral.length
+    (Map(rowsKey -> (r.getLong(0), r.getLong(0))) ++
       integral.zipWithIndex.flatMap { case (c, i) =>
         if (r.isNullAt(2 * i + 1)) None
         else Some(c -> (r.getLong(2 * i + 1), r.getLong(2 * i + 2)))
-      }
+      },
+      strings.zipWithIndex.flatMap { case (c, i) =>
+        if (r.isNullAt(nBase + 2 * i)) None
+        else strStatBounds(r.getString(nBase + 2 * i),
+          r.getString(nBase + 2 * i + 1)).map(c -> _)
+      }.toMap)
+  }
+
+  /** `Entry` for a freshly-written dir with its stats computed. */
+  private def statsEntry(spark: SparkSession, rp: Path, dirName: String,
+    statsCols: Seq[String], isDelta: Boolean = false): Entry = {
+    val (n, s) = dirStats(spark, rp, dirName, statsCols)
+    Entry(isDelta, dirName, n, s)
   }
 
   /** Write `df` as a new immutable data dir and commit `dirs(prev) ++
@@ -557,8 +660,7 @@ object TxTable {
       if (keepPrev) statsCols.map(physName(m0, _)) else statsCols
     val dirName = s"data/$op-${java.util.UUID.randomUUID()}"
     physDf.write.mode("overwrite").parquet(new Path(rp, dirName).toString)
-    val entry = Entry(isDelta = false, dirName,
-      dirStats(spark, rp, dirName, physStats))
+    val entry = statsEntry(spark, rp, dirName, physStats)
     commitRetry(spark, root) { prevV =>
       // a concurrent writer may have landed this same micro-batch
       // between the caller's pre-check and the claim (appendBatch);
@@ -805,8 +907,7 @@ object TxTable {
       ("merge",
         Seq(s"key:${keyCols.mkString(",")}") ++
           snapshotColMap(fs, rp, prevV).map(_ => "colmap:").toSeq :+
-          Entry(isDelta = false, dirName,
-            dirStats(spark, rp, dirName, keyCols)).line)
+          statsEntry(spark, rp, dirName, keyCols).line)
     }
   }
 
@@ -882,8 +983,7 @@ object TxTable {
       ("merge",
         Seq(s"key:${keyCols.mkString(",")}") ++
           snapshotColMap(fs, rp, prevV).map(_ => "colmap:").toSeq :+
-          Entry(isDelta = false, dirName,
-            dirStats(spark, rp, dirName, keyCols)).line)
+          statsEntry(spark, rp, dirName, keyCols).line)
     }
   }
 
@@ -939,8 +1039,7 @@ object TxTable {
     val dirName = s"data/delta-${java.util.UUID.randomUUID()}"
     latestPhys.write.mode("overwrite")
       .parquet(new Path(rp, dirName).toString)
-    val entry = Entry(isDelta = true, dirName,
-      dirStats(spark, rp, dirName, physKeys))
+    val entry = statsEntry(spark, rp, dirName, physKeys, isDelta = true)
     commitRetry(spark, root) { prevV =>
       // a concurrent writer may have landed the same batch between the
       // pre-check and the claim: re-check against the claim's parent
@@ -1033,8 +1132,7 @@ object TxTable {
         .sortBy(n => n.stripPrefix("_b=").toLong)
       val entries = buckets.map { b =>
         val d = s"$parent/$b"
-        Entry(isDelta = false, d,
-          dirStats(spark, rp, d, keys.getOrElse(Seq.empty) ++ statsCols))
+        statsEntry(spark, rp, d, keys.getOrElse(Seq.empty) ++ statsCols)
       }
       try {
         return commitRetry(spark, root) { prevV =>
@@ -1080,12 +1178,99 @@ object TxTable {
       val keys = snapshotKeys(fs, rp, prevV).map(_.map(logicalName(m, _)))
       val statsCols =
         snapshotStatsCols(fs, rp, prevV).map(logicalName(m, _))
-      val entry = Entry(isDelta = false, dirName,
-        dirStats(spark, rp, dirName, keys.getOrElse(Seq.empty) ++ statsCols))
+      val entry = statsEntry(spark, rp, dirName,
+        keys.getOrElse(Seq.empty) ++ statsCols)
       ("compact",
         keys.map(ks => s"key:${ks.mkString(",")}").toSeq ++
           (if (statsCols.nonEmpty) Seq(s"statscol:${statsCols.mkString(",")}")
            else Seq.empty) ++ m.map(_ => "colmap:").toSeq :+ entry.line)
+    }
+  }
+
+  /** Bin-packed small-file OPTIMIZE — routine maintenance without the
+    * full rewrite: dirs whose on-disk bytes fall below `targetBytes`
+    * are grouped (in commit order) into ≈`targetBytes` bins and each
+    * bin rewrites into ONE new dir; every dir at or above the
+    * threshold carries over BY NAME — pure metadata, never opened.
+    * `compactSnapshot` rewrites the whole table, which is right after
+    * heavy DML but wrong as maintenance of a 100 TB table whose tail
+    * accumulates small streaming batches — this touches only the
+    * small tail, so the cost is O(small files), not O(table). The
+    * lakehouse OPTIMIZE/rewrite-data-files operation (reference
+    * analog: HAR packs many small files into one archive for the same
+    * namespace/seek economics, src/core/org/apache/hadoop/fs/
+    * HarFileSystem.java:48 — here the pack is transactional and the
+    * table stays online).
+    *
+    * Bins merge ADJACENT dirs only (a plain multiset-preserving
+    * union — a delta-free snapshot reads as the union of its dirs, so
+    * the packed table is bit-identical) and the merged dir takes its
+    * first member's commit position, preserving relative order.
+    * Everything stays in PHYSICAL column space, so a column mapping
+    * carries unchanged (no reset — unlike compactSnapshot, renames
+    * are NOT materialized) and the change feed emits nothing
+    * (op:compact, content-preserving). Delta-free snapshots only:
+    * a delta's position encodes resolution order against dirs OUTSIDE
+    * any bin — run compactSnapshot to fold deltas first. Returns the
+    * committed version, or the current one when fewer than two dirs
+    * are below the threshold (no commit written). */
+  def optimizeCompact(spark: SparkSession, root: String,
+    targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val (fs, rp) = fsFor(spark, root)
+    var staged: Seq[String] = Seq.empty
+    commitRetry(spark, root) { prevV =>
+      staged.foreach(d => fs.delete(new Path(rp, d), true))
+      staged = Seq.empty
+      require(prevV > 0, s"txtable: nothing to optimize at $root")
+      val entries = snapshotEntries(fs, rp, prevV)
+      require(!entries.exists(_.isDelta),
+        s"txtable: optimizeCompact needs a delta-free snapshot of $root " +
+          "— run compactSnapshot first")
+      val sized = entries.map(e =>
+        e -> fs.getContentSummary(new Path(rp, e.dir)).getLength)
+      if (sized.count(_._2 < targetBytes) < 2)
+        return prevV // nothing worth packing; no empty commit
+      val keys = snapshotKeys(fs, rp, prevV)
+      val statsCols = snapshotStatsCols(fs, rp, prevV)
+      // greedy adjacent packing: consecutive small dirs accumulate
+      // until the bin reaches the target; any large dir closes the
+      // current bin and carries over alone
+      val bins = scala.collection.mutable.ArrayBuffer[Vector[Entry]]()
+      var cur = Vector.empty[Entry]
+      var curBytes = 0L
+      def flush(): Unit = if (cur.nonEmpty) {
+        bins += cur; cur = Vector.empty; curBytes = 0L
+      }
+      sized.foreach { case (e, n) =>
+        if (n >= targetBytes) { flush(); bins += Vector(e) }
+        else {
+          if (curBytes + n > targetBytes) flush()
+          cur :+= e; curBytes += n
+        }
+      }
+      flush()
+      val newLines = bins.toSeq.map { bin =>
+        if (bin.size == 1) bin.head.line // carried by name, unopened
+        else {
+          val dirName = s"data/opt-${java.util.UUID.randomUUID()}"
+          val merged = bin
+            .map(e => spark.read.parquet(new Path(rp, e.dir).toString))
+            .reduce(_.unionByName(_, allowMissingColumns = true))
+          merged.write.mode("overwrite")
+            .parquet(new Path(rp, dirName).toString)
+          staged = staged :+ dirName
+          statsEntry(spark, rp, dirName,
+            keys.getOrElse(Seq.empty) ++ statsCols).line
+        }
+      }
+      // the entry list replaces wholesale, so re-emit the declared
+      // key/statscol headers; the colmap carries automatically via
+      // commitRetry (no colmap line written — renames stay metadata)
+      ("compact",
+        keys.map(ks => s"key:${ks.mkString(",")}").toSeq ++
+          (if (statsCols.nonEmpty)
+            Seq(s"statscol:${statsCols.mkString(",")}")
+           else Seq.empty) ++ newLines)
     }
   }
 
@@ -1116,7 +1301,8 @@ object TxTable {
     * deleted, so retries can't leak data dirs. */
   def deleteWhere(spark: SparkSession, root: String, predSql: String,
     pruneRanges: Map[String, (Long, Long)] = Map.empty,
-    rangesExact: Boolean = false): Int = {
+    rangesExact: Boolean = false,
+    strPruneRanges: Map[String, (String, String)] = Map.empty): Int = {
     val (fs, rp) = fsFor(spark, root)
     var staged: Seq[String] = Seq.empty
     commitRetry(spark, root) { prevV =>
@@ -1134,13 +1320,25 @@ object TxTable {
       // aliases laid over each physical dir frame
       val m = snapshotColMap(fs, rp, prevV)
       val pr = physRanges(m, pruneRanges)
+      // string boxes triage through the string stats exactly like the
+      // integral ones — a domain-/date-string-bounded delete carries
+      // disjoint dirs unopened. Truncated bounds stay sound both
+      // ways: disjointness compares against widened bounds (over-
+      // keeps), containment against narrowed ones (under-drops).
+      val spr = physStrRanges(m, strPruneRanges)
       def disjoint(e: Entry): Boolean = pr.exists {
         case (c, (lo, hi)) => e.stats.get(c).exists {
-          case (elo, ehi) => ehi < lo || elo > hi } }
+          case (elo, ehi) => ehi < lo || elo > hi } } ||
+        spr.exists { case (c, (lo, hi)) =>
+          e.sstats.get(c).exists { case (elo, ehi) =>
+            ehi < hexOf(lo) || elo > hexOf(hi) } }
       def contained(e: Entry): Boolean = rangesExact &&
-        pr.nonEmpty && pr.forall {
+        (pr.nonEmpty || spr.nonEmpty) && pr.forall {
           case (c, (lo, hi)) => e.stats.get(c).exists {
-            case (elo, ehi) => elo >= lo && ehi <= hi } }
+            case (elo, ehi) => elo >= lo && ehi <= hi } } &&
+        spr.forall { case (c, (lo, hi)) =>
+          e.sstats.get(c).exists { case (elo, ehi) =>
+            elo >= hexOf(lo) && ehi <= hexOf(hi) } }
       val newLines = entries.flatMap { e =>
         if (disjoint(e)) Some(e.line)
         else if (contained(e)) None
@@ -1164,9 +1362,8 @@ object TxTable {
             survivors.write.mode("overwrite")
               .parquet(new Path(rp, dirName).toString)
             staged = staged :+ dirName
-            Some(Entry(isDelta = false, dirName,
-              dirStats(spark, rp, dirName,
-                keys.getOrElse(Seq.empty) ++ statsCols)).line)
+            Some(statsEntry(spark, rp, dirName,
+              keys.getOrElse(Seq.empty) ++ statsCols).line)
           }
         }
       }
@@ -1182,9 +1379,8 @@ object TxTable {
           schemaSrc.filter(lit(false)).write.mode("overwrite")
             .parquet(new Path(rp, dirName).toString)
           staged = staged :+ dirName
-          Seq(Entry(isDelta = false, dirName,
-            dirStats(spark, rp, dirName,
-              keys.getOrElse(Seq.empty) ++ statsCols)).line)
+          Seq(statsEntry(spark, rp, dirName,
+            keys.getOrElse(Seq.empty) ++ statsCols).line)
         }
       ("delete",
         keys.map(ks => s"key:${ks.mkString(",")}").toSeq ++
@@ -1305,16 +1501,22 @@ object TxTable {
     // The read-back scans the PHYSICAL files, and read-side prune
     // lookups key entry stats by physical names — so the aggregate and
     // the stats map must both speak physical, not the caller's logical
-    val integral = statsCols.distinct.filter { c =>
-      df.schema.find(_.name == c).map(_.dataType).exists {
-        case org.apache.spark.sql.types.LongType |
-          org.apache.spark.sql.types.IntegerType |
-          org.apache.spark.sql.types.ShortType => true
-        case _ => false
-      }
-    }.map(physName(effMap, _))
-    val aggs = count(lit(1)) +: integral.flatMap(c =>
-      Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+    def typed(pred: org.apache.spark.sql.types.DataType => Boolean) =
+      statsCols.distinct.filter(c =>
+        df.schema.find(_.name == c).map(_.dataType).exists(pred))
+        .map(physName(effMap, _))
+    val integral = typed {
+      case org.apache.spark.sql.types.LongType |
+        org.apache.spark.sql.types.IntegerType |
+        org.apache.spark.sql.types.ShortType => true
+      case _ => false
+    }
+    val strings = typed(_ == org.apache.spark.sql.types.StringType)
+    val aggs = count(lit(1)) +:
+      (integral.flatMap(c =>
+        Seq(min(col(c)).cast("long"), max(col(c)).cast("long"))) ++
+        strings.flatMap(c => Seq(min(col(c)), max(col(c)))))
+    val nBase = 2 + 2 * integral.length
     val statRows = spark.read.parquet(basePath)
       // partition-value inference may type small values INT — pin long
       .groupBy(col("_graft_part").cast("long").as("_graft_part"))
@@ -1322,19 +1524,25 @@ object TxTable {
       .collect() // partition-cardinality readback (dates/buckets)
       .map { r =>
         val v = r.getLong(0)
-        v -> (Map(rowsKey -> (r.getLong(1), r.getLong(1))) ++
+        v -> ((Map(rowsKey -> (r.getLong(1), r.getLong(1))) ++
           integral.zipWithIndex.flatMap { case (c, i) =>
             if (r.isNullAt(2 * i + 2)) None
             else Some(c -> (r.getLong(2 * i + 2), r.getLong(2 * i + 3)))
-          })
+          },
+          strings.zipWithIndex.flatMap { case (c, i) =>
+            if (r.isNullAt(nBase + 2 * i)) None
+            else strStatBounds(r.getString(nBase + 2 * i),
+              r.getString(nBase + 2 * i + 1)).map(c -> _)
+          }.toMap))
       }.toMap
     // helper dirs → `$physPart=v` entry dirs: P metadata renames
     val entries = values.map { v =>
       val dirName = s"$baseDir/$physPart=$v"
       fs.rename(new Path(rp, s"$baseDir/_graft_part=$v"),
         new Path(rp, dirName))
+      val (nStats, sStats) = statRows(v)
       Entry(isDelta = false, dirName,
-        statRows(v) + (physPart -> (v, v)))
+        nStats + (physPart -> (v, v)), sStats)
     }
     commitRetry(spark, root) { prevV =>
       val prev0 = snapshotLines(fs, rp, prevV)
@@ -1361,7 +1569,8 @@ object TxTable {
     * deleteWhere and for the same reason. */
   def updateWhere(spark: SparkSession, root: String, predSql: String,
     sets: Map[String, String],
-    pruneRanges: Map[String, (Long, Long)] = Map.empty): Int = {
+    pruneRanges: Map[String, (Long, Long)] = Map.empty,
+    strPruneRanges: Map[String, (String, String)] = Map.empty): Int = {
     require(sets.nonEmpty, "txtable: updateWhere needs at least one SET")
     val (fs, rp) = fsFor(spark, root)
     var staged: Seq[String] = Seq.empty
@@ -1377,12 +1586,16 @@ object TxTable {
       val statsCols = snapshotStatsCols(fs, rp, prevV)
       val m = snapshotColMap(fs, rp, prevV)
       val pr = physRanges(m, pruneRanges)
+      val spr = physStrRanges(m, strPruneRanges)
       // SETs address the snapshot's LOGICAL columns; rewritten rows
       // keep the dir's physical schema
       val physSets = sets.map { case (c, ex) => physName(m, c) -> ex }
       def disjoint(e: Entry): Boolean = pr.exists {
         case (c, (lo, hi)) => e.stats.get(c).exists {
-          case (elo, ehi) => ehi < lo || elo > hi } }
+          case (elo, ehi) => ehi < lo || elo > hi } } ||
+        spr.exists { case (c, (lo, hi)) =>
+          e.sstats.get(c).exists { case (elo, ehi) =>
+            ehi < hexOf(lo) || elo > hexOf(hi) } }
       val newLines = entries.map { e =>
         if (disjoint(e)) e.line
         else {
@@ -1409,9 +1622,8 @@ object TxTable {
             updated.write.mode("overwrite")
               .parquet(new Path(rp, dirName).toString)
             staged = staged :+ dirName
-            Entry(isDelta = false, dirName,
-              dirStats(spark, rp, dirName,
-                keys.getOrElse(Seq.empty) ++ statsCols)).line
+            statsEntry(spark, rp, dirName,
+              keys.getOrElse(Seq.empty) ++ statsCols).line
           }
         }
       }
@@ -2109,8 +2321,7 @@ object TxTable {
       val dirName = s"data/compact-${java.util.UUID.randomUUID()}"
       folded.write.mode("overwrite").parquet(new Path(rp, dirName).toString)
       val statsCols = snapshotStatsCols(fs, rp, prevV)
-      val entry = Entry(isDelta = false, dirName,
-        dirStats(spark, rp, dirName, statsCols))
+      val entry = statsEntry(spark, rp, dirName, statsCols)
       ("compact",
         (if (statsCols.nonEmpty) Seq(s"statscol:${statsCols.mkString(",")}")
          else Seq.empty) ++
@@ -2143,6 +2354,44 @@ object TxTable {
     val historical = read(spark, root, version = 1)
       .select(col("k"), col("v").as("v_old"))
     latest.join(historical, Seq("k"), "left")
+  }
+
+  /** Gate: bin-packed OPTIMIZE. Eight small appended dirs (the
+    * streaming-tail shape) pack into few target-size dirs; hash
+    * equality against the plain table proves the pack is multiset-
+    * preserving. Dir-count/carry-by-name behavior is asserted in
+    * TxTableSpec with controlled sizes. */
+  def optimizeGateQuery(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratchRoot("graft-optgate", dir)
+    val l = graft.Tables.lineitem(spark, dir).select(
+      col("l_orderkey"), col("l_linenumber"),
+      col("l_quantity").cast("decimal(18,2)").cast("double").as("qty"))
+    (0L to 7L).foreach { i =>
+      append(l.filter(col("l_orderkey") % 8 === i), root,
+        statsCols = Seq("l_orderkey"))
+    }
+    optimizeCompact(spark, root, targetBytes = 1L << 40)
+    read(spark, root)
+  }
+
+  /** Gate: STRING-stats dir skipping. The reference's only scan
+    * pruning is path/partition convention (filename globs —
+    * src/mapred/org/apache/hadoop/mapred/FileInputFormat.java:1);
+    * modern table formats carry string min/max per file instead, so a
+    * domain- or date-string-clustered table prunes on any string
+    * predicate. Three dirs clustered by order-priority class, then a
+    * priority band read back through the string stats — hash equality
+    * against the plain filter proves pruning skipped dirs, never rows
+    * (and the ScalaTest side asserts dirs actually skip). */
+  def stringPruneGateQuery(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratchRoot("graft-strgate", dir)
+    val o = graft.Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_orderpriority").as("prio"))
+    Seq(("1", "2"), ("3", "3"), ("4", "5")).foreach { case (a, b) =>
+      append(o.filter(substring(col("prio"), 1, 1).between(a, b)), root,
+        statsCols = Seq("prio"))
+    }
+    read(spark, root, strRanges = Map("prio" -> ("1-URGENT", "2-HIGH")))
   }
 
   private def validColName(c: String): Boolean =
@@ -2304,12 +2553,16 @@ object TxTable {
         .foreach(s => fs.delete(s.getPath, true))
     val stagingDir = new Path(rp, "_staging")
     if (fs.exists(stagingDir))
-      fs.listStatus(stagingDir).foreach { stream =>
-        fs.listStatus(stream.getPath)
-          .filter(_.getModificationTime < horizon)
-          .foreach(s => fs.delete(s.getPath, true))
-        if (fs.listStatus(stream.getPath).isEmpty)
-          fs.delete(stream.getPath, false)
-      }
+      fs.listStatus(stagingDir)
+        // only per-stream DIRS are epoch scratch; plain files at this
+        // level (the anonymous-lineage `_default_owner` marker) are
+        // durable metadata the sweep must leave alone
+        .filter(_.isDirectory).foreach { stream =>
+          fs.listStatus(stream.getPath)
+            .filter(_.getModificationTime < horizon)
+            .foreach(s => fs.delete(s.getPath, true))
+          if (fs.listStatus(stream.getPath).isEmpty)
+            fs.delete(stream.getPath, false)
+        }
   }
 }

@@ -211,6 +211,75 @@ object TxTableSource {
         s"graft-tx: option $key must be 'lo,hi', got '$v'")
     }
 
+  /** `strRange.<name> = "lo,hi"` options — string-stats dir skipping.
+    * The FIRST comma splits (bounds containing commas need the Scala
+    * `read(strRanges = ...)` API). */
+  private[graft] def strOptionRanges(
+    parameters: Map[String, String]): Map[String, (String, String)] =
+    parameters.flatMap { case (k, v) =>
+      if (k.toLowerCase(java.util.Locale.ROOT)
+        .startsWith("strrange.") && k.length > 9) {
+        val parts = v.split(",", 2)
+        if (parts.length != 2) throw new IllegalArgumentException(
+          s"graft-tx: option $k must be 'lo,hi', got '$v'")
+        Some(k.substring(9) -> (parts(0), parts(1)))
+      } else None
+    }
+
+  /** String bounds implied by pushed filters, for string-stats dir
+    * pruning. Conservative: only equality/IN and complete AND-ed
+    * [lo, hi] boxes contribute (inequalities widen to inclusive
+    * bounds; Spark re-applies every filter above the scan). */
+  private[graft] def strRangesFromFilters(
+    filters: Array[Filter]): Map[String, (String, String)] = {
+    def strOf(v: Any): Option[String] = v match {
+      case x: String => Some(x)
+      case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+      case _ => None
+    }
+    def boundsOf(f: Filter): Seq[(String, (Option[String], Option[String]))] =
+      f match {
+        case EqualTo(a, v) => strOf(v).map(x => a -> (Some(x), Some(x))).toSeq
+        case GreaterThan(a, v) =>
+          strOf(v).map(x => a -> (Some(x), None)).toSeq
+        case GreaterThanOrEqual(a, v) =>
+          strOf(v).map(x => a -> (Some(x), None)).toSeq
+        case LessThan(a, v) => strOf(v).map(x => a -> (None, Some(x))).toSeq
+        case LessThanOrEqual(a, v) =>
+          strOf(v).map(x => a -> (None, Some(x))).toSeq
+        case In(a, vs) if vs.nonEmpty =>
+          val ss = vs.toSeq.map(strOf)
+          if (ss.forall(_.isDefined)) {
+            val xs = ss.flatten.sortBy(hexKey)
+            Seq(a -> (Some(xs.head), Some(xs.last)))
+          } else Seq.empty
+        case And(l, r) => boundsOf(l) ++ boundsOf(r)
+        case _ => Seq.empty
+      }
+    filters.toSeq.flatMap(boundsOf)
+      .groupMapReduce(_._1)(_._2) { case ((lo1, hi1), (lo2, hi2)) =>
+        (maxByHex(lo1, lo2), minByHex(hi1, hi2))
+      }
+      .collect { case (c, (Some(lo), Some(hi))) => c -> (lo, hi) }
+  }
+
+  // string-range algebra in Spark's own ordering (unsigned UTF-8
+  // bytes), not Java's UTF-16 compareTo — hex keys preserve it
+  private def hexKey(x: String): String =
+    x.getBytes("UTF-8").map(b => f"${b & 0xff}%02x").mkString
+  private def maxByHex(a: Option[String], b: Option[String]) = (a, b) match {
+    case (Some(x), Some(y)) => Some(if (hexKey(x) >= hexKey(y)) x else y)
+    case _ => a.orElse(b)
+  }
+  private def minByHex(a: Option[String], b: Option[String]) = (a, b) match {
+    case (Some(x), Some(y)) => Some(if (hexKey(x) <= hexKey(y)) x else y)
+    case _ => a.orElse(b)
+  }
+  private[graft] def strIntersect(a: (String, String),
+    b: (String, String)): (String, String) =
+    (maxByHex(Some(a._1), Some(b._1)).get,
+      minByHex(Some(a._2), Some(b._2)).get)
+
   /** Integral bounds implied by Catalyst's pushed filters, for dir
     * pruning. Conservative by construction: only shapes that imply a
     * contiguous [lo, hi] on one column contribute; everything else is
@@ -297,6 +366,7 @@ case class TxRelation(spark: SparkSession, root: String,
   private val optRanges = TxTableSource.optionRanges(parameters) ++
     parameters.get("keyRange").orElse(parameters.get("keyrange"))
       .map(v => "__keyRange__" -> TxTableSource.parseRange("keyRange", v))
+  private val strOptRanges = TxTableSource.strOptionRanges(parameters)
 
   private def keyRangeOpt: Option[(Long, Long)] = optRanges.get("__keyRange__")
   // DataFrameReader options pass through a CaseInsensitiveMap whose
@@ -312,6 +382,12 @@ case class TxRelation(spark: SparkSession, root: String,
     }
     base ++ extra.map { case (c, r) =>
       c -> base.get(c).map(TxTableSource.intersect(_, r)).getOrElse(r)
+    }
+  }
+  private def strRangesOf(extra: Map[String, (String, String)]) = {
+    val base = strOptRanges.map { case (c, r) => resolveCol(c) -> r }
+    base ++ extra.map { case (c, r) =>
+      c -> base.get(c).map(TxTableSource.strIntersect(_, r)).getOrElse(r)
     }
   }
 
@@ -333,7 +409,8 @@ case class TxRelation(spark: SparkSession, root: String,
     filters: Array[Filter]): RDD[Row] = {
     val df = TxTable.read(spark, root, version = resolvedVersion,
       keyRange = keyRangeOpt,
-      colRanges = colRangesOf(TxTableSource.rangesFromFilters(filters)))
+      colRanges = colRangesOf(TxTableSource.rangesFromFilters(filters)),
+      strRanges = strRangesOf(TxTableSource.strRangesFromFilters(filters)))
     // Un-pinned relations re-resolve the version per scan (a catalog
     // table follows a continuously-loaded root), so a commit may have
     // landed since load(). TxTable evolution only WIDENS by name, so
@@ -354,7 +431,8 @@ case class TxRelation(spark: SparkSession, root: String,
 
   override def inputFiles: Array[String] =
     TxTable.dataFiles(spark, root, version = resolvedVersion,
-      keyRange = keyRangeOpt, colRanges = colRangesOf(Map.empty))
+      keyRange = keyRangeOpt, colRanges = colRangesOf(Map.empty),
+      strRanges = strRangesOf(Map.empty))
 }
 
 /** Offset = commit version. Immutable commits make version ranges a

@@ -391,6 +391,31 @@ class TxSourceSpec extends SparkSpec {
       (1L, "U", 2L), (2L, "D", 2L)))
   }
 
+  test("strRange options and pushed string filters prune via string stats") {
+    import spark.implicits._
+    val root = tmpDir() + "/txsrc-strrange"
+    TxTable.append(Seq((1L, "apple"), (2L, "banana")).toDF("k", "s"),
+      root, statsCols = Seq("s"))
+    TxTable.append(Seq((3L, "melon"), (4L, "peach")).toDF("k", "s"),
+      root, statsCols = Seq("s"))
+    val all = face(root).inputFiles.length
+    val opt = spark.read.format("graft-tx")
+      .option("strRange.s", "apple,banana").load(root)
+    assert(opt.inputFiles.length < all,
+      "strRange option must prune dirs, observable via inputFiles")
+    assert(opt.collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    // pushed equality/range filters reach the same string-stats
+    // pruning inside the scan (and stay correct)
+    assert(face(root).filter(col("s") === "melon").collect()
+      .map(_.getLong(0)).toSet === Set(3L))
+    assert(face(root).filter(col("s") >= "melon" && col("s") <= "peach")
+      .collect().map(_.getLong(0)).toSet === Set(3L, 4L))
+    // the filter-derived ranges are implied bounds only: rows outside
+    // never leak in, rows inside never drop
+    assert(face(root).filter(col("s") > "apple" && col("s") < "peach")
+      .collect().map(_.getLong(0)).toSet === Set(2L, 3L))
+  }
+
   test("anonymous sink streams: a second query fails loudly, never drops") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -1462,6 +1462,111 @@ class TxTableSpec extends SparkSpec {
       === Set((1L, "U"), (3L, "I")))
   }
 
+  test("optimizeCompact packs small dirs, carries large dirs by name") {
+    import spark.implicits._
+    val root = tmpDir() + "/tx-optimize"
+    (0 until 4).foreach { i =>
+      TxTable.append((0 until 10).map(j => ((i * 10 + j).toLong, i.toLong))
+        .toDF("k", "v"), root, statsCols = Seq("k"))
+    }
+    TxTable.append((1000 until 60000).map(j => (j.toLong, 9L))
+      .toDF("k", "v"), root, statsCols = Seq("k"))
+    val before = commitText(root, 5)
+    val bigDir = "dir:(data/[^|\n]+)".r.findAllMatchIn(before)
+      .map(_.group(1)).toSeq.last
+    val want = TxTable.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val v = TxTable.optimizeCompact(spark, root, targetBytes = 64 * 1024)
+    assert(v === 6)
+    val after = commitText(root, 6)
+    val dirsAfter = "dir:(data/[^|\n]+)".r.findAllMatchIn(after)
+      .map(_.group(1)).toSeq
+    assert(dirsAfter.length === 2,
+      s"4 small dirs must pack into one: $dirsAfter")
+    assert(dirsAfter.contains(bigDir),
+      "the large dir must carry by name, unopened")
+    assert(after.contains("statscol:k"), "stats header must carry")
+    assert(TxTable.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq === want,
+      "packing must preserve the multiset exactly")
+    // nothing left to pack → no empty commit
+    assert(TxTable.optimizeCompact(spark, root,
+      targetBytes = 64 * 1024) === 6)
+    // a column mapping CARRIES across the pack (renames stay
+    // metadata; only compactSnapshot materializes them)
+    TxTable.renameColumn(spark, root, "v", "amount") // v7
+    val v8 = TxTable.optimizeCompact(spark, root, targetBytes = 1L << 40)
+    assert(v8 === 8)
+    assert(TxTable.read(spark, root).columns.toSeq === Seq("k", "amount"))
+    assert(commitText(root, v8).contains("amount=v"),
+      "the colmap must carry, not reset")
+    assert(TxTable.read(spark, root, version = 5).columns.toSeq
+      === Seq("k", "v"), "time travel keeps pre-rename names")
+    // MoR snapshots are refused
+    val root2 = tmpDir() + "/tx-optimize-mor"
+    TxTable.mergeDelta(spark, root2,
+      Seq((1L, "I", 1.0, 1L)).toDF("k", "op", "v", "seq"))
+    val e = intercept[IllegalArgumentException] {
+      TxTable.optimizeCompact(spark, root2)
+    }
+    assert(e.getMessage.contains("delta-free"))
+  }
+
+  test("string stats prune dirs; truncated bounds stay sound") {
+    import spark.implicits._
+    val root = tmpDir() + "/tx-strstats"
+    TxTable.append(Seq((1L, "apple"), (2L, "banana")).toDF("k", "s"),
+      root, statsCols = Seq("s"))
+    TxTable.append(Seq((3L, "melon"), (4L, "peach")).toDF("k", "s"),
+      root, statsCols = Seq("s"))
+    // a dir of 61-char strings sharing a 60-char prefix: the stored
+    // max truncates at 48 bytes and must round UP (prefix successor)
+    val longA = "a" * 60 + "x"
+    val longB = "a" * 60 + "z"
+    TxTable.append(Seq((5L, longA), (6L, longB)).toDF("k", "s"),
+      root, statsCols = Seq("s"))
+    val all = TxTable.read(spark, root).inputFiles.length
+    // a band inside dir 1 only: dirs 2 and 3 must be skipped
+    val r1 = TxTable.read(spark, root,
+      strRanges = Map("s" -> ("apple", "banana")))
+    assert(r1.collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    assert(r1.inputFiles.length < all,
+      "string range must prune dirs, not just filter rows")
+    // the truncated dir is still admitted for a query inside its true
+    // range (a plain truncated max would wrongly exclude it)...
+    val r2 = TxTable.read(spark, root,
+      strRanges = Map("s" -> ("a" * 60 + "w", "a" * 60 + "y")))
+    assert(r2.collect().map(_.getLong(0)).toSet === Set(5L))
+    // ...and a range just above the truncated prefix's successor
+    // prunes every dir
+    val r3 = TxTable.read(spark, root, strRanges = Map("s" -> ("ab", "ac")))
+    assert(r3.count() === 0L)
+  }
+
+  test("deleteWhere triages string boxes: disjoint carries, contained drops") {
+    import spark.implicits._
+    val root = tmpDir() + "/tx-del-str"
+    Seq(("aa", "ab"), ("ma", "mb"), ("xa", "xb")).zipWithIndex.foreach {
+      case ((s1, s2), i) =>
+        TxTable.append(Seq((i * 2L, s1), (i * 2L + 1, s2)).toDF("k", "s"),
+          root, statsCols = Seq("s"))
+    }
+    val before = commitText(root, 3)
+    val dirs = "dir:(data/[^|\n]+)".r.findAllMatchIn(before)
+      .map(_.group(1)).toSeq
+    assert(dirs.length === 3)
+    TxTable.deleteWhere(spark, root, "s >= 'm' AND s <= 'n'",
+      strPruneRanges = Map("s" -> ("m", "n")), rangesExact = true)
+    val after = commitText(root, 4)
+    assert(after.contains(dirs(0)) && after.contains(dirs(2)),
+      "string-disjoint dirs must carry by name, unopened")
+    assert(!after.contains(dirs(1)),
+      "a dir contained in the exact string box must drop as metadata")
+    assert(!after.contains("data/delete-"), "no rewrite may be staged")
+    assert(TxTable.read(spark, root).collect().map(_.getString(1)).toSet
+      === Set("aa", "ab", "xa", "xb"))
+  }
+
   test("auto-extended colmap names are validated before any commit") {
     import spark.implicits._
     val root = tmpDir() + "/tx-colmap-valid"
