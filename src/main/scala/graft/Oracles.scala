@@ -116,6 +116,32 @@ object Oracles {
         |        ntile(32) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket FROM orders) t
         |GROUP BY bucket""".stripMargin,
 
+    // seeded deterministic shuffle (Relational.deterministicShuffle):
+    // position = rank under md5(seed:id) — the hash is engine-portable,
+    // so the oracle recomputes the identical permutation
+    "q_shuffle_deterministic" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY md5('s42:' || doc_id), doc_id)
+        |    AS BIGINT) AS pos
+        |FROM documents""".stripMargin,
+
+    // token-budget shards (Relational.shardByBudget): contiguous
+    // shards of >=16384 tokens in doc_id order; shard = floor of the
+    // PRECEDING cumulative token count over the budget
+    "q_shard_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+        |      AS BIGINT) AS tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, tok,
+        |    sum(tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT doc_id, tok, CAST((cum - tok) // 16384 AS BIGINT) AS shard
+        |FROM c""".stripMargin,
+
     "q_topk_per_group" ->
       """SELECT p_brand, rk, p_partkey, p_retailprice FROM (
         |  SELECT p_brand, p_partkey, p_retailprice,
@@ -461,6 +487,16 @@ object Oracles {
       """SELECT l_orderkey, l_linenumber,
         |  cast(cast(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS qty
         |FROM lineitem""".stripMargin,
+
+    // manifest-include metadata packing (TxTable.manifestGateQuery):
+    // striped appends under a tiny rollover, a bounded delete of the
+    // first stripe, then a read through the manifest expansion — the
+    // oracle is the table minus the deleted stripe
+    "q_txtable_manifest" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  cast(cast(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS qty
+        |FROM lineitem
+        |WHERE l_orderkey > (SELECT max(l_orderkey) // 8 FROM lineitem)""".stripMargin,
 
     // string-stats dir skipping (TxTable.stringPruneGateQuery): the
     // engine reads a priority band through per-dir string min/max;

@@ -36,6 +36,8 @@ object SparkEntry {
     "q_reservoir_group" -> ((s: SparkSession, d: String) => Relational.reservoirPerGroup(s, d)),
     "q_reservoir_weighted" -> (Relational.weightedReservoirGate _),
     "q_total_order_bucket" -> (Relational.totalOrderBucket _),
+    "q_shuffle_deterministic" -> (Relational.shuffleGate _),
+    "q_shard_budget" -> (Relational.shardBudgetGate _),
     "q_zorder" -> (Relational.zOrderStats _),
     "q_topk_per_group" -> (Relational.topkPerGroup _),
     "q_join_star" -> (Relational.joinStar _),
@@ -127,6 +129,7 @@ object SparkEntry {
     "q_txtable_string_prune" ->
       (graft.sources.TxTable.stringPruneGateQuery _),
     "q_txtable_optimize" -> (graft.sources.TxTable.optimizeGateQuery _),
+    "q_txtable_manifest" -> (graft.sources.TxTable.manifestGateQuery _),
     "q_txtable_aggview" -> (graft.sources.TxView.aggViewGateQuery _),
     "q_inverted_index_incremental" ->
       (graft.sources.InvertedIndex.gateQuery _),

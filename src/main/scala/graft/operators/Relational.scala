@@ -208,6 +208,69 @@ object Relational {
   def rangePartition(df: DataFrame, n: Int, keys: Column*): DataFrame =
     df.repartitionByRange(n, keys: _*)
 
+  /** Seeded DETERMINISTIC GLOBAL SHUFFLE — the reproducible training
+    * order a data pipeline fixes before sharding: position = global
+    * rank under `md5(seed:id)`. A content hash (not `rand()`) makes
+    * the permutation a pure function of (seed, id) — re-running the
+    * pipeline, re-running on another engine, or resuming after a
+    * failure all produce byte-identical order, and changing the seed
+    * is a fresh shuffle. Ranks come from [[globalRank]] (sampled
+    * range partition + per-partition offsets), so no operator ever
+    * holds all rows in one partition — the naked
+    * `ORDER BY hash` window the naive form needs is exactly what
+    * doesn't survive 100 TB. */
+  def deterministicShuffle(df: DataFrame, seed: String, idCol: String,
+    numParts: Int = 32): DataFrame = {
+    val keyed = df.withColumn("_skey",
+      md5(concat_ws(":", lit(seed), col(idCol))))
+    globalRank(keyed, numParts, col("_skey"), col(idCol))
+      .withColumnRenamed("rn", "pos").drop("_skey")
+  }
+
+  def shuffleGate(spark: SparkSession, dir: String): DataFrame =
+    deterministicShuffle(
+      Tables.documents(spark, dir).select("doc_id"), "s42", "doc_id")
+      .select(col("doc_id"), col("pos"))
+
+  /** TOKEN-BUDGET SHARDS — cut a deterministically-ordered corpus
+    * into contiguous shards of ≈`budget` total weight (token count):
+    * shard = floor(preceding-cumsum / budget), so every shard except
+    * the last carries at least `budget` tokens and document order is
+    * preserved within and across shards — the "pack the training set
+    * into N-token files" step. The global cumulative sum uses the
+    * same two-phase offsets trick as [[globalRank]] (partition-local
+    * running sums + a partition-count-scale offsets table), never a
+    * single-partition window. */
+  def shardByBudget(df: DataFrame, orderCol: String, weightCol: String,
+    budget: Long, numParts: Int = 32): DataFrame = {
+    // rebase on the computed RDD for the same reason as globalRank:
+    // the ranked rows and the offsets table must see ONE sampled
+    // range partitioning, not two independent evaluations
+    val parted0 = df.repartitionByRange(numParts, col(orderCol))
+      .withColumn("_pid", spark_partition_id())
+    val parted = df.sparkSession.createDataFrame(parted0.rdd, parted0.schema)
+    val localW = Window.partitionBy("_pid").orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = parted.withColumn("_lcs", sum(col(weightCol)).over(localW))
+    val offW = Window.orderBy("_pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy("_pid").agg(sum(col(weightCol)).as("_w"))
+      .withColumn("_off", coalesce(sum("_w").over(offW), lit(0L)))
+      .select("_pid", "_off")
+    local.join(broadcast(offsets), "_pid")
+      .withColumn("shard",
+        expr(s"(_lcs + _off - $weightCol) div $budget"))
+      .drop("_pid", "_lcs", "_off")
+  }
+
+  def shardBudgetGate(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(spark, dir).select(col("doc_id"),
+      expr("cast(size(filter(split(text, ' '), x -> x <> '')) as bigint)")
+        .as("tok"))
+    shardByBudget(t, "doc_id", "tok", 16384L)
+      .select("doc_id", "tok", "shard")
+  }
+
   /** TeraValidate analog (ref: examples/terasort/TeraValidate.java:1):
     * validate a total-order-partitioned layout the way the reference
     * validates TeraSort output — per partition take (first key, last

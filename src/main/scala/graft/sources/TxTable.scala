@@ -55,6 +55,30 @@ object TxTable {
     try { in.readFully(buf); new String(buf, "UTF-8") } finally in.close()
   }
 
+  /** Commit files are IMMUTABLE once claimed (create-no-overwrite /
+    * hard-link), so their lines cache by path for the life of the
+    * JVM — one snapshot plan consults the same file for entries,
+    * keys, stats columns and the column map, and a multi-version
+    * operation (changes, history) re-reads each version repeatedly;
+    * without this every consult is a small-file round trip, which on
+    * an object store is a metadata tax per query. Reads of a
+    * vacuumed version fail at data-dir open instead of here — same
+    * outcome, one error later. */
+  private val commitCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+  private def commitLines(fs: FileSystem, rp: Path, v: Int): Seq[String] = {
+    val p = commitPath(rp, v)
+    val key = p.makeQualified(fs.getUri, fs.getWorkingDirectory).toString
+    val c = commitCache.get(key)
+    if (c != null) c
+    else {
+      val ls = readFileUtf8(fs, p).split("\n").toSeq
+      if (commitCache.size >= 8192) commitCache.clear()
+      commitCache.putIfAbsent(key, ls)
+      ls
+    }
+  }
+
   /** One data-dir entry of a snapshot. `dir` entries hold full rows;
     * `delta` entries hold keyed (key..., op, value...) changes to
     * resolve at read time (merge-on-read). `stats` holds per-column
@@ -138,13 +162,60 @@ object TxTable {
     * only stored stats are ever truncated). */
   private def hexOf(s: String): String = hexEnc(s.getBytes("UTF-8"))
 
-  /** Entries of snapshot `v` in commit order. */
+  /** METADATA SCALE — manifest includes. A commit file may carry an
+    * `include:_manifests/m-<uuid>` line in place of a run of entry
+    * lines; the manifest file holds exactly those entry lines, in
+    * order, and is IMMUTABLE once written (like a data dir). Without
+    * this, every commit lists every data dir — at a million dirs each
+    * append rewrites ~100 MB of metadata. With it, appends carry the
+    * parent's include lines verbatim plus a short inline tail, and
+    * [[commitRetry]] rolls the tail into a fresh manifest once it
+    * reaches `spark.graft.manifestRollover` (default 256) entries —
+    * amortized O(1) metadata per append, the Iceberg manifest-list /
+    * Delta checkpoint move re-expressed in this log's line grammar.
+    * Expansion is one level deep and order-preserving, so delta
+    * resolution order (MoR) is untouched. */
+  private val manifestDirName = "_manifests"
+  /** Immutable-manifest read cache (qualified path → entry lines). */
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+  private def manifestLines(fs: FileSystem, rp: Path,
+    rel: String): Seq[String] = {
+    val p = new Path(rp, rel)
+    val key = p.makeQualified(fs.getUri, fs.getWorkingDirectory).toString
+    val cached = manifestCache.get(key)
+    if (cached != null) cached
+    else {
+      val ls = readFileUtf8(fs, p).split("\n").toSeq.filter(_.nonEmpty)
+      // soft cap: a long-lived driver session touching many tables
+      // must not accumulate manifest text without bound
+      if (manifestCache.size >= 4096) manifestCache.clear()
+      manifestCache.putIfAbsent(key, ls)
+      ls
+    }
+  }
+  private def expandEntryLines(fs: FileSystem, rp: Path,
+    lines: Seq[String]): Seq[String] =
+    lines.flatMap { l =>
+      if (l.startsWith("include:")) manifestLines(fs, rp, l.drop(8))
+      else Seq(l)
+    }
+
+  /** Entries of snapshot `v` in commit order (manifests expanded). */
   private def snapshotEntries(fs: FileSystem, root: Path,
     v: Int): Seq[Entry] = {
     if (v == 0) Seq.empty
-    else readFileUtf8(fs, commitPath(root, v)).split("\n").toSeq
+    else expandEntryLines(fs, root, commitLines(fs, root, v))
       .flatMap(parseEntry)
   }
+
+  /** The entry-bearing lines of commit `v` AS WRITTEN — include lines
+    * verbatim, inline entries inline. Carrying these (instead of the
+    * expansion) is what keeps append commits metadata-O(1). */
+  private def rawEntryLines(fs: FileSystem, rp: Path, v: Int): Seq[String] =
+    if (v == 0) Seq.empty
+    else commitLines(fs, rp, v)
+      .filter(l => l.startsWith("include:") || parseEntry(l).isDefined)
 
   /** The table's declared key columns (recorded by the first keyed
     * commit as a `key:` header line and carried forward by every
@@ -153,7 +224,7 @@ object TxTable {
   private def snapshotKeys(fs: FileSystem, root: Path,
     v: Int): Option[Seq[String]] =
     if (v == 0) None
-    else readFileUtf8(fs, commitPath(root, v)).split("\n")
+    else commitLines(fs, root, v)
       .find(_.startsWith("key:")).map(_.drop(4).split(",").toSeq)
 
   /** The columns per-dir stats refer to (comma list; the FIRST is the
@@ -164,7 +235,7 @@ object TxTable {
   private def snapshotStatsCols(fs: FileSystem, root: Path,
     v: Int): Seq[String] =
     if (v == 0) Seq.empty
-    else readFileUtf8(fs, commitPath(root, v)).split("\n")
+    else commitLines(fs, root, v)
       .find(_.startsWith("statscol:")).map(_.drop(9).split(",").toSeq)
       .getOrElse(Seq.empty)
 
@@ -188,7 +259,7 @@ object TxTable {
   private def snapshotColMap(fs: FileSystem, rp: Path,
     v: Int): Option[Seq[(String, String)]] =
     if (v == 0) None
-    else readFileUtf8(fs, commitPath(rp, v)).split("\n")
+    else commitLines(fs, rp, v)
       .find(_.startsWith("colmap:"))
       .map(_.drop(7)).filter(_.nonEmpty)
       .map(_.split(",").toSeq.map { p =>
@@ -579,10 +650,11 @@ object TxTable {
   def history(spark: SparkSession, root: String): Seq[(Int, String, Int)] = {
     val (fs, rp) = fsFor(spark, root)
     (1 to latestVersion(spark, root)).map { v =>
-      val txt = readFileUtf8(fs, commitPath(rp, v))
-      val op = txt.split("\n").find(_.startsWith("op:")).map(_.drop(3))
-        .getOrElse("?")
-      val n = txt.split("\n")
+      val ls = commitLines(fs, rp, v)
+      val op = ls.find(_.startsWith("op:")).map(_.drop(3)).getOrElse("?")
+      // count through manifest expansion — a packed log still reports
+      // the snapshot's true entry count
+      val n = expandEntryLines(fs, rp, ls)
         .count(l => l.startsWith("dir:") || l.startsWith("delta:"))
       (v, op, n)
     }
@@ -701,13 +773,13 @@ object TxTable {
         case cs => Seq(s"statscol:${cs.mkString(",")}")
       }) ++
       snapshotColMap(fs, rp, v).map(colMapLine).toSeq ++
-      snapshotEntries(fs, rp, v).map(_.line)
+      rawEntryLines(fs, rp, v)
 
   /** `batch:<stream>:<id>` replay-protection tag lines of commit `v`
     * (legacy bare `batch:<id>` lines parse as stream ""). */
   private def batchTagLines(fs: FileSystem, rp: Path, v: Int): Seq[String] =
     if (v <= 0) Seq.empty
-    else readFileUtf8(fs, commitPath(rp, v)).split("\n").toSeq
+    else commitLines(fs, rp, v)
       .filter(_.startsWith("batch:"))
 
   private def tagStream(line: String): String = {
@@ -731,13 +803,102 @@ object TxTable {
   /** The optimistic-concurrency loop: build the commit content against
     * the current snapshot, claim version+1 atomically, retry from the
     * NEW snapshot if another writer claimed it first. */
+  /** Metadata packing, applied to every commit body: (1) RE-INCLUDE —
+    * any parent manifest whose entry block survives intact and in
+    * order in the emitted lines collapses back to its include line,
+    * so a bounded DML that rewrites 3 of a million dirs re-lists only
+    * the broken manifest's entries, not the table; (2) ROLLOVER — the
+    * trailing run of inline entries past the last include line rolls
+    * into a fresh manifest once it reaches the threshold, so appends
+    * are amortized O(1) metadata. Best-effort by construction: a
+    * failed match just leaves lines inline — never incorrect, only
+    * larger. Returns the packed lines and any manifest files staged
+    * for this attempt (deleted by the caller if the claim loses). */
+  private def packEntryLines(fs: FileSystem, rp: Path, prevV: Int,
+    lines0: Seq[String], rollover: Int): (Seq[String], Seq[String]) = {
+    def isEntry(l: String) = parseEntry(l).isDefined
+    val v0 = lines0.toVector
+    // (1) re-include the parent's intact manifest blocks — matched
+    // against the ORIGINAL line positions (stable indices, one pass)
+    // via a first-line index, so a million-line DML commit packs in
+    // O(lines), not O(lines × manifests)
+    val parentIncludes =
+      if (prevV == 0) Seq.empty[String]
+      else commitLines(fs, rp, prevV)
+        .filter(_.startsWith("include:"))
+    val firstPos = new java.util.HashMap[String, Int]()
+    v0.zipWithIndex.foreach { case (l, i) =>
+      if (!firstPos.containsKey(l)) firstPos.put(l, i)
+    }
+    // (start, len, includeLine) replacements, non-overlapping
+    val repl = scala.collection.mutable.ArrayBuffer[(Int, Int, String)]()
+    parentIncludes.foreach { inc =>
+      if (!firstPos.containsKey(inc)) {
+        // normalize through parseEntry→line so the match is on entry
+        // CONTENT, not byte formatting
+        val block = manifestLines(fs, rp, inc.drop(8))
+          .flatMap(parseEntry).map(_.line)
+        if (block.nonEmpty) {
+          val i = firstPos.getOrDefault(block.head, -1)
+          if (i >= 0 && i + block.length <= v0.length &&
+            v0.slice(i, i + block.length) == block)
+            repl += ((i, block.length, inc))
+        }
+      }
+    }
+    val covered = new Array[Boolean](v0.length)
+    val startOf = new java.util.HashMap[Int, String]()
+    repl.sortBy(_._1).foreach { case (s, n, inc) =>
+      if (!(s until s + n).exists(covered)) {
+        (s until s + n).foreach(covered(_) = true)
+        startOf.put(s, inc)
+      }
+    }
+    val cur = v0.zipWithIndex.flatMap { case (l, i) =>
+      if (startOf.containsKey(i)) Seq(startOf.get(i))
+      else if (covered(i)) Seq.empty
+      else Seq(l)
+    }
+    // (2) roll the trailing inline entry run
+    val lastInc = cur.lastIndexWhere(_.startsWith("include:"))
+    val tailIdx = cur.zipWithIndex
+      .collect { case (l, i) if i > lastInc && isEntry(l) => i }
+    if (tailIdx.length < rollover) (cur, Seq.empty)
+    else {
+      val rel = s"$manifestDirName/m-${java.util.UUID.randomUUID()}"
+      val body = tailIdx.map(cur(_))
+      val p = new Path(rp, rel)
+      fs.mkdirs(p.getParent)
+      val out = fs.create(p, false)
+      try out.write((body.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+      manifestCache.putIfAbsent(
+        p.makeQualified(fs.getUri, fs.getWorkingDirectory).toString, body)
+      val keep = tailIdx.toSet
+      val first = tailIdx.head
+      val packed = cur.zipWithIndex.flatMap { case (l, i) =>
+        if (i == first) Seq(s"include:$rel")
+        else if (keep.contains(i)) Seq.empty
+        else Seq(l)
+      }
+      (packed, Seq(rel))
+    }
+  }
+
   private def commitRetry(spark: SparkSession, root: String,
     maxRetries: Int = 10)(
     content: Int => (String, Seq[String])): Int = {
     val (fs, rp) = fsFor(spark, root)
     fs.mkdirs(commitDir(rp))
+    val rollover = spark.conf
+      .getOption("spark.graft.manifestRollover").map(_.toInt).getOrElse(256)
+    var stagedManifests: Seq[String] = Seq.empty
     var attempt = 0
     while (attempt <= maxRetries) {
+      // a lost race re-packs against the NEW parent; this attempt's
+      // staged manifests are unreferenced — drop, don't leak
+      stagedManifests.foreach(m => fs.delete(new Path(rp, m), false))
+      stagedManifests = Seq.empty
       val prevV = latestVersion(spark, root)
       val (op, lines) = content(prevV)
       // replay tags survive EVERY commit: carry the parent's newest
@@ -755,8 +916,10 @@ object TxTable {
       val mapCarried =
         if (lines.exists(_.startsWith("colmap:"))) Seq.empty
         else snapshotColMap(fs, rp, prevV).map(colMapLine).toSeq
-      val body =
-        (s"op:$op" +: (mapCarried ++ lines ++ carried)).mkString("\n")
+      val (packedLines, staged) = packEntryLines(fs, rp, prevV,
+        mapCarried ++ lines ++ carried, rollover)
+      stagedManifests = staged
+      val body = (s"op:$op" +: packedLines).mkString("\n")
       val claim = commitPath(rp, prevV + 1)
       try {
         if (fs.getScheme == "file") {
@@ -1052,7 +1215,7 @@ object TxTable {
       require(recorded.forall(_ == physKeys),
         s"txtable: $root is keyed on ${recorded.get.mkString(",")}, " +
           s"got ${physKeys.mkString(",")}")
-      val prev = snapshotEntries(fs, rp, prevV).map(_.line)
+      val prev = rawEntryLines(fs, rp, prevV)
       ("delta",
         (batchId.map(id => s"batch:$sid:$id").toSeq ++
           extMap.map(colMapLine).toSeq ++
@@ -1909,7 +2072,7 @@ object TxTable {
           "at or after the oldest retained snapshot")
     }
     val opOf: Map[Int, String] = ((fromV + 1) to hi).map { v =>
-      v -> readFileUtf8(fs, commitPath(rp, v)).split("\n")
+      v -> commitLines(fs, rp, v)
         .find(_.startsWith("op:")).map(_.drop(3)).getOrElse("?")
     }.toMap
     // Column names drift across mapping-RESET rebirths (a merge/
@@ -2065,7 +2228,7 @@ object TxTable {
         .map(_.getPath.toString)
     }
     ((fromV + 1) to toV).flatMap { v =>
-      val op = readFileUtf8(fs, commitPath(rp, v)).split("\n")
+      val op = commitLines(fs, rp, v)
         .find(_.startsWith("op:")).map(_.drop(3)).getOrElse("?")
       val prevDirs = snapshotDirs(fs, rp, v - 1).toSet
       val newDirs = snapshotEntries(fs, rp, v).map(_.dir)
@@ -2374,6 +2537,37 @@ object TxTable {
     read(spark, root)
   }
 
+  /** Gate: manifest-include metadata packing. Eight orderkey-striped
+    * appends at a rollover of 3 force two manifest rolls; a bounded
+    * delete in the first stripe breaks one manifest open and
+    * re-includes the other; the read then serves through the
+    * expansion. Hash equality against the plain filtered table proves
+    * the packed log is content-exact end-to-end. Inline/include
+    * structure is asserted in TxTableSpec with controlled sizes. */
+  def manifestGateQuery(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratchRoot("graft-mangate", dir)
+    val prev = spark.conf.getOption("spark.graft.manifestRollover")
+    spark.conf.set("spark.graft.manifestRollover", "3")
+    try {
+      val l = graft.Tables.lineitem(spark, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("decimal(18,2)").cast("double").as("qty"))
+      val maxK = l.agg(max("l_orderkey")).head.getLong(0)
+      val bounds = (0 to 8).map(i => (i * maxK) / 8)
+      (0 until 8).foreach { i =>
+        append(l.filter(col("l_orderkey") > bounds(i) &&
+          col("l_orderkey") <= bounds(i + 1)), root,
+          statsCols = Seq("l_orderkey"))
+      }
+      deleteWhere(spark, root, s"l_orderkey <= ${bounds(1)}",
+        pruneRanges = Map("l_orderkey" -> (1L, bounds(1))))
+      read(spark, root)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.manifestRollover", v)
+      case None => spark.conf.unset("spark.graft.manifestRollover")
+    }
+  }
+
   /** Gate: STRING-stats dir skipping. The reference's only scan
     * pruning is path/partition convention (filename globs —
     * src/mapred/org/apache/hadoop/mapred/FileInputFormat.java:1);
@@ -2474,9 +2668,9 @@ object TxTable {
     val rows = (1 to latest).flatMap { v =>
       if (!fs.exists(commitPath(rp, v))) None
       else {
-        val lines = readFileUtf8(fs, commitPath(rp, v)).split("\n").toSeq
+        val lines = commitLines(fs, rp, v)
         val op = lines.find(_.startsWith("op:")).map(_.drop(3)).getOrElse("?")
-        val entries = lines.flatMap(parseEntry)
+        val entries = expandEntryLines(fs, rp, lines).flatMap(parseEntry)
         Some((v, op, entries.size.toLong, entries.count(_.isDelta).toLong,
           lines.find(_.startsWith("key:")).map(_.drop(4)).getOrElse(""),
           lines.find(_.startsWith("statscol:")).map(_.drop(9)).getOrElse(""),
@@ -2528,7 +2722,27 @@ object TxTable {
       fs.listStatus(dataDir).map(_.getPath)
         .filterNot(p => live(p.getName))
         .foreach(fs.delete(_, true))
+    // manifest files referenced only by commits leaving the horizon
+    // are provably superseded — drop them with those commits; ones
+    // still referenced by any retained commit must stay
+    def includesOf(v: Int): Seq[String] =
+      if (v <= 0 || !fs.exists(commitPath(rp, v))) Seq.empty
+      else commitLines(fs, rp, v)
+        .filter(_.startsWith("include:")).map(_.drop(8))
+    val keptManifests = keepVs.flatMap(includesOf).toSet
+    val expiredManifests =
+      (1 until keepVs.head).flatMap(includesOf).toSet -- keptManifests
+    expiredManifests.foreach(m => fs.delete(new Path(rp, m), false))
     (1 until keepVs.head).foreach(old => fs.delete(commitPath(rp, old), false))
+    // never-referenced manifests (crashed commit attempts) sweep with
+    // the same 1 h age gate as the other orphan scratch below
+    val mDir = new Path(rp, manifestDirName)
+    if (fs.exists(mDir))
+      fs.listStatus(mDir)
+        .filter(s => !keptManifests.contains(s"$manifestDirName/" +
+          s.getPath.getName) &&
+          s.getModificationTime < System.currentTimeMillis() - 3600 * 1000L)
+        .foreach(s => fs.delete(s.getPath, false))
     // staged change-feed diffs (_changes/v<N>) for versions below the
     // replay horizon can never be served again (changes() refuses
     // vacuumed ranges) — drop them with their commits

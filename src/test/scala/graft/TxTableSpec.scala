@@ -1567,6 +1567,132 @@ class TxTableSpec extends SparkSpec {
       === Set("aa", "ab", "xa", "xb"))
   }
 
+  private def withRollover[T](n: Int)(body: => T): T = {
+    spark.conf.set("spark.graft.manifestRollover", n.toString)
+    try body finally spark.conf.unset("spark.graft.manifestRollover")
+  }
+
+  test("manifest rollover keeps append commits metadata-O(1)") {
+    import spark.implicits._
+    val root = tmpDir() + "/tx-manifest"
+    withRollover(4) {
+      (0 until 10).foreach { i =>
+        TxTable.append((i * 10 until i * 10 + 10)
+          .map(k => (k.toLong, i.toLong)).toDF("k", "v"),
+          root, statsCols = Seq("k"))
+      }
+      val t10 = commitText(root, 10)
+      assert(t10.contains("include:_manifests/m-"),
+        "10 appends past a rollover of 4 must reference manifests")
+      val inline = "(?m)^(dir:|delta:)".r.findAllIn(t10).length
+      assert(inline < 4, s"inline entry tail must stay under the " +
+        s"rollover, got $inline:\n$t10")
+      // expansion serves reads and time travel exactly
+      assert(TxTable.read(spark, root).count() === 100)
+      assert(TxTable.read(spark, root).agg(sum("k")).head.getLong(0)
+        === (0L until 100L).sum)
+      assert(TxTable.read(spark, root, version = 4).count() === 40)
+      assert(TxTable.read(spark, root, version = 7).count() === 70)
+      // dir pruning composes with manifests (stats live in the entry
+      // lines wherever they sit)
+      val pruned = TxTable.read(spark, root, keyRange = Some((0L, 9L)))
+      assert(pruned.inputFiles.length <
+        TxTable.read(spark, root).inputFiles.length)
+      assert(pruned.count() === 10)
+      // history expands includes for its entry counts
+      val h = TxTable.describeHistory(spark, root)
+        .select("version", "n_entries").collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(h(10) === 10 && h(4) === 4)
+      // metadata-only COUNT(*) still answers from the commit
+      assert(TxTable.rowCount(spark, root) === Some(100L))
+    }
+  }
+
+  test("DML re-includes intact manifests; only the broken one inlines") {
+    import spark.implicits._
+    val root = tmpDir() + "/tx-manifest-dml"
+    withRollover(4) {
+      (0 until 8).foreach { i =>
+        TxTable.append((i * 10 until i * 10 + 10)
+          .map(k => (k.toLong, i.toLong)).toDF("k", "v"),
+          root, statsCols = Seq("k"))
+      }
+      val t8 = commitText(root, 8)
+      val incs = "include:[^\n]+".r.findAllIn(t8).toSeq
+      assert(incs.length === 2, s"8 appends at rollover 4 → 2 manifests: $t8")
+      // a bounded delete inside the FIRST manifest's key space: the
+      // second manifest's block survives intact and must collapse
+      // back to its include line, not re-list its entries
+      TxTable.deleteWhere(spark, root, "k = 15",
+        pruneRanges = Map("k" -> (15L, 15L)))
+      val t9 = commitText(root, 9)
+      assert(t9.contains(incs(1)),
+        s"the untouched manifest must re-include:\n$t9")
+      assert(!t9.contains(incs(0)),
+        "the manifest containing the rewritten dir must break open")
+      assert("(?m)^dir:".r.findAllIn(t9).length === 4,
+        s"only the broken manifest's 4 dirs may inline:\n$t9")
+      assert(TxTable.read(spark, root).count() === 79)
+      assert(TxTable.read(spark, root)
+        .filter(col("k") === 15L).count() === 0)
+    }
+  }
+
+  test("vacuum drops manifests with their commits, keeps referenced ones") {
+    import spark.implicits._
+    val root = tmpDir() + "/tx-manifest-vac"
+    withRollover(4) {
+      (0 until 8).foreach { i =>
+        TxTable.append((i * 10 until i * 10 + 10)
+          .map(k => (k.toLong, i.toLong)).toDF("k", "v"),
+          root, statsCols = Seq("k"))
+      }
+      def manifests(): Long = {
+        val s = java.nio.file.Files.list(
+          java.nio.file.Paths.get(root, "_manifests"))
+        try s.filter(p => p.getFileName.toString.startsWith("m-")).count()
+        finally s.close()
+      }
+      assert(manifests() === 2)
+      // retained head still references both manifests → both survive
+      TxTable.vacuum(spark, root, retainLast = 1)
+      assert(manifests() === 2)
+      assert(TxTable.read(spark, root).count() === 80)
+      // a full rewrite stops referencing them → the next vacuum drops
+      // them with the expired commits, immediately (no age gate: they
+      // are provably superseded)
+      TxTable.compactSnapshot(spark, root)
+      TxTable.vacuum(spark, root, retainLast = 1)
+      assert(manifests() === 0,
+        "superseded manifests must go with their commits")
+      assert(TxTable.read(spark, root).count() === 80)
+    }
+  }
+
+  test("restore and clone carry manifested snapshots zero-copy") {
+    import spark.implicits._
+    val root = tmpDir() + "/tx-manifest-restore"
+    withRollover(4) {
+      (0 until 6).foreach { i =>
+        TxTable.append(Seq((i.toLong, i.toLong)).toDF("k", "v"),
+          root, statsCols = Seq("k"))
+      }
+      TxTable.overwrite(Seq((99L, 99L)).toDF("k", "v"), root) // v7
+      // restore to the manifested v6: the include line carries, the
+      // restore commit does not re-list the table
+      TxTable.restore(spark, root, 6)
+      assert(commitText(root, 8).contains("include:_manifests/m-"))
+      assert(TxTable.read(spark, root).collect().map(_.getLong(0)).toSet
+        === (0L until 6L).toSet)
+      // a clone of the manifested snapshot expands to absolute paths
+      val dst = tmpDir() + "/tx-manifest-clone"
+      TxTable.cloneAt(spark, root, dst)
+      assert(TxTable.read(spark, dst).collect().map(_.getLong(0)).toSet
+        === (0L until 6L).toSet)
+    }
+  }
+
   test("auto-extended colmap names are validated before any commit") {
     import spark.implicits._
     val root = tmpDir() + "/tx-colmap-valid"
