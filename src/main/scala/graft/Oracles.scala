@@ -1277,6 +1277,69 @@ object Oracles {
          |  FROM sc) t WHERE rk <= 3""".stripMargin,
   )
 
+  /** Filtered IVF: identical cells, the label predicate joins into
+    * the candidate set BEFORE ranking (matching the engine's
+    * in-index pre-filter). */
+  val annFiltered: Map[String, String] = Map(
+    "q_ann_filtered" ->
+      s"""$quantCte,
+         |cent AS (SELECT vec_id cid, q qc, n2 n2c FROM n WHERE vec_id < 16),
+         |ar AS (SELECT n.vec_id, cent.cid,
+         |    list_dot_product(list_transform(n.q, x -> cast(x AS DOUBLE)), list_transform(cent.qc, x -> cast(x AS DOUBLE)))
+         |      / (sqrt(n.n2) * sqrt(cent.n2c)) ccos
+         |  FROM n CROSS JOIN cent),
+         |rk AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) crn FROM ar),
+         |assign AS (SELECT vec_id, cid cell FROM rk WHERE crn = 1),
+         |pc AS (SELECT vec_id probe_id, cid cell FROM rk WHERE vec_id < 5 AND crn <= 2),
+         |cand AS (SELECT DISTINCT pc.probe_id, a.vec_id nbr_id
+         |  FROM pc JOIN assign a ON a.cell = pc.cell AND a.vec_id <> pc.probe_id
+         |  JOIN n pl ON pl.vec_id = pc.probe_id
+         |  JOIN n nl ON nl.vec_id = a.vec_id AND nl.label = pl.label),
+         |sc AS (SELECT c.probe_id, c.nbr_id, $dotSql dot, a.n2 n2a, b.n2 n2b
+         |  FROM cand c JOIN n a ON a.vec_id = c.probe_id JOIN n b ON b.vec_id = c.nbr_id)
+         |SELECT probe_id, rk, nbr_id, cos FROM (
+         |  SELECT probe_id, nbr_id, dot / (sqrt(n2a) * sqrt(n2b)) cos,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY dot / (sqrt(n2a) * sqrt(n2b)) DESC, nbr_id) rk
+         |  FROM sc) t WHERE rk <= 3""".stripMargin,
+  )
+
+  /** Hybrid retrieval: integer RRF over the lexical (10^6 div df
+    * shared-word weight) and dense (int-cosine brute force) rankings
+    * — both ranks replay exactly, so the fusion is hash-gated. */
+  val hybridRetrieval: Map[String, String] = Map(
+    "q_hybrid_retrieval" ->
+      s"""$quantCte,
+         |toks AS (SELECT doc_id, unnest(list_distinct(
+         |    list_filter(string_split(lower(text), ' '), x -> x <> ''))) word
+         |  FROM documents),
+         |dfreq AS (SELECT word, count(*) df FROM toks GROUP BY word),
+         |wt AS (SELECT doc_id, t.word, 1000000 // df w
+         |  FROM toks t JOIN dfreq USING (word)),
+         |lex AS (SELECT p.doc_id probe_id, d.doc_id nbr_id,
+         |    sum(p.w) lex
+         |  FROM wt p JOIN wt d ON p.word = d.word
+         |    AND p.doc_id < 5 AND d.doc_id <> p.doc_id
+         |  GROUP BY 1, 2),
+         |lr AS (SELECT probe_id, nbr_id, row_number() OVER (
+         |    PARTITION BY probe_id ORDER BY lex DESC, nbr_id) lr FROM lex),
+         |dense AS (SELECT a.vec_id probe_id, b.vec_id nbr_id,
+         |    $dotSql dot, a.n2 n2a, b.n2 n2b
+         |  FROM n a JOIN n b ON a.vec_id < 5 AND b.vec_id <> a.vec_id),
+         |dr AS (SELECT probe_id, nbr_id, row_number() OVER (
+         |    PARTITION BY probe_id
+         |    ORDER BY dot / (sqrt(n2a) * sqrt(n2b)) DESC, nbr_id) dr
+         |  FROM dense),
+         |f AS (SELECT dr.probe_id, dr.nbr_id,
+         |    (1000000000 // (60 + dr.dr)) +
+         |      coalesce(1000000000 // (60 + lr.lr), 0) fused
+         |  FROM dr LEFT JOIN lr
+         |    ON lr.probe_id = dr.probe_id AND lr.nbr_id = dr.nbr_id)
+         |SELECT probe_id, rk, nbr_id, CAST(fused AS BIGINT) fused FROM (
+         |  SELECT probe_id, nbr_id, fused, row_number() OVER (
+         |    PARTITION BY probe_id ORDER BY fused DESC, nbr_id) rk
+         |  FROM f) t WHERE rk <= 10""".stripMargin,
+  )
+
   /** The persisted-cell-index search computes the identical relation
     * as the recompute path, so it shares q_ann_ivf's oracle. */
   lazy val annIvfIndexed: Map[String, String] =
@@ -2689,6 +2752,7 @@ object Oracles {
   def all: Map[String, String] =
     relational ++ text ++ dedup ++ similarity ++ annMultiProbe ++
       similarityNative ++ sketches ++
-      annIvf ++ annIvfIndexed ++ annPq ++ annIvfTrained ++ annPqTrained ++
+      annIvf ++ annFiltered ++ hybridRetrieval ++ annIvfIndexed ++ annPq ++
+      annIvfTrained ++ annPqTrained ++
       streamingAndMisc ++ olap ++ round8 ++ round9
 }

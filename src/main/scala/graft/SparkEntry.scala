@@ -107,6 +107,10 @@ object SparkEntry {
     "q_ann_lsh_native" -> ((s: SparkSession, d: String) => Similarity.annLshNative(s, d)),
     "q_ann_recall" -> ((s: SparkSession, d: String) => Similarity.annRecall(s, d)),
     "q_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
+    "q_ann_filtered" ->
+      ((s: SparkSession, d: String) => Similarity.annIvfFiltered(s, d)),
+    "q_hybrid_retrieval" ->
+      ((s: SparkSession, d: String) => Similarity.hybridRetrieval(s, d)),
     "q_ann_ivf_indexed" -> ((s: SparkSession, d: String) => Similarity.annIvfIndexed(s, d)),
     "q_ann_ivf_incremental" -> ((s: SparkSession, d: String) => Similarity.annIvfIncremental(s, d)),
     "q_ann_pq" -> ((s: SparkSession, d: String) => Similarity.annPq(s, d)),

@@ -185,6 +185,110 @@ object Similarity {
       .select("probe_id", "rk", "nbr_id", "cos")
   }
 
+  /** HYBRID RETRIEVAL — reciprocal-rank fusion of a lexical ranking
+    * and a dense (embedding-cosine) ranking, the retrieval shape
+    * modern curation uses to find "documents like these seeds"
+    * (lexical catches exact terminology, dense catches paraphrase;
+    * RRF needs no score calibration between the two). Kept
+    * engine-exact end-to-end: the lexical score is the integer
+    * rarity weight `10^6 div df` summed over SHARED DISTINCT words
+    * (the q_tfidf discipline — no libm), and the fused score is
+    * integer RRF `10^9 div (60 + rank)` summed over both rankings
+    * (docs absent from the lexical list contribute 0), so the oracle
+    * replays every rank bitwise. Scale shape: the lexical leg is a
+    * word-key join bounded by document frequency (never doc pairs);
+    * the dense leg is the broadcast-probe brute-force baseline —
+    * swap in the IVF candidate set unchanged at 10^11 vectors. */
+  def hybridRetrieval(spark: SparkSession, dir: String,
+    k: Int = 10): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val toks = docs.select(col("doc_id"), explode(expr(
+      "array_distinct(filter(split(lower(text), ' '), x -> x <> ''))"))
+      .as("word"))
+    val dfreq = toks.groupBy("word").agg(count(lit(1)).as("df"))
+    val weighted = toks.join(dfreq, "word")
+      .withColumn("w", expr("1000000 div df"))
+    val lex = weighted.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("probe_id"), col("word"), col("w"))
+      .join(weighted.select(col("doc_id").as("nbr_id"), col("word")), "word")
+      .filter(col("probe_id") =!= col("nbr_id"))
+      .groupBy("probe_id", "nbr_id").agg(sum("w").as("lex"))
+    val lw = Window.partitionBy("probe_id")
+      .orderBy(col("lex").desc, col("nbr_id"))
+    val lexRank = lex.withColumn("lr", row_number().over(lw))
+      .select("probe_id", "nbr_id", "lr")
+    val q = quantized(spark, dir)
+    val probes = q.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("q").as("qa"), col("n2").as("n2a"))
+    val corpus = q.select(col("vec_id").as("nbr_id"), col("q").as("qb"), col("n2").as("n2b"))
+    val dense = broadcast(probes).crossJoin(corpus)
+      .filter(col("probe_id") =!= col("nbr_id"))
+      .withColumn("dot", expr("array_dot_long(qa, qb)"))
+      .select(col("probe_id"), col("nbr_id"), expr(cosExpr).as("cos"))
+    val dw = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("nbr_id"))
+    val denseRank = dense.withColumn("dr", row_number().over(dw))
+      .select("probe_id", "nbr_id", "dr")
+    // dense covers every (probe, nbr) pair, so it anchors the fusion;
+    // lexical joins in where word overlap exists
+    val fused = denseRank.join(lexRank, Seq("probe_id", "nbr_id"), "left")
+      .withColumn("fused",
+        expr("1000000000 div (60 + dr)") +
+          when(col("lr").isNull, lit(0L))
+            .otherwise(expr("1000000000 div (60 + lr)")))
+    val fw = Window.partitionBy("probe_id")
+      .orderBy(col("fused").desc, col("nbr_id"))
+    fused.withColumn("rk", row_number().over(fw)).filter(col("rk") <= k)
+      .select(col("probe_id"), col("rk"), col("nbr_id"),
+        col("fused").cast("long").as("fused"))
+  }
+
+  /** FILTERED ANN — top-k under an attribute predicate (the
+    * "retrieve only same-language / same-split neighbors" query every
+    * curation pipeline runs): the predicate applies INSIDE the IVF
+    * candidate join — candidates are (probe's nprobe cells) ∩
+    * (label = probe's label) — so k survivors are k REAL results.
+    * Post-filtering an unfiltered top-k instead under-fills whenever
+    * the filter is selective (retrieve 3, filter to 0), which is why
+    * real vector stores push predicates into the index scan; here the
+    * filter column simply rides the inverted file as metadata and
+    * becomes one more join-side conjunct — zero extra shuffles over
+    * [[annIvf]]. Same deterministic codebook; exact integer cosine. */
+  def annIvfFiltered(spark: SparkSession, dir: String, k: Int = 3,
+    nprobe: Int = 2): DataFrame = {
+    val q = quantized(spark, dir)
+    val cent = q.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("q").as("qc"), col("n2").as("n2c"))
+    def cellRank(vecs: DataFrame, idCol: String) = {
+      val scored = vecs.crossJoin(broadcast(cent))
+        .withColumn("dot", expr(s"array_dot_long(q, qc)"))
+        .select(col(idCol), col("cid"),
+          expr("cast(dot as double) / (sqrt(cast(n2 as double)) * sqrt(cast(n2c as double)))").as("ccos"))
+      val w = Window.partitionBy(idCol).orderBy(col("ccos").desc, col("cid"))
+      scored.withColumn("crn", row_number().over(w))
+    }
+    val assign = cellRank(q, "vec_id").filter(col("crn") === 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+    val corpus = q.join(assign, "vec_id")
+      .select(col("cell"), col("label").as("nbr_label"),
+        col("vec_id").as("nbr_id"), col("q").as("qb"), col("n2").as("n2b"))
+    val probeCells = cellRank(q.filter(col("vec_id") < 5), "vec_id")
+      .filter(col("crn") <= nprobe)
+      .select(col("vec_id").as("probe_id"), col("cid").as("cell"))
+    val probes = q.select(col("vec_id").as("probe_id"), col("label"),
+      col("q").as("qa"), col("n2").as("n2a"))
+    val scored = broadcast(probeCells.join(probes, "probe_id"))
+      .join(corpus, Seq("cell"))
+      .filter(col("probe_id") =!= col("nbr_id") &&
+        col("nbr_label") === col("label"))
+      .withColumn("dot", expr("array_dot_long(qa, qb)"))
+      .select(col("probe_id"), col("nbr_id"), expr(cosExpr).as("cos"))
+      .distinct()
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("nbr_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select("probe_id", "rk", "nbr_id", "cos")
+  }
+
   /** Product quantization with asymmetric distance (Jégou et al.
     * 2011): the 64-dim space splits into m=4 16-dim subspaces, each
     * with its own 16-centroid sub-codebook (deterministic stand-in:

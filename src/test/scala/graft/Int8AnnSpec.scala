@@ -61,4 +61,55 @@ class Int8AnnSpec extends SparkSpec {
     // 127 levels per dim loses almost nothing on cosine ranking
     assert(recall >= 0.8, s"int8 recall@5 = $recall")
   }
+
+  test("filtered ANN: predicate holds in-index, never by post-filtering") {
+    val q = Similarity.quantized(spark, sfDir)
+      .select(col("vec_id"), col("label"))
+    val res = Similarity.annIvfFiltered(spark, sfDir, k = 3)
+    // every neighbor satisfies the predicate (same label as probe)
+    val labeled = res
+      .join(q.withColumnRenamed("vec_id", "probe_id")
+        .withColumnRenamed("label", "pl"), "probe_id")
+      .join(q.withColumnRenamed("vec_id", "nbr_id")
+        .withColumnRenamed("label", "nl"), "nbr_id")
+    assert(labeled.filter(col("pl") =!= col("nl")).count() === 0L)
+    // ranks are dense 1..k per probe
+    res.collect().groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq === (1 to rows.length))
+    }
+    // in-index filtering out-fills post-filtering: applying the label
+    // predicate AFTER an unfiltered top-k returns at most as many
+    // qualified neighbors for every probe
+    val post = Similarity.annIvf(spark, sfDir, k = 3)
+      .join(q.withColumnRenamed("vec_id", "probe_id")
+        .withColumnRenamed("label", "pl"), "probe_id")
+      .join(q.withColumnRenamed("vec_id", "nbr_id")
+        .withColumnRenamed("label", "nl"), "nbr_id")
+      .filter(col("pl") === col("nl"))
+      .groupBy("probe_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val inIdx = res.groupBy("probe_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    inIdx.foreach { case (p, n) =>
+      assert(n >= post.getOrElse(p, 0L),
+        s"probe $p: in-index filter must never under-fill vs post-filter")
+    }
+  }
+
+  test("hybrid retrieval: both legs contribute to the fused ranking") {
+    val fusedTop = Similarity.hybridRetrieval(spark, sfDir, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(fusedTop.nonEmpty)
+    // dense-only top-5 for comparison
+    val denseTop = Similarity.annBruteForce(spark, sfDir, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // the fusion must not degenerate to the dense ranking (the
+    // lexical leg reorders at least one probe's list)
+    assert(fusedTop.toSet !== denseTop.toSet,
+      "RRF fusion must differ from the pure dense ranking")
+    // ranks dense 1..k per probe
+    fusedTop.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq === (1 to rows.length))
+    }
+  }
 }
