@@ -701,11 +701,32 @@ object TxTable {
       }.toMap)
   }
 
-  /** `Entry` for a freshly-written dir with its stats computed. */
+  /** `Entry` for a freshly-written dir with its stats computed. The
+    * dir's on-disk BYTES ride the stats grammar as pseudo-column
+    * `_bytes` (like `_rows`) so the format face can answer
+    * `sizeInBytes` from the commit alone — that number is what makes
+    * Catalyst auto-broadcast a small graft-tx dimension table; a V1
+    * relation without it reports defaultSizeInBytes (huge) and a
+    * broadcastable join silently becomes a shuffle. */
   private def statsEntry(spark: SparkSession, rp: Path, dirName: String,
     statsCols: Seq[String], isDelta: Boolean = false): Entry = {
     val (n, s) = dirStats(spark, rp, dirName, statsCols)
-    Entry(isDelta, dirName, n, s)
+    val fs = rp.getFileSystem(spark.sessionState.newHadoopConf())
+    val bytes = fs.getContentSummary(new Path(rp, dirName)).getLength
+    Entry(isDelta, dirName, n + (bytesKey -> (bytes, bytes)), s)
+  }
+  private val bytesKey = "_bytes"
+
+  /** Metadata-only on-disk size of snapshot `v` — the sum of per-dir
+    * `_bytes` stats. None when any entry predates byte recording. */
+  private[sources] def snapshotBytes(spark: SparkSession, root: String,
+    version: Int = -1): Option[Long] = {
+    val (fs, rp) = fsFor(spark, root)
+    val v = if (version >= 0) version else latestVersion(spark, root)
+    if (v == 0) return None
+    val sizes = snapshotEntries(fs, rp, v).map(_.stats.get(bytesKey).map(_._1))
+    if (sizes.isEmpty || sizes.exists(_.isEmpty)) None
+    else Some(sizes.flatten.sum)
   }
 
   /** Write `df` as a new immutable data dir and commit `dirs(prev) ++
@@ -1704,8 +1725,9 @@ object TxTable {
       fs.rename(new Path(rp, s"$baseDir/_graft_part=$v"),
         new Path(rp, dirName))
       val (nStats, sStats) = statRows(v)
+      val bytes = fs.getContentSummary(new Path(rp, dirName)).getLength
       Entry(isDelta = false, dirName,
-        nStats + (physPart -> (v, v)), sStats)
+        nStats + (physPart -> (v, v)) + (bytesKey -> (bytes, bytes)), sStats)
     }
     commitRetry(spark, root) { prevV =>
       val prev0 = snapshotLines(fs, rp, prevV)

@@ -405,6 +405,23 @@ case class TxRelation(spark: SparkSession, root: String,
 
   override val schema: StructType = unprunedSchema
 
+  /** Metadata-only table size from the per-dir `_bytes` stats — this
+    * is what lets Catalyst AUTO-BROADCAST a small graft-tx dimension
+    * table: BaseRelation's default is spark.sql.defaultSizeInBytes
+    * (effectively infinite), under which every join against this
+    * source plans as a shuffle however small the table is. Falls
+    * back to listing the snapshot's file lengths when any entry
+    * predates byte recording (still planning-time metadata, one
+    * listStatus per dir). */
+  override def sizeInBytes: Long =
+    TxTable.snapshotBytes(spark, root, resolvedVersion).getOrElse {
+      val conf = spark.sessionState.newHadoopConf()
+      TxTable.dataFiles(spark, root, version = resolvedVersion).map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(conf).getFileStatus(p).getLen
+      }.sum
+    }
+
   override def buildScan(requiredColumns: Array[String],
     filters: Array[Filter]): RDD[Row] = {
     val df = TxTable.read(spark, root, version = resolvedVersion,

@@ -416,6 +416,34 @@ class TxSourceSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet === Set(2L, 3L))
   }
 
+  test("sizeInBytes from _bytes stats: small tables auto-broadcast") {
+    import spark.implicits._
+    val root = tmpDir() + "/txsrc-size"
+    TxTable.append((1L to 100L).map(k => (k, s"v$k")).toDF("k", "v"), root)
+    val rel = face(root)
+    // the relation reports its true on-disk size, not
+    // defaultSizeInBytes (which would veto every broadcast)
+    val size = rel.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(size > 0 && size < 10L * 1024 * 1024,
+      s"metadata-only sizeInBytes must be table-scale, got $size")
+    // and Catalyst auto-broadcasts it in a join against a big side
+    val big = spark.range(100000L).toDF("k")
+    val plan = big.join(rel, "k").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"a small graft-tx table must broadcast:\n$plan")
+    // legacy commits without _bytes stats fall back to file listing
+    val legacy = tmpDir() + "/txsrc-size-legacy"
+    Seq((1L, "a")).toDF("k", "v").write
+      .parquet(legacy + "/data/append-legacy")
+    val cd = java.nio.file.Paths.get(legacy, "_commits")
+    java.nio.file.Files.createDirectories(cd)
+    java.nio.file.Files.write(cd.resolve("v00000001"),
+      "op:append\ndir:data/append-legacy".getBytes("UTF-8"))
+    val lsize = face(legacy).queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(lsize > 0 && lsize < 10L * 1024 * 1024,
+      s"legacy tables must fall back to listed file lengths, got $lsize")
+  }
+
   test("anonymous sink streams: a second query fails loudly, never drops") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
