@@ -488,6 +488,25 @@ object Oracles {
         |  cast(cast(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS qty
         |FROM lineitem""".stripMargin,
 
+    // metadata-only scalar aggregate (TxTable.statsAggGateQuery):
+    // the engine answers count/min/max from commit stats with zero
+    // data I/O; the oracle recomputes them by scanning — equality
+    // proves the stats are exact, not merely sound
+    "q_txtable_stats_agg" ->
+      """SELECT count(*) AS cnt,
+        |  min(l_orderkey) AS min_okey, max(l_orderkey) AS max_okey,
+        |  min(l_partkey) AS min_pkey, max(l_partkey) AS max_pkey
+        |FROM lineitem""".stripMargin,
+
+    // metadata-only GROUP BY the partition column
+    // (TxTable.partCountsGateQuery): per-bucket count/min/max from
+    // the partitioned snapshot's per-dir stats alone
+    "q_txtable_part_counts" ->
+      """SELECT o_orderkey % 8 AS bucket, count(*) AS cnt,
+        |  min(o_orderkey) AS min_okey, max(o_orderkey) AS max_okey
+        |FROM orders
+        |GROUP BY bucket""".stripMargin,
+
     // manifest-include metadata packing (TxTable.manifestGateQuery):
     // striped appends under a tiny rollover, a bounded delete of the
     // first stripe, then a read through the manifest expansion — the

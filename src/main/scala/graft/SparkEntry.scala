@@ -133,6 +133,9 @@ object SparkEntry {
     "q_txtable_string_prune" ->
       (graft.sources.TxTable.stringPruneGateQuery _),
     "q_txtable_optimize" -> (graft.sources.TxTable.optimizeGateQuery _),
+    "q_txtable_stats_agg" -> (graft.sources.TxTable.statsAggGateQuery _),
+    "q_txtable_part_counts" ->
+      (graft.sources.TxTable.partCountsGateQuery _),
     "q_txtable_manifest" -> (graft.sources.TxTable.manifestGateQuery _),
     "q_txtable_aggview" -> (graft.sources.TxView.aggViewGateQuery _),
     "q_inverted_index_incremental" ->

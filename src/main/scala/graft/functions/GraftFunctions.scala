@@ -86,6 +86,9 @@ object GraftFunctions {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.ApproxPercentileRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.ApproxPercentileRewrite
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.TxStatsAggRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.TxStatsAggRewrite
     if (!spark.experimental.extraStrategies.contains(graft.plans.LshTopKJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.LshTopKJoinStrategy
@@ -129,6 +132,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.RangeBinJoinRewrite)
     ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
     ext.injectOptimizerRule(_ => graft.plans.ApproxPercentileRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.TxStatsAggRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.LshTopKJoinStrategy)
   }
 }

@@ -1,0 +1,153 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, ShortType}
+
+/** Optimizer rule: answer aggregates over a graft-tx relation from
+  * the snapshot's COMMIT STATS instead of scanning — `SELECT
+  * count(*), min(k), max(k) FROM t` on a 100 TB table becomes a
+  * commit-file read and a `LocalRelation`, and `GROUP BY part` over a
+  * partition-clustered table becomes one local row per partition
+  * (Delta and Iceberg answer exactly these shapes from file/manifest
+  * stats; the reference has no analog — its only metadata is the
+  * filename glob, src/mapred/org/apache/hadoop/mapred/
+  * FileInputFormat.java:1).
+  *
+  * Fires ONLY when the answer is provably exact, bailing to the scan
+  * otherwise (`TxTable.metadataAgg` / `metadataGroupedAgg` document
+  * the conditions: delta-free snapshot, `_rows` everywhere, exact
+  * integral stats for every referenced column; the grouped form also
+  * needs single-valued dirs with zero `n,<col>` null counts — min/max
+  * stats skip NULLs, so only the null-count stat proves a dir hides
+  * no NULL-group rows). String min/max never rewrite: their stored
+  * stats are truncation-widened bounds, sound for pruning but not
+  * exact. Relations carrying row-restricting reader options
+  * (keyRange/colRange/strRange) never rewrite either.
+  *
+  * On by default (`spark.graft.statsAgg=false` opts out) — unlike the
+  * approx rewrites this one is semantics-preserving, so it is a pure
+  * CBO win. Injected via `GraftExtensions.injectOptimizerRule` and
+  * the `experimental.extraOptimizations` runtime hook.
+  */
+object TxStatsAggRewrite extends Rule[LogicalPlan] {
+
+  val flagKey = "spark.graft.statsAgg"
+  private def enabled: Boolean =
+    SQLConf.get.getConfString(flagKey, "true").toBoolean
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!enabled) plan else rewrite(plan)
+
+  def rewrite(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case agg: Aggregate if agg.resolved =>
+      (relOf(agg.child) match {
+        case Some(rel) => agg.groupingExpressions match {
+          case Nil => scalarRewrite(agg, rel)
+          case Seq(g: AttributeReference) if integral(g.dataType) =>
+            groupedRewrite(agg, g, rel)
+          case _ => None
+        }
+        case None => None
+      }).getOrElse(agg)
+  }
+
+  /** The graft-tx relation under the aggregate — allowing only
+    * attribute-pruning Projects between them (a Filter or computed
+    * projection means stats no longer describe the input). */
+  private def relOf(p: LogicalPlan): Option[graft.sources.TxRelation] =
+    p match {
+      case l: LogicalRelation => l.relation match {
+        case t: graft.sources.TxRelation if !t.rowRestricted => Some(t)
+        case _ => None
+      }
+      case Project(ps, c) if ps.forall(_.isInstanceOf[AttributeReference]) =>
+        relOf(c)
+      case _ => None
+    }
+
+  private def integral(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType => true
+    case _ => false
+  }
+  private def typed(v: Long, dt: DataType): Any = dt match {
+    case LongType => v
+    case IntegerType => v.toInt
+    case ShortType => v.toShort
+    case _ => v
+  }
+
+  private sealed trait Shape
+  private case object CountStar extends Shape
+  private case object GroupKey extends Shape
+  private case class MinOf(c: String, dt: DataType) extends Shape
+  private case class MaxOf(c: String, dt: DataType) extends Shape
+
+  private def aggShape(e: Expression): Option[Shape] = e match {
+    case Alias(c, _) => aggShape(c)
+    case AggregateExpression(Count(Seq(l: Literal)), _, false, None, _)
+        if l.value != null => Some(CountStar)
+    case AggregateExpression(Min(a: AttributeReference), _, false, None, _)
+        if integral(a.dataType) => Some(MinOf(a.name, a.dataType))
+    case AggregateExpression(Max(a: AttributeReference), _, false, None, _)
+        if integral(a.dataType) => Some(MaxOf(a.name, a.dataType))
+    case _ => None
+  }
+
+  private def statCols(shapes: Seq[Shape]): Seq[String] =
+    shapes.collect { case MinOf(c, _) => c case MaxOf(c, _) => c }.distinct
+
+  private def scalarRewrite(agg: Aggregate,
+    rel: graft.sources.TxRelation): Option[LogicalPlan] = {
+    val shapes0 = agg.aggregateExpressions.map(aggShape)
+    if (shapes0.isEmpty || shapes0.exists(_.isEmpty)) return None
+    val shapes = shapes0.map(_.get)
+    val cols = statCols(shapes)
+    graft.sources.TxTable
+      .metadataAgg(rel.spark, rel.root, rel.metadataVersion, cols)
+      .filter { case (_, ranges) => cols.forall(ranges.contains) }
+      .map { case (total, ranges) =>
+        val row = InternalRow.fromSeq(shapes.map {
+          case CountStar => total
+          case MinOf(c, dt) => typed(ranges(c)._1, dt)
+          case MaxOf(c, dt) => typed(ranges(c)._2, dt)
+          case GroupKey => null // unreachable: no grouping here
+        })
+        LocalRelation(agg.output, Seq(row))
+      }
+  }
+
+  private def groupedRewrite(agg: Aggregate, g: AttributeReference,
+    rel: graft.sources.TxRelation): Option[LogicalPlan] = {
+    def shape(e: NamedExpression): Option[Shape] = e match {
+      case a: AttributeReference if a.exprId == g.exprId => Some(GroupKey)
+      case Alias(a: AttributeReference, _) if a.exprId == g.exprId =>
+        Some(GroupKey)
+      case other => aggShape(other)
+    }
+    val shapes0 = agg.aggregateExpressions.map(shape)
+    if (shapes0.isEmpty || shapes0.exists(_.isEmpty)) return None
+    val shapes = shapes0.map(_.get)
+    val cols = statCols(shapes)
+    graft.sources.TxTable
+      .metadataGroupedAgg(rel.spark, rel.root, rel.metadataVersion,
+        g.name, cols)
+      .filter(_.forall { case (_, _, ranges) => cols.forall(ranges.contains) })
+      .map { groups =>
+        val rows = groups.map { case (gv, cnt, ranges) =>
+          InternalRow.fromSeq(shapes.map {
+            case GroupKey => typed(gv, g.dataType)
+            case CountStar => cnt
+            case MinOf(c, dt) => typed(ranges(c)._1, dt)
+            case MaxOf(c, dt) => typed(ranges(c)._2, dt)
+          })
+        }
+        LocalRelation(agg.output, rows)
+      }
+  }
+}

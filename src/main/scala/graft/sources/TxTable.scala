@@ -682,17 +682,28 @@ object TxTable {
     }
     val strings = typed(_ == org.apache.spark.sql.types.StringType)
     // the row count rides the same 1-row aggregate as pseudo-column
-    // `_rows` (metadata-only COUNT(*) reads it back from the commit)
+    // `_rows` (metadata-only COUNT(*) reads it back from the commit);
+    // each integral column also records its NULL count under `n,<col>`
+    // (',' can never appear in a real column name) — min/max stats
+    // skip NULLs, so only this extra stat lets a metadata-only GROUP
+    // BY trust that a single-valued dir has no hidden NULL-group rows
     val aggs = count(lit(1)) +:
       (integral.flatMap(c =>
         Seq(min(col(c)).cast("long"), max(col(c)).cast("long"))) ++
+        integral.map(c =>
+          sum(when(col(c).isNull, 1L).otherwise(0L)).cast("long")) ++
         strings.flatMap(c => Seq(min(col(c)), max(col(c)))))
     val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-    val nBase = 1 + 2 * integral.length
+    val nBase = 1 + 3 * integral.length
     (Map(rowsKey -> (r.getLong(0), r.getLong(0))) ++
       integral.zipWithIndex.flatMap { case (c, i) =>
         if (r.isNullAt(2 * i + 1)) None
         else Some(c -> (r.getLong(2 * i + 1), r.getLong(2 * i + 2)))
+      } ++
+      integral.zipWithIndex.map { case (c, i) =>
+        val j = 1 + 2 * integral.length + i
+        val n = if (r.isNullAt(j)) 0L else r.getLong(j) // empty dir
+        s"$nullsPrefix$c" -> (n, n)
       },
       strings.zipWithIndex.flatMap { case (c, i) =>
         if (r.isNullAt(nBase + 2 * i)) None
@@ -700,6 +711,7 @@ object TxTable {
           r.getString(nBase + 2 * i + 1)).map(c -> _)
       }.toMap)
   }
+  private val nullsPrefix = "n,"
 
   /** `Entry` for a freshly-written dir with its stats computed. The
     * dir's on-disk BYTES ride the stats grammar as pseudo-column
@@ -1699,8 +1711,10 @@ object TxTable {
     val aggs = count(lit(1)) +:
       (integral.flatMap(c =>
         Seq(min(col(c)).cast("long"), max(col(c)).cast("long"))) ++
+        integral.map(c =>
+          sum(when(col(c).isNull, 1L).otherwise(0L)).cast("long")) ++
         strings.flatMap(c => Seq(min(col(c)), max(col(c)))))
-    val nBase = 2 + 2 * integral.length
+    val nBase = 2 + 3 * integral.length
     val statRows = spark.read.parquet(basePath)
       // partition-value inference may type small values INT — pin long
       .groupBy(col("_graft_part").cast("long").as("_graft_part"))
@@ -1712,6 +1726,11 @@ object TxTable {
           integral.zipWithIndex.flatMap { case (c, i) =>
             if (r.isNullAt(2 * i + 2)) None
             else Some(c -> (r.getLong(2 * i + 2), r.getLong(2 * i + 3)))
+          } ++
+          integral.zipWithIndex.map { case (c, i) =>
+            val j = 2 + 2 * integral.length + i
+            val n = if (r.isNullAt(j)) 0L else r.getLong(j)
+            s"$nullsPrefix$c" -> (n, n)
           },
           strings.zipWithIndex.flatMap { case (c, i) =>
             if (r.isNullAt(nBase + 2 * i)) None
@@ -1726,8 +1745,12 @@ object TxTable {
         new Path(rp, dirName))
       val (nStats, sStats) = statRows(v)
       val bytes = fs.getContentSummary(new Path(rp, dirName)).getLength
+      // the NULL-rejection above proved the partition column null-free
+      // — record that as its `n,<col>` stat so metadata-only GROUP BY
+      // on the partition column can trust the per-dir counts
       Entry(isDelta = false, dirName,
-        nStats + (physPart -> (v, v)) + (bytesKey -> (bytes, bytes)), sStats)
+        nStats + (physPart -> (v, v)) + (bytesKey -> (bytes, bytes)) +
+          (s"$nullsPrefix$physPart" -> (0L, 0L)), sStats)
     }
     commitRetry(spark, root) { prevV =>
       val prev0 = snapshotLines(fs, rp, prevV)
@@ -2410,6 +2433,81 @@ object TxTable {
   }
   private val rowsKey = "_rows"
 
+  /** Metadata-only scalar aggregate: COUNT(*) plus exact MIN/MAX for
+    * the requested logical columns, answered from the commit's per-dir
+    * stats with ZERO data I/O — the move that turns `SELECT count(*),
+    * min(k), max(k)` on a 100 TB table into a commit-file read
+    * (Delta/Iceberg answer these from their file stats the same way).
+    * Sound because integral dir stats are EXACT per-dir min/max (string
+    * stats are truncated bounds and are deliberately excluded), and
+    * SQL MIN/MAX skip NULLs exactly like the write-side stat
+    * aggregates. None (caller falls back to the scan) when: empty
+    * table, any MoR delta entry (deltas supersede base rows), any
+    * entry without `_rows`, or any live dir missing a requested
+    * column's stat. Columns are logical — translated through the
+    * snapshot's column mapping like every other read-side lookup. */
+  private[graft] def metadataAgg(spark: SparkSession, root: String,
+    version: Int, cols: Seq[String])
+    : Option[(Long, Map[String, (Long, Long)])] = {
+    val (fs, rp) = fsFor(spark, root)
+    val v = if (version >= 0) version else latestVersion(spark, root)
+    if (v == 0) return None
+    val entries = snapshotEntries(fs, rp, v)
+    if (entries.isEmpty || entries.exists(_.isDelta)) return None
+    if (entries.exists(e => !e.stats.contains(rowsKey))) return None
+    val m = snapshotColMap(fs, rp, v)
+    val total = entries.map(_.stats(rowsKey)._1).sum
+    val live = entries.filter(_.stats(rowsKey)._1 > 0)
+    val ranges = cols.distinct.flatMap { c =>
+      val pc = physName(m, c)
+      val ss = live.map(_.stats.get(pc))
+      if (live.isEmpty || ss.exists(_.isEmpty)) None
+      else Some(c -> (ss.flatten.map(_._1).min, ss.flatten.map(_._2).max))
+    }.toMap
+    Some((total, ranges))
+  }
+
+  /** Metadata-only GROUP BY a single-valued column: per distinct
+    * value, (value, COUNT(*), per-column exact MIN/MAX) from the
+    * commit stats alone — the partitioned-table "row counts per
+    * partition" answered with zero data I/O at any table size. Safe
+    * only when every live dir is (a) single-valued on the group
+    * column (stat lo == hi) AND (b) PROVABLY NULL-free on it via the
+    * `n,<col>` null-count stat — min/max stats skip NULLs, so without
+    * (b) a dir could hide NULL-group rows inside its `_rows` count.
+    * `appendPartitioned` dirs satisfy both by construction; plain
+    * appends qualify when their data happens to be dir-clustered.
+    * None → caller falls back to the scan. */
+  private[graft] def metadataGroupedAgg(spark: SparkSession, root: String,
+    version: Int, groupCol: String, cols: Seq[String])
+    : Option[Seq[(Long, Long, Map[String, (Long, Long)])]] = {
+    val (fs, rp) = fsFor(spark, root)
+    val v = if (version >= 0) version else latestVersion(spark, root)
+    if (v == 0) return None
+    val entries = snapshotEntries(fs, rp, v)
+    if (entries.isEmpty || entries.exists(_.isDelta)) return None
+    if (entries.exists(e => !e.stats.contains(rowsKey))) return None
+    val m = snapshotColMap(fs, rp, v)
+    val pg = physName(m, groupCol)
+    val live = entries.filter(_.stats(rowsKey)._1 > 0)
+    val ok = live.forall { e =>
+      e.stats.get(pg).exists { case (lo, hi) => lo == hi } &&
+        e.stats.get(s"$nullsPrefix$pg").exists(_._1 == 0L)
+    }
+    if (!ok) return None
+    val out = live.groupBy(_.stats(pg)._1).toSeq.map { case (gv, es) =>
+      val cnt = es.map(_.stats(rowsKey)._1).sum
+      val ranges = cols.distinct.flatMap { c =>
+        val pc = physName(m, c)
+        val ss = es.map(_.stats.get(pc))
+        if (ss.exists(_.isEmpty)) None
+        else Some(c -> (ss.flatten.map(_._1).min, ss.flatten.map(_._2).max))
+      }.toMap
+      (gv, cnt, ranges)
+    }.sortBy(_._1)
+    Some(out)
+  }
+
   /** Write-time constraints — the warehouse's data-quality gate AT THE
     * COMMIT BOUNDARY: validate `df` (NOT NULL columns, unique keys —
     * uniqueness checked across the batch AND against the existing
@@ -2608,6 +2706,49 @@ object TxTable {
         statsCols = Seq("prio"))
     }
     read(spark, root, strRanges = Map("prio" -> ("1-URGENT", "2-HIGH")))
+  }
+
+  /** Gate: METADATA-ONLY scalar aggregate (q_txtable_stats_agg).
+    * Four orderkey-striped appends with stats on two columns, then
+    * `count(*) / min / max` through the graft-tx face — the
+    * `TxStatsAggRewrite` optimizer rule answers it from the commit
+    * stats with zero data I/O (the plan is a LocalRelation; asserted
+    * in StatsAggSpec). Hash equality against the oracle's full-scan
+    * aggregate proves the stats are exact, not merely sound. */
+  def statsAggGateQuery(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val root = scratchRoot("graft-saggate", dir)
+    val l = graft.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    (0L to 3L).foreach(i =>
+      append(l.filter(col("l_orderkey") % 4 === i), root,
+        statsCols = Seq("l_orderkey", "l_partkey")))
+    spark.read.format("graft-tx").load(root).agg(
+      count(lit(1)).as("cnt"),
+      min(col("l_orderkey")).as("min_okey"),
+      max(col("l_orderkey")).as("max_okey"),
+      min(col("l_partkey")).as("min_pkey"),
+      max(col("l_partkey")).as("max_pkey"))
+  }
+
+  /** Gate: METADATA-ONLY GROUP BY the partition column
+    * (q_txtable_part_counts). A partitioned append of orders bucketed
+    * 8 ways, then per-bucket count/min/max through the face — the
+    * grouped form of the stats rewrite: one LocalRelation row per
+    * partition, no scan (the "how many rows per partition" query that
+    * a 100 TB date-partitioned table answers from its log). Oracle
+    * replays the same GROUP BY over the raw table. */
+  def partCountsGateQuery(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val root = scratchRoot("graft-pcgate", dir)
+    val o = graft.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), (col("o_orderkey") % 8).as("bucket"))
+    appendPartitioned(o, root, "bucket", statsCols = Seq("o_orderkey"))
+    spark.read.format("graft-tx").load(root)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cnt"),
+        min(col("o_orderkey")).as("min_okey"),
+        max(col("o_orderkey")).as("max_okey"))
   }
 
   private def validColName(c: String): Boolean =

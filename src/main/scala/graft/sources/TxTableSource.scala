@@ -396,6 +396,16 @@ case class TxRelation(spark: SparkSession, root: String,
     case None => versionOpt.getOrElse(-1)
   }
 
+  /** The version `plans.TxStatsAggRewrite` answers metadata-only
+    * aggregates at (same resolution as a scan: pinned, or latest at
+    * optimization time). */
+  private[graft] def metadataVersion: Int = resolvedVersion
+  /** True when reader options restrict rows (keyRange / colRange.* /
+    * strRange.*) — whole-table stats no longer describe the relation,
+    * so the stats-aggregate rewrite must not fire. */
+  private[graft] def rowRestricted: Boolean =
+    optRanges.nonEmpty || strOptRanges.nonEmpty
+
   override def sqlContext: SQLContext = spark.sqlContext
 
   // ranges filter rows, never columns — the un-ranged probe also

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+import org.apache.spark.sql.functions._
+import graft.sources.TxTable
+
+/** `plans.TxStatsAggRewrite` — metadata-only count/min/max answered
+  * from commit stats, with every bail-out path proven to fall back to
+  * a correct scan. */
+class StatsAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def face(root: String) = spark.read.format("graft-tx").load(root)
+
+  /** True when the optimized plan is stats-served (no scan leaf). */
+  private def statsServed(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collectLeaves()
+      .forall(_.isInstanceOf[LocalRelation])
+
+  private def withFlag[T](v: String)(f: => T): T = {
+    spark.conf.set(graft.plans.TxStatsAggRewrite.flagKey, v)
+    try f finally
+      spark.conf.unset(graft.plans.TxStatsAggRewrite.flagKey)
+  }
+
+  test("scalar count/min/max served from commit stats, exactly") {
+    val root = tmpDir() + "/sagg"
+    val df = (1L to 500L).map(k => (k, k * 3 % 101, s"v$k"))
+      .toDF("k", "m", "v")
+    TxTable.append(df.filter($"k" <= 250), root, statsCols = Seq("k", "m"))
+    TxTable.append(df.filter($"k" > 250), root, statsCols = Seq("k", "m"))
+    val agg = face(root).agg(count(lit(1)).as("cnt"),
+      min($"k").as("mn"), max($"k").as("mx"),
+      min($"m").as("m_mn"), max($"m").as("m_mx"))
+    assert(statsServed(agg), agg.queryExecution.optimizedPlan.toString)
+    val expect = withFlag("false") {
+      val r = face(root).agg(count(lit(1)), min($"k"), max($"k"),
+        min($"m"), max($"m")).head
+      assert(!statsServed(face(root).agg(count(lit(1)).as("c"))))
+      r
+    }
+    assert(agg.head.toSeq === expect.toSeq)
+  }
+
+  test("grouped partition counts served from stats; scan-exact") {
+    val root = tmpDir() + "/pagg"
+    val df = (1L to 400L).map(k => (k, k % 5)).toDF("k", "b")
+    TxTable.appendPartitioned(df, root, "b", statsCols = Seq("k"))
+    val agg = face(root).groupBy($"b").agg(count(lit(1)).as("cnt"),
+      min($"k").as("mn"), max($"k").as("mx"))
+    assert(statsServed(agg), agg.queryExecution.optimizedPlan.toString)
+    val got = agg.collect().map(_.toSeq).sortBy(_.head.toString)
+    val expect = withFlag("false") {
+      face(root).groupBy($"b").agg(count(lit(1)).as("cnt"),
+        min($"k").as("mn"), max($"k").as("mx"))
+        .collect().map(_.toSeq).sortBy(_.head.toString)
+    }
+    assert(got === expect)
+  }
+
+  test("bails to the scan on MoR deltas, row-restricting options, and " +
+    "non-stat columns — and the scan is still correct") {
+    val root = tmpDir() + "/sagg-bail"
+    TxTable.append((1L to 100L).map(k => (k, k * 2)).toDF("k", "v"), root,
+      statsCols = Seq("k"))
+    // a row-restricting reader option vetoes whole-table stats
+    val ranged = spark.read.format("graft-tx")
+      .option("colRange.k", "1,50").load(root)
+      .agg(count(lit(1)).as("cnt"))
+    assert(!statsServed(ranged))
+    assert(ranged.head.getLong(0) === 50L)
+    // min/max of a column without stats vetoes
+    val nostat = face(root).agg(min($"v").as("mn"))
+    assert(!statsServed(nostat))
+    assert(nostat.head.getLong(0) === 2L)
+    // an MoR delta entry vetoes (deltas supersede base rows)
+    TxTable.mergeDelta(spark, root,
+      Seq((1L, "U", 999L, 1L)).toDF("k", "op", "v", "seq"))
+    val mor = face(root).agg(count(lit(1)).as("cnt"))
+    assert(!statsServed(mor))
+    assert(mor.head.getLong(0) === 100L)
+  }
+
+  test("NULLs in the group column veto the grouped rewrite") {
+    val root = tmpDir() + "/pagg-null"
+    // dir-clustered single value per dir, but with NULL rows hiding
+    // inside: the `n,<col>` null-count stat must block the rewrite
+    val d1 = Seq[(java.lang.Long, Long)]((1L, 10L), (1L, 11L), (null, 12L))
+      .toDF("b", "k")
+    val d2 = Seq[(java.lang.Long, Long)]((2L, 20L), (2L, 21L)).toDF("b", "k")
+    TxTable.append(d1, root, statsCols = Seq("b", "k"))
+    TxTable.append(d2, root, statsCols = Seq("b", "k"))
+    val agg = face(root).groupBy($"b").agg(count(lit(1)).as("cnt"))
+    assert(!statsServed(agg))
+    val got = agg.collect().map(r =>
+      (Option(r.get(0)).map(_.toString).getOrElse("null"), r.getLong(1)))
+      .toSet
+    assert(got === Set(("1", 2L), ("2", 2L), ("null", 1L)))
+    // scalar count over the same table is still stats-served (NULLs
+    // don't affect COUNT(*) exactness)
+    assert(statsServed(face(root).agg(count(lit(1)).as("cnt"))))
+  }
+
+  test("column rename keeps the rewrite firing through the colmap") {
+    val root = tmpDir() + "/sagg-ren"
+    TxTable.append((1L to 64L).map(k => (k, k)).toDF("k", "v"), root,
+      statsCols = Seq("k"))
+    TxTable.renameColumn(spark, root, "k", "key")
+    val agg = face(root).agg(min($"key").as("mn"), max($"key").as("mx"),
+      count(lit(1)).as("cnt"))
+    assert(statsServed(agg), agg.queryExecution.optimizedPlan.toString)
+    assert(agg.head.toSeq === Seq(1L, 64L, 64L))
+  }
+}
