@@ -507,6 +507,14 @@ object Oracles {
         |FROM orders
         |GROUP BY bucket""".stripMargin,
 
+    // storage-partitioned join (TxTable.spjGateQuery): the engine
+    // joins two co-clustered tables with ZERO Exchange via the V2
+    // KeyGroupedPartitioning face; the bucket key is derived from
+    // custkey so the oracle is the plain equi-join
+    "q_txtable_spj" ->
+      """SELECT o_orderkey, o_custkey, c_nationkey
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
     // manifest-include metadata packing (TxTable.manifestGateQuery):
     // striped appends under a tiny rollover, a bounded delete of the
     // first stripe, then a read through the manifest expansion — the

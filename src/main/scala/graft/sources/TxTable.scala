@@ -2508,6 +2508,48 @@ object TxTable {
     Some(out)
   }
 
+  /** Partition-clustered FILE layout of snapshot `version` on LOGICAL
+    * `partCol`: per distinct value, every data file holding that
+    * value's rows, plus the snapshot's column mapping (so a caller can
+    * translate its read schema to physical file names). None unless
+    * the clustering is provable from the commit alone — delta-free,
+    * every live dir single-valued (stat lo == hi) AND null-free
+    * (`n,<col>` == 0) on the column; `appendPartitioned` snapshots
+    * qualify by construction. Powers the storage-partitioned V2 batch
+    * scan (`TxSpjScan`): one scan unit per value, so two tables
+    * clustered on the same column JOIN WITHOUT A SHUFFLE. */
+  private[sources] def partitionFileSlices(spark: SparkSession,
+    root: String, version: Int, partCol: String)
+    : Option[(Seq[(Long, Seq[String])], Option[Seq[(String, String)]])] = {
+    val (fs, rp) = fsFor(spark, root)
+    val v = if (version >= 0) version else latestVersion(spark, root)
+    if (v == 0) return None
+    val entries = snapshotEntries(fs, rp, v)
+    if (entries.isEmpty || entries.exists(_.isDelta)) return None
+    if (entries.exists(e => !e.stats.contains(rowsKey))) return None
+    val m = snapshotColMap(fs, rp, v)
+    val pg = physName(m, partCol)
+    val live = entries.filter(_.stats(rowsKey)._1 > 0)
+    val ok = live.nonEmpty && live.forall { e =>
+      e.stats.get(pg).exists { case (lo, hi) => lo == hi } &&
+        e.stats.get(s"$nullsPrefix$pg").exists(_._1 == 0L)
+    }
+    if (!ok) return None
+    val slices = live.groupBy(_.stats(pg)._1).toSeq.map { case (gv, es) =>
+      gv -> es.flatMap(e =>
+        fs.listStatus(new Path(rp, e.dir)).filter(s => s.isFile &&
+          !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith("."))
+          .map(_.getPath.toString).toSeq)
+    }.sortBy(_._1)
+    Some((slices, m))
+  }
+
+  /** Package-visible logical→physical column translation (identity
+    * when unmapped) for the V2 faces. */
+  private[sources] def physNameOf(m: Option[Seq[(String, String)]],
+    logical: String): String = physName(m, logical)
+
   /** Write-time constraints — the warehouse's data-quality gate AT THE
     * COMMIT BOUNDARY: validate `df` (NOT NULL columns, unique keys —
     * uniqueness checked across the batch AND against the existing
@@ -2729,6 +2771,38 @@ object TxTable {
       max(col("l_orderkey")).as("max_okey"),
       min(col("l_partkey")).as("min_pkey"),
       max(col("l_partkey")).as("max_pkey"))
+  }
+
+  /** Gate: STORAGE-PARTITIONED JOIN (q_txtable_spj). Orders and
+    * customer, each partitioned 16 ways on the same custkey bucket,
+    * joined on (bucket, custkey) through the V2 face — the reported
+    * KeyGroupedPartitioning makes Catalyst elide BOTH Exchanges
+    * (SpjSpec asserts zero), the bucketed-join shape that at 100 TB
+    * moves zero bytes through a shuffle. The oracle replays the plain
+    * custkey equi-join (the bucket key is derived from custkey, so it
+    * adds no constraint) — hash equality proves the co-partitioned
+    * plan loses and invents nothing, including customers whose bucket
+    * exists on only one side. A CHILD session carries the SPJ confs so
+    * the caller's session is untouched. */
+  def spjGateQuery(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val rootO = graft.Scratch.freshRoot(s, "graft-spjo", dir)
+    val rootC = graft.Scratch.freshRoot(s, "graft-spjc", dir)
+    val o = graft.Tables.orders(s, dir).select(col("o_orderkey"),
+      col("o_custkey"), (col("o_custkey") % 16).as("b"))
+    val c = graft.Tables.customer(s, dir).select(col("c_custkey"),
+      (col("c_custkey") % 16).as("b"), col("c_nationkey"))
+    appendPartitioned(o, rootO, "b", statsCols = Seq("o_custkey"))
+    appendPartitioned(c, rootC, "b", statsCols = Seq("c_custkey"))
+    val l = s.read.format("graft-tx").option("partitionCol", "b").load(rootO)
+    val r = s.read.format("graft-tx").option("partitionCol", "b").load(rootC)
+    l.as("l").join(r.as("r"), col("l.b") === col("r.b") &&
+        col("l.o_custkey") === col("r.c_custkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("c_nationkey"))
   }
 
   /** Gate: METADATA-ONLY GROUP BY the partition column

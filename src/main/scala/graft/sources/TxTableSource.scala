@@ -5,8 +5,9 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession, SQL
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning, V1Scan}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset => V2Offset}
 import org.apache.spark.sql.connector.write.{DataWriter, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
@@ -99,7 +100,8 @@ class TxTableSource extends RelationProvider
     val spark = SparkSession.active
     val root = TxTableSource.rootOfV2(options)
     if (!TxTable.exists(spark, root)) new StructType()
-    else if (TxTableSource.isCatalogContext(options))
+    else if (TxTableSource.isCatalogContext(options) ||
+      options.containsKey("partitionCol"))
       TxRelation(spark, root, TxTableSource.paramsOf(options)).schema
     else TxStreamSource.feedSchema(spark, root)
   }
@@ -110,6 +112,11 @@ class TxTableSource extends RelationProvider
     val root = TxTableSource.rootOfV2(options)
     if (TxTableSource.isCatalogContext(options))
       new GraftTxCatalogTable(schema, root, options)
+    // `.option("partitionCol", c)` selects the storage-partitioned
+    // BATCH face: a true DSv2 scan reporting KeyGroupedPartitioning,
+    // so co-clustered tables join shuffle-free
+    else if (options.containsKey("partitionCol"))
+      new GraftTxSpjTable(schema, root, options)
     else new GraftTxTable(schema, root, options)
   }
 
@@ -574,6 +581,191 @@ class TxCatalogScanBuilder(root: String, fullSchema: StructType,
       }.asInstanceOf[T]
     }
   }
+}
+
+/** STORAGE-PARTITIONED batch face (`spark.read.format("graft-tx")
+  * .option("partitionCol", c).load(root)`): a true DataSourceV2 scan
+  * over a partition-clustered snapshot that REPORTS its layout —
+  * `KeyGroupedPartitioning(identity(c))` with one `HasPartitionKey`
+  * input partition per distinct value — so Catalyst's
+  * storage-partitioned join (SPARK-37375; the V2 form of Hive
+  * bucketed joins) elides the Exchange entirely when two co-clustered
+  * graft-tx tables join on the partition column: at 100 TB a
+  * fact-fact date-aligned join moves ZERO bytes through a shuffle.
+  * Requires `spark.sql.sources.v2.bucketing.enabled=true` (missing
+  * values on one side are handled by Spark's partition push-down
+  * grouping). The clustering is trusted only when provable from the
+  * commit stats alone — delta-free, every dir single-valued and
+  * null-free on the column ([[TxTable.partitionFileSlices]]); anything
+  * else fails loudly at planning, never wrong-answers. Rows move
+  * through [[TxParquetIO]] exactly like the streaming faces — no
+  * Spark internals, Connect-safe. */
+class GraftTxSpjTable(tableSchema: StructType, root: String,
+  options: CaseInsensitiveStringMap)
+  extends Table with SupportsRead {
+
+  private val partCol = options.get("partitionCol")
+  require(tableSchema.fieldNames.contains(partCol),
+    s"graft-tx: partitionCol '$partCol' is not a column of $root " +
+      s"(have: ${tableSchema.fieldNames.mkString(", ")})")
+
+  override def name(): String = s"graft-tx $root [pby $partCol]"
+  override def schema(): StructType = tableSchema
+  override def partitioning(): Array[Transform] =
+    Array(Expressions.identity(partCol))
+
+  override def capabilities(): java.util.Set[TableCapability] = {
+    val caps = new java.util.HashSet[TableCapability]
+    if (tableSchema.nonEmpty) caps.add(TableCapability.BATCH_READ)
+    caps
+  }
+
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new TxSpjScanBuilder(root, tableSchema, partCol,
+      TxTableSource.paramsOf(options) ++ TxTableSource.paramsOf(opts))
+}
+
+class TxSpjScanBuilder(root: String, fullSchema: StructType,
+  partCol: String, params: Map[String, String]) extends ScanBuilder
+  with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var required: StructType = fullSchema
+  private var partPred: Long => Boolean = _ => true
+
+  // prune columns, but always KEEP the partition column — the
+  // reported KeyGroupedPartitioning resolves against the scan output,
+  // and the extra column (when unrequested) is projected away above
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required =
+      if (requiredSchema.fieldNames.contains(partCol)) requiredSchema
+      else StructType(requiredSchema.fields :+ fullSchema(partCol))
+
+  // PARTITION PRUNING: predicates on the partition column drop whole
+  // partitions at planning (a `WHERE day = X` over a date-partitioned
+  // 100 TB table opens one partition). Every filter is still reported
+  // unhandled so Spark re-evaluates above — pruning can only skip
+  // value groups the predicate provably excludes, never rows.
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    def longOf(v: Any): Option[Long] = v match {
+      case n: Number => Some(n.longValue)
+      case _ => None
+    }
+    def predOf(f: Filter): Option[Long => Boolean] = f match {
+      case EqualTo(c, v) if c == partCol => longOf(v).map(x => _ == x)
+      case In(c, vs) if c == partCol =>
+        val xs = vs.flatMap(longOf)
+        if (xs.length == vs.length) Some(xs.toSet.contains _) else None
+      case GreaterThan(c, v) if c == partCol => longOf(v).map(x => _ > x)
+      case GreaterThanOrEqual(c, v) if c == partCol =>
+        longOf(v).map(x => _ >= x)
+      case LessThan(c, v) if c == partCol => longOf(v).map(x => _ < x)
+      case LessThanOrEqual(c, v) if c == partCol =>
+        longOf(v).map(x => _ <= x)
+      case And(l, r) => (predOf(l), predOf(r)) match {
+        case (Some(a), Some(b)) => Some(x => a(x) && b(x))
+        case (a, b) => a.orElse(b) // one side still prunes soundly
+      }
+      case _ => None
+    }
+    val preds = filters.flatMap(predOf)
+    if (preds.nonEmpty) partPred = x => preds.forall(_(x))
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = Array.empty
+
+  override def build(): Scan = {
+    val spark = SparkSession.active
+    val version = params.get("versionasof").orElse(params.get("versionAsOf"))
+      .map(_.toInt).getOrElse(-1)
+    new TxSpjScan(spark, root, version, partCol, required, partPred)
+  }
+}
+
+class TxSpjScan(spark: SparkSession, root: String, version: Int,
+  partCol: String, outSchema: StructType,
+  partPred: Long => Boolean = _ => true)
+  extends Scan with Batch with SupportsReportPartitioning {
+
+  private lazy val (slices, colMap) = {
+    val (all, m) =
+      TxTable.partitionFileSlices(spark, root, version, partCol).getOrElse(
+        throw new IllegalStateException(
+          s"graft-tx: table at $root is not provably partition-clustered " +
+            s"on '$partCol' (needs a delta-free snapshot whose every dir " +
+            "is single-valued and null-free on the column — " +
+            "appendPartitioned produces exactly that layout)"))
+    (all.filter { case (v, _) => partPred(v) }, m)
+  }
+
+  override def readSchema(): StructType = outSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-tx storage-partitioned scan of $root on $partCol"
+
+  override def outputPartitioning(): Partitioning =
+    new KeyGroupedPartitioning(
+      Array(Expressions.identity(partCol)), slices.size)
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val dt = outSchema(partCol).dataType
+    slices.map { case (v, files) =>
+      val key: Any = dt match {
+        case org.apache.spark.sql.types.IntegerType => v.toInt
+        case org.apache.spark.sql.types.ShortType => v.toShort
+        case _ => v
+      }
+      TxSpjInputPartition(new GenericInternalRow(Array[Any](key)),
+        files): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // physical file names in OUTPUT order: positions line up, so the
+    // reader's rows need no re-mapping (InternalRow is positional)
+    val fileSchema = StructType(outSchema.fields.map(f =>
+      f.copy(name = TxTable.physNameOf(colMap, f.name))))
+    TxSpjReaderFactory(fileSchema, new SerializableConfiguration(
+      spark.sessionState.newHadoopConf()))
+  }
+}
+
+/** One partition VALUE's files — the co-partitioned scan unit. */
+case class TxSpjInputPartition(key: GenericInternalRow,
+  files: Seq[String]) extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+}
+
+case class TxSpjReaderFactory(fileSchema: StructType,
+  conf: SerializableConfiguration) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new TxSpjPartitionReader(
+      p.asInstanceOf[TxSpjInputPartition].files, fileSchema, conf)
+}
+
+/** Chains one value's parquet files through [[TxParquetIO]]. */
+class TxSpjPartitionReader(files: Seq[String], schema: StructType,
+  conf: SerializableConfiguration) extends PartitionReader[InternalRow] {
+
+  private val it = files.iterator
+  private var reader: org.apache.parquet.hadoop.ParquetReader[InternalRow] = _
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    while (true) {
+      if (reader == null) {
+        if (!it.hasNext) return false
+        reader = TxParquetIO.reader(
+          new org.apache.hadoop.fs.Path(it.next()), schema, conf.value)
+      }
+      val r = reader.read()
+      if (r != null) { current = r; return true }
+      reader.close(); reader = null
+    }
+    false // unreachable
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = if (reader != null) reader.close()
 }
 
 /** Micro-batch change-feed stream. All methods run on the driver;

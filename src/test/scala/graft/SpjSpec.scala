@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.sources.TxTable
+
+/** Storage-partitioned join over co-clustered graft-tx tables — the
+  * V2 KeyGroupedPartitioning face (`.option("partitionCol", c)`). */
+class SpjSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pread(root: String, c: String) =
+    spark.read.format("graft-tx").option("partitionCol", c).load(root)
+
+  private def shuffles(df: DataFrame): Int =
+    df.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange"))
+
+  private def withSpj[T](f: => T): T = {
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("co-partitioned join on the partition column has no Exchange") {
+    val rootA = tmpDir() + "/spj-a"
+    val rootB = tmpDir() + "/spj-b"
+    val a = (1L to 400L).map(k => (k, k % 7, s"a$k")).toDF("ka", "b", "va")
+    val bt = (1L to 300L).map(k => (k, k % 7, s"b$k")).toDF("kb", "b", "vb")
+    TxTable.appendPartitioned(a, rootA, "b")
+    TxTable.appendPartitioned(bt, rootB, "b")
+    withSpj {
+      val l = pread(rootA, "b")
+      val r = pread(rootB, "b")
+      val j = l.join(r, "b").groupBy("b")
+        .agg(count(lit(1)).as("cnt"), sum($"ka" + $"kb").as("s"))
+      info(j.queryExecution.executedPlan.toString.take(4000))
+      val expect = a.join(bt, "b").groupBy("b")
+        .agg(count(lit(1)).as("cnt"), sum($"ka" + $"kb").as("s"))
+        .collect().map(_.toSeq).sortBy(_.head.toString)
+      val got = j.collect().map(_.toSeq).sortBy(_.head.toString)
+      assert(got === expect)
+      assert(shuffles(j) === 0,
+        j.queryExecution.executedPlan.toString)
+    }
+  }
+
+  test("join keys superset of partition key still co-partitions") {
+    val rootA = tmpDir() + "/spj2-a"
+    val rootB = tmpDir() + "/spj2-b"
+    val a = (1L to 400L).map(k => (k, k % 5, k * 2)).toDF("k", "b", "va")
+    val bt = (1L to 350L).map(k => (k, k % 5, k * 3)).toDF("k", "b", "vb")
+    TxTable.appendPartitioned(a, rootA, "b")
+    TxTable.appendPartitioned(bt, rootB, "b")
+    withSpj {
+      spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      try {
+        val j = pread(rootA, "b").as("l")
+          .join(pread(rootB, "b").as("r"),
+            $"l.b" === $"r.b" && $"l.k" === $"r.k")
+          .select($"l.k", $"l.b", $"va", $"vb")
+        val expect = a.as("l").join(bt.as("r"),
+          $"l.b" === $"r.b" && $"l.k" === $"r.k")
+          .select($"l.k", $"l.b", $"va", $"vb")
+          .collect().map(_.toSeq).sortBy(_.head.toString)
+        val got = j.collect().map(_.toSeq).sortBy(_.head.toString)
+        assert(got === expect)
+        info(s"shuffles=${shuffles(j)}")
+        assert(shuffles(j) === 0, j.queryExecution.executedPlan.toString)
+      } finally
+        spark.conf.unset("spark.sql.requireAllClusterKeysForCoPartition")
+    }
+  }
+
+  test("mismatched partition value sets still join correctly") {
+    val rootA = tmpDir() + "/spj3-a"
+    val rootB = tmpDir() + "/spj3-b"
+    // A has buckets 0..6, B only 0..3 — push-down partition values
+    // must align the sides without wrong answers
+    val a = (1L to 140L).map(k => (k, k % 7)).toDF("ka", "b")
+    val bt = (1L to 80L).map(k => (k, k % 4)).toDF("kb", "b")
+    TxTable.appendPartitioned(a, rootA, "b")
+    TxTable.appendPartitioned(bt, rootB, "b")
+    withSpj {
+      val j = pread(rootA, "b").join(pread(rootB, "b"), "b")
+        .groupBy("b").agg(count(lit(1)).as("cnt"))
+      val expect = a.join(bt, "b").groupBy("b").agg(count(lit(1)).as("cnt"))
+        .collect().map(_.toSeq).sortBy(_.head.toString)
+      val got = j.collect().map(_.toSeq).sortBy(_.head.toString)
+      assert(got === expect)
+    }
+  }
+
+  test("pruned read without the partition column still serves") {
+    val root = tmpDir() + "/spj4"
+    val a = (1L to 100L).map(k => (k, k % 3, s"v$k")).toDF("k", "b", "v")
+    TxTable.appendPartitioned(a, root, "b")
+    val got = pread(root, "b").select("v").collect().map(_.getString(0)).toSet
+    assert(got === (1L to 100L).map(k => s"v$k").toSet)
+    // full content parity with the V1 face
+    val all = pread(root, "b").collect().map(_.toSeq).sortBy(_.head.toString)
+    val v1 = TxTable.read(spark, root).select("k", "b", "v")
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(all === v1)
+  }
+
+  test("partition-column filters prune scan partitions at planning") {
+    val root = tmpDir() + "/spj6"
+    val a = (1L to 120L).map(k => (k, k % 6)).toDF("k", "b")
+    TxTable.appendPartitioned(a, root, "b")
+    val one = pread(root, "b").filter($"b" === 3)
+    assert(one.rdd.getNumPartitions === 1,
+      s"expected 1 scan partition, got ${one.rdd.getNumPartitions}")
+    assert(one.count() === 20)
+    val range = pread(root, "b").filter($"b" >= 2 && $"b" < 5)
+    assert(range.rdd.getNumPartitions === 3)
+    assert(range.count() === 60)
+    // non-partition filters prune nothing and lose nothing
+    val other = pread(root, "b").filter($"k" <= 10)
+    assert(other.rdd.getNumPartitions === 6)
+    assert(other.count() === 10)
+  }
+
+  test("groupBy the partition column aggregates without a shuffle") {
+    val root = tmpDir() + "/spj7"
+    val a = (1L to 200L).map(k => (k, k % 4)).toDF("k", "b")
+    TxTable.appendPartitioned(a, root, "b")
+    withSpj {
+      val g = pread(root, "b").groupBy("b").agg(sum($"k").as("s"))
+      assert(shuffles(g) === 0, g.queryExecution.executedPlan.toString)
+      val got = g.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val expect = a.groupBy("b").agg(sum($"k"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got === expect)
+    }
+  }
+
+  test("non-clustered tables fail loudly, never wrong") {
+    val root = tmpDir() + "/spj5"
+    TxTable.append((1L to 50L).map(k => (k, k % 3)).toDF("k", "b"), root,
+      statsCols = Seq("b"))
+    val e = intercept[Exception] {
+      pread(root, "b").collect()
+    }
+    assert(e.getMessage.contains("partition-clustered") ||
+      Option(e.getCause).exists(_.getMessage.contains("partition-clustered")),
+      e.toString)
+  }
+}
