@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning, V1Scan}
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsRuntimeFiltering, V1Scan}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset => V2Offset}
 import org.apache.spark.sql.connector.write.{DataWriter, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
@@ -684,7 +685,8 @@ class TxSpjScanBuilder(root: String, fullSchema: StructType,
 class TxSpjScan(spark: SparkSession, root: String, version: Int,
   partCol: String, outSchema: StructType,
   partPred: Long => Boolean = _ => true)
-  extends Scan with Batch with SupportsReportPartitioning {
+  extends Scan with Batch with SupportsReportPartitioning
+  with SupportsRuntimeFiltering {
 
   private lazy val (slices, colMap) = {
     val (all, m) =
@@ -695,6 +697,28 @@ class TxSpjScan(spark: SparkSession, root: String, version: Int,
             "is single-valued and null-free on the column — " +
             "appendPartitioned produces exactly that layout)"))
     (all.filter { case (v, _) => partPred(v) }, m)
+  }
+
+  // DYNAMIC partition pruning: a join against a FILTERED dim hands
+  // the dim's surviving keys here at runtime (Spark's DPP subquery),
+  // and whole fact partitions drop before a single file opens — the
+  // date-dim → date-partitioned-fact shape at 100 TB. Only an IN on
+  // the partition column prunes; anything else is a sound no-op
+  // (Spark always re-evaluates the join itself).
+  @volatile private var runtimeKeep: Option[Set[Long]] = None
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column(partCol))
+  override def filter(filters: Array[Filter]): Unit = {
+    val keeps = filters.collect {
+      case In(c, vs) if c == partCol &&
+        vs.forall(_.isInstanceOf[Number]) =>
+        vs.map(_.asInstanceOf[Number].longValue).toSet
+    }
+    if (keeps.nonEmpty) runtimeKeep = Some(keeps.reduce(_ intersect _))
+  }
+  private def liveSlices: Seq[(Long, Seq[String])] = runtimeKeep match {
+    case Some(keep) => slices.filter { case (v, _) => keep(v) }
+    case None => slices
   }
 
   override def readSchema(): StructType = outSchema
@@ -708,7 +732,7 @@ class TxSpjScan(spark: SparkSession, root: String, version: Int,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val dt = outSchema(partCol).dataType
-    slices.map { case (v, files) =>
+    liveSlices.map { case (v, files) =>
       val key: Any = dt match {
         case org.apache.spark.sql.types.IntegerType => v.toInt
         case org.apache.spark.sql.types.ShortType => v.toShort

@@ -142,6 +142,49 @@ class SpjSpec extends SparkSpec {
     }
   }
 
+  test("dynamic partition pruning: a filtered dim prunes fact partitions") {
+    val root = tmpDir() + "/spj8"
+    // fact: 10 partitions; dim: tiny, filtered to 2 surviving keys
+    val fact = (1L to 500L).map(k => (k, k % 10)).toDF("k", "b")
+    TxTable.appendPartitioned(fact, root, "b")
+    // the dim must be FILE-backed: a LocalRelation dim constant-folds
+    // its filter away and DPP has no selective predicate to key on
+    val dimPath = tmpDir() + "/spj8-dim"
+    (0L to 9L).map(b => (b, if (b < 2) "keep" else "drop"))
+      .toDF("db", "tag").write.parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    // AQE off so the physical plan is directly introspectable
+    val prev = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val f = pread(root, "b")
+      val j = f.join(broadcast(dim.filter($"tag" === "keep")), $"b" === $"db")
+        .agg(count(lit(1)).as("cnt"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning"), plan)
+      // collect() executes THIS queryExecution's plan (head() would
+      // build a separate limited plan, leaving this one unexecuted
+      // and its DPP subquery results unpopulated)
+      assert(j.collect().map(_.getLong(0)).toSeq === Seq(100L))
+      // and the runtime-filtered scan actually dropped partitions
+      val scans = j.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b
+      }
+      assert(scans.nonEmpty)
+      // the scan reports KeyGroupedPartitioning, so Spark keeps the
+      // partition COUNT aligned with the original key set (pruned
+      // groups become empty) — the proof of pruning is rows read:
+      // 100 from the two surviving partitions, not the table's 500
+      assert(scans.head.metrics("numOutputRows").value === 100L,
+        s"expected the scan to read only the 2 surviving partitions " +
+          s"(100 rows), read ${scans.head.metrics("numOutputRows").value}")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+      case None => spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
   test("non-clustered tables fail loudly, never wrong") {
     val root = tmpDir() + "/spj5"
     TxTable.append((1L to 50L).map(k => (k, k % 3)).toDF("k", "b"), root,
