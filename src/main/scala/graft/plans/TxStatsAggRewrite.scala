@@ -57,15 +57,31 @@ object TxStatsAggRewrite extends Rule[LogicalPlan] {
       }).getOrElse(agg)
   }
 
+  /** The table identity the commit stats answer for. */
+  private case class RelInfo(spark: org.apache.spark.sql.SparkSession,
+    root: String, version: Int)
+
   /** The graft-tx relation under the aggregate — allowing only
     * attribute-pruning Projects between them (a Filter or computed
-    * projection means stats no longer describe the input). */
-  private def relOf(p: LogicalPlan): Option[graft.sources.TxRelation] =
+    * projection means stats no longer describe the input). Matches
+    * all three batch faces: the V1 path relation, catalog tables, and
+    * the storage-partitioned face (the latter two pre-pushdown as
+    * DataSourceV2Relation — extended operator-optimization rules run
+    * before V2 scan pushdown). */
+  private def relOf(p: LogicalPlan): Option[RelInfo] =
     p match {
       case l: LogicalRelation => l.relation match {
-        case t: graft.sources.TxRelation if !t.rowRestricted => Some(t)
+        case t: graft.sources.TxRelation if !t.rowRestricted =>
+          Some(RelInfo(t.spark, t.root, t.metadataVersion))
         case _ => None
       }
+      case d: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        d.table match {
+          case t: graft.sources.TxMetaAggTable if !t.metaRowRestricted =>
+            val s = org.apache.spark.sql.SparkSession.active
+            Some(RelInfo(s, t.metaRoot, t.metaVersion(s)))
+          case _ => None
+        }
       case Project(ps, c) if ps.forall(_.isInstanceOf[AttributeReference]) =>
         relOf(c)
       case _ => None
@@ -103,13 +119,13 @@ object TxStatsAggRewrite extends Rule[LogicalPlan] {
     shapes.collect { case MinOf(c, _) => c case MaxOf(c, _) => c }.distinct
 
   private def scalarRewrite(agg: Aggregate,
-    rel: graft.sources.TxRelation): Option[LogicalPlan] = {
+    rel: RelInfo): Option[LogicalPlan] = {
     val shapes0 = agg.aggregateExpressions.map(aggShape)
     if (shapes0.isEmpty || shapes0.exists(_.isEmpty)) return None
     val shapes = shapes0.map(_.get)
     val cols = statCols(shapes)
     graft.sources.TxTable
-      .metadataAgg(rel.spark, rel.root, rel.metadataVersion, cols)
+      .metadataAgg(rel.spark, rel.root, rel.version, cols)
       .filter { case (_, ranges) => cols.forall(ranges.contains) }
       .map { case (total, ranges) =>
         val row = InternalRow.fromSeq(shapes.map {
@@ -123,7 +139,7 @@ object TxStatsAggRewrite extends Rule[LogicalPlan] {
   }
 
   private def groupedRewrite(agg: Aggregate, g: AttributeReference,
-    rel: graft.sources.TxRelation): Option[LogicalPlan] = {
+    rel: RelInfo): Option[LogicalPlan] = {
     def shape(e: NamedExpression): Option[Shape] = e match {
       case a: AttributeReference if a.exprId == g.exprId => Some(GroupKey)
       case Alias(a: AttributeReference, _) if a.exprId == g.exprId =>
@@ -135,7 +151,7 @@ object TxStatsAggRewrite extends Rule[LogicalPlan] {
     val shapes = shapes0.map(_.get)
     val cols = statCols(shapes)
     graft.sources.TxTable
-      .metadataGroupedAgg(rel.spark, rel.root, rel.metadataVersion,
+      .metadataGroupedAgg(rel.spark, rel.root, rel.version,
         g.name, cols)
       .filter(_.forall { case (_, _, ranges) => cols.forall(ranges.contains) })
       .map { groups =>

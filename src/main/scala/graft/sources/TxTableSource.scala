@@ -519,6 +519,37 @@ class GraftTxTable(tableSchema: StructType, root: String,
     new TxWriteBuilder(root, info)
 }
 
+/** V2 graft-tx tables whose commit metadata can answer aggregates —
+  * the hook `plans.TxStatsAggRewrite` uses to serve count/min/max
+  * over CATALOG tables and the storage-partitioned face from stats,
+  * exactly as it does over the path-based V1 relation. */
+private[graft] trait TxMetaAggTable {
+  private[graft] def metaRoot: String
+  private[graft] def metaOptions: CaseInsensitiveStringMap
+  /** Pinned version for metadata answers (same resolution as a scan). */
+  private[graft] def metaVersion(spark: SparkSession): Int = {
+    val v = Option(metaOptions.get("versionAsOf"))
+    val ts = Option(metaOptions.get("timestampAsOf"))
+    (v, ts) match {
+      case (Some(x), _) => x.toInt
+      case (None, Some(t)) =>
+        TxTable.versionAt(spark, metaRoot, TxTableSource.parseTs(t))
+      case _ => -1
+    }
+  }
+  /** Row-restricting reader options veto whole-table stats. */
+  private[graft] def metaRowRestricted: Boolean = {
+    val it = metaOptions.keySet().iterator()
+    var restricted = false
+    while (it.hasNext) {
+      val k = it.next().toLowerCase
+      if (k == "keyrange" || k.startsWith("colrange.") ||
+        k.startsWith("strrange.")) restricted = true
+    }
+    restricted
+  }
+}
+
 /** The session catalog's face of a `graft-tx` root (`CREATE TABLE t
   * USING graft-tx OPTIONS (path ...)`): Spark 4 loads catalog tables
   * of any TableProvider through DataSourceV2, so this Table advertises
@@ -530,10 +561,12 @@ class GraftTxTable(tableSchema: StructType, root: String,
   * path face. */
 class GraftTxCatalogTable(tableSchema: StructType, root: String,
   options: CaseInsensitiveStringMap)
-  extends Table with SupportsRead {
+  extends Table with SupportsRead with TxMetaAggTable {
 
   override def name(): String = s"graft-tx $root"
   override def schema(): StructType = tableSchema
+  private[graft] def metaRoot: String = root
+  private[graft] def metaOptions: CaseInsensitiveStringMap = options
 
   override def capabilities(): java.util.Set[TableCapability] = {
     val caps = new java.util.HashSet[TableCapability]
@@ -603,7 +636,7 @@ class TxCatalogScanBuilder(root: String, fullSchema: StructType,
   * Spark internals, Connect-safe. */
 class GraftTxSpjTable(tableSchema: StructType, root: String,
   options: CaseInsensitiveStringMap)
-  extends Table with SupportsRead {
+  extends Table with SupportsRead with TxMetaAggTable {
 
   private val partCol = options.get("partitionCol")
   require(tableSchema.fieldNames.contains(partCol),
@@ -612,6 +645,8 @@ class GraftTxSpjTable(tableSchema: StructType, root: String,
 
   override def name(): String = s"graft-tx $root [pby $partCol]"
   override def schema(): StructType = tableSchema
+  private[graft] def metaRoot: String = root
+  private[graft] def metaOptions: CaseInsensitiveStringMap = options
   override def partitioning(): Array[Transform] =
     Array(Expressions.identity(partCol))
 
