@@ -103,6 +103,11 @@ object Bench {
           case e: Throwable =>
             seen += -1.0
             lastErr = e.toString.replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+            // A query that succeeded ONCE never reaches `errors`, so a
+            // retry-only failure (e.g. stale state poisoning re-runs in
+            // one JVM) would be invisible but for this log line — r10's
+            // commit-cache bug hid behind exactly that silence.
+            System.err.println(s"[bench] $name try ${tries + 1} failed: $e")
         }
         tries += 1
         // operators that persist() intermediates would otherwise stack

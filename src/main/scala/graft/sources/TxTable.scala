@@ -56,25 +56,38 @@ object TxTable {
   }
 
   /** Commit files are IMMUTABLE once claimed (create-no-overwrite /
-    * hard-link), so their lines cache by path for the life of the
-    * JVM — one snapshot plan consults the same file for entries,
-    * keys, stats columns and the column map, and a multi-version
-    * operation (changes, history) re-reads each version repeatedly;
-    * without this every consult is a small-file round trip, which on
-    * an object store is a metadata tax per query. Reads of a
-    * vacuumed version fail at data-dir open instead of here — same
-    * outcome, one error later. */
+    * hard-link), so their lines cache for the life of the JVM — one
+    * snapshot plan consults the same file for entries, keys, stats
+    * columns and the column map, and a multi-version operation
+    * (changes, history) re-reads each version repeatedly; without
+    * this every consult is a small-file CONTENT round trip, which on
+    * an object store is a per-query tax. But a path is NOT a table
+    * identity: dropping and recreating a table at a stable path
+    * (Scratch.freshRoot, any drop-and-rebuild staging lifecycle)
+    * reuses version-numbered commit paths, and a path-keyed hit would
+    * serve the OLD table's entry lines — stale data-dir UUIDs,
+    * PATH_NOT_FOUND at best, silently reading the old snapshot at
+    * worst. So every hit is validated against the file's current
+    * FileStatus (mtime + length): one metadata RPC, no content read —
+    * still the cheap path versus open+read, and a recreated commit
+    * file (new mtime) re-reads instead of serving the ghost. Reads of
+    * a vacuumed version fail at getFileStatus with the same
+    * FileNotFound the uncached path would raise. */
+  private final case class CachedLines(mtime: Long, len: Long,
+    lines: Seq[String])
   private val commitCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+    new java.util.concurrent.ConcurrentHashMap[String, CachedLines]()
   private def commitLines(fs: FileSystem, rp: Path, v: Int): Seq[String] = {
     val p = commitPath(rp, v)
     val key = p.makeQualified(fs.getUri, fs.getWorkingDirectory).toString
+    val st = fs.getFileStatus(p)
     val c = commitCache.get(key)
-    if (c != null) c
+    if (c != null && c.mtime == st.getModificationTime &&
+      c.len == st.getLen) c.lines
     else {
       val ls = readFileUtf8(fs, p).split("\n").toSeq
       if (commitCache.size >= 8192) commitCache.clear()
-      commitCache.putIfAbsent(key, ls)
+      commitCache.put(key, CachedLines(st.getModificationTime, st.getLen, ls))
       ls
     }
   }
@@ -176,21 +189,26 @@ object TxTable {
     * Expansion is one level deep and order-preserving, so delta
     * resolution order (MoR) is untouched. */
   private val manifestDirName = "_manifests"
-  /** Immutable-manifest read cache (qualified path → entry lines). */
+  /** Immutable-manifest read cache (qualified path → entry lines).
+    * Validated per hit by FileStatus like [[commitCache]] — manifest
+    * uuids make a content collision unlikely, but a recreated table
+    * must never serve the old table's metadata. */
   private val manifestCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+    new java.util.concurrent.ConcurrentHashMap[String, CachedLines]()
   private def manifestLines(fs: FileSystem, rp: Path,
     rel: String): Seq[String] = {
     val p = new Path(rp, rel)
     val key = p.makeQualified(fs.getUri, fs.getWorkingDirectory).toString
+    val st = fs.getFileStatus(p)
     val cached = manifestCache.get(key)
-    if (cached != null) cached
+    if (cached != null && cached.mtime == st.getModificationTime &&
+      cached.len == st.getLen) cached.lines
     else {
       val ls = readFileUtf8(fs, p).split("\n").toSeq.filter(_.nonEmpty)
       // soft cap: a long-lived driver session touching many tables
       // must not accumulate manifest text without bound
       if (manifestCache.size >= 4096) manifestCache.clear()
-      manifestCache.putIfAbsent(key, ls)
+      manifestCache.put(key, CachedLines(st.getModificationTime, st.getLen, ls))
       ls
     }
   }
@@ -722,6 +740,21 @@ object TxTable {
     * broadcastable join silently becomes a shuffle. */
   private def statsEntry(spark: SparkSession, rp: Path, dirName: String,
     statsCols: Seq[String], isDelta: Boolean = false): Entry = {
+    // The stats-line grammar is only unambiguous when no user column
+    // can FORGE a reserved segment: a column literally named "n,k"
+    // would write k's null-count stat, "str:k" k's string bounds,
+    // "_rows"/"_bytes" the row/byte pseudo-columns — and a forged
+    // null-count of 0 makes the metadata-only GROUP BY treat a
+    // NULL-bearing dir as null-free (wrong results, not an error).
+    // toPhysical enforces this on column-mapped tables; this is the
+    // chokepoint every OTHER write path's stats/key columns funnel
+    // through, so enforce it here too.
+    statsCols.foreach { c =>
+      require(validColName(c) && !c.startsWith("str:") &&
+        c != rowsKey && c != bytesKey,
+        s"txtable: invalid stats/key column name '$c' (empty, " +
+          "reserved character, or reserved stats-grammar name)")
+    }
     val (n, s) = dirStats(spark, rp, dirName, statsCols)
     val fs = rp.getFileSystem(spark.sessionState.newHadoopConf())
     val bytes = fs.getContentSummary(new Path(rp, dirName)).getLength
@@ -905,8 +938,10 @@ object TxTable {
       val out = fs.create(p, false)
       try out.write((body.mkString("\n") + "\n").getBytes("UTF-8"))
       finally out.close()
-      manifestCache.putIfAbsent(
-        p.makeQualified(fs.getUri, fs.getWorkingDirectory).toString, body)
+      val st = fs.getFileStatus(p)
+      manifestCache.put(
+        p.makeQualified(fs.getUri, fs.getWorkingDirectory).toString,
+        CachedLines(st.getModificationTime, st.getLen, body))
       val keep = tailIdx.toSet
       val first = tailIdx.head
       val packed = cur.zipWithIndex.flatMap { case (l, i) =>
@@ -927,6 +962,13 @@ object TxTable {
       .getOption("spark.graft.manifestRollover").map(_.toInt).getOrElse(256)
     var stagedManifests: Seq[String] = Seq.empty
     var attempt = 0
+    // Any abnormal exit (non-retryable claim failure, exhausted
+    // retries, a content-builder throw) leaves the last attempt's
+    // staged manifests unreferenced — delete them on the way out
+    // instead of leaking until vacuum's orphan sweep. A SUCCESSFUL
+    // claim returns from inside the try and skips the catch: its
+    // staged manifests are referenced by the committed version.
+    try {
     while (attempt <= maxRetries) {
       // a lost race re-packs against the NEW parent; this attempt's
       // staged manifests are unreferenced — drop, don't leak
@@ -995,6 +1037,14 @@ object TxTable {
     }
     throw new IllegalStateException(
       s"txtable: commit to $root failed after $maxRetries conflicts")
+    } catch {
+      case e: Throwable =>
+        stagedManifests.foreach { m =>
+          try fs.delete(new Path(rp, m), false)
+          catch { case _: Throwable => () }
+        }
+        throw e
+    }
   }
 
   /** Append `df` as a new snapshot (previous data retained).

@@ -973,37 +973,92 @@ class TxStreamingWrite(root: String, info: LogicalWriteInfo,
   // first already loaded would find its epoch ids <= the committed tag
   // and be silently dropped — data loss, not idempotence. Detect the
   // collision instead of guessing: an owner marker records which query
-  // currently holds the anonymous lineage, and a DIFFERENT query
-  // finding both the marker and a committed "default" tag fails loudly
-  // (set queryName or checkpointLocation to give each stream its own
-  // lineage). A marker-less table with committed tags stays writable —
-  // that is precisely the V1→DSv2 upgrade resuming its own lineage.
+  // currently holds the anonymous lineage. The marker is claimed
+  // ATOMICALLY (create-no-overwrite; hard-link on file:, the same
+  // claim discipline as the commit log) — a check-then-act overwrite
+  // would let two anonymous streams that both start before either
+  // commits a batch BOTH pass the guard, and the loser's epochs would
+  // then be silently dropped by replay protection, the exact loss the
+  // guard exists to detect. Ownership is re-verified on EVERY epoch
+  // commit, so a stream whose lineage was taken over dies loudly at
+  // its next commit instead of silently losing data. A marker-less
+  // table with committed tags stays claimable — that is precisely the
+  // V1→DSv2 upgrade resuming its own lineage.
+  private def ownerMarkerPath = new org.apache.hadoop.fs.Path(
+    s"$root/_staging/_default_owner")
+  private def readOwner(fs: org.apache.hadoop.fs.FileSystem): Option[String] =
+    if (!fs.exists(ownerMarkerPath)) None
+    else {
+      val in = fs.open(ownerMarkerPath)
+      try Some(new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim)
+      finally in.close()
+    }
+  /** Atomic create-no-overwrite of `p` with `body`; true iff claimed.
+    * Local filesystems claim via link(2) (Hadoop's RawLocalFileSystem
+    * create(overwrite=false) is check-then-act — two racers can both
+    * pass); HDFS-class filesystems claim at the namenode. */
+  private def atomicClaim(fs: org.apache.hadoop.fs.FileSystem,
+    p: org.apache.hadoop.fs.Path, body: Array[Byte]): Boolean =
+    if (fs.getScheme == "file") {
+      val dst = java.nio.file.Paths.get(p.toUri.getPath)
+      java.nio.file.Files.createDirectories(dst.getParent)
+      val tmp = java.nio.file.Files.createTempFile(
+        dst.getParent, ".owner-", ".tmp")
+      try {
+        java.nio.file.Files.write(tmp, body)
+        java.nio.file.Files.createLink(dst, tmp)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      } finally java.nio.file.Files.deleteIfExists(tmp)
+    } else {
+      try {
+        fs.mkdirs(p.getParent)
+        val out = fs.create(p, false)
+        try out.write(body) finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case e: java.io.IOException => if (fs.exists(p)) false else throw e
+      }
+    }
+  private def collisionError(owner: String): Nothing =
+    throw new IllegalStateException(
+      s"graft-tx sink: a different anonymous stream (query $owner) " +
+        s"holds the shared 'default' replay lineage of $root; this " +
+        "query's epochs would be silently dropped. Set .queryName(...) " +
+        "or .option(\"checkpointLocation\", ...) to give each stream " +
+        "its own replay-protection lineage")
   private lazy val defaultLineageGuard: Unit = if (explicitId.isEmpty) {
     val spark = SparkSession.active
     val qid = info.queryId()
-    val p = new org.apache.hadoop.fs.Path(
-      s"$root/_staging/_default_owner")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val owner =
-      if (!fs.exists(p)) None
-      else {
-        val in = fs.open(p)
-        try Some(new String(
-          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim)
-        finally in.close()
-      }
+    val fs = ownerMarkerPath
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val owner = readOwner(fs)
     if (owner.exists(_ != qid) &&
       TxTable.hasStreamTag(spark, root, "default"))
-      throw new IllegalStateException(
-        s"graft-tx sink: a different anonymous stream (query ${owner.get}) " +
-          s"already committed batches to $root under the shared 'default' " +
-          "replay lineage; this query's epochs would be silently dropped. " +
-          "Set .queryName(...) or .option(\"checkpointLocation\", ...) to " +
-          "give each stream its own replay-protection lineage")
+      collisionError(owner.get)
     if (!owner.contains(qid)) {
-      val out = fs.create(p, true)
-      try out.write(qid.getBytes("UTF-8")) finally out.close()
+      // a stale marker (claimer died before committing) may be taken
+      // over: delete + atomic re-claim — of two racing takeovers
+      // exactly one link succeeds; the loser re-reads and dies loudly
+      owner.foreach(_ => fs.delete(ownerMarkerPath, false))
+      if (!atomicClaim(fs, ownerMarkerPath, qid.getBytes("UTF-8"))) {
+        val now = readOwner(fs)
+        if (!now.contains(qid)) collisionError(now.getOrElse("<unknown>"))
+      }
     }
+  }
+  /** Per-commit ownership re-check for the shared anonymous lineage
+    * (no-op for explicitly-identified streams). */
+  private def verifyDefaultOwnership(): Unit = if (explicitId.isEmpty) {
+    val spark = SparkSession.active
+    val fs = ownerMarkerPath
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val owner = readOwner(fs)
+    if (!owner.contains(info.queryId()))
+      collisionError(owner.getOrElse("<unclaimed>"))
   }
 
   private def stagingDir(epochId: Long) =
@@ -1020,6 +1075,7 @@ class TxStreamingWrite(root: String, info: LogicalWriteInfo,
   override def commit(epochId: Long,
     messages: Array[WriterCommitMessage]): Unit = {
     defaultLineageGuard
+    verifyDefaultOwnership()
     val spark = SparkSession.active
     val files = messages.collect {
       case TxCommitMessage(p, n) if p != null && n > 0 => p

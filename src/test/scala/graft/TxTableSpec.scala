@@ -1693,6 +1693,50 @@ class TxTableSpec extends SparkSpec {
     }
   }
 
+  test("drop-and-recreate at the same path never serves stale cached commits") {
+    import spark.implicits._
+    // Scratch.freshRoot's lifecycle: delete + rebuild a table at a
+    // STABLE path in one JVM. The commit cache must not serve the old
+    // table's entry lines (stale data-dir uuids → PATH_NOT_FOUND, or
+    // worse, silently reading the dropped snapshot) — r10's 21-query
+    // re-invocation crash.
+    val root = tmpDir() + "/tx-recreate"
+    val rp = new org.apache.hadoop.fs.Path(root)
+    val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (1 to 2).foreach { round =>
+      fs.delete(rp, true)
+      // keyed MoR lifecycle — the exact shape of the crashing gate
+      // queries (append + delta + read resolves both commit files)
+      TxTable.append(Seq((1L, round * 10.0)).toDF("k", "v"), root,
+        statsCols = Seq("k"))
+      TxTable.mergeDelta(spark, root,
+        Seq((2L, "I", round * 20.0, 1L)).toDF("k", "op", "v", "seq"),
+        keyCols = Seq("k"))
+      val got = TxTable.read(spark, root).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got === Map(1L -> round * 10.0, 2L -> round * 20.0),
+        s"round $round read back the wrong table state")
+    }
+  }
+
+  test("stats/key names cannot forge the stats-line grammar") {
+    import spark.implicits._
+    // a column literally named "str:k" / "_rows" / "n,k" would write
+    // stat segments indistinguishable from reserved ones — e.g. a
+    // forged null-count 0 makes the metadata-only GROUP BY treat a
+    // NULL-bearing dir as null-free. Reject them at the write chokepoint.
+    Seq("str:k", "_rows", "_bytes", "n,k").foreach { bad =>
+      val root = tmpDir() + s"/tx-forge-${bad.hashCode.toHexString}"
+      val df = Seq((1L, 2L)).toDF("k", "v").withColumnRenamed("v", bad)
+      val e = intercept[IllegalArgumentException] {
+        TxTable.append(df, root, statsCols = Seq(bad))
+      }
+      assert(e.getMessage.contains("invalid stats/key column name"))
+      assert(TxTable.latestVersion(spark, root) === 0,
+        s"rejected stats column '$bad' must leave no commit behind")
+    }
+  }
+
   test("auto-extended colmap names are validated before any commit") {
     import spark.implicits._
     val root = tmpDir() + "/tx-colmap-valid"
