@@ -1964,25 +1964,187 @@ object TxTable {
     * unpruned until the next build. One maintenance pass per new dir:
     * a metadata-only row count (parquet footers) + one bloom
     * aggregation scan. Returns the number of dirs newly indexed. */
+  /** Parquet footer schema per dir (first data file's), probed with
+    * parquet-mr on a bounded driver thread pool — a footer read per
+    * dir, never a Spark job (`spark.read.parquet(...).schema` launches
+    * a footer-inference JOB per call, which is exactly the per-dir
+    * serial-job scaling this path exists to avoid). Serial probing at
+    * 10k dirs is a 10k-round-trip tail on an object store; 16-way
+    * overlap keeps index maintenance metadata-bound, not
+    * latency-bound. Dirs with no data file are omitted. */
+  private def dirSchemas(spark: SparkSession, rp: Path, dirs: Seq[String])
+    : Map[String, org.apache.parquet.schema.MessageType] = {
+    if (dirs.isEmpty) return Map.empty
+    val conf = spark.sessionState.newHadoopConf()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, dirs.size))
+    try {
+      import scala.jdk.CollectionConverters._
+      val tasks: Seq[java.util.concurrent.Callable[
+        Option[(String, org.apache.parquet.schema.MessageType)]]] =
+        dirs.map { d =>
+          () => {
+            val fs = rp.getFileSystem(conf)
+            def firstFile(p: Path): Option[Path] = {
+              val (ds, fsx) = fs.listStatus(p).partition(_.isDirectory)
+              fsx.map(_.getPath).find { f =>
+                val n = f.getName
+                n.endsWith(".parquet") && !n.startsWith("_") &&
+                  !n.startsWith(".")
+              }.orElse(ds.map(_.getPath).sortBy(_.getName)
+                .iterator.flatMap(firstFile(_).iterator).nextOption())
+            }
+            firstFile(new Path(rp, d)).map { f =>
+              val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+                org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+              try d -> r.getFileMetaData.getSchema finally r.close()
+            }
+          }
+        }
+      pool.invokeAll(tasks.asJava).asScala.flatMap(_.get()).toMap
+    } finally pool.shutdown()
+  }
+
+  /** Spark read type for a bloom-indexable parquet field: integrals
+    * and strings only (the types the probe-side `mightContain`
+    * dispatch and `df.stat.bloomFilter` agree on). */
+  private def bloomableType(schema: org.apache.parquet.schema.MessageType,
+    colName: String): Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.spark.sql.types._
+    if (!schema.containsField(colName)) return None
+    schema.getType(schema.getFieldIndex(colName)) match {
+      case p: org.apache.parquet.schema.PrimitiveType =>
+        (p.getPrimitiveTypeName, p.getLogicalTypeAnnotation) match {
+          case (INT64, null) => Some(LongType)
+          case (INT64, l: LogicalTypeAnnotation.IntLogicalTypeAnnotation)
+            if l.isSigned => Some(LongType)
+          case (INT32, null) => Some(IntegerType)
+          case (INT32, l: LogicalTypeAnnotation.IntLogicalTypeAnnotation)
+            if l.isSigned =>
+            Some(l.getBitWidth match {
+              case 8 => ByteType
+              case 16 => ShortType
+              case _ => IntegerType
+            })
+          case (BINARY, _: LogicalTypeAnnotation.StringLogicalTypeAnnotation)
+            => Some(StringType)
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
   def buildBloomIndex(spark: SparkSession, root: String, colName: String,
     fpp: Double = 0.01): Int = {
+    import org.apache.spark.sql.types._
     val (fs, rp) = fsFor(spark, root)
     val v = latestVersion(spark, root)
-    var built = 0
-    snapshotEntries(fs, rp, v).foreach { e =>
-      val out = bloomPath(rp, e.dir, colName)
-      if (!fs.exists(out)) {
-        val df = spark.read.parquet(new Path(rp, e.dir).toString)
-        if (df.columns.contains(colName)) {
-          val n = math.max(df.count(), 1L)
-          val bf = df.stat.bloomFilter(colName, n, fpp)
-          val os = fs.create(out, true)
-          try bf.writeTo(os) finally os.close()
-          built += 1
-        }
+    val pending = snapshotEntries(fs, rp, v)
+      .filter(e => !fs.exists(bloomPath(rp, e.dir, colName)))
+    if (pending.isEmpty) return 0
+    // Every dir's filter is built in ONE distributed pass (the old
+    // per-dir `count(); stat.bloomFilter` loop was 2 SERIAL Spark
+    // jobs per dir — 20k jobs at 10k dirs, the job-count scaling bug
+    // appendPartitioned already fixed for writes):
+    //  * each filter is sized from the `_rows` stat already in the
+    //    commit line — no count job at all for post-stats tables;
+    //    dirs predating row stats share ONE grouped count job;
+    //  * one multi-path scan (explicit single-column read schema, so
+    //    the scan is column-pruned regardless of each dir's width)
+    //    builds per-dir filters map-side and merges them per dir —
+    //    job count is O(1) in the number of dirs;
+    //  * filters are written to the index from the EXECUTORS (bloom
+    //    files are dir-keyed and idempotent), so no filter ever
+    //    transits the driver — 10k dirs × multi-MB filters stay
+    //    distributed end to end.
+    val schemas = dirSchemas(spark, rp, pending.map(_.dir))
+    def colType(d: String): Option[DataType] =
+      schemas.get(d).flatMap(bloomableType(_, colName))
+    val eligible = pending.filter(e => colType(e.dir).isDefined)
+    if (eligible.isEmpty) return 0
+    // scheme-less dir URI path -> dir name; files resolve to their
+    // entry dir by walking parent paths (entry dirs may hold partition
+    // subdirs). Keying on the bare URI path sidesteps the
+    // `file:///x` (input_file_name) vs `file:/x` (Path.toString)
+    // rendering mismatch.
+    val dirPathOf = eligible.map { e =>
+      new Path(rp, e.dir).makeQualified(fs.getUri, fs.getWorkingDirectory)
+        .toUri.getPath -> e.dir
+    }.toMap
+    val bcDirs = spark.sparkContext.broadcast(dirPathOf)
+    val toDir = udf { f: String =>
+      var p =
+        try {
+          val u = new java.net.URI(f)
+          if (u.getPath != null && u.getPath.nonEmpty) u.getPath else f
+        } catch { case _: java.net.URISyntaxException => f }
+      var res: String = null
+      while (res == null && p.lastIndexOf('/') > 0) {
+        p = p.substring(0, p.lastIndexOf('/'))
+        res = bcDirs.value.getOrElse(p, null)
       }
+      res
     }
-    built
+    def tagged(dirs: Seq[String]): DataFrame =
+      dirs.groupBy(d => colType(d).get).map { case (dt, ds) =>
+        val isStr = dt == StringType
+        spark.read.schema(StructType(Seq(StructField(colName, dt))))
+          .parquet(ds.map(d => new Path(rp, d).toString): _*)
+          .select(toDir(input_file_name()).as("_dir"),
+            (if (isStr) col(colName)
+             else lit(null).cast("string")).as("_vs"),
+            (if (isStr) lit(null).cast("long")
+             else col(colName).cast("long")).as("_vl"))
+      }.reduce(_.unionByName(_))
+    val stated = eligible.flatMap(e =>
+      e.stats.get(rowsKey).map(s => e.dir -> s._1)).toMap
+    val statless = eligible.map(_.dir).filterNot(stated.contains)
+    val counted: Map[String, Long] =
+      if (statless.isEmpty) Map.empty
+      else tagged(statless).groupBy("_dir").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = eligible.map(e => e.dir ->
+      math.max((stated ++ counted).getOrElse(e.dir, 1L), 1L)).toMap
+    val bcExp = spark.sparkContext.broadcast(expected)
+    val fppL = fpp
+    val merged = tagged(eligible.map(_.dir)).rdd.mapPartitions { it =>
+      val acc = new scala.collection.mutable.HashMap[String,
+        org.apache.spark.util.sketch.BloomFilter]()
+      it.foreach { r =>
+        val d = r.getString(0)
+        val bf = acc.getOrElseUpdate(d, org.apache.spark.util.sketch
+          .BloomFilter.create(bcExp.value(d), fppL))
+        if (!r.isNullAt(1)) bf.putString(r.getString(1))
+        else if (!r.isNullAt(2)) bf.putLong(r.getLong(2))
+      }
+      acc.iterator
+    }.reduceByKey((a, b) => { a.mergeInPlace(b); a },
+      math.max(1, eligible.size))
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val rootStr = rp.toString
+    val colL = colName
+    val written = merged.mapPartitions { it =>
+      val rpL = new Path(rootStr)
+      val fsL = rpL.getFileSystem(conf.value)
+      it.map { case (d, bf) =>
+        val os = fsL.create(bloomPath(rpL, d, colL), true)
+        try bf.writeTo(os) finally os.close()
+        d
+      }
+    }.collect().toSet
+    // dirs with zero rows still get an empty filter: probes never
+    // match → pruned, exactly what the old per-dir build produced
+    val empty = eligible.map(_.dir).filterNot(written)
+    empty.foreach { d =>
+      val os = fs.create(bloomPath(rp, d, colName), true)
+      try org.apache.spark.util.sketch.BloomFilter
+        .create(expected(d), fppL).writeTo(os)
+      finally os.close()
+    }
+    written.size + empty.size
   }
 
   /** The dirs of the current snapshot a probe set cannot skip: a dir
@@ -2032,9 +2194,10 @@ object TxTable {
     if (kept.isEmpty) return read(spark, root, v).filter(probeFilter)
       .filter(lit(false))
     val paths = kept.map(d => new Path(rp, d).toString)
-    val schemas = paths.map(p => spark.read.parquet(p).schema)
+    val schemaOf = dirSchemas(spark, rp, kept)
     val df =
-      if (schemas.distinct.size == 1) spark.read.parquet(paths: _*)
+      if (schemaOf.values.toSeq.distinct.size == 1)
+        spark.read.parquet(paths: _*)
       else paths.map(spark.read.parquet(_))
         .reduce(_.unionByName(_, allowMissingColumns = true))
     df.filter(probeFilter)

@@ -1693,6 +1693,38 @@ class TxTableSpec extends SparkSpec {
     }
   }
 
+  test("bloom index build is O(1) Spark jobs in the number of dirs") {
+    import spark.implicits._
+    val root = tmpDir() + "/tx-bloom-jobs"
+    (0L to 5L).foreach { i =>
+      TxTable.append((0L until 50L).map(j => (j * 6 + i, s"g$i"))
+        .toDF("id", "grp"), root)
+    }
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+        j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(TxTable.buildBloomIndex(spark, root, "id") === 6)
+      // listener events are async; give the bus a moment to drain
+      Thread.sleep(500)
+      // every dir has a `_rows` commit stat, so sizing needs no count
+      // job: the whole build is ONE distributed pass (toLocalIterator
+      // may split it into a handful of partition-batched jobs, never
+      // one per dir — the old loop ran 12 serial jobs here)
+      assert(jobs.get() <= 3, s"bloom build ran ${jobs.get()} jobs for 6 dirs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // the single-pass build prunes exactly like the per-dir one
+    val (kept, total) = TxTable.bloomSurvivingDirs(spark, root, "id", Seq(13L))
+    assert(total === 6 && kept.size <= 2)
+    assert(TxTable.readBloomFiltered(spark, root, "id", Seq(13L))
+      .collect().map(_.getLong(0)).toSet === Set(13L))
+  }
+
   test("drop-and-recreate at the same path never serves stale cached commits") {
     import spark.implicits._
     // Scratch.freshRoot's lifecycle: delete + rebuild a table at a
