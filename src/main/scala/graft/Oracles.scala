@@ -493,7 +493,7 @@ object Oracles {
     // data I/O; the oracle recomputes them by scanning — equality
     // proves the stats are exact, not merely sound
     "q_txtable_stats_agg" ->
-      """SELECT count(*) AS cnt,
+      """SELECT count(*) AS cnt, count(l_partkey) AS cnt_pkey,
         |  min(l_orderkey) AS min_okey, max(l_orderkey) AS max_okey,
         |  min(l_partkey) AS min_pkey, max(l_partkey) AS max_pkey
         |FROM lineitem""".stripMargin,

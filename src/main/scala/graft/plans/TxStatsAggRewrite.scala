@@ -101,6 +101,7 @@ object TxStatsAggRewrite extends Rule[LogicalPlan] {
   private sealed trait Shape
   private case object CountStar extends Shape
   private case object GroupKey extends Shape
+  private case class CountOf(c: String) extends Shape
   private case class MinOf(c: String, dt: DataType) extends Shape
   private case class MaxOf(c: String, dt: DataType) extends Shape
 
@@ -108,6 +109,12 @@ object TxStatsAggRewrite extends Rule[LogicalPlan] {
     case Alias(c, _) => aggShape(c)
     case AggregateExpression(Count(Seq(l: Literal)), _, false, None, _)
         if l.value != null => Some(CountStar)
+    // count(c) = _rows - sum(n,<c>): the per-dir null-count stat is
+    // already in the commit grammar, so a null-aware count is one
+    // subtraction away from zero-I/O (exactness gated below on the
+    // stat being present in every live dir)
+    case AggregateExpression(Count(Seq(a: AttributeReference)), _, false,
+        None, _) => Some(CountOf(a.name))
     case AggregateExpression(Min(a: AttributeReference), _, false, None, _)
         if integral(a.dataType) => Some(MinOf(a.name, a.dataType))
     case AggregateExpression(Max(a: AttributeReference), _, false, None, _)
@@ -117,6 +124,8 @@ object TxStatsAggRewrite extends Rule[LogicalPlan] {
 
   private def statCols(shapes: Seq[Shape]): Seq[String] =
     shapes.collect { case MinOf(c, _) => c case MaxOf(c, _) => c }.distinct
+  private def countCols(shapes: Seq[Shape]): Seq[String] =
+    shapes.collect { case CountOf(c) => c }.distinct
 
   private def scalarRewrite(agg: Aggregate,
     rel: RelInfo): Option[LogicalPlan] = {
@@ -124,12 +133,15 @@ object TxStatsAggRewrite extends Rule[LogicalPlan] {
     if (shapes0.isEmpty || shapes0.exists(_.isEmpty)) return None
     val shapes = shapes0.map(_.get)
     val cols = statCols(shapes)
+    val ccols = countCols(shapes)
     graft.sources.TxTable
-      .metadataAgg(rel.spark, rel.root, rel.version, cols)
-      .filter { case (_, ranges) => cols.forall(ranges.contains) }
-      .map { case (total, ranges) =>
+      .metadataAgg(rel.spark, rel.root, rel.version, cols, ccols)
+      .filter { case (_, ranges, nulls) =>
+        cols.forall(ranges.contains) && ccols.forall(nulls.contains) }
+      .map { case (total, ranges, nulls) =>
         val row = InternalRow.fromSeq(shapes.map {
           case CountStar => total
+          case CountOf(c) => total - nulls(c)
           case MinOf(c, dt) => typed(ranges(c)._1, dt)
           case MaxOf(c, dt) => typed(ranges(c)._2, dt)
           case GroupKey => null // unreachable: no grouping here
@@ -150,15 +162,18 @@ object TxStatsAggRewrite extends Rule[LogicalPlan] {
     if (shapes0.isEmpty || shapes0.exists(_.isEmpty)) return None
     val shapes = shapes0.map(_.get)
     val cols = statCols(shapes)
+    val ccols = countCols(shapes)
     graft.sources.TxTable
       .metadataGroupedAgg(rel.spark, rel.root, rel.version,
-        g.name, cols)
-      .filter(_.forall { case (_, _, ranges) => cols.forall(ranges.contains) })
+        g.name, cols, ccols)
+      .filter(_.forall { case (_, _, ranges, nulls) =>
+        cols.forall(ranges.contains) && ccols.forall(nulls.contains) })
       .map { groups =>
-        val rows = groups.map { case (gv, cnt, ranges) =>
+        val rows = groups.map { case (gv, cnt, ranges, nulls) =>
           InternalRow.fromSeq(shapes.map {
             case GroupKey => typed(gv, g.dataType)
             case CountStar => cnt
+            case CountOf(c) => cnt - nulls(c)
             case MinOf(c, dt) => typed(ranges(c)._1, dt)
             case MaxOf(c, dt) => typed(ranges(c)._2, dt)
           })

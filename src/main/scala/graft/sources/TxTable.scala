@@ -2660,8 +2660,8 @@ object TxTable {
     * column's stat. Columns are logical — translated through the
     * snapshot's column mapping like every other read-side lookup. */
   private[graft] def metadataAgg(spark: SparkSession, root: String,
-    version: Int, cols: Seq[String])
-    : Option[(Long, Map[String, (Long, Long)])] = {
+    version: Int, cols: Seq[String], countCols: Seq[String] = Seq.empty)
+    : Option[(Long, Map[String, (Long, Long)], Map[String, Long])] = {
     val (fs, rp) = fsFor(spark, root)
     val v = if (version >= 0) version else latestVersion(spark, root)
     if (v == 0) return None
@@ -2677,7 +2677,16 @@ object TxTable {
       if (live.isEmpty || ss.exists(_.isEmpty)) None
       else Some(c -> (ss.flatten.map(_._1).min, ss.flatten.map(_._2).max))
     }.toMap
-    Some((total, ranges))
+    // count(c) = _rows - sum of per-dir null counts; exact iff every
+    // live dir carries the `n,<c>` stat (recorded for every integral
+    // stats column at write time)
+    val nulls = countCols.distinct.flatMap { c =>
+      val pc = s"$nullsPrefix${physName(m, c)}"
+      val ss = live.map(_.stats.get(pc))
+      if (ss.exists(_.isEmpty)) None
+      else Some(c -> ss.flatten.map(_._1).sum)
+    }.toMap
+    Some((total, ranges, nulls))
   }
 
   /** Metadata-only GROUP BY a single-valued column: per distinct
@@ -2692,8 +2701,10 @@ object TxTable {
     * appends qualify when their data happens to be dir-clustered.
     * None → caller falls back to the scan. */
   private[graft] def metadataGroupedAgg(spark: SparkSession, root: String,
-    version: Int, groupCol: String, cols: Seq[String])
-    : Option[Seq[(Long, Long, Map[String, (Long, Long)])]] = {
+    version: Int, groupCol: String, cols: Seq[String],
+    countCols: Seq[String] = Seq.empty)
+    : Option[Seq[(Long, Long, Map[String, (Long, Long)],
+      Map[String, Long])]] = {
     val (fs, rp) = fsFor(spark, root)
     val v = if (version >= 0) version else latestVersion(spark, root)
     if (v == 0) return None
@@ -2716,7 +2727,13 @@ object TxTable {
         if (ss.exists(_.isEmpty)) None
         else Some(c -> (ss.flatten.map(_._1).min, ss.flatten.map(_._2).max))
       }.toMap
-      (gv, cnt, ranges)
+      val nulls = countCols.distinct.flatMap { c =>
+        val pc = s"$nullsPrefix${physName(m, c)}"
+        val ss = es.map(_.stats.get(pc))
+        if (ss.exists(_.isEmpty)) None
+        else Some(c -> ss.flatten.map(_._1).sum)
+      }.toMap
+      (gv, cnt, ranges, nulls)
     }.sortBy(_._1)
     Some(out)
   }
@@ -2980,6 +2997,7 @@ object TxTable {
         statsCols = Seq("l_orderkey", "l_partkey")))
     spark.read.format("graft-tx").load(root).agg(
       count(lit(1)).as("cnt"),
+      count(col("l_partkey")).as("cnt_pkey"),
       min(col("l_orderkey")).as("min_okey"),
       max(col("l_orderkey")).as("max_okey"),
       min(col("l_partkey")).as("min_pkey"),

@@ -43,6 +43,44 @@ class StatsAggSpec extends SparkSpec {
     assert(agg.head.toSeq === expect.toSeq)
   }
 
+  test("count(col) served from the null-count stat, null-exact") {
+    val root = tmpDir() + "/cagg"
+    // m is NULL on every 7th row — count(m) must subtract exactly
+    // the per-dir n,m stats, never fall back to count(*)
+    val df = (1L to 500L).map(k =>
+      (k, if (k % 7 == 0) None else Some(k * 3 % 101))).toDF("k", "m")
+    TxTable.append(df.filter($"k" <= 250), root, statsCols = Seq("k", "m"))
+    TxTable.append(df.filter($"k" > 250), root, statsCols = Seq("k", "m"))
+    val agg = face(root).agg(count($"m").as("cnt_m"),
+      count(lit(1)).as("cnt"), count($"k").as("cnt_k"))
+    assert(statsServed(agg), agg.queryExecution.optimizedPlan.toString)
+    val expect = withFlag("false") { face(root).agg(count($"m"),
+      count(lit(1)), count($"k")).head }
+    assert(agg.head.toSeq === expect.toSeq)
+    assert(agg.head.getLong(0) < agg.head.getLong(1),
+      "the null-bearing column must count strictly below count(*)")
+    // a column with NO null-count stat (string v) bails to the scan
+    val root2 = tmpDir() + "/cagg2"
+    TxTable.append((1L to 10L).map(k => (k, s"v$k")).toDF("k", "v"),
+      root2, statsCols = Seq("k"))
+    val bail = face(root2).agg(count($"v").as("c"))
+    assert(!statsServed(bail))
+    assert(bail.head.getLong(0) === 10L)
+    // grouped count(col) rides the same stat
+    val root3 = tmpDir() + "/cagg3"
+    val df3 = (1L to 400L).map(k =>
+      (k, k % 5, if (k % 3 == 0) None else Some(k))).toDF("k", "b", "m")
+    TxTable.appendPartitioned(df3, root3, "b", statsCols = Seq("k", "m"))
+    val gagg = face(root3).groupBy($"b").agg(count($"m").as("cnt_m"))
+    assert(statsServed(gagg), gagg.queryExecution.optimizedPlan.toString)
+    val got = gagg.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val exp = withFlag("false") {
+      face(root3).groupBy($"b").agg(count($"m").as("cnt_m"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    }
+    assert(got === exp)
+  }
+
   test("grouped partition counts served from stats; scan-exact") {
     val root = tmpDir() + "/pagg"
     val df = (1L to 400L).map(k => (k, k % 5)).toDF("k", "b")
