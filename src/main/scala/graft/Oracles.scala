@@ -515,6 +515,14 @@ object Oracles {
       """SELECT o_orderkey, o_custkey, c_nationkey
         |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
 
+    // composite-key storage-partitioned join (TxTable.spj2GateQuery):
+    // both sides clustered on (custkey%8, custkey%3); the bucket-key
+    // equalities are implied by the custkey equality, so the oracle
+    // is the same logical join
+    "q_txtable_spj2" ->
+      """SELECT o_orderkey, o_custkey, c_nationkey
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
     // manifest-include metadata packing (TxTable.manifestGateQuery):
     // striped appends under a tiny rollover, a bounded delete of the
     // first stripe, then a read through the manifest expansion — the

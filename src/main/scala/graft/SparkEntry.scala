@@ -137,6 +137,7 @@ object SparkEntry {
     "q_txtable_part_counts" ->
       (graft.sources.TxTable.partCountsGateQuery _),
     "q_txtable_spj" -> (graft.sources.TxTable.spjGateQuery _),
+    "q_txtable_spj2" -> (graft.sources.TxTable.spj2GateQuery _),
     "q_txtable_manifest" -> (graft.sources.TxTable.manifestGateQuery _),
     "q_txtable_aggview" -> (graft.sources.TxView.aggViewGateQuery _),
     "q_inverted_index_incremental" ->

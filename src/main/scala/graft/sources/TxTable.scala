@@ -1695,58 +1695,83 @@ object TxTable {
     * ranges); values are read back from the directory names Spark
     * writes, so the entry stats can never disagree with the data. */
   def appendPartitioned(df: DataFrame, root: String, partCol: String,
-    statsCols: Seq[String] = Seq.empty): Int = {
+    statsCols: Seq[String] = Seq.empty): Int =
+    appendPartitionedBy(df, root, Seq(partCol), statsCols)
+
+  /** [[appendPartitioned]] on a COMPOSITE partition key: one leaf dir
+    * per distinct (c1, ..., cn) tuple, each single-valued and
+    * null-free on every key column — the layout the multi-key
+    * storage-partitioned join face proves its co-clustering from
+    * (ref analog: CompositeInputFormat co-partitions its merge join
+    * on arbitrary composite tuples, src/mapred/org/apache/hadoop/
+    * mapred/join/CompositeInputFormat.java:1). Still ONE pass over
+    * the data: hive-style dynamic partitionBy on duplicated helper
+    * columns, stats read back per leaf in one grouped aggregate, then
+    * pure metadata renames. */
+  def appendPartitionedBy(df: DataFrame, root: String,
+    partCols: Seq[String], statsCols: Seq[String] = Seq.empty): Int = {
     val spark = df.sparkSession
     val (fs, rp) = fsFor(spark, root)
-    require(df.schema.exists(f => f.name == partCol &&
-      (f.dataType == org.apache.spark.sql.types.LongType ||
-        f.dataType == org.apache.spark.sql.types.IntegerType ||
-        f.dataType == org.apache.spark.sql.types.ShortType)),
-      s"txtable: partition column '$partCol' must be an integral column")
+    require(partCols.nonEmpty, "txtable: no partition columns")
+    partCols.foreach { partCol =>
+      require(df.schema.exists(f => f.name == partCol &&
+        (f.dataType == org.apache.spark.sql.types.LongType ||
+          f.dataType == org.apache.spark.sql.types.IntegerType ||
+          f.dataType == org.apache.spark.sql.types.ShortType)),
+        s"txtable: partition column '$partCol' must be an integral column")
+    }
     // logical→physical translation under a column mapping, exactly
     // like plain append (widening extends the map)
     val m0 = snapshotColMap(fs, rp, latestVersion(spark, root))
     val (physDf0, extMap) = toPhysicalFrame(df, m0)
     val effMap = extMap.orElse(m0)
-    val physPart = physName(effMap, partCol)
+    val physParts = partCols.map(physName(effMap, _))
+    val helpers = partCols.indices.map(i => s"_graft_part$i")
     val baseDir = s"data/append-${java.util.UUID.randomUUID()}"
     val basePath = new Path(rp, baseDir).toString
     // ONE pass over the data whatever the partition count (a daily-
     // partitioned year must not become 365 serial jobs): hive-style
-    // dynamic `partitionBy` on a DUPLICATED helper column, so the real
-    // partition column stays IN the files (plain partitionBy strips it
-    // into the path, which would vanish under the snapshot reader's
-    // per-dir scans). The pre-shuffle on the helper clusters each
-    // value's rows into the task that writes its dir — one file per
-    // partition instead of tasks × dirs fragments.
-    physDf0.withColumn("_graft_part", col(physPart).cast("long"))
-      .repartition(col("_graft_part"))
-      .write.partitionBy("_graft_part").mode("overwrite").parquet(basePath)
+    // dynamic `partitionBy` on DUPLICATED helper columns, so the real
+    // partition columns stay IN the files (plain partitionBy strips
+    // them into the path, which would vanish under the snapshot
+    // reader's per-dir scans). The pre-shuffle on the helpers clusters
+    // each tuple's rows into the task that writes its dir — one file
+    // per partition instead of tasks × dirs fragments.
+    physParts.zip(helpers).foldLeft(physDf0) { case (d, (p, h)) =>
+      d.withColumn(h, col(p).cast("long"))
+    }.repartition(helpers.map(col): _*)
+      .write.partitionBy(helpers: _*).mode("overwrite").parquet(basePath)
     // NULLs can't address a `$partCol=v` dir (they land in the hive
     // default-partition dir) — partitioned appends need a total
     // partition assignment; fail loudly rather than lose rows.
-    val written = fs.listStatus(new Path(rp, baseDir))
-      .filter(_.isDirectory).map(_.getPath.getName)
-      .filter(_.startsWith("_graft_part=")).toSeq
-    if (written.contains("_graft_part=__HIVE_DEFAULT_PARTITION__")) {
-      fs.delete(new Path(rp, baseDir), true)
-      throw new IllegalArgumentException(
-        s"txtable: partition column '$partCol' contains NULLs — " +
-          "partitioned appends need a total partition assignment; " +
-          "coalesce NULLs to a sentinel value first")
-    }
-    val values = written.map(_.stripPrefix("_graft_part=").toLong).sorted
-    if (values.isEmpty) {
+    def leafTuples(p: Path, depth: Int): Seq[Seq[Long]] =
+      fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName).toSeq
+        .filter(_.startsWith(s"${helpers(depth)}=")).flatMap { n =>
+          val v = n.stripPrefix(s"${helpers(depth)}=")
+          if (v == "__HIVE_DEFAULT_PARTITION__") {
+            fs.delete(new Path(rp, baseDir), true)
+            throw new IllegalArgumentException(
+              s"txtable: partition column '${partCols(depth)}' contains " +
+                "NULLs — partitioned appends need a total partition " +
+                "assignment; coalesce NULLs to a sentinel value first")
+          }
+          if (depth == helpers.length - 1) Seq(Seq(v.toLong))
+          else leafTuples(new Path(p, n), depth + 1).map(v.toLong +: _)
+        }
+    val tuples = leafTuples(new Path(rp, baseDir), 0)
+      .sortBy(_.mkString(","))
+    if (tuples.isEmpty) {
       fs.delete(new Path(rp, baseDir), true)
       throw new IllegalArgumentException(
         "txtable: partitioned append of empty frame")
     }
     // per-dir exact stats in ONE aggregate over the written layout
-    // (the hive partition column groups rows by dir), read back before
-    // the rename so the helper name can't collide with the data column.
-    // The read-back scans the PHYSICAL files, and read-side prune
-    // lookups key entry stats by physical names — so the aggregate and
-    // the stats map must both speak physical, not the caller's logical
+    // (the hive partition columns group rows by leaf dir), read back
+    // before the rename so the helper names can't collide with data
+    // columns. The read-back scans the PHYSICAL files, and read-side
+    // prune lookups key entry stats by physical names — so the
+    // aggregate and the stats map must both speak physical, not the
+    // caller's logical
     def typed(pred: org.apache.spark.sql.types.DataType => Boolean) =
       statsCols.distinct.filter(c =>
         df.schema.find(_.name == c).map(_.dataType).exists(pred))
@@ -1764,21 +1789,23 @@ object TxTable {
         integral.map(c =>
           sum(when(col(c).isNull, 1L).otherwise(0L)).cast("long")) ++
         strings.flatMap(c => Seq(min(col(c)), max(col(c)))))
-    val nBase = 2 + 3 * integral.length
+    val g = helpers.length
+    val nBase = g + 1 + 3 * integral.length
     val statRows = spark.read.parquet(basePath)
       // partition-value inference may type small values INT — pin long
-      .groupBy(col("_graft_part").cast("long").as("_graft_part"))
+      .groupBy(helpers.map(h => col(h).cast("long").as(h)): _*)
       .agg(aggs.head, aggs.tail: _*)
       .collect() // partition-cardinality readback (dates/buckets)
       .map { r =>
-        val v = r.getLong(0)
-        v -> ((Map(rowsKey -> (r.getLong(1), r.getLong(1))) ++
+        val vs = (0 until g).map(r.getLong(_)): Seq[Long]
+        vs -> ((Map(rowsKey -> (r.getLong(g), r.getLong(g))) ++
           integral.zipWithIndex.flatMap { case (c, i) =>
-            if (r.isNullAt(2 * i + 2)) None
-            else Some(c -> (r.getLong(2 * i + 2), r.getLong(2 * i + 3)))
+            if (r.isNullAt(g + 1 + 2 * i)) None
+            else Some(c -> (r.getLong(g + 1 + 2 * i),
+              r.getLong(g + 2 + 2 * i)))
           } ++
           integral.zipWithIndex.map { case (c, i) =>
-            val j = 2 + 2 * integral.length + i
+            val j = g + 1 + 2 * integral.length + i
             val n = if (r.isNullAt(j)) 0L else r.getLong(j)
             s"$nullsPrefix$c" -> (n, n)
           },
@@ -1788,19 +1815,31 @@ object TxTable {
               r.getString(nBase + 2 * i + 1)).map(c -> _)
           }.toMap))
       }.toMap
-    // helper dirs → `$physPart=v` entry dirs: P metadata renames
-    val entries = values.map { v =>
-      val dirName = s"$baseDir/$physPart=$v"
-      fs.rename(new Path(rp, s"$baseDir/_graft_part=$v"),
-        new Path(rp, dirName))
-      val (nStats, sStats) = statRows(v)
+    // helper dirs → `$physPart=v` entry dirs: one metadata rename per
+    // path level per distinct prefix, leaves become the entry dirs
+    def renameLevel(p: Path, depth: Int): Unit = {
+      fs.listStatus(p).filter(_.isDirectory).map(_.getPath).toSeq
+        .filter(_.getName.startsWith(s"${helpers(depth)}="))
+        .foreach { d =>
+          val v = d.getName.stripPrefix(s"${helpers(depth)}=")
+          val dst = new Path(p, s"${physParts(depth)}=$v")
+          fs.rename(d, dst)
+          if (depth < helpers.length - 1) renameLevel(dst, depth + 1)
+        }
+    }
+    renameLevel(new Path(rp, baseDir), 0)
+    val entries = tuples.map { vs =>
+      val dirName = baseDir + physParts.zip(vs)
+        .map { case (p, v) => s"/$p=$v" }.mkString
+      val (nStats, sStats) = statRows(vs)
       val bytes = fs.getContentSummary(new Path(rp, dirName)).getLength
-      // the NULL-rejection above proved the partition column null-free
-      // — record that as its `n,<col>` stat so metadata-only GROUP BY
-      // on the partition column can trust the per-dir counts
+      // the NULL-rejection above proved the partition columns null-
+      // free — record that as their `n,<col>` stats so metadata-only
+      // GROUP BY on a partition column can trust the per-dir counts
       Entry(isDelta = false, dirName,
-        nStats + (physPart -> (v, v)) + (bytesKey -> (bytes, bytes)) +
-          (s"$nullsPrefix$physPart" -> (0L, 0L)), sStats)
+        nStats ++ physParts.zip(vs).map { case (p, v) => p -> (v, v) } +
+          (bytesKey -> (bytes, bytes)) ++
+          physParts.map(p => s"$nullsPrefix$p" -> (0L, 0L)), sStats)
     }
     commitRetry(spark, root) { prevV =>
       val prev0 = snapshotLines(fs, rp, prevV)
@@ -1810,7 +1849,7 @@ object TxTable {
       val statsHdr =
         if (prev.exists(_.startsWith("statscol:"))) None
         else Some(s"statscol:${
-          (physPart +: statsCols.map(physName(effMap, _))).mkString(",")}")
+          (physParts ++ statsCols.map(physName(effMap, _))).mkString(",")}")
       ("append", statsHdr.toSeq ++ extMap.map(colMapLine).toSeq ++
         prev ++ entries.map(_.line))
     }
@@ -2749,8 +2788,9 @@ object TxTable {
     * scan (`TxSpjScan`): one scan unit per value, so two tables
     * clustered on the same column JOIN WITHOUT A SHUFFLE. */
   private[sources] def partitionFileSlices(spark: SparkSession,
-    root: String, version: Int, partCol: String)
-    : Option[(Seq[(Long, Seq[String])], Option[Seq[(String, String)]])] = {
+    root: String, version: Int, partCols: Seq[String])
+    : Option[(Seq[(Seq[Long], Seq[String])],
+      Option[Seq[(String, String)]])] = {
     val (fs, rp) = fsFor(spark, root)
     val v = if (version >= 0) version else latestVersion(spark, root)
     if (v == 0) return None
@@ -2758,20 +2798,26 @@ object TxTable {
     if (entries.isEmpty || entries.exists(_.isDelta)) return None
     if (entries.exists(e => !e.stats.contains(rowsKey))) return None
     val m = snapshotColMap(fs, rp, v)
-    val pg = physName(m, partCol)
+    val pgs = partCols.map(physName(m, _))
     val live = entries.filter(_.stats(rowsKey)._1 > 0)
-    val ok = live.nonEmpty && live.forall { e =>
+    // clustering is provable iff EVERY live dir is single-valued and
+    // null-free on EVERY partition key column — the multi-key analog
+    // of the single-column proof (a dir spanning two key tuples can
+    // never be assigned one partition)
+    val ok = live.nonEmpty && live.forall { e => pgs.forall { pg =>
       e.stats.get(pg).exists { case (lo, hi) => lo == hi } &&
         e.stats.get(s"$nullsPrefix$pg").exists(_._1 == 0L)
-    }
+    } }
     if (!ok) return None
-    val slices = live.groupBy(_.stats(pg)._1).toSeq.map { case (gv, es) =>
-      gv -> es.flatMap(e =>
-        fs.listStatus(new Path(rp, e.dir)).filter(s => s.isFile &&
-          !s.getPath.getName.startsWith("_") &&
-          !s.getPath.getName.startsWith("."))
-          .map(_.getPath.toString).toSeq)
-    }.sortBy(_._1)
+    val slices = live.groupBy(e => pgs.map(pg => e.stats(pg)._1))
+      .toSeq.map { case (gvs, es) =>
+        gvs -> es.flatMap(e =>
+          fs.listStatus(new Path(rp, e.dir)).filter(s => s.isFile &&
+            !s.getPath.getName.startsWith("_") &&
+            !s.getPath.getName.startsWith("."))
+            .map(_.getPath.toString).toSeq)
+      }.sortBy(_._1.toIndexedSeq)(
+        scala.math.Ordering.Implicits.seqOrdering)
     Some((slices, m))
   }
 
@@ -3032,6 +3078,39 @@ object TxTable {
     val l = s.read.format("graft-tx").option("partitionCol", "b").load(rootO)
     val r = s.read.format("graft-tx").option("partitionCol", "b").load(rootC)
     l.as("l").join(r.as("r"), col("l.b") === col("r.b") &&
+        col("l.o_custkey") === col("r.c_custkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("c_nationkey"))
+  }
+
+  /** Composite-key storage-partitioned join gate: both tables
+    * clustered on the SAME two-column key (b1, b2); the equi-join on
+    * both keys plus the real key column runs with zero Exchange —
+    * the multi-key KeyGroupedPartitioning face over
+    * [[appendPartitionedBy]] layouts. */
+  def spj2GateQuery(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val rootO = graft.Scratch.freshRoot(s, "graft-spj2o", dir)
+    val rootC = graft.Scratch.freshRoot(s, "graft-spj2c", dir)
+    val o = graft.Tables.orders(s, dir).select(col("o_orderkey"),
+      col("o_custkey"), (col("o_custkey") % 8).as("b1"),
+      (col("o_custkey") % 3).as("b2"))
+    val c = graft.Tables.customer(s, dir).select(col("c_custkey"),
+      (col("c_custkey") % 8).as("b1"), (col("c_custkey") % 3).as("b2"),
+      col("c_nationkey"))
+    appendPartitionedBy(o, rootO, Seq("b1", "b2"),
+      statsCols = Seq("o_custkey"))
+    appendPartitionedBy(c, rootC, Seq("b1", "b2"),
+      statsCols = Seq("c_custkey"))
+    val l = s.read.format("graft-tx").option("partitionCol", "b1,b2")
+      .load(rootO)
+    val r = s.read.format("graft-tx").option("partitionCol", "b1,b2")
+      .load(rootC)
+    l.as("l").join(r.as("r"), col("l.b1") === col("r.b1") &&
+        col("l.b2") === col("r.b2") &&
         col("l.o_custkey") === col("r.c_custkey"))
       .select(col("o_orderkey"), col("o_custkey"), col("c_nationkey"))
   }

@@ -638,17 +638,24 @@ class GraftTxSpjTable(tableSchema: StructType, root: String,
   options: CaseInsensitiveStringMap)
   extends Table with SupportsRead with TxMetaAggTable {
 
-  private val partCol = options.get("partitionCol")
-  require(tableSchema.fieldNames.contains(partCol),
-    s"graft-tx: partitionCol '$partCol' is not a column of $root " +
-      s"(have: ${tableSchema.fieldNames.mkString(", ")})")
+  // one or more comma-separated columns: a COMPOSITE clustering key
+  // reports multi-key KeyGroupedPartitioning (the co-partitioned
+  // composite-tuple join of the reference's CompositeInputFormat,
+  // src/mapred/org/apache/hadoop/mapred/join/CompositeInputFormat
+  // .java:1, re-expressed as a DSv2 partition contract)
+  private val partCols =
+    options.get("partitionCol").split(",").map(_.trim).toSeq
+  partCols.foreach(c => require(tableSchema.fieldNames.contains(c),
+    s"graft-tx: partitionCol '$c' is not a column of $root " +
+      s"(have: ${tableSchema.fieldNames.mkString(", ")})"))
 
-  override def name(): String = s"graft-tx $root [pby $partCol]"
+  override def name(): String =
+    s"graft-tx $root [pby ${partCols.mkString(",")}]"
   override def schema(): StructType = tableSchema
   private[graft] def metaRoot: String = root
   private[graft] def metaOptions: CaseInsensitiveStringMap = options
   override def partitioning(): Array[Transform] =
-    Array(Expressions.identity(partCol))
+    partCols.map(Expressions.identity).toArray
 
   override def capabilities(): java.util.Set[TableCapability] = {
     val caps = new java.util.HashSet[TableCapability]
@@ -657,54 +664,60 @@ class GraftTxSpjTable(tableSchema: StructType, root: String,
   }
 
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
-    new TxSpjScanBuilder(root, tableSchema, partCol,
+    new TxSpjScanBuilder(root, tableSchema, partCols,
       TxTableSource.paramsOf(options) ++ TxTableSource.paramsOf(opts))
 }
 
 class TxSpjScanBuilder(root: String, fullSchema: StructType,
-  partCol: String, params: Map[String, String]) extends ScanBuilder
+  partCols: Seq[String], params: Map[String, String]) extends ScanBuilder
   with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
   private var required: StructType = fullSchema
-  private var partPred: Long => Boolean = _ => true
+  private var partPred: Seq[Long] => Boolean = _ => true
 
-  // prune columns, but always KEEP the partition column — the
+  // prune columns, but always KEEP the partition columns — the
   // reported KeyGroupedPartitioning resolves against the scan output,
-  // and the extra column (when unrequested) is projected away above
-  override def pruneColumns(requiredSchema: StructType): Unit =
-    required =
-      if (requiredSchema.fieldNames.contains(partCol)) requiredSchema
-      else StructType(requiredSchema.fields :+ fullSchema(partCol))
+  // and the extra columns (when unrequested) are projected away above
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    val missing = partCols.filterNot(requiredSchema.fieldNames.contains)
+    required = StructType(
+      requiredSchema.fields ++ missing.map(fullSchema(_)))
+  }
 
-  // PARTITION PRUNING: predicates on the partition column drop whole
+  // PARTITION PRUNING: predicates on a partition column drop whole
   // partitions at planning (a `WHERE day = X` over a date-partitioned
   // 100 TB table opens one partition). Every filter is still reported
   // unhandled so Spark re-evaluates above — pruning can only skip
-  // value groups the predicate provably excludes, never rows.
+  // value groups the predicate provably excludes, never rows. Each
+  // key column prunes independently on its own tuple position.
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     def longOf(v: Any): Option[Long] = v match {
       case n: Number => Some(n.longValue)
       case _ => None
     }
-    def predOf(f: Filter): Option[Long => Boolean] = f match {
-      case EqualTo(c, v) if c == partCol => longOf(v).map(x => _ == x)
-      case In(c, vs) if c == partCol =>
+    def predOf(f: Filter, pc: String): Option[Long => Boolean] = f match {
+      case EqualTo(c, v) if c == pc => longOf(v).map(x => _ == x)
+      case In(c, vs) if c == pc =>
         val xs = vs.flatMap(longOf)
         if (xs.length == vs.length) Some(xs.toSet.contains _) else None
-      case GreaterThan(c, v) if c == partCol => longOf(v).map(x => _ > x)
-      case GreaterThanOrEqual(c, v) if c == partCol =>
+      case GreaterThan(c, v) if c == pc => longOf(v).map(x => _ > x)
+      case GreaterThanOrEqual(c, v) if c == pc =>
         longOf(v).map(x => _ >= x)
-      case LessThan(c, v) if c == partCol => longOf(v).map(x => _ < x)
-      case LessThanOrEqual(c, v) if c == partCol =>
+      case LessThan(c, v) if c == pc => longOf(v).map(x => _ < x)
+      case LessThanOrEqual(c, v) if c == pc =>
         longOf(v).map(x => _ <= x)
-      case And(l, r) => (predOf(l), predOf(r)) match {
+      case And(l, r) => (predOf(l, pc), predOf(r, pc)) match {
         case (Some(a), Some(b)) => Some(x => a(x) && b(x))
         case (a, b) => a.orElse(b) // one side still prunes soundly
       }
       case _ => None
     }
-    val preds = filters.flatMap(predOf)
-    if (preds.nonEmpty) partPred = x => preds.forall(_(x))
+    val byPos: Seq[Seq[Long => Boolean]] =
+      partCols.map(pc => filters.flatMap(predOf(_, pc)).toSeq)
+    if (byPos.exists(_.nonEmpty))
+      partPred = vs => byPos.zip(vs).forall {
+        case (ps, v) => ps.forall(_(v))
+      }
     filters
   }
   override def pushedFilters(): Array[Filter] = Array.empty
@@ -713,67 +726,75 @@ class TxSpjScanBuilder(root: String, fullSchema: StructType,
     val spark = SparkSession.active
     val version = params.get("versionasof").orElse(params.get("versionAsOf"))
       .map(_.toInt).getOrElse(-1)
-    new TxSpjScan(spark, root, version, partCol, required, partPred)
+    new TxSpjScan(spark, root, version, partCols, required, partPred)
   }
 }
 
 class TxSpjScan(spark: SparkSession, root: String, version: Int,
-  partCol: String, outSchema: StructType,
-  partPred: Long => Boolean = _ => true)
+  partCols: Seq[String], outSchema: StructType,
+  partPred: Seq[Long] => Boolean = _ => true)
   extends Scan with Batch with SupportsReportPartitioning
   with SupportsRuntimeFiltering {
 
   private lazy val (slices, colMap) = {
     val (all, m) =
-      TxTable.partitionFileSlices(spark, root, version, partCol).getOrElse(
+      TxTable.partitionFileSlices(spark, root, version, partCols).getOrElse(
         throw new IllegalStateException(
           s"graft-tx: table at $root is not provably partition-clustered " +
-            s"on '$partCol' (needs a delta-free snapshot whose every dir " +
-            "is single-valued and null-free on the column — " +
-            "appendPartitioned produces exactly that layout)"))
-    (all.filter { case (v, _) => partPred(v) }, m)
+            s"on '${partCols.mkString(",")}' (needs a delta-free snapshot " +
+            "whose every dir is single-valued and null-free on every key " +
+            "column — appendPartitioned/appendPartitionedBy produce " +
+            "exactly that layout)"))
+    (all.filter { case (vs, _) => partPred(vs) }, m)
   }
 
   // DYNAMIC partition pruning: a join against a FILTERED dim hands
   // the dim's surviving keys here at runtime (Spark's DPP subquery),
   // and whole fact partitions drop before a single file opens — the
   // date-dim → date-partitioned-fact shape at 100 TB. Only an IN on
-  // the partition column prunes; anything else is a sound no-op
-  // (Spark always re-evaluates the join itself).
-  @volatile private var runtimeKeep: Option[Set[Long]] = None
+  // a partition column prunes (on its own tuple position); anything
+  // else is a sound no-op (Spark always re-evaluates the join).
+  @volatile private var runtimeKeep: Map[Int, Set[Long]] = Map.empty
   override def filterAttributes(): Array[NamedReference] =
-    Array(Expressions.column(partCol))
+    partCols.map(Expressions.column).toArray
   override def filter(filters: Array[Filter]): Unit = {
-    val keeps = filters.collect {
-      case In(c, vs) if c == partCol &&
-        vs.forall(_.isInstanceOf[Number]) =>
-        vs.map(_.asInstanceOf[Number].longValue).toSet
+    runtimeKeep = partCols.zipWithIndex.flatMap { case (pc, i) =>
+      val keeps = filters.collect {
+        case In(c, vs) if c == pc &&
+          vs.forall(_.isInstanceOf[Number]) =>
+          vs.map(_.asInstanceOf[Number].longValue).toSet
+      }
+      if (keeps.isEmpty) None
+      else Some(i -> keeps.reduce(_ intersect _))
+    }.toMap
+  }
+  private def liveSlices: Seq[(Seq[Long], Seq[String])] =
+    if (runtimeKeep.isEmpty) slices
+    else slices.filter { case (vs, _) =>
+      runtimeKeep.forall { case (i, keep) => keep(vs(i)) }
     }
-    if (keeps.nonEmpty) runtimeKeep = Some(keeps.reduce(_ intersect _))
-  }
-  private def liveSlices: Seq[(Long, Seq[String])] = runtimeKeep match {
-    case Some(keep) => slices.filter { case (v, _) => keep(v) }
-    case None => slices
-  }
 
   override def readSchema(): StructType = outSchema
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-tx storage-partitioned scan of $root on $partCol"
+    s"graft-tx storage-partitioned scan of $root on " +
+      partCols.mkString(",")
 
   override def outputPartitioning(): Partitioning =
     new KeyGroupedPartitioning(
-      Array(Expressions.identity(partCol)), slices.size)
+      partCols.map(Expressions.identity).toArray[
+        org.apache.spark.sql.connector.expressions.Expression],
+      slices.size)
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val dt = outSchema(partCol).dataType
-    liveSlices.map { case (v, files) =>
-      val key: Any = dt match {
-        case org.apache.spark.sql.types.IntegerType => v.toInt
-        case org.apache.spark.sql.types.ShortType => v.toShort
-        case _ => v
+    val dts = partCols.map(outSchema(_).dataType)
+    liveSlices.map { case (vs, files) =>
+      val keys = dts.zip(vs).map {
+        case (org.apache.spark.sql.types.IntegerType, v) => v.toInt: Any
+        case (org.apache.spark.sql.types.ShortType, v) => v.toShort: Any
+        case (_, v) => v: Any
       }
-      TxSpjInputPartition(new GenericInternalRow(Array[Any](key)),
+      TxSpjInputPartition(new GenericInternalRow(keys.toArray),
         files): InputPartition
     }.toArray
   }

@@ -185,6 +185,67 @@ class SpjSpec extends SparkSpec {
     }
   }
 
+  test("composite key: two-column co-partitioned join has no Exchange") {
+    val rootA = tmpDir() + "/spjc-a"
+    val rootB = tmpDir() + "/spjc-b"
+    val a = (1L to 600L).map(k => (k, k % 4, k % 3, k * 2))
+      .toDF("ka", "b1", "b2", "va")
+    val bt = (1L to 450L).map(k => (k, k % 4, k % 3, k * 5))
+      .toDF("kb", "b1", "b2", "vb")
+    TxTable.appendPartitionedBy(a, rootA, Seq("b1", "b2"))
+    TxTable.appendPartitionedBy(bt, rootB, Seq("b1", "b2"))
+    withSpj {
+      val l = pread(rootA, "b1,b2")
+      val r = pread(rootB, "b1,b2")
+      val j = l.as("l").join(r.as("r"),
+        $"l.b1" === $"r.b1" && $"l.b2" === $"r.b2")
+        .groupBy($"l.b1", $"l.b2")
+        .agg(count(lit(1)).as("cnt"), sum($"ka" + $"kb").as("s"))
+      val expect = a.as("l").join(bt.as("r"),
+        $"l.b1" === $"r.b1" && $"l.b2" === $"r.b2")
+        .groupBy($"l.b1", $"l.b2")
+        .agg(count(lit(1)).as("cnt"), sum($"ka" + $"kb").as("s"))
+        .collect().map(_.toSeq).sortBy(r => (r.head.toString, r(1).toString))
+      val got = j.collect().map(_.toSeq)
+        .sortBy(r => (r.head.toString, r(1).toString))
+      assert(got === expect)
+      assert(shuffles(j) === 0, j.queryExecution.executedPlan.toString)
+    }
+  }
+
+  test("composite key: per-column filters prune partitions at planning") {
+    val root = tmpDir() + "/spjc-p"
+    val df = (1L to 600L).map(k => (k, k % 4, k % 3)).toDF("k", "b1", "b2")
+    TxTable.appendPartitionedBy(df, root, Seq("b1", "b2"))
+    withSpj {
+      val q = pread(root, "b1,b2").filter($"b1" === 1 && $"b2" >= 2)
+      val scans = q.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b
+      }
+      assert(scans.nonEmpty)
+      // 12 (b1,b2) tuples total; b1=1 ∧ b2>=2 leaves exactly 1
+      assert(scans.head.inputRDD.getNumPartitions === 1,
+        q.queryExecution.executedPlan.toString)
+      val expect = df.filter($"b1" === 1 && $"b2" >= 2)
+        .collect().map(_.getLong(0)).toSet
+      assert(q.collect().map(_.getLong(0)).toSet === expect)
+    }
+  }
+
+  test("a dir spanning two tuples on the second key fails loudly") {
+    val root = tmpDir() + "/spjc-f"
+    // clustered on b1 only: single-valued on b1, multi-valued on b2
+    val df = (1L to 100L).map(k => (k, k % 4, k % 3)).toDF("k", "b1", "b2")
+    TxTable.appendPartitioned(df, root, "b1", statsCols = Seq("b2"))
+    val e = intercept[Exception] {
+      pread(root, "b1,b2").collect()
+    }
+    assert(e.getMessage.contains("partition-clustered") ||
+      Option(e.getCause).exists(_.getMessage.contains("partition-clustered")),
+      e.toString)
+  }
+
   test("non-clustered tables fail loudly, never wrong") {
     val root = tmpDir() + "/spj5"
     TxTable.append((1L to 50L).map(k => (k, k % 3)).toDF("k", "b"), root,
