@@ -521,6 +521,16 @@ object TxTable {
         if (d.columns.contains(c)) d.filter(col(c).between(lo, hi)) else d
       }
     def rangeFilter(df: DataFrame): DataFrame = applyRanges(df, preRanges)
+    // per-dir Spark schemas from footers (no inference jobs); a dir
+    // absent from the map (no data file) falls back to inference
+    val schemaOf = dirSparkSchemas(spark, rp, allEntries.map(_.dir))
+    def readDir(dir: String): DataFrame = {
+      val p = new Path(rp, dir).toString
+      schemaOf.get(dir) match {
+        case Some(sc) => spark.read.schema(sc).parquet(p)
+        case None => spark.read.parquet(p)
+      }
+    }
     if (entries.isEmpty) {
       // every dir pruned: empty frame in the table's FULL schema —
       // union the per-dir schemas by name (footer-only probes) so
@@ -528,8 +538,7 @@ object TxTable {
       // is scanned; delta bookkeeping columns (op, seq) are dropped
       // exactly as resolution would
       val merged = allEntries
-        .map(e => spark.read.parquet(new Path(rp, e.dir).toString)
-          .filter(lit(false)))
+        .map(e => readDir(e.dir).filter(lit(false)))
         .reduce(_.unionByName(_, allowMissingColumns = true))
       return if (allEntries.exists(_.isDelta)) merged.drop("op", "seq")
       else merged
@@ -547,11 +556,13 @@ object TxTable {
       // FileSourceScan over every dir, no per-dir union overhead; the
       // schema probe reads footers only (driver-side metadata).
       val paths = entries.map(e => new Path(rp, e.dir).toString)
-      val schemas = paths.map(p => spark.read.parquet(p).schema)
-      if (schemas.distinct.size == 1)
+      val schemas = entries.map(e => schemaOf.get(e.dir))
+      if (schemas.distinct.size == 1 && schemas.head.isDefined)
+        rangeFilter(spark.read.schema(schemas.head.get).parquet(paths: _*))
+      else if (schemas.distinct.size == 1)
         rangeFilter(spark.read.parquet(paths: _*))
       else
-        rangeFilter(paths.map(spark.read.parquet(_))
+        rangeFilter(entries.map(e => readDir(e.dir))
           .reduce(_.unionByName(_, allowMissingColumns = true)))
     }
     else {
@@ -580,7 +591,7 @@ object TxTable {
       val (baseE, tailE) = entries.zipWithIndex
         .partition { case (e, _) => origPos(e.dir) < firstDeltaPos }
       val tailParts = tailE.map { case (e, i) =>
-        val df = rangeFilter(spark.read.parquet(new Path(rp, e.dir).toString))
+        val df = rangeFilter(readDir(e.dir))
         val keyed = if (e.isDelta) df else df.withColumn("op", lit("U"))
         keyed.withColumn("_cv", lit(i.toLong))
       }
@@ -588,7 +599,7 @@ object TxTable {
       // first-seen commit order — a WIDENED delta evolves the schema
       // by name, and parts predating a column read it as null
       val basePartsRaw = baseE.map { case (e, _) =>
-        rangeFilter(spark.read.parquet(new Path(rp, e.dir).toString))
+        rangeFilter(readDir(e.dir))
       }
       val dataCols = (basePartsRaw ++ tailParts).map(_.columns.toSeq)
         .reduce((a, b) => a ++ b.filterNot(a.contains))
@@ -2072,6 +2083,43 @@ object TxTable {
           case _ => None
         }
       case _ => None
+    }
+  }
+
+  /** Spark-visible schema per dir without ANY Spark job: parquet-mr
+    * footers (the [[dirSchemas]] driver pool) through Spark's own
+    * parquet schema converter. `spark.read.parquet(dir)` launches a
+    * schema-inference JOB per call — a 64-dir snapshot used to spend
+    * ~4 s of serial driver jobs before reading its first byte; with
+    * the schema supplied explicitly the load is pure planning.
+    * Dirs with no data file are absent from the result. */
+  private def dirSparkSchemas(spark: SparkSession, rp: Path,
+    dirs: Seq[String])
+    : Map[String, org.apache.spark.sql.types.StructType] = {
+    val msgs = dirSchemas(spark, rp, dirs)
+    val conv = new org.apache.spark.sql.execution.datasources.parquet
+      .ParquetToSparkSchemaConverter(
+        org.apache.spark.sql.internal.SQLConf.get)
+    val cache = scala.collection.mutable.HashMap[
+      org.apache.parquet.schema.MessageType,
+      org.apache.spark.sql.types.StructType]()
+    // nullable everywhere, matching inference (file reads are always
+    // nullable; StructType.asNullable itself is private[spark])
+    def nullify(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = dt match {
+      case st: org.apache.spark.sql.types.StructType =>
+        org.apache.spark.sql.types.StructType(st.fields.map(f =>
+          f.copy(dataType = nullify(f.dataType), nullable = true)))
+      case a: org.apache.spark.sql.types.ArrayType =>
+        a.copy(elementType = nullify(a.elementType), containsNull = true)
+      case m: org.apache.spark.sql.types.MapType =>
+        m.copy(keyType = nullify(m.keyType),
+          valueType = nullify(m.valueType), valueContainsNull = true)
+      case other => other
+    }
+    msgs.map { case (d, mt) =>
+      d -> cache.getOrElseUpdate(mt, nullify(conv.convert(mt))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
     }
   }
 
