@@ -1292,6 +1292,52 @@ object Oracles {
   }
 
   val annIvf: Map[String, String] = Map(
+    // hybrid RRF with the dense leg bounded to the IVF candidate set
+    // (Similarity.hybridRetrievalIvf): candidates from the probe's 2
+    // nearest cells, FULL OUTER fusion — a doc in only one leg scores
+    // that leg's RRF term alone
+    "q_hybrid_retrieval_ivf" ->
+      s"""$quantCte,
+         |toks AS (SELECT doc_id, unnest(list_distinct(
+         |    list_filter(string_split(lower(text), ' '), x -> x <> ''))) word
+         |  FROM documents),
+         |dfreq AS (SELECT word, count(*) df FROM toks GROUP BY word),
+         |wt AS (SELECT doc_id, t.word, 1000000 // df w
+         |  FROM toks t JOIN dfreq USING (word)),
+         |lex AS (SELECT p.doc_id probe_id, d.doc_id nbr_id,
+         |    sum(p.w) lex
+         |  FROM wt p JOIN wt d ON p.word = d.word
+         |    AND p.doc_id < 5 AND d.doc_id <> p.doc_id
+         |  GROUP BY 1, 2),
+         |lr AS (SELECT probe_id, nbr_id, row_number() OVER (
+         |    PARTITION BY probe_id ORDER BY lex DESC, nbr_id) lr FROM lex),
+         |cent AS (SELECT vec_id cid, q qc, n2 n2c FROM n WHERE vec_id < 16),
+         |ar AS (SELECT n.vec_id, cent.cid,
+         |    list_dot_product(list_transform(n.q, x -> cast(x AS DOUBLE)), list_transform(cent.qc, x -> cast(x AS DOUBLE)))
+         |      / (sqrt(n.n2) * sqrt(cent.n2c)) ccos
+         |  FROM n CROSS JOIN cent),
+         |crk AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) crn FROM ar),
+         |assign AS (SELECT vec_id, cid cell FROM crk WHERE crn = 1),
+         |pc AS (SELECT vec_id probe_id, cid cell FROM crk WHERE vec_id < 5 AND crn <= 2),
+         |cand AS (SELECT DISTINCT pc.probe_id, a.vec_id nbr_id
+         |  FROM pc JOIN assign a ON a.cell = pc.cell AND a.vec_id <> pc.probe_id),
+         |dense AS (SELECT c.probe_id, c.nbr_id, $dotSql dot, a.n2 n2a, b.n2 n2b
+         |  FROM cand c JOIN n a ON a.vec_id = c.probe_id JOIN n b ON b.vec_id = c.nbr_id),
+         |dr AS (SELECT probe_id, nbr_id, row_number() OVER (
+         |    PARTITION BY probe_id
+         |    ORDER BY dot / (sqrt(n2a) * sqrt(n2b)) DESC, nbr_id) dr
+         |  FROM dense),
+         |f AS (SELECT coalesce(dr.probe_id, lr.probe_id) probe_id,
+         |    coalesce(dr.nbr_id, lr.nbr_id) nbr_id,
+         |    coalesce(1000000000 // (60 + dr.dr), 0) +
+         |      coalesce(1000000000 // (60 + lr.lr), 0) fused
+         |  FROM dr FULL OUTER JOIN lr
+         |    ON lr.probe_id = dr.probe_id AND lr.nbr_id = dr.nbr_id)
+         |SELECT probe_id, rk, nbr_id, CAST(fused AS BIGINT) fused FROM (
+         |  SELECT probe_id, nbr_id, fused, row_number() OVER (
+         |    PARTITION BY probe_id ORDER BY fused DESC, nbr_id) rk
+         |  FROM f) t WHERE rk <= 10""".stripMargin,
+
     "q_ann_ivf" ->
       s"""$quantCte,
          |cent AS (SELECT vec_id cid, q qc, n2 n2c FROM n WHERE vec_id < 16),

@@ -111,6 +111,8 @@ object SparkEntry {
       ((s: SparkSession, d: String) => Similarity.annIvfFiltered(s, d)),
     "q_hybrid_retrieval" ->
       ((s: SparkSession, d: String) => Similarity.hybridRetrieval(s, d)),
+    "q_hybrid_retrieval_ivf" ->
+      ((s: SparkSession, d: String) => Similarity.hybridRetrievalIvf(s, d)),
     "q_ann_ivf_indexed" -> ((s: SparkSession, d: String) => Similarity.annIvfIndexed(s, d)),
     "q_ann_ivf_incremental" -> ((s: SparkSession, d: String) => Similarity.annIvfIncremental(s, d)),
     "q_ann_pq" -> ((s: SparkSession, d: String) => Similarity.annPq(s, d)),

@@ -199,8 +199,11 @@ object Similarity {
     * word-key join bounded by document frequency (never doc pairs);
     * the dense leg is the broadcast-probe brute-force baseline —
     * swap in the IVF candidate set unchanged at 10^11 vectors. */
-  def hybridRetrieval(spark: SparkSession, dir: String,
-    k: Int = 10): DataFrame = {
+  /** Lexical leg of hybrid retrieval: integer rarity weights
+    * (`10^6 div df`) summed over shared distinct words, ranked per
+    * probe — a word-key join bounded by document frequency, never
+    * doc pairs. */
+  private def lexicalRank(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val toks = docs.select(col("doc_id"), explode(expr(
       "array_distinct(filter(split(lower(text), ' '), x -> x <> ''))"))
@@ -215,8 +218,13 @@ object Similarity {
       .groupBy("probe_id", "nbr_id").agg(sum("w").as("lex"))
     val lw = Window.partitionBy("probe_id")
       .orderBy(col("lex").desc, col("nbr_id"))
-    val lexRank = lex.withColumn("lr", row_number().over(lw))
+    lex.withColumn("lr", row_number().over(lw))
       .select("probe_id", "nbr_id", "lr")
+  }
+
+  def hybridRetrieval(spark: SparkSession, dir: String,
+    k: Int = 10): DataFrame = {
+    val lexRank = lexicalRank(spark, dir)
     val q = quantized(spark, dir)
     val probes = q.filter(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("q").as("qa"), col("n2").as("n2a"))
@@ -234,6 +242,63 @@ object Similarity {
     val fused = denseRank.join(lexRank, Seq("probe_id", "nbr_id"), "left")
       .withColumn("fused",
         expr("1000000000 div (60 + dr)") +
+          when(col("lr").isNull, lit(0L))
+            .otherwise(expr("1000000000 div (60 + lr)")))
+    val fw = Window.partitionBy("probe_id")
+      .orderBy(col("fused").desc, col("nbr_id"))
+    fused.withColumn("rk", row_number().over(fw)).filter(col("rk") <= k)
+      .select(col("probe_id"), col("rk"), col("nbr_id"),
+        col("fused").cast("long").as("fused"))
+  }
+
+  /** [[hybridRetrieval]] with the dense leg drawn from the IVF
+    * CANDIDATE set instead of the full corpus — the 100 TB form: the
+    * dense ranking touches only vectors in the probe's `nprobe`
+    * nearest cells (the [[annIvf]] discipline, deterministic
+    * centroids and assignment), so neither leg ever scans all pairs.
+    * Because the candidate set is bounded, the fusion is a FULL OUTER
+    * join of the two rankings: a doc present in only one leg scores
+    * that leg's RRF term alone — same integer arithmetic, oracle
+    * replays every rank bitwise. */
+  def hybridRetrievalIvf(spark: SparkSession, dir: String,
+    k: Int = 10, nprobe: Int = 2): DataFrame = {
+    val lexRank = lexicalRank(spark, dir)
+    val q = quantized(spark, dir)
+    val cent = q.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("q").as("qc"), col("n2").as("n2c"))
+    def cellRank(vecs: DataFrame, idCol: String) = {
+      val scored = vecs.crossJoin(broadcast(cent))
+        .withColumn("dot", expr(s"array_dot_long(q, qc)"))
+        .select(col(idCol), col("cid"),
+          expr("cast(dot as double) / (sqrt(cast(n2 as double)) * " +
+            "sqrt(cast(n2c as double)))").as("ccos"))
+      val w = Window.partitionBy(idCol).orderBy(col("ccos").desc, col("cid"))
+      scored.withColumn("crn", row_number().over(w))
+    }
+    val assign = cellRank(q, "vec_id").filter(col("crn") === 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+    val corpus = q.join(assign, "vec_id").select(col("cell"),
+      col("vec_id").as("nbr_id"), col("q").as("qb"), col("n2").as("n2b"))
+    val probeCells = cellRank(q.filter(col("vec_id") < 5), "vec_id")
+      .filter(col("crn") <= nprobe)
+      .select(col("vec_id").as("probe_id"), col("cid").as("cell"))
+    val probes = q.select(col("vec_id").as("probe_id"),
+      col("q").as("qa"), col("n2").as("n2a"))
+    val dense = broadcast(probeCells.join(probes, "probe_id"))
+      .join(corpus, Seq("cell"))
+      .filter(col("probe_id") =!= col("nbr_id"))
+      .withColumn("dot", expr("array_dot_long(qa, qb)"))
+      .select(col("probe_id"), col("nbr_id"), expr(cosExpr).as("cos"))
+      .distinct()
+    val dw = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("nbr_id"))
+    val denseRank = dense.withColumn("dr", row_number().over(dw))
+      .select("probe_id", "nbr_id", "dr")
+    val fused = denseRank
+      .join(lexRank, Seq("probe_id", "nbr_id"), "full_outer")
+      .withColumn("fused",
+        when(col("dr").isNull, lit(0L))
+          .otherwise(expr("1000000000 div (60 + dr)")) +
           when(col("lr").isNull, lit(0L))
             .otherwise(expr("1000000000 div (60 + lr)")))
     val fw = Window.partitionBy("probe_id")
