@@ -699,7 +699,7 @@ object TxTable {
   private def dirStats(spark: SparkSession, rp: Path, dirName: String,
     statsCols: Seq[String])
     : (Map[String, (Long, Long)], Map[String, (String, String)]) = {
-    val df = spark.read.parquet(new Path(rp, dirName).toString)
+    val df = readDirFrame(spark, rp, dirName)
     def typed(pred: org.apache.spark.sql.types.DataType => Boolean) =
       statsCols.distinct.filter(c =>
         df.schema.find(_.name == c).map(_.dataType).exists(pred))
@@ -1511,7 +1511,7 @@ object TxTable {
         else {
           val dirName = s"data/opt-${java.util.UUID.randomUUID()}"
           val merged = bin
-            .map(e => spark.read.parquet(new Path(rp, e.dir).toString))
+            .map(e => readDirFrame(spark, rp, e.dir))
             .reduce(_.unionByName(_, allowMissingColumns = true))
           merged.write.mode("overwrite")
             .parquet(new Path(rp, dirName).toString)
@@ -1601,7 +1601,7 @@ object TxTable {
         else if (contained(e)) None
         else {
           val (df, extras) = withLogicalAliases(
-            spark.read.parquet(new Path(rp, e.dir).toString), m)
+            readDirFrame(spark, rp, e.dir), m)
           // one pass decides: total survivors vs dir row count.
           // SQL DELETE removes only rows where the predicate is TRUE —
           // NULL-pred rows survive, so the keep filter is IS NOT TRUE
@@ -1907,7 +1907,7 @@ object TxTable {
       val newLines = entries.map { e =>
         if (disjoint(e)) e.line
         else {
-          val raw = spark.read.parquet(new Path(rp, e.dir).toString)
+          val raw = readDirFrame(spark, rp, e.dir)
           val (df, extras) = withLogicalAliases(raw, m)
           physSets.keys.foreach { c =>
             require(raw.columns.contains(c),
@@ -2123,6 +2123,19 @@ object TxTable {
     }
   }
 
+  /** One data dir as a DataFrame with its schema supplied from the
+    * footer — a driver metadata read instead of the schema-inference
+    * Spark job `spark.read.parquet(dir)` launches per call. Every
+    * per-dir DML/compaction/feed path goes through here. */
+  private def readDirFrame(spark: SparkSession, rp: Path,
+    dir: String): DataFrame = {
+    val p = new Path(rp, dir).toString
+    dirSparkSchemas(spark, rp, Seq(dir)).get(dir) match {
+      case Some(sc) => spark.read.schema(sc).parquet(p)
+      case None => spark.read.parquet(p)
+    }
+  }
+
   def buildBloomIndex(spark: SparkSession, root: String, colName: String,
     fpp: Double = 0.01): Int = {
     import org.apache.spark.sql.types._
@@ -2281,11 +2294,14 @@ object TxTable {
     if (kept.isEmpty) return read(spark, root, v).filter(probeFilter)
       .filter(lit(false))
     val paths = kept.map(d => new Path(rp, d).toString)
-    val schemaOf = dirSchemas(spark, rp, kept)
+    val schemaOf = dirSparkSchemas(spark, rp, kept)
+    val schemas = kept.map(schemaOf.get)
     val df =
-      if (schemaOf.values.toSeq.distinct.size == 1)
+      if (schemas.distinct.size == 1 && schemas.head.isDefined)
+        spark.read.schema(schemas.head.get).parquet(paths: _*)
+      else if (schemas.distinct.size == 1)
         spark.read.parquet(paths: _*)
-      else paths.map(spark.read.parquet(_))
+      else kept.map(readDirFrame(spark, rp, _))
         .reduce(_.unionByName(_, allowMissingColumns = true))
     df.filter(probeFilter)
   }
@@ -2452,7 +2468,7 @@ object TxTable {
         else df.select(df.columns.toSeq
           .map(c => col(c).as(ren.getOrElse(c, c))): _*)
       }
-      def dirDf(e: Entry) = spark.read.parquet(new Path(rp, e.dir).toString)
+      def dirDf(e: Entry) = readDirFrame(spark, rp, e.dir)
       val batch: Seq[DataFrame] = op match {
         case "compact" | "rename" | "dropcol" =>
           Seq.empty // same content: new layout / new names only
@@ -2962,10 +2978,15 @@ object TxTable {
         .splitAt(entries.size - maxDirs + 1)
       val foldPaths = fold.map { case (e, _) => new Path(rp, e.dir).toString }
       // schema-evolved dirs fold by name (null-fill), same as read
-      val foldSchemas = foldPaths.map(p => spark.read.parquet(p).schema)
+      val foldSchemaOf = dirSparkSchemas(spark, rp,
+        fold.map { case (e, _) => e.dir })
+      val foldSchemas = fold.map { case (e, _) => foldSchemaOf.get(e.dir) }
       val folded =
-        if (foldSchemas.distinct.size == 1) spark.read.parquet(foldPaths: _*)
-        else foldPaths.map(spark.read.parquet(_))
+        if (foldSchemas.distinct.size == 1 && foldSchemas.head.isDefined)
+          spark.read.schema(foldSchemas.head.get).parquet(foldPaths: _*)
+        else if (foldSchemas.distinct.size == 1)
+          spark.read.parquet(foldPaths: _*)
+        else fold.map { case (e, _) => readDirFrame(spark, rp, e.dir) }
           .reduce(_.unionByName(_, allowMissingColumns = true))
       val dirName = s"data/compact-${java.util.UUID.randomUUID()}"
       folded.write.mode("overwrite").parquet(new Path(rp, dirName).toString)
