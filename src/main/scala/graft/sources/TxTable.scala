@@ -457,14 +457,10 @@ object TxTable {
     colRanges: Map[String, (Long, Long)] = Map.empty,
     strRanges: Map[String, (String, String)] = Map.empty): Array[String] = {
     val (fs, rp) = fsFor(spark, root)
-    planSnapshot(spark, root, version, keyRange, colRanges, strRanges)
-      .entries.toArray
-      .flatMap { e =>
-        fs.listStatus(new Path(rp, e.dir)).filter(s => s.isFile &&
-          !s.getPath.getName.startsWith("_") &&
-          !s.getPath.getName.startsWith("."))
-          .map(_.getPath.toString)
-      }
+    val entries = planSnapshot(spark, root, version, keyRange, colRanges,
+      strRanges).entries
+    val files = listDataFiles(spark, rp, entries.map(_.dir))
+    entries.toArray.flatMap(e => files.getOrElse(e.dir, Seq.empty))
   }
 
   /** Read snapshot `version` (default: latest). A snapshot with no
@@ -1483,8 +1479,7 @@ object TxTable {
       require(!entries.exists(_.isDelta),
         s"txtable: optimizeCompact needs a delta-free snapshot of $root " +
           "— run compactSnapshot first")
-      val sized = entries.map(e =>
-        e -> fs.getContentSummary(new Path(rp, e.dir)).getLength)
+      val sized = entrySizes(spark, rp, entries)
       if (sized.count(_._2 < targetBytes) < 2)
         return prevV // nothing worth packing; no empty commit
       val keys = snapshotKeys(fs, rp, prevV)
@@ -2123,6 +2118,61 @@ object TxTable {
     }
   }
 
+  /** Data files of many dirs, listed on the bounded driver pool —
+    * one listStatus per dir, overlapped 16 ways: the serial loop is
+    * a 10k-round-trip tail at 10k dirs on an object store. Order
+    * within each dir follows the listing; callers keep entry order
+    * by iterating their own dir sequence. */
+  private def listDataFiles(spark: SparkSession, rp: Path,
+    dirs: Seq[String]): Map[String, Seq[String]] = {
+    if (dirs.isEmpty) return Map.empty
+    val conf = spark.sessionState.newHadoopConf()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, dirs.size))
+    try {
+      import scala.jdk.CollectionConverters._
+      val tasks: Seq[java.util.concurrent.Callable[(String, Seq[String])]] =
+        dirs.distinct.map { d =>
+          () => {
+            val fs = rp.getFileSystem(conf)
+            d -> fs.listStatus(new Path(rp, d)).filter(s => s.isFile &&
+              !s.getPath.getName.startsWith("_") &&
+              !s.getPath.getName.startsWith("."))
+              .map(_.getPath.toString).toSeq
+          }
+        }
+      pool.invokeAll(tasks.asJava).asScala.map(_.get()).toMap
+    } finally pool.shutdown()
+  }
+
+  /** Per-entry on-disk bytes: the `_bytes` commit stat when present
+    * (zero I/O), else getContentSummary on the bounded driver pool —
+    * never a serial per-dir RPC loop. */
+  private def entrySizes(spark: SparkSession, rp: Path,
+    entries: Seq[Entry]): Seq[(Entry, Long)] = {
+    val missing = entries.filterNot(_.stats.contains(bytesKey))
+    val listed: Map[String, Long] =
+      if (missing.isEmpty) Map.empty
+      else {
+        val conf = spark.sessionState.newHadoopConf()
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(16, missing.size))
+        try {
+          import scala.jdk.CollectionConverters._
+          val tasks: Seq[java.util.concurrent.Callable[(String, Long)]] =
+            missing.map { e =>
+              () => {
+                val fs = rp.getFileSystem(conf)
+                e.dir -> fs.getContentSummary(new Path(rp, e.dir)).getLength
+              }
+            }
+          pool.invokeAll(tasks.asJava).asScala.map(_.get()).toMap
+        } finally pool.shutdown()
+      }
+    entries.map(e => e -> e.stats.get(bytesKey).map(_._1)
+      .getOrElse(listed(e.dir)))
+  }
+
   /** One data dir as a DataFrame with its schema supplied from the
     * footer — a driver metadata read instead of the schema-inference
     * Spark job `spark.read.parquet(dir)` launches per call. Every
@@ -2582,11 +2632,9 @@ object TxTable {
         s"txtable: v$v of $root was vacuumed; change replay must start " +
           "at or after the oldest retained snapshot")
     }
-    def filesOf(dirs: Seq[String]): Seq[String] = dirs.flatMap { d =>
-      fs.listStatus(new Path(rp, d)).toSeq.filter(s => s.isFile &&
-        !s.getPath.getName.startsWith("_") &&
-        !s.getPath.getName.startsWith("."))
-        .map(_.getPath.toString)
+    def filesOf(dirs: Seq[String]): Seq[String] = {
+      val m = listDataFiles(spark, rp, dirs)
+      dirs.flatMap(d => m.getOrElse(d, Seq.empty))
     }
     ((fromV + 1) to toV).flatMap { v =>
       val op = commitLines(fs, rp, v)
@@ -2873,13 +2921,10 @@ object TxTable {
         e.stats.get(s"$nullsPrefix$pg").exists(_._1 == 0L)
     } }
     if (!ok) return None
+    val filesByDir = listDataFiles(spark, rp, live.map(_.dir))
     val slices = live.groupBy(e => pgs.map(pg => e.stats(pg)._1))
       .toSeq.map { case (gvs, es) =>
-        gvs -> es.flatMap(e =>
-          fs.listStatus(new Path(rp, e.dir)).filter(s => s.isFile &&
-            !s.getPath.getName.startsWith("_") &&
-            !s.getPath.getName.startsWith("."))
-            .map(_.getPath.toString).toSeq)
+        gvs -> es.flatMap(e => filesByDir.getOrElse(e.dir, Seq.empty))
       }.sortBy(_._1.toIndexedSeq)(
         scala.math.Ordering.Implicits.seqOrdering)
     Some((slices, m))
@@ -2971,8 +3016,7 @@ object TxTable {
         "txtable: compactDirs serves plain append tables; keyed/delta " +
           "snapshots resolve by commit order - use compactSnapshot")
       if (entries.size <= maxDirs) return prevV
-      val sized = entries.map(e =>
-        e -> fs.getContentSummary(new Path(rp, e.dir)).getLength)
+      val sized = entrySizes(spark, rp, entries)
       // fold the smallest (n - maxDirs + 1) dirs into one
       val (fold, keep) = sized.sortBy(_._2)
         .splitAt(entries.size - maxDirs + 1)
