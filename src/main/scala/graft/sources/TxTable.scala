@@ -38,14 +38,61 @@ object TxTable {
   private def commitPath(root: Path, v: Int) =
     new Path(commitDir(root), f"v$v%08d")
 
+  /** METADATA SCALE — the latest-version HINT. Snapshot resolution
+    * starts at `latestVersion`, and the naive route is a full
+    * `listStatus` of `_commits` — O(total commits) per query, and a
+    * long-lived table accretes commits without bound (vacuum trims
+    * data, history stays until its own horizon). At a million commits
+    * that listing IS the read latency on an object store. So every
+    * successful commit also writes `_commits/_latest` (temp file +
+    * rename — best-effort: a lost race or crash leaves a LOWER value
+    * or no file, never a higher one), and readers resolve the head
+    * with O(1) metadata RPCs: read the hint, verify that version's
+    * commit exists, then probe FORWARD until the first missing
+    * version — correctness never depends on the hint being fresh,
+    * only on commit versions being dense, which the atomic
+    * claim-by-version already guarantees. No hint (pre-hint tables,
+    * torn rename windows) falls back to the listing. The
+    * `_last_checkpoint` / version-hint move of the log-structured
+    * table formats, re-expressed for this commit grammar. */
+  private def hintPath(root: Path) = new Path(commitDir(root), "_latest")
+  private def writeHint(fs: FileSystem, rp: Path, v: Int): Unit =
+    try {
+      val tmp = new Path(commitDir(rp),
+        s".hint-${java.util.UUID.randomUUID()}")
+      val out = fs.create(tmp, true)
+      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+      fs.delete(hintPath(rp), false)
+      if (!fs.rename(tmp, hintPath(rp))) fs.delete(tmp, false)
+    } catch { case _: Throwable => () }
+
   /** Highest committed version, or 0 if the table is empty/absent. */
   def latestVersion(spark: SparkSession, root: String): Int = {
     val (fs, rp) = fsFor(spark, root)
-    val cd = commitDir(rp)
-    if (!fs.exists(cd)) 0
-    else fs.listStatus(cd).map(_.getPath.getName)
-      .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
-      .map(_.drop(1).toInt).foldLeft(0)(math.max)
+    val hinted =
+      try {
+        val hp = hintPath(rp)
+        if (!fs.exists(hp)) None
+        else {
+          val s = readFileUtf8(fs, hp).trim
+          if (s.nonEmpty && s.forall(_.isDigit)) Some(s.toInt) else None
+        }
+      } catch { case _: Throwable => None }
+    hinted.filter(h => h >= 1 && fs.exists(commitPath(rp, h))) match {
+      case Some(h) =>
+        // stale-low hint: walk forward to the true head (each step is
+        // one exists() — the gap is the commits since the last hint
+        // write, normally 0 or 1)
+        var v = h
+        while (fs.exists(commitPath(rp, v + 1))) v += 1
+        v
+      case None =>
+        val cd = commitDir(rp)
+        if (!fs.exists(cd)) 0
+        else fs.listStatus(cd).map(_.getPath.getName)
+          .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
+          .map(_.drop(1).toInt).foldLeft(0)(math.max)
+    }
   }
 
   private def readFileUtf8(fs: FileSystem, p: Path): String = {
@@ -1028,6 +1075,7 @@ object TxTable {
           val out = fs.create(claim, false)
           try out.write(body.getBytes("UTF-8")) finally out.close()
         }
+        writeHint(fs, rp, prevV + 1)
         return prevV + 1
       } catch {
         // Only a lost race is retryable: the claimed version already
@@ -2017,17 +2065,37 @@ object TxTable {
     * 10k dirs is a 10k-round-trip tail on an object store; 16-way
     * overlap keeps index maintenance metadata-bound, not
     * latency-bound. Dirs with no data file are omitted. */
-  private def dirSchemas(spark: SparkSession, rp: Path, dirs: Seq[String])
+  /** JVM-lifetime footer-schema cache, keyed by QUALIFIED dir path.
+    * Sound because data dirs are immutable AND collision-free: every
+    * dir name embeds a fresh uuid at write time, so unlike the
+    * version-numbered commit paths (whose cache must validate per
+    * hit), a recreated table at the same root can never mint the same
+    * dir path again. Without this every snapshot read re-probes one
+    * listing + one footer per dir — at 10k dirs on an object store
+    * that is ~20k metadata RPCs per QUERY for schemas that cannot
+    * have changed. */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.parquet.schema.MessageType]()
+
+  private[graft] def dirSchemas(spark: SparkSession, rp: Path,
+    dirs: Seq[String])
     : Map[String, org.apache.parquet.schema.MessageType] = {
     if (dirs.isEmpty) return Map.empty
     val conf = spark.sessionState.newHadoopConf()
+    val fsq = rp.getFileSystem(conf)
+    def qual(d: String): String = new Path(rp, d)
+      .makeQualified(fsq.getUri, fsq.getWorkingDirectory).toString
+    val hits = dirs.flatMap(d =>
+      Option(schemaCache.get(qual(d))).map(d -> _)).toMap
+    val misses = dirs.filterNot(hits.contains)
+    if (misses.isEmpty) return hits
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(16, dirs.size))
+      math.min(16, misses.size))
     try {
       import scala.jdk.CollectionConverters._
       val tasks: Seq[java.util.concurrent.Callable[
         Option[(String, org.apache.parquet.schema.MessageType)]]] =
-        dirs.map { d =>
+        misses.map { d =>
           () => {
             val fs = rp.getFileSystem(conf)
             def firstFile(p: Path): Option[Path] = {
@@ -2046,7 +2114,13 @@ object TxTable {
             }
           }
         }
-      pool.invokeAll(tasks.asJava).asScala.flatMap(_.get()).toMap
+      val probed = pool.invokeAll(tasks.asJava).asScala.flatMap(_.get()).toMap
+      // dirs WITHOUT a data file are deliberately not cached (absent
+      // from the map by contract); a soft cap bounds a long-lived
+      // driver touching unboundedly many tables
+      if (schemaCache.size >= 65536) schemaCache.clear()
+      probed.foreach { case (d, s) => schemaCache.put(qual(d), s) }
+      hits ++ probed
     } finally pool.shutdown()
   }
 
@@ -2608,6 +2682,19 @@ object TxTable {
     * rows of `version`. `constOp = Some("I")` for append/clone slices
     * (files hold plain data rows); `None` when the files carry their
     * own `op` column (delta dirs, staged diffs). */
+  /** On-disk bytes version `v` ADDED over `v-1` — the sum of the new
+    * entries' `_bytes` commit stats. Pure cached-commit-line metadata
+    * (no listing, no file open); entries predating byte recording
+    * count 0. The streaming source's byte-based admission control
+    * prices each version with this. */
+  private[sources] def versionAddedBytes(spark: SparkSession, root: String,
+    v: Int): Long = {
+    val (fs, rp) = fsFor(spark, root)
+    val prev = snapshotDirs(fs, rp, v - 1).toSet
+    snapshotEntries(fs, rp, v).filterNot(e => prev(e.dir))
+      .flatMap(_.stats.get(bytesKey).map(_._1)).sum
+  }
+
   private[sources] case class ChangeSlice(files: Seq[String],
     constOp: Option[String], version: Int)
 
@@ -3425,6 +3512,12 @@ object TxTable {
         .filter(s => s.getPath.getName.startsWith(".tmp-") &&
           s.getModificationTime < horizon)
         .foreach(s => fs.delete(s.getPath, true))
+    // latest-hint temps whose rename lost or crashed (writeHint is
+    // best-effort) — same 1 h age gate
+    fs.listStatus(commitDir(rp))
+      .filter(s => s.getPath.getName.startsWith(".hint-") &&
+        s.getModificationTime < horizon)
+      .foreach(s => fs.delete(s.getPath, false))
     val stagingDir = new Path(rp, "_staging")
     if (fs.exists(stagingDir))
       fs.listStatus(stagingDir)

@@ -9,7 +9,7 @@ import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsRuntimeFiltering, V1Scan}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset => V2Offset}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, ReadLimit, ReadMaxBytes, ReadMaxFiles, SupportsTriggerAvailableNow, Offset => V2Offset}
 import org.apache.spark.sql.connector.write.{DataWriter, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.execution.FileRelation
@@ -518,12 +518,25 @@ class GraftTxTable(tableSchema: StructType, root: String,
       Option(opts.get("startingVersion")).map(_.toInt).getOrElse(1)
     require(startingVersion >= 1,
       s"graft-tx streaming: startingVersion must be >= 1, got $startingVersion")
+    // micro-batch admission cap, in commit versions (the feed's
+    // natural unit); absent = all available per trigger
+    val maxVersions =
+      Option(opts.get("maxVersionsPerTrigger")).map(_.toInt)
+    maxVersions.foreach(n => require(n >= 1,
+      s"graft-tx streaming: maxVersionsPerTrigger must be >= 1, got $n"))
+    // byte-budget admission: whole versions priced by `_bytes` commit
+    // stats; an oversized single commit still admits (progress)
+    val maxBytes =
+      Option(opts.get("maxBytesPerTrigger")).map(_.toLong)
+    maxBytes.foreach(n => require(n >= 1,
+      s"graft-tx streaming: maxBytesPerTrigger must be >= 1, got $n"))
     () => new Scan {
       override def readSchema(): StructType = tableSchema
       override def description(): String =
         s"graft-tx change feed of $root from v$startingVersion"
       override def toMicroBatchStream(ckpt: String): MicroBatchStream =
-        new TxMicroBatchStream(root, tableSchema, startingVersion)
+        new TxMicroBatchStream(root, tableSchema, startingVersion,
+          maxVersions, maxBytes)
     }
   }
 
@@ -866,18 +879,89 @@ class TxSpjPartitionReader(files: Seq[String], schema: StructType,
   * rows move only in the PartitionReaders. `planInputPartitions` is
   * file-granular — one partition per surviving parquet file — so a
   * large commit fans out across the cluster exactly like a batch scan
-  * of the same files. */
+  * of the same files.
+  *
+  * ADMISSION CONTROL (r11): without a read limit, a stream started
+  * against a table with history admits the ENTIRE backlog as one
+  * micro-batch — at 100 TB that is one giant batch that must succeed
+  * wholesale before any progress checkpoints. `maxVersionsPerTrigger`
+  * caps each micro-batch at N commit versions (the version is this
+  * log's admission unit — `changeFileSlices` is version-granular and
+  * each version's files still fan out cluster-wide), so a backfill
+  * checkpoints incrementally and a failure repeats only the last
+  * capped batch. `Trigger.AvailableNow` composes: the head is pinned
+  * at [[prepareForTriggerAvailableNow]] time and the stream drains to
+  * exactly that pin in capped batches, then stops — the engine's
+  * batch-like-draining contract (same shape as FileStreamSource's
+  * maxFilesPerTrigger; public SupportsAdmissionControl API). */
 class TxMicroBatchStream(root: String, schema: StructType,
-  startingVersion: Int) extends MicroBatchStream {
+  startingVersion: Int, maxVersionsPerTrigger: Option[Int] = None,
+  maxBytesPerTrigger: Option[Long] = None)
+  extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private def spark = SparkSession.active
+
+  private def headNow: Int =
+    math.max(TxTable.latestVersion(spark, root), startingVersion - 1)
+
+  /** Head pinned by Trigger.AvailableNow, else live. */
+  @volatile private var pinnedHead: Option[Int] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    pinnedHead = Some(headNow)
+
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = maxVersionsPerTrigger.map(ReadLimit.maxFiles).toSeq ++
+      maxBytesPerTrigger.map(ReadLimit.maxBytes).toSeq
+    limits match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
+
+  private def maxVersionsOf(limit: ReadLimit): Option[Int] = limit match {
+    case f: ReadMaxFiles => Some(f.maxFiles())
+    case c: CompositeReadLimit =>
+      c.getReadLimits.flatMap(maxVersionsOf).reduceOption(math.min)
+    case _ => None
+  }
+  private def maxBytesOf(limit: ReadLimit): Option[Long] = limit match {
+    case b: ReadMaxBytes => Some(b.maxBytes())
+    case c: CompositeReadLimit =>
+      c.getReadLimits.flatMap(maxBytesOf(_)).reduceOption((a, b) => math.min(a, b))
+    case _ => None
+  }
+
+  override def latestOffset(start: V2Offset, limit: ReadLimit): V2Offset = {
+    val head = pinnedHead.getOrElse(headNow)
+    val s = versionOf(start)
+    val byVersions = maxVersionsOf(limit)
+      .filter(_ > 0).map(n => math.min(head, s + n))
+    // byte budget: admit whole versions, priced by their `_bytes`
+    // commit stats (pure metadata — no listing), always >=1 version
+    // so an oversized single commit still makes progress
+    val byBytes = maxBytesOf(limit).filter(_ > 0).map { budget =>
+      var v = s
+      var acc = 0L
+      var more = true
+      while (more && v < head) {
+        val b = TxTable.versionAddedBytes(spark, root, v + 1)
+        if (v == s || acc + b <= budget) { v += 1; acc += b }
+        else more = false
+      }
+      v
+    }
+    val end = (Seq(head) ++ byVersions ++ byBytes).min
+    TxVersionOffset(math.max(end, s))
+  }
+
+  override def reportLatestOffset(): V2Offset = TxVersionOffset(headNow)
 
   override def initialOffset(): V2Offset =
     TxVersionOffset(startingVersion - 1)
 
-  override def latestOffset(): V2Offset =
-    TxVersionOffset(math.max(TxTable.latestVersion(spark, root),
-      startingVersion - 1))
+  override def latestOffset(): V2Offset = TxVersionOffset(headNow)
 
   override def deserializeOffset(json: String): V2Offset =
     TxVersionOffset(json.trim.stripPrefix("\"").stripSuffix("\"").toInt)

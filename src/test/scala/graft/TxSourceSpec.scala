@@ -484,4 +484,59 @@ class TxSourceSpec extends SparkSpec {
         "the second query must neither drop silently nor double-apply")
     } finally spark.conf.unset("spark.sql.streaming.checkpointLocation")
   }
+
+  test("maxVersionsPerTrigger drains a backlog in capped micro-batches") {
+    import spark.implicits._
+    // a stream started against a table with history must NOT admit the
+    // whole backlog as one micro-batch: cap at 2 versions/trigger and
+    // drain 5 commits with Trigger.AvailableNow — the engine should
+    // checkpoint >=3 batches and stop at the pinned head
+    val root = tmpDir() + "/txsrc-admission"
+    val ckpt = tmpDir() + "/txsrc-admission-ckpt"
+    (1 to 5).foreach(i =>
+      TxTable.append(Seq((i.toLong, i * 10.0)).toDF("k", "v"), root))
+    val q = spark.readStream.format("graft-tx")
+      .option("maxVersionsPerTrigger", 2).load(root)
+      .writeStream.format("memory").queryName("txadm")
+      .option("checkpointLocation", ckpt).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try assert(q.awaitTermination(120000),
+      "AvailableNow must drain the backlog and terminate")
+    finally q.stop()
+    val rows = spark.sql("SELECT k, commit_version FROM txadm").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSet === (1 to 5).map(i => (i.toLong, i.toLong)).toSet,
+      "every commit delivered exactly once across the capped batches")
+    assert(rows.length === 5)
+    val offsets = new java.io.File(ckpt + "/offsets").listFiles()
+      .filter(_.getName.forall(_.isDigit))
+    assert(offsets.length >= 3,
+      s"5 versions at 2/trigger need >=3 batches, got ${offsets.length}")
+  }
+
+  test("maxBytesPerTrigger prices versions from commit byte stats") {
+    import spark.implicits._
+    // a 1-byte budget is below every commit's `_bytes` stat, so each
+    // micro-batch admits exactly ONE version (the >=1-version progress
+    // guarantee) — 4 commits drain as 4 batches, nothing lost
+    val root = tmpDir() + "/txsrc-bytecap"
+    val ckpt = tmpDir() + "/txsrc-bytecap-ckpt"
+    (1 to 4).foreach(i =>
+      TxTable.append(Seq((i.toLong, i * 10.0)).toDF("k", "v"), root))
+    val q = spark.readStream.format("graft-tx")
+      .option("maxBytesPerTrigger", 1).load(root)
+      .writeStream.format("memory").queryName("txbytecap")
+      .option("checkpointLocation", ckpt).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try assert(q.awaitTermination(120000)) finally q.stop()
+    val rows = spark.sql("SELECT k, commit_version FROM txbytecap")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSet === (1 to 4).map(i => (i.toLong, i.toLong)).toSet)
+    val offsets = new java.io.File(ckpt + "/offsets").listFiles()
+      .filter(_.getName.forall(_.isDigit))
+    assert(offsets.length === 4,
+      s"1-byte budget must admit one version per batch, got ${offsets.length}")
+  }
 }

@@ -1786,4 +1786,61 @@ class TxTableSpec extends SparkSpec {
       "a rejected append must leave no commit behind")
     assert(TxTable.read(spark, root).count() === 1L)
   }
+
+  test("latest-version hint: written per commit, stale/garbage/missing recover") {
+    import spark.implicits._
+    val root = tmpDir() + "/tx-hint"
+    val rp = new org.apache.hadoop.fs.Path(root)
+    val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hint = new org.apache.hadoop.fs.Path(root + "/_commits/_latest")
+    def hintText(): String = {
+      val in = fs.open(hint)
+      try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+      finally in.close()
+    }
+    def putHint(s: String): Unit = {
+      val out = fs.create(hint, true)
+      try out.write(s.getBytes("UTF-8")) finally out.close()
+    }
+    TxTable.append(Seq((1L, 1.0)).toDF("k", "v"), root)
+    TxTable.append(Seq((2L, 2.0)).toDF("k", "v"), root)
+    assert(fs.exists(hint), "every successful commit writes the hint")
+    assert(hintText() === "2")
+    assert(TxTable.latestVersion(spark, root) === 2)
+    // stale-LOW hint (a crashed/raced writeHint): forward probe recovers
+    putHint("1")
+    assert(TxTable.latestVersion(spark, root) === 2)
+    // hint at a nonexistent version (recreated-table ghost): listing
+    putHint("9")
+    assert(TxTable.latestVersion(spark, root) === 2)
+    // garbage hint: parse guard falls back to the listing
+    putHint("not-a-version")
+    assert(TxTable.latestVersion(spark, root) === 2)
+    // missing hint (pre-hint table): listing, and the next commit
+    // re-establishes it
+    fs.delete(hint, false)
+    assert(TxTable.latestVersion(spark, root) === 2)
+    TxTable.append(Seq((3L, 3.0)).toDF("k", "v"), root)
+    assert(hintText() === "3")
+    assert(TxTable.read(spark, root).count() === 3L)
+  }
+
+  test("footer schemas of immutable uuid dirs serve from the JVM cache") {
+    import spark.implicits._
+    val root = tmpDir() + "/tx-schemacache"
+    val rp = new org.apache.hadoop.fs.Path(root)
+    val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    TxTable.append(Seq((1L, "a")).toDF("k", "s"), root)
+    val dir = fs.listStatus(new org.apache.hadoop.fs.Path(root, "data"))
+      .head.getPath.getName
+    val first = TxTable.dirSchemas(spark, rp, Seq(s"data/$dir"))
+    assert(first.nonEmpty && first.head._2.containsField("k"))
+    // dirs are immutable and uuid-named, so the second probe must not
+    // touch the filesystem: delete the data files, probe again — the
+    // schema still resolves (a re-probe would return empty)
+    fs.delete(new org.apache.hadoop.fs.Path(root, s"data/$dir"), true)
+    val again = TxTable.dirSchemas(spark, rp, Seq(s"data/$dir"))
+    assert(again === first, "cached footer schema must serve without IO")
+  }
 }
