@@ -498,6 +498,25 @@ object Oracles {
         |  min(l_partkey) AS min_pkey, max(l_partkey) AS max_pkey
         |FROM lineitem""".stripMargin,
 
+    // ANALYZE + DESCRIBE STATISTICS (TxTable.analyzeGateQuery): NDV
+    // from the analyze commit header, nulls/min/max from per-dir
+    // commit stats, all metadata-only; the oracle recomputes each by
+    // scanning — equality proves the recorded statistics (what the V2
+    // SupportsReportStatistics face hands the CBO) are exact
+    "q_txtable_analyze" ->
+      """SELECT col_name, ndv, nulls, min_v, max_v FROM (
+        |  SELECT 'o_orderkey' AS col_name,
+        |    count(DISTINCT o_orderkey) AS ndv,
+        |    count(*) - count(o_orderkey) AS nulls,
+        |    min(o_orderkey) AS min_v, max(o_orderkey) AS max_v
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey',
+        |    count(DISTINCT o_custkey),
+        |    count(*) - count(o_custkey),
+        |    min(o_custkey), max(o_custkey)
+        |  FROM orders) t""".stripMargin,
+
     // metadata-only GROUP BY the partition column
     // (TxTable.partCountsGateQuery): per-bucket count/min/max from
     // the partitioned snapshot's per-dir stats alone

@@ -89,6 +89,14 @@ object GraftFunctions {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.TxStatsAggRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.TxStatsAggRewrite
+    // the V1Scan statistics relay NEEDS this hook specifically: the
+    // "User Provided Optimizers" batch is the only extension point
+    // that runs AFTER scan push-down (which mints the V1ScanWrapper
+    // the relay rewrites) — injectOptimizerRule and injectPreCBORule
+    // batches both precede push-down in Spark 4.1
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.TxStatsRelay))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.TxStatsRelay
     if (!spark.experimental.extraStrategies.contains(graft.plans.LshTopKJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.LshTopKJoinStrategy

@@ -1045,8 +1045,14 @@ object TxTable {
       val mapCarried =
         if (lines.exists(_.startsWith("colmap:"))) Seq.empty
         else snapshotColMap(fs, rp, prevV).map(colMapLine).toSeq
+      // analyze-time NDV estimates are table-level metadata too:
+      // carried until the next analyze re-declares them (read side
+      // clamps stale estimates to the live row count)
+      val ndvCarried =
+        if (lines.exists(_.startsWith("ndv:"))) Seq.empty
+        else ndvLineOf(fs, rp, prevV).toSeq
       val (packedLines, staged) = packEntryLines(fs, rp, prevV,
-        mapCarried ++ lines ++ carried, rollover)
+        mapCarried ++ ndvCarried ++ lines ++ carried, rollover)
       stagedManifests = staged
       val body = (s"op:$op" +: packedLines).mkString("\n")
       val claim = commitPath(rp, prevV + 1)
@@ -2884,6 +2890,122 @@ object TxTable {
   }
   private val rowsKey = "_rows"
 
+  /** The commit's NDV header line (`ndv:<analyzedVersion>;<phys>=<n>,
+    * ...`), carried forward by every commit like the column mapping. */
+  private def ndvLineOf(fs: FileSystem, rp: Path, v: Int): Option[String] =
+    if (v <= 0) None
+    else commitLines(fs, rp, v).find(_.startsWith("ndv:"))
+
+  /** ANALYZE TABLE — record per-column distinct-value counts in the
+    * commit log, the statistic the cost-based optimizer needs for join
+    * ordering and selectivity that per-dir min/max can't supply. ONE
+    * distributed aggregation pass over the snapshot (HyperLogLog++
+    * partial aggregates, map-side combined — `exact = true` swaps in
+    * true COUNT(DISTINCT) for oracle-grade numbers at test scale),
+    * then one metadata commit carrying an `ndv:` header; every later
+    * commit carries the header forward, so the estimates serve until
+    * the next analyze (read side clamps them to the live row count —
+    * stale means imprecise, never absurd). The distinct-counting
+    * semantic of the reference's aggregate library
+    * (src/mapred/org/apache/hadoop/mapred/lib/aggregate/
+    * UniqValueCount.java:1), persisted as table metadata the way
+    * ANALYZE TABLE does in warehouse SQL engines. Columns are LOGICAL
+    * names; counts are recorded under the immutable PHYSICAL names so
+    * renames never orphan them. */
+  def analyze(spark: SparkSession, root: String,
+    cols: Seq[String] = Seq.empty, exact: Boolean = false,
+    rsd: Double = 0.05): Int = {
+    val (fs, rp) = fsFor(spark, root)
+    commitRetry(spark, root) { prevV =>
+      require(prevV > 0, s"txtable: nothing to analyze at $root")
+      val df = read(spark, root, version = prevV)
+      val targets =
+        if (cols.nonEmpty) cols.distinct
+        else df.schema.fields.collect {
+          case f if ndvCountable(f.dataType) => f.name
+        }.toSeq
+      require(targets.nonEmpty, s"txtable: no analyzable columns at $root")
+      targets.foreach(c => require(df.columns.contains(c),
+        s"txtable: no column '$c' to analyze at $root"))
+      val m = snapshotColMap(fs, rp, prevV)
+      val phys = targets.map(physName(m, _))
+      // the ndv grammar borrows colmap's separators plus ';'
+      phys.foreach(p => require(validColName(p) && !p.contains(";"),
+        s"txtable: column '$p' cannot carry ndv stats " +
+          "(empty or reserved character)"))
+      val aggs = targets.map(c =>
+        (if (exact) count_distinct(col(c))
+         else approx_count_distinct(col(c), rsd)).cast("long"))
+      val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val body = phys.zipWithIndex
+        .map { case (p, i) => s"$p=${r.getLong(i)}" }.mkString(",")
+      ("analyze", s"ndv:$prevV;$body" +: snapshotLines(fs, rp, prevV))
+    }
+  }
+
+  private def ndvCountable(dt: org.apache.spark.sql.types.DataType)
+    : Boolean = dt match {
+    case _: org.apache.spark.sql.types.NumericType => true
+    case org.apache.spark.sql.types.StringType |
+      org.apache.spark.sql.types.BooleanType |
+      org.apache.spark.sql.types.DateType |
+      org.apache.spark.sql.types.TimestampType => true
+    case _ => false
+  }
+
+  /** LOGICAL-name NDV estimates of snapshot `version` from its carried
+    * `ndv:` header, clamped to the snapshot row count when known
+    * (commits after an analyze can shrink the table below the stale
+    * estimate; an estimate above the row count would actively mislead
+    * the optimizer). Physical columns dropped since the analyze are
+    * omitted. Empty when the table was never analyzed. */
+  private[graft] def columnNdv(spark: SparkSession, root: String,
+    version: Int = -1): Map[String, Long] = {
+    val (fs, rp) = fsFor(spark, root)
+    val v = if (version >= 0) version else latestVersion(spark, root)
+    if (v == 0) return Map.empty
+    ndvLineOf(fs, rp, v).map { line =>
+      val payload = line.drop(4)
+      val sep = payload.indexOf(';')
+      val m = snapshotColMap(fs, rp, v)
+      val cap = rowCount(spark, root, v)
+      payload.drop(sep + 1).split(",").toSeq.flatMap { kv =>
+        val i = kv.lastIndexOf('=')
+        if (i <= 0) None
+        else {
+          val p = kv.substring(0, i)
+          val n = kv.substring(i + 1)
+          // with a mapping, only LIVE physicals have a logical face
+          val logical = m match {
+            case Some(mm) => liveMap(mm).find(_._2 == p).map(_._1)
+            case None => Some(p)
+          }
+          if (n.nonEmpty && n.forall(_.isDigit))
+            logical.map(_ -> cap.fold(n.toLong)(math.min(n.toLong, _)))
+          else None
+        }
+      }.toMap
+    }.getOrElse(Map.empty)
+  }
+
+  /** DESCRIBE STATISTICS — one row per requested column: NDV (from the
+    * last analyze), null count, and min/max, assembled ENTIRELY from
+    * commit metadata (zero data I/O at any table size). Absent stats
+    * are NULL, never guessed. */
+  def describeStats(spark: SparkSession, root: String,
+    cols: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val v = latestVersion(spark, root)
+    val ndv = columnNdv(spark, root, v)
+    val (ranges, nulls) = metadataAgg(spark, root, v, cols, cols)
+      .map(t => (t._2, t._3))
+      .getOrElse((Map.empty[String, (Long, Long)], Map.empty[String, Long]))
+    cols.map { c =>
+      (c, ndv.get(c), nulls.get(c),
+        ranges.get(c).map(_._1), ranges.get(c).map(_._2))
+    }.toDF("col_name", "ndv", "nulls", "min_v", "max_v")
+  }
+
   /** Metadata-only scalar aggregate: COUNT(*) plus exact MIN/MAX for
     * the requested logical columns, answered from the commit's per-dir
     * stats with ZERO data I/O — the move that turns `SELECT count(*),
@@ -3248,6 +3370,28 @@ object TxTable {
       max(col("l_orderkey")).as("max_okey"),
       min(col("l_partkey")).as("min_pkey"),
       max(col("l_partkey")).as("max_pkey"))
+  }
+
+  /** Gate: ANALYZE + metadata statistics (q_txtable_analyze). Three
+    * orderkey-striped appends with per-dir stats, one exact analyze
+    * pass, then DESCRIBE STATISTICS — NDV from the analyze header,
+    * null counts and min/max from the per-dir commit stats, all served
+    * without reopening a data file. Hash equality against the oracle's
+    * full-scan distinct/null/min/max aggregate proves the recorded
+    * statistics are exact, not merely plausible — the trust baseline
+    * the V2 `SupportsReportStatistics` face then hands the cost-based
+    * optimizer. Distinct-count semantics per the reference's aggregate
+    * library (src/mapred/org/apache/hadoop/mapred/lib/aggregate/
+    * UniqValueCount.java:1). */
+  def analyzeGateQuery(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratchRoot("graft-anlgate", dir)
+    val o = graft.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+    (0L to 2L).foreach(i =>
+      append(o.filter(col("o_orderkey") % 3 === i), root,
+        statsCols = Seq("o_orderkey", "o_custkey")))
+    analyze(spark, root, Seq("o_orderkey", "o_custkey"), exact = true)
+    describeStats(spark, root, Seq("o_orderkey", "o_custkey"))
   }
 
   /** Gate: STORAGE-PARTITIONED JOIN (q_txtable_spj). Orders and

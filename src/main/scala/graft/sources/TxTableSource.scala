@@ -201,6 +201,94 @@ object TxTableSource {
         java.sql.Timestamp.valueOf(s).getTime)
     }
 
+  /** True when reader params restrict rows (keyRange / colRange.* /
+    * strRange.*): whole-table statistics then no longer describe the
+    * relation and must not be reported. */
+  private[sources] def rowRestricting(params: Map[String, String]): Boolean =
+    params.keys.exists { k0 =>
+      val k = k0.toLowerCase(java.util.Locale.ROOT)
+      k == "keyrange" || k.startsWith("colrange.") ||
+        k.startsWith("strrange.")
+    }
+
+  /** Catalyst-typed stat value for a recorded Long bound — only types
+    * whose commit stats are exact integral encodings qualify; anything
+    * else reports no min/max (still sound, just less informative). */
+  private def typedBound(dt: org.apache.spark.sql.types.DataType,
+    v: Long): Option[Object] = dt match {
+    case org.apache.spark.sql.types.LongType =>
+      Some(java.lang.Long.valueOf(v))
+    case org.apache.spark.sql.types.IntegerType =>
+      Some(java.lang.Integer.valueOf(v.toInt))
+    case org.apache.spark.sql.types.ShortType =>
+      Some(java.lang.Short.valueOf(v.toShort))
+    case _ => None
+  }
+
+  private case class TxColumnStats(ndv: Option[Long], mn: Option[Object],
+    mx: Option[Object], nulls: Option[Long])
+    extends org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+    private def ol(o: Option[Long]): java.util.OptionalLong =
+      o.map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty)
+    override def distinctCount(): java.util.OptionalLong = ol(ndv)
+    override def min(): java.util.Optional[Object] =
+      mn.map(java.util.Optional.of[Object])
+        .getOrElse(java.util.Optional.empty[Object]())
+    override def max(): java.util.Optional[Object] =
+      mx.map(java.util.Optional.of[Object])
+        .getOrElse(java.util.Optional.empty[Object]())
+    override def nullCount(): java.util.OptionalLong = ol(nulls)
+  }
+
+  /** V2 statistics for a graft-tx snapshot, assembled ENTIRELY from
+    * commit metadata — size from the `_bytes` stats (what drives
+    * auto-broadcast), row count from `_rows`, and per-column
+    * min/max/null-count from the dir stats plus NDV from the last
+    * ANALYZE, the inputs Catalyst's cost-based optimizer needs to
+    * order joins and price filters on a 100 TB table without touching
+    * a data file. `restricted` (row-restricting reader options or a
+    * pruned scan) vetoes everything but conservative absence — a stale
+    * whole-table number on a restricted relation would actively
+    * mislead the planner. */
+  private[sources] def v2Statistics(spark: SparkSession, root: String,
+    version: Int, outSchema: StructType, restricted: Boolean)
+    : org.apache.spark.sql.connector.read.Statistics = {
+    import java.util.OptionalLong
+    val size =
+      if (restricted) None else TxTable.snapshotBytes(spark, root, version)
+    val rows =
+      if (restricted) None else TxTable.rowCount(spark, root, version)
+    val colStats = new java.util.HashMap[NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+    if (!restricted && rows.nonEmpty) {
+      val names = outSchema.fields.map(_.name).toSeq
+      val (ranges, nulls) =
+        TxTable.metadataAgg(spark, root, version, names, names)
+          .map(t => (t._2, t._3))
+          .getOrElse((Map.empty[String, (Long, Long)],
+            Map.empty[String, Long]))
+      val ndv = TxTable.columnNdv(spark, root, version)
+      outSchema.fields.foreach { f =>
+        val nd = ndv.get(f.name)
+        val nl = nulls.get(f.name)
+        val mn = ranges.get(f.name).flatMap(r => typedBound(f.dataType, r._1))
+        val mx = ranges.get(f.name).flatMap(r => typedBound(f.dataType, r._2))
+        if (nd.nonEmpty || nl.nonEmpty || mn.nonEmpty)
+          colStats.put(Expressions.column(f.name),
+            TxColumnStats(nd, mn, mx, nl))
+      }
+    }
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): OptionalLong =
+        size.map(OptionalLong.of).getOrElse(OptionalLong.empty)
+      override def numRows(): OptionalLong =
+        rows.map(OptionalLong.of).getOrElse(OptionalLong.empty)
+      override def columnStats(): java.util.Map[NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+        colStats
+    }
+  }
+
   /** `colRange.<name> = "lo,hi"` options (plus bare `keyRange`),
     * collected case-preservingly for the column part. */
   private[graft] def optionRanges(
@@ -625,7 +713,26 @@ class TxCatalogScanBuilder(root: String, fullSchema: StructType,
   }
   override def pushedFilters(): Array[Filter] = Array.empty
 
-  override def build(): Scan = new V1Scan {
+  // CBO statistics ride the V1Scan face too: the logical plan above a
+  // catalog graft-tx table is a DataSourceV2ScanRelation regardless of
+  // the V1 execution bridge, and its stats come from the SCAN — so a
+  // catalog table reports metadata-exact size/rows/column stats (all
+  // filters are reported unhandled, so the base-relation numbers are
+  // the right ones; Catalyst prices the Filter above)
+  override def build(): Scan = new V1Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+      val spark = SparkSession.active
+      val version = params.get("versionAsOf").orElse(params.get("versionasof"))
+        .map(_.toInt).orElse(
+          params.get("timestampAsOf").orElse(params.get("timestampasof"))
+            .map(t => TxTable.versionAt(spark, root,
+              TxTableSource.parseTs(t))))
+        .getOrElse(-1)
+      TxTableSource.v2Statistics(spark, root, version, required,
+        restricted = TxTableSource.rowRestricting(params))
+    }
     override def readSchema(): StructType = required
     override def description(): String = s"graft-tx catalog scan of $root"
     override def toV1TableScan[T <: BaseRelation with TableScan](
@@ -741,27 +848,42 @@ class TxSpjScanBuilder(root: String, fullSchema: StructType,
     }
     val byPos: Seq[Seq[Long => Boolean]] =
       partCols.map(pc => filters.flatMap(predOf(_, pc)).toSeq)
-    if (byPos.exists(_.nonEmpty))
+    if (byPos.exists(_.nonEmpty)) {
       partPred = vs => byPos.zip(vs).forall {
         case (ps, v) => ps.forall(_(v))
       }
+      pruned = true
+    }
     filters
   }
+  private var pruned = false
   override def pushedFilters(): Array[Filter] = Array.empty
 
   override def build(): Scan = {
     val spark = SparkSession.active
     val version = params.get("versionasof").orElse(params.get("versionAsOf"))
       .map(_.toInt).getOrElse(-1)
-    new TxSpjScan(spark, root, version, partCols, required, partPred)
+    new TxSpjScan(spark, root, version, partCols, required, partPred,
+      pruned)
   }
 }
 
 class TxSpjScan(spark: SparkSession, root: String, version: Int,
   partCols: Seq[String], outSchema: StructType,
-  partPred: Seq[Long] => Boolean = _ => true)
+  partPred: Seq[Long] => Boolean = _ => true, pruned: Boolean = false)
   extends Scan with Batch with SupportsReportPartitioning
-  with SupportsRuntimeFiltering {
+  with SupportsRuntimeFiltering
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  /** Metadata-exact size/rows/column statistics for the cost-based
+    * optimizer — but ONLY when nothing restricted the scan: a
+    * statically or dynamically pruned scan reads a subset, and
+    * whole-table numbers on it would mislead the planner worse than
+    * none (Spark falls back to its own heuristics on empty). */
+  override def estimateStatistics()
+    : org.apache.spark.sql.connector.read.Statistics =
+    TxTableSource.v2Statistics(spark, root, version, outSchema,
+      restricted = pruned || runtimeKeep.nonEmpty)
 
   private lazy val (slices, colMap) = {
     val (all, m) =
