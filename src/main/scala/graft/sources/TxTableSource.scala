@@ -1158,18 +1158,71 @@ class TxPartitionReader(part: TxInputPartition, schema: StructType,
 }
 
 /** Streaming write builder: Append by default; Complete (truncate)
-  * maps to transactional overwrite, mirroring the V1 sink. */
+  * maps to transactional overwrite, mirroring the V1 sink.
+  *
+  * `partitionBy` (comma-separated integral columns) selects the
+  * PARTITIONED ingest shape: the Write then REQUIRES a clustered
+  * distribution plus a within-partition sort on the partition columns
+  * (public `RequiresDistributionAndOrdering` — Spark shuffles/sorts
+  * each micro-batch before the writers see a row), so every writer
+  * task receives whole partition values in contiguous runs and stages
+  * ONE file per value. Commit promotes those files by rename with
+  * footer-derived stats ([[TxTable.appendPartitionedStaged]]) — the
+  * epoch's data is written exactly once, and the streamed table gets
+  * the same provably-clustered layout as a batch appendPartitionedBy:
+  * storage-partitioned joins, metadata-only GROUP BY and dir pruning
+  * work on it immediately. */
 class TxWriteBuilder(root: String, info: LogicalWriteInfo)
   extends WriteBuilder with SupportsTruncate {
   private var complete = false
+  private val partCols: Seq[String] =
+    Option(info.options.get("partitionBy"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+  partCols.foreach { c =>
+    require(info.schema().fieldNames.contains(c),
+      s"graft-tx sink: partitionBy column '$c' is not in the stream " +
+        s"schema (${info.schema().fieldNames.mkString(", ")})")
+    require(info.schema()(c).dataType match {
+      case org.apache.spark.sql.types.LongType |
+        org.apache.spark.sql.types.IntegerType |
+        org.apache.spark.sql.types.ShortType => true
+      case _ => false
+    }, s"graft-tx sink: partitionBy column '$c' must be integral")
+  }
+  require(partCols.isEmpty || Option(info.options.get("keys")).isEmpty,
+    "graft-tx sink: partitionBy and keys are mutually exclusive " +
+      "(keyed CDC merges fold by key, not layout)")
   override def truncate(): WriteBuilder = { complete = true; this }
-  override def build(): Write = new Write {
-    override def toStreaming: StreamingWrite =
-      new TxStreamingWrite(root, info, complete)
+  override def build(): Write = {
+    require(partCols.isEmpty || !complete,
+      "graft-tx sink: partitionBy supports append mode only")
+    if (partCols.isEmpty) new Write {
+      override def toStreaming: StreamingWrite =
+        new TxStreamingWrite(root, info, complete)
+    } else new Write
+      with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+      import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+      import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection, SortOrder => V2SortOrder}
+      override def requiredDistribution(): Distribution =
+        Distributions.clustered(
+          partCols.map(c => Expressions.identity(c)
+            : org.apache.spark.sql.connector.expressions.Expression).toArray)
+      override def requiredOrdering(): Array[V2SortOrder] =
+        partCols.map(c => Expressions.sort(Expressions.identity(c),
+          SortDirection.ASCENDING, NullOrdering.NULLS_FIRST)).toArray
+      override def toStreaming: StreamingWrite =
+        new TxStreamingWrite(root, info, complete, partCols)
+    }
   }
 }
 
 case class TxCommitMessage(path: String, rows: Long)
+  extends WriterCommitMessage
+
+/** Commit message of one partitioned writer task: every staged file
+  * it produced (one per contiguous partition-value run). */
+case class TxPartCommitMessage(paths: Seq[String], rows: Long)
   extends WriterCommitMessage
 
 /** Exactly-once micro-batch loads, DSv2 shape: executors stage each
@@ -1184,7 +1237,8 @@ case class TxCommitMessage(path: String, rows: Long)
   * this replaces (tags stay checkpoint-scoped and byte-compatible, so
   * an upgraded pipeline resumes against its existing table). */
 class TxStreamingWrite(root: String, info: LogicalWriteInfo,
-  complete: Boolean) extends StreamingWrite {
+  complete: Boolean, partCols: Seq[String] = Seq.empty)
+  extends StreamingWrite {
 
   private val schema = info.schema()
   private val opts = info.options()
@@ -1310,7 +1364,9 @@ class TxStreamingWrite(root: String, info: LogicalWriteInfo,
     defaultLineageGuard
     val conf = new SerializableConfiguration(
       SparkSession.active.sessionState.newHadoopConf())
-    TxStreamingWriterFactory(root, streamId, schema, conf)
+    if (partCols.nonEmpty)
+      TxPartitionedWriterFactory(root, streamId, schema, partCols, conf)
+    else TxStreamingWriterFactory(root, streamId, schema, conf)
   }
 
   override def commit(epochId: Long,
@@ -1318,6 +1374,15 @@ class TxStreamingWrite(root: String, info: LogicalWriteInfo,
     defaultLineageGuard
     verifyDefaultOwnership()
     val spark = SparkSession.active
+    if (partCols.nonEmpty) {
+      val staged = messages.collect {
+        case TxPartCommitMessage(ps, n) if n > 0 => ps
+      }.flatten
+      TxTable.appendPartitionedStaged(spark, root, staged.toIndexedSeq,
+        partCols, epochId, statsCols, streamId = streamId)
+      cleanup(epochId)
+      return
+    }
     val files = messages.collect {
       case TxCommitMessage(p, n) if p != null && n > 0 => p
     }
@@ -1395,6 +1460,79 @@ class TxDataWriter(path: org.apache.hadoop.fs.Path, schema: StructType,
     if (writer != null) writer.close()
     path.getFileSystem(conf.value).delete(path, false)
     ()
+  }
+
+  override def close(): Unit = ()
+}
+
+case class TxPartitionedWriterFactory(root: String, streamId: String,
+  schema: StructType, partCols: Seq[String],
+  conf: SerializableConfiguration) extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+    epochId: Long): DataWriter[InternalRow] =
+    new TxPartitionedDataWriter(
+      s"$root/_staging/$streamId/epoch-$epochId/part-$partitionId-$taskId",
+      schema, partCols, conf)
+}
+
+/** Stages one task's rows as ONE parquet file per contiguous
+  * partition-value run. The Write's required ordering sorts each task
+  * by the partition columns, so a run IS a value and the task stages
+  * exactly one file per value it owns — rolling on change keeps ONE
+  * open parquet writer per task (an open-writer map would buffer a
+  * row group PER VALUE — the memory shape hive-style dynamic
+  * partition writes sort specifically to avoid). If the engine ever
+  * hands rows unsorted, rolling still only ever starts a NEW file —
+  * each file stays single-valued (more, smaller files; never a wrong
+  * layout). NULL partition values stage like any run and fail the
+  * promote-time purity proof, so they surface as the partitioned
+  * append's loud NULL rejection instead of lost rows. */
+class TxPartitionedDataWriter(pathPrefix: String, schema: StructType,
+  partCols: Seq[String], conf: SerializableConfiguration)
+  extends DataWriter[InternalRow] {
+  private val partIdx: Seq[(Int, org.apache.spark.sql.types.DataType)] =
+    partCols.map(c => schema.fieldIndex(c) -> schema(c).dataType)
+  private var writer: org.apache.parquet.hadoop.ParquetWriter[InternalRow] = _
+  private var cur: Seq[Option[Long]] = null
+  private var seq = 0
+  private var rows = 0L
+  private var files = List.empty[String]
+
+  private def valueOf(row: InternalRow): Seq[Option[Long]] =
+    partIdx.map { case (i, dt) =>
+      if (row.isNullAt(i)) None
+      else Some(dt match {
+        case org.apache.spark.sql.types.LongType => row.getLong(i)
+        case org.apache.spark.sql.types.IntegerType => row.getInt(i).toLong
+        case _ => row.getShort(i).toLong
+      })
+    }
+
+  override def write(row: InternalRow): Unit = {
+    val v = valueOf(row)
+    if (writer == null || v != cur) {
+      if (writer != null) writer.close()
+      val p = new org.apache.hadoop.fs.Path(s"$pathPrefix-$seq.parquet")
+      seq += 1
+      files ::= p.toString
+      writer = TxParquetIO.writer(p, schema, conf.value)
+      cur = v
+    }
+    writer.write(row)
+    rows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (writer != null) writer.close()
+    TxPartCommitMessage(files.reverse, rows)
+  }
+
+  override def abort(): Unit = {
+    if (writer != null) writer.close()
+    files.foreach { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(conf.value).delete(p, false)
+    }
   }
 
   override def close(): Unit = ()

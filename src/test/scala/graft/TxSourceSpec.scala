@@ -485,6 +485,100 @@ class TxSourceSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.checkpointLocation")
   }
 
+  test("partitionBy sink: single-write promote into a proven layout") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val root = tmpDir() + "/txsink-part"
+    val ckpt = tmpDir() + "/txsink-part-ckpt"
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Double)]
+    val q = input.toDF().toDF("day", "k", "v")
+      .writeStream.format("graft-tx").option("path", root)
+      .option("partitionBy", "day").option("statsCols", "k")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      input.addData((1L, 10L, 1.0), (2L, 20L, 2.0), (1L, 11L, 1.1))
+      q.processAllAvailable()
+      input.addData((2L, 21L, 2.1), (3L, 30L, 3.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(TxTable.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L), (3L, 30L)))
+    // the data files are the WRITERS' staged files, promoted by rename
+    // (the rewrite path would re-write them under Spark part- names
+    // with a compression suffix) — proof the epoch was written ONCE
+    val dataFiles = spark.read.format("graft-tx").load(root).inputFiles
+    assert(dataFiles.nonEmpty && dataFiles.forall(f =>
+      new org.apache.hadoop.fs.Path(f).getName
+        .matches("part-\\d+-\\d+-\\d+\\.parquet")),
+      s"promoted files must keep their staged names, got $dataFiles")
+    // one dir per (epoch, value); each single-valued + null-free on
+    // `day` — provable from the commit alone, so the SPJ face accepts
+    // the streamed table as partition-clustered (would throw if not)
+    val spj = spark.read.format("graft-tx")
+      .option("partitionCol", "day").load(root)
+    assert(spj.groupBy("day").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((1L, 2L), (2L, 2L), (3L, 1L)))
+    // the statsCols column rode the footers into per-dir stats:
+    // a k-range read prunes dirs (observable via inputFiles)
+    val pruned = TxTable.read(spark, root,
+      colRanges = Map("k" -> (30L, 99L)))
+    assert(pruned.collect().map(_.getLong(1)).toSet === Set(30L))
+    // replaying a committed epoch is a no-op (restart path)
+    val sid = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(ckpt).toLong & 0xffffffffL)
+    val before = TxTable.latestVersion(spark, root)
+    TxTable.appendPartitionedStaged(spark, root, Seq.empty, Seq("day"),
+      batchId = 0L, streamId = sid)
+    assert(TxTable.latestVersion(spark, root) === before)
+  }
+
+  test("partitionBy sink: NULL partition values fail loudly, not lost") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val root = tmpDir() + "/txsink-partnull"
+    val ckpt = tmpDir() + "/txsink-partnull-ckpt"
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Double)]
+    val q = input.toDF().toDF("day", "v")
+      .select(when(col("day") > 1L, col("day")).as("day"), col("v"))
+      .writeStream.format("graft-tx").option("path", root)
+      .option("partitionBy", "day")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    input.addData((1L, 1.0), (2L, 2.0))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+      q.awaitTermination(10000)
+    }
+    q.stop()
+    assert(e.getMessage.contains("NULL") ||
+      Option(e.getCause).exists(_.getMessage.contains("NULL")),
+      s"NULL partition values must be rejected, got: ${e.getMessage}")
+  }
+
+  test("partitioned promote falls back to the rewrite on impure files") {
+    import spark.implicits._
+    val root = tmpDir() + "/txsink-partmixed"
+    val staged = tmpDir() + "/txsink-partmixed-staged"
+    // ONE file holding two partition values — the purity proof must
+    // fail and the rewrite path must land the same proven layout
+    Seq((1L, 10L), (2L, 20L)).toDF("day", "k")
+      .coalesce(1).write.parquet(staged)
+    val files = new java.io.File(staged).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+    TxTable.appendPartitionedStaged(spark, root, files, Seq("day"),
+      batchId = 0L)
+    assert(TxTable.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((1L, 10L), (2L, 20L)))
+    // still one single-valued dir per value (the SPJ proof holds)
+    val spj = spark.read.format("graft-tx")
+      .option("partitionCol", "day").load(root)
+    assert(spj.count() === 2L)
+  }
+
   test("maxVersionsPerTrigger drains a backlog in capped micro-batches") {
     import spark.implicits._
     // a stream started against a table with history must NOT admit the
