@@ -517,6 +517,15 @@ object Oracles {
         |    min(o_custkey), max(o_custkey)
         |  FROM orders) t""".stripMargin,
 
+    // COUNT(DISTINCT) from the exact analyze header
+    // (TxTable.countDistinctGateQuery): the whole aggregate is served
+    // from commit metadata; the oracle's full-scan DISTINCT proves
+    // the substitute exact
+    "q_txtable_count_distinct" ->
+      """SELECT count(DISTINCT o_custkey) AS ndv_cust, count(*) AS cnt,
+        |  min(o_orderkey) AS min_okey, max(o_orderkey) AS max_okey
+        |FROM orders""".stripMargin,
+
     // metadata-only GROUP BY the partition column
     // (TxTable.partCountsGateQuery): per-bucket count/min/max from
     // the partitioned snapshot's per-dir stats alone

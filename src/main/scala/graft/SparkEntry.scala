@@ -137,6 +137,8 @@ object SparkEntry {
     "q_txtable_optimize" -> (graft.sources.TxTable.optimizeGateQuery _),
     "q_txtable_stats_agg" -> (graft.sources.TxTable.statsAggGateQuery _),
     "q_txtable_analyze" -> (graft.sources.TxTable.analyzeGateQuery _),
+    "q_txtable_count_distinct" ->
+      (graft.sources.TxTable.countDistinctGateQuery _),
     "q_txtable_part_counts" ->
       (graft.sources.TxTable.partCountsGateQuery _),
     "q_txtable_spj" -> (graft.sources.TxTable.spjGateQuery _),

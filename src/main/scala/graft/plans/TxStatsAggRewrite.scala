@@ -102,6 +102,7 @@ object TxStatsAggRewrite extends Rule[LogicalPlan] {
   private case object CountStar extends Shape
   private case object GroupKey extends Shape
   private case class CountOf(c: String) extends Shape
+  private case class DistinctOf(c: String) extends Shape
   private case class MinOf(c: String, dt: DataType) extends Shape
   private case class MaxOf(c: String, dt: DataType) extends Shape
 
@@ -115,6 +116,11 @@ object TxStatsAggRewrite extends Rule[LogicalPlan] {
     // stat being present in every live dir)
     case AggregateExpression(Count(Seq(a: AttributeReference)), _, false,
         None, _) => Some(CountOf(a.name))
+    // count(DISTINCT c) from the ANALYZE header — exactness gated
+    // below on TxTable.exactNdv's freshness proof (exact-mode counts
+    // AND the snapshot's entries identical to the analyzed ones)
+    case AggregateExpression(Count(Seq(a: AttributeReference)), _, true,
+        None, _) => Some(DistinctOf(a.name))
     case AggregateExpression(Min(a: AttributeReference), _, false, None, _)
         if integral(a.dataType) => Some(MinOf(a.name, a.dataType))
     case AggregateExpression(Max(a: AttributeReference), _, false, None, _)
@@ -126,6 +132,8 @@ object TxStatsAggRewrite extends Rule[LogicalPlan] {
     shapes.collect { case MinOf(c, _) => c case MaxOf(c, _) => c }.distinct
   private def countCols(shapes: Seq[Shape]): Seq[String] =
     shapes.collect { case CountOf(c) => c }.distinct
+  private def distinctCols(shapes: Seq[Shape]): Seq[String] =
+    shapes.collect { case DistinctOf(c) => c }.distinct
 
   private def scalarRewrite(agg: Aggregate,
     rel: RelInfo): Option[LogicalPlan] = {
@@ -134,6 +142,14 @@ object TxStatsAggRewrite extends Rule[LogicalPlan] {
     val shapes = shapes0.map(_.get)
     val cols = statCols(shapes)
     val ccols = countCols(shapes)
+    val dcols = distinctCols(shapes)
+    // COUNT(DISTINCT) answers come from the analyze header, and only
+    // when provably exact AND fresh (entries unchanged since the
+    // exact-mode analyze) — one unanswerable column bails to the scan
+    val ndv =
+      if (dcols.isEmpty) Map.empty[String, Long]
+      else graft.sources.TxTable.exactNdv(rel.spark, rel.root, rel.version)
+    if (!dcols.forall(ndv.contains)) return None
     graft.sources.TxTable
       .metadataAgg(rel.spark, rel.root, rel.version, cols, ccols)
       .filter { case (_, ranges, nulls) =>
@@ -142,6 +158,7 @@ object TxStatsAggRewrite extends Rule[LogicalPlan] {
         val row = InternalRow.fromSeq(shapes.map {
           case CountStar => total
           case CountOf(c) => total - nulls(c)
+          case DistinctOf(c) => ndv(c)
           case MinOf(c, dt) => typed(ranges(c)._1, dt)
           case MaxOf(c, dt) => typed(ranges(c)._2, dt)
           case GroupKey => null // unreachable: no grouping here
@@ -161,6 +178,8 @@ object TxStatsAggRewrite extends Rule[LogicalPlan] {
     val shapes0 = agg.aggregateExpressions.map(shape)
     if (shapes0.isEmpty || shapes0.exists(_.isEmpty)) return None
     val shapes = shapes0.map(_.get)
+    // the analyze header is table-level: no per-group NDV to serve
+    if (shapes.exists(_.isInstanceOf[DistinctOf])) return None
     val cols = statCols(shapes)
     val ccols = countCols(shapes)
     graft.sources.TxTable

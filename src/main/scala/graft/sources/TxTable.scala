@@ -3125,7 +3125,10 @@ object TxTable {
       val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
       val body = phys.zipWithIndex
         .map { case (p, i) => s"$p=${r.getLong(i)}" }.mkString(",")
-      ("analyze", s"ndv:$prevV;$body" +: snapshotLines(fs, rp, prevV))
+      // exact counts carry a '!' on the version token — downstream,
+      // COUNT(DISTINCT) may substitute them only when provably fresh
+      val vTok = if (exact) s"$prevV!" else s"$prevV"
+      ("analyze", s"ndv:$vTok;$body" +: snapshotLines(fs, rp, prevV))
     }
   }
 
@@ -3171,6 +3174,33 @@ object TxTable {
           else None
         }
       }.toMap
+    }.getOrElse(Map.empty)
+  }
+
+  /** Exact COUNT(DISTINCT) substitutes for snapshot `version`, by
+    * LOGICAL name: nonempty only when the ndv header was recorded
+    * with `exact = true` AND the snapshot's entry multiset is
+    * IDENTICAL to the analyzed snapshot's — data dirs are immutable,
+    * so identical entries mean identical data: a later metadata-only
+    * commit (a rename, the analyze commit itself) preserves
+    * exactness, any data commit voids it and this returns empty. The
+    * freshness proof is two cached commit reads; a vacuumed analyze
+    * version simply fails the proof. */
+  private[graft] def exactNdv(spark: SparkSession, root: String,
+    version: Int = -1): Map[String, Long] = {
+    val (fs, rp) = fsFor(spark, root)
+    val v = if (version >= 0) version else latestVersion(spark, root)
+    if (v == 0) return Map.empty
+    ndvLineOf(fs, rp, v).map { line =>
+      val payload = line.drop(4)
+      val vTok = payload.take(payload.indexOf(';'))
+      val av = vTok.stripSuffix("!")
+      val fresh = vTok.endsWith("!") && av.nonEmpty &&
+        av.forall(_.isDigit) &&
+        (try snapshotEntries(fs, rp, v).map(_.line).sorted ==
+          snapshotEntries(fs, rp, av.toInt).map(_.line).sorted
+        catch { case _: Throwable => false })
+      if (fresh) columnNdv(spark, root, v) else Map.empty[String, Long]
     }.getOrElse(Map.empty)
   }
 
@@ -3578,6 +3608,31 @@ object TxTable {
         statsCols = Seq("o_orderkey", "o_custkey")))
     analyze(spark, root, Seq("o_orderkey", "o_custkey"), exact = true)
     describeStats(spark, root, Seq("o_orderkey", "o_custkey"))
+  }
+
+  /** Gate: COUNT(DISTINCT) answered from the ANALYZE header
+    * (q_txtable_count_distinct). Two custkey-striped appends, one
+    * exact analyze, then `count(DISTINCT o_custkey), count(*),
+    * min/max` through the graft-tx face — TxStatsAggRewrite serves
+    * ALL of it from commit metadata (the distinct count from the
+    * header, gated on the exact flag plus the entries-unchanged
+    * freshness proof; plan asserted LocalRelation in StatsAggSpec).
+    * Hash equality against the oracle's full-scan DISTINCT proves the
+    * substitute is exact, not estimated. */
+  def countDistinctGateQuery(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val root = scratchRoot("graft-cdgate", dir)
+    val o = graft.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+    (0L to 1L).foreach(i =>
+      append(o.filter(col("o_custkey") % 2 === i), root,
+        statsCols = Seq("o_orderkey", "o_custkey")))
+    analyze(spark, root, Seq("o_custkey"), exact = true)
+    spark.read.format("graft-tx").load(root).agg(
+      count_distinct(col("o_custkey")).as("ndv_cust"),
+      count(lit(1)).as("cnt"),
+      min(col("o_orderkey")).as("min_okey"),
+      max(col("o_orderkey")).as("max_okey"))
   }
 
   /** Gate: STORAGE-PARTITIONED JOIN (q_txtable_spj). Orders and

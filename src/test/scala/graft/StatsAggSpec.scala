@@ -150,4 +150,46 @@ class StatsAggSpec extends SparkSpec {
     assert(statsServed(agg), agg.queryExecution.optimizedPlan.toString)
     assert(agg.head.toSeq === Seq(1L, 64L, 64L))
   }
+
+  test("count(DISTINCT) served from a fresh exact analyze header") {
+    val root = tmpDir() + "/ndvagg"
+    val df = (1L to 500L).map(k => (k, k % 37)).toDF("k", "m")
+    TxTable.append(df, root, statsCols = Seq("k", "m"))
+    TxTable.analyze(spark, root, exact = true)
+    val agg = face(root).agg(count_distinct($"m").as("ndv_m"),
+      count(lit(1)).as("cnt"), min($"k").as("mn"))
+    assert(statsServed(agg), agg.queryExecution.optimizedPlan.toString)
+    assert(agg.head.toSeq === Seq(37L, 500L, 1L))
+    // a metadata-only commit (rename) keeps the freshness proof: the
+    // entry multiset is unchanged, so exactness survives
+    TxTable.renameColumn(spark, root, "m", "m2")
+    val renamed = face(root).agg(count_distinct($"m2").as("ndv"))
+    assert(statsServed(renamed),
+      renamed.queryExecution.optimizedPlan.toString)
+    assert(renamed.head.getLong(0) === 37L)
+  }
+
+  test("count(DISTINCT) bails on stale, approximate, or grouped shapes") {
+    val root = tmpDir() + "/ndvbail"
+    val df = (1L to 200L).map(k => (k, k % 11)).toDF("k", "m")
+    TxTable.append(df, root, statsCols = Seq("k", "m"))
+    // approximate analyze: never substituted into an EXACT aggregate
+    TxTable.analyze(spark, root)
+    val approx = face(root).agg(count_distinct($"m").as("ndv"))
+    assert(!statsServed(approx))
+    assert(approx.head.getLong(0) === 11L)
+    // exact but STALE (a data commit after the analyze): bails
+    TxTable.analyze(spark, root, exact = true)
+    TxTable.append(Seq((201L, 99L)).toDF("k", "m"), root,
+      statsCols = Seq("k", "m"))
+    val stale = face(root).agg(count_distinct($"m").as("ndv"))
+    assert(!statsServed(stale))
+    assert(stale.head.getLong(0) === 12L, "scan answer stays correct")
+    // grouped distinct: the header is table-level — must scan
+    TxTable.analyze(spark, root, exact = true)
+    val grouped = face(root).groupBy($"m").agg(
+      count_distinct($"k").as("ndv"))
+    assert(!statsServed(grouped))
+    assert(grouped.count() === 12L)
+  }
 }
