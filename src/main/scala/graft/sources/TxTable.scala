@@ -1538,23 +1538,48 @@ object TxTable {
         return prevV // nothing worth packing; no empty commit
       val keys = snapshotKeys(fs, rp, prevV)
       val statsCols = snapshotStatsCols(fs, rp, prevV)
-      // greedy adjacent packing: consecutive small dirs accumulate
-      // until the bin reaches the target; any large dir closes the
-      // current bin and carries over alone
+      // PARTITION-AWARE packing: a provably partition-clustered table
+      // (the streamed-ingest shape — many small per-epoch dirs, each
+      // single-valued and null-free on its partition columns) must
+      // compact WITHIN values, or one compaction would destroy the
+      // clustering proof — the SPJ face would start refusing a table
+      // it accepted yesterday and metadata GROUP BY would bail. The
+      // clustering columns are discovered from the stats themselves
+      // (single-valued + zero null count in every non-empty dir, the
+      // partitionFileSlices proof); merged dirs re-stat through
+      // statsEntry, so lo == hi is re-recorded and the proof survives.
+      // Unclustered tables see exactly the old behavior (one group).
+      val nonEmpty = sized.collect {
+        case (e, _) if e.stats.get(rowsKey).exists(_._1 > 0) => e }
+      val clusterCols = statsCols.filter(c => nonEmpty.nonEmpty &&
+        nonEmpty.forall(e =>
+          e.stats.get(c).exists(s => s._1 == s._2) &&
+            e.stats.get(s"$nullsPrefix$c").exists(_._1 == 0L)))
+      def groupOf(e: Entry): Seq[Long] =
+        if (e.stats.get(rowsKey).exists(_._1 == 0L)) Seq.empty
+        else clusterCols.map(c => e.stats(c)._1)
+      // greedy adjacent packing per value group: consecutive small
+      // dirs accumulate until the bin reaches the target; any large
+      // dir closes its group's bin and carries over alone
       val bins = scala.collection.mutable.ArrayBuffer[Vector[Entry]]()
-      var cur = Vector.empty[Entry]
-      var curBytes = 0L
-      def flush(): Unit = if (cur.nonEmpty) {
-        bins += cur; cur = Vector.empty; curBytes = 0L
+      val cur = scala.collection.mutable.LinkedHashMap[Seq[Long],
+        (Vector[Entry], Long)]()
+      def flush(g: Seq[Long]): Unit = cur.remove(g).foreach {
+        case (es, _) => if (es.nonEmpty) bins += es
       }
       sized.foreach { case (e, n) =>
-        if (n >= targetBytes) { flush(); bins += Vector(e) }
+        val g = groupOf(e)
+        if (n >= targetBytes) { flush(g); bins += Vector(e) }
         else {
-          if (curBytes + n > targetBytes) flush()
-          cur :+= e; curBytes += n
+          val (es, b) = cur.getOrElse(g, (Vector.empty[Entry], 0L))
+          if (b + n > targetBytes) { flush(g); cur(g) = (Vector(e), n) }
+          else cur(g) = (es :+ e, b + n)
         }
       }
-      flush()
+      cur.keys.toSeq.foreach(flush)
+      // all-singleton bins = nothing to pack (e.g. the small dirs sit
+      // in different partition values) — no empty commit
+      if (bins.forall(_.size == 1)) return prevV
       val newLines = bins.toSeq.map { bin =>
         if (bin.size == 1) bin.head.line // carried by name, unopened
         else {

@@ -1787,6 +1787,37 @@ class TxTableSpec extends SparkSpec {
     assert(TxTable.read(spark, root).count() === 1L)
   }
 
+  test("optimizeCompact packs WITHIN partition values, preserving the proof") {
+    import spark.implicits._
+    val root = tmpDir() + "/tx-optpart"
+    // the streamed-ingest shape: two epochs x two values = 4 small
+    // single-valued dirs
+    (0 until 2).foreach { _ =>
+      TxTable.appendPartitioned(
+        (1L to 40L).map(i => (i % 2, i)).toDF("p", "k"), root, "p",
+        statsCols = Seq("k"))
+    }
+    def spjOk(): Boolean =
+      scala.util.Try(spark.read.format("graft-tx")
+        .option("partitionCol", "p").load(root).count()).isSuccess
+    assert(spjOk(), "precondition: the layout proves clustering")
+    val dirsBefore = TxTable.read(spark, root).inputFiles
+      .map(f => f.substring(0, f.lastIndexOf('/'))).distinct.length
+    assert(dirsBefore === 4)
+    TxTable.optimizeCompact(spark, root, targetBytes = 1L << 40)
+    val dirsAfter = TxTable.read(spark, root).inputFiles
+      .map(f => f.substring(0, f.lastIndexOf('/'))).distinct.length
+    assert(dirsAfter === 2,
+      "four small dirs across two values must pack to one dir PER VALUE")
+    assert(spjOk(),
+      "compaction must never destroy the partition-clustering proof")
+    assert(TxTable.read(spark, root).count() === 80L)
+    // small dirs in DIFFERENT values only: nothing to pack, no commit
+    val before = TxTable.latestVersion(spark, root)
+    assert(TxTable.optimizeCompact(spark, root,
+      targetBytes = 1L << 40) === before)
+  }
+
   test("latest-version hint: written per commit, stale/garbage/missing recover") {
     import spark.implicits._
     val root = tmpDir() + "/tx-hint"
