@@ -1827,6 +1827,16 @@ object Oracles {
         |FROM orders, b
         |WHERE o_custkey <= mc // 4 AND o_orderkey <= mo // 4""".stripMargin,
 
+    // incremental z-order: generation-layered layout, same plain-
+    // filter oracle as the full rewrite — hash equality proves the
+    // tail-only rewrite preserved content across both generations
+    "q_txtable_zopt_incr" ->
+      """WITH b AS (SELECT max(o_orderkey) mo, max(o_custkey) mc FROM orders)
+        |SELECT o_orderkey, o_custkey,
+        |  cast(cast(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        |FROM orders, b
+        |WHERE o_custkey <= mc // 4 AND o_orderkey <= mo // 4""".stripMargin,
+
     // 3-dim z-order box read: the plain filter — hash equality proves
     // the clustered rewrite preserved content and pruning never
     // dropped rows

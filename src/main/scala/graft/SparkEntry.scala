@@ -131,6 +131,7 @@ object SparkEntry {
     "q_txtable_mor" -> (graft.sources.TxTable.cdcGateQuery _),
     "q_txtable_zopt" -> (graft.sources.TxTable.zoptGateQuery _),
     "q_txtable_zopt3" -> (graft.sources.TxTable.zopt3GateQuery _),
+    "q_txtable_zopt_incr" -> (graft.sources.TxTable.zoptIncrGateQuery _),
     "q_txtable_changes" -> (graft.sources.TxTable.changesGateQuery _),
     "q_txtable_string_prune" ->
       (graft.sources.TxTable.stringPruneGateQuery _),

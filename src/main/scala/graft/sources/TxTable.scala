@@ -1465,6 +1465,92 @@ object TxTable {
     * optimize rewrite. */
   private final class StaleOptimize extends RuntimeException
 
+  /** INCREMENTAL OPTIMIZE ZORDER — re-cluster only the UNCLUSTERED
+    * TAIL: dirs appended (or DML-rewritten) since the last z-order
+    * pass rewrite into their own aligned z-prefix blocks; every dir a
+    * previous pass produced carries over BY NAME, unopened. Nightly
+    * maintenance of a z-ordered 100 TB fact table then costs O(new
+    * data), not O(table) — the full rewrite (optimizeZOrderN) stays
+    * the periodic generation-merging pass (each incremental run adds
+    * one zopt generation of ≤ nDirs dirs; overlapping generations only
+    * cost pruning granularity, never correctness, since every block is
+    * an axis-aligned stats box). Clustered dirs are recognized by the
+    * `data/zopt-` name prefix the z-order stages mint — dir names are
+    * immutable identifiers, so no extra commit state is needed. First
+    * run (no prior pass) and non-identity column mappings delegate to
+    * the full rewrite (incremental tail dirs would be born under
+    * logical names while clustered dirs keep physical — a mixed
+    * namespace one snapshot cannot declare). */
+  def optimizeZOrderIncremental(spark: SparkSession, root: String,
+    zCols: Seq[String], nDirs: Int = 8): Int = {
+    require(nDirs >= 1, "optimizeZOrder needs at least one output dir")
+    val (fs, rp) = fsFor(spark, root)
+    var attempt = 0
+    while (attempt < 3) {
+      val base = latestVersion(spark, root)
+      require(base > 0, s"txtable: nothing to optimize at $root")
+      val entries = snapshotEntries(fs, rp, base)
+      require(!entries.exists(_.isDelta),
+        s"txtable: optimizeZOrderIncremental needs a delta-free " +
+          s"snapshot of $root — run compactSnapshot first")
+      val m = snapshotColMap(fs, rp, base)
+      if (m.exists(_.exists { case (l, p) => l != p }))
+        return optimizeZOrderN(spark, root, zCols, nDirs)
+      val (clustered, tail) =
+        entries.partition(_.dir.startsWith("data/zopt-"))
+      if (clustered.isEmpty)
+        return optimizeZOrderN(spark, root, zCols, nDirs)
+      if (tail.isEmpty) return base
+      val keys = snapshotKeys(fs, rp, base)
+      val statsCols = snapshotStatsCols(fs, rp, base)
+      val parent = s"data/zopt-${java.util.UUID.randomUUID()}"
+      val tailDf = tail.map(e => readDirFrame(spark, rp, e.dir))
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+      val withZ = tailDf.withColumn("_z", expr(
+        graft.operators.Relational.zValueExprN(zCols)))
+      val mzRow = withZ.agg(max("_z")).collect()(0)
+      require(!mzRow.isNullAt(0), s"txtable: nothing to optimize at $root")
+      val mz = mzRow.getLong(0)
+      // the tail gets its OWN aligned grid — blocks need not share the
+      // base generation's shift to be axis-aligned stats boxes
+      val blockBits = 63 - java.lang.Long.numberOfLeadingZeros(
+        math.max(1L, nDirs.toLong))
+      val zBits = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, mz))
+      val shift = math.max(0, zBits - blockBits)
+      withZ
+        .withColumn("_b", expr(s"shiftright(_z, $shift)"))
+        .repartition(col("_b"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.partitionBy("_b").mode("overwrite")
+        .parquet(new Path(rp, parent).toString)
+      val buckets = fs.listStatus(new Path(rp, parent)).toSeq
+        .map(_.getPath.getName).filter(_.startsWith("_b="))
+        .sortBy(n => n.stripPrefix("_b=").toLong)
+      val newEntries = buckets.map { b =>
+        statsEntry(spark, rp, s"$parent/$b",
+          (keys.getOrElse(Seq.empty) ++ statsCols ++ zCols).distinct)
+      }
+      try {
+        return commitRetry(spark, root) { prevV =>
+          if (prevV != base) throw new StaleOptimize
+          ("compact",
+            keys.map(ks => s"key:${ks.mkString(",")}").toSeq ++
+              Seq(s"statscol:${
+                (statsCols ++ zCols).distinct.mkString(",")}") ++
+              clustered.map(_.line) ++ newEntries.map(_.line))
+        }
+      } catch {
+        case _: StaleOptimize =>
+          fs.delete(new Path(rp, parent), true)
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"txtable: optimize of $root lost the commit race 3 times; " +
+        "rerun when concurrent writes quiesce")
+  }
+
   /** Fold all deltas of the current snapshot into one materialized
     * data dir (the compaction job that bounds merge-on-read cost).
     * Readers of the new version pay zero resolution; old versions
@@ -2712,6 +2798,31 @@ object TxTable {
       append(o.filter(col("o_orderkey") % 4 === i), root)
     }
     optimizeZOrder(spark, root, "o_custkey", "o_orderkey", nDirs = 8)
+    read(spark, root, colRanges = Map(
+      "o_custkey" -> (0L, maxC / 4), "o_orderkey" -> (0L, maxO / 4)))
+  }
+
+  /** Gate: INCREMENTAL OPTIMIZE ZORDER (q_txtable_zopt_incr). Two
+    * appends, a first pass (delegates to the full rewrite), two MORE
+    * appends, then the incremental pass — only the tail rewrites, the
+    * first generation's dirs carry by name — and a 2-dim box read
+    * back through colRanges pruning across BOTH generations. Oracle =
+    * the plain filter; hash equality proves the generation-layered
+    * layout preserves content and pruning skips dirs, never rows. */
+  def zoptIncrGateQuery(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratchRoot("graft-zincgate", dir)
+    val o = graft.Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"))
+    val bounds = o.agg(max("o_orderkey"), max("o_custkey")).collect()(0)
+    if (bounds.isNullAt(0)) return o.filter(lit(false))
+    val (maxO, maxC) = (bounds.getLong(0), bounds.getLong(1))
+    (0L to 1L).foreach(i => append(o.filter(col("o_orderkey") % 4 === i), root))
+    optimizeZOrderIncremental(spark, root, Seq("o_custkey", "o_orderkey"),
+      nDirs = 8)
+    (2L to 3L).foreach(i => append(o.filter(col("o_orderkey") % 4 === i), root))
+    optimizeZOrderIncremental(spark, root, Seq("o_custkey", "o_orderkey"),
+      nDirs = 8)
     read(spark, root, colRanges = Map(
       "o_custkey" -> (0L, maxC / 4), "o_orderkey" -> (0L, maxO / 4)))
   }

@@ -1787,6 +1787,39 @@ class TxTableSpec extends SparkSpec {
     assert(TxTable.read(spark, root).count() === 1L)
   }
 
+  test("incremental z-order rewrites only the unclustered tail") {
+    import spark.implicits._
+    val root = tmpDir() + "/tx-zinc"
+    val df = (1L to 400L).map(i => (i % 20, i / 20, i)).toDF("x", "y", "k")
+    TxTable.append(df.filter($"k" <= 200), root)
+    TxTable.append(df.filter($"k" > 200 && $"k" <= 300), root)
+    // first run: no prior pass — delegates to the full rewrite
+    TxTable.optimizeZOrderIncremental(spark, root, Seq("x", "y"), nDirs = 4)
+    val clusteredFiles = TxTable.read(spark, root).inputFiles.toSet
+    assert(clusteredFiles.forall(_.contains("/zopt-")))
+    // tail lands: two small appends after the pass
+    TxTable.append(df.filter($"k" > 300 && $"k" <= 350), root)
+    TxTable.append(df.filter($"k" > 350), root)
+    val v = TxTable.optimizeZOrderIncremental(spark, root,
+      Seq("x", "y"), nDirs = 4)
+    val after = TxTable.read(spark, root).inputFiles.toSet
+    assert(clusteredFiles.subsetOf(after),
+      "every previously-clustered file must carry over BY NAME")
+    assert(after.forall(_.contains("/zopt-")),
+      "the tail must have been rewritten into zopt blocks")
+    assert(TxTable.read(spark, root).count() === 400L)
+    assert(TxTable.read(spark, root).select("k").collect()
+      .map(_.getLong(0)).toSet === (1L to 400L).toSet)
+    // pruning bites on BOTH dimensions across generations
+    val band = TxTable.read(spark, root,
+      colRanges = Map("x" -> (0L, 4L), "y" -> (0L, 4L)))
+    assert(band.inputFiles.length < after.size,
+      "a 2-dim box must open fewer dirs than the table has")
+    // idempotent: nothing unclustered left -> no commit
+    assert(TxTable.optimizeZOrderIncremental(spark, root,
+      Seq("x", "y"), nDirs = 4) === v)
+  }
+
   test("optimizeCompact packs WITHIN partition values, preserving the proof") {
     import spark.implicits._
     val root = tmpDir() + "/tx-optpart"
