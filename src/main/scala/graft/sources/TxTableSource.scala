@@ -154,16 +154,31 @@ class TxTableSource extends RelationProvider
     val statsCols = parameters.get("statsCols").orElse(parameters.get("statscols"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
+    // `partitionBy` option = the partitioned-layout append (one
+    // single-valued dir per value tuple; SPJ/metadata-GROUP-BY
+    // provable) — DataFrameWriter.partitionBy can't reach a V1
+    // CreatableRelationProvider, so the option carries it
+    val partCols = parameters.get("partitionBy")
+      .orElse(parameters.get("partitionby"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    def appendAny(df: DataFrame): Int =
+      if (partCols.nonEmpty)
+        TxTable.appendPartitionedBy(df, root, partCols, statsCols)
+      else TxTable.append(df, root, statsCols)
     mode match {
-      case SaveMode.Append => TxTable.append(data, root, statsCols)
-      case SaveMode.Overwrite => TxTable.overwrite(data, root, statsCols)
+      case SaveMode.Append => appendAny(data)
+      case SaveMode.Overwrite =>
+        require(partCols.isEmpty,
+          "graft-tx: partitionBy supports append modes only")
+        TxTable.overwrite(data, root, statsCols)
       case SaveMode.ErrorIfExists =>
         if (TxTable.exists(spark, root))
           throw new IllegalStateException(
             s"graft-tx: table at $root already exists (mode=ErrorIfExists)")
-        TxTable.append(data, root, statsCols)
+        appendAny(data)
       case SaveMode.Ignore =>
-        if (!TxTable.exists(spark, root)) TxTable.append(data, root, statsCols)
+        if (!TxTable.exists(spark, root)) appendAny(data)
     }
     createRelation(sqlContext, parameters)
   }

@@ -485,6 +485,27 @@ class TxSourceSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.checkpointLocation")
   }
 
+  test("batch write face: partitionBy option lands the proven layout") {
+    import spark.implicits._
+    val root = tmpDir() + "/txwrite-part"
+    (1L to 40L).map(i => (i % 4, i)).toDF("p", "k")
+      .write.format("graft-tx").option("path", root)
+      .option("partitionBy", "p").option("statsCols", "k")
+      .mode("append").save()
+    // provably clustered: the SPJ face accepts it
+    val spj = spark.read.format("graft-tx")
+      .option("partitionCol", "p").load(root)
+    assert(spj.count() === 40L)
+    assert(TxTable.read(spark, root).inputFiles
+      .map(f => f.substring(0, f.lastIndexOf('/'))).distinct.length === 4)
+    // overwrite + partitionBy is rejected, not silently unpartitioned
+    intercept[IllegalArgumentException] {
+      (1L to 4L).map(i => (i, i)).toDF("p", "k")
+        .write.format("graft-tx").option("path", root)
+        .option("partitionBy", "p").mode("overwrite").save()
+    }
+  }
+
   test("partitionBy sink: single-write promote into a proven layout") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
