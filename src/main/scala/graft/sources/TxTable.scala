@@ -3023,6 +3023,16 @@ object TxTable {
       .flatMap(_.stats.get(bytesKey).map(_._1)).sum
   }
 
+  /** Rows version `v` ADDED over `v-1` — the sum of the new entries'
+    * `_rows` commit stats; same contract as [[versionAddedBytes]]. */
+  private[sources] def versionAddedRows(spark: SparkSession, root: String,
+    v: Int): Long = {
+    val (fs, rp) = fsFor(spark, root)
+    val prev = snapshotDirs(fs, rp, v - 1).toSet
+    snapshotEntries(fs, rp, v).filterNot(e => prev(e.dir))
+      .flatMap(_.stats.get(rowsKey).map(_._1)).sum
+  }
+
   private[sources] case class ChangeSlice(files: Seq[String],
     constOp: Option[String], version: Int)
 

@@ -627,19 +627,24 @@ class GraftTxTable(tableSchema: StructType, root: String,
       Option(opts.get("maxVersionsPerTrigger")).map(_.toInt)
     maxVersions.foreach(n => require(n >= 1,
       s"graft-tx streaming: maxVersionsPerTrigger must be >= 1, got $n"))
-    // byte-budget admission: whole versions priced by `_bytes` commit
-    // stats; an oversized single commit still admits (progress)
+    // byte/row-budget admission: whole versions priced by the `_bytes`
+    // / `_rows` commit stats; an oversized single commit still admits
+    // (progress)
     val maxBytes =
       Option(opts.get("maxBytesPerTrigger")).map(_.toLong)
     maxBytes.foreach(n => require(n >= 1,
       s"graft-tx streaming: maxBytesPerTrigger must be >= 1, got $n"))
+    val maxRows =
+      Option(opts.get("maxRowsPerTrigger")).map(_.toLong)
+    maxRows.foreach(n => require(n >= 1,
+      s"graft-tx streaming: maxRowsPerTrigger must be >= 1, got $n"))
     () => new Scan {
       override def readSchema(): StructType = tableSchema
       override def description(): String =
         s"graft-tx change feed of $root from v$startingVersion"
       override def toMicroBatchStream(ckpt: String): MicroBatchStream =
         new TxMicroBatchStream(root, tableSchema, startingVersion,
-          maxVersions, maxBytes)
+          maxVersions, maxBytes, maxRows)
     }
   }
 
@@ -1033,7 +1038,8 @@ class TxSpjPartitionReader(files: Seq[String], schema: StructType,
   * maxFilesPerTrigger; public SupportsAdmissionControl API). */
 class TxMicroBatchStream(root: String, schema: StructType,
   startingVersion: Int, maxVersionsPerTrigger: Option[Int] = None,
-  maxBytesPerTrigger: Option[Long] = None)
+  maxBytesPerTrigger: Option[Long] = None,
+  maxRowsPerTrigger: Option[Long] = None)
   extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private def spark = SparkSession.active
@@ -1049,7 +1055,8 @@ class TxMicroBatchStream(root: String, schema: StructType,
 
   override def getDefaultReadLimit: ReadLimit = {
     val limits = maxVersionsPerTrigger.map(ReadLimit.maxFiles).toSeq ++
-      maxBytesPerTrigger.map(ReadLimit.maxBytes).toSeq
+      maxBytesPerTrigger.map(ReadLimit.maxBytes).toSeq ++
+      maxRowsPerTrigger.map(ReadLimit.maxRows).toSeq
     limits match {
       case Seq() => ReadLimit.allAvailable()
       case Seq(one) => one
@@ -1069,27 +1076,38 @@ class TxMicroBatchStream(root: String, schema: StructType,
       c.getReadLimits.flatMap(maxBytesOf(_)).reduceOption((a, b) => math.min(a, b))
     case _ => None
   }
+  private def maxRowsOf(limit: ReadLimit): Option[Long] = limit match {
+    case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+      Some(r.maxRows())
+    case c: CompositeReadLimit =>
+      c.getReadLimits.flatMap(maxRowsOf(_)).reduceOption((a, b) => math.min(a, b))
+    case _ => None
+  }
 
   override def latestOffset(start: V2Offset, limit: ReadLimit): V2Offset = {
     val head = pinnedHead.getOrElse(headNow)
     val s = versionOf(start)
     val byVersions = maxVersionsOf(limit)
       .filter(_ > 0).map(n => math.min(head, s + n))
-    // byte budget: admit whole versions, priced by their `_bytes`
-    // commit stats (pure metadata — no listing), always >=1 version
-    // so an oversized single commit still makes progress
-    val byBytes = maxBytesOf(limit).filter(_ > 0).map { budget =>
+    // byte/row budgets: admit whole versions, priced by their `_bytes`
+    // / `_rows` commit stats (pure metadata — no listing), always >=1
+    // version so an oversized single commit still makes progress
+    def budgeted(budget: Long, price: Int => Long): Int = {
       var v = s
       var acc = 0L
       var more = true
       while (more && v < head) {
-        val b = TxTable.versionAddedBytes(spark, root, v + 1)
+        val b = price(v + 1)
         if (v == s || acc + b <= budget) { v += 1; acc += b }
         else more = false
       }
       v
     }
-    val end = (Seq(head) ++ byVersions ++ byBytes).min
+    val byBytes = maxBytesOf(limit).filter(_ > 0).map(budgeted(_,
+      TxTable.versionAddedBytes(spark, root, _)))
+    val byRows = maxRowsOf(limit).filter(_ > 0).map(budgeted(_,
+      TxTable.versionAddedRows(spark, root, _)))
+    val end = (Seq(head) ++ byVersions ++ byBytes ++ byRows).min
     TxVersionOffset(math.max(end, s))
   }
 

@@ -630,6 +630,32 @@ class TxSourceSpec extends SparkSpec {
       s"5 versions at 2/trigger need >=3 batches, got ${offsets.length}")
   }
 
+  test("maxRowsPerTrigger prices versions from commit row stats") {
+    import spark.implicits._
+    // 3 commits of 2 rows each at a 2-row budget: one version per
+    // micro-batch (the second version's rows would exceed the budget)
+    val root = tmpDir() + "/txsrc-rowcap"
+    val ckpt = tmpDir() + "/txsrc-rowcap-ckpt"
+    (1 to 3).foreach(i => TxTable.append(
+      Seq((i.toLong, 1.0), (i + 10L, 2.0)).toDF("k", "v"), root))
+    val q = spark.readStream.format("graft-tx")
+      .option("maxRowsPerTrigger", 2).load(root)
+      .writeStream.format("memory").queryName("txrowcap")
+      .option("checkpointLocation", ckpt).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try assert(q.awaitTermination(120000)) finally q.stop()
+    val rows = spark.sql("SELECT k FROM txrowcap").collect()
+      .map(_.getLong(0))
+    assert(rows.length === 6 && rows.toSet ===
+      Set(1L, 2L, 3L, 11L, 12L, 13L))
+    val offsets = new java.io.File(ckpt + "/offsets").listFiles()
+      .filter(_.getName.forall(_.isDigit))
+    assert(offsets.length === 3,
+      s"2-row budget must admit one 2-row version per batch, " +
+        s"got ${offsets.length}")
+  }
+
   test("maxBytesPerTrigger prices versions from commit byte stats") {
     import spark.implicits._
     // a 1-byte budget is below every commit's `_bytes` stat, so each
