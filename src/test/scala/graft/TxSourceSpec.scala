@@ -579,6 +579,56 @@ class TxSourceSpec extends SparkSpec {
       s"NULL partition values must be rejected, got: ${e.getMessage}")
   }
 
+  test("partitioned promote runs ZERO Spark jobs on the fast path") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val root = tmpDir() + "/txsink-partzero"
+    val staging = new org.apache.hadoop.fs.Path(root + "/_staging/z/epoch-0")
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = staging.getFileSystem(conf)
+    fs.mkdirs(staging)
+    val schema = StructType(Seq(StructField("day", LongType),
+      StructField("k", LongType)))
+    // stage two partition-pure files (what the clustered writers
+    // produce) BEFORE attaching the job counter — only the promote
+    // itself must be job-free
+    Seq((1L, Seq(10L, 11L)), (2L, Seq(20L))).zipWithIndex.foreach {
+      case ((day, ks), i) =>
+        val tmp = tmpDir() + s"/stage-$i"
+        ks.map(k => (day, k)).toDF("day", "k").coalesce(1)
+          .write.parquet(tmp)
+        val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+          .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+        fs.rename(part,
+          new org.apache.hadoop.fs.Path(staging, s"part-0-$i-0.parquet"))
+    }
+    val files = fs.listStatus(staging).map(_.getPath.toString).toSeq
+    assert(schema.fieldNames.toSeq === Seq("day", "k"))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+        j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      TxTable.appendPartitionedStaged(spark, root, files, Seq("day"),
+        batchId = 0L, statsCols = Seq("k"))
+      Thread.sleep(1000) // let any stray job-start events drain
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs.get() === 0,
+      s"the rename-promote must be driver-side metadata only, " +
+        s"ran ${jobs.get()} jobs")
+    // and the footer-derived stats are the real write-side grammar:
+    // metadata GROUP BY serves per-day counts with zero data I/O
+    assert(TxTable.read(spark, root).count() === 3L)
+    val spj = spark.read.format("graft-tx")
+      .option("partitionCol", "day").load(root)
+    assert(spj.groupBy("day").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((1L, 2L), (2L, 1L)))
+  }
+
   test("partitioned promote falls back to the rewrite on impure files") {
     import spark.implicits._
     val root = tmpDir() + "/txsink-partmixed"
