@@ -130,6 +130,22 @@ class CboStatsSpec extends SparkSpec {
     }
   }
 
+  test("SPJ face surfaces rowCount through the optimized plan") {
+    val root = tmpDir() + "/cbo-spjplan"
+    val df = (1L to 64L).map(i => (i % 4, i)).toDF("b", "k")
+    TxTable.appendPartitioned(df, root, "b", statsCols = Seq("k"))
+    TxTable.analyze(spark, root, exact = true)
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val stats = spark.read.format("graft-tx")
+        .option("partitionCol", "b").load(root)
+        .queryExecution.optimizedPlan.stats
+      assert(stats.rowCount === Some(BigInt(64)),
+        s"the SPJ scan's estimateStatistics must reach plan.stats, got $stats")
+      assert(stats.attributeStats.nonEmpty)
+    } finally spark.conf.unset("spark.sql.cbo.enabled")
+  }
+
   test("SPJ scan reports stats unpruned; describeStats is metadata-exact") {
     val root = tmpDir() + "/cbo-spj"
     val df = (1L to 64L).map(i => (i % 4, i)).toDF("b", "k")
