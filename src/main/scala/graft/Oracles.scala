@@ -526,14 +526,33 @@ object Oracles {
         |  min(o_orderkey) AS min_okey, max(o_orderkey) AS max_okey
         |FROM orders""".stripMargin,
 
-    // metadata-only GROUP BY the partition column
-    // (TxTable.partCountsGateQuery): per-bucket count/min/max from
-    // the partitioned snapshot's per-dir stats alone
+    // metadata-only GROUP BY the composite partition key
+    // (TxTable.partCountsGateQuery): per-(bucket, bucket2)
+    // count/min/max from the partitioned snapshot's per-dir stats
+    // alone — the two-key rollup over the multi-key clustering proof
     "q_txtable_part_counts" ->
-      """SELECT o_orderkey % 8 AS bucket, count(*) AS cnt,
+      """SELECT o_orderkey % 8 AS bucket, o_orderkey % 3 AS bucket2,
+        |  count(*) AS cnt,
         |  min(o_orderkey) AS min_okey, max(o_orderkey) AS max_okey
         |FROM orders
-        |GROUP BY bucket""".stripMargin,
+        |GROUP BY bucket, bucket2""".stripMargin,
+
+    // metadata-only GROUP BY a STRING partition key
+    // (TxTable.partCountsStrGateQuery): per-priority counts from the
+    // sx exact-value dir stats — the date/category-string layout
+    "q_txtable_part_counts_str" ->
+      """SELECT o_orderpriority, count(*) AS cnt,
+        |  min(o_orderkey) AS min_okey, max(o_orderkey) AS max_okey
+        |FROM orders
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    // partitioned STREAMING ingest (TxTable.streamPartGateQuery): the
+    // stream's rename-promoted table must hold exactly raw orders
+    "q_txtable_stream_part" ->
+      """SELECT o_orderpriority, count(*) AS cnt,
+        |  min(o_orderkey) AS min_okey, max(o_orderkey) AS max_okey
+        |FROM orders
+        |GROUP BY o_orderpriority""".stripMargin,
 
     // storage-partitioned join (TxTable.spjGateQuery): the engine
     // joins two co-clustered tables with ZERO Exchange via the V2
@@ -548,6 +567,13 @@ object Oracles {
     // equalities are implied by the custkey equality, so the oracle
     // is the same logical join
     "q_txtable_spj2" ->
+      """SELECT o_orderkey, o_custkey, c_nationkey
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    // STRING-key storage-partitioned join (TxTable.spjStrGateQuery):
+    // both sides clustered on the derived string bucket; the bucket
+    // equality is implied by the custkey equality
+    "q_txtable_spj_str" ->
       """SELECT o_orderkey, o_custkey, c_nationkey
         |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
 

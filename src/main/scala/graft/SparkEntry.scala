@@ -142,8 +142,13 @@ object SparkEntry {
       (graft.sources.TxTable.countDistinctGateQuery _),
     "q_txtable_part_counts" ->
       (graft.sources.TxTable.partCountsGateQuery _),
+    "q_txtable_part_counts_str" ->
+      (graft.sources.TxTable.partCountsStrGateQuery _),
     "q_txtable_spj" -> (graft.sources.TxTable.spjGateQuery _),
     "q_txtable_spj2" -> (graft.sources.TxTable.spj2GateQuery _),
+    "q_txtable_spj_str" -> (graft.sources.TxTable.spjStrGateQuery _),
+    "q_txtable_stream_part" ->
+      (graft.sources.TxTable.streamPartGateQuery _),
     "q_txtable_manifest" -> (graft.sources.TxTable.manifestGateQuery _),
     "q_txtable_aggview" -> (graft.sources.TxView.aggViewGateQuery _),
     "q_inverted_index_incremental" ->

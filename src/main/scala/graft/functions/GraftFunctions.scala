@@ -97,6 +97,13 @@ object GraftFunctions {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.TxStatsRelay))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.TxStatsRelay
+    // ... and once the relay has surfaced the stats, re-run Spark's
+    // own cost-based join reorder for the V1-face tables the mid-
+    // optimizer "Join Reorder" batch was blind to (must sit AFTER the
+    // relay in this batch)
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.TxCboJoinReorder))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.TxCboJoinReorder
     if (!spark.experimental.extraStrategies.contains(graft.plans.LshTopKJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.LshTopKJoinStrategy

@@ -41,6 +41,11 @@ object TxStatsAggRewrite extends Rule[LogicalPlan] {
   private def enabled: Boolean =
     SQLConf.get.getConfString(flagKey, "true").toBoolean
 
+  /** Driver-side LocalRelation bound for the grouped rewrite
+    * (`spark.graft.statsAgg.maxGroups` overrides; tested low). */
+  private def maxLocalGroups: Int = SQLConf.get
+    .getConfString("spark.graft.statsAgg.maxGroups", "100000").toInt
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!enabled) plan else rewrite(plan)
 
@@ -49,8 +54,15 @@ object TxStatsAggRewrite extends Rule[LogicalPlan] {
       (relOf(agg.child) match {
         case Some(rel) => agg.groupingExpressions match {
           case Nil => scalarRewrite(agg, rel)
-          case Seq(g: AttributeReference) if integral(g.dataType) =>
-            groupedRewrite(agg, g, rel)
+          // one OR MORE bare grouping columns, each integral (exact
+          // `lo == hi` range stats) or string (`sx:` exact marker) —
+          // the composite-partitioned `GROUP BY c1, c2` answers from
+          // the same per-tuple clustering proof the SPJ face uses
+          case gs if gs.nonEmpty && gs.forall {
+            case a: AttributeReference => groupable(a.dataType)
+            case _ => false
+          } => groupedRewrite(agg,
+            gs.map(_.asInstanceOf[AttributeReference]), rel)
           case _ => None
         }
         case None => None
@@ -91,6 +103,8 @@ object TxStatsAggRewrite extends Rule[LogicalPlan] {
     case LongType | IntegerType | ShortType => true
     case _ => false
   }
+  private def groupable(dt: DataType): Boolean =
+    integral(dt) || dt == org.apache.spark.sql.types.StringType
   private def typed(v: Long, dt: DataType): Any = dt match {
     case LongType => v
     case IntegerType => v.toInt
@@ -100,7 +114,7 @@ object TxStatsAggRewrite extends Rule[LogicalPlan] {
 
   private sealed trait Shape
   private case object CountStar extends Shape
-  private case object GroupKey extends Shape
+  private case class GroupKey(i: Int) extends Shape
   private case class CountOf(c: String) extends Shape
   private case class DistinctOf(c: String) extends Shape
   private case class MinOf(c: String, dt: DataType) extends Shape
@@ -161,18 +175,31 @@ object TxStatsAggRewrite extends Rule[LogicalPlan] {
           case DistinctOf(c) => ndv(c)
           case MinOf(c, dt) => typed(ranges(c)._1, dt)
           case MaxOf(c, dt) => typed(ranges(c)._2, dt)
-          case GroupKey => null // unreachable: no grouping here
+          case GroupKey(_) => null // unreachable: no grouping here
         })
         LocalRelation(agg.output, Seq(row))
       }
   }
 
-  private def groupedRewrite(agg: Aggregate, g: AttributeReference,
+  /** A metadata group-key value, typed for the LocalRelation row:
+    * integral stats decode to the attribute's own width, `sx:` exact
+    * strings to UTF8String. A type mismatch (schema drift between the
+    * stat and the attribute) bails the rewrite, never miscasts. */
+  private def keyVal(v: Any, dt: DataType): Option[Any] = (v, dt) match {
+    case (l: Long, t) if integral(t) => Some(typed(l, t))
+    case (s: String, org.apache.spark.sql.types.StringType) =>
+      Some(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    case _ => None
+  }
+
+  private def groupedRewrite(agg: Aggregate, gs: Seq[AttributeReference],
     rel: RelInfo): Option[LogicalPlan] = {
     def shape(e: NamedExpression): Option[Shape] = e match {
-      case a: AttributeReference if a.exprId == g.exprId => Some(GroupKey)
-      case Alias(a: AttributeReference, _) if a.exprId == g.exprId =>
-        Some(GroupKey)
+      case a: AttributeReference if gs.exists(_.exprId == a.exprId) =>
+        Some(GroupKey(gs.indexWhere(_.exprId == a.exprId)))
+      case Alias(a: AttributeReference, _)
+        if gs.exists(_.exprId == a.exprId) =>
+        Some(GroupKey(gs.indexWhere(_.exprId == a.exprId)))
       case other => aggShape(other)
     }
     val shapes0 = agg.aggregateExpressions.map(shape)
@@ -184,13 +211,25 @@ object TxStatsAggRewrite extends Rule[LogicalPlan] {
     val ccols = countCols(shapes)
     graft.sources.TxTable
       .metadataGroupedAgg(rel.spark, rel.root, rel.version,
-        g.name, cols, ccols)
+        gs.map(_.name), cols, ccols)
+      // the rewrite materializes one LocalRelation row per group ON
+      // THE DRIVER; group count is bounded by live-dir count (every
+      // dir is single-valued — a firing precondition), but make that
+      // bound EXPLICIT: past maxLocalGroups the scan is the right
+      // plan anyway (a distributed aggregate over that many dirs
+      // beats shipping a 100k+-row literal through every plan copy)
+      .filter(_.size <= maxLocalGroups)
       .filter(_.forall { case (_, _, ranges, nulls) =>
         cols.forall(ranges.contains) && ccols.forall(nulls.contains) })
+      // every group-key value must type-match its attribute — one
+      // mismatch bails the whole rewrite to the scan
+      .filter(_.forall { case (gvs, _, _, _) =>
+        gvs.zip(gs).forall { case (v, g) => keyVal(v, g.dataType).isDefined }
+      })
       .map { groups =>
-        val rows = groups.map { case (gv, cnt, ranges, nulls) =>
+        val rows = groups.map { case (gvs, cnt, ranges, nulls) =>
           InternalRow.fromSeq(shapes.map {
-            case GroupKey => typed(gv, g.dataType)
+            case GroupKey(i) => keyVal(gvs(i), gs(i).dataType).get
             case CountStar => cnt
             case CountOf(c) => cnt - nulls(c)
             case MinOf(c, dt) => typed(ranges(c)._1, dt)

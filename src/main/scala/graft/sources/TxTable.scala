@@ -149,18 +149,38 @@ object TxTable {
     * key-addressed table, generalized to any stats column set). */
   private case class Entry(isDelta: Boolean, dir: String,
     stats: Map[String, (Long, Long)],
-    sstats: Map[String, (String, String)] = Map.empty) {
+    sstats: Map[String, (String, String)] = Map.empty,
+    xvals: Map[String, String] = Map.empty,
+    hstats: Map[String, String] = Map.empty) {
     def line: String = {
       val kind = if (isDelta) "delta:" else "dir:"
       kind + dir + stats.toSeq.sortBy(_._1)
         .map { case (c, (lo, hi)) => s"|$c=$lo:$hi" }.mkString +
         sstats.toSeq.sortBy(_._1)
-          .map { case (c, (lo, hi)) => s"|str:$c=$lo:$hi" }.mkString
+          .map { case (c, (lo, hi)) => s"|str:$c=$lo:$hi" }.mkString +
+        xvals.toSeq.sortBy(_._1)
+          .map { case (c, h) => s"|sx:$c=$h" }.mkString +
+        hstats.toSeq.sortBy(_._1)
+          .map { case (c, b) => s"|hll:$c=$b" }.mkString
     }
   }
 
   private val statSeg = """([^=|]+)=(-?\d+):(-?\d+)""".r
   private val strStatSeg = """str:([^=|]+)=([0-9a-f]*):([0-9a-f]*)""".r
+  // EXACT single string value of a dir column (`|sx:col=hex`): written
+  // only when the writer PROVED the dir holds exactly one distinct
+  // non-null value whose UTF-8 fits [[strStatMaxBytes]] untruncated —
+  // the string analog of an integral `lo == hi` stat, and the marker
+  // the partition-clustering proofs accept for string/date keys (the
+  // truncation-widened `str:` bounds deliberately cannot prove it).
+  private val sxStatSeg = """sx:([^=|]+)=([0-9a-f]*)""".r
+  // Per-dir MERGEABLE NDV sketch (`|hll:col=<base64>`): DataSketches
+  // HLL registers recorded at write time by the same 1-row stats
+  // aggregate, merged at read into an always-fresh table-level NDV —
+  // ANALYZE-grade estimates that never go stale on appends, without a
+  // rescan (the data never gets re-read; dirs are immutable so their
+  // sketches are too).
+  private val hllStatSeg = """hll:([^=|]+)=([A-Za-z0-9+/=]*)""".r
   private def parseEntry(l: String): Option[Entry] = {
     val (isDelta, rest) =
       if (l.startsWith("dir:")) (false, l.drop(4))
@@ -171,13 +191,21 @@ object TxTable {
     val sstats = segs.collect {
       case strStatSeg(c, lo, hi) => c -> (lo, hi)
     }.toMap
+    val xvals = segs.collect {
+      case sxStatSeg(c, h) => c -> h
+    }.toMap
+    val hstats = segs.collect {
+      case hllStatSeg(c, b) => c -> b
+    }.toMap
     val stats = segs.flatMap {
       case strStatSeg(_, _, _) => None
+      case sxStatSeg(_, _) => None
+      case hllStatSeg(_, _) => None
       case statSeg(c, lo, hi) =>
         scala.util.Try(c -> (lo.toLong, hi.toLong)).toOption
       case _ => None
     }.toMap
-    Some(Entry(isDelta, parts.head, stats, sstats))
+    Some(Entry(isDelta, parts.head, stats, sstats, xvals, hstats))
   }
 
   /** STRING min/max stats live in UTF-8 BYTE space, hex-encoded into
@@ -221,6 +249,16 @@ object TxTable {
   /** A query-side string bound in the stats' hex byte space (exact —
     * only stored stats are ever truncated). */
   private def hexOf(s: String): String = hexEnc(s.getBytes("UTF-8"))
+  /** Inverse of [[hexOf]] for `sx:` exact values (always full hex). */
+  private def hexDec(h: String): String = {
+    val b = new Array[Byte](h.length / 2)
+    var i = 0
+    while (i < b.length) {
+      b(i) = Integer.parseInt(h.substring(2 * i, 2 * i + 2), 16).toByte
+      i += 1
+    }
+    new String(b, "UTF-8")
+  }
 
   /** METADATA SCALE — manifest includes. A commit file may carry an
     * `include:_manifests/m-<uuid>` line in place of a run of entry
@@ -741,7 +779,8 @@ object TxTable {
     * that column, which just disables pruning on it. */
   private def dirStats(spark: SparkSession, rp: Path, dirName: String,
     statsCols: Seq[String])
-    : (Map[String, (Long, Long)], Map[String, (String, String)]) = {
+    : (Map[String, (Long, Long)], Map[String, (String, String)],
+      Map[String, String], Map[String, String]) = {
     val df = readDirFrame(spark, rp, dirName)
     def typed(pred: org.apache.spark.sql.types.DataType => Boolean) =
       statsCols.distinct.filter(c =>
@@ -755,7 +794,7 @@ object TxTable {
     val strings = typed(_ == org.apache.spark.sql.types.StringType)
     // the row count rides the same 1-row aggregate as pseudo-column
     // `_rows` (metadata-only COUNT(*) reads it back from the commit);
-    // each integral column also records its NULL count under `n,<col>`
+    // each stats column also records its NULL count under `n,<col>`
     // (',' can never appear in a real column name) — min/max stats
     // skip NULLs, so only this extra stat lets a metadata-only GROUP
     // BY trust that a single-valued dir has no hidden NULL-group rows
@@ -764,9 +803,37 @@ object TxTable {
         Seq(min(col(c)).cast("long"), max(col(c)).cast("long"))) ++
         integral.map(c =>
           sum(when(col(c).isNull, 1L).otherwise(0L)).cast("long")) ++
-        strings.flatMap(c => Seq(min(col(c)), max(col(c)))))
+        strings.flatMap(c => Seq(min(col(c)), max(col(c)))) ++
+        strings.map(c =>
+          sum(when(col(c).isNull, 1L).otherwise(0L)).cast("long")) ++
+        // mergeable NDV registers ride the SAME one-row aggregate —
+        // per-dir HLL sketches merge at read into table-level NDV
+        // that stays fresh across appends without ever rescanning
+        (integral ++ strings).map(c => hll_sketch_agg(col(c), hllLgK)))
     val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     val nBase = 1 + 3 * integral.length
+    val strNullBase = nBase + 2 * strings.length
+    val hllBase = strNullBase + strings.length
+    val hstats = (integral ++ strings).zipWithIndex.flatMap {
+      case (c, i) =>
+        if (r.isNullAt(hllBase + i)) None
+        else Some(c -> java.util.Base64.getEncoder.encodeToString(
+          r.getAs[Array[Byte]](hllBase + i)))
+    }.toMap
+    // a string dir column whose min == max holds EXACTLY ONE distinct
+    // non-null value: record it verbatim (under the length cap) as the
+    // `sx:` exact marker — what lets the partition-clustering proofs
+    // accept string/date keys the way integral `lo == hi` already does
+    val xvals = strings.zipWithIndex.flatMap { case (c, i) =>
+      if (r.isNullAt(nBase + 2 * i)) None
+      else {
+        val mn = r.getString(nBase + 2 * i)
+        val mx = r.getString(nBase + 2 * i + 1)
+        if (mn == mx && mn.getBytes("UTF-8").length <= strStatMaxBytes)
+          Some(c -> hexOf(mn))
+        else None
+      }
+    }.toMap
     (Map(rowsKey -> (r.getLong(0), r.getLong(0))) ++
       integral.zipWithIndex.flatMap { case (c, i) =>
         if (r.isNullAt(2 * i + 1)) None
@@ -776,14 +843,24 @@ object TxTable {
         val j = 1 + 2 * integral.length + i
         val n = if (r.isNullAt(j)) 0L else r.getLong(j) // empty dir
         s"$nullsPrefix$c" -> (n, n)
+      } ++
+      strings.zipWithIndex.map { case (c, i) =>
+        val j = strNullBase + i
+        val n = if (r.isNullAt(j)) 0L else r.getLong(j) // empty dir
+        s"$nullsPrefix$c" -> (n, n)
       },
       strings.zipWithIndex.flatMap { case (c, i) =>
         if (r.isNullAt(nBase + 2 * i)) None
         else strStatBounds(r.getString(nBase + 2 * i),
           r.getString(nBase + 2 * i + 1)).map(c -> _)
-      }.toMap)
+      }.toMap,
+      xvals, hstats)
   }
   private val nullsPrefix = "n,"
+  /** lgK of the per-dir NDV sketches: 2^12 registers ≈ 1.6% relative
+    * error, ≤ ~2 KB per column per dir dense (tiny in list mode for
+    * low-NDV dirs — the common partitioned case). */
+  private val hllLgK = 12
 
   /** `Entry` for a freshly-written dir with its stats computed. The
     * dir's on-disk BYTES ride the stats grammar as pseudo-column
@@ -803,16 +880,11 @@ object TxTable {
     // toPhysical enforces this on column-mapped tables; this is the
     // chokepoint every OTHER write path's stats/key columns funnel
     // through, so enforce it here too.
-    statsCols.foreach { c =>
-      require(validColName(c) && !c.startsWith("str:") &&
-        c != rowsKey && c != bytesKey,
-        s"txtable: invalid stats/key column name '$c' (empty, " +
-          "reserved character, or reserved stats-grammar name)")
-    }
-    val (n, s) = dirStats(spark, rp, dirName, statsCols)
+    statsCols.foreach(requireStatsGrammarSafe)
+    val (n, s, x, h) = dirStats(spark, rp, dirName, statsCols)
     val fs = rp.getFileSystem(spark.sessionState.newHadoopConf())
     val bytes = fs.getContentSummary(new Path(rp, dirName)).getLength
-    Entry(isDelta, dirName, n + (bytesKey -> (bytes, bytes)), s)
+    Entry(isDelta, dirName, n + (bytesKey -> (bytes, bytes)), s, x, h)
   }
   private val bytesKey = "_bytes"
 
@@ -1081,6 +1153,23 @@ object TxTable {
           val out = fs.create(claim, false)
           try out.write(body.getBytes("UTF-8")) finally out.close()
         }
+        // A v1 claim means a FRESH table is being born at this path.
+        // If a previous table lived (and died) here in this JVM's
+        // lifetime, its commit/manifest lines may still be cached —
+        // and a later same-length, same-mtime-tick recreate of a
+        // version file could slip past the FileStatus validation
+        // (coarse mtime granularity). Every same-JVM recreate funnels
+        // through THIS claim, so evicting the root's cache entries
+        // here closes that window deterministically and for free — no
+        // per-hit content read (which would defeat the cache), no
+        // extra RPC. Cross-JVM recreates can't hit this JVM's cache
+        // with anything the FileStatus check doesn't already cover.
+        if (prevV == 0) {
+          val prefix = rp.makeQualified(fs.getUri,
+            fs.getWorkingDirectory).toString + "/"
+          commitCache.keySet.removeIf(_.startsWith(prefix))
+          manifestCache.keySet.removeIf(_.startsWith(prefix))
+        }
         writeHint(fs, rp, prevV + 1)
         return prevV + 1
       } catch {
@@ -1123,7 +1212,8 @@ object TxTable {
     * nothing (at-least-once delivery → exactly-once table state). */
   def appendBatch(df: DataFrame, root: String, batchId: Long,
     statsCols: Seq[String] = Seq.empty,
-    streamId: String = "default"): Int = {
+    streamId: String = "default",
+    preCommit: Int => Unit = _ => ()): Int = {
     val spark = df.sparkSession
     val (fs, rp) = fsFor(spark, root)
     val sid = sanitizeStreamId(streamId)
@@ -1132,7 +1222,7 @@ object TxTable {
     if (alreadyApplied(latestVersion(spark, root)))
       return latestVersion(spark, root)
     writeAndCommit(df, root, "append", keepPrev = true, statsCols,
-      preCommitCheck = _ => (), batchTag = Some(s"$sid:$batchId"),
+      preCommitCheck = preCommit, batchTag = Some(s"$sid:$batchId"),
       skipIf = alreadyApplied)
   }
 
@@ -1317,7 +1407,8 @@ object TxTable {
     * commit claim retries under contention. */
   def mergeDelta(spark: SparkSession, root: String, changes: DataFrame,
     keyCols: Seq[String] = Seq("k"), batchId: Option[Long] = None,
-    streamId: String = "default"): Int = {
+    streamId: String = "default",
+    preCommit: Int => Unit = _ => ()): Int = {
     val (fs, rp) = fsFor(spark, root)
     val sid = sanitizeStreamId(streamId)
     // Exactly-once under micro-batch REPLAY: a restarted stream re-runs
@@ -1355,6 +1446,7 @@ object TxTable {
         fs.delete(new Path(rp, dirName), true)
         return prevV
       }
+      preCommit(prevV)
       val recorded = snapshotKeys(fs, rp, prevV)
       require(recorded.forall(_ == physKeys),
         s"txtable: $root is keyed on ${recorded.get.mkString(",")}, " +
@@ -1416,7 +1508,10 @@ object TxTable {
       val withZ = resolved.withColumn("_z", expr(
         graft.operators.Relational.zValueExprN(zCols)))
       val mzRow = withZ.agg(max("_z")).collect()(0)
-      require(!mzRow.isNullAt(0), s"txtable: nothing to optimize at $root")
+      // no max(_z) means zero live rows (an empty table, or a tail of
+      // only zero-row dirs): nothing to re-cluster — return the
+      // snapshot unchanged rather than failing a routine nightly run
+      if (mzRow.isNullAt(0)) return base
       val mz = mzRow.getLong(0)
       val blockBits = 63 - java.lang.Long.numberOfLeadingZeros(
         math.max(1L, nDirs.toLong)) // floor(log2(nDirs))
@@ -1509,7 +1604,10 @@ object TxTable {
       val withZ = tailDf.withColumn("_z", expr(
         graft.operators.Relational.zValueExprN(zCols)))
       val mzRow = withZ.agg(max("_z")).collect()(0)
-      require(!mzRow.isNullAt(0), s"txtable: nothing to optimize at $root")
+      // no max(_z) means zero live rows (an empty table, or a tail of
+      // only zero-row dirs): nothing to re-cluster — return the
+      // snapshot unchanged rather than failing a routine nightly run
+      if (mzRow.isNullAt(0)) return base
       val mz = mzRow.getLong(0)
       // the tail gets its OWN aligned grid — blocks need not share the
       // base generation's shift to be axis-aligned stats boxes
@@ -1888,16 +1986,36 @@ object TxTable {
     * writer already folded (the appendBatch contract, partitioned). */
   private def appendPartitionedTagged(df: DataFrame, root: String,
     partCols: Seq[String], statsCols: Seq[String],
-    batchTag: Option[String], skipIf: Int => Boolean): Int = {
+    batchTag: Option[String], skipIf: Int => Boolean,
+    preCommit: Int => Unit = _ => ()): Int = {
     val spark = df.sparkSession
     val (fs, rp) = fsFor(spark, root)
     require(partCols.nonEmpty, "txtable: no partition columns")
-    partCols.foreach { partCol =>
-      require(df.schema.exists(f => f.name == partCol &&
-        (f.dataType == org.apache.spark.sql.types.LongType ||
-          f.dataType == org.apache.spark.sql.types.IntegerType ||
-          f.dataType == org.apache.spark.sql.types.ShortType)),
-        s"txtable: partition column '$partCol' must be an integral column")
+    // this path builds Entry lines directly (per-leaf stats read back
+    // from the written layout), bypassing statsEntry — so it must
+    // enforce the same stats-grammar guard: a partition/stats column
+    // named `_rows`, `str:x` or `n,x` would FORGE reserved segments
+    // and the metadata-only paths would then serve the forged numbers
+    // as exact (wrong results, not an error)
+    (partCols ++ statsCols).foreach(requireStatsGrammarSafe)
+    // integral keys record exact `lo == hi` range stats; STRING keys
+    // (the date-partitioned warehouse table's most common shape)
+    // record the `sx:` exact-value marker — both prove the clustering
+    // the SPJ / metadata-GROUP-BY faces demand. Anything else (float,
+    // decimal, timestamp) has no exact stats encoding: refuse loudly.
+    val partIsStr: Seq[Boolean] = partCols.map { partCol =>
+      val dt = df.schema.find(_.name == partCol).map(_.dataType)
+        .getOrElse(throw new IllegalArgumentException(
+          s"txtable: no partition column '$partCol' in the frame"))
+      dt match {
+        case org.apache.spark.sql.types.LongType |
+          org.apache.spark.sql.types.IntegerType |
+          org.apache.spark.sql.types.ShortType => false
+        case org.apache.spark.sql.types.StringType => true
+        case other => throw new IllegalArgumentException(
+          s"txtable: partition column '$partCol' must be integral or " +
+            s"string, got $other")
+      }
     }
     // logical→physical translation under a column mapping, exactly
     // like plain append (widening extends the map)
@@ -1916,14 +2034,46 @@ object TxTable {
     // reader's per-dir scans). The pre-shuffle on the helpers clusters
     // each tuple's rows into the task that writes its dir — one file
     // per partition instead of tasks × dirs fragments.
-    physParts.zip(helpers).foldLeft(physDf0) { case (d, (p, h)) =>
-      d.withColumn(h, col(p).cast("long"))
-    }.repartition(helpers.map(col): _*)
-      .write.partitionBy(helpers: _*).mode("overwrite").parquet(basePath)
+    // Integral helpers are the value itself; STRING helpers are the
+    // 'x'-prefixed lowercase hex of the UTF-8 bytes — hex keeps every
+    // dir name path-safe and escape-free whatever the value holds,
+    // and the 'x' prefix keeps an empty string out of hive's default
+    // partition and all-digit hex out of partition-type inference.
+    // string partition VALUES cap at strStatMaxBytes: past that the
+    // exact-value stat that proves the clustering cannot be recorded
+    // (and the hex dir name would blow filesystem name limits) —
+    // checked IN the write expression so the one pass over the data
+    // also polices the cap, with no extra validation job
+    val capMsg = s"txtable: partition value exceeds $strStatMaxBytes " +
+      "UTF-8 bytes - the exact-value stat that proves the clustering " +
+      "caps there; hash or bucket long keys instead"
+    def helperExpr(p: String, isStr: Boolean) =
+      if (isStr) concat(lit("x"), lower(hex(
+        when(octet_length(col(p)) > lit(strStatMaxBytes),
+          raise_error(lit(capMsg))).otherwise(col(p)))))
+      else col(p).cast("long")
+    try {
+      physParts.zip(helpers).zip(partIsStr)
+        .foldLeft(physDf0) { case (d, ((p, h), isStr)) =>
+          d.withColumn(h, helperExpr(p, isStr))
+        }.repartition(helpers.map(col): _*)
+        .write.partitionBy(helpers: _*).mode("overwrite").parquet(basePath)
+    } catch {
+      case t: Throwable =>
+        fs.delete(new Path(rp, baseDir), true)
+        val chain = Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .take(16).toSeq
+        if (chain.exists(e => e.getMessage != null &&
+          e.getMessage.contains(capMsg)))
+          throw new IllegalArgumentException(capMsg)
+        throw t
+    }
     // NULLs can't address a `$partCol=v` dir (they land in the hive
     // default-partition dir) — partitioned appends need a total
-    // partition assignment; fail loudly rather than lose rows.
-    def leafTuples(p: Path, depth: Int): Seq[Seq[Long]] =
+    // partition assignment; fail loudly rather than lose rows. Leaf
+    // tuples stay in the RAW dir-name token space ("5" / "x6162")
+    // until entry building decodes them per column type.
+    def leafTuples(p: Path, depth: Int): Seq[Seq[String]] =
       fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName).toSeq
         .filter(_.startsWith(s"${helpers(depth)}=")).flatMap { n =>
           val v = n.stripPrefix(s"${helpers(depth)}=")
@@ -1934,8 +2084,15 @@ object TxTable {
                 "NULLs — partitioned appends need a total partition " +
                 "assignment; coalesce NULLs to a sentinel value first")
           }
-          if (depth == helpers.length - 1) Seq(Seq(v.toLong))
-          else leafTuples(new Path(p, n), depth + 1).map(v.toLong +: _)
+          if (partIsStr(depth) &&
+            (v.length - 1) / 2 > strStatMaxBytes) {
+            // unreachable when the write-side raise_error policed the
+            // cap; kept as the loud backstop for exotic filesystems
+            fs.delete(new Path(rp, baseDir), true)
+            throw new IllegalArgumentException(capMsg)
+          }
+          if (depth == helpers.length - 1) Seq(Seq(v))
+          else leafTuples(new Path(p, n), depth + 1).map(v +: _)
         }
     val tuples = leafTuples(new Path(rp, baseDir), 0)
       .sortBy(_.mkString(","))
@@ -1962,21 +2119,61 @@ object TxTable {
       case _ => false
     }
     val strings = typed(_ == org.apache.spark.sql.types.StringType)
+    // partition columns carry per-dir NDV sketches too (the real
+    // columns are still data columns here — helpers are the copies),
+    // so a partitioned table's merged NDV covers its keys as well
+    val hllCols = (physParts ++ integral ++ strings).distinct
     val aggs = count(lit(1)) +:
       (integral.flatMap(c =>
         Seq(min(col(c)).cast("long"), max(col(c)).cast("long"))) ++
         integral.map(c =>
           sum(when(col(c).isNull, 1L).otherwise(0L)).cast("long")) ++
-        strings.flatMap(c => Seq(min(col(c)), max(col(c)))))
+        strings.flatMap(c => Seq(min(col(c)), max(col(c)))) ++
+        strings.map(c =>
+          sum(when(col(c).isNull, 1L).otherwise(0L)).cast("long")) ++
+        hllCols.map(c => hll_sketch_agg(col(c), hllLgK)))
     val g = helpers.length
     val nBase = g + 1 + 3 * integral.length
+    val strNullBase = nBase + 2 * strings.length
+    val hllBase = strNullBase + strings.length
     val statRows = spark.read.parquet(basePath)
-      // partition-value inference may type small values INT — pin long
-      .groupBy(helpers.map(h => col(h).cast("long").as(h)): _*)
+      // pin helper types: partition-value inference may type small
+      // integral tokens INT; 'x'-prefixed hex tokens always infer
+      // string and group back verbatim
+      .groupBy(helpers.zip(partIsStr).map { case (h, isStr) =>
+        (if (isStr) col(h).cast("string") else col(h).cast("long")).as(h)
+      }: _*)
       .agg(aggs.head, aggs.tail: _*)
       .collect() // partition-cardinality readback (dates/buckets)
       .map { r =>
-        val vs = (0 until g).map(r.getLong(_)): Seq[Long]
+        val vs: Seq[String] = partIsStr.zipWithIndex.map { case (isStr, i) =>
+          if (isStr) r.getString(i) else r.getLong(i).toString
+        }
+        val sNulls = strings.zipWithIndex.map { case (c, i) =>
+          val j = strNullBase + i
+          val n = if (r.isNullAt(j)) 0L else r.getLong(j)
+          s"$nullsPrefix$c" -> (n, n)
+        }
+        val sBounds = strings.zipWithIndex.flatMap { case (c, i) =>
+          if (r.isNullAt(nBase + 2 * i)) None
+          else strStatBounds(r.getString(nBase + 2 * i),
+            r.getString(nBase + 2 * i + 1)).map(c -> _)
+        }.toMap
+        val sExact = strings.zipWithIndex.flatMap { case (c, i) =>
+          if (r.isNullAt(nBase + 2 * i)) None
+          else {
+            val mn = r.getString(nBase + 2 * i)
+            val mx = r.getString(nBase + 2 * i + 1)
+            if (mn == mx && mn.getBytes("UTF-8").length <= strStatMaxBytes)
+              Some(c -> hexOf(mn))
+            else None
+          }
+        }.toMap
+        val hBlobs = hllCols.zipWithIndex.flatMap { case (c, i) =>
+          if (r.isNullAt(hllBase + i)) None
+          else Some(c -> java.util.Base64.getEncoder.encodeToString(
+            r.getAs[Array[Byte]](hllBase + i)))
+        }.toMap
         vs -> ((Map(rowsKey -> (r.getLong(g), r.getLong(g))) ++
           integral.zipWithIndex.flatMap { case (c, i) =>
             if (r.isNullAt(g + 1 + 2 * i)) None
@@ -1987,12 +2184,8 @@ object TxTable {
             val j = g + 1 + 2 * integral.length + i
             val n = if (r.isNullAt(j)) 0L else r.getLong(j)
             s"$nullsPrefix$c" -> (n, n)
-          },
-          strings.zipWithIndex.flatMap { case (c, i) =>
-            if (r.isNullAt(nBase + 2 * i)) None
-            else strStatBounds(r.getString(nBase + 2 * i),
-              r.getString(nBase + 2 * i + 1)).map(c -> _)
-          }.toMap))
+          } ++ sNulls,
+          sBounds, sExact, hBlobs))
       }.toMap
     // helper dirs → `$physPart=v` entry dirs: one metadata rename per
     // path level per distinct prefix, leaves become the entry dirs
@@ -2010,21 +2203,33 @@ object TxTable {
     val entries = tuples.map { vs =>
       val dirName = baseDir + physParts.zip(vs)
         .map { case (p, v) => s"/$p=$v" }.mkString
-      val (nStats, sStats) = statRows(vs)
+      val (nStats, sBounds, sExact, hBlobs) = statRows(vs)
       val bytes = fs.getContentSummary(new Path(rp, dirName)).getLength
       // the NULL-rejection above proved the partition columns null-
       // free — record that as their `n,<col>` stats so metadata-only
-      // GROUP BY on a partition column can trust the per-dir counts
+      // GROUP BY on a partition column can trust the per-dir counts.
+      // Integral keys get exact `lo == hi` range stats; string keys
+      // get the truncation-free bounds PLUS the `sx:` exact marker
+      // (the token is the value's own hex, so stats and data cannot
+      // disagree — both derive from the dir Spark actually wrote).
+      val intParts = physParts.zip(partIsStr).zip(vs).collect {
+        case ((p, false), v) => p -> (v.toLong, v.toLong)
+      }
+      val strHex = physParts.zip(partIsStr).zip(vs).collect {
+        case ((p, true), v) => p -> v.drop(1) // strip the 'x' prefix
+      }
       Entry(isDelta = false, dirName,
-        nStats ++ physParts.zip(vs).map { case (p, v) => p -> (v, v) } +
-          (bytesKey -> (bytes, bytes)) ++
-          physParts.map(p => s"$nullsPrefix$p" -> (0L, 0L)), sStats)
+        nStats ++ intParts + (bytesKey -> (bytes, bytes)) ++
+          physParts.map(p => s"$nullsPrefix$p" -> (0L, 0L)),
+        sBounds ++ strHex.map { case (p, h) => p -> (h, h) },
+        sExact ++ strHex, hBlobs)
     }
     commitRetry(spark, root) { prevV =>
       if (skipIf(prevV)) {
         fs.delete(new Path(rp, baseDir), true)
         return prevV
       }
+      preCommit(prevV)
       val prev0 = snapshotLines(fs, rp, prevV)
       val prev =
         if (extMap.isDefined) prev0.filterNot(_.startsWith("colmap:"))
@@ -2107,19 +2312,27 @@ object TxTable {
     * the requested clustering), NULL partition values, dropped footer
     * stats, a non-identity column mapping — falls back to the one-pass
     * partitioned rewrite, which re-shuffles but never wrong-answers.
-    * String stats columns ride only the rewrite path (footer binary
-    * bounds may be truncated; truncation-widened bounds are a read-
-    * side contract this path must not weaken silently). Exactly-once
-    * via the appendBatch batch-tag replay protection. Reference
-    * analog: promoting task outputs into the destination by rename is
-    * the committer move of
+    * STRING partition keys prove through `providedParts` instead: the
+    * sink's writer OBSERVED every row it staged, so its per-file key
+    * tuple is authoritative — parquet binary footer bounds (which may
+    * be truncated) are NEVER consulted for strings, and string stats
+    * columns still ride only the rewrite path (truncation-widened
+    * bounds are a read-side contract this path must not weaken
+    * silently). Exactly-once via the appendBatch batch-tag replay
+    * protection. Reference analog: promoting task outputs into the
+    * destination by rename is the committer move of
     * src/mapred/org/apache/hadoop/mapred/FileOutputCommitter.java:1 —
     * here the committed artifact also carries its stats. */
   private[graft] def appendPartitionedStaged(spark: SparkSession,
     root: String, stagedFiles: Seq[String], partCols: Seq[String],
     batchId: Long, statsCols: Seq[String] = Seq.empty,
-    streamId: String = "default"): Int = {
+    streamId: String = "default",
+    preCommit: Int => Unit = _ => (),
+    providedParts: Map[String, Seq[Any]] = Map.empty): Int = {
     val (fs, rp) = fsFor(spark, root)
+    // like appendPartitionedTagged, this path mints Entry lines
+    // directly — same stats-grammar forgery guard
+    (partCols ++ statsCols).foreach(requireStatsGrammarSafe)
     val sid = sanitizeStreamId(streamId)
     val tag = s"$sid:$batchId"
     def alreadyApplied(v: Int): Boolean =
@@ -2132,12 +2345,13 @@ object TxTable {
     if (stagedFiles.isEmpty)
       return commitRetry(spark, root) { prevV =>
         if (alreadyApplied(prevV)) return prevV
+        preCommit(prevV)
         ("append", s"batch:$tag" +: snapshotLines(fs, rp, prevV))
       }
     val conf = spark.sessionState.newHadoopConf()
     def rewriteFallback(): Int = appendPartitionedTagged(
       spark.read.parquet(stagedFiles: _*), root, partCols, statsCols,
-      Some(tag), alreadyApplied)
+      Some(tag), alreadyApplied, preCommit)
     // fast path needs file column names == snapshot physical names
     val m = snapshotColMap(fs, rp, latestVersion(spark, root))
     if (m.exists(_.exists { case (l, p) => l != p })) return rewriteFallback()
@@ -2153,20 +2367,40 @@ object TxTable {
             () => f -> stagedFacts(conf, new Path(f), wanted))
         pool.invokeAll(tasks.asJava).asScala.map(_.get()).toSeq
       } finally pool.shutdown()
-    val proven = facts.forall { case (_, sf) =>
-      partCols.forall(pc => sf.nulls.get(pc).contains(0L) &&
-        sf.stats.get(pc).exists { case (lo, hi) => lo == hi })
-    }
+    // each file proves its key tuple ONE of two ways: the writer's
+    // own observation (providedParts — any key type, including
+    // strings), or the integral footer stats (`lo == hi`, zero
+    // nulls). One unprovable file sends the whole epoch down the
+    // rewrite path — per-file mixing of proof sources is fine, mixing
+    // of OUTCOMES is not (a half-promoted epoch isn't atomic).
+    def tupleOf(f: String, sf: StagedFacts): Option[Seq[Any]] =
+      providedParts.get(f).orElse {
+        val vs = partCols.map { pc =>
+          if (sf.nulls.get(pc).contains(0L))
+            sf.stats.get(pc).collect { case (lo, hi) if lo == hi => lo: Any }
+          else None
+        }
+        if (vs.forall(_.isDefined)) Some(vs.map(_.get)) else None
+      }
+    val keyed = facts.map { case (f, sf) => (f, sf, tupleOf(f, sf)) }
+    val proven = keyed.forall(_._3.isDefined) &&
+      // string keys must fit the exact-value stat cap — longer values
+      // fall to the rewrite, whose loud error names the contract
+      keyed.forall(_._3.get.forall {
+        case s: String => s.getBytes("UTF-8").length <= strStatMaxBytes
+        case _ => true
+      })
     if (!proven) return rewriteFallback()
-    val byTuple = facts.groupBy { case (_, sf) =>
-      partCols.map(pc => sf.stats(pc)._1) }
+    val byTuple = keyed.groupBy(_._3.get)
     val baseDir = s"data/append-${java.util.UUID.randomUUID()}"
-    val entries = byTuple.toSeq.sortBy(_._1.mkString(",")).map {
+    val entries = byTuple.toSeq.sortBy(t => tupleSortKey(t._1)).map {
       case (vs, fl) =>
-        val dirName = baseDir + partCols.zip(vs)
-          .map { case (p, v) => s"/$p=$v" }.mkString
+        val dirName = baseDir + partCols.zip(vs).map {
+          case (p, v: Long) => s"/$p=$v"
+          case (p, v) => s"/$p=x${hexOf(v.toString)}"
+        }.mkString
         fs.mkdirs(new Path(rp, dirName))
-        fl.foreach { case (f, _) =>
+        fl.foreach { case (f, _, _) =>
           val src = new Path(f)
           require(fs.rename(src,
             new Path(new Path(rp, dirName), src.getName)),
@@ -2181,7 +2415,7 @@ object TxTable {
           // those carry nulls and no bounds, so require nulls known)
           val bound =
             if (ns.exists(_.isEmpty) ||
-              fl.zip(ss).exists { case ((_, sf), s) =>
+              fl.zip(ss).exists { case ((_, sf, _), s) =>
                 s.isEmpty && !sf.nulls.get(c).contains(sf.rows) }) None
             else ss.flatten match {
               case Seq() => None
@@ -2193,16 +2427,25 @@ object TxTable {
               { val n = ns.flatten.sum; (n, n) })
           bound.toSeq ++ nc.toSeq
         }
+        val intParts = partCols.zip(vs).collect {
+          case (p, v: Long) => p -> (v, v)
+        }
+        val strHex = partCols.zip(vs).collect {
+          case (p, v: String) => p -> hexOf(v)
+        }
         Entry(isDelta = false, dirName,
           Map(rowsKey -> (rows, rows), bytesKey -> (bytes, bytes)) ++
-            partCols.zip(vs).map { case (p, v) => p -> (v, v) } ++
-            partCols.map(p => s"$nullsPrefix$p" -> (0L, 0L)) ++ extra)
+            intParts ++
+            partCols.map(p => s"$nullsPrefix$p" -> (0L, 0L)) ++ extra,
+          strHex.map { case (p, h) => p -> (h, h) }.toMap,
+          strHex.toMap)
     }
     commitRetry(spark, root) { prevV =>
       if (alreadyApplied(prevV)) {
         fs.delete(new Path(rp, baseDir), true)
         return prevV
       }
+      preCommit(prevV)
       val prev = snapshotLines(fs, rp, prevV)
       val statsHdr =
         if (prev.exists(_.startsWith("statscol:"))) None
@@ -2501,7 +2744,8 @@ object TxTable {
     * within each dir follows the listing; callers keep entry order
     * by iterating their own dir sequence. */
   private def listDataFiles(spark: SparkSession, rp: Path,
-    dirs: Seq[String]): Map[String, Seq[String]] = {
+    dirs: Seq[String], recursive: Boolean = false)
+    : Map[String, Seq[String]] = {
     if (dirs.isEmpty) return Map.empty
     val conf = spark.sessionState.newHadoopConf()
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
@@ -2512,10 +2756,23 @@ object TxTable {
         dirs.distinct.map { d =>
           () => {
             val fs = rp.getFileSystem(conf)
-            d -> fs.listStatus(new Path(rp, d)).filter(s => s.isFile &&
+            val keep = (s: org.apache.hadoop.fs.FileStatus) => s.isFile &&
               !s.getPath.getName.startsWith("_") &&
-              !s.getPath.getName.startsWith("."))
-              .map(_.getPath.toString).toSeq
+              !s.getPath.getName.startsWith(".")
+            val files =
+              if (recursive) {
+                // entry dirs may hold partition subdirs (zopt/_b=…,
+                // appendPartitioned leaves): one recursive listing
+                val it = fs.listFiles(new Path(rp, d), true)
+                val buf = scala.collection.mutable.ArrayBuffer[String]()
+                while (it.hasNext) {
+                  val s = it.next()
+                  if (keep(s)) buf += s.getPath.toString
+                }
+                buf.toSeq
+              } else fs.listStatus(new Path(rp, d)).filter(keep)
+                .map(_.getPath.toString).toSeq
+            d -> files
           }
         }
       pool.invokeAll(tasks.asJava).asScala.map(_.get()).toMap
@@ -2591,40 +2848,44 @@ object TxTable {
       schemas.get(d).flatMap(bloomableType(_, colName))
     val eligible = pending.filter(e => colType(e.dir).isDefined)
     if (eligible.isEmpty) return 0
-    // scheme-less dir URI path -> dir name; files resolve to their
-    // entry dir by walking parent paths (entry dirs may hold partition
-    // subdirs). Keying on the bare URI path sidesteps the
+    // EXACT file-path → entry-dir map from the driver's own listings
+    // (the same authority the scan reads from), broadcast-joined to
+    // the scan on the normalized path: per-row dir resolution is then
+    // one codegen'd hash probe instead of a per-row Scala-UDF
+    // parent-path walk (no codegen boundary in the scan stage). Both
+    // sides normalize with the SAME anchored regex — strip scheme and
+    // authority, keep the absolute path — which sidesteps the
     // `file:///x` (input_file_name) vs `file:/x` (Path.toString)
-    // rendering mismatch.
-    val dirPathOf = eligible.map { e =>
-      new Path(rp, e.dir).makeQualified(fs.getUri, fs.getWorkingDirectory)
-        .toUri.getPath -> e.dir
-    }.toMap
-    val bcDirs = spark.sparkContext.broadcast(dirPathOf)
-    val toDir = udf { f: String =>
-      var p =
-        try {
-          val u = new java.net.URI(f)
-          if (u.getPath != null && u.getPath.nonEmpty) u.getPath else f
-        } catch { case _: java.net.URISyntaxException => f }
-      var res: String = null
-      while (res == null && p.lastIndexOf('/') > 0) {
-        p = p.substring(0, p.lastIndexOf('/'))
-        res = bcDirs.value.getOrElse(p, null)
-      }
-      res
-    }
+    // rendering mismatch without per-row URI parsing. Dir/file names
+    // here are UUID + `col=value` segments, all URI-legal bytes, so
+    // the raw rendering needs no percent-decoding on either side.
+    val pathRe = "^(?:[a-zA-Z][a-zA-Z0-9+.\\-]*:(?://[^/]*)?)?(/.*)$"
+    val pathPat = java.util.regex.Pattern.compile(pathRe)
+    val filesOf = listDataFiles(spark, rp, eligible.map(_.dir),
+      recursive = true)
+    val fileDirRows = eligible.flatMap(e =>
+      filesOf.getOrElse(e.dir, Seq.empty).map { f =>
+        val m = pathPat.matcher(f)
+        org.apache.spark.sql.Row(if (m.matches()) m.group(1) else f, e.dir)
+      })
+    val fileDir = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(fileDirRows).asJava),
+      StructType(Seq(StructField("_f", StringType),
+        StructField("_dir", StringType))))
     def tagged(dirs: Seq[String]): DataFrame =
       dirs.groupBy(d => colType(d).get).map { case (dt, ds) =>
         val isStr = dt == StringType
         spark.read.schema(StructType(Seq(StructField(colName, dt))))
           .parquet(ds.map(d => new Path(rp, d).toString): _*)
-          .select(toDir(input_file_name()).as("_dir"),
+          .select(regexp_extract(input_file_name(), pathRe, 1).as("_f"),
             (if (isStr) col(colName)
              else lit(null).cast("string")).as("_vs"),
             (if (isStr) lit(null).cast("long")
              else col(colName).cast("long")).as("_vl"))
       }.reduce(_.unionByName(_))
+        .join(broadcast(fileDir), Seq("_f"))
+        .select("_dir", "_vs", "_vl")
     val stated = eligible.flatMap(e =>
       e.stats.get(rowsKey).map(s => e.dir -> s._1)).toMap
     val statless = eligible.map(_.dir).filterNot(stated.contains)
@@ -3265,12 +3526,23 @@ object TxTable {
       phys.foreach(p => require(validColName(p) && !p.contains(";"),
         s"txtable: column '$p' cannot carry ndv stats " +
           "(empty or reserved character)"))
+      // the same pass also counts NULLs per column: the cost-based
+      // optimizer's join estimation demands (ndv AND nullCount) on a
+      // join key before it will price the join at all — NDV alone
+      // leaves multi-way joins unordered. Encoded `p=<ndv>~<nulls>`.
       val aggs = targets.map(c =>
         (if (exact) count_distinct(col(c))
-         else approx_count_distinct(col(c), rsd)).cast("long"))
+         else approx_count_distinct(col(c), rsd)).cast("long")) ++
+        targets.map(c =>
+          sum(when(col(c).isNull, 1L).otherwise(0L)).cast("long"))
       val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
       val body = phys.zipWithIndex
-        .map { case (p, i) => s"$p=${r.getLong(i)}" }.mkString(",")
+        .map { case (p, i) =>
+          val nulls =
+            if (r.isNullAt(targets.length + i)) 0L
+            else r.getLong(targets.length + i)
+          s"$p=${r.getLong(i)}~$nulls"
+        }.mkString(",")
       // exact counts carry a '!' on the version token — downstream,
       // COUNT(DISTINCT) may substitute them only when provably fresh
       val vTok = if (exact) s"$prevV!" else s"$prevV"
@@ -3288,35 +3560,135 @@ object TxTable {
     case _ => false
   }
 
-  /** LOGICAL-name NDV estimates of snapshot `version` from its carried
-    * `ndv:` header, clamped to the snapshot row count when known
-    * (commits after an analyze can shrink the table below the stale
-    * estimate; an estimate above the row count would actively mislead
-    * the optimizer). Physical columns dropped since the analyze are
-    * omitted. Empty when the table was never analyzed. */
+  /** True when snapshot `v`'s entry multiset is identical to the
+    * version the ndv header was recorded at — data dirs are immutable,
+    * so identical entries mean the analyze-time numbers still describe
+    * exactly this data. */
+  private def analyzeIsFresh(fs: FileSystem, rp: Path, v: Int,
+    line: String): Boolean = {
+    val payload = line.drop(4)
+    val vTok = payload.take(payload.indexOf(';'))
+    val av = vTok.stripSuffix("!")
+    av.nonEmpty && av.forall(_.isDigit) &&
+      (try snapshotEntries(fs, rp, v).map(_.line).sorted ==
+        snapshotEntries(fs, rp, av.toInt).map(_.line).sorted
+      catch { case _: Throwable => false })
+  }
+
+  /** ALWAYS-FRESH NDV from the per-dir `hll:` register blobs, by
+    * PHYSICAL name: merge the live dirs' sketches driver-side (cached
+    * per root+version+entry-multiset — snapshots are immutable, but a
+    * recreate at the same path must never serve the ghost). A column
+    * qualifies only when EVERY live dir carries its blob — one
+    * blob-less dir (a pre-HLL commit, a zero-job staged promote)
+    * makes the column unservable rather than silently under-counted. */
+  private val hllNdvCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Int, Map[String, Long])]()
+  private def mergedNdvPhys(fs: FileSystem, rp: Path,
+    v: Int): Map[String, Long] = {
+    if (v == 0) return Map.empty
+    val entries = snapshotEntries(fs, rp, v)
+    if (entries.isEmpty || entries.exists(_.isDelta)) return Map.empty
+    val live = entries.filter(_.stats.get(rowsKey).exists(_._1 > 0))
+    if (live.isEmpty || live.exists(_.hstats.isEmpty)) return Map.empty
+    val key = rp.makeQualified(fs.getUri, fs.getWorkingDirectory)
+      .toString + "#" + v
+    val sig = live.map(_.line).hashCode
+    val cached = hllNdvCache.get(key)
+    if (cached != null && cached._1 == sig) return cached._2
+    val cols = live.head.hstats.keySet
+      .filter(c => live.forall(_.hstats.contains(c)))
+    val out = cols.map { c =>
+      val u = new org.apache.datasketches.hll.Union(hllLgK)
+      live.foreach { e =>
+        u.update(org.apache.datasketches.hll.HllSketch.heapify(
+          java.util.Base64.getDecoder.decode(e.hstats(c))))
+      }
+      c -> math.max(1L, math.round(u.getResult.getEstimate))
+    }.toMap
+    if (hllNdvCache.size >= 1024) hllNdvCache.clear()
+    hllNdvCache.put(key, (sig, out))
+    out
+  }
+
+  /** LOGICAL-name NDV estimates of snapshot `version`, best source
+    * first: the `ndv:` analyze header when PROVABLY FRESH (entries
+    * unchanged since the analyze — exact-grade numbers), else the
+    * merged per-dir HLL sketches (always-current registers, ~1.6%
+    * error, no rescan ever), else the stale header clamped to the
+    * live row count (imprecise, never absurd). Physical columns
+    * dropped since the analyze are omitted. Empty when neither source
+    * exists. */
   private[graft] def columnNdv(spark: SparkSession, root: String,
     version: Int = -1): Map[String, Long] = {
     val (fs, rp) = fsFor(spark, root)
     val v = if (version >= 0) version else latestVersion(spark, root)
     if (v == 0) return Map.empty
-    ndvLineOf(fs, rp, v).map { line =>
+    val m = snapshotColMap(fs, rp, v)
+    val cap = rowCount(spark, root, v)
+    def clamp(n: Long): Long = cap.fold(n)(math.min(n, _))
+    // with a mapping, only LIVE physicals have a logical face
+    def logicalOf(p: String): Option[String] = m match {
+      case Some(mm) => liveMap(mm).find(_._2 == p).map(_._1)
+      case None => Some(p)
+    }
+    val headerLine = ndvLineOf(fs, rp, v)
+    val header: Map[String, Long] = headerLine.map { line =>
       val payload = line.drop(4)
       val sep = payload.indexOf(';')
-      val m = snapshotColMap(fs, rp, v)
-      val cap = rowCount(spark, root, v)
       payload.drop(sep + 1).split(",").toSeq.flatMap { kv =>
         val i = kv.lastIndexOf('=')
         if (i <= 0) None
         else {
           val p = kv.substring(0, i)
-          val n = kv.substring(i + 1)
-          // with a mapping, only LIVE physicals have a logical face
-          val logical = m match {
-            case Some(mm) => liveMap(mm).find(_._2 == p).map(_._1)
-            case None => Some(p)
-          }
+          // `<ndv>` (pre-r12 headers) or `<ndv>~<nulls>`
+          val n = kv.substring(i + 1).takeWhile(_ != '~')
           if (n.nonEmpty && n.forall(_.isDigit))
-            logical.map(_ -> cap.fold(n.toLong)(math.min(n.toLong, _)))
+            logicalOf(p).map(_ -> clamp(n.toLong))
+          else None
+        }
+      }.toMap
+    }.getOrElse(Map.empty)
+    if (headerLine.exists(analyzeIsFresh(fs, rp, v, _))) header
+    else {
+      val merged = mergedNdvPhys(fs, rp, v).flatMap { case (p, n) =>
+        logicalOf(p).map(_ -> clamp(n))
+      }
+      // merged registers describe THIS snapshot — they override a
+      // stale header; the header still fills non-sketched columns
+      header ++ merged
+    }
+  }
+
+  /** Per-column NULL counts recorded by the last ANALYZE, by LOGICAL
+    * name — served ONLY when the header is provably fresh (entries
+    * unchanged since the analyze): unlike NDV there is no sound way
+    * to clamp a stale null count, and the per-dir `n,<col>` stats
+    * already cover declared statsCols exactly. What this adds is
+    * nullCount for analyzed-but-unstatted columns — the missing half
+    * of the (ndv, nullCount) pair the CBO's join estimation requires
+    * before it prices a join key at all. */
+  private[graft] def analyzeNullCounts(spark: SparkSession, root: String,
+    version: Int = -1): Map[String, Long] = {
+    val (fs, rp) = fsFor(spark, root)
+    val v = if (version >= 0) version else latestVersion(spark, root)
+    if (v == 0) return Map.empty
+    ndvLineOf(fs, rp, v).filter(analyzeIsFresh(fs, rp, v, _)).map { line =>
+      val payload = line.drop(4)
+      val sep = payload.indexOf(';')
+      val m = snapshotColMap(fs, rp, v)
+      def logicalOf(p: String): Option[String] = m match {
+        case Some(mm) => liveMap(mm).find(_._2 == p).map(_._1)
+        case None => Some(p)
+      }
+      payload.drop(sep + 1).split(",").toSeq.flatMap { kv =>
+        val i = kv.lastIndexOf('=')
+        val t = if (i <= 0) -1 else kv.indexOf('~', i)
+        if (t < 0) None
+        else {
+          val n = kv.substring(t + 1)
+          if (n.nonEmpty && n.forall(_.isDigit))
+            logicalOf(kv.substring(0, i)).map(_ -> n.toLong)
           else None
         }
       }.toMap
@@ -3340,12 +3712,7 @@ object TxTable {
     ndvLineOf(fs, rp, v).map { line =>
       val payload = line.drop(4)
       val vTok = payload.take(payload.indexOf(';'))
-      val av = vTok.stripSuffix("!")
-      val fresh = vTok.endsWith("!") && av.nonEmpty &&
-        av.forall(_.isDigit) &&
-        (try snapshotEntries(fs, rp, v).map(_.line).sorted ==
-          snapshotEntries(fs, rp, av.toInt).map(_.line).sorted
-        catch { case _: Throwable => false })
+      val fresh = vTok.endsWith("!") && analyzeIsFresh(fs, rp, v, line)
       if (fresh) columnNdv(spark, root, v) else Map.empty[String, Long]
     }.getOrElse(Map.empty)
   }
@@ -3359,11 +3726,12 @@ object TxTable {
     import spark.implicits._
     val v = latestVersion(spark, root)
     val ndv = columnNdv(spark, root, v)
+    val aNulls = analyzeNullCounts(spark, root, v)
     val (ranges, nulls) = metadataAgg(spark, root, v, cols, cols)
       .map(t => (t._2, t._3))
       .getOrElse((Map.empty[String, (Long, Long)], Map.empty[String, Long]))
     cols.map { c =>
-      (c, ndv.get(c), nulls.get(c),
+      (c, ndv.get(c), nulls.get(c).orElse(aNulls.get(c)),
         ranges.get(c).map(_._1), ranges.get(c).map(_._2))
     }.toDF("col_name", "ndv", "nulls", "min_v", "max_v")
   }
@@ -3422,10 +3790,26 @@ object TxTable {
     * `appendPartitioned` dirs satisfy both by construction; plain
     * appends qualify when their data happens to be dir-clustered.
     * None → caller falls back to the scan. */
+  /** The single-valued key of dir `e` on physical column `pg`: the
+    * exact integral value when the range stat proves `lo == hi`, the
+    * decoded `sx:` exact string otherwise. None = the dir spans
+    * values (or predates the stat) and no clustering is provable. */
+  private def dirExactValue(e: Entry, pg: String): Option[Any] =
+    e.stats.get(pg).collect { case (lo, hi) if lo == hi => lo: Any }
+      .orElse(e.xvals.get(pg).map(hexDec(_): Any))
+
+  /** Deterministic ordering for mixed Long/String key tuples (group
+    * output and scan-unit order must be stable across planners). */
+  private def tupleSortKey(vs: Seq[Any]): String =
+    vs.map {
+      case l: Long => f"l$l%020d" // fixed width keeps numeric order
+      case s => "s" + s.toString
+    }.mkString(" ")
+
   private[graft] def metadataGroupedAgg(spark: SparkSession, root: String,
-    version: Int, groupCol: String, cols: Seq[String],
+    version: Int, groupCols: Seq[String], cols: Seq[String],
     countCols: Seq[String] = Seq.empty)
-    : Option[Seq[(Long, Long, Map[String, (Long, Long)],
+    : Option[Seq[(Seq[Any], Long, Map[String, (Long, Long)],
       Map[String, Long])]] = {
     val (fs, rp) = fsFor(spark, root)
     val v = if (version >= 0) version else latestVersion(spark, root)
@@ -3434,29 +3818,34 @@ object TxTable {
     if (entries.isEmpty || entries.exists(_.isDelta)) return None
     if (entries.exists(e => !e.stats.contains(rowsKey))) return None
     val m = snapshotColMap(fs, rp, v)
-    val pg = physName(m, groupCol)
+    val pgs = groupCols.map(physName(m, _))
     val live = entries.filter(_.stats(rowsKey)._1 > 0)
-    val ok = live.forall { e =>
-      e.stats.get(pg).exists { case (lo, hi) => lo == hi } &&
+    // every live dir single-valued (integral lo == hi, or the string
+    // `sx:` exact marker) AND provably NULL-free on EVERY group column
+    // — the composite analog of the single-key proof
+    val ok = live.forall { e => pgs.forall { pg =>
+      dirExactValue(e, pg).isDefined &&
         e.stats.get(s"$nullsPrefix$pg").exists(_._1 == 0L)
-    }
+    } }
     if (!ok) return None
-    val out = live.groupBy(_.stats(pg)._1).toSeq.map { case (gv, es) =>
-      val cnt = es.map(_.stats(rowsKey)._1).sum
-      val ranges = cols.distinct.flatMap { c =>
-        val pc = physName(m, c)
-        val ss = es.map(_.stats.get(pc))
-        if (ss.exists(_.isEmpty)) None
-        else Some(c -> (ss.flatten.map(_._1).min, ss.flatten.map(_._2).max))
-      }.toMap
-      val nulls = countCols.distinct.flatMap { c =>
-        val pc = s"$nullsPrefix${physName(m, c)}"
-        val ss = es.map(_.stats.get(pc))
-        if (ss.exists(_.isEmpty)) None
-        else Some(c -> ss.flatten.map(_._1).sum)
-      }.toMap
-      (gv, cnt, ranges, nulls)
-    }.sortBy(_._1)
+    val out = live.groupBy(e => pgs.map(pg => dirExactValue(e, pg).get))
+      .toSeq.map { case (gvs, es) =>
+        val cnt = es.map(_.stats(rowsKey)._1).sum
+        val ranges = cols.distinct.flatMap { c =>
+          val pc = physName(m, c)
+          val ss = es.map(_.stats.get(pc))
+          if (ss.exists(_.isEmpty)) None
+          else Some(c -> (ss.flatten.map(_._1).min,
+            ss.flatten.map(_._2).max))
+        }.toMap
+        val nulls = countCols.distinct.flatMap { c =>
+          val pc = s"$nullsPrefix${physName(m, c)}"
+          val ss = es.map(_.stats.get(pc))
+          if (ss.exists(_.isEmpty)) None
+          else Some(c -> ss.flatten.map(_._1).sum)
+        }.toMap
+        (gvs, cnt, ranges, nulls)
+      }.sortBy(t => tupleSortKey(t._1))
     Some(out)
   }
 
@@ -3472,7 +3861,7 @@ object TxTable {
     * clustered on the same column JOIN WITHOUT A SHUFFLE. */
   private[sources] def partitionFileSlices(spark: SparkSession,
     root: String, version: Int, partCols: Seq[String])
-    : Option[(Seq[(Seq[Long], Seq[String])],
+    : Option[(Seq[(Seq[Any], Seq[String])],
       Option[Seq[(String, String)]])] = {
     val (fs, rp) = fsFor(spark, root)
     val v = if (version >= 0) version else latestVersion(spark, root)
@@ -3486,18 +3875,19 @@ object TxTable {
     // clustering is provable iff EVERY live dir is single-valued and
     // null-free on EVERY partition key column — the multi-key analog
     // of the single-column proof (a dir spanning two key tuples can
-    // never be assigned one partition)
+    // never be assigned one partition). Integral keys prove via
+    // `lo == hi` range stats, string keys via the `sx:` exact marker
+    // (the truncation-widened `str:` bounds deliberately don't count).
     val ok = live.nonEmpty && live.forall { e => pgs.forall { pg =>
-      e.stats.get(pg).exists { case (lo, hi) => lo == hi } &&
+      dirExactValue(e, pg).isDefined &&
         e.stats.get(s"$nullsPrefix$pg").exists(_._1 == 0L)
     } }
     if (!ok) return None
     val filesByDir = listDataFiles(spark, rp, live.map(_.dir))
-    val slices = live.groupBy(e => pgs.map(pg => e.stats(pg)._1))
+    val slices = live.groupBy(e => pgs.map(pg => dirExactValue(e, pg).get))
       .toSeq.map { case (gvs, es) =>
         gvs -> es.flatMap(e => filesByDir.getOrElse(e.dir, Seq.empty))
-      }.sortBy(_._1.toIndexedSeq)(
-        scala.math.Ordering.Implicits.seqOrdering)
+      }.sortBy(t => tupleSortKey(t._1))
     Some((slices, m))
   }
 
@@ -3846,21 +4236,113 @@ object TxTable {
       .select(col("o_orderkey"), col("o_custkey"), col("c_nationkey"))
   }
 
-  /** Gate: METADATA-ONLY GROUP BY the partition column
-    * (q_txtable_part_counts). A partitioned append of orders bucketed
-    * 8 ways, then per-bucket count/min/max through the face — the
-    * grouped form of the stats rewrite: one LocalRelation row per
-    * partition, no scan (the "how many rows per partition" query that
-    * a 100 TB date-partitioned table answers from its log). Oracle
-    * replays the same GROUP BY over the raw table. */
+  /** Gate: METADATA-ONLY GROUP BY the partition key — now a TWO-KEY
+    * rollup (q_txtable_part_counts). A composite partitioned append
+    * of orders bucketed (8 × 3) ways, then per-(bucket, bucket2)
+    * count/min/max through the face — the grouped form of the stats
+    * rewrite over the same composite clustering proof the SPJ face
+    * uses: one LocalRelation row per partition tuple, no scan (the
+    * "how many rows per partition" query that a 100 TB composite-
+    * partitioned table answers from its log). Oracle replays the same
+    * GROUP BY over the raw table. */
   def partCountsGateQuery(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val root = scratchRoot("graft-pcgate", dir)
     val o = graft.Tables.orders(spark, dir)
-      .select(col("o_orderkey"), (col("o_orderkey") % 8).as("bucket"))
-    appendPartitioned(o, root, "bucket", statsCols = Seq("o_orderkey"))
+      .select(col("o_orderkey"), (col("o_orderkey") % 8).as("bucket"),
+        (col("o_orderkey") % 3).as("bucket2"))
+    appendPartitionedBy(o, root, Seq("bucket", "bucket2"),
+      statsCols = Seq("o_orderkey"))
     spark.read.format("graft-tx").load(root)
-      .groupBy(col("bucket"))
+      .groupBy(col("bucket"), col("bucket2"))
+      .agg(count(lit(1)).as("cnt"),
+        min(col("o_orderkey")).as("min_okey"),
+        max(col("o_orderkey")).as("max_okey"))
+  }
+
+  /** Gate: METADATA-ONLY GROUP BY a STRING partition key
+    * (q_txtable_part_counts_str) — orders partitioned by its natural
+    * o_orderpriority string; the `sx:` exact-value dir stats prove
+    * the clustering, so the per-priority count/min/max is one
+    * LocalRelation row per value with zero data I/O: the
+    * date/category-string-partitioned layout every real warehouse
+    * runs (the integral-only proof excluded it before this round). */
+  def partCountsStrGateQuery(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val root = scratchRoot("graft-pcsgate", dir)
+    val o = graft.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    appendPartitioned(o, root, "o_orderpriority",
+      statsCols = Seq("o_orderkey"))
+    spark.read.format("graft-tx").load(root)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"),
+        min(col("o_orderkey")).as("min_okey"),
+        max(col("o_orderkey")).as("max_okey"))
+  }
+
+  /** Gate: STRING-KEY storage-partitioned join (q_txtable_spj_str).
+    * Orders and customer each partitioned on the SAME derived string
+    * bucket of custkey; the `sx:` exact-value stats prove the string
+    * clustering and the V2 KeyGroupedPartitioning face elides both
+    * Exchanges (SpjSpec asserts zero) — the date-string co-partitioned
+    * fact-fact join at 100 TB. The bucket is derived from custkey, so
+    * the oracle is the plain equi-join. */
+  def spjStrGateQuery(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val rootO = graft.Scratch.freshRoot(s, "graft-spjso", dir)
+    val rootC = graft.Scratch.freshRoot(s, "graft-spjsc", dir)
+    val o = graft.Tables.orders(s, dir).select(col("o_orderkey"),
+      col("o_custkey"),
+      concat(lit("p"), col("o_custkey") % 12).as("b"))
+    val c = graft.Tables.customer(s, dir).select(col("c_custkey"),
+      concat(lit("p"), col("c_custkey") % 12).as("b"),
+      col("c_nationkey"))
+    appendPartitioned(o, rootO, "b", statsCols = Seq("o_custkey"))
+    appendPartitioned(c, rootC, "b", statsCols = Seq("c_custkey"))
+    val l = s.read.format("graft-tx").option("partitionCol", "b").load(rootO)
+    val r = s.read.format("graft-tx").option("partitionCol", "b").load(rootC)
+    l.as("l").join(r.as("r"), col("l.b") === col("r.b") &&
+        col("l.o_custkey") === col("r.c_custkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("c_nationkey"))
+  }
+
+  /** Gate: PARTITIONED STREAMING INGEST end-to-end
+    * (q_txtable_stream_part). A real micro-batch stream — file source
+    * over the orders parquet, Trigger.AvailableNow — writes through
+    * the graft-tx sink's `partitionBy` option on the STRING priority
+    * key: clustered+sorted writers stage one file per value, commit
+    * promotes them BY RENAME with writer-proven purity (zero extra
+    * Spark jobs, zero second write), and the landed table is
+    * immediately SPJ-clustered and metadata-GROUP-BY-able. The gate
+    * reads the streamed table back per priority; the oracle replays
+    * the same rollup over raw orders — hash equality proves the
+    * stream lost and invented nothing. */
+  def streamPartGateQuery(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val root = scratchRoot("graft-spgate", dir)
+    val ckpt = scratchRoot("graft-spgate-ckpt", dir)
+    val src = graft.Tables.orders(spark, dir)
+    // the sf dir holds one parquet FILE per table; the streaming file
+    // source wants a directory, so scope it with a glob filter
+    val q = spark.readStream.schema(src.schema)
+      .option("pathGlobFilter", "orders.parquet")
+      .parquet(dir)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .writeStream.format("graft-tx").option("path", root)
+      .option("partitionBy", "o_orderpriority")
+      .option("statsCols", "o_orderkey")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.format("graft-tx").load(root)
+      .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("cnt"),
         min(col("o_orderkey")).as("min_okey"),
         max(col("o_orderkey")).as("max_okey"))
@@ -3869,6 +4351,18 @@ object TxTable {
   private def validColName(c: String): Boolean =
     c.nonEmpty && !c.exists(ch => ch == ',' || ch == '=' || ch == '\n' ||
       ch == '\r' || ch == '|')
+
+  /** The ONE stats-grammar guard every write path that emits entry
+    * lines funnels through: rejects names that could forge a reserved
+    * segment — the `_rows`/`_bytes` pseudo-columns, and any ':' (the
+    * `str:`/`delta:` style kind prefixes all use it; a column named
+    * "str:k" would write k's string bounds). `n,<col>` null-count
+    * forgery is already impossible (validColName rejects ','). */
+  private def requireStatsGrammarSafe(c: String): Unit =
+    require(validColName(c) && !c.contains(":") &&
+      c != rowsKey && c != bytesKey,
+      s"txtable: invalid stats/key column name '$c' (empty, " +
+        "reserved character, or reserved stats-grammar name)")
 
   /** The snapshot's column mapping, materializing the identity map
     * from the physical schema when no header exists yet (one

@@ -283,9 +283,14 @@ object TxTableSource {
           .getOrElse((Map.empty[String, (Long, Long)],
             Map.empty[String, Long]))
       val ndv = TxTable.columnNdv(spark, root, version)
+      // analyzed-but-unstatted columns: null counts from the (fresh)
+      // analyze header — join estimation refuses keys without BOTH
+      // ndv and nullCount, so this is what unlocks join reordering
+      // for tables that only ran ANALYZE
+      val aNulls = TxTable.analyzeNullCounts(spark, root, version)
       outSchema.fields.foreach { f =>
         val nd = ndv.get(f.name)
-        val nl = nulls.get(f.name)
+        val nl = nulls.get(f.name).orElse(aNulls.get(f.name))
         val mn = ranges.get(f.name).flatMap(r => typedBound(f.dataType, r._1))
         val mx = ranges.get(f.name).flatMap(r => typedBound(f.dataType, r._2))
         if (nd.nonEmpty || nl.nonEmpty || mn.nonEmpty)
@@ -827,7 +832,7 @@ class TxSpjScanBuilder(root: String, fullSchema: StructType,
   with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
   private var required: StructType = fullSchema
-  private var partPred: Seq[Long] => Boolean = _ => true
+  private var partPred: Seq[Any] => Boolean = _ => true
 
   // prune columns, but always KEEP the partition columns — the
   // reported KeyGroupedPartitioning resolves against the scan output,
@@ -844,12 +849,16 @@ class TxSpjScanBuilder(root: String, fullSchema: StructType,
   // unhandled so Spark re-evaluates above — pruning can only skip
   // value groups the predicate provably excludes, never rows. Each
   // key column prunes independently on its own tuple position.
+  // Integral keys prune on any range shape; STRING keys prune on
+  // equality/IN only (range pruning would need an ordering promise —
+  // java String order is UTF-16, Spark's is UTF-8 binary; equality is
+  // order-free and is the shape date-partition predicates take).
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     def longOf(v: Any): Option[Long] = v match {
       case n: Number => Some(n.longValue)
       case _ => None
     }
-    def predOf(f: Filter, pc: String): Option[Long => Boolean] = f match {
+    def longPred(f: Filter, pc: String): Option[Long => Boolean] = f match {
       case EqualTo(c, v) if c == pc => longOf(v).map(x => _ == x)
       case In(c, vs) if c == pc =>
         val xs = vs.flatMap(longOf)
@@ -860,13 +869,30 @@ class TxSpjScanBuilder(root: String, fullSchema: StructType,
       case LessThan(c, v) if c == pc => longOf(v).map(x => _ < x)
       case LessThanOrEqual(c, v) if c == pc =>
         longOf(v).map(x => _ <= x)
-      case And(l, r) => (predOf(l, pc), predOf(r, pc)) match {
+      case And(l, r) => (longPred(l, pc), longPred(r, pc)) match {
         case (Some(a), Some(b)) => Some(x => a(x) && b(x))
         case (a, b) => a.orElse(b) // one side still prunes soundly
       }
       case _ => None
     }
-    val byPos: Seq[Seq[Long => Boolean]] =
+    def strPred(f: Filter, pc: String): Option[String => Boolean] = f match {
+      case EqualTo(c, v: String) if c == pc => Some(_ == v)
+      case In(c, vs) if c == pc && vs.forall(_.isInstanceOf[String]) =>
+        Some(vs.map(_.asInstanceOf[String]).toSet.contains _)
+      case And(l, r) => (strPred(l, pc), strPred(r, pc)) match {
+        case (Some(a), Some(b)) => Some(x => a(x) && b(x))
+        case (a, b) => a.orElse(b)
+      }
+      case _ => None
+    }
+    def predOf(f: Filter, pc: String): Option[Any => Boolean] =
+      fullSchema(pc).dataType match {
+        case org.apache.spark.sql.types.StringType =>
+          strPred(f, pc).map(p => (v: Any) => p(v.asInstanceOf[String]))
+        case _ =>
+          longPred(f, pc).map(p => (v: Any) => p(v.asInstanceOf[Long]))
+      }
+    val byPos: Seq[Seq[Any => Boolean]] =
       partCols.map(pc => filters.flatMap(predOf(_, pc)).toSeq)
     if (byPos.exists(_.nonEmpty)) {
       partPred = vs => byPos.zip(vs).forall {
@@ -890,7 +916,7 @@ class TxSpjScanBuilder(root: String, fullSchema: StructType,
 
 class TxSpjScan(spark: SparkSession, root: String, version: Int,
   partCols: Seq[String], outSchema: StructType,
-  partPred: Seq[Long] => Boolean = _ => true, pruned: Boolean = false)
+  partPred: Seq[Any] => Boolean = _ => true, pruned: Boolean = false)
   extends Scan with Batch with SupportsReportPartitioning
   with SupportsRuntimeFiltering
   with org.apache.spark.sql.connector.read.SupportsReportStatistics {
@@ -923,21 +949,28 @@ class TxSpjScan(spark: SparkSession, root: String, version: Int,
   // date-dim → date-partitioned-fact shape at 100 TB. Only an IN on
   // a partition column prunes (on its own tuple position); anything
   // else is a sound no-op (Spark always re-evaluates the join).
-  @volatile private var runtimeKeep: Map[Int, Set[Long]] = Map.empty
+  // Integral keys arrive as Numbers, string keys as Strings — each
+  // normalizes to the slice tuple's own representation.
+  @volatile private var runtimeKeep: Map[Int, Set[Any]] = Map.empty
   override def filterAttributes(): Array[NamedReference] =
     partCols.map(Expressions.column).toArray
   override def filter(filters: Array[Filter]): Unit = {
+    val isStr = partCols.map(pc =>
+      outSchema(pc).dataType == org.apache.spark.sql.types.StringType)
     runtimeKeep = partCols.zipWithIndex.flatMap { case (pc, i) =>
       val keeps = filters.collect {
-        case In(c, vs) if c == pc &&
+        case In(c, vs) if c == pc && !isStr(i) &&
           vs.forall(_.isInstanceOf[Number]) =>
-          vs.map(_.asInstanceOf[Number].longValue).toSet
+          vs.map(v => v.asInstanceOf[Number].longValue: Any).toSet
+        case In(c, vs) if c == pc && isStr(i) &&
+          vs.forall(_.isInstanceOf[String]) =>
+          vs.map(v => v.asInstanceOf[String]: Any).toSet
       }
       if (keeps.isEmpty) None
       else Some(i -> keeps.reduce(_ intersect _))
     }.toMap
   }
-  private def liveSlices: Seq[(Seq[Long], Seq[String])] =
+  private def liveSlices: Seq[(Seq[Any], Seq[String])] =
     if (runtimeKeep.isEmpty) slices
     else slices.filter { case (vs, _) =>
       runtimeKeep.forall { case (i, keep) => keep(vs(i)) }
@@ -959,8 +992,12 @@ class TxSpjScan(spark: SparkSession, root: String, version: Int,
     val dts = partCols.map(outSchema(_).dataType)
     liveSlices.map { case (vs, files) =>
       val keys = dts.zip(vs).map {
-        case (org.apache.spark.sql.types.IntegerType, v) => v.toInt: Any
-        case (org.apache.spark.sql.types.ShortType, v) => v.toShort: Any
+        case (org.apache.spark.sql.types.IntegerType, v: Long) =>
+          v.toInt: Any
+        case (org.apache.spark.sql.types.ShortType, v: Long) =>
+          v.toShort: Any
+        case (org.apache.spark.sql.types.StringType, v: String) =>
+          UTF8String.fromString(v): Any
         case (_, v) => v: Any
       }
       TxSpjInputPartition(new GenericInternalRow(keys.toArray),
@@ -1219,9 +1256,11 @@ class TxWriteBuilder(root: String, info: LogicalWriteInfo)
     require(info.schema()(c).dataType match {
       case org.apache.spark.sql.types.LongType |
         org.apache.spark.sql.types.IntegerType |
-        org.apache.spark.sql.types.ShortType => true
+        org.apache.spark.sql.types.ShortType |
+        org.apache.spark.sql.types.StringType => true
       case _ => false
-    }, s"graft-tx sink: partitionBy column '$c' must be integral")
+    }, s"graft-tx sink: partitionBy column '$c' must be integral " +
+      "or string")
   }
   require(partCols.isEmpty || Option(info.options.get("keys")).isEmpty,
     "graft-tx sink: partitionBy and keys are mutually exclusive " +
@@ -1253,9 +1292,17 @@ class TxWriteBuilder(root: String, info: LogicalWriteInfo)
 case class TxCommitMessage(path: String, rows: Long)
   extends WriterCommitMessage
 
+/** One staged file of a partitioned writer task, with the partition
+  * tuple the WRITER OBSERVED while producing it — Longs for integral
+  * keys, Strings for string keys, None when any row's key was NULL.
+  * The writer saw every row, so these facts prove single-valuedness
+  * and null-freedom directly: the promote never has to trust parquet
+  * binary footer bounds (which may be truncated) for string keys. */
+case class TxStagedFile(path: String, partVals: Seq[Option[Any]])
+
 /** Commit message of one partitioned writer task: every staged file
   * it produced (one per contiguous partition-value run). */
-case class TxPartCommitMessage(paths: Seq[String], rows: Long)
+case class TxPartCommitMessage(files: Seq[TxStagedFile], rows: Long)
   extends WriterCommitMessage
 
 /** Exactly-once micro-batch loads, DSv2 shape: executors stage each
@@ -1406,13 +1453,31 @@ class TxStreamingWrite(root: String, info: LogicalWriteInfo,
     messages: Array[WriterCommitMessage]): Unit = {
     defaultLineageGuard
     verifyDefaultOwnership()
+    // The pre-check above fails fast, but a racing anonymous takeover
+    // between it and the tagged append could still land both streams'
+    // epochs under the shared lineage (delete-then-claim TOCTOU) — so
+    // ownership is RE-VERIFIED inside each commit attempt's content
+    // builder, against the same claim the batch tag rides: ownership
+    // and the tag are then checked on one commit, and the loser dies
+    // loudly instead of having its next epoch silently replay-dropped.
+    val ownershipCheck: Int => Unit = _ => verifyDefaultOwnership()
     val spark = SparkSession.active
     if (partCols.nonEmpty) {
       val staged = messages.collect {
-        case TxPartCommitMessage(ps, n) if n > 0 => ps
+        case TxPartCommitMessage(fl, n) if n > 0 => fl
       }.flatten
-      TxTable.appendPartitionedStaged(spark, root, staged.toIndexedSeq,
-        partCols, epochId, statsCols, streamId = streamId)
+      // writer-observed partition tuples: the purity proof for the
+      // rename promote — files whose every key was non-NULL carry
+      // their exact tuple; any None leaves the file out of the map
+      // and the promote falls back to the loud-on-NULL rewrite
+      val provided = staged.collect {
+        case TxStagedFile(p, vs) if vs.forall(_.isDefined) =>
+          p -> vs.map(_.get)
+      }.toMap
+      TxTable.appendPartitionedStaged(spark, root,
+        staged.map(_.path).toIndexedSeq, partCols, epochId, statsCols,
+        streamId = streamId, preCommit = ownershipCheck,
+        providedParts = provided)
       cleanup(epochId)
       return
     }
@@ -1439,10 +1504,11 @@ class TxStreamingWrite(root: String, info: LogicalWriteInfo,
             "(keys..., op, values..., seq); got " +
             batch.columns.mkString("(", ", ", ")"))
         TxTable.mergeDelta(spark, root, batch, ks,
-          batchId = Some(epochId), streamId = streamId)
+          batchId = Some(epochId), streamId = streamId,
+          preCommit = ownershipCheck)
       case None =>
         TxTable.appendBatch(batch, root, epochId, statsCols,
-          streamId = streamId)
+          streamId = streamId, preCommit = ownershipCheck)
     }
     cleanup(epochId)
   }
@@ -1526,18 +1592,22 @@ class TxPartitionedDataWriter(pathPrefix: String, schema: StructType,
   private val partIdx: Seq[(Int, org.apache.spark.sql.types.DataType)] =
     partCols.map(c => schema.fieldIndex(c) -> schema(c).dataType)
   private var writer: org.apache.parquet.hadoop.ParquetWriter[InternalRow] = _
-  private var cur: Seq[Option[Long]] = null
+  private var cur: Seq[Option[Any]] = null
   private var seq = 0
   private var rows = 0L
-  private var files = List.empty[String]
+  private var files = List.empty[TxStagedFile]
 
-  private def valueOf(row: InternalRow): Seq[Option[Long]] =
+  private def valueOf(row: InternalRow): Seq[Option[Any]] =
     partIdx.map { case (i, dt) =>
       if (row.isNullAt(i)) None
       else Some(dt match {
-        case org.apache.spark.sql.types.LongType => row.getLong(i)
-        case org.apache.spark.sql.types.IntegerType => row.getInt(i).toLong
-        case _ => row.getShort(i).toLong
+        case org.apache.spark.sql.types.LongType => row.getLong(i): Any
+        case org.apache.spark.sql.types.IntegerType =>
+          row.getInt(i).toLong: Any
+        case org.apache.spark.sql.types.StringType =>
+          // copy out of the unsafe row buffer — the value outlives it
+          row.getUTF8String(i).toString: Any
+        case _ => row.getShort(i).toLong: Any
       })
     }
 
@@ -1547,7 +1617,7 @@ class TxPartitionedDataWriter(pathPrefix: String, schema: StructType,
       if (writer != null) writer.close()
       val p = new org.apache.hadoop.fs.Path(s"$pathPrefix-$seq.parquet")
       seq += 1
-      files ::= p.toString
+      files ::= TxStagedFile(p.toString, v)
       writer = TxParquetIO.writer(p, schema, conf.value)
       cur = v
     }
@@ -1563,7 +1633,7 @@ class TxPartitionedDataWriter(pathPrefix: String, schema: StructType,
   override def abort(): Unit = {
     if (writer != null) writer.close()
     files.foreach { f =>
-      val p = new org.apache.hadoop.fs.Path(f)
+      val p = new org.apache.hadoop.fs.Path(f.path)
       p.getFileSystem(conf.value).delete(p, false)
     }
   }

@@ -19,13 +19,19 @@ class CboStatsSpec extends SparkSpec {
     val ndv = TxTable.columnNdv(spark, root)
     assert(ndv === Map("k" -> 4L, "s" -> 2L, "g" -> 2L),
       "exact distinct counts, nulls excluded like COUNT(DISTINCT)")
-    // carried forward by a later commit untouched
+    // a later data commit: the sketched columns (k, g) TRACK the
+    // append through the merged per-dir HLL registers; the
+    // non-sketched column (s) falls back to the carried header
     TxTable.append(Seq((5L, "c", 30)).toDF("k", "s", "g"), root,
       statsCols = Seq("k", "g"))
-    assert(TxTable.columnNdv(spark, root) === ndv,
-      "the ndv header must survive commits that don't re-analyze")
-    // time travel: version 1 predates the analyze → no estimates
-    assert(TxTable.columnNdv(spark, root, version = 1) === Map.empty)
+    assert(TxTable.columnNdv(spark, root) ===
+      Map("k" -> 5L, "s" -> 2L, "g" -> 3L),
+      "sketched columns stay fresh; header fills the rest")
+    // time travel: version 1 predates the analyze — its statsCols
+    // still serve NDV from their own per-dir sketches (recorded at
+    // write time), the un-sketched column serves nothing
+    assert(TxTable.columnNdv(spark, root, version = 1) ===
+      Map("k" -> 4L, "g" -> 2L))
     // clamp: shrink the table below the stale estimates — reported
     // NDV must never exceed the live row count
     TxTable.overwrite(Seq((9L, "z", 1)).toDF("k", "s", "g"), root,
@@ -163,5 +169,95 @@ class CboStatsSpec extends SparkSpec {
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     assert(d("b") === ((4L, 0L, 0L, 3L)))
     assert(d("k") === ((64L, 0L, 1L, 64L)))
+  }
+
+  test("NDV stays fresh across appends via merged per-dir HLL sketches") {
+    val root = tmpDir() + "/cbo-hll"
+    TxTable.append((1L to 1000L).map(i => (i, s"s${i % 40}"))
+      .toDF("k", "s"), root, statsCols = Seq("k", "s"))
+    TxTable.analyze(spark, root, exact = true)
+    assert(TxTable.columnNdv(spark, root)("k") === 1000L)
+    // the append DOUBLES the key space: the stale header alone would
+    // report 1000 (clamped), the merged registers must track ~2000
+    TxTable.append((1001L to 2000L).map(i => (i, s"s${i % 40}"))
+      .toDF("k", "s"), root, statsCols = Seq("k", "s"))
+    val ndv = TxTable.columnNdv(spark, root)
+    assert(ndv("k") > 1800L && ndv("k") < 2200L,
+      s"merged HLL must track the live key space, got ${ndv("k")}")
+    assert(ndv("s") > 35L && ndv("s") < 45L, s"got ${ndv("s")}")
+    // the EXACT service correctly voids on the data commit
+    assert(TxTable.exactNdv(spark, root) === Map.empty)
+    // a never-analyzed table serves NDV from the sketches alone
+    val root2 = tmpDir() + "/cbo-hll2"
+    TxTable.append((1L to 500L).map(i => (i, i % 7)).toDF("k", "g"),
+      root2, statsCols = Seq("k", "g"))
+    val pure = TxTable.columnNdv(spark, root2)
+    assert(pure.get("g") === Some(7L), s"got $pure")
+    assert(pure("k") > 450L && pure("k") < 550L, s"got $pure")
+    // one blob-less dir (hand-stripped analog of a pre-HLL commit or
+    // zero-job staged promote) voids the merged path for that column —
+    // never an under-count; the stale header (clamped) still serves
+    TxTable.analyze(spark, root2, exact = true)
+    TxTable.append((501L to 600L).map(i => (i, i % 7)).toDF("k", "g"),
+      root2) // no statsCols → no sketches on this dir
+    val mixed = TxTable.columnNdv(spark, root2)
+    assert(mixed("k") === 500L,
+      s"stale header clamped, not a partial-merge under-count: $mixed")
+  }
+
+  test("3-table catalog join reorders by metadata row counts") {
+    // big ⋈ big2 ⋈ small, WRITTEN with the two big tables first: with
+    // the relayed stats (rows + join-key NDV), CostBasedJoinReorder
+    // must re-run late and join big ⋈ small FIRST (10-row
+    // intermediate) instead of big ⋈ big2 (20k rows). Before this
+    // round the late relay fed broadcast selection only — the reorder
+    // batch had already run blind and kept the written order.
+    val rootB = tmpDir() + "/cbo-jr-big"
+    val rootB2 = tmpDir() + "/cbo-jr-big2"
+    val rootS = tmpDir() + "/cbo-jr-small"
+    TxTable.append((1L to 20000L).map(i => (i, i % 97)).toDF("k", "x1"),
+      rootB, statsCols = Seq("k"))
+    TxTable.append((1L to 20000L).map(i => (i, i % 89)).toDF("k2", "x2"),
+      rootB2, statsCols = Seq("k2"))
+    TxTable.append((1L to 10L).map(i => (i, s"n$i")).toDF("k3", "nm"),
+      rootS)
+    Seq(rootB, rootB2, rootS).foreach(r =>
+      TxTable.analyze(spark, r, exact = true))
+    spark.sql(s"CREATE TABLE jr_big USING `graft-tx` OPTIONS (path '$rootB')")
+    spark.sql(
+      s"CREATE TABLE jr_big2 USING `graft-tx` OPTIONS (path '$rootB2')")
+    spark.sql(
+      s"CREATE TABLE jr_small USING `graft-tx` OPTIONS (path '$rootS')")
+    graft.functions.GraftFunctions.register(spark)
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      val q = spark.sql(
+        """SELECT b.k, b2.x2, s.nm
+          |FROM jr_big b JOIN jr_big2 b2 ON b.k = b2.k2
+          |JOIN jr_small s ON b.k = s.k3""".stripMargin)
+      // the INNERMOST join of the optimized plan must involve the
+      // small table's key — proof the DP enumeration saw the counts
+      val joins = q.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }
+      assert(joins.size === 2, q.queryExecution.optimizedPlan.toString)
+      val innermost = joins.find(j =>
+        !j.children.exists(_.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Join])))
+        .getOrElse(fail("no innermost join"))
+      val innerRefs = innermost.condition.toSeq
+        .flatMap(_.references.map(_.name)).toSet
+      assert(innerRefs.contains("k3"),
+        s"expected big ⋈ small first, innermost joins $innerRefs:\n" +
+          q.queryExecution.optimizedPlan.toString)
+      // and the answer is unchanged
+      assert(q.count() === 10L)
+    } finally {
+      spark.conf.unset("spark.sql.cbo.enabled")
+      spark.conf.unset("spark.sql.cbo.joinReorder.enabled")
+      Seq("jr_big", "jr_big2", "jr_small")
+        .foreach(t => spark.sql(s"DROP TABLE $t"))
+    }
   }
 }

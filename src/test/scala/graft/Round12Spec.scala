@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.TxTable
+
+/** Round-12 hardening: stats-grammar forgery guards on the
+  * partitioned write paths, the zero-row z-order tail, and the
+  * recreate-at-a-path cache eviction. */
+class Round12Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("partitioned appends reject stats-grammar-forging column names") {
+    // a column literally named `_rows` (or any ':'-bearing name) could
+    // forge reserved commit segments; every direct-Entry write path
+    // must refuse it BEFORE any data lands
+    val root = tmpDir()
+    val df = Seq((1L, 2L)).toDF("p", "_rows")
+    val e = intercept[IllegalArgumentException] {
+      TxTable.appendPartitionedBy(df, root, Seq("p"), Seq("_rows"))
+    }
+    assert(e.getMessage.contains("reserved"))
+    val df2 = Seq((1L, 2L)).toDF("str:k", "v")
+    intercept[IllegalArgumentException] {
+      TxTable.appendPartitionedBy(df2, root, Seq("str:k"))
+    }
+    // nothing committed
+    assert(TxTable.latestVersion(spark, root) === 0)
+  }
+
+  test("optimizeZOrderIncremental carries a zero-row tail instead of failing") {
+    val root = tmpDir()
+    val base = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("x", "y")
+    TxTable.append(base, root)
+    TxTable.optimizeZOrderN(spark, root, Seq("x", "y"), nDirs = 2)
+    val v = TxTable.latestVersion(spark, root)
+    // append an EMPTY dir: the unclustered tail now has no rows at all
+    TxTable.append(base.filter(lit(false)), root)
+    val v2 = TxTable.latestVersion(spark, root)
+    // the nightly incremental pass must be a no-op, not an error
+    val got = TxTable.optimizeZOrderIncremental(spark, root, Seq("x", "y"))
+    assert(got === v2)
+    assert(TxTable.read(spark, root).count() === 3)
+    assert(v2 === v + 1)
+  }
+
+  test("string partition keys: empty string is a value, not a NULL") {
+    // hive's dynamic partitioning folds "" into the default partition;
+    // the 'x'-prefixed hex helper must keep it a real, addressable value
+    val root = tmpDir()
+    val df = Seq((1L, ""), (2L, "a"), (3L, "")).toDF("k", "cat")
+    TxTable.appendPartitioned(df, root, "cat")
+    val got = TxTable.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set((1L, ""), (2L, "a"), (3L, "")))
+    val spj = spark.read.format("graft-tx")
+      .option("partitionCol", "cat").load(root)
+    assert(spj.groupBy("cat").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet ===
+      Set(("", 2L), ("a", 1L)))
+  }
+
+  test("recreating a table at the same path never serves the ghost") {
+    val root = tmpDir()
+    TxTable.append(Seq((1L, "old")).toDF("k", "v"), root)
+    // populate the JVM commit cache
+    assert(TxTable.read(spark, root).count() === 1)
+    // external drop + same-path recreate (the staging lifecycle)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    TxTable.append(Seq((2L, "new"), (3L, "new")).toDF("k", "v"), root)
+    val rows = TxTable.read(spark, root).collect()
+    assert(rows.length === 2)
+    assert(rows.forall(_.getString(1) == "new"))
+  }
+}

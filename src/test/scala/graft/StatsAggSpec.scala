@@ -192,4 +192,58 @@ class StatsAggSpec extends SparkSpec {
     assert(!statsServed(grouped))
     assert(grouped.count() === 12L)
   }
+
+  test("MULTI-KEY grouped counts served from the composite proof") {
+    val root = tmpDir() + "/mkagg"
+    val df = (1L to 400L).map(k => (k, k % 4, k % 3)).toDF("k", "b1", "b2")
+    TxTable.appendPartitionedBy(df, root, Seq("b1", "b2"),
+      statsCols = Seq("k"))
+    val agg = face(root).groupBy($"b1", $"b2")
+      .agg(count(lit(1)).as("cnt"), min($"k").as("mn"), max($"k").as("mx"))
+    assert(statsServed(agg), agg.queryExecution.optimizedPlan.toString)
+    val expect = withFlag("false") {
+      face(root).groupBy($"b1", $"b2")
+        .agg(count(lit(1)), min($"k"), max($"k"))
+        .collect().map(_.toSeq).sortBy(_.mkString(","))
+    }
+    assert(agg.collect().map(_.toSeq).sortBy(_.mkString(",")) === expect)
+  }
+
+  test("STRING group key served from the sx exact-value stat") {
+    val root = tmpDir() + "/sgagg"
+    val days = (0 until 5).map(d => f"2026-08-$d%02d")
+    val df = (1L to 300L).map(k => (k, days((k % 5).toInt)))
+      .toDF("k", "day")
+    TxTable.appendPartitioned(df, root, "day", statsCols = Seq("k"))
+    val agg = face(root).groupBy($"day")
+      .agg(count(lit(1)).as("cnt"), max($"k").as("mx"))
+    assert(statsServed(agg), agg.queryExecution.optimizedPlan.toString)
+    val expect = withFlag("false") {
+      face(root).groupBy($"day").agg(count(lit(1)), max($"k"))
+        .collect().map(_.toSeq).sortBy(_.head.toString)
+    }
+    assert(agg.collect().map(_.toSeq).sortBy(_.head.toString) === expect)
+    // a plain append whose string column happens to be multi-valued
+    // per dir must bail (no sx marker): scan stays correct
+    val root2 = tmpDir() + "/sgagg2"
+    TxTable.append(df, root2, statsCols = Seq("day"))
+    val bail = face(root2).groupBy($"day").agg(count(lit(1)).as("cnt"))
+    assert(!statsServed(bail))
+    assert(bail.count() === 5L)
+  }
+
+  test("group-count cap bails the grouped rewrite to the scan") {
+    val root = tmpDir() + "/capagg"
+    val df = (1L to 60L).map(k => (k, k % 6)).toDF("k", "b")
+    TxTable.appendPartitioned(df, root, "b", statsCols = Seq("k"))
+    val q = () => face(root).groupBy($"b").agg(count(lit(1)).as("cnt"))
+    assert(statsServed(q()))
+    spark.conf.set("spark.graft.statsAgg.maxGroups", "3")
+    try {
+      val capped = q()
+      assert(!statsServed(capped),
+        capped.queryExecution.optimizedPlan.toString)
+      assert(capped.count() === 6L, "the scan answer stays correct")
+    } finally spark.conf.unset("spark.graft.statsAgg.maxGroups")
+  }
 }

@@ -556,6 +556,46 @@ class TxSourceSpec extends SparkSpec {
     assert(TxTable.latestVersion(spark, root) === before)
   }
 
+  test("partitionBy sink: STRING keys promote by rename, job-free") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val root = tmpDir() + "/txsink-partstr"
+    val ckpt = tmpDir() + "/txsink-partstr-ckpt"
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long)]
+    val q = input.toDF().toDF("day", "k")
+      .writeStream.format("graft-tx").option("path", root)
+      .option("partitionBy", "day").option("statsCols", "k")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      input.addData(("2026-08-01", 10L), ("2026-08-02", 20L),
+        ("2026-08-01", 11L))
+      q.processAllAvailable()
+      input.addData(("2026-08-02", 21L), ("täglich", 30L))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(TxTable.read(spark, root).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet ===
+      Set(("2026-08-01", 10L), ("2026-08-01", 11L), ("2026-08-02", 20L),
+        ("2026-08-02", 21L), ("täglich", 30L)))
+    // promoted by RENAME (staged names survive): the writer-observed
+    // tuples proved the string layout — footer binary bounds were
+    // never consulted, and no second write happened
+    val dataFiles = spark.read.format("graft-tx").load(root).inputFiles
+    assert(dataFiles.nonEmpty && dataFiles.forall(f =>
+      new org.apache.hadoop.fs.Path(f).getName
+        .matches("part-\\d+-\\d+-\\d+\\.parquet")),
+      s"promoted files must keep their staged names, got " +
+        dataFiles.mkString(", "))
+    // the streamed table is immediately SPJ-clustered on the string
+    // key AND metadata-GROUP-BY-able (sx exact marker + zero nulls)
+    val spj = spark.read.format("graft-tx")
+      .option("partitionCol", "day").load(root)
+    assert(spj.groupBy("day").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet ===
+      Set(("2026-08-01", 2L), ("2026-08-02", 2L), ("täglich", 1L)))
+  }
+
   test("partitionBy sink: NULL partition values fail loudly, not lost") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
