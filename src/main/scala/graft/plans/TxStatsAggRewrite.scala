@@ -104,7 +104,8 @@ object TxStatsAggRewrite extends Rule[LogicalPlan] {
     case _ => false
   }
   private def groupable(dt: DataType): Boolean =
-    integral(dt) || dt == org.apache.spark.sql.types.StringType
+    integral(dt) || dt == org.apache.spark.sql.types.StringType ||
+      dt == org.apache.spark.sql.types.DateType
   private def typed(v: Long, dt: DataType): Any = dt match {
     case LongType => v
     case IntegerType => v.toInt
@@ -187,6 +188,8 @@ object TxStatsAggRewrite extends Rule[LogicalPlan] {
     * stat and the attribute) bails the rewrite, never miscasts. */
   private def keyVal(v: Any, dt: DataType): Option[Any] = (v, dt) match {
     case (l: Long, t) if integral(t) => Some(typed(l, t))
+    // DateType stats hold days-since-epoch — its InternalRow encoding
+    case (l: Long, org.apache.spark.sql.types.DateType) => Some(l.toInt)
     case (s: String, org.apache.spark.sql.types.StringType) =>
       Some(org.apache.spark.unsafe.types.UTF8String.fromString(s))
     case _ => None

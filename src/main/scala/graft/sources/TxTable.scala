@@ -1998,25 +1998,29 @@ object TxTable {
     // and the metadata-only paths would then serve the forged numbers
     // as exact (wrong results, not an error)
     (partCols ++ statsCols).foreach(requireStatsGrammarSafe)
-    // integral keys record exact `lo == hi` range stats; STRING keys
-    // (the date-partitioned warehouse table's most common shape)
-    // record the `sx:` exact-value marker — both prove the clustering
-    // the SPJ / metadata-GROUP-BY faces demand. Anything else (float,
-    // decimal, timestamp) has no exact stats encoding: refuse loudly.
-    val partIsStr: Seq[Boolean] = partCols.map { partCol =>
+    // integral and DATE keys record exact `lo == hi` range stats
+    // (dates as their days-since-epoch encoding — exactly the value
+    // DateType holds internally, so stats and data cannot drift);
+    // STRING keys record the `sx:` exact-value marker — all prove the
+    // clustering the SPJ / metadata-GROUP-BY faces demand. Anything
+    // else (float, decimal, timestamp) has no exact stats encoding:
+    // refuse loudly.
+    val partKind: Seq[Char] = partCols.map { partCol =>
       val dt = df.schema.find(_.name == partCol).map(_.dataType)
         .getOrElse(throw new IllegalArgumentException(
           s"txtable: no partition column '$partCol' in the frame"))
       dt match {
         case org.apache.spark.sql.types.LongType |
           org.apache.spark.sql.types.IntegerType |
-          org.apache.spark.sql.types.ShortType => false
-        case org.apache.spark.sql.types.StringType => true
+          org.apache.spark.sql.types.ShortType => 'i'
+        case org.apache.spark.sql.types.DateType => 'd'
+        case org.apache.spark.sql.types.StringType => 's'
         case other => throw new IllegalArgumentException(
-          s"txtable: partition column '$partCol' must be integral or " +
-            s"string, got $other")
+          s"txtable: partition column '$partCol' must be integral, " +
+            s"date or string, got $other")
       }
     }
+    val partIsStr: Seq[Boolean] = partKind.map(_ == 's')
     // logical→physical translation under a column mapping, exactly
     // like plain append (widening extends the map)
     val m0 = snapshotColMap(fs, rp, latestVersion(spark, root))
@@ -2047,15 +2051,19 @@ object TxTable {
     val capMsg = s"txtable: partition value exceeds $strStatMaxBytes " +
       "UTF-8 bytes - the exact-value stat that proves the clustering " +
       "caps there; hash or bucket long keys instead"
-    def helperExpr(p: String, isStr: Boolean) =
-      if (isStr) concat(lit("x"), lower(hex(
+    def helperExpr(p: String, kind: Char) = kind match {
+      case 's' => concat(lit("x"), lower(hex(
         when(octet_length(col(p)) > lit(strStatMaxBytes),
           raise_error(lit(capMsg))).otherwise(col(p)))))
-      else col(p).cast("long")
+      // DateType → its own internal days-since-epoch integer
+      case 'd' => datediff(col(p), lit(java.sql.Date.valueOf("1970-01-01")))
+        .cast("long")
+      case _ => col(p).cast("long")
+    }
     try {
-      physParts.zip(helpers).zip(partIsStr)
-        .foldLeft(physDf0) { case (d, ((p, h), isStr)) =>
-          d.withColumn(h, helperExpr(p, isStr))
+      physParts.zip(helpers).zip(partKind)
+        .foldLeft(physDf0) { case (d, ((p, h), kind)) =>
+          d.withColumn(h, helperExpr(p, kind))
         }.repartition(helpers.map(col): _*)
         .write.partitionBy(helpers: _*).mode("overwrite").parquet(basePath)
     } catch {
@@ -2121,8 +2129,12 @@ object TxTable {
     val strings = typed(_ == org.apache.spark.sql.types.StringType)
     // partition columns carry per-dir NDV sketches too (the real
     // columns are still data columns here — helpers are the copies),
-    // so a partitioned table's merged NDV covers its keys as well
+    // so a partitioned table's merged NDV covers its keys as well;
+    // DATE keys sketch their days-since-epoch encoding (the sketch
+    // input type must be int/long/string — and distinct days ARE
+    // distinct dates, so the estimate is the right one)
     val hllCols = (physParts ++ integral ++ strings).distinct
+    val kindOf = physParts.zip(partKind).toMap
     val aggs = count(lit(1)) +:
       (integral.flatMap(c =>
         Seq(min(col(c)).cast("long"), max(col(c)).cast("long"))) ++
@@ -2131,7 +2143,14 @@ object TxTable {
         strings.flatMap(c => Seq(min(col(c)), max(col(c)))) ++
         strings.map(c =>
           sum(when(col(c).isNull, 1L).otherwise(0L)).cast("long")) ++
-        hllCols.map(c => hll_sketch_agg(col(c), hllLgK)))
+        hllCols.map { c =>
+          val e =
+            if (kindOf.get(c).contains('d'))
+              datediff(col(c), lit(java.sql.Date.valueOf("1970-01-01")))
+                .cast("long")
+            else col(c)
+          hll_sketch_agg(e, hllLgK)
+        })
     val g = helpers.length
     val nBase = g + 1 + 3 * integral.length
     val strNullBase = nBase + 2 * strings.length

@@ -856,6 +856,12 @@ class TxSpjScanBuilder(root: String, fullSchema: StructType,
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     def longOf(v: Any): Option[Long] = v match {
       case n: Number => Some(n.longValue)
+      // DateType keys compare in days-since-epoch (the slice tuples'
+      // own encoding — exactly DateType's internal representation)
+      case d: java.sql.Date => Some(
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d)
+          .toLong)
+      case d: java.time.LocalDate => Some(d.toEpochDay)
       case _ => None
     }
     def longPred(f: Filter, pc: String): Option[Long => Boolean] = f match {
@@ -957,11 +963,19 @@ class TxSpjScan(spark: SparkSession, root: String, version: Int,
   override def filter(filters: Array[Filter]): Unit = {
     val isStr = partCols.map(pc =>
       outSchema(pc).dataType == org.apache.spark.sql.types.StringType)
+    def dayable(v: Any): Boolean = v.isInstanceOf[Number] ||
+      v.isInstanceOf[java.sql.Date] || v.isInstanceOf[java.time.LocalDate]
+    def asLong(v: Any): Any = v match {
+      case n: Number => n.longValue: Any
+      case d: java.sql.Date =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d)
+          .toLong: Any
+      case d: java.time.LocalDate => d.toEpochDay: Any
+    }
     runtimeKeep = partCols.zipWithIndex.flatMap { case (pc, i) =>
       val keeps = filters.collect {
-        case In(c, vs) if c == pc && !isStr(i) &&
-          vs.forall(_.isInstanceOf[Number]) =>
-          vs.map(v => v.asInstanceOf[Number].longValue: Any).toSet
+        case In(c, vs) if c == pc && !isStr(i) && vs.forall(dayable) =>
+          vs.map(asLong).toSet
         case In(c, vs) if c == pc && isStr(i) &&
           vs.forall(_.isInstanceOf[String]) =>
           vs.map(v => v.asInstanceOf[String]: Any).toSet
@@ -996,6 +1010,9 @@ class TxSpjScan(spark: SparkSession, root: String, version: Int,
           v.toInt: Any
         case (org.apache.spark.sql.types.ShortType, v: Long) =>
           v.toShort: Any
+        // DateType's InternalRow encoding IS the int day count
+        case (org.apache.spark.sql.types.DateType, v: Long) =>
+          v.toInt: Any
         case (org.apache.spark.sql.types.StringType, v: String) =>
           UTF8String.fromString(v): Any
         case (_, v) => v: Any
@@ -1257,10 +1274,11 @@ class TxWriteBuilder(root: String, info: LogicalWriteInfo)
       case org.apache.spark.sql.types.LongType |
         org.apache.spark.sql.types.IntegerType |
         org.apache.spark.sql.types.ShortType |
+        org.apache.spark.sql.types.DateType |
         org.apache.spark.sql.types.StringType => true
       case _ => false
-    }, s"graft-tx sink: partitionBy column '$c' must be integral " +
-      "or string")
+    }, s"graft-tx sink: partitionBy column '$c' must be integral, " +
+      "date or string")
   }
   require(partCols.isEmpty || Option(info.options.get("keys")).isEmpty,
     "graft-tx sink: partitionBy and keys are mutually exclusive " +
@@ -1603,6 +1621,10 @@ class TxPartitionedDataWriter(pathPrefix: String, schema: StructType,
       else Some(dt match {
         case org.apache.spark.sql.types.LongType => row.getLong(i): Any
         case org.apache.spark.sql.types.IntegerType =>
+          row.getInt(i).toLong: Any
+        // DateType's InternalRow encoding is the int day count — the
+        // same Long the dir stats and slice tuples speak
+        case org.apache.spark.sql.types.DateType =>
           row.getInt(i).toLong: Any
         case org.apache.spark.sql.types.StringType =>
           // copy out of the unsafe row buffer — the value outlives it

@@ -345,6 +345,38 @@ class SpjSpec extends SparkSpec {
     }
   }
 
+  test("DATE key: co-partitioned join and planning-time prune") {
+    // a real DateType key (not a date string): stats hold the
+    // days-since-epoch encoding, the SPJ face types the partition
+    // keys back to DateType, and date-literal filters prune
+    val rootA = tmpDir() + "/spjd-a"
+    val rootB = tmpDir() + "/spjd-b"
+    val a = (1L to 240L).map(k => (k, java.sql.Date.valueOf(
+      java.time.LocalDate.of(2026, 8, (k % 6 + 1).toInt))))
+      .toDF("ka", "day")
+    val bt = (1L to 180L).map(k => (k, java.sql.Date.valueOf(
+      java.time.LocalDate.of(2026, 8, (k % 6 + 1).toInt))))
+      .toDF("kb", "day")
+    TxTable.appendPartitioned(a, rootA, "day")
+    TxTable.appendPartitioned(bt, rootB, "day")
+    withSpj {
+      val j = pread(rootA, "day").join(pread(rootB, "day"), "day")
+        .groupBy("day").agg(count(lit(1)).as("cnt"))
+      val expect = a.join(bt, "day").groupBy("day")
+        .agg(count(lit(1)).as("cnt"))
+        .collect().map(_.toSeq).sortBy(_.head.toString)
+      assert(j.collect().map(_.toSeq).sortBy(_.head.toString) === expect)
+      assert(shuffles(j) === 0, j.queryExecution.executedPlan.toString)
+      // equality prune: one of six date partitions survives
+      val q = pread(rootA, "day")
+        .filter($"day" === java.sql.Date.valueOf("2026-08-03"))
+      assert(q.rdd.getNumPartitions === 1,
+        s"got ${q.rdd.getNumPartitions}")
+      assert(q.collect().map(_.getLong(0)).toSet ===
+        (1L to 240L).filter(_ % 6 == 2).toSet)
+    }
+  }
+
   test("STRING key over the partition limit fails loudly at write") {
     val root = tmpDir() + "/spjs-cap"
     val long = "x" * 200

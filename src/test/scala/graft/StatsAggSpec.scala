@@ -232,6 +232,22 @@ class StatsAggSpec extends SparkSpec {
     assert(bail.count() === 5L)
   }
 
+  test("DATE group key served from the days-since-epoch stats") {
+    val root = tmpDir() + "/dgagg"
+    val df = (1L to 200L).map(k => (k, java.sql.Date.valueOf(
+      java.time.LocalDate.of(2026, 7, (k % 4 + 1).toInt))))
+      .toDF("k", "day")
+    TxTable.appendPartitioned(df, root, "day", statsCols = Seq("k"))
+    val agg = face(root).groupBy($"day")
+      .agg(count(lit(1)).as("cnt"), min($"k").as("mn"))
+    assert(statsServed(agg), agg.queryExecution.optimizedPlan.toString)
+    val expect = withFlag("false") {
+      face(root).groupBy($"day").agg(count(lit(1)), min($"k"))
+        .collect().map(_.toSeq).sortBy(_.head.toString)
+    }
+    assert(agg.collect().map(_.toSeq).sortBy(_.head.toString) === expect)
+  }
+
   test("group-count cap bails the grouped rewrite to the scan") {
     val root = tmpDir() + "/capagg"
     val df = (1L to 60L).map(k => (k, k % 6)).toDF("k", "b")
