@@ -885,6 +885,10 @@ class TxSpjScanBuilder(root: String, fullSchema: StructType,
       case EqualTo(c, v: String) if c == pc => Some(_ == v)
       case In(c, vs) if c == pc && vs.forall(_.isInstanceOf[String]) =>
         Some(vs.map(_.asInstanceOf[String]).toSet.contains _)
+      // `day LIKE '2026-08%'` — the month-over-day-strings shape;
+      // prefix match is order-free, so it prunes strings soundly
+      case org.apache.spark.sql.sources.StringStartsWith(c, p)
+        if c == pc => Some(_.startsWith(p))
       case And(l, r) => (strPred(l, pc), strPred(r, pc)) match {
         case (Some(a), Some(b)) => Some(x => a(x) && b(x))
         case (a, b) => a.orElse(b)

@@ -345,6 +345,21 @@ class SpjSpec extends SparkSpec {
     }
   }
 
+  test("STRING key: LIKE-prefix prunes partitions at planning") {
+    val root = tmpDir() + "/spjs-like"
+    val days = Seq("2026-07-30", "2026-07-31", "2026-08-01", "2026-08-02")
+    val df = (1L to 200L).map(k => (k, days((k % 4).toInt)))
+      .toDF("k", "day")
+    TxTable.appendPartitioned(df, root, "day")
+    withSpj {
+      val q = pread(root, "day").filter($"day".startsWith("2026-08"))
+      assert(q.rdd.getNumPartitions === 2, s"month prefix must prune " +
+        s"to 2 of 4 day partitions, got ${q.rdd.getNumPartitions}")
+      assert(q.collect().map(_.getLong(0)).toSet ===
+        (1L to 200L).filter(k => k % 4 == 2 || k % 4 == 3).toSet)
+    }
+  }
+
   test("DATE key: co-partitioned join and planning-time prune") {
     // a real DateType key (not a date string): stats hold the
     // days-since-epoch encoding, the SPJ face types the partition
