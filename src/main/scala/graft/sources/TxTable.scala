@@ -3823,7 +3823,7 @@ object TxTable {
     vs.map {
       case l: Long => f"l$l%020d" // fixed width keeps numeric order
       case s => "s" + s.toString
-    }.mkString(" ")
+    }.mkString("\u0000")
 
   private[graft] def metadataGroupedAgg(spark: SparkSession, root: String,
     version: Int, groupCols: Seq[String], cols: Seq[String],

@@ -59,6 +59,38 @@ class Round12Spec extends SparkSpec {
       Set(("", 2L), ("a", 1L)))
   }
 
+  test("string-partition DELETE drops whole partitions as pure metadata") {
+    // `DELETE WHERE day = '2026-08-02'` on a day-string-partitioned
+    // table: the partition dirs are single-valued with exact (h, h)
+    // string bounds, so the equality box CONTAINS them — rangesExact
+    // drops them from the snapshot without reading or writing a row
+    val root = tmpDir()
+    val days = Seq("2026-08-01", "2026-08-02", "2026-08-03")
+    val df = Seq.tabulate(90)(i => (i.toLong, days(i % 3)))
+      .toDF("k", "day")
+    TxTable.appendPartitioned(df, root, "day")
+    TxTable.deleteWhere(spark, root, "day = '2026-08-02'",
+      rangesExact = true,
+      strPruneRanges = Map("day" -> ("2026-08-02", "2026-08-02")))
+    val left = TxTable.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(left.length === 60 && left.forall(_._2 != "2026-08-02"))
+    // pure metadata: no delete-rewrite dir was minted — every
+    // surviving entry is an original append partition dir
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val commit = {
+      val p = new org.apache.hadoop.fs.Path(
+        root + f"/_commits/v${TxTable.latestVersion(spark, root)}%08d")
+      val in = fs.open(p)
+      try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+    }
+    assert(!commit.contains("data/delete-"),
+      s"partition delete must be metadata-only, got:\n$commit")
+  }
+
   test("recreating a table at the same path never serves the ghost") {
     val root = tmpDir()
     TxTable.append(Seq((1L, "old")).toDF("k", "v"), root)
