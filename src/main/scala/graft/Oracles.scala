@@ -570,6 +570,17 @@ object Oracles {
       """SELECT o_orderkey, o_custkey, c_nationkey
         |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
 
+    // CBO join reorder over catalog tables (TxTable.cboJoinGateQuery):
+    // the reordered (small-first) plan must compute exactly the
+    // written-order answer
+    "q_txtable_cbo_join" ->
+      """SELECT n_name, count(*) AS cnt,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_okey
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+
     // STRING-key storage-partitioned join (TxTable.spjStrGateQuery):
     // both sides clustered on the derived string bucket; the bucket
     // equality is implied by the custkey equality

@@ -149,6 +149,7 @@ object SparkEntry {
     "q_txtable_spj_str" -> (graft.sources.TxTable.spjStrGateQuery _),
     "q_txtable_stream_part" ->
       (graft.sources.TxTable.streamPartGateQuery _),
+    "q_txtable_cbo_join" -> (graft.sources.TxTable.cboJoinGateQuery _),
     "q_txtable_manifest" -> (graft.sources.TxTable.manifestGateQuery _),
     "q_txtable_aggview" -> (graft.sources.TxView.aggViewGateQuery _),
     "q_inverted_index_incremental" ->

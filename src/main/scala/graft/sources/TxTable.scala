@@ -4330,6 +4330,51 @@ object TxTable {
       .select(col("o_orderkey"), col("o_custkey"), col("c_nationkey"))
   }
 
+  /** Gate: CBO JOIN REORDER over catalog graft-tx tables
+    * (q_txtable_cbo_join). Three catalog tables — lineitem-scale ×
+    * orders-scale × nation-scale — joined WRITTEN big×big×small with
+    * `spark.sql.cbo.*` on: the relayed commit-log statistics (rows,
+    * NDV, null counts from the ANALYZE header) let
+    * `plans.TxCboJoinReorder` re-run Spark's CostBasedJoinReorder
+    * after the relay, so the tiny nation table joins FIRST
+    * (CboStatsSpec asserts the plan; this gate hash-proves the
+    * reordered plan computes exactly the oracle's answer). Catalog
+    * table names are per-invocation UUIDs — bench retries and
+    * parallel runs never collide. */
+  def cboJoinGateQuery(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val rootO = scratchRoot("graft-cboj-o", dir)
+    val rootC = scratchRoot("graft-cboj-c", dir)
+    val rootN = scratchRoot("graft-cboj-n", dir)
+    append(graft.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey")), rootO,
+      statsCols = Seq("o_orderkey", "o_custkey"))
+    append(graft.Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey")), rootC,
+      statsCols = Seq("c_custkey", "c_nationkey"))
+    append(graft.Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name")), rootN,
+      statsCols = Seq("n_nationkey"))
+    Seq(rootO, rootC, rootN).foreach(r => analyze(spark, r, exact = true))
+    spark.sql(s"CREATE TABLE cboj_o_$tag USING `graft-tx` " +
+      s"OPTIONS (path '$rootO')")
+    spark.sql(s"CREATE TABLE cboj_c_$tag USING `graft-tx` " +
+      s"OPTIONS (path '$rootC')")
+    spark.sql(s"CREATE TABLE cboj_n_$tag USING `graft-tx` " +
+      s"OPTIONS (path '$rootN')")
+    val s = spark.newSession() // conf scope; shares the catalog
+    graft.functions.GraftFunctions.register(s)
+    s.conf.set("spark.sql.cbo.enabled", "true")
+    s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    s.sql(
+      s"""SELECT n.n_name, count(*) AS cnt, sum(o.o_orderkey) AS sum_okey
+         |FROM cboj_o_$tag o
+         |JOIN cboj_c_$tag c ON o.o_custkey = c.c_custkey
+         |JOIN cboj_n_$tag n ON c.c_nationkey = n.n_nationkey
+         |GROUP BY n.n_name""".stripMargin)
+  }
+
   /** Gate: PARTITIONED STREAMING INGEST end-to-end
     * (q_txtable_stream_part). A real micro-batch stream — file source
     * over the orders parquet, Trigger.AvailableNow — writes through
