@@ -4391,11 +4391,16 @@ object TxTable {
     val root = scratchRoot("graft-spgate", dir)
     val ckpt = scratchRoot("graft-spgate-ckpt", dir)
     val src = graft.Tables.orders(spark, dir)
-    // the sf dir holds one parquet FILE per table; the streaming file
-    // source wants a directory, so scope it with a glob filter
-    val q = spark.readStream.schema(src.schema)
-      .option("pathGlobFilter", "orders.parquet")
-      .parquet(dir)
+    // the driver's sf dirs hold one parquet FILE per table, the
+    // GenScale rungs a DIRECTORY of part files — the streaming file
+    // source wants a directory either way: stream the table dir
+    // directly when it is one, else scope the sf dir by glob
+    val ordersPath = new Path(s"$dir/orders.parquet")
+    val pfs = ordersPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val reader = spark.readStream.schema(src.schema)
+    val q = (if (pfs.getFileStatus(ordersPath).isDirectory)
+        reader.parquet(ordersPath.toString)
+      else reader.option("pathGlobFilter", "orders.parquet").parquet(dir))
       .select(col("o_orderkey"), col("o_orderpriority"))
       .writeStream.format("graft-tx").option("path", root)
       .option("partitionBy", "o_orderpriority")
