@@ -588,6 +588,30 @@ object Oracles {
       """SELECT o_orderkey, o_custkey, c_nationkey
         |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
 
+    // STRING-RANGE static prune on the SPJ face
+    // (TxTable.spjStrRangeGateQuery): the Spark side reads only the
+    // 12 in-range month partitions; the oracle replays the rollup
+    // over raw orders — hash equality proves the prune lost nothing
+    "q_txtable_spj_str_range" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |  count(*) AS cnt, CAST(sum(o_orderkey) AS BIGINT) AS sum_okey
+        |FROM orders
+        |WHERE strftime(o_orderdate, '%Y-%m') >= '1997-01'
+        |  AND strftime(o_orderdate, '%Y-%m') < '1998-01'
+        |GROUP BY 1""".stripMargin,
+
+    // METADATA-GROUPED APPROX COUNT(DISTINCT)
+    // (TxTable.groupedNdvGateQuery): the Spark side answers
+    // approx_count_distinct per partition from merged per-dir HLL
+    // register blobs with zero data I/O, then checks each estimate
+    // against the exact count within 5%; the oracle replays the
+    // exact counts and the always-true tolerance flag
+    "q_txtable_grouped_ndv" ->
+      """SELECT o_orderpriority AS prio,
+        |  count(DISTINCT o_custkey) AS exact_cnt,
+        |  CAST(1 AS BOOLEAN) AS ok
+        |FROM orders GROUP BY 1""".stripMargin,
+
     // manifest-include metadata packing (TxTable.manifestGateQuery):
     // striped appends under a tiny rollover, a bounded delete of the
     // first stripe, then a read through the manifest expansion — the
@@ -1863,6 +1887,18 @@ object Oracles {
         |  cast(cast(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
         |FROM orders, b
         |WHERE o_custkey <= mc // 4 AND o_orderkey <= mo // 4""".stripMargin,
+
+    // STRING-dim z-order (TxTable.zorderStrGateQuery): a
+    // (day-string, custkey) layout read back through a mixed
+    // strRange × colRange box — the oracle is the plain filter
+    "q_txtable_zorder_str" ->
+      """WITH b AS (SELECT max(o_custkey) mc FROM orders)
+        |SELECT o_orderkey, o_custkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS day
+        |FROM orders, b
+        |WHERE o_custkey <= mc // 4
+        |  AND strftime(o_orderdate, '%Y-%m-%d')
+        |      BETWEEN '1996-01-01' AND '1996-12-31'""".stripMargin,
 
     // incremental z-order: generation-layered layout, same plain-
     // filter oracle as the full rewrite — hash equality proves the

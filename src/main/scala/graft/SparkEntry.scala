@@ -132,6 +132,7 @@ object SparkEntry {
     "q_txtable_zopt" -> (graft.sources.TxTable.zoptGateQuery _),
     "q_txtable_zopt3" -> (graft.sources.TxTable.zopt3GateQuery _),
     "q_txtable_zopt_incr" -> (graft.sources.TxTable.zoptIncrGateQuery _),
+    "q_txtable_zorder_str" -> (graft.sources.TxTable.zorderStrGateQuery _),
     "q_txtable_changes" -> (graft.sources.TxTable.changesGateQuery _),
     "q_txtable_string_prune" ->
       (graft.sources.TxTable.stringPruneGateQuery _),
@@ -147,6 +148,10 @@ object SparkEntry {
     "q_txtable_spj" -> (graft.sources.TxTable.spjGateQuery _),
     "q_txtable_spj2" -> (graft.sources.TxTable.spj2GateQuery _),
     "q_txtable_spj_str" -> (graft.sources.TxTable.spjStrGateQuery _),
+    "q_txtable_spj_str_range" ->
+      (graft.sources.TxTable.spjStrRangeGateQuery _),
+    "q_txtable_grouped_ndv" ->
+      (graft.sources.TxTable.groupedNdvGateQuery _),
     "q_txtable_stream_part" ->
       (graft.sources.TxTable.streamPartGateQuery _),
     "q_txtable_cbo_join" -> (graft.sources.TxTable.cboJoinGateQuery _),

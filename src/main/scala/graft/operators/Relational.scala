@@ -330,6 +330,71 @@ object Relational {
   /** Two-dimensional face of [[zValueExprN]] (x at even bits, y odd). */
   def zValueExpr(x: String, y: String): String = zValueExprN(Seq(x, y))
 
+  /** Order-preserving 60-bit integer key of a STRING column: 7.5
+    * UTF-8 bytes starting AFTER `skipBytes` read as a hex number —
+    * comparisons on the key agree with Spark's own string order
+    * (unsigned UTF-8 byte order, UTF8String.compareTo) for any set
+    * of strings sharing those first `skipBytes` bytes, the `str:`
+    * dir-stat trick applied to the z-curve. Callers pass the COMMON
+    * PREFIX length of the observed min/max (every value between them
+    * shares it, by the byte-order property), so the key's bits land
+    * on the part of a date-string that actually varies — the day
+    * digits of `2026-07-XX` sit past byte 8 and a raw prefix key
+    * would never see them. Short strings right-pad with zero
+    * nibbles, so prefixes sort before their extensions, exactly like
+    * the strings themselves. */
+  def strZKeyExpr(c: String, skipBytes: Int = 0): String =
+    s"cast(conv(rpad(substr(hex(substring(encode($c, 'UTF-8'), " +
+      s"${skipBytes + 1}, 8)), 1, 15), 15, '0'), 16, 10) as bigint)"
+
+  /** Driver-side twin of [[strZKeyExpr]] — MUST compute bit-for-bit
+    * the same key (the optimize pass derives each dim's [lo, hi]
+    * from the observed min/max strings without a second scan). */
+  def strZKeyOf(s: String, skipBytes: Int): Long = {
+    val b = s.getBytes("UTF-8").drop(skipBytes).take(8)
+    val hex = b.map(x => f"${x & 0xff}%02X").mkString
+    java.lang.Long.parseLong((hex + "0" * 15).take(15), 16)
+  }
+
+  /** Length of the common UTF-8 byte prefix of two strings. */
+  def commonPrefixBytes(a: String, b: String): Int = {
+    val x = a.getBytes("UTF-8")
+    val y = b.getBytes("UTF-8")
+    var i = 0
+    while (i < x.length && i < y.length && x(i) == y(i)) i += 1
+    i
+  }
+
+  /** Z-value over MIXED-TYPE dims, each normalized to its observed
+    * [lo, hi] before interleaving — the interleave's `bits` low bits
+    * then cover the range that actually VARIES. Raw low-bit
+    * interleaving ([[zValueExprN]]) is right for small dense integral
+    * keys but wastes every bit on a date-string key's constant
+    * prefix (`2026-…`) or a large integral offset; normalization
+    * makes the curve position track the spread of the data itself.
+    * `dims` = (sql long-key expr, lo, hi) — string dims pass
+    * [[strZKeyExpr]] with its observed prefix-key bounds. */
+  def zValueExprScaled(dims: Seq[(String, Long, Long)]): String = {
+    require(dims.size >= 2, s"z-order needs >= 2 dims, got ${dims.size}")
+    val n = dims.size
+    val bits = math.min(21, 63 / n)
+    // every dim aligns its SIGNIFICANT bits to the full `bits` width
+    // (down-shift wide spans, UP-shift narrow ones): without the
+    // up-shift a 13-bit dim monopolizes the interleave's top bits
+    // over a 5-bit one and the z-prefix blocks cut only the wide dim
+    val norm = dims.map { case (e, lo, hi) =>
+      val span = math.max(1L, hi - lo)
+      val spanBits = 64 - java.lang.Long.numberOfLeadingZeros(span)
+      val base = s"greatest(0L, coalesce($e, ${lo}L) - ${lo}L)"
+      if (spanBits > bits) s"shiftright($base, ${spanBits - bits})"
+      else if (spanBits < bits) s"shiftleft($base, ${bits - spanBits})"
+      else base
+    }
+    (for (i <- 0 until bits; (ne, d) <- norm.zipWithIndex) yield
+      s"(shiftleft(shiftright($ne, $i) % 2, ${i * n + d}))")
+      .mkString(" + ")
+  }
+
   /** Write `df` clustered by the z-order of (xCol, yCol): range
     * partition on z (balanced output files), sort within partitions,
     * drop the helper column. The layout quality is measured in

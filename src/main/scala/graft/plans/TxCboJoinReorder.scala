@@ -25,9 +25,24 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
   * gates, just at a point where the inputs finally have row counts
   * and join-key NDVs. Scoped tightly: it only fires when a RELAYED
   * scan is actually in the plan (anything else already had its chance
-  * at the normal batch), and never when dynamic-pruning subqueries
-  * were already injected below a join (reordering under a planted DPP
-  * filter is not provably sound — those plans keep Spark's order).
+  * at the normal batch), and dynamic-pruning subqueries are vetoed
+  * PER SUBTREE, not per plan: reordering under a planted DPP filter
+  * is not provably sound (the filter's subquery is keyed to a
+  * specific build-side join and exchange reuse, and a new order could
+  * strand it), so any subtree containing a DynamicPruning expression
+  * keeps Spark's order — but its DPP-FREE SIBLING subtrees still
+  * reorder. A star join whose fact carries DPP no longer freezes the
+  * rest of the query's join trees (CboStatsSpec asserts both halves).
+  *
+  * Known one-way gap (by construction, documented): this rule runs in
+  * the final extension batch, AFTER SparkOptimizer's PartitionPruning
+  * batch — so a join order produced HERE can never receive the DPP
+  * filters the new order would have enabled. The veto above is the
+  * sound direction (never break planted DPP); the mirror direction
+  * (replan DPP for the new order) would need the relayed stats
+  * visible before the stock Join Reorder batch — an
+  * injectPreCBORule-style move left for a future round.
+  *
   * Idempotent at fixed point: re-running on its own output re-derives
   * the same order from the same stats. Reference analog: the
   * reference orders its composite join inputs by declared size too —
@@ -44,11 +59,26 @@ object TxCboJoinReorder extends Rule[LogicalPlan] {
       case _ => false
     }
     if (!hasRelayed) return plan
-    val hasDynamic = plan.exists(_.expressions.exists(_.exists {
+    reorderDppFree(plan)
+  }
+
+  private def hasDpp(p: LogicalPlan): Boolean =
+    p.exists(_.expressions.exists(_.exists {
       case _: DynamicPruning => true
       case _ => false
     }))
-    if (hasDynamic) return plan
-    CostBasedJoinReorder(plan)
+
+  private def hasRelayedScan(p: LogicalPlan): Boolean = p.exists {
+    case r: DataSourceV2ScanRelation =>
+      r.scan.isInstanceOf[StatsV1ScanWrapper]
+    case _ => false
   }
+
+  /** Top-down: the largest DPP-free subtrees reorder whole; a subtree
+    * holding a DynamicPruning expression keeps its own shape but its
+    * children are each given the same chance. */
+  private def reorderDppFree(p: LogicalPlan): LogicalPlan =
+    if (!hasDpp(p)) {
+      if (hasRelayedScan(p)) CostBasedJoinReorder(p) else p
+    } else p.mapChildren(reorderDppFree)
 }

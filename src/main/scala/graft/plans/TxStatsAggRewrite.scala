@@ -1,9 +1,9 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, ExprId, Expression, IsNotNull, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.internal.SQLConf
@@ -32,8 +32,13 @@ import org.apache.spark.sql.types.{DataType, IntegerType, LongType, ShortType}
   *
   * On by default (`spark.graft.statsAgg=false` opts out) — unlike the
   * approx rewrites this one is semantics-preserving, so it is a pure
-  * CBO win. Injected via `GraftExtensions.injectOptimizerRule` and
-  * the `experimental.extraOptimizations` runtime hook.
+  * CBO win. One opt-in exception: `spark.graft.statsAgg.approxNdv`
+  * additionally serves `approx_count_distinct(c)` (scalar or grouped
+  * by partition keys) from the per-dir HLL register blobs — a
+  * deterministic, order-independent estimate, but a DIFFERENT
+  * estimator than Spark's HLL++, hence off by default. Injected via
+  * `GraftExtensions.injectOptimizerRule` and the
+  * `experimental.extraOptimizations` runtime hook.
   */
 object TxStatsAggRewrite extends Rule[LogicalPlan] {
 
@@ -46,12 +51,37 @@ object TxStatsAggRewrite extends Rule[LogicalPlan] {
   private def maxLocalGroups: Int = SQLConf.get
     .getConfString("spark.graft.statsAgg.maxGroups", "100000").toInt
 
+  /** OPT-IN (`spark.graft.statsAgg.approxNdv=true`): additionally
+    * serve `approx_count_distinct(c)` — scalar or grouped by
+    * partition keys — from the per-dir HLL register blobs merged
+    * driver-side (TxTable.metadataGroupedNdv). Off by default
+    * because it substitutes the DataSketches estimate (~1.6% rsd at
+    * lgK=12) for Spark's HLL++ — a different, not-bitwise-identical
+    * estimator; both are "approx" by contract, but unlike the rest
+    * of this rule the substitution is not semantics-preserving. */
+  val approxNdvKey = "spark.graft.statsAgg.approxNdv"
+  private def approxNdvEnabled: Boolean =
+    SQLConf.get.getConfString(approxNdvKey, "false").toBoolean
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!enabled) plan else rewrite(plan)
 
   def rewrite(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case agg: Aggregate if agg.resolved =>
-      (relOf(agg.child) match {
+      // grouped form: tolerate pushed-down `IsNotNull(<group key>)`
+      // filters between the aggregate and the relation — a join above
+      // infers them onto its keys and the optimizer pushes them to
+      // the scan. They are PROVABLY no-ops here: the grouped rewrite
+      // only fires when every live dir is null-free on every group
+      // key (the `n,<col>` == 0 stat), so there is no NULL group for
+      // the filter to remove. The scalar form tolerates none (a
+      // filter there really restricts the rows the stats describe).
+      val groupIds: Set[ExprId] = agg.groupingExpressions.collect {
+        case a: AttributeReference => a.exprId
+      }.toSet
+      (relOf(agg.child,
+        if (agg.groupingExpressions.isEmpty) Set.empty else groupIds)
+        match {
         case Some(rel) => agg.groupingExpressions match {
           case Nil => scalarRewrite(agg, rel)
           // one OR MORE bare grouping columns, each integral (exact
@@ -74,13 +104,17 @@ object TxStatsAggRewrite extends Rule[LogicalPlan] {
     root: String, version: Int)
 
   /** The graft-tx relation under the aggregate — allowing only
-    * attribute-pruning Projects between them (a Filter or computed
+    * attribute-pruning Projects between them, plus Filters that are
+    * pure conjunctions of `IsNotNull` over `notNullOk` attributes
+    * (the grouped caller passes its group keys, whose null-freeness
+    * its own firing proof establishes; any other Filter or computed
     * projection means stats no longer describe the input). Matches
     * all three batch faces: the V1 path relation, catalog tables, and
     * the storage-partitioned face (the latter two pre-pushdown as
     * DataSourceV2Relation — extended operator-optimization rules run
     * before V2 scan pushdown). */
-  private def relOf(p: LogicalPlan): Option[RelInfo] =
+  private def relOf(p: LogicalPlan,
+    notNullOk: Set[ExprId]): Option[RelInfo] =
     p match {
       case l: LogicalRelation => l.relation match {
         case t: graft.sources.TxRelation if !t.rowRestricted =>
@@ -95,9 +129,18 @@ object TxStatsAggRewrite extends Rule[LogicalPlan] {
           case _ => None
         }
       case Project(ps, c) if ps.forall(_.isInstanceOf[AttributeReference]) =>
-        relOf(c)
+        relOf(c, notNullOk)
+      case Filter(cond, c) if conjuncts(cond).forall {
+        case IsNotNull(a: AttributeReference) => notNullOk.contains(a.exprId)
+        case _ => false
+      } => relOf(c, notNullOk)
       case _ => None
     }
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
 
   private def integral(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | ShortType => true
@@ -118,6 +161,7 @@ object TxStatsAggRewrite extends Rule[LogicalPlan] {
   private case class GroupKey(i: Int) extends Shape
   private case class CountOf(c: String) extends Shape
   private case class DistinctOf(c: String) extends Shape
+  private case class ApproxOf(c: String) extends Shape
   private case class MinOf(c: String, dt: DataType) extends Shape
   private case class MaxOf(c: String, dt: DataType) extends Shape
 
@@ -140,6 +184,17 @@ object TxStatsAggRewrite extends Rule[LogicalPlan] {
         if integral(a.dataType) => Some(MinOf(a.name, a.dataType))
     case AggregateExpression(Max(a: AttributeReference), _, false, None, _)
         if integral(a.dataType) => Some(MaxOf(a.name, a.dataType))
+    // approx_count_distinct(c) from the per-dir HLL register blobs —
+    // opt-in (see approxNdvKey); any relativeSD is accepted (the
+    // served estimate's own rsd is ~1.6%, tighter than the 5%
+    // default a caller asks for)
+    case AggregateExpression(
+        h: org.apache.spark.sql.catalyst.expressions.aggregate
+          .HyperLogLogPlusPlus, _, false, None, _)
+        if approxNdvEnabled => h.child match {
+      case a: AttributeReference => Some(ApproxOf(a.name))
+      case _ => None
+    }
     case _ => None
   }
 
@@ -165,6 +220,14 @@ object TxStatsAggRewrite extends Rule[LogicalPlan] {
       if (dcols.isEmpty) Map.empty[String, Long]
       else graft.sources.TxTable.exactNdv(rel.spark, rel.root, rel.version)
     if (!dcols.forall(ndv.contains)) return None
+    // approx_count_distinct answers merge the per-dir HLL blobs
+    // driver-side (opt-in; shape only produced when the flag is on)
+    val acols = shapes.collect { case ApproxOf(c) => c }.distinct
+    val andv: Map[String, Long] = acols.flatMap(c =>
+      graft.sources.TxTable
+        .metadataGroupedNdv(rel.spark, rel.root, rel.version, Nil, c)
+        .flatMap(_.headOption).map(t => c -> t._2)).toMap
+    if (!acols.forall(andv.contains)) return None
     graft.sources.TxTable
       .metadataAgg(rel.spark, rel.root, rel.version, cols, ccols)
       .filter { case (_, ranges, nulls) =>
@@ -174,6 +237,7 @@ object TxStatsAggRewrite extends Rule[LogicalPlan] {
           case CountStar => total
           case CountOf(c) => total - nulls(c)
           case DistinctOf(c) => ndv(c)
+          case ApproxOf(c) => andv(c)
           case MinOf(c, dt) => typed(ranges(c)._1, dt)
           case MaxOf(c, dt) => typed(ranges(c)._2, dt)
           case GroupKey(_) => null // unreachable: no grouping here
@@ -208,10 +272,22 @@ object TxStatsAggRewrite extends Rule[LogicalPlan] {
     val shapes0 = agg.aggregateExpressions.map(shape)
     if (shapes0.isEmpty || shapes0.exists(_.isEmpty)) return None
     val shapes = shapes0.map(_.get)
-    // the analyze header is table-level: no per-group NDV to serve
+    // the analyze header is table-level: no per-group EXACT NDV to
+    // serve (the APPROX form below merges per-group HLL blobs)
     if (shapes.exists(_.isInstanceOf[DistinctOf])) return None
     val cols = statCols(shapes)
     val ccols = countCols(shapes)
+    // per-group approx_count_distinct: one driver-side register merge
+    // per (column, group) from the same clustering proof — groups are
+    // IDENTICAL to metadataGroupedAgg's (both partition the same live
+    // dirs by the same dirExactValue tuples)
+    val acols = shapes.collect { case ApproxOf(c) => c }.distinct
+    val andv: Map[String, Map[Seq[Any], Long]] = acols.flatMap(c =>
+      graft.sources.TxTable
+        .metadataGroupedNdv(rel.spark, rel.root, rel.version,
+          gs.map(_.name), c)
+        .map(rs => c -> rs.toMap)).toMap
+    if (!acols.forall(andv.contains)) return None
     graft.sources.TxTable
       .metadataGroupedAgg(rel.spark, rel.root, rel.version,
         gs.map(_.name), cols, ccols)
@@ -235,6 +311,7 @@ object TxStatsAggRewrite extends Rule[LogicalPlan] {
             case GroupKey(i) => keyVal(gvs(i), gs(i).dataType).get
             case CountStar => cnt
             case CountOf(c) => cnt - nulls(c)
+            case ApproxOf(c) => andv(c)(gvs)
             case MinOf(c, dt) => typed(ranges(c)._1, dt)
             case MaxOf(c, dt) => typed(ranges(c)._2, dt)
           })

@@ -179,8 +179,10 @@ object TxTable {
   // aggregate, merged at read into an always-fresh table-level NDV —
   // ANALYZE-grade estimates that never go stale on appends, without a
   // rescan (the data never gets re-read; dirs are immutable so their
-  // sketches are too).
-  private val hllStatSeg = """hll:([^=|]+)=([A-Za-z0-9+/=]*)""".r
+  // sketches are too). The value `@` means the blob exceeded the
+  // inline cap and lives in-dir as `_hll-<hex(col)>` (see
+  // [[hllInlineMax]] — commit metadata stays bounded per dir).
+  private val hllStatSeg = """hll:([^=|]+)=(@|[A-Za-z0-9+/=]*)""".r
   private def parseEntry(l: String): Option[Entry] = {
     val (isDelta, rest) =
       if (l.startsWith("dir:")) (false, l.drop(4))
@@ -249,15 +251,22 @@ object TxTable {
   /** A query-side string bound in the stats' hex byte space (exact —
     * only stored stats are ever truncated). */
   private def hexOf(s: String): String = hexEnc(s.getBytes("UTF-8"))
-  /** Inverse of [[hexOf]] for `sx:` exact values (always full hex). */
-  private def hexDec(h: String): String = {
+  /** Inverse of [[hexOf]] for `sx:` exact values. None on malformed
+    * input (odd length, non-hex digit — a corrupt/truncated commit
+    * segment): a marker that doesn't decode must read as UNPROVABLE,
+    * never as a silently-wrong exact value served by metadata paths. */
+  private def hexDec(h: String): Option[String] = {
+    if (h.length % 2 != 0) return None
     val b = new Array[Byte](h.length / 2)
     var i = 0
     while (i < b.length) {
-      b(i) = Integer.parseInt(h.substring(2 * i, 2 * i + 2), 16).toByte
+      val hi = Character.digit(h.charAt(2 * i), 16)
+      val lo = Character.digit(h.charAt(2 * i + 1), 16)
+      if (hi < 0 || lo < 0) return None
+      b(i) = ((hi << 4) | lo).toByte
       i += 1
     }
-    new String(b, "UTF-8")
+    Some(new String(b, "UTF-8"))
   }
 
   /** METADATA SCALE — manifest includes. A commit file may carry an
@@ -814,12 +823,14 @@ object TxTable {
     val nBase = 1 + 3 * integral.length
     val strNullBase = nBase + 2 * strings.length
     val hllBase = strNullBase + strings.length
-    val hstats = (integral ++ strings).zipWithIndex.flatMap {
-      case (c, i) =>
-        if (r.isNullAt(hllBase + i)) None
-        else Some(c -> java.util.Base64.getEncoder.encodeToString(
-          r.getAs[Array[Byte]](hllBase + i)))
-    }.toMap
+    val hstats = spillHstats(rp.getFileSystem(
+      spark.sessionState.newHadoopConf()), rp, dirName,
+      (integral ++ strings).zipWithIndex.flatMap {
+        case (c, i) =>
+          if (r.isNullAt(hllBase + i)) None
+          else Some(c -> java.util.Base64.getEncoder.encodeToString(
+            r.getAs[Array[Byte]](hllBase + i)))
+      }.toMap, hllInlineMax(spark))
     // a string dir column whose min == max holds EXACTLY ONE distinct
     // non-null value: record it verbatim (under the length cap) as the
     // `sx:` exact marker — what lets the partition-clustering proofs
@@ -861,6 +872,35 @@ object TxTable {
     * error, ≤ ~2 KB per column per dir dense (tiny in list mode for
     * low-NDV dirs — the common partitioned case). */
   private val hllLgK = 12
+  /** METADATA BOUND for the per-dir `hll:` blobs: a base64 blob
+    * longer than this many chars is NOT inlined into the entry line —
+    * it spills to an immutable in-dir sidecar (`_hll-<hex(col)>`,
+    * underscore-hidden so scans and listings never see it; it lives
+    * and dies with its dir, so vacuum/clone/time-travel need no new
+    * rules) and the entry carries the 1-char `@` marker instead.
+    * Low-NDV dirs (the common partitioned case) keep their tiny
+    * list-mode blobs inline; a dense lgK=12 sketch (~2.7 KB base64)
+    * per statted column at 10^5–10^6 dirs would otherwise put GBs on
+    * the O(dirs) commit/manifest PLANNING path, which parses every
+    * entry line. The NDV-merge read path pays one pooled small-file
+    * read per spilled (dir, col) — once per snapshot, cached. */
+  private def hllInlineMax(spark: SparkSession): Int = spark.conf
+    .getOption("spark.graft.hllInlineMaxB64").map(_.toInt).getOrElse(512)
+  private val hllSpillMarker = "@"
+  /** Hex-named so ANY legal column name is path-safe. */
+  private def hllSidecarPath(rp: Path, dirName: String, c: String): Path =
+    new Path(new Path(rp, dirName), s"_hll-${hexOf(c)}")
+  private def spillHstats(fs: FileSystem, rp: Path, dirName: String,
+    hstats: Map[String, String], cap: Int): Map[String, String] =
+    hstats.map { case (c, b64) =>
+      if (b64.length <= cap) c -> b64
+      else {
+        val os = fs.create(hllSidecarPath(rp, dirName, c), true)
+        try os.write(java.util.Base64.getDecoder.decode(b64))
+        finally os.close()
+        c -> hllSpillMarker
+      }
+    }
 
   /** `Entry` for a freshly-written dir with its stats computed. The
     * dir's on-disk BYTES ride the stats grammar as pseudo-column
@@ -1123,8 +1163,15 @@ object TxTable {
       val ndvCarried =
         if (lines.exists(_.startsWith("ndv:"))) Seq.empty
         else ndvLineOf(fs, rp, prevV).toSeq
+      // equi-height histograms carry exactly like the ndv header:
+      // until the next analyze re-declares them (read side serves
+      // them only while the entry multiset is provably unchanged)
+      val histCarried =
+        if (lines.exists(_.startsWith("hist:"))) Seq.empty
+        else histLinesOf(fs, rp, prevV)
       val (packedLines, staged) = packEntryLines(fs, rp, prevV,
-        mapCarried ++ ndvCarried ++ lines ++ carried, rollover)
+        mapCarried ++ ndvCarried ++ histCarried ++ lines ++ carried,
+        rollover)
       stagedManifests = staged
       val body = (s"op:$op" +: packedLines).mkString("\n")
       val claim = commitPath(rp, prevV + 1)
@@ -1459,6 +1506,113 @@ object TxTable {
     }
   }
 
+  /** Typed z-key SQL exprs + observed [lo, hi] ranges for `zCols` —
+    * integral dims key on their own value, DATE dims on
+    * days-since-epoch, STRING dims on the first-7.5-UTF-8-bytes hex
+    * key ([[graft.operators.Relational.strZKeyExpr]] — order-agrees
+    * with Spark's string comparison, so the resulting dir `str:`
+    * bounds prune string ranges). ONE 1-row aggregate computes every
+    * dim's range; the scaled interleave then spends its bits on the
+    * spread that actually varies. */
+  private case class ZDim(raw: String, cuts: Option[Seq[Long]],
+    lo: Long, hi: Long)
+
+  private def zDims(df: DataFrame, zCols: Seq[String]): Seq[ZDim] = {
+    import org.apache.spark.sql.types._
+    val R = graft.operators.Relational
+    val fields = zCols.map { c =>
+      c -> (df.schema.find(_.name == c).map(_.dataType) match {
+        case Some(dt @ (StringType | DateType |
+          LongType | IntegerType | ShortType)) => dt
+        case dt => throw new IllegalArgumentException(
+          s"txtable: z-order dim '$c' must be integral, date or " +
+            s"string, got $dt")
+      })
+    }
+    // ONE 1-row aggregate: raw min/max per dim (strings as strings —
+    // the common prefix derives driver-side)
+    val aggs = fields.flatMap {
+      case (c, StringType) => Seq(min(col(c)), max(col(c)))
+      case (c, DateType) =>
+        val d = datediff(col(c), lit(java.sql.Date.valueOf("1970-01-01")))
+          .cast("long")
+        Seq(min(d), max(d))
+      case (c, _) =>
+        Seq(min(col(c)).cast("long"), max(col(c)).cast("long"))
+    }
+    val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    // string dims get RANK-BUCKETIZED: a linear shift of the 60-bit
+    // UTF-8 key piles a byte-sparse key space (all July days differ
+    // only in bytes the span-shift discards) into 1–2 z-blocks. K
+    // equi-height cut points of the key (one approx-percentile pass
+    // for ALL string dims) make the curve position uniform by
+    // construction — Delta's range_partition_id move. Duplicate cut
+    // points (heavy hitters) just merge buckets, never misorder.
+    val strIdx = fields.zipWithIndex.collect {
+      case ((c, StringType), i) if !r.isNullAt(2 * i) =>
+        val p = R.commonPrefixBytes(r.getString(2 * i),
+          r.getString(2 * i + 1))
+        (c, i, R.strZKeyExpr(c, p))
+    }
+    val zK = 64
+    val cutsOf: Map[Int, Seq[Long]] =
+      if (strIdx.isEmpty) Map.empty
+      else {
+        val probs = lit((1 until zK).map(_.toDouble / zK).toArray)
+        val pAggs = strIdx.map { case (_, _, key) =>
+          percentile_approx(expr(key), probs, lit(10000)) }
+        val pr = df.agg(pAggs.head, pAggs.tail: _*).collect()(0)
+        strIdx.zipWithIndex.flatMap { case ((_, i, _), j) =>
+          if (pr.isNullAt(j)) None
+          else Some(i -> pr.getSeq[Long](j).distinct.sorted)
+        }.toMap
+      }
+    fields.zipWithIndex.map {
+      case ((c, StringType), i) =>
+        strIdx.find(_._2 == i) match {
+          case Some((_, _, key)) =>
+            val cuts = cutsOf.getOrElse(i, Seq.empty)
+            if (cuts.isEmpty) ZDim(key, None, 0L, 0L)
+            else ZDim(key, Some(cuts), 0L, cuts.size.toLong)
+          case None => ZDim(R.strZKeyExpr(c), None, 0L, 0L) // all NULL
+        }
+      case ((c, dt), i) =>
+        val e = dt match {
+          case DateType => s"cast(datediff($c, date'1970-01-01') as bigint)"
+          case _ => s"cast($c as bigint)"
+        }
+        val lo = if (r.isNullAt(2 * i)) 0L else r.getLong(2 * i)
+        val hi = if (r.isNullAt(2 * i + 1)) lo else r.getLong(2 * i + 1)
+        ZDim(e, None, lo, hi)
+    }
+  }
+
+  /** `df` plus a `_z` column: each dim evaluates ONCE into a helper
+    * column (the string key's hex/conv chain must not inline into
+    * every interleave term), bucketized dims rank into their cut
+    * points, and the scaled interleave runs over the cheap helper
+    * longs. Helpers are dropped; only `_z` remains. */
+  private def withZColumn(df: DataFrame, zCols: Seq[String]): DataFrame = {
+    val dims = zDims(df, zCols)
+    var acc = df
+    dims.zipWithIndex.foreach { case (zd, d) =>
+      acc = acc.withColumn(s"_zr$d", expr(zd.raw)) }
+    dims.zipWithIndex.foreach { case (zd, d) =>
+      val e = zd.cuts match {
+        case Some(cuts) =>
+          s"aggregate(array(${cuts.map(v => s"${v}L").mkString(",")}), " +
+            s"0L, (a, x) -> a + if(_zr$d >= x, 1L, 0L))"
+        case None => s"_zr$d"
+      }
+      acc = acc.withColumn(s"_zd$d", expr(e)) }
+    val scaled = dims.zipWithIndex.map { case (zd, d) =>
+      (s"_zd$d", if (zd.cuts.isDefined) 0L else zd.lo,
+        if (zd.cuts.isDefined) zd.cuts.get.size.toLong else zd.hi) }
+    acc.withColumn("_z",
+      expr(graft.operators.Relational.zValueExprScaled(scaled)))
+      .drop(dims.indices.flatMap(d => Seq(s"_zr$d", s"_zd$d")): _*)
+  }
+
   /** OPTIMIZE … ZORDER BY (x, y): rewrite the current snapshot into
     * up to `nDirs` dirs CLUSTERED by the Morton interleave of the two
     * dimensions, each dir carrying min/max stats on BOTH — one atomic
@@ -1476,7 +1630,13 @@ object TxTable {
 
   /** n-dimensional OPTIMIZE … ZORDER BY (c1, …, cn) — same contract as
     * the 2-dim face; every listed dimension gets dir stats, so
-    * `read(colRanges)` pruning bites on any of them. */
+    * `read(colRanges)` pruning bites on any of them. Dims may be
+    * integral, DATE, or STRING: string dims interleave on a
+    * common-prefix-stripped UTF-8 hex key (order-agrees with Spark's
+    * string comparison) and their dirs carry `str:`/`sx:` bounds, so
+    * `read(strRanges)` prunes a (date-string, id) layout on BOTH
+    * axes; every dim normalizes to its observed [lo, hi] before
+    * interleaving (see [[graft.operators.Relational.zValueExprScaled]]). */
   def optimizeZOrderN(spark: SparkSession, root: String,
     zCols: Seq[String], nDirs: Int = 8): Int = {
     require(nDirs >= 1, "optimizeZOrder needs at least one output dir")
@@ -1505,8 +1665,7 @@ object TxTable {
       // costs layout granularity, never pruning correctness, and the
       // alternative (estimating distinct blocks per candidate shift)
       // measured 4x the whole rewrite's cost at sf0.1.
-      val withZ = resolved.withColumn("_z", expr(
-        graft.operators.Relational.zValueExprN(zCols)))
+      val withZ = withZColumn(resolved, zCols)
       val mzRow = withZ.agg(max("_z")).collect()(0)
       // no max(_z) means zero live rows (an empty table, or a tail of
       // only zero-row dirs): nothing to re-cluster — return the
@@ -1601,8 +1760,7 @@ object TxTable {
       val parent = s"data/zopt-${java.util.UUID.randomUUID()}"
       val tailDf = tail.map(e => readDirFrame(spark, rp, e.dir))
         .reduce(_.unionByName(_, allowMissingColumns = true))
-      val withZ = tailDf.withColumn("_z", expr(
-        graft.operators.Relational.zValueExprN(zCols)))
+      val withZ = withZColumn(tailDf, zCols)
       val mzRow = withZ.agg(max("_z")).collect()(0)
       // no max(_z) means zero live rows (an empty table, or a tail of
       // only zero-row dirs): nothing to re-cluster — return the
@@ -2241,7 +2399,8 @@ object TxTable {
         nStats ++ intParts + (bytesKey -> (bytes, bytes)) ++
           physParts.map(p => s"$nullsPrefix$p" -> (0L, 0L)),
         sBounds ++ strHex.map { case (p, h) => p -> (h, h) },
-        sExact ++ strHex, hBlobs)
+        sExact ++ strHex,
+        spillHstats(fs, rp, dirName, hBlobs, hllInlineMax(spark)))
     }
     commitRetry(spark, root) { prevV =>
       if (skipIf(prevV)) {
@@ -2872,20 +3031,21 @@ object TxTable {
     // the scan on the normalized path: per-row dir resolution is then
     // one codegen'd hash probe instead of a per-row Scala-UDF
     // parent-path walk (no codegen boundary in the scan stage). Both
-    // sides normalize with the SAME anchored regex — strip scheme and
-    // authority, keep the absolute path — which sidesteps the
-    // `file:///x` (input_file_name) vs `file:/x` (Path.toString)
-    // rendering mismatch without per-row URI parsing. Dir/file names
-    // here are UUID + `col=value` segments, all URI-legal bytes, so
-    // the raw rendering needs no percent-decoding on either side.
+    // sides normalize to the SAME rendering — the PERCENT-ENCODED
+    // absolute path with scheme and authority stripped by one anchored
+    // regex. input_file_name() yields the URL-encoded URI string, so
+    // the driver side must encode too: `new Path(f).toUri.getRawPath`
+    // re-encodes the decoded `Path.toString` listing (a table root
+    // with a space or non-ASCII byte would otherwise never join and
+    // every filter would silently come out empty — the row-count
+    // cross-check below turns any future rendering drift into a loud
+    // failure instead of missing rows).
     val pathRe = "^(?:[a-zA-Z][a-zA-Z0-9+.\\-]*:(?://[^/]*)?)?(/.*)$"
-    val pathPat = java.util.regex.Pattern.compile(pathRe)
     val filesOf = listDataFiles(spark, rp, eligible.map(_.dir),
       recursive = true)
     val fileDirRows = eligible.flatMap(e =>
       filesOf.getOrElse(e.dir, Seq.empty).map { f =>
-        val m = pathPat.matcher(f)
-        org.apache.spark.sql.Row(if (m.matches()) m.group(1) else f, e.dir)
+        org.apache.spark.sql.Row(new Path(f).toUri.getRawPath, e.dir)
       })
     val fileDir = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](
@@ -2918,16 +3078,17 @@ object TxTable {
     val fppL = fpp
     val merged = tagged(eligible.map(_.dir)).rdd.mapPartitions { it =>
       val acc = new scala.collection.mutable.HashMap[String,
-        org.apache.spark.util.sketch.BloomFilter]()
+        (org.apache.spark.util.sketch.BloomFilter, Long)]()
       it.foreach { r =>
         val d = r.getString(0)
-        val bf = acc.getOrElseUpdate(d, org.apache.spark.util.sketch
-          .BloomFilter.create(bcExp.value(d), fppL))
+        val (bf, n) = acc.getOrElseUpdate(d, (org.apache.spark.util
+          .sketch.BloomFilter.create(bcExp.value(d), fppL), 0L))
         if (!r.isNullAt(1)) bf.putString(r.getString(1))
         else if (!r.isNullAt(2)) bf.putLong(r.getLong(2))
+        acc(d) = (bf, n + 1)
       }
       acc.iterator
-    }.reduceByKey((a, b) => { a.mergeInPlace(b); a },
+    }.reduceByKey((a, b) => { a._1.mergeInPlace(b._1); (a._1, a._2 + b._2) },
       math.max(1, eligible.size))
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sessionState.newHadoopConf())
@@ -2936,15 +3097,30 @@ object TxTable {
     val written = merged.mapPartitions { it =>
       val rpL = new Path(rootStr)
       val fsL = rpL.getFileSystem(conf.value)
-      it.map { case (d, bf) =>
+      it.map { case (d, (bf, n)) =>
         val os = fsL.create(bloomPath(rpL, d, colL), true)
         try bf.writeTo(os) finally os.close()
-        d
+        (d, n)
       }
-    }.collect().toSet
+    }.collect().toMap
+    // CROSS-CHECK: every row the commit's `_rows` stat records for a
+    // dir must have reached that dir's filter build. Fewer rows seen
+    // than stated means the file→dir path join dropped files (e.g. a
+    // path-rendering mismatch between input_file_name and the driver
+    // listing) — that would write an UNDER-FULL filter that silently
+    // prunes dirs containing probe values, so fail loudly instead.
+    // Seen > stated is fine (stats may predate later same-dir files).
+    stated.foreach { case (d, exp) =>
+      val seen = written.getOrElse(d, 0L)
+      if (seen < exp) throw new IllegalStateException(
+        s"bloom build for dir $d of $rootStr saw $seen rows but the " +
+        s"commit stats record $exp — the file→dir path join dropped " +
+        "rows; refusing to write a filter that would silently prune " +
+        "matching dirs")
+    }
     // dirs with zero rows still get an empty filter: probes never
     // match → pruned, exactly what the old per-dir build produced
-    val empty = eligible.map(_.dir).filterNot(written)
+    val empty = eligible.map(_.dir).filterNot(written.contains)
     empty.foreach { d =>
       val os = fs.create(bloomPath(rp, d, colName), true)
       try org.apache.spark.util.sketch.BloomFilter
@@ -3080,6 +3256,31 @@ object TxTable {
     optimizeZOrder(spark, root, "o_custkey", "o_orderkey", nDirs = 8)
     read(spark, root, colRanges = Map(
       "o_custkey" -> (0L, maxC / 4), "o_orderkey" -> (0L, maxO / 4)))
+  }
+
+  /** Gate: STRING-DIM OPTIMIZE ZORDER (q_txtable_zorder_str). Orders
+    * laid out by (day-string, custkey) — the string dim interleaves
+    * on its common-prefix-stripped UTF-8 hex key, so the day DIGITS
+    * (past byte 8 of `1996-07-XX`, where a raw prefix never looks)
+    * drive the curve; a day strRange × custkey colRange box reads
+    * back through dir pruning on BOTH axes (ZOrderSpec asserts the
+    * file skipping). Oracle = the plain filter — hash equality
+    * proves the mixed-type layout preserved content and pruning
+    * skipped dirs, never rows. */
+  def zorderStrGateQuery(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratchRoot("graft-zstrgate", dir)
+    val o = graft.Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_custkey"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+    val bounds = o.agg(max("o_custkey")).collect()(0)
+    if (bounds.isNullAt(0)) return o.filter(lit(false))
+    val maxC = bounds.getLong(0)
+    (0L to 3L).foreach(i =>
+      append(o.filter(col("o_orderkey") % 4 === i), root))
+    optimizeZOrderN(spark, root, Seq("day", "o_custkey"), nDirs = 8)
+    read(spark, root,
+      colRanges = Map("o_custkey" -> (0L, maxC / 4)),
+      strRanges = Map("day" -> ("1996-01-01", "1996-12-31")))
   }
 
   /** Gate: INCREMENTAL OPTIMIZE ZORDER (q_txtable_zopt_incr). Two
@@ -3508,6 +3709,55 @@ object TxTable {
     if (v <= 0) None
     else commitLines(fs, rp, v).find(_.startsWith("ndv:"))
 
+  private def histLinesOf(fs: FileSystem, rp: Path, v: Int): Seq[String] =
+    if (v <= 0) Seq.empty
+    else commitLines(fs, rp, v).filter(_.startsWith("hist:"))
+
+  /** Equi-height histograms of snapshot `version` by LOGICAL name —
+    * (height, bins as (lo, hi, ndv)) — served ONLY while provably
+    * fresh (the analyze-time entry multiset is unchanged; a stale
+    * distribution would misprice filters worse than none). Malformed
+    * lines are dropped, never misparsed. */
+  private[graft] def columnHistograms(spark: SparkSession, root: String,
+    version: Int = -1)
+    : Map[String, (Double, Seq[(Double, Double, Long)])] = {
+    val (fs, rp) = fsFor(spark, root)
+    val v = if (version >= 0) version else latestVersion(spark, root)
+    if (v == 0) return Map.empty
+    val lines = histLinesOf(fs, rp, v)
+    if (lines.isEmpty) return Map.empty
+    val m = snapshotColMap(fs, rp, v)
+    def logicalOf(p: String): Option[String] = m match {
+      case Some(mm) => liveMap(mm).find(_._2 == p).map(_._1)
+      case None => Some(p)
+    }
+    // one freshness proof per distinct analyze version, not per line
+    val freshAv = scala.collection.mutable.HashMap[String, Boolean]()
+    def freshAt(av: String): Boolean = freshAv.getOrElseUpdate(av,
+      av.nonEmpty && av.forall(_.isDigit) &&
+        (try snapshotEntries(fs, rp, v).map(_.line).sorted ==
+          snapshotEntries(fs, rp, av.toInt).map(_.line).sorted
+        catch { case _: Throwable => false }))
+    lines.flatMap { line =>
+      val segs = line.drop(5).split(";")
+      if (segs.length < 4) None
+      else {
+        if (!freshAt(segs(0))) None
+        else {
+          val parsed = scala.util.Try {
+            val height = segs(2).toDouble
+            val bins = segs.drop(3).toSeq.map { b =>
+              val Array(lo, hi, nd) = b.split(",")
+              (lo.toDouble, hi.toDouble, nd.toLong)
+            }
+            (height, bins)
+          }.toOption
+          for (l <- logicalOf(segs(1)); pb <- parsed) yield l -> pb
+        }
+      }
+    }.toMap
+  }
+
   /** ANALYZE TABLE — record per-column distinct-value counts in the
     * commit log, the statistic the cost-based optimizer needs for join
     * ordering and selectivity that per-dir min/max can't supply. ONE
@@ -3526,7 +3776,8 @@ object TxTable {
     * renames never orphan them. */
   def analyze(spark: SparkSession, root: String,
     cols: Seq[String] = Seq.empty, exact: Boolean = false,
-    rsd: Double = 0.05): Int = {
+    rsd: Double = 0.05, histograms: Boolean = false,
+    histogramBins: Int = 64): Int = {
     val (fs, rp) = fsFor(spark, root)
     commitRetry(spark, root) { prevV =>
       require(prevV > 0, s"txtable: nothing to analyze at $root")
@@ -3555,17 +3806,96 @@ object TxTable {
         targets.map(c =>
           sum(when(col(c).isNull, 1L).otherwise(0L)).cast("long"))
       val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+      def nullsOf(i: Int): Long =
+        if (r.isNullAt(targets.length + i)) 0L
+        else r.getLong(targets.length + i)
       val body = phys.zipWithIndex
-        .map { case (p, i) =>
-          val nulls =
-            if (r.isNullAt(targets.length + i)) 0L
-            else r.getLong(targets.length + i)
-          s"$p=${r.getLong(i)}~$nulls"
-        }.mkString(",")
+        .map { case (p, i) => s"$p=${r.getLong(i)}~${nullsOf(i)}" }
+        .mkString(",")
       // exact counts carry a '!' on the version token — downstream,
       // COUNT(DISTINCT) may substitute them only when provably fresh
       val vTok = if (exact) s"$prevV!" else s"$prevV"
-      ("analyze", s"ndv:$vTok;$body" +: snapshotLines(fs, rp, prevV))
+      val histLines = if (!histograms) Seq.empty
+        else analyzeHistograms(df, targets, phys, nullsOf, prevV,
+          histogramBins,
+          rowCount(spark, root, prevV).getOrElse(df.count()))
+      ("analyze", (s"ndv:$vTok;$body" +: histLines) ++
+        snapshotLines(fs, rp, prevV))
+    }
+  }
+
+  /** EQUI-HEIGHT HISTOGRAMS for ANALYZE (`histograms = true`): the
+    * per-column value-distribution statistic Spark's own
+    * `spark.sql.statistics.histogram.enabled` ANALYZE computes, here
+    * riding `hist:` commit headers so the cost-based optimizer can
+    * price FILTERED legs (a uniform-range heuristic on skewed data
+    * misestimates a selective filter by orders of magnitude — see
+    * CboStatsSpec). Same two-pass algorithm as Spark: one
+    * approx-percentile pass finds the `bins + 1` equi-height
+    * endpoints for EVERY numeric/date column at once, one
+    * `ApproxCountDistinctForIntervals` pass counts each bin's NDV.
+    * Line grammar: `hist:<v>;<phys>;<height>;<lo>,<hi>,<ndv>;...` —
+    * one line per column, carried by every commit until the next
+    * analyze re-declares (the `ndv:` discipline), served only while
+    * PROVABLY FRESH (entry multiset unchanged). */
+  private def analyzeHistograms(df: DataFrame, targets: Seq[String],
+    phys: Seq[String], nullsOf: Int => Long, prevV: Int,
+    bins: Int, total: Long): Seq[String] = {
+    import org.apache.spark.sql.types.{ArrayType, DateType, DoubleType, NumericType, TimestampType}
+    require(bins >= 2 && bins <= 1024,
+      s"txtable: histogramBins must be in [2, 1024], got $bins")
+    val hIdx = targets.zipWithIndex.filter { case (c, _) =>
+      df.schema(c).dataType match {
+        case _: NumericType | DateType | TimestampType => true
+        case _ => false
+      }
+    }
+    if (hIdx.isEmpty) return Seq.empty
+    def dcol(c: String) = df.schema(c).dataType match {
+      case DateType =>
+        datediff(col(c), lit(java.sql.Date.valueOf("1970-01-01")))
+          .cast("double")
+      case TimestampType => unix_micros(col(c)).cast("double")
+      case _ => col(c).cast("double")
+    }
+    val probs = lit((0 to bins).map(_.toDouble / bins).toArray)
+    // pass 1: all columns' endpoint arrays in ONE aggregate
+    val pAggs = hIdx.map { case (c, _) =>
+      percentile_approx(dcol(c), probs, lit(10000)) }
+    val pRow = df.agg(pAggs.head, pAggs.tail: _*).collect()(0)
+    val eps: Seq[Option[Seq[Double]]] = hIdx.indices.map(j =>
+      if (pRow.isNullAt(j)) None else Some(pRow.getSeq[Double](j)))
+    val live = hIdx.zip(eps).collect { case ((c, i), Some(e)) => (c, i, e) }
+    if (live.isEmpty) return Seq.empty
+    // pass 2: per-bin NDV for EVERY column in one job — each row
+    // explodes to (columnIdx, bin, value) and an approx distinct
+    // count per (column, bin) comes back (≤ cols × bins groups,
+    // map-side combined). The bin is the endpoint-rank of the value
+    // in ITS column's equi-height endpoints, clamped to [0, bins).
+    val structs = live.map { case (c, _, e) =>
+      val d = dcol(c)
+      val rank = aggregate(lit(e.toArray), lit(0),
+        (acc, ep) => acc + when(d >= ep, 1).otherwise(0))
+      struct(least(greatest(rank - 1, lit(0)), lit(bins - 1)).as("bin"),
+        d.as("v"))
+    }
+    val ndvMap: Map[(Int, Int), Long] =
+      df.select(posexplode(array(structs: _*)))
+        .select(col("pos"), col("col.bin").as("bin"), col("col.v").as("v"))
+        .groupBy("pos", "bin")
+        .agg(approx_count_distinct(col("v")).as("nd"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    live.zipWithIndex.flatMap { case ((c, i, e), j) =>
+      val nn = total - nullsOf(i)
+      if (nn <= 0) None
+      else {
+        val height = nn.toDouble / bins
+        Some(s"hist:$prevV;${phys(i)};$height;" +
+          (0 until bins).map(b =>
+            s"${e(b)},${e(b + 1)},${ndvMap.getOrElse((j, b), 0L)}")
+            .mkString(";"))
+      }
     }
   }
 
@@ -3594,6 +3924,101 @@ object TxTable {
       catch { case _: Throwable => false })
   }
 
+  /** Raw sketch bytes for every (live entry, col) pair: inline base64
+    * decodes driver-side; blobs spilled past the inline cap resolve
+    * from their in-dir sidecars with ONE pooled pass of small reads.
+    * A pair whose sidecar is missing or unreadable is simply ABSENT —
+    * callers treat an absent pair as making the column unservable
+    * (the blob-less-dir discipline), never silently under-counted. */
+  private def resolveHllBlobs(fs: FileSystem, rp: Path,
+    live: Seq[Entry], cols: Set[String])
+    : Map[(String, String), Array[Byte]] = {
+    val inline = for {
+      e <- live; c <- cols
+      b64 <- e.hstats.get(c) if b64 != hllSpillMarker
+    } yield ((e.dir, c), java.util.Base64.getDecoder.decode(b64))
+    val wantSpill = live.flatMap(e => cols.collect {
+      case c if e.hstats.get(c).contains(hllSpillMarker) => (e.dir, c) })
+    val sidecars: Seq[((String, String), Array[Byte])] =
+      if (wantSpill.isEmpty) Seq.empty
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(16, wantSpill.size))
+        try {
+          import scala.jdk.CollectionConverters._
+          val tasks: Seq[java.util.concurrent.Callable[
+            ((String, String), Option[Array[Byte]])]] =
+            wantSpill.map { case (d, c) =>
+              () => {
+                val p = hllSidecarPath(rp, d, c)
+                val bytes =
+                  try {
+                    val n = fs.getFileStatus(p).getLen.toInt
+                    val buf = new Array[Byte](n)
+                    val in = fs.open(p)
+                    try in.readFully(0, buf) finally in.close()
+                    Some(buf)
+                  } catch { case _: java.io.IOException => None }
+                ((d, c), bytes)
+              }
+            }
+          pool.invokeAll(tasks.asJava).asScala
+            .flatMap(f => f.get() match {
+              case (k, Some(b)) => Some(k -> b)
+              case _ => None
+            }).toSeq
+        } finally pool.shutdown()
+      }
+    (inline ++ sidecars).toMap
+  }
+
+  /** Metadata-only GROUPED NDV: per distinct partition tuple, the
+    * approximate COUNT(DISTINCT `col`) from merging that group's
+    * per-dir HLL register blobs driver-side — `GROUP BY day →
+    * approx distinct users` over a 100 TB partitioned table with
+    * ZERO data I/O. Register unions are order-independent, so the
+    * estimate is a DETERMINISTIC function of each group's data
+    * multiset (~1.6% relative error at lgK=12). Same clustering
+    * proof as [[metadataGroupedAgg]]: delta-free snapshot, every
+    * live dir single-valued AND provably null-free on every group
+    * column, plus a readable sketch blob for `col` in every live
+    * dir. None → caller falls back to the scan. Empty `groupCols`
+    * serves the scalar (whole-table) estimate. */
+  private[graft] def metadataGroupedNdv(spark: SparkSession,
+    root: String, version: Int, groupCols: Seq[String], col: String)
+    : Option[Seq[(Seq[Any], Long)]] = {
+    val (fs, rp) = fsFor(spark, root)
+    val v = if (version >= 0) version else latestVersion(spark, root)
+    if (v == 0) return None
+    val entries = snapshotEntries(fs, rp, v)
+    if (entries.isEmpty || entries.exists(_.isDelta)) return None
+    if (entries.exists(e => !e.stats.contains(rowsKey))) return None
+    val m = snapshotColMap(fs, rp, v)
+    val pgs = groupCols.map(physName(m, _))
+    val pc = physName(m, col)
+    val live = entries.filter(_.stats(rowsKey)._1 > 0)
+    val ok = live.forall { e =>
+      pgs.forall { pg =>
+        dirExactValue(e, pg).isDefined &&
+          e.stats.get(s"$nullsPrefix$pg").exists(_._1 == 0L)
+      } && e.hstats.contains(pc)
+    }
+    if (!ok) return None
+    val blobs = resolveHllBlobs(fs, rp, live, Set(pc))
+    if (live.exists(e => !blobs.contains((e.dir, pc)))) return None
+    val out = live.groupBy(e => pgs.map(pg => dirExactValue(e, pg).get))
+      .toSeq.map { case (gvs, es) =>
+        val u = new org.apache.datasketches.hll.Union(hllLgK)
+        es.foreach(e => u.update(org.apache.datasketches.hll.HllSketch
+          .heapify(blobs((e.dir, pc)))))
+        // no 1-clamp here (unlike the CBO ladder): an all-NULL group
+        // genuinely has 0 distinct values, and approx_count_distinct
+        // must say so
+        (gvs, math.max(0L, math.round(u.getResult.getEstimate)))
+      }.sortBy(t => tupleSortKey(t._1))
+    Some(out)
+  }
+
   /** ALWAYS-FRESH NDV from the per-dir `hll:` register blobs, by
     * PHYSICAL name: merge the live dirs' sketches driver-side (cached
     * per root+version+entry-multiset — snapshots are immutable, but a
@@ -3615,14 +4040,15 @@ object TxTable {
     val sig = live.map(_.line).hashCode
     val cached = hllNdvCache.get(key)
     if (cached != null && cached._1 == sig) return cached._2
-    val cols = live.head.hstats.keySet
+    val cols0 = live.head.hstats.keySet
       .filter(c => live.forall(_.hstats.contains(c)))
+    val blobs = resolveHllBlobs(fs, rp, live, cols0)
+    val cols = cols0.filter(c =>
+      live.forall(e => blobs.contains((e.dir, c))))
     val out = cols.map { c =>
       val u = new org.apache.datasketches.hll.Union(hllLgK)
-      live.foreach { e =>
-        u.update(org.apache.datasketches.hll.HllSketch.heapify(
-          java.util.Base64.getDecoder.decode(e.hstats(c))))
-      }
+      live.foreach(e => u.update(
+        org.apache.datasketches.hll.HllSketch.heapify(blobs((e.dir, c)))))
       c -> math.max(1L, math.round(u.getResult.getEstimate))
     }.toMap
     if (hllNdvCache.size >= 1024) hllNdvCache.clear()
@@ -3815,7 +4241,7 @@ object TxTable {
     * values (or predates the stat) and no clustering is provable. */
   private def dirExactValue(e: Entry, pg: String): Option[Any] =
     e.stats.get(pg).collect { case (lo, hi) if lo == hi => lo: Any }
-      .orElse(e.xvals.get(pg).map(hexDec(_): Any))
+      .orElse(e.xvals.get(pg).flatMap(hexDec(_).map(identity[Any])))
 
   /** Deterministic ordering for mixed Long/String key tuples (group
     * output and scan-unit order must be stable across planners). */
@@ -4300,6 +4726,39 @@ object TxTable {
         max(col("o_orderkey")).as("max_okey"))
   }
 
+  /** Gate: METADATA-GROUPED APPROX COUNT(DISTINCT)
+    * (q_txtable_grouped_ndv). Orders partitioned by priority with
+    * custkey sketched per dir; under the opt-in
+    * `spark.graft.statsAgg.approxNdv`, `GROUP BY priority →
+    * approx_count_distinct(custkey)` is answered by merging each
+    * group's per-dir HLL register blobs DRIVER-SIDE — zero data I/O
+    * at any table size (StatsAggSpec asserts the LocalRelation
+    * plan). Register unions are order-independent, so the estimate
+    * is a deterministic function of the data; the gate emits the
+    * EXACT per-group count plus a tolerance boolean
+    * (|est − exact| ≤ 5%), which the oracle replays exactly —
+    * hash-green means the metadata estimate tracked the true NDV on
+    * every group. */
+  def groupedNdvGateQuery(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    s.conf.set("spark.graft.statsAgg.approxNdv", "true")
+    graft.functions.GraftFunctions.register(s)
+    val root = graft.Scratch.freshRoot(s, "graft-gndv", dir)
+    val o = graft.Tables.orders(s, dir)
+      .select(col("o_orderpriority").as("prio"), col("o_custkey"))
+    appendPartitioned(o, root, "prio", statsCols = Seq("o_custkey"))
+    val est = s.read.format("graft-tx").load(root)
+      .groupBy(col("prio"))
+      .agg(approx_count_distinct(col("o_custkey")).as("est"))
+    val exact = graft.Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority").as("prio"))
+      .agg(countDistinct(col("o_custkey")).as("exact_cnt"))
+    est.join(exact, "prio")
+      .select(col("prio"), col("exact_cnt"),
+        (abs(col("est") - col("exact_cnt")) <=
+          col("exact_cnt") * lit(0.05)).as("ok"))
+  }
+
   /** Gate: STRING-KEY storage-partitioned join (q_txtable_spj_str).
     * Orders and customer each partitioned on the SAME derived string
     * bucket of custkey; the `sx:` exact-value stats prove the string
@@ -4330,6 +4789,31 @@ object TxTable {
       .select(col("o_orderkey"), col("o_custkey"), col("c_nationkey"))
   }
 
+  /** Gate: STRING-RANGE static partition pruning on the SPJ face
+    * (q_txtable_spj_str_range). Orders partitioned by the month
+    * STRING of o_orderdate; `month >= '1997-01' AND month <
+    * '1998-01'` — the range shape every date-string-partitioned
+    * table sees daily — must open ONLY the in-range partitions at
+    * PLANNING time (SpjSpec asserts the partition count; this gate
+    * hash-proves the pruned read computes exactly the oracle's
+    * answer). The prune compares in hex-encoded unsigned-UTF-8 byte
+    * space — Spark's own string order (UTF8String.compareTo), never
+    * java's UTF-16 — so it is sound for ANY value, not just ASCII
+    * dates. Reference analog: CompositeInputFormat co-partitions on
+    * byte-ordered Text keys
+    * (src/mapred/org/apache/hadoop/mapred/join/CompositeInputFormat.java:1). */
+  def spjStrRangeGateQuery(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    val root = graft.Scratch.freshRoot(s, "graft-spjsrange", dir)
+    val o = graft.Tables.orders(s, dir).select(col("o_orderkey"),
+      date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+    appendPartitioned(o, root, "month", statsCols = Seq("o_orderkey"))
+    s.read.format("graft-tx").option("partitionCol", "month").load(root)
+      .filter(col("month") >= "1997-01" && col("month") < "1998-01")
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("cnt"), sum(col("o_orderkey")).as("sum_okey"))
+  }
+
   /** Gate: CBO JOIN REORDER over catalog graft-tx tables
     * (q_txtable_cbo_join). Three catalog tables — lineitem-scale ×
     * orders-scale × nation-scale — joined WRITTEN big×big×small with
@@ -4340,7 +4824,10 @@ object TxTable {
     * (CboStatsSpec asserts the plan; this gate hash-proves the
     * reordered plan computes exactly the oracle's answer). Catalog
     * table names are per-invocation UUIDs — bench retries and
-    * parallel runs never collide. */
+    * parallel runs never collide — and are DROPPED before returning:
+    * `s.sql` analyzes eagerly, so the returned plan already holds the
+    * resolved relations and the session catalog stays constant across
+    * invocations (no table accumulation over bench best-of-N). */
   def cboJoinGateQuery(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val tag = java.util.UUID.randomUUID().toString.replace("-", "")
@@ -4367,12 +4854,16 @@ object TxTable {
     graft.functions.GraftFunctions.register(s)
     s.conf.set("spark.sql.cbo.enabled", "true")
     s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
-    s.sql(
-      s"""SELECT n.n_name, count(*) AS cnt, sum(o.o_orderkey) AS sum_okey
-         |FROM cboj_o_$tag o
-         |JOIN cboj_c_$tag c ON o.o_custkey = c.c_custkey
-         |JOIN cboj_n_$tag n ON c.c_nationkey = n.n_nationkey
-         |GROUP BY n.n_name""".stripMargin)
+    val out =
+      try s.sql(
+        s"""SELECT n.n_name, count(*) AS cnt, sum(o.o_orderkey) AS sum_okey
+           |FROM cboj_o_$tag o
+           |JOIN cboj_c_$tag c ON o.o_custkey = c.c_custkey
+           |JOIN cboj_n_$tag n ON c.c_nationkey = n.n_nationkey
+           |GROUP BY n.n_name""".stripMargin)
+      finally Seq(s"cboj_o_$tag", s"cboj_c_$tag", s"cboj_n_$tag")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    out
   }
 
   /** Gate: PARTITIONED STREAMING INGEST end-to-end

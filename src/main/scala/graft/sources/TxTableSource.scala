@@ -241,7 +241,8 @@ object TxTableSource {
   }
 
   private case class TxColumnStats(ndv: Option[Long], mn: Option[Object],
-    mx: Option[Object], nulls: Option[Long])
+    mx: Option[Object], nulls: Option[Long],
+    hist: Option[(Double, Seq[(Double, Double, Long)])] = None)
     extends org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
     private def ol(o: Option[Long]): java.util.OptionalLong =
       o.map(java.util.OptionalLong.of).getOrElse(java.util.OptionalLong.empty)
@@ -253,6 +254,27 @@ object TxTableSource {
       mx.map(java.util.Optional.of[Object])
         .getOrElse(java.util.Optional.empty[Object]())
     override def nullCount(): java.util.OptionalLong = ol(nulls)
+    // equi-height histogram from the fresh `hist:` commit header —
+    // Spark's transformV2Stats maps it into the catalyst ColumnStat,
+    // where FilterEstimation prices range predicates bin by bin
+    override def histogram(): java.util.Optional[
+      org.apache.spark.sql.connector.read.colstats.Histogram] =
+      hist.map { case (h, bs) =>
+        val binArr = bs.map { case (l, u, nd) =>
+          new org.apache.spark.sql.connector.read.colstats.HistogramBin {
+            override def lo(): Double = l
+            override def hi(): Double = u
+            override def ndv(): Long = nd
+          }
+        }.toArray
+        java.util.Optional.of(
+          new org.apache.spark.sql.connector.read.colstats.Histogram {
+            override def height(): Double = h
+            override def bins(): Array[
+              org.apache.spark.sql.connector.read.colstats.HistogramBin] =
+              binArr
+          }: org.apache.spark.sql.connector.read.colstats.Histogram)
+      }.getOrElse(java.util.Optional.empty())
   }
 
   /** V2 statistics for a graft-tx snapshot, assembled ENTIRELY from
@@ -288,14 +310,16 @@ object TxTableSource {
       // ndv and nullCount, so this is what unlocks join reordering
       // for tables that only ran ANALYZE
       val aNulls = TxTable.analyzeNullCounts(spark, root, version)
+      val hists = TxTable.columnHistograms(spark, root, version)
       outSchema.fields.foreach { f =>
         val nd = ndv.get(f.name)
         val nl = nulls.get(f.name).orElse(aNulls.get(f.name))
         val mn = ranges.get(f.name).flatMap(r => typedBound(f.dataType, r._1))
         val mx = ranges.get(f.name).flatMap(r => typedBound(f.dataType, r._2))
-        if (nd.nonEmpty || nl.nonEmpty || mn.nonEmpty)
+        val h = hists.get(f.name)
+        if (nd.nonEmpty || nl.nonEmpty || mn.nonEmpty || h.nonEmpty)
           colStats.put(Expressions.column(f.name),
-            TxColumnStats(nd, mn, mx, nl))
+            TxColumnStats(nd, mn, mx, nl, h))
       }
     }
     new org.apache.spark.sql.connector.read.Statistics {
@@ -381,7 +405,7 @@ object TxTableSource {
 
   // string-range algebra in Spark's own ordering (unsigned UTF-8
   // bytes), not Java's UTF-16 compareTo — hex keys preserve it
-  private def hexKey(x: String): String =
+  private[graft] def hexKey(x: String): String =
     x.getBytes("UTF-8").map(b => f"${b & 0xff}%02x").mkString
   private def maxByHex(a: Option[String], b: Option[String]) = (a, b) match {
     case (Some(x), Some(y)) => Some(if (hexKey(x) >= hexKey(y)) x else y)
@@ -850,9 +874,12 @@ class TxSpjScanBuilder(root: String, fullSchema: StructType,
   // value groups the predicate provably excludes, never rows. Each
   // key column prunes independently on its own tuple position.
   // Integral keys prune on any range shape; STRING keys prune on
-  // equality/IN only (range pruning would need an ordering promise —
-  // java String order is UTF-16, Spark's is UTF-8 binary; equality is
-  // order-free and is the shape date-partition predicates take).
+  // equality/IN/prefix AND ranges — compared in hex-encoded unsigned
+  // UTF-8 byte space (hexKey), which IS Spark's own string ordering
+  // (UTF8String.compareTo), never java's UTF-16 compareTo. That is
+  // what lets `WHERE day >= '2026-01-01' AND day < '2026-02-01'` over
+  // a date-STRING-partitioned table open only the in-range
+  // partitions.
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     def longOf(v: Any): Option[Long] = v match {
       case n: Number => Some(n.longValue)
@@ -889,6 +916,19 @@ class TxSpjScanBuilder(root: String, fullSchema: StructType,
       // prefix match is order-free, so it prunes strings soundly
       case org.apache.spark.sql.sources.StringStartsWith(c, p)
         if c == pc => Some(_.startsWith(p))
+      // ranges compare in hexKey space (= Spark's UTF-8 byte order)
+      case GreaterThan(c, v: String) if c == pc =>
+        val h = TxTableSource.hexKey(v)
+        Some(x => TxTableSource.hexKey(x) > h)
+      case GreaterThanOrEqual(c, v: String) if c == pc =>
+        val h = TxTableSource.hexKey(v)
+        Some(x => TxTableSource.hexKey(x) >= h)
+      case LessThan(c, v: String) if c == pc =>
+        val h = TxTableSource.hexKey(v)
+        Some(x => TxTableSource.hexKey(x) < h)
+      case LessThanOrEqual(c, v: String) if c == pc =>
+        val h = TxTableSource.hexKey(v)
+        Some(x => TxTableSource.hexKey(x) <= h)
       case And(l, r) => (strPred(l, pc), strPred(r, pc)) match {
         case (Some(a), Some(b)) => Some(x => a(x) && b(x))
         case (a, b) => a.orElse(b)
@@ -1251,7 +1291,8 @@ class TxPartitionReader(part: TxInputPartition, schema: StructType,
 /** Streaming write builder: Append by default; Complete (truncate)
   * maps to transactional overwrite, mirroring the V1 sink.
   *
-  * `partitionBy` (comma-separated integral columns) selects the
+  * `partitionBy` (comma-separated long/int/short/date/string
+  * columns) selects the
   * PARTITIONED ingest shape: the Write then REQUIRES a clustered
   * distribution plus a within-partition sort on the partition columns
   * (public `RequiresDistributionAndOrdering` — Spark shuffles/sorts

@@ -205,6 +205,192 @@ class CboStatsSpec extends SparkSpec {
       s"stale header clamped, not a partial-merge under-count: $mixed")
   }
 
+  test("equi-height histograms price skewed filters for the CBO") {
+    // 20k rows: 99% pile at x = 1000, a 1% tail spread over [0, 200).
+    // A uniform-range heuristic prices `x < 500` at ~50% (10k rows);
+    // the histogram knows only the tail qualifies (~200 rows).
+    val mk = (suffix: String) => {
+      val root = tmpDir() + s"/cbo-hist-$suffix"
+      val df = (1L to 20000L).map(i =>
+        (i, if (i % 100 == 0) (i / 100) % 200 else 1000L)).toDF("k", "x")
+      TxTable.append(df, root, statsCols = Seq("k", "x"))
+      root
+    }
+    val rootH = mk("on")
+    val rootN = mk("off")
+    TxTable.analyze(spark, rootH, exact = true, histograms = true)
+    TxTable.analyze(spark, rootN, exact = true)
+    // the hist: header parses back, fresh, with plausible shape
+    val h = TxTable.columnHistograms(spark, rootH)
+    assert(h.contains("x") && h.contains("k"), h.keySet.toString)
+    val (height, hbins) = h("x")
+    assert(hbins.size === 64 && height === 20000.0 / 64)
+    assert(hbins.last._2 === 1000.0, hbins.last.toString)
+    spark.sql(s"CREATE TABLE jh_on USING `graft-tx` OPTIONS (path '$rootH')")
+    spark.sql(s"CREATE TABLE jh_off USING `graft-tx` OPTIONS (path '$rootN')")
+    graft.functions.GraftFunctions.register(spark)
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      def estRows(table: String): BigInt = {
+        val q = spark.sql(s"SELECT * FROM $table WHERE x < 500")
+        q.queryExecution.optimizedPlan.stats.rowCount
+          .getOrElse(fail(s"no rowCount for $table:\n" +
+            q.queryExecution.optimizedPlan.toString))
+      }
+      val withHist = estRows("jh_on")
+      val withoutHist = estRows("jh_off")
+      info(s"withHist=$withHist withoutHist=$withoutHist")
+      assert(withoutHist > BigInt(5000),
+        s"uniform heuristic should misprice the skew high, got $withoutHist")
+      assert(withHist < BigInt(2000),
+        s"histogram must price the selective filter low, got $withHist " +
+          s"(vs $withoutHist without)")
+      // an append voids freshness: stale distributions never serve
+      TxTable.append(Seq((20001L, 0L)).toDF("k", "x"), rootH)
+      assert(TxTable.columnHistograms(spark, rootH).isEmpty,
+        "histograms must go unservable once the entry multiset changes")
+    } finally {
+      spark.conf.unset("spark.sql.cbo.enabled")
+      Seq("jh_on", "jh_off").foreach(t => spark.sql(s"DROP TABLE $t"))
+    }
+  }
+
+  test("histogram-priced filter flips the join order") {
+    // chain A(filtered) ⋈ B ⋈ C on DISTINCT key pairs (a.k = b.k2,
+    // b.bb = c.k3 — no transitive A–C edge). True |A'| ≈ 200:
+    //   with histogram:  |A'⋈B| ≈ 30   < |B⋈C| ≈ 300  → join A' first
+    //   uniform range:   |A'⋈B| ≈ 1500 > |B⋈C| ≈ 300  → join C first
+    val mkA = (suffix: String) => {
+      val root = tmpDir() + s"/cbo-flip-$suffix"
+      val df = (1L to 20000L).map(i =>
+        (i, if (i % 100 == 0) (i / 100) % 200 else 1000L)).toDF("k", "x")
+      TxTable.append(df, root, statsCols = Seq("k", "x"))
+      root
+    }
+    val rootH = mkA("on")
+    val rootN = mkA("off")
+    TxTable.analyze(spark, rootH, exact = true, histograms = true)
+    TxTable.analyze(spark, rootN, exact = true)
+    val rootB = tmpDir() + "/cbo-flip-b"
+    val rootC = tmpDir() + "/cbo-flip-c"
+    TxTable.append((1L to 3000L).map(i => (i, i % 100)).toDF("k2", "bb"),
+      rootB, statsCols = Seq("k2", "bb"))
+    TxTable.append((1L to 10L).map(i => (i, s"c$i")).toDF("k3", "nm"),
+      rootC, statsCols = Seq("k3"))
+    Seq(rootB, rootC).foreach(r => TxTable.analyze(spark, r, exact = true))
+    spark.sql(s"CREATE TABLE jf_on USING `graft-tx` OPTIONS (path '$rootH')")
+    spark.sql(s"CREATE TABLE jf_off USING `graft-tx` OPTIONS (path '$rootN')")
+    spark.sql(s"CREATE TABLE jf_b USING `graft-tx` OPTIONS (path '$rootB')")
+    spark.sql(s"CREATE TABLE jf_c USING `graft-tx` OPTIONS (path '$rootC')")
+    graft.functions.GraftFunctions.register(spark)
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    try {
+      def innermostRefs(bigTable: String): Set[String] = {
+        val q = spark.sql(
+          s"""SELECT count(*) FROM $bigTable a
+             |JOIN jf_b b ON a.k = b.k2
+             |JOIN jf_c c ON b.bb = c.k3
+             |WHERE a.x < 500""".stripMargin)
+        val joins = q.queryExecution.optimizedPlan.collect {
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+        }
+        val inner = joins.filter(j => !j.children.exists(_.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Join])))
+        inner.flatMap(_.condition.toSeq
+          .flatMap(_.references.map(_.name))).toSet
+      }
+      assert(innermostRefs("jf_on").contains("k2"),
+        s"histogram plan must join the filtered big table first, " +
+          s"innermost refs ${innermostRefs("jf_on")}")
+      assert(innermostRefs("jf_off").contains("k3"),
+        s"uniform plan should join B ⋈ C first, " +
+          s"innermost refs ${innermostRefs("jf_off")}")
+    } finally {
+      spark.conf.unset("spark.sql.cbo.enabled")
+      spark.conf.unset("spark.sql.cbo.joinReorder.enabled")
+      Seq("jf_on", "jf_off", "jf_b", "jf_c")
+        .foreach(t => spark.sql(s"DROP TABLE $t"))
+    }
+  }
+
+  test("DPP in one subtree no longer freezes reorder in its siblings") {
+    // leg A: an SPJ fact × filtered broadcast dim — the optimizer
+    // plants a DynamicPruning filter on the fact scan. leg B: the
+    // big ⋈ big2 ⋈ small catalog join written big-first. Before this
+    // round ANY DynamicPruning anywhere vetoed the late reorder for
+    // the WHOLE plan; the veto is now per subtree, so leg B must
+    // still reorder small-first while leg A keeps Spark's shape.
+    val rootF = tmpDir() + "/cbo-dpp-fact"
+    val fact = (1L to 500L).map(k => (k, k % 10)).toDF("k", "b")
+    TxTable.appendPartitioned(fact, rootF, "b")
+    val dimPath = tmpDir() + "/cbo-dpp-dim"
+    (0L to 9L).map(b => (b, if (b < 2) "keep" else "drop"))
+      .toDF("db", "tag").write.parquet(dimPath)
+    val rootB = tmpDir() + "/cbo-dpp-big"
+    val rootB2 = tmpDir() + "/cbo-dpp-big2"
+    val rootS = tmpDir() + "/cbo-dpp-small"
+    TxTable.append((1L to 20000L).map(i => (i, i % 97)).toDF("k", "x1"),
+      rootB, statsCols = Seq("k"))
+    TxTable.append((1L to 20000L).map(i => (i, i % 89)).toDF("k2", "x2"),
+      rootB2, statsCols = Seq("k2"))
+    TxTable.append((1L to 10L).map(i => (i, s"n$i")).toDF("k3", "nm"),
+      rootS)
+    Seq(rootB, rootB2, rootS).foreach(r =>
+      TxTable.analyze(spark, r, exact = true))
+    spark.sql(s"CREATE TABLE jd_big USING `graft-tx` OPTIONS (path '$rootB')")
+    spark.sql(
+      s"CREATE TABLE jd_big2 USING `graft-tx` OPTIONS (path '$rootB2')")
+    spark.sql(
+      s"CREATE TABLE jd_small USING `graft-tx` OPTIONS (path '$rootS')")
+    graft.functions.GraftFunctions.register(spark)
+    val confs = Seq(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.joinReorder.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.adaptive.enabled" -> "false")
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions.{broadcast, count, lit}
+      val legA = spark.read.format("graft-tx")
+        .option("partitionCol", "b").load(rootF)
+        .join(broadcast(spark.read.parquet(dimPath)
+          .filter($"tag" === "keep")), $"b" === $"db")
+        .agg(count(lit(1)).as("c"))
+      val legB = spark.sql(
+        """SELECT count(*) AS c
+          |FROM jd_big b JOIN jd_big2 b2 ON b.k = b2.k2
+          |JOIN jd_small s ON b.k = s.k3""".stripMargin)
+      val q = legA.unionAll(legB)
+      val opt = q.queryExecution.optimizedPlan
+      // the DPP really is in the plan (otherwise this proves nothing)
+      val dppPresent = opt.exists(_.expressions.exists(_.exists {
+        case _: org.apache.spark.sql.catalyst.expressions.DynamicPruning =>
+          true
+        case _ => false
+      }))
+      assert(dppPresent, "expected a planted DynamicPruning filter:\n" +
+        opt.toString)
+      // leg B still reordered: its innermost join touches k3
+      val joins = opt.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }
+      val innermost = joins.filter(j =>
+        !j.children.exists(_.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Join])))
+      assert(innermost.exists(_.condition.toSeq
+          .flatMap(_.references.map(_.name)).toSet.contains("k3")),
+        s"expected big ⋈ small innermost in the DPP-free sibling:\n$opt")
+      // and both legs answer correctly
+      val rows = q.collect().map(_.getLong(0)).sorted
+      assert(rows === Array(10L, 100L), rows.mkString(","))
+    } finally {
+      confs.foreach { case (k, _) => spark.conf.unset(k) }
+      Seq("jd_big", "jd_big2", "jd_small")
+        .foreach(t => spark.sql(s"DROP TABLE $t"))
+    }
+  }
+
   test("3-table catalog join reorders by metadata row counts") {
     // big ⋈ big2 ⋈ small, WRITTEN with the two big tables first: with
     // the relayed stats (rows + join-key NDV), CostBasedJoinReorder

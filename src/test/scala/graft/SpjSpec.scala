@@ -345,6 +345,54 @@ class SpjSpec extends SparkSpec {
     }
   }
 
+  test("STRING key: range predicates prune partitions at planning") {
+    val root = tmpDir() + "/spjs-range"
+    val days = Seq("2026-06-30", "2026-07-01", "2026-07-15",
+      "2026-07-31", "2026-08-01", "zzz")
+    val df = (1L to 300L).map(k => (k, days((k % 6).toInt)))
+      .toDF("k", "day")
+    TxTable.appendPartitioned(df, root, "day")
+    withSpj {
+      // the date-string month window: >= lower, < upper
+      val q = pread(root, "day")
+        .filter($"day" >= "2026-07-01" && $"day" < "2026-08-01")
+      assert(q.rdd.getNumPartitions === 3, s"range must prune to 3 " +
+        s"of 6 day partitions, got ${q.rdd.getNumPartitions}")
+      assert(q.collect().map(_.getLong(0)).toSet ===
+        (1L to 300L).filter(k => Set(1L, 2L, 3L)(k % 6)).toSet)
+      // strict lower / inclusive upper flip the surviving edge
+      val q2 = pread(root, "day")
+        .filter($"day" > "2026-07-01" && $"day" <= "2026-08-01")
+      assert(q2.rdd.getNumPartitions === 3,
+        s"got ${q2.rdd.getNumPartitions}")
+      assert(q2.collect().map(_.getLong(0)).toSet ===
+        (1L to 300L).filter(k => Set(2L, 3L, 4L)(k % 6)).toSet)
+    }
+  }
+
+  test("STRING key: range prune orders by UTF-8 bytes, not UTF-16") {
+    // U+FFFD sorts ABOVE U+1F600 in java UTF-16 compareTo (0xFFFD >
+    // surrogate 0xD83D) but BELOW it in Spark's UTF-8 byte order
+    // (EF BF BD < F0 9F 98 80). A prune using java order would drop
+    // the emoji partition from day > U+FFFD — missing rows.
+    val root = tmpDir() + "/spjs-utf8"
+    val repl = "\uFFFD"
+    val emoji = "\uD83D\uDE00" // U+1F600
+    val keys = Seq(repl, emoji)
+    val df = (1L to 100L).map(k => (k, keys((k % 2).toInt)))
+      .toDF("k", "day")
+    TxTable.appendPartitioned(df, root, "day")
+    withSpj {
+      val q = pread(root, "day").filter($"day" > repl)
+      assert(q.rdd.getNumPartitions === 1,
+        s"got ${q.rdd.getNumPartitions}")
+      assert(q.collect().map(_.getLong(0)).toSet ===
+        (1L to 100L).filter(_ % 2 == 1).toSet,
+        "the emoji partition sorts above U+FFFD in UTF-8 space and " +
+          "must survive the prune")
+    }
+  }
+
   test("STRING key: LIKE-prefix prunes partitions at planning") {
     val root = tmpDir() + "/spjs-like"
     val days = Seq("2026-07-30", "2026-07-31", "2026-08-01", "2026-08-02")

@@ -248,6 +248,45 @@ class StatsAggSpec extends SparkSpec {
     assert(agg.collect().map(_.toSeq).sortBy(_.head.toString) === expect)
   }
 
+  test("grouped approx_count_distinct served from per-dir HLL blobs " +
+    "under the opt-in flag") {
+    val root = tmpDir() + "/andv"
+    // 4 partitions; u has a KNOWN small distinct count per group so
+    // the coupon-mode estimate is effectively exact
+    val df = (1L to 400L).map(k => (k, k % 4, k % 40)).toDF("k", "b", "u")
+    TxTable.appendPartitioned(df, root, "b", statsCols = Seq("u"))
+    val q = () => face(root).groupBy($"b")
+      .agg(approx_count_distinct($"u").as("andv"))
+    // OFF by default: the estimator substitution is opt-in
+    assert(!statsServed(q()), q().queryExecution.optimizedPlan.toString)
+    spark.conf.set(graft.plans.TxStatsAggRewrite.approxNdvKey, "true")
+    try {
+      val served = q()
+      assert(statsServed(served),
+        served.queryExecution.optimizedPlan.toString)
+      // each group holds exactly 10 distinct u values (k%40 within
+      // k%4 fixed): the merged register estimate must round to 10
+      val got = served.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got === Map(0L -> 10L, 1L -> 10L, 2L -> 10L, 3L -> 10L),
+        s"got $got")
+      // the SCALAR form serves too (all dirs as one group)
+      val scalar = face(root).agg(approx_count_distinct($"u").as("andv"))
+      assert(statsServed(scalar),
+        scalar.queryExecution.optimizedPlan.toString)
+      assert(scalar.head.getLong(0) === 40L)
+      // one sketch-less dir voids the serve — bails to the scan,
+      // never an undercount
+      TxTable.append(Seq((1000L, 9L, 999L)).toDF("k", "b", "u"), root)
+      val mixed = face(root).groupBy($"b")
+        .agg(approx_count_distinct($"u").as("andv"))
+      assert(!statsServed(mixed),
+        mixed.queryExecution.optimizedPlan.toString)
+      assert(mixed.count() === 5L, "the scan answer stays correct")
+    } finally
+      spark.conf.unset(graft.plans.TxStatsAggRewrite.approxNdvKey)
+  }
+
   test("group-count cap bails the grouped rewrite to the scan") {
     val root = tmpDir() + "/capagg"
     val df = (1L to 60L).map(k => (k, k % 6)).toDF("k", "b")

@@ -36,6 +36,39 @@ class ZOrderSpec extends SparkSpec {
     assert(spark.read.parquet(byZ).count() === 4096L)
   }
 
+  test("string z-dim: a (date-string, id) layout prunes dirs on " +
+    "both axes") {
+    import spark.implicits._
+    import graft.sources.TxTable
+    val root = tmpDir() + "/z-str"
+    // 32 day strings across two months — the varying digits sit PAST
+    // byte 8 of '2026-07-XX', where a raw prefix key never looks; the
+    // common-prefix-stripped key must still cluster them
+    val days = (0 until 32).map(d => f"2026-${7 + d / 16}%02d-${d % 16 + 1}%02d")
+    val df = (1L to 6400L).map(k => (k, days((k % 32).toInt)))
+      .toDF("id", "day")
+    TxTable.append(df, root)
+    TxTable.optimizeZOrderN(spark, root, Seq("id", "day"), nDirs = 8)
+    val all = TxTable.read(spark, root).inputFiles.length
+    assert(all >= 4, s"expected a multi-dir layout, got $all files")
+    // a 4-day string range on the NON-LEADING dim must skip dirs
+    val rng = Map("day" -> ("2026-07-01", "2026-07-04"))
+    val pruned = TxTable.read(spark, root, strRanges = rng)
+      .inputFiles.length
+    assert(pruned < all && pruned <= all / 2,
+      s"string-dim skipping: $pruned of $all dirs survive")
+    // and the leading integral dim still prunes too
+    val idPruned = TxTable.read(spark, root,
+      colRanges = Map("id" -> (1L, 400L))).inputFiles.length
+    assert(idPruned < all, s"id-dim skipping: $idPruned of $all")
+    // pruning lost nothing: range + residual filter == full filter
+    val expect = df.filter($"day" >= "2026-07-01" &&
+      $"day" <= "2026-07-04").count()
+    val got = TxTable.read(spark, root, strRanges = rng)
+      .filter($"day" >= "2026-07-01" && $"day" <= "2026-07-04").count()
+    assert(got === expect)
+  }
+
   test("zValueExpr interleaves bits exactly") {
     val r = spark.sql(
       s"SELECT ${Relational.zValueExpr("5L", "3L")} AS z").collect()(0).getLong(0)
