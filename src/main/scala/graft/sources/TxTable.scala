@@ -892,15 +892,40 @@ object TxTable {
     new Path(new Path(rp, dirName), s"_hll-${hexOf(c)}")
   private def spillHstats(fs: FileSystem, rp: Path, dirName: String,
     hstats: Map[String, String], cap: Int): Map[String, String] =
-    hstats.map { case (c, b64) =>
-      if (b64.length <= cap) c -> b64
-      else {
-        val os = fs.create(hllSidecarPath(rp, dirName, c), true)
-        try os.write(java.util.Base64.getDecoder.decode(b64))
-        finally os.close()
-        c -> hllSpillMarker
-      }
+    spillHstatsAll(fs, rp, Seq(dirName -> hstats), cap)(dirName)
+
+  /** Batched [[spillHstats]]: ALL oversized blobs across a commit's
+    * new dirs write through one bounded pool — a serial
+    * create-per-sidecar loop would put 10^4 small-file RPC latencies
+    * on the commit path at scale (the same job-count discipline as
+    * dirSchemas/entrySizes). */
+  private def spillHstatsAll(fs: FileSystem, rp: Path,
+    perDir: Seq[(String, Map[String, String])], cap: Int)
+    : Map[String, Map[String, String]] = {
+    val work = for {
+      (d, hs) <- perDir; (c, b) <- hs if b.length > cap
+    } yield (d, c, b)
+    if (work.nonEmpty) {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, work.size))
+      try {
+        import scala.jdk.CollectionConverters._
+        val tasks: Seq[java.util.concurrent.Callable[Unit]] =
+          work.map { case (d, c, b) =>
+            () => {
+              val os = fs.create(hllSidecarPath(rp, d, c), true)
+              try os.write(java.util.Base64.getDecoder.decode(b))
+              finally os.close()
+            }
+          }
+        pool.invokeAll(tasks.asJava).asScala.foreach(_.get())
+      } finally pool.shutdown()
     }
+    perDir.map { case (d, hs) =>
+      d -> hs.map { case (c, b) =>
+        c -> (if (b.length <= cap) b else hllSpillMarker) }
+    }.toMap
+  }
 
   /** `Entry` for a freshly-written dir with its stats computed. The
     * dir's on-disk BYTES ride the stats grammar as pseudo-column
@@ -2377,10 +2402,16 @@ object TxTable {
         }
     }
     renameLevel(new Path(rp, baseDir), 0)
+    // ONE pooled pass writes every oversized sketch sidecar (a
+    // per-dir serial create would put O(dirs) RPC latencies here)
+    def dirNameOf(vs: Seq[String]): String = baseDir + physParts.zip(vs)
+      .map { case (p, v) => s"/$p=$v" }.mkString
+    val spilled = spillHstatsAll(fs, rp,
+      tuples.map(vs => dirNameOf(vs) -> statRows(vs)._4),
+      hllInlineMax(spark))
     val entries = tuples.map { vs =>
-      val dirName = baseDir + physParts.zip(vs)
-        .map { case (p, v) => s"/$p=$v" }.mkString
-      val (nStats, sBounds, sExact, hBlobs) = statRows(vs)
+      val dirName = dirNameOf(vs)
+      val (nStats, sBounds, sExact, _) = statRows(vs)
       val bytes = fs.getContentSummary(new Path(rp, dirName)).getLength
       // the NULL-rejection above proved the partition columns null-
       // free — record that as their `n,<col>` stats so metadata-only
@@ -2399,8 +2430,7 @@ object TxTable {
         nStats ++ intParts + (bytesKey -> (bytes, bytes)) ++
           physParts.map(p => s"$nullsPrefix$p" -> (0L, 0L)),
         sBounds ++ strHex.map { case (p, h) => p -> (h, h) },
-        sExact ++ strHex,
-        spillHstats(fs, rp, dirName, hBlobs, hllInlineMax(spark)))
+        sExact ++ strHex, spilled(dirName))
     }
     commitRetry(spark, root) { prevV =>
       if (skipIf(prevV)) {

@@ -275,6 +275,24 @@ class StatsAggSpec extends SparkSpec {
       assert(statsServed(scalar),
         scalar.queryExecution.optimizedPlan.toString)
       assert(scalar.head.getLong(0) === 40L)
+      // MULTI-KEY grouped approx NDV: the composite clustering proof
+      // serves (b, s) groups the same way
+      val root2 = tmpDir() + "/andv2"
+      val df2 = (1L to 400L).map(k =>
+        (k, k % 2, if (k % 4 < 2) "x" else "y", k % 40))
+        .toDF("k", "b", "s", "u")
+      TxTable.appendPartitionedBy(df2, root2, Seq("b", "s"),
+        Seq("u"))
+      val multi = spark.read.format("graft-tx").load(root2)
+        .groupBy($"b", $"s")
+        .agg(approx_count_distinct($"u").as("andv"))
+      assert(statsServed(multi),
+        multi.queryExecution.optimizedPlan.toString)
+      val gotMulti = multi.collect()
+        .map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
+      // per (b, s) cell: u = k % 40 over k ≡ cell (mod 4) → 10 each
+      assert(gotMulti.size === 4 && gotMulti.values.forall(_ === 10L),
+        s"got $gotMulti")
       // one sketch-less dir voids the serve — bails to the scan,
       // never an undercount
       TxTable.append(Seq((1000L, 9L, 999L)).toDF("k", "b", "u"), root)
