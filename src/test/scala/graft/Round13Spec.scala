@@ -79,6 +79,45 @@ class Round13Spec extends SparkSpec {
     assert(TxTable.read(spark, root).count() === 60000L)
   }
 
+  test("spilled HLL sidecars serve across clones and time travel") {
+    // clone entries carry ABSOLUTE source dirs; the sidecar resolver
+    // must follow them (a sidecar lives IN its dir, wherever that is)
+    val src = tmpDir() + "/hll-clone-src"
+    val dst = tmpDir() + "/hll-clone-dst"
+    val df = (0L until 12000L).map(i => (i % 4, i)).toDF("p", "u")
+    TxTable.appendPartitionedBy(df, src, Seq("p"), Seq("u"))
+    assert(TxTable.columnNdv(spark, src)("u") > 11000L)
+    TxTable.cloneAt(spark, src, dst)
+    val cloned = TxTable.columnNdv(spark, dst)
+    assert(cloned("u") > 11000L && cloned("u") < 13000L,
+      s"the clone must resolve the source's in-dir sidecars: $cloned")
+    // time travel: v1 of the source still serves its own sketches
+    // after a later append without them
+    TxTable.append(Seq((9L, 999999L)).toDF("p", "u"), src)
+    assert(TxTable.columnNdv(spark, src, version = 1)("u") > 11000L)
+  }
+
+  test("hist: headers carry across data commits and void on change") {
+    val root = tmpDir() + "/hist-carry"
+    val df = (1L to 2000L).map(i => (i, i % 50)).toDF("k", "g")
+    TxTable.append(df, root, statsCols = Seq("k", "g"))
+    TxTable.analyze(spark, root, exact = true, histograms = true)
+    val h0 = TxTable.columnHistograms(spark, root)
+    assert(h0.contains("k") && h0.contains("g"))
+    // a METADATA-ONLY commit (rename) keeps entries identical: the
+    // carried histogram stays provably fresh and keeps serving under
+    // the new logical name's physical column
+    TxTable.renameColumn(spark, root, "g", "grp")
+    val h1 = TxTable.columnHistograms(spark, root)
+    assert(h1.contains("grp") && !h1.contains("g"),
+      s"carried histograms must follow the colmap: ${h1.keySet}")
+    // a DATA commit changes the entry multiset: stale distributions
+    // must stop serving (never misprice filters on data they don't
+    // describe)
+    TxTable.append(Seq((99999L, 1L)).toDF("k", "grp"), root)
+    assert(TxTable.columnHistograms(spark, root).isEmpty)
+  }
+
   test("a malformed sx: marker reads as unprovable, never as a " +
     "wrong exact value") {
     val root = tmpDir() + "/sx-corrupt"
