@@ -948,9 +948,22 @@ object TxTable {
     statsCols.foreach(requireStatsGrammarSafe)
     val (n, s, x, h) = dirStats(spark, rp, dirName, statsCols)
     val fs = rp.getFileSystem(spark.sessionState.newHadoopConf())
-    val bytes = fs.getContentSummary(new Path(rp, dirName)).getLength
+    // `_bytes` records DATA bytes: dirStats has already spilled any
+    // oversized hll sidecars into the dir, so subtract their lengths
+    // from the content summary — the CBO's sizeInBytes must price the
+    // scan, not the metadata riding in the same dir
+    val bytes = fs.getContentSummary(new Path(rp, dirName)).getLength -
+      sidecarBytes(fs, rp, dirName, h)
     Entry(isDelta, dirName, n + (bytesKey -> (bytes, bytes)), s, x, h)
   }
+  /** On-disk bytes of dir `d`'s SPILLED hll sidecars (entries whose
+    * blob is the `@` marker) — excluded from the `_bytes` data stat. */
+  private def sidecarBytes(fs: FileSystem, rp: Path, d: String,
+    hstats: Map[String, String]): Long =
+    hstats.collect { case (c, b) if b == hllSpillMarker =>
+      try fs.getFileStatus(hllSidecarPath(rp, d, c)).getLen
+      catch { case _: java.io.IOException => 0L }
+    }.sum
   private val bytesKey = "_bytes"
 
   /** Metadata-only on-disk size of snapshot `v` — the sum of per-dir
@@ -1188,12 +1201,35 @@ object TxTable {
       val ndvCarried =
         if (lines.exists(_.startsWith("ndv:"))) Seq.empty
         else ndvLineOf(fs, rp, prevV).toSeq
-      // equi-height histograms carry exactly like the ndv header:
-      // until the next analyze re-declares them (read side serves
-      // them only while the entry multiset is provably unchanged)
-      val histCarried =
-        if (lines.exists(_.startsWith("hist:"))) Seq.empty
-        else histLinesOf(fs, rp, prevV)
+      // equi-height histograms carry like the ndv header — but ONLY
+      // while still provably fresh against the entry multiset THIS
+      // commit declares: once a data commit changes the multiset the
+      // lines are permanently unservable (freshAt can never pass
+      // again until the next ANALYZE), so carrying them further would
+      // put O(cols x bins) dead bytes on every later commit's
+      // planning path. The check runs only when there are lines to
+      // carry, and compares the new commit's own entry lines (the
+      // same proof the read side runs).
+      val histCarried = {
+        val c0 =
+          if (lines.exists(_.startsWith("hist:"))) Seq.empty
+          else histLinesOf(fs, rp, prevV)
+        if (c0.isEmpty) c0
+        else {
+          val newEntries = expandEntryLines(fs, rp, lines.filter(l =>
+            l.startsWith("include:") || parseEntry(l).isDefined))
+            .flatMap(parseEntry).map(_.line).sorted
+          val freshAv = scala.collection.mutable.HashMap[String, Boolean]()
+          c0.filter { hl =>
+            val av = hl.drop(5).takeWhile(_ != ';')
+            freshAv.getOrElseUpdate(av,
+              av.nonEmpty && av.forall(_.isDigit) &&
+                (try newEntries ==
+                  snapshotEntries(fs, rp, av.toInt).map(_.line).sorted
+                catch { case _: Throwable => false }))
+          }
+        }
+      }
       val (packedLines, staged) = packEntryLines(fs, rp, prevV,
         mapCarried ++ ndvCarried ++ histCarried ++ lines ++ carried,
         rollover)
@@ -1597,7 +1633,18 @@ object TxTable {
         strIdx.find(_._2 == i) match {
           case Some((_, _, key)) =>
             val cuts = cutsOf.getOrElse(i, Seq.empty)
-            if (cuts.isEmpty) ZDim(key, None, 0L, 0L)
+            if (cuts.isEmpty) {
+              // near-unreachable guard (percentile over non-null keys
+              // returns non-null): lo=hi=0 would make
+              // zValueExprScaled treat a raw 60-bit key as a 1-bit
+              // span and shift it into the sign bit — pass the
+              // OBSERVED key bounds instead so the span is real
+              // (layout quality only; stats stay sound either way)
+              val p = R.commonPrefixBytes(r.getString(2 * i),
+                r.getString(2 * i + 1))
+              ZDim(key, None, R.strZKeyOf(r.getString(2 * i), p),
+                R.strZKeyOf(r.getString(2 * i + 1), p))
+            }
             else ZDim(key, Some(cuts), 0L, cuts.size.toLong)
           case None => ZDim(R.strZKeyExpr(c), None, 0L, 0L) // all NULL
         }
@@ -2412,7 +2459,10 @@ object TxTable {
     val entries = tuples.map { vs =>
       val dirName = dirNameOf(vs)
       val (nStats, sBounds, sExact, _) = statRows(vs)
-      val bytes = fs.getContentSummary(new Path(rp, dirName)).getLength
+      // data bytes only — the pooled spill above just added sidecars
+      // to the dir (same discipline as statsEntry)
+      val bytes = fs.getContentSummary(new Path(rp, dirName)).getLength -
+        sidecarBytes(fs, rp, dirName, spilled(dirName))
       // the NULL-rejection above proved the partition columns null-
       // free — record that as their `n,<col>` stats so metadata-only
       // GROUP BY on a partition column can trust the per-dir counts.
@@ -3748,6 +3798,9 @@ object TxTable {
     * fresh (the analyze-time entry multiset is unchanged; a stale
     * distribution would misprice filters worse than none). Malformed
     * lines are dropped, never misparsed. */
+  private val histCache: java.util.Map[
+    String, (Int, Map[String, (Double, Seq[(Double, Double, Long)])])] =
+    lruMap(1024)
   private[graft] def columnHistograms(spark: SparkSession, root: String,
     version: Int = -1)
     : Map[String, (Double, Seq[(Double, Double, Long)])] = {
@@ -3756,6 +3809,17 @@ object TxTable {
     if (v == 0) return Map.empty
     val lines = histLinesOf(fs, rp, v)
     if (lines.isEmpty) return Map.empty
+    // the freshness proof below reads and sorts the full entry list of
+    // BOTH the current and the analyze-time snapshot — cache the
+    // parsed result per (root, version), validated by the commit's own
+    // (FileStatus-checked) line text like hllNdvCache, so repeated
+    // planning calls pay O(1), and a recreated table at the same path
+    // can never serve the ghost's distributions
+    val cacheKey = rp.makeQualified(fs.getUri, fs.getWorkingDirectory)
+      .toString + "#" + v
+    val sig = commitLines(fs, rp, v).hashCode
+    val cached = histCache.get(cacheKey)
+    if (cached != null && cached._1 == sig) return cached._2
     val m = snapshotColMap(fs, rp, v)
     def logicalOf(p: String): Option[String] = m match {
       case Some(mm) => liveMap(mm).find(_._2 == p).map(_._1)
@@ -3768,7 +3832,7 @@ object TxTable {
         (try snapshotEntries(fs, rp, v).map(_.line).sorted ==
           snapshotEntries(fs, rp, av.toInt).map(_.line).sorted
         catch { case _: Throwable => false }))
-    lines.flatMap { line =>
+    val out = lines.flatMap { line =>
       val segs = line.drop(5).split(";")
       if (segs.length < 4) None
       else {
@@ -3786,6 +3850,8 @@ object TxTable {
         }
       }
     }.toMap
+    histCache.put(cacheKey, (sig, out))
+    out
   }
 
   /** ANALYZE TABLE — record per-column distinct-value counts in the
@@ -3904,10 +3970,19 @@ object TxTable {
     // in ITS column's equi-height endpoints, clamped to [0, bins).
     val structs = live.map { case (c, _, e) =>
       val d = dcol(c)
-      val rank = aggregate(lit(e.toArray), lit(0),
-        (acc, ep) => acc + when(d >= ep, 1).otherwise(0))
-      struct(least(greatest(rank - 1, lit(0)), lit(bins - 1)).as("bin"),
-        d.as("v"))
+      // rank = |{endpoints <= v}| by a BINARY-SEARCH case tree over
+      // the sorted endpoints — O(log bins) comparisons per row where
+      // the old linear fold paid O(bins); identical result (standard
+      // upper bound over a nondecreasing array, NULLs rank 0 exactly
+      // as the fold's when(...).otherwise(0) did)
+      def rank(lo: Int, hi: Int): org.apache.spark.sql.Column =
+        if (lo == hi) lit(lo)
+        else {
+          val mid = (lo + hi) / 2
+          when(d >= e(mid), rank(mid + 1, hi)).otherwise(rank(lo, mid))
+        }
+      struct(least(greatest(rank(0, e.size) - 1, lit(0)),
+        lit(bins - 1)).as("bin"), d.as("v"))
     }
     val ndvMap: Map[(Int, Int), Long] =
       df.select(posexplode(array(structs: _*)))
@@ -4056,8 +4131,17 @@ object TxTable {
     * qualifies only when EVERY live dir carries its blob — one
     * blob-less dir (a pre-HLL commit, a zero-job staged promote)
     * makes the column unservable rather than silently under-counted. */
-  private val hllNdvCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (Int, Map[String, Long])]()
+  // access-ordered LRU: a busy multi-table driver crossing the bound
+  // evicts one cold entry, not (the old clear()) every table's merged
+  // sketches at once
+  private def lruMap[V](cap: Int): java.util.Map[String, V] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, V](64, 0.75f, true) {
+        override def removeEldestEntry(
+          e: java.util.Map.Entry[String, V]): Boolean = size > cap
+      })
+  private val hllNdvCache: java.util.Map[String, (Int, Map[String, Long])] =
+    lruMap(1024)
   private def mergedNdvPhys(fs: FileSystem, rp: Path,
     v: Int): Map[String, Long] = {
     if (v == 0) return Map.empty
@@ -4081,7 +4165,6 @@ object TxTable {
         org.apache.datasketches.hll.HllSketch.heapify(blobs((e.dir, c)))))
       c -> math.max(1L, math.round(u.getResult.getEstimate))
     }.toMap
-    if (hllNdvCache.size >= 1024) hllNdvCache.clear()
     hllNdvCache.put(key, (sig, out))
     out
   }
