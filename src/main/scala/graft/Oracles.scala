@@ -600,6 +600,20 @@ object Oracles {
         |  AND strftime(o_orderdate, '%Y-%m') < '1998-01'
         |GROUP BY 1""".stripMargin,
 
+    // VALUE-column filter pushdown on the SPJ face
+    // (TxTable.spjValueGateQuery): the price predicate rides to the
+    // parquet readers as a FilterCompat predicate, the custkey
+    // residue stays above the scan; the oracle replays both over raw
+    // orders — hash equality proves pushdown subtracted only I/O
+    "q_txtable_spj_value" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |  count(*) AS cnt, CAST(sum(o_orderkey) AS BIGINT) AS sum_okey
+        |FROM orders
+        |WHERE CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+        |    > 100000.0
+        |  AND o_custkey % 10 = 0
+        |GROUP BY 1""".stripMargin,
+
     // METADATA-GROUPED APPROX COUNT(DISTINCT)
     // (TxTable.groupedNdvGateQuery): the Spark side answers
     // approx_count_distinct per partition from merged per-dir HLL

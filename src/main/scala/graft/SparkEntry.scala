@@ -150,6 +150,8 @@ object SparkEntry {
     "q_txtable_spj_str" -> (graft.sources.TxTable.spjStrGateQuery _),
     "q_txtable_spj_str_range" ->
       (graft.sources.TxTable.spjStrRangeGateQuery _),
+    "q_txtable_spj_value" ->
+      (graft.sources.TxTable.spjValueGateQuery _),
     "q_txtable_grouped_ndv" ->
       (graft.sources.TxTable.groupedNdvGateQuery _),
     "q_txtable_stream_part" ->

@@ -231,10 +231,23 @@ private[sources] object TxParquetIO {
     }
   }
 
-  def reader(path: Path, fields: StructType,
-    conf: Configuration): ParquetReader[InternalRow] =
-    ParquetReader.builder(new RowReadSupport(fields), path)
-      .withConf(conf).build()
+  /** `filter` engages parquet-mr's own two-level skipping: row groups
+    * whose column statistics (or dictionary/bloom) provably exclude
+    * the predicate are never read, and surviving groups apply it
+    * record-level before materialization (FilterCompat — the same
+    * public API Spark's file source uses). Callers must keep every
+    * predicate column in `fields` (parquet binds record filters to
+    * the requested projection) and must RE-EVALUATE the predicate
+    * above: the pushed form is allowed to over-keep (e.g. NULL rows
+    * under a negation), never to over-drop. */
+  def reader(path: Path, fields: StructType, conf: Configuration,
+    filter: Option[org.apache.parquet.filter2.predicate.FilterPredicate]
+      = None): ParquetReader[InternalRow] = {
+    val b = ParquetReader.builder(new RowReadSupport(fields), path)
+      .withConf(conf)
+    filter.fold(b)(f => b.withFilter(
+      org.apache.parquet.filter2.compat.FilterCompat.get(f))).build()
+  }
 
   // ---------------------------------------------------------- writing
 

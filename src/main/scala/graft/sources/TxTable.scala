@@ -4927,6 +4927,30 @@ object TxTable {
       .agg(count(lit(1)).as("cnt"), sum(col("o_orderkey")).as("sum_okey"))
   }
 
+  /** Gate: VALUE-COLUMN filter pushdown on the SPJ face
+    * (q_txtable_spj_value). Orders partitioned by order-month; the
+    * query filters on PRICE and a custkey residue — neither prunes a
+    * partition, so every surviving row flows through the DSv2
+    * parquet readers with the price predicate pushed as a parquet-mr
+    * FilterPredicate (row-group stats skip + record-level filter;
+    * SpjSpec asserts the rows-read metric drops) while the residue
+    * stays above the scan. Hash equality against the oracle proves
+    * the pushed path computes exactly the unpushed answer — pushdown
+    * subtracts I/O, never rows. */
+  def spjValueGateQuery(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    val root = graft.Scratch.freshRoot(s, "graft-spjvalue", dir)
+    val o = graft.Tables.orders(s, dir).select(col("o_orderkey"),
+      col("o_custkey"),
+      col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"),
+      date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+    appendPartitioned(o, root, "month", statsCols = Seq("o_orderkey"))
+    s.read.format("graft-tx").option("partitionCol", "month").load(root)
+      .filter(col("price") > 100000.0 && col("o_custkey") % 10 === 0)
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("cnt"), sum(col("o_orderkey")).as("sum_okey"))
+  }
+
   /** Gate: CBO JOIN REORDER over catalog graft-tx tables
     * (q_txtable_cbo_join). Three catalog tables — lineitem-scale ×
     * orders-scale × nation-scale — joined WRITTEN big×big×small with

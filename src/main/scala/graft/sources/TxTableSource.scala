@@ -462,6 +462,197 @@ object TxTableSource {
     b: (Long, Long)): (Long, Long) =
     (math.max(a._1, b._1), math.min(a._2, b._2))
 
+  /** Catalyst pushed filters → one parquet-mr `FilterPredicate` (the
+    * public FilterCompat face), for the DSv2 scans that move rows
+    * through [[TxParquetIO]] and so never meet Spark's own parquet
+    * pushdown: row groups whose stats exclude the predicate are
+    * skipped unread, survivors filter record-level. CONSERVATIVE BY
+    * CONSTRUCTION — Spark re-evaluates every filter above the scan
+    * (the builders report all filters unhandled), so a translation
+    * may OVER-KEEP but must never over-drop:
+    *  - leaves translate only on types whose parquet encoding is an
+    *    order-preserving match (int/long families incl. date,
+    *    float/double, string as UTF-8 binary, boolean equality);
+    *    timestamps are skipped (INT96 legacy files have no usable
+    *    stats) and so are decimals/binaries;
+    *  - AND may keep one translatable side (still subtractive); OR
+    *    and NOT require complete children — a partial NOT/OR would
+    *    over-drop (De Morgan: NOT(a AND b) pushed as NOT a drops rows
+    *    where only b failed);
+    *  - parquet's NULL semantics differ from SQL under negation
+    *    (notEq keeps NULL rows SQL would drop) — over-keeping again.
+    * `physOf` maps the filter's logical names to physical file
+    * columns; `skip` excludes columns already handled elsewhere
+    * (partition keys — their value is constant per scan unit, so a
+    * record-level re-check would be pure per-row overhead). */
+  private[graft] def parquetPredicate(filters: Seq[Filter],
+    physOf: String => String,
+    typeOf: String => Option[org.apache.spark.sql.types.DataType],
+    skip: String => Boolean)
+    : Option[org.apache.parquet.filter2.predicate.FilterPredicate] = {
+    import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
+    import org.apache.parquet.io.api.Binary
+    import org.apache.spark.sql.types._
+    def intOf(v: Any): Option[java.lang.Integer] = v match {
+      case i: Int => Some(Int.box(i))
+      case s: Short => Some(Int.box(s.toInt))
+      case b: Byte => Some(Int.box(b.toInt))
+      case d: java.sql.Date => Some(Int.box(
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d)))
+      case d: java.time.LocalDate => Some(Int.box(d.toEpochDay.toInt))
+      case _ => None
+    }
+    def cmp(op: String, a0: String, v: Any): Option[FilterPredicate] = {
+      val a = physOf(a0)
+      typeOf(a0).flatMap {
+        case IntegerType | ShortType | ByteType | DateType =>
+          val c = FilterApi.intColumn(a)
+          intOf(v).map {
+            case x => op match {
+              case "eq" => FilterApi.eq(c, x)
+              case "gt" => FilterApi.gt(c, x)
+              case "ge" => FilterApi.gtEq(c, x)
+              case "lt" => FilterApi.lt(c, x)
+              case _ => FilterApi.ltEq(c, x)
+            }
+          }
+        case LongType =>
+          val c = FilterApi.longColumn(a)
+          val lv: Option[java.lang.Long] = v match {
+            case l: Long => Some(Long.box(l))
+            case i: Int => Some(Long.box(i.toLong))
+            case s: Short => Some(Long.box(s.toLong))
+            case _ => None
+          }
+          lv.map { x => op match {
+            case "eq" => FilterApi.eq(c, x)
+            case "gt" => FilterApi.gt(c, x)
+            case "ge" => FilterApi.gtEq(c, x)
+            case "lt" => FilterApi.lt(c, x)
+            case _ => FilterApi.ltEq(c, x)
+          } }
+        case FloatType =>
+          val c = FilterApi.floatColumn(a)
+          val fv: Option[java.lang.Float] = v match {
+            case f: Float => Some(Float.box(f))
+            case _ => None
+          }
+          fv.map { x => op match {
+            case "eq" => FilterApi.eq(c, x)
+            case "gt" => FilterApi.gt(c, x)
+            case "ge" => FilterApi.gtEq(c, x)
+            case "lt" => FilterApi.lt(c, x)
+            case _ => FilterApi.ltEq(c, x)
+          } }
+        case DoubleType =>
+          val c = FilterApi.doubleColumn(a)
+          val dv: Option[java.lang.Double] = v match {
+            case d: Double => Some(Double.box(d))
+            case f: Float => Some(Double.box(f.toDouble))
+            case _ => None
+          }
+          dv.map { x => op match {
+            case "eq" => FilterApi.eq(c, x)
+            case "gt" => FilterApi.gt(c, x)
+            case "ge" => FilterApi.gtEq(c, x)
+            case "lt" => FilterApi.lt(c, x)
+            case _ => FilterApi.ltEq(c, x)
+          } }
+        case StringType =>
+          val c = FilterApi.binaryColumn(a)
+          val sv: Option[Binary] = v match {
+            case s: String => Some(Binary.fromString(s))
+            case u: org.apache.spark.unsafe.types.UTF8String =>
+              Some(Binary.fromConstantByteArray(u.getBytes))
+            case _ => None
+          }
+          // UTF-8 binary comparison IS Spark's own string order
+          sv.map { x => op match {
+            case "eq" => FilterApi.eq(c, x)
+            case "gt" => FilterApi.gt(c, x)
+            case "ge" => FilterApi.gtEq(c, x)
+            case "lt" => FilterApi.lt(c, x)
+            case _ => FilterApi.ltEq(c, x)
+          } }
+        case BooleanType if op == "eq" =>
+          v match {
+            case b: Boolean =>
+              Some(FilterApi.eq(FilterApi.booleanColumn(a), Boolean.box(b)))
+            case _ => None
+          }
+        case _ => None
+      }
+    }
+    def nullP(a0: String, neg: Boolean): Option[FilterPredicate] = {
+      val a = physOf(a0)
+      typeOf(a0).flatMap {
+        case IntegerType | ShortType | ByteType | DateType =>
+          val c = FilterApi.intColumn(a)
+          val z = null.asInstanceOf[java.lang.Integer]
+          Some(if (neg) FilterApi.notEq(c, z) else FilterApi.eq(c, z))
+        case LongType =>
+          val c = FilterApi.longColumn(a)
+          val z = null.asInstanceOf[java.lang.Long]
+          Some(if (neg) FilterApi.notEq(c, z) else FilterApi.eq(c, z))
+        case FloatType =>
+          val c = FilterApi.floatColumn(a)
+          val z = null.asInstanceOf[java.lang.Float]
+          Some(if (neg) FilterApi.notEq(c, z) else FilterApi.eq(c, z))
+        case DoubleType =>
+          val c = FilterApi.doubleColumn(a)
+          val z = null.asInstanceOf[java.lang.Double]
+          Some(if (neg) FilterApi.notEq(c, z) else FilterApi.eq(c, z))
+        case StringType =>
+          val c = FilterApi.binaryColumn(a)
+          val z = null.asInstanceOf[Binary]
+          Some(if (neg) FilterApi.notEq(c, z) else FilterApi.eq(c, z))
+        case BooleanType =>
+          val c = FilterApi.booleanColumn(a)
+          val z = null.asInstanceOf[java.lang.Boolean]
+          Some(if (neg) FilterApi.notEq(c, z) else FilterApi.eq(c, z))
+        case _ => None
+      }
+    }
+    // `exact` marks positions under NOT/OR where a partial translation
+    // would over-drop; at the top and under AND, partial is sound
+    def conv(f: Filter, exact: Boolean): Option[FilterPredicate] = f match {
+      case EqualTo(a, v) if !skip(a) && v != null => cmp("eq", a, v)
+      case EqualNullSafe(a, v) if !skip(a) && v != null => cmp("eq", a, v)
+      case EqualNullSafe(a, null) if !skip(a) => nullP(a, neg = false)
+      case GreaterThan(a, v) if !skip(a) && v != null => cmp("gt", a, v)
+      case GreaterThanOrEqual(a, v) if !skip(a) && v != null =>
+        cmp("ge", a, v)
+      case LessThan(a, v) if !skip(a) && v != null => cmp("lt", a, v)
+      case LessThanOrEqual(a, v) if !skip(a) && v != null =>
+        cmp("le", a, v)
+      case In(a, vs) if !skip(a) && vs.nonEmpty && vs.length <= 256 =>
+        // SQL IN never matches on a NULL element, so dropping them is
+        // exact for the kept rows; an all-NULL list stays unpushed
+        val nn = vs.filter(_ != null)
+        if (nn.isEmpty) None
+        else {
+          val parts = nn.toSeq.map(cmp("eq", a, _))
+          if (parts.exists(_.isEmpty)) None
+          else Some(parts.flatten.reduce(FilterApi.or))
+        }
+      case IsNull(a) if !skip(a) => nullP(a, neg = false)
+      case IsNotNull(a) if !skip(a) => nullP(a, neg = true)
+      case And(l, r) =>
+        (conv(l, exact), conv(r, exact)) match {
+          case (Some(x), Some(y)) => Some(FilterApi.and(x, y))
+          case (x, y) if !exact => x.orElse(y)
+          case _ => None
+        }
+      case Or(l, r) =>
+        for { x <- conv(l, exact = true); y <- conv(r, exact = true) }
+          yield FilterApi.or(x, y)
+      case Not(c) => conv(c, exact = true).map(FilterApi.not)
+      case _ => None
+    }
+    filters.flatMap(conv(_, exact = false))
+      .reduceOption(FilterApi.and)
+  }
+
   /** Pushed filters as Column predicates over the RESOLVED snapshot —
     * gets predicate pushdown into the inner parquet scans for plain
     * tables and early row pruning for merge-on-read ones. Untranslated
@@ -950,23 +1141,38 @@ class TxSpjScanBuilder(root: String, fullSchema: StructType,
       }
       pruned = true
     }
+    // VALUE-column filters are kept too: build() translates them to a
+    // parquet-mr FilterPredicate so the reader skips row groups whose
+    // stats exclude them and filters the rest record-level — without
+    // this, a selective non-partition predicate read EVERY byte of
+    // every surviving partition and filtered above the scan. All
+    // filters are still returned (= re-evaluated by Spark above), so
+    // the pushed form only ever subtracts I/O, never rows.
+    pushed = filters
     filters
   }
   private var pruned = false
-  override def pushedFilters(): Array[Filter] = Array.empty
+  private var pushed: Array[Filter] = Array.empty
+  // report the value filters the scan actually pushes (EXPLAIN's
+  // PushedFilters line); Spark still re-evaluates everything because
+  // pushFilters returned the full set as post-scan filters
+  override def pushedFilters(): Array[Filter] =
+    pushed.filter(f =>
+      f.references.nonEmpty && !f.references.exists(partCols.contains))
 
   override def build(): Scan = {
     val spark = SparkSession.active
     val version = params.get("versionasof").orElse(params.get("versionAsOf"))
       .map(_.toInt).getOrElse(-1)
     new TxSpjScan(spark, root, version, partCols, required, partPred,
-      pruned)
+      pruned, pushed)
   }
 }
 
 class TxSpjScan(spark: SparkSession, root: String, version: Int,
   partCols: Seq[String], outSchema: StructType,
-  partPred: Seq[Any] => Boolean = _ => true, pruned: Boolean = false)
+  partPred: Seq[Any] => Boolean = _ => true, pruned: Boolean = false,
+  valueFilters: Array[Filter] = Array.empty)
   extends Scan with Batch with SupportsReportPartitioning
   with SupportsRuntimeFiltering
   with org.apache.spark.sql.connector.read.SupportsReportStatistics {
@@ -1040,6 +1246,15 @@ class TxSpjScan(spark: SparkSession, root: String, version: Int,
     s"graft-tx storage-partitioned scan of $root on " +
       partCols.mkString(",")
 
+  // SQL-UI metric: rows the parquet readers actually EMITTED — after
+  // row-group stats skipping and record-level filtering — so value-
+  // filter pushdown is observable (and testable) from the standard
+  // metrics surface: a selective pushed predicate shows rows-read ~
+  // matches, not ~ table
+  override def supportedCustomMetrics()
+    : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new ParquetRowsReadMetric)
+
   override def outputPartitioning(): Partitioning =
     new KeyGroupedPartitioning(
       partCols.map(Expressions.identity).toArray[
@@ -1071,9 +1286,31 @@ class TxSpjScan(spark: SparkSession, root: String, version: Int,
     // reader's rows need no re-mapping (InternalRow is positional)
     val fileSchema = StructType(outSchema.fields.map(f =>
       f.copy(name = TxTable.physNameOf(colMap, f.name))))
+    // value filters ride to the readers as ONE parquet FilterPredicate
+    // over the PHYSICAL names (row-group stats skip + record filter);
+    // partition columns are excluded — constant per scan unit, pruning
+    // already decided them. Predicate columns are always in the read
+    // schema: Spark prunes to projection + filter references because
+    // every filter is reported post-scan.
+    val pq = TxTableSource.parquetPredicate(valueFilters.toSeq,
+      c => TxTable.physNameOf(colMap, c),
+      c => outSchema.fields.find(_.name == c).map(_.dataType),
+      partCols.contains)
     TxSpjReaderFactory(fileSchema, new SerializableConfiguration(
-      spark.sessionState.newHadoopConf()))
+      spark.sessionState.newHadoopConf()), pq)
   }
+}
+
+/** The SPJ scan's rows-read SQL metric. A TOP-LEVEL class on purpose:
+  * the SQL status listener aggregates V2 custom metrics by
+  * reflectively instantiating the metric class from its name, so an
+  * anonymous/inner class (no public no-arg constructor) would render
+  * as N/A in the UI and the history store. */
+class ParquetRowsReadMetric
+  extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "parquetRowsRead"
+  override def description(): String =
+    "rows emitted by parquet readers (post filter pushdown)"
 }
 
 /** One partition VALUE's files — the co-partitioned scan unit. */
@@ -1083,29 +1320,35 @@ case class TxSpjInputPartition(key: GenericInternalRow,
 }
 
 case class TxSpjReaderFactory(fileSchema: StructType,
-  conf: SerializableConfiguration) extends PartitionReaderFactory {
+  conf: SerializableConfiguration,
+  filter: Option[org.apache.parquet.filter2.predicate.FilterPredicate]
+    = None) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new TxSpjPartitionReader(
-      p.asInstanceOf[TxSpjInputPartition].files, fileSchema, conf)
+      p.asInstanceOf[TxSpjInputPartition].files, fileSchema, conf, filter)
 }
 
 /** Chains one value's parquet files through [[TxParquetIO]]. */
 class TxSpjPartitionReader(files: Seq[String], schema: StructType,
-  conf: SerializableConfiguration) extends PartitionReader[InternalRow] {
+  conf: SerializableConfiguration,
+  filter: Option[org.apache.parquet.filter2.predicate.FilterPredicate]
+    = None) extends PartitionReader[InternalRow] {
 
   private val it = files.iterator
   private var reader: org.apache.parquet.hadoop.ParquetReader[InternalRow] = _
   private var current: InternalRow = _
+  private var rowsRead = 0L
 
   override def next(): Boolean = {
     while (true) {
       if (reader == null) {
         if (!it.hasNext) return false
         reader = TxParquetIO.reader(
-          new org.apache.hadoop.fs.Path(it.next()), schema, conf.value)
+          new org.apache.hadoop.fs.Path(it.next()), schema, conf.value,
+          filter)
       }
       val r = reader.read()
-      if (r != null) { current = r; return true }
+      if (r != null) { current = r; rowsRead += 1; return true }
       reader.close(); reader = null
     }
     false // unreachable
@@ -1113,6 +1356,12 @@ class TxSpjPartitionReader(files: Seq[String], schema: StructType,
 
   override def get(): InternalRow = current
   override def close(): Unit = if (reader != null) reader.close()
+  override def currentMetricsValues()
+    : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(new org.apache.spark.sql.connector.metric.CustomTaskMetric {
+      override def name(): String = "parquetRowsRead"
+      override def value(): Long = rowsRead
+    })
 }
 
 /** Micro-batch change-feed stream. All methods run on the driver;

@@ -449,4 +449,141 @@ class SpjSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("UTF-8 bytes"), e.getMessage)
   }
+
+  /** Runs `df.collect()` and returns the scan's `parquetRowsRead`
+    * custom-metric total from the SQL status store (polling -- the
+    * store updates from the listener bus asynchronously). */
+  private def rowsReadOf(df: DataFrame): (Array[org.apache.spark.sql.Row],
+    Long) = {
+    val t0 = System.currentTimeMillis()
+    val out = df.collect()
+    val store = spark.sharedState.statusStore
+    val deadline = System.currentTimeMillis() + 20000
+    var metric = -1L
+    while (metric < 0 && System.currentTimeMillis() < deadline) {
+      val hit = store.executionsList().reverseIterator.filter(e =>
+        e.submissionTime >= t0 && e.completionTime.isDefined)
+        .flatMap { e =>
+          e.metrics.filter(m => m.name.contains("parquetRowsRead") ||
+            m.name.contains("rows emitted by parquet")).flatMap(m =>
+            store.executionMetrics(e.executionId).get(m.accumulatorId))
+        }.toSeq.headOption
+      hit.map(_.replaceAll("[^0-9].*", "")).filter(_.nonEmpty) match {
+        case Some(s) => metric = s.toLong
+        case None => Thread.sleep(100)
+      }
+    }
+    if (metric < 0) {
+      val diag = store.executionsList().map(e =>
+        s"exec ${e.executionId} sub=${e.submissionTime} done=" +
+          s"${e.completionTime.isDefined} wanted=" +
+          e.metrics.filter(_.name.contains("parquet"))
+            .map(m => s"${m.name}#${m.accumulatorId}").mkString(",") +
+          " values=" + store.executionMetrics(e.executionId).map {
+            case (k, v) => s"$k->${v.take(20)}" }.mkString(";")
+      ).mkString("\n")
+      fail(s"parquetRowsRead metric never appeared (t0=$t0)\n$diag")
+    }
+    (out, metric)
+  }
+
+  test("value filters reach the parquet readers: rows-read drops to " +
+    "the matching partition while results stay identical") {
+    val root = tmpDir() + "/spj-pushdown"
+    // 8 day-partitions whose AMOUNT ranges are disjoint: a selective
+    // amount predicate cannot prune on the partition axis (day is
+    // unconstrained), so without pushdown every row of every
+    // partition reaches the reader and is filtered above
+    val df = spark.range(200000).selectExpr(
+      "id % 8 as day", "id as k",
+      "(id % 8) * 10000000L + id as amount")
+    TxTable.appendPartitionedBy(df, root, Seq("day"))
+    withSpj {
+      val spj = pread(root, "day")
+      val (full, fullRows) = rowsReadOf(spj.agg(sum($"k"), count(lit(1))))
+      assert(full(0).getLong(0) === (0L until 200000L).sum &&
+        full(0).getLong(1) === 200000L)
+      assert(fullRows === 200000L, s"full scan emitted $fullRows")
+      // only day=7 rows satisfy amount >= 7e7; the pushed predicate
+      // must keep the readers from EMITTING the other 7 partitions'
+      // rows (row-group stats refute them before any page is read)
+      val (sel, selRows) = rowsReadOf(
+        spj.filter($"amount" >= 70000000L).agg(sum($"k"), count(lit(1))))
+      val expect = (0L until 200000L).filter(_ % 8 == 7)
+      assert(sel(0).getLong(0) === expect.sum &&
+        sel(0).getLong(1) === expect.size.toLong)
+      assert(selRows === 25000L,
+        s"pushed scan emitted $selRows rows, want exactly the 25000 matches")
+      // row-level correctness through the same pushed path
+      assert(spj.filter($"amount" >= 70000000L && $"k" % 5000L === 0L)
+        .select($"k").collect().map(_.getLong(0)).toSet ===
+        (0L until 200000L).filter(i => i % 8 == 7 && i % 5000 == 0).toSet)
+    }
+  }
+
+  test("the translated predicate refutes excluded files' row groups " +
+    "from their statistics alone (parquet-mr RowGroupFilter)") {
+    val root = tmpDir() + "/spj-rgskip"
+    val df = spark.range(80000).selectExpr(
+      "id % 4 as day", "id as k", "(id % 4) * 1000000L + id as amount")
+    TxTable.appendPartitionedBy(df, root, Seq("day"))
+    // the exact predicate the scan builds for WHERE amount >= 3e6
+    val pred = graft.sources.TxTableSource.parquetPredicate(
+      Seq(org.apache.spark.sql.sources.GreaterThanOrEqual(
+        "amount", 3000000L)),
+      (c: String) => c, _ => Some(org.apache.spark.sql.types.LongType),
+      _ => false)
+    assert(pred.isDefined)
+    val fc = org.apache.parquet.filter2.compat.FilterCompat.get(pred.get)
+    val conf = spark.sessionState.newHadoopConf()
+    val files = new java.io.File(root).listFiles.filter(_.isDirectory)
+      .filter(_.getName == "data").flatMap(_.listFiles)
+      .filter(_.isDirectory).flatMap(_.listFiles)
+      .filter(d => d.isDirectory && d.getName.contains("day="))
+      .flatMap(_.listFiles).filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty, s"no parquet files found under $root")
+    var kept = 0
+    var dropped = 0
+    files.foreach { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val footer = r.getFooter
+        val surviving = org.apache.parquet.filter2.compat.RowGroupFilter
+          .filterRowGroups(fc, footer.getBlocks,
+            footer.getFileMetaData.getSchema)
+        val isDay3 = f.getPath.contains("day=3")
+        if (surviving.isEmpty) dropped += 1 else kept += 1
+        assert(surviving.isEmpty != isDay3,
+          s"${f.getPath}: surviving=${surviving.size()} (day3=$isDay3)")
+      } finally r.close()
+    }
+    assert(kept > 0 && dropped > 0, s"kept=$kept dropped=$dropped")
+  }
+
+  test("pushed value filters over-keep but never over-drop: NULLs " +
+    "and negations stay SQL-correct above the scan") {
+    val root = tmpDir() + "/spj-pushnull"
+    val rows = Seq[(java.lang.Long, java.lang.Long, String)](
+      (1L, 10L, "a"), (2L, null, "a"), (3L, 30L, "a"),
+      (4L, 40L, "b"), (5L, null, "b"), (6L, 60L, "b"))
+    val df = rows.toDF("k", "v", "cat")
+    TxTable.appendPartitionedBy(df, root, Seq("cat"))
+    withSpj {
+      val spj = pread(root, "cat")
+      // NOT(v = 30): SQL drops NULL rows; parquet notEq would keep
+      // them — the re-evaluation above must land on SQL semantics
+      assert(spj.filter(!($"v" === 30L)).collect().map(_.getLong(0))
+        .toSet === Set(1L, 4L, 6L))
+      assert(spj.filter($"v".isNull).collect().map(_.getLong(0))
+        .toSet === Set(2L, 5L))
+      assert(spj.filter($"v".isNotNull && $"v" < 40L).collect()
+        .map(_.getLong(0)).toSet === Set(1L, 3L))
+      // OR across a translatable and an untranslatable leaf must not
+      // push a partial disjunct (over-drop); result stays exact
+      assert(spj.filter($"v" === 30L || $"cat".contains("b")).collect()
+        .map(_.getLong(0)).toSet === Set(3L, 4L, 5L, 6L))
+    }
+  }
 }
