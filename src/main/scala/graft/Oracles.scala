@@ -614,6 +614,16 @@ object Oracles {
         |  AND o_custkey % 10 = 0
         |GROUP BY 1""".stripMargin,
 
+    // SQL time travel on the catalog face
+    // (TxTable.timeTravelSqlGateQuery): FOR VERSION AS OF 1 over a
+    // catalog table whose v2 appended garbage; the oracle replays
+    // v1's content from raw orders — hash equality proves the pinned
+    // read serves exactly the old snapshot
+    "q_txtable_timetravel_sql" ->
+      """SELECT o_orderpriority AS prio, count(*) AS cnt,
+        |  CAST(sum(o_custkey) AS BIGINT) AS sum_ckey
+        |FROM orders GROUP BY 1""".stripMargin,
+
     // METADATA-GROUPED APPROX COUNT(DISTINCT)
     // (TxTable.groupedNdvGateQuery): the Spark side answers
     // approx_count_distinct per partition from merged per-dir HLL

@@ -152,6 +152,8 @@ object SparkEntry {
       (graft.sources.TxTable.spjStrRangeGateQuery _),
     "q_txtable_spj_value" ->
       (graft.sources.TxTable.spjValueGateQuery _),
+    "q_txtable_timetravel_sql" ->
+      (graft.sources.TxTable.timeTravelSqlGateQuery _),
     "q_txtable_grouped_ndv" ->
       (graft.sources.TxTable.groupedNdvGateQuery _),
     "q_txtable_stream_part" ->

@@ -107,6 +107,17 @@ object GraftFunctions {
     if (!spark.experimental.extraStrategies.contains(graft.plans.LshTopKJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.LshTopKJoinStrategy
+    // SQL time travel (FOR VERSION/TIMESTAMP AS OF) resolves through
+    // the session catalog's loadTable(ident, version) — install the
+    // delegating graft catalog unless the deployment already chose a
+    // spark_catalog implementation (never override an explicit choice).
+    // CatalogManager re-reads this conf lazily, so setting it on a
+    // live session takes effect at the next catalog resolution.
+    // "builtin" is Spark 4.1's DEFAULT marker value, not a choice
+    val curCat = spark.conf.getOption("spark.sql.catalog.spark_catalog")
+    if (curCat.isEmpty || curCat.contains("builtin"))
+      spark.conf.set("spark.sql.catalog.spark_catalog",
+        "graft.sources.GraftCatalog")
   }
 }
 

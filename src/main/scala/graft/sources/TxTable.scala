@@ -4951,6 +4951,36 @@ object TxTable {
       .agg(count(lit(1)).as("cnt"), sum(col("o_orderkey")).as("sum_okey"))
   }
 
+  /** Gate: SQL TIME TRAVEL on the catalog face
+    * (q_txtable_timetravel_sql). A catalog graft-tx table whose v2
+    * appended garbage rows; `SELECT ... FOR VERSION AS OF 1` must
+    * aggregate exactly the v1 snapshot — the oracle replays v1's
+    * content from raw orders, so hash equality proves the SQL-only
+    * travel path (GraftCatalog.loadTable(ident, version) →
+    * snapshot-pinned catalog table) serves the right data and none
+    * of v2's. Catalog names are per-invocation UUIDs and dropped
+    * before returning (the cboJoinGateQuery discipline — `spark.sql`
+    * analyzes eagerly, so the returned plan keeps its resolved
+    * relations). */
+  def timeTravelSqlGateQuery(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+    val root = scratchRoot("graft-ttsql", dir)
+    val o = graft.Tables.orders(spark, dir).select(col("o_orderkey"),
+      col("o_custkey"), col("o_orderpriority").as("prio"))
+    append(o, root)
+    // v2 pollution: rows time travel must never see
+    append(o.limit(100)
+      .withColumn("o_custkey", col("o_custkey") + lit(1000000000L)), root)
+    spark.sql(s"CREATE TABLE ttgate_$tag USING `graft-tx` " +
+      s"OPTIONS (path '$root')")
+    val out = spark.sql(s"SELECT prio, count(*) AS cnt, " +
+      s"sum(o_custkey) AS sum_ckey FROM ttgate_$tag FOR VERSION AS OF 1 " +
+      "GROUP BY prio")
+    spark.sql(s"DROP TABLE ttgate_$tag")
+    out
+  }
+
   /** Gate: CBO JOIN REORDER over catalog graft-tx tables
     * (q_txtable_cbo_join). Three catalog tables — lineitem-scale ×
     * orders-scale × nation-scale — joined WRITTEN big×big×small with

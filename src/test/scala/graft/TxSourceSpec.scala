@@ -770,4 +770,53 @@ class TxSourceSpec extends SparkSpec {
     assert(offsets.length === 4,
       s"1-byte budget must admit one version per batch, got ${offsets.length}")
   }
+
+  test("SQL FOR VERSION/TIMESTAMP AS OF serves catalog tables, " +
+    "bit-identical to the versionAsOf option read") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val root = tmpDir() + "/txsrc-ttsql"
+    TxTable.append(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"), root)
+    // commit mtimes have 1s granularity on some filesystems: space
+    // the versions so the timestamp boundary is unambiguous
+    Thread.sleep(1100)
+    val tsV1 = System.currentTimeMillis()
+    Thread.sleep(1100)
+    // v2 renames v -> val (metadata only); v3 appends under new names
+    TxTable.renameColumn(spark, root, "v", "value")
+    TxTable.append(Seq((3L, 30.0)).toDF("k", "value"), root)
+    spark.sql(
+      s"CREATE TABLE tt_sql USING `graft-tx` OPTIONS (path '$root')")
+    try {
+      def opt(v: Int) = spark.read.format("graft-tx")
+        .option("versionAsOf", v).load(root)
+      val sqlV1 = spark.sql("SELECT * FROM tt_sql FOR VERSION AS OF 1")
+      // the pinned version serves under ITS OWN column names
+      assert(sqlV1.columns.toSeq === Seq("k", "v"))
+      assert(sqlV1.collect().toSet === opt(1).collect().toSet)
+      val sqlV2 = spark.sql("SELECT * FROM tt_sql FOR VERSION AS OF 2")
+      assert(sqlV2.columns.toSeq === Seq("k", "value"))
+      assert(sqlV2.collect().toSet === opt(2).collect().toSet)
+      // latest (no travel) still resolves through the delegate
+      assert(spark.sql("SELECT * FROM tt_sql").collect().toSet ===
+        TxTable.read(spark, root).collect().toSet)
+      // timestamp form: an instant between v1 and v2 pins v1
+      val lit = new java.sql.Timestamp(tsV1).toInstant
+        .atZone(java.time.ZoneOffset.UTC).toLocalDateTime.toString
+        .replace("T", " ")
+      val byTs = spark.sql(
+        s"SELECT * FROM tt_sql FOR TIMESTAMP AS OF '$lit'")
+      assert(byTs.columns.toSeq === Seq("k", "v"))
+      assert(byTs.collect().toSet === opt(1).collect().toSet)
+      // a non-graft table still gets the standard unsupported error
+      spark.sql("CREATE TABLE tt_plain (k LONG) USING parquet")
+      try {
+        val e = intercept[Exception] {
+          spark.sql("SELECT * FROM tt_plain FOR VERSION AS OF 1").collect()
+        }
+        assert(e.getMessage.toLowerCase.contains("time travel"),
+          e.getMessage)
+      } finally spark.sql("DROP TABLE tt_plain")
+    } finally spark.sql("DROP TABLE tt_sql")
+  }
 }
