@@ -1,65 +1,82 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.DynamicPruning
+import org.apache.spark.sql.catalyst.expressions.{And, DynamicPruning, Expression, PredicateHelper}
 import org.apache.spark.sql.catalyst.optimizer.CostBasedJoinReorder
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+import org.apache.spark.sql.execution.dynamicpruning.{CleanupDynamicPruningFilters, PartitionPruning}
 
 /** Cost-based join reordering for V1-face graft-tx catalog tables.
   *
   * Spark's own `CostBasedJoinReorder` runs in the mid-optimizer "Join
-  * Reorder" batch — BEFORE the only extension point that can see the
+  * Reorder" batch -- BEFORE the only extension point that can see the
   * V1ScanWrapper ([[TxStatsRelay]]'s "User Provided Optimizers"
   * batch). So when that batch ran, every graft-tx catalog relation
   * still reported `defaultSizeInBytes` and no row counts: a multi-way
   * join of catalog graft-tx tables reordered on nothing and kept the
   * written order, however precise the commit metadata underneath was
-  * (TxStatsRelay.scala:26 documents the blind spot; the SPJ face — a
-  * native V2 scan whose stats exist at push-down — was never blind).
+  * (TxStatsRelay.scala:26 documents the blind spot; the SPJ face -- a
+  * native V2 scan whose stats exist at push-down -- was never blind).
   *
   * The fix runs INSIDE the same late batch, immediately after the
   * relay: once the relayed stats are on the scan relations, this rule
-  * re-invokes Spark's own `CostBasedJoinReorder` — same algorithm,
+  * re-invokes Spark's own `CostBasedJoinReorder` -- same algorithm,
   * same `spark.sql.cbo.enabled` / `spark.sql.cbo.joinReorder.enabled`
   * gates, just at a point where the inputs finally have row counts
-  * and join-key NDVs. Scoped tightly: it only fires when a RELAYED
-  * scan is actually in the plan (anything else already had its chance
-  * at the normal batch), and dynamic-pruning subqueries are vetoed
-  * PER SUBTREE, not per plan: reordering under a planted DPP filter
-  * is not provably sound (the filter's subquery is keyed to a
-  * specific build-side join and exchange reuse, and a new order could
-  * strand it), so any subtree containing a DynamicPruning expression
-  * keeps Spark's order — but its DPP-FREE SIBLING subtrees still
-  * reorder. A star join whose fact carries DPP no longer freezes the
-  * rest of the query's join trees (CboStatsSpec asserts both halves).
+  * and join-key NDVs. It fires only when a RELAYED scan is in the
+  * plan (anything else already had its chance at the normal batch).
   *
-  * Known one-way gap (by construction, documented): this rule runs in
-  * the final extension batch, AFTER SparkOptimizer's PartitionPruning
-  * batch — so a join order produced HERE can never receive the DPP
-  * filters the new order would have enabled. The veto above is the
-  * sound direction (never break planted DPP); the mirror direction
-  * (replan DPP for the new order) would need the relayed stats
-  * visible before the stock Join Reorder batch — an
-  * injectPreCBORule-style move left for a future round.
+  * DYNAMIC PRUNING x REORDER (the r13 one-way gap, closed in r14).
+  * The stock PartitionPruning batch also runs before the relay, so
+  * its decisions were made against the same missing stats -- and any
+  * DynamicPruning filter it DID plant is keyed to the WRITTEN join
+  * order. Round 13 vetoed reordering any subtree holding a
+  * DynamicPruning expression (a new order could strand the planted
+  * filter), which was sound but one-way: a plan that received DPP
+  * never reordered, and a plan reordered here never received DPP.
+  * This rule now treats planted DPP as what it is -- a re-derivable,
+  * purely SUBTRACTIVE optimization hint:
+  *   1. STRIP every DynamicPruning conjunct (always sound: the plan
+  *      without the runtime filter computes the same rows, just reads
+  *      more);
+  *   2. reorder the stripped plan with the relayed statistics;
+  *   3. if the order CHANGED, re-run Spark's own PartitionPruning
+  *      (public rule) + CleanupDynamicPruningFilters on the final
+  *      shape, re-deriving pruning filters keyed to the NEW order --
+  *      including ones the stock batch could not justify (a catalog
+  *      dim is only provably broadcast-worthy once its relayed size
+  *      is visible);
+  *   4. if the order did NOT change, keep the original plan (planted
+  *      DPP intact); a DPP-free unchanged plan still gets one
+  *      PartitionPruning pass so relay-enabled pruning plants even
+  *      without a reorder.
+  * Convergent at the batch's fixed point: re-running on the output
+  * strips, re-derives the SAME order, and (unchanged) returns the
+  * plan as-is -- one extra iteration, no exprId churn. Planted
+  * DynamicPruningSubquery expressions are planned by the same
+  * physical rules as stock ones (PlanDynamicPruningFilters runs after
+  * all optimizer batches).
   *
-  * Idempotent at fixed point: re-running on its own output re-derives
-  * the same order from the same stats. Reference analog: the
-  * reference orders its composite join inputs by declared size too —
-  * CompositeInputFormat's parser composes the smaller relation inner
-  * (src/mapred/org/apache/hadoop/mapred/join/CompositeInputFormat
-  * .java:1); here the signal is commit-log row counts reaching
-  * Catalyst's DP join enumeration. */
-object TxCboJoinReorder extends Rule[LogicalPlan] {
+  * Reference analog: the reference orders its composite join inputs
+  * by declared size too -- CompositeInputFormat's parser composes the
+  * smaller relation inner (src/mapred/org/apache/hadoop/mapred/join/
+  * CompositeInputFormat.java:1); here the signal is commit-log row
+  * counts reaching Catalyst's DP join enumeration. */
+object TxCboJoinReorder extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!conf.cboEnabled || !conf.joinReorderEnabled) return plan
-    val hasRelayed = plan.exists {
-      case r: DataSourceV2ScanRelation =>
-        r.scan.isInstanceOf[StatsV1ScanWrapper]
-      case _ => false
-    }
-    if (!hasRelayed) return plan
-    reorderDppFree(plan)
+    if (!hasRelayedScan(plan)) return plan
+    val stripped = stripDpp(plan)
+    val reordered = CostBasedJoinReorder(stripped)
+    if (reordered.fastEquals(stripped)) {
+      // no better order exists: keep the original plan -- planted DPP
+      // stays exactly where the stock pipeline put it. A DPP-free
+      // plan still gets one planting pass (the relay may have just
+      // made a dim provably broadcast-worthy).
+      if (hasDpp(plan)) plan
+      else CleanupDynamicPruningFilters(PartitionPruning(plan))
+    } else CleanupDynamicPruningFilters(PartitionPruning(reordered))
   }
 
   private def hasDpp(p: LogicalPlan): Boolean =
@@ -68,17 +85,25 @@ object TxCboJoinReorder extends Rule[LogicalPlan] {
       case _ => false
     }))
 
+  private def isDpp(e: Expression): Boolean = e.exists {
+    case _: DynamicPruning => true
+    case _ => false
+  }
+
+  /** Remove every planted DynamicPruning conjunct (dropping Filters
+    * that held nothing else) -- subtractive hints only, so the
+    * stripped plan is row-identical and safely reorderable. */
+  private def stripDpp(p: LogicalPlan): LogicalPlan =
+    if (!hasDpp(p)) p
+    else p.transformUp {
+      case f @ Filter(cond, child) if isDpp(cond) =>
+        val kept = splitConjunctivePredicates(cond).filterNot(isDpp)
+        if (kept.isEmpty) child else Filter(kept.reduce(And), child)
+    }
+
   private def hasRelayedScan(p: LogicalPlan): Boolean = p.exists {
     case r: DataSourceV2ScanRelation =>
       r.scan.isInstanceOf[StatsV1ScanWrapper]
     case _ => false
   }
-
-  /** Top-down: the largest DPP-free subtrees reorder whole; a subtree
-    * holding a DynamicPruning expression keeps its own shape but its
-    * children are each given the same chance. */
-  private def reorderDppFree(p: LogicalPlan): LogicalPlan =
-    if (!hasDpp(p)) {
-      if (hasRelayedScan(p)) CostBasedJoinReorder(p) else p
-    } else p.mapChildren(reorderDppFree)
 }

@@ -391,6 +391,76 @@ class CboStatsSpec extends SparkSpec {
     }
   }
 
+  test("a reordered star join still receives dynamic partition " +
+    "pruning (the r13 mirror gap, closed)") {
+    // written order: (fact JOIN big) JOIN filtered-dim. The stock
+    // PartitionPruning batch runs before the stats relay, so the
+    // catalog dim still reports 8 EiB there and DPP is never planted.
+    // The late pass must BOTH reorder (filtered dim first - it is
+    // tiny) AND plant a DynamicPruning filter on the SPJ fact scan of
+    // the reordered shape.
+    val rootF = tmpDir() + "/cbo-mirror-fact"
+    val fact = (1L to 50000L).map(k => (k, k % 10)).toDF("k", "b")
+    TxTable.appendPartitioned(fact, rootF, "b", statsCols = Seq("k"))
+    val rootB = tmpDir() + "/cbo-mirror-big"
+    TxTable.append((1L to 200000L).map(i => (i, i % 97)).toDF("kb", "xb"),
+      rootB, statsCols = Seq("kb"))
+    val rootD = tmpDir() + "/cbo-mirror-dim"
+    TxTable.append((0L to 9L).map(b =>
+      (b, if (b < 2) "keep" else "drop")).toDF("db", "tag"), rootD,
+      statsCols = Seq("db"))
+    Seq(rootF, rootB, rootD).foreach(r =>
+      TxTable.analyze(spark, r, exact = true))
+    spark.sql(s"CREATE TABLE mir_big USING `graft-tx` OPTIONS (path '$rootB')")
+    spark.sql(s"CREATE TABLE mir_dim USING `graft-tx` OPTIONS (path '$rootD')")
+    graft.functions.GraftFunctions.register(spark)
+    val confs = Seq(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.joinReorder.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.adaptive.enabled" -> "false")
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions.{count, lit, sum}
+      val factDf = spark.read.format("graft-tx")
+        .option("partitionCol", "b").load(rootF)
+      val big = spark.table("mir_big")
+      val dim = spark.table("mir_dim").filter($"tag" === "keep")
+      val q = factDf.join(big, $"k" === $"kb")
+        .join(dim, $"b" === $"db")
+        .agg(count(lit(1)).as("c"), sum($"k").as("s"))
+      val opt = q.queryExecution.optimizedPlan
+      // 1. the REORDERED shape: fact joins the filtered dim FIRST
+      //    (innermost join touches db), big joins after
+      val joins = opt.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }
+      val innermost = joins.filter(j =>
+        !j.children.exists(_.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Join])))
+      assert(innermost.exists(_.condition.toSeq
+          .flatMap(_.references.map(_.name)).toSet.contains("db")),
+        s"expected fact JOIN dim innermost after reorder:\n$opt")
+      // 2. the reordered plan carries a planted DynamicPruning filter
+      //    (on the fact scan - the only runtime-filterable relation)
+      val dppPresent = opt.exists(_.expressions.exists(_.exists {
+        case _: org.apache.spark.sql.catalyst.expressions.DynamicPruning =>
+          true
+        case _ => false
+      }))
+      assert(dppPresent,
+        s"expected DynamicPruning planted on the reordered plan:\n$opt")
+      // 3. and the answer is exact
+      val row = q.collect()(0)
+      val expectKs = (1L to 50000L).filter(k => k % 10 < 2)
+      assert(row.getLong(0) === expectKs.size.toLong &&
+        row.getLong(1) === expectKs.sum, row.toString)
+    } finally {
+      confs.foreach { case (k, _) => spark.conf.unset(k) }
+      Seq("mir_big", "mir_dim").foreach(t => spark.sql(s"DROP TABLE $t"))
+    }
+  }
+
   test("3-table catalog join reorders by metadata row counts") {
     // big ⋈ big2 ⋈ small, WRITTEN with the two big tables first: with
     // the relayed stats (rows + join-key NDV), CostBasedJoinReorder
