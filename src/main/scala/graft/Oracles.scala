@@ -614,6 +614,19 @@ object Oracles {
         |  AND o_custkey % 10 = 0
         |GROUP BY 1""".stripMargin,
 
+    // POSITIONAL-DELETE sidecars (TxTable.pdeleteGateQuery): two
+    // stacked scattered deletes commit (file, position) sidecars;
+    // reads anti-join them away. The oracle replays both predicates
+    // as filters over raw lineitem (SQL DELETE semantics: only rows
+    // where the predicate IS TRUE go)
+    "q_txtable_pdelete" ->
+      """SELECT l_orderkey % 10 AS bucket, count(*) AS cnt,
+        |  sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE))
+        |    AS sum_qty
+        |FROM lineitem
+        |WHERE NOT (l_partkey % 100 = 0) AND NOT (l_partkey % 100 = 7)
+        |GROUP BY 1""".stripMargin,
+
     // SQL time travel on the catalog face
     // (TxTable.timeTravelSqlGateQuery): FOR VERSION AS OF 1 over a
     // catalog table whose v2 appended garbage; the oracle replays

@@ -154,6 +154,8 @@ object SparkEntry {
       (graft.sources.TxTable.spjValueGateQuery _),
     "q_txtable_timetravel_sql" ->
       (graft.sources.TxTable.timeTravelSqlGateQuery _),
+    "q_txtable_pdelete" ->
+      (graft.sources.TxTable.pdeleteGateQuery _),
     "q_txtable_grouped_ndv" ->
       (graft.sources.TxTable.groupedNdvGateQuery _),
     "q_txtable_stream_part" ->

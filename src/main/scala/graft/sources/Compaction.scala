@@ -79,39 +79,53 @@ object Compaction {
       fs.delete(staging, true)
       fs.mkdirs(staging)
       val stagingStr = staging.toString
-      // content pass: a bin never splits across tasks (hash on bin), and
-      // within a task files arrive archive+path-ordered, so each archive
-      // is one sequential stream with offsets matching the manifest.
-      // Joining content onto the CACHED assignment (not a fresh listing)
-      // keeps both passes on the same snapshot; the length check catches
-      // files that changed size between listing and read.
-      spark.read.format("binaryFile")
-        .option("recursiveFileLookup", "true").load(src)
-        .select("path", "content")
-        .join(assigned.select("path", "archive", "length"), "path")
+      // content pass, MANIFEST-DRIVEN (r14): a bin never splits across
+      // tasks (hash on bin), and within a task files arrive
+      // archive+path-ordered, so each archive is one sequential stream
+      // with offsets matching the manifest. Only ASSIGNMENT ROWS move
+      // through the shuffle — each writing task streams its files'
+      // bytes source→archive directly, so (vs the old
+      // binaryFile⊕join shape) the source tree is LISTED ONCE, no
+      // content byte ever crosses an Exchange, and no file has to fit
+      // in a single row. Byte counts are checked per file against the
+      // listing snapshot — a source that changed mid-job still fails
+      // loudly, never writes offsets that disagree with bytes.
+      assigned.select("archive", "path", "length")
         .repartition(nBins, col("archive"))
         .sortWithinPartitions("archive", "path")
-        .select("archive", "path", "length", "content")
         .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
           val attempt = org.apache.spark.TaskContext.get().taskAttemptId()
           var current: String = null
           var out: org.apache.hadoop.fs.FSDataOutputStream = null
+          val buf = new Array[Byte](131072)
           try {
             rows.foreach { r =>
               val archive = r.getString(0)
               val path = r.getString(1)
               val expected = r.getLong(2)
-              val content = r.getAs[Array[Byte]](3)
-              if (content.length != expected) throw new IllegalStateException(
-                s"compaction: '$path' is ${content.length} bytes but the " +
-                  s"listing snapshot said $expected — source changed mid-job")
               if (archive != current) {
                 if (out != null) out.close()
                 val p = new Path(stagingStr, s"$archive.$attempt")
                 out = p.getFileSystem(confBc.value).create(p, true)
                 current = archive
               }
-              out.write(content)
+              val sp = new Path(path)
+              val in = sp.getFileSystem(confBc.value).open(sp)
+              val copied =
+                try {
+                  var n = 0L
+                  var read = in.read(buf)
+                  while (read >= 0) {
+                    out.write(buf, 0, read)
+                    n += read
+                    read = in.read(buf)
+                  }
+                  n
+                } finally in.close()
+              if (copied != expected) throw new IllegalStateException(
+                s"compaction: '$path' streamed $copied bytes but the " +
+                  s"listing snapshot said $expected — source changed " +
+                  "mid-job")
             }
           } finally if (out != null) out.close()
         }
@@ -217,12 +231,28 @@ object Compaction {
       .filter(col("doc_id") % 10 === 0)
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         val fs = new Path(stage).getFileSystem(confBc.value)
-        rows.foreach { r =>
-          val p = new Path(stage, f"doc-${r.getLong(0)}%09d.txt")
-          val out = fs.create(p, true)
-          try out.write(r.getString(1).getBytes("UTF-8"))
-          finally out.close()
-        }
+        // batched pooled creates: one tiny file per doc is the POINT
+        // (the namenode-killer shape), but a serial create loop is
+        // pure per-file RPC latency — overlap 8 ways in bounded
+        // 64-doc batches (the spillHstatsAll discipline; memory stays
+        // O(batch), not O(partition))
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+        try {
+          import scala.jdk.CollectionConverters._
+          rows.grouped(64).foreach { batch =>
+            val tasks: Seq[java.util.concurrent.Callable[Unit]] =
+              batch.map { r =>
+                val id = r.getLong(0)
+                val bytes = r.getString(1).getBytes("UTF-8")
+                () => {
+                  val out = fs.create(
+                    new Path(stage, f"doc-$id%09d.txt"), true)
+                  try out.write(bytes) finally out.close()
+                }
+              }
+            pool.invokeAll(tasks.asJava).asScala.foreach(_.get())
+          }
+        } finally pool.shutdown()
       }
     compact(spark, stage, dst, targetBytes = 64L << 10)
     readAll(spark, dst).select(

@@ -35,39 +35,77 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * from SQL. */
 class GraftCatalog extends DelegatingCatalogExtension {
 
-  override def loadTable(ident: Identifier, version: String): Table =
-    graftRootOf(ident) match {
-      case Some(root) => pinned(ident, root, "versionAsOf", version)
+  /** Plain loads too: once a custom spark_catalog is installed, Spark
+    * STOPS converting the delegate's V1Table to the provider's V2
+    * table itself (the custom catalog is expected to answer with the
+    * V2 table directly, the DeltaCatalog contract) — returning the
+    * delegate's V1Table here would silently demote every catalog
+    * graft-tx table to the plain V1 relation and lose the CBO
+    * statistics face (CboStatsSpec would see rowCount=None and the
+    * late join reorder would never fire again). */
+  override def loadTable(ident: Identifier): Table = {
+    val t = super.loadTable(ident)
+    rootOfProps(t.properties()) match {
+      case Some(root) => catalogTable(root, t, Map.empty)
+      case None => t
+    }
+  }
+
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val t = super.loadTable(ident)
+    rootOfProps(t.properties()) match {
+      case Some(root) =>
+        catalogTable(root, t, Map("versionAsOf" -> version))
       case None => super.loadTable(ident, version)
     }
+  }
 
-  override def loadTable(ident: Identifier, timestamp: Long): Table =
-    graftRootOf(ident) match {
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val t = super.loadTable(ident)
+    rootOfProps(t.properties()) match {
       case Some(root) =>
         // Spark hands MICROseconds since epoch; the commit-mtime
         // resolution (`versionAt`) speaks millis
-        pinned(ident, root, "timestampAsOf", (timestamp / 1000L).toString)
+        catalogTable(root, t,
+          Map("timestampAsOf" -> (timestamp / 1000L).toString))
       case None => super.loadTable(ident, timestamp)
     }
+  }
 
-  /** The table's graft-tx root, when `ident` IS a graft-tx catalog
-    * table: provider + path read off the delegate's own table
-    * properties (`option.path` is the CREATE TABLE option, `location`
-    * the catalog's resolved URI fallback). None for everything else. */
-  private def graftRootOf(ident: Identifier): Option[String] = {
-    val props = super.loadTable(ident).properties()
+  /** The table's graft-tx root, when the delegate's properties say it
+    * IS a graft-tx table (`option.path` is the CREATE TABLE option,
+    * `location` the catalog's resolved URI fallback). None for
+    * everything else. */
+  private def rootOfProps(
+    props: java.util.Map[String, String]): Option[String] = {
     val provider = props.get("provider")
     if (provider == null || !provider.equalsIgnoreCase("graft-tx")) None
     else Option(props.get("option.path")).orElse(Option(props.get("location")))
   }
 
-  private def pinned(ident: Identifier, root: String, key: String,
-    value: String): Table = {
+  /** The V2 catalog table of `root`, optionally snapshot-pinned. ALL
+    * of the table's declared options carry over (`option.` prefix
+    * stripped) — a `keyRange`/`colRange.*` restriction declared at
+    * CREATE TABLE must keep restricting rows and vetoing whole-table
+    * stats exactly as on the provider path. The pinned version's
+    * schema resolves under ITS OWN column mapping. A root with no
+    * commits yet (CREATE TABLE before the first load) serves an empty
+    * schema and no BATCH_READ capability, like the provider's own
+    * inferSchema contract. */
+  private def catalogTable(root: String, base: Table,
+    travel: Map[String, String]): Table = {
     val spark = SparkSession.active
-    val params = Map("path" -> root, key -> value)
-    // the PINNED snapshot's schema — colmap renames resolve under the
-    // names that version itself declared
-    val schema = TxRelation(spark, root, params).schema
+    val declared = {
+      import scala.jdk.CollectionConverters._
+      base.properties().asScala.collect {
+        case (k, v) if k.startsWith("option.") => k.drop(7) -> v
+      }.toMap
+    }
+    val params = declared ++ Map("path" -> root) ++ travel
+    val schema =
+      if (!TxTable.exists(spark, root))
+        new org.apache.spark.sql.types.StructType()
+      else TxRelation(spark, root, params).schema
     val opts = new java.util.HashMap[String, String]()
     params.foreach { case (k, v) => opts.put(k, v) }
     opts.put("provider", "graft-tx")

@@ -151,7 +151,8 @@ object TxTable {
     stats: Map[String, (Long, Long)],
     sstats: Map[String, (String, String)] = Map.empty,
     xvals: Map[String, String] = Map.empty,
-    hstats: Map[String, String] = Map.empty) {
+    hstats: Map[String, String] = Map.empty,
+    pdels: Map[String, Long] = Map.empty) {
     def line: String = {
       val kind = if (isDelta) "delta:" else "dir:"
       kind + dir + stats.toSeq.sortBy(_._1)
@@ -161,7 +162,9 @@ object TxTable {
         xvals.toSeq.sortBy(_._1)
           .map { case (c, h) => s"|sx:$c=$h" }.mkString +
         hstats.toSeq.sortBy(_._1)
-          .map { case (c, b) => s"|hll:$c=$b" }.mkString
+          .map { case (c, b) => s"|hll:$c=$b" }.mkString +
+        pdels.toSeq.sortBy(_._1)
+          .map { case (n, k) => s"|pd:$n=$k" }.mkString
     }
   }
 
@@ -183,6 +186,14 @@ object TxTable {
   // inline cap and lives in-dir as `_hll-<hex(col)>` (see
   // [[hllInlineMax]] — commit metadata stays bounded per dir).
   private val hllStatSeg = """hll:([^=|]+)=(@|[A-Za-z0-9+/=]*)""".r
+  // POSITIONAL-DELETE sidecar (`|pd:<name>=<deletedRows>`): an
+  // immutable in-dir `_pdel-<uuid>` parquet directory of (_file,
+  // _pos) pairs the read side anti-joins away. The entry's `_rows`
+  // stat is ADJUSTED at delete time (stays exact); min/max/null
+  // stats stay as written — sound for pruning (over-wide), but no
+  // longer attained, so the metadata-exactness proofs veto dirs
+  // carrying pd segments (see metadataAgg / partitionFileSlices).
+  private val pdSeg = """pd:([^=|]+)=(\d+)""".r
   private def parseEntry(l: String): Option[Entry] = {
     val (isDelta, rest) =
       if (l.startsWith("dir:")) (false, l.drop(4))
@@ -199,15 +210,19 @@ object TxTable {
     val hstats = segs.collect {
       case hllStatSeg(c, b) => c -> b
     }.toMap
+    val pdels = segs.collect {
+      case pdSeg(n, k) => n -> k.toLong
+    }.toMap
     val stats = segs.flatMap {
       case strStatSeg(_, _, _) => None
       case sxStatSeg(_, _) => None
       case hllStatSeg(_, _) => None
+      case pdSeg(_, _) => None
       case statSeg(c, lo, hi) =>
         scala.util.Try(c -> (lo.toLong, hi.toLong)).toOption
       case _ => None
     }.toMap
-    Some(Entry(isDelta, parts.head, stats, sstats, xvals, hstats))
+    Some(Entry(isDelta, parts.head, stats, sstats, xvals, hstats, pdels))
   }
 
   /** STRING min/max stats live in UTF-8 BYTE space, hex-encoded into
@@ -645,15 +660,26 @@ object TxTable {
       // dirs share one schema) keeps the single multi-path scan — one
       // FileSourceScan over every dir, no per-dir union overhead; the
       // schema probe reads footers only (driver-side metadata).
-      val paths = entries.map(e => new Path(rp, e.dir).toString)
-      val schemas = entries.map(e => schemaOf.get(e.dir))
-      if (schemas.distinct.size == 1 && schemas.head.isDefined)
-        rangeFilter(spark.read.schema(schemas.head.get).parquet(paths: _*))
-      else if (schemas.distinct.size == 1)
-        rangeFilter(spark.read.parquet(paths: _*))
-      else
-        rangeFilter(entries.map(e => readDir(e.dir))
-          .reduce(_.unionByName(_, allowMissingColumns = true)))
+      // Dirs carrying positional-delete sidecars leave the fast path
+      // (each needs its own per-dir anti-join) and union back in —
+      // the CLEAN majority still scans as one multi-path relation.
+      val (pdE, cleanE) = entries.partition(_.pdels.nonEmpty)
+      val cleanDf: Option[DataFrame] =
+        if (cleanE.isEmpty) None
+        else {
+          val paths = cleanE.map(e => new Path(rp, e.dir).toString)
+          val schemas = cleanE.map(e => schemaOf.get(e.dir))
+          Some(
+            if (schemas.distinct.size == 1 && schemas.head.isDefined)
+              spark.read.schema(schemas.head.get).parquet(paths: _*)
+            else if (schemas.distinct.size == 1)
+              spark.read.parquet(paths: _*)
+            else cleanE.map(e => readDir(e.dir))
+              .reduce(_.unionByName(_, allowMissingColumns = true)))
+        }
+      val pdDfs = pdE.map(e => applyPdels(spark, rp, e, readDir(e.dir)))
+      rangeFilter((cleanDf.toSeq ++ pdDfs)
+        .reduce(_.unionByName(_, allowMissingColumns = true)))
     }
     else {
       // Merge-on-read, scale-safe: the base (the dirs committed before
@@ -681,7 +707,7 @@ object TxTable {
       val (baseE, tailE) = entries.zipWithIndex
         .partition { case (e, _) => origPos(e.dir) < firstDeltaPos }
       val tailParts = tailE.map { case (e, i) =>
-        val df = rangeFilter(readDir(e.dir))
+        val df = rangeFilter(applyPdels(spark, rp, e, readDir(e.dir)))
         val keyed = if (e.isDelta) df else df.withColumn("op", lit("U"))
         keyed.withColumn("_cv", lit(i.toLong))
       }
@@ -689,7 +715,7 @@ object TxTable {
       // first-seen commit order — a WIDENED delta evolves the schema
       // by name, and parts predating a column read it as null
       val basePartsRaw = baseE.map { case (e, _) =>
-        rangeFilter(readDir(e.dir))
+        rangeFilter(applyPdels(spark, rp, e, readDir(e.dir)))
       }
       val dataCols = (basePartsRaw ++ tailParts).map(_.columns.toSeq)
         .reduce((a, b) => a ++ b.filterNot(a.contains))
@@ -1830,7 +1856,7 @@ object TxTable {
       val keys = snapshotKeys(fs, rp, base)
       val statsCols = snapshotStatsCols(fs, rp, base)
       val parent = s"data/zopt-${java.util.UUID.randomUUID()}"
-      val tailDf = tail.map(e => readDirFrame(spark, rp, e.dir))
+      val tailDf = tail.map(e => visibleDirFrame(spark, rp, e))
         .reduce(_.unionByName(_, allowMissingColumns = true))
       val withZ = withZColumn(tailDf, zCols)
       val mzRow = withZ.agg(max("_z")).collect()(0)
@@ -1999,7 +2025,7 @@ object TxTable {
         else {
           val dirName = s"data/opt-${java.util.UUID.randomUUID()}"
           val merged = bin
-            .map(e => readDirFrame(spark, rp, e.dir))
+            .map(e => visibleDirFrame(spark, rp, e))
             .reduce(_.unionByName(_, allowMissingColumns = true))
           merged.write.mode("overwrite")
             .parquet(new Path(rp, dirName).toString)
@@ -2047,7 +2073,8 @@ object TxTable {
   def deleteWhere(spark: SparkSession, root: String, predSql: String,
     pruneRanges: Map[String, (Long, Long)] = Map.empty,
     rangesExact: Boolean = false,
-    strPruneRanges: Map[String, (String, String)] = Map.empty): Int = {
+    strPruneRanges: Map[String, (String, String)] = Map.empty,
+    positional: Boolean = false): Int = {
     val (fs, rp) = fsFor(spark, root)
     var staged: Seq[String] = Seq.empty
     commitRetry(spark, root) { prevV =>
@@ -2087,9 +2114,56 @@ object TxTable {
       val newLines = entries.flatMap { e =>
         if (disjoint(e)) Some(e.line)
         else if (contained(e)) None
+        else if (positional) {
+          // POSITIONAL MODE (the deletion-vector move): instead of
+          // rewriting a straddling dir copy-on-write, commit the
+          // matched rows' (file name, row index) pairs as an
+          // immutable in-dir `_pdel-<uuid>` sidecar — O(matched)
+          // bytes, not O(dir) — and adjust the entry's `_rows` stat
+          // exactly. Reads anti-join the pairs away (applyPdels);
+          // compaction folds them. Positions come from the scan's own
+          // `_metadata` columns, and prior sidecars are anti-joined
+          // FIRST so a re-delete of already-dead rows never
+          // double-subtracts `_rows`.
+          val raw0 = readDirFrame(spark, rp, e.dir)
+            .withColumn("_graft_pd_f",
+              substring_index(col("_metadata.file_path"), "/", -1))
+            .withColumn("_graft_pd_p", col("_metadata.row_index"))
+          val vis =
+            if (e.pdels.isEmpty) raw0
+            else {
+              val dels = spark.read.parquet(pdelPaths(rp, e): _*)
+              raw0.join(broadcast(dels),
+                raw0("_graft_pd_f") === dels("_file") &&
+                  raw0("_graft_pd_p") === dels("_pos"), "left_anti")
+            }
+          val (df, _) = withLogicalAliases(vis, m)
+          val name = s"_pdel-${java.util.UUID.randomUUID()}"
+          val sidecar = new Path(new Path(rp, e.dir), name)
+          df.filter(s"($predSql) IS TRUE")
+            .select(col("_graft_pd_f").as("_file"),
+              col("_graft_pd_p").as("_pos"))
+            .write.mode("overwrite").parquet(sidecar.toString)
+          staged = staged :+ s"${e.dir}/$name"
+          val n = spark.read.parquet(sidecar.toString).count()
+          val nAll = e.stats.get(rowsKey).map(_._1).getOrElse {
+            // pre-stats dirs: count the rows visible BEFORE this
+            // delete (e.pdels holds only the prior sidecars)
+            applyPdels(spark, rp, e, readDirFrame(spark, rp, e.dir))
+              .count()
+          }
+          if (n == 0L) {
+            fs.delete(sidecar, true)
+            staged = staged.filterNot(_ == s"${e.dir}/$name")
+            Some(e.line)                        // no matches: carry over
+          } else if (n == nAll) None            // fully deleted
+          else Some(e.copy(
+            stats = e.stats + (rowsKey -> (nAll - n, nAll - n)),
+            pdels = e.pdels + (name -> n)).line)
+        }
         else {
           val (df, extras) = withLogicalAliases(
-            readDirFrame(spark, rp, e.dir), m)
+            visibleDirFrame(spark, rp, e), m)
           // one pass decides: total survivors vs dir row count.
           // SQL DELETE removes only rows where the predicate is TRUE —
           // NULL-pred rows survive, so the keep filter is IS NOT TRUE
@@ -2754,7 +2828,7 @@ object TxTable {
       val newLines = entries.map { e =>
         if (disjoint(e)) e.line
         else {
-          val raw = readDirFrame(spark, rp, e.dir)
+          val raw = visibleDirFrame(spark, rp, e)
           val (df, extras) = withLogicalAliases(raw, m)
           physSets.keys.foreach { c =>
             require(raw.columns.contains(c),
@@ -2908,7 +2982,11 @@ object TxTable {
                 val n = f.getName
                 n.endsWith(".parquet") && !n.startsWith("_") &&
                   !n.startsWith(".")
-              }.orElse(ds.map(_.getPath).sortBy(_.getName)
+              }.orElse(ds.map(_.getPath)
+                // positional-delete sidecar dirs hold (_file, _pos)
+                // metadata, never the dir's data schema
+                .filterNot(_.getName.startsWith("_pdel-"))
+                .sortBy(_.getName)
                 .iterator.flatMap(firstFile(_).iterator).nextOption())
             }
             firstFile(new Path(rp, d)).map { f =>
@@ -3020,12 +3098,15 @@ object TxTable {
             val files =
               if (recursive) {
                 // entry dirs may hold partition subdirs (zopt/_b=…,
-                // appendPartitioned leaves): one recursive listing
+                // appendPartitioned leaves): one recursive listing.
+                // Positional-delete sidecar subtrees (_pdel-*) are
+                // metadata, never data — drop anything under one.
                 val it = fs.listFiles(new Path(rp, d), true)
                 val buf = scala.collection.mutable.ArrayBuffer[String]()
                 while (it.hasNext) {
                   val s = it.next()
-                  if (keep(s)) buf += s.getPath.toString
+                  if (keep(s) && !s.getPath.toString.contains("/_pdel-"))
+                    buf += s.getPath.toString
                 }
                 buf.toSeq
               } else fs.listStatus(new Path(rp, d)).filter(keep)
@@ -3077,6 +3158,46 @@ object TxTable {
       case None => spark.read.parquet(p)
     }
   }
+
+  // ------------------------------------------------ positional deletes
+
+  /** The absolute paths of entry `e`'s position-delete sidecar dirs. */
+  private def pdelPaths(rp: Path, e: Entry): Seq[String] =
+    e.pdels.keys.toSeq.sorted.map(n =>
+      new Path(new Path(rp, e.dir), n).toString)
+
+  /** `df` (a RAW scan of entry `e`'s dir) minus the positions its
+    * `pd:` sidecars record: tag each row with its (file name, row
+    * index) from the scan's own `_metadata` columns and anti-join the
+    * sidecar pairs — broadcast, because positional deletes are
+    * low-selectivity by design (a scattered delete that matches most
+    * of a dir should use the copy-on-write rewrite instead; the stats
+    * triage already routes clustered deletes there). File NAMES (not
+    * paths) key the join, so clones — whose entries borrow the source
+    * dirs by absolute path — resolve identically; names are unique
+    * within one dir and the join is per-dir. */
+  private def applyPdels(spark: SparkSession, rp: Path, e: Entry,
+    df: DataFrame): DataFrame =
+    if (e.pdels.isEmpty) df
+    else {
+      val dels = spark.read.parquet(pdelPaths(rp, e): _*)
+      val tagged = df
+        .withColumn("_graft_pd_f",
+          substring_index(col("_metadata.file_path"), "/", -1))
+        .withColumn("_graft_pd_p", col("_metadata.row_index"))
+      tagged.join(broadcast(dels),
+        tagged("_graft_pd_f") === dels("_file") &&
+          tagged("_graft_pd_p") === dels("_pos"), "left_anti")
+        .drop("_graft_pd_f", "_graft_pd_p")
+    }
+
+  /** Entry `e`'s dir as the VISIBLE frame — raw files minus any
+    * positional deletes. Every path that reads an EXISTING entry's
+    * rows (DML rewrites, compaction folds, the change feed, bloom
+    * reads) must use this, or deleted rows would resurrect. */
+  private def visibleDirFrame(spark: SparkSession, rp: Path,
+    e: Entry): DataFrame =
+    applyPdels(spark, rp, e, readDirFrame(spark, rp, e.dir))
 
   def buildBloomIndex(spark: SparkSession, root: String, colName: String,
     fpp: Double = 0.01): Int = {
@@ -3259,8 +3380,13 @@ object TxTable {
     val paths = kept.map(d => new Path(rp, d).toString)
     val schemaOf = dirSparkSchemas(spark, rp, kept)
     val schemas = kept.map(schemaOf.get)
+    val entryOf = entries.map(e => e.dir -> e).toMap
     val df =
-      if (schemas.distinct.size == 1 && schemas.head.isDefined)
+      // kept dirs with positional deletes read their VISIBLE rows
+      if (kept.exists(d => entryOf.get(d).exists(_.pdels.nonEmpty)))
+        kept.map(d => visibleDirFrame(spark, rp, entryOf(d)))
+          .reduce(_.unionByName(_, allowMissingColumns = true))
+      else if (schemas.distinct.size == 1 && schemas.head.isDefined)
         spark.read.schema(schemas.head.get).parquet(paths: _*)
       else if (schemas.distinct.size == 1)
         spark.read.parquet(paths: _*)
@@ -3481,7 +3607,7 @@ object TxTable {
         else df.select(df.columns.toSeq
           .map(c => col(c).as(ren.getOrElse(c, c))): _*)
       }
-      def dirDf(e: Entry) = readDirFrame(spark, rp, e.dir)
+      def dirDf(e: Entry) = visibleDirFrame(spark, rp, e)
       val batch: Seq[DataFrame] = op match {
         case "compact" | "rename" | "dropcol" =>
           Seq.empty // same content: new layout / new names only
@@ -4102,6 +4228,11 @@ object TxTable {
     val pgs = groupCols.map(physName(m, _))
     val pc = physName(m, col)
     val live = entries.filter(_.stats(rowsKey)._1 > 0)
+    // a positional delete leaves deleted values inside the per-dir
+    // sketches — the merged estimate would describe data the snapshot
+    // no longer serves, so any pd-carrying dir makes the whole
+    // grouped-NDV answer unservable (never silently wrong)
+    if (live.exists(_.pdels.nonEmpty)) return None
     val ok = live.forall { e =>
       pgs.forall { pg =>
         dirExactValue(e, pg).isDefined &&
@@ -4319,12 +4450,20 @@ object TxTable {
     val m = snapshotColMap(fs, rp, v)
     val total = entries.map(_.stats(rowsKey)._1).sum
     val live = entries.filter(_.stats(rowsKey)._1 > 0)
-    val ranges = cols.distinct.flatMap { c =>
-      val pc = physName(m, c)
-      val ss = live.map(_.stats.get(pc))
-      if (live.isEmpty || ss.exists(_.isEmpty)) None
-      else Some(c -> (ss.flatten.map(_._1).min, ss.flatten.map(_._2).max))
-    }.toMap
+    // positional deletes keep `_rows` EXACT (adjusted at delete time)
+    // but make min/max potentially unattained and nulls a stale upper
+    // bound: COUNT(*) stays servable; ranges are vetoed outright; a
+    // null count serves only where every pd-carrying dir recorded 0
+    // (zero can neither shrink nor grow under deletion)
+    val pdLive = live.filter(_.pdels.nonEmpty)
+    val ranges =
+      if (pdLive.nonEmpty) Map.empty[String, (Long, Long)]
+      else cols.distinct.flatMap { c =>
+        val pc = physName(m, c)
+        val ss = live.map(_.stats.get(pc))
+        if (live.isEmpty || ss.exists(_.isEmpty)) None
+        else Some(c -> (ss.flatten.map(_._1).min, ss.flatten.map(_._2).max))
+      }.toMap
     // count(c) = _rows - sum of per-dir null counts; exact iff every
     // live dir carries the `n,<c>` stat (recorded for every integral
     // stats column at write time)
@@ -4332,6 +4471,7 @@ object TxTable {
       val pc = s"$nullsPrefix${physName(m, c)}"
       val ss = live.map(_.stats.get(pc))
       if (ss.exists(_.isEmpty)) None
+      else if (pdLive.exists(!_.stats.get(pc).exists(_._1 == 0L))) None
       else Some(c -> ss.flatten.map(_._1).sum)
     }.toMap
     Some((total, ranges, nulls))
@@ -4388,18 +4528,25 @@ object TxTable {
     if (!ok) return None
     val out = live.groupBy(e => pgs.map(pg => dirExactValue(e, pg).get))
       .toSeq.map { case (gvs, es) =>
+        // grouped COUNT stays exact under positional deletes (_rows
+        // adjusted; single-valuedness/null-freedom survive deletion);
+        // ranges/nulls follow the metadataAgg pd discipline
+        val pdEs = es.filter(_.pdels.nonEmpty)
         val cnt = es.map(_.stats(rowsKey)._1).sum
-        val ranges = cols.distinct.flatMap { c =>
-          val pc = physName(m, c)
-          val ss = es.map(_.stats.get(pc))
-          if (ss.exists(_.isEmpty)) None
-          else Some(c -> (ss.flatten.map(_._1).min,
-            ss.flatten.map(_._2).max))
-        }.toMap
+        val ranges =
+          if (pdEs.nonEmpty) Map.empty[String, (Long, Long)]
+          else cols.distinct.flatMap { c =>
+            val pc = physName(m, c)
+            val ss = es.map(_.stats.get(pc))
+            if (ss.exists(_.isEmpty)) None
+            else Some(c -> (ss.flatten.map(_._1).min,
+              ss.flatten.map(_._2).max))
+          }.toMap
         val nulls = countCols.distinct.flatMap { c =>
           val pc = s"$nullsPrefix${physName(m, c)}"
           val ss = es.map(_.stats.get(pc))
           if (ss.exists(_.isEmpty)) None
+          else if (pdEs.exists(!_.stats.get(pc).exists(_._1 == 0L))) None
           else Some(c -> ss.flatten.map(_._1).sum)
         }.toMap
         (gvs, cnt, ranges, nulls)
@@ -4436,7 +4583,12 @@ object TxTable {
     // never be assigned one partition). Integral keys prove via
     // `lo == hi` range stats, string keys via the `sx:` exact marker
     // (the truncation-widened `str:` bounds deliberately don't count).
-    val ok = live.nonEmpty && live.forall { e => pgs.forall { pg =>
+    // the SPJ readers scan RAW parquet files (TxParquetIO) and never
+    // apply positional-delete sidecars — a pd-carrying dir therefore
+    // fails the clustering proof loudly rather than serving deleted
+    // rows (compaction folds the deletes and restores the face)
+    val ok = live.nonEmpty && live.forall { e => e.pdels.isEmpty &&
+      pgs.forall { pg =>
       dirExactValue(e, pg).isDefined &&
         e.stats.get(s"$nullsPrefix$pg").exists(_._1 == 0L)
     } }
@@ -4545,7 +4697,12 @@ object TxTable {
         fold.map { case (e, _) => e.dir })
       val foldSchemas = fold.map { case (e, _) => foldSchemaOf.get(e.dir) }
       val folded =
-        if (foldSchemas.distinct.size == 1 && foldSchemas.head.isDefined)
+        // a fold member with positional deletes must fold its VISIBLE
+        // rows (the per-dir path), or deleted rows would resurrect
+        if (fold.exists(_._1.pdels.nonEmpty))
+          fold.map { case (e, _) => visibleDirFrame(spark, rp, e) }
+            .reduce(_.unionByName(_, allowMissingColumns = true))
+        else if (foldSchemas.distinct.size == 1 && foldSchemas.head.isDefined)
           spark.read.schema(foldSchemas.head.get).parquet(foldPaths: _*)
         else if (foldSchemas.distinct.size == 1)
           spark.read.parquet(foldPaths: _*)
@@ -4949,6 +5106,26 @@ object TxTable {
       .filter(col("price") > 100000.0 && col("o_custkey") % 10 === 0)
       .groupBy(col("month"))
       .agg(count(lit(1)).as("cnt"), sum(col("o_orderkey")).as("sum_okey"))
+  }
+
+  /** Gate: POSITIONAL-DELETE sidecars (q_txtable_pdelete). Lineitem
+    * loaded whole, then two stacked low-selectivity scattered deletes
+    * in POSITIONAL mode — each commits O(matched) bytes of (file,
+    * position) sidecars instead of rewriting the dirs
+    * (Round14Spec asserts the byte bound) — and the read-back rollup
+    * must hash-match the oracle's plain double-NOT filter: the
+    * anti-join application loses nothing and resurrects nothing. */
+  def pdeleteGateQuery(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratchRoot("graft-pdel", dir)
+    val l = graft.Tables.lineitem(spark, dir).select(col("l_orderkey"),
+      col("l_partkey"),
+      col("l_quantity").cast("decimal(18,2)").cast("double").as("qty"))
+    append(l, root, statsCols = Seq("l_orderkey"))
+    deleteWhere(spark, root, "l_partkey % 100 = 0", positional = true)
+    deleteWhere(spark, root, "l_partkey % 100 = 7", positional = true)
+    read(spark, root)
+      .groupBy((col("l_orderkey") % 10).as("bucket"))
+      .agg(count(lit(1)).as("cnt"), sum(col("qty")).as("sum_qty"))
   }
 
   /** Gate: SQL TIME TRAVEL on the catalog face
