@@ -245,6 +245,8 @@ object SparkEntry {
     "q_dedup_cluster_sizes" -> (Dedup.clusterSizes _),
     "q_txtable_merge" -> ((s: SparkSession, d: String) =>
       graft.sources.TxTable.mergeIntoGateQuery(s, d)),
+    "q_txtable_sql_dml" -> ((s: SparkSession, d: String) =>
+      graft.sources.TxTable.sqlDmlGateQuery(s, d)),
     "q_txtable_bloom" -> ((s: SparkSession, d: String) =>
       graft.sources.TxTable.bloomGateQuery(s, d)),
     "q_bpe_fertility" -> ((s: SparkSession, d: String) =>

@@ -102,9 +102,12 @@ class GraftCatalog extends DelegatingCatalogExtension {
       }.toMap
     }
     val params = declared ++ Map("path" -> root) ++ travel
+    // a root with no commits yet serves the DECLARED schema (CREATE
+    // TABLE t (cols...) then INSERT INTO is the SQL-first bootstrap);
+    // a schemaless CREATE over an empty root stays unreadable until
+    // the first load, like the provider's inferSchema contract
     val schema =
-      if (!TxTable.exists(spark, root))
-        new org.apache.spark.sql.types.StructType()
+      if (!TxTable.exists(spark, root)) base.schema()
       else TxRelation(spark, root, params).schema
     val opts = new java.util.HashMap[String, String]()
     params.foreach { case (k, v) => opts.put(k, v) }

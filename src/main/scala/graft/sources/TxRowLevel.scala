@@ -1,0 +1,426 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, GeneralScalarExpression, LiteralValue, NamedReference}
+import org.apache.spark.sql.connector.expressions.filter.{AlwaysFalse, AlwaysTrue}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
+
+/** SQL row-level DML (`DELETE FROM` / `UPDATE` / `MERGE INTO`) for
+  * catalog `graft-tx` tables, the group-based copy-on-write shape of
+  * Spark's connector row-level API (SupportsRowLevelOperations).
+  *
+  * Spark owns ALL of the SQL semantics: `RewriteDeleteFromTable` /
+  * `RewriteUpdateTable` / `RewriteMergeIntoTable` rebuild the command
+  * as a ReplaceData plan — scan the affected groups, compute the
+  * surviving/updated rows (NULL-safe keep predicates, aligned
+  * assignments, WHEN-clause instrumentation, the MERGE cardinality
+  * check), write them back — and graft owns only what a table format
+  * must: which GROUPS a condition can touch, how their visible rows
+  * read, and how the replacement commits atomically. The group here
+  * is the commit-entry DIR (the table's immutable layout unit):
+  *
+  *  - SCAN ([[TxCowScanBuilder]]): the command's condition arrives
+  *    through `pushFilters` (GroupBasedRowLevelOperationScanPlanning).
+  *    Filters are used ONLY to refute whole dirs against the per-dir
+  *    commit stats — the exact `deleteWhere` triage — never to drop
+  *    rows: a group-based rewrite must emit EVERY row of a surviving
+  *    dir or the non-matching rows of that dir would vanish from the
+  *    table. Positional-delete sidecars are folded in the readers, so
+  *    dead rows neither reappear nor get rewritten.
+  *  - WRITE ([[TxCowBatchWrite]]): executors stage the replacement
+  *    rows as parquet files under `_staging/` ([[TxDataWriter]], the
+  *    streaming sink's writer) in PHYSICAL column names; the driver
+  *    commit swaps exactly the scanned dirs for the staged data in
+  *    one OCC commit ([[TxTable.cowCommit]]), verifying the scanned
+  *    entry lines are byte-identical at claim time — a concurrent
+  *    writer that touched an affected dir aborts the DML loudly
+  *    instead of silently losing its commit.
+  *
+  * Plain translatable DELETEs never reach this path: the catalog
+  * table also implements SupportsDeleteV2, and Spark's
+  * OptimizeMetadataOnlyDeleteFromTable routes them to
+  * [[TxTable.deleteWhere]] (whole-dir drops + per-dir rewrites, no
+  * full-table job).
+  *
+  * Reference analog: the warehouse rewrote partitions in place via
+  * job output promotion (src/mapred/org/apache/hadoop/mapred/
+  * FileOutputCommitter.java:1); here the "partition" is the commit
+  * dir and promotion is the OCC entry-line swap. */
+class GraftRowLevelOperation(root: String, logicalSchema: StructType,
+  cmd: Command) extends RowLevelOperation {
+
+  /** Set by the scan build (planning time), read by the write commit:
+    * the snapshot version, affected dirs and their exact entry lines
+    * this operation scanned. One operation instance spans scan and
+    * write — the RowLevelOperationTable contract. */
+  @volatile private[sources] var plan: Option[TxTable.CowPlan] = None
+
+  override def command(): Command = cmd
+
+  /** The source-dir metadata column. Declaring a required metadata
+    * attribute is what routes execution through Spark's
+    * DataAndMetadataWritingSparkTask — the path that applies the
+    * rewrite's row projection before rows reach the DataWriter. With
+    * NO metadata attrs, ReplaceDataExec falls back to the plain
+    * writing task and hands the writer the RAW query output, which
+    * still carries the `__row_operation` instruction column —
+    * observed as rows shifted one field right. The dir name is also
+    * genuinely useful: it is the operation's group identity. */
+  override def requiredMetadataAttributes()
+    : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column(
+      GraftTxCatalogTable.DirMetaCol))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new TxCowScanBuilder(root, logicalSchema, this)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new TxCowBatchWrite(root, GraftRowLevelOperation.this, info)
+      }
+    }
+
+  override def description(): String = s"graft-tx $cmd COW of $root"
+}
+
+/** Scan of the dirs a DML condition can touch. Pushed filters refute
+  * dirs (stats triage); every filter is reported unhandled, so Spark
+  * keeps full row semantics above — pruning is purely subtractive. */
+class TxCowScanBuilder(root: String, fullSchema: StructType,
+  op: GraftRowLevelOperation) extends ScanBuilder
+  with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = Array.empty
+
+  override def build(): Scan = {
+    val spark = SparkSession.active
+    val plan = TxTable.cowPlan(spark, root,
+      TxTableSource.rangesFromFilters(pushed),
+      TxTableSource.strRangesFromFilters(pushed))
+    op.plan = Some(plan)
+    new TxCowScan(spark, plan, required)
+  }
+}
+
+/** Batch over the affected dirs' files: one partition per data file,
+  * each carrying its dir's positional-delete sidecars so dead rows
+  * are skipped at read (and therefore dropped by the rewrite — the
+  * replacement dir is born sidecar-free). */
+class TxCowScan(spark: SparkSession, plan: TxTable.CowPlan,
+  required: StructType) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-tx COW scan of ${plan.affectedDirs.size} dir(s)"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    plan.files.map { f =>
+      TxCowInputPartition(f.path, f.dir, f.pdelFiles): InputPartition
+    }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // the `__graft_dir` metadata column is served by the reader, not
+    // the file — the rewrite appends it after the data columns
+    val metaIdx = required.fieldNames.indexOf(GraftTxCatalogTable.DirMetaCol)
+    require(metaIdx < 0 || metaIdx == required.fields.length - 1,
+      s"graft-tx: ${GraftTxCatalogTable.DirMetaCol} must be the last " +
+        s"required column, got ${required.fieldNames.mkString(",")}")
+    val dataFields = required.fields.filterNot(
+      _.name == GraftTxCatalogTable.DirMetaCol)
+    // physical file names in OUTPUT order — rows line up positionally
+    val fileSchema = StructType(dataFields.map(f =>
+      f.copy(name = TxTable.physNameOf(plan.colMap, f.name))))
+    TxCowReaderFactory(fileSchema, metaIdx >= 0,
+      new SerializableConfiguration(spark.sessionState.newHadoopConf()))
+  }
+}
+
+case class TxCowInputPartition(file: String, dir: String,
+  pdelFiles: Seq[String]) extends InputPartition
+
+case class TxCowReaderFactory(fileSchema: StructType, withDirCol: Boolean,
+  conf: SerializableConfiguration) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val cp = p.asInstanceOf[TxCowInputPartition]
+    new TxCowPartitionReader(cp.file, cp.pdelFiles, fileSchema, conf,
+      if (withDirCol) Some(cp.dir) else None)
+  }
+}
+
+/** Reads one data file through [[TxParquetIO]], skipping the row
+  * positions its dir's `pd:` sidecars recorded for THIS file name.
+  * Positions are sequential read order — sound because the reader
+  * applies no parquet filter (a row-group skip would shift them).
+  * With `dirCol` set, each row is served joined with the constant
+  * source-dir metadata column (zero-copy JoinedRow). */
+class TxCowPartitionReader(file: String, pdelFiles: Seq[String],
+  schema: StructType, conf: SerializableConfiguration,
+  dirCol: Option[String] = None)
+  extends PartitionReader[InternalRow] {
+
+  private val path = new org.apache.hadoop.fs.Path(file)
+  private lazy val dead: java.util.HashSet[Long] = {
+    val s = new java.util.HashSet[Long]()
+    if (pdelFiles.nonEmpty) {
+      val name = path.getName
+      val pdSchema = StructType(Seq(
+        org.apache.spark.sql.types.StructField("_file",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("_pos",
+          org.apache.spark.sql.types.LongType)))
+      pdelFiles.foreach { pf =>
+        val r = TxParquetIO.reader(
+          new org.apache.hadoop.fs.Path(pf), pdSchema, conf.value)
+        try {
+          var row = r.read()
+          while (row != null) {
+            if (!row.isNullAt(0) && row.getUTF8String(0).toString == name)
+              s.add(row.getLong(1))
+            row = r.read()
+          }
+        } finally r.close()
+      }
+    }
+    s
+  }
+  private lazy val reader = TxParquetIO.reader(path, schema, conf.value)
+  private val joined =
+    new org.apache.spark.sql.catalyst.expressions.JoinedRow()
+  private val metaRow = dirCol.map(d =>
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(d))))
+  private var current: InternalRow = _
+  private var pos = -1L
+
+  override def next(): Boolean = {
+    while (true) {
+      val r = reader.read()
+      if (r == null) return false
+      pos += 1
+      if (dead.isEmpty || !dead.contains(pos)) {
+        current = metaRow.fold(r: InternalRow)(m => joined(r, m))
+        return true
+      }
+    }
+    false // unreachable
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = reader.close()
+}
+
+/** The replacement write: stage in `_staging/sqldml-<id>/`, commit by
+  * swapping the scanned dirs for the staged files (one OCC commit,
+  * [[TxTable.cowCommit]]). Rows arrive in the table's LOGICAL schema
+  * and stage under the PHYSICAL names, like every other write path. */
+class TxCowBatchWrite(root: String, op: GraftRowLevelOperation,
+  info: LogicalWriteInfo) extends BatchWrite {
+
+  private val writeId = java.util.UUID.randomUUID().toString
+
+  private def planOf: TxTable.CowPlan = op.plan.getOrElse(
+    throw new IllegalStateException(
+      "graft-tx: row-level write before its scan was planned"))
+
+  override def createBatchWriterFactory(
+    pinfo: PhysicalWriteInfo): DataWriterFactory = {
+    val plan = planOf
+    val fileSchema = StructType(info.schema().fields.map(f =>
+      f.copy(name = TxTable.physNameOf(plan.colMap, f.name))))
+    TxCowWriterFactory(root, writeId, fileSchema,
+      new SerializableConfiguration(
+        SparkSession.active.sessionState.newHadoopConf()))
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val staged = messages.collect {
+      case TxCommitMessage(p, _) if p != null => p
+    }.toSeq
+    val spark = SparkSession.active
+    val opName = op.command() match {
+      case Command.DELETE => "sqldelete"
+      case Command.UPDATE => "sqlupdate"
+      case _ => "sqlmerge"
+    }
+    try TxTable.cowCommit(spark, root, planOf, staged, opName)
+    finally cleanupStaging(spark)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    cleanupStaging(SparkSession.active)
+
+  private def cleanupStaging(spark: SparkSession): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/_staging/sqldml-$writeId")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(p, true)
+    ()
+  }
+}
+
+case class TxCowWriterFactory(root: String, writeId: String,
+  schema: StructType, conf: SerializableConfiguration)
+  extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+    taskId: Long): DataWriter[InternalRow] =
+    new TxDataWriter(new org.apache.hadoop.fs.Path(
+      s"$root/_staging/sqldml-$writeId/part-$partitionId-$taskId.parquet"),
+      schema, conf)
+}
+
+/** `INSERT INTO` / `INSERT OVERWRITE` on the catalog face: executors
+  * stage rows as parquet ([[TxDataWriter]] again), the driver commit
+  * lands them as one transactional append / replace-all
+  * ([[TxTable.appendStaged]]). Appends stage under the snapshot's
+  * PHYSICAL column names; an overwrite's files are born logical and
+  * the commit resets the column mapping — the same discipline as the
+  * DataFrame-level [[TxTable.append]]/[[TxTable.overwrite]]. */
+class TxCatalogWriteBuilder(root: String, info: LogicalWriteInfo)
+  extends WriteBuilder
+  with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var replace = false
+  override def truncate(): WriteBuilder = { replace = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new TxCatalogBatchWrite(root, info, replace)
+  }
+}
+
+class TxCatalogBatchWrite(root: String, info: LogicalWriteInfo,
+  replace: Boolean) extends BatchWrite {
+
+  private val writeId = java.util.UUID.randomUUID().toString
+
+  override def createBatchWriterFactory(
+    pinfo: PhysicalWriteInfo): DataWriterFactory = {
+    val spark = SparkSession.active
+    // overwrite files are born under the LOGICAL names (the mapping
+    // resets at commit); append files must speak the snapshot's
+    // physical names
+    val fileSchema =
+      if (replace) info.schema()
+      else {
+        val m = TxTable.colMapOf(spark, root)
+        StructType(info.schema().fields.map(f =>
+          f.copy(name = TxTable.physNameOf(m, f.name))))
+      }
+    TxCowWriterFactory(root, writeId, fileSchema,
+      new SerializableConfiguration(spark.sessionState.newHadoopConf()))
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val staged = messages.collect {
+      case TxCommitMessage(p, _) if p != null => p
+    }.toSeq
+    val spark = SparkSession.active
+    try TxTable.appendStaged(spark, root, staged, replace, info.schema())
+    finally cleanupStaging(spark)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    cleanupStaging(SparkSession.active)
+
+  private def cleanupStaging(spark: SparkSession): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/_staging/sqldml-$writeId")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(p, true)
+    ()
+  }
+}
+
+/** Conservative V2-Predicate → Spark-SQL-text renderer, the bridge
+  * from SupportsDeleteV2's filter-expressible DELETE path to
+  * [[TxTable.deleteWhere]] (whose predicate is evaluated by Spark
+  * itself over per-dir frames — this never reaches another dialect).
+  * Returns None for anything outside the trusted shape; the caller's
+  * `canDeleteWhere` then refuses and Spark falls back to the
+  * copy-on-write rewrite, so an untranslatable predicate costs
+  * efficiency, never correctness. */
+private[sources] object TxV2PredicateSql {
+  import org.apache.spark.sql.types._
+
+  def render(e: V2Expression): Option[String] = e match {
+    case _: AlwaysTrue => Some("TRUE")
+    case _: AlwaysFalse => Some("FALSE")
+    case r: NamedReference if r.fieldNames().length == 1 =>
+      Some(quote(r.fieldNames()(0)))
+    case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+      renderLit(l.value, l.dataType)
+    case g: GeneralScalarExpression =>
+      val cs = g.children()
+      g.name() match {
+        case "AND" | "OR" if cs.length == 2 =>
+          bin(cs(0), cs(1), g.name())
+        case "NOT" if cs.length == 1 =>
+          render(cs(0)).map(c => s"(NOT $c)")
+        case "=" | ">" | ">=" | "<" | "<=" | "<=>" if cs.length == 2 =>
+          bin(cs(0), cs(1), g.name())
+        case "<>" | "!=" if cs.length == 2 => bin(cs(0), cs(1), "!=")
+        case "IS_NULL" if cs.length == 1 =>
+          render(cs(0)).map(c => s"($c IS NULL)")
+        case "IS_NOT_NULL" if cs.length == 1 =>
+          render(cs(0)).map(c => s"($c IS NOT NULL)")
+        case "IN" if cs.length >= 2 =>
+          val rendered = cs.map(render)
+          if (rendered.exists(_.isEmpty)) None
+          else Some(s"(${rendered.head.get} IN " +
+            s"(${rendered.tail.map(_.get).mkString(", ")}))")
+        case _ => None
+      }
+    case _ => None
+  }
+
+  private def bin(l: V2Expression, r: V2Expression,
+    sqlOp: String): Option[String] =
+    for (ls <- render(l); rs <- render(r)) yield s"($ls $sqlOp $rs)"
+
+  private def quote(name: String): String =
+    "`" + name.replace("`", "``") + "`"
+
+  private def renderLit(v: Any, dt: DataType): Option[String] = {
+    if (v == null) return None // comparisons to NULL never translate
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        Some(v.toString)
+      case BooleanType => Some(if (v == true) "TRUE" else "FALSE")
+      // round-trip through a typed CAST: covers E-notation, signed
+      // zero, Infinity and NaN without depending on literal parsing
+      case FloatType => Some(s"CAST('$v' AS FLOAT)")
+      case DoubleType => Some(s"CAST('$v' AS DOUBLE)")
+      case d: DecimalType =>
+        Some(s"CAST('$v' AS DECIMAL(${d.precision},${d.scale}))")
+      case StringType =>
+        val s = v.toString
+        Some("'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'")
+      case DateType =>
+        val days = v match {
+          case i: Integer => i.intValue
+          case i: Int => i
+          case _ => return None
+        }
+        Some(s"DATE '${java.time.LocalDate.ofEpochDay(days.toLong)}'")
+      // timestamps carry session-zone subtleties — let those take the
+      // copy-on-write path where Spark evaluates its own expression
+      case _ => None
+    }
+  }
+}

@@ -2045,6 +2045,200 @@ object TxTable {
     }
   }
 
+  /** One data file of a DML-affected dir, with the dir's positional-
+    * delete sidecar part files (dead positions fold at scan). */
+  private[sources] case class CowFile(path: String, dir: String,
+    pdelFiles: Seq[String])
+
+  /** What a SQL row-level rewrite scans and what its commit swaps:
+    * the snapshot version pinned at planning, the affected dirs with
+    * their entry lines AS WRITTEN (the commit verifies them
+    * byte-identical at claim — the OCC conflict detector), their data
+    * files, and the headers the replacement commit re-declares. */
+  private[sources] case class CowPlan(version: Int,
+    colMap: Option[Seq[(String, String)]], affectedDirs: Seq[String],
+    affectedLines: Seq[String], files: Seq[CowFile],
+    keys: Seq[String], statsCols: Seq[String])
+
+  /** Plan a group-based copy-on-write rewrite: every dir of the
+    * latest snapshot EXCEPT those the condition's bounding box
+    * provably refutes (the `deleteWhere` disjointness triage — a
+    * pruned dir cannot hold a matching row, so keeping it unrewritten
+    * is sound; Spark's ReplaceData reads every surviving dir's rows
+    * in full). Ranges arrive in LOGICAL names from the pushed
+    * filters; stats compare in physical space. */
+  private[sources] def cowPlan(spark: SparkSession, root: String,
+    colRanges: Map[String, (Long, Long)],
+    strRanges: Map[String, (String, String)]): CowPlan = {
+    val (fs, rp) = fsFor(spark, root)
+    val v = latestVersion(spark, root)
+    require(v > 0, s"txtable: nothing to rewrite at $root")
+    val entries = snapshotEntries(fs, rp, v)
+    require(!entries.exists(_.isDelta),
+      s"txtable: SQL DML needs a delta-free snapshot of $root — " +
+        "run compactSnapshot first")
+    val m = snapshotColMap(fs, rp, v)
+    val pr = physRanges(m, colRanges)
+    val spr = physStrRanges(m, strRanges)
+    def disjoint(e: Entry): Boolean = pr.exists {
+      case (c, (lo, hi)) => e.stats.get(c).exists {
+        case (elo, ehi) => ehi < lo || elo > hi } } ||
+      spr.exists { case (c, (lo, hi)) =>
+        e.sstats.get(c).exists { case (elo, ehi) =>
+          ehi < hexOf(lo) || elo > hexOf(hi) } }
+    val affected = entries.filterNot(disjoint)
+    val fmap = listDataFiles(spark, rp, affected.map(_.dir),
+      recursive = true)
+    val files = affected.flatMap { e =>
+      val pdFiles =
+        if (e.pdels.isEmpty) Seq.empty
+        else pdelPaths(rp, e).flatMap { d =>
+          val p = new Path(d)
+          fs.listStatus(p).toSeq.collect {
+            case s if s.isFile && !s.getPath.getName.startsWith("_") &&
+              !s.getPath.getName.startsWith(".") => s.getPath.toString
+          }
+        }
+      fmap.getOrElse(e.dir, Seq.empty).map(f => CowFile(f, e.dir, pdFiles))
+    }
+    CowPlan(v, m, affected.map(_.dir), affected.map(_.line), files,
+      snapshotKeys(fs, rp, v).getOrElse(Seq.empty),
+      snapshotStatsCols(fs, rp, v))
+  }
+
+  /** Commit a group-based rewrite: swap `plan`'s affected dirs for
+    * the staged files, atomically. The staged files move into ONE new
+    * data dir (stats recomputed over it); unaffected entry lines
+    * carry over from the CURRENT head — a concurrent commit that only
+    * touched other dirs composes fine, but one that changed or
+    * removed an affected dir's line aborts loudly: the scanned rows
+    * no longer describe the table, and retrying would need a re-scan
+    * the write cannot perform. Mirrors `deleteWhere`'s empty-table
+    * guard: a rewrite that leaves no entries keeps one zero-row dir
+    * so the table stays readable. */
+  private[sources] def cowCommit(spark: SparkSession, root: String,
+    plan: CowPlan, staged: Seq[String], op: String): Int = {
+    val (fs, rp) = fsFor(spark, root)
+    val affectedSet = plan.affectedLines.toSet
+    // move staged parquet into the table's data area ONCE (the entry
+    // is computed over the final dir; commit retries reuse it)
+    var ownedDirs: Seq[String] = Seq.empty
+    val newLine: Option[String] =
+      if (staged.isEmpty) None
+      else {
+        val dirName = s"data/$op-${java.util.UUID.randomUUID()}"
+        val dirPath = new Path(rp, dirName)
+        fs.mkdirs(dirPath)
+        staged.foreach { f =>
+          val src = new Path(f)
+          require(fs.rename(src, new Path(dirPath, src.getName)),
+            s"txtable: failed to stage $f into $dirName")
+        }
+        ownedDirs = ownedDirs :+ dirName
+        Some(statsEntry(spark, rp, dirName,
+          plan.keys ++ plan.statsCols).line)
+      }
+    val movedDirs = ownedDirs // survive retries; guard dirs don't
+    try commitRetry(spark, root) { prevV =>
+      // a lost race re-runs this closure: drop the prior attempt's
+      // empty-table guard dir (if any) — the new attempt re-decides
+      ownedDirs.filterNot(movedDirs.contains)
+        .foreach(d => fs.delete(new Path(rp, d), true))
+      ownedDirs = movedDirs
+      val entries = snapshotEntries(fs, rp, prevV)
+      val present = entries.map(_.line).toSet
+      val gone = plan.affectedLines.filterNot(present)
+      if (gone.nonEmpty) throw new java.util.ConcurrentModificationException(
+        s"txtable: $op of $root lost its snapshot — ${gone.size} scanned " +
+          s"dir(s) changed under the rewrite (e.g. ${gone.head.take(80)}); " +
+          "re-run the statement")
+      val kept = entries.filterNot(e => affectedSet(e.line)).map(_.line)
+      val lines =
+        if (kept.nonEmpty || newLine.nonEmpty) kept ++ newLine.toSeq
+        else {
+          // all rows gone: keep a readable zero-row schema dir
+          val schemaSrc = spark.read.parquet(
+            new Path(rp, plan.affectedDirs.head).toString)
+          val dirName = s"data/$op-${java.util.UUID.randomUUID()}"
+          schemaSrc.filter(lit(false)).write.mode("overwrite")
+            .parquet(new Path(rp, dirName).toString)
+          ownedDirs = ownedDirs :+ dirName
+          Seq(statsEntry(spark, rp, dirName,
+            plan.keys ++ plan.statsCols).line)
+        }
+      (op,
+        (if (plan.keys.nonEmpty) Seq(s"key:${plan.keys.mkString(",")}")
+         else Seq.empty) ++
+          (if (plan.statsCols.nonEmpty)
+            Seq(s"statscol:${plan.statsCols.mkString(",")}")
+           else Seq.empty) ++ lines)
+    } catch {
+      case e: Throwable =>
+        // an aborted commit leaves the moved dirs unreferenced — drop
+        // them instead of leaking until vacuum's orphan sweep
+        ownedDirs.foreach(d => fs.delete(new Path(rp, d), true))
+        throw e
+    }
+  }
+
+  /** The latest snapshot's column mapping (None = identity / no
+    * commits) — what a V2 batch writer needs to stage files under the
+    * immutable PHYSICAL names. */
+  private[sources] def colMapOf(spark: SparkSession,
+    root: String): Option[Seq[(String, String)]] = {
+    val (fs, rp) = fsFor(spark, root)
+    val v = latestVersion(spark, root)
+    if (v == 0) None else snapshotColMap(fs, rp, v)
+  }
+
+  /** Commit executor-staged parquet files as one new data dir —
+    * `INSERT INTO` (append) / `INSERT OVERWRITE` (replace-all) on the
+    * catalog face. Append carries the parent's lines and stats the new
+    * dir on the table's own declared columns (staged files are in
+    * PHYSICAL names); overwrite replaces all content with the staged
+    * logical-born files and resets the column mapping, exactly like
+    * [[overwrite]]. An empty overwrite keeps a readable zero-row dir
+    * (written from `writeSchema`). An empty append is a no-op. */
+  private[sources] def appendStaged(spark: SparkSession, root: String,
+    staged: Seq[String], replace: Boolean,
+    writeSchema: org.apache.spark.sql.types.StructType): Int = {
+    val (fs, rp) = fsFor(spark, root)
+    if (staged.isEmpty && !replace) return latestVersion(spark, root)
+    val op = if (replace) "overwrite" else "append"
+    val dirName = s"data/$op-${java.util.UUID.randomUUID()}"
+    val dirPath = new Path(rp, dirName)
+    fs.mkdirs(dirPath)
+    staged.foreach { f =>
+      val src = new Path(f)
+      require(fs.rename(src, new Path(dirPath, src.getName)),
+        s"txtable: failed to stage $f into $dirName")
+    }
+    if (staged.isEmpty) {
+      // empty INSERT OVERWRITE: a zero-row file carries the schema
+      TxParquetIO.writer(new Path(dirPath, "part-empty.parquet"),
+        writeSchema, spark.sessionState.newHadoopConf()).close()
+    }
+    try commitRetry(spark, root) { prevV =>
+      if (replace) {
+        val hadMap = prevV > 0 && snapshotColMap(fs, rp, prevV).isDefined
+        val entry = statsEntry(spark, rp, dirName, Seq.empty)
+        ("overwrite",
+          (if (hadMap) Seq("colmap:") else Seq.empty) :+ entry.line)
+      } else {
+        val statsCols =
+          if (prevV == 0) Seq.empty
+          else snapshotKeys(fs, rp, prevV).getOrElse(Seq.empty) ++
+            snapshotStatsCols(fs, rp, prevV)
+        val entry = statsEntry(spark, rp, dirName, statsCols.distinct)
+        ("append", snapshotLines(fs, rp, prevV) :+ entry.line)
+      }
+    } catch {
+      case e: Throwable =>
+        fs.delete(dirPath, true)
+        throw e
+    }
+  }
+
   /** Copy-on-write row-level DELETE (the `DELETE FROM t WHERE …` of a
     * modern table format): rows matching `predSql` leave the snapshot;
     * everything else is byte-identical and, crucially, mostly NOT
@@ -3445,6 +3639,58 @@ object TxTable {
       matchedDeleteCond = Some("o_orderkey % 9 = 0"),
       notMatchedCond = Some("s_o_custkey % 2 = 0"))
     read(spark, root)
+  }
+
+  /** Oracle-gated SQL row-level DML exercise (q_txtable_sql_dml):
+    * orders → a catalog `graft-tx` table, then the full SQL DML
+    * surface in sequence — a TRANSLATABLE range DELETE (the
+    * SupportsDeleteV2 → deleteWhere fast path), an untranslatable
+    * modulo DELETE (the group-based copy-on-write ReplaceData path),
+    * an UPDATE, a three-branch MERGE INTO (matched delete / matched
+    * update / not-matched insert), and an INSERT INTO — all issued as
+    * `spark.sql` statements against the catalog face, never the Scala
+    * API. The DuckDB oracle replays every statement relationally;
+    * hash equality proves Spark's own DML rewrites drive graft's OCC
+    * dir-swap commit to the same table state. */
+  def sqlDmlGateQuery(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratchRoot("graft-sqldmlgate", dir)
+    val o = graft.Tables.orders(spark, dir).select(
+      col("o_orderkey").as("k"), col("o_custkey").as("cust"),
+      col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"))
+    val b = o.agg(max("k")).collect()(0)
+    if (b.isNullAt(0)) return o.filter(lit(false))
+    val maxK = b.getLong(0)
+    append(o, root, statsCols = Seq("k"))
+    graft.functions.GraftFunctions.register(spark)
+    spark.sql("DROP TABLE IF EXISTS graft_sqldml_gate")
+    spark.sql("CREATE TABLE graft_sqldml_gate USING `graft-tx` " +
+      s"OPTIONS (path '$root')")
+    try {
+      spark.sql(
+        s"DELETE FROM graft_sqldml_gate WHERE k <= ${maxK / 10}")
+      spark.sql("DELETE FROM graft_sqldml_gate WHERE k % 10 = 3")
+      spark.sql(
+        "UPDATE graft_sqldml_gate SET price = price * 2 WHERE k % 10 = 4")
+      o.filter(col("k") % 10 === 5)
+        .unionByName(o.filter(col("k") % 10 === 6)
+          .select((col("k") + maxK).as("k"), col("cust"), col("price")))
+        .createOrReplaceTempView("graft_sqldml_src")
+      spark.sql(
+        """MERGE INTO graft_sqldml_gate t USING graft_sqldml_src s
+          |ON t.k = s.k
+          |WHEN MATCHED AND s.cust % 2 = 0 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET price = -1.0
+          |WHEN NOT MATCHED THEN
+          |  INSERT (k, cust, price) VALUES (s.k, s.cust, s.price)
+          |""".stripMargin)
+      spark.sql(s"INSERT INTO graft_sqldml_gate SELECT k + ${2 * maxK}, " +
+        "cust, price FROM graft_sqldml_src WHERE k % 10 = 5 AND cust % 3 = 0")
+      read(spark, root)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_sqldml_gate")
+      spark.catalog.dropTempView("graft_sqldml_src")
+      ()
+    }
   }
 
   def zoptGateQuery(spark: SparkSession, dir: String): DataFrame = {

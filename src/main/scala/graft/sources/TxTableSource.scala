@@ -86,9 +86,14 @@ class TxTableSource extends RelationProvider
   // PartitionReader/DataWriter and need no `private[sql]` bridge, so
   // they (unlike the V1 Source they replaced) run under Spark Connect.
 
-  // NOTE deliberately NOT overriding supportsExternalMetadata(): the
-  // schema is always derivable from the table itself, and `true` would
-  // make the session catalog trust its stored copy over the live one.
+  // External metadata (a user schema on CREATE TABLE) is accepted so
+  // the SQL-first bootstrap works — `CREATE TABLE t (cols) USING
+  // graft-tx` then `INSERT INTO t` — but the stored copy can never go
+  // stale: getTable below RE-DERIVES the schema from the live
+  // snapshot whenever the root has commits, so the declared schema
+  // only ever describes a not-yet-loaded root (the one state where
+  // nothing else can).
+  override def supportsExternalMetadata(): Boolean = true
 
   /** Two V2 contexts share this provider, told apart by the options:
     * the SESSION CATALOG (CREATE TABLE ... USING graft-tx) injects a
@@ -111,8 +116,16 @@ class TxTableSource extends RelationProvider
     properties: java.util.Map[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
     val root = TxTableSource.rootOfV2(options)
-    if (TxTableSource.isCatalogContext(options))
-      new GraftTxCatalogTable(schema, root, options)
+    if (TxTableSource.isCatalogContext(options)) {
+      // live schema wins over any stored CREATE TABLE copy (see
+      // supportsExternalMetadata above)
+      val spark = SparkSession.active
+      val live =
+        if (TxTable.exists(spark, root))
+          TxRelation(spark, root, TxTableSource.paramsOf(options)).schema
+        else schema
+      new GraftTxCatalogTable(live, root, options)
+    }
     // `.option("partitionCol", c)` selects the storage-partitioned
     // BATCH face: a true DSv2 scan reporting KeyGroupedPartitioning,
     // so co-clustered tables join shuffle-free
@@ -912,9 +925,32 @@ private[graft] trait TxMetaAggTable {
   * faces; column pruning and filter→range pruning flow through the
   * pushdown interfaces into `TxRelation.buildScan` exactly as on the
   * path face. */
+object GraftTxCatalogTable {
+  /** Per-row source-dir metadata column (the row-level-DML group
+    * identity; see [[GraftRowLevelOperation.requiredMetadataAttributes]]).
+    * Served by the COW scan only — a plain SELECT of it fails loudly
+    * at the V1 bridge rather than fabricating a value. */
+  val DirMetaCol = "__graft_dir"
+}
+
 class GraftTxCatalogTable(tableSchema: StructType, root: String,
   options: CaseInsensitiveStringMap)
-  extends Table with SupportsRead with TxMetaAggTable {
+  extends Table with SupportsRead with SupportsWrite with TxMetaAggTable
+  with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+  with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
+  with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  override def metadataColumns()
+    : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = GraftTxCatalogTable.DirMetaCol
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+      // nullable: MERGE-inserted rows have no source dir
+      override def isNullable: Boolean = true
+      override def comment(): String =
+        "commit-entry dir this row was read from (row-level DML group)"
+    })
 
   override def name(): String = s"graft-tx $root"
   override def schema(): StructType = tableSchema
@@ -926,12 +962,76 @@ class GraftTxCatalogTable(tableSchema: StructType, root: String,
     // an empty schema means the root had no commits at load time —
     // nothing to scan yet (matching the V1 relation's require)
     if (tableSchema.nonEmpty) caps.add(TableCapability.BATCH_READ)
+    caps.add(TableCapability.BATCH_WRITE)   // INSERT INTO
+    caps.add(TableCapability.TRUNCATE)      // INSERT OVERWRITE
     caps
   }
 
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     new TxCatalogScanBuilder(root, tableSchema,
       TxTableSource.paramsOf(options) ++ TxTableSource.paramsOf(opts))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    dmlRefusal.foreach(r => throw new UnsupportedOperationException(
+      s"graft-tx: writes to a table declared with $r are not supported"))
+    new TxCatalogWriteBuilder(root, info)
+  }
+
+  /** SQL DML is a mutation of the TABLE — it cannot target a pinned
+    * old snapshot, and a row-restricted face (keyRange/colRange/
+    * strRange declared at CREATE TABLE) sees a subset whose DML
+    * semantics on the hidden rows would be ambiguous. Refuse both
+    * loudly. */
+  private def dmlRefusal: Option[String] = {
+    val params = TxTableSource.paramsOf(options)
+    if (params.contains("versionAsOf") || params.contains("timestampAsOf"))
+      Some("a time-travel pin (FOR VERSION/TIMESTAMP AS OF reads are " +
+        "immutable)")
+    else if (metaRowRestricted)
+      Some("row-restricting options (keyRange/colRange.*/strRange.*)")
+    else None
+  }
+
+  /** Group-based copy-on-write DML: Spark's own RewriteDeleteFromTable
+    * / RewriteUpdateTable / RewriteMergeIntoTable build the ReplaceData
+    * plan; graft supplies the affected-dir scan and the dir-swap
+    * commit ([[GraftRowLevelOperation]]). */
+  override def newRowLevelOperationBuilder(
+    info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+    : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    dmlRefusal.foreach(r => throw new UnsupportedOperationException(
+      s"graft-tx: DML on a table declared with $r is not supported"))
+    () => new GraftRowLevelOperation(root, tableSchema, info.command)
+  }
+
+  /** Filter-expressible DELETE fast path (SupportsDeleteV2): Spark's
+    * OptimizeMetadataOnlyDeleteFromTable hands the condition here when
+    * every conjunct translates, and [[TxTable.deleteWhere]] runs its
+    * per-dir triage — whole-dir drops and straddler rewrites, no
+    * full-table ReplaceData job. Anything untranslatable keeps the
+    * copy-on-write path above. */
+  override def canDeleteWhere(predicates: Array[
+    org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean =
+    dmlRefusal.isEmpty &&
+      predicates.forall(p => TxV2PredicateSql.render(p).isDefined)
+
+  override def deleteWhere(predicates: Array[
+    org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    val sql = predicates.flatMap(p => TxV2PredicateSql.render(p))
+    require(sql.length == predicates.length,
+      "graft-tx: deleteWhere called with untranslatable predicates " +
+        "(canDeleteWhere said no)")
+    TxTable.deleteWhere(SparkSession.active, root,
+      if (sql.isEmpty) "TRUE" else sql.mkString(" AND "))
+    ()
+  }
+
+  override def truncateTable(): Boolean = {
+    dmlRefusal.foreach(r => throw new UnsupportedOperationException(
+      s"graft-tx: TRUNCATE on a table declared with $r is not supported"))
+    TxTable.deleteWhere(SparkSession.active, root, "TRUE")
+    true
+  }
 }
 
 class TxCatalogScanBuilder(root: String, fullSchema: StructType,
@@ -1861,6 +1961,12 @@ class TxDataWriter(path: org.apache.hadoop.fs.Path, schema: StructType,
     writer.write(row)
     n += 1
   }
+
+  // metadata-aware writes (the row-level DML path): graft stages only
+  // the data row — the metadata row is the source-dir tag the commit
+  // works out from the operation's own plan
+  override def write(metadata: InternalRow, row: InternalRow): Unit =
+    write(row)
 
   override def commit(): WriterCommitMessage = {
     if (writer != null) writer.close()
