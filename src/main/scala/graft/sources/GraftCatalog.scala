@@ -72,6 +72,46 @@ class GraftCatalog extends DelegatingCatalogExtension {
     }
   }
 
+  /** SQL column evolution: `ALTER TABLE t RENAME COLUMN a TO b` /
+    * `ALTER TABLE t DROP COLUMN c` on a graft-tx table resolve here
+    * (the session catalog's alterTable), and both are ONE metadata
+    * commit on the table itself — [[TxTable.renameColumn]] /
+    * [[TxTable.dropColumn]], the column-mapping moves, no data
+    * rewrite at any size. The delegate's stored schema is left alone
+    * on purpose: loadTable re-derives the live schema from the
+    * snapshot whenever commits exist, so the catalog copy cannot go
+    * stale-and-trusted, and skipping the delegate keeps the change a
+    * single atomic commit (no half-applied catalog+table pair).
+    * Anything that is not a column rename/drop on a graft-tx table
+    * (SET TBLPROPERTIES, comments, non-graft tables) delegates. ADD
+    * COLUMNS stays the documented append-a-wider-frame path — the
+    * schema lives in parquet footers, so a column with no data yet
+    * has nowhere sound to record its type. */
+  override def alterTable(ident: Identifier,
+    changes: org.apache.spark.sql.connector.catalog.TableChange*): Table = {
+    import org.apache.spark.sql.connector.catalog.TableChange
+    val t = super.loadTable(ident)
+    rootOfProps(t.properties()) match {
+      case Some(root) if changes.forall(c =>
+        c.isInstanceOf[TableChange.RenameColumn] ||
+          c.isInstanceOf[TableChange.DeleteColumn]) =>
+        val spark = SparkSession.active
+        changes.foreach {
+          case r: TableChange.RenameColumn =>
+            require(r.fieldNames.length == 1,
+              "graft-tx: nested columns are not supported")
+            TxTable.renameColumn(spark, root, r.fieldNames()(0), r.newName())
+          case d: TableChange.DeleteColumn =>
+            require(d.fieldNames.length == 1,
+              "graft-tx: nested columns are not supported")
+            TxTable.dropColumn(spark, root, d.fieldNames()(0))
+          case _ => // unreachable (guarded above)
+        }
+        loadTable(ident)
+      case _ => super.alterTable(ident, changes: _*)
+    }
+  }
+
   /** The table's graft-tx root, when the delegate's properties say it
     * IS a graft-tx table (`option.path` is the CREATE TABLE option,
     * `location` the catalog's resolved URI fallback). None for
