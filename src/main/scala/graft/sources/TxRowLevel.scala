@@ -62,6 +62,33 @@ class GraftRowLevelOperation(root: String, logicalSchema: StructType,
     * write — the RowLevelOperationTable contract. */
   @volatile private[sources] var plan: Option[TxTable.CowPlan] = None
 
+  /** Runtime group filter (Spark's RowLevelOperationRuntimeGroupFiltering
+    * feeds the main scan an `IN (__graft_dir, …)` of the dirs that
+    * actually CONTAIN matching rows). The commit must swap exactly the
+    * dirs whose rows were scanned and rewritten — so the keep set
+    * narrows both the scan's partitions and the plan the write commits
+    * against; a dir pruned here keeps its rows untouched, which is
+    * sound precisely because it is not swapped. Intersected across
+    * calls (re-planning can only narrow, never widen). */
+  @volatile private[sources] var runtimeKeep: Option[Set[String]] = None
+
+  private[sources] def narrowTo(dirs: Set[String]): Unit =
+    runtimeKeep = Some(runtimeKeep.fold(dirs)(_ intersect dirs))
+
+  /** The plan the write must commit: the scanned plan minus any
+    * runtime-pruned dirs. */
+  private[sources] def effectivePlan: TxTable.CowPlan = {
+    val p = plan.getOrElse(throw new IllegalStateException(
+      "graft-tx: row-level write before its scan was planned"))
+    runtimeKeep.fold(p) { keep =>
+      val pairs = p.affectedDirs.zip(p.affectedLines)
+        .filter { case (d, _) => keep(d) }
+      p.copy(affectedDirs = pairs.map(_._1),
+        affectedLines = pairs.map(_._2),
+        files = p.files.filter(f => keep(f.dir)))
+    }
+  }
+
   override def command(): Command = cmd
 
   /** The source-dir metadata column. Declaring a required metadata
@@ -117,26 +144,75 @@ class TxCowScanBuilder(root: String, fullSchema: StructType,
       TxTableSource.rangesFromFilters(pushed),
       TxTableSource.strRangesFromFilters(pushed))
     op.plan = Some(plan)
-    new TxCowScan(spark, plan, required)
+    new TxCowScan(spark, plan, required, Some(op))
   }
 }
 
 /** Batch over the affected dirs' files: one partition per data file,
   * each carrying its dir's positional-delete sidecars so dead rows
   * are skipped at read (and therefore dropped by the rewrite — the
-  * replacement dir is born sidecar-free). */
+  * replacement dir is born sidecar-free).
+  *
+  * RUNTIME group filtering: Spark's
+  * RowLevelOperationRuntimeGroupFiltering plans a subquery — the same
+  * table filtered by the command's condition, projecting
+  * `__graft_dir` — and hands the distinct result here as an IN
+  * filter. Static pruning can only fire on literal predicates; this
+  * is what keeps a MERGE (join condition, nothing pushable) from
+  * rewriting every dir of a 100 TB table: only dirs that actually
+  * CONTAIN matching rows are scanned, rewritten and swapped. The
+  * keep set narrows the operation's committed plan too
+  * ([[GraftRowLevelOperation.narrowTo]]) — a pruned dir is not
+  * swapped, so its unscanned rows survive by construction. */
 class TxCowScan(spark: SparkSession, plan: TxTable.CowPlan,
-  required: StructType) extends Scan with Batch {
+  required: StructType, op: Option[GraftRowLevelOperation])
+  extends Scan with Batch
+  with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+
+  // standalone uses (the catalog scan serving a `__graft_dir`
+  // projection, e.g. the runtime-group-filter subquery itself) have
+  // no operation to narrow — runtime filters land scan-locally
+  @volatile private var localKeep: Option[Set[String]] = None
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-tx COW scan of ${plan.affectedDirs.size} dir(s)"
 
-  override def planInputPartitions(): Array[InputPartition] =
-    plan.files.map { f =>
+  override def filterAttributes()
+    : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column(
+      GraftTxCatalogTable.DirMetaCol))
+
+  override def filter(
+    filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    val keeps = filters.collect {
+      case In(c, vs) if c == GraftTxCatalogTable.DirMetaCol =>
+        vs.collect {
+          case s: String => s
+          case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+        }.toSet
+      case EqualTo(c, v) if c == GraftTxCatalogTable.DirMetaCol &&
+        v.isInstanceOf[String] => Set(v.asInstanceOf[String])
+    }
+    keeps.foreach { keep =>
+      op match {
+        case Some(o) => o.narrowTo(keep)
+        case None =>
+          localKeep = Some(localKeep.fold(keep)(_ intersect keep))
+      }
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val keepOpt = op.fold(localKeep)(_.runtimeKeep)
+    val live = keepOpt.fold(plan.files)(keep =>
+      plan.files.filter(f => keep(f.dir)))
+    live.map { f =>
       TxCowInputPartition(f.path, f.dir, f.pdelFiles): InputPartition
     }.toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     // the `__graft_dir` metadata column is served by the reader, not
@@ -238,9 +314,8 @@ class TxCowBatchWrite(root: String, op: GraftRowLevelOperation,
 
   private val writeId = java.util.UUID.randomUUID().toString
 
-  private def planOf: TxTable.CowPlan = op.plan.getOrElse(
-    throw new IllegalStateException(
-      "graft-tx: row-level write before its scan was planned"))
+  // the plan the commit swaps = scanned plan minus runtime-pruned dirs
+  private def planOf: TxTable.CowPlan = op.effectivePlan
 
   override def createBatchWriterFactory(
     pinfo: PhysicalWriteInfo): DataWriterFactory = {

@@ -2069,9 +2069,10 @@ object TxTable {
     * filters; stats compare in physical space. */
   private[sources] def cowPlan(spark: SparkSession, root: String,
     colRanges: Map[String, (Long, Long)],
-    strRanges: Map[String, (String, String)]): CowPlan = {
+    strRanges: Map[String, (String, String)],
+    version: Int = -1): CowPlan = {
     val (fs, rp) = fsFor(spark, root)
-    val v = latestVersion(spark, root)
+    val v = if (version >= 0) version else latestVersion(spark, root)
     require(v > 0, s"txtable: nothing to rewrite at $root")
     val entries = snapshotEntries(fs, rp, v)
     require(!entries.exists(_.isDelta),

@@ -1059,7 +1059,34 @@ class TxCatalogScanBuilder(root: String, fullSchema: StructType,
   // catalog table reports metadata-exact size/rows/column stats (all
   // filters are reported unhandled, so the base-relation numbers are
   // the right ones; Catalyst prices the Filter above)
-  override def build(): Scan = new V1Scan
+  override def build(): Scan = {
+    // a `__graft_dir` projection (the metadata column; also what the
+    // row-level runtime-group-filter subquery scans) can't ride the
+    // V1 bridge — the per-row dir is scan-unit identity the DataFrame
+    // plan doesn't carry. Serve it from the COW reader machinery: a
+    // real V2 batch over the snapshot's dirs (pd sidecars folded,
+    // colmap respected, pushed filters refuting whole dirs), each row
+    // joined with its dir. Delta snapshots and row-restricted faces
+    // refuse loudly — their visible rows are not raw-file rows.
+    if (required.fieldNames.contains(GraftTxCatalogTable.DirMetaCol)) {
+      require(!TxTableSource.rowRestricting(params),
+        s"graft-tx: ${GraftTxCatalogTable.DirMetaCol} is not served on " +
+          "a row-restricted table (keyRange/colRange/strRange)")
+      val spark = SparkSession.active
+      val version = params.get("versionAsOf").orElse(params.get("versionasof"))
+        .map(_.toInt).orElse(
+          params.get("timestampAsOf").orElse(params.get("timestampasof"))
+            .map(t => TxTable.versionAt(spark, root,
+              TxTableSource.parseTs(t))))
+        .getOrElse(-1)
+      val plan = TxTable.cowPlan(spark, root,
+        TxTableSource.rangesFromFilters(pushed),
+        TxTableSource.strRangesFromFilters(pushed), version)
+      new TxCowScan(spark, plan, required, None)
+    } else buildV1()
+  }
+
+  private def buildV1(): Scan = new V1Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
     override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics = {

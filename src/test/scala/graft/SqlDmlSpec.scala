@@ -195,6 +195,71 @@ class SqlDmlSpec extends SparkSpec {
     assert(TxTable.read(spark, root).filter("k = 11").count() === 1L)
   }
 
+  test("CREATE TABLE AS SELECT lands as a graft-tx table") {
+    val root = tmpDir() + "/dml-ctas"
+    mkTable("dml_ctas_src", 100L)
+    spark.sql("DROP TABLE IF EXISTS dml_ctas")
+    spark.sql(s"CREATE TABLE dml_ctas USING `graft-tx` " +
+      s"OPTIONS (path '$root') AS SELECT k, s FROM dml_ctas_src " +
+      "WHERE k <= 10")
+    assert(spark.table("dml_ctas").count() === 10L)
+    assert(TxTable.read(spark, root).columns.toSeq === Seq("k", "s"))
+    // the CTAS-born table takes DML like any other
+    spark.sql("DELETE FROM dml_ctas WHERE k <= 5")
+    assert(spark.table("dml_ctas").count() === 5L)
+  }
+
+  test("runtime group filtering: MERGE rewrites only dirs with matches") {
+    import spark.implicits._
+    val root = tmpDir() + "/dml-rtf"
+    // four range-clustered dirs of 250 keys each
+    (0L to 3L).foreach { i =>
+      TxTable.append((i * 250 + 1 to (i + 1) * 250)
+        .map(k => (k, s"s$k")).toDF("k", "s"), root, statsCols = Seq("k"))
+    }
+    spark.sql("DROP TABLE IF EXISTS dml_rtf")
+    spark.sql(s"CREATE TABLE dml_rtf USING `graft-tx` OPTIONS (path '$root')")
+    graft.functions.GraftFunctions.register(spark)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sessionState.newHadoopConf())
+    def files(): Set[String] = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(root, "data"), true)
+      val b = scala.collection.mutable.Set[String]()
+      while (it.hasNext) { b += it.next().getPath.toString }
+      b.toSet
+    }
+    val before = files()
+    // source keys live ONLY in the second dir (251..260) + inserts;
+    // a MERGE join condition pushes NO static filter — without
+    // runtime group filtering every dir would rewrite
+    Seq.tabulate(10)(i => (251L + i, s"u$i"))
+      .toDF("k", "s").createOrReplaceTempView("dml_rtf_src")
+    spark.sql(
+      """MERGE INTO dml_rtf t USING dml_rtf_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET t.s = s.s
+        |""".stripMargin)
+    val after = files()
+    val untouched = before.intersect(after)
+    // dirs 1, 3 and 4 (750 of 1000 keys) must survive byte-identical
+    assert(untouched.size >= (before.size * 3) / 4 - 1,
+      s"expected >= 3/4 of files untouched, before=${before.size} " +
+        s"untouched=${untouched.size}")
+    val t = spark.table("dml_rtf")
+    assert(t.count() === 1000L)
+    assert(t.filter("k BETWEEN 251 AND 260 AND s LIKE 'u%'").count() === 10L)
+    assert(t.filter("s LIKE 'u%'").count() === 10L)
+  }
+
+  test("__graft_dir is a selectable metadata column") {
+    mkTable("dml_dircol", 100L)
+    val dirs = spark.sql(
+      "SELECT __graft_dir, count(*) n FROM dml_dircol GROUP BY 1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dirs.size === 2, s"two append dirs expected, got $dirs")
+    assert(dirs.values.sum === 100L)
+    assert(dirs.keys.forall(_.startsWith("data/append-")))
+  }
+
   test("DML refuses time-travel pins and row-restricted tables") {
     val root = mkTable("dml_refuse", 100L)
     spark.sql("DROP TABLE IF EXISTS dml_pinned")
