@@ -3006,6 +3006,35 @@ object Oracles {
         |        UNION ALL
         |        SELECT s.k + 2 * mx.m, cust, price FROM s, mx
         |        WHERE s.k % 10 = 5 AND s.cust % 3 = 0)
+        |SELECT * FROM fin""".stripMargin,
+
+    // merge-on-read twin: identical statements under
+    // spark.graft.dml.positional - sidecars + insert dir must land the
+    // SAME table state, so the oracle text is the same replay
+    "q_txtable_sql_dml_mor" ->
+      """WITH o AS (SELECT o_orderkey k, o_custkey cust,
+        |    cast(cast(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) price
+        |  FROM orders),
+        |mx AS (SELECT max(k) m FROM o),
+        |t1 AS (SELECT o.* FROM o, mx WHERE NOT (k <= m // 10)),
+        |t2 AS (SELECT * FROM t1 WHERE NOT (k % 10 = 3)),
+        |t3 AS (SELECT k, cust,
+        |         CASE WHEN k % 10 = 4 THEN price * 2 ELSE price END price
+        |       FROM t2),
+        |s AS (SELECT k, cust, price FROM o WHERE k % 10 = 5
+        |      UNION ALL
+        |      SELECT o.k + mx.m, cust, price FROM o, mx WHERE k % 10 = 6),
+        |mrg AS (SELECT t3.k, t3.cust,
+        |          CASE WHEN s.k IS NOT NULL THEN -1.0 ELSE t3.price END price
+        |        FROM t3 LEFT JOIN s ON t3.k = s.k
+        |        WHERE NOT (s.k IS NOT NULL AND s.cust % 2 = 0)
+        |        UNION ALL
+        |        SELECT s.k, s.cust, s.price FROM s LEFT JOIN t3
+        |          ON s.k = t3.k WHERE t3.k IS NULL),
+        |fin AS (SELECT * FROM mrg
+        |        UNION ALL
+        |        SELECT s.k + 2 * mx.m, cust, price FROM s, mx
+        |        WHERE s.k % 10 = 5 AND s.cust % 3 = 0)
         |SELECT * FROM fin""".stripMargin)
 
   def all: Map[String, String] =

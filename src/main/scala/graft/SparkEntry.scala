@@ -247,6 +247,8 @@ object SparkEntry {
       graft.sources.TxTable.mergeIntoGateQuery(s, d)),
     "q_txtable_sql_dml" -> ((s: SparkSession, d: String) =>
       graft.sources.TxTable.sqlDmlGateQuery(s, d)),
+    "q_txtable_sql_dml_mor" -> ((s: SparkSession, d: String) =>
+      graft.sources.TxTable.sqlDmlGateQuery(s, d, positional = true)),
     "q_txtable_bloom" -> ((s: SparkSession, d: String) =>
       graft.sources.TxTable.bloomGateQuery(s, d)),
     "q_bpe_fertility" -> ((s: SparkSession, d: String) =>

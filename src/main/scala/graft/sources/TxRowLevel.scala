@@ -215,18 +215,21 @@ class TxCowScan(spark: SparkSession, plan: TxTable.CowPlan,
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    // the `__graft_dir` metadata column is served by the reader, not
-    // the file — the rewrite appends it after the data columns
-    val metaIdx = required.fieldNames.indexOf(GraftTxCatalogTable.DirMetaCol)
-    require(metaIdx < 0 || metaIdx == required.fields.length - 1,
-      s"graft-tx: ${GraftTxCatalogTable.DirMetaCol} must be the last " +
-        s"required column, got ${required.fieldNames.mkString(",")}")
-    val dataFields = required.fields.filterNot(
-      _.name == GraftTxCatalogTable.DirMetaCol)
+    // the `__graft_*` metadata columns (dir / file name / raw row
+    // position) are served by the reader, not the file — Spark's
+    // rewrites append them after the data columns
+    val metaNames = required.fieldNames.filter(
+      GraftTxCatalogTable.MetaCols.contains)
+    val dataFields = required.fields.filterNot(f =>
+      GraftTxCatalogTable.MetaCols.contains(f.name))
+    require(required.fieldNames.takeRight(metaNames.length)
+      .sameElements(metaNames),
+      s"graft-tx: metadata columns must trail the data columns, got " +
+        required.fieldNames.mkString(","))
     // physical file names in OUTPUT order — rows line up positionally
     val fileSchema = StructType(dataFields.map(f =>
       f.copy(name = TxTable.physNameOf(plan.colMap, f.name))))
-    TxCowReaderFactory(fileSchema, metaIdx >= 0,
+    TxCowReaderFactory(fileSchema, metaNames.toSeq,
       new SerializableConfiguration(spark.sessionState.newHadoopConf()))
   }
 }
@@ -234,24 +237,27 @@ class TxCowScan(spark: SparkSession, plan: TxTable.CowPlan,
 case class TxCowInputPartition(file: String, dir: String,
   pdelFiles: Seq[String]) extends InputPartition
 
-case class TxCowReaderFactory(fileSchema: StructType, withDirCol: Boolean,
+case class TxCowReaderFactory(fileSchema: StructType, metaCols: Seq[String],
   conf: SerializableConfiguration) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val cp = p.asInstanceOf[TxCowInputPartition]
     new TxCowPartitionReader(cp.file, cp.pdelFiles, fileSchema, conf,
-      if (withDirCol) Some(cp.dir) else None)
+      metaCols, cp.dir)
   }
 }
 
 /** Reads one data file through [[TxParquetIO]], skipping the row
   * positions its dir's `pd:` sidecars recorded for THIS file name.
   * Positions are sequential read order — sound because the reader
-  * applies no parquet filter (a row-group skip would shift them).
-  * With `dirCol` set, each row is served joined with the constant
-  * source-dir metadata column (zero-copy JoinedRow). */
+  * applies no parquet filter (a row-group skip would shift them;
+  * that is also why pushed filters are never handed to the file
+  * readers on this path). Requested `__graft_*` metadata columns
+  * are served joined after the data row (zero-copy JoinedRow; the
+  * position is the RAW file index including sidecar-dead rows — the
+  * exact coordinate the `pd:` grammar speaks). */
 class TxCowPartitionReader(file: String, pdelFiles: Seq[String],
   schema: StructType, conf: SerializableConfiguration,
-  dirCol: Option[String] = None)
+  metaCols: Seq[String] = Seq.empty, dir: String = "")
   extends PartitionReader[InternalRow] {
 
   private val path = new org.apache.hadoop.fs.Path(file)
@@ -282,9 +288,21 @@ class TxCowPartitionReader(file: String, pdelFiles: Seq[String],
   private lazy val reader = TxParquetIO.reader(path, schema, conf.value)
   private val joined =
     new org.apache.spark.sql.catalyst.expressions.JoinedRow()
-  private val metaRow = dirCol.map(d =>
-    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(d))))
+  // one mutable meta row reused per emitted row; only the position
+  // slot (if requested) changes between rows
+  private val posIdx = metaCols.indexOf(GraftTxCatalogTable.PosMetaCol)
+  private val metaRow: Option[
+    org.apache.spark.sql.catalyst.expressions.GenericInternalRow] =
+    if (metaCols.isEmpty) None
+    else Some(new org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow(metaCols.map {
+        case GraftTxCatalogTable.DirMetaCol =>
+          org.apache.spark.unsafe.types.UTF8String.fromString(dir): Any
+        case GraftTxCatalogTable.FileMetaCol =>
+          org.apache.spark.unsafe.types.UTF8String
+            .fromString(path.getName): Any
+        case GraftTxCatalogTable.PosMetaCol => -1L: Any
+      }.toArray))
   private var current: InternalRow = _
   private var pos = -1L
 
@@ -294,7 +312,10 @@ class TxCowPartitionReader(file: String, pdelFiles: Seq[String],
       if (r == null) return false
       pos += 1
       if (dead.isEmpty || !dead.contains(pos)) {
-        current = metaRow.fold(r: InternalRow)(m => joined(r, m))
+        current = metaRow.fold(r: InternalRow) { m =>
+          if (posIdx >= 0) m.update(posIdx, pos)
+          joined(r, m)
+        }
         return true
       }
     }
@@ -360,6 +381,173 @@ case class TxCowWriterFactory(root: String, writeId: String,
     new TxDataWriter(new org.apache.hadoop.fs.Path(
       s"$root/_staging/sqldml-$writeId/part-$partitionId-$taskId.parquet"),
       schema, conf)
+}
+
+/** MERGE-ON-READ row-level DML ([[SupportsDelta]], opt-in via
+  * `spark.graft.dml.positional`): instead of rewriting whole affected
+  * dirs copy-on-write, the write receives per-row DELTAS — delete
+  * (dir, file, position), update (delete + insert), insert (row) —
+  * and the commit lands O(changed) bytes: one `_pdel` positional
+  * sidecar per touched dir (the SAME sidecar grammar
+  * `deleteWhere(positional = true)` writes, so every existing reader,
+  * clone, time-travel and compaction-fold path applies unchanged)
+  * plus one insert dir. A scattered low-selectivity UPDATE over a
+  * 100 TB table pays for the rows it touches, not the dirs they live
+  * in. The row ID is (file name, raw position) — exactly the `pd:`
+  * coordinates — served by the same scan (positions count RAW rows,
+  * so stacking over prior sidecars can never double-kill). Only dirs
+  * that actually RECEIVE deletes are verified byte-identical at
+  * commit; concurrent commits elsewhere compose. */
+class GraftDeltaOperation(root: String, logicalSchema: StructType,
+  cmd: Command) extends GraftRowLevelOperation(root, logicalSchema, cmd)
+  with org.apache.spark.sql.connector.write.SupportsDelta {
+
+  override def rowId()
+    : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(
+      org.apache.spark.sql.connector.expressions.Expressions.column(
+        GraftTxCatalogTable.FileMetaCol),
+      org.apache.spark.sql.connector.expressions.Expressions.column(
+        GraftTxCatalogTable.PosMetaCol))
+
+  override def newWriteBuilder(info: LogicalWriteInfo)
+    : org.apache.spark.sql.connector.write.DeltaWriteBuilder =
+    new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
+      override def build()
+        : org.apache.spark.sql.connector.write.DeltaWrite =
+        new org.apache.spark.sql.connector.write.DeltaWrite {
+          override def toBatch
+            : org.apache.spark.sql.connector.write.DeltaBatchWrite =
+            new TxDeltaBatchWrite(root, GraftDeltaOperation.this, info)
+        }
+    }
+}
+
+/** Executors stage two parquet streams per task — inserted rows
+  * (physical names) and delete coordinates (_dir, _file, _pos) —
+  * and the driver commit turns them into per-dir `pd:` sidecars +
+  * one insert dir in a single OCC commit
+  * ([[TxTable.deltaDmlCommit]]). */
+class TxDeltaBatchWrite(root: String, op: GraftRowLevelOperation,
+  info: LogicalWriteInfo)
+  extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
+
+  private val writeId = java.util.UUID.randomUUID().toString
+
+  override def createBatchWriterFactory(pinfo: PhysicalWriteInfo)
+    : org.apache.spark.sql.connector.write.DeltaWriterFactory = {
+    val spark = SparkSession.active
+    val plan = op.effectivePlan
+    val fileSchema = StructType(info.schema().fields.map(f =>
+      f.copy(name = TxTable.physNameOf(plan.colMap, f.name))))
+    TxDeltaWriterFactory(root, writeId, fileSchema,
+      new SerializableConfiguration(spark.sessionState.newHadoopConf()))
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val msgs = messages.collect { case m: TxDeltaCommitMessage => m }
+    val spark = SparkSession.active
+    val opName = op.command() match {
+      case Command.DELETE => "sqldelete"
+      case Command.UPDATE => "sqlupdate"
+      case _ => "sqlmerge"
+    }
+    try TxTable.deltaDmlCommit(spark, root, op.effectivePlan,
+      msgs.flatMap(_.insertFile).toSeq, msgs.flatMap(_.deleteFile).toSeq,
+      opName)
+    finally cleanupStaging(spark)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    cleanupStaging(SparkSession.active)
+
+  private def cleanupStaging(spark: SparkSession): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/_staging/sqldml-$writeId")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(p, true)
+    ()
+  }
+}
+
+case class TxDeltaCommitMessage(insertFile: Option[String],
+  deleteFile: Option[String]) extends WriterCommitMessage
+
+case class TxDeltaWriterFactory(root: String, writeId: String,
+  insertSchema: StructType, conf: SerializableConfiguration)
+  extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+    : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
+    new TxDeltaWriter(
+      s"$root/_staging/sqldml-$writeId/part-$partitionId-$taskId",
+      insertSchema, conf)
+}
+
+/** One task's delta stream: inserts go to `<prefix>-ins.parquet`
+  * (lazily, physical names), delete coordinates to
+  * `<prefix>-del.parquet` as (_dir, _file, _pos). An update is a
+  * delete of the old coordinates plus an insert of the new row —
+  * Spark's projections hand all three pieces. */
+class TxDeltaWriter(prefix: String, insertSchema: StructType,
+  conf: SerializableConfiguration)
+  extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
+
+  import org.apache.spark.sql.types.{LongType, StringType, StructField}
+
+  private val delSchema = StructType(Seq(StructField("_dir", StringType),
+    StructField("_file", StringType), StructField("_pos", LongType)))
+  private var insWriter: org.apache.parquet.hadoop.ParquetWriter[InternalRow] = _
+  private var delWriter: org.apache.parquet.hadoop.ParquetWriter[InternalRow] = _
+  private val insPath = new org.apache.hadoop.fs.Path(s"$prefix-ins.parquet")
+  private val delPath = new org.apache.hadoop.fs.Path(s"$prefix-del.parquet")
+
+  override def insert(row: InternalRow): Unit = {
+    if (insWriter == null)
+      insWriter = TxParquetIO.writer(insPath, insertSchema, conf.value)
+    insWriter.write(row)
+  }
+
+  override def delete(metadata: InternalRow, id: InternalRow): Unit = {
+    require(metadata != null && !metadata.isNullAt(0) &&
+      !id.isNullAt(0) && !id.isNullAt(1),
+      "graft-tx: delta delete without source coordinates")
+    if (delWriter == null)
+      delWriter = TxParquetIO.writer(delPath, delSchema, conf.value)
+    // metadata = [__graft_dir], id = [__graft_file, __graft_pos] —
+    // copy the strings out of the (reused) projection rows
+    delWriter.write(org.apache.spark.sql.catalyst.InternalRow(
+      org.apache.spark.unsafe.types.UTF8String
+        .fromString(metadata.getUTF8String(0).toString),
+      org.apache.spark.unsafe.types.UTF8String
+        .fromString(id.getUTF8String(0).toString),
+      id.getLong(1)))
+  }
+
+  override def update(metadata: InternalRow, id: InternalRow,
+    row: InternalRow): Unit = {
+    delete(metadata, id)
+    insert(row)
+  }
+
+  override def write(row: InternalRow): Unit = insert(row)
+
+  override def commit(): WriterCommitMessage = {
+    if (insWriter != null) insWriter.close()
+    if (delWriter != null) delWriter.close()
+    TxDeltaCommitMessage(
+      if (insWriter != null) Some(insPath.toString) else None,
+      if (delWriter != null) Some(delPath.toString) else None)
+  }
+
+  override def abort(): Unit = {
+    if (insWriter != null) insWriter.close()
+    if (delWriter != null) delWriter.close()
+    val fs = insPath.getFileSystem(conf.value)
+    fs.delete(insPath, false)
+    fs.delete(delPath, false)
+    ()
+  }
+
+  override def close(): Unit = ()
 }
 
 /** `INSERT INTO` / `INSERT OVERWRITE` on the catalog face: executors

@@ -2240,6 +2240,157 @@ object TxTable {
     }
   }
 
+  /** Commit a MERGE-ON-READ row-level rewrite: the staged delete
+    * coordinates (_dir, _file, _pos) land as one `_pdel` positional
+    * sidecar per touched dir — the exact grammar
+    * `deleteWhere(positional = true)` writes, `_rows` adjusted the
+    * same way — and the staged inserts as one new data dir. O(changed)
+    * bytes, never O(dir). Only dirs that actually RECEIVE deletes are
+    * verified byte-identical against the scanned plan at claim time
+    * (positions are meaningless against a rewritten dir); concurrent
+    * commits elsewhere compose. Scanned rows were already
+    * sidecar-folded, so a coordinate can never double-kill and the
+    * `_rows` subtraction stays exact. */
+  private[sources] def deltaDmlCommit(spark: SparkSession, root: String,
+    plan: CowPlan, stagedInserts: Seq[String], stagedDeletes: Seq[String],
+    op: String): Int = {
+    val (fs, rp) = fsFor(spark, root)
+    var ownedDirs: Seq[String] = Seq.empty
+    var ownedSidecars: Seq[Path] = Seq.empty
+    def cleanup(): Unit = {
+      ownedDirs.foreach(d => fs.delete(new Path(rp, d), true))
+      ownedSidecars.foreach(p => fs.delete(p, true))
+    }
+    try {
+      val insertLine: Option[String] =
+        if (stagedInserts.isEmpty) None
+        else {
+          val dirName = s"data/$op-${java.util.UUID.randomUUID()}"
+          val dirPath = new Path(rp, dirName)
+          fs.mkdirs(dirPath)
+          stagedInserts.foreach { f =>
+            val src = new Path(f)
+            require(fs.rename(src, new Path(dirPath, src.getName)),
+              s"txtable: failed to stage $f into $dirName")
+          }
+          ownedDirs = ownedDirs :+ dirName
+          Some(statsEntry(spark, rp, dirName,
+            plan.keys ++ plan.statsCols).line)
+        }
+      // delete coordinates grouped per dir, written ONCE as in-dir
+      // sidecars (tiny by construction — O(changed rows)); dedup
+      // guards the _rows subtraction against any double-fired
+      // coordinate
+      val touched: Map[String, (String, Long)] =
+        if (stagedDeletes.isEmpty) Map.empty
+        else {
+          // ONE job whatever the dir count: coordinates cluster by
+          // dir (hash repartition = all of a dir's rows in one task)
+          // and each task streams its dirs' pairs straight into in-dir
+          // sidecar files through TxParquetIO — a scattered delete
+          // touching 10^4 dirs costs one shuffle of O(changed)
+          // coordinate rows, not 10^4 driver jobs
+          val conf = new org.apache.spark.util.SerializableConfiguration(
+            spark.sessionState.newHadoopConf())
+          val rootStr = rp.toString
+          import spark.implicits._
+          val written = spark.read.parquet(stagedDeletes: _*)
+            .dropDuplicates("_dir", "_file", "_pos")
+            .repartition(col("_dir"))
+            .mapPartitions { rows =>
+              val out = scala.collection.mutable.Map[String,
+                (String, org.apache.parquet.hadoop.ParquetWriter[
+                  org.apache.spark.sql.catalyst.InternalRow], Array[Long])]()
+              val pdSchema = org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("_file",
+                  org.apache.spark.sql.types.StringType),
+                org.apache.spark.sql.types.StructField("_pos",
+                  org.apache.spark.sql.types.LongType)))
+              rows.foreach { r =>
+                val d = r.getString(0)
+                val (_, w, n) = out.getOrElseUpdate(d, {
+                  val name = s"_pdel-${java.util.UUID.randomUUID()}"
+                  val p = new Path(new Path(new Path(rootStr), d), name)
+                  (name, TxParquetIO.writer(
+                    new Path(p, "part-0.parquet"), pdSchema, conf.value),
+                    Array(0L))
+                })
+                w.write(org.apache.spark.sql.catalyst.InternalRow(
+                  org.apache.spark.unsafe.types.UTF8String
+                    .fromString(r.getString(1)), r.getLong(2)))
+                n(0) += 1
+              }
+              out.iterator.map { case (d, (name, w, n)) =>
+                w.close(); (d, name, n(0))
+              }
+            }.collect().toSeq
+          written.foreach { case (d, name, _) =>
+            ownedSidecars = ownedSidecars :+
+              new Path(new Path(rp, d), name)
+          }
+          written.map { case (d, name, n) => d -> (name, n) }.toMap
+        }
+      val lineOf = plan.affectedDirs.zip(plan.affectedLines).toMap
+      commitRetry(spark, root) { prevV =>
+        val entries = snapshotEntries(fs, rp, prevV)
+        val present = entries.map(_.line).toSet
+        val gone = touched.keys.filter(d =>
+          !lineOf.get(d).exists(present.contains)).toSeq
+        if (gone.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"txtable: $op of $root lost its snapshot — " +
+              s"${gone.size} dir(s) receiving deletes changed under " +
+              s"the rewrite (e.g. ${gone.head}); re-run the statement")
+        val newLines = entries.flatMap { e =>
+          touched.get(e.dir) match {
+            case None => Some(e.line)
+            case Some((name, n)) =>
+              val nAll = e.stats.get(rowsKey).map(_._1).getOrElse {
+                applyPdels(spark, rp, e, readDirFrame(spark, rp, e.dir))
+                  .count()
+              }
+              if (n == nAll) None // every visible row died with this commit
+              else Some(e.copy(
+                stats = e.stats + (rowsKey -> (nAll - n, nAll - n)),
+                pdels = e.pdels + (name -> n)).line)
+          }
+        } ++ insertLine.toSeq
+        val lines =
+          if (newLines.nonEmpty) newLines
+          else {
+            val schemaSrc = spark.read.parquet(
+              new Path(rp, plan.affectedDirs.head).toString)
+            val dirName = s"data/$op-${java.util.UUID.randomUUID()}"
+            schemaSrc.filter(lit(false)).write.mode("overwrite")
+              .parquet(new Path(rp, dirName).toString)
+            ownedDirs = ownedDirs :+ dirName
+            Seq(statsEntry(spark, rp, dirName,
+              plan.keys ++ plan.statsCols).line)
+          }
+        (op,
+          (if (plan.keys.nonEmpty) Seq(s"key:${plan.keys.mkString(",")}")
+           else Seq.empty) ++
+            (if (plan.statsCols.nonEmpty)
+              Seq(s"statscol:${plan.statsCols.mkString(",")}")
+             else Seq.empty) ++ lines)
+      } match {
+        case v =>
+          // a fully-dead dir drops its entry — its freshly-written
+          // sidecar is unreferenced; sweep it rather than leaking
+          val refd = snapshotEntries(fs, rp, v).flatMap(e =>
+            e.pdels.keys.map(n =>
+              new Path(new Path(rp, e.dir), n).toString)).toSet
+          ownedSidecars.filterNot(p => refd(p.toString))
+            .foreach(p => fs.delete(p, true))
+          v
+      }
+    } catch {
+      case e: Throwable =>
+        cleanup()
+        throw e
+    }
+  }
+
   /** Copy-on-write row-level DELETE (the `DELETE FROM t WHERE …` of a
     * modern table format): rows matching `predSql` leave the snapshot;
     * everything else is byte-identical and, crucially, mostly NOT
@@ -3653,8 +3804,21 @@ object TxTable {
     * API. The DuckDB oracle replays every statement relationally;
     * hash equality proves Spark's own DML rewrites drive graft's OCC
     * dir-swap commit to the same table state. */
-  def sqlDmlGateQuery(spark: SparkSession, dir: String): DataFrame = {
-    val root = scratchRoot("graft-sqldmlgate", dir)
+  def sqlDmlGateQuery(spark: SparkSession, dir: String,
+    positional: Boolean = false): DataFrame = {
+    if (positional) spark.conf.set("spark.graft.dml.positional", "true")
+    else spark.conf.unset("spark.graft.dml.positional")
+    try sqlDmlGateBody(spark, dir, positional)
+    finally spark.conf.unset("spark.graft.dml.positional")
+  }
+
+  private def sqlDmlGateBody(spark: SparkSession, dir: String,
+    positional: Boolean): DataFrame = {
+    val tbl =
+      if (positional) "graft_sqldml_mor_gate" else "graft_sqldml_gate"
+    val srcv = tbl + "_src"
+    val root = scratchRoot(
+      if (positional) "graft-sqldmlmorgate" else "graft-sqldmlgate", dir)
     val o = graft.Tables.orders(spark, dir).select(
       col("o_orderkey").as("k"), col("o_custkey").as("cust"),
       col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"))
@@ -3663,33 +3827,33 @@ object TxTable {
     val maxK = b.getLong(0)
     append(o, root, statsCols = Seq("k"))
     graft.functions.GraftFunctions.register(spark)
-    spark.sql("DROP TABLE IF EXISTS graft_sqldml_gate")
-    spark.sql("CREATE TABLE graft_sqldml_gate USING `graft-tx` " +
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl USING `graft-tx` " +
       s"OPTIONS (path '$root')")
     try {
       spark.sql(
-        s"DELETE FROM graft_sqldml_gate WHERE k <= ${maxK / 10}")
-      spark.sql("DELETE FROM graft_sqldml_gate WHERE k % 10 = 3")
+        s"DELETE FROM $tbl WHERE k <= ${maxK / 10}")
+      spark.sql(s"DELETE FROM $tbl WHERE k % 10 = 3")
       spark.sql(
-        "UPDATE graft_sqldml_gate SET price = price * 2 WHERE k % 10 = 4")
+        s"UPDATE $tbl SET price = price * 2 WHERE k % 10 = 4")
       o.filter(col("k") % 10 === 5)
         .unionByName(o.filter(col("k") % 10 === 6)
           .select((col("k") + maxK).as("k"), col("cust"), col("price")))
-        .createOrReplaceTempView("graft_sqldml_src")
+        .createOrReplaceTempView(srcv)
       spark.sql(
-        """MERGE INTO graft_sqldml_gate t USING graft_sqldml_src s
+        s"""MERGE INTO $tbl t USING $srcv s
           |ON t.k = s.k
           |WHEN MATCHED AND s.cust % 2 = 0 THEN DELETE
           |WHEN MATCHED THEN UPDATE SET price = -1.0
           |WHEN NOT MATCHED THEN
           |  INSERT (k, cust, price) VALUES (s.k, s.cust, s.price)
           |""".stripMargin)
-      spark.sql(s"INSERT INTO graft_sqldml_gate SELECT k + ${2 * maxK}, " +
-        "cust, price FROM graft_sqldml_src WHERE k % 10 = 5 AND cust % 3 = 0")
+      spark.sql(s"INSERT INTO $tbl SELECT k + ${2 * maxK}, " +
+        s"cust, price FROM $srcv WHERE k % 10 = 5 AND cust % 3 = 0")
       read(spark, root)
     } finally {
-      spark.sql("DROP TABLE IF EXISTS graft_sqldml_gate")
-      spark.catalog.dropTempView("graft_sqldml_src")
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.catalog.dropTempView(srcv)
       ()
     }
   }

@@ -928,9 +928,14 @@ private[graft] trait TxMetaAggTable {
 object GraftTxCatalogTable {
   /** Per-row source-dir metadata column (the row-level-DML group
     * identity; see [[GraftRowLevelOperation.requiredMetadataAttributes]]).
-    * Served by the COW scan only — a plain SELECT of it fails loudly
-    * at the V1 bridge rather than fabricating a value. */
+    * Served by the COW-scan reader machinery. */
   val DirMetaCol = "__graft_dir"
+  /** Per-row file NAME + raw file position — together the row ID the
+    * merge-on-read DML path speaks ([[GraftDeltaOperation.rowId]]);
+    * exactly the coordinates the `pd:` sidecar grammar records. */
+  val FileMetaCol = "__graft_file"
+  val PosMetaCol = "__graft_pos"
+  val MetaCols: Set[String] = Set(DirMetaCol, FileMetaCol, PosMetaCol)
 }
 
 class GraftTxCatalogTable(tableSchema: StructType, root: String,
@@ -940,17 +945,35 @@ class GraftTxCatalogTable(tableSchema: StructType, root: String,
   with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
   with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
+  private def metaCol(colName: String,
+    dt: org.apache.spark.sql.types.DataType, what: String,
+    nullable: Boolean)
+    : org.apache.spark.sql.connector.catalog.MetadataColumn =
+    new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = colName
+      override def dataType(): org.apache.spark.sql.types.DataType = dt
+      override def isNullable: Boolean = nullable
+      override def comment(): String = what
+    }
+
   override def metadataColumns()
     : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
-      override def name(): String = GraftTxCatalogTable.DirMetaCol
-      override def dataType(): org.apache.spark.sql.types.DataType =
-        org.apache.spark.sql.types.StringType
+    Array(
       // nullable: MERGE-inserted rows have no source dir
-      override def isNullable: Boolean = true
-      override def comment(): String =
-        "commit-entry dir this row was read from (row-level DML group)"
-    })
+      metaCol(GraftTxCatalogTable.DirMetaCol,
+        org.apache.spark.sql.types.StringType,
+        "commit-entry dir this row was read from (row-level DML group)",
+        nullable = true),
+      // the ROW ID pair — Spark requires row IDs non-nullable, and
+      // the scan always serves them
+      metaCol(GraftTxCatalogTable.FileMetaCol,
+        org.apache.spark.sql.types.StringType,
+        "data file name within the dir (positional-delete coordinate)",
+        nullable = false),
+      metaCol(GraftTxCatalogTable.PosMetaCol,
+        org.apache.spark.sql.types.LongType,
+        "raw row position within the file (positional-delete coordinate)",
+        nullable = false))
 
   override def name(): String = s"graft-tx $root"
   override def schema(): StructType = tableSchema
@@ -1001,7 +1024,17 @@ class GraftTxCatalogTable(tableSchema: StructType, root: String,
     : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     dmlRefusal.foreach(r => throw new UnsupportedOperationException(
       s"graft-tx: DML on a table declared with $r is not supported"))
-    () => new GraftRowLevelOperation(root, tableSchema, info.command)
+    // `spark.graft.dml.positional` picks the MERGE-ON-READ shape
+    // (SupportsDelta): per-row deltas land as pd sidecars + one
+    // insert dir — O(changed) bytes instead of O(affected dirs).
+    // Default stays copy-on-write: read-side cost is zero and dirs
+    // stay compact, the right default for clustered/bulk DML.
+    val positional = SparkSession.active.conf
+      .getOption("spark.graft.dml.positional").exists(_.toBoolean)
+    if (positional)
+      () => new GraftDeltaOperation(root, tableSchema, info.command)
+    else
+      () => new GraftRowLevelOperation(root, tableSchema, info.command)
   }
 
   /** Filter-expressible DELETE fast path (SupportsDeleteV2): Spark's
@@ -1068,9 +1101,9 @@ class TxCatalogScanBuilder(root: String, fullSchema: StructType,
     // colmap respected, pushed filters refuting whole dirs), each row
     // joined with its dir. Delta snapshots and row-restricted faces
     // refuse loudly — their visible rows are not raw-file rows.
-    if (required.fieldNames.contains(GraftTxCatalogTable.DirMetaCol)) {
+    if (required.fieldNames.exists(GraftTxCatalogTable.MetaCols.contains)) {
       require(!TxTableSource.rowRestricting(params),
-        s"graft-tx: ${GraftTxCatalogTable.DirMetaCol} is not served on " +
+        s"graft-tx: __graft_* metadata columns are not served on " +
           "a row-restricted table (keyRange/colRange/strRange)")
       val spark = SparkSession.active
       val version = params.get("versionAsOf").orElse(params.get("versionasof"))
