@@ -5871,5 +5871,30 @@ object TxTable {
           if (fs.listStatus(stream.getPath).isEmpty)
             fs.delete(stream.getPath, false)
         }
+    // orphaned in-dir `_pdel-*` sidecars: a lost speculative attempt
+    // of the MoR-DML sidecar job, or a sidecar whose dir went fully
+    // dead in the same commit — readers only ever open sidecars the
+    // entry's own `pd:` segments name, so orphans are dead bytes.
+    // Referenced = named by any RETAINED version's entries; the same
+    // 1 h age gate keeps the sweep clear of an in-flight commit.
+    val refdSidecars = keepVs.flatMap(kv =>
+      snapshotEntries(fs, rp, kv).flatMap(e =>
+        e.pdels.keys.map(n => new Path(new Path(rp, e.dir), n).toString)))
+      .toSet
+    if (fs.exists(dataDir)) {
+      val stack = scala.collection.mutable.Stack[Path](dataDir)
+      while (stack.nonEmpty) {
+        val d = stack.pop()
+        fs.listStatus(d).foreach { s =>
+          if (s.isDirectory) {
+            if (s.getPath.getName.startsWith("_pdel-")) {
+              if (!refdSidecars.contains(s.getPath.toString) &&
+                s.getModificationTime < horizon)
+                fs.delete(s.getPath, true)
+            } else stack.push(s.getPath)
+          }
+        }
+      }
+    }
   }
 }
