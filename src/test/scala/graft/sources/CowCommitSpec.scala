@@ -79,6 +79,52 @@ class CowCommitSpec extends graft.SparkSpec {
       s"aborted commit must not leak its dir, got ${dataDirs.mkString(",")}")
   }
 
+  test("MoR commit aborts when a touched dir changed underneath") {
+    import spark.implicits._
+    val root = mk("mor-conflict")
+    val plan = TxTable.cowPlan(spark, root, Map.empty, Map.empty)
+    // stage one delete coordinate against dir 1
+    val d1 = plan.affectedDirs.head
+    val f1 = new org.apache.hadoop.fs.Path(
+      plan.files.find(_.dir == d1).get.path).getName
+    val delPath = tmpDir() + "/dels"
+    Seq((d1, f1, 0L)).toDF("_dir", "_file", "_pos")
+      .write.parquet(delPath)
+    // the touched dir rewrites underneath (positions now meaningless)
+    TxTable.deleteWhere(spark, root, "k = 2")
+    val e = intercept[java.util.ConcurrentModificationException] {
+      TxTable.deltaDmlCommit(spark, root, plan, Seq.empty,
+        Seq(delPath), "sqldelete")
+    }
+    assert(e.getMessage.contains("receiving deletes changed"))
+    // nothing leaked: no unreferenced sidecar survives in dir 1's
+    // replacement or dir 2
+    assert(TxTable.read(spark, root).count() === 99L)
+  }
+
+  test("ANALYZE stats stay sound across a SQL COW rewrite") {
+    import spark.implicits._
+    val root = tmpDir() + "/dml-analyze"
+    TxTable.append((1L to 500L).map(i => (i, i % 13, s"s$i"))
+      .toDF("k", "grp", "s"), root, statsCols = Seq("k", "grp"))
+    TxTable.analyze(spark, root, exact = true)
+    spark.sql("DROP TABLE IF EXISTS cow_analyze_t")
+    spark.sql(s"CREATE TABLE cow_analyze_t USING `graft-tx` " +
+      s"OPTIONS (path '$root')")
+    graft.functions.GraftFunctions.register(spark)
+    spark.sql("DELETE FROM cow_analyze_t WHERE k % 7 = 0") // COW path
+    // the post-DML snapshot still answers: counts exact, NDV clamped
+    // to the live row count (analyze-time estimates never overshoot)
+    val live = spark.table("cow_analyze_t").count()
+    assert(live === 500L - 71L)
+    TxTable.columnNdv(spark, root).get("k").foreach(ndv =>
+      assert(ndv <= live + 1,
+        s"stale NDV must clamp to live rows, got $ndv for $live rows"))
+    // and a fresh ANALYZE over the rewritten table round-trips
+    TxTable.analyze(spark, root, exact = true)
+    assert(TxTable.columnNdv(spark, root)("k") === live)
+  }
+
   test("SQL DML on a delta-carrying snapshot refuses loudly") {
     import spark.implicits._
     val root = tmpDir() + "/deltas"
