@@ -250,6 +250,47 @@ class SqlDmlSpec extends SparkSpec {
     assert(t.filter("s LIKE 'u%'").count() === 10L)
   }
 
+  test("MERGE WHEN NOT MATCHED BY SOURCE syncs the target to the source") {
+    import spark.implicits._
+    mkTable("dml_sync", 40L)
+    // source holds keys 21..50: 21..40 match, 41..50 are new,
+    // 1..20 exist only in the target and must sync-delete
+    (21L to 50L).map(i => (i, 0L, s"src$i")).toDF("k", "grp", "s")
+      .createOrReplaceTempView("dml_sync_src")
+    spark.sql(
+      """MERGE INTO dml_sync t USING dml_sync_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE
+        |""".stripMargin)
+    val t = spark.table("dml_sync")
+    assert(t.count() === 30L)
+    assert(t.filter("k <= 20").count() === 0L, "target-only rows deleted")
+    assert(t.filter("s LIKE 'src%'").count() === 30L,
+      "every surviving row carries source values")
+    assert(t.filter("k = 35 AND s = 'src35' AND grp = 0").count() === 1L)
+  }
+
+  test("MoR MERGE handles NOT MATCHED BY SOURCE too") {
+    import spark.implicits._
+    mkTable("dml_sync_mor", 40L)
+    (21L to 50L).map(i => (i, 0L, s"src$i")).toDF("k", "grp", "s")
+      .createOrReplaceTempView("dml_sync_mor_src")
+    spark.conf.set("spark.graft.dml.positional", "true")
+    try {
+      spark.sql(
+        """MERGE INTO dml_sync_mor t USING dml_sync_mor_src s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *
+          |WHEN NOT MATCHED BY SOURCE THEN DELETE
+          |""".stripMargin)
+    } finally spark.conf.unset("spark.graft.dml.positional")
+    val t = spark.table("dml_sync_mor")
+    assert(t.count() === 30L)
+    assert(t.filter("k <= 20").count() === 0L)
+    assert(t.filter("s LIKE 'src%'").count() === 30L)
+  }
+
   test("__graft_dir is a selectable metadata column") {
     mkTable("dml_dircol", 100L)
     val dirs = spark.sql(
