@@ -638,6 +638,17 @@ private[sources] object TxV2PredicateSql {
         case "=" | ">" | ">=" | "<" | "<=" | "<=>" if cs.length == 2 =>
           bin(cs(0), cs(1), g.name())
         case "<>" | "!=" if cs.length == 2 => bin(cs(0), cs(1), "!=")
+        // function forms, not LIKE patterns — no %/_ escaping to get
+        // subtly wrong
+        case "STARTS_WITH" if cs.length == 2 =>
+          for (c <- render(cs(0)); p <- render(cs(1)))
+            yield s"startswith($c, $p)"
+        case "ENDS_WITH" if cs.length == 2 =>
+          for (c <- render(cs(0)); p <- render(cs(1)))
+            yield s"endswith($c, $p)"
+        case "CONTAINS" if cs.length == 2 =>
+          for (c <- render(cs(0)); p <- render(cs(1)))
+            yield s"contains($c, $p)"
         case "IS_NULL" if cs.length == 1 =>
           render(cs(0)).map(c => s"($c IS NULL)")
         case "IS_NOT_NULL" if cs.length == 1 =>

@@ -291,6 +291,16 @@ class SqlDmlSpec extends SparkSpec {
     assert(t.filter("s LIKE 'src%'").count() === 30L)
   }
 
+  test("string-prefix DELETE translates to the fast path") {
+    mkTable("dml_prefix", 50L)
+    // s LIKE 's1%' pushes as StringStartsWith -> the SupportsDeleteV2
+    // renderer turns it into startswith(); matches s1, s10..s19
+    spark.sql("DELETE FROM dml_prefix WHERE s LIKE 's1%'")
+    val t = spark.table("dml_prefix")
+    assert(t.count() === 39L)
+    assert(t.filter("s LIKE 's1%'").count() === 0L)
+  }
+
   test("__graft_dir is a selectable metadata column") {
     mkTable("dml_dircol", 100L)
     val dirs = spark.sql(
