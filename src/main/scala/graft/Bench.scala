@@ -64,6 +64,7 @@ object Bench {
     // failure was transient; a query that succeeded at least once is
     // never listed as errored, whatever later retries do.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val scratchSecs = scala.collection.mutable.LinkedHashMap[String, Double]()
     // Previous-round per-query seconds, for outlier detection. The file
     // is this Bench's own JSON shape; a flat regex pull of the
     // "name":seconds pairs is enough (non-query keys like "value" are
@@ -89,16 +90,24 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       var best = -1.0
+      // memoized-artifact build seconds INSIDE the best try's window —
+      // split out in the artifact so rung-over-rung ratios compare
+      // query cost, not one-off scratch derivations (`wall - scratch`)
+      var bestScratch = 0.0
       var lastErr: String = null
       var tries = 0
       val seen = scala.collection.mutable.ArrayBuffer[Double]()
       def run(): Unit = {
         val t0 = System.nanoTime()
+        val s0 = Scratch.buildNanos.get()
         try {
           fn(spark, sfDir).write.mode("overwrite").format("noop").save()
           val t = (System.nanoTime() - t0) / 1e9
           seen += t
-          best = if (best < 0) t else math.min(best, t)
+          if (best < 0 || t < best) {
+            best = t
+            bestScratch = (Scratch.buildNanos.get() - s0) / 1e9
+          }
         } catch {
           case e: Throwable =>
             seen += -1.0
@@ -131,6 +140,7 @@ object Bench {
       while (tries < 6 && outlier) run()
       if (best < 0 && lastErr != null) errors(name) = lastErr
       allTries(name) = seen.toSeq
+      if (bestScratch > 0.005) scratchSecs(name) = bestScratch
       name -> best
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
@@ -145,8 +155,12 @@ object Bench {
         String.format(java.util.Locale.ROOT, "%.3f", Double.box(t)))
         .mkString(",") + "]"
     }.mkString("{", ",", "}")
+    val scratchJson = scratchSecs.map { case (k, v) =>
+      "\"" + k + "\":" + String.format(
+        java.util.Locale.ROOT, "%.3f", Double.box(v))
+    }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"tries":$triesJson,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"tries":$triesJson,"scratch":$scratchJson,"errors":$errJson,"sf":"$sfDir"}"""
     println(line)
     // the driver captures a truncated stdout tail; persist the full
     // per-query map so every round's history survives in the repo

@@ -570,6 +570,58 @@ object Oracles {
       """SELECT o_orderkey, o_custkey, c_nationkey
         |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
 
+    // SQL-first storage-partitioned join (TxTable.sqlPartSpjGateQuery):
+    // both sides CREATE TABLE ... PARTITIONED BY + INSERT INTO in pure
+    // SQL, joined zero-Exchange through the KeyGroupedPartitioning
+    // face; the bucket key derives from custkey, so the oracle is the
+    // plain equi-join
+    "q_txtable_sql_spj" ->
+      """SELECT o_orderkey, o_custkey, c_nationkey
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    // SQL maintenance surface (TxTable.sqlMaintGateQuery): CALL
+    // analyze / optimize_compact / vacuum are answer-preserving, so
+    // the oracle is the plain per-customer rollup of the four loads
+    // (= the whole table)
+    "q_txtable_sql_maint" ->
+      """SELECT o_custkey AS cust, count(*) AS cnt,
+        |  max(o_orderkey) AS max_k
+        |FROM orders GROUP BY o_custkey""".stripMargin,
+
+    // SQL column evolution replay (TxTable.addColGateQuery): orders
+    // loaded without price, ADD COLUMNS (price), a priced INSERT of
+    // shifted keys, then an UPDATE filling price on a slice of the
+    // pre-ADD rows — the oracle composes the three states
+    "q_txtable_addcol" ->
+      """WITH o AS (SELECT o_orderkey k, o_custkey cust,
+        |    cast(cast(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) price
+        |  FROM orders),
+        |mx AS (SELECT max(k) m FROM o),
+        |base AS (SELECT k, cust, CAST(NULL AS DOUBLE) price FROM o
+        |         UNION ALL
+        |         SELECT o.k + mx.m, cust, price FROM o, mx)
+        |SELECT k, cust,
+        |  CASE WHEN k % 10 = 0 AND k <= (SELECT m FROM mx)
+        |       THEN cust * 1.0 ELSE price END AS price
+        |FROM base""".stripMargin,
+
+    // partition-scoped INSERT OVERWRITE replay
+    // (TxTable.overwritePartGateQuery): full load, then month 3
+    // statically reloaded (even customers, doubled price) and months
+    // 5/6 dynamically reloaded (cust%3=0, tripled price) — the oracle
+    // is the three loads composed relationally
+    "q_txtable_overwrite_part" ->
+      """WITH src AS (SELECT o_orderkey k, o_custkey cust,
+        |    cast(cast(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) price,
+        |    CAST(month(o_orderdate) AS INT) om FROM orders)
+        |SELECT k, cust, price, om FROM src WHERE om NOT IN (3, 5, 6)
+        |UNION ALL
+        |SELECT k, cust, price * 2 AS price, CAST(3 AS INT) AS om
+        |FROM src WHERE om = 3 AND cust % 2 = 0
+        |UNION ALL
+        |SELECT k, cust, price * 3 AS price, om
+        |FROM src WHERE om IN (5, 6) AND cust % 3 = 0""".stripMargin,
+
     // CBO join reorder over catalog tables (TxTable.cboJoinGateQuery):
     // the reordered (small-first) plan must compute exactly the
     // written-order answer

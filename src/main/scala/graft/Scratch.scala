@@ -63,6 +63,15 @@ object Scratch {
     java.lang.Long.toHexString(h)
   }
 
+  /** Nanoseconds spent BUILDING memoized scratch artifacts this JVM —
+    * accumulated by the artifact builders (Dedup.scratchRelation) and
+    * read by Bench to split artifact-build seconds out of per-query
+    * wall time: a one-off corpus-scale derivation (the TextRank graph
+    * at sf1) otherwise bills itself to whichever query runs first,
+    * and the rung-over-rung ratios read as plan regressions. */
+  private[graft] val buildNanos =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   private val cleanupRegistered =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 

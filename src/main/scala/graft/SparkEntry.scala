@@ -154,6 +154,14 @@ object SparkEntry {
       (graft.sources.TxTable.spjValueGateQuery _),
     "q_txtable_timetravel_sql" ->
       (graft.sources.TxTable.timeTravelSqlGateQuery _),
+    "q_txtable_overwrite_part" ->
+      (graft.sources.TxTable.overwritePartGateQuery _),
+    "q_txtable_addcol" ->
+      (graft.sources.TxTable.addColGateQuery _),
+    "q_txtable_sql_maint" ->
+      (graft.sources.TxTable.sqlMaintGateQuery _),
+    "q_txtable_sql_spj" ->
+      (graft.sources.TxTable.sqlPartSpjGateQuery _),
     "q_txtable_pdelete" ->
       (graft.sources.TxTable.pdeleteGateQuery _),
     "q_txtable_grouped_ndv" ->

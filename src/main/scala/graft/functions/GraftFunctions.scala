@@ -160,5 +160,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.ApproxPercentileRewrite)
     ext.injectOptimizerRule(_ => graft.plans.TxStatsAggRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.LshTopKJoinStrategy)
+    // ANALYZE TABLE ... COMPUTE STATISTICS [FOR COLUMNS] on catalog
+    // graft-tx tables → TxTable.analyze (stock Spark refuses ANALYZE
+    // for v2 tables); runtime-registered sessions get the same
+    // operation via CALL spark_catalog.system.analyze(...)
+    ext.injectPostHocResolutionRule(graft.plans.GraftAnalyzeRule)
   }
 }

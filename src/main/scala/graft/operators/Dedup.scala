@@ -740,7 +740,9 @@ object Dedup {
             n.startsWith(f"rel-$key-${dir.hashCode}%08x-") && n != id
           }
           .foreach(s => fs.delete(s.getPath, true))
+      val t0 = System.nanoTime()
       build.write.mode("overwrite").parquet(p.toString)
+      Scratch.buildNanos.addAndGet(System.nanoTime() - t0)
       Scratch.registerCleanup(spark, p)
       scratchCache.putIfAbsent(cacheKey, p.toString)
       p.toString

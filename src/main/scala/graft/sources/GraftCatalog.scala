@@ -33,7 +33,42 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * partitions addressable by path (src/contrib/hive-streaming/
   * build.xml:1); here every committed snapshot stays addressable
   * from SQL. */
-class GraftCatalog extends DelegatingCatalogExtension {
+class GraftCatalog extends DelegatingCatalogExtension
+  with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+
+  /** SQL maintenance surface: `CALL spark_catalog.system.analyze(
+    * 'db.t', 'cols')` / `compact_snapshot` / `optimize_compact` /
+    * `vacuum` — see [[GraftProcedures]]. The table argument resolves
+    * through THIS catalog, so only graft-tx tables are accepted. */
+  override def loadProcedure(ident: Identifier)
+    : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(ident, tableRootOf).getOrElse(
+      throw new RuntimeException(
+        s"graft-tx: unknown procedure $ident — available: " +
+          GraftProcedures.names.map(n => s"system.$n").mkString(", ")))
+
+  override def listProcedures(
+    namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(GraftProcedures.Namespace))
+      GraftProcedures.names
+        .map(n => Identifier.of(GraftProcedures.Namespace, n)).toArray
+    else Array.empty
+
+  /** The graft-tx root of a table named in a procedure argument. */
+  private def tableRootOf(table: String): String = {
+    val spark = SparkSession.active
+    val parts = spark.sessionState.sqlParser.parseMultipartIdentifier(table)
+    val ident =
+      if (parts.length == 1)
+        Identifier.of(Array(spark.sessionState.catalogManager
+          .currentNamespace.last), parts.head)
+      else Identifier.of(parts.init.toArray, parts.last)
+    val t = super.loadTable(ident)
+    rootOfProps(t.properties()).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-tx: '$table' is not a graft-tx table — the system " +
+          "procedures maintain graft-tx tables only"))
+  }
 
   /** Plain loads too: once a custom spark_catalog is installed, Spark
     * STOPS converting the delegate's V1Table to the provider's V2
@@ -72,31 +107,44 @@ class GraftCatalog extends DelegatingCatalogExtension {
     }
   }
 
-  /** SQL column evolution: `ALTER TABLE t RENAME COLUMN a TO b` /
-    * `ALTER TABLE t DROP COLUMN c` on a graft-tx table resolve here
-    * (the session catalog's alterTable), and both are ONE metadata
-    * commit on the table itself — [[TxTable.renameColumn]] /
-    * [[TxTable.dropColumn]], the column-mapping moves, no data
-    * rewrite at any size. The delegate's stored schema is left alone
-    * on purpose: loadTable re-derives the live schema from the
-    * snapshot whenever commits exist, so the catalog copy cannot go
-    * stale-and-trusted, and skipping the delegate keeps the change a
-    * single atomic commit (no half-applied catalog+table pair).
-    * Anything that is not a column rename/drop on a graft-tx table
-    * (SET TBLPROPERTIES, comments, non-graft tables) delegates. ADD
-    * COLUMNS stays the documented append-a-wider-frame path — the
-    * schema lives in parquet footers, so a column with no data yet
-    * has nowhere sound to record its type. */
+  /** SQL column evolution: `ALTER TABLE t ADD COLUMNS (x INT)` /
+    * `RENAME COLUMN a TO b` / `DROP COLUMN c` on a graft-tx table
+    * resolve here (the session catalog's alterTable), and each is ONE
+    * metadata commit on the table itself — [[TxTable.addColumn]] (a
+    * `schema:` type header + a fresh column-mapping binding;
+    * null-filled reads until data arrives) / [[TxTable.renameColumn]]
+    * / [[TxTable.dropColumn]] — no data rewrite at any size. The
+    * delegate's stored schema is left alone on purpose: loadTable
+    * re-derives the live schema from the snapshot whenever commits
+    * exist, so the catalog copy cannot go stale-and-trusted, and
+    * skipping the delegate keeps the change a single atomic commit
+    * (no half-applied catalog+table pair). Any OTHER schema-affecting
+    * change (type/nullability/position/default updates) FAILS LOUDLY:
+    * delegating would update only the metastore copy, which the next
+    * load silently discards — a successful DDL with no observable
+    * effect. Non-schema changes (SET TBLPROPERTIES, comments) and
+    * non-graft tables delegate. */
   override def alterTable(ident: Identifier,
     changes: org.apache.spark.sql.connector.catalog.TableChange*): Table = {
     import org.apache.spark.sql.connector.catalog.TableChange
+    def isSchemaChange(c: TableChange): Boolean =
+      c.isInstanceOf[TableChange.ColumnChange]
     val t = super.loadTable(ident)
     rootOfProps(t.properties()) match {
-      case Some(root) if changes.forall(c =>
-        c.isInstanceOf[TableChange.RenameColumn] ||
-          c.isInstanceOf[TableChange.DeleteColumn]) =>
+      case Some(root) if changes.exists(isSchemaChange) &&
+        TxTable.exists(SparkSession.active, root) =>
         val spark = SparkSession.active
         changes.foreach {
+          case a: TableChange.AddColumn =>
+            require(a.fieldNames.length == 1,
+              "graft-tx: nested columns are not supported")
+            require(a.isNullable,
+              "graft-tx: added columns must be nullable (existing " +
+                "rows read them as NULL until data arrives)")
+            require(a.position() == null,
+              "graft-tx: ADD COLUMNS position (FIRST/AFTER) is not " +
+                "supported — added columns append at the end")
+            TxTable.addColumn(spark, root, a.fieldNames()(0), a.dataType())
           case r: TableChange.RenameColumn =>
             require(r.fieldNames.length == 1,
               "graft-tx: nested columns are not supported")
@@ -105,7 +153,16 @@ class GraftCatalog extends DelegatingCatalogExtension {
             require(d.fieldNames.length == 1,
               "graft-tx: nested columns are not supported")
             TxTable.dropColumn(spark, root, d.fieldNames()(0))
-          case _ => // unreachable (guarded above)
+          case c if isSchemaChange(c) =>
+            throw new UnsupportedOperationException(
+              s"graft-tx: unsupported ALTER TABLE change $c — the live " +
+                "schema derives from the table's own commits, so only " +
+                "ADD COLUMNS / RENAME COLUMN / DROP COLUMN apply " +
+                "(a delegated change would silently vanish)")
+          case c =>
+            throw new UnsupportedOperationException(
+              s"graft-tx: cannot mix $c with schema changes in one " +
+                "ALTER TABLE — issue it as a separate statement")
         }
         loadTable(ident)
       case _ => super.alterTable(ident, changes: _*)
@@ -152,6 +209,18 @@ class GraftCatalog extends DelegatingCatalogExtension {
     val opts = new java.util.HashMap[String, String]()
     params.foreach { case (k, v) => opts.put(k, v) }
     opts.put("provider", "graft-tx")
-    new GraftTxCatalogTable(schema, root, new CaseInsensitiveStringMap(opts))
+    // declared PARTITIONED BY (the delegate's stored transforms) wins;
+    // an API-built table proves its partitioning through its own
+    // committed `$p=v` layout — either way INSERT INTO/OVERWRITE route
+    // through the clustered partition-scoped write
+    val declaredParts =
+      TxTableSource.identityPartCols(base.partitioning().toSeq)
+    val partCols =
+      if (declaredParts.nonEmpty) declaredParts
+      else if (TxTable.exists(spark, root))
+        TxTable.layoutPartCols(spark, root)
+      else Seq.empty
+    new GraftTxCatalogTable(schema, root,
+      new CaseInsensitiveStringMap(opts), partCols)
   }
 }

@@ -190,34 +190,50 @@ private[sources] object TxParquetIO {
 
   /** ReadSupport materializing exactly `fields` (by name, in order)
     * into `GenericInternalRow`s. Missing columns fail loudly — the
-    * same contract as the batch feed's strict `unionByName`. */
-  private class RowReadSupport(fields: StructType)
-    extends ReadSupport[InternalRow] {
+    * same contract as the batch feed's strict `unionByName` — EXCEPT
+    * names in `nullIfMissing` (declared ALTER TABLE ADD COLUMNS
+    * columns a pre-ADD file legitimately lacks): those materialize as
+    * NULL, the same null-fill the batch read path applies. */
+  private class RowReadSupport(fields: StructType,
+    nullIfMissing: Set[String]) extends ReadSupport[InternalRow] {
 
     override def init(context: InitContext): ReadContext = {
       val fileSchema = context.getFileSchema
-      val projected = fields.fields.map { f =>
+      val projected = fields.fields.flatMap { f =>
         val idx = (0 until fileSchema.getFieldCount).find(i =>
           fileSchema.getType(i).getName.equalsIgnoreCase(f.name))
-        idx.map(fileSchema.getType).getOrElse(
+        if (idx.isEmpty && !nullIfMissing.contains(f.name))
           throw new IllegalArgumentException(
             s"graft-tx streaming: column '${f.name}' absent from data " +
               s"file (file has ${fileSchema.getFields}); the change feed " +
-              "requires every feed column in every commit"))
+              "requires every feed column in every commit")
+        idx.map(fileSchema.getType)
       }
-      new ReadContext(new MessageType("graft_row", projected: _*))
+      new ReadContext(new MessageType("graft_row", projected.toSeq: _*))
     }
 
     override def prepareForRead(conf: Configuration,
       meta: java.util.Map[String, String], fileSchema: MessageType,
       readContext: ReadContext): RecordMaterializer[InternalRow] = {
       val requested = readContext.getRequestedSchema
+      // field index → its slot in the requested (projected) schema;
+      // fields absent there stay NULL in every record
+      val present: Seq[(StructField, Int, Int)] = {
+        var j = 0
+        fields.fields.toSeq.zipWithIndex.flatMap { case (f, i) =>
+          val inReq = (0 until requested.getFieldCount).exists(k =>
+            requested.getType(k).getName.equalsIgnoreCase(f.name))
+          if (inReq) { val slot = j; j += 1; Some((f, i, slot)) }
+          else None
+        }
+      }
       new RecordMaterializer[InternalRow] {
         private val values = new Array[Any](fields.length)
         private val root: GroupConverter = new GroupConverter {
-          private val converters = fields.fields.zipWithIndex.map {
-            case (f, i) =>
-              converterFor(f, requested.getType(i), v => values(i) = v)
+          private val converters = new Array[Converter](present.length)
+          present.foreach { case (f, i, slot) =>
+            converters(slot) =
+              converterFor(f, requested.getType(slot), v => values(i) = v)
           }
           override def getConverter(i: Int): Converter = converters(i)
           override def start(): Unit =
@@ -242,9 +258,10 @@ private[sources] object TxParquetIO {
     * under a negation), never to over-drop. */
   def reader(path: Path, fields: StructType, conf: Configuration,
     filter: Option[org.apache.parquet.filter2.predicate.FilterPredicate]
-      = None): ParquetReader[InternalRow] = {
-    val b = ParquetReader.builder(new RowReadSupport(fields), path)
-      .withConf(conf)
+      = None, nullIfMissing: Set[String] = Set.empty)
+    : ParquetReader[InternalRow] = {
+    val b = ParquetReader.builder(
+      new RowReadSupport(fields, nullIfMissing), path).withConf(conf)
     filter.fold(b)(f => b.withFilter(
       org.apache.parquet.filter2.compat.FilterCompat.get(f))).build()
   }

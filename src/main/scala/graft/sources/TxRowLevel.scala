@@ -230,7 +230,8 @@ class TxCowScan(spark: SparkSession, plan: TxTable.CowPlan,
     val fileSchema = StructType(dataFields.map(f =>
       f.copy(name = TxTable.physNameOf(plan.colMap, f.name))))
     TxCowReaderFactory(fileSchema, metaNames.toSeq,
-      new SerializableConfiguration(spark.sessionState.newHadoopConf()))
+      new SerializableConfiguration(spark.sessionState.newHadoopConf()),
+      plan.addedCols)
   }
 }
 
@@ -238,11 +239,12 @@ case class TxCowInputPartition(file: String, dir: String,
   pdelFiles: Seq[String]) extends InputPartition
 
 case class TxCowReaderFactory(fileSchema: StructType, metaCols: Seq[String],
-  conf: SerializableConfiguration) extends PartitionReaderFactory {
+  conf: SerializableConfiguration, addedCols: Set[String] = Set.empty)
+  extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val cp = p.asInstanceOf[TxCowInputPartition]
     new TxCowPartitionReader(cp.file, cp.pdelFiles, fileSchema, conf,
-      metaCols, cp.dir)
+      metaCols, cp.dir, addedCols)
   }
 }
 
@@ -257,7 +259,8 @@ case class TxCowReaderFactory(fileSchema: StructType, metaCols: Seq[String],
   * exact coordinate the `pd:` grammar speaks). */
 class TxCowPartitionReader(file: String, pdelFiles: Seq[String],
   schema: StructType, conf: SerializableConfiguration,
-  metaCols: Seq[String] = Seq.empty, dir: String = "")
+  metaCols: Seq[String] = Seq.empty, dir: String = "",
+  addedCols: Set[String] = Set.empty)
   extends PartitionReader[InternalRow] {
 
   private val path = new org.apache.hadoop.fs.Path(file)
@@ -285,7 +288,8 @@ class TxCowPartitionReader(file: String, pdelFiles: Seq[String],
     }
     s
   }
-  private lazy val reader = TxParquetIO.reader(path, schema, conf.value)
+  private lazy val reader = TxParquetIO.reader(path, schema, conf.value,
+    nullIfMissing = addedCols)
   private val joined =
     new org.apache.spark.sql.catalyst.expressions.JoinedRow()
   // one mutable meta row reused per emitted row; only the position
@@ -556,20 +560,122 @@ class TxDeltaWriter(prefix: String, insertSchema: StructType,
   * ([[TxTable.appendStaged]]). Appends stage under the snapshot's
   * PHYSICAL column names; an overwrite's files are born logical and
   * the commit resets the column mapping — the same discipline as the
-  * DataFrame-level [[TxTable.append]]/[[TxTable.overwrite]]. */
-class TxCatalogWriteBuilder(root: String, info: LogicalWriteInfo)
+  * DataFrame-level [[TxTable.append]]/[[TxTable.overwrite]].
+  *
+  * PARTITIONED tables (`CREATE TABLE ... PARTITIONED BY (c)`, or a
+  * layout already written by appendPartitionedBy) route every write
+  * through the CLUSTERED shape instead: the Write requires a
+  * clustered distribution + within-partition sort on the partition
+  * columns (public `RequiresDistributionAndOrdering` — Spark shuffles
+  * once before the writers see a row), each writer task stages ONE
+  * file per partition value it owns ([[TxPartitionedDataWriter]], the
+  * streaming sink's writer), and the commit promotes the files by
+  * rename with footer stats ([[TxTable.commitPartitionedSql]]). Three
+  * overwrite scopes land as ONE commit each, swapping exactly the
+  * replaced partitions' entries:
+  *
+  *  - `SupportsDynamicOverwrite` — `INSERT OVERWRITE` under dynamic
+  *    partitionOverwriteMode / `df.writeTo(t).overwritePartitions()`:
+  *    replaces exactly the partitions present in the new data;
+  *  - `SupportsOverwriteV2` — static `INSERT OVERWRITE t PARTITION
+  *    (day=...)`: replaces the partitions matching the filter
+  *    (partition-column predicates only; anything else refuses
+  *    loudly rather than silently dropping unrelated rows);
+  *  - truncate (`INSERT OVERWRITE t` in static mode) — replaces all
+  *    content, keeping the clustered layout.
+  *
+  * Untouched partitions' files are never opened, moved or rewritten
+  * — the atomic partition-reload idiom (ref: the warehouse's rename
+  * loads, src/mapred/org/apache/hadoop/mapred/
+  * FileOutputCommitter.java:1) at any table size. */
+class TxCatalogWriteBuilder(root: String, info: LogicalWriteInfo,
+  partCols: Seq[String] = Seq.empty,
+  declaredStats: Option[Seq[String]] = None)
   extends WriteBuilder
-  with org.apache.spark.sql.connector.write.SupportsTruncate {
-  private var replace = false
-  override def truncate(): WriteBuilder = { replace = true; this }
-  override def build(): Write = new Write {
-    override def toBatch: BatchWrite =
-      new TxCatalogBatchWrite(root, info, replace)
+  with org.apache.spark.sql.connector.write.SupportsOverwriteV2
+  with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
+
+  /** Write-time stats columns a BOOTSTRAP (first content) load
+    * declares: the CREATE TABLE `statsCols` option when present, else
+    * every eligible column ([[TxTable.defaultStatsCols]]) — SQL-first
+    * tables get dir pruning and CBO inputs without the Scala API. */
+  private def bootstrapStats: Seq[String] =
+    declaredStats.getOrElse(TxTable.defaultStatsCols(info.schema()))
+
+  // append | truncate | dynamic | filter
+  private var mode: String = "append"
+  private var filterSql: Option[String] = None
+
+  override def truncate(): WriteBuilder = { mode = "truncate"; this }
+
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    require(partCols.nonEmpty,
+      "graft-tx: dynamic partition overwrite needs a partitioned " +
+        "table (CREATE TABLE ... PARTITIONED BY, or a layout written " +
+        "by appendPartitionedBy)")
+    mode = "dynamic"
+    this
+  }
+
+  override def overwrite(predicates: Array[
+    org.apache.spark.sql.connector.expressions.filter.Predicate])
+    : WriteBuilder = {
+    if (predicates.forall(_.isInstanceOf[AlwaysTrue])) return truncate()
+    require(partCols.nonEmpty,
+      "graft-tx: INSERT OVERWRITE by filter needs a partitioned table " +
+        "(CREATE TABLE ... PARTITIONED BY); this table has no " +
+        "partition columns — use plain INSERT OVERWRITE (replace-all) " +
+        "or DELETE + INSERT")
+    val refs = predicates.flatMap(TxCatalogWriteBuilder.refsOf).distinct
+    val bad = refs.filterNot(r => partCols.exists(_.equalsIgnoreCase(r)))
+    require(bad.isEmpty,
+      "graft-tx: INSERT OVERWRITE by filter supports partition-column " +
+        s"predicates only; [${bad.mkString(", ")}] are not partition " +
+        s"columns of (${partCols.mkString(", ")})")
+    val sql = predicates.map(p => TxV2PredicateSql.render(p).getOrElse(
+      throw new UnsupportedOperationException(
+        s"graft-tx: cannot overwrite by untranslatable predicate $p")))
+    mode = "filter"
+    filterSql = Some(if (sql.isEmpty) "TRUE" else sql.mkString(" AND "))
+    this
+  }
+
+  override def build(): Write = {
+    if (partCols.isEmpty) new Write {
+      override def toBatch: BatchWrite =
+        new TxCatalogBatchWrite(root, info, mode == "truncate",
+          bootstrapStats)
+    } else new Write
+      with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+      import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+      import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, SortDirection, SortOrder => V2SortOrder}
+      override def requiredDistribution(): Distribution =
+        Distributions.clustered(
+          partCols.map(c => Expressions.identity(c)
+            : org.apache.spark.sql.connector.expressions.Expression).toArray)
+      override def requiredOrdering(): Array[V2SortOrder] =
+        partCols.map(c => Expressions.sort(Expressions.identity(c),
+          SortDirection.ASCENDING, NullOrdering.NULLS_FIRST)).toArray
+      override def toBatch: BatchWrite =
+        new TxCatalogPartBatchWrite(root, info, partCols,
+          if (mode == "truncate") "replace" else mode, filterSql,
+          bootstrapStats)
+    }
+  }
+}
+
+object TxCatalogWriteBuilder {
+  /** Every column name referenced anywhere in a V2 predicate tree. */
+  private[sources] def refsOf(e: V2Expression): Seq[String] = e match {
+    case r: NamedReference => Seq(r.fieldNames().mkString("."))
+    case g: GeneralScalarExpression => g.children().toSeq.flatMap(refsOf)
+    case _ => Seq.empty
   }
 }
 
 class TxCatalogBatchWrite(root: String, info: LogicalWriteInfo,
-  replace: Boolean) extends BatchWrite {
+  replace: Boolean, bootstrapStats: Seq[String] = Seq.empty)
+  extends BatchWrite {
 
   private val writeId = java.util.UUID.randomUUID().toString
 
@@ -595,7 +701,8 @@ class TxCatalogBatchWrite(root: String, info: LogicalWriteInfo,
       case TxCommitMessage(p, _) if p != null => p
     }.toSeq
     val spark = SparkSession.active
-    try TxTable.appendStaged(spark, root, staged, replace, info.schema())
+    try TxTable.appendStaged(spark, root, staged, replace, info.schema(),
+      bootstrapStats)
     finally cleanupStaging(spark)
   }
 
@@ -608,6 +715,96 @@ class TxCatalogBatchWrite(root: String, info: LogicalWriteInfo,
     fs.delete(p, true)
     ()
   }
+}
+
+/** The PARTITIONED batch write: clustered+sorted input (the Write's
+  * required distribution), one staged file per partition value per
+  * task ([[TxPartitionedDataWriter]] — the streaming sink's writer,
+  * with its writer-observed tuple proof), one
+  * [[TxTable.commitPartitionedSql]] commit swapping exactly the
+  * replaced partitions. Files stage under the snapshot's PHYSICAL
+  * column names, so the column mapping carries through overwrites
+  * (a partition-scoped overwrite keeps other dirs — it must not
+  * reset the mapping the way replace-all does). */
+class TxCatalogPartBatchWrite(root: String, info: LogicalWriteInfo,
+  partCols: Seq[String], mode: String, filterSql: Option[String],
+  bootstrapStats: Seq[String] = Seq.empty)
+  extends BatchWrite {
+
+  private val writeId = java.util.UUID.randomUUID().toString
+  // partition-column types checked ONCE, loudly, before any task runs
+  partCols.foreach { c =>
+    require(info.schema().fieldNames.contains(c),
+      s"graft-tx: partition column '$c' is not in the write schema " +
+        s"(${info.schema().fieldNames.mkString(", ")})")
+    require(info.schema()(c).dataType match {
+      case org.apache.spark.sql.types.LongType |
+        org.apache.spark.sql.types.IntegerType |
+        org.apache.spark.sql.types.ShortType |
+        org.apache.spark.sql.types.DateType |
+        org.apache.spark.sql.types.StringType => true
+      case _ => false
+    }, s"graft-tx: partition column '$c' must be integral, date or " +
+      s"string, got ${info.schema()(c).dataType}")
+  }
+
+  private def physSchemaAndParts(spark: SparkSession)
+    : (StructType, Seq[String]) = {
+    val m = TxTable.colMapOf(spark, root)
+    val fileSchema = StructType(info.schema().fields.map(f =>
+      f.copy(name = TxTable.physNameOf(m, f.name))))
+    (fileSchema, partCols.map(TxTable.physNameOf(m, _)))
+  }
+
+  override def createBatchWriterFactory(
+    pinfo: PhysicalWriteInfo): DataWriterFactory = {
+    val spark = SparkSession.active
+    val (fileSchema, physParts) = physSchemaAndParts(spark)
+    TxBatchPartWriterFactory(root, writeId, fileSchema, physParts,
+      new SerializableConfiguration(spark.sessionState.newHadoopConf()))
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val staged = messages.collect {
+      case TxPartCommitMessage(fl, n) if n > 0 => fl
+    }.flatten.toSeq
+    staged.foreach { f =>
+      require(f.partVals.forall(_.isDefined),
+        s"graft-tx: partition column(s) (${partCols.mkString(", ")}) " +
+          "contain NULLs — partitioned writes need a total partition " +
+          "assignment; coalesce NULLs to a sentinel value first")
+    }
+    val partSchema = StructType(partCols.map(c => info.schema()(c)))
+    val (fileSchema, _) = physSchemaAndParts(spark)
+    val m = TxTable.colMapOf(spark, root)
+    try TxTable.commitPartitionedSql(spark, root,
+      staged.map(f => f.path -> f.partVals.map(_.get)), partCols, mode,
+      filterSql, partSchema, fileSchema,
+      bootstrapStats.map(TxTable.physNameOf(m, _)))
+    finally cleanupStaging(spark)
+    ()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    cleanupStaging(SparkSession.active)
+
+  private def cleanupStaging(spark: SparkSession): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/_staging/sqldml-$writeId")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(p, true)
+    ()
+  }
+}
+
+case class TxBatchPartWriterFactory(root: String, writeId: String,
+  schema: StructType, physParts: Seq[String],
+  conf: SerializableConfiguration) extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+    taskId: Long): DataWriter[InternalRow] =
+    new TxPartitionedDataWriter(
+      s"$root/_staging/sqldml-$writeId/part-$partitionId-$taskId",
+      schema, physParts, conf)
 }
 
 /** Conservative V2-Predicate → Spark-SQL-text renderer, the bridge

@@ -397,6 +397,55 @@ object TxTable {
   private def colMapLine(m: Seq[(String, String)]): String =
     "colmap:" + m.map { case (l, p) => s"$l=$p" }.mkString(",")
 
+  /** DECLARED-COLUMN header (`schema:<phys>=<typeDDL>;...`): the types
+    * of columns added by `ALTER TABLE ... ADD COLUMNS` that may not
+    * yet exist in any data file — the one schema fact parquet footers
+    * cannot carry. Reads null-fill a declared column until data
+    * arrives (the Delta/Iceberg add-column move). An entry is LIVE
+    * only while its physical name is bound by the snapshot's column
+    * mapping (addColumn always materializes the mapping), so a
+    * rewrite that resets the mapping — whose files were born carrying
+    * every visible column — retires the header automatically, and a
+    * stale entry can never invent a column. Atomic types only (the
+    * DDL round-trips unambiguously; nested columns are unsupported
+    * across the format). */
+  private def snapshotAddedCols(fs: FileSystem, rp: Path,
+    v: Int): Seq[(String, org.apache.spark.sql.types.DataType)] =
+    if (v == 0) Seq.empty
+    else commitLines(fs, rp, v)
+      .find(_.startsWith("schema:")).map(_.drop(7)).filter(_.nonEmpty)
+      .map(_.split(";").toSeq.map { p =>
+        val i = p.indexOf('=')
+        (p.substring(0, i),
+          org.apache.spark.sql.types.DataType.fromDDL(p.substring(i + 1)))
+      }).getOrElse(Seq.empty)
+
+  private def schemaLine(
+    cols: Seq[(String, org.apache.spark.sql.types.DataType)]): String =
+    "schema:" + cols.map { case (p, dt) => s"$p=${dt.sql}" }.mkString(";")
+
+  /** The LIVE declared columns of snapshot `v` — `schema:` entries
+    * whose physical name the snapshot's mapping still binds. */
+  private def liveAddedCols(fs: FileSystem, rp: Path,
+    v: Int): Seq[(String, org.apache.spark.sql.types.DataType)] = {
+    val declared = snapshotAddedCols(fs, rp, v)
+    if (declared.isEmpty) Seq.empty
+    else {
+      val bound = snapshotColMap(fs, rp, v)
+        .map(liveMap(_).map(_._2).toSet).getOrElse(Set.empty)
+      declared.filter { case (p, _) => bound(p) }
+    }
+  }
+
+  /** Physical names of snapshot `v`'s live declared columns — what
+    * the COW DML readers null-fill when a pre-ADD dir lacks them. */
+  private[sources] def addedColNames(spark: SparkSession, root: String,
+    version: Int): Set[String] = {
+    val (fs, rp) = fsFor(spark, root)
+    val v = if (version >= 0) version else latestVersion(spark, root)
+    liveAddedCols(fs, rp, v).map(_._1).toSet
+  }
+
   /** The live (non-tombstone) logical→physical pairs. */
   private def liveMap(m: Seq[(String, String)]): Seq[(String, String)] =
     m.filter(_._1.nonEmpty)
@@ -603,8 +652,43 @@ object TxTable {
   }
 
   /** `read` in PHYSICAL column names (pre-mapping) — the internal
-    * face rewrite ops and the change-feed staging consume. */
+    * face rewrite ops and the change-feed staging consume. Declared
+    * (ALTER TABLE ADD COLUMNS) columns that no scanned dir carries
+    * yet null-fill here, so every read face — API, format, catalog,
+    * SQL — serves the full declared schema; range filters requested
+    * on a just-filled column still apply (all-NULL never satisfies a
+    * between, matching the value-filter semantics). */
   private def readResolved(spark: SparkSession, root: String,
+    version: Int = -1, keyRange: Option[(Long, Long)] = None,
+    colRanges: Map[String, (Long, Long)] = Map.empty,
+    strRanges: Map[String, (String, String)] = Map.empty): DataFrame = {
+    val df = readResolved0(spark, root, version, keyRange, colRanges,
+      strRanges)
+    val (fs, rp) = fsFor(spark, root)
+    val v = if (version >= 0) version else latestVersion(spark, root)
+    val declared = liveAddedCols(fs, rp, v)
+    if (declared.isEmpty) df
+    else {
+      val missing = declared.filterNot { case (p, _) =>
+        df.columns.contains(p) }
+      val filled = missing.foldLeft(df) { case (d, (p, dt)) =>
+        d.withColumn(p, lit(null).cast(dt))
+      }
+      // ranges over a column that was JUST filled must still restrict
+      // rows (readResolved0 skipped them — the column wasn't there)
+      val ranges: Map[String, (Any, Any)] =
+        colRanges.map { case (c, r) => c -> (r: (Any, Any)) } ++
+          strRanges.map { case (c, r) => c -> (r: (Any, Any)) }
+      missing.map(_._1).foldLeft(filled) { (d, p) =>
+        ranges.get(p) match {
+          case Some((lo, hi)) => d.filter(col(p).between(lo, hi))
+          case None => d
+        }
+      }
+    }
+  }
+
+  private def readResolved0(spark: SparkSession, root: String,
     version: Int = -1, keyRange: Option[(Long, Long)] = None,
     colRanges: Map[String, (Long, Long)] = Map.empty,
     strRanges: Map[String, (String, String)] = Map.empty): DataFrame = {
@@ -1221,6 +1305,35 @@ object TxTable {
       val mapCarried =
         if (lines.exists(_.startsWith("colmap:"))) Seq.empty
         else snapshotColMap(fs, rp, prevV).map(colMapLine).toSeq
+      // declared-column types carry like the mapping — but an entry
+      // stays only while THIS commit's effective mapping still binds
+      // its physical name (a colmap reset/tombstone retires it), so a
+      // stale header can never invent a column
+      val schemaCarried =
+        if (lines.exists(_.startsWith("schema:"))) Seq.empty
+        else {
+          val hdr =
+            if (prevV == 0) None
+            else commitLines(fs, rp, prevV).find(_.startsWith("schema:"))
+          hdr.map(_.drop(7)).filter(_.nonEmpty).map { body =>
+            val effMap: Option[Seq[(String, String)]] =
+              lines.find(_.startsWith("colmap:")) match {
+                case Some(l) =>
+                  Some(l.drop(7)).filter(_.nonEmpty)
+                    .map(_.split(",").toSeq.map { p =>
+                      val i = p.indexOf('=')
+                      (p.substring(0, i), p.substring(i + 1))
+                    })
+                case None => snapshotColMap(fs, rp, prevV)
+              }
+            val bound = effMap.map(liveMap(_).map(_._2).toSet)
+              .getOrElse(Set.empty[String])
+            val kept = body.split(";").toSeq
+              .filter(p => bound(p.takeWhile(_ != '=')))
+            if (kept.isEmpty) Seq.empty
+            else Seq("schema:" + kept.mkString(";"))
+          }.getOrElse(Seq.empty)
+        }
       // analyze-time NDV estimates are table-level metadata too:
       // carried until the next analyze re-declares them (read side
       // clamps stale estimates to the live row count)
@@ -1257,7 +1370,8 @@ object TxTable {
         }
       }
       val (packedLines, staged) = packEntryLines(fs, rp, prevV,
-        mapCarried ++ ndvCarried ++ histCarried ++ lines ++ carried,
+        mapCarried ++ schemaCarried ++ ndvCarried ++ histCarried ++
+          lines ++ carried,
         rollover)
       stagedManifests = staged
       val body = (s"op:$op" +: packedLines).mkString("\n")
@@ -2058,7 +2172,10 @@ object TxTable {
   private[sources] case class CowPlan(version: Int,
     colMap: Option[Seq[(String, String)]], affectedDirs: Seq[String],
     affectedLines: Seq[String], files: Seq[CowFile],
-    keys: Seq[String], statsCols: Seq[String])
+    keys: Seq[String], statsCols: Seq[String],
+    // physical names of declared (ADD COLUMNS) columns a pre-ADD data
+    // file may legitimately lack — the COW readers null-fill these
+    addedCols: Set[String] = Set.empty)
 
   /** Plan a group-based copy-on-write rewrite: every dir of the
     * latest snapshot EXCEPT those the condition's bounding box
@@ -2104,7 +2221,8 @@ object TxTable {
     }
     CowPlan(v, m, affected.map(_.dir), affected.map(_.line), files,
       snapshotKeys(fs, rp, v).getOrElse(Seq.empty),
-      snapshotStatsCols(fs, rp, v))
+      snapshotStatsCols(fs, rp, v),
+      liveAddedCols(fs, rp, v).map(_._1).toSet)
   }
 
   /** Commit a group-based rewrite: swap `plan`'s affected dirs for
@@ -2202,7 +2320,8 @@ object TxTable {
     * (written from `writeSchema`). An empty append is a no-op. */
   private[sources] def appendStaged(spark: SparkSession, root: String,
     staged: Seq[String], replace: Boolean,
-    writeSchema: org.apache.spark.sql.types.StructType): Int = {
+    writeSchema: org.apache.spark.sql.types.StructType,
+    bootstrapStatsCols: Seq[String] = Seq.empty): Int = {
     val (fs, rp) = fsFor(spark, root)
     if (staged.isEmpty && !replace) return latestVersion(spark, root)
     val op = if (replace) "overwrite" else "append"
@@ -2220,18 +2339,29 @@ object TxTable {
         writeSchema, spark.sessionState.newHadoopConf()).close()
     }
     try commitRetry(spark, root) { prevV =>
+      // a table's FIRST content (bootstrap INSERT, or replace-all)
+      // declares its stats columns: write-time per-dir stats are what
+      // feed dir pruning, metadata aggregates and the CBO, and a
+      // SQL-first table should get them without the Scala API
+      def bootstrapHdr(cols: Seq[String]): Seq[String] =
+        if (cols.isEmpty) Seq.empty
+        else Seq(s"statscol:${cols.mkString(",")}")
       if (replace) {
         val hadMap = prevV > 0 && snapshotColMap(fs, rp, prevV).isDefined
-        val entry = statsEntry(spark, rp, dirName, Seq.empty)
+        val entry = statsEntry(spark, rp, dirName, bootstrapStatsCols)
         ("overwrite",
-          (if (hadMap) Seq("colmap:") else Seq.empty) :+ entry.line)
+          (if (hadMap) Seq("colmap:") else Seq.empty) ++
+            bootstrapHdr(bootstrapStatsCols) :+ entry.line)
       } else {
         val statsCols =
-          if (prevV == 0) Seq.empty
+          if (prevV == 0) bootstrapStatsCols
           else snapshotKeys(fs, rp, prevV).getOrElse(Seq.empty) ++
             snapshotStatsCols(fs, rp, prevV)
         val entry = statsEntry(spark, rp, dirName, statsCols.distinct)
-        ("append", snapshotLines(fs, rp, prevV) :+ entry.line)
+        ("append",
+          (if (prevV == 0) bootstrapHdr(statsCols.distinct)
+           else Seq.empty) ++
+            snapshotLines(fs, rp, prevV) :+ entry.line)
       }
     } catch {
       case e: Throwable =>
@@ -3069,9 +3199,36 @@ object TxTable {
         case _ => true
       })
     if (!proven) return rewriteFallback()
-    val byTuple = keyed.groupBy(_._3.get)
     val baseDir = s"data/append-${java.util.UUID.randomUUID()}"
-    val entries = byTuple.toSeq.sortBy(t => tupleSortKey(t._1)).map {
+    val entries = promotePartEntries(fs, rp, baseDir, partCols, statsCols,
+      keyed.map { case (f, sf, t) => (f, sf, t.get) })
+    commitRetry(spark, root) { prevV =>
+      if (alreadyApplied(prevV)) {
+        fs.delete(new Path(rp, baseDir), true)
+        return prevV
+      }
+      preCommit(prevV)
+      val prev = snapshotLines(fs, rp, prevV)
+      val statsHdr =
+        if (prev.exists(_.startsWith("statscol:"))) None
+        else Some(s"statscol:${(partCols ++ statsCols).mkString(",")}")
+      ("append", Seq(s"batch:$tag") ++ statsHdr.toSeq ++
+        prev ++ entries.map(_.line))
+    }
+  }
+
+  /** Promote proven-single-tuple staged files into `$p=v` entry dirs
+    * under `baseDir` — the shared layout/stat-minting step of the
+    * partitioned promote paths (streaming epoch commits and the SQL
+    * write face). One metadata rename per file; per-dir stats folded
+    * from the footer facts; integral keys get exact `lo == hi` range
+    * stats, string keys the `sx:` exact-value marker — the same
+    * clustering proof appendPartitionedBy records. */
+  private def promotePartEntries(fs: FileSystem, rp: Path, baseDir: String,
+    partCols: Seq[String], statsCols: Seq[String],
+    keyed: Seq[(String, StagedFacts, Seq[Any])]): Seq[Entry] = {
+    val byTuple = keyed.groupBy(_._3)
+    byTuple.toSeq.sortBy(t => tupleSortKey(t._1)).map {
       case (vs, fl) =>
         val dirName = baseDir + partCols.zip(vs).map {
           case (p, v: Long) => s"/$p=$v"
@@ -3118,18 +3275,270 @@ object TxTable {
           strHex.map { case (p, h) => p -> (h, h) }.toMap,
           strHex.toMap)
     }
-    commitRetry(spark, root) { prevV =>
-      if (alreadyApplied(prevV)) {
-        fs.delete(new Path(rp, baseDir), true)
-        return prevV
+  }
+
+  /** The partition tuple a committed dir PROVES through its own name:
+    * `data/<op>-<uuid>/p0=v0/p1=v1` segments, matched against the
+    * expected physical partition columns in order. Bare-digit tokens
+    * decode as the integral/date encoding, `x<hex>` tokens as string
+    * values — the exact grammar both partitioned write paths mint.
+    * None when the dir doesn't prove the layout (an unpartitioned
+    * append, a different key set, a corrupt token): partition-scoped
+    * commits treat None as UNPROVABLE and refuse loudly rather than
+    * guess. */
+  private def dirTupleOf(dir: String,
+    physParts: Seq[String]): Option[Seq[Any]] = {
+    val segs = dir.split('/').drop(2).toSeq
+    if (segs.length != physParts.length) return None
+    val vals = segs.zip(physParts).map { case (s, p) =>
+      val i = s.indexOf('=')
+      if (i < 0 || s.substring(0, i) != p) None
+      else {
+        val v = s.substring(i + 1)
+        if (v.startsWith("x")) hexDec(v.drop(1)).map(x => x: Any)
+        else scala.util.Try(v.toLong).toOption.map(x => x: Any)
       }
-      preCommit(prevV)
-      val prev = snapshotLines(fs, rp, prevV)
+    }
+    if (vals.exists(_.isEmpty)) None else Some(vals.map(_.get))
+  }
+
+  /** The LOGICAL partition columns the table's committed layout
+    * proves: when EVERY current data dir carries the same ordered
+    * `$p=v` segment structure (the appendPartitionedBy / partitioned-
+    * sink / SQL-partitioned-write layout), those columns ARE the
+    * table's partitioning — used by the catalog face to expose
+    * `partitioning()` (and route INSERT INTO through the clustered
+    * write) for tables built by the API before being declared in SQL.
+    * Empty for unpartitioned, mixed-layout, keyed or MoR snapshots.
+    * Metadata-only: commit lines, no file I/O. */
+  private[graft] def layoutPartCols(spark: SparkSession,
+    root: String): Seq[String] = {
+    val (fs, rp) = fsFor(spark, root)
+    val v = latestVersion(spark, root)
+    if (v == 0) return Seq.empty
+    if (snapshotKeys(fs, rp, v).isDefined) return Seq.empty
+    val entries = snapshotEntries(fs, rp, v)
+    if (entries.isEmpty || entries.exists(_.isDelta)) return Seq.empty
+    val segNames: Seq[Option[Seq[String]]] = entries.map { e =>
+      val segs = e.dir.split('/').drop(2).toSeq
+      if (segs.isEmpty || segs.exists(!_.contains('='))) None
+      else Some(segs.map(_.takeWhile(_ != '=')))
+    }
+    if (segNames.exists(_.isEmpty)) return Seq.empty
+    val distinctShapes = segNames.flatten.distinct
+    if (distinctShapes.size != 1) return Seq.empty
+    val m = snapshotColMap(fs, rp, v)
+    // physical → logical; a physical with no live binding (dropped
+    // partition column) disproves the layout for the SQL face
+    val phys = distinctShapes.head
+    val logical = phys.map { p =>
+      m match {
+        case None => Some(p)
+        case Some(pairs) => liveMap(pairs).find(_._2 == p).map(_._1)
+      }
+    }
+    if (logical.exists(_.isEmpty)) Seq.empty else logical.map(_.get)
+  }
+
+  /** Which of `tuples` satisfy `predSql` — evaluated by Spark itself
+    * over a LOCAL one-row-per-tuple frame in the table's own logical
+    * partition schema (so the predicate semantics are exactly the
+    * query's; dates decode from their stored day counts). Driver-side
+    * metadata scale: one local relation of |distinct tuples| rows. */
+  private def evalPartFilter(spark: SparkSession, predSql: String,
+    partSchema: org.apache.spark.sql.types.StructType,
+    tuples: Seq[Seq[Any]]): Set[Seq[Any]] = {
+    if (tuples.isEmpty) return Set.empty
+    import org.apache.spark.sql.types._
+    val distinctT = tuples.distinct
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      new java.util.ArrayList[org.apache.spark.sql.Row]()
+    distinctT.zipWithIndex.foreach { case (t, i) =>
+      val vs = t.zip(partSchema.fields).map {
+        case (v: Long, f) => f.dataType match {
+          case LongType => v
+          case IntegerType => v.toInt
+          case ShortType => v.toShort
+          case DateType => java.sql.Date.valueOf(
+            java.time.LocalDate.ofEpochDay(v))
+          case other => throw new IllegalArgumentException(
+            s"txtable: partition column '${f.name}' of type $other " +
+              "cannot decode an integral partition token")
+        }
+        case (v: String, f) =>
+          require(f.dataType == StringType,
+            s"txtable: partition column '${f.name}' of type " +
+              s"${f.dataType} cannot decode a string partition token")
+          v
+        case (v, f) => throw new IllegalStateException(
+          s"txtable: unexpected partition value $v for '${f.name}'")
+      }
+      rows.add(org.apache.spark.sql.Row.fromSeq(vs :+ i.toLong))
+    }
+    val schema = StructType(partSchema.fields.toSeq :+
+      StructField("__graft_tuple_idx", LongType, nullable = false))
+    val hit = spark.createDataFrame(rows, schema).filter(predSql)
+      .select("__graft_tuple_idx").collect().map(_.getLong(0)).toSet
+    distinctT.zipWithIndex.collect {
+      case (t, i) if hit(i.toLong) => t
+    }.toSet
+  }
+
+  /** SQL-face partitioned commit — `INSERT INTO` / `INSERT OVERWRITE
+    * [PARTITION (...)]` / `df.writeTo(t).overwritePartitions()` on a
+    * partition-declared catalog table. Executor-staged, writer-
+    * clustered parquet files (one partition tuple per file, physical
+    * column names, tuples writer-observed) promote by RENAME into
+    * `$p=v` entry dirs with footer-derived stats, and land in ONE OCC
+    * commit that — per `mode` — also drops exactly the replaced
+    * partitions' entries:
+    *
+    *  - `"append"`    keeps every prior entry (INSERT INTO);
+    *  - `"dynamic"`   drops entries whose tuple appears in the staged
+    *                  data (dynamic partition overwrite — the daily-
+    *                  reload idiom: untouched partitions' files are
+    *                  never opened, moved or rewritten);
+    *  - `"filter"`    drops entries matching `filterSql` over the
+    *                  partition columns (static `INSERT OVERWRITE t
+    *                  PARTITION (day=...)`) — staged tuples must all
+    *                  satisfy the filter (loud error otherwise, the
+    *                  Delta replaceWhere contract);
+    *  - `"replace"`   drops everything (INSERT OVERWRITE of the whole
+    *                  table) but keeps the clustered layout.
+    *
+    * Prior entries must PROVE their tuples through their dir names
+    * (zero-row entries excepted — they can't violate partition
+    * semantics); an unprovable non-empty dir refuses loudly rather
+    * than silently keeping replaced rows. Keyed/MoR snapshots refuse —
+    * partition-overwrite semantics over keyed resolution would be
+    * ambiguous. Reference analog: the warehouse's atomic partition-
+    * rename loads (src/mapred/org/apache/hadoop/mapred/
+    * FileOutputCommitter.java:1) — here the swap is one commit-log
+    * claim, and old versions stay time-travelable until vacuum. */
+  private[sources] def commitPartitionedSql(spark: SparkSession,
+    root: String, staged: Seq[(String, Seq[Any])],
+    logicalParts: Seq[String], mode: String, filterSql: Option[String],
+    partSchema: org.apache.spark.sql.types.StructType,
+    fileSchema: org.apache.spark.sql.types.StructType,
+    bootstrapStatsCols: Seq[String] = Seq.empty): Int = {
+    require(Seq("append", "dynamic", "filter", "replace").contains(mode),
+      s"txtable: unknown partitioned-commit mode '$mode'")
+    val (fs, rp) = fsFor(spark, root)
+    if (staged.isEmpty && mode == "append") return latestVersion(spark, root)
+    val v0 = latestVersion(spark, root)
+    val m = snapshotColMap(fs, rp, v0)
+    val physParts = logicalParts.map(physName(m, _))
+    physParts.foreach(requireStatsGrammarSafe)
+    staged.foreach { case (_, t) =>
+      t.foreach {
+        case s: String => require(s.getBytes("UTF-8").length <= strStatMaxBytes,
+          s"txtable: partition value exceeds $strStatMaxBytes UTF-8 " +
+            "bytes - the exact-value stat that proves the clustering " +
+            "caps there; hash or bucket long keys instead")
+        case _ => ()
+      }
+    }
+    // footer facts for the snapshot's stats columns (physical names;
+    // partition columns are writer-proven, not footer-proven); the
+    // BOOTSTRAP load declares its own (integral bounds only — that's
+    // what footers prove; see stagedFacts)
+    val statsCols =
+      (if (v0 == 0) bootstrapStatsCols
+       else snapshotStatsCols(fs, rp, v0))
+        .filterNot(physParts.contains).distinct
+    val conf = spark.sessionState.newHadoopConf()
+    val facts: Map[String, StagedFacts] =
+      if (staged.isEmpty) Map.empty
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(16, staged.size))
+        try {
+          import scala.jdk.CollectionConverters._
+          val tasks: Seq[java.util.concurrent.Callable[
+            (String, StagedFacts)]] = staged.map { case (f, _) =>
+            () => f -> stagedFacts(conf, new Path(f), statsCols)
+          }
+          pool.invokeAll(tasks.asJava).asScala.map(_.get()).toMap
+        } finally pool.shutdown()
+      }
+    val opName = if (mode == "append") "append" else "overwrite"
+    val baseDir = s"data/$opName-${java.util.UUID.randomUUID()}"
+    val newEntries = promotePartEntries(fs, rp, baseDir, physParts,
+      statsCols, staged.map { case (f, t) => (f, facts(f), t) })
+    val stagedTuples = staged.map(_._2).toSet
+    // the staged-⊆-filter contract, checked ONCE outside the retry
+    if (mode == "filter" && stagedTuples.nonEmpty) {
+      val ok = evalPartFilter(spark, filterSql.get, partSchema,
+        stagedTuples.toSeq)
+      val bad = stagedTuples -- ok
+      if (bad.nonEmpty) {
+        fs.delete(new Path(rp, baseDir), true)
+        throw new IllegalArgumentException(
+          "txtable: INSERT OVERWRITE by filter received rows outside " +
+            s"the overwritten partitions (e.g. tuple ${bad.head
+              .mkString("(", ",", ")")} fails [${filterSql.get}]) — " +
+            "widen the filter or fix the inserted data")
+      }
+    }
+    var emptyDir: Option[String] = None
+    try commitRetry(spark, root) { prevV =>
+      val entries0 = snapshotEntries(fs, rp, prevV)
+      require(!entries0.exists(_.isDelta),
+        s"txtable: partitioned SQL writes need a delta-free snapshot " +
+          s"of $root — run compactSnapshot first")
+      require(snapshotKeys(fs, rp, prevV).isEmpty,
+        s"txtable: partitioned SQL writes refuse keyed tables " +
+          s"($root declares key columns)")
+      def tupleOrRefuse(e: Entry): Option[Seq[Any]] =
+        dirTupleOf(e.dir, physParts).orElse {
+          // a zero-row entry (the empty-overwrite schema dir) can't
+          // violate partition semantics — keep it, never refuse on it
+          if (e.stats.get(rowsKey).exists(_._1 == 0L)) None
+          else throw new IllegalArgumentException(
+            s"txtable: partition-scoped write against $root found dir " +
+              s"'${e.dir}' whose layout does not prove partition " +
+              s"columns (${physParts.mkString(", ")}) — the table " +
+              "mixes unpartitioned data; rewrite it partitioned first")
+        }
+      val kept: Seq[Entry] = mode match {
+        case "append" => entries0
+        case "replace" => Seq.empty
+        case "dynamic" =>
+          entries0.filter(e => !tupleOrRefuse(e).exists(stagedTuples))
+        case "filter" =>
+          val prevTuples = entries0.flatMap(tupleOrRefuse)
+          val matching =
+            evalPartFilter(spark, filterSql.get, partSchema, prevTuples)
+          entries0.filter(e => !tupleOrRefuse(e).exists(matching))
+      }
+      // a zero-entry snapshot is unreadable: an overwrite that empties
+      // the table keeps a readable zero-row dir carrying the schema
+      val lines0 = kept.map(_.line) ++ newEntries.map(_.line)
+      val lines =
+        if (lines0.nonEmpty) lines0
+        else {
+          val dirName = emptyDir.getOrElse {
+            val d = s"data/$opName-${java.util.UUID.randomUUID()}"
+            TxParquetIO.writer(new Path(new Path(rp, d),
+              "part-empty.parquet"), fileSchema, conf).close()
+            emptyDir = Some(d)
+            d
+          }
+          Seq(statsEntry(spark, rp, dirName, Seq.empty).line)
+        }
       val statsHdr =
-        if (prev.exists(_.startsWith("statscol:"))) None
-        else Some(s"statscol:${(partCols ++ statsCols).mkString(",")}")
-      ("append", Seq(s"batch:$tag") ++ statsHdr.toSeq ++
-        prev ++ entries.map(_.line))
+        if (prevV > 0 && snapshotStatsCols(fs, rp, prevV).nonEmpty)
+          Some(s"statscol:${
+            snapshotStatsCols(fs, rp, prevV).mkString(",")}")
+        else if (physParts.nonEmpty)
+          Some(s"statscol:${(physParts ++ statsCols).mkString(",")}")
+        else None
+      (opName, statsHdr.toSeq ++ lines)
+    } catch {
+      case e: Throwable =>
+        fs.delete(new Path(rp, baseDir), true)
+        emptyDir.foreach(d => fs.delete(new Path(rp, d), true))
+        throw e
     }
   }
 
@@ -3854,6 +4263,187 @@ object TxTable {
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
       spark.catalog.dropTempView(srcv)
+      ()
+    }
+  }
+
+  /** Oracle-gated SQL MAINTENANCE exercise (q_txtable_sql_maint): a
+    * SQL-first table (CREATE + INSERT INTO — write-time stats land by
+    * default now), then the full `CALL spark_catalog.system.*`
+    * surface — analyze (exact NDV + null counts into the commit
+    * header), optimize_compact (bin-pack the four small INSERT dirs),
+    * vacuum (drop pre-compaction versions) — followed by a SELECT the
+    * DuckDB oracle replays. Hash equality proves the maintenance
+    * procedures run end-to-end from pure SQL and change no answers;
+    * the procedures themselves are the operational loop a 100 TB
+    * table runs nightly. */
+  def sqlMaintGateQuery(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val root = scratchRoot("graft-sqlmaint", dir)
+    val tbl = "graft_sqlmaint_gate"
+    val srcv = tbl + "_src"
+    val o = graft.Tables.orders(spark, dir).select(
+      col("o_orderkey").as("k"), col("o_custkey").as("cust"))
+    if (o.isEmpty) return o.filter(lit(false)).groupBy("cust")
+      .agg(count(lit(1)).as("cnt"), max(col("k")).as("max_k"))
+    o.createOrReplaceTempView(srcv)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, cust BIGINT) " +
+      s"USING `graft-tx` OPTIONS (path '$root')")
+    try {
+      // four commits so optimize_compact has dirs to bin-pack
+      (0L to 3L).foreach(i => spark.sql(
+        s"INSERT INTO $tbl SELECT k, cust FROM $srcv WHERE k % 4 = $i"))
+      spark.sql(s"CALL spark_catalog.system.analyze('$tbl', 'cust', " +
+        "true, false)")
+      spark.sql(s"CALL spark_catalog.system.optimize_compact('$tbl')")
+      spark.sql(s"CALL spark_catalog.system.vacuum('$tbl', 1)")
+      spark.sql(s"SELECT cust, count(*) AS cnt, max(k) AS max_k " +
+        s"FROM $tbl GROUP BY cust")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.catalog.dropTempView(srcv)
+      ()
+    }
+  }
+
+  /** Oracle-gated SQL COLUMN-EVOLUTION exercise (q_txtable_addcol):
+    * orders loaded WITHOUT a price column, then `ALTER TABLE ... ADD
+    * COLUMNS (price DOUBLE)` — ONE metadata commit, zero data files
+    * touched — an INSERT supplying priced rows, and an UPDATE filling
+    * the new column on a slice of the PRE-ADD rows (the COW readers
+    * null-fill the declared column for files that predate it). The
+    * DuckDB oracle replays the evolution relationally; hash equality
+    * proves old rows read NULL, new rows carry data, and the UPDATE
+    * saw exactly the declared schema. */
+  def addColGateQuery(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val root = scratchRoot("graft-addcgate", dir)
+    val tbl = "graft_addcol_gate"
+    val srcv = tbl + "_src"
+    val o = graft.Tables.orders(spark, dir).select(
+      col("o_orderkey").as("k"), col("o_custkey").as("cust"),
+      col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"))
+    val b = o.agg(max("k")).collect()(0)
+    if (b.isNullAt(0)) return o.filter(lit(false))
+    val maxK = b.getLong(0)
+    append(o.select(col("k"), col("cust")), root, statsCols = Seq("k"))
+    o.createOrReplaceTempView(srcv)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl USING `graft-tx` OPTIONS (path '$root')")
+    try {
+      spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (price DOUBLE)")
+      spark.sql(s"INSERT INTO $tbl SELECT k + $maxK, cust, price " +
+        s"FROM $srcv")
+      spark.sql(s"UPDATE $tbl SET price = cust * 1.0 " +
+        s"WHERE k % 10 = 0 AND k <= $maxK")
+      read(spark, root)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.catalog.dropTempView(srcv)
+      ()
+    }
+  }
+
+  /** Oracle-gated PARTITION-SCOPED INSERT OVERWRITE exercise
+    * (q_txtable_overwrite_part): orders → a month-partitioned catalog
+    * table declared and loaded in PURE SQL (`CREATE TABLE ...
+    * PARTITIONED BY (om)` + `INSERT INTO` — the clustered `om=<v>`
+    * layout lands from the first statement), then BOTH overwrite
+    * scopes — a static `INSERT OVERWRITE ... PARTITION (om = 3)`
+    * month reload and a dynamic-mode reload of months 5 and 6 — each
+    * ONE OCC commit swapping exactly the touched partition dirs
+    * (untouched months' files never open; PartitionedSqlSpec asserts
+    * byte-identity). The daily/monthly reload idiom of every
+    * warehouse (ref analog: atomic partition-rename loads,
+    * src/mapred/org/apache/hadoop/mapred/FileOutputCommitter.java:1).
+    * The DuckDB oracle replays the three loads relationally. */
+  def overwritePartGateQuery(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val root = scratchRoot("graft-owpgate", dir)
+    val tbl = "graft_owp_gate"
+    val srcv = tbl + "_src"
+    val o = graft.Tables.orders(spark, dir).select(
+      col("o_orderkey").as("k"), col("o_custkey").as("cust"),
+      col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"),
+      month(col("o_orderdate")).as("om"))
+    if (o.isEmpty) return o.filter(lit(false))
+    o.createOrReplaceTempView(srcv)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, cust BIGINT, " +
+      "price DOUBLE, om INT) USING `graft-tx` PARTITIONED BY (om) " +
+      s"OPTIONS (path '$root')")
+    try {
+      spark.sql(s"INSERT INTO $tbl SELECT k, cust, price, om FROM $srcv")
+      // static month reload: om=3 replaced by its even-customer rows
+      // at doubled price (IEEE-exact, so the oracle hashes bitwise)
+      spark.sql(s"INSERT OVERWRITE $tbl PARTITION (om = 3) " +
+        s"SELECT k, cust, price * 2 FROM $srcv " +
+        "WHERE om = 3 AND cust % 2 = 0")
+      // dynamic reload: months 5 and 6 replaced by their cust%3=0
+      // rows at tripled price — exactly the partitions in the data
+      val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try spark.sql(s"INSERT OVERWRITE $tbl " +
+        s"SELECT k, cust, price * 3, om FROM $srcv " +
+        "WHERE om IN (5, 6) AND cust % 3 = 0")
+      finally spark.conf.set(
+        "spark.sql.sources.partitionOverwriteMode", prev)
+      read(spark, root)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.catalog.dropTempView(srcv)
+      ()
+    }
+  }
+
+  /** Oracle-gated SQL-FIRST STORAGE-PARTITIONED JOIN
+    * (q_txtable_sql_spj): both sides declared AND loaded in pure SQL
+    * (`CREATE TABLE ... PARTITIONED BY (b)` + `INSERT INTO`), then
+    * joined through the KeyGroupedPartitioning face — the SQL-only
+    * user gets the same zero-Exchange bucketed join the API's
+    * appendPartitionedBy layout earns (PartitionedSqlSpec asserts the
+    * clustered dirs; SpjSpec's plan-walk discipline applies: at
+    * 100 TB neither side ever shuffles). Oracle replays the plain
+    * equi-join. */
+  def sqlPartSpjGateQuery(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    graft.functions.GraftFunctions.register(s)
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val rootO = graft.Scratch.freshRoot(s, "graft-sqlspjo", dir)
+    val rootC = graft.Scratch.freshRoot(s, "graft-sqlspjc", dir)
+    graft.Tables.orders(s, dir).select(col("o_orderkey"),
+      col("o_custkey"), (col("o_custkey") % 16).as("b"))
+      .createOrReplaceTempView("graft_sqlspj_osrc")
+    graft.Tables.customer(s, dir).select(col("c_custkey"),
+      (col("c_custkey") % 16).as("b"), col("c_nationkey"))
+      .createOrReplaceTempView("graft_sqlspj_csrc")
+    s.sql("DROP TABLE IF EXISTS graft_sqlspj_o")
+    s.sql("DROP TABLE IF EXISTS graft_sqlspj_c")
+    s.sql("CREATE TABLE graft_sqlspj_o (o_orderkey BIGINT, " +
+      "o_custkey BIGINT, b BIGINT) USING `graft-tx` " +
+      s"PARTITIONED BY (b) OPTIONS (path '$rootO')")
+    s.sql("CREATE TABLE graft_sqlspj_c (c_custkey BIGINT, " +
+      "c_nationkey BIGINT, b BIGINT) USING `graft-tx` " +
+      s"PARTITIONED BY (b) OPTIONS (path '$rootC')")
+    try {
+      s.sql("INSERT INTO graft_sqlspj_o SELECT o_orderkey, o_custkey, b " +
+        "FROM graft_sqlspj_osrc")
+      s.sql("INSERT INTO graft_sqlspj_c SELECT c_custkey, c_nationkey, b " +
+        "FROM graft_sqlspj_csrc")
+      val l = s.read.format("graft-tx").option("partitionCol", "b")
+        .load(rootO)
+      val r = s.read.format("graft-tx").option("partitionCol", "b")
+        .load(rootC)
+      l.as("l").join(r.as("r"), col("l.b") === col("r.b") &&
+          col("l.o_custkey") === col("r.c_custkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("c_nationkey"))
+    } finally {
+      s.sql("DROP TABLE IF EXISTS graft_sqlspj_o")
+      s.sql("DROP TABLE IF EXISTS graft_sqlspj_c")
       ()
     }
   }
@@ -5679,6 +6269,27 @@ object TxTable {
       s"txtable: invalid stats/key column name '$c' (empty, " +
         "reserved character, or reserved stats-grammar name)")
 
+  /** Columns of `schema` eligible for write-time per-dir stats — the
+    * AUTO default a SQL-first bootstrap (CREATE TABLE + INSERT INTO)
+    * records when no `statsCols` table option says otherwise:
+    * integral/string columns with grammar-safe names, capped at the
+    * first 32 (the Delta data-skipping default). Write-time stats are
+    * what make dir pruning, metadata-only aggregates and the CBO's
+    * NDV/null-count relay work without ever rescanning — a SQL-only
+    * user should not need the Scala API to get them. */
+  private[sources] def defaultStatsCols(
+    schema: org.apache.spark.sql.types.StructType): Seq[String] =
+    schema.fields.toSeq.filter { f =>
+      (f.dataType match {
+        case org.apache.spark.sql.types.LongType |
+          org.apache.spark.sql.types.IntegerType |
+          org.apache.spark.sql.types.ShortType |
+          org.apache.spark.sql.types.StringType => true
+        case _ => false
+      }) && validColName(f.name) && !f.name.contains(":") &&
+        f.name != rowsKey && f.name != bytesKey
+    }.take(32).map(_.name)
+
   /** The snapshot's column mapping, materializing the identity map
     * from the physical schema when no header exists yet (one
     * footer-level probe; no data read). */
@@ -5696,6 +6307,57 @@ object TxTable {
     * unaffected (it speaks physical names precisely so renames can't
     * break CDC consumers). Appends/deltas after the rename keep
     * writing the physical name under the hood. */
+  /** ADD a column in ONE metadata commit — no data file is touched at
+    * any table size. The column's TYPE (the one fact parquet footers
+    * can't yet carry) lands in the `schema:` header; its
+    * logical→physical binding joins the column mapping (materialized
+    * to identity first if absent, the renameColumn discipline), with
+    * a FRESH physical name whenever a tombstoned drop reserved the
+    * requested one — a re-added column can never resurrect dropped
+    * data. Reads serve NULL until a widened append/INSERT provides
+    * values (old dirs keep null-filling forever — the standard
+    * Delta/Iceberg add-column semantics); a later rewrite
+    * (compactSnapshot) materializes the column physically and retires
+    * the header. Atomic (non-nested) types only. */
+  def addColumn(spark: SparkSession, root: String, name: String,
+    dt: org.apache.spark.sql.types.DataType): Int = {
+    import org.apache.spark.sql.types._
+    require(validColName(name),
+      s"txtable: invalid column name '$name' (empty or reserved character)")
+    require(!name.contains(";") && !name.contains("="),
+      s"txtable: invalid column name '$name' (reserved character)")
+    dt match {
+      case _: StructType | _: ArrayType | _: MapType =>
+        throw new IllegalArgumentException(
+          s"txtable: ADD COLUMNS supports atomic types only, got ${dt.sql}")
+      case _ => ()
+    }
+    // the DDL must round-trip the exact type through the header
+    require(DataType.fromDDL(dt.sql) == dt,
+      s"txtable: type ${dt.sql} does not round-trip the schema header")
+    val (fs, rp) = fsFor(spark, root)
+    commitRetry(spark, root) { prevV =>
+      require(prevV > 0, s"txtable: nothing to alter at $root")
+      val m = colMapOrIdentity(spark, root, fs, rp, prevV)
+      require(!liveMap(m).exists(_._1 == name),
+        s"txtable: column '$name' already exists at $root")
+      // fresh physical name: never reuse ANY physical (live or
+      // tombstoned) — that is the whole point of tombstones
+      val phys =
+        if (!m.exists(_._2 == name)) name
+        else s"${name}_${java.util.UUID.randomUUID().toString.take(8)}"
+      require(validColName(phys) && !phys.contains(";"),
+        s"txtable: cannot mint a physical name for '$name'")
+      val declared = snapshotAddedCols(fs, rp, prevV)
+        .filter { case (p, _) => liveMap(m).exists(_._2 == p) } :+
+        (phys -> dt)
+      ("addcol", Seq(colMapLine(m :+ (name -> phys)),
+        schemaLine(declared)) ++
+        snapshotLines(fs, rp, prevV).filterNot(l =>
+          l.startsWith("colmap:") || l.startsWith("schema:")))
+    }
+  }
+
   def renameColumn(spark: SparkSession, root: String, from: String,
     to: String): Int = {
     require(validColName(to),

@@ -124,7 +124,15 @@ class TxTableSource extends RelationProvider
         if (TxTable.exists(spark, root))
           TxRelation(spark, root, TxTableSource.paramsOf(options)).schema
         else schema
-      new GraftTxCatalogTable(live, root, options)
+      // declared PARTITIONED BY wins; a table built by the API proves
+      // its partitioning through its own committed layout
+      val declared = TxTableSource.identityPartCols(partitioning.toSeq)
+      val partCols =
+        if (declared.nonEmpty) declared
+        else if (TxTable.exists(spark, root))
+          TxTable.layoutPartCols(spark, root)
+        else Seq.empty
+      new GraftTxCatalogTable(live, root, options, partCols)
     }
     // `.option("partitionCol", c)` selects the storage-partitioned
     // BATCH face: a true DSv2 scan reporting KeyGroupedPartitioning,
@@ -218,6 +226,20 @@ object TxTableSource {
     import scala.jdk.CollectionConverters._
     options.asCaseSensitiveMap().asScala.toMap
   }
+
+  /** Single-column identity partition transforms → column names; any
+    * other transform (bucket, days, …) refuses loudly — graft-tx's
+    * clustered layout is value-identity by construction. */
+  private[sources] def identityPartCols(
+    partitioning: Seq[Transform]): Seq[String] =
+    partitioning.map { t =>
+      val refs = t.references()
+      if (t.name() == "identity" && refs.length == 1 &&
+        refs(0).fieldNames().length == 1) refs(0).fieldNames()(0)
+      else throw new UnsupportedOperationException(
+        s"graft-tx: only single-column identity PARTITIONED BY is " +
+          s"supported, got $t")
+    }
 
   /** timestampAsOf accepts epoch millis, an ISO-8601 instant, or a
     * local `yyyy-MM-dd HH:mm:ss` timestamp (session-zone-free: local
@@ -939,7 +961,7 @@ object GraftTxCatalogTable {
 }
 
 class GraftTxCatalogTable(tableSchema: StructType, root: String,
-  options: CaseInsensitiveStringMap)
+  options: CaseInsensitiveStringMap, partCols: Seq[String] = Seq.empty)
   extends Table with SupportsRead with SupportsWrite with TxMetaAggTable
   with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
   with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
@@ -980,6 +1002,13 @@ class GraftTxCatalogTable(tableSchema: StructType, root: String,
   private[graft] def metaRoot: String = root
   private[graft] def metaOptions: CaseInsensitiveStringMap = options
 
+  /** The table's declared (or layout-proven) partition columns as
+    * identity transforms — what routes `INSERT INTO ... PARTITION`
+    * resolution, dynamic-overwrite planning and the clustered write
+    * distribution. */
+  override def partitioning(): Array[Transform] =
+    partCols.map(c => Expressions.identity(c): Transform).toArray
+
   override def capabilities(): java.util.Set[TableCapability] = {
     val caps = new java.util.HashSet[TableCapability]
     // an empty schema means the root had no commits at load time —
@@ -987,6 +1016,10 @@ class GraftTxCatalogTable(tableSchema: StructType, root: String,
     if (tableSchema.nonEmpty) caps.add(TableCapability.BATCH_READ)
     caps.add(TableCapability.BATCH_WRITE)   // INSERT INTO
     caps.add(TableCapability.TRUNCATE)      // INSERT OVERWRITE
+    // static INSERT OVERWRITE t PARTITION (...) — partition-scoped
+    caps.add(TableCapability.OVERWRITE_BY_FILTER)
+    // dynamic partition overwrite / overwritePartitions()
+    if (partCols.nonEmpty) caps.add(TableCapability.OVERWRITE_DYNAMIC)
     caps
   }
 
@@ -997,7 +1030,11 @@ class GraftTxCatalogTable(tableSchema: StructType, root: String,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     dmlRefusal.foreach(r => throw new UnsupportedOperationException(
       s"graft-tx: writes to a table declared with $r are not supported"))
-    new TxCatalogWriteBuilder(root, info)
+    // a `statsCols` option on CREATE TABLE overrides the bootstrap's
+    // auto write-time stats columns ('' = none)
+    val declaredStats = Option(options.get("statsCols"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    new TxCatalogWriteBuilder(root, info, partCols, declaredStats)
   }
 
   /** SQL DML is a mutation of the TABLE — it cannot target a pinned

@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.TxTable
+
+/** SQL-only maintenance: `ANALYZE TABLE ... COMPUTE STATISTICS`
+  * (extension rule) and `CALL spark_catalog.system.*` procedures
+  * (ProcedureCatalog — runtime route), driving the same commits as
+  * the Scala API. */
+class SqlMaintenanceSpec extends SparkSpec {
+
+  private def register(): Unit =
+    graft.functions.GraftFunctions.register(spark)
+
+  test("SQL ANALYZE feeds the CBO: a 3-table star reorders small-first " +
+    "with zero Scala API calls") {
+    register()
+    import spark.implicits._
+    val rootB = tmpDir() + "/sqlan-big"
+    val rootB2 = tmpDir() + "/sqlan-big2"
+    val rootS = tmpDir() + "/sqlan-small"
+    // loads in SQL too — the whole pipeline is catalog-face-only
+    Seq(("sqlan_big", rootB, "k BIGINT, x1 BIGINT"),
+      ("sqlan_big2", rootB2, "k2 BIGINT, x2 BIGINT"),
+      ("sqlan_small", rootS, "k3 BIGINT, nm STRING")).foreach {
+      case (t, r, cols) =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        spark.sql(s"CREATE TABLE $t ($cols) USING `graft-tx` " +
+          s"OPTIONS (path '$r')")
+    }
+    spark.sql("INSERT INTO sqlan_big SELECT id + 1, (id + 1) % 97 " +
+      "FROM range(20000)")
+    spark.sql("INSERT INTO sqlan_big2 SELECT id + 1, (id + 1) % 89 " +
+      "FROM range(20000)")
+    spark.sql("INSERT INTO sqlan_small SELECT id + 1, " +
+      "concat('n', id + 1) FROM range(10)")
+    // the one statement under test: SQL ANALYZE, no TxTable.analyze
+    Seq("sqlan_big", "sqlan_big2", "sqlan_small").foreach(t =>
+      spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS"))
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      val q = spark.sql(
+        """SELECT b.k, b2.x2, s.nm
+          |FROM sqlan_big b JOIN sqlan_big2 b2 ON b.k = b2.k2
+          |JOIN sqlan_small s ON b.k = s.k3""".stripMargin)
+      val joins = q.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }
+      assert(joins.size === 2, q.queryExecution.optimizedPlan.toString)
+      val innermost = joins.find(j =>
+        !j.children.exists(_.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Join])))
+        .getOrElse(fail("no innermost join"))
+      val innerRefs = innermost.condition.toSeq
+        .flatMap(_.references.map(_.name)).toSet
+      assert(innerRefs.contains("k3"),
+        s"expected big JOIN small first, innermost joins $innerRefs:\n" +
+          q.queryExecution.optimizedPlan.toString)
+      assert(q.count() === 10L)
+    } finally {
+      spark.conf.unset("spark.sql.cbo.enabled")
+      spark.conf.unset("spark.sql.cbo.joinReorder.enabled")
+      Seq("sqlan_big", "sqlan_big2", "sqlan_small")
+        .foreach(t => spark.sql(s"DROP TABLE $t"))
+    }
+  }
+
+  test("ANALYZE TABLE FOR COLUMNS and NOSCAN behave as documented") {
+    register()
+    import spark.implicits._
+    val root = tmpDir() + "/sqlan-cols"
+    TxTable.append((1L to 500L).map(i => (i, i % 7, s"v$i"))
+      .toDF("k", "g", "s"), root)
+    spark.sql("DROP TABLE IF EXISTS sqlan_cols")
+    spark.sql(s"CREATE TABLE sqlan_cols USING `graft-tx` " +
+      s"OPTIONS (path '$root')")
+    val v0 = TxTable.latestVersion(spark, root)
+    // NOSCAN = no-op by design (metadata stats are always exact)
+    spark.sql("ANALYZE TABLE sqlan_cols COMPUTE STATISTICS NOSCAN")
+    assert(TxTable.latestVersion(spark, root) === v0)
+    spark.sql("ANALYZE TABLE sqlan_cols COMPUTE STATISTICS FOR COLUMNS g")
+    assert(TxTable.latestVersion(spark, root) === v0 + 1)
+    assert(TxTable.describeStats(spark, root, Seq("g")).count() >= 1L)
+    spark.sql("DROP TABLE sqlan_cols")
+  }
+
+  test("CALL spark_catalog.system.analyze works without extensions wiring") {
+    register()
+    import spark.implicits._
+    val root = tmpDir() + "/call-an"
+    TxTable.append((1L to 300L).map(i => (i, i % 5)).toDF("k", "g"), root)
+    spark.sql("DROP TABLE IF EXISTS call_an")
+    spark.sql(s"CREATE TABLE call_an USING `graft-tx` OPTIONS (path '$root')")
+    val v0 = TxTable.latestVersion(spark, root)
+    val out = spark.sql(
+      "CALL spark_catalog.system.analyze('call_an', 'g', true, false)")
+      .collect()
+    assert(out.length === 1 && out(0).getInt(0) === v0 + 1)
+    assert(TxTable.latestVersion(spark, root) === v0 + 1)
+    spark.sql("DROP TABLE call_an")
+  }
+
+  test("CALL system.compact_snapshot, optimize_compact and vacuum run") {
+    register()
+    import spark.implicits._
+    val root = tmpDir() + "/call-maint"
+    (1 to 4).foreach(i => TxTable.append(
+      (1L to 50L).map(j => (j + i * 100L, j)).toDF("k", "v"), root))
+    spark.sql("DROP TABLE IF EXISTS call_maint")
+    spark.sql(s"CREATE TABLE call_maint USING `graft-tx` " +
+      s"OPTIONS (path '$root')")
+    spark.sql("CALL spark_catalog.system.optimize_compact('call_maint')")
+    assert(spark.table("call_maint").count() === 200L)
+    spark.sql("CALL spark_catalog.system.vacuum('call_maint', 1)")
+    assert(spark.table("call_maint").count() === 200L)
+    // old versions are gone after vacuum — time travel outside the
+    // horizon must fail (retention worked)
+    intercept[Exception] {
+      TxTable.read(spark, root, version = 1).count()
+    }
+    spark.sql("DROP TABLE call_maint")
+  }
+
+  test("unknown procedure and non-graft table fail loudly") {
+    register()
+    val e1 = intercept[Exception] {
+      spark.sql("CALL spark_catalog.system.frobnicate('x')")
+    }
+    assert(e1.getMessage.contains("unknown procedure") ||
+      e1.getMessage.contains("frobnicate"))
+    spark.sql("DROP TABLE IF EXISTS plain_pq")
+    spark.sql("CREATE TABLE plain_pq (a INT) USING parquet")
+    val e2 = intercept[Exception] {
+      spark.sql("CALL spark_catalog.system.analyze('plain_pq', '', " +
+        "false, false)")
+    }
+    assert(e2.getMessage.contains("not a graft-tx table"))
+    spark.sql("DROP TABLE plain_pq")
+  }
+}
