@@ -125,9 +125,13 @@ object Bench {
       }
       // an extreme outlier vs last round earns extra retries: host CPU
       // steal, not the plan, is the usual cause, and the min over more
-      // tries rides it out
+      // tries rides it out. Suppressed under an explicit retry floor —
+      // the scaled rungs run single-pass against DIFFERENT-sf
+      // references, where every heavy query trips the 3x trigger by
+      // construction and silently burns best-of-6 wall.
       def outlier: Boolean =
-        best > 0 && prevRef.get(name).exists(p => best > 3.0 * p)
+        sys.env.get("SPARK_GRAFT_RETRY_FLOOR").isEmpty &&
+          best > 0 && prevRef.get(name).exists(p => best > 3.0 * p)
       run()
       // SPARK_GRAFT_RETRY_FLOOR raises the slower-than threshold below
       // which a query is re-measured (default 0.8 s); the sf1 rung sets

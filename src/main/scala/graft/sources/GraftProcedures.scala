@@ -44,12 +44,14 @@ private[sources] object GraftProcedures {
       case "compact_snapshot" => Some(compactSnapshot(rootOf))
       case "optimize_compact" => Some(optimizeCompact(rootOf))
       case "vacuum" => Some(vacuum(rootOf))
+      case "history" => Some(history(rootOf))
       case _ => None
     }
   }
 
   val names: Seq[String] =
-    Seq("analyze", "compact_snapshot", "optimize_compact", "vacuum")
+    Seq("analyze", "compact_snapshot", "history", "optimize_compact",
+      "vacuum")
 
   private def in(name: String, dt: DataType,
     default: Option[String] = None): ProcedureParameter = {
@@ -121,6 +123,35 @@ private[sources] object GraftProcedures {
         Seq(TxTable.optimizeCompact(SparkSession.active, root,
           targetBytes = input.getInt(1).toLong * 1024 * 1024))
       })
+
+  /** DESCRIBE HISTORY from SQL: one row per retained commit (version,
+    * op, entry/delta counts, keys, stats columns, batch tags, visible
+    * columns) — [[TxTable.describeHistory]], metadata-scale. */
+  private def history(rootOf: String => String): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = "history"
+      override def description(): String = "graft-tx history"
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = "history"
+          override def description(): String = "graft-tx history"
+          override def parameters(): Array[ProcedureParameter] =
+            Array(in("table", StringType))
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow)
+            : java.util.Iterator[Scan] = {
+            val root = rootOf(input.getUTF8String(0).toString)
+            val df = TxTable.describeHistory(SparkSession.active, root)
+            val schema = df.schema
+            val collected = df.queryExecution.executedPlan.executeCollect()
+            java.util.Collections.singletonList(new LocalScan {
+              override def rows(): Array[InternalRow] =
+                collected.map(_.copy(): InternalRow)
+              override def readSchema(): StructType = schema
+            }: Scan).iterator()
+          }
+        }
+    }
 
   private def vacuum(rootOf: String => String): UnboundProcedure =
     proc("vacuum", Seq(

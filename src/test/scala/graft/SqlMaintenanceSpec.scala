@@ -122,6 +122,23 @@ class SqlMaintenanceSpec extends SparkSpec {
     spark.sql("DROP TABLE call_maint")
   }
 
+  test("CALL system.history returns one row per retained commit") {
+    register()
+    import spark.implicits._
+    val root = tmpDir() + "/call-hist"
+    (1 to 3).foreach(i => TxTable.append(
+      (1L to 10L).map(j => (j, i)).toDF("k", "v"), root))
+    spark.sql("DROP TABLE IF EXISTS call_hist")
+    spark.sql(s"CREATE TABLE call_hist USING `graft-tx` " +
+      s"OPTIONS (path '$root')")
+    val h = spark.sql("CALL spark_catalog.system.history('call_hist')")
+      .collect()
+    assert(h.length === 3)
+    assert(h.map(_.getInt(0)).toSeq.sorted === Seq(1, 2, 3))
+    assert(h.forall(_.getString(1) === "append"))
+    spark.sql("DROP TABLE call_hist")
+  }
+
   test("unknown procedure and non-graft table fail loudly") {
     register()
     val e1 = intercept[Exception] {
