@@ -622,6 +622,28 @@ object Oracles {
         |SELECT k, cust, price * 3 AS price, om
         |FROM src WHERE om IN (5, 6) AND cust % 3 = 0""".stripMargin,
 
+    // STRING-key partition overwrite twin: month-string layout
+    // ('01'..'12'), static PARTITION (om = '03') + dynamic '05'/'06'
+    "q_txtable_overwrite_part_str" ->
+      """WITH src AS (SELECT o_orderkey k, o_custkey cust,
+        |    cast(cast(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) price,
+        |    strftime(o_orderdate, '%m') om FROM orders)
+        |SELECT k, cust, price, om FROM src
+        |WHERE om NOT IN ('03', '05', '06')
+        |UNION ALL
+        |SELECT k, cust, price * 2 AS price, '03' AS om
+        |FROM src WHERE om = '03' AND cust % 2 = 0
+        |UNION ALL
+        |SELECT k, cust, price * 3 AS price, om
+        |FROM src WHERE om IN ('05', '06') AND cust % 3 = 0""".stripMargin,
+
+    // SHOW PARTITIONS: the metadata-only tuple + row tallies must
+    // equal the relational group-by over the same load
+    "q_txtable_show_parts" ->
+      """SELECT 'om=' || strftime(o_orderdate, '%m') AS "partition",
+        |  count(*) AS num_rows
+        |FROM orders GROUP BY 1""".stripMargin,
+
     // CBO join reorder over catalog tables (TxTable.cboJoinGateQuery):
     // the reordered (small-first) plan must compute exactly the
     // written-order answer
@@ -2043,6 +2065,25 @@ object Oracles {
     // midpoint) replay verbatim with their version tags; the trailing
     // compaction is content-preserving and contributes NO rows
     "q_txtable_changes" ->
+      """WITH c AS (SELECT o_custkey AS k,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN 'D'
+        |       WHEN o_orderkey % 3 = 0 THEN 'U' ELSE 'I' END AS op,
+        |  o_totalprice AS v, o_orderkey AS seq FROM orders),
+        |m AS (SELECT max(seq) // 2 AS mid FROM c),
+        |u AS (SELECT k, op, v, seq,
+        |    CASE WHEN seq <= (SELECT mid FROM m) THEN 1 ELSE 2 END AS ver
+        |  FROM c),
+        |w AS (SELECT ver, k, op, v,
+        |  row_number() OVER (PARTITION BY ver, k ORDER BY seq DESC) AS rn
+        |  FROM u)
+        |SELECT k, op, v, cast(ver AS BIGINT) AS commit_version
+        |FROM w WHERE rn = 1""".stripMargin,
+
+    // the SQL route to the same feed (CREATE TEMP VIEW ... USING
+    // graft-tx OPTIONS (readChangeFeed, startingVersion '1')) must
+    // replay the identical change set — same oracle as
+    // q_txtable_changes by construction
+    "q_txtable_changes_sql" ->
       """WITH c AS (SELECT o_custkey AS k,
         |  CASE WHEN o_orderkey % 10 = 0 THEN 'D'
         |       WHEN o_orderkey % 3 = 0 THEN 'U' ELSE 'I' END AS op,

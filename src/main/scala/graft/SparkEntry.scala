@@ -134,6 +134,8 @@ object SparkEntry {
     "q_txtable_zopt_incr" -> (graft.sources.TxTable.zoptIncrGateQuery _),
     "q_txtable_zorder_str" -> (graft.sources.TxTable.zorderStrGateQuery _),
     "q_txtable_changes" -> (graft.sources.TxTable.changesGateQuery _),
+    "q_txtable_changes_sql" ->
+      (graft.sources.TxTable.changesSqlGateQuery _),
     "q_txtable_string_prune" ->
       (graft.sources.TxTable.stringPruneGateQuery _),
     "q_txtable_optimize" -> (graft.sources.TxTable.optimizeGateQuery _),
@@ -156,6 +158,10 @@ object SparkEntry {
       (graft.sources.TxTable.timeTravelSqlGateQuery _),
     "q_txtable_overwrite_part" ->
       (graft.sources.TxTable.overwritePartGateQuery _),
+    "q_txtable_overwrite_part_str" ->
+      (graft.sources.TxTable.overwritePartStrGateQuery _),
+    "q_txtable_show_parts" ->
+      (graft.sources.TxTable.showPartsGateQuery _),
     "q_txtable_addcol" ->
       (graft.sources.TxTable.addColGateQuery _),
     "q_txtable_sql_maint" ->

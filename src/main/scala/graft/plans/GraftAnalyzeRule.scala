@@ -22,12 +22,13 @@ import org.apache.spark.sql.execution.command.LeafRunnableCommand
   *  - `FOR COLUMNS a, b` / `FOR ALL COLUMNS` → NDV + null counts for
   *    the named (or every countable) column — one aggregate pass,
   *    committed as the `ndv:` header;
-  *  - plain `COMPUTE STATISTICS` → the same over every countable
-  *    column (table-level row/byte stats are ALREADY metadata-exact
-  *    in every commit, so the ANALYZE that matters is column stats);
-  *  - `NOSCAN` → a no-op by design: the stats NOSCAN maintains
-  *    (row count, size) are exact in graft's commit metadata at all
-  *    times — there is nothing stale to refresh.
+  *  - plain `COMPUTE STATISTICS` and `NOSCAN` → no-ops by design: the
+  *    stats those forms maintain upstream (row count, size in bytes)
+  *    are ALREADY exact in graft's commit metadata at all times —
+  *    there is nothing stale to refresh, and a user inheriting the
+  *    upstream cost model (plain ANALYZE = cheap) must not get a
+  *    surprise full-table multi-aggregate scan. The column scan is
+  *    reserved for the forms that ask for it by name.
   *
   * Sessions built without extensions reach the same operation through
   * `CALL spark_catalog.system.analyze(...)` ([[graft.sources
@@ -41,12 +42,14 @@ case class GraftAnalyzeRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperators {
-      case AnalyzeTable(r: ResolvedTable, partitionSpec, noScan)
+      case AnalyzeTable(r: ResolvedTable, partitionSpec, _)
         if rootOf(r).isDefined =>
         require(partitionSpec.isEmpty,
           "graft-tx: ANALYZE TABLE ... PARTITION is not supported — " +
             "per-dir stats are recorded at write time; analyze the table")
-        GraftAnalyzeCommand(rootOf(r).get, Seq.empty, noScan)
+        // table-level forms (with or without NOSCAN) maintain row/size
+        // stats, which graft's commit metadata keeps exact — no scan
+        GraftAnalyzeCommand(rootOf(r).get, Seq.empty, noScan = true)
       case AnalyzeColumn(r: ResolvedTable, colsOpt, _)
         if rootOf(r).isDefined =>
         // allColumns and an absent column list both mean "every

@@ -70,6 +70,24 @@ class GraftCatalog extends DelegatingCatalogExtension
           "procedures maintain graft-tx tables only"))
   }
 
+  /** CREATE-time validation: a graft-tx table declared with a
+    * non-identity partition transform (`bucket(16, c)`, `days(ts)`,
+    * ...) is refused HERE, before anything lands in the metastore —
+    * the clustered layout is value-identity by construction, and a
+    * declaration the write path cannot honor must not exist (loads
+    * are lenient and ignore such transforms on pre-existing tables,
+    * so refusing at CREATE is the only loud point). Non-graft
+    * providers delegate untouched. */
+  override def createTable(ident: Identifier,
+    columns: Array[org.apache.spark.sql.connector.catalog.Column],
+    partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
+    properties: java.util.Map[String, String]): Table = {
+    val provider = properties.get("provider")
+    if (provider != null && provider.equalsIgnoreCase("graft-tx"))
+      TxTableSource.identityPartCols(partitions.toSeq) // throws on non-identity
+    super.createTable(ident, columns, partitions, properties)
+  }
+
   /** Plain loads too: once a custom spark_catalog is installed, Spark
     * STOPS converting the delegate's V1Table to the provider's V2
     * table itself (the custom catalog is expected to answer with the
@@ -134,6 +152,9 @@ class GraftCatalog extends DelegatingCatalogExtension
       case Some(root) if changes.exists(isSchemaChange) &&
         TxTable.exists(SparkSession.active, root) =>
         val spark = SparkSession.active
+        // VALIDATE the whole statement before applying ANY change — a
+        // later unsupported/ill-formed change must not leave earlier
+        // commits behind (a failed DDL with a half-applied effect)
         changes.foreach {
           case a: TableChange.AddColumn =>
             require(a.fieldNames.length == 1,
@@ -144,15 +165,12 @@ class GraftCatalog extends DelegatingCatalogExtension
             require(a.position() == null,
               "graft-tx: ADD COLUMNS position (FIRST/AFTER) is not " +
                 "supported — added columns append at the end")
-            TxTable.addColumn(spark, root, a.fieldNames()(0), a.dataType())
           case r: TableChange.RenameColumn =>
             require(r.fieldNames.length == 1,
               "graft-tx: nested columns are not supported")
-            TxTable.renameColumn(spark, root, r.fieldNames()(0), r.newName())
           case d: TableChange.DeleteColumn =>
             require(d.fieldNames.length == 1,
               "graft-tx: nested columns are not supported")
-            TxTable.dropColumn(spark, root, d.fieldNames()(0))
           case c if isSchemaChange(c) =>
             throw new UnsupportedOperationException(
               s"graft-tx: unsupported ALTER TABLE change $c — the live " +
@@ -163,6 +181,21 @@ class GraftCatalog extends DelegatingCatalogExtension
             throw new UnsupportedOperationException(
               s"graft-tx: cannot mix $c with schema changes in one " +
                 "ALTER TABLE — issue it as a separate statement")
+        }
+        // all AddColumns of one statement land as ONE atomic commit
+        // (TxTable.addColumns) — both columns of ADD COLUMNS (x, y)
+        // bind or neither does; renames/drops stay one commit each
+        // (the SQL grammar produces one of them per statement)
+        val adds = changes.collect { case a: TableChange.AddColumn =>
+          a.fieldNames()(0) -> a.dataType() }
+        if (adds.nonEmpty) TxTable.addColumns(spark, root, adds)
+        changes.foreach {
+          case _: TableChange.AddColumn => () // applied above, atomically
+          case r: TableChange.RenameColumn =>
+            TxTable.renameColumn(spark, root, r.fieldNames()(0), r.newName())
+          case d: TableChange.DeleteColumn =>
+            TxTable.dropColumn(spark, root, d.fieldNames()(0))
+          case _ => () // unreachable: validated above
         }
         loadTable(ident)
       case _ => super.alterTable(ident, changes: _*)
@@ -212,9 +245,12 @@ class GraftCatalog extends DelegatingCatalogExtension
     // declared PARTITIONED BY (the delegate's stored transforms) wins;
     // an API-built table proves its partitioning through its own
     // committed `$p=v` layout — either way INSERT INTO/OVERWRITE route
-    // through the clustered partition-scoped write
+    // through the clustered partition-scoped write. LENIENT here: a
+    // pre-existing table declared with an unsupported transform
+    // (bucket/days/...) must stay readable — refusal happens at
+    // createTable, where it costs nothing.
     val declaredParts =
-      TxTableSource.identityPartCols(base.partitioning().toSeq)
+      TxTableSource.identityPartColsLenient(base.partitioning().toSeq)
     val partCols =
       if (declaredParts.nonEmpty) declaredParts
       else if (TxTable.exists(spark, root))

@@ -43,14 +43,19 @@ private[sources] object GraftProcedures {
       case "analyze" => Some(analyze(rootOf))
       case "compact_snapshot" => Some(compactSnapshot(rootOf))
       case "optimize_compact" => Some(optimizeCompact(rootOf))
+      case "optimize_zorder" => Some(optimizeZorder(rootOf))
       case "vacuum" => Some(vacuum(rootOf))
       case "history" => Some(history(rootOf))
+      case "restore" => Some(restore(rootOf))
+      case "clone" => Some(cloneProc(rootOf))
+      case "partitions" => Some(partitions(rootOf))
       case _ => None
     }
   }
 
   val names: Seq[String] =
-    Seq("analyze", "compact_snapshot", "history", "optimize_compact",
+    Seq("analyze", "clone", "compact_snapshot", "history",
+      "optimize_compact", "optimize_zorder", "partitions", "restore",
       "vacuum")
 
   private def in(name: String, dt: DataType,
@@ -142,6 +147,109 @@ private[sources] object GraftProcedures {
             : java.util.Iterator[Scan] = {
             val root = rootOf(input.getUTF8String(0).toString)
             val df = TxTable.describeHistory(SparkSession.active, root)
+            val schema = df.schema
+            val collected = df.queryExecution.executedPlan.executeCollect()
+            java.util.Collections.singletonList(new LocalScan {
+              override def rows(): Array[InternalRow] =
+                collected.map(_.copy(): InternalRow)
+              override def readSchema(): StructType = schema
+            }: Scan).iterator()
+          }
+        }
+    }
+
+  /** The operational UNDO: `CALL system.restore('t', 3)` commits
+    * version 3's exact entry list as the new latest snapshot —
+    * [[TxTable.restore]], one metadata commit, the mistake stays in
+    * history for audit. Until now a SQL-only operator could SEE the
+    * pre-mistake state (FOR VERSION AS OF) but never make it the
+    * table's forward state. */
+  private def restore(rootOf: String => String): UnboundProcedure =
+    proc("restore", Seq(
+      in("table", StringType),
+      in("version", IntegerType)),
+      versionOut,
+      { input =>
+        val root = rootOf(input.getUTF8String(0).toString)
+        Seq(TxTable.restore(SparkSession.active, root, input.getInt(1)))
+      })
+
+  /** Zero-copy branch: `CALL system.clone('src_t', '/path/to/dst')`
+    * (optionally pinned to a source version, optionally registering
+    * the clone as a catalog table) — [[TxTable.cloneAt]]: ONE commit
+    * referencing the source's immutable dirs, metadata cost whatever
+    * the table size; the clone then evolves independently (the
+    * dev/test-branch workflow). `target_table` non-empty additionally
+    * runs `CREATE TABLE <target_table> USING graft-tx` over the
+    * target path so the branch is SQL-addressable immediately. */
+  private def cloneProc(rootOf: String => String): UnboundProcedure =
+    proc("clone", Seq(
+      in("table", StringType),
+      in("target_path", StringType),
+      in("version", IntegerType, Some("-1")),
+      in("target_table", StringType, Some("''"))),
+      versionOut,
+      { input =>
+        val spark = SparkSession.active
+        val srcRoot = rootOf(input.getUTF8String(0).toString)
+        val dst = input.getUTF8String(1).toString
+        val v = TxTable.cloneAt(spark, srcRoot, dst,
+          version = input.getInt(2))
+        val tbl = input.getUTF8String(3).toString.trim
+        if (tbl.nonEmpty)
+          spark.sql(s"CREATE TABLE $tbl USING `graft-tx` " +
+            s"OPTIONS (path '$dst')")
+        Seq(v)
+      })
+
+  /** `CALL system.optimize_zorder('t', 'c1,c2', n_dirs)` — the SQL
+    * face of [[TxTable.optimizeZOrderN]] (multi-dim clustered rewrite;
+    * every listed dimension gets dir stats so range pruning bites on
+    * any of them); `incremental => true` routes to
+    * [[TxTable.optimizeZOrderIncremental]], which re-clusters only the
+    * unclustered tail — the steady-state maintenance form. */
+  private def optimizeZorder(rootOf: String => String): UnboundProcedure =
+    proc("optimize_zorder", Seq(
+      in("table", StringType),
+      in("columns", StringType),
+      in("n_dirs", IntegerType, Some("8")),
+      in("incremental", BooleanType, Some("false"))),
+      versionOut,
+      { input =>
+        val root = rootOf(input.getUTF8String(0).toString)
+        val cols = input.getUTF8String(1).toString
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        require(cols.nonEmpty,
+          "optimize_zorder needs at least one column")
+        val n = input.getInt(2)
+        val v =
+          if (input.getBoolean(3))
+            TxTable.optimizeZOrderIncremental(SparkSession.active, root,
+              cols, n)
+          else TxTable.optimizeZOrderN(SparkSession.active, root, cols, n)
+        Seq(v)
+      })
+
+  /** SHOW PARTITIONS from SQL: `CALL system.partitions('t')` — one
+    * row per partition tuple (hive-rendered `c1=v1/c2=v2`) with dir /
+    * row / byte tallies, [[TxTable.showPartitions]]: derived from
+    * commit stats alone, ZERO data I/O at any table size — how a SQL
+    * operator learns which `PARTITION (day=...)` to overwrite. */
+  private def partitions(rootOf: String => String): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = "partitions"
+      override def description(): String = "graft-tx partitions"
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = "partitions"
+          override def description(): String = "graft-tx partitions"
+          override def parameters(): Array[ProcedureParameter] =
+            Array(in("table", StringType))
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow)
+            : java.util.Iterator[Scan] = {
+            val root = rootOf(input.getUTF8String(0).toString)
+            val df = TxTable.showPartitions(SparkSession.active, root)
             val schema = df.schema
             val collected = df.queryExecution.executedPlan.executeCollect()
             java.util.Collections.singletonList(new LocalScan {

@@ -69,25 +69,34 @@ object TxTable {
   /** Highest committed version, or 0 if the table is empty/absent. */
   def latestVersion(spark: SparkSession, root: String): Int = {
     val (fs, rp) = fsFor(spark, root)
+    latestVersion(fs, rp)
+  }
+
+  private def latestVersion(fs: FileSystem, rp: Path): Int = {
     val hinted =
       try {
         val hp = hintPath(rp)
+        metaRpcs.incrementAndGet() // hint exists probe
         if (!fs.exists(hp)) None
         else {
           val s = readFileUtf8(fs, hp).trim
           if (s.nonEmpty && s.forall(_.isDigit)) Some(s.toInt) else None
         }
       } catch { case _: Throwable => None }
-    hinted.filter(h => h >= 1 && fs.exists(commitPath(rp, h))) match {
+    hinted.filter { h =>
+      metaRpcs.incrementAndGet(); h >= 1 && fs.exists(commitPath(rp, h))
+    } match {
       case Some(h) =>
         // stale-low hint: walk forward to the true head (each step is
         // one exists() — the gap is the commits since the last hint
         // write, normally 0 or 1)
         var v = h
-        while (fs.exists(commitPath(rp, v + 1))) v += 1
+        while ({ metaRpcs.incrementAndGet()
+          fs.exists(commitPath(rp, v + 1)) }) v += 1
         v
       case None =>
         val cd = commitDir(rp)
+        metaRpcs.addAndGet(2) // exists + listStatus
         if (!fs.exists(cd)) 0
         else fs.listStatus(cd).map(_.getPath.getName)
           .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
@@ -96,11 +105,25 @@ object TxTable {
   }
 
   private def readFileUtf8(fs: FileSystem, p: Path): String = {
+    metaRpcs.addAndGet(2) // getFileStatus + open
     val len = fs.getFileStatus(p).getLen.toInt
     val buf = new Array[Byte](len)
     val in = fs.open(p)
     try { in.readFully(buf); new String(buf, "UTF-8") } finally in.close()
   }
+
+  /** COMMIT-METADATA RPC audit counter. Counts the filesystem
+    * metadata round trips the snapshot-resolution plumbing issues
+    * (hint reads, exists probes, commit-listing, commit-file status
+    * validations, commit content reads) — the per-query tax that on
+    * an object store costs 10-50 ms each. Data-file listing/footer
+    * probes are NOT counted (they scale with the snapshot, not with
+    * how many times the reader re-resolves it). Test-only surface:
+    * MetaRpcSpec pins an upper bound per read so redundant
+    * re-resolution (the round-15 family drift) cannot creep back. */
+  private val metaRpcs = new java.util.concurrent.atomic.AtomicLong
+  private[graft] def metaRpcCount: Long = metaRpcs.get
+  private[graft] def metaRpcReset(): Unit = metaRpcs.set(0L)
 
   /** Commit files are IMMUTABLE once claimed (create-no-overwrite /
     * hard-link), so their lines cache for the life of the JVM — one
@@ -127,6 +150,7 @@ object TxTable {
   private def commitLines(fs: FileSystem, rp: Path, v: Int): Seq[String] = {
     val p = commitPath(rp, v)
     val key = p.makeQualified(fs.getUri, fs.getWorkingDirectory).toString
+    metaRpcs.incrementAndGet() // cache-validation getFileStatus
     val st = fs.getFileStatus(p)
     val c = commitCache.get(key)
     if (c != null && c.mtime == st.getModificationTime &&
@@ -350,9 +374,10 @@ object TxTable {
     * legacy default for delta snapshots without one is Seq("k"). */
   private def snapshotKeys(fs: FileSystem, root: Path,
     v: Int): Option[Seq[String]] =
-    if (v == 0) None
-    else commitLines(fs, root, v)
-      .find(_.startsWith("key:")).map(_.drop(4).split(",").toSeq)
+    if (v == 0) None else parseKeys(commitLines(fs, root, v))
+
+  private def parseKeys(lines: Seq[String]): Option[Seq[String]] =
+    lines.find(_.startsWith("key:")).map(_.drop(4).split(",").toSeq)
 
   /** The columns per-dir stats refer to (comma list; the FIRST is the
     * default range column `read(keyRange)` addresses), for plain
@@ -361,9 +386,10 @@ object TxTable {
     * and don't need this header. */
   private def snapshotStatsCols(fs: FileSystem, root: Path,
     v: Int): Seq[String] =
-    if (v == 0) Seq.empty
-    else commitLines(fs, root, v)
-      .find(_.startsWith("statscol:")).map(_.drop(9).split(",").toSeq)
+    if (v == 0) Seq.empty else parseStatsCols(commitLines(fs, root, v))
+
+  private def parseStatsCols(lines: Seq[String]): Seq[String] =
+    lines.find(_.startsWith("statscol:")).map(_.drop(9).split(",").toSeq)
       .getOrElse(Seq.empty)
 
   private def snapshotDirs(fs: FileSystem, root: Path, v: Int): Seq[String] =
@@ -385,9 +411,11 @@ object TxTable {
     * under the logical names, materializing renames). */
   private def snapshotColMap(fs: FileSystem, rp: Path,
     v: Int): Option[Seq[(String, String)]] =
-    if (v == 0) None
-    else commitLines(fs, rp, v)
-      .find(_.startsWith("colmap:"))
+    if (v == 0) None else parseColMap(commitLines(fs, rp, v))
+
+  private def parseColMap(
+    lines: Seq[String]): Option[Seq[(String, String)]] =
+    lines.find(_.startsWith("colmap:"))
       .map(_.drop(7)).filter(_.nonEmpty)
       .map(_.split(",").toSeq.map { p =>
         val i = p.indexOf('=')
@@ -411,8 +439,11 @@ object TxTable {
     * across the format). */
   private def snapshotAddedCols(fs: FileSystem, rp: Path,
     v: Int): Seq[(String, org.apache.spark.sql.types.DataType)] =
-    if (v == 0) Seq.empty
-    else commitLines(fs, rp, v)
+    if (v == 0) Seq.empty else parseAddedCols(commitLines(fs, rp, v))
+
+  private def parseAddedCols(lines: Seq[String])
+    : Seq[(String, org.apache.spark.sql.types.DataType)] =
+    lines
       .find(_.startsWith("schema:")).map(_.drop(7)).filter(_.nonEmpty)
       .map(_.split(";").toSeq.map { p =>
         val i = p.indexOf('=')
@@ -427,11 +458,15 @@ object TxTable {
   /** The LIVE declared columns of snapshot `v` — `schema:` entries
     * whose physical name the snapshot's mapping still binds. */
   private def liveAddedCols(fs: FileSystem, rp: Path,
-    v: Int): Seq[(String, org.apache.spark.sql.types.DataType)] = {
-    val declared = snapshotAddedCols(fs, rp, v)
+    v: Int): Seq[(String, org.apache.spark.sql.types.DataType)] =
+    if (v == 0) Seq.empty else liveAddedOf(commitLines(fs, rp, v))
+
+  private def liveAddedOf(lines: Seq[String])
+    : Seq[(String, org.apache.spark.sql.types.DataType)] = {
+    val declared = parseAddedCols(lines)
     if (declared.isEmpty) Seq.empty
     else {
-      val bound = snapshotColMap(fs, rp, v)
+      val bound = parseColMap(lines)
         .map(liveMap(_).map(_._2).toSet).getOrElse(Set.empty)
       declared.filter { case (p, _) => bound(p) }
     }
@@ -550,21 +585,59 @@ object TxTable {
     preStrRanges: Map[String, (String, String)] = Map.empty,
     postStrRanges: Map[String, (String, String)] = Map.empty)
 
+  /** ONE snapshot resolution, shared by every layer of a read. The
+    * round-15 chain (`read` → `readResolved` → `readResolved0` →
+    * `planSnapshot`) each independently re-ran `fsFor` +
+    * `latestVersion` + a `commitLines` consult — ~15 commit-metadata
+    * RPCs per read where 4-6 suffice, and on an object store each is
+    * 10-50 ms. Resolving here ONCE also closes the version-skew race:
+    * the null-fill column set, the column map, and the planned
+    * entries now all come from the SAME commit file, so a concurrent
+    * addColumn landing mid-read can no longer split them across two
+    * versions. Facets parse lazily from the held lines (no further
+    * RPCs); only manifest expansion (`include:` lines) may read more
+    * files, exactly as the uncached path would. */
+  private final case class Resolved(fs: FileSystem, rp: Path, v: Int,
+    lines: Seq[String]) {
+    lazy val colMap: Option[Seq[(String, String)]] = parseColMap(lines)
+    lazy val keys: Option[Seq[String]] = parseKeys(lines)
+    lazy val statsCols: Seq[String] = parseStatsCols(lines)
+    lazy val liveAdded: Seq[(String, org.apache.spark.sql.types.DataType)] =
+      liveAddedOf(lines)
+    lazy val entries: Seq[Entry] =
+      expandEntryLines(fs, rp, lines).flatMap(parseEntry)
+  }
+
+  private def resolve(spark: SparkSession, root: String,
+    version: Int): Resolved = {
+    val (fs, rp) = fsFor(spark, root)
+    val v = if (version >= 0) version else latestVersion(fs, rp)
+    Resolved(fs, rp, v,
+      if (v >= 1) commitLines(fs, rp, v) else Seq.empty)
+  }
+
   private def planSnapshot(spark: SparkSession, root: String, version: Int,
     keyRange: Option[(Long, Long)],
     colRanges: Map[String, (Long, Long)],
-    strRanges: Map[String, (String, String)] = Map.empty): SnapshotPlan = {
-    val (fs, rp) = fsFor(spark, root)
-    val v = if (version >= 0) version else latestVersion(spark, root)
-    require(v > 0, s"txtable: no committed snapshot at $root")
-    val allEntries = snapshotEntries(fs, rp, v)
-    require(allEntries.nonEmpty, s"txtable: snapshot v$v of $root is empty")
-    val keyCols = snapshotKeys(fs, rp, v)
+    strRanges: Map[String, (String, String)] = Map.empty): SnapshotPlan =
+    planSnapshot(resolve(spark, root, version), keyRange, colRanges,
+      strRanges)
+
+  private def planSnapshot(r: Resolved,
+    keyRange: Option[(Long, Long)],
+    colRanges: Map[String, (Long, Long)],
+    strRanges: Map[String, (String, String)]): SnapshotPlan = {
+    val v = r.v
+    require(v > 0, s"txtable: no committed snapshot at ${r.rp}")
+    val allEntries = r.entries
+    require(allEntries.nonEmpty,
+      s"txtable: snapshot v$v of ${r.rp} is empty")
+    val keyCols = r.keys
       .getOrElse(if (allEntries.exists(_.isDelta)) Seq("k") else Seq.empty)
     // the un-named keyRange addresses the table's default range column:
     // first key col, else the first declared stats col
     val rangeCol = keyCols.headOption
-      .orElse(snapshotStatsCols(fs, rp, v).headOption)
+      .orElse(r.statsCols.headOption)
     val ranges: Map[String, (Long, Long)] = colRanges ++
       keyRange.flatMap(r => rangeCol.map(_ -> r))
     // Merge-on-read safety: a range on a VALUE column must wait for
@@ -614,10 +687,9 @@ object TxTable {
     version: Int = -1, keyRange: Option[(Long, Long)] = None,
     colRanges: Map[String, (Long, Long)] = Map.empty,
     strRanges: Map[String, (String, String)] = Map.empty): Array[String] = {
-    val (fs, rp) = fsFor(spark, root)
-    val entries = planSnapshot(spark, root, version, keyRange, colRanges,
-      strRanges).entries
-    val files = listDataFiles(spark, rp, entries.map(_.dir))
+    val r = resolve(spark, root, version)
+    val entries = planSnapshot(r, keyRange, colRanges, strRanges).entries
+    val files = listDataFiles(spark, r.rp, entries.map(_.dir))
     entries.toArray.flatMap(e => files.getOrElse(e.dir, Seq.empty))
   }
 
@@ -639,14 +711,13 @@ object TxTable {
     keyRange: Option[(Long, Long)] = None,
     colRanges: Map[String, (Long, Long)] = Map.empty,
     strRanges: Map[String, (String, String)] = Map.empty): DataFrame = {
-    val (fs0, rp0) = fsFor(spark, root)
-    val v0 = if (version >= 0) version else latestVersion(spark, root)
-    val mOpt = snapshotColMap(fs0, rp0, v0)
+    val r = resolve(spark, root, version)
+    val mOpt = r.colMap
     // callers address columns by the snapshot's LOGICAL names; the
     // physical plumbing below (stats, files, resolution) speaks the
     // immutable physical names
     toLogical(
-      readResolved(spark, root, version, keyRange,
+      readResolved(spark, r, keyRange,
         physRanges(mOpt, colRanges), physStrRanges(mOpt, strRanges)),
       mOpt)
   }
@@ -659,14 +730,18 @@ object TxTable {
     * on a just-filled column still apply (all-NULL never satisfies a
     * between, matching the value-filter semantics). */
   private def readResolved(spark: SparkSession, root: String,
-    version: Int = -1, keyRange: Option[(Long, Long)] = None,
-    colRanges: Map[String, (Long, Long)] = Map.empty,
-    strRanges: Map[String, (String, String)] = Map.empty): DataFrame = {
-    val df = readResolved0(spark, root, version, keyRange, colRanges,
-      strRanges)
-    val (fs, rp) = fsFor(spark, root)
-    val v = if (version >= 0) version else latestVersion(spark, root)
-    val declared = liveAddedCols(fs, rp, v)
+    version: Int): DataFrame =
+    readResolved(spark, resolve(spark, root, version), None, Map.empty,
+      Map.empty)
+
+  private def readResolved(spark: SparkSession, r: Resolved,
+    keyRange: Option[(Long, Long)],
+    colRanges: Map[String, (Long, Long)],
+    strRanges: Map[String, (String, String)]): DataFrame = {
+    val df = readResolved0(spark, r, keyRange, colRanges, strRanges)
+    // the null-fill column set comes from the SAME resolved snapshot
+    // the plan was built from — never a second head resolution
+    val declared = r.liveAdded
     if (declared.isEmpty) df
     else {
       val missing = declared.filterNot { case (p, _) =>
@@ -688,13 +763,12 @@ object TxTable {
     }
   }
 
-  private def readResolved0(spark: SparkSession, root: String,
-    version: Int = -1, keyRange: Option[(Long, Long)] = None,
-    colRanges: Map[String, (Long, Long)] = Map.empty,
-    strRanges: Map[String, (String, String)] = Map.empty): DataFrame = {
-    val (fs, rp) = fsFor(spark, root)
-    val plan = planSnapshot(spark, root, version, keyRange, colRanges,
-      strRanges)
+  private def readResolved0(spark: SparkSession, r: Resolved,
+    keyRange: Option[(Long, Long)],
+    colRanges: Map[String, (Long, Long)],
+    strRanges: Map[String, (String, String)]): DataFrame = {
+    val rp = r.rp
+    val plan = planSnapshot(r, keyRange, colRanges, strRanges)
     val v = plan.version
     val allEntries = plan.allEntries
     val keyCols = plan.keyCols
@@ -3312,9 +3386,9 @@ object TxTable {
     * Empty for unpartitioned, mixed-layout, keyed or MoR snapshots.
     * Metadata-only: commit lines, no file I/O. */
   private[graft] def layoutPartCols(spark: SparkSession,
-    root: String): Seq[String] = {
+    root: String, version: Int = -1): Seq[String] = {
     val (fs, rp) = fsFor(spark, root)
-    val v = latestVersion(spark, root)
+    val v = if (version >= 0) version else latestVersion(fs, rp)
     if (v == 0) return Seq.empty
     if (snapshotKeys(fs, rp, v).isDefined) return Seq.empty
     val entries = snapshotEntries(fs, rp, v)
@@ -4298,6 +4372,13 @@ object TxTable {
         "true, false)")
       spark.sql(s"CALL spark_catalog.system.optimize_compact('$tbl')")
       spark.sql(s"CALL spark_catalog.system.vacuum('$tbl', 1)")
+      // restore leg (r16): a junk load lands, CALL restore undoes it —
+      // the final SELECT must hash exactly as if it never happened
+      // (the operational undo, proven inside the same oracle)
+      spark.sql(s"INSERT INTO $tbl VALUES " +
+        "(CAST(-1 AS BIGINT), CAST(-1 AS BIGINT))")
+      val vJunk = latestVersion(spark, root)
+      spark.sql(s"CALL spark_catalog.system.restore('$tbl', ${vJunk - 1})")
       spark.sql(s"SELECT cust, count(*) AS cnt, max(k) AS max_k " +
         s"FROM $tbl GROUP BY cust")
     } finally {
@@ -4390,6 +4471,88 @@ object TxTable {
       finally spark.conf.set(
         "spark.sql.sources.partitionOverwriteMode", prev)
       read(spark, root)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.catalog.dropTempView(srcv)
+      ()
+    }
+  }
+
+  /** Oracle-gated STRING-KEY partition overwrite
+    * (q_txtable_overwrite_part_str): the #1 real-world reload is
+    * `PARTITION (day='2026-08-15')` on a date-string layout — the
+    * string-key machinery (`sx:` exact stats, hex dir tokens,
+    * TxV2PredicateSql) was proven for INSERT/SPJ since round 13 but
+    * never oracle-gated under OVERWRITE. Orders land month-string
+    * partitioned ('01'..'12'); a static `PARTITION (om = '03')`
+    * reload and a dynamic reload of '05'/'06' each swap exactly their
+    * hex-token dirs in ONE OCC commit (PartitionedSqlSpec asserts the
+    * untouched string partitions byte-identical). Same relational
+    * oracle shape as the INT-key twin. */
+  def overwritePartStrGateQuery(spark: SparkSession,
+    dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val root = scratchRoot("graft-owpsgate", dir)
+    val tbl = "graft_owps_gate"
+    val srcv = tbl + "_src"
+    val o = graft.Tables.orders(spark, dir).select(
+      col("o_orderkey").as("k"), col("o_custkey").as("cust"),
+      col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"),
+      date_format(col("o_orderdate"), "MM").as("om"))
+    if (o.isEmpty) return o.filter(lit(false))
+    o.createOrReplaceTempView(srcv)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, cust BIGINT, " +
+      "price DOUBLE, om STRING) USING `graft-tx` PARTITIONED BY (om) " +
+      s"OPTIONS (path '$root')")
+    try {
+      spark.sql(s"INSERT INTO $tbl SELECT k, cust, price, om FROM $srcv")
+      // static string-key reload (price doubling is IEEE-exact)
+      spark.sql(s"INSERT OVERWRITE $tbl PARTITION (om = '03') " +
+        s"SELECT k, cust, price * 2 FROM $srcv " +
+        "WHERE om = '03' AND cust % 2 = 0")
+      // dynamic reload of two string partitions
+      val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try spark.sql(s"INSERT OVERWRITE $tbl " +
+        s"SELECT k, cust, price * 3, om FROM $srcv " +
+        "WHERE om IN ('05', '06') AND cust % 3 = 0")
+      finally spark.conf.set(
+        "spark.sql.sources.partitionOverwriteMode", prev)
+      read(spark, root)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.catalog.dropTempView(srcv)
+      ()
+    }
+  }
+
+  /** Oracle-gated SHOW PARTITIONS exercise (q_txtable_show_parts): a
+    * month-string partitioned SQL-first load, then
+    * [[showPartitions]]'s tuple + row tallies — derived from commit
+    * stats ALONE (zero data I/O; the sub-second "which partition do I
+    * reload?" question at any table size) — hash-checked against the
+    * DuckDB group-by over the same source. num_dirs/num_bytes are
+    * physical facts with no relational oracle and stay out of the
+    * gate (SqlMaintenanceSpec pins them). */
+  def showPartsGateQuery(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val root = scratchRoot("graft-showparts", dir)
+    val tbl = "graft_showparts_gate"
+    val srcv = tbl + "_src"
+    val o = graft.Tables.orders(spark, dir).select(
+      col("o_orderkey").as("k"), col("o_custkey").as("cust"),
+      date_format(col("o_orderdate"), "MM").as("om"))
+    if (o.isEmpty)
+      return o.select(col("om").as("partition"))
+        .withColumn("num_rows", lit(0L)).filter(lit(false))
+    o.createOrReplaceTempView(srcv)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, cust BIGINT, om STRING) " +
+      s"USING `graft-tx` PARTITIONED BY (om) OPTIONS (path '$root')")
+    try {
+      spark.sql(s"INSERT INTO $tbl SELECT k, cust, om FROM $srcv")
+      showPartitions(spark, root).select("partition", "num_rows")
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
       spark.catalog.dropTempView(srcv)
@@ -4823,6 +4986,40 @@ object TxTable {
     mergeDelta(spark, root, changeRows.filter(col("seq") > mid))
     compactSnapshot(spark, root)
     changes(spark, root)
+  }
+
+  /** SQL twin of [[changesGateQuery]] (q_txtable_changes_sql): the
+    * identical two-delta-plus-compaction build, but the feed is
+    * consumed through PURE SQL — `CREATE TEMPORARY VIEW ... USING
+    * graft-tx OPTIONS (readChangeFeed 'true', startingVersion '1')`
+    * then a SELECT — proving a SQL/JDBC CDC consumer (the reference
+    * era's incremental-load scripts) can subscribe to the change feed
+    * without writing a line of Scala. startingVersion is INCLUSIVE,
+    * so 1 covers the same (0, latest] range as `changes(root)`, and
+    * the same DuckDB oracle gates both routes. */
+  def changesSqlGateQuery(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratchRoot("graft-txfeedsql", dir)
+    val changeRows = graft.Tables.orders(spark, dir).select(
+      col("o_custkey").as("k"),
+      expr("CASE WHEN o_orderkey % 10 = 0 THEN 'D' " +
+        "WHEN o_orderkey % 3 = 0 THEN 'U' ELSE 'I' END").as("op"),
+      col("o_totalprice").as("v"),
+      col("o_orderkey").as("seq"))
+    val midRow = changeRows.agg(max("seq")).collect()(0)
+    if (midRow.isNullAt(0))
+      return changeRows.select("k", "op", "v")
+        .withColumn("commit_version", lit(0L)).filter(lit(false))
+    val mid = midRow.getLong(0) / 2
+    mergeDelta(spark, root, changeRows.filter(col("seq") <= mid))
+    mergeDelta(spark, root, changeRows.filter(col("seq") > mid))
+    compactSnapshot(spark, root)
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY VIEW graft_tx_changes_gate
+         |USING `graft-tx` OPTIONS (
+         |  path '$root', readChangeFeed 'true', startingVersion '1')
+         |""".stripMargin)
+    spark.sql(
+      "SELECT k, op, v, commit_version FROM graft_tx_changes_gate")
   }
 
   /** Durable rollback: commit version `toVersion`'s exact entry list
@@ -5602,6 +5799,61 @@ object TxTable {
     Some((slices, m))
   }
 
+  /** SHOW PARTITIONS — metadata-only partition introspection for a
+    * partition-clustered graft-tx table: one row per distinct
+    * partition tuple with its directory / row / byte tallies, derived
+    * ENTIRELY from the commit's own entry list and stats — zero data
+    * I/O at any table size, the property that makes "which partition
+    * do I overwrite?" a sub-second question on a 100 TB table. The
+    * tuple values come from the clustered layout's own `$col=value`
+    * directory segments (the same segments `layoutPartCols` proves the
+    * layout from, already hive-rendered — DATE keys read as their ISO
+    * date), so the listing can never disagree with where the data
+    * actually lives. Fails loudly on a non-clustered table rather
+    * than inventing partitions. SQL face: `CALL spark_catalog.system
+    * .partitions('t')`. (ref analog: the warehouse's SHOW PARTITIONS
+    * is a metastore read, src/contrib/hive-streaming/build.xml:1.) */
+  def showPartitions(spark: SparkSession, root: String,
+    version: Int = -1): DataFrame = {
+    import spark.implicits._
+    val r = resolve(spark, root, version)
+    require(r.v > 0, s"txtable: no committed snapshot at $root")
+    val partCols = layoutPartCols(spark, root, r.v)
+    require(partCols.nonEmpty,
+      s"txtable: $root has no provable partition-clustered layout — " +
+        "SHOW PARTITIONS lists value-identity partitioned tables only")
+    require(r.entries.forall(_.stats.contains(rowsKey)),
+      s"txtable: a dir of $root predates row-count stats — compact " +
+        "to restore the metadata-only partition listing")
+    val live = r.entries.filter(_.stats(rowsKey)._1 > 0)
+    // decode each dir's proven tuple with the SAME grammar the
+    // partition-scoped writers mint (`x<hex>` string tokens, bare
+    // integral/day-count tokens) — the listing can never disagree
+    // with what a partition-scoped commit would accept
+    val pgs = partCols.map(physName(r.colMap, _))
+    val schema = read(spark, root, version = r.v).schema
+    val dateCols = partCols.filter(c => schema.fields
+      .find(_.name == c)
+      .exists(_.dataType == org.apache.spark.sql.types.DateType)).toSet
+    def render(c: String, v: Any): String = v match {
+      case l: Long if dateCols(c) =>
+        java.time.LocalDate.ofEpochDay(l).toString
+      case x => x.toString
+    }
+    val rows = live.groupBy(e => dirTupleOf(e.dir, pgs))
+      .toSeq.map { case (tup, es) =>
+        val vals = tup.getOrElse(throw new IllegalStateException(
+          s"txtable: dir '${es.head.dir}' of $root does not prove its " +
+            "partition tuple — mixed layout?"))
+        (partCols.zip(vals)
+          .map { case (c, v) => s"$c=${render(c, v)}" }.mkString("/"),
+          es.size.toLong,
+          es.map(_.stats(rowsKey)._1).sum,
+          es.map(_.stats.get(bytesKey).map(_._1).getOrElse(0L)).sum)
+      }.sortBy(_._1)
+    rows.toDF("partition", "num_dirs", "num_rows", "num_bytes")
+  }
+
   /** Package-visible logical→physical column translation (identity
     * when unmapped) for the V2 faces. */
   private[sources] def physNameOf(m: Option[Seq[(String, String)]],
@@ -6320,39 +6572,60 @@ object TxTable {
     * (compactSnapshot) materializes the column physically and retires
     * the header. Atomic (non-nested) types only. */
   def addColumn(spark: SparkSession, root: String, name: String,
-    dt: org.apache.spark.sql.types.DataType): Int = {
+    dt: org.apache.spark.sql.types.DataType): Int =
+    addColumns(spark, root, Seq(name -> dt))
+
+  /** Multi-column ADD COLUMNS as ONE atomic commit — `ALTER TABLE t
+    * ADD COLUMNS (x INT, y INT)` lands both bindings or neither, so a
+    * failing later column (duplicate name, unsupported type) can
+    * never leave a half-applied DDL statement behind. All validation
+    * runs BEFORE the commit is staged. */
+  def addColumns(spark: SparkSession, root: String,
+    cols: Seq[(String, org.apache.spark.sql.types.DataType)]): Int = {
     import org.apache.spark.sql.types._
-    require(validColName(name),
-      s"txtable: invalid column name '$name' (empty or reserved character)")
-    require(!name.contains(";") && !name.contains("="),
-      s"txtable: invalid column name '$name' (reserved character)")
-    dt match {
-      case _: StructType | _: ArrayType | _: MapType =>
-        throw new IllegalArgumentException(
-          s"txtable: ADD COLUMNS supports atomic types only, got ${dt.sql}")
-      case _ => ()
+    require(cols.nonEmpty, "txtable: ADD COLUMNS needs at least one column")
+    require(cols.map(_._1).distinct.size == cols.size,
+      s"txtable: duplicate column in ADD COLUMNS: " +
+        cols.map(_._1).mkString(", "))
+    cols.foreach { case (name, dt) =>
+      require(validColName(name),
+        s"txtable: invalid column name '$name' (empty or reserved " +
+          "character)")
+      require(!name.contains(";") && !name.contains("="),
+        s"txtable: invalid column name '$name' (reserved character)")
+      dt match {
+        case _: StructType | _: ArrayType | _: MapType =>
+          throw new IllegalArgumentException(
+            s"txtable: ADD COLUMNS supports atomic types only, got ${dt.sql}")
+        case _ => ()
+      }
+      // the DDL must round-trip the exact type through the header
+      require(DataType.fromDDL(dt.sql) == dt,
+        s"txtable: type ${dt.sql} does not round-trip the schema header")
     }
-    // the DDL must round-trip the exact type through the header
-    require(DataType.fromDDL(dt.sql) == dt,
-      s"txtable: type ${dt.sql} does not round-trip the schema header")
     val (fs, rp) = fsFor(spark, root)
     commitRetry(spark, root) { prevV =>
       require(prevV > 0, s"txtable: nothing to alter at $root")
-      val m = colMapOrIdentity(spark, root, fs, rp, prevV)
-      require(!liveMap(m).exists(_._1 == name),
-        s"txtable: column '$name' already exists at $root")
-      // fresh physical name: never reuse ANY physical (live or
-      // tombstoned) — that is the whole point of tombstones
-      val phys =
-        if (!m.exists(_._2 == name)) name
-        else s"${name}_${java.util.UUID.randomUUID().toString.take(8)}"
-      require(validColName(phys) && !phys.contains(";"),
-        s"txtable: cannot mint a physical name for '$name'")
-      val declared = snapshotAddedCols(fs, rp, prevV)
-        .filter { case (p, _) => liveMap(m).exists(_._2 == p) } :+
-        (phys -> dt)
-      ("addcol", Seq(colMapLine(m :+ (name -> phys)),
-        schemaLine(declared)) ++
+      val m0 = colMapOrIdentity(spark, root, fs, rp, prevV)
+      cols.foreach { case (name, _) =>
+        require(!liveMap(m0).exists(_._1 == name),
+          s"txtable: column '$name' already exists at $root")
+      }
+      var m = m0
+      var declared = snapshotAddedCols(fs, rp, prevV)
+        .filter { case (p, _) => liveMap(m0).exists(_._2 == p) }
+      cols.foreach { case (name, dt) =>
+        // fresh physical name: never reuse ANY physical (live or
+        // tombstoned) — that is the whole point of tombstones
+        val phys =
+          if (!m.exists(_._2 == name)) name
+          else s"${name}_${java.util.UUID.randomUUID().toString.take(8)}"
+        require(validColName(phys) && !phys.contains(";"),
+          s"txtable: cannot mint a physical name for '$name'")
+        m = m :+ (name -> phys)
+        declared = declared :+ (phys -> dt)
+      }
+      ("addcol", Seq(colMapLine(m), schemaLine(declared)) ++
         snapshotLines(fs, rp, prevV).filterNot(l =>
           l.startsWith("colmap:") || l.startsWith("schema:")))
     }

@@ -125,8 +125,10 @@ class TxTableSource extends RelationProvider
           TxRelation(spark, root, TxTableSource.paramsOf(options)).schema
         else schema
       // declared PARTITIONED BY wins; a table built by the API proves
-      // its partitioning through its own committed layout
-      val declared = TxTableSource.identityPartCols(partitioning.toSeq)
+      // its partitioning through its own committed layout. Lenient on
+      // load: unsupported transforms are ignored, never unreadable.
+      val declared =
+        TxTableSource.identityPartColsLenient(partitioning.toSeq)
       val partCols =
         if (declared.nonEmpty) declared
         else if (TxTable.exists(spark, root))
@@ -164,9 +166,12 @@ class TxTableSource extends RelationProvider
         "spark.sql.streaming.disabledV2MicroBatchReaders for graft-tx")
 
   override def createRelation(sqlContext: SQLContext,
-    parameters: Map[String, String]): BaseRelation =
-    TxRelation(sqlContext.sparkSession, TxTableSource.rootOf(parameters),
-      parameters)
+    parameters: Map[String, String]): BaseRelation = {
+    val root = TxTableSource.rootOf(parameters)
+    if (TxTableSource.changeFeedRequested(parameters))
+      TxChangesRelation(sqlContext.sparkSession, root, parameters)
+    else TxRelation(sqlContext.sparkSession, root, parameters)
+  }
 
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
     parameters: Map[String, String], data: DataFrame): BaseRelation = {
@@ -214,6 +219,13 @@ object TxTableSource {
     Option(options.get("path")).getOrElse(throw new IllegalArgumentException(
       "graft-tx requires a path (load(root) or OPTIONS (path '...'))"))
 
+  /** `readChangeFeed=true` routes a batch read to the change-feed
+    * relation instead of the snapshot relation. */
+  private[sources] def changeFeedRequested(
+    params: Map[String, String]): Boolean =
+    params.get("readChangeFeed").orElse(params.get("readchangefeed"))
+      .exists(_.equalsIgnoreCase("true"))
+
   /** The session catalog's table loads inject `provider=graft-tx`
     * (plus location/owner) into the options; path-based
     * read/readStream/writeStream options never contain it. */
@@ -229,17 +241,40 @@ object TxTableSource {
 
   /** Single-column identity partition transforms → column names; any
     * other transform (bucket, days, …) refuses loudly — graft-tx's
-    * clustered layout is value-identity by construction. */
+    * clustered layout is value-identity by construction. Used at
+    * CREATE/write VALIDATION time only: rejecting here keeps an
+    * unsupported layout from ever being declared. */
   private[sources] def identityPartCols(
     partitioning: Seq[Transform]): Seq[String] =
     partitioning.map { t =>
-      val refs = t.references()
-      if (t.name() == "identity" && refs.length == 1 &&
-        refs(0).fieldNames().length == 1) refs(0).fieldNames()(0)
-      else throw new UnsupportedOperationException(
+      identityColOf(t).getOrElse(throw new UnsupportedOperationException(
         s"graft-tx: only single-column identity PARTITIONED BY is " +
-          s"supported, got $t")
+          s"supported, got $t"))
     }
+
+  /** LOAD-path variant: keeps the identity columns and IGNORES (with
+    * a log line) any other transform, so a pre-existing catalog table
+    * that was declared with e.g. `bucket(16, c)` stays READABLE —
+    * before round 16 the strict check ran on every loadTable and such
+    * a table could not even be SELECTed. New declarations are refused
+    * at CREATE time (GraftCatalog.createTable), where refusal costs
+    * nothing. */
+  private[sources] def identityPartColsLenient(
+    partitioning: Seq[Transform]): Seq[String] =
+    partitioning.flatMap { t =>
+      val c = identityColOf(t)
+      if (c.isEmpty)
+        System.err.println(s"graft-tx: ignoring unsupported partition " +
+          s"transform $t on load (value-identity transforms only)")
+      c
+    }
+
+  private def identityColOf(t: Transform): Option[String] = {
+    val refs = t.references()
+    if (t.name() == "identity" && refs.length == 1 &&
+      refs(0).fieldNames().length == 1) Some(refs(0).fieldNames()(0))
+    else None
+  }
 
   /** timestampAsOf accepts epoch millis, an ISO-8601 instant, or a
     * local `yyyy-MM-dd HH:mm:ss` timestamp (session-zone-free: local
@@ -712,6 +747,53 @@ object TxTableSource {
       yield a || b
     case _ => None
   }
+}
+
+/** The change feed as a BATCH relation — `TxTable.changes` behind
+  * reader options, so a SQL/JDBC consumer subscribes to CDC without
+  * writing Scala (the lakehouse `readChangeFeed` convention):
+  *
+  * {{{
+  *   spark.read.format("graft-tx")
+  *     .option("readChangeFeed", "true")
+  *     .option("startingVersion", 2)       // inclusive; default 1
+  *     .option("endingVersion", 5)         // inclusive; default latest
+  *     .load(root)
+  *   -- pure SQL (CREATE TEMP VIEW ... USING routes here too):
+  *   CREATE TEMPORARY VIEW t_changes USING `graft-tx`
+  *     OPTIONS (path '...', readChangeFeed 'true', startingVersion '1')
+  * }}}
+  *
+  * `startingVersion`/`endingVersion` are INCLUSIVE commit versions
+  * (`changes(fromV, toV]` exclusive-start re-expressed in the
+  * convention CDC consumers expect). The feed speaks the table's
+  * STABLE physical column names plus `op` ('I'/'U'/'D') and
+  * `commit_version` — renames never change feed columns, so a
+  * downstream consumer survives them without redeploys. Cost is the
+  * recorded change sets, never a table re-scan, except for
+  * replace-style commits which diff keyed snapshots (see
+  * [[TxTable.changes]]). */
+case class TxChangesRelation(spark: SparkSession, root: String,
+  parameters: Map[String, String])
+  extends BaseRelation with TableScan {
+
+  private def opt(k: String): Option[String] = parameters.get(k)
+    .orElse(parameters.get(k.toLowerCase(java.util.Locale.ROOT)))
+  require(opt("versionAsOf").isEmpty && opt("timestampAsOf").isEmpty,
+    "graft-tx: readChangeFeed selects a version RANGE - use " +
+      "startingVersion/endingVersion, not versionAsOf/timestampAsOf")
+  private val fromV = opt("startingVersion")
+    .map(_.trim.toInt).map(s => math.max(0, s - 1)).getOrElse(0)
+  private val toV = opt("endingVersion").map(_.trim.toInt).getOrElse(-1)
+
+  private lazy val df = TxTable.changes(spark, root, fromV, toV)
+  override def sqlContext: SQLContext = spark.sqlContext
+  override val schema: StructType = df.schema
+  // the inner plan already produces InternalRows (same move as
+  // TxRelation.needConversion — zero per-row conversion tax)
+  override def needConversion: Boolean = false
+  override def buildScan(): RDD[Row] =
+    df.queryExecution.toRdd.asInstanceOf[RDD[Row]]
 }
 
 /** One `graft-tx` read: snapshot selection from options, scan-time

@@ -67,6 +67,27 @@ class AddColumnsSpec extends SparkSpec {
     assert(mid.filter(col("y") === 42).count() === 1L)
   }
 
+  test("multi-column ADD COLUMNS is ONE atomic commit; a failing " +
+    "statement leaves nothing behind") {
+    val root = mkTable("addc_atomic")
+    val v0 = TxTable.latestVersion(spark, root)
+    spark.sql("ALTER TABLE addc_atomic ADD COLUMNS (x BIGINT, y DOUBLE)")
+    assert(TxTable.latestVersion(spark, root) === v0 + 1,
+      "two added columns must land as one commit")
+    assert(spark.table("addc_atomic").columns.toSeq ===
+      Seq("k", "s", "x", "y"))
+    // a statement whose LATER column fails (duplicate of an existing
+    // one) must apply NEITHER — no half-applied DDL
+    val v1 = TxTable.latestVersion(spark, root)
+    intercept[Exception] {
+      spark.sql("ALTER TABLE addc_atomic ADD COLUMNS (z BIGINT, x INT)")
+    }
+    assert(TxTable.latestVersion(spark, root) === v1,
+      "failed ADD COLUMNS must not commit")
+    assert(spark.table("addc_atomic").columns.toSeq ===
+      Seq("k", "s", "x", "y"), "no phantom 'z' column")
+  }
+
   test("unsupported ALTER TABLE changes fail loudly instead of vanishing") {
     mkTable("addc_loud")
     val e = intercept[Exception] {

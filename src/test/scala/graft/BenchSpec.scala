@@ -22,6 +22,24 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.parsePrevRef(txt) == Map("q_ok" -> 1.5))
   }
 
+  test("parsePrevRef scopes to the queries object — a scratch map " +
+    "reusing query names must not override wall seconds") {
+    // the exact bench_out.json shape: scratch + tries reuse query
+    // names; the old whole-file pull kept the LAST duplicate, turning
+    // q_har_readall's reference into its scratch-build seconds
+    val txt = """{"metric":"total","value":237.5,"unit":"sec",""" +
+      """"queries":{"q_har_readall":1.752,"q1_agg":0.965},""" +
+      """"tries":{"q_har_readall":[1.752],"q1_agg":[0.965]},""" +
+      """"scratch":{"q_har_readall":0.883},""" +
+      """"errors":{},"sf":"/root/testdata/sf0.1"}"""
+    val ref = Bench.parsePrevRef(txt)
+    assert(ref("q_har_readall") == 1.752,
+      s"scratch seconds leaked into the reference: $ref")
+    assert(ref("q1_agg") == 0.965)
+    // and the non-query top-level numbers stay out of the map
+    assert(!ref.contains("value"))
+  }
+
   test("the COMMITTED bench_ref.json parses non-empty") {
     // sbt runs tests from the repo root — same cwd Bench defaults to
     val path = java.nio.file.Paths.get("bench_ref.json")

@@ -121,6 +121,40 @@ class PartitionedSqlSpec extends SparkSpec {
       "spark.sql.sources.partitionOverwriteMode", prev)
   }
 
+  test("static INSERT OVERWRITE PARTITION on a STRING key swaps only " +
+    "that hex-token dir; untouched string partitions byte-identical") {
+    register()
+    val root = tmpDir() + "/psql_ow_str"
+    spark.sql("DROP TABLE IF EXISTS psql_ow_str")
+    spark.sql("CREATE TABLE psql_ow_str (k BIGINT, day STRING) " +
+      s"USING `graft-tx` PARTITIONED BY (day) OPTIONS (path '$root')")
+    spark.sql("INSERT INTO psql_ow_str SELECT id, " +
+      "concat('2026-08-1', CAST(id % 3 AS STRING)) FROM range(300)")
+    // string partition dirs mint hex tokens: '2026-08-11' -> x<hex>
+    val hex11 = "2026-08-11".getBytes("UTF-8")
+      .map(b => f"$b%02x").mkString
+    val before = fileFacts(root, "day=")
+    assert(before.exists(_._1.contains(s"day=x$hex11")),
+      s"expected a hex-token dir day=x$hex11 in ${before.map(_._1)}")
+    val untouchedBefore = before.filterNot(_._1.contains(s"day=x$hex11"))
+    val v0 = TxTable.latestVersion(spark, root)
+    spark.sql("INSERT OVERWRITE psql_ow_str " +
+      "PARTITION (day = '2026-08-11') SELECT id + 1000 FROM range(7)")
+    assert(TxTable.latestVersion(spark, root) === v0 + 1,
+      "string-key partition overwrite must be ONE OCC commit")
+    val t = spark.table("psql_ow_str")
+    assert(t.filter("day = '2026-08-11'").count() === 7L)
+    assert(t.filter("day = '2026-08-10'").count() === 100L)
+    assert(t.filter("day = '2026-08-12'").count() === 100L)
+    val untouchedAfter = fileFacts(root, "day=")
+      .filterNot(_._1.contains(s"day=x$hex11"))
+    assert(untouchedAfter === untouchedBefore,
+      "untouched string partitions must stay byte-identical")
+    // time travel still serves the pre-reload partition
+    assert(TxTable.read(spark, root, version = v0)
+      .filter(col("day") === "2026-08-11").count() === 100L)
+  }
+
   test("full INSERT OVERWRITE keeps the clustered layout") {
     register()
     val root = tmpDir() + "/psql_full"

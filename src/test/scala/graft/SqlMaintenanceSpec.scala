@@ -139,6 +139,158 @@ class SqlMaintenanceSpec extends SparkSpec {
     spark.sql("DROP TABLE call_hist")
   }
 
+  test("plain ANALYZE TABLE is the cheap metadata form (no scan, " +
+    "no commit) — upstream cost expectations hold") {
+    register()
+    import spark.implicits._
+    val root = tmpDir() + "/sqlan-plain"
+    TxTable.append((1L to 200L).map(i => (i, i % 3)).toDF("k", "g"), root)
+    spark.sql("DROP TABLE IF EXISTS sqlan_plain")
+    spark.sql(s"CREATE TABLE sqlan_plain USING `graft-tx` " +
+      s"OPTIONS (path '$root')")
+    val v0 = TxTable.latestVersion(spark, root)
+    // row/size stats are metadata-exact at all times: the plain form
+    // must NOT become a full-table multi-aggregate column scan
+    spark.sql("ANALYZE TABLE sqlan_plain COMPUTE STATISTICS")
+    assert(TxTable.latestVersion(spark, root) === v0,
+      "plain ANALYZE must not commit (it has nothing to refresh)")
+    spark.sql("DROP TABLE sqlan_plain")
+  }
+
+  test("CALL system.restore is the operational undo: a bad load " +
+    "rolls back in one metadata commit") {
+    register()
+    import spark.implicits._
+    val root = tmpDir() + "/call-restore"
+    TxTable.append((1L to 50L).map(i => (i, 1)).toDF("k", "v"), root)
+    spark.sql("DROP TABLE IF EXISTS call_restore")
+    spark.sql(s"CREATE TABLE call_restore USING `graft-tx` " +
+      s"OPTIONS (path '$root')")
+    val good = spark.table("call_restore").collect().toSet
+    // the bad load
+    TxTable.overwrite(Seq((999L, 9)).toDF("k", "v"), root)
+    assert(spark.table("call_restore").count() === 1L)
+    val out = spark.sql(
+      "CALL spark_catalog.system.restore('call_restore', 1)").collect()
+    assert(out.length === 1 && out(0).getInt(0) === 3)
+    // forward state equals the pre-mistake frame; the mistake stays
+    // in history for audit
+    assert(spark.table("call_restore").collect().toSet === good)
+    assert(TxTable.read(spark, root, version = 2).count() === 1L)
+    spark.sql("DROP TABLE call_restore")
+  }
+
+  test("CALL system.clone branches zero-copy and the clone evolves " +
+    "independently") {
+    register()
+    import spark.implicits._
+    val root = tmpDir() + "/call-clone-src"
+    val dst = tmpDir() + "/call-clone-dst"
+    TxTable.append((1L to 30L).map(i => (i, i * 2)).toDF("k", "v"), root)
+    spark.sql("DROP TABLE IF EXISTS call_clone_src")
+    spark.sql("DROP TABLE IF EXISTS call_clone_dst")
+    spark.sql(s"CREATE TABLE call_clone_src USING `graft-tx` " +
+      s"OPTIONS (path '$root')")
+    val out = spark.sql("CALL spark_catalog.system.clone(" +
+      s"'call_clone_src', '$dst', -1, 'call_clone_dst')").collect()
+    assert(out.length === 1 && out(0).getInt(0) === 1)
+    // the clone is SQL-addressable immediately and content-equal
+    assert(spark.table("call_clone_dst").collect().toSet ===
+      spark.table("call_clone_src").collect().toSet)
+    // independent evolution: loading the clone never touches the source
+    spark.sql("INSERT INTO call_clone_dst VALUES (999, 0)")
+    assert(spark.table("call_clone_dst").count() === 31L)
+    assert(spark.table("call_clone_src").count() === 30L)
+    spark.sql("DROP TABLE call_clone_src")
+    spark.sql("DROP TABLE call_clone_dst")
+  }
+
+  test("CALL system.optimize_zorder reclusters from SQL; incremental " +
+    "form reclusters the tail") {
+    register()
+    import spark.implicits._
+    val root = tmpDir() + "/call-zorder"
+    (0 to 3).foreach { i =>
+      TxTable.append((1L to 250L).filter(_ % 4 == i)
+        .map(j => (j, j * 7 % 250, j * 13 % 250)).toDF("k", "x", "y"), root)
+    }
+    spark.sql("DROP TABLE IF EXISTS call_zorder")
+    spark.sql(s"CREATE TABLE call_zorder USING `graft-tx` " +
+      s"OPTIONS (path '$root')")
+    val v0 = TxTable.latestVersion(spark, root)
+    spark.sql(
+      "CALL spark_catalog.system.optimize_zorder('call_zorder', 'x,y', 4)")
+    assert(TxTable.latestVersion(spark, root) === v0 + 1)
+    assert(spark.table("call_zorder").count() === 250L)
+    // z-ordered dirs carry stats on BOTH dims: a corner box prunes
+    val all = spark.read.format("graft-tx").load(root).inputFiles.length
+    val pruned = spark.read.format("graft-tx")
+      .option("colRange.x", "0,30").option("colRange.y", "0,30")
+      .load(root).inputFiles.length
+    assert(pruned < all, s"z-order pruning dead: $pruned vs $all")
+    // incremental: new tail data reclusters without a full rewrite
+    TxTable.append((251L to 300L).map(j =>
+      (j, j * 7 % 250, j * 13 % 250)).toDF("k", "x", "y"), root)
+    spark.sql("CALL spark_catalog.system.optimize_zorder(" +
+      "'call_zorder', 'x,y', 4, true)")
+    assert(spark.table("call_zorder").count() === 300L)
+    spark.sql("DROP TABLE call_zorder")
+  }
+
+  test("CALL system.partitions lists a composite string+int layout " +
+    "from commit stats alone") {
+    register()
+    import spark.implicits._
+    val root = tmpDir() + "/call-parts"
+    spark.sql("DROP TABLE IF EXISTS call_parts")
+    spark.sql(s"CREATE TABLE call_parts (k BIGINT, region STRING, d INT) " +
+      s"USING `graft-tx` PARTITIONED BY (region, d) " +
+      s"OPTIONS (path '$root')")
+    spark.sql("INSERT INTO call_parts SELECT id, " +
+      "CASE WHEN id % 2 = 0 THEN 'eu' ELSE 'us' END, " +
+      "cast(id % 3 AS INT) FROM range(60)")
+    val rows = spark.sql(
+      "CALL spark_catalog.system.partitions('call_parts')").collect()
+    assert(rows.length === 6, rows.mkString(","))
+    val byPart = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(byPart.keySet === Set(
+      "region=eu/d=0", "region=eu/d=1", "region=eu/d=2",
+      "region=us/d=0", "region=us/d=1", "region=us/d=2"),
+      byPart.keySet.toString)
+    assert(byPart.values.map(_._2).sum === 60L, "row tallies must sum")
+    assert(byPart.values.forall(_._1 >= 1L), "each tuple has >= 1 dir")
+    assert(byPart.values.forall(_._3 > 0L), "bytes come from commit stats")
+    // a non-partitioned table refuses loudly instead of inventing
+    val root2 = tmpDir() + "/call-parts-plain"
+    TxTable.append((1L to 5L).map(i => (i, i)).toDF("k", "v"), root2)
+    spark.sql("DROP TABLE IF EXISTS call_parts_plain")
+    spark.sql(s"CREATE TABLE call_parts_plain USING `graft-tx` " +
+      s"OPTIONS (path '$root2')")
+    val e = intercept[Exception] {
+      spark.sql("CALL spark_catalog.system.partitions('call_parts_plain')")
+        .collect()
+    }
+    assert(e.getMessage.contains("partition"), e.getMessage)
+    spark.sql("DROP TABLE call_parts")
+    spark.sql("DROP TABLE call_parts_plain")
+  }
+
+  test("CREATE TABLE with a non-identity partition transform is " +
+    "refused at CREATE time, not at first read") {
+    register()
+    val root = tmpDir() + "/bad-bucket"
+    spark.sql("DROP TABLE IF EXISTS bad_bucket")
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE bad_bucket (k BIGINT, v BIGINT) " +
+        s"USING `graft-tx` PARTITIONED BY (bucket(16, k)) " +
+        s"OPTIONS (path '$root')")
+    }
+    assert(e.getMessage.contains("identity"), e.getMessage)
+    // and nothing half-landed in the metastore
+    assert(!spark.catalog.tableExists("bad_bucket"))
+  }
+
   test("unknown procedure and non-graft table fail loudly") {
     register()
     val e1 = intercept[Exception] {

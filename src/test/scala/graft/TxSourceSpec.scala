@@ -819,4 +819,62 @@ class TxSourceSpec extends SparkSpec {
       } finally spark.sql("DROP TABLE tt_plain")
     } finally spark.sql("DROP TABLE tt_sql")
   }
+
+  test("batch readChangeFeed: inclusive version range, CDC rows " +
+    "without Scala") {
+    import spark.implicits._
+    val root = tmpDir() + "/tx-cdf"
+    TxTable.mergeDelta(spark, root,
+      Seq((1L, "I", 10.0, 1L), (2L, "I", 20.0, 2L))
+        .toDF("k", "op", "v", "seq"))
+    TxTable.mergeDelta(spark, root,
+      Seq((1L, "U", 11.0, 3L)).toDF("k", "op", "v", "seq"))
+    TxTable.mergeDelta(spark, root,
+      Seq((2L, "D", 0.0, 4L)).toDF("k", "op", "v", "seq"))
+    val full = spark.read.format("graft-tx")
+      .option("readChangeFeed", "true").load(root)
+    assert(full.columns.contains("op") &&
+      full.columns.contains("commit_version"))
+    assert(full.count() === 4)
+    // startingVersion is INCLUSIVE: from v2 the feed is the U and D
+    val fromV2 = spark.read.format("graft-tx")
+      .option("readChangeFeed", "true").option("startingVersion", "2")
+      .load(root)
+    assert(fromV2.select("op").as[String].collect().sorted.toSeq ===
+      Seq("D", "U"))
+    // endingVersion inclusive too: [2, 2] is exactly the U
+    val only2 = spark.read.format("graft-tx")
+      .option("readChangeFeed", "true").option("startingVersion", "2")
+      .option("endingVersion", "2").load(root)
+    assert(only2.select("op").as[String].collect().toSeq === Seq("U"))
+    // a feed read refuses snapshot pinning options
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft-tx").option("readChangeFeed", "true")
+        .option("versionAsOf", "1").load(root).collect()
+    }
+    assert(e.getMessage.contains("startingVersion"))
+  }
+
+  test("readChangeFeed from pure SQL (temp view USING) and " +
+    "rename-stable physical names") {
+    import spark.implicits._
+    val root = tmpDir() + "/tx-cdf-sql"
+    TxTable.mergeDelta(spark, root,
+      Seq((1L, "I", 10.0, 1L)).toDF("k", "op", "v", "seq"))
+    // rename v -> price: the FEED keeps speaking the stable physical
+    // name, so a downstream CDC consumer survives the rename
+    TxTable.renameColumn(spark, root, "v", "price")
+    TxTable.mergeDelta(spark, root,
+      Seq((1L, "U", 12.0, 2L)).toDF("k", "op", "price", "seq"))
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY VIEW cdf_sql USING `graft-tx`
+         |OPTIONS (path '$root', readChangeFeed 'true',
+         |         startingVersion '1')""".stripMargin)
+    val rows = spark.sql(
+      "SELECT k, op, v, commit_version FROM cdf_sql ORDER BY commit_version")
+      .collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+      r.getLong(3))).toSeq ===
+      Seq((1L, "I", 10.0, 1L), (1L, "U", 12.0, 3L)))
+  }
 }
