@@ -49,12 +49,13 @@ private[sources] object GraftProcedures {
       case "restore" => Some(restore(rootOf))
       case "clone" => Some(cloneProc(rootOf))
       case "partitions" => Some(partitions(rootOf))
+      case "detail" => Some(detail(rootOf))
       case _ => None
     }
   }
 
   val names: Seq[String] =
-    Seq("analyze", "clone", "compact_snapshot", "history",
+    Seq("analyze", "clone", "compact_snapshot", "detail", "history",
       "optimize_compact", "optimize_zorder", "partitions", "restore",
       "vacuum")
 
@@ -261,15 +262,53 @@ private[sources] object GraftProcedures {
         }
     }
 
+  /** `vacuum(t, retain_last, dry_run)` — dry_run=true lists-without-
+    * deleting: `done=false` and `reclaimable` = how many data dirs /
+    * commits / manifests sit outside the horizon, the "what am I
+    * about to burn?" check before production retention. A real run
+    * reports the same count it reclaimed. */
   private def vacuum(rootOf: String => String): UnboundProcedure =
     proc("vacuum", Seq(
       in("table", StringType),
-      in("retain_last", IntegerType, Some("1"))),
-      StructType(Seq(StructField("done", BooleanType, nullable = false))),
+      in("retain_last", IntegerType, Some("1")),
+      in("dry_run", BooleanType, Some("false"))),
+      StructType(Seq(
+        StructField("done", BooleanType, nullable = false),
+        StructField("reclaimable", IntegerType, nullable = false))),
       { input =>
         val root = rootOf(input.getUTF8String(0).toString)
-        TxTable.vacuum(SparkSession.active, root,
-          retainLast = input.getInt(1))
-        Seq(true)
+        val retain = input.getInt(1)
+        val dead = TxTable.vacuumDryRun(SparkSession.active, root, retain)
+        val dry = input.getBoolean(2)
+        if (!dry) TxTable.vacuum(SparkSession.active, root, retain)
+        Seq(!dry, dead.size)
       })
+
+  /** DESCRIBE DETAIL from SQL: one metadata-only summary row —
+    * [[TxTable.describeDetail]]. */
+  private def detail(rootOf: String => String): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = "detail"
+      override def description(): String = "graft-tx detail"
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = "detail"
+          override def description(): String = "graft-tx detail"
+          override def parameters(): Array[ProcedureParameter] =
+            Array(in("table", StringType))
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow)
+            : java.util.Iterator[Scan] = {
+            val root = rootOf(input.getUTF8String(0).toString)
+            val df = TxTable.describeDetail(SparkSession.active, root)
+            val schema = df.schema
+            val collected = df.queryExecution.executedPlan.executeCollect()
+            java.util.Collections.singletonList(new LocalScan {
+              override def rows(): Array[InternalRow] =
+                collected.map(_.copy(): InternalRow)
+              override def readSchema(): StructType = schema
+            }: Scan).iterator()
+          }
+        }
+    }
 }

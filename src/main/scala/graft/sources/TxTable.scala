@@ -949,6 +949,22 @@ object TxTable {
     v
   }
 
+  /** Highest version whose commit mtime is strictly BEFORE
+    * `tsMillis`, or 0 — the exclusive-start bound a
+    * `startingTimestamp` change-feed read needs (include everything
+    * committed at or after the instant; never throws for an instant
+    * that predates the table). */
+  private[sources] def versionBefore(spark: SparkSession, root: String,
+    tsMillis: Long): Int = {
+    val (fs, rp) = fsFor(spark, root)
+    (1 to latestVersion(spark, root))
+      .filter { vv =>
+        val p = commitPath(rp, vv)
+        fs.exists(p) && fs.getFileStatus(p).getModificationTime < tsMillis
+      }
+      .foldLeft(0)(math.max)
+  }
+
   /** Commit history: version, operation, data-dir count. */
   def history(spark: SparkSession, root: String): Seq[(Int, String, Int)] = {
     val (fs, rp) = fsFor(spark, root)
@@ -5816,22 +5832,12 @@ object TxTable {
   def showPartitions(spark: SparkSession, root: String,
     version: Int = -1): DataFrame = {
     import spark.implicits._
-    val r = resolve(spark, root, version)
-    require(r.v > 0, s"txtable: no committed snapshot at $root")
-    val partCols = layoutPartCols(spark, root, r.v)
-    require(partCols.nonEmpty,
-      s"txtable: $root has no provable partition-clustered layout — " +
-        "SHOW PARTITIONS lists value-identity partitioned tables only")
-    require(r.entries.forall(_.stats.contains(rowsKey)),
-      s"txtable: a dir of $root predates row-count stats — compact " +
-        "to restore the metadata-only partition listing")
-    val live = r.entries.filter(_.stats(rowsKey)._1 > 0)
-    // decode each dir's proven tuple with the SAME grammar the
-    // partition-scoped writers mint (`x<hex>` string tokens, bare
-    // integral/day-count tokens) — the listing can never disagree
-    // with what a partition-scoped commit would accept
-    val pgs = partCols.map(physName(r.colMap, _))
-    val schema = read(spark, root, version = r.v).schema
+    // tuples decode with the SAME grammar the partition-scoped
+    // writers mint (`x<hex>` string tokens, bare integral/day-count
+    // tokens) — the listing can never disagree with what a
+    // partition-scoped commit would accept
+    val (partCols, tuples) = partitionTuples(spark, root, version)
+    val schema = read(spark, root, version = version).schema
     val dateCols = partCols.filter(c => schema.fields
       .find(_.name == c)
       .exists(_.dataType == org.apache.spark.sql.types.DateType)).toSet
@@ -5840,18 +5846,42 @@ object TxTable {
         java.time.LocalDate.ofEpochDay(l).toString
       case x => x.toString
     }
-    val rows = live.groupBy(e => dirTupleOf(e.dir, pgs))
+    val rows = tuples.map { case (vals, dirs, nRows, nBytes) =>
+      (partCols.zip(vals)
+        .map { case (c, v) => s"$c=${render(c, v)}" }.mkString("/"),
+        dirs, nRows, nBytes)
+    }.sortBy(_._1)
+    rows.toDF("partition", "num_dirs", "num_rows", "num_bytes")
+  }
+
+  /** TYPED partition tuples + (dirs, rows, bytes) tallies of the
+    * clustered layout — the data source for the catalog table's
+    * SupportsPartitionManagement face (`SHOW PARTITIONS t`, `ALTER
+    * TABLE t DROP PARTITION`). Values are Long (integral and DATE
+    * day-count tokens) or String, decoded by the same dir-token
+    * grammar the writers mint; commit stats only, zero data I/O. */
+  private[sources] def partitionTuples(spark: SparkSession, root: String,
+    version: Int = -1)
+    : (Seq[String], Seq[(Seq[Any], Long, Long, Long)]) = {
+    val r = resolve(spark, root, version)
+    require(r.v > 0, s"txtable: no committed snapshot at $root")
+    val partCols = layoutPartCols(spark, root, r.v)
+    require(partCols.nonEmpty,
+      s"txtable: $root has no provable partition-clustered layout")
+    require(r.entries.forall(_.stats.contains(rowsKey)),
+      s"txtable: a dir of $root predates row-count stats — compact " +
+        "to restore the metadata-only partition listing")
+    val pgs = partCols.map(physName(r.colMap, _))
+    val live = r.entries.filter(_.stats(rowsKey)._1 > 0)
+    val out = live.groupBy(e => dirTupleOf(e.dir, pgs))
       .toSeq.map { case (tup, es) =>
         val vals = tup.getOrElse(throw new IllegalStateException(
           s"txtable: dir '${es.head.dir}' of $root does not prove its " +
             "partition tuple — mixed layout?"))
-        (partCols.zip(vals)
-          .map { case (c, v) => s"$c=${render(c, v)}" }.mkString("/"),
-          es.size.toLong,
-          es.map(_.stats(rowsKey)._1).sum,
+        (vals, es.size.toLong, es.map(_.stats(rowsKey)._1).sum,
           es.map(_.stats.get(bytesKey).map(_._1).getOrElse(0L)).sum)
-      }.sortBy(_._1)
-    rows.toDF("partition", "num_dirs", "num_rows", "num_bytes")
+      }.sortBy(t => tupleSortKey(t._1))
+    (partCols, out)
   }
 
   /** Package-visible logical→physical column translation (identity
@@ -6724,6 +6754,69 @@ object TxTable {
   /** Drop data directories not referenced by the latest `retainLast`
     * snapshots, then drop the commit files older than that horizon.
     * Time travel remains valid inside the horizon. */
+  /** What [[vacuum]] would durably reclaim, WITHOUT deleting: the
+    * data dirs, commit files and manifests outside the retention
+    * horizon — the "how much history am I about to burn?" question an
+    * operator asks before running retention on a production table.
+    * The age-gated orphan sweeps (crashed temps, lost hint renames)
+    * are excluded: they depend on the wall clock, not the horizon,
+    * and reclaim scratch, never history. Metadata-only. */
+  def vacuumDryRun(spark: SparkSession, root: String,
+    retainLast: Int = 1): Seq[String] = {
+    require(retainLast >= 1, "vacuum must retain at least the latest snapshot")
+    val (fs, rp) = fsFor(spark, root)
+    val v = latestVersion(spark, root)
+    if (v == 0) return Seq.empty
+    val keepVs = (math.max(1, v - retainLast + 1)) to v
+    val keep = keepVs.flatMap(snapshotDirs(fs, rp, _)).toSet
+    val dataDir = new Path(rp, "data")
+    def live(topLevelName: String): Boolean = {
+      val self = s"data/$topLevelName"
+      keep.contains(self) || keep.exists(_.startsWith(self + "/"))
+    }
+    val deadDirs =
+      if (!fs.exists(dataDir)) Seq.empty
+      else fs.listStatus(dataDir).map(_.getPath)
+        .filterNot(p => live(p.getName)).map(_.toString).toSeq
+    def includesOf(vv: Int): Seq[String] =
+      if (vv <= 0 || !fs.exists(commitPath(rp, vv))) Seq.empty
+      else commitLines(fs, rp, vv)
+        .filter(_.startsWith("include:")).map(_.drop(8))
+    val keptManifests = keepVs.flatMap(includesOf).toSet
+    val expiredManifests =
+      (1 until keepVs.head).flatMap(includesOf).toSet -- keptManifests
+    val deadCommits =
+      (1 until keepVs.head).map(old => commitPath(rp, old).toString)
+    deadDirs.sorted ++
+      expiredManifests.toSeq.sorted.map(m => new Path(rp, m).toString) ++
+      deadCommits
+  }
+
+  /** DESCRIBE DETAIL: the one-row table summary every operator
+    * dashboard wants — latest version, last operation, dir/delta
+    * tallies, row/byte totals (when every dir recorded them), key and
+    * partition columns — from commit metadata ALONE, zero data I/O at
+    * any size. SQL face: `CALL spark_catalog.system.detail('t')`. */
+  def describeDetail(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val r = resolve(spark, root, -1)
+    require(r.v > 0, s"txtable: no committed snapshot at $root")
+    val entries = r.entries
+    val rowsOpt =
+      if (entries.forall(_.stats.contains(rowsKey)))
+        Some(entries.map(_.stats(rowsKey)._1).sum)
+      else None
+    val bytesOpt = snapshotBytes(spark, root, r.v)
+    val op = r.lines.find(_.startsWith("op:")).map(_.drop(3)).getOrElse("?")
+    val parts = layoutPartCols(spark, root, r.v)
+    Seq((root, r.v, op, entries.size.toLong,
+      entries.count(_.isDelta).toLong, rowsOpt, bytesOpt,
+      r.keys.getOrElse(Seq.empty).mkString(","), parts.mkString(",")))
+      .toDF("location", "version", "last_operation", "num_dirs",
+        "num_delta_dirs", "num_rows", "size_bytes", "key_columns",
+        "partition_columns")
+  }
+
   def vacuum(spark: SparkSession, root: String, retainLast: Int = 1): Unit = {
     require(retainLast >= 1, "vacuum must retain at least the latest snapshot")
     val (fs, rp) = fsFor(spark, root)

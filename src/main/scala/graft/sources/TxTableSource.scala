@@ -758,7 +758,8 @@ object TxTableSource {
   *     .option("readChangeFeed", "true")
   *     .option("startingVersion", 2)       // inclusive; default 1
   *     .option("endingVersion", 5)         // inclusive; default latest
-  *     .load(root)
+  *     .load(root)                         // or startingTimestamp /
+  *                                         //    endingTimestamp
   *   -- pure SQL (CREATE TEMP VIEW ... USING routes here too):
   *   CREATE TEMPORARY VIEW t_changes USING `graft-tx`
   *     OPTIONS (path '...', readChangeFeed 'true', startingVersion '1')
@@ -781,10 +782,25 @@ case class TxChangesRelation(spark: SparkSession, root: String,
     .orElse(parameters.get(k.toLowerCase(java.util.Locale.ROOT)))
   require(opt("versionAsOf").isEmpty && opt("timestampAsOf").isEmpty,
     "graft-tx: readChangeFeed selects a version RANGE - use " +
-      "startingVersion/endingVersion, not versionAsOf/timestampAsOf")
+      "startingVersion/endingVersion (or the Timestamp twins), not " +
+      "versionAsOf/timestampAsOf")
+  require(opt("startingVersion").isEmpty || opt("startingTimestamp").isEmpty,
+    "graft-tx: startingVersion and startingTimestamp are mutually " +
+      "exclusive")
+  require(opt("endingVersion").isEmpty || opt("endingTimestamp").isEmpty,
+    "graft-tx: endingVersion and endingTimestamp are mutually exclusive")
+  // timestamp bounds resolve against commit mtimes: starting = every
+  // commit AT or AFTER the instant, ending = every commit AT or
+  // BEFORE it (the lakehouse CDF convention)
   private val fromV = opt("startingVersion")
-    .map(_.trim.toInt).map(s => math.max(0, s - 1)).getOrElse(0)
-  private val toV = opt("endingVersion").map(_.trim.toInt).getOrElse(-1)
+    .map(_.trim.toInt).map(s => math.max(0, s - 1))
+    .orElse(opt("startingTimestamp").map(ts =>
+      TxTable.versionBefore(spark, root, TxTableSource.parseTs(ts))))
+    .getOrElse(0)
+  private val toV = opt("endingVersion").map(_.trim.toInt)
+    .orElse(opt("endingTimestamp").map(ts =>
+      TxTable.versionAt(spark, root, TxTableSource.parseTs(ts))))
+    .getOrElse(-1)
 
   private lazy val df = TxTable.changes(spark, root, fromV, toV)
   override def sqlContext: SQLContext = spark.sqlContext
@@ -1047,7 +1063,128 @@ class GraftTxCatalogTable(tableSchema: StructType, root: String,
   extends Table with SupportsRead with SupportsWrite with TxMetaAggTable
   with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
   with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
-  with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+  with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+  with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement {
+
+  // ---- SupportsPartitionManagement: the literal `SHOW PARTITIONS t`
+  // and `ALTER TABLE t DROP PARTITION (...)` statements (stock Spark
+  // refuses both for v2 tables without this face). Listing is commit
+  // stats ONLY — tuples decode from the clustered layout's own dir
+  // tokens (TxTable.partitionTuples), zero data I/O at any size; DROP
+  // PARTITION routes to deleteWhere's per-dir triage, which drops the
+  // matching single-valued dirs as pure metadata. Partitions are
+  // CONTENT-DEFINED here (a tuple exists iff data for it does), so
+  // createPartition/replacePartitionMetadata refuse loudly. ----
+
+  override def partitionSchema(): StructType = {
+    val byName = tableSchema.fields.map(f => f.name -> f).toMap
+    StructType(partCols.flatMap(byName.get))
+  }
+
+  /** listPartitionIdentifiers(names, ident): all tuples, filtered by
+    * the (possibly partial) spec — `SHOW PARTITIONS t PARTITION
+    * (om = '03')` passes names=["om"], ident=('03'). */
+  override def listPartitionIdentifiers(names: Array[String],
+    ident: InternalRow): Array[InternalRow] = {
+    val spark = SparkSession.active
+    val (cols, tuples) = TxTable.partitionTuples(spark, root)
+    val ps = partitionSchema()
+    def cell(dt: org.apache.spark.sql.types.DataType, v: Any): Any =
+      (dt, v) match {
+        case (org.apache.spark.sql.types.StringType, s: String) =>
+          UTF8String.fromString(s)
+        case (org.apache.spark.sql.types.LongType, l: Long) => l
+        case (org.apache.spark.sql.types.IntegerType, l: Long) => l.toInt
+        case (org.apache.spark.sql.types.ShortType, l: Long) => l.toShort
+        case (org.apache.spark.sql.types.DateType, l: Long) => l.toInt
+        case _ => throw new UnsupportedOperationException(
+          s"graft-tx: unsupported partition value $v for ${dt.sql}")
+      }
+    val rows = tuples.map { case (vals, _, _, _) =>
+      new GenericInternalRow(cols.zip(vals).map { case (c, v) =>
+        cell(ps(ps.fieldIndex(c)).dataType, v) }.toArray[Any])
+    }
+    val nameIdx = names.map(n => cols.indexOf(n))
+    require(nameIdx.forall(_ >= 0),
+      s"graft-tx: unknown partition column(s) ${names.mkString(",")}")
+    rows.filter { r =>
+      nameIdx.zipWithIndex.forall { case (ci, ii) =>
+        val dt = ps.fields(ci).dataType
+        val have = r.get(ci, dt)
+        val want = ident.get(ii, dt)
+        have == want
+      }
+    }.toArray
+  }
+
+  /** Hive-convention tallies from commit stats (numRows/totalSize/
+    * numFiles per tuple — what DESCRIBE-style tooling reads). */
+  override def loadPartitionMetadata(ident: InternalRow)
+    : java.util.Map[String, String] = {
+    val spark = SparkSession.active
+    val (cols, tuples) = TxTable.partitionTuples(spark, root)
+    val ps = partitionSchema()
+    val m = new java.util.HashMap[String, String]()
+    tuples.find { case (vals, _, _, _) =>
+      cols.indices.forall { i =>
+        val dt = ps.fields(i).dataType
+        val want = ident.get(i, dt)
+        val have = (dt, vals(i)) match {
+          case (org.apache.spark.sql.types.StringType, s: String) =>
+            UTF8String.fromString(s)
+          case (org.apache.spark.sql.types.IntegerType, l: Long) => l.toInt
+          case (org.apache.spark.sql.types.DateType, l: Long) => l.toInt
+          case (org.apache.spark.sql.types.ShortType, l: Long) => l.toShort
+          case (_, v) => v
+        }
+        have == want
+      }
+    } match {
+      case Some((_, dirs, rows, bytes)) =>
+        m.put("numFiles", dirs.toString)
+        m.put("numRows", rows.toString)
+        m.put("totalSize", bytes.toString)
+      case None => throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchPartitionException(name(), ident, partitionSchema())
+    }
+    m
+  }
+
+  /** `ALTER TABLE t DROP PARTITION (c = v, ...)` → deleteWhere on the
+    * tuple equality: the per-dir triage drops the matching
+    * single-valued dirs as ONE metadata commit (no data rewrite), the
+    * partition-reload idiom's delete half. */
+  override def dropPartition(ident: InternalRow): Boolean = {
+    val spark = SparkSession.active
+    val ps = partitionSchema()
+    if (!partitionExists(ident)) return false
+    val pred = ps.fields.zipWithIndex.map { case (f, i) =>
+      val v = ident.get(i, f.dataType)
+      val sql = (f.dataType, v) match {
+        case (org.apache.spark.sql.types.StringType, u: UTF8String) =>
+          "'" + u.toString.replace("'", "''") + "'"
+        case (org.apache.spark.sql.types.DateType, d: Integer) =>
+          s"DATE '${java.time.LocalDate.ofEpochDay(d.longValue())}'"
+        case (_, x) => String.valueOf(x)
+      }
+      s"${f.name} = $sql"
+    }.mkString(" AND ")
+    TxTable.deleteWhere(spark, root, pred)
+    true
+  }
+
+  override def createPartition(ident: InternalRow,
+    properties: java.util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "graft-tx: partitions are content-defined — a tuple exists when " +
+        "data for it is written (INSERT INTO); ADD PARTITION has " +
+        "nothing to create")
+
+  override def replacePartitionMetadata(ident: InternalRow,
+    properties: java.util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "graft-tx: partition metadata derives from commit stats and " +
+        "cannot be set")
 
   private def metaCol(colName: String,
     dt: org.apache.spark.sql.types.DataType, what: String,
@@ -1178,6 +1315,11 @@ class GraftTxCatalogTable(tableSchema: StructType, root: String,
     ()
   }
 
+  /** Literal `TRUNCATE TABLE t` (TruncatableTable, inherited via
+    * SupportsDeleteV2): delete-everything through the same per-dir
+    * triage as DELETE FROM — whole-dir drops, ONE metadata commit, no
+    * data rewrite; the pre-truncate snapshot stays time-travelable
+    * until vacuum's own horizon. */
   override def truncateTable(): Boolean = {
     dmlRefusal.foreach(r => throw new UnsupportedOperationException(
       s"graft-tx: TRUNCATE on a table declared with $r is not supported"))

@@ -276,6 +276,46 @@ class SqlMaintenanceSpec extends SparkSpec {
     spark.sql("DROP TABLE call_parts_plain")
   }
 
+  test("literal SHOW PARTITIONS and ALTER TABLE DROP PARTITION work " +
+    "on a partitioned graft-tx table") {
+    register()
+    import spark.implicits._
+    val root = tmpDir() + "/show-parts-sql"
+    spark.sql("DROP TABLE IF EXISTS showp_sql")
+    spark.sql(s"CREATE TABLE showp_sql (k BIGINT, region STRING, d INT) " +
+      s"USING `graft-tx` PARTITIONED BY (region, d) OPTIONS (path '$root')")
+    spark.sql("INSERT INTO showp_sql SELECT id, " +
+      "CASE WHEN id % 2 = 0 THEN 'eu' ELSE 'us' END, " +
+      "CAST(id % 2 AS INT) FROM range(40)")
+    // the literal statement — stock Spark refuses it for v2 tables
+    // without the SupportsPartitionManagement face
+    val parts = spark.sql("SHOW PARTITIONS showp_sql")
+      .collect().map(_.getString(0)).toSet
+    assert(parts === Set("region=eu/d=0", "region=us/d=1"), parts)
+    // partial partition spec filters
+    val eu = spark.sql("SHOW PARTITIONS showp_sql PARTITION (region = 'eu')")
+      .collect().map(_.getString(0)).toSet
+    assert(eu === Set("region=eu/d=0"), eu)
+    // DROP PARTITION routes to the metadata-only deleteWhere triage
+    val v0 = TxTable.latestVersion(spark, root)
+    spark.sql(
+      "ALTER TABLE showp_sql DROP PARTITION (region = 'us', d = 1)")
+    assert(TxTable.latestVersion(spark, root) === v0 + 1,
+      "DROP PARTITION must be one commit")
+    assert(spark.table("showp_sql").count() === 20L)
+    assert(spark.table("showp_sql")
+      .filter("region = 'us'").count() === 0L)
+    assert(spark.sql("SHOW PARTITIONS showp_sql")
+      .collect().map(_.getString(0)).toSet === Set("region=eu/d=0"))
+    // ADD PARTITION refuses: partitions are content-defined
+    val e = intercept[Exception] {
+      spark.sql(
+        "ALTER TABLE showp_sql ADD PARTITION (region = 'ap', d = 9)")
+    }
+    assert(e.getMessage.contains("content-defined"), e.getMessage)
+    spark.sql("DROP TABLE showp_sql")
+  }
+
   test("CREATE TABLE with a non-identity partition transform is " +
     "refused at CREATE time, not at first read") {
     register()
@@ -289,6 +329,66 @@ class SqlMaintenanceSpec extends SparkSpec {
     assert(e.getMessage.contains("identity"), e.getMessage)
     // and nothing half-landed in the metastore
     assert(!spark.catalog.tableExists("bad_bucket"))
+  }
+
+  test("CALL system.vacuum dry_run lists without deleting; " +
+    "system.detail summarizes from metadata") {
+    register()
+    import spark.implicits._
+    val root = tmpDir() + "/call-dry"
+    (1 to 3).foreach(i => TxTable.append(
+      (1L to 20L).map(j => (j + i * 100L, j)).toDF("k", "v"), root))
+    TxTable.compactSnapshot(spark, root)
+    spark.sql("DROP TABLE IF EXISTS call_dry")
+    spark.sql(s"CREATE TABLE call_dry USING `graft-tx` " +
+      s"OPTIONS (path '$root')")
+    val dry = spark.sql(
+      "CALL spark_catalog.system.vacuum('call_dry', 1, true)").collect()
+    assert(dry.length === 1 && !dry(0).getBoolean(0))
+    val reclaimable = dry(0).getInt(1)
+    assert(reclaimable >= 3,
+      s"3 pre-compaction dirs + commits should be reclaimable, got " +
+        s"$reclaimable")
+    // dry run deleted NOTHING: time travel still serves v1
+    assert(TxTable.read(spark, root, version = 1).count() === 20L)
+    // detail: one metadata-only summary row
+    val det = spark.sql("CALL spark_catalog.system.detail('call_dry')")
+      .collect()
+    assert(det.length === 1)
+    val d = det(0)
+    assert(d.getInt(d.fieldIndex("version")) === 4)
+    assert(d.getString(d.fieldIndex("last_operation")) === "compact")
+    assert(d.getLong(d.fieldIndex("num_rows")) === 60L)
+    assert(d.getLong(d.fieldIndex("size_bytes")) > 0L)
+    // the real vacuum reclaims what the dry run counted
+    val real = spark.sql(
+      "CALL spark_catalog.system.vacuum('call_dry', 1, false)").collect()
+    assert(real(0).getBoolean(0) && real(0).getInt(1) === reclaimable)
+    intercept[Exception] {
+      TxTable.read(spark, root, version = 1).count()
+    }
+    spark.sql("DROP TABLE call_dry")
+  }
+
+  test("literal TRUNCATE TABLE empties in one metadata commit; " +
+    "history stays time-travelable") {
+    register()
+    import spark.implicits._
+    val root = tmpDir() + "/trunc-sql"
+    TxTable.append((1L to 40L).map(i => (i, i % 5)).toDF("k", "g"), root)
+    spark.sql("DROP TABLE IF EXISTS trunc_sql")
+    spark.sql(s"CREATE TABLE trunc_sql USING `graft-tx` " +
+      s"OPTIONS (path '$root')")
+    val v0 = TxTable.latestVersion(spark, root)
+    spark.sql("TRUNCATE TABLE trunc_sql")
+    assert(TxTable.latestVersion(spark, root) === v0 + 1,
+      "TRUNCATE must be one commit")
+    assert(spark.table("trunc_sql").count() === 0L)
+    // pre-truncate snapshot stays readable; INSERT refills
+    assert(TxTable.read(spark, root, version = v0).count() === 40L)
+    spark.sql("INSERT INTO trunc_sql VALUES (999, 1)")
+    assert(spark.table("trunc_sql").count() === 1L)
+    spark.sql("DROP TABLE trunc_sql")
   }
 
   test("unknown procedure and non-graft table fail loudly") {

@@ -877,4 +877,33 @@ class TxSourceSpec extends SparkSpec {
       r.getLong(3))).toSeq ===
       Seq((1L, "I", 10.0, 1L), (1L, "U", 12.0, 3L)))
   }
+
+  test("readChangeFeed timestamp bounds resolve against commit mtimes") {
+    import spark.implicits._
+    val root = tmpDir() + "/tx-cdf-ts"
+    TxTable.mergeDelta(spark, root,
+      Seq((1L, "I", 10.0, 1L)).toDF("k", "op", "v", "seq"))
+    Thread.sleep(1100) // local-FS mtimes are second-granular
+    val mid = System.currentTimeMillis()
+    Thread.sleep(1100)
+    TxTable.mergeDelta(spark, root,
+      Seq((1L, "U", 11.0, 2L)).toDF("k", "op", "v", "seq"))
+    // starting at mid: only the commit AT or AFTER the instant (the U)
+    val from = spark.read.format("graft-tx")
+      .option("readChangeFeed", "true")
+      .option("startingTimestamp", mid.toString).load(root)
+    assert(from.select("op").as[String].collect().toSeq === Seq("U"))
+    // ending at mid: only what existed AT or BEFORE it (the I)
+    val until = spark.read.format("graft-tx")
+      .option("readChangeFeed", "true")
+      .option("endingTimestamp", mid.toString).load(root)
+    assert(until.select("op").as[String].collect().toSeq === Seq("I"))
+    // mixing version and timestamp forms on the same bound refuses
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft-tx").option("readChangeFeed", "true")
+        .option("startingVersion", "1")
+        .option("startingTimestamp", mid.toString).load(root).collect()
+    }
+    assert(e.getMessage.contains("mutually exclusive"))
+  }
 }
