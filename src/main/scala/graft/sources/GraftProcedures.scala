@@ -23,12 +23,23 @@ import org.apache.spark.unsafe.types.UTF8String
   *    MoR deltas into one base;
   *  - `optimize_compact(table, target_mb)` → [[TxTable.optimizeCompact]]
   *    — bin-pack small dirs;
-  *  - `vacuum(table, retain_last)` → [[TxTable.vacuum]] — drop data
-  *    outside the time-travel horizon.
+  *  - `optimize_zorder(table, columns, n_dirs, incremental)` →
+  *    [[TxTable.optimizeZOrderN]] / the incremental tail-only form;
+  *  - `vacuum(table, retain_last, dry_run)` → [[TxTable.vacuum]] —
+  *    drop data outside the time-travel horizon (dry_run lists
+  *    without deleting);
+  *  - `restore(table, version)` → [[TxTable.restore]] — the
+  *    operational undo;
+  *  - `clone(table, target_path, version, target_table)` →
+  *    [[TxTable.cloneAt]] — zero-copy branch, optionally
+  *    SQL-registered;
+  *  - `history(table)` / `detail(table)` / `partitions(table)` —
+  *    metadata-only introspection (DESCRIBE HISTORY / DESCRIBE
+  *    DETAIL / SHOW PARTITIONS analogs).
   *
-  * Each returns one row so `CALL` output is inspectable (the commit
-  * version, or a done flag for vacuum). Reference analog: the
-  * warehouse's operational jobs were driver-level tools
+  * Each returns one row (or one row per commit/partition) so `CALL`
+  * output is inspectable. Reference analog: the warehouse's
+  * operational jobs were driver-level tools
   * (src/tools/org/apache/hadoop/tools:1); here they are one SQL
   * statement against the catalog. */
 private[sources] object GraftProcedures {

@@ -331,6 +331,31 @@ class SqlMaintenanceSpec extends SparkSpec {
     assert(!spark.catalog.tableExists("bad_bucket"))
   }
 
+  test("SHOW PARTITIONS renders DATE keys as ISO dates; DROP " +
+    "PARTITION takes a date literal") {
+    register()
+    val root = tmpDir() + "/show-parts-date"
+    spark.sql("DROP TABLE IF EXISTS showp_date")
+    spark.sql(s"CREATE TABLE showp_date (k BIGINT, day DATE) " +
+      s"USING `graft-tx` PARTITIONED BY (day) OPTIONS (path '$root')")
+    spark.sql("INSERT INTO showp_date SELECT id, " +
+      "date_add(DATE '1996-03-15', CAST(id % 2 AS INT)) FROM range(20)")
+    val parts = spark.sql("SHOW PARTITIONS showp_date")
+      .collect().map(_.getString(0)).toSet
+    assert(parts === Set("day=1996-03-15", "day=1996-03-16"), parts)
+    // the API face renders identically and tallies rows
+    val api = TxTable.showPartitions(spark, root)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(api === Map("day=1996-03-15" -> 10L, "day=1996-03-16" -> 10L))
+    // DROP PARTITION with a DATE literal routes through the triage
+    spark.sql(
+      "ALTER TABLE showp_date DROP PARTITION (day = DATE '1996-03-15')")
+    assert(spark.table("showp_date").count() === 10L)
+    assert(spark.sql("SHOW PARTITIONS showp_date")
+      .collect().map(_.getString(0)).toSet === Set("day=1996-03-16"))
+    spark.sql("DROP TABLE showp_date")
+  }
+
   test("CALL system.vacuum dry_run lists without deleting; " +
     "system.detail summarizes from metadata") {
     register()
