@@ -3128,7 +3128,60 @@ object Oracles {
         |        UNION ALL
         |        SELECT s.k + 2 * mx.m, cust, price FROM s, mx
         |        WHERE s.k % 10 = 5 AND s.cust % 3 = 0)
-        |SELECT * FROM fin""".stripMargin)
+        |SELECT * FROM fin""".stripMargin,
+
+    // MERGE WITH SCHEMA EVOLUTION: one merge whose source carries an
+    // extra `score` column; the oracle replays the evolved merge —
+    // unmatched target rows read the landed column as NULL (graft's
+    // null-fill over pre-ADD files), matched rows take UPDATE SET *,
+    // source-only keys take INSERT *
+    "q_txtable_merge_evolve" ->
+      """WITH o AS (SELECT o_orderkey k, o_custkey cust,
+        |    cast(cast(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) price
+        |  FROM orders),
+        |mx AS (SELECT max(k) m FROM o),
+        |s AS (SELECT k, cust, price * 3 price,
+        |        cast(cust % 97 AS DOUBLE) / 10 score
+        |      FROM o WHERE k % 3 = 0
+        |      UNION ALL
+        |      SELECT o.k + mx.m, cust, price,
+        |        cast(cust % 89 AS DOUBLE) / 100
+        |      FROM o, mx WHERE k % 10 = 0),
+        |upd AS (SELECT o.k,
+        |          CASE WHEN s.k IS NOT NULL THEN s.cust ELSE o.cust END cust,
+        |          CASE WHEN s.k IS NOT NULL THEN s.price ELSE o.price
+        |            END price,
+        |          s.score score
+        |        FROM o LEFT JOIN s ON o.k = s.k),
+        |ins AS (SELECT s.k, s.cust, s.price, s.score
+        |        FROM s LEFT JOIN o ON s.k = o.k WHERE o.k IS NULL)
+        |SELECT k, cust, price, score FROM upd
+        |UNION ALL SELECT k, cust, price, score FROM ins""".stripMargin,
+
+    // named snapshot refs: evens loaded, tagged 'base', overwritten
+    // with odds, vacuumed to 1 retained version — the 'base' leg only
+    // answers because the tag protected the swept snapshot
+    "q_txtable_tag" ->
+      """WITH o AS (SELECT o_orderkey k, o_custkey cust,
+        |    cast(cast(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) price
+        |  FROM orders)
+        |SELECT 'now' AS snap, k, cust, price FROM o WHERE k % 2 = 1
+        |UNION ALL
+        |SELECT 'base' AS snap, k, cust, price FROM o
+        |WHERE k % 2 = 0""".stripMargin,
+
+    // CREATE OR REPLACE ... AS SELECT: evens CTAS'd, odds replace them
+    // under a different column set; the 'old' leg reads VERSION AS OF
+    // 1 — content swap, schema swap and history retention in one hash
+    "q_txtable_replace" ->
+      """WITH o AS (SELECT o_orderkey k, o_custkey cust,
+        |    cast(cast(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) price
+        |  FROM orders)
+        |SELECT 'new' AS snap, k, cust, price * 2 AS total FROM o
+        |WHERE k % 2 = 1
+        |UNION ALL
+        |SELECT 'old' AS snap, k, cust, price AS total FROM o
+        |WHERE k % 2 = 0""".stripMargin)
 
   def all: Map[String, String] =
     relational ++ text ++ dedup ++ similarity ++ annMultiProbe ++

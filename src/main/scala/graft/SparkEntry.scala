@@ -263,6 +263,12 @@ object SparkEntry {
       graft.sources.TxTable.sqlDmlGateQuery(s, d)),
     "q_txtable_sql_dml_mor" -> ((s: SparkSession, d: String) =>
       graft.sources.TxTable.sqlDmlGateQuery(s, d, positional = true)),
+    "q_txtable_merge_evolve" -> ((s: SparkSession, d: String) =>
+      graft.sources.TxTable.mergeEvolveGateQuery(s, d)),
+    "q_txtable_tag" -> ((s: SparkSession, d: String) =>
+      graft.sources.TxTable.tagGateQuery(s, d)),
+    "q_txtable_replace" -> ((s: SparkSession, d: String) =>
+      graft.sources.TxTable.replaceGateQuery(s, d)),
     "q_txtable_bloom" -> ((s: SparkSession, d: String) =>
       graft.sources.TxTable.bloomGateQuery(s, d)),
     "q_bpe_fertility" -> ((s: SparkSession, d: String) =>

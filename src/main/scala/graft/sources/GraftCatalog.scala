@@ -34,7 +34,164 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * build.xml:1); here every committed snapshot stays addressable
   * from SQL. */
 class GraftCatalog extends DelegatingCatalogExtension
-  with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+  with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+  with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
+
+  import org.apache.spark.sql.connector.catalog.{StagedTable, SupportsWrite, TableInfo}
+  import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
+
+  // ---- CREATE OR REPLACE TABLE ... USING graft-tx [AS SELECT]: the
+  // stock session catalog cannot replace a graft-tx table whose
+  // declared schema differs from the live one (createTable validates
+  // the declaration against the schema the old commits still serve →
+  // DATA_SOURCE_TABLE_SCHEMA_MISMATCH). Implementing the staging
+  // catalog makes REPLACE land graft-first instead: the staged
+  // table's write is ONE OCC truncate-overwrite on the table itself
+  // (the live schema follows the new data; history and tags survive —
+  // the old content stays one `VERSION AS OF` away), and the
+  // metastore entry is only recreated when the declared definition
+  // (partitioning / options) actually moved — at which point the
+  // just-landed snapshot matches the declaration and validation
+  // passes. A plain `REPLACE TABLE` (no AS SELECT) truncates to an
+  // empty snapshot of the declared schema at commit time. Non-graft
+  // V2 providers get best-effort staging (create-now / drop-on-abort
+  // — exactly the non-atomic semantics they had before this trait was
+  // mixed in); V1 providers never reach here (Spark plans them
+  // through the V1 commands). ----
+
+  override def stageCreate(ident: Identifier, info: TableInfo): StagedTable = {
+    createTable(ident, info.columns(), info.partitions(),
+      info.properties())
+    // write to the LOADED table (for graft-tx: the writable V2 catalog
+    // face), exactly as the non-atomic CTAS exec would
+    new GraftStagedTable(loadTable(ident), onCommit = () => (),
+      onAbort = () => dropTable(ident))
+  }
+
+  override def stageReplace(ident: Identifier, info: TableInfo): StagedTable = {
+    if (!tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        ident)
+    stageReplaceImpl(ident, info)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier,
+    info: TableInfo): StagedTable =
+    if (tableExists(ident)) stageReplaceImpl(ident, info)
+    else stageCreate(ident, info)
+
+  private def stageReplaceImpl(ident: Identifier,
+    info: TableInfo): StagedTable = {
+    val props = info.properties()
+    val provider = props.get("provider")
+    val isGraft = provider != null && provider.equalsIgnoreCase("graft-tx")
+    (if (isGraft) rootOfProps(props) else None) match {
+      case Some(root) =>
+        val spark = SparkSession.active
+        // loud at REPLACE exactly as at CREATE
+        val partCols = TxTableSource.identityPartCols(
+          info.partitions().toSeq)
+        val declared = {
+          import scala.jdk.CollectionConverters._
+          props.asScala.collect {
+            case (k, v) if k.startsWith("option.") => k.drop(7) -> v
+          }.toMap
+        }
+        val opts = new java.util.HashMap[String, String]()
+        (declared ++ Map("path" -> root, "provider" -> "graft-tx"))
+          .foreach { case (k, v) => opts.put(k, v) }
+        val wrote = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val inner = new GraftTxCatalogTable(info.schema(), root,
+          new CaseInsensitiveStringMap(opts), partCols) {
+          override def newWriteBuilder(i: LogicalWriteInfo): WriteBuilder = {
+            wrote.set(true)
+            super.newWriteBuilder(i)
+          }
+        }
+        new GraftStagedTable(inner,
+          onCommit = () => {
+            if (!wrote.get()) {
+              // plain REPLACE TABLE: an empty snapshot of the declared
+              // schema — one OCC overwrite commit, history retained
+              val empty = spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                info.schema())
+              TxTable.overwrite(empty, root)
+            }
+            syncReplacedEntry(ident, info)
+          },
+          // nothing staged in the metastore; the OCC overwrite either
+          // never landed (write failed before its commit) or is one
+          // `CALL system.restore` away — the table itself never holds
+          // a half-replaced state
+          onAbort = () => ())
+      case _ =>
+        // non-graft V2 provider: best-effort staging with the
+        // pre-existing non-atomic semantics
+        dropTable(ident)
+        createTable(ident, info.columns(), info.partitions(),
+          info.properties())
+        new GraftStagedTable(loadTable(ident), onCommit = () => (),
+          onAbort = () => dropTable(ident))
+    }
+  }
+
+  /** Recreate the metastore entry of a replaced graft-tx table ONLY
+    * when the declared definition moved (partitioning or options) —
+    * the stored schema is ignored on load (it re-derives from the
+    * table's own commits), so a content-only replace needs no
+    * metastore write at all. Managed entries (no `option.path`) are
+    * refused on a definition change: the delegate's DROP would purge
+    * the just-written data under the table's location. */
+  private def syncReplacedEntry(ident: Identifier, info: TableInfo): Unit = {
+    import scala.jdk.CollectionConverters._
+    def optionProps(m: java.util.Map[String, String]): Map[String, String] =
+      m.asScala.filter(_._1.startsWith("option.")).toMap
+    val old = super.loadTable(ident)
+    val unchanged =
+      old.partitioning().map(_.describe()).toSeq ==
+        info.partitions().map(_.describe()).toSeq &&
+        optionProps(old.properties()) == optionProps(info.properties())
+    if (!unchanged) {
+      require("true".equalsIgnoreCase(old.properties().get("external")) ||
+        old.properties().get("option.path") != null,
+        "graft-tx: REPLACE cannot change the partitioning/options of " +
+          s"a MANAGED table ${ident} — recreating the entry would purge " +
+          "the table location; declare the table with an explicit path")
+      super.dropTable(ident)
+      super.createTable(ident, info.columns(), info.partitions(),
+        info.properties())
+      ()
+    }
+  }
+
+  /** A staged table: the wrapped V2 table plus the commit/abort pair
+    * the staging flow calls after/instead of the write. */
+  private class GraftStagedTable(inner: Table, onCommit: () => Unit,
+    onAbort: () => Unit) extends StagedTable with SupportsWrite {
+    override def name(): String = inner.name()
+    override def schema(): org.apache.spark.sql.types.StructType =
+      inner.schema()
+    override def columns()
+      : Array[org.apache.spark.sql.connector.catalog.Column] =
+      inner.columns()
+    override def partitioning()
+      : Array[org.apache.spark.sql.connector.expressions.Transform] =
+      inner.partitioning()
+    override def properties(): java.util.Map[String, String] =
+      inner.properties()
+    override def capabilities()
+      : java.util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
+      inner.capabilities()
+    override def newWriteBuilder(i: LogicalWriteInfo): WriteBuilder =
+      inner match {
+        case w: SupportsWrite => w.newWriteBuilder(i)
+        case _ => throw new UnsupportedOperationException(
+          s"graft-tx: staged table ${inner.name()} does not support writes")
+      }
+    override def commitStagedChanges(): Unit = onCommit()
+    override def abortStagedChanges(): Unit = onAbort()
+  }
 
   /** SQL maintenance surface: `CALL spark_catalog.system.analyze(
     * 'db.t', 'cols')` / `compact_snapshot` / `optimize_compact` /

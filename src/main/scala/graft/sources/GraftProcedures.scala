@@ -61,14 +61,17 @@ private[sources] object GraftProcedures {
       case "clone" => Some(cloneProc(rootOf))
       case "partitions" => Some(partitions(rootOf))
       case "detail" => Some(detail(rootOf))
+      case "tag" => Some(tagProc(rootOf))
+      case "drop_tag" => Some(dropTag(rootOf))
+      case "tags" => Some(tagsProc(rootOf))
       case _ => None
     }
   }
 
   val names: Seq[String] =
-    Seq("analyze", "clone", "compact_snapshot", "detail", "history",
-      "optimize_compact", "optimize_zorder", "partitions", "restore",
-      "vacuum")
+    Seq("analyze", "clone", "compact_snapshot", "detail", "drop_tag",
+      "history", "optimize_compact", "optimize_zorder", "partitions",
+      "restore", "tag", "tags", "vacuum")
 
   private def in(name: String, dt: DataType,
     default: Option[String] = None): ProcedureParameter = {
@@ -247,6 +250,64 @@ private[sources] object GraftProcedures {
     * row / byte tallies, [[TxTable.showPartitions]]: derived from
     * commit stats alone, ZERO data I/O at any table size — how a SQL
     * operator learns which `PARTITION (day=...)` to overwrite. */
+  /** Named snapshot refs: `CALL system.tag('t', 'audit_2026q3')` pins
+    * the current (or an explicit) version under an immutable name —
+    * readable as `SELECT ... FROM t VERSION AS OF 'audit_2026q3'` and
+    * protected from vacuum until `CALL system.drop_tag`. `CALL
+    * system.tags('t')` lists (name, version). [[TxTable.tag]]. */
+  private def tagProc(rootOf: String => String): UnboundProcedure =
+    proc("tag", Seq(
+      in("table", StringType),
+      in("name", StringType),
+      in("version", IntegerType, Some("-1"))),
+      versionOut,
+      { input =>
+        val root = rootOf(input.getUTF8String(0).toString)
+        Seq(TxTable.tag(SparkSession.active, root,
+          input.getUTF8String(1).toString, input.getInt(2)))
+      })
+
+  private def dropTag(rootOf: String => String): UnboundProcedure =
+    proc("drop_tag", Seq(
+      in("table", StringType),
+      in("name", StringType)),
+      StructType(Seq(StructField("dropped", BooleanType, nullable = false))),
+      { input =>
+        val root = rootOf(input.getUTF8String(0).toString)
+        TxTable.deleteTag(SparkSession.active, root,
+          input.getUTF8String(1).toString)
+        Seq(true)
+      })
+
+  private def tagsProc(rootOf: String => String): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = "tags"
+      override def description(): String = "graft-tx tags"
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = "tags"
+          override def description(): String = "graft-tx tags"
+          override def parameters(): Array[ProcedureParameter] =
+            Array(in("table", StringType))
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow)
+            : java.util.Iterator[Scan] = {
+            val root = rootOf(input.getUTF8String(0).toString)
+            val schema = StructType(Seq(
+              StructField("name", StringType, nullable = false),
+              StructField("version", IntegerType, nullable = false)))
+            val tagRows = TxTable.tags(SparkSession.active, root)
+              .map { case (n, v) =>
+                InternalRow(UTF8String.fromString(n), v): InternalRow }
+              .toArray
+            java.util.Collections.singletonList(new LocalScan {
+              override def rows(): Array[InternalRow] = tagRows
+              override def readSchema(): StructType = schema
+            }: Scan).iterator()
+          }
+        }
+    }
+
   private def partitions(rootOf: String => String): UnboundProcedure =
     new UnboundProcedure {
       override def name(): String = "partitions"

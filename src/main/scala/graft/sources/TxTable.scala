@@ -4357,6 +4357,138 @@ object TxTable {
     }
   }
 
+  /** Oracle-gated MERGE WITH SCHEMA EVOLUTION exercise
+    * (q_txtable_merge_evolve): orders → a 3-column catalog graft-tx
+    * table, then ONE `MERGE WITH SCHEMA EVOLUTION INTO` statement
+    * whose source carries an extra `score` column. Spark's
+    * ResolveMergeIntoSchemaEvolution (armed by the table's
+    * AUTOMATIC_SCHEMA_EVOLUTION capability) diffs source vs target
+    * and lands the missing column through GraftCatalog.alterTable —
+    * graft's one atomic ADD COLUMNS commit — BEFORE the row-level
+    * rewrite, so pre-merge rows read `score` as NULL (the null-fill
+    * contract over pre-ADD files) while matched and inserted rows
+    * carry source values. The DuckDB oracle replays the merge
+    * relationally, NULL score on unmatched target rows included. */
+  def mergeEvolveGateQuery(spark: SparkSession, dir: String): DataFrame = {
+    val root = scratchRoot("graft-mevolvegate", dir)
+    val tbl = "graft_mevolve_gate"
+    val srcv = tbl + "_src"
+    val o = graft.Tables.orders(spark, dir).select(
+      col("o_orderkey").as("k"), col("o_custkey").as("cust"),
+      col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"))
+    val b = o.agg(max("k")).collect()(0)
+    if (b.isNullAt(0)) return o.filter(lit(false))
+      .withColumn("score", lit(null).cast("double"))
+    val maxK = b.getLong(0)
+    append(o, root, statsCols = Seq("k"))
+    graft.functions.GraftFunctions.register(spark)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl USING `graft-tx` OPTIONS (path '$root')")
+    try {
+      o.filter(col("k") % 3 === 0)
+        .select(col("k"), col("cust"), (col("price") * 3).as("price"),
+          ((col("cust") % 97).cast("double") / 10.0).as("score"))
+        .unionByName(o.filter(col("k") % 10 === 0)
+          .select((col("k") + maxK).as("k"), col("cust"), col("price"),
+            ((col("cust") % 89).cast("double") / 100.0).as("score")))
+        .createOrReplaceTempView(srcv)
+      spark.sql(
+        s"""MERGE WITH SCHEMA EVOLUTION INTO $tbl t USING $srcv s
+          |ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *
+          |""".stripMargin)
+      spark.sql(s"SELECT k, cust, price, score FROM $tbl")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.catalog.dropTempView(srcv)
+      ()
+    }
+  }
+
+  /** Oracle-gated NAMED-REF exercise (q_txtable_tag): orders' even
+    * keys load as v1, `CALL system.tag` pins it as 'base', an INSERT
+    * OVERWRITE replaces the content with the odd keys, and `CALL
+    * system.vacuum(t, 1)` sweeps everything outside the latest
+    * snapshot — EXCEPT the tagged version, whose commit, dirs and
+    * manifests the tag protects. The returned frame unions the live
+    * table with `VERSION AS OF 'base'` (tag-resolved time travel), so
+    * hash equality against the oracle proves BOTH that the ref
+    * resolves on the SQL face and that vacuum honored the pin — if
+    * the tagged snapshot had been swept, the 'base' leg would throw
+    * or read nothing. */
+  def tagGateQuery(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val root = scratchRoot("graft-taggate", dir)
+    val tbl = "graft_tag_gate"
+    val srcv = tbl + "_src"
+    val o = graft.Tables.orders(spark, dir).select(
+      col("o_orderkey").as("k"), col("o_custkey").as("cust"),
+      col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"))
+    if (o.isEmpty) return o.filter(lit(false))
+      .withColumn("snap", lit("")).select("snap", "k", "cust", "price")
+    o.createOrReplaceTempView(srcv)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (k BIGINT, cust BIGINT, price DOUBLE) " +
+      s"USING `graft-tx` OPTIONS (path '$root')")
+    try {
+      spark.sql(s"INSERT INTO $tbl SELECT * FROM $srcv WHERE k % 2 = 0")
+      spark.sql(s"CALL spark_catalog.system.tag('$tbl', 'base')")
+      spark.sql(
+        s"INSERT OVERWRITE TABLE $tbl SELECT * FROM $srcv WHERE k % 2 = 1")
+      spark.sql(s"CALL spark_catalog.system.vacuum('$tbl', 1)")
+      spark.sql(
+        s"""SELECT 'now' AS snap, k, cust, price FROM $tbl
+          |UNION ALL
+          |SELECT 'base' AS snap, k, cust, price
+          |FROM $tbl VERSION AS OF 'base'""".stripMargin)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.catalog.dropTempView(srcv)
+      ()
+    }
+  }
+
+  /** Oracle-gated CREATE OR REPLACE exercise (q_txtable_replace):
+    * a CTAS loads the even orders, then ONE `CREATE OR REPLACE TABLE
+    * ... AS SELECT` swaps in the odd orders under a DIFFERENT column
+    * set — the staging-catalog path: the replace is a single OCC
+    * truncate-overwrite on the table (the stock session catalog
+    * refuses this statement outright when the declared schema moved),
+    * and the pre-replace snapshot stays readable as VERSION AS OF 1.
+    * The returned union of both faces proves content swap, schema
+    * swap, and history retention in one hash. */
+  def replaceGateQuery(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val root = scratchRoot("graft-replgate", dir)
+    val tbl = "graft_replace_gate"
+    val srcv = tbl + "_src"
+    val o = graft.Tables.orders(spark, dir).select(
+      col("o_orderkey").as("k"), col("o_custkey").as("cust"),
+      col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"))
+    if (o.isEmpty) return o.filter(lit(false))
+      .withColumn("snap", lit(""))
+      .select(col("snap"), col("k"), col("cust"), col("price").as("total"))
+    o.createOrReplaceTempView(srcv)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl USING `graft-tx` OPTIONS (path '$root') " +
+      s"AS SELECT k, cust, price FROM $srcv WHERE k % 2 = 0")
+    try {
+      spark.sql(s"CREATE OR REPLACE TABLE $tbl USING `graft-tx` " +
+        s"OPTIONS (path '$root') " +
+        s"AS SELECT k, cust, price * 2 AS total FROM $srcv WHERE k % 2 = 1")
+      spark.sql(
+        s"""SELECT 'new' AS snap, k, cust, total FROM $tbl
+          |UNION ALL
+          |SELECT 'old' AS snap, k, cust, price AS total
+          |FROM $tbl VERSION AS OF 1""".stripMargin)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.catalog.dropTempView(srcv)
+      ()
+    }
+  }
+
   /** Oracle-gated SQL MAINTENANCE exercise (q_txtable_sql_maint): a
     * SQL-first table (CREATE + INSERT INTO — write-time stats land by
     * default now), then the full `CALL spark_catalog.system.*`
@@ -6761,6 +6893,87 @@ object TxTable {
     * The age-gated orphan sweeps (crashed temps, lost hint renames)
     * are excluded: they depend on the wall clock, not the horizon,
     * and reclaim scratch, never history. Metadata-only. */
+  // ---- Named snapshot refs (tags): `_commits/_tags/<name>` holds the
+  // pinned version's digits. Create is atomic create-no-overwrite (two
+  // racing taggers: exactly one wins), tags are IMMUTABLE (drop to
+  // move), and the name grammar starts with a letter so a ref string
+  // is never ambiguous with an integer version. Every versionAsOf
+  // face (reader option, SQL FOR VERSION AS OF, catalog time travel)
+  // resolves through [[resolveRef]]; vacuum PROTECTS tagged versions
+  // — their commit file, data dirs, manifests and sidecars survive
+  // any retainLast horizon until the tag is dropped. The audit-pin /
+  // release-ref move of the log-structured table formats. ----
+  private def tagsDir(rp: Path) = new Path(commitDir(rp), "_tags")
+
+  /** Pin `name` → `version` (default: the current latest). */
+  def tag(spark: SparkSession, root: String, name: String,
+    version: Int = -1): Int = {
+    require(name.nonEmpty && name.head.isLetter &&
+      name.forall(c => c.isLetterOrDigit || c == '_' || c == '-' ||
+        c == '.'),
+      s"txtable: tag name must match [A-Za-z][A-Za-z0-9._-]*, got '$name'")
+    val (fs, rp) = fsFor(spark, root)
+    val v = if (version == -1) latestVersion(fs, rp) else version
+    require(v >= 1 && fs.exists(commitPath(rp, v)),
+      s"txtable: cannot tag $root at v$v - no such committed version")
+    fs.mkdirs(tagsDir(rp))
+    val p = new Path(tagsDir(rp), name)
+    val out =
+      try fs.create(p, false)
+      catch { case e: java.io.IOException =>
+        throw new IllegalStateException(
+          s"txtable: tag '$name' already exists on $root (tags are " +
+            "immutable - drop it first to re-pin)", e)
+      }
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    v
+  }
+
+  /** Drop the named ref (the pinned version becomes vacuumable). */
+  def deleteTag(spark: SparkSession, root: String, name: String): Unit = {
+    val (fs, rp) = fsFor(spark, root)
+    require(fs.delete(new Path(tagsDir(rp), name), false),
+      s"txtable: no tag '$name' on $root")
+  }
+
+  /** All named refs, (name, version), name-sorted. */
+  def tags(spark: SparkSession, root: String): Seq[(String, Int)] = {
+    val (fs, rp) = fsFor(spark, root)
+    val td = tagsDir(rp)
+    if (!fs.exists(td)) Seq.empty
+    else fs.listStatus(td).toSeq.flatMap { st =>
+      val s = readFileUtf8(fs, st.getPath).trim
+      if (s.nonEmpty && s.forall(_.isDigit))
+        Some(st.getPath.getName -> s.toInt)
+      else None
+    }.sortBy(_._1)
+  }
+
+  /** A version REF string: integer digits → that version, anything
+    * else → tag lookup (loud on a missing tag). The single resolver
+    * behind every `versionAsOf` face. */
+  private[graft] def resolveRef(spark: SparkSession, root: String,
+    ref: String): Int = {
+    val t = ref.trim
+    if (t.nonEmpty && t.forall(_.isDigit)) t.toInt
+    else {
+      val (fs, rp) = fsFor(spark, root)
+      val p = new Path(tagsDir(rp), t)
+      require(fs.exists(p),
+        s"txtable: no tag '$t' on $root (and not an integer version)")
+      val s = readFileUtf8(fs, p).trim
+      require(s.nonEmpty && s.forall(_.isDigit),
+        s"txtable: corrupt tag file for '$t' on $root: '$s'")
+      s.toInt
+    }
+  }
+
+  /** Versions a vacuum must keep beyond the retain horizon. */
+  private def taggedVersions(spark: SparkSession, root: String,
+    upTo: Int): Seq[Int] =
+    tags(spark, root).map(_._2).filter(tv => tv >= 1 && tv <= upTo)
+      .distinct.sorted
+
   def vacuumDryRun(spark: SparkSession, root: String,
     retainLast: Int = 1): Seq[String] = {
     require(retainLast >= 1, "vacuum must retain at least the latest snapshot")
@@ -6768,7 +6981,9 @@ object TxTable {
     val v = latestVersion(spark, root)
     if (v == 0) return Seq.empty
     val keepVs = (math.max(1, v - retainLast + 1)) to v
-    val keep = keepVs.flatMap(snapshotDirs(fs, rp, _)).toSet
+    val tagged = taggedVersions(spark, root, v)
+    val protectVs = (keepVs ++ tagged).distinct.sorted
+    val keep = protectVs.flatMap(snapshotDirs(fs, rp, _)).toSet
     val dataDir = new Path(rp, "data")
     def live(topLevelName: String): Boolean = {
       val self = s"data/$topLevelName"
@@ -6782,11 +6997,12 @@ object TxTable {
       if (vv <= 0 || !fs.exists(commitPath(rp, vv))) Seq.empty
       else commitLines(fs, rp, vv)
         .filter(_.startsWith("include:")).map(_.drop(8))
-    val keptManifests = keepVs.flatMap(includesOf).toSet
+    val keptManifests = protectVs.flatMap(includesOf).toSet
     val expiredManifests =
       (1 until keepVs.head).flatMap(includesOf).toSet -- keptManifests
-    val deadCommits =
-      (1 until keepVs.head).map(old => commitPath(rp, old).toString)
+    val deadCommits = (1 until keepVs.head)
+      .filterNot(tagged.contains)
+      .map(old => commitPath(rp, old).toString)
     deadDirs.sorted ++
       expiredManifests.toSeq.sorted.map(m => new Path(rp, m).toString) ++
       deadCommits
@@ -6823,7 +7039,12 @@ object TxTable {
     val v = latestVersion(spark, root)
     if (v == 0) return
     val keepVs = (math.max(1, v - retainLast + 1)) to v
-    val keep = keepVs.flatMap(snapshotDirs(fs, rp, _)).toSet
+    // named refs pin their versions past any retain horizon: the
+    // tagged commit, its data dirs, manifests and sidecars all
+    // survive until the tag is dropped
+    val tagged = taggedVersions(spark, root, v)
+    val protectVs = (keepVs ++ tagged).distinct.sorted
+    val keep = protectVs.flatMap(snapshotDirs(fs, rp, _)).toSet
     val dataDir = new Path(rp, "data")
     // nested-dir layouts (OPTIMIZE ZORDER buckets, partitioned
     // appends) commit entries UNDER a shared top-level dir — that
@@ -6844,11 +7065,12 @@ object TxTable {
       if (v <= 0 || !fs.exists(commitPath(rp, v))) Seq.empty
       else commitLines(fs, rp, v)
         .filter(_.startsWith("include:")).map(_.drop(8))
-    val keptManifests = keepVs.flatMap(includesOf).toSet
+    val keptManifests = protectVs.flatMap(includesOf).toSet
     val expiredManifests =
       (1 until keepVs.head).flatMap(includesOf).toSet -- keptManifests
     expiredManifests.foreach(m => fs.delete(new Path(rp, m), false))
-    (1 until keepVs.head).foreach(old => fs.delete(commitPath(rp, old), false))
+    (1 until keepVs.head).filterNot(tagged.contains)
+      .foreach(old => fs.delete(commitPath(rp, old), false))
     // never-referenced manifests (crashed commit attempts) sweep with
     // the same 1 h age gate as the other orphan scratch below
     val mDir = new Path(rp, manifestDirName)
@@ -6867,7 +7089,8 @@ object TxTable {
         .filter { p =>
           val n = p.getName
           n.startsWith("v") && n.drop(1).forall(_.isDigit) &&
-            n.drop(1).toInt < keepVs.head
+            n.drop(1).toInt < keepVs.head &&
+            !tagged.contains(n.drop(1).toInt)
         }
         .foreach(fs.delete(_, true))
     // orphaned scratch from crashed work: change-diff temps that lost
@@ -6905,7 +7128,7 @@ object TxTable {
     // entry's own `pd:` segments name, so orphans are dead bytes.
     // Referenced = named by any RETAINED version's entries; the same
     // 1 h age gate keeps the sweep clear of an in-flight commit.
-    val refdSidecars = keepVs.flatMap(kv =>
+    val refdSidecars = protectVs.flatMap(kv =>
       snapshotEntries(fs, rp, kv).flatMap(e =>
         e.pdels.keys.map(n => new Path(new Path(rp, e.dir), n).toString)))
       .toSet

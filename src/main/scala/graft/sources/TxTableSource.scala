@@ -822,7 +822,8 @@ case class TxRelation(spark: SparkSession, root: String,
   extends BaseRelation with PrunedFilteredScan with FileRelation {
 
   private val versionOpt = parameters.get("versionAsOf")
-    .orElse(parameters.get("versionasof")).map(_.toInt)
+    .orElse(parameters.get("versionasof"))
+    .map(TxTable.resolveRef(spark, root, _)) // int version or tag name
   private val tsOpt = parameters.get("timestampAsOf")
     .orElse(parameters.get("timestampasof")).map(TxTableSource.parseTs)
   require(versionOpt.isEmpty || tsOpt.isEmpty,
@@ -1017,7 +1018,7 @@ private[graft] trait TxMetaAggTable {
     val v = Option(metaOptions.get("versionAsOf"))
     val ts = Option(metaOptions.get("timestampAsOf"))
     (v, ts) match {
-      case (Some(x), _) => x.toInt
+      case (Some(x), _) => TxTable.resolveRef(spark, metaRoot, x)
       case (None, Some(t)) =>
         TxTable.versionAt(spark, metaRoot, TxTableSource.parseTs(t))
       case _ => -1
@@ -1239,6 +1240,13 @@ class GraftTxCatalogTable(tableSchema: StructType, root: String,
     caps.add(TableCapability.OVERWRITE_BY_FILTER)
     // dynamic partition overwrite / overwritePartitions()
     if (partCols.nonEmpty) caps.add(TableCapability.OVERWRITE_DYNAMIC)
+    // MERGE INTO ... WITH SCHEMA EVOLUTION: Spark's
+    // ResolveMergeIntoSchemaEvolution diffs source vs target and lands
+    // the missing columns through GraftCatalog.alterTable — graft's
+    // one atomic ADD COLUMNS commit (null-fill reads, colmap binding)
+    // — before rewriting the merge. Anything beyond nullable appends
+    // (type widening, nested) still fails loudly in alterTable.
+    caps.add(TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
     caps
   }
 
@@ -1368,7 +1376,7 @@ class TxCatalogScanBuilder(root: String, fullSchema: StructType,
           "a row-restricted table (keyRange/colRange/strRange)")
       val spark = SparkSession.active
       val version = params.get("versionAsOf").orElse(params.get("versionasof"))
-        .map(_.toInt).orElse(
+        .map(TxTable.resolveRef(spark, root, _)).orElse(
           params.get("timestampAsOf").orElse(params.get("timestampasof"))
             .map(t => TxTable.versionAt(spark, root,
               TxTableSource.parseTs(t))))
@@ -1386,7 +1394,7 @@ class TxCatalogScanBuilder(root: String, fullSchema: StructType,
       : org.apache.spark.sql.connector.read.Statistics = {
       val spark = SparkSession.active
       val version = params.get("versionAsOf").orElse(params.get("versionasof"))
-        .map(_.toInt).orElse(
+        .map(TxTable.resolveRef(spark, root, _)).orElse(
           params.get("timestampAsOf").orElse(params.get("timestampasof"))
             .map(t => TxTable.versionAt(spark, root,
               TxTableSource.parseTs(t))))
@@ -1584,7 +1592,7 @@ class TxSpjScanBuilder(root: String, fullSchema: StructType,
   override def build(): Scan = {
     val spark = SparkSession.active
     val version = params.get("versionasof").orElse(params.get("versionAsOf"))
-      .map(_.toInt).getOrElse(-1)
+      .map(TxTable.resolveRef(spark, root, _)).getOrElse(-1)
     new TxSpjScan(spark, root, version, partCols, required, partPred,
       pruned, pushed)
   }
