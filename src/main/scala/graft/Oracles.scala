@@ -3181,7 +3181,25 @@ object Oracles {
         |WHERE k % 2 = 1
         |UNION ALL
         |SELECT 'old' AS snap, k, cust, price AS total FROM o
-        |WHERE k % 2 = 0""".stripMargin)
+        |WHERE k % 2 = 0""".stripMargin,
+
+    // ADD COLUMNS ... DEFAULT: pre-ADD rows read the defaults, the
+    // INSERT supplies its own values, the UPDATE rewrites through the
+    // default-filling DML readers, optimize_compact folds mixed dirs
+    "q_txtable_addcol_default" ->
+      """WITH o AS (SELECT o_orderkey k, o_custkey cust,
+        |    cast(cast(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) price
+        |  FROM orders),
+        |mx AS (SELECT max(k) m FROM o),
+        |t0 AS (SELECT k, cust, price, 'base' AS src,
+        |         CAST(0.25 AS DOUBLE) AS bonus FROM o
+        |       UNION ALL
+        |       SELECT o.k + mx.m, cust, price, 'load2',
+        |         CAST(cust % 10 AS DOUBLE) / 10
+        |       FROM o, mx WHERE k % 5 = 0)
+        |SELECT k, cust,
+        |  CASE WHEN k % 10 = 4 THEN price * 2 ELSE price END price,
+        |  src, bonus FROM t0""".stripMargin)
 
   def all: Map[String, String] =
     relational ++ text ++ dedup ++ similarity ++ annMultiProbe ++

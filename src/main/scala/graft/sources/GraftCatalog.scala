@@ -344,8 +344,12 @@ class GraftCatalog extends DelegatingCatalogExtension
         // bind or neither does; renames/drops stay one commit each
         // (the SQL grammar produces one of them per statement)
         val adds = changes.collect { case a: TableChange.AddColumn =>
-          a.fieldNames()(0) -> a.dataType() }
-        if (adds.nonEmpty) TxTable.addColumns(spark, root, adds)
+          // a DEFAULT rides along as the column's initial-default:
+          // pre-ADD rows read it on every face (addColumnsWithDefaults
+          // validates it folds to a literal of the column type)
+          (a.fieldNames()(0), a.dataType(),
+            Option(a.defaultValue()).map(_.getSql)) }
+        if (adds.nonEmpty) TxTable.addColumnsWithDefaults(spark, root, adds)
         changes.foreach {
           case _: TableChange.AddColumn => () // applied above, atomically
           case r: TableChange.RenameColumn =>

@@ -179,14 +179,25 @@ private[sources] object GraftProcedures {
     * history for audit. Until now a SQL-only operator could SEE the
     * pre-mistake state (FOR VERSION AS OF) but never make it the
     * table's forward state. */
+  /** `CALL system.restore('t', 3)` or — the named-ref form —
+    * `CALL system.restore('t', -1, 'pre_deploy')`: the tag a release
+    * pinned is exactly what an operator wants to roll back TO. */
   private def restore(rootOf: String => String): UnboundProcedure =
     proc("restore", Seq(
       in("table", StringType),
-      in("version", IntegerType)),
+      in("version", IntegerType, Some("-1")),
+      in("ref", StringType, Some("''"))),
       versionOut,
       { input =>
         val root = rootOf(input.getUTF8String(0).toString)
-        Seq(TxTable.restore(SparkSession.active, root, input.getInt(1)))
+        val spark = SparkSession.active
+        val ref = input.getUTF8String(2).toString
+        val v =
+          if (ref.nonEmpty) TxTable.resolveRef(spark, root, ref)
+          else input.getInt(1)
+        require(v >= 1,
+          "graft-tx restore: pass a version >= 1 or a non-empty ref")
+        Seq(TxTable.restore(spark, root, v))
       })
 
   /** Zero-copy branch: `CALL system.clone('src_t', '/path/to/dst')`

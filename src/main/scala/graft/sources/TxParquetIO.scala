@@ -195,7 +195,9 @@ private[sources] object TxParquetIO {
     * columns a pre-ADD file legitimately lacks): those materialize as
     * NULL, the same null-fill the batch read path applies. */
   private class RowReadSupport(fields: StructType,
-    nullIfMissing: Set[String]) extends ReadSupport[InternalRow] {
+    nullIfMissing: Set[String],
+    defaults: Map[String, Any] = Map.empty)
+    extends ReadSupport[InternalRow] {
 
     override def init(context: InitContext): ReadContext = {
       val fileSchema = context.getFileSchema
@@ -227,6 +229,17 @@ private[sources] object TxParquetIO {
           else None
         }
       }
+      // slots the file cannot serve whose declared column carries a
+      // DEFAULT: every record fills that internal value (pre-ADD rows
+      // read the default, not NULL — and an unrelated DML rewrite
+      // re-lands the default instead of corrupting it to NULL)
+      val missingDefaults: Seq[(Int, Any)] = {
+        val presentIdx = present.map(_._2).toSet
+        fields.fields.toSeq.zipWithIndex.collect {
+          case (f, i) if !presentIdx.contains(i) &&
+            defaults.contains(f.name) => i -> defaults(f.name)
+        }
+      }
       new RecordMaterializer[InternalRow] {
         private val values = new Array[Any](fields.length)
         private val root: GroupConverter = new GroupConverter {
@@ -236,8 +249,10 @@ private[sources] object TxParquetIO {
               converterFor(f, requested.getType(slot), v => values(i) = v)
           }
           override def getConverter(i: Int): Converter = converters(i)
-          override def start(): Unit =
+          override def start(): Unit = {
             java.util.Arrays.fill(values.asInstanceOf[Array[AnyRef]], null)
+            missingDefaults.foreach { case (i, v) => values(i) = v }
+          }
           override def end(): Unit = ()
         }
         override def getCurrentRecord: InternalRow =
@@ -258,10 +273,12 @@ private[sources] object TxParquetIO {
     * under a negation), never to over-drop. */
   def reader(path: Path, fields: StructType, conf: Configuration,
     filter: Option[org.apache.parquet.filter2.predicate.FilterPredicate]
-      = None, nullIfMissing: Set[String] = Set.empty)
+      = None, nullIfMissing: Set[String] = Set.empty,
+    defaults: Map[String, Any] = Map.empty)
     : ParquetReader[InternalRow] = {
     val b = ParquetReader.builder(
-      new RowReadSupport(fields, nullIfMissing), path).withConf(conf)
+      new RowReadSupport(fields, nullIfMissing, defaults), path)
+      .withConf(conf)
     filter.fold(b)(f => b.withFilter(
       org.apache.parquet.filter2.compat.FilterCompat.get(f))).build()
   }

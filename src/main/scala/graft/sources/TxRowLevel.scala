@@ -231,7 +231,7 @@ class TxCowScan(spark: SparkSession, plan: TxTable.CowPlan,
       f.copy(name = TxTable.physNameOf(plan.colMap, f.name))))
     TxCowReaderFactory(fileSchema, metaNames.toSeq,
       new SerializableConfiguration(spark.sessionState.newHadoopConf()),
-      plan.addedCols)
+      plan.addedCols, plan.addedDefaults)
   }
 }
 
@@ -239,12 +239,13 @@ case class TxCowInputPartition(file: String, dir: String,
   pdelFiles: Seq[String]) extends InputPartition
 
 case class TxCowReaderFactory(fileSchema: StructType, metaCols: Seq[String],
-  conf: SerializableConfiguration, addedCols: Set[String] = Set.empty)
+  conf: SerializableConfiguration, addedCols: Set[String] = Set.empty,
+  addedDefaults: Map[String, Any] = Map.empty)
   extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val cp = p.asInstanceOf[TxCowInputPartition]
     new TxCowPartitionReader(cp.file, cp.pdelFiles, fileSchema, conf,
-      metaCols, cp.dir, addedCols)
+      metaCols, cp.dir, addedCols, addedDefaults)
   }
 }
 
@@ -260,7 +261,8 @@ case class TxCowReaderFactory(fileSchema: StructType, metaCols: Seq[String],
 class TxCowPartitionReader(file: String, pdelFiles: Seq[String],
   schema: StructType, conf: SerializableConfiguration,
   metaCols: Seq[String] = Seq.empty, dir: String = "",
-  addedCols: Set[String] = Set.empty)
+  addedCols: Set[String] = Set.empty,
+  addedDefaults: Map[String, Any] = Map.empty)
   extends PartitionReader[InternalRow] {
 
   private val path = new org.apache.hadoop.fs.Path(file)
@@ -289,7 +291,7 @@ class TxCowPartitionReader(file: String, pdelFiles: Seq[String],
     s
   }
   private lazy val reader = TxParquetIO.reader(path, schema, conf.value,
-    nullIfMissing = addedCols)
+    nullIfMissing = addedCols, defaults = addedDefaults)
   private val joined =
     new org.apache.spark.sql.catalyst.expressions.JoinedRow()
   // one mutable meta row reused per emitted row; only the position

@@ -437,38 +437,78 @@ object TxTable {
     * stale entry can never invent a column. Atomic types only (the
     * DDL round-trips unambiguously; nested columns are unsupported
     * across the format). */
+  /** A declared (ADD COLUMNS) column: physical name, type, and the
+    * optional DEFAULT — the SQL literal pre-ADD rows read instead of
+    * NULL (Iceberg's initial-default move). The header entry is
+    * `phys=typeDDL[=defaultSql]`; the default is the LAST field, so
+    * its text may itself contain `=` (a string literal), but never
+    * `;` or a newline (validated at addColumns). */
+  private[sources] case class DeclaredCol(phys: String,
+    dt: org.apache.spark.sql.types.DataType,
+    default: Option[String]) {
+    /** The Catalyst-internal default value (null when none) — what
+      * the InternalRow-level DML readers fill for a missing slot. */
+    lazy val internalDefault: Any = default.map { sql =>
+      org.apache.spark.sql.catalyst.expressions.Cast(
+        org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+          .parseExpression(sql), dt, Some("UTC")).eval(null)
+    }.orNull
+  }
+
   private def snapshotAddedCols(fs: FileSystem, rp: Path,
-    v: Int): Seq[(String, org.apache.spark.sql.types.DataType)] =
+    v: Int): Seq[DeclaredCol] =
     if (v == 0) Seq.empty else parseAddedCols(commitLines(fs, rp, v))
 
-  private def parseAddedCols(lines: Seq[String])
-    : Seq[(String, org.apache.spark.sql.types.DataType)] =
+  private def parseAddedCols(lines: Seq[String]): Seq[DeclaredCol] =
     lines
       .find(_.startsWith("schema:")).map(_.drop(7)).filter(_.nonEmpty)
       .map(_.split(";").toSeq.map { p =>
-        val i = p.indexOf('=')
-        (p.substring(0, i),
-          org.apache.spark.sql.types.DataType.fromDDL(p.substring(i + 1)))
+        val parts = p.split("=", 3)
+        DeclaredCol(parts(0),
+          org.apache.spark.sql.types.DataType.fromDDL(parts(1)),
+          if (parts.length > 2) Some(parts(2)) else None)
       }).getOrElse(Seq.empty)
 
-  private def schemaLine(
-    cols: Seq[(String, org.apache.spark.sql.types.DataType)]): String =
-    "schema:" + cols.map { case (p, dt) => s"$p=${dt.sql}" }.mkString(";")
+  private def schemaLine(cols: Seq[DeclaredCol]): String =
+    "schema:" + cols.map { c =>
+      s"${c.phys}=${c.dt.sql}" + c.default.map("=" + _).getOrElse("")
+    }.mkString(";")
 
   /** The LIVE declared columns of snapshot `v` — `schema:` entries
     * whose physical name the snapshot's mapping still binds. */
   private def liveAddedCols(fs: FileSystem, rp: Path,
-    v: Int): Seq[(String, org.apache.spark.sql.types.DataType)] =
+    v: Int): Seq[DeclaredCol] =
     if (v == 0) Seq.empty else liveAddedOf(commitLines(fs, rp, v))
 
-  private def liveAddedOf(lines: Seq[String])
-    : Seq[(String, org.apache.spark.sql.types.DataType)] = {
+  /** Fill declared DEFAULT columns a frame's schema lacks — files
+    * predating the column read its default on every face, and the
+    * maintenance rewrites (compact, optimize, z-order) re-land the
+    * default instead of materializing NULL into the rewritten files.
+    * Columns the frame already carries are untouched: a stored NULL
+    * is a stored NULL (initial-default applies per FILE, the
+    * Iceberg v3 semantics). */
+  private def fillDeclaredDefaults(df: DataFrame,
+    declared: Seq[DeclaredCol]): DataFrame =
+    declared
+      .filter(c => c.default.isDefined && !df.columns.contains(c.phys))
+      .foldLeft(df)((d, c) =>
+        // the dead NULL branch keeps the field NULLABLE in the
+        // analyzed schema (a bare literal would mark the declared
+        // column NOT NULL and reject INSERTs carrying explicit NULLs;
+        // when(true, x) doesn't help — CaseWhen's literal-true special
+        // case inherits x's non-nullability); the optimizer folds the
+        // expression back to the literal at execution
+        d.withColumn(c.phys,
+          when(lit(false), lit(null).cast(c.dt))
+            .otherwise(expr(c.default.get).cast(c.dt))))
+
+  private def liveAddedOf(lines: Seq[String]): Seq[DeclaredCol] = {
     val declared = parseAddedCols(lines)
     if (declared.isEmpty) Seq.empty
     else {
       val bound = parseColMap(lines)
         .map(liveMap(_).map(_._2).toSet).getOrElse(Set.empty)
-      declared.filter { case (p, _) => bound(p) }
+      declared.filter(c => bound(c.phys))
     }
   }
 
@@ -478,7 +518,7 @@ object TxTable {
     version: Int): Set[String] = {
     val (fs, rp) = fsFor(spark, root)
     val v = if (version >= 0) version else latestVersion(spark, root)
-    liveAddedCols(fs, rp, v).map(_._1).toSet
+    liveAddedCols(fs, rp, v).map(_.phys).toSet
   }
 
   /** The live (non-tombstone) logical→physical pairs. */
@@ -602,8 +642,7 @@ object TxTable {
     lazy val colMap: Option[Seq[(String, String)]] = parseColMap(lines)
     lazy val keys: Option[Seq[String]] = parseKeys(lines)
     lazy val statsCols: Seq[String] = parseStatsCols(lines)
-    lazy val liveAdded: Seq[(String, org.apache.spark.sql.types.DataType)] =
-      liveAddedOf(lines)
+    lazy val liveAdded: Seq[DeclaredCol] = liveAddedOf(lines)
     lazy val entries: Seq[Entry] =
       expandEntryLines(fs, rp, lines).flatMap(parseEntry)
   }
@@ -744,17 +783,22 @@ object TxTable {
     val declared = r.liveAdded
     if (declared.isEmpty) df
     else {
-      val missing = declared.filterNot { case (p, _) =>
-        df.columns.contains(p) }
-      val filled = missing.foldLeft(df) { case (d, (p, dt)) =>
-        d.withColumn(p, lit(null).cast(dt))
+      val missing = declared.filterNot(c => df.columns.contains(c.phys))
+      // a column declared WITH a DEFAULT fills pre-ADD rows with that
+      // literal instead of NULL (initial-default semantics)
+      val filled = missing.foldLeft(df) { (d, c) =>
+        // dead NULL branch: nullable even when a DEFAULT fills (see
+        // fillDeclaredDefaults)
+        d.withColumn(c.phys,
+          when(lit(false), lit(null).cast(c.dt)).otherwise(
+            c.default.map(expr).getOrElse(lit(null)).cast(c.dt)))
       }
       // ranges over a column that was JUST filled must still restrict
       // rows (readResolved0 skipped them — the column wasn't there)
       val ranges: Map[String, (Any, Any)] =
         colRanges.map { case (c, r) => c -> (r: (Any, Any)) } ++
           strRanges.map { case (c, r) => c -> (r: (Any, Any)) }
-      missing.map(_._1).foldLeft(filled) { (d, p) =>
+      missing.map(_.phys).foldLeft(filled) { (d, p) =>
         ranges.get(p) match {
           case Some((lo, hi)) => d.filter(col(p).between(lo, hi))
           case None => d
@@ -787,12 +831,17 @@ object TxTable {
     // per-dir Spark schemas from footers (no inference jobs); a dir
     // absent from the map (no data file) falls back to inference
     val schemaOf = dirSparkSchemas(spark, rp, allEntries.map(_.dir))
+    // defaults fill PER DIR: a pre-ADD dir unioned with a post-ADD dir
+    // must read the default while the post-ADD dir reads stored values
+    // (an end-of-read fill could not tell the two apart)
+    val declaredDefaults = r.liveAdded.filter(_.default.isDefined)
     def readDir(dir: String): DataFrame = {
       val p = new Path(rp, dir).toString
-      schemaOf.get(dir) match {
+      val raw = schemaOf.get(dir) match {
         case Some(sc) => spark.read.schema(sc).parquet(p)
         case None => spark.read.parquet(p)
       }
+      fillDeclaredDefaults(raw, declaredDefaults)
     }
     if (entries.isEmpty) {
       // every dir pruned: empty frame in the table's FULL schema —
@@ -829,9 +878,12 @@ object TxTable {
           val schemas = cleanE.map(e => schemaOf.get(e.dir))
           Some(
             if (schemas.distinct.size == 1 && schemas.head.isDefined)
-              spark.read.schema(schemas.head.get).parquet(paths: _*)
+              fillDeclaredDefaults(
+                spark.read.schema(schemas.head.get).parquet(paths: _*),
+                declaredDefaults)
             else if (schemas.distinct.size == 1)
-              spark.read.parquet(paths: _*)
+              fillDeclaredDefaults(spark.read.parquet(paths: _*),
+                declaredDefaults)
             else cleanE.map(e => readDir(e.dir))
               .reduce(_.unionByName(_, allowMissingColumns = true)))
         }
@@ -2060,7 +2112,12 @@ object TxTable {
       val keys = snapshotKeys(fs, rp, base)
       val statsCols = snapshotStatsCols(fs, rp, base)
       val parent = s"data/zopt-${java.util.UUID.randomUUID()}"
-      val tailDf = tail.map(e => visibleDirFrame(spark, rp, e))
+      // per-dir default fill BEFORE the union — the re-clustered
+      // files must carry the default, not a materialized NULL
+      val addedNow = liveAddedCols(fs, rp, base)
+      val tailDf = tail
+        .map(e => fillDeclaredDefaults(visibleDirFrame(spark, rp, e),
+          addedNow))
         .reduce(_.unionByName(_, allowMissingColumns = true))
       val withZ = withZColumn(tailDf, zCols)
       val mzRow = withZ.agg(max("_z")).collect()(0)
@@ -2228,8 +2285,12 @@ object TxTable {
         if (bin.size == 1) bin.head.line // carried by name, unopened
         else {
           val dirName = s"data/opt-${java.util.UUID.randomUUID()}"
+          // the fill is PER DIR: unioning first would null-fill the
+          // pre-ADD dirs' rows for a column another bin member carries
+          val addedNow = liveAddedCols(fs, rp, prevV)
           val merged = bin
-            .map(e => visibleDirFrame(spark, rp, e))
+            .map(e => fillDeclaredDefaults(
+              visibleDirFrame(spark, rp, e), addedNow))
             .reduce(_.unionByName(_, allowMissingColumns = true))
           merged.write.mode("overwrite")
             .parquet(new Path(rp, dirName).toString)
@@ -2264,8 +2325,12 @@ object TxTable {
     affectedLines: Seq[String], files: Seq[CowFile],
     keys: Seq[String], statsCols: Seq[String],
     // physical names of declared (ADD COLUMNS) columns a pre-ADD data
-    // file may legitimately lack — the COW readers null-fill these
-    addedCols: Set[String] = Set.empty)
+    // file may legitimately lack — the COW readers null-fill these,
+    // EXCEPT names in addedDefaults, which fill with that internal
+    // value (the column's DEFAULT; filling NULL there would let any
+    // unrelated UPDATE silently corrupt defaulted rows to NULL)
+    addedCols: Set[String] = Set.empty,
+    addedDefaults: Map[String, Any] = Map.empty)
 
   /** Plan a group-based copy-on-write rewrite: every dir of the
     * latest snapshot EXCEPT those the condition's bounding box
@@ -2309,10 +2374,13 @@ object TxTable {
         }
       fmap.getOrElse(e.dir, Seq.empty).map(f => CowFile(f, e.dir, pdFiles))
     }
+    val added = liveAddedCols(fs, rp, v)
     CowPlan(v, m, affected.map(_.dir), affected.map(_.line), files,
       snapshotKeys(fs, rp, v).getOrElse(Seq.empty),
       snapshotStatsCols(fs, rp, v),
-      liveAddedCols(fs, rp, v).map(_._1).toSet)
+      added.map(_.phys).toSet,
+      added.collect { case c if c.default.isDefined =>
+        c.phys -> c.internalDefault }.toMap)
   }
 
   /** Commit a group-based rewrite: swap `plan`'s affected dirs for
@@ -4226,16 +4294,21 @@ object TxTable {
     val schemaOf = dirSparkSchemas(spark, rp, kept)
     val schemas = kept.map(schemaOf.get)
     val entryOf = entries.map(e => e.dir -> e).toMap
+    // declared DEFAULT columns fill exactly as on the plain read
+    // path — PER DIR on the union branches (a pre-ADD dir next to a
+    // post-ADD dir must read the default, not union-null)
+    val added = liveAddedCols(fs, rp, v)
+    def fill(d: DataFrame): DataFrame = fillDeclaredDefaults(d, added)
     val df =
       // kept dirs with positional deletes read their VISIBLE rows
       if (kept.exists(d => entryOf.get(d).exists(_.pdels.nonEmpty)))
-        kept.map(d => visibleDirFrame(spark, rp, entryOf(d)))
+        kept.map(d => fill(visibleDirFrame(spark, rp, entryOf(d))))
           .reduce(_.unionByName(_, allowMissingColumns = true))
       else if (schemas.distinct.size == 1 && schemas.head.isDefined)
-        spark.read.schema(schemas.head.get).parquet(paths: _*)
+        fill(spark.read.schema(schemas.head.get).parquet(paths: _*))
       else if (schemas.distinct.size == 1)
-        spark.read.parquet(paths: _*)
-      else kept.map(readDirFrame(spark, rp, _))
+        fill(spark.read.parquet(paths: _*))
+      else kept.map(d => fill(readDirFrame(spark, rp, d)))
         .reduce(_.unionByName(_, allowMissingColumns = true))
     df.filter(probeFilter)
   }
@@ -4482,6 +4555,48 @@ object TxTable {
           |UNION ALL
           |SELECT 'old' AS snap, k, cust, price AS total
           |FROM $tbl VERSION AS OF 1""".stripMargin)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.catalog.dropTempView(srcv)
+      ()
+    }
+  }
+
+  /** Oracle-gated COLUMN-DEFAULT exercise (q_txtable_addcol_default):
+    * orders loaded, then `ALTER TABLE ... ADD COLUMNS (src STRING
+    * DEFAULT 'base', bonus DOUBLE DEFAULT 0.25)` — pre-ADD rows must
+    * read the DEFAULTS (initial-default semantics, per file), an
+    * INSERT supplies its own values, an UPDATE rewrites a slice
+    * through the COW DML readers (which must fill the default, not
+    * NULL — the corruption class this gate exists to catch), and
+    * optimize_compact folds mixed pre/post-ADD dirs (the folded file
+    * must carry the default). The DuckDB oracle replays it all
+    * relationally. */
+  def addColDefaultGateQuery(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val root = scratchRoot("graft-dfltgate", dir)
+    val tbl = "graft_dflt_gate"
+    val srcv = tbl + "_src"
+    val o = graft.Tables.orders(spark, dir).select(
+      col("o_orderkey").as("k"), col("o_custkey").as("cust"),
+      col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"))
+    val b = o.agg(max("k")).collect()(0)
+    if (b.isNullAt(0)) return o.filter(lit(false))
+      .withColumn("src", lit("")).withColumn("bonus", lit(0.0))
+    val maxK = b.getLong(0)
+    append(o, root, statsCols = Seq("k"))
+    o.createOrReplaceTempView(srcv)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl USING `graft-tx` OPTIONS (path '$root')")
+    try {
+      spark.sql(s"ALTER TABLE $tbl ADD COLUMNS " +
+        "(src STRING DEFAULT 'base', bonus DOUBLE DEFAULT 0.25)")
+      spark.sql(s"INSERT INTO $tbl SELECT k + $maxK, cust, price, " +
+        s"'load2', CAST(cust % 10 AS DOUBLE) / 10 FROM $srcv " +
+        "WHERE k % 5 = 0")
+      spark.sql(s"UPDATE $tbl SET price = price * 2 WHERE k % 10 = 4")
+      spark.sql(s"CALL spark_catalog.system.optimize_compact('$tbl')")
+      spark.sql(s"SELECT k, cust, price, src, bonus FROM $tbl")
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
       spark.catalog.dropTempView(srcv)
@@ -6111,20 +6226,26 @@ object TxTable {
       val foldSchemaOf = dirSparkSchemas(spark, rp,
         fold.map { case (e, _) => e.dir })
       val foldSchemas = fold.map { case (e, _) => foldSchemaOf.get(e.dir) }
+      // declared defaults re-land in the folded files (never NULL) —
+      // PER DIR on the union branches, post-fill on the uniform ones
+      val addedNow = liveAddedCols(fs, rp, prevV)
+      def fill(d: DataFrame): DataFrame = fillDeclaredDefaults(d, addedNow)
       val folded =
         // a fold member with positional deletes must fold its VISIBLE
         // rows (the per-dir path), or deleted rows would resurrect
         if (fold.exists(_._1.pdels.nonEmpty))
-          fold.map { case (e, _) => visibleDirFrame(spark, rp, e) }
+          fold.map { case (e, _) => fill(visibleDirFrame(spark, rp, e)) }
             .reduce(_.unionByName(_, allowMissingColumns = true))
         else if (foldSchemas.distinct.size == 1 && foldSchemas.head.isDefined)
-          spark.read.schema(foldSchemas.head.get).parquet(foldPaths: _*)
+          fill(spark.read.schema(foldSchemas.head.get).parquet(foldPaths: _*))
         else if (foldSchemas.distinct.size == 1)
-          spark.read.parquet(foldPaths: _*)
-        else fold.map { case (e, _) => readDirFrame(spark, rp, e.dir) }
+          fill(spark.read.parquet(foldPaths: _*))
+        else fold.map { case (e, _) =>
+          fill(readDirFrame(spark, rp, e.dir)) }
           .reduce(_.unionByName(_, allowMissingColumns = true))
       val dirName = s"data/compact-${java.util.UUID.randomUUID()}"
-      folded.write.mode("overwrite").parquet(new Path(rp, dirName).toString)
+      folded.write.mode("overwrite")
+        .parquet(new Path(rp, dirName).toString)
       val statsCols = snapshotStatsCols(fs, rp, prevV)
       val entry = statsEntry(spark, rp, dirName, statsCols)
       ("compact",
@@ -6743,13 +6864,27 @@ object TxTable {
     * never leave a half-applied DDL statement behind. All validation
     * runs BEFORE the commit is staged. */
   def addColumns(spark: SparkSession, root: String,
-    cols: Seq[(String, org.apache.spark.sql.types.DataType)]): Int = {
+    cols: Seq[(String, org.apache.spark.sql.types.DataType)]): Int =
+    addColumnsWithDefaults(spark, root,
+      cols.map { case (n, dt) => (n, dt, None) })
+
+  /** ADD COLUMNS with optional per-column DEFAULTs: `ALTER TABLE t
+    * ADD COLUMNS (d INT DEFAULT 7)` makes PRE-EXISTING rows read 7
+    * (initial-default semantics — the fill applies on every read
+    * face AND inside the DML readers, so an unrelated UPDATE can
+    * never demote defaulted rows to NULL). The default must be a
+    * FOLDABLE literal expression castable to the column type, with
+    * no `;`/newline in its SQL text (the header grammar's reserved
+    * characters). */
+  def addColumnsWithDefaults(spark: SparkSession, root: String,
+    cols: Seq[(String, org.apache.spark.sql.types.DataType,
+      Option[String])]): Int = {
     import org.apache.spark.sql.types._
     require(cols.nonEmpty, "txtable: ADD COLUMNS needs at least one column")
     require(cols.map(_._1).distinct.size == cols.size,
       s"txtable: duplicate column in ADD COLUMNS: " +
         cols.map(_._1).mkString(", "))
-    cols.foreach { case (name, dt) =>
+    cols.foreach { case (name, dt, default) =>
       require(validColName(name),
         s"txtable: invalid column name '$name' (empty or reserved " +
           "character)")
@@ -6764,19 +6899,39 @@ object TxTable {
       // the DDL must round-trip the exact type through the header
       require(DataType.fromDDL(dt.sql) == dt,
         s"txtable: type ${dt.sql} does not round-trip the schema header")
+      default.foreach { sql =>
+        require(!sql.contains(";") && !sql.contains("\n") &&
+          !sql.contains("\r") && sql.nonEmpty,
+          s"txtable: DEFAULT for '$name' must be one line without ';', " +
+            s"got '$sql'")
+        val e =
+          try org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+            .parseExpression(sql)
+          catch { case ex: Exception =>
+            throw new IllegalArgumentException(
+              s"txtable: cannot parse DEFAULT '$sql' for '$name'", ex)
+          }
+        require(e.foldable,
+          s"txtable: DEFAULT for '$name' must be a literal expression, " +
+            s"got '$sql'")
+        // the cast must evaluate NOW — a default that cannot produce a
+        // value of the column type must fail the DDL, not every read
+        org.apache.spark.sql.catalyst.expressions.Cast(e, dt, Some("UTC"))
+          .eval(null)
+      }
     }
     val (fs, rp) = fsFor(spark, root)
     commitRetry(spark, root) { prevV =>
       require(prevV > 0, s"txtable: nothing to alter at $root")
       val m0 = colMapOrIdentity(spark, root, fs, rp, prevV)
-      cols.foreach { case (name, _) =>
+      cols.foreach { case (name, _, _) =>
         require(!liveMap(m0).exists(_._1 == name),
           s"txtable: column '$name' already exists at $root")
       }
       var m = m0
       var declared = snapshotAddedCols(fs, rp, prevV)
-        .filter { case (p, _) => liveMap(m0).exists(_._2 == p) }
-      cols.foreach { case (name, dt) =>
+        .filter(c => liveMap(m0).exists(_._2 == c.phys))
+      cols.foreach { case (name, dt, default) =>
         // fresh physical name: never reuse ANY physical (live or
         // tombstoned) — that is the whole point of tombstones
         val phys =
@@ -6785,7 +6940,7 @@ object TxTable {
         require(validColName(phys) && !phys.contains(";"),
           s"txtable: cannot mint a physical name for '$name'")
         m = m :+ (name -> phys)
-        declared = declared :+ (phys -> dt)
+        declared = declared :+ DeclaredCol(phys, dt, default)
       }
       ("addcol", Seq(colMapLine(m), schemaLine(declared)) ++
         snapshotLines(fs, rp, prevV).filterNot(l =>

@@ -793,11 +793,13 @@ case class TxChangesRelation(spark: SparkSession, root: String,
   // commit AT or AFTER the instant, ending = every commit AT or
   // BEFORE it (the lakehouse CDF convention)
   private val fromV = opt("startingVersion")
-    .map(_.trim.toInt).map(s => math.max(0, s - 1))
+    .map(TxTable.resolveRef(spark, root, _)) // int version or tag name
+    .map(s => math.max(0, s - 1))
     .orElse(opt("startingTimestamp").map(ts =>
       TxTable.versionBefore(spark, root, TxTableSource.parseTs(ts))))
     .getOrElse(0)
-  private val toV = opt("endingVersion").map(_.trim.toInt)
+  private val toV = opt("endingVersion")
+    .map(TxTable.resolveRef(spark, root, _))
     .orElse(opt("endingTimestamp").map(ts =>
       TxTable.versionAt(spark, root, TxTableSource.parseTs(ts))))
     .getOrElse(-1)
@@ -971,8 +973,9 @@ class GraftTxTable(tableSchema: StructType, root: String,
     // first commit version INCLUDED in the feed (default 1 = full
     // history); lets a consumer start from "now-ish" instead of
     // replaying a vacuum-bounded backlog
-    val startingVersion =
-      Option(opts.get("startingVersion")).map(_.toInt).getOrElse(1)
+    val startingVersion = Option(opts.get("startingVersion"))
+      .map(TxTable.resolveRef(SparkSession.active, root, _)) // or tag
+      .getOrElse(1)
     require(startingVersion >= 1,
       s"graft-tx streaming: startingVersion must be >= 1, got $startingVersion")
     // micro-batch admission cap, in commit versions (the feed's

@@ -107,4 +107,29 @@ class TagSpec extends SparkSpec {
     TxTable.vacuum(spark, root, retainLast = 1)
     intercept[Exception] { TxTable.read(spark, root, version = 1).count() }
   }
+
+  test("change feed, streaming start and CALL restore accept tag refs") {
+    import spark.implicits._
+    val root = mk(10) // v1: k 1..10
+    TxTable.append(Seq((100L, "v2")).toDF("k", "s"), root) // v2
+    TxTable.tag(spark, root, "cut") // pins v2
+    TxTable.append(Seq((200L, "v3")).toDF("k", "s"), root) // v3
+    // batch change feed FROM the tag: versions 2..3 only
+    val feed = spark.read.format("graft-tx")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "cut").load(root)
+    val keys = feed.select("k").as[Long].collect().toSet
+    assert(keys === Set(100L, 200L))
+    // restore BY REF: CALL system.restore('t', -1, 'cut') → v2 content
+    graft.functions.GraftFunctions.register(spark)
+    spark.sql("DROP TABLE IF EXISTS tag_restore_t")
+    spark.sql(s"CREATE TABLE tag_restore_t USING `graft-tx` " +
+      s"OPTIONS (path '$root')")
+    spark.sql(
+      "CALL spark_catalog.system.restore('tag_restore_t', -1, 'cut')")
+    val t = spark.table("tag_restore_t")
+    assert(t.count() === 11L)
+    assert(t.filter("k = 200").count() === 0L)
+    spark.sql("DROP TABLE tag_restore_t")
+  }
 }
