@@ -399,7 +399,8 @@ class GraftCatalog extends DelegatingCatalogExtension
     // the first load, like the provider's inferSchema contract
     val schema =
       if (!TxTable.exists(spark, root)) base.schema()
-      else TxRelation(spark, root, params).schema
+      else withDefaultMetadata(spark, root, base,
+        TxRelation(spark, root, params).schema, travel)
     val opts = new java.util.HashMap[String, String]()
     params.foreach { case (k, v) => opts.put(k, v) }
     opts.put("provider", "graft-tx")
@@ -419,5 +420,48 @@ class GraftCatalog extends DelegatingCatalogExtension
       else Seq.empty
     new GraftTxCatalogTable(schema, root,
       new CaseInsensitiveStringMap(opts), partCols)
+  }
+
+  /** Column-DEFAULT metadata survives the live-schema re-derivation.
+    * The live schema rebuilds from the table's own commits on every
+    * load, which would silently DROP the `CURRENT_DEFAULT`/
+    * `EXISTS_DEFAULT` StructField metadata a `CREATE TABLE (d INT
+    * DEFAULT 7)` stored in the delegate — after the first commit,
+    * `INSERT INTO t (k)` and `VALUES (.., DEFAULT)` would write NULL
+    * where they wrote 7 before (a found silent-degradation bug). So
+    * the assembled schema re-attaches (a) the delegate's stored
+    * default metadata by column name and (b) the `schema:` header
+    * DEFAULTs of ALTER-added columns (in logical names), making the
+    * INSERT-side default resolution work on both column kinds for
+    * the table's whole life. */
+  private def withDefaultMetadata(spark: SparkSession, root: String,
+    base: Table, live: org.apache.spark.sql.types.StructType,
+    travel: Map[String, String])
+    : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.{MetadataBuilder, StructType}
+    val CurKey = "CURRENT_DEFAULT"
+    val ExKey = "EXISTS_DEFAULT"
+    val baseByName = base.schema().fields.map(f => f.name -> f).toMap
+    val pinned = travel.get("versionAsOf")
+      .map(TxTable.resolveRef(spark, root, _))
+      .orElse(travel.get("timestampAsOf").map(t =>
+        TxTable.versionAt(spark, root, t.toLong)))
+      .getOrElse(-1)
+    val alterDefaults = TxTable.declaredDefaultSql(spark, root, pinned)
+    StructType(live.fields.map { f =>
+      val fromAlter = alterDefaults.get(f.name)
+      val fromBase = baseByName.get(f.name).map(_.metadata)
+        .filter(m => m.contains(CurKey) || m.contains(ExKey))
+      (fromAlter, fromBase) match {
+        case (Some(sql), _) =>
+          f.copy(metadata = new MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putString(CurKey, sql).putString(ExKey, sql).build())
+        case (None, Some(md)) =>
+          f.copy(metadata = new MetadataBuilder()
+            .withMetadata(f.metadata).withMetadata(md).build())
+        case _ => f
+      }
+    })
   }
 }

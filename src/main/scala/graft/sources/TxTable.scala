@@ -480,6 +480,21 @@ object TxTable {
     v: Int): Seq[DeclaredCol] =
     if (v == 0) Seq.empty else liveAddedOf(commitLines(fs, rp, v))
 
+  /** Live ALTER-added DEFAULTs in LOGICAL column names — what the
+    * catalog face re-attaches as CURRENT_DEFAULT/EXISTS_DEFAULT
+    * StructField metadata so INSERT-side default resolution works. */
+  private[sources] def declaredDefaultSql(spark: SparkSession,
+    root: String, version: Int): Map[String, String] = {
+    val (fs, rp) = fsFor(spark, root)
+    val v = if (version >= 0) version else latestVersion(fs, rp)
+    if (v < 1) return Map.empty
+    val lines = commitLines(fs, rp, v)
+    val m = parseColMap(lines)
+    liveAddedOf(lines).collect { case c if c.default.isDefined =>
+      logicalName(m, c.phys) -> c.default.get
+    }.toMap
+  }
+
   /** Fill declared DEFAULT columns a frame's schema lacks — files
     * predating the column read its default on every face, and the
     * maintenance rewrites (compact, optimize, z-order) re-land the

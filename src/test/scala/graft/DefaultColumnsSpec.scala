@@ -78,6 +78,30 @@ class DefaultColumnsSpec extends SparkSpec {
     assert(old.columns.toSeq === Seq("k", "s"))
   }
 
+  test("INSERT-side defaults: omitted columns and the DEFAULT keyword") {
+    // CREATE-time default must survive the first commit — the live
+    // schema re-derives from commits, which used to drop the
+    // CURRENT_DEFAULT metadata (INSERTs silently wrote NULL after v1)
+    val root = tmpDir() + "/dflt_ins"
+    graft.functions.GraftFunctions.register(spark)
+    spark.sql("DROP TABLE IF EXISTS dflt_ins")
+    spark.sql(s"CREATE TABLE dflt_ins (k BIGINT, d INT DEFAULT 7) " +
+      s"USING `graft-tx` OPTIONS (path '$root')")
+    spark.sql("INSERT INTO dflt_ins (k) VALUES (1)") // pre-first-load
+    spark.sql("INSERT INTO dflt_ins VALUES (2, DEFAULT)") // post
+    spark.sql("INSERT INTO dflt_ins (k) VALUES (3)") // post
+    assert(spark.table("dflt_ins").filter("d = 7").count() === 3L)
+    // ALTER-added defaults resolve at INSERT time too
+    spark.sql("ALTER TABLE dflt_ins ADD COLUMNS (z STRING DEFAULT 'zz')")
+    spark.sql("INSERT INTO dflt_ins (k, d) VALUES (4, 1)")
+    spark.sql("INSERT INTO dflt_ins VALUES (5, 2, DEFAULT)")
+    val t = spark.table("dflt_ins")
+    assert(t.filter("k >= 4 AND z = 'zz'").count() === 2L)
+    // pre-ADD rows read the same default via the read-side fill
+    assert(t.filter("k <= 3 AND z = 'zz'").count() === 3L)
+    spark.sql("DROP TABLE dflt_ins")
+  }
+
   test("non-literal or uncastable defaults fail the DDL loudly") {
     mk("dflt_bad")
     intercept[Exception] {
