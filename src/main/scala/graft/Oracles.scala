@@ -3199,7 +3199,21 @@ object Oracles {
         |       FROM o, mx WHERE k % 5 = 0)
         |SELECT k, cust,
         |  CASE WHEN k % 10 = 4 THEN price * 2 ELSE price END price,
-        |  src, bonus FROM t0""".stripMargin)
+        |  src, bonus FROM t0""".stripMargin,
+
+    // the gate's rejected writes (violating INSERT / append) must NOT
+    // appear; the valid load and the post-DROP sentinel must
+    "q_txtable_check" ->
+      """WITH o AS (SELECT o_orderkey k, o_custkey cust,
+        |    cast(cast(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) price
+        |  FROM orders),
+        |mx AS (SELECT max(k) m FROM o)
+        |SELECT k, cust, price FROM o
+        |UNION ALL
+        |SELECT o.k + mx.m, cust, price FROM o, mx WHERE k % 7 = 0
+        |UNION ALL
+        |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+        |  CAST(-1.0 AS DOUBLE)""".stripMargin)
 
   def all: Map[String, String] =
     relational ++ text ++ dedup ++ similarity ++ annMultiProbe ++

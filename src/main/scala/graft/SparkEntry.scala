@@ -271,6 +271,8 @@ object SparkEntry {
       graft.sources.TxTable.replaceGateQuery(s, d)),
     "q_txtable_addcol_default" -> ((s: SparkSession, d: String) =>
       graft.sources.TxTable.addColDefaultGateQuery(s, d)),
+    "q_txtable_check" -> ((s: SparkSession, d: String) =>
+      graft.sources.TxTable.checkConstraintGateQuery(s, d)),
     "q_txtable_bloom" -> ((s: SparkSession, d: String) =>
       graft.sources.TxTable.bloomGateQuery(s, d)),
     "q_bpe_fertility" -> ((s: SparkSession, d: String) =>

@@ -59,6 +59,17 @@ class GraftCatalog extends DelegatingCatalogExtension
   // mixed in); V1 providers never reach here (Spark plans them
   // through the V1 commands). ----
 
+  /** `ALTER TABLE t ADD CONSTRAINT c CHECK (...)` is analysis-gated
+    * on this capability; graft-tx tables store checks as commit
+    * headers and every write face enforces them. */
+  override def capabilities()
+    : java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] = {
+    val caps = new java.util.HashSet(super.capabilities())
+    caps.add(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+    caps
+  }
+
   override def stageCreate(ident: Identifier, info: TableInfo): StagedTable = {
     createTable(ident, info.columns(), info.partitions(),
       info.properties())
@@ -304,8 +315,40 @@ class GraftCatalog extends DelegatingCatalogExtension
     import org.apache.spark.sql.connector.catalog.TableChange
     def isSchemaChange(c: TableChange): Boolean =
       c.isInstanceOf[TableChange.ColumnChange]
+    def isConstraintChange(c: TableChange): Boolean =
+      c.isInstanceOf[TableChange.AddConstraint] ||
+        c.isInstanceOf[TableChange.DropConstraint]
     val t = super.loadTable(ident)
     rootOfProps(t.properties()) match {
+      // ALTER TABLE ADD/DROP CONSTRAINT on a graft-tx table: a CHECK
+      // lands as ONE `check:` metadata commit (existing rows validated
+      // first); the write faces enforce it from then on. Non-CHECK
+      // constraint kinds (UNIQUE/PK/FK) fail loudly — the format has
+      // no metadata to make them true.
+      case Some(root) if changes.exists(isConstraintChange) &&
+        TxTable.exists(SparkSession.active, root) =>
+        val spark = SparkSession.active
+        require(changes.forall(isConstraintChange),
+          "graft-tx: cannot mix constraint changes with other ALTER " +
+            "TABLE changes in one statement")
+        changes.foreach {
+          case a: TableChange.AddConstraint => a.constraint() match {
+            case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+              TxTable.addCheckConstraint(spark, root, c.name(),
+                c.predicateSql())
+            case other =>
+              throw new UnsupportedOperationException(
+                s"graft-tx: only CHECK constraints are supported, got " +
+                  s"${other.toDDL}")
+          }
+          case d: TableChange.DropConstraint =>
+            if (d.ifExists() &&
+              !TxTable.checkConstraints(spark, root)
+                .exists(_._1 == d.name())) ()
+            else TxTable.dropCheckConstraint(spark, root, d.name())
+          case _ => () // unreachable: all-constraint validated above
+        }
+        loadTable(ident)
       case Some(root) if changes.exists(isSchemaChange) &&
         TxTable.exists(SparkSession.active, root) =>
         val spark = SparkSession.active

@@ -1258,17 +1258,33 @@ object TxTable {
     skipIf: Int => Boolean = _ => false): Int = {
     val spark = df.sparkSession
     val (fs, rp) = fsFor(spark, root)
+    // persistent CHECK constraints gate EVERY write face (append,
+    // overwrite, streaming epochs) with ZERO extra scan: the guard
+    // observes violation counts during the write action itself, and
+    // the verifier runs BEFORE the commit claim — a violating batch
+    // never becomes a version, only a deleted staging dir. A frame
+    // that cannot evaluate a constraint (a schema-replacing overwrite
+    // against a constraint on a dropped column) fails analysis loudly
+    // — DROP CONSTRAINT first, never silently skip.
+    val v0 = latestVersion(spark, root)
+    val (guarded, verifyChecks) =
+      checkGuard(df, checkConstraints(spark, root, v0))
     // appends translate logical→physical under a column mapping
     // (widening extends the map); an overwrite replaces all content
     // with the caller's logical frame, so its files are born logical
     // and the mapping resets
-    val m0 = snapshotColMap(fs, rp, latestVersion(spark, root))
+    val m0 = snapshotColMap(fs, rp, v0)
     val (physDf, extMap) =
-      if (keepPrev) toPhysicalFrame(df, m0) else (df, None)
+      if (keepPrev) toPhysicalFrame(guarded, m0) else (guarded, None)
     val physStats =
       if (keepPrev) statsCols.map(physName(m0, _)) else statsCols
     val dirName = s"data/$op-${java.util.UUID.randomUUID()}"
     physDf.write.mode("overwrite").parquet(new Path(rp, dirName).toString)
+    try verifyChecks() catch {
+      case t: Throwable =>
+        fs.delete(new Path(rp, dirName), true)
+        throw t
+    }
     val entry = statsEntry(spark, rp, dirName, physStats)
     commitRetry(spark, root) { prevV =>
       // a concurrent writer may have landed this same micro-batch
@@ -1526,9 +1542,15 @@ object TxTable {
           }
         }
       }
+      // persistent CHECK constraints carry like the column mapping:
+      // every commit keeps them unless it declares its own set (a
+      // bare `check:` line is the explicit drop-to-zero)
+      val checksCarried =
+        if (lines.exists(_.startsWith("check:"))) Seq.empty
+        else checkLines(fs, rp, prevV)
       val (packedLines, staged) = packEntryLines(fs, rp, prevV,
         mapCarried ++ schemaCarried ++ ndvCarried ++ histCarried ++
-          lines ++ carried,
+          checksCarried ++ lines ++ carried,
         rollover)
       stagedManifests = staged
       val body = (s"op:$op" +: packedLines).mkString("\n")
@@ -2975,9 +2997,14 @@ object TxTable {
     }
     val partIsStr: Seq[Boolean] = partKind.map(_ == 's')
     // logical→physical translation under a column mapping, exactly
-    // like plain append (widening extends the map)
-    val m0 = snapshotColMap(fs, rp, latestVersion(spark, root))
-    val (physDf0, extMap) = toPhysicalFrame(df, m0)
+    // like plain append (widening extends the map); the CHECK guard
+    // wraps the LOGICAL frame (constraints speak logical names) and
+    // its counts ride the same single pass as the partitioned write
+    val v0 = latestVersion(spark, root)
+    val (guarded, verifyChecks) =
+      checkGuard(df, checkConstraints(spark, root, v0))
+    val m0 = snapshotColMap(fs, rp, v0)
+    val (physDf0, extMap) = toPhysicalFrame(guarded, m0)
     val effMap = extMap.orElse(m0)
     val physParts = partCols.map(physName(effMap, _))
     val helpers = partCols.indices.map(i => s"_graft_part$i")
@@ -3019,6 +3046,7 @@ object TxTable {
           d.withColumn(h, helperExpr(p, kind))
         }.repartition(helpers.map(col): _*)
         .write.partitionBy(helpers: _*).mode("overwrite").parquet(basePath)
+      verifyChecks()
     } catch {
       case t: Throwable =>
         fs.delete(new Path(rp, baseDir), true)
@@ -3372,6 +3400,15 @@ object TxTable {
         case _ => true
       })
     if (!proven) return rewriteFallback()
+    // CHECK constraints gate the streaming promote path too: a
+    // column-pruned read-back of the epoch's staged files (the data
+    // is already parquet on disk — the minimal possible validation;
+    // the rewrite fallback above inherits the in-write guard). The
+    // fast path requires an identity colmap, so the files' names ARE
+    // the logical names the predicates speak.
+    val epochChecks = checkConstraints(spark, root)
+    if (epochChecks.nonEmpty)
+      enforceChecksNow(spark.read.parquet(stagedFiles: _*), epochChecks)
     val baseDir = s"data/append-${java.util.UUID.randomUUID()}"
     val entries = promotePartEntries(fs, rp, baseDir, partCols, statsCols,
       keyed.map { case (f, sf, t) => (f, sf, t.get) })
@@ -4612,6 +4649,61 @@ object TxTable {
       spark.sql(s"UPDATE $tbl SET price = price * 2 WHERE k % 10 = 4")
       spark.sql(s"CALL spark_catalog.system.optimize_compact('$tbl')")
       spark.sql(s"SELECT k, cust, price, src, bonus FROM $tbl")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.catalog.dropTempView(srcv)
+      ()
+    }
+  }
+
+  /** Oracle-gated CHECK-constraint exercise (q_txtable_check): a
+    * table under `ALTER TABLE ADD CONSTRAINT price_pos CHECK (...)`
+    * rejects a violating SQL INSERT (Spark's own CheckInvariant — the
+    * catalog face reports the constraint ENFORCED) AND a violating
+    * raw-API append (the in-write observe guard), accepts a valid
+    * load, then `DROP CONSTRAINT` re-permits a sentinel negative row.
+    * The DuckDB oracle replays only the writes that should have
+    * landed — hash equality proves both rejections actually rejected
+    * (a leaked batch changes the row set) and both accepts landed. */
+  def checkConstraintGateQuery(spark: SparkSession, dir: String)
+    : DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val root = scratchRoot("graft-chkgate", dir)
+    val tbl = "graft_chk_gate"
+    val srcv = tbl + "_src"
+    val o = graft.Tables.orders(spark, dir).select(
+      col("o_orderkey").as("k"), col("o_custkey").as("cust"),
+      col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"))
+    val b = o.agg(max("k")).collect()(0)
+    if (b.isNullAt(0)) return o.filter(lit(false))
+    val maxK = b.getLong(0)
+    append(o, root, statsCols = Seq("k"))
+    o.createOrReplaceTempView(srcv)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl USING `graft-tx` OPTIONS (path '$root')")
+    try {
+      spark.sql(s"ALTER TABLE $tbl ADD CONSTRAINT price_pos " +
+        "CHECK (price > 0)")
+      // violating SQL INSERT: must reject, table unchanged
+      val sqlRejected =
+        try { spark.sql(s"INSERT INTO $tbl VALUES (-100, -1, -5.0)"); false }
+        catch { case _: Exception => true }
+      require(sqlRejected, "txtable: CHECK gate - violating INSERT landed")
+      // valid SQL load lands
+      spark.sql(s"INSERT INTO $tbl SELECT k + $maxK, cust, price " +
+        s"FROM $srcv WHERE k % 7 = 0")
+      // violating raw-API append: the write-face guard must reject
+      import spark.implicits._
+      val apiRejected =
+        try {
+          append(Seq((-200L, -1L, -9.0)).toDF("k", "cust", "price"), root)
+          false
+        } catch { case _: IllegalArgumentException => true }
+      require(apiRejected, "txtable: CHECK gate - violating append landed")
+      // DROP re-permits: the sentinel row is IN the oracle's answer
+      spark.sql(s"ALTER TABLE $tbl DROP CONSTRAINT price_pos")
+      spark.sql(s"INSERT INTO $tbl VALUES (-1, -1, -1.0)")
+      spark.sql(s"SELECT k, cust, price FROM $tbl")
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
       spark.catalog.dropTempView(srcv)
@@ -6150,6 +6242,132 @@ object TxTable {
     * when unmapped) for the V2 faces. */
   private[sources] def physNameOf(m: Option[Seq[(String, String)]],
     logical: String): String = physName(m, logical)
+
+  // ---- Persistent CHECK constraints: `check:name=predicateSql`
+  // commit-header lines (one per constraint; the sql is the LAST
+  // field, so it may contain '=' but never a newline). They carry
+  // across every commit like the column mapping; a bare `check:` line
+  // is the explicit drop-to-zero. The SQL face (`ALTER TABLE t ADD
+  // CONSTRAINT c CHECK (...)`) lands here via GraftCatalog.alterTable,
+  // the catalog table reports them as enforced v2 Check constraints
+  // (Spark's own ResolveTableConstraints then adds the CheckInvariant
+  // to every catalog-face write), and the raw API write faces enforce
+  // them in writeAndCommit so no face can smuggle in a violating
+  // snapshot. ----
+
+  private def checkLines(fs: FileSystem, rp: Path, v: Int): Seq[String] =
+    if (v == 0) Seq.empty
+    else commitLines(fs, rp, v)
+      .filter(l => l.startsWith("check:") && l.length > 6)
+
+  /** The table's persistent CHECK constraints, (name, predicateSql). */
+  def checkConstraints(spark: SparkSession, root: String,
+    version: Int = -1): Seq[(String, String)] = {
+    val (fs, rp) = fsFor(spark, root)
+    val v = if (version >= 0) version else latestVersion(fs, rp)
+    checkLines(fs, rp, v).map { l =>
+      val body = l.drop(6)
+      val i = body.indexOf('=')
+      (body.substring(0, i), body.substring(i + 1))
+    }
+  }
+
+  /** Arms the write-face CHECK gate: wraps `df` in an `observe` node
+    * whose per-constraint violation counts are computed DURING the
+    * write action itself (no second scan of the batch's upstream
+    * pipeline — at warehouse scale a pre-validation pass would double
+    * the input cost), and returns the verifier the caller runs after
+    * the action and BEFORE the commit claim. A violating batch never
+    * becomes a version; the caller deletes its staging dir. `IS
+    * FALSE` counts violations, so NULL evaluations pass — the SQL
+    * CHECK convention. */
+  private def checkGuard(df: DataFrame,
+    checks: Seq[(String, String)]): (DataFrame, () => Unit) =
+    if (checks.isEmpty) (df, () => ())
+    else {
+      val obs = org.apache.spark.sql.Observation(
+        "graft_checks_" + java.util.UUID.randomUUID().toString.take(8))
+      val aggs = checks.zipWithIndex.map { case ((_, sql), i) =>
+        sum(when(expr(s"($sql) IS FALSE"), 1L).otherwise(0L)).as(s"v$i") }
+      val wrapped = df.observe(obs, aggs.head, aggs.tail: _*)
+      val verify = () => {
+        val m = obs.get
+        checks.zipWithIndex.foreach { case ((n, sql), i) =>
+          val viol = m.get(s"v$i") match {
+            case Some(l: java.lang.Long) => l.longValue()
+            case _ => 0L // zero-row batch: the sum aggregates to NULL
+          }
+          require(viol == 0L,
+            s"txtable: CHECK constraint '$n' violated by $viol rows " +
+              s"(($sql)); batch rejected, table unchanged")
+        }
+      }
+      (wrapped, verify)
+    }
+
+  /** Immediate CHECK validation for paths whose data is ALREADY on
+    * disk as parquet (the streaming promote path): one column-pruned
+    * aggregate over the staged files — reads only the constraint's
+    * referenced columns, bounded by the epoch. */
+  private def enforceChecksNow(df: DataFrame,
+    checks: Seq[(String, String)]): Unit =
+    if (checks.nonEmpty) {
+      val aggs = checks.zipWithIndex.map { case ((_, sql), i) =>
+        sum(when(expr(s"($sql) IS FALSE"), 1L).otherwise(0L)).as(s"v$i") }
+      val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+      checks.zipWithIndex.foreach { case ((n, sql), i) =>
+        require(r.isNullAt(i) || r.getLong(i) == 0L,
+          s"txtable: CHECK constraint '$n' violated by ${r.getLong(i)} " +
+            s"rows (($sql)); batch rejected, table unchanged")
+      }
+    }
+
+  /** Add a named CHECK constraint: validates the predicate analyzes
+    * over the live schema AND that no existing row violates it (one
+    * aggregate; `IS FALSE` — NULL evaluations pass, the SQL CHECK
+    * convention), then lands ONE metadata commit. */
+  def addCheckConstraint(spark: SparkSession, root: String,
+    name: String, predicateSql: String): Int = {
+    require(name.nonEmpty && name.head.isLetter &&
+      name.forall(c => c.isLetterOrDigit || c == '_'),
+      s"txtable: constraint name must match [A-Za-z][A-Za-z0-9_]*, " +
+        s"got '$name'")
+    require(!predicateSql.contains("\n") && !predicateSql.contains("\r") &&
+      predicateSql.nonEmpty,
+      s"txtable: CHECK predicate must be one line, got '$predicateSql'")
+    val (fs, rp) = fsFor(spark, root)
+    // existing rows must satisfy the constraint NOW — a violating
+    // table must refuse the DDL, not fail every later write
+    val violations = read(spark, root)
+      .filter(s"($predicateSql) IS FALSE").count()
+    require(violations == 0L,
+      s"txtable: cannot add CHECK '$name' - $violations existing rows " +
+        s"violate ($predicateSql)")
+    commitRetry(spark, root) { prevV =>
+      require(prevV > 0, s"txtable: nothing to alter at $root")
+      val existing = checkLines(fs, rp, prevV)
+      require(!existing.exists(_.startsWith(s"check:$name=")),
+        s"txtable: constraint '$name' already exists at $root")
+      ("addcheck",
+        (existing :+ s"check:$name=$predicateSql") ++
+          snapshotLines(fs, rp, prevV))
+    }
+  }
+
+  /** Drop a named CHECK constraint (one metadata commit). */
+  def dropCheckConstraint(spark: SparkSession, root: String,
+    name: String): Int = {
+    val (fs, rp) = fsFor(spark, root)
+    commitRetry(spark, root) { prevV =>
+      val existing = checkLines(fs, rp, prevV)
+      require(existing.exists(_.startsWith(s"check:$name=")),
+        s"txtable: no CHECK constraint '$name' at $root")
+      val remaining = existing.filterNot(_.startsWith(s"check:$name="))
+      ("dropcheck",
+        (if (remaining.isEmpty) Seq("check:") else remaining) ++
+          snapshotLines(fs, rp, prevV))
+    }
+  }
 
   /** Write-time constraints — the warehouse's data-quality gate AT THE
     * COMMIT BOUNDARY: validate `df` (NOT NULL columns, unique keys —

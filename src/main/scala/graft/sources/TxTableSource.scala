@@ -1253,6 +1253,20 @@ class GraftTxCatalogTable(tableSchema: StructType, root: String,
     caps
   }
 
+  /** Persistent CHECK constraints (commit `check:` headers) reported
+    * as ENFORCED v2 constraints — Spark's ResolveTableConstraints
+    * plants the CheckInvariant on every catalog-face write, so a
+    * violating INSERT/UPDATE/MERGE fails before graft's own
+    * write-face enforcement even runs. */
+  override def constraints()
+    : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    TxTable.checkConstraints(SparkSession.active, root).map {
+      case (n, sql) =>
+        org.apache.spark.sql.connector.catalog.constraints.Constraint
+          .check(n).predicateSql(sql).enforced(true).build()
+          : org.apache.spark.sql.connector.catalog.constraints.Constraint
+    }.toArray
+
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     new TxCatalogScanBuilder(root, tableSchema,
       TxTableSource.paramsOf(options) ++ TxTableSource.paramsOf(opts))
