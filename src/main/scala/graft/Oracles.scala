@@ -562,6 +562,16 @@ object Oracles {
       """SELECT o_orderkey, o_custkey, c_nationkey
         |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
 
+    // HASH-BUCKETED storage-partitioned join (bucketSpjGateQuery):
+    // both sides murmur3-bucketed 16 ways on the raw custkey (a
+    // high-cardinality key identity partitioning cannot co-locate);
+    // the gate itself requires zero Exchange, so the oracle is the
+    // plain equi-join — hash equality proves the bucket routing
+    // loses and invents no rows
+    "q_txtable_bucket_spj" ->
+      """SELECT o_orderkey, o_custkey, c_nationkey
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
     // composite-key storage-partitioned join (TxTable.spj2GateQuery):
     // both sides clustered on (custkey%8, custkey%3); the bucket-key
     // equalities are implied by the custkey equality, so the oracle

@@ -148,6 +148,8 @@ object SparkEntry {
     "q_txtable_part_counts_str" ->
       (graft.sources.TxTable.partCountsStrGateQuery _),
     "q_txtable_spj" -> (graft.sources.TxTable.spjGateQuery _),
+    "q_txtable_bucket_spj" ->
+      (graft.sources.TxTable.bucketSpjGateQuery _),
     "q_txtable_spj2" -> (graft.sources.TxTable.spj2GateQuery _),
     "q_txtable_spj_str" -> (graft.sources.TxTable.spjStrGateQuery _),
     "q_txtable_spj_str_range" ->

@@ -70,6 +70,18 @@ class GraftCatalog extends DelegatingCatalogExtension
     caps
   }
 
+  /** The FunctionCatalog face: serves graft's `bucket` V2 function
+    * (empty namespace — exactly the identifier Catalyst's SPJ
+    * planner resolves transform functions with) so a bucketed scan's
+    * `KeyGroupedPartitioning(bucket(n, c))` binds, compares across
+    * join sides, and can be EVALUATED to shuffle a non-bucketed side
+    * into the bucketed layout. Everything else delegates. */
+  override def loadFunction(ident: Identifier)
+    : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.namespace().isEmpty &&
+      ident.name().equalsIgnoreCase("bucket")) GraftBucketFunction
+    else super.loadFunction(ident)
+
   override def stageCreate(ident: Identifier, info: TableInfo): StagedTable = {
     createTable(ident, info.columns(), info.partitions(),
       info.properties())
@@ -461,8 +473,14 @@ class GraftCatalog extends DelegatingCatalogExtension
       else if (TxTable.exists(spark, root))
         TxTable.layoutPartCols(spark, root)
       else Seq.empty
+    // a hash-bucketed layout (appendBucketedBy) reports its
+    // bucket(n, c) transform so the scans serve the bucketed SPJ face
+    val bucketSpec =
+      if (partCols.isEmpty && TxTable.exists(spark, root))
+        TxTable.bucketSpecOf(spark, root)
+      else None
     new GraftTxCatalogTable(schema, root,
-      new CaseInsensitiveStringMap(opts), partCols)
+      new CaseInsensitiveStringMap(opts), partCols, bucketSpec)
   }
 
   /** Column-DEFAULT metadata survives the live-schema re-derivation.

@@ -1232,6 +1232,38 @@ object TxTable {
       catch { case _: java.io.IOException => 0L }
     }.sum
   private val bytesKey = "_bytes"
+  // Per-dir HASH-BUCKET id (`|_bucket=id:id`): minted only by
+  // [[appendBucketedBy]], whose commits also declare the table-level
+  // `bucketby:<physCol>,<n>` header. Reserved in the stats grammar
+  // (requireStatsGrammarSafe) so no user column can forge it.
+  private val bucketStatKey = "_bucket"
+
+  /** The snapshot's declared hash-bucket layout, `(physicalCol,
+    * numBuckets)` — present iff the head commit carries a `bucketby:`
+    * header (every [[appendBucketedBy]] re-asserts it; content writes
+    * that break the clustering strip it). */
+  private def bucketSpecAt(fs: FileSystem, rp: Path, v: Int)
+    : Option[(String, Int)] =
+    if (v <= 0) None
+    else commitLines(fs, rp, v).collectFirst {
+      case l if l.startsWith("bucketby:") && l.length > 9 =>
+        val body = l.drop(9)
+        val i = body.lastIndexOf(',')
+        (body.substring(0, i), body.substring(i + 1).toInt)
+    }
+
+  /** Bucket layout of `root` in LOGICAL column terms (None when the
+    * snapshot is not bucket-declared). */
+  def bucketSpecOf(spark: SparkSession, root: String,
+    version: Int = -1): Option[(String, Int)] = {
+    val (fs, rp) = fsFor(spark, root)
+    val v = if (version >= 0) version else latestVersion(fs, rp)
+    bucketSpecAt(fs, rp, v).map { case (phys, n) =>
+      val m = snapshotColMap(fs, rp, v)
+      (m.flatMap(_.collectFirst { case (l, p) if p == phys => l })
+        .getOrElse(phys), n)
+    }
+  }
 
   /** Metadata-only on-disk size of snapshot `v` — the sum of per-dir
     * `_bytes` stats. None when any entry predates byte recording. */
@@ -1267,6 +1299,16 @@ object TxTable {
     // against a constraint on a dropped column) fails analysis loudly
     // — DROP CONSTRAINT first, never silently skip.
     val v0 = latestVersion(spark, root)
+    // a plain append onto a hash-bucketed layout would silently break
+    // the clustering contract every bucketed SPJ trusts — refuse
+    // loudly (an overwrite REPLACES content, so it may reset the
+    // layout; its commit carries no prior headers anyway)
+    if (keepPrev) bucketSpecAt(fs, rp, v0).foreach { case (c, n) =>
+      throw new IllegalStateException(
+        s"txtable: $root is bucket-clustered (bucketby:$c,$n); a " +
+          "plain append would break the layout - appendBucketedBy " +
+          "maintains it, overwrite replaces it")
+    }
     val (guarded, verifyChecks) =
       checkGuard(df, checkConstraints(spark, root, v0))
     // appends translate logical→physical under a column mapping
@@ -1299,6 +1341,14 @@ object TxTable {
       // validation and the claim can't smuggle in a violating snapshot
       preCommitCheck(prevV)
       val prev0 = if (keepPrev) snapshotLines(fs, rp, prevV) else Seq.empty
+      // re-check at the claim parent: a concurrent writer may have
+      // bucket-clustered the table between validation and the claim
+      if (prev0.exists(_.startsWith("bucketby:"))) {
+        fs.delete(new Path(rp, dirName), true)
+        throw new IllegalStateException(
+          s"txtable: $root became bucket-clustered concurrently; " +
+            "plain appends would break the layout")
+      }
       val prev =
         if (extMap.isDefined) prev0.filterNot(_.startsWith("colmap:"))
         else prev0
@@ -1325,6 +1375,11 @@ object TxTable {
         case Seq() => Seq.empty
         case cs => Seq(s"statscol:${cs.mkString(",")}")
       }) ++
+      // the bucket-layout declaration rides metadata-only commits
+      // (checks, tags, analyze) untouched; the content writers that
+      // BREAK the clustering strip it from their own commit instead
+      bucketSpecAt(fs, rp, v)
+        .map { case (c, n) => s"bucketby:$c,$n" }.toSeq ++
       snapshotColMap(fs, rp, v).map(colMapLine).toSeq ++
       rawEntryLines(fs, rp, v)
 
@@ -2552,6 +2607,13 @@ object TxTable {
           if (prevV == 0) bootstrapStatsCols
           else snapshotKeys(fs, rp, prevV).getOrElse(Seq.empty) ++
             snapshotStatsCols(fs, rp, prevV)
+        if (bucketSpecAt(fs, rp, prevV).isDefined) {
+          fs.delete(dirPath, true)
+          throw new IllegalStateException(
+            s"txtable: $root is bucket-clustered; INSERT INTO would " +
+              "break the layout - appendBucketedBy maintains it, " +
+              "INSERT OVERWRITE replaces it")
+        }
         val entry = statsEntry(spark, rp, dirName, statsCols.distinct)
         ("append",
           (if (prevV == 0) bootstrapHdr(statsCols.distinct)
@@ -2956,6 +3018,188 @@ object TxTable {
     partCols: Seq[String], statsCols: Seq[String] = Seq.empty): Int =
     appendPartitionedTagged(df, root, partCols, statsCols, None, _ => false)
 
+  /** Append `df` HASH-BUCKET-clustered on `bucketCol` into
+    * `numBuckets` buckets: ONE pass over the data (hive-style
+    * dynamic partitionBy on the derived bucket id), one dir per
+    * bucket, each dir's entry carrying the reserved `_bucket` stat
+    * that proves its id plus per-dir range/null/NDV stats on
+    * `statsCols`. The commit declares `bucketby:<physCol>,<n>`;
+    * later bucketed appends must match it, and every
+    * layout-breaking write face refuses loudly instead of silently
+    * degrading the clustering. WHY at warehouse scale: identity
+    * partitioning cannot co-locate a HIGH-CARDINALITY join key (one
+    * dir per distinct value), but two tables bucketed the same way
+    * join with ZERO shuffle through the catalog face's
+    * `bucket(n, col)` KeyGroupedPartitioning — the DSv2
+    * re-expression of the reference warehouse's bucketed
+    * same-partitioner joins (ref: src/mapred/org/apache/hadoop/
+    * mapred/join/CompositeInputFormat.java:1 — its "same
+    * partitioner, same number of partitions" contract). The bucket
+    * id is `pmod(hash(col), n)` — Spark's own Murmur3 `hash()` —
+    * the SAME computation [[GraftBucketFunction]] binds for the SPJ
+    * face, so write routing and read reporting cannot disagree. */
+  def appendBucketedBy(df: DataFrame, root: String, bucketCol: String,
+    numBuckets: Int, statsCols: Seq[String] = Seq.empty): Int = {
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    val (fs, rp) = fsFor(spark, root)
+    require(numBuckets >= 2 && numBuckets <= (1 << 20),
+      s"txtable: numBuckets must be in [2, 1048576], got $numBuckets")
+    statsCols.foreach(requireStatsGrammarSafe)
+    requireStatsGrammarSafe(bucketCol)
+    val dtB = df.schema.find(_.name == bucketCol).map(_.dataType)
+      .getOrElse(throw new IllegalArgumentException(
+        s"txtable: no bucket column '$bucketCol' in the frame"))
+    require(Seq[DataType](LongType, IntegerType, ShortType, DateType,
+      StringType).contains(dtB),
+      s"txtable: bucket column must be integral, date or string, " +
+        s"got $dtB")
+    val v0 = latestVersion(spark, root)
+    val (guarded, verifyChecks) =
+      checkGuard(df, checkConstraints(spark, root, v0))
+    val m0 = snapshotColMap(fs, rp, v0)
+    val (physDf0, extMap) = toPhysicalFrame(guarded, m0)
+    val effMap = extMap.orElse(m0)
+    val physB = physName(effMap, bucketCol)
+    // the layout contract: match the declared spec exactly, or be the
+    // table's first content — a bucketed append onto unbucketed live
+    // content would leave a mixed layout no proof can serve
+    def requireCompat(v: Int): Unit = bucketSpecAt(fs, rp, v) match {
+      case Some((c, n)) => require(c == physB && n == numBuckets,
+        s"txtable: $root is bucketed as bucketby:$c,$n - an append " +
+          s"bucketed by $physB,$numBuckets does not match")
+      case None =>
+        val live = v > 0 && snapshotEntries(fs, rp, v)
+          .exists(e => e.stats.get(rowsKey).forall(_._1 > 0))
+        require(!live,
+          s"txtable: $root has unbucketed content; a bucketed append " +
+            "would leave a mixed layout - overwrite first, then " +
+            "appendBucketedBy")
+    }
+    requireCompat(v0)
+    val helper = "_graft_bkt"
+    val baseDir = s"data/append-${java.util.UUID.randomUUID()}"
+    val basePath = new Path(rp, baseDir).toString
+    try {
+      // the repartition clusters each bucket's rows into one task →
+      // one file per bucket per append, whatever the task count
+      physDf0
+        .withColumn(helper,
+          pmod(hash(col(physB)), lit(numBuckets)).cast("long"))
+        .repartition(col(helper))
+        .write.partitionBy(helper).mode("overwrite").parquet(basePath)
+      verifyChecks()
+    } catch {
+      case t: Throwable =>
+        fs.delete(new Path(rp, baseDir), true)
+        throw t
+    }
+    // per-bucket stats in ONE aggregate over the written layout; the
+    // real columns stayed IN the files (the helper was a copy of the
+    // derived id), so later reads serve full rows per dir. A DateType
+    // bucket column is excluded from the NDV sketch (sketch input
+    // must be int/long/string); statsCols sketches mirror the
+    // partitioned write path
+    def typed(pred: DataType => Boolean) =
+      statsCols.distinct.filter(c =>
+        df.schema.find(_.name == c).map(_.dataType).exists(pred))
+        .map(physName(effMap, _))
+    val integral = typed {
+      case LongType | IntegerType | ShortType => true
+      case _ => false
+    }
+    val strings = typed(_ == StringType)
+    val hllCols =
+      ((if (dtB == DateType) Seq.empty else Seq(physB)) ++
+        integral ++ strings).distinct
+    val aggs = count(lit(1)) +:
+      (integral.flatMap(c =>
+        Seq(min(col(c)).cast("long"), max(col(c)).cast("long"))) ++
+        integral.map(c =>
+          sum(when(col(c).isNull, 1L).otherwise(0L)).cast("long")) ++
+        strings.flatMap(c => Seq(min(col(c)), max(col(c)))) ++
+        strings.map(c =>
+          sum(when(col(c).isNull, 1L).otherwise(0L)).cast("long")) ++
+        hllCols.map(c => hll_sketch_agg(col(c), hllLgK)))
+    val g = 1
+    val nBase = g + 1 + 3 * integral.length
+    val strNullBase = nBase + 2 * strings.length
+    val hllBase = strNullBase + strings.length
+    val statRows = spark.read.parquet(basePath)
+      .groupBy(col(helper).cast("long").as(helper))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect() // bucket-cardinality readback (<= numBuckets rows)
+      .map { r =>
+        val sNulls = strings.zipWithIndex.map { case (c, i) =>
+          val j = strNullBase + i
+          val n = if (r.isNullAt(j)) 0L else r.getLong(j)
+          s"$nullsPrefix$c" -> (n, n)
+        }
+        val sBounds = strings.zipWithIndex.flatMap { case (c, i) =>
+          if (r.isNullAt(nBase + 2 * i)) None
+          else strStatBounds(r.getString(nBase + 2 * i),
+            r.getString(nBase + 2 * i + 1)).map(c -> _)
+        }.toMap
+        val hBlobs = hllCols.zipWithIndex.flatMap { case (c, i) =>
+          if (r.isNullAt(hllBase + i)) None
+          else Some(c -> java.util.Base64.getEncoder.encodeToString(
+            r.getAs[Array[Byte]](hllBase + i)))
+        }.toMap
+        r.getLong(0) -> ((Map(rowsKey -> (r.getLong(g), r.getLong(g))) ++
+          integral.zipWithIndex.flatMap { case (c, i) =>
+            if (r.isNullAt(g + 1 + 2 * i)) None
+            else Some(c -> (r.getLong(g + 1 + 2 * i),
+              r.getLong(g + 2 + 2 * i)))
+          } ++
+          integral.zipWithIndex.map { case (c, i) =>
+            val j = g + 1 + 2 * integral.length + i
+            val n = if (r.isNullAt(j)) 0L else r.getLong(j)
+            s"$nullsPrefix$c" -> (n, n)
+          } ++ sNulls,
+          sBounds, hBlobs))
+      }.toMap
+    if (statRows.isEmpty) {
+      fs.delete(new Path(rp, baseDir), true)
+      throw new IllegalArgumentException(
+        "txtable: bucketed append of empty frame")
+    }
+    val ids = statRows.keys.toSeq.sorted
+    def dirNameOf(id: Long) = s"$baseDir/$helper=$id"
+    val spilled = spillHstatsAll(fs, rp,
+      ids.map(id => dirNameOf(id) -> statRows(id)._3),
+      hllInlineMax(spark))
+    val entries = ids.map { id =>
+      val dirName = dirNameOf(id)
+      val (nStats, sBounds, _) = statRows(id)
+      val bytes = fs.getContentSummary(new Path(rp, dirName)).getLength -
+        sidecarBytes(fs, rp, dirName, spilled(dirName))
+      Entry(isDelta = false, dirName,
+        nStats + (bucketStatKey -> (id, id)) +
+          (bytesKey -> (bytes, bytes)),
+        sBounds, Map.empty, spilled(dirName))
+    }
+    try commitRetry(spark, root) { prevV =>
+      requireCompat(prevV)
+      val prev0 = snapshotLines(fs, rp, prevV)
+        .filterNot(_.startsWith("bucketby:"))
+      val prev =
+        if (extMap.isDefined) prev0.filterNot(_.startsWith("colmap:"))
+        else prev0
+      val physStats = (integral ++ strings).distinct
+      val statsHdr =
+        if (prev.exists(_.startsWith("statscol:")) || physStats.isEmpty)
+          None
+        else Some(s"statscol:${physStats.mkString(",")}")
+      ("append", Seq(s"bucketby:$physB,$numBuckets") ++
+        statsHdr.toSeq ++ extMap.map(colMapLine).toSeq ++
+        prev ++ entries.map(_.line))
+    } catch {
+      case t: Throwable =>
+        fs.delete(new Path(rp, baseDir), true)
+        throw t
+    }
+  }
+
   /** [[appendPartitionedBy]] with streaming replay protection: the
     * commit carries `batchTag` and `skipIf` recognizes an epoch another
     * writer already folded (the appendBatch contract, partitioned). */
@@ -3001,6 +3245,14 @@ object TxTable {
     // wraps the LOGICAL frame (constraints speak logical names) and
     // its counts ride the same single pass as the partitioned write
     val v0 = latestVersion(spark, root)
+    // value-partitioned appends break a hash-bucketed layout exactly
+    // like plain appends do — refuse loudly
+    bucketSpecAt(fs, rp, v0).foreach { case (c, n) =>
+      throw new IllegalStateException(
+        s"txtable: $root is bucket-clustered (bucketby:$c,$n); a " +
+          "value-partitioned append would break the layout - " +
+          "appendBucketedBy maintains it, overwrite replaces it")
+    }
     val (guarded, verifyChecks) =
       checkGuard(df, checkConstraints(spark, root, v0))
     val m0 = snapshotColMap(fs, rp, v0)
@@ -3240,6 +3492,12 @@ object TxTable {
       }
       preCommit(prevV)
       val prev0 = snapshotLines(fs, rp, prevV)
+      if (prev0.exists(_.startsWith("bucketby:"))) {
+        fs.delete(new Path(rp, baseDir), true)
+        throw new IllegalStateException(
+          s"txtable: $root became bucket-clustered concurrently; " +
+            "value-partitioned appends would break the layout")
+      }
       val prev =
         if (extMap.isDefined) prev0.filterNot(_.startsWith("colmap:"))
         else prev0
@@ -3419,6 +3677,12 @@ object TxTable {
       }
       preCommit(prevV)
       val prev = snapshotLines(fs, rp, prevV)
+      if (prev.exists(_.startsWith("bucketby:"))) {
+        fs.delete(new Path(rp, baseDir), true)
+        throw new IllegalStateException(
+          s"txtable: $root is bucket-clustered; a partitioned " +
+            "streaming append would break the layout")
+      }
       val statsHdr =
         if (prev.exists(_.startsWith("statscol:"))) None
         else Some(s"statscol:${(partCols ++ statsCols).mkString(",")}")
@@ -3527,6 +3791,9 @@ object TxTable {
     val v = if (version >= 0) version else latestVersion(fs, rp)
     if (v == 0) return Seq.empty
     if (snapshotKeys(fs, rp, v).isDefined) return Seq.empty
+    // a hash-bucketed layout's `_graft_bkt=<id>` dirs are NOT value
+    // partitions — the bucket face reports them, not this one
+    if (bucketSpecAt(fs, rp, v).isDefined) return Seq.empty
     val entries = snapshotEntries(fs, rp, v)
     if (entries.isEmpty || entries.exists(_.isDelta)) return Seq.empty
     val segNames: Seq[Option[Seq[String]]] = entries.map { e =>
@@ -6169,6 +6436,46 @@ object TxTable {
     Some((slices, m))
   }
 
+  /** Hash-bucket-clustered FILE layout of snapshot `version`:
+    * `(logicalBucketCol, numBuckets, per-bucket files, colMap)` —
+    * None unless the clustering is provable from the commit alone
+    * (a `bucketby:` header AND delta-free, pd-free entries each
+    * carrying the writer-minted `_bucket` id stat; a compaction or
+    * row-level rewrite that re-dirs the files loses the stat and the
+    * face degrades to a plain scan rather than wrong-answering).
+    * Powers the bucketed storage-partitioned V2 scan: one scan unit
+    * per bucket id, so two same-bucketed tables join on the key with
+    * zero Exchange. */
+  private[sources] def bucketFileSlices(spark: SparkSession,
+    root: String, version: Int)
+    : Option[(String, Int, Seq[(Int, Seq[String])],
+      Option[Seq[(String, String)]])] = {
+    val (fs, rp) = fsFor(spark, root)
+    val v = if (version >= 0) version else latestVersion(spark, root)
+    if (v == 0) return None
+    val (physB, n) = bucketSpecAt(fs, rp, v).getOrElse(return None)
+    val entries = snapshotEntries(fs, rp, v)
+    if (entries.isEmpty || entries.exists(_.isDelta)) return None
+    if (entries.exists(e => !e.stats.contains(rowsKey))) return None
+    val m = snapshotColMap(fs, rp, v)
+    val logicalB = m.flatMap(_.collectFirst {
+      case (l, p) if p == physB => l
+    }).getOrElse(physB)
+    val live = entries.filter(_.stats(rowsKey)._1 > 0)
+    val ok = live.nonEmpty && live.forall { e =>
+      e.pdels.isEmpty && e.stats.get(bucketStatKey).exists {
+        case (lo, hi) => lo == hi && lo >= 0 && lo < n
+      }
+    }
+    if (!ok) return None
+    val filesByDir = listDataFiles(spark, rp, live.map(_.dir))
+    val slices = live.groupBy(_.stats(bucketStatKey)._1.toInt).toSeq
+      .map { case (id, es) =>
+        id -> es.flatMap(e => filesByDir.getOrElse(e.dir, Seq.empty))
+      }.sortBy(_._1)
+    Some((logicalB, n, slices, m))
+  }
+
   /** SHOW PARTITIONS — metadata-only partition introspection for a
     * partition-clustered graft-tx table: one row per distinct
     * partition tuple with its directory / row / byte tallies, derived
@@ -6687,6 +6994,56 @@ object TxTable {
       .select(col("o_orderkey"), col("o_custkey"), col("c_nationkey"))
   }
 
+  /** HASH-BUCKETED storage-partitioned join gate (q_txtable_bucket_
+    * spj): orders and customer bucketed 16 ways on the customer key —
+    * a HIGH-cardinality join key no identity partitioning could
+    * co-locate — joined through the catalog face's `bucket(16, c)`
+    * KeyGroupedPartitioning. The gate REQUIRES the planned join to
+    * carry zero Exchange (a regression to shuffling fails the gate,
+    * not just slows it); the DuckDB oracle replays the plain join, so
+    * hash equality proves the bucket routing loses and invents no
+    * rows. */
+  def bucketSpjGateQuery(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    graft.functions.GraftFunctions.register(s)
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val rootO = graft.Scratch.freshRoot(s, "graft-bktspjo", dir)
+    val rootC = graft.Scratch.freshRoot(s, "graft-bktspjc", dir)
+    val o = graft.Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val c = graft.Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    appendBucketedBy(o, rootO, "o_custkey", 16,
+      statsCols = Seq("o_custkey"))
+    appendBucketedBy(c, rootC, "c_custkey", 16,
+      statsCols = Seq("c_custkey"))
+    s.sql("DROP TABLE IF EXISTS graft_bktspj_o")
+    s.sql("DROP TABLE IF EXISTS graft_bktspj_c")
+    s.sql("CREATE TABLE graft_bktspj_o USING `graft-tx` " +
+      s"OPTIONS (path '$rootO')")
+    s.sql("CREATE TABLE graft_bktspj_c USING `graft-tx` " +
+      s"OPTIONS (path '$rootC')")
+    try {
+      val j = s.table("graft_bktspj_o").as("l")
+        .join(s.table("graft_bktspj_c").as("r"),
+          col("l.o_custkey") === col("r.c_custkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("c_nationkey"))
+      val exchanges = j.queryExecution.executedPlan.toString
+        .linesIterator.count(_.contains("Exchange"))
+      require(exchanges == 0,
+        s"txtable: bucketed SPJ gate planned $exchanges Exchange(s) — " +
+          "the co-bucketed join must be shuffle-free")
+      j
+    } finally {
+      s.sql("DROP TABLE IF EXISTS graft_bktspj_o")
+      s.sql("DROP TABLE IF EXISTS graft_bktspj_c")
+      ()
+    }
+  }
+
   /** Composite-key storage-partitioned join gate: both tables
     * clustered on the SAME two-column key (b1, b2); the equi-join on
     * both keys plus the real key column runs with zero Exchange —
@@ -7033,7 +7390,7 @@ object TxTable {
     * forgery is already impossible (validColName rejects ','). */
   private def requireStatsGrammarSafe(c: String): Unit =
     require(validColName(c) && !c.contains(":") &&
-      c != rowsKey && c != bytesKey,
+      c != rowsKey && c != bytesKey && c != bucketStatKey,
       s"txtable: invalid stats/key column name '$c' (empty, " +
         "reserved character, or reserved stats-grammar name)")
 
@@ -7221,6 +7578,9 @@ object TxTable {
       require(!snapshotStatsCols(fs, rp, prevV).contains(phys),
         s"txtable: cannot drop stats column '$name' — " +
           "range pruning depends on it")
+      require(!bucketSpecAt(fs, rp, prevV).exists(_._1 == phys),
+        s"txtable: cannot drop bucket column '$name' — the " +
+          "bucket-clustered layout is keyed on it")
       val next = m.map { case (l, p) => (if (l == name) "" else l, p) }
       ("dropcol", colMapLine(next) +:
         snapshotLines(fs, rp, prevV).filterNot(_.startsWith("colmap:")))

@@ -134,7 +134,11 @@ class TxTableSource extends RelationProvider
         else if (TxTable.exists(spark, root))
           TxTable.layoutPartCols(spark, root)
         else Seq.empty
-      new GraftTxCatalogTable(live, root, options, partCols)
+      val bspec =
+        if (partCols.isEmpty && TxTable.exists(spark, root))
+          TxTable.bucketSpecOf(spark, root)
+        else None
+      new GraftTxCatalogTable(live, root, options, partCols, bspec)
     }
     // `.option("partitionCol", c)` selects the storage-partitioned
     // BATCH face: a true DSv2 scan reporting KeyGroupedPartitioning,
@@ -1063,7 +1067,8 @@ object GraftTxCatalogTable {
 }
 
 class GraftTxCatalogTable(tableSchema: StructType, root: String,
-  options: CaseInsensitiveStringMap, partCols: Seq[String] = Seq.empty)
+  options: CaseInsensitiveStringMap, partCols: Seq[String] = Seq.empty,
+  bucketSpec: Option[(String, Int)] = None)
   extends Table with SupportsRead with SupportsWrite with TxMetaAggTable
   with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
   with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
@@ -1228,9 +1233,15 @@ class GraftTxCatalogTable(tableSchema: StructType, root: String,
   /** The table's declared (or layout-proven) partition columns as
     * identity transforms — what routes `INSERT INTO ... PARTITION`
     * resolution, dynamic-overwrite planning and the clustered write
-    * distribution. */
+    * distribution. A hash-bucketed layout reports its `bucket(n, c)`
+    * transform instead (DESCRIBE shows it; the scans report the
+    * matching KeyGroupedPartitioning). */
   override def partitioning(): Array[Transform] =
-    partCols.map(c => Expressions.identity(c): Transform).toArray
+    bucketSpec match {
+      case Some((c, n)) => Array(Expressions.bucket(n, c): Transform)
+      case None =>
+        partCols.map(c => Expressions.identity(c): Transform).toArray
+    }
 
   override def capabilities(): java.util.Set[TableCapability] = {
     val caps = new java.util.HashSet[TableCapability]
@@ -1269,7 +1280,8 @@ class GraftTxCatalogTable(tableSchema: StructType, root: String,
 
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     new TxCatalogScanBuilder(root, tableSchema,
-      TxTableSource.paramsOf(options) ++ TxTableSource.paramsOf(opts))
+      TxTableSource.paramsOf(options) ++ TxTableSource.paramsOf(opts),
+      bucketSpec)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     dmlRefusal.foreach(r => throw new UnsupportedOperationException(
@@ -1354,7 +1366,8 @@ class GraftTxCatalogTable(tableSchema: StructType, root: String,
 }
 
 class TxCatalogScanBuilder(root: String, fullSchema: StructType,
-  params: Map[String, String]) extends ScanBuilder
+  params: Map[String, String],
+  bucketSpec: Option[(String, Int)] = None) extends ScanBuilder
   with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
   private var required: StructType = fullSchema
@@ -1402,7 +1415,53 @@ class TxCatalogScanBuilder(root: String, fullSchema: StructType,
         TxTableSource.rangesFromFilters(pushed),
         TxTableSource.strRangesFromFilters(pushed), version)
       new TxCowScan(spark, plan, required, None)
-    } else buildV1()
+    } else bucketSpec match {
+      // a hash-bucketed table serves a REAL V2 scan that reports its
+      // bucket(n, col) KeyGroupedPartitioning — the catalog resolves
+      // the function (GraftCatalog.loadFunction) and two same-
+      // bucketed tables join on the key with zero Exchange. The
+      // layout is trusted only when provable from the commit
+      // (bucketFileSlices); anything else — row-restricted faces,
+      // a spec drifted from the snapshot, a rewritten layout —
+      // degrades to the plain scan, never wrong-answers.
+      case Some((bcol, n)) if !TxTableSource.rowRestricting(params) =>
+        val spark = SparkSession.active
+        val version = params.get("versionAsOf")
+          .orElse(params.get("versionasof"))
+          .map(TxTable.resolveRef(spark, root, _)).orElse(
+            params.get("timestampAsOf").orElse(params.get("timestampasof"))
+              .map(t => TxTable.versionAt(spark, root,
+                TxTableSource.parseTs(t))))
+          .getOrElse(-1)
+        TxTable.bucketFileSlices(spark, root, version) match {
+          case Some((col2, n2, slices, m)) if col2 == bcol && n2 == n =>
+            // the reported partitioning resolves against the scan
+            // output — always KEEP the bucket column (projected away
+            // above when unrequested)
+            val out =
+              if (required.fieldNames.contains(bcol)) required
+              else StructType(required.fields :+ fullSchema(bcol))
+            val dt = out(bcol).dataType
+            // static bucket pruning: an equality/IN predicate on the
+            // bucket column hashes to its bucket id(s) at planning —
+            // a point lookup on a 100 TB bucketed table opens 1/n of
+            // the data. Filters are all re-evaluated above, so this
+            // can only skip buckets the predicate provably excludes.
+            import org.apache.spark.sql.sources.{EqualTo, In => InF}
+            val keeps = pushed.collect {
+              case EqualTo(c, v) if c == bcol && v != null =>
+                Set(GraftBucketFunction.idOf(v, dt, n))
+              case InF(c, vs) if c == bcol && vs.forall(_ != null) =>
+                vs.map(GraftBucketFunction.idOf(_, dt, n)).toSet
+            }
+            val staticKeep =
+              if (keeps.isEmpty) None else Some(keeps.reduce(_ intersect _))
+            new TxBucketSpjScan(spark, root, version, bcol, n, slices,
+              m, out, pushed, staticKeep)
+          case _ => buildV1()
+        }
+      case _ => buildV1()
+    }
   }
 
   private def buildV1(): Scan = new V1Scan
@@ -1763,6 +1822,90 @@ class ParquetRowsReadMetric
 case class TxSpjInputPartition(key: GenericInternalRow,
   files: Seq[String]) extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = key
+}
+
+/** HASH-BUCKETED storage-partitioned batch face — the scan a
+  * bucket-clustered catalog table ([[TxTable.appendBucketedBy]]
+  * layouts) serves automatically: `KeyGroupedPartitioning(
+  * bucket(n, col))` with one `HasPartitionKey` input partition per
+  * bucket id. Identity partitioning co-locates LOW-cardinality keys
+  * (one dir per value); this face co-locates HIGH-cardinality join
+  * keys — two tables bucketed the same way join on the key with ZERO
+  * Exchange, and with `spark.sql.sources.v2.bucketing.shuffle
+  * .enabled` a non-bucketed side shuffles INTO this layout while the
+  * bucketed (big) side never moves. Equality/IN predicates on the
+  * bucket column prune whole buckets statically; a filtered-dim join
+  * prunes them at runtime (DPP) by hashing the dim's surviving keys.
+  * Rows move through [[TxParquetIO]] like every other face. */
+class TxBucketSpjScan(spark: SparkSession, root: String, version: Int,
+  bucketCol: String, numBuckets: Int,
+  slices: Seq[(Int, Seq[String])],
+  colMap: Option[Seq[(String, String)]],
+  outSchema: StructType,
+  valueFilters: Array[Filter],
+  staticKeep: Option[Set[Int]])
+  extends Scan with Batch with SupportsReportPartitioning
+  with SupportsRuntimeFiltering
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  private def dt = outSchema(bucketCol).dataType
+
+  override def estimateStatistics()
+    : org.apache.spark.sql.connector.read.Statistics =
+    TxTableSource.v2Statistics(spark, root, version, outSchema,
+      restricted = staticKeep.isDefined || runtimeKeep.isDefined)
+
+  // DPP over buckets: the join against a FILTERED dim hands the
+  // surviving keys here at runtime; hashing them names the only
+  // buckets that can match, and whole buckets drop before a file
+  // opens. Sound because every filter is re-evaluated above.
+  @volatile private var runtimeKeep: Option[Set[Int]] = None
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column(bucketCol))
+  override def filter(filters: Array[Filter]): Unit = {
+    val keeps = filters.collect {
+      case In(c, vs) if c == bucketCol && vs.forall(_ != null) =>
+        vs.map(v =>
+          GraftBucketFunction.idOf(v, dt, numBuckets)).toSet
+    }
+    if (keeps.nonEmpty) runtimeKeep = Some(keeps.reduce(_ intersect _))
+  }
+  private def keep(id: Int): Boolean =
+    staticKeep.forall(_.contains(id)) && runtimeKeep.forall(_.contains(id))
+
+  override def readSchema(): StructType = outSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-tx bucketed scan of $root on bucket($numBuckets, $bucketCol)"
+
+  override def supportedCustomMetrics()
+    : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new ParquetRowsReadMetric)
+
+  override def outputPartitioning(): Partitioning =
+    new KeyGroupedPartitioning(
+      Array(Expressions.bucket(numBuckets, bucketCol):
+        org.apache.spark.sql.connector.expressions.Expression),
+      slices.size)
+
+  override def planInputPartitions(): Array[InputPartition] =
+    slices.filter(s => keep(s._1)).map { case (id, files) =>
+      TxSpjInputPartition(new GenericInternalRow(Array(id: Any)),
+        files): InputPartition
+    }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val fileSchema = StructType(outSchema.fields.map(f =>
+      f.copy(name = TxTable.physNameOf(colMap, f.name))))
+    // unlike identity partitions the bucket column is NOT constant
+    // per dir — it rides the parquet predicate like any value column
+    val pq = TxTableSource.parquetPredicate(valueFilters.toSeq,
+      c => TxTable.physNameOf(colMap, c),
+      c => outSchema.fields.find(_.name == c).map(_.dataType),
+      _ => false)
+    TxSpjReaderFactory(fileSchema, new SerializableConfiguration(
+      spark.sessionState.newHadoopConf()), pq)
+  }
 }
 
 case class TxSpjReaderFactory(fileSchema: StructType,
