@@ -112,7 +112,7 @@ class GraftCatalog extends DelegatingCatalogExtension
       case Some(root) =>
         val spark = SparkSession.active
         // loud at REPLACE exactly as at CREATE
-        val partCols = TxTableSource.identityPartCols(
+        val (partCols, declBucket) = TxTableSource.declaredPartSpec(
           info.partitions().toSeq)
         val declared = {
           import scala.jdk.CollectionConverters._
@@ -125,7 +125,7 @@ class GraftCatalog extends DelegatingCatalogExtension
           .foreach { case (k, v) => opts.put(k, v) }
         val wrote = new java.util.concurrent.atomic.AtomicBoolean(false)
         val inner = new GraftTxCatalogTable(info.schema(), root,
-          new CaseInsensitiveStringMap(opts), partCols) {
+          new CaseInsensitiveStringMap(opts), partCols, declBucket) {
           override def newWriteBuilder(i: LogicalWriteInfo): WriteBuilder = {
             wrote.set(true)
             super.newWriteBuilder(i)
@@ -264,7 +264,8 @@ class GraftCatalog extends DelegatingCatalogExtension
     properties: java.util.Map[String, String]): Table = {
     val provider = properties.get("provider")
     if (provider != null && provider.equalsIgnoreCase("graft-tx"))
-      TxTableSource.identityPartCols(partitions.toSeq) // throws on non-identity
+      // identity columns OR one bucket(n, col); anything else loud
+      TxTableSource.declaredPartSpec(partitions.toSeq)
     super.createTable(ident, columns, partitions, properties)
   }
 
@@ -473,12 +474,27 @@ class GraftCatalog extends DelegatingCatalogExtension
       else if (TxTable.exists(spark, root))
         TxTable.layoutPartCols(spark, root)
       else Seq.empty
-    // a hash-bucketed layout (appendBucketedBy) reports its
-    // bucket(n, c) transform so the scans serve the bucketed SPJ face
-    val bucketSpec =
+    // a hash-bucketed layout reports its bucket(n, c) transform so
+    // the scans serve the bucketed SPJ face and INSERTs route the
+    // clustered write: the metastore DECLARATION (CREATE TABLE ...
+    // PARTITIONED BY (bucket(n, c))) and the table's own COMMITTED
+    // layout must agree when both exist — a drift means someone wrote
+    // the root outside the declaration, and serving either silently
+    // would wrong-answer a co-bucketed join
+    val declaredBucket = base.partitioning().toSeq
+      .flatMap(TxTableSource.bucketTransformOf).headOption
+    val committedBucket =
       if (partCols.isEmpty && TxTable.exists(spark, root))
         TxTable.bucketSpecOf(spark, root)
       else None
+    val bucketSpec = (declaredBucket, committedBucket) match {
+      case (Some(d), Some(c)) =>
+        require(d == c, s"graft-tx: table declares bucket layout $d " +
+          s"but its commits carry $c - the root was written outside " +
+          "the declaration")
+        Some(d)
+      case (d, c) => d.orElse(c)
+    }
     new GraftTxCatalogTable(schema, root,
       new CaseInsensitiveStringMap(opts), partCols, bucketSpec)
   }

@@ -592,7 +592,8 @@ class TxDeltaWriter(prefix: String, insertSchema: StructType,
   * FileOutputCommitter.java:1) at any table size. */
 class TxCatalogWriteBuilder(root: String, info: LogicalWriteInfo,
   partCols: Seq[String] = Seq.empty,
-  declaredStats: Option[Seq[String]] = None)
+  declaredStats: Option[Seq[String]] = None,
+  bucketSpec: Option[(String, Int)] = None)
   extends WriteBuilder
   with org.apache.spark.sql.connector.write.SupportsOverwriteV2
   with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
@@ -646,7 +647,7 @@ class TxCatalogWriteBuilder(root: String, info: LogicalWriteInfo,
     if (partCols.isEmpty) new Write {
       override def toBatch: BatchWrite =
         new TxCatalogBatchWrite(root, info, mode == "truncate",
-          bootstrapStats)
+          bootstrapStats, bucketSpec)
     } else new Write
       with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
       import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
@@ -676,7 +677,8 @@ object TxCatalogWriteBuilder {
 }
 
 class TxCatalogBatchWrite(root: String, info: LogicalWriteInfo,
-  replace: Boolean, bootstrapStats: Seq[String] = Seq.empty)
+  replace: Boolean, bootstrapStats: Seq[String] = Seq.empty,
+  bucketSpec: Option[(String, Int)] = None)
   extends BatchWrite {
 
   private val writeId = java.util.UUID.randomUUID().toString
@@ -704,7 +706,7 @@ class TxCatalogBatchWrite(root: String, info: LogicalWriteInfo,
     }.toSeq
     val spark = SparkSession.active
     try TxTable.appendStaged(spark, root, staged, replace, info.schema(),
-      bootstrapStats)
+      bootstrapStats, bucketSpec)
     finally cleanupStaging(spark)
   }
 

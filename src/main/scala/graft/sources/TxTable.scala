@@ -2571,9 +2571,37 @@ object TxTable {
   private[sources] def appendStaged(spark: SparkSession, root: String,
     staged: Seq[String], replace: Boolean,
     writeSchema: org.apache.spark.sql.types.StructType,
-    bootstrapStatsCols: Seq[String] = Seq.empty): Int = {
+    bootstrapStatsCols: Seq[String] = Seq.empty,
+    bucketSpec: Option[(String, Int)] = None): Int = {
     val (fs, rp) = fsFor(spark, root)
     if (staged.isEmpty && !replace) return latestVersion(spark, root)
+    // a DECLARED-bucketed table (CREATE ... PARTITIONED BY
+    // (bucket(n, c))) lands every INSERT through the clustered shape:
+    // the staged files rewrite into per-bucket dirs (the partitioned
+    // write's rewrite idiom — one extra pass over the BATCH, never
+    // the table), so SQL-first tables get the zero-shuffle join face
+    // without the Scala API. An empty INSERT OVERWRITE falls through
+    // to the plain empty snapshot (no live dirs to cluster; the
+    // declaration re-establishes the layout on the next content).
+    bucketSpec match {
+      case Some((bcol, n)) if staged.nonEmpty =>
+        // append-staged files speak the snapshot's PHYSICAL names;
+        // overwrite files are born logical
+        val raw = spark.read.parquet(staged: _*)
+        val df =
+          if (replace) raw
+          else colMapOf(spark, root).map(liveMap(_))
+            .fold(raw)(_.foldLeft(raw) { case (d, (l, p)) =>
+              if (l == p) d else d.withColumnRenamed(p, l)
+            })
+        return appendBucketedBy(df, root, bcol, n,
+          statsCols =
+            if (latestVersion(spark, root) == 0 || replace)
+              bootstrapStatsCols
+            else Seq.empty,
+          replace = replace)
+      case _ => ()
+    }
     val op = if (replace) "overwrite" else "append"
     val dirName = s"data/$op-${java.util.UUID.randomUUID()}"
     val dirPath = new Path(rp, dirName)
@@ -3039,7 +3067,8 @@ object TxTable {
     * the SAME computation [[GraftBucketFunction]] binds for the SPJ
     * face, so write routing and read reporting cannot disagree. */
   def appendBucketedBy(df: DataFrame, root: String, bucketCol: String,
-    numBuckets: Int, statsCols: Seq[String] = Seq.empty): Int = {
+    numBuckets: Int, statsCols: Seq[String] = Seq.empty,
+    replace: Boolean = false): Int = {
     import org.apache.spark.sql.types._
     val spark = df.sparkSession
     val (fs, rp) = fsFor(spark, root)
@@ -3058,24 +3087,30 @@ object TxTable {
     val (guarded, verifyChecks) =
       checkGuard(df, checkConstraints(spark, root, v0))
     val m0 = snapshotColMap(fs, rp, v0)
-    val (physDf0, extMap) = toPhysicalFrame(guarded, m0)
-    val effMap = extMap.orElse(m0)
+    // replace-all content is born LOGICAL and resets the column
+    // mapping, exactly like [[overwrite]]; appends translate under
+    // the snapshot's mapping
+    val (physDf0, extMap) =
+      if (replace) (guarded, None) else toPhysicalFrame(guarded, m0)
+    val effMap = if (replace) None else extMap.orElse(m0)
     val physB = physName(effMap, bucketCol)
     // the layout contract: match the declared spec exactly, or be the
     // table's first content — a bucketed append onto unbucketed live
-    // content would leave a mixed layout no proof can serve
-    def requireCompat(v: Int): Unit = bucketSpecAt(fs, rp, v) match {
-      case Some((c, n)) => require(c == physB && n == numBuckets,
-        s"txtable: $root is bucketed as bucketby:$c,$n - an append " +
-          s"bucketed by $physB,$numBuckets does not match")
-      case None =>
-        val live = v > 0 && snapshotEntries(fs, rp, v)
-          .exists(e => e.stats.get(rowsKey).forall(_._1 > 0))
-        require(!live,
-          s"txtable: $root has unbucketed content; a bucketed append " +
-            "would leave a mixed layout - overwrite first, then " +
-            "appendBucketedBy")
-    }
+    // content would leave a mixed layout no proof can serve. A
+    // replace REPLACES content, so any prior layout is legitimate.
+    def requireCompat(v: Int): Unit =
+      if (!replace) bucketSpecAt(fs, rp, v) match {
+        case Some((c, n)) => require(c == physB && n == numBuckets,
+          s"txtable: $root is bucketed as bucketby:$c,$n - an append " +
+            s"bucketed by $physB,$numBuckets does not match")
+        case None =>
+          val live = v > 0 && snapshotEntries(fs, rp, v)
+            .exists(e => e.stats.get(rowsKey).forall(_._1 > 0))
+          require(!live,
+            s"txtable: $root has unbucketed content; a bucketed " +
+              "append would leave a mixed layout - overwrite first, " +
+              "then appendBucketedBy")
+      }
     requireCompat(v0)
     val helper = "_graft_bkt"
     val baseDir = s"data/append-${java.util.UUID.randomUUID()}"
@@ -3180,19 +3215,26 @@ object TxTable {
     }
     try commitRetry(spark, root) { prevV =>
       requireCompat(prevV)
-      val prev0 = snapshotLines(fs, rp, prevV)
-        .filterNot(_.startsWith("bucketby:"))
+      val prev0 =
+        if (replace) Seq.empty
+        else snapshotLines(fs, rp, prevV)
+          .filterNot(_.startsWith("bucketby:"))
       val prev =
         if (extMap.isDefined) prev0.filterNot(_.startsWith("colmap:"))
         else prev0
+      val mapHdr =
+        if (replace) snapshotColMap(fs, rp, prevV)
+          .map(_ => "colmap:").toSeq
+        else extMap.map(colMapLine).toSeq
       val physStats = (integral ++ strings).distinct
       val statsHdr =
         if (prev.exists(_.startsWith("statscol:")) || physStats.isEmpty)
           None
         else Some(s"statscol:${physStats.mkString(",")}")
-      ("append", Seq(s"bucketby:$physB,$numBuckets") ++
-        statsHdr.toSeq ++ extMap.map(colMapLine).toSeq ++
-        prev ++ entries.map(_.line))
+      (if (replace) "overwrite" else "append",
+        Seq(s"bucketby:$physB,$numBuckets") ++
+          statsHdr.toSeq ++ mapHdr ++
+          prev ++ entries.map(_.line))
     } catch {
       case t: Throwable =>
         fs.delete(new Path(rp, baseDir), true)
@@ -7012,20 +7054,24 @@ object TxTable {
     s.conf.set("spark.sql.adaptive.enabled", "false")
     val rootO = graft.Scratch.freshRoot(s, "graft-bktspjo", dir)
     val rootC = graft.Scratch.freshRoot(s, "graft-bktspjc", dir)
-    val o = graft.Tables.orders(s, dir)
+    // SQL-FIRST end to end: the DECLARED bucket transform routes the
+    // INSERTs through the clustered write — no Scala layout API
+    graft.Tables.orders(s, dir)
       .select(col("o_orderkey"), col("o_custkey"))
-    val c = graft.Tables.customer(s, dir)
+      .createOrReplaceTempView("graft_bktspj_osrc")
+    graft.Tables.customer(s, dir)
       .select(col("c_custkey"), col("c_nationkey"))
-    appendBucketedBy(o, rootO, "o_custkey", 16,
-      statsCols = Seq("o_custkey"))
-    appendBucketedBy(c, rootC, "c_custkey", 16,
-      statsCols = Seq("c_custkey"))
+      .createOrReplaceTempView("graft_bktspj_csrc")
     s.sql("DROP TABLE IF EXISTS graft_bktspj_o")
     s.sql("DROP TABLE IF EXISTS graft_bktspj_c")
-    s.sql("CREATE TABLE graft_bktspj_o USING `graft-tx` " +
-      s"OPTIONS (path '$rootO')")
-    s.sql("CREATE TABLE graft_bktspj_c USING `graft-tx` " +
-      s"OPTIONS (path '$rootC')")
+    s.sql("CREATE TABLE graft_bktspj_o (o_orderkey BIGINT, " +
+      "o_custkey BIGINT) USING `graft-tx` " +
+      s"PARTITIONED BY (bucket(16, o_custkey)) OPTIONS (path '$rootO')")
+    s.sql("CREATE TABLE graft_bktspj_c (c_custkey BIGINT, " +
+      "c_nationkey INT) USING `graft-tx` " +
+      s"PARTITIONED BY (bucket(16, c_custkey)) OPTIONS (path '$rootC')")
+    s.sql("INSERT INTO graft_bktspj_o SELECT * FROM graft_bktspj_osrc")
+    s.sql("INSERT INTO graft_bktspj_c SELECT * FROM graft_bktspj_csrc")
     try {
       val j = s.table("graft_bktspj_o").as("l")
         .join(s.table("graft_bktspj_c").as("r"),
@@ -7040,6 +7086,8 @@ object TxTable {
     } finally {
       s.sql("DROP TABLE IF EXISTS graft_bktspj_o")
       s.sql("DROP TABLE IF EXISTS graft_bktspj_c")
+      s.catalog.dropTempView("graft_bktspj_osrc")
+      s.catalog.dropTempView("graft_bktspj_csrc")
       ()
     }
   }

@@ -267,11 +267,48 @@ object TxTableSource {
     partitioning: Seq[Transform]): Seq[String] =
     partitioning.flatMap { t =>
       val c = identityColOf(t)
-      if (c.isEmpty)
+      // bucket transforms are CONSUMED by the bucketed face now, not
+      // ignored — stay quiet about them here
+      if (c.isEmpty && bucketTransformOf(t).isEmpty)
         System.err.println(s"graft-tx: ignoring unsupported partition " +
           s"transform $t on load (value-identity transforms only)")
       c
     }
+
+  /** `bucket(n, col)` transform → (col, n); None for anything else
+    * (multi-column buckets and sorted buckets included — graft's
+    * layout hashes ONE key column). */
+  private[sources] def bucketTransformOf(t: Transform)
+    : Option[(String, Int)] =
+    if (t.name() != "bucket") None
+    else {
+      val refs = t.references()
+      val n = t.arguments().collectFirst {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_]
+          if l.value().isInstanceOf[Number] =>
+          l.value().asInstanceOf[Number].intValue()
+      }
+      if (refs.length == 1 && refs(0).fieldNames().length == 1)
+        n.map(refs(0).fieldNames()(0) -> _)
+      else None
+    }
+
+  /** CREATE/REPLACE-time partition-spec validation: either identity
+    * columns (the value-clustered layout) or exactly ONE
+    * `bucket(n, col)` (the hash-bucketed layout) — mixing the two
+    * would promise a combined clustering no face serves, so it
+    * refuses loudly where refusal costs nothing. */
+  private[sources] def declaredPartSpec(partitioning: Seq[Transform])
+    : (Seq[String], Option[(String, Int)]) = partitioning match {
+    case Seq(t) if bucketTransformOf(t).isDefined =>
+      (Seq.empty, bucketTransformOf(t))
+    case ts =>
+      require(!ts.exists(t => t.name() == "bucket"),
+        "graft-tx: PARTITIONED BY supports either identity columns " +
+          "or a single bucket(n, col) - not a mix, and not " +
+          "multi-column/sorted buckets")
+      (identityPartCols(ts), None)
+  }
 
   private def identityColOf(t: Transform): Option[String] = {
     val refs = t.references()
@@ -1290,7 +1327,8 @@ class GraftTxCatalogTable(tableSchema: StructType, root: String,
     // auto write-time stats columns ('' = none)
     val declaredStats = Option(options.get("statsCols"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-    new TxCatalogWriteBuilder(root, info, partCols, declaredStats)
+    new TxCatalogWriteBuilder(root, info, partCols, declaredStats,
+      bucketSpec)
   }
 
   /** SQL DML is a mutation of the TABLE — it cannot target a pinned

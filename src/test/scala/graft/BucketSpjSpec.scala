@@ -166,14 +166,13 @@ class BucketSpjSpec extends SparkSpec {
       TxTable.appendPartitionedBy(Seq((99L, 9L)).toDF("k", "v"), root,
         Seq("v"))
     }
-    // catalog INSERT INTO refuses (it would break the layout too)
+    // catalog INSERT INTO does NOT break the layout: the probed
+    // bucket spec routes it through the bucketed append
     mkTable("bkt_guard", root)
     try {
-      val e2 = intercept[Exception] {
-        spark.sql("INSERT INTO bkt_guard VALUES (99, 9)")
-      }
-      assert(e2.getMessage.contains("bucket") ||
-        Option(e2.getCause).exists(_.getMessage.contains("bucket")))
+      spark.sql("INSERT INTO bkt_guard VALUES (99, 9)")
+      assert(TxTable.bucketSpecOf(spark, root) === Some(("k", 4)))
+      assert(spark.table("bkt_guard").count() === 51L)
       // a mismatched bucketed append refuses (different n / column)
       intercept[IllegalArgumentException] {
         TxTable.appendBucketedBy(Seq((99L, 9L)).toDF("k", "v"), root,
@@ -196,6 +195,60 @@ class BucketSpjSpec extends SparkSpec {
       TxTable.append(Seq((8L, 8L)).toDF("k", "v"), root) // appends again
       assert(TxTable.read(spark, root).count() === 2L)
     } finally spark.sql("DROP TABLE IF EXISTS bkt_guard")
+  }
+
+  test("SQL-first: CREATE PARTITIONED BY (bucket(n,c)) + INSERT lands the layout") {
+    graft.functions.GraftFunctions.register(spark)
+    val rootA = tmpDir() + "/bkt-sql-a"
+    val rootB = tmpDir() + "/bkt-sql-b"
+    spark.sql("DROP TABLE IF EXISTS bkt_sql_a")
+    spark.sql("DROP TABLE IF EXISTS bkt_sql_b")
+    spark.sql("CREATE TABLE bkt_sql_a (k BIGINT, va STRING) " +
+      s"USING `graft-tx` PARTITIONED BY (bucket(4, k)) " +
+      s"OPTIONS (path '$rootA')")
+    spark.sql("CREATE TABLE bkt_sql_b (k BIGINT, vb STRING) " +
+      s"USING `graft-tx` PARTITIONED BY (bucket(4, k)) " +
+      s"OPTIONS (path '$rootB')")
+    try {
+      (1L to 300L).map(k => (k, s"a$k")).toDF("k", "va")
+        .createOrReplaceTempView("bkt_src_a")
+      (200L to 400L).map(k => (k, s"b$k")).toDF("k", "vb")
+        .createOrReplaceTempView("bkt_src_b")
+      spark.sql("INSERT INTO bkt_sql_a SELECT * FROM bkt_src_a")
+      spark.sql("INSERT INTO bkt_sql_b SELECT * FROM bkt_src_b")
+      // the layout landed: committed spec matches the declaration
+      assert(TxTable.bucketSpecOf(spark, rootA) === Some(("k", 4)))
+      withSpj() {
+        val j = spark.table("bkt_sql_a").join(spark.table("bkt_sql_b"),
+          "k")
+        assert(j.count() === 101L)
+        assert(shuffles(j) === 0)
+      }
+      // a second INSERT keeps the layout (append route, not refusal)
+      spark.sql("INSERT INTO bkt_sql_a VALUES (1000, 'x')")
+      assert(spark.table("bkt_sql_a").count() === 301L)
+      assert(TxTable.bucketSpecOf(spark, rootA) === Some(("k", 4)))
+      // INSERT OVERWRITE replaces content and RE-lands the layout
+      spark.sql("INSERT OVERWRITE bkt_sql_a " +
+        "SELECT * FROM bkt_src_a WHERE k <= 100")
+      assert(spark.table("bkt_sql_a").count() === 100L)
+      assert(TxTable.bucketSpecOf(spark, rootA) === Some(("k", 4)))
+      withSpj() {
+        val j2 = spark.table("bkt_sql_a").join(spark.table("bkt_sql_b"),
+          "k")
+        assert(j2.count() === 0L)
+        assert(shuffles(j2) === 0)
+      }
+      // DESCRIBE shows the declared transform
+      val desc = spark.sql("DESCRIBE TABLE EXTENDED bkt_sql_a")
+        .collect().map(_.mkString(" ")).mkString("\n")
+      assert(desc.contains("bucket(4, k)"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bkt_sql_a")
+      spark.sql("DROP TABLE IF EXISTS bkt_sql_b")
+      spark.catalog.dropTempView("bkt_src_a")
+      spark.catalog.dropTempView("bkt_src_b")
+    }
   }
 
   test("metadata commits carry the layout; DML degrades gracefully") {

@@ -316,19 +316,28 @@ class SqlMaintenanceSpec extends SparkSpec {
     spark.sql("DROP TABLE showp_sql")
   }
 
-  test("CREATE TABLE with a non-identity partition transform is " +
+  test("CREATE TABLE with an unsupported partition transform is " +
     "refused at CREATE time, not at first read") {
     register()
-    val root = tmpDir() + "/bad-bucket"
-    spark.sql("DROP TABLE IF EXISTS bad_bucket")
+    val root = tmpDir() + "/bad-days"
+    spark.sql("DROP TABLE IF EXISTS bad_days")
+    // bucket(n, c) is a SUPPORTED layout since r16 (BucketSpjSpec);
+    // what stays refused: time-derived transforms, and MIXING bucket
+    // with identity columns (no face serves a combined clustering)
     val e = intercept[Exception] {
-      spark.sql(s"CREATE TABLE bad_bucket (k BIGINT, v BIGINT) " +
-        s"USING `graft-tx` PARTITIONED BY (bucket(16, k)) " +
+      spark.sql(s"CREATE TABLE bad_days (k BIGINT, ts TIMESTAMP) " +
+        s"USING `graft-tx` PARTITIONED BY (days(ts)) " +
         s"OPTIONS (path '$root')")
     }
     assert(e.getMessage.contains("identity"), e.getMessage)
-    // and nothing half-landed in the metastore
-    assert(!spark.catalog.tableExists("bad_bucket"))
+    assert(!spark.catalog.tableExists("bad_days"))
+    val e2 = intercept[Exception] {
+      spark.sql(s"CREATE TABLE bad_days (k BIGINT, g BIGINT) " +
+        s"USING `graft-tx` PARTITIONED BY (g, bucket(16, k)) " +
+        s"OPTIONS (path '$root')")
+    }
+    assert(e2.getMessage.contains("not a mix"), e2.getMessage)
+    assert(!spark.catalog.tableExists("bad_days"))
   }
 
   test("SHOW PARTITIONS renders DATE keys as ISO dates; DROP " +
