@@ -2264,6 +2264,22 @@ object TxTable {
     * remain time-travelable until vacuum. */
   def compactSnapshot(spark: SparkSession, root: String): Int = {
     val (fs, rp) = fsFor(spark, root)
+    // a HASH-BUCKETED table's full rewrite must RE-LAND the bucketed
+    // layout, not fold it into one dir — otherwise maintenance would
+    // break the co-located join face and every later INSERT (the
+    // declared layout could no longer be re-established over live
+    // unbucketed content). One replace-all OCC commit, deltas folded
+    // by the resolved read, column mapping reset like the plain path.
+    bucketSpecOf(spark, root) match {
+      case Some((bcol, n)) =>
+        val v = latestVersion(spark, root)
+        val m = snapshotColMap(fs, rp, v)
+        return appendBucketedBy(read(spark, root), root, bcol, n,
+          statsCols =
+            snapshotStatsCols(fs, rp, v).map(logicalName(m, _)),
+          replace = true)
+      case None => ()
+    }
     commitRetry(spark, root) { prevV =>
       require(prevV > 0, s"txtable: nothing to compact at $root")
       val m = snapshotColMap(fs, rp, prevV)
@@ -2348,9 +2364,18 @@ object TxTable {
         nonEmpty.forall(e =>
           e.stats.get(c).exists(s => s._1 == s._2) &&
             e.stats.get(s"$nullsPrefix$c").exists(_._1 == 0L)))
+      // a hash-bucketed layout packs WITHIN buckets the same way a
+      // partitioned one packs within values: the `_bucket` stat joins
+      // the group key (when every live dir carries it — a broken
+      // layout packs like a plain table, the header rides harmlessly
+      // and the face's own slices proof decides)
+      val bspec = bucketSpecAt(fs, rp, prevV).filter(_ =>
+        nonEmpty.nonEmpty && nonEmpty.forall(e =>
+          e.stats.get(bucketStatKey).exists(s => s._1 == s._2)))
       def groupOf(e: Entry): Seq[Long] =
         if (e.stats.get(rowsKey).exists(_._1 == 0L)) Seq.empty
-        else clusterCols.map(c => e.stats(c)._1)
+        else bspec.map(_ => e.stats(bucketStatKey)._1).toSeq ++
+          clusterCols.map(c => e.stats(c)._1)
       // greedy adjacent packing per value group: consecutive small
       // dirs accumulate until the bin reaches the target; any large
       // dir closes its group's bin and carries over alone
@@ -2387,15 +2412,23 @@ object TxTable {
           merged.write.mode("overwrite")
             .parquet(new Path(rp, dirName).toString)
           staged = staged :+ dirName
-          statsEntry(spark, rp, dirName,
-            keys.getOrElse(Seq.empty) ++ statsCols).line
+          val entry = statsEntry(spark, rp, dirName,
+            keys.getOrElse(Seq.empty) ++ statsCols)
+          // a merged bucket dir RE-RECORDS its id: every bin member
+          // carried the same `_bucket` (it's in the group key), so
+          // the proof survives the pack
+          bspec.flatMap(_ => bin.head.stats.get(bucketStatKey))
+            .fold(entry)(id => entry.copy(
+              stats = entry.stats + (bucketStatKey -> id))).line
         }
       }
       // the entry list replaces wholesale, so re-emit the declared
-      // key/statscol headers; the colmap carries automatically via
-      // commitRetry (no colmap line written — renames stay metadata)
+      // bucketby/key/statscol headers; the colmap carries
+      // automatically via commitRetry (renames stay metadata)
       ("compact",
-        keys.map(ks => s"key:${ks.mkString(",")}").toSeq ++
+        bucketSpecAt(fs, rp, prevV)
+          .map { case (c, n) => s"bucketby:$c,$n" }.toSeq ++
+          keys.map(ks => s"key:${ks.mkString(",")}").toSeq ++
           (if (statsCols.nonEmpty)
             Seq(s"statscol:${statsCols.mkString(",")}")
            else Seq.empty) ++ newLines)

@@ -251,6 +251,45 @@ class BucketSpjSpec extends SparkSpec {
     }
   }
 
+  test("maintenance preserves the layout: optimize packs within buckets, compact re-lands them") {
+    graft.functions.GraftFunctions.register(spark)
+    val root = tmpDir() + "/bkt-maint"
+    // many small bucketed appends — the streamed-ingest tail shape
+    (0 until 6).foreach(i =>
+      TxTable.appendBucketedBy(
+        (1L to 50L).map(k => (k * 6 + i, s"v$i")).toDF("k", "v"),
+        root, "k", 4, statsCols = if (i == 0) Seq("k") else Seq.empty))
+    val vBefore = TxTable.latestVersion(spark, root)
+    TxTable.optimizeCompact(spark, root)
+    assert(TxTable.latestVersion(spark, root) === vBefore + 1)
+    assert(TxTable.bucketSpecOf(spark, root) === Some(("k", 4)))
+    assert(TxTable.read(spark, root).count() === 300L)
+    // the packed layout still serves the zero-Exchange join
+    val rootB = tmpDir() + "/bkt-maint-b"
+    TxTable.appendBucketedBy((1L to 400L).map(k => (k, k)).toDF("k", "w"),
+      rootB, "k", 4)
+    mkTable("bkt_maint", root); mkTable("bkt_maint_b", rootB)
+    try withSpj() {
+      val j = spark.table("bkt_maint").join(spark.table("bkt_maint_b"),
+        "k")
+      assert(shuffles(j) === 0)
+      assert(j.count() === 300L)
+      // full rewrite RE-LANDS the bucketed layout (not one big dir),
+      // so later INSERTs still route and the face still serves
+      TxTable.compactSnapshot(spark, root)
+      assert(TxTable.bucketSpecOf(spark, root) === Some(("k", 4)))
+      spark.sql("REFRESH TABLE bkt_maint")
+      spark.sql("INSERT INTO bkt_maint VALUES (9999, 'z')")
+      assert(spark.table("bkt_maint").count() === 301L)
+      val j2 = spark.table("bkt_maint").join(spark.table("bkt_maint_b"),
+        "k")
+      assert(shuffles(j2) === 0)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bkt_maint")
+      spark.sql("DROP TABLE IF EXISTS bkt_maint_b")
+    }
+  }
+
   test("metadata commits carry the layout; DML degrades gracefully") {
     val root = tmpDir() + "/bkt-meta"
     TxTable.appendBucketedBy((1L to 200L).map(k => (k, k % 5))
