@@ -266,7 +266,13 @@ object Dedup {
     // ReuseExchange dedups the shuffle, so the explode+md5 map side
     // runs once — no persist (a persist here would leak cache blocks
     // past the consuming action; see ReuseExchangeSpec).
-    val b = minhashBands(spark, dir)
+    // The bucket exchange is PINNED (Relational.pinParts): it replaces
+    // the join's own (band, sig) exchange, but keeps AQE from
+    // coalescing the small signature shuffle to one task and
+    // serializing the bucket self-join + pair distinct that every
+    // dedup-graph consumer sits on (measured 4.2 s → 1.8 s at sf0.1).
+    val b = Relational.pinParts(
+      minhashBands(spark, dir), col("band"), col("sig"))
     val a = b.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
     val c = b.select(col("band"), col("sig"), col("doc_id").as("doc_b"))
     a.join(c, Seq("band", "sig"))
@@ -303,8 +309,12 @@ object Dedup {
     val v = simhash(spark, dir).selectExpr("doc_id", s"$valExpr AS v")
     val blocks = v.selectExpr("doc_id", "v", "explode(sequence(0, 3)) AS k")
       .selectExpr("doc_id", "v", "k", "shiftright(v, k * 8) % 256 AS blk")
-    val a = blocks.select(col("k"), col("blk"), col("doc_id").as("doc_a"), col("v").as("va"))
-    val b = blocks.select(col("k"), col("blk"), col("doc_id").as("doc_b"), col("v").as("vb"))
+    // pinned block exchange — same rationale as minhashPairs: the
+    // self-join + hamming residual must not serialize behind AQE's
+    // bytes-only coalescing of the small fingerprint shuffle
+    val pinned = Relational.pinParts(blocks, col("k"), col("blk"))
+    val a = pinned.select(col("k"), col("blk"), col("doc_id").as("doc_a"), col("v").as("va"))
+    val b = pinned.select(col("k"), col("blk"), col("doc_id").as("doc_b"), col("v").as("vb"))
     a.join(b, Seq("k", "blk")).filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b", "va", "vb").distinct()
       .selectExpr("doc_a", "doc_b", "cast(bit_count(va ^ vb) as int) AS hamming")
@@ -488,13 +498,20 @@ object Dedup {
     // dominated this query's runtime, and a shuffle-based distinct
     // would move the whole variant set. The levenshtein residual runs
     // BEFORE the pair distinct so that shuffle carries only matches.
-    val variants = names
+    val variants0 = names
       .select(col("name"), explode(expr("sequence(0, length(name))")).as("i"))
       .filter(expr("i <= 1 OR substring(name, i, 1) != substring(name, i - 1, 1)"))
       .select(col("name"),
         when(col("i") === 0, col("name"))
           .otherwise(expr("concat(substring(name, 1, i - 1), substring(name, i + 1))"))
           .as("v"))
+    // pin the variant-key exchange (Relational.pinParts): the join's
+    // per-candidate levenshtein is the expensive part, and AQE's
+    // bytes-based coalescing — blind to the |name|× fan-out AND the
+    // residual's cost — folds the tiny distinct-names shuffle to one
+    // task, serializing candidate verification (measured 4.7 s → 1.1 s
+    // at sf0.1/32 cores)
+    val variants = Relational.pinParts(variants0, col("v"))
     val a = variants.select(col("v"), col("name").as("name_a"))
     val b = variants.select(col("v"), col("name").as("name_b"))
     val pairs = a.join(b, Seq("v"))
@@ -522,9 +539,12 @@ object Dedup {
     * exchange. */
   private def pairCounts(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val sh = shingles(spark, dir)
-    val dfq = sh.groupBy("s").agg(count(lit(1)).as("docfreq"))
+    // df-cut as a WINDOW count riding the same s-exchange the postings
+    // grouping needs (the dupSpans discipline) — the old aggregate +
+    // join-back shuffled the shingle table twice for the same answer
+    val idx = sh
+      .withColumn("docfreq", count(lit(1)).over(Window.partitionBy("s")))
       .filter(col("docfreq") <= 20)
-    val idx = sh.join(dfq.select("s"), Seq("s"))
       .groupBy("s").agg(collect_list("doc_id").as("docs"))
     val sz = idx.select(explode(col("docs")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -593,9 +613,18 @@ object Dedup {
   def jaccardPrefix(spark: SparkSession, dir: String, tPct: Int = 60): DataFrame = {
     require(tPct >= 1 && tPct <= 100, s"tPct must be in [1,100], got $tPct")
     val sh = shingles(spark, dir) // distinct (doc_id, s)
-    val df = sh.groupBy("s").agg(count(lit(1)).as("dfc"))
-    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pfx = sh.join(df, "s").join(sz, "doc_id")
+    // document frequency and set size land as WINDOW counts riding
+    // the exchanges the prefix derivation needs anyway (the dupSpans
+    // discipline: never shuffle the big table once to aggregate and
+    // again to join the aggregate back). `shn` carries (dfc, n) on
+    // every shingle row, so the old df/sz join-backs — two extra
+    // aggregate passes plus three re-joins over the same table —
+    // disappear; the verify step reads na/nb off the rows it already
+    // touches. Same relation, ~half the exchanges.
+    val shn = sh
+      .withColumn("dfc", count(lit(1)).over(Window.partitionBy("s")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+    val pfx = shn
       .withColumn("pos", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("dfc"), col("s"))))
       .filter(col("pos") <= col("n") - expr(s"(n * $tPct + 99) div 100") + 1)
@@ -604,13 +633,15 @@ object Dedup {
       .join(pfx.select(col("s"), col("doc_id").as("doc_b")), "s")
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
+    val withN = shn.select(col("doc_id"), col("s"), col("n"))
     val inter = cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+      .join(withN.select(col("doc_id").as("doc_a"), col("s"),
+        col("n").as("na")), "doc_a")
+      .join(withN.select(col("doc_id").as("doc_b"), col("s"),
+        col("n").as("nb")), Seq("doc_b", "s"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("i"), max("na").as("na"), max("nb").as("nb"))
     inter
-      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
       .filter(col("i") * 100 >= (col("na") + col("nb") - col("i")) * tPct)
       .select(col("doc_a"), col("doc_b"),
         expr("cast(i as double) / (na + nb - i)").as("jac"))
@@ -868,43 +899,44 @@ object Dedup {
   def hits(spark: SparkSession, dir: String, iters: Int = 3): DataFrame = {
     val S = 1099511627776L // 2^40
     val grams = spanGrams(spark, dir).persist()
-    // Rebase each round on its computed RDD (the kcore/CC discipline):
-    // the 1-row total broadcasts execute their subplan as separate
-    // jobs, so without flat lineage round i re-runs round i-1's whole
-    // chain twice — 2^iters blowup (measured 42 s at sf0.1; rebased:
-    // seconds).
-    def rebase(df: DataFrame): DataFrame =
-      spark.createDataFrame(df.rdd, df.schema).persist()
-    var hub = rebase(grams.select(col("source")).distinct()
-      .withColumn("hs", lit(1L)))
-    hub.count()
+    // TWO jobs per round, not six: each side's raw-score aggregate is
+    // persisted and its 1-row total read back as a SCALAR (the same
+    // 1-row readback budget the CC rounds use) that re-enters the plan
+    // as a literal — the rescaled scores are then a lazy projection
+    // over the cached aggregate, so there is no per-round crossJoin
+    // broadcast job and no RDD-rebase materialization. Lineage stays
+    // flat because round i's join consumes a projection of round
+    // i-1's still-cached aggregate (useCachedData substitutes the
+    // InMemoryRelation at planning) — the cache is released one round
+    // later, after its consumer materialized.
+    def q40scale(df: DataFrame, rawCol: String, outCol: String,
+      total: java.math.BigDecimal): DataFrame = df
+      .withColumn(outCol, expr(
+        s"cast((cast($S as decimal(38,0)) * $rawCol) div " +
+          s"cast('${total.toPlainString}' as decimal(38,0)) as bigint)"))
+      .drop(rawCol)
+    def total(df: DataFrame, c: String): java.math.BigDecimal = {
+      // a null sum means ZERO ROWS — the scale expr then never
+      // evaluates, any non-null literal keeps the plan well-formed
+      val t = df.agg(sum(col(c))).collect()(0).getDecimal(0)
+      if (t == null) java.math.BigDecimal.ONE else t
+    }
+    var hub = grams.select(col("source")).distinct()
+      .withColumn("hs", lit(1L))
+    var prevH: DataFrame = null
     for (_ <- 1 to iters) {
-      // persist (lazily) the raw-score aggregate on each side: the
-      // 1-row total's broadcast job is the FIRST scan and populates
-      // the cache, so the rescaled-score pass reads it back instead of
-      // re-running the edge-scale join — one heavy pass per side per
-      // round, with no extra materializing action
       val araw = grams.join(hub, "source")
         .groupBy("g").agg(sum(col("hs").cast("decimal(38,0)")).as("araw"))
         .persist()
-      val asum = araw.agg(sum("araw").as("asum"))
-      val auth = rebase(araw.crossJoin(broadcast(asum))
-        .select(col("g"),
-          expr(s"cast((cast($S as decimal(38,0)) * araw) div asum as bigint)")
-            .as("au")))
-      auth.count()
-      araw.unpersist()
+      val aTot = total(araw, "araw") // materializes araw's cache
+      if (prevH != null) prevH.unpersist() // its consumer is now cached
+      val auth = q40scale(araw, "araw", "au", aTot)
       val hraw = grams.join(auth, "g")
         .groupBy("source").agg(sum(col("au").cast("decimal(38,0)")).as("hraw"))
         .persist()
-      val hsum = hraw.agg(sum("hraw").as("hsum"))
-      val prev = hub
-      hub = rebase(hraw.crossJoin(broadcast(hsum))
-        .select(col("source"),
-          expr(s"cast((cast($S as decimal(38,0)) * hraw) div hsum as bigint)")
-            .as("hs")))
-      hub.count()
-      hraw.unpersist(); prev.unpersist(); auth.unpersist()
+      hub = q40scale(hraw, "hraw", "hs", total(hraw, "hraw"))
+      araw.unpersist()
+      prevH = hraw
     }
     // distributed final rank (see sourceRank): no single task ever
     // holds the whole source domain

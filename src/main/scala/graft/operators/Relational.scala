@@ -36,6 +36,22 @@ import graft.Tables
   */
 object Relational {
 
+  /** Hash-repartition `df` by `cols` into the session's configured
+    * shuffle-partition count, PINNED against AQE coalescing. AQE
+    * coalesces small shuffle outputs by BYTES, blind to downstream
+    * cost — an exchange whose output feeds a high-fan-out generate or
+    * an expensive per-row join residual (levenshtein, candidate-pair
+    * expansion) gets coalesced to one task and serializes the whole
+    * stage (guide §2.5: synthetic/small-input parallelism must be
+    * asserted, not inferred). Keyed on the operator's own join key,
+    * the pin replaces the exchange the join would insert anyway, so
+    * it adds no shuffle at any scale; the count follows
+    * spark.sql.shuffle.partitions (cluster-configured, never a local
+    * constant). */
+  def pinParts(df: DataFrame, cols: Column*): DataFrame =
+    df.repartition(
+      df.sparkSession.sessionState.conf.numShufflePartitions, cols: _*)
+
   /** Exact-decimal sum of a double column: sum(cast(c as decimal)) as
     * double. Associative and order-independent → identical across
     * engines and across partitionings at any scale. */

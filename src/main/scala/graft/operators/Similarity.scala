@@ -111,18 +111,37 @@ object Similarity {
       .select("probe_id", "rk", "nbr_id", "cos")
   }
 
+  /** Materialize a CODEBOOK-scale frame (k centroid rows — metadata,
+    * never corpus) into a LocalRelation. Iterative training must not
+    * let round i's plan embed round i−1's whole lineage: every
+    * broadcast subtree re-executes its plan, so a pure-lineage Lloyd
+    * loop recomputes all prior rounds inside EACH consumer — the cost
+    * doubles per round (the kcore/HITS lesson, guide §1.2: fix the
+    * algorithm's pass structure first). A k×dim readback per round is
+    * the standard k-means discipline (Spark MLlib collects centroids
+    * every iteration) and is size-bounded by the codebook, not the
+    * corpus. Values pass through bit-identical; rows are sorted so
+    * the relation is deterministic. */
+  private def codebook(df: DataFrame): DataFrame = {
+    val rows = df.collect().sortBy(_.toString)
+    val local = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    rows.foreach(local.add)
+    df.sparkSession.createDataFrame(local, df.schema)
+  }
+
   /** Lloyd's k-means over the quantized vectors — the training job the
     * IVF codebook stands in for. Each iteration is one broadcast
     * nearest-centroid assignment (k×N integer dots, map-side only)
-    * plus one per-dimension mean aggregation; nothing ever collects to
-    * the driver, so the same plan trains on 10^11 vectors with k
+    * plus one per-dimension mean aggregation; only the k-row CODEBOOK
+    * ever reaches the driver (the MLlib k-means shape — see
+    * [[codebook]]), so the same plan trains on 10^11 vectors with k
     * centroids broadcast. Centroids re-quantize to integers between
     * iterations to stay deterministic. */
   def trainCentroids(spark: SparkSession, dir: String,
     k: Int = 16, iters: Int = 3): DataFrame = {
     val q = quantized(spark, dir)
-    var cent = q.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cid"), col("q").as("qc"))
+    var cent = codebook(q.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("q").as("qc")))
     for (_ <- 1 to iters) {
       val centN = cent.withColumn("n2c", expr("array_dot_long(qc, qc)"))
       val w = Window.partitionBy("vec_id").orderBy(col("dist2"), col("cid"))
@@ -130,11 +149,11 @@ object Similarity {
         .withColumn("dot", expr("array_dot_long(q, qc)"))
         .withColumn("dist2", col("n2") + col("n2c") - lit(2) * col("dot"))
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      cent = assigned
+      cent = codebook(assigned
         .select(col("cid"), posexplode(col("q")).as(Seq("i", "e")))
         .groupBy("cid", "i").agg(avg("e").as("m"))
         .groupBy("cid")
-        .agg(expr("transform(array_sort(collect_list(struct(i, m))), x -> cast(round(x.m, 0) as bigint))").as("qc"))
+        .agg(expr("transform(array_sort(collect_list(struct(i, m))), x -> cast(round(x.m, 0) as bigint))").as("qc")))
     }
     cent
   }
@@ -602,8 +621,12 @@ object Similarity {
     // just a grouping column, so "4 independent trainings" cost one
     // broadcast-assign + one mean-agg per iteration)
     val resSub = subSplit(withResidual(assign), Seq("vec_id"))
-    var fine = resSub.filter(col("vec_id") >= 16 && col("vec_id") < 32)
-      .select((col("vec_id") - 16).as("fcid"), col("s"), col("sv").as("cv"))
+    // each round's m×16 sub-codebook is a CODEBOOK-scale readback
+    // (see [[codebook]]): without it, round i's broadcast subtree
+    // re-executes rounds 1..i−1 — and the encode/probe/ADC consumers
+    // below would each replay the whole fine training again
+    var fine = codebook(resSub.filter(col("vec_id") >= 16 && col("vec_id") < 32)
+      .select((col("vec_id") - 16).as("fcid"), col("s"), col("sv").as("cv")))
     for (_ <- 1 to iters) {
       val fn = fine.withColumn("n2c", expr("array_dot_long(cv, cv)"))
       val wf = Window.partitionBy("vec_id", "s").orderBy(col("d2"), col("fcid"))
@@ -611,12 +634,12 @@ object Similarity {
         .withColumn("d2",
           col("n2s") + col("n2c") - lit(2L) * expr("array_dot_long(sv, cv)"))
         .withColumn("rn", row_number().over(wf)).filter(col("rn") === 1)
-      fine = assigned
+      fine = codebook(assigned
         .select(col("fcid"), col("s"), posexplode(col("sv")).as(Seq("i", "e")))
         .groupBy("fcid", "s", "i").agg(avg("e").as("mm"))
         .groupBy("fcid", "s")
         .agg(expr("transform(array_sort(collect_list(struct(i, mm))), " +
-          "x -> cast(round(x.mm, 0) as bigint))").as("cv"))
+          "x -> cast(round(x.mm, 0) as bigint))").as("cv")))
     }
     val fineCent = fine
       .select(col("fcid"), col("s"), col("cv"),

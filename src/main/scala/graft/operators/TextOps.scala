@@ -454,14 +454,29 @@ object TextOps {
         .as(Seq("p", "tok")))
       .select(col("word"), col("wc"), (col("p") + 1).as("i"), col("tok"))
     var merges: DataFrame = null
+    // ONE job per round: the 1-row best merge is COLLECTED (the same
+    // 1-row readback budget the PageRank/CC rounds use) and re-enters
+    // both the merge table and the rewrite as a LocalRelation — a
+    // lazy `best` would re-execute every prior round inside its
+    // broadcast subtree (2^iters blowup), and the merge-table union
+    // would replay the whole chain once more per round. The round's
+    // rewritten tokenization persists lazily; the NEXT round's best
+    // job materializes it, so no extra action is spent.
+    var cached: DataFrame = null // last round's PERSISTED tokenization
     for (it <- 1 to iters) {
       val withNext = toks.withColumn("nxt", lead("tok", 1).over(wOrd))
-      val best = withNext
+      val bestPlan = withNext
         .filter(col("nxt").isNotNull && col("tok") =!= col("nxt"))
         .groupBy(col("tok").as("l"), col("nxt").as("r"))
         .agg(sum("wc").as("freq"))
         .orderBy(col("freq").desc, col("l"), col("r")).limit(1)
         .select(lit(it).as("iter"), col("l"), col("r"), col("freq"))
+      val bestRows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      bestPlan.collect().foreach(bestRows.add) // 0 or 1 row
+      // the collect materialized toks_{it-1}'s cache; the round BEFORE
+      // it is now baked in and can release its blocks
+      if (cached ne toks) { if (cached != null) cached.unpersist(); cached = toks }
+      val best = spark.createDataFrame(bestRows, bestPlan.schema)
       merges = if (merges == null) best else merges.unionByName(best)
       val applied = withNext
         .crossJoin(broadcast(best.select("l", "r")))
@@ -476,7 +491,12 @@ object TextOps {
         .withColumn("i2", row_number().over(
           Window.partitionBy("word").orderBy("i")))
         .select(col("word"), col("wc"), col("i2").as("i"), col("tok"))
+        .persist()
     }
+    // the last two rounds stay cached: the FINAL tokenization is
+    // persisted but not yet materialized — its first action (the
+    // caller's) reads the previous round's cache; the per-query
+    // clearCache reclaims both
     (merges, toks)
   }
 

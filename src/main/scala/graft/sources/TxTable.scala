@@ -1223,6 +1223,200 @@ object TxTable {
       sidecarBytes(fs, rp, dirName, h)
     Entry(isDelta, dirName, n + (bytesKey -> (bytes, bytes)), s, x, h)
   }
+  /** In-write stats observer — the [[checkGuard]] discipline applied
+    * to the per-dir stats aggregate: the SAME aggregate layout
+    * [[dirStats]] computes (row count, min/max, null counts, NDV
+    * registers) rides the write action itself via `observe`, so a
+    * freshly-written dir's [[Entry]] is assembled with NO second scan
+    * of the batch. At warehouse scale the post-write stats pass
+    * re-read every byte just written; here the metrics are folded
+    * per-task during the write and merged on the driver. Values are
+    * identical to a rescan (the written rows ARE the observed rows;
+    * min/max/count/sum are order-free, and the HLL estimate is a
+    * function of the register set, not visit order). Returns the
+    * wrapped frame to write and an assembler to call AFTER the write
+    * action (it blocks on the observation). */
+  private def observeStats(df: DataFrame, statsCols: Seq[String])
+    : (DataFrame, (SparkSession, Path, String, Boolean) => Entry) = {
+    statsCols.foreach(requireStatsGrammarSafe)
+    def typed(pred: org.apache.spark.sql.types.DataType => Boolean) =
+      statsCols.distinct.filter(c =>
+        df.schema.find(_.name == c).map(_.dataType).exists(pred))
+    val integral = typed {
+      case org.apache.spark.sql.types.LongType |
+        org.apache.spark.sql.types.IntegerType |
+        org.apache.spark.sql.types.ShortType => true
+      case _ => false
+    }
+    val strings = typed(_ == org.apache.spark.sql.types.StringType)
+    val aggs0 = count(lit(1)) +:
+      (integral.flatMap(c =>
+        Seq(min(col(c)).cast("long"), max(col(c)).cast("long"))) ++
+        integral.map(c =>
+          sum(when(col(c).isNull, 1L).otherwise(0L)).cast("long")) ++
+        strings.flatMap(c => Seq(min(col(c)), max(col(c)))) ++
+        strings.map(c =>
+          sum(when(col(c).isNull, 1L).otherwise(0L)).cast("long")) ++
+        (integral ++ strings).map(c => hll_sketch_agg(col(c), hllLgK)))
+    val aggs = aggs0.zipWithIndex.map { case (a, i) => a.as(s"c$i") }
+    val obs = org.apache.spark.sql.Observation(
+      "graft_stats_" + java.util.UUID.randomUUID().toString.take(8))
+    val wrapped = df.observe(obs, aggs.head, aggs.tail: _*)
+    val nBase = 1 + 3 * integral.length
+    val strNullBase = nBase + 2 * strings.length
+    val hllBase = strNullBase + strings.length
+    val mk = (spark: SparkSession, rp: Path, dirName: String,
+      isDelta: Boolean) => {
+      val m = obs.get
+      def at(i: Int): Any = m.getOrElse(s"c$i", null)
+      def longAt(i: Int): Option[Long] = at(i) match {
+        case l: java.lang.Long => Some(l.longValue())
+        case _ => None
+      }
+      def strAt(i: Int): Option[String] = at(i) match {
+        case s: String => Some(s)
+        case _ => None
+      }
+      val fs = rp.getFileSystem(spark.sessionState.newHadoopConf())
+      val hstats = spillHstats(fs, rp, dirName,
+        (integral ++ strings).zipWithIndex.flatMap { case (c, i) =>
+          at(hllBase + i) match {
+            case b: Array[Byte] => Some(c ->
+              java.util.Base64.getEncoder.encodeToString(b))
+            case _ => None
+          }
+        }.toMap, hllInlineMax(spark))
+      val xvals = strings.zipWithIndex.flatMap { case (c, i) =>
+        (strAt(nBase + 2 * i), strAt(nBase + 2 * i + 1)) match {
+          case (Some(mn), Some(mx))
+            if mn == mx && mn.getBytes("UTF-8").length <= strStatMaxBytes =>
+            Some(c -> hexOf(mn))
+          case _ => None
+        }
+      }.toMap
+      val rows = longAt(0).getOrElse(0L)
+      val stats = Map(rowsKey -> (rows, rows)) ++
+        integral.zipWithIndex.flatMap { case (c, i) =>
+          (longAt(2 * i + 1), longAt(2 * i + 2)) match {
+            case (Some(lo), Some(hi)) => Some(c -> (lo, hi))
+            case _ => None
+          }
+        } ++
+        integral.zipWithIndex.map { case (c, i) =>
+          val n = longAt(1 + 2 * integral.length + i).getOrElse(0L)
+          s"$nullsPrefix$c" -> (n, n)
+        } ++
+        strings.zipWithIndex.map { case (c, i) =>
+          val n = longAt(strNullBase + i).getOrElse(0L)
+          s"$nullsPrefix$c" -> (n, n)
+        }
+      val sstats = strings.zipWithIndex.flatMap { case (c, i) =>
+        (strAt(nBase + 2 * i), strAt(nBase + 2 * i + 1)) match {
+          case (Some(mn), Some(mx)) => strStatBounds(mn, mx).map(c -> _)
+          case _ => None
+        }
+      }.toMap
+      val bytes = fs.getContentSummary(new Path(rp, dirName)).getLength -
+        sidecarBytes(fs, rp, dirName, hstats)
+      Entry(isDelta, dirName, stats + (bytesKey -> (bytes, bytes)),
+        sstats, xvals, hstats)
+    }
+    (wrapped, mk)
+  }
+
+  /** Batched [[statsEntry]] for the aligned z-prefix buckets one
+    * optimize pass just wrote under `parent`: ONE grouped aggregate
+    * over the parent read computes every bucket's stats (row count,
+    * min/max, null counts, string bounds, NDV registers) instead of
+    * one Spark job per bucket — the single-pass discipline
+    * [[appendBucketedBy]] already uses. Per-bucket numbers are
+    * identical to per-dir [[statsEntry]] calls: the grouped aggregate
+    * sees exactly each `_b=` dir's rows (min/max/count/sum are
+    * order-free, and the HLL register state is a function of the
+    * value SET, not visit order). */
+  private def bucketStatsEntries(spark: SparkSession, rp: Path,
+    parent: String, buckets: Seq[String],
+    statsCols: Seq[String]): Seq[Entry] = {
+    statsCols.foreach(requireStatsGrammarSafe)
+    val df = spark.read.parquet(new Path(rp, parent).toString)
+    def typed(pred: org.apache.spark.sql.types.DataType => Boolean) =
+      statsCols.distinct.filter(c =>
+        df.schema.find(_.name == c).map(_.dataType).exists(pred))
+    val integral = typed {
+      case org.apache.spark.sql.types.LongType |
+        org.apache.spark.sql.types.IntegerType |
+        org.apache.spark.sql.types.ShortType => true
+      case _ => false
+    }
+    val strings = typed(_ == org.apache.spark.sql.types.StringType)
+    val aggs = count(lit(1)) +:
+      (integral.flatMap(c =>
+        Seq(min(col(c)).cast("long"), max(col(c)).cast("long"))) ++
+        integral.map(c =>
+          sum(when(col(c).isNull, 1L).otherwise(0L)).cast("long")) ++
+        strings.flatMap(c => Seq(min(col(c)), max(col(c)))) ++
+        strings.map(c =>
+          sum(when(col(c).isNull, 1L).otherwise(0L)).cast("long")) ++
+        (integral ++ strings).map(c => hll_sketch_agg(col(c), hllLgK)))
+    val g = 1 // leading _b group column shifts every stat index by one
+    val nBase = g + 1 + 3 * integral.length
+    val strNullBase = nBase + 2 * strings.length
+    val hllBase = strNullBase + strings.length
+    val byBucket = df.groupBy(col("_b").cast("long").as("_b"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect() // bucket-cardinality readback (<= nDirs rows)
+      .map(r => s"$parent/_b=${r.getLong(0)}" -> r).toMap
+    val fs = rp.getFileSystem(spark.sessionState.newHadoopConf())
+    val rawH = buckets.map { d =>
+      val r = byBucket.getOrElse(d, throw new IllegalStateException(
+        s"txtable: bucket dir $d missing from the grouped stats pass"))
+      d -> (integral ++ strings).zipWithIndex.flatMap { case (c, i) =>
+        if (r.isNullAt(hllBase + i)) None
+        else Some(c -> java.util.Base64.getEncoder.encodeToString(
+          r.getAs[Array[Byte]](hllBase + i)))
+      }.toMap
+    }
+    val hAll = spillHstatsAll(fs, rp, rawH, hllInlineMax(spark))
+    buckets.map { d =>
+      val r = byBucket(d)
+      val xvals = strings.zipWithIndex.flatMap { case (c, i) =>
+        if (r.isNullAt(nBase + 2 * i)) None
+        else {
+          val mn = r.getString(nBase + 2 * i)
+          val mx = r.getString(nBase + 2 * i + 1)
+          if (mn == mx && mn.getBytes("UTF-8").length <= strStatMaxBytes)
+            Some(c -> hexOf(mn))
+          else None
+        }
+      }.toMap
+      val stats = Map(rowsKey -> (r.getLong(g), r.getLong(g))) ++
+        integral.zipWithIndex.flatMap { case (c, i) =>
+          if (r.isNullAt(g + 2 * i + 1)) None
+          else Some(c -> (r.getLong(g + 2 * i + 1), r.getLong(g + 2 * i + 2)))
+        } ++
+        integral.zipWithIndex.map { case (c, i) =>
+          val j = g + 1 + 2 * integral.length + i
+          val n = if (r.isNullAt(j)) 0L else r.getLong(j)
+          s"$nullsPrefix$c" -> (n, n)
+        } ++
+        strings.zipWithIndex.map { case (c, i) =>
+          val j = strNullBase + i
+          val n = if (r.isNullAt(j)) 0L else r.getLong(j)
+          s"$nullsPrefix$c" -> (n, n)
+        }
+      val sstats = strings.zipWithIndex.flatMap { case (c, i) =>
+        if (r.isNullAt(nBase + 2 * i)) None
+        else strStatBounds(r.getString(nBase + 2 * i),
+          r.getString(nBase + 2 * i + 1)).map(c -> _)
+      }.toMap
+      val h = hAll(d)
+      val bytes = fs.getContentSummary(new Path(rp, d)).getLength -
+        sidecarBytes(fs, rp, d, h)
+      Entry(isDelta = false, d,
+        stats + (bytesKey -> (bytes, bytes)), sstats, xvals, h)
+    }
+  }
+
   /** On-disk bytes of dir `d`'s SPILLED hll sidecars (entries whose
     * blob is the `@` marker) — excluded from the `_bytes` data stat. */
   private def sidecarBytes(fs: FileSystem, rp: Path, d: String,
@@ -1321,13 +1515,16 @@ object TxTable {
     val physStats =
       if (keepPrev) statsCols.map(physName(m0, _)) else statsCols
     val dirName = s"data/$op-${java.util.UUID.randomUUID()}"
-    physDf.write.mode("overwrite").parquet(new Path(rp, dirName).toString)
+    // stats ride the write action (observeStats) — no post-write
+    // rescan of the batch just to record its commit-line stats
+    val (obsDf, mkEntry) = observeStats(physDf, physStats)
+    obsDf.write.mode("overwrite").parquet(new Path(rp, dirName).toString)
     try verifyChecks() catch {
       case t: Throwable =>
         fs.delete(new Path(rp, dirName), true)
         throw t
     }
-    val entry = statsEntry(spark, rp, dirName, physStats)
+    val entry = mkEntry(spark, rp, dirName, false)
     commitRetry(spark, root) { prevV =>
       // a concurrent writer may have landed this same micro-batch
       // between the caller's pre-check and the claim (appendBatch);
@@ -1780,13 +1977,15 @@ object TxTable {
         .select((keyCols.map(col) ++ valueCols.map(c =>
           coalesce(col(c), col(s"_base_$c")).as(c))): _*)
       val dirName = s"data/merge-${java.util.UUID.randomUUID()}"
-      merged.write.mode("overwrite").parquet(new Path(rp, dirName).toString)
+      val (obsMerged, mkEntry) = observeStats(merged, keyCols)
+      obsMerged.write.mode("overwrite")
+        .parquet(new Path(rp, dirName).toString)
       // copy-on-write from logical frames: new files carry logical
       // names, so the mapping (if any) resets — see compactSnapshot
       ("merge",
         Seq(s"key:${keyCols.mkString(",")}") ++
           snapshotColMap(fs, rp, prevV).map(_ => "colmap:").toSeq :+
-          statsEntry(spark, rp, dirName, keyCols).line)
+          mkEntry(spark, rp, dirName, false).line)
     }
   }
 
@@ -1856,13 +2055,14 @@ object TxTable {
             .otherwise(col(c)).as(c)
         }: _*)
       val dirName = s"data/merge-${java.util.UUID.randomUUID()}"
-      out.write.mode("overwrite").parquet(new Path(rp, dirName).toString)
+      val (obsOut, mkEntry) = observeStats(out, keyCols)
+      obsOut.write.mode("overwrite").parquet(new Path(rp, dirName).toString)
       // copy-on-write from logical frames: new files carry logical
       // names, so the mapping (if any) resets — see compactSnapshot
       ("merge",
         Seq(s"key:${keyCols.mkString(",")}") ++
           snapshotColMap(fs, rp, prevV).map(_ => "colmap:").toSeq :+
-          statsEntry(spark, rp, dirName, keyCols).line)
+          mkEntry(spark, rp, dirName, false).line)
     }
   }
 
@@ -1917,9 +2117,10 @@ object TxTable {
     val (latestPhys, extMap) =
       toPhysicalFrame(latest, m0, exclude = Set("op", "seq"))
     val dirName = s"data/delta-${java.util.UUID.randomUUID()}"
-    latestPhys.write.mode("overwrite")
+    val (obsLatest, mkEntry) = observeStats(latestPhys, physKeys)
+    obsLatest.write.mode("overwrite")
       .parquet(new Path(rp, dirName).toString)
-    val entry = statsEntry(spark, rp, dirName, physKeys, isDelta = true)
+    val entry = mkEntry(spark, rp, dirName, true)
     commitRetry(spark, root) { prevV =>
       // a concurrent writer may have landed the same batch between the
       // pre-check and the claim: re-check against the claim's parent
@@ -2137,10 +2338,11 @@ object TxTable {
       val buckets = fs.listStatus(new Path(rp, parent)).toSeq
         .map(_.getPath.getName).filter(_.startsWith("_b="))
         .sortBy(n => n.stripPrefix("_b=").toLong)
-      val entries = buckets.map { b =>
-        val d = s"$parent/$b"
-        statsEntry(spark, rp, d, keys.getOrElse(Seq.empty) ++ statsCols)
-      }
+      // ONE grouped stats pass over all buckets (was one Spark job per
+      // bucket — nDirs sequential scans of the just-written table)
+      val entries = bucketStatsEntries(spark, rp, parent,
+        buckets.map(b => s"$parent/$b"),
+        keys.getOrElse(Seq.empty) ++ statsCols)
       try {
         return commitRetry(spark, root) { prevV =>
           if (prevV != base) throw new StaleOptimize
@@ -2234,10 +2436,11 @@ object TxTable {
       val buckets = fs.listStatus(new Path(rp, parent)).toSeq
         .map(_.getPath.getName).filter(_.startsWith("_b="))
         .sortBy(n => n.stripPrefix("_b=").toLong)
-      val newEntries = buckets.map { b =>
-        statsEntry(spark, rp, s"$parent/$b",
-          (keys.getOrElse(Seq.empty) ++ statsCols ++ zCols).distinct)
-      }
+      // ONE grouped stats pass over the tail's buckets (see
+      // optimizeZOrderN — was one Spark job per bucket)
+      val newEntries = bucketStatsEntries(spark, rp, parent,
+        buckets.map(b => s"$parent/$b"),
+        (keys.getOrElse(Seq.empty) ++ statsCols ++ zCols).distinct)
       try {
         return commitRetry(spark, root) { prevV =>
           if (prevV != base) throw new StaleOptimize
@@ -2285,7 +2488,6 @@ object TxTable {
       val m = snapshotColMap(fs, rp, prevV)
       val resolved = read(spark, root, prevV)
       val dirName = s"data/compact-${java.util.UUID.randomUUID()}"
-      resolved.write.mode("overwrite").parquet(new Path(rp, dirName).toString)
       // the new dir is born under the LOGICAL names (read's output),
       // materializing any renames and shedding drop tombstones — so
       // the key/stats headers move to logical and the mapping RESETS
@@ -2294,8 +2496,11 @@ object TxTable {
       val keys = snapshotKeys(fs, rp, prevV).map(_.map(logicalName(m, _)))
       val statsCols =
         snapshotStatsCols(fs, rp, prevV).map(logicalName(m, _))
-      val entry = statsEntry(spark, rp, dirName,
+      val (obsResolved, mkEntry) = observeStats(resolved,
         keys.getOrElse(Seq.empty) ++ statsCols)
+      obsResolved.write.mode("overwrite")
+        .parquet(new Path(rp, dirName).toString)
+      val entry = mkEntry(spark, rp, dirName, false)
       ("compact",
         keys.map(ks => s"key:${ks.mkString(",")}").toSeq ++
           (if (statsCols.nonEmpty) Seq(s"statscol:${statsCols.mkString(",")}")
@@ -2409,11 +2614,12 @@ object TxTable {
             .map(e => fillDeclaredDefaults(
               visibleDirFrame(spark, rp, e), addedNow))
             .reduce(_.unionByName(_, allowMissingColumns = true))
-          merged.write.mode("overwrite")
+          val (obsMerged, mkEntry) = observeStats(merged,
+            keys.getOrElse(Seq.empty) ++ statsCols)
+          obsMerged.write.mode("overwrite")
             .parquet(new Path(rp, dirName).toString)
           staged = staged :+ dirName
-          val entry = statsEntry(spark, rp, dirName,
-            keys.getOrElse(Seq.empty) ++ statsCols)
+          val entry = mkEntry(spark, rp, dirName, false)
           // a merged bucket dir RE-RECORDS its id: every bin member
           // carried the same `_bucket` (it's in the group key), so
           // the proof survives the pack
@@ -6859,10 +7065,11 @@ object TxTable {
           fill(readDirFrame(spark, rp, e.dir)) }
           .reduce(_.unionByName(_, allowMissingColumns = true))
       val dirName = s"data/compact-${java.util.UUID.randomUUID()}"
-      folded.write.mode("overwrite")
-        .parquet(new Path(rp, dirName).toString)
       val statsCols = snapshotStatsCols(fs, rp, prevV)
-      val entry = statsEntry(spark, rp, dirName, statsCols)
+      val (obsFolded, mkEntry) = observeStats(folded, statsCols)
+      obsFolded.write.mode("overwrite")
+        .parquet(new Path(rp, dirName).toString)
+      val entry = mkEntry(spark, rp, dirName, false)
       ("compact",
         (if (statsCols.nonEmpty) Seq(s"statscol:${statsCols.mkString(",")}")
          else Seq.empty) ++
