@@ -203,7 +203,12 @@ object Dedup {
     val exactRemoved = tagged.filter(col("doc_id") > col("keep_id"))
       .select(col("doc_id"), lit("exact").as("stage"))
     val s1 = tagged.filter(col("doc_id") === col("keep_id")).select("doc_id")
-    val bands = minhashBands(spark, dir).join(s1, Seq("doc_id"), "left_semi")
+    // both self-joins pinned (Relational.pinParts — see minhashPairs):
+    // the candidate-pair expansion and the integer-dot scoring are the
+    // expensive per-row work AQE's bytes-only coalescing serializes
+    val bands = Relational.pinParts(
+      minhashBands(spark, dir).join(s1, Seq("doc_id"), "left_semi"),
+      col("band"), col("sig"))
     val nearRemoved = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
@@ -211,8 +216,9 @@ object Dedup {
       .select(col("a.doc_id").as("doc_id")).distinct()
       .select(col("doc_id"), lit("near").as("stage"))
     val s2 = s1.join(nearRemoved, Seq("doc_id"), "left_anti")
-    val q = Similarity.quantized(spark, dir)
-      .join(s2, col("vec_id") === col("doc_id"), "left_semi")
+    val q = Relational.pinParts(Similarity.quantized(spark, dir)
+      .join(s2, col("vec_id") === col("doc_id"), "left_semi"),
+      col("label"))
     val semRemoved = q.as("a")
       .join(q.as("b"),
         col("a.label") === col("b.label") &&

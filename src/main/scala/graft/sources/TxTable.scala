@@ -2247,8 +2247,12 @@ object TxTable {
     dims.zipWithIndex.foreach { case (zd, d) =>
       val e = zd.cuts match {
         case Some(cuts) =>
-          s"aggregate(array(${cuts.map(v => s"${v}L").mkString(",")}), " +
-            s"0L, (a, x) -> a + if(_zr$d >= x, 1L, 0L))"
+          // UNROLLED comparison sum, not an `aggregate` lambda: the
+          // higher-order function evaluates interpreted per row, and
+          // this expression runs over every row of the rewrite AND the
+          // max(_z) pass — the unrolled form whole-stage-codegens
+          cuts.map(v => s"if(_zr$d >= ${v}L, 1L, 0L)")
+            .mkString("(", " + ", ")")
         case None => s"_zr$d"
       }
       acc = acc.withColumn(s"_zd$d", expr(e)) }
