@@ -619,15 +619,35 @@ object Dedup {
   def jaccardPrefix(spark: SparkSession, dir: String, tPct: Int = 60): DataFrame = {
     require(tPct >= 1 && tPct <= 100, s"tPct must be in [1,100], got $tPct")
     val sh = shingles(spark, dir) // distinct (doc_id, s)
+    // EXACT-SET GROUPING FIRST — the cascade discipline applied inside
+    // the similarity join: documents with IDENTICAL shingle sets form
+    // a group (set fingerprint = md5 of the NUL-joined sorted shingle
+    // list, computed in one doc-keyed aggregate), the quadratic
+    // prefix-filter join runs over ONE representative per distinct
+    // set, and results expand back through group membership. On a
+    // duplication-heavy corpus this is the difference between
+    // quadratic and linear in the duplication factor (measured at the
+    // sf1 rung: 207 s → the representative join is sf0.1-sized again),
+    // and it is EXACT: identical sets pair at jaccard 1.0 ≥ t/100
+    // always, and a cross-group pair's (i, na, nb) depend only on the
+    // two SETS, so every member pair inherits its representatives'
+    // score verbatim. The prefix lemma already makes the relation
+    // ordering-independent (any pair with jac ≥ t shares a prefix
+    // token under ANY consistent global token order, and the integer
+    // acceptance test is exact), so deduplicating the inputs cannot
+    // add or lose a pair.
+    val sig = sh.groupBy("doc_id")
+      .agg(md5(to_binary(concat_ws("\u0000",
+        array_sort(collect_list(col("s")))), lit("utf-8"))).as("sig"))
+    val groups = sig.groupBy("sig").agg(min("doc_id").as("rep"))
+    val shR = sh.join(groups.select(col("rep").as("doc_id")),
+      Seq("doc_id"), "left_semi")
     // document frequency and set size land as WINDOW counts riding
     // the exchanges the prefix derivation needs anyway (the dupSpans
     // discipline: never shuffle the big table once to aggregate and
-    // again to join the aggregate back). `shn` carries (dfc, n) on
-    // every shingle row, so the old df/sz join-backs — two extra
-    // aggregate passes plus three re-joins over the same table —
-    // disappear; the verify step reads na/nb off the rows it already
-    // touches. Same relation, ~half the exchanges.
-    val shn = sh
+    // again to join the aggregate back); the verify step reads na/nb
+    // off the rows it already touches.
+    val shn = shR
       .withColumn("dfc", count(lit(1)).over(Window.partitionBy("s")))
       .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
     val pfx = shn
@@ -647,10 +667,31 @@ object Dedup {
         col("n").as("nb")), Seq("doc_b", "s"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("i"), max("na").as("na"), max("nb").as("nb"))
-    inter
+    val repPairs = inter
       .filter(col("i") * 100 >= (col("na") + col("nb") - col("i")) * tPct)
-      .select(col("doc_a"), col("doc_b"),
+      .select(col("doc_a").as("rep_a"), col("doc_b").as("rep_b"),
         expr("cast(i as double) / (na + nb - i)").as("jac"))
+    // expansion is OUTPUT-cardinality work: within-group pairs score
+    // exactly 1.0 (i = na = nb; n/n is exact in IEEE), cross-group
+    // pairs inherit their representatives' score; least/greatest
+    // re-normalizes pair order across groups
+    val within = sig.as("a").join(sig.as("b"), "sig")
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        lit(1.0).as("jac"))
+    val repSig = groups.select(col("rep"), col("sig"))
+    val cross = repPairs
+      .join(repSig.select(col("rep").as("rep_a"), col("sig").as("sig_a")),
+        "rep_a")
+      .join(repSig.select(col("rep").as("rep_b"), col("sig").as("sig_b")),
+        "rep_b")
+      .join(sig.select(col("sig").as("sig_a"), col("doc_id").as("da")),
+        "sig_a")
+      .join(sig.select(col("sig").as("sig_b"), col("doc_id").as("db")),
+        "sig_b")
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("jac"))
+    within.unionByName(cross)
   }
 
   /** Cluster-canonical selection — the step after near-dup
