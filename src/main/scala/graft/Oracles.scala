@@ -572,6 +572,16 @@ object Oracles {
       """SELECT o_orderkey, o_custkey, c_nationkey
         |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
 
+    // ONE-SIDED-SHUFFLE bucketed join (bucketSpjShuffleGateQuery):
+    // only orders is bucketed; the plain customer side shuffles INTO
+    // the layout via the V2 bucket function (the gate requires exactly
+    // one Exchange), so the oracle is again the plain equi-join —
+    // hash equality proves the shuffled side routed to the right
+    // buckets (a mis-hash loses matches silently)
+    "q_txtable_bucket_spj_shuffle" ->
+      """SELECT o_orderkey, o_custkey, c_nationkey
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
     // composite-key storage-partitioned join (TxTable.spj2GateQuery):
     // both sides clustered on (custkey%8, custkey%3); the bucket-key
     // equalities are implied by the custkey equality, so the oracle

@@ -150,6 +150,8 @@ object SparkEntry {
     "q_txtable_spj" -> (graft.sources.TxTable.spjGateQuery _),
     "q_txtable_bucket_spj" ->
       (graft.sources.TxTable.bucketSpjGateQuery _),
+    "q_txtable_bucket_spj_shuffle" ->
+      (graft.sources.TxTable.bucketSpjShuffleGateQuery _),
     "q_txtable_spj2" -> (graft.sources.TxTable.spj2GateQuery _),
     "q_txtable_spj_str" -> (graft.sources.TxTable.spjStrGateQuery _),
     "q_txtable_spj_str_range" ->

@@ -78,23 +78,36 @@ object InvertedIndex {
         min("doc_id").as("first_doc"))
 
   /** Conjunctive (AND) retrieval over the maintained index: doc_ids
-    * containing EVERY term in `terms`. One index scan however many
-    * terms: the term list broadcasts into a semi-join, and a doc
-    * qualifies when it holds |terms| DISTINCT matching words — the
-    * posting-list-intersection plan at table scale (no per-term scan,
-    * no corpus read; the reference re-runs this as a Lucene shard
-    * query, ref: src/contrib/index/src/java/org/apache/hadoop/contrib/
-    * index/lucene/ShardWriter.java:1). */
+    * containing EVERY term in `terms`. A doc qualifies when it holds
+    * |terms| DISTINCT matching words — the posting-list-intersection
+    * plan at table scale (no per-term scan, no corpus read; the
+    * reference re-runs this as a Lucene shard query, ref:
+    * src/contrib/index/src/java/org/apache/hadoop/contrib/index/
+    * lucene/ShardWriter.java:1). Small term lists land as a LITERAL
+    * `word IN (...)` filter rather than a broadcast semi-join:
+    * Catalyst pushes a literal predicate on the resolution window's
+    * PARTITION key below the window and into the parquet scans
+    * (PushedFilters carries the In), so a 2-term lookup reads the
+    * matching row groups of the index, not a full resolve — filtering
+    * whole (word, doc_id) groups commutes with latest-per-key
+    * resolution, so the result is identical. A semi-join can't push
+    * past the window, so huge term lists (where an In literal would
+    * bloat the plan) keep it. */
   def lookupAll(spark: SparkSession, root: String,
     terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "lookupAll needs at least one term")
     import spark.implicits._
-    val t = terms.distinct.toDF("word")
-    TxTable.read(spark, root)
-      .join(broadcast(t), Seq("word"), "left_semi")
+    val ts = terms.distinct
+    val matched =
+      if (ts.size <= 64)
+        TxTable.read(spark, root).filter(col("word").isin(ts: _*))
+      else
+        TxTable.read(spark, root)
+          .join(broadcast(ts.toDF("word")), Seq("word"), "left_semi")
+    matched
       .groupBy("doc_id")
       .agg(count(lit(1)).as("_hits")) // postings are unique per (word, doc)
-      .filter(col("_hits") === terms.distinct.size.toLong)
+      .filter(col("_hits") === ts.size.toLong)
       .select("doc_id")
   }
 

@@ -3144,12 +3144,18 @@ object TxTable {
           val (df, _) = withLogicalAliases(vis, m)
           val name = s"_pdel-${java.util.UUID.randomUUID()}"
           val sidecar = new Path(new Path(rp, e.dir), name)
+          // the matched-row count rides the sidecar write itself
+          // (observe) — re-reading the sidecar just to count it was
+          // one extra Spark job per touched dir
+          val obs = org.apache.spark.sql.Observation(
+            "graft_pdel_" + java.util.UUID.randomUUID().toString.take(8))
           df.filter(s"($predSql) IS TRUE")
             .select(col("_graft_pd_f").as("_file"),
               col("_graft_pd_p").as("_pos"))
+            .observe(obs, count(lit(1)).as("n"))
             .write.mode("overwrite").parquet(sidecar.toString)
           staged = staged :+ s"${e.dir}/$name"
-          val n = spark.read.parquet(sidecar.toString).count()
+          val n = obs.get("n").asInstanceOf[Long]
           val nAll = e.stats.get(rowsKey).map(_._1).getOrElse {
             // pre-stats dirs: count the rows visible BEFORE this
             // delete (e.pdels holds only the prior sidecars)
@@ -3182,11 +3188,15 @@ object TxTable {
           else if (nKeep == 0L) None            // fully deleted
           else {
             val dirName = s"data/delete-${java.util.UUID.randomUUID()}"
-            survivors.write.mode("overwrite")
+            // stats ride the rewrite action (observeStats) — the
+            // post-write statsEntry rescan was a third pass over the
+            // surviving rows
+            val (obsDf, mkEntry) = observeStats(survivors,
+              (keys.getOrElse(Seq.empty) ++ statsCols).distinct)
+            obsDf.write.mode("overwrite")
               .parquet(new Path(rp, dirName).toString)
             staged = staged :+ dirName
-            Some(statsEntry(spark, rp, dirName,
-              keys.getOrElse(Seq.empty) ++ statsCols).line)
+            Some(mkEntry(spark, rp, dirName, false).line)
           }
         }
       }
@@ -4365,11 +4375,14 @@ object TxTable {
               }
             }.toIndexedSeq: _*)
             val dirName = s"data/update-${java.util.UUID.randomUUID()}"
-            updated.write.mode("overwrite")
+            // stats ride the rewrite action (observeStats) — the
+            // post-write statsEntry rescan was a third pass per dir
+            val (obsDf, mkEntry) = observeStats(updated,
+              (keys.getOrElse(Seq.empty) ++ statsCols).distinct)
+            obsDf.write.mode("overwrite")
               .parquet(new Path(rp, dirName).toString)
             staged = staged :+ dirName
-            statsEntry(spark, rp, dirName,
-              keys.getOrElse(Seq.empty) ++ statsCols).line
+            mkEntry(spark, rp, dirName, false).line
           }
         }
       }
@@ -7332,6 +7345,53 @@ object TxTable {
       s.sql("DROP TABLE IF EXISTS graft_bktspj_c")
       s.catalog.dropTempView("graft_bktspj_osrc")
       s.catalog.dropTempView("graft_bktspj_csrc")
+      ()
+    }
+  }
+
+  /** ONE-SIDED-SHUFFLE bucketed join gate (q_txtable_bucket_spj_
+    * shuffle): only ORDERS is bucketed (16 ways on o_custkey);
+    * customer arrives as a plain un-bucketed frame. With
+    * `spark.sql.sources.v2.bucketing.shuffle.enabled` the planner
+    * shuffles ONLY the plain side into graft's bucket-function layout
+    * and the bucketed (big) side never moves — at 100 TB that is the
+    * difference between shuffling a dimension and shuffling the fact.
+    * The gate REQUIRES exactly ONE Exchange in the planned join (zero
+    * would mean a broadcast crept in; two would mean the fact
+    * shuffled). The DuckDB oracle replays the plain equi-join — hash
+    * equality proves the V2 bucket function routed the shuffled side
+    * to the right buckets (a mis-hash silently LOSES matches, which
+    * the row hash catches). */
+  def bucketSpjShuffleGateQuery(spark: SparkSession,
+    dir: String): DataFrame = {
+    val s = spark.newSession()
+    graft.functions.GraftFunctions.register(s)
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+    s.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val rootO = graft.Scratch.freshRoot(s, "graft-bktshufo", dir)
+    appendBucketedBy(graft.Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey")), rootO,
+      "o_custkey", 16, statsCols = Seq("o_custkey"))
+    s.sql("DROP TABLE IF EXISTS graft_bktshuf_o")
+    s.sql("CREATE TABLE graft_bktshuf_o USING `graft-tx` " +
+      s"OPTIONS (path '$rootO')")
+    try {
+      val c = graft.Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"))
+      val j = s.table("graft_bktshuf_o").as("l")
+        .join(c.as("r"), col("l.o_custkey") === col("r.c_custkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("c_nationkey"))
+      val exchanges = j.queryExecution.executedPlan.toString
+        .linesIterator.count(_.contains("Exchange"))
+      require(exchanges == 1,
+        s"txtable: one-sided-shuffle SPJ gate planned $exchanges " +
+          "Exchange(s) — only the un-bucketed side may shuffle")
+      j
+    } finally {
+      s.sql("DROP TABLE IF EXISTS graft_bktshuf_o")
       ()
     }
   }

@@ -1206,6 +1206,35 @@ class TxTableSpec extends SparkSpec {
     assert(TxTable.read(spark, root, version = 2).count() === 2)
   }
 
+  test("rewritten dirs carry exact write-time stats (observe-fold)") {
+    import spark.implicits._
+    // delete/update rewrites compute their commit-line stats ON the
+    // rewrite action (observeStats) instead of a post-write rescan —
+    // this pins that the observed min/max still drive exact triage
+    val root = tmpDir() + "/tx-obsstat"
+    TxTable.append((0L to 19L).map(k => (k, k * 2)).toDF("k", "v"),
+      root, statsCols = Seq("k", "v"))
+    // partial delete rewrites the dir; survivors are k in [5,19]
+    TxTable.deleteWhere(spark, root, "k < 5")
+    val c2 = commitText(root, 2)
+    val newDir = "dir:(data/delete-[^|\n]+)".r
+      .findFirstMatchIn(c2).get.group(1)
+    assert(c2.contains("k=5:19"), s"observed k bounds must be exact: $c2")
+    // a delete disjoint from the NEW box must carry the dir BY NAME —
+    // only possible if the observed stats were recorded exactly
+    TxTable.deleteWhere(spark, root, "k >= 30", Map("k" -> (30L, 99L)))
+    assert(commitText(root, 3).contains(newDir))
+    // update rewrite: SET moves v out of its old range; the observed
+    // stats must describe the NEW values
+    TxTable.updateWhere(spark, root, "k >= 0", Map("v" -> "v + 1000"))
+    val c4 = commitText(root, 4)
+    assert(c4.contains("v=1010:1038"),
+      s"observed v bounds must describe the post-SET values: $c4")
+    assert(TxTable.read(spark, root).agg(
+      org.apache.spark.sql.functions.sum("v")).head.getLong(0) ===
+      (5L to 19L).map(_ * 2 + 1000).sum)
+  }
+
   test("updateWhere: old-row semantics, triage, and swap-safe multi-SET") {
     import spark.implicits._
     val root = tmpDir() + "/tx-upd"
