@@ -191,17 +191,51 @@ object TextOps {
   def bm25(spark: SparkSession, dir: String,
     query: Seq[String] = Seq("spark", "data", "system"),
     k1: Double = 1.2, b: Double = 0.75, topN: Int = 20): DataFrame = {
-    val toks = tokens(spark, dir)
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // ONE corpus tokenize: per-doc length AND per-query-term counts
+    // ride a single aggregate (the query is a literal term list, so
+    // the tf counts pivot into one column per term and unpivot back
+    // to (word, tf) rows afterwards). The previous shape tokenized
+    // the corpus THREE times — the tf pass, the avgdl pass and the
+    // dl-join pass each re-ran Generate over documents — and then
+    // joined the doc-scale dl table back onto tf (a broadcast only
+    // while dl is small; at corpus scale it is a full shuffle join).
+    // Here dl is carried on the row, so scan, shuffle and join all
+    // collapse. Values are bit-identical: sum(when(word = t)) is the
+    // filtered groupBy count, and every score expression is unchanged.
+    val q = query.distinct
+    val perDoc = tokens(spark, dir).groupBy("doc_id").agg(
+      count(lit(1)).as("dl"),
+      q.zipWithIndex.map { case (t, i) =>
+        sum(when(col("word") === t, 1L).otherwise(0L)).as(s"_tf$i")
+      }: _*)
     // corpus scalars stay in the plan as broadcast 1-row frames — no
-    // driver-side collect, one lazy DAG end to end
-    val stats = dl.agg(avg(col("dl").cast("double")).as("avgdl"))
+    // driver-side collect, one lazy DAG end to end. Per-term document
+    // frequency rides the SAME 1-row aggregate as avgdl (df of term i
+    // = docs with _tf$i > 0 — identical to countDistinct(doc_id) over
+    // the tf rows, which are unique per (doc, word)), so the old
+    // separate df subtree — which re-tokenized the corpus a third
+    // time — folds away; tf rows pick their df from the broadcast row
+    // by a CASE over the literal term list.
+    val stats = perDoc.agg(
+      avg(col("dl").cast("double")).as("avgdl"),
+      q.zipWithIndex.map { case (_, i) =>
+        sum(when(col(s"_tf$i") > 0L, 1L).otherwise(0L)).as(s"_df$i")
+      }: _*)
       .crossJoin(Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs")))
-    val tf = toks.filter(col("word").isin(query: _*))
-      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("word").agg(countDistinct("doc_id").as("df"))
-    val scored = tf.join(broadcast(df), "word").join(dl, "doc_id")
+    val tf = perDoc.select(col("doc_id"), col("dl"),
+      explode(array(q.zipWithIndex.map { case (t, i) =>
+        struct(lit(t).as("word"), col(s"_tf$i").as("tf"))
+      }: _*)).as("_wt"))
+      .select(col("doc_id"), col("dl"),
+        col("_wt.word").as("word"), col("_wt.tf").as("tf"))
+      .filter(col("tf") > 0L)
+    val dfCol = q.zipWithIndex.foldLeft(lit(null).cast("long")) {
+      case (acc, (t, i)) => when(col("word") === t, col(s"_df$i"))
+        .otherwise(acc)
+    }
+    val scored = tf
       .crossJoin(broadcast(stats))
+      .withColumn("df", dfCol)
       .withColumn("idf", log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
       .withColumn("term_score",
         col("idf") * (col("tf") * (lit(k1) + 1)) /
